@@ -1,0 +1,48 @@
+"""Oracle-differential suite: every registered query with a DuckDB oracle
+is executed on Spark and DuckDB over the same sf0.001 parquet and compared
+(row count + column names + order-insensitive values). This mirrors the
+driver's CORRECTNESS gate so failures surface locally first."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstreamingtwitter_presidential_spark.queries import load_all
+from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+REGISTRY = load_all()
+WITH_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, oracle, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_DIR)
+    assert_df_matches_oracle(df, oracle, q.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_DIR)
+    # Driver's weaker check: runs, stable schema, >= 0 rows.
+    assert df.columns, f"{name}: no columns"
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["event_type", "n"]
+
+
+def test_contract_consistency():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert e.FLAGSHIP in qs
