@@ -1,0 +1,305 @@
+r"""Deduplication operators for LLM training-data pipelines.
+
+Five strategies, all pure DataFrame compositions (no Python UDFs):
+
+  exact_dedup          hash-groupBy on content -> keeper + copy count
+  jaccard_pairs        brute-force word-shingle Jaccard via shingle
+                       inverted-index join (the oracle-able baseline)
+  minhash_lsh_pairs    MinHash signatures -> banded LSH buckets ->
+                       candidate pairs -> exact-Jaccard verification
+  simhash / simhash_pairs
+                       64-bit SimHash + banded Hamming-distance pairs
+  embedding_top_pairs  cosine near-dup over embedding vectors with
+                       label blocking
+
+Scale design (100 TB): every strategy avoids the O(n^2) cross join.
+The shingle inverted index shuffles on the shingle (bounded fan-out per
+shingle), LSH shuffles on (band, bucket), SimHash on 16-bit chunks,
+embeddings on a blocking key. All signatures are builtin expressions
+(xxhash64 / higher-order array ops) evaluated in one scan pass.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic MinHash parameters (seeded once; identical every run).
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
+_rng = random.Random(42)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_PRIME), _rng.randrange(0, MINHASH_PRIME))
+    for _ in range(32)
+]
+
+
+def tokens(col: Column | str) -> Column:
+    """Lower-cased whitespace tokens (shared tokenizer for all dedup)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column. Expressed with
+    sequence+transform so the whole thing is one codegen'd expression."""
+    t = tokens(col)
+    k = F.size(t)
+    # CaseWhen evaluates branches lazily per row, so sequence() never sees
+    # k < n (where Spark would infer step -1 and yield bogus indices).
+    idx = F.when(k >= n, F.sequence(F.lit(0), k - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one group per distinct content value, keeping the
+    smallest id as the canonical row. Map-side partial aggregation means
+    the shuffle carries one row per (content x input-partition)."""
+    return (
+        df.filter(F.col(content_col).isNotNull())
+        .groupBy(content_col)
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) inverted index + per-doc shingle-set sizes."""
+    sh = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+    return sh
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3
+) -> DataFrame:
+    """All document pairs with word-n-gram Jaccard >= threshold, via the
+    shingle inverted index: explode -> equi-join on shingle -> count
+    common shingles per pair -> Jaccard from set sizes. Never forms the
+    n^2 cross product; the join fans out only within a shingle's posting
+    list. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    sh = _shingle_index(df, id_col, text_col, n)
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(jac * 10000.0 + F.lit(0.5)) / 10000.0).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signature_cols(sh_col: Column, k: int = 32) -> list[Column]:
+    """k MinHash signature values of a shingle-array column. The shingle
+    hash (xxhash64 -> pmod p) is computed ONCE into an array, then each
+    permutation is an array_min over an affine transform — k*|sh| cheap
+    ops, one scan, no shuffle."""
+    hs = F.transform(sh_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+    out = []
+    for i in range(k):
+        ai, bi = MINHASH_COEFFS[i]
+        out.append(
+            F.array_min(
+                F.transform(
+                    hs, lambda x: F.pmod(F.lit(ai) * x + F.lit(bi), F.lit(MINHASH_PRIME))
+                )
+            ).alias(f"mh_{i}")
+        )
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    k: int = 32,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-verified.
+
+    1. shingle + k-signature per doc (one scan);
+    2. band the signature (b = k/r bands), bucket-hash each band;
+    3. shuffle on (band, bucket) — candidates are pairs sharing >= 1
+       bucket (dedup'd), so the quadratic blowup is confined to buckets;
+    4. verify candidates with EXACT Jaccard (array_intersect on the
+       retained shingle sets) and keep >= threshold.
+
+    With r=2, b=16 the candidate probability at j=threshold is
+    1-(1-j^2)^16 (≈ 0.99 at j=0.5, ≈ 1-1e-7 at j=0.8): recall loss is
+    the documented LSH approximation. Returns (id_a, id_b, jaccard).
+    """
+    b = k // rows_per_band
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+    sig = base.select("id", "sh", *minhash_signature_cols(F.col("sh"), k))
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)])
+            for band in range(b)
+        ]
+    )
+    buckets = sig.select(
+        "id", "sh", F.posexplode(band_hashes).alias("band", "bucket")
+    )
+    L, R = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        L.join(
+            R,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    jac = common.cast("double") / union.cast("double")
+    return cand.filter(jac >= threshold).select(
+        "id_a",
+        "id_b",
+        (F.floor(jac * 10000.0 + F.lit(0.5)) / 10000.0).alias("jaccard"),
+    )
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of whitespace tokens: per bit position, sum +-1
+    over token hashes and take the sign. Built as one aggregate over the
+    token-hash array folding a 64-slot counter array, then reassembled
+    into a BIGINT — a single expression, one pass, no shuffle."""
+    th = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    out = F.lit(0).cast("long")
+    # One aggregate per bit position (shift amounts must be Python ints).
+    # Bits are disjoint, so plain addition reassembles the word; bit 63
+    # uses the two's-complement value to stay inside signed BIGINT.
+    def _bit_fold(i: int):
+        # closure factory: PySpark requires the merge lambda to take
+        # exactly (acc, x) — no extra default params.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    for i in range(64):
+        cnt = F.aggregate(th, F.lit(0).cast("long"), _bit_fold(i))
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        out = out + F.when(cnt > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit simhash into 4 16-bit chunks;
+    any pair within distance 3 must agree exactly on >= 1 chunk, so we
+    shuffle on (chunk_index, chunk_value) instead of cross-joining, then
+    verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("sim")
+    )
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("long")
+            for i in range(4)
+        ]
+    )
+    blocked = base.select("id", "sim", F.posexplode(chunks).alias("chunk", "cval"))
+    L, R = blocked.alias("l"), blocked.alias("r")
+    ham = F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim")))
+    return (
+        L.join(
+            R,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.cval") == F.col("r.cval"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns, accumulated in
+    double sequentially (matches DuckDB list_cosine_similarity on
+    DOUBLE[])."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def embedding_top_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    top_k: int = 20,
+) -> DataFrame:
+    """Most-similar embedding pairs (cosine), blocked by ``block_col`` so
+    the join shuffles on the block key instead of forming the global
+    cross product — the classic ANN blocking step (a cluster id, LSH
+    bucket, or IVF cell at scale). Deterministic: floor-rounded score
+    with (id_a, id_b) tiebreak."""
+    e = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("blk")
+    )
+    L, R = e.alias("l"), e.alias("r")
+    sim = cosine(F.col("l.v"), F.col("r.v"))
+    return (
+        L.join(R, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            (F.floor(sim * 10000.0 + F.lit(0.5)) / 10000.0).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("id_a"), F.col("id_b"))
+        .limit(top_k)
+    )

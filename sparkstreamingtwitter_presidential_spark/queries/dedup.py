@@ -1,0 +1,124 @@
+r"""Dedup queries over the documents/embeddings tables.
+
+Oracles: exact dedup, brute-force n-gram Jaccard pairs, and embedding
+near-dup pairs are fully SQL-expressible in DuckDB (same shingling /
+cosine, proven value-identical). MinHash-LSH is verified against the
+SAME brute-force Jaccard SQL — its exact-verification step makes output
+equal to the brute-force result whenever banding recall catches every
+pair >= threshold (r=2, b=16 -> miss probability ~1e-5 at j=0.5 for a
+single pair; deterministic fixtures make the check stable). SimHash has
+no DuckDB twin (xxhash64) -> rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkstreamingtwitter_presidential_spark.io import load_table
+from sparkstreamingtwitter_presidential_spark.operators import dedup as D
+from sparkstreamingtwitter_presidential_spark.queries.registry import query
+
+JACCARD_THRESHOLD = 0.5
+
+# Shared DuckDB shingle CTE: distinct word-3-gram shingles per doc
+# (twin of operators.dedup.word_shingles with n=3).
+_DUCK_SHINGLES = r"""
+  WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+    FROM documents WHERE text IS NOT NULL
+  ),
+  d AS (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS sh
+    FROM toks
+  ),
+  inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+  sizes AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+  pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+"""
+
+_DUCK_JACCARD_PAIRS = (
+    _DUCK_SHINGLES
+    + r"""
+  SELECT id_a, id_b,
+         floor((common::DOUBLE / (sa.n_sh + sb.n_sh - common)) * 10000.0 + 0.5)
+             / 10000.0 AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= {thr}
+""".format(thr=JACCARD_THRESHOLD)
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY text
+    """,
+    doc="exact dedup: hash-groupBy on content, keep min id",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=_DUCK_JACCARD_PAIRS,
+    doc="brute-force word-3-gram Jaccard near-dup pairs via shingle inverted index",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+    )
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=_DUCK_JACCARD_PAIRS,
+    doc=(
+        "MinHash(32)+LSH(16 bands x 2) candidates, exact-Jaccard verified; "
+        "oracle = brute-force Jaccard (recall ~1 at this threshold)"
+    ),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+    )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=None,  # xxhash64 has no DuckDB twin; driver records rows-only
+    doc="SimHash-64 near-dup pairs, Hamming <= 3, 16-bit-chunk blocking",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_embedding_top_pairs",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                   FROM embeddings WHERE embedding IS NOT NULL)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               floor(list_cosine_similarity(a.v, b.v) * 10000.0 + 0.5) / 10000.0
+                   AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        ORDER BY cos_sim DESC, id_a, id_b
+        LIMIT 20
+    """,
+    doc="embedding cosine near-dup: top-20 most-similar pairs, label-blocked",
+)
+def dedup_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_top_pairs(load_table(spark, sf_dir, "embeddings"))

@@ -1,0 +1,70 @@
+"""Semantic tests for dedup operators — especially SimHash, whose query
+has no DuckDB oracle (rows-only in the driver), so its correctness is
+pinned here: identical text -> identical simhash (distance-0 pair),
+near-identical text -> small Hamming distance, unrelated text -> not
+paired at the cutoff."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.operators import dedup as D
+
+BASE = (
+    "spark structured streaming reads the event stream and aggregates "
+    "hourly windows of click data for the training pipeline"
+)
+NEAR = BASE.replace("hourly", "daily")  # one token differs
+FAR = "completely different words about gardening tulips and soil ph levels"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, FAR)], "doc_id long, text string"
+    )
+
+
+def test_simhash_identical_text_same_hash(spark):
+    df = _docs(spark).select("doc_id", D.simhash64("text").alias("s"))
+    vals = {r.doc_id: r.s for r in df.collect()}
+    assert vals[1] == vals[2]
+    assert vals[1] != vals[4]
+
+
+def test_simhash_pairs_rank_by_similarity(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=16).collect()
+    }
+    assert pairs[(1, 2)] == 0                      # exact dup
+    near = pairs.get((1, 3))
+    assert near is not None and 0 < near <= 16     # one-token edit stays close
+    assert (1, 4) not in pairs                     # unrelated text beyond cutoff
+
+
+def test_minhash_lsh_equals_bruteforce_on_fixture(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    brute = {
+        (r.id_a, r.id_b) for r in D.jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert lsh == brute and len(brute) > 0
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, None)], "doc_id long, text string"
+    )
+    got = {r.text: (r.keeper_id, r.n_copies) for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    assert got == {"x": (1, 2), "y": (3, 1)}
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",), ("",)], "text string")
+    rows = df.select(D.word_shingles("text").alias("sh")).collect()
+    assert rows[0].sh == []                         # fewer tokens than n
+    assert rows[1].sh == ["a b c", "b c d"]
+    assert rows[2].sh == []
