@@ -1,0 +1,159 @@
+"""Streaming queries for the driver contract. Each callable runs a real
+bounded Structured Streaming job (file replay -> memory sink / parquet
+sink) and returns the materialized result as a DataFrame.
+
+Tumbling and sliding window queries DO get DuckDB oracles: with the
+replay fully drained, the streaming result equals the batch/SQL
+aggregation of the same data (windows are epoch-aligned; DuckDB twin
+reconstructs the alignment arithmetic). Session windows get a lag/gap
+cumulative-sum SQL twin — Spark starts a NEW session when the gap to
+the previous event is >= the timeout (windows are [ts, ts+gap), merged
+only on overlap). The bounded collector is inherently nondeterministic
+in its stop margin -> rows-only.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkstreamingtwitter_presidential_spark.sources.replay import (
+    read_events_stream,
+    stage_events_files,
+)
+from sparkstreamingtwitter_presidential_spark.queries.registry import query
+from sparkstreamingtwitter_presidential_spark.streaming import (
+    run_bounded_collector,
+    session_aggregate,
+    sliding_aggregate,
+    tumbling_aggregate,
+)
+
+_SESSION_GAP_S = 30 * 60
+
+
+def _staged(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per sf_dir per process) the events fixture for replay."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_v2_{key}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        stage_events_files(spark, sf_dir, out, n_files=4)
+    return out
+
+
+def _run_to_memory(stream_agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain a bounded streaming aggregation into a memory sink and
+    return the result table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    spark = stream_agg.sparkSession
+    return spark.table(name)
+
+
+@query(
+    "streaming_tumbling_windows",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                        '%Y-%m-%d %H:%M:%S') AS window_end,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    doc="ST5 NEW: watermarked 1h tumbling windows, streaming == batch recompute",
+)
+def streaming_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, _staged(spark, sf_dir))
+    return _run_to_memory(tumbling_aggregate(stream))
+
+
+@query(
+    "streaming_sliding_windows",
+    oracle="""
+        WITH starts AS (
+            SELECT value, ts,
+                   unnest([
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800) - INTERVAL 30 MINUTE,
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                   ]) AS w_start
+            FROM events
+        )
+        SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(w_start + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM starts
+        GROUP BY 1, 2
+    """,
+    doc="ST5 NEW: 1h windows sliding 30m; oracle unnests both epoch-aligned starts",
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, _staged(spark, sf_dir))
+    return _run_to_memory(sliding_aggregate(stream))
+
+
+@query(
+    "streaming_session_windows",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {_SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(max(ts) + INTERVAL {_SESSION_GAP_S} SECOND,
+                        '%Y-%m-%d %H:%M:%S') AS window_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    doc="ST5 NEW: per-user session windows (30m gap); oracle = lag/gap cumsum SQL",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # watermark=None: complete-mode session output must keep all state
+    # (watermark+complete evicts finalized sessions — see session_aggregate
+    # docstring). The bounded-state watermarked path is exercised in
+    # tests/test_streaming.py with append mode.
+    stream = read_events_stream(spark, _staged(spark, sf_dir))
+    return _run_to_memory(session_aggregate(stream, watermark=None), mode="complete")
+
+
+@query(
+    "streaming_collector_bounded",
+    oracle=None,  # stop margin is timing-dependent -> rows-only check
+    doc="A5/ST2/ST3: foreachBatch collector, stop-after-N, checkpointed file sink",
+)
+def streaming_collector_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, _staged(spark, sf_dir))
+    run_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_collect_{uuid.uuid4().hex[:8]}")
+    out, ckpt = os.path.join(run_dir, "out"), os.path.join(run_dir, "ckpt")
+    res = run_bounded_collector(stream, out, ckpt, stop_after=100)
+    collected = spark.read.parquet(out)
+    assert res.rows_collected >= 100 or res.batches > 0
+    return collected.select("event_id", "ts", "user_id", "event_type", "value")

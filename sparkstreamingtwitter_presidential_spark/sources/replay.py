@@ -1,0 +1,63 @@
+"""File-replay streaming sources.
+
+The reference's source is the Twitter firehose (dead API); SURVEY.md §2.1
+SRC1 makes the source pluggable, with file-based replay as the in-repo
+implementation: a directory of parquet files read with
+``spark.readStream`` + an explicit schema, paced by ``maxFilesPerTrigger``
+so N staged files replay as N micro-batches. On a real deployment the
+same downstream plan attaches to a Kafka/socket source unchanged —
+Structured Streaming decouples source from plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.io import load_table
+
+
+def stage_events_files(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> str:
+    """Stage the events fixture as ``n_files`` parquet files for replay.
+
+    Also normalizes the TIMESTAMP(NANOS) column to regular microsecond
+    timestamps (readStream's parquet reader rejects nanos like the batch
+    one). Files are RANGE-partitioned on ``ts`` so replay delivers data
+    in event-time order, the way a real stream (or a date-partitioned
+    backfill) would: each file is one contiguous time slice, and the
+    watermark trails correctly across micro-batches instead of
+    classifying whole batches as late.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.repartitionByRange(n_files, F.col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def stage_stream_dir(df: DataFrame, out_dir: str, n_files: int = 4) -> str:
+    """Stage any DataFrame as a replayable parquet directory."""
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def read_events_stream(
+    spark: SparkSession, staged_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Unbounded events DataFrame replaying a staged directory, one batch
+    per ``files_per_trigger`` files (ST1's micro-batch pacing; the 10 s
+    wall-clock trigger of the reference maps to ``trigger(processingTime)``
+    at the sink, orthogonal to the source)."""
+    schema = spark.read.parquet(staged_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staged_dir)
+    )
