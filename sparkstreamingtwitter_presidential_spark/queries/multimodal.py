@@ -1,0 +1,28 @@
+"""Multimodal queries (rows-only: payloads are binary, and byte-level
+feature math lives in numpy — no portable SQL twin; tests pin
+determinism and schemas instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkstreamingtwitter_presidential_spark.operators import multimodal as M
+from sparkstreamingtwitter_presidential_spark.queries.registry import query
+
+
+@query(
+    "multimodal_byte_features",
+    oracle=None,
+    doc="binary payload -> length/entropy/16-bin byte histogram via mapInPandas",
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.extract_features(M.make_synthetic_media(spark, sf_dir))
+
+
+@query(
+    "multimodal_frame_samples",
+    oracle=None,
+    doc="video payload -> 4 deterministic frame slices per media item",
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.sample_frames(M.make_synthetic_media(spark, sf_dir), n_frames=4)

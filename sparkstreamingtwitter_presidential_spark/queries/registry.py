@@ -60,6 +60,7 @@ def load_all() -> dict[str, Query]:
         "sparkstreamingtwitter_presidential_spark.queries.similarity",
         "sparkstreamingtwitter_presidential_spark.queries.streaming",
         "sparkstreamingtwitter_presidential_spark.queries.ml",
+        "sparkstreamingtwitter_presidential_spark.queries.multimodal",
     ]
     for m in modules:
         try:
