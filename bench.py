@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+exactly ONE JSON line:
+
+  {"metric": "headline_total_sec", "value": N, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is forced with count() (full pipeline execution without
+driver-side materialization of wide results). Session startup and a
+warm-up action are excluded from timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from sparkstreamingtwitter_presidential_spark.queries import load_all  # noqa: E402
+from sparkstreamingtwitter_presidential_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per operator family (scan/agg, joins, windows,
+#: set-ops-free sort, JSON, event-time windows, text stats, dedup x3,
+#: similarity x2, streaming). Streaming/ML/multimodal families are
+#: represented by their cheapest member so the bench stays minutes-scale.
+HEADLINE = [
+    "flagship_event_type_counts",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "join_broadcast_dims",
+    "join_left_outer_order_counts",
+    "distinct_agg_parts_per_supplier",
+    "window_topk_orders_per_customer",
+    "window_running_sum_quantity",
+    "events_hourly_tumbling",
+    "events_json_extract",
+    "s5_collector_rows",
+    "text_fingerprints",
+    "text_lang_id",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_embedding_top_pairs",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "streaming_tumbling_windows",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("sparkstreamingtwitter-bench")
+    registry = load_all()
+    # warm up the JVM + file listing outside the timings
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,10 +41,15 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column. Expressed with
-    sequence+transform so the whole thing is one codegen'd expression."""
-    t = tokens(col)
+def word_shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column.
+
+    Hot paths must tokenize into a real column first and shingle from
+    the column reference: Catalyst does no subexpression elimination
+    inside higher-order-function lambdas, so passing the split()
+    expression directly would re-split the text at every element_at —
+    O(tokens^2) per row (measured 40s -> 4s at sf0.1)."""
     k = F.size(t)
     # CaseWhen evaluates branches lazily per row, so sequence() never sees
     # k < n (where Spark would infer step -1 and yield bogus indices).
@@ -58,6 +63,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(grams)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column. Convenience for
+    small inputs/tests; hot paths should materialize tokens() into a
+    column and call word_shingles_from_tokens (see its docstring)."""
+    return word_shingles_from_tokens(tokens(col), n)
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -75,11 +87,14 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) inverted index + per-doc shingle-set sizes."""
-    sh = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    """(id, shingle-set) per doc. Tokens are materialized as a column in
+    their own projection so the shingle lambda references an attribute,
+    not the split() expression (see word_shingles_from_tokens)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+        .select("id", word_shingles_from_tokens(F.col("t"), n).alias("sh"))
     )
-    return sh
 
 
 def jaccard_pairs(
@@ -90,7 +105,12 @@ def jaccard_pairs(
     common shingles per pair -> Jaccard from set sizes. Never forms the
     n^2 cross product; the join fans out only within a shingle's posting
     list. Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    sh = _shingle_index(df, id_col, text_col, n)
+    # Persist the shingle index: three consumers (sizes + both join
+    # branches) would otherwise re-tokenize/re-shingle the corpus each
+    # (measured 21s -> 3s at sf0.1). MEMORY_AND_DISK, so at cluster
+    # scale it spills rather than OOMs; a 100 TB corpus would persist
+    # this to a staged table instead.
+    sh = _shingle_index(df, id_col, text_col, n).persist()
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     inv = sh.select("id", F.explode("sh").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -114,21 +134,26 @@ def jaccard_pairs(
     )
 
 
-def minhash_signature_cols(sh_col: Column, k: int = 32) -> list[Column]:
-    """k MinHash signature values of a shingle-array column. The shingle
-    hash (xxhash64 -> pmod p) is computed ONCE into an array, then each
-    permutation is an array_min over an affine transform — k*|sh| cheap
-    ops, one scan, no shuffle."""
-    hs = F.transform(sh_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+def shingle_hashes(sh_col: Column) -> Column:
+    """xxhash64 -> pmod p of each shingle. Materialize this as a column
+    before fanning out to the k signature expressions — otherwise each
+    of the k array_min lambdas would recompute every shingle hash."""
+    return F.transform(sh_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+
+
+def minhash_signature_cols(hs_col: Column, k: int = 32) -> list[Column]:
+    """k MinHash signature values from a MATERIALIZED shingle-hash array
+    column: each permutation is an array_min over an affine transform —
+    k*|sh| cheap ops, one scan, no shuffle."""
+    def _affine(a: int, b: int):
+        # closure factory: PySpark inspects lambda arity, so no defaults
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_PRIME))
+
     out = []
     for i in range(k):
         ai, bi = MINHASH_COEFFS[i]
         out.append(
-            F.array_min(
-                F.transform(
-                    hs, lambda x: F.pmod(F.lit(ai) * x + F.lit(bi), F.lit(MINHASH_PRIME))
-                )
-            ).alias(f"mh_{i}")
+            F.array_min(F.transform(hs_col, _affine(ai, bi))).alias(f"mh_{i}")
         )
     return out
 
@@ -156,35 +181,34 @@ def minhash_lsh_pairs(
     the documented LSH approximation. Returns (id_a, id_b, jaccard).
     """
     b = k // rows_per_band
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    base = _shingle_index(df, id_col, text_col, n).persist()
+    sig = base.select("id", "sh", shingle_hashes(F.col("sh")).alias("hs")).select(
+        "id", "sh", *minhash_signature_cols(F.col("hs"), k)
     )
-    sig = base.select("id", "sh", *minhash_signature_cols(F.col("sh"), k))
     band_hashes = F.array(
         *[
             F.xxhash64(*[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)])
             for band in range(b)
         ]
     )
-    buckets = sig.select(
-        "id", "sh", F.posexplode(band_hashes).alias("band", "bucket")
-    )
+    # Candidate generation on ids ONLY: the shingle arrays are wide, so
+    # dedup'ing candidates before re-attaching them shuffles each doc's
+    # array once per verification join instead of once per bucket hit.
+    buckets = sig.select("id", F.posexplode(band_hashes).alias("band", "bucket"))
     L, R = buckets.alias("l"), buckets.alias("r")
-    cand = (
+    cand_ids = (
         L.join(
             R,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    cand = cand_ids.join(
+        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - common
     jac = common.cast("double") / union.cast("double")
@@ -195,12 +219,16 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash of whitespace tokens: per bit position, sum +-1
-    over token hashes and take the sign. Built as one aggregate over the
-    token-hash array folding a 64-slot counter array, then reassembled
-    into a BIGINT — a single expression, one pass, no shuffle."""
-    th = F.transform(tokens(col), lambda t: F.xxhash64(t))
+def token_hashes(col: Column | str) -> Column:
+    """xxhash64 of each whitespace token — materialize before simhash64
+    (its 64 per-bit aggregates would otherwise each re-tokenize+rehash)."""
+    return F.transform(tokens(col), lambda t: F.xxhash64(t))
+
+
+def simhash64(th: Column) -> Column:
+    """64-bit SimHash from a MATERIALIZED token-hash array column: per
+    bit position, sum +-1 over token hashes and take the sign. One
+    pass, no shuffle."""
     out = F.lit(0).cast("long")
     # One aggregate per bit position (shift amounts must be Python ints).
     # Bits are disjoint, so plain addition reassembles the word; bit 63
@@ -228,8 +256,10 @@ def simhash_pairs(
     any pair within distance 3 must agree exactly on >= 1 chunk, so we
     shuffle on (chunk_index, chunk_value) instead of cross-joining, then
     verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("sim")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), token_hashes(text_col).alias("th"))
+        .select("id", simhash64(F.col("th")).alias("sim"))
     )
     chunks = F.array(
         *[

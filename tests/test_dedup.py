@@ -25,7 +25,11 @@ def _docs(spark):
 
 
 def test_simhash_identical_text_same_hash(spark):
-    df = _docs(spark).select("doc_id", D.simhash64("text").alias("s"))
+    df = (
+        _docs(spark)
+        .select("doc_id", D.token_hashes("text").alias("th"))
+        .select("doc_id", D.simhash64(F.col("th")).alias("s"))
+    )
     vals = {r.doc_id: r.s for r in df.collect()}
     assert vals[1] == vals[2]
     assert vals[1] != vals[4]
