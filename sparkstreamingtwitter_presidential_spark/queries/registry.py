@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
     modules = [
         "sparkstreamingtwitter_presidential_spark.queries.parity",
         "sparkstreamingtwitter_presidential_spark.queries.analytics",
+        "sparkstreamingtwitter_presidential_spark.queries.advanced",
         "sparkstreamingtwitter_presidential_spark.queries.text_stats",
         "sparkstreamingtwitter_presidential_spark.queries.dedup",
         "sparkstreamingtwitter_presidential_spark.queries.similarity",
