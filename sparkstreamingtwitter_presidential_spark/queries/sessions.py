@@ -1,0 +1,88 @@
+"""Batch sessionization + approximate sketches + skew-safe aggregation.
+
+Batch sessionization uses the lag/gap cumulative-sum window pattern
+(the guide's classic) — same session definition as the streaming
+session_window path, so the two oracles share SQL shape. Approximate
+sketches (HLL distinct, approx quantiles) are engine-specific by
+design -> rows-only. Salted aggregation is value-identical to plain
+groupBy and oracle-checked as such."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.io import load_table
+from sparkstreamingtwitter_presidential_spark.operators.scale import salted_groupby_count
+from sparkstreamingtwitter_presidential_spark.queries.registry import query
+
+GAP_S = 30 * 60
+
+
+@query(
+    "sessionize_batch_lag_cumsum",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {GAP_S}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    doc="batch sessionization: lag + gap flag + cumulative sum + per-session agg",
+)
+def sessionize_batch_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap >= GAP_S, 1).otherwise(0).alias("new_session"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wc))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "salted_groupby_count_parts",
+    oracle="""
+        SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey
+    """,
+    doc="skew-safe two-phase salted aggregation == plain groupBy count",
+)
+def salted_groupby_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_groupby_count(load_table(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+@query(
+    "approx_sketches",
+    oracle=None,  # HLL / KLL sketches are engine-specific by construction
+    doc="approx_count_distinct (HLL) + approx quantiles per return flag",
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )

@@ -39,6 +39,7 @@ def run_bounded_collector(
     stop_after: int,
     partitions: int = 1,
     timeout_s: float = 120.0,
+    trigger_interval: str | None = None,
 ) -> CollectorResult:
     """Run the collector until >= ``stop_after`` rows are written, then
     stop gracefully. Returns driver-side counters (A5 parity).
@@ -60,12 +61,14 @@ def run_bounded_collector(
         result.batches += 1
         result.batch_counts.append(n)
 
-    q = (
+    writer = (
         stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .start()
     )
+    if trigger_interval:  # ST1: the reference's batch-interval CLI arg
+        writer = writer.trigger(processingTime=trigger_interval)
+    q = writer.start()
     try:
         deadline = time.monotonic() + timeout_s
         while q.isActive and time.monotonic() < deadline:

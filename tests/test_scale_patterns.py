@@ -1,0 +1,49 @@
+"""Scale-pattern correctness + plan-shape tests: salted aggregation is
+value-identical to the plain groupBy; bucketed joins run with zero
+exchanges."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.operators.scale import (
+    bucketed_join,
+    salted_groupby_count,
+    write_bucketed,
+)
+from sparkstreamingtwitter_presidential_spark.plans import plan_audit
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_salted_groupby_equals_plain(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plain = {(r.l_suppkey, r.n) for r in
+             li.groupBy("l_suppkey").agg(F.count("*").alias("n")).collect()}
+    salted = {(r.l_suppkey, r.n) for r in
+              salted_groupby_count(li, "l_suppkey").collect()}
+    assert salted == plain and len(plain) > 0
+
+
+def test_bucketed_join_runs_without_exchange(spark):
+    suffix = uuid.uuid4().hex[:8]
+    lt, rt = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    try:
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(orders, lt, "o_orderkey")
+        write_bucketed(lineitem, rt, "o_orderkey")
+        joined = bucketed_join(spark, lt, rt, "o_orderkey")
+        a = plan_audit(joined)
+        assert a.n_exchanges == 0, f"expected zero shuffles, plan:\n{a.text[:2000]}"
+        # and it's still a correct join
+        want = orders.join(lineitem, "o_orderkey").count()
+        assert joined.count() == want
+    finally:
+        for t in (lt, rt):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
