@@ -22,6 +22,19 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Write with a ``dt`` date partition column derived from the event
+    time — the canonical 100 TB layout: a date-filtered query then scans
+    only the matching directories (partition pruning), which plan audits
+    see as ``PartitionFilters`` instead of row-level filters."""
+    (
+        df.withColumn("dt", F.to_date(F.col(ts_col)))
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(path)
+    )
+
+
 def salted_groupby_count(
     df: DataFrame, key: str, n_salts: int = 16, count_alias: str = "n"
 ) -> DataFrame:

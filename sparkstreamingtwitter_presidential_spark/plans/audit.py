@@ -24,6 +24,7 @@ class PlanAudit:
     n_sortmerge_joins: int = 0
     n_shuffled_hash_joins: int = 0
     pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
     has_take_ordered: bool = False
     text: str = ""
@@ -39,6 +40,9 @@ def plan_audit(df: DataFrame) -> PlanAudit:
     a.has_take_ordered = "TakeOrderedAndProject" in text
     a.pushed_filters = [
         m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", text) if m.strip()
+    ]
+    a.partition_filters = [
+        m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", text) if m.strip()
     ]
     a.read_schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", text)
     return a

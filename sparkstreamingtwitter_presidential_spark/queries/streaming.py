@@ -38,7 +38,7 @@ _SESSION_GAP_S = 30 * 60
 def _staged(spark: SparkSession, sf_dir: str) -> str:
     """Stage (once per sf_dir per process) the events fixture for replay."""
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_v2_{key}")
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_v3_{key}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         stage_events_files(spark, sf_dir, out, n_files=4)
@@ -142,6 +142,21 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_streaming.py with append mode.
     stream = read_events_stream(spark, _staged(spark, sf_dir))
     return _run_to_memory(session_aggregate(stream, watermark=None), mode="complete")
+
+
+@query(
+    "streaming_stateful_milestones",
+    oracle=None,  # arbitrary per-key state; pinned by tests vs batch rule
+    doc="applyInPandasWithState: per-user milestone counters across batches",
+)
+def streaming_stateful_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.streaming.stateful import milestone_counter
+
+    stream = read_events_stream(spark, _staged(spark, sf_dir))
+    return _run_to_memory(
+        milestone_counter(stream.select("user_id", "ts", "value"), emit_every=50),
+        mode="append",
+    )
 
 
 @query(

@@ -39,7 +39,23 @@ def stage_events_files(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+    _stamp_mtimes_in_part_order(out_dir)
     return out_dir
+
+
+def _stamp_mtimes_in_part_order(out_dir: str) -> None:
+    """Give part files strictly increasing mtimes in part-number order.
+    FileStreamSource orders files by modification time when batching;
+    a single write job stamps every part with the same second, leaving
+    the replay order arbitrary — which breaks event-time ordering for
+    watermarks and order-sensitive stateful operators."""
+    import glob
+    import time
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*")))
+    base = time.time() - len(parts) - 10
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
 
 
 def stage_stream_dir(df: DataFrame, out_dir: str, n_files: int = 4) -> str:

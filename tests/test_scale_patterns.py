@@ -13,6 +13,7 @@ from sparkstreamingtwitter_presidential_spark.operators.scale import (
     bucketed_join,
     salted_groupby_count,
     write_bucketed,
+    write_date_partitioned,
 )
 from sparkstreamingtwitter_presidential_spark.plans import plan_audit
 
@@ -26,6 +27,24 @@ def test_salted_groupby_equals_plain(spark):
     salted = {(r.l_suppkey, r.n) for r in
               salted_groupby_count(li, "l_suppkey").collect()}
     assert salted == plain and len(plain) > 0
+
+
+def test_date_partitioned_write_prunes(spark):
+    from sparkstreamingtwitter_presidential_spark.io import load_table
+
+    path = f"/tmp/part_events_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, SF_DIR, "events")
+        write_date_partitioned(ev, path)
+        scan = spark.read.parquet(path).filter(F.col("dt") == "2024-01-05")
+        a = plan_audit(scan)
+        assert a.partition_filters, f"no partition pruning:\n{a.text[:1500]}"
+        assert any("dt" in f for f in a.partition_filters)
+        # row-level filters did NOT have to do the work
+        want = ev.filter(F.to_date("ts") == "2024-01-05").count()
+        assert scan.count() == want and want > 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def test_bucketed_join_runs_without_exchange(spark):
