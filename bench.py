@@ -50,6 +50,11 @@ HEADLINE = [
     "dedup_embedding_top_pairs",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
+    "asof_join_last_purchase",
+    "sessionize_batch_lag_cumsum",
+    "range_join_close_events",
+    "salted_groupby_count_parts",
+    "tpch_q5_local_supplier_volume",
     "streaming_tumbling_windows",
 ]
 

@@ -315,13 +315,19 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     "window_running_sum_quantity",
     oracle="""
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               round(sum(l_quantity) OVER (
+               sum(CAST(l_quantity AS BIGINT)) OVER (
                    PARTITION BY l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         FROM lineitem
     """,
-    doc="running sum per supplier ordered by ship date (ROWS frame)",
+    doc=(
+        "running sum per supplier ordered by ship date (ROWS frame). "
+        "Summed as BIGINT (quantities are whole): double prefix sums are "
+        "association-dependent — DuckDB's windowed sum uses tree "
+        "aggregation, Spark accumulates sequentially, and at 600k rows "
+        "some prefix lands on a rounding boundary"
+    ),
 )
 def window_running_sum_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
@@ -335,7 +341,7 @@ def window_running_sum_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             "l_orderkey",
             "l_linenumber",
-            F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+            F.sum(F.col("l_quantity").cast("long")).over(w).alias("running_qty"),
         )
     )
 

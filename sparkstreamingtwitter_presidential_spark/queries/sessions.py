@@ -24,7 +24,8 @@ GAP_S = 30 * 60
     oracle=f"""
         WITH flagged AS (
             SELECT user_id, ts, value,
-                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {GAP_S}
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= {GAP_S}::BIGINT * 1000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -47,12 +48,14 @@ GAP_S = 30 * 60
 def sessionize_batch_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # exact microsecond arithmetic: cast-to-long truncates to whole
+    # seconds, which disagrees with sub-second gaps at a 30-min boundary
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     flagged = ev.select(
         "user_id",
         "ts",
         "value",
-        F.when(gap >= GAP_S, 1).otherwise(0).alias("new_session"),
+        F.when(gap >= GAP_S * 1_000_000, 1).otherwise(0).alias("new_session"),
     )
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = flagged.withColumn("session_id", F.sum("new_session").over(wc))

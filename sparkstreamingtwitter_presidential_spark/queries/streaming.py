@@ -113,7 +113,8 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH flagged AS (
             SELECT user_id, ts, value,
-                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {_SESSION_GAP_S}
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= {_SESSION_GAP_S}::BIGINT * 1000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
