@@ -30,14 +30,27 @@ def _registry():
     return load_all()
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the session timezone before running a query: the DuckDB oracle
+    reads parquet timestamps UTC-naive, so a driver session configured
+    with any other zone would skew date_format/window outputs. The conf
+    is runtime-settable and scoped to the session, not the cluster."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _registry()[FLAGSHIP].fn(spark, SMOKE_SF_DIR)
+    return _utc(_registry()[FLAGSHIP].fn)(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in _registry().items()}
+    return {name: _utc(q.fn) for name, q in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -287,23 +287,32 @@ def simhash_pairs(
     )
 
 
+def vec_norm(a: Column) -> Column:
+    """sqrt(sum(x^2)) of an array<float> column in double. Materialize
+    this per VECTOR before pairwise scoring — computing norms inside the
+    pair expression redoes 2x|v| multiplies per candidate pair."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential-double dot product of two array<float> columns."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float> columns, accumulated in
     double sequentially (matches DuckDB list_cosine_similarity on
-    DOUBLE[])."""
-    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
-    na = F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nb = F.aggregate(
-        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    DOUBLE[]). For hot pairwise paths prefer dot_product over
+    pre-materialized vec_norm columns — numerically identical, but the
+    norms are computed once per vector instead of once per pair."""
+    return dot_product(a, b) / (vec_norm(a) * vec_norm(b))
 
 
 def embedding_top_pairs(
@@ -320,9 +329,9 @@ def embedding_top_pairs(
     with (id_a, id_b) tiebreak."""
     e = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("blk")
-    )
+    ).withColumn("nrm", vec_norm(F.col("v")))
     L, R = e.alias("l"), e.alias("r")
-    sim = cosine(F.col("l.v"), F.col("r.v"))
+    sim = dot_product(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))
     return (
         L.join(R, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
         .select(

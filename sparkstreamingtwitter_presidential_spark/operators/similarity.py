@@ -30,7 +30,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sparkstreamingtwitter_presidential_spark.operators.dedup import cosine
+from sparkstreamingtwitter_presidential_spark.operators.dedup import dot_product, vec_norm
 
 N_PLANES = 8  # 256 buckets: ~n/256 candidates per probe; enough recall on
 #              the fixture corpora while still cutting the scan 256x.
@@ -78,9 +78,11 @@ def brute_force_topk(
     base = corpus.filter(F.col(vec_col).isNotNull())
     q = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
-    sim = cosine(F.col("qv"), F.col("cv"))
+    ).withColumn("qnrm", vec_norm(F.col("qv")))
+    c = base.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cnrm", vec_norm(F.col("cv")))
+    sim = dot_product(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -115,13 +117,15 @@ def lsh_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
         lsh_bucket(F.col(vec_col)).alias("bucket"),
+        vec_norm(F.col(vec_col)).alias("cnrm"),
     )
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("cv").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("cnrm").alias("qnrm"),
     )
-    sim = cosine(F.col("qv"), F.col("cv"))
+    sim = dot_product(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))
     scored = (
         base.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
         .filter(F.col("vec_id") != F.col("query_id"))

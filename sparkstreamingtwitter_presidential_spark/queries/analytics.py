@@ -317,7 +317,8 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
         SELECT l_suppkey, l_orderkey, l_linenumber,
                sum(CAST(l_quantity AS BIGINT)) OVER (
                    PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            l_quantity, l_extendedprice, l_partkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         FROM lineitem
     """,
@@ -330,9 +331,16 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     ),
 )
 def window_running_sum_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic lineitem is not TPC-H-strict: (l_orderkey,
+    # l_linenumber) has a duplicate at sf0.1, so the order includes the
+    # measure columns to stay total (prefix sums need a total order to
+    # be deterministic across engines)
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_partkey",
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -118,6 +118,41 @@ def sweep_conditional_null_functions(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "sweep_array_functions",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS n_dims,
+               -- ::DOUBLE casts matter: FLOAT * 10000.0(DECIMAL) stays FLOAT
+               -- in DuckDB, while Spark computes in double after the cast
+               floor(embedding[1]::DOUBLE * 10000.0 + 0.5) / 10000.0 AS first_dim,
+               floor(list_max(embedding)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS max_dim,
+               floor(list_min(embedding)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS min_dim,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive,
+               floor(list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(embedding[1:8], x -> x::DOUBLE)),
+                     (a, x) -> a + x) * 10000.0 + 0.5) / 10000.0 AS head_sum
+        FROM embeddings WHERE embedding IS NOT NULL
+    """,
+    doc="array builtins sweep: size/element_at/min/max/filter/slice/aggregate",
+)
+def sweep_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    rnd = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0  # noqa: E731
+    head = F.slice("embedding", 1, 8)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        rnd(F.element_at("embedding", 1).cast("double")).alias("first_dim"),
+        rnd(F.array_max("embedding").cast("double")).alias("max_dim"),
+        rnd(F.array_min("embedding").cast("double")).alias("min_dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        rnd(
+            F.aggregate(head, F.lit(0.0), lambda a, x: a + x.cast("double"))
+        ).alias("head_sum"),
+    )
+
+
+@query(
     "join_full_outer_nation_coverage",
     oracle="""
         SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,

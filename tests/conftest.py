@@ -37,13 +37,16 @@ def oracle():
 
 
 def _norm(v):
-    """Normalize a cell for order-insensitive comparison."""
+    """Normalize a cell for order-insensitive comparison. Floats compare
+    EXACTLY (no tolerance): the driver value-hashes raw values, so every
+    query is designed to be bit-identical across engines — a tolerance
+    here would hide divergence the driver will flag."""
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return v
     if hasattr(v, "isoformat"):  # datetime/date
         return v.isoformat()
     if isinstance(v, (list, tuple)):
