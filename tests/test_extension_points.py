@@ -1,0 +1,40 @@
+"""Extension-point tests: the sanctioned pandas_udf shape, the builtin
+global z-score it's contrasted with, and the lakehouse stubs raising
+clearly without their jars."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.functions.extension import global_zscore, zscore
+from sparkstreamingtwitter_presidential_spark.sources.lakehouse import read_lakehouse
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pandas_udf_zscore_batch_semantics(spark):
+    df = spark.createDataFrame([(float(x),) for x in range(10)], "v double").coalesce(1)
+    got = [r.z for r in df.select(zscore("v").alias("z")).collect()]
+    mu, sigma = 4.5, math.sqrt(sum((x - 4.5) ** 2 for x in range(10)) / 10)
+    want = [(x - mu) / sigma for x in range(10)]
+    assert all(abs(g - w) < 1e-9 for g, w in zip(got, want))
+
+
+def test_global_zscore_builtin_exact(spark):
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    out = global_zscore(c, "c_acctbal")
+    stats = out.agg(
+        F.round(F.avg("zscore"), 6).alias("mu"),
+        F.round(F.stddev_pop("zscore"), 6).alias("sigma"),
+    ).collect()[0]
+    assert stats.mu == 0.0 and abs(stats.sigma - 1.0) < 1e-6
+    assert out.count() == c.count()
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg", "hudi"])
+def test_lakehouse_stub_raises_with_named_dep(spark, fmt):
+    with pytest.raises(NotImplementedError, match=fmt):
+        read_lakehouse(spark, fmt, "/tmp/nope")
