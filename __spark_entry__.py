@@ -38,6 +38,10 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # right-size shuffles for the fixture scale: a driver session
+        # left at the 200 default spends more time scheduling empty
+        # tasks than computing (observed on the streaming queries)
+        spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32"))
         return fn(spark, sf_dir)
 
     return wrapped

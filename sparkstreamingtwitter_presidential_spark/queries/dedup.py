@@ -107,6 +107,40 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components",
+    oracle=_DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + r"""
+  , jp AS (
+      SELECT id_a, id_b
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= {thr}
+  ),
+  edges AS (SELECT id_a AS u, id_b AS v FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+  reach(id, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+  )
+  SELECT id, min(label) AS component FROM reach GROUP BY id
+""".replace("{thr}", str(JACCARD_THRESHOLD)),
+    doc=(
+        "near-dup clusters: iterative min-label propagation over the "
+        "Jaccard pair graph; oracle = recursive-CTE transitive closure"
+    ),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.components import connected_components
+
+    pairs = D.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+    )
+    return connected_components(pairs)
+
+
+@query(
     "dedup_embedding_top_pairs",
     oracle="""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
