@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
         "sparkstreamingtwitter_presidential_spark.queries.sessions",
         "sparkstreamingtwitter_presidential_spark.queries.relational2",
         "sparkstreamingtwitter_presidential_spark.queries.functions_sweep",
+        "sparkstreamingtwitter_presidential_spark.queries.tpch_more",
         "sparkstreamingtwitter_presidential_spark.queries.text_stats",
         "sparkstreamingtwitter_presidential_spark.queries.dedup",
         "sparkstreamingtwitter_presidential_spark.queries.similarity",
