@@ -85,6 +85,41 @@ def lateral_explode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "events_from_json_struct",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+        FROM events WHERE props IS NOT NULL
+    """,
+    doc="from_json with an explicit schema (vs get_json_object string path)",
+)
+def events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("j")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        (F.col("j.k") % 10).alias("k_mod"),
+    )
+
+
+@query(
+    "sample_events_seeded",
+    oracle=None,  # Bernoulli sampling is engine-specific; rows-only
+    doc="seeded TABLESAMPLE: deterministic within Spark, ~1% of events",
+)
+def sample_events_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .sample(fraction=0.01, seed=42)
+        .select("event_id", "event_type")
+    )
+
+
+@query(
     "range_join_close_events",
     oracle="""
         SELECT a.event_id AS id_a, b.event_id AS id_b
