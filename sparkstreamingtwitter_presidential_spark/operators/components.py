@@ -3,14 +3,25 @@ turns near-dup PAIRS (from Jaccard/MinHash/SimHash/embedding dedup)
 into canonical document clusters: every member maps to the smallest id
 reachable through the pair graph.
 
-Implementation: iterative min-label propagation on DataFrames. Each
-round joins current labels across edges and keeps the per-node min;
-convergence when no label changes. Rounds needed = graph diameter
-(near-dup clusters are shallow — pairs chain through shared shingles),
-and every round is one shuffle on the node id. Labels persist per
-round and unpersist after the next materializes, so lineage stays
-bounded (no runaway DAG across iterations — the classic iterative-
-Spark trap).
+Implementation: iterative min-label propagation PLUS pointer jumping on
+DataFrames. Each round (a) joins current labels across edges and keeps
+the per-node min (one shuffle on the node id), then (b) replaces each
+node's label with its label's own label (one more self-join shuffle) —
+the classic pointer-doubling step, so convergence takes O(log diameter)
+rounds instead of O(diameter). Plain propagation is fine for shallow
+near-dup graphs but dies on chains: a 1,000-link chain (the
+``dedup_components_chain`` query at sf0.1) needs 1,000 propagation-only
+rounds vs ~11 with jumping — at 100 TB, graph diameter is exactly the
+thing you cannot bound in advance.
+
+Labels are localCheckpoint'ed (eager) each round, which TRUNCATES the
+logical plan — persist alone is not enough here: the pointer-jump step
+references the relaxed labels twice (a plan diamond), so without
+truncation the analyzed plan DOUBLES every round and Catalyst OOMs the
+driver after ~15 rounds on a 20-row input (observed: Java heap OOM in
+analysis, zero data involved). On a real cluster with lost-executor
+concerns, swap localCheckpoint for reliable `checkpoint()` against a
+checkpoint dir — same plan-truncation property, plus fault tolerance.
 
 This is SURVEY.md's "iterative algorithm" case — yet still oracle-able:
 DuckDB computes the same fixpoint with a recursive CTE (transitive
@@ -23,38 +34,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(
-    pairs: DataFrame, max_iter: int = 20
-) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """(id_a, id_b) undirected pairs -> (id, component) with component =
     min id reachable. Only nodes appearing in pairs are returned
-    (singletons are trivially their own component)."""
+    (singletons are trivially their own component).
+
+    Raises RuntimeError if the fixpoint is not reached in ``max_iter``
+    rounds — a silently-unconverged labeling is a wrong answer, not an
+    approximation. With pointer jumping, max_iter=25 covers diameters
+    up to ~2^25.
+    """
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
-        "component", F.col("id")
-    ).persist()
-    labels.count()  # materialize
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
 
+    converged = False
     for _ in range(max_iter):
+        # (a) neighbor relaxation: min label over incident edges
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
             .groupBy("u")
             .agg(F.min("component").alias("nmin"))
         )
+        relaxed = labels.join(neighbor_min, labels.id == neighbor_min.u, "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # (b) pointer jump: component <- component's component. Every
+        # label is itself a node id (it is a min over ids), so the
+        # self-join is total; the left join only guards the fixpoint
+        # rows where component == id.
+        ptr = relaxed.select(
+            F.col("id").alias("cid"), F.col("component").alias("ccomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            relaxed.join(ptr, relaxed.component == ptr.cid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("ccomp"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)  # truncate the plan BEFORE comparing
         )
         changed = (
             new_labels.alias("n")
@@ -63,9 +95,14 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
+        labels.unpersist()  # checkpoint blocks of the superseded round
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels

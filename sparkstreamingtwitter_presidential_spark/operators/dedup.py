@@ -158,6 +158,52 @@ def minhash_signature_cols(hs_col: Column, k: int = 32) -> list[Column]:
     return out
 
 
+def lsh_signature_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Per-document LSH dedup state: (id, sh, bands) where ``sh`` is the
+    distinct shingle set and ``bands`` the k/r banded MinHash bucket
+    hashes. This is the table a production pipeline PERSISTS (parquet /
+    a lakehouse table) so tomorrow's batch dedups against today's corpus
+    without recomputing it — see incremental_lsh_pairs."""
+    b = k // rows_per_band
+    base = _shingle_index(df, id_col, text_col, n)
+    sig = base.select("id", "sh", shingle_hashes(F.col("sh")).alias("hs")).select(
+        "id", "sh", *minhash_signature_cols(F.col("hs"), k)
+    )
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)])
+            for band in range(b)
+        ]
+    )
+    return sig.select("id", "sh", band_hashes.alias("bands"))
+
+
+def _verified_pairs(cand_ids: DataFrame, sigs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    a signature table's shingle sets. Candidates arrive as ids ONLY: the
+    shingle arrays are wide, so dedup'ing candidates before re-attaching
+    them shuffles each doc's array once per verification join instead of
+    once per bucket hit."""
+    cand = cand_ids.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sigs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    jac = common.cast("double") / union.cast("double")
+    return cand.filter(jac >= threshold).select(
+        "id_a",
+        "id_b",
+        (F.floor(jac * 10000.0 + F.lit(0.5)) / 10000.0).alias("jaccard"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -180,21 +226,8 @@ def minhash_lsh_pairs(
     1-(1-j^2)^16 (≈ 0.99 at j=0.5, ≈ 1-1e-7 at j=0.8): recall loss is
     the documented LSH approximation. Returns (id_a, id_b, jaccard).
     """
-    b = k // rows_per_band
-    base = _shingle_index(df, id_col, text_col, n).persist()
-    sig = base.select("id", "sh", shingle_hashes(F.col("sh")).alias("hs")).select(
-        "id", "sh", *minhash_signature_cols(F.col("hs"), k)
-    )
-    band_hashes = F.array(
-        *[
-            F.xxhash64(*[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)])
-            for band in range(b)
-        ]
-    )
-    # Candidate generation on ids ONLY: the shingle arrays are wide, so
-    # dedup'ing candidates before re-attaching them shuffles each doc's
-    # array once per verification join instead of once per bucket hit.
-    buckets = sig.select("id", F.posexplode(band_hashes).alias("band", "bucket"))
+    sigs = lsh_signature_table(df, id_col, text_col, n, k, rows_per_band).persist()
+    buckets = sigs.select("id", F.posexplode("bands").alias("band", "bucket"))
     L, R = buckets.alias("l"), buckets.alias("r")
     cand_ids = (
         L.join(
@@ -206,17 +239,45 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    cand = cand_ids.join(
-        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    common = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - common
-    jac = common.cast("double") / union.cast("double")
-    return cand.filter(jac >= threshold).select(
-        "id_a",
-        "id_b",
-        (F.floor(jac * 10000.0 + F.lit(0.5)) / 10000.0).alias("jaccard"),
+    return _verified_pairs(cand_ids, sigs, threshold)
+
+
+def incremental_lsh_pairs(
+    base_sigs: DataFrame, new_sigs: DataFrame, threshold: float
+) -> DataFrame:
+    """Incremental near-dup detection: every pair (>= threshold exact
+    Jaccard) that TOUCHES the new batch — new-vs-base and new-vs-new —
+    without recomputing or rescanning base-vs-base.
+
+    ``base_sigs`` is the persisted corpus state from lsh_signature_table
+    (at 100 TB: a bucketed parquet/lakehouse table keyed by id); only the
+    NEW batch is shingled/hashed this run. Bucket candidates come from
+    joining the new batch's (band, bucket) exploded rows against
+    base+new — the base side never self-joins, so daily cost scales with
+    |new| x bucket-collision fan-out, not |corpus|^2. Equals the
+    full-corpus minhash_lsh_pairs result restricted to pairs with at
+    least one new id (pinned by tests and the driver oracle)."""
+    all_sigs = base_sigs.unionByName(new_sigs).persist()
+    nb = new_sigs.select("id", F.posexplode("bands").alias("band", "bucket"))
+    ab = all_sigs.select("id", F.posexplode("bands").alias("band", "bucket"))
+    # new on the left, everything on the right; canonicalize id order
+    # afterwards (new-new pairs would otherwise appear in both
+    # orientations, and new-base pairs in whichever order ids landed).
+    cand_ids = (
+        nb.alias("l")
+        .join(
+            ab.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        .select(
+            F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+            F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
+    return _verified_pairs(cand_ids, all_sigs, threshold)
 
 
 def token_hashes(col: Column | str) -> Column:

@@ -5,11 +5,20 @@ Two paths:
   brute_force_topk   exact cosine top-k: broadcast the (small) query set,
                      scan the corpus once, rank per query. The baseline
                      and the verifier for approximate paths.
-  lsh_topk           random-hyperplane LSH: 16-bit sign signature ->
-                     bucket equi-join -> exact cosine re-rank of the
-                     candidates. The 100 TB path — the corpus shuffles on
-                     the bucket key only, and each query probes one
-                     bucket instead of the full corpus.
+  lsh_topk           random-hyperplane LSH: N_PLANES-bit (8-bit, 256
+                     buckets) sign signature -> bucket equi-join ->
+                     exact cosine re-rank of the candidates, with
+                     MULTI-PROBE: each query also probes its bucket's
+                     Hamming-ball neighborhood (radius 1 default, 2 for
+                     the near-dup recall contract), the standard recall
+                     fix for a near-boundary query whose true neighbors
+                     landed a sign flip away. The 100 TB path — the
+                     corpus shuffles on the bucket key only; the probe
+                     fan-out multiplies the tiny query side, never the
+                     corpus. Effective when "similar" means near-dup
+                     (cosine >= ~0.9); for weak similarity on
+                     unclustered data, sign-LSH cannot beat brute force
+                     (see probe_buckets docstring).
 
 All expressions are builtin higher-order array ops (zip_with/aggregate)
 accumulated in double, bit-identical to DuckDB's list_cosine_similarity
@@ -99,18 +108,56 @@ def brute_force_topk(
     )
 
 
+def probe_buckets(bucket: Column, radius: int = 1) -> Column:
+    """Multi-probe set for a signature bucket: every bucket within
+    Hamming distance ``radius`` of it (radius 0 -> 1 bucket, 1 -> 9,
+    2 -> 37 for N_PLANES=8). A query vector near a hyperplane boundary
+    has true neighbors a few sign flips away; probing those buckets
+    recovers them at a multiplied CANDIDATE cost — the corpus is never
+    re-hashed or re-shuffled, only the tiny query side fans out.
+
+    Recall math (what radius buys, for a neighbor at angle theta, each
+    bit independently agrees w.p. 1 - theta/pi): in the NEAR-DUP regime
+    (cosine >= 0.95, theta <= 18deg, bit-agree ~ 0.9) radius 2 catches
+    ~96-98%% of true neighbors. For weakly-similar "neighbors" (cosine
+    ~ 0.3 — e.g. the nearest points of an UNclustered random corpus,
+    bit-agree ~ 0.6) no affordable radius helps: sign-LSH is the wrong
+    tool there and brute_force_topk is the honest path. This is the
+    documented, fundamental LSH trade, not an implementation limit."""
+    probes = [bucket]
+    if radius >= 1:
+        probes += [
+            bucket.bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(N_PLANES)
+        ]
+    if radius >= 2:
+        probes += [
+            bucket.bitwiseXOR(F.lit((1 << i) | (1 << j)).cast("long"))
+            for i in range(N_PLANES)
+            for j in range(i + 1, N_PLANES)
+        ]
+    if radius >= 3:
+        raise ValueError("probe radius > 2 would scan most of the corpus; use brute_force_topk")
+    return F.array(*probes)
+
+
 def lsh_topk(
     corpus: DataFrame,
     query_ids: list[int],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane LSH buckets.
+    """Approximate cosine top-k via random-hyperplane LSH buckets with
+    Hamming-ball multi-probe (see probe_buckets for the recall math).
 
-    Candidates = corpus vectors whose 16-bit signature equals the
-    query's; re-ranked by exact cosine. Recall < 1 by construction (the
-    documented LSH trade); at scale add multi-probe or more tables.
+    Candidates = corpus vectors whose N_PLANES-bit signature is within
+    ``probe_radius`` bit flips of the query's; re-ranked by exact
+    cosine. Each corpus vector matches a query through at most one probe
+    value (probe values are distinct), so no candidate dedup is needed.
+    Recall < 1 remains possible by construction (the documented LSH
+    trade — tests pin recall >= 0.9 vs brute force on planted near-dup
+    fixtures at radius 2); at scale add probes or signature tables.
     Returns (query_id, vec_id, cos_sim, rank).
     """
     base = corpus.filter(F.col(vec_col).isNotNull()).select(
@@ -122,7 +169,7 @@ def lsh_topk(
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("cv").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+        F.explode(probe_buckets(F.col("bucket"), probe_radius)).alias("qbucket"),
         F.col("cnrm").alias("qnrm"),
     )
     sim = dot_product(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))

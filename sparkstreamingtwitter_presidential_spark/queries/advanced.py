@@ -24,7 +24,7 @@ from sparkstreamingtwitter_presidential_spark.queries.registry import query
                       WHERE event_type = 'purchase')
         SELECT c.event_id, c.user_id,
                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
-               round(p.value, 4) AS value_asof
+               floor((p.value) * 10000 + 0.5) / 10000 AS value_asof
         FROM clicks c
         ASOF LEFT JOIN purchases p
             ON c.user_id = p.user_id AND c.ts >= p.ts
@@ -47,7 +47,7 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
-        F.round(F.col("value_asof"), 4).alias("value_asof"),
+        (F.floor((F.col("value_asof")) * 10000 + F.lit(0.5)) / 10000).alias("value_asof"),
     )
 
 
@@ -58,7 +58,7 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q6_forecast_revenue",
     oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue,
                count(*) AS n
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
@@ -78,7 +78,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            (F.floor((F.sum(F.col("l_extendedprice") * F.col("l_discount"))) * 100 + F.lit(0.5)) / 100).alias("revenue"),
             F.count("*").alias("n"),
         )
     )
@@ -92,7 +92,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier_volume",
     oracle="""
         SELECT n.n_name AS nation_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -122,7 +122,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            (F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("revenue")
         )
     )
 
@@ -157,9 +157,9 @@ def unpivot_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentiles_order_totalprice",
     oracle="""
         SELECT o_orderpriority,
-               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+               floor((quantile_cont(o_totalprice, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+               floor((quantile_cont(o_totalprice, 0.9)) * 10000 + 0.5) / 10000 AS p90,
+               floor((quantile_cont(o_totalprice, 0.99)) * 10000 + 0.5) / 10000 AS p99
         FROM orders GROUP BY o_orderpriority
     """,
     doc="exact interpolated percentiles per group (percentile == quantile_cont)",
@@ -167,9 +167,9 @@ def unpivot_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentiles_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        (F.floor((F.expr("percentile(o_totalprice, 0.5)")) * 10000 + F.lit(0.5)) / 10000).alias("p50"),
+        (F.floor((F.expr("percentile(o_totalprice, 0.9)")) * 10000 + F.lit(0.5)) / 10000).alias("p90"),
+        (F.floor((F.expr("percentile(o_totalprice, 0.99)")) * 10000 + F.lit(0.5)) / 10000).alias("p99"),
     )
 
 
@@ -180,7 +180,7 @@ def percentiles_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "subquery_above_nation_avg",
     oracle="""
-        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        SELECT c_custkey, c_nationkey, floor((c_acctbal) * 100 + 0.5) / 100 AS acctbal
         FROM customer c
         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
@@ -192,7 +192,7 @@ def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.createOrReplaceTempView("customer")
     return spark.sql(
         """
-        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        SELECT c_custkey, c_nationkey, floor((c_acctbal) * 100 + 0.5) / 100 AS acctbal
         FROM customer c
         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)

@@ -31,13 +31,13 @@ from sparkstreamingtwitter_presidential_spark.queries.registry import query
     "tpch_q1_pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                    AS sum_qty,
-               round(sum(l_extendedprice), 2)                               AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4)                                    AS avg_qty,
-               round(avg(l_extendedprice), 4)                               AS avg_price,
-               round(avg(l_discount), 4)                                    AS avg_disc,
+               floor((sum(l_quantity)) * 100 + 0.5) / 100                                    AS sum_qty,
+               floor((sum(l_extendedprice)) * 100 + 0.5) / 100                               AS sum_base_price,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100            AS sum_disc_price,
+               floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+               floor((avg(l_quantity)) * 10000 + 0.5) / 10000                                    AS avg_qty,
+               floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000                               AS avg_price,
+               floor((avg(l_discount)) * 10000 + 0.5) / 10000                                    AS avg_disc,
                count(*)                                                     AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -52,13 +52,13 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (F.floor((F.sum("l_quantity")) * 100 + F.lit(0.5)) / 100).alias("sum_qty"),
+            (F.floor((F.sum("l_extendedprice")) * 100 + F.lit(0.5)) / 100).alias("sum_base_price"),
+            (F.floor((F.sum(disc_price)) * 100 + F.lit(0.5)) / 100).alias("sum_disc_price"),
+            (F.floor((F.sum(disc_price * (1 + F.col("l_tax")))) * 100 + F.lit(0.5)) / 100).alias("sum_charge"),
+            (F.floor((F.avg("l_quantity")) * 10000 + F.lit(0.5)) / 10000).alias("avg_qty"),
+            (F.floor((F.avg("l_extendedprice")) * 10000 + F.lit(0.5)) / 10000).alias("avg_price"),
+            (F.floor((F.avg("l_discount")) * 10000 + F.lit(0.5)) / 10000).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -74,7 +74,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT r.r_name AS region_name,
                count(*) AS n_customers,
-               round(sum(c.c_acctbal), 2) AS total_acctbal
+               floor((sum(c.c_acctbal)) * 100 + 0.5) / 100 AS total_acctbal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -92,7 +92,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            (F.floor((F.sum("c_acctbal")) * 100 + F.lit(0.5)) / 100).alias("total_acctbal"),
         )
     )
 
@@ -107,7 +107,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     oracle="""
         SELECT l.l_orderkey AS order_key,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue,
                strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -127,7 +127,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy(F.col("l_orderkey").alias("order_key"), F.col("o_orderdate"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("revenue"))
         .select(
             "order_key",
             "revenue",
@@ -315,11 +315,12 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     "window_running_sum_quantity",
     oracle="""
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               sum(CAST(l_quantity AS BIGINT)) OVER (
+               CAST(sum(l_quantity) OVER (
                    PARTITION BY l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber,
                             l_quantity, l_extendedprice, l_partkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS running_qty
         FROM lineitem
     """,
     doc=(
@@ -327,7 +328,10 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
         "Summed as BIGINT (quantities are whole): double prefix sums are "
         "association-dependent — DuckDB's windowed sum uses tree "
         "aggregation, Spark accumulates sequentially, and at 600k rows "
-        "some prefix lands on a rounding boundary"
+        "some prefix lands on a rounding boundary. The CAST wraps the "
+        "whole window expression: DuckDB's windowed sum over any integer "
+        "type OUTPUTS HUGEINT, whose repr ('Decimal(7093)') hash-diverges "
+        "from Spark's BIGINT even when values match"
     ),
 )
 def window_running_sum_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,7 +390,7 @@ def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_lineitem_status",
     oracle="""
         SELECT l_returnflag, l_linestatus, count(*) AS n,
-               round(sum(l_quantity), 2) AS sum_qty
+               floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -396,7 +400,7 @@ def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(F.count("*").alias("n"), (F.floor((F.sum("l_quantity")) * 100 + F.lit(0.5)) / 100).alias("sum_qty"))
     )
 
 
@@ -424,8 +428,8 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_returnflag_by_linestatus",
     oracle="""
         SELECT l_returnflag,
-               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
-               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+               floor((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 100 + 0.5) / 100 AS O,
+               floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 100 + 0.5) / 100 AS F
         FROM lineitem GROUP BY l_returnflag
     """,
     doc="pivot on l_linestatus (explicit value list keeps the plan single-pass)",
@@ -437,7 +441,7 @@ def pivot_returnflag_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFram
         .pivot("l_linestatus", ["O", "F"])
         .sum("l_quantity")
     )
-    return df.select("l_returnflag", F.round(F.col("O"), 2).alias("O"), F.round(F.col("F"), 2).alias("F"))
+    return df.select("l_returnflag", (F.floor((F.col("O")) * 100 + F.lit(0.5)) / 100).alias("O"), (F.floor((F.col("F")) * 100 + F.lit(0.5)) / 100).alias("F"))
 
 
 # ---------------------------------------------------------------------------
@@ -468,7 +472,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,
                count(*) AS n,
-               round(sum(value), 2) AS total_value
+               floor((sum(value)) * 100 + 0.5) / 100 AS total_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -478,7 +482,7 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), (F.floor((F.sum("value")) * 100 + F.lit(0.5)) / 100).alias("total_value"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",

@@ -141,6 +141,76 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components_chain",
+    oracle="""
+        WITH RECURSIVE chain AS (
+            SELECT doc_id,
+                   lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev
+            FROM documents
+        ),
+        edges AS (
+            SELECT prev AS u, doc_id AS v FROM chain WHERE prev IS NOT NULL
+            UNION
+            SELECT doc_id, prev FROM chain WHERE prev IS NOT NULL
+        ),
+        reach(id, label) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+        )
+        SELECT id, min(label) AS component FROM reach GROUP BY id
+    """,
+    doc=(
+        "connected components on a DEEP graph: consecutive doc_ids per "
+        "source form one long chain each (diameter ~ corpus/sources, "
+        "~250 at sf0.1) — the case where plain diameter-bound label "
+        "propagation dies and pointer jumping (O(log d) rounds) is "
+        "required; oracle = recursive-CTE transitive closure"
+    ),
+)
+def dedup_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.components import connected_components
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        d.select("doc_id", "source")
+        .withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return connected_components(pairs)
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+        SELECT * FROM ({_DUCK_JACCARD_PAIRS})
+        WHERE id_a % 5 = 0 OR id_b % 5 = 0
+    """,
+    doc=(
+        "incremental dedup: 20% of docs (doc_id % 5 = 0) arrive as a new "
+        "batch and LSH-join against the persisted base signature table — "
+        "no base-vs-base recompute; oracle = brute-force Jaccard pairs "
+        "restricted to pairs touching the new batch"
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_sigs = D.lsh_signature_table(
+        docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text"
+    )
+    new_sigs = D.lsh_signature_table(
+        docs.filter(F.col("doc_id") % 5 == 0), "doc_id", "text"
+    )
+    return D.incremental_lsh_pairs(base_sigs, new_sigs, JACCARD_THRESHOLD)
+
+
+@query(
     "dedup_embedding_top_pairs",
     oracle="""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label

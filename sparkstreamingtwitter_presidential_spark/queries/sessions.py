@@ -32,14 +32,15 @@ GAP_S = 30 * 60
         ),
         sess AS (
             SELECT user_id, ts, value,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                               ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id,
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               floor(sum(value) * 100 + 0.5) / 100 AS total_value
         FROM sess
         GROUP BY user_id, session_id
     """,
@@ -62,7 +63,9 @@ def sessionize_batch_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_id").agg(
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # exact half-up via floor: Spark round() is HALF_UP, DuckDB's
+        # disagrees on .xx5 boundaries — cross-engine rule, see DESIGN.md
+        (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("total_value"),
     )
 
 

@@ -61,13 +61,21 @@ def _duck_bucket_expr(vec: str) -> str:
     return " + ".join(parts)
 
 
+#: DuckDB twin of operators.similarity.probe_buckets: the query's bucket
+#: plus its Hamming-1 neighbors (xor of each signature bit).
+_DUCK_PROBES = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << j}::BIGINT)" for j in range(S.N_PLANES)
+) + "]"
+
+
 @query(
     "sim_lsh_topk",
     oracle=f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                           {_duck_bucket_expr('embedding::DOUBLE[]')} AS bucket
                    FROM embeddings WHERE embedding IS NOT NULL),
-        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM e
+        q AS (SELECT vec_id AS query_id, v AS qv,
+                     unnest({_DUCK_PROBES}) AS qbucket FROM e
               WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
         scored AS (
             SELECT q.query_id, e.vec_id,
@@ -82,7 +90,10 @@ def _duck_bucket_expr(vec: str) -> str:
             FROM scored
         ) WHERE rank <= {TOP_K}
     """,
-    doc="random-hyperplane LSH top-10: bucket join + exact re-rank (scale path)",
+    doc=(
+        "random-hyperplane LSH top-10 with Hamming-1 multi-probe: bucket "
+        "join + exact re-rank (scale path); oracle replicates the probing"
+    ),
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, TOP_K)

@@ -72,7 +72,7 @@ def _run_to_memory(stream_agg: DataFrame, mode: str = "complete") -> DataFrame:
                         '%Y-%m-%d %H:%M:%S') AS window_end,
                event_type,
                count(*) AS n,
-               round(sum(value), 2) AS total_value
+               floor(sum(value) * 100 + 0.5) / 100 AS total_value
         FROM events
         GROUP BY 1, 2, 3
     """,
@@ -97,7 +97,7 @@ def streaming_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
                strftime(w_start + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
                count(*) AS n,
-               round(sum(value), 2) AS total_value
+               floor(sum(value) * 100 + 0.5) / 100 AS total_value
         FROM starts
         GROUP BY 1, 2
     """,
@@ -121,8 +121,9 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sess AS (
             SELECT user_id, ts, value,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                               ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id,
@@ -130,7 +131,7 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                strftime(max(ts) + INTERVAL {_SESSION_GAP_S} SECOND,
                         '%Y-%m-%d %H:%M:%S') AS window_end,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               floor(sum(value) * 100 + 0.5) / 100 AS total_value
         FROM sess
         GROUP BY user_id, session_id
     """,

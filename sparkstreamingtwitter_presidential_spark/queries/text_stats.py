@@ -110,8 +110,8 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT source,
                count(*) AS n_docs,
-               round(avg(n_chars), 4) AS avg_chars,
-               round(avg({_DUCK_WS}), 4) AS avg_tokens,
+               floor((avg(n_chars)) * 10000 + 0.5) / 10000 AS avg_chars,
+               floor((avg({_DUCK_WS})) * 10000 + 0.5) / 10000 AS avg_tokens,
                count(DISTINCT lang) AS n_langs
         FROM documents WHERE text IS NOT NULL
         GROUP BY source
@@ -122,7 +122,7 @@ def text_corpus_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg(ts.ws_token_count("text")), 4).alias("avg_tokens"),
+        (F.floor((F.avg("n_chars")) * 10000 + F.lit(0.5)) / 10000).alias("avg_chars"),
+        (F.floor((F.avg(ts.ws_token_count("text"))) * 10000 + F.lit(0.5)) / 10000).alias("avg_tokens"),
         F.countDistinct("lang").alias("n_langs"),
     )

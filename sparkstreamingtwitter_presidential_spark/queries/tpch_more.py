@@ -45,7 +45,7 @@ def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_item_revenue",
     oracle="""
         SELECT c.c_custkey, c.c_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -64,7 +64,7 @@ def tpch_q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -99,7 +99,7 @@ def tpch_q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q18_large_volume_customers",
     oracle="""
         SELECT c.c_custkey, o.o_orderkey,
-               round(sum(l.l_quantity), 2) AS total_qty
+               floor((sum(l.l_quantity)) * 100 + 0.5) / 100 AS total_qty
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -127,14 +127,14 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
         .join(l.select(F.col("l_orderkey").alias("lk"), "l_quantity"),
               F.col("o_orderkey") == F.col("lk"))
         .groupBy("c_custkey", "o_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg((F.floor((F.sum("l_quantity")) * 100 + F.lit(0.5)) / 100).alias("total_qty"))
     )
 
 
 @query(
     "tpch_q19_disjunctive_predicates",
     oracle="""
-        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        SELECT floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue,
                count(*) AS n
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -161,7 +161,7 @@ def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFra
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond1 | cond2)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            (F.floor((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100 + F.lit(0.5)) / 100).alias("revenue"),
             F.count("*").alias("n"),
         )
     )

@@ -17,6 +17,12 @@ from pyspark.sql import functions as F
 DEFAULT_WATERMARK = "10 minutes"
 
 
+def _half_up_2dp(c: Column) -> Column:
+    # exact half-up to 2dp via floor: Spark round() is HALF_UP, DuckDB's
+    # round() disagrees on .xx5 boundaries — cross-engine rule (DESIGN.md)
+    return F.floor(c * 100 + F.lit(0.5)) / 100
+
+
 def _win_cols(w: Column) -> list[Column]:
     return [
         F.date_format(w.getField("start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -31,7 +37,7 @@ def tumbling_aggregate(
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     agg = (
         src.groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), _half_up_2dp(F.sum("value")).alias("total_value"))
     )
     return agg.select(*_win_cols(F.col("w")), "event_type", "n", "total_value")
 
@@ -49,7 +55,7 @@ def sliding_aggregate(
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     agg = (
         src.groupBy(F.window("ts", width, slide).alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), _half_up_2dp(F.sum("value")).alias("total_value"))
     )
     return agg.select(*_win_cols(F.col("w")), "n", "total_value")
 
@@ -75,7 +81,7 @@ def session_aggregate(
     )
     agg = (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _half_up_2dp(F.sum("value")).alias("total_value"))
     )
     return agg.select(
         "user_id", *_win_cols(F.col("w")), "n_events", "total_value"

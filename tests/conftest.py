@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+from decimal import Decimal
 
 import duckdb
 import pytest
@@ -40,16 +41,26 @@ def _norm(v):
     """Normalize a cell for order-insensitive comparison. Floats compare
     EXACTLY (no tolerance): the driver value-hashes raw values, so every
     query is designed to be bit-identical across engines — a tolerance
-    here would hide divergence the driver will flag."""
+    here would hide divergence the driver will flag.
+
+    Values are TYPE-TAGGED: the driver hashes reprs, where
+    Decimal('7093') != 7093 != 7093.0 even though Python's == collapses
+    all three. Round 1 shipped two driver hash failures (DuckDB windowed
+    sum(BIGINT) -> HUGEINT -> Decimal) that this harness waved through
+    for exactly that reason."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
+        return ("f", "NaN" if math.isnan(v) else repr(v))
+    if isinstance(v, int):
+        return ("i", str(v))
+    if isinstance(v, Decimal):
+        return ("dec", str(v))
     if hasattr(v, "isoformat"):  # datetime/date
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm(x) for x in v)
     return v
 
@@ -59,9 +70,16 @@ def _key(row):
 
 
 def assert_df_matches_oracle(spark_df, con, sql):
-    """Differential check: same column names (sorted), same row multiset."""
-    want = con.execute(sql).fetchall()
-    want_cols = [d[0] for d in con.description]
+    """Differential check: same column names (sorted), same row multiset.
+
+    The oracle side is fetched via Arrow, NOT fetchall(): fetchall()
+    downcasts DuckDB HUGEINT to Python int, hiding exactly the
+    Decimal-vs-int repr divergence the driver's value hash flags (the
+    round-1 `window_running_sum_quantity` failure reproduced locally
+    only through the Arrow path: HUGEINT -> decimal128 -> Decimal)."""
+    tbl = con.execute(sql).arrow()
+    want_cols = list(tbl.schema.names)
+    want = [tuple(d[c] for c in want_cols) for d in tbl.to_pylist()]
     got_rows = spark_df.collect()
     got_cols = spark_df.columns
 
