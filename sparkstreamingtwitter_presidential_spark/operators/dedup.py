@@ -101,36 +101,49 @@ def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3
 ) -> DataFrame:
     """All document pairs with word-n-gram Jaccard >= threshold, via the
-    shingle inverted index: explode -> equi-join on shingle -> count
-    common shingles per pair -> Jaccard from set sizes. Never forms the
-    n^2 cross product; the join fans out only within a shingle's posting
-    list. Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    # Persist the shingle index: three consumers (sizes + both join
-    # branches) would otherwise re-tokenize/re-shingle the corpus each
-    # (measured 21s -> 3s at sf0.1). MEMORY_AND_DISK, so at cluster
-    # scale it spills rather than OOMs; a 100 TB corpus would persist
-    # this to a staged table instead.
+    shingle inverted index: explode -> equi-join on shingle (with an
+    exact length filter) -> count common shingles per pair -> Jaccard
+    from set sizes. Never forms the n^2 cross product; the join fans out
+    only within a shingle's posting list. Returns (id_a, id_b, jaccard)
+    with id_a < id_b.
+
+    The length filter is the standard exact size-compatibility prune
+    (AllPairs/PPJoin family): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    J >= t requires |A| >= t*|B| AND |B| >= t*|A|. Applying it IN the
+    posting-list join discards incompatible pairs before the per-pair
+    count shuffle — at scale, posting lists pair short boilerplate docs
+    against everything, and this is what bounds that fan-out. Sizes ride
+    along as group keys (functionally dependent on the ids), replacing
+    the two post-aggregation size joins of the naive plan."""
+    # Persist the shingle index: the two self-join branches would
+    # otherwise re-tokenize/re-shingle the corpus each (measured
+    # 21s -> 3s at sf0.1). MEMORY_AND_DISK, so at cluster scale it
+    # spills rather than OOMs; a 100 TB corpus would persist this to a
+    # staged table instead.
     sh = _shingle_index(df, id_col, text_col, n).persist()
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("s"))
+    inv = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.n_sh") >= F.col("b.n_sh") * threshold)
+            & (F.col("b.n_sh") >= F.col("a.n_sh") * threshold),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count("*").alias("common"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= threshold)
-        .select(
-            "id_a",
-            "id_b",
-            (F.floor(jac * 10000.0 + F.lit(0.5)) / 10000.0).alias("jaccard"),
-        )
+    return common.filter(jac >= threshold).select(
+        "id_a",
+        "id_b",
+        (F.floor(jac * 10000.0 + F.lit(0.5)) / 10000.0).alias("jaccard"),
     )
 
 

@@ -45,22 +45,41 @@ def _staged(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+#: State-store partitions for the bounded replay jobs. The partition
+#: count of a stateful streaming query is FIXED at first start by
+#: spark.sql.shuffle.partitions, and every micro-batch commits one state
+#: delta per partition — so oversizing it to the CPU count multiplies
+#: per-batch commit overhead instead of adding parallelism (measured at
+#: sf0.1/local[32]: 4 batches x 32 partitions = 8.1s, x 8 = 2.7s for the
+#: same tumbling aggregation). Size state partitions to state volume
+#: (windows x keys here, thousands of rows), not to cores; a 100 TB
+#: deployment with millions of keys sizes UP for the same reason.
+STREAM_STATE_PARTITIONS = 8
+
+
 def _run_to_memory(stream_agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Drain a bounded streaming aggregation into a memory sink and
-    return the result table."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination(30)
+    return the result table. State partitioning is pinned to
+    STREAM_STATE_PARTITIONS for the lifetime of the run (the setting is
+    only read at query start; restored after the drain)."""
     spark = stream_agg.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream_agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
