@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 
   brute_force_topk   exact cosine top-k: broadcast the (small) query set,
                      scan the corpus once, rank per query. The baseline
@@ -19,6 +19,14 @@ Two paths:
                      (cosine >= ~0.9); for weak similarity on
                      unclustered data, sign-LSH cannot beat brute force
                      (see probe_buckets docstring).
+  ivf_topk           IVF (inverted-file) ANN: a KMeans coarse quantizer
+                     partitions the corpus into cells; each query probes
+                     its n_probe nearest cells and exact-reranks only
+                     those candidates. The alternative 100 TB path —
+                     data-ADAPTIVE cells (centroids learned from the
+                     corpus) where LSH's hyperplanes are data-blind, so
+                     it keeps recall on clustered corpora at much
+                     smaller candidate sets. See ivf_index/ivf_topk.
 
 All expressions are builtin higher-order array ops (zip_with/aggregate)
 accumulated in double, bit-identical to DuckDB's list_cosine_similarity
@@ -94,6 +102,121 @@ def brute_force_topk(
     sim = dot_product(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))
     scored = (
         c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.floor(sim * 10000.0 + F.lit(0.5)) / 10000.0).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 7,
+) -> tuple[list[list[float]], DataFrame]:
+    """Fit an IVF coarse quantizer and assign every corpus vector to its
+    cell. Returns (centroids, assigned) where ``assigned`` has columns
+    (vec_id, cv, cnrm, cell).
+
+    Vectors are L2-normalized before the KMeans fit (spherical k-means):
+    on the unit sphere, euclidean argmin == cosine argmax, so cell
+    assignment partitions by the similarity the search uses. The fit is
+    iterative (n_cells x maxIter distributed passes over the cached
+    features — the one legitimately driver-coordinated loop, same as the
+    reference's MLlib workflow); assignment is a single map-side
+    transform. At 100 TB you fit on a sample, persist (centroids,
+    assigned) like lsh_signature_table, and optionally bucket the
+    assigned table BY cell so a probe is a partition-pruned scan, not a
+    shuffle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+        .withColumn("cnrm", vec_norm(F.col("cv")))
+        .filter(F.col("cnrm") > 0)
+        .withColumn(
+            "nv", F.transform(F.col("cv"), lambda x: x.cast("double") / F.col("cnrm"))
+        )
+        .withColumn("features", array_to_vector(F.col("nv")))
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(base)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = model.transform(base).select("vec_id", "cv", "cnrm", "cell")
+    return centroids, assigned
+
+
+def probe_cells(
+    nv: Column, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """The ``n_probe`` cells nearest (euclidean, matching the quantizer's
+    assignment metric) to a NORMALIZED query vector, as an array of cell
+    ids. Ranking uses argmin ||q - c||^2 == argmax (q.c - |c|^2/2) with
+    |q| constant, so only one dot product per centroid is evaluated —
+    and only on the tiny query side; the corpus is never rescored."""
+    scored = [
+        F.struct(
+            (
+                _dot_with_constants(nv, c)
+                - F.lit(0.5 * sum(x * x for x in c))
+            ).alias("s"),
+            F.lit(j).alias("cell"),
+        )
+        for j, c in enumerate(centroids)
+    ]
+    top = F.slice(F.sort_array(F.array(*scored), asc=False), 1, n_probe)
+    return F.transform(top, lambda p: p.getField("cell"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF index: KMeans cells + n_probe
+    nearest-cell candidate generation + exact cosine re-rank.
+
+    Recall comes from data adaptivity: clusters in the corpus become
+    cells, so a query's true neighbors concentrate in its few nearest
+    cells (tests pin recall >= 0.9 vs brute force on planted near-dup
+    fixtures at n_probe=4, n_cells=16). Like all cell-probe methods it
+    cannot help on uniformly random corpora (neighbors at cosine ~0.3
+    spread over all cells) — brute_force_topk is the honest path there.
+    Returns (query_id, vec_id, cos_sim, rank).
+    """
+    centroids, assigned = ivf_index(corpus, id_col, vec_col, n_cells, seed)
+    assigned = assigned.persist()
+    q = (
+        assigned.filter(F.col("vec_id").isin(query_ids))
+        .withColumn(
+            "nv", F.transform(F.col("cv"), lambda x: x.cast("double") / F.col("cnrm"))
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cv").alias("qv"),
+            F.col("cnrm").alias("qnrm"),
+            F.explode(probe_cells(F.col("nv"), centroids, n_probe)).alias("qcell"),
+        )
+    )
+    sim = dot_product(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))
+    scored = (
+        assigned.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -97,3 +97,16 @@ _DUCK_PROBES = "[bucket, " + ", ".join(
 )
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, TOP_K)
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=None,  # KMeans quantizer is iterative/seeded — no SQL twin;
+    #               quality pinned by tests/test_similarity.py recall bound
+    doc=(
+        "NEW: IVF ANN top-10 — KMeans(16) coarse quantizer, 4-cell probe, "
+        "exact cosine re-rank; the data-adaptive alternative to sign-LSH"
+    ),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, TOP_K)

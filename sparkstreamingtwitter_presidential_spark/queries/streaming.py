@@ -23,12 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from sparkstreamingtwitter_presidential_spark.sources.replay import (
     read_events_stream,
     stage_events_files,
+    stage_ts_ordered,
 )
 from sparkstreamingtwitter_presidential_spark.queries.registry import query
 from sparkstreamingtwitter_presidential_spark.streaming import (
     run_bounded_collector,
     session_aggregate,
     sliding_aggregate,
+    streaming_exact_dedup,
     tumbling_aggregate,
 )
 
@@ -163,6 +165,41 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_streaming.py with append mode.
     stream = read_events_stream(spark, _staged(spark, sf_dir))
     return _run_to_memory(session_aggregate(stream, watermark=None), mode="complete")
+
+
+def _staged_dup(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per sf_dir per process) an at-least-once delivery of
+    the events fixture: every event delivered twice, duplicates landing
+    in the same time-sliced file (equal ts -> same range partition), the
+    way producer retries duplicate within a bounded horizon."""
+    from sparkstreamingtwitter_presidential_spark.io import load_table
+
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_dup_v1_{key}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        stage_ts_ordered(ev.unionByName(ev), out, n_files=4)
+    return out
+
+
+@query(
+    "streaming_dedup_exact",
+    oracle="""
+        SELECT event_id, user_id, event_type, value FROM events
+    """,
+    doc=(
+        "NEW: streaming exact dedup (dropDuplicatesWithinWatermark) over "
+        "an at-least-once replay that delivers every event twice; "
+        "duplicates arrive within the watermark horizon by construction, "
+        "so the drained stream equals the original table exactly"
+    ),
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, _staged_dup(spark, sf_dir))
+    deduped = streaming_exact_dedup(stream, ["event_id"])
+    out = _run_to_memory(deduped, mode="append")
+    return out.select("event_id", "user_id", "event_type", "value")
 
 
 @query(

@@ -33,9 +33,21 @@ def stage_events_files(
     classifying whole batches as late.
     """
     ev = load_table(spark, sf_dir, "events")
+    return stage_ts_ordered(ev, out_dir, n_files)
+
+
+def stage_ts_ordered(
+    df: DataFrame, out_dir: str, n_files: int = 4, ts_col: str = "ts"
+) -> str:
+    """Stage any timestamped DataFrame as an event-time-ordered replay
+    directory (range-partitioned on ``ts_col``, mtimes stamped in part
+    order — see stage_events_files). Range partitioning also guarantees
+    rows with EQUAL timestamps land in the same file, which is what
+    makes duplicated-delivery replays deterministic for
+    dropDuplicatesWithinWatermark (copies share a micro-batch)."""
     (
-        ev.repartitionByRange(n_files, F.col("ts"))
-        .sortWithinPartitions("ts")
+        df.repartitionByRange(n_files, F.col(ts_col))
+        .sortWithinPartitions(ts_col)
         .write.mode("overwrite")
         .parquet(out_dir)
     )

@@ -1,4 +1,5 @@
 from sparkstreamingtwitter_presidential_spark.streaming.collector import run_bounded_collector
+from sparkstreamingtwitter_presidential_spark.streaming.dedup import streaming_exact_dedup
 from sparkstreamingtwitter_presidential_spark.streaming.windows import (
     session_aggregate,
     sliding_aggregate,
@@ -9,5 +10,6 @@ __all__ = [
     "run_bounded_collector",
     "session_aggregate",
     "sliding_aggregate",
+    "streaming_exact_dedup",
     "tumbling_aggregate",
 ]

@@ -96,3 +96,19 @@ def test_probe_radius_strictly_widens_candidates(spark):
         n1 = len(by_radius[1].get(q, set()))
         n2 = len(by_radius[2].get(q, set()))
         assert n0 <= n1 <= n2
+
+
+def test_ivf_recall_on_near_duplicates(spark):
+    """IVF (KMeans cells + 4-of-16-cell probe + exact re-rank) must also
+    recover >= 0.9 of brute-force top-k on the planted near-dup corpus —
+    the data-adaptive counterpart of the multi-probe LSH bound above."""
+    corpus, query_ids = _planted_corpus(spark)
+    corpus = corpus.cache()
+    try:
+        exact = _topk_sets(S.brute_force_topk(corpus, query_ids, K))
+        approx = _topk_sets(S.ivf_topk(corpus, query_ids, K))
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in query_ids)
+        recall = hits / (len(query_ids) * K)
+        assert recall >= 0.9, f"IVF recall {recall:.2f} < 0.9"
+    finally:
+        corpus.unpersist()

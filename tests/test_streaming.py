@@ -109,3 +109,33 @@ def test_watermarked_append_sessions_flush_subset(spark):
         assert (8, "2024-03-01 00:00:00", 1) in emitted
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_dedup_equals_batch_distinct(spark):
+    """At-least-once replay (every event delivered twice, copies inside
+    one time-sliced file) -> dropDuplicatesWithinWatermark drains to
+    EXACTLY the original table: same multiset of rows, first arrival
+    kept. The staged-dir path is the same one streaming_dedup_exact's
+    driver oracle exercises."""
+    from sparkstreamingtwitter_presidential_spark.streaming import streaming_exact_dedup
+
+    staged_dup = qs._staged_dup(spark, SF_DIR)
+    stream = read_events_stream(spark, staged_dup)
+    got = qs._run_to_memory(
+        streaming_exact_dedup(stream, ["event_id"]), mode="append"
+    ).select("event_id", "user_id", "event_type", "value")
+    want = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert len(g) == len(w) and g == w
+
+
+def test_streaming_dedup_batch_degradation(spark):
+    """The same operator on a batch DataFrame is plain dropDuplicates."""
+    from sparkstreamingtwitter_presidential_spark.streaming import streaming_exact_dedup
+
+    ev = load_table(spark, SF_DIR, "events")
+    doubled = ev.unionByName(ev)
+    assert streaming_exact_dedup(doubled, ["event_id"]).count() == ev.count()
