@@ -41,3 +41,31 @@ def test_topk_uses_take_ordered_not_global_sort(spark):
 def test_selective_filter_pushdown_in_q3(spark):
     a = _audit(spark, "tpch_q3_shipping_priority")
     assert any("BUILDING" in f or "c_mktsegment" in f for f in a.pushed_filters)
+
+
+def test_jaccard_length_filter_is_in_join_not_post_agg(spark):
+    """The size-compatibility prune must run inside the posting-list
+    join (bounding its fan-out) — not as a filter after the per-pair
+    aggregation, where it would be too late to help. No cartesian
+    product anywhere."""
+    a = _audit(spark, "dedup_ngram_jaccard_pairs")
+    assert "CartesianProduct" not in a.text and "BroadcastNestedLoopJoin" not in a.text
+    join_part = a.text.split("HashAggregate")[-1]  # below the pair agg
+    assert "n_sh" in join_part, "length filter not in the join subtree"
+
+
+def test_ivf_probe_broadcasts_query_side(spark):
+    """IVF candidate generation joins corpus cells against the tiny
+    exploded query-probe side — the probe side must broadcast; the
+    corpus must never land in a nested loop."""
+    a = _audit(spark, "sim_ivf_topk")
+    assert a.n_broadcast_joins >= 1
+    assert "CartesianProduct" not in a.text
+
+
+def test_incremental_dedup_reads_signature_cache(spark):
+    """All three consumers of the unioned signature table (bucket
+    explode x2 + verification) must read the persisted copy, not
+    recompute the MinHash pipeline (the 58s->3s round-2 fix)."""
+    a = _audit(spark, "dedup_incremental")
+    assert a.text.count("InMemoryTableScan") >= 3
