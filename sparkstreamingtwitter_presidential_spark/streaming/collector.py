@@ -74,8 +74,16 @@ def run_bounded_collector(
         while q.isActive and time.monotonic() < deadline:
             if result.rows_collected >= stop_after:
                 break  # ST3: graceful stop after the batch committed
-            if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
-                # bounded replay drained before reaching the target
+            # Drained-replay exit: only trustworthy after the first batch
+            # has committed — right after start() the source hasn't listed
+            # its files yet and reports isDataAvailable=False, so checking
+            # it cold would exit before any data was processed (observed
+            # as a cold-JVM flake).
+            if (
+                q.lastProgress is not None
+                and not q.status["isDataAvailable"]
+                and not q.status["isTriggerActive"]
+            ):
                 time.sleep(0.2)
                 if not q.status["isDataAvailable"]:
                     break

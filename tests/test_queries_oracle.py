@@ -46,3 +46,19 @@ def test_contract_consistency():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert e.FLAGSHIP in qs
+
+
+def test_graded_window_is_full_and_oracled():
+    """The driver grades exactly the FIRST 50 registry entries; every
+    slot must be spent on an oracled query (a rows-only entry in the
+    window wastes a correctness check), all GRADED_FIRST names must
+    exist, and the head of the registry must be GRADED_FIRST verbatim."""
+    import __spark_entry__ as e
+    from sparkstreamingtwitter_presidential_spark.queries.registry import GRADED_FIRST
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    names = list(qs)
+    assert len(GRADED_FIRST) == 50
+    assert names[:50] == GRADED_FIRST
+    missing_oracle = [n for n in names[:50] if n not in os_]
+    assert not missing_oracle, f"rows-only queries in graded window: {missing_oracle}"
