@@ -1,0 +1,64 @@
+"""Deterministic sampling / dataset-mixing operators.
+
+Training-data pipelines re-weight corpora ("2 parts web, 1 part books,
+0.1 parts forums") and need the SAME rows selected on every run, every
+engine, and every retry — seeded `df.sample` can't promise that (its
+output depends on partitioning), so these operators derive the keep
+decision from an arithmetic hash of the row id: pure integer ops,
+reproducible anywhere, exactly expressible in the DuckDB oracle.
+
+The hash is Knuth's multiplicative scheme: ``(id * 2654435761) mod
+2^31`` — the golden-ratio multiplier equidistributes consecutive ids,
+so sequential doc_ids don't alias the threshold. Everything stays in
+BIGINT (ids up to 2^31 keep the product under 2^63) and the keep test
+compares against an INTEGER threshold ``floor(rate * 2^31)`` — no
+floats anywhere, so cross-engine equality is exact, not approximate.
+
+Scale: a sample/mix is a stateless per-row filter — no shuffle, no
+state, pushes down past column pruning; at 100 TB it runs at scan
+speed and composes with any downstream operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_MULT = 2654435761  # Knuth multiplicative (2^32 / golden ratio)
+HASH_MOD = 1 << 31
+
+
+def sample_hash(id_col: Column | str) -> Column:
+    """Deterministic uniform hash of an integer id in [0, 2^31)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(c.cast("long") * F.lit(HASH_MULT), F.lit(HASH_MOD))
+
+
+def rate_threshold(rate: float) -> int:
+    """Integer keep-threshold for a sampling rate in [0, 1]."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return int(rate * HASH_MOD)
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by id hash: stable across runs,
+    partitionings, and engines (unlike seeded df.sample)."""
+    return df.filter(sample_hash(id_col) < F.lit(rate_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Dataset mixing: keep ~``rates[stratum]`` of each stratum's rows
+    (``default_rate`` for unlisted strata), deterministically by id
+    hash. One stateless filter — the per-stratum threshold is a CASE
+    over the stratum column, so no join, shuffle, or second pass."""
+    thr: Column = F.lit(rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(rate_threshold(rate))).otherwise(thr)
+    return df.filter(sample_hash(id_col) < thr)

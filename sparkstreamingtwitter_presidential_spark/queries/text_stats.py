@@ -126,3 +126,101 @@ def text_corpus_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.floor((F.avg(ts.ws_token_count("text"))) * 10000 + F.lit(0.5)) / 10000).alias("avg_tokens"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + deterministic dataset mixing (pipeline extensions).
+# ---------------------------------------------------------------------------
+
+#: Synthesized contact tail so the fixture (clean synthetic prose)
+#: actually exercises every redaction category; both engines build the
+#: identical string from doc_id.
+_DUCK_SYNTH = (
+    "text || ' Contact user' || lpad(CAST(doc_id AS VARCHAR), 4, '0')"
+    " || '@example.com or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')"
+    " || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+        WITH synth AS (
+            SELECT doc_id, {_DUCK_SYNTH} AS t FROM documents
+            WHERE text IS NOT NULL
+        ),
+        s1 AS (SELECT doc_id, t,
+                      len(regexp_extract_all(t, '{ts.PII_EMAIL_RE}')) AS n_emails,
+                      regexp_replace(t, '{ts.PII_EMAIL_RE}', '[EMAIL]', 'g') AS t1
+               FROM synth),
+        s2 AS (SELECT doc_id, n_emails,
+                      len(regexp_extract_all(t1, '{ts.PII_IP_RE}')) AS n_ips,
+                      regexp_replace(t1, '{ts.PII_IP_RE}', '[IP]', 'g') AS t2
+               FROM s1),
+        s3 AS (SELECT doc_id, n_emails, n_ips,
+                      len(regexp_extract_all(t2, '{ts.PII_PHONE_RE}')) AS n_phones,
+                      regexp_replace(t2, '{ts.PII_PHONE_RE}', '[PHONE]', 'g') AS clean_text
+               FROM s2)
+        SELECT doc_id, clean_text, n_emails, n_ips, n_phones FROM s3
+    """,
+    doc=(
+        "NEW: PII redaction (email/IPv4/phone -> typed placeholders) with "
+        "per-category audit counts; RE2-compatible regexes so the oracle "
+        "applies the identical chain"
+    ),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pad = F.lpad(F.col("doc_id").cast("string"), 4, "0")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), pad,
+        F.lit("@example.com or +1-555-"), pad,
+        F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+    )
+    d = d.select("doc_id", synth.alias("t"))
+    counts = ts.pii_counts(F.col("t"))
+    return d.select(
+        "doc_id",
+        ts.scrub_pii(F.col("t")).alias("clean_text"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+    )
+
+
+#: Dataset-mixing weights for the fixture's 20 sources: upweight the
+#: first five, midweight the next five, tail-sample the rest.
+_MIX_RATES = {f"src{i}": 0.5 for i in range(5)} | {f"src{i}": 0.25 for i in range(5, 10)}
+_MIX_DEFAULT = 0.05
+
+
+def _duck_mix_threshold() -> str:
+    from sparkstreamingtwitter_presidential_spark.operators import sampling as smp
+
+    hi = ", ".join(f"'src{i}'" for i in range(5))
+    mid = ", ".join(f"'src{i}'" for i in range(5, 10))
+    return (
+        f"CASE WHEN source IN ({hi}) THEN {smp.rate_threshold(0.5)} "
+        f"WHEN source IN ({mid}) THEN {smp.rate_threshold(0.25)} "
+        f"ELSE {smp.rate_threshold(_MIX_DEFAULT)} END"
+    )
+
+
+@query(
+    "sample_documents_stratified",
+    oracle=f"""
+        SELECT doc_id, source FROM documents
+        WHERE (doc_id * 2654435761) % 2147483648 < ({_duck_mix_threshold()})
+    """,
+    doc=(
+        "NEW: deterministic dataset mixing — per-source keep rates via "
+        "integer multiplicative hash of doc_id (no floats, no "
+        "seed-dependence); exact cross-engine row selection"
+    ),
+)
+def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators import sampling as smp
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return smp.stratified_sample(d, "doc_id", "source", _MIX_RATES, _MIX_DEFAULT)
