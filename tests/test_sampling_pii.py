@@ -1,0 +1,85 @@
+"""Operator-level contracts for deterministic sampling and PII
+scrubbing (the driver oracles prove cross-engine equality; these pin
+the semantic promises the oracles can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.functions import text_stats as ts
+from sparkstreamingtwitter_presidential_spark.operators import sampling as smp
+
+SF_DIR = "/root/testdata/sf0.1"  # documents don't scale below sf0.1
+
+
+def _docs(spark):
+    from sparkstreamingtwitter_presidential_spark.io import load_table
+
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_sample_rates_converge_per_stratum(spark):
+    """Observed keep-rate per stratum tracks the requested rate (binomial
+    tolerance at n=250 per source)."""
+    d = _docs(spark).select("doc_id", "source")
+    rates = {"src0": 0.5, "src1": 0.1}
+    kept = smp.stratified_sample(d, "doc_id", "source", rates, default_rate=0.0)
+    totals = dict(d.groupBy("source").count().collect())
+    observed = dict(kept.groupBy("source").count().collect())
+    assert set(observed) <= set(rates)  # default 0.0 drops every other stratum
+    for src, rate in rates.items():
+        got = observed.get(src, 0) / totals[src]
+        # 4-sigma binomial window around the target rate
+        sigma = (rate * (1 - rate) / totals[src]) ** 0.5
+        assert abs(got - rate) <= 4 * sigma, f"{src}: {got} vs {rate}"
+
+
+def test_sample_is_deterministic_and_partition_independent(spark):
+    """The same rows are kept regardless of how the input is partitioned
+    — the property seeded df.sample cannot give."""
+    d = _docs(spark).select("doc_id")
+    a = {r.doc_id for r in smp.deterministic_sample(d, "doc_id", 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in smp.deterministic_sample(d.repartition(7), "doc_id", 0.3).collect()
+    }
+    assert a == b and 0 < len(a) < 5000
+
+
+def test_subset_rates_nest(spark):
+    """Lower rates select subsets of higher rates (same hash, smaller
+    threshold) — so shrinking a mix never introduces unseen rows."""
+    d = _docs(spark).select("doc_id")
+    small = {r.doc_id for r in smp.deterministic_sample(d, "doc_id", 0.1).collect()}
+    big = {r.doc_id for r in smp.deterministic_sample(d, "doc_id", 0.4).collect()}
+    assert small <= big
+
+
+def test_scrub_pii_redacts_and_is_idempotent(spark):
+    rows = [
+        (1, "mail me at jane.doe+spam@mail.example.org today"),
+        (2, "server 192.168.001.1 port"),
+        (3, "call +1-555-0199 00 now"),
+        (4, "clean text, nothing to redact"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    once = df.select("id", ts.scrub_pii("t").alias("s"))
+    got = {r.id: r.s for r in once.collect()}
+    assert got[1] == "mail me at [EMAIL] today"
+    assert got[2] == "server [IP] port"
+    assert got[3] == "call [PHONE] now"
+    assert got[4] == rows[3][1]
+    twice = once.select("id", ts.scrub_pii("s").alias("s2"))
+    assert {r.id: r.s2 for r in twice.collect()} == got  # placeholders stay put
+
+
+def test_pii_counts_match_scrub_chain(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.co and c@d.org via 10.0.0.1 call +1-555-0100 42")],
+        "id int, t string",
+    )
+    counts = ts.pii_counts(F.col("t"))
+    r = df.select(
+        counts["n_emails"].alias("e"), counts["n_ips"].alias("i"), counts["n_phones"].alias("p")
+    ).collect()[0]
+    assert (r.e, r.i, r.p) == (2, 1, 1)
