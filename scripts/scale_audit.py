@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Scale audit: measure how the heavy dedup / similarity / text
+operators scale from sf0.1 to a synthetic 10x corpus, to back the
+100 TB design claims with slopes instead of assertions.
+
+Builds (once, under /tmp) a 10x documents+embeddings set: 10 replicas
+of the sf0.1 tables with offset ids. Replica TEXTS are Caesar-rotated
+per replica (``translate`` over the lowercase alphabet), so shingles
+never collide across replicas — duplicate DENSITY stays that of the
+original corpus instead of every doc gaining 9 exact twins, which is
+what keeps pair outputs comparable and the timing ratio meaningful.
+Embeddings are replicated as-is (bucket/cell collision rates then
+stress candidate generation 10x, the realistic hazard).
+
+Usage: python scripts/scale_audit.py [--skip-build]
+Prints one markdown table + one JSON line.
+
+Interpretation: an operator whose wall-clock ratio is ~10x (or less,
+fixed overheads amortizing) scales linearly in corpus size; ratios
+far above 10x flag a superlinear path that 1000 executors cannot save.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import string
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from sparkstreamingtwitter_presidential_spark.io import load_table  # noqa: E402
+from sparkstreamingtwitter_presidential_spark.operators import dedup as D  # noqa: E402
+from sparkstreamingtwitter_presidential_spark.operators import sampling as smp  # noqa: E402
+from sparkstreamingtwitter_presidential_spark.operators import similarity as S  # noqa: E402
+from sparkstreamingtwitter_presidential_spark.operators.components import (  # noqa: E402
+    connected_components,
+)
+from sparkstreamingtwitter_presidential_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+SYNTH_DIR = "/tmp/spark_graft_scale10x_v1"
+X1_DIR = os.path.join(SYNTH_DIR, "x1")
+REPLICAS = 10
+LOWER = string.ascii_lowercase
+
+
+def build_synth(spark) -> None:
+    """Stage the x10 corpus AND an x1 copy through the same writer
+    (multi-file parquet): the fixture stores each table as ONE file, so
+    reading it directly would compare a 1-partition scan against a
+    32-partition one and measure parallelism, not the operator."""
+    if os.path.exists(os.path.join(SYNTH_DIR, "_BUILT")):
+        return
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(X1_DIR, "documents.parquet")
+    )
+    emb.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(X1_DIR, "embeddings.parquet")
+    )
+    n_docs = 10_000  # id stride > max doc_id
+    doc_parts = []
+    for r in range(REPLICAS):
+        rot = LOWER[r:] + LOWER[:r]
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * n_docs)).alias("doc_id"),
+                F.translate(F.col("text"), LOWER, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    big_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        big_docs = big_docs.unionByName(p)
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SYNTH_DIR, "documents.parquet")
+    )
+    emb_parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(r * 10_000)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for r in range(REPLICAS)
+    ]
+    big_emb = emb_parts[0]
+    for p in emb_parts[1:]:
+        big_emb = big_emb.unionByName(p)
+    big_emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SYNTH_DIR, "embeddings.parquet")
+    )
+    open(os.path.join(SYNTH_DIR, "_BUILT"), "w").close()
+
+
+def _load(spark, base: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(base, f"{name}.parquet"))
+
+
+def cases(spark, base):
+    docs = lambda: _load(spark, base, "documents")  # noqa: E731
+    emb = lambda: _load(spark, base, "embeddings")  # noqa: E731
+    qids = [0, 101, 202, 303, 404]
+
+    def chain_pairs():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source").orderBy("doc_id")
+        return (
+            docs()
+            .select("doc_id", "source")
+            .withColumn("prev", F.lag("doc_id").over(w))
+            .filter(F.col("prev").isNotNull())
+            .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+        )
+
+    def incremental():
+        base_sigs = D.lsh_signature_table(
+            docs().filter(F.col("doc_id") % 5 != 0), "doc_id", "text"
+        )
+        new_sigs = D.lsh_signature_table(
+            docs().filter(F.col("doc_id") % 5 == 0), "doc_id", "text"
+        )
+        return D.incremental_lsh_pairs(base_sigs, new_sigs, 0.5)
+
+    return {
+        "exact_dedup": lambda: D.exact_dedup(docs(), "text", "doc_id"),
+        "jaccard_pairs": lambda: D.jaccard_pairs(docs(), "doc_id", "text", 0.5),
+        "minhash_lsh_pairs": lambda: D.minhash_lsh_pairs(docs(), "doc_id", "text", 0.5),
+        "incremental_lsh": incremental,
+        "simhash_pairs": lambda: D.simhash_pairs(docs(), "doc_id", "text"),
+        "components_chain": lambda: connected_components(chain_pairs()),
+        "brute_force_topk": lambda: S.brute_force_topk(emb(), qids),
+        "lsh_topk": lambda: S.lsh_topk(emb(), qids),
+        "ivf_topk": lambda: S.ivf_topk(emb(), qids),
+        "stratified_sample": lambda: smp.deterministic_sample(
+            docs().select("doc_id"), "doc_id", 0.1
+        ),
+    }
+
+
+def main() -> None:
+    spark = get_spark("scale-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--skip-build" not in sys.argv:
+        build_synth(spark)
+    # warm-up
+    _load(spark, X1_DIR, "documents").count()
+    _load(spark, SYNTH_DIR, "documents").count()
+
+    results = {}
+    for base, tag in [(X1_DIR, "x1"), (SYNTH_DIR, "x10")]:
+        for name, fn in cases(spark, base).items():
+            t0 = time.perf_counter()
+            n = fn().count()
+            dt = time.perf_counter() - t0
+            results.setdefault(name, {})[tag] = {"sec": round(dt, 2), "rows": n}
+            # operators persist intermediates; free them so one case's
+            # cache never skews the next case's timing
+            spark.catalog.clearCache()
+
+    print("\n| operator | x1 sec | x10 sec | ratio | x1 rows | x10 rows |")
+    print("|---|---|---|---|---|---|")
+    for name, r in results.items():
+        ratio = r["x10"]["sec"] / max(r["x1"]["sec"], 1e-9)
+        print(
+            f"| {name} | {r['x1']['sec']} | {r['x10']['sec']} | "
+            f"{ratio:.1f}x | {r['x1']['rows']} | {r['x10']['rows']} |"
+        )
+    print(json.dumps({"scale_audit": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    # Convergence detector: labels are per-node min-monotone (each round
+    # can only lower them), so the fixpoint is reached exactly when the
+    # GLOBAL label sum stops changing — one cheap aggregate per round on
+    # the already-checkpointed labels, replacing the old-vs-new join
+    # that used to cost a full extra shuffle each round.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+
     converged = False
     for _ in range(max_iter):
         # (a) neighbor relaxation: min label over incident edges
@@ -88,18 +95,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             )
             .localCheckpoint(eager=True)  # truncate the plan BEFORE comparing
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()  # checkpoint blocks of the superseded round
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     edges.unpersist()
     if not converged:
         raise RuntimeError(

@@ -121,6 +121,9 @@ def jaccard_pairs(
     # spills rather than OOMs; a 100 TB corpus would persist this to a
     # staged table instead.
     sh = _shingle_index(df, id_col, text_col, n).persist()
+    sh.count()  # materialize BEFORE fan-out: AQE runs the self-join's
+    #             branches concurrently, and an unfilled cache is
+    #             recomputed by every racing branch (scale-audit find)
     inv = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
@@ -186,8 +189,25 @@ def lsh_signature_table(
     without recomputing it — see incremental_lsh_pairs."""
     b = k // rows_per_band
     base = _shingle_index(df, id_col, text_col, n)
-    sig = base.select("id", "sh", shingle_hashes(F.col("sh")).alias("hs")).select(
-        "id", "sh", *minhash_signature_cols(F.col("hs"), k)
+    # Signature via explode + hash-aggregate, NOT per-permutation array
+    # lambdas: higher-order functions evaluate interpreted (outside
+    # whole-stage codegen), so k x |sh| lambda evals per doc dominated
+    # the 10x scale audit (38s for 50k docs). Exploding to (id, h) rows
+    # and taking k min() aggregates keeps all arithmetic inside codegen
+    # with map-side partial aggregation; the one added shuffle carries
+    # k+1 longs per doc after combine — nothing against the text scan.
+    # Docs whose shingle set is EMPTY vanish in the explode and reappear
+    # via the left join with NULL minhashes (same values array_min gave).
+    ex = base.select("id", F.explode("sh").alias("s")).select(
+        "id", F.pmod(F.xxhash64("s"), F.lit(MINHASH_PRIME)).alias("h")
+    )
+    sig = ex.groupBy("id").agg(
+        *[
+            F.min(
+                F.pmod(F.lit(a) * F.col("h") + F.lit(bb), F.lit(MINHASH_PRIME))
+            ).alias(f"mh_{i}")
+            for i, (a, bb) in enumerate(MINHASH_COEFFS[:k])
+        ]
     )
     band_hashes = F.array(
         *[
@@ -195,7 +215,7 @@ def lsh_signature_table(
             for band in range(b)
         ]
     )
-    return sig.select("id", "sh", band_hashes.alias("bands"))
+    return base.join(sig, "id", "left").select("id", "sh", band_hashes.alias("bands"))
 
 
 def _verified_pairs(cand_ids: DataFrame, sigs: DataFrame, threshold: float) -> DataFrame:
@@ -240,6 +260,7 @@ def minhash_lsh_pairs(
     the documented LSH approximation. Returns (id_a, id_b, jaccard).
     """
     sigs = lsh_signature_table(df, id_col, text_col, n, k, rows_per_band).persist()
+    sigs.count()  # materialize BEFORE fan-out (see jaccard_pairs note)
     buckets = sigs.select("id", F.posexplode("bands").alias("band", "bucket"))
     L, R = buckets.alias("l"), buckets.alias("r")
     cand_ids = (
@@ -281,6 +302,7 @@ def incremental_lsh_pairs(
         .unionByName(new_sigs.withColumn("is_new", F.lit(True)))
         .persist()
     )
+    all_sigs.count()  # materialize BEFORE fan-out (see jaccard_pairs note)
     ab = all_sigs.select("id", F.posexplode("bands").alias("band", "bucket"))
     nb = all_sigs.filter(F.col("is_new")).select(
         "id", F.posexplode("bands").alias("band", "bucket")
@@ -341,12 +363,34 @@ def simhash_pairs(
     Pigeonhole blocking: split the 64-bit simhash into 4 16-bit chunks;
     any pair within distance 3 must agree exactly on >= 1 chunk, so we
     shuffle on (chunk_index, chunk_value) instead of cross-joining, then
-    verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
-    base = (
+    verify with bit_count(xor). Returns (id_a, id_b, hamming).
+
+    The signature is computed via explode + 64 codegen'd sum aggregates,
+    not the simhash64() per-bit HOF folds: higher-order lambdas evaluate
+    interpreted, and 64 x |tokens| interpreted evals per doc was the
+    scale-audit bottleneck (the two paths are value-identical — pinned
+    by a test)."""
+    ex = (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), token_hashes(text_col).alias("th"))
-        .select("id", simhash64(F.col("th")).alias("sim"))
+        .select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
+        .select("id", F.xxhash64("t").alias("h"))
     )
+    bitsum = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b_{i}")
+            for i in range(64)
+        ]
+    )
+    word = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        word = word + F.when(F.col(f"b_{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    base = bitsum.select("id", word.alias("sim"))
     chunks = F.array(
         *[
             F.shiftright(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("long")

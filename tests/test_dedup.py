@@ -115,3 +115,38 @@ def test_connected_components_deep_chain(spark):
     ).repartition(8)
     got = {r.id: r.component for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(201)}
+
+
+def test_simhash_columnar_equals_hof_path(spark):
+    """simhash_pairs computes signatures via explode + 64 codegen'd sum
+    aggregates (the scale-audit fix); the reference expression is the
+    per-bit HOF fold simhash64. Both must produce the identical 64-bit
+    word for every doc."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    hof = docs.select(
+        "doc_id", D.simhash64(D.token_hashes("text")).alias("sim")
+    )
+    ex = docs.select("doc_id", F.explode(D.tokens("text")).alias("t")).select(
+        "doc_id", F.xxhash64("t").alias("h")
+    )
+    bitsum = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b_{i}")
+            for i in range(64)
+        ]
+    )
+    word = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        word = word + F.when(
+            F.col(f"b_{i}") > 0, F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    col = bitsum.select("doc_id", word.alias("sim"))
+    h = {r.doc_id: r.sim for r in hof.collect()}
+    c = {r.doc_id: r.sim for r in col.collect()}
+    assert h == c
