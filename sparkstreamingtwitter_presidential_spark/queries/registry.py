@@ -55,6 +55,12 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # Long-green trivial parity/sweep/setop queries cede their slots (they
 # stay fully covered by tests/test_queries_oracle.py, which checks ALL
 # registered oracles, not just the first 50).
+#
+# Rotation policy (round 3): every oracled query must appear in SOME
+# round's graded window. GRADED_HISTORY below records each past round's
+# window; tests/test_queries_oracle.py asserts cumulative coverage, so a
+# newly-oracled query that never enters the window is a hard test
+# failure, not silent debt (round-2 verdict finding).
 GRADED_FIRST: list[str] = [
     "flagship_event_type_counts",
     "tpch_q1_pricing_summary",
@@ -68,17 +74,14 @@ GRADED_FIRST: list[str] = [
     "tpch_q19_disjunctive_predicates",
     "join_broadcast_dims",
     "join_full_outer_nation_coverage",
-    "cross_join_region_pairs",
     "asof_join_last_purchase",
     "range_join_close_events",
     "window_topk_orders_per_customer",
     "window_running_sum_quantity",
     "window_lag_order_gap_days",
     "window_ranking_functions",
-    "rollup_lineitem_status",
     "cube_orders_status_priority",
     "grouping_sets_orders",
-    "pivot_returnflag_by_linestatus",
     "unpivot_customer_balances",
     "percentiles_order_totalprice",
     "subquery_above_nation_avg",
@@ -106,7 +109,69 @@ GRADED_FIRST: list[str] = [
     "streaming_tumbling_windows",
     "streaming_sliding_windows",
     "streaming_session_windows",
+    "text_pii_scrub",
+    "sample_documents_stratified",
+    "streaming_dedup_exact",
 ]
+
+# Graded window of each completed round (keys of CORRECTNESS_r{N}.json).
+# Round 1 predates GRADED_FIRST: its window was plain registration order.
+GRADED_HISTORY: dict[int, list[str]] = {
+    1: [
+        "flagship_event_type_counts", "a2_global_count", "p2_projection",
+        "f2_not_null_filter", "f1_lang_prefix_filter", "l1_limit",
+        "a4_groupby_count", "s2_clean_text", "s4_timestamp_format",
+        "s5_collector_rows", "tpch_q1_pricing_summary",
+        "join_broadcast_dims", "tpch_q3_shipping_priority",
+        "join_semi_customers_with_orders",
+        "join_anti_customers_without_orders",
+        "join_left_outer_order_counts", "sort_top_orders",
+        "setop_union_nations", "setop_intersect_nations",
+        "setop_except_nations", "distinct_agg_parts_per_supplier",
+        "window_topk_orders_per_customer", "window_running_sum_quantity",
+        "window_lag_order_gap_days", "rollup_lineitem_status",
+        "cube_orders_status_priority", "pivot_returnflag_by_linestatus",
+        "events_json_extract", "events_hourly_tumbling",
+        "asof_join_last_purchase", "tpch_q6_forecast_revenue",
+        "tpch_q5_local_supplier_volume", "unpivot_customer_balances",
+        "percentiles_order_totalprice", "subquery_above_nation_avg",
+        "having_high_volume_suppliers", "sessionize_batch_lag_cumsum",
+        "salted_groupby_count_parts", "approx_sketches",
+        "window_ranking_functions", "grouping_sets_orders",
+        "lateral_explode_embedding_dims", "events_from_json_struct",
+        "sample_events_seeded", "range_join_close_events",
+        "sweep_string_functions", "sweep_date_functions",
+        "sweep_conditional_null_functions", "sweep_array_functions",
+        "join_full_outer_nation_coverage",
+    ],
+    2: [
+        "flagship_event_type_counts", "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority", "tpch_q4_late_orders",
+        "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+        "tpch_q10_returned_item_revenue", "tpch_q14_promo_revenue_share",
+        "tpch_q18_large_volume_customers",
+        "tpch_q19_disjunctive_predicates", "join_broadcast_dims",
+        "join_full_outer_nation_coverage", "cross_join_region_pairs",
+        "asof_join_last_purchase", "range_join_close_events",
+        "window_topk_orders_per_customer", "window_running_sum_quantity",
+        "window_lag_order_gap_days", "window_ranking_functions",
+        "rollup_lineitem_status", "cube_orders_status_priority",
+        "grouping_sets_orders", "pivot_returnflag_by_linestatus",
+        "unpivot_customer_balances", "percentiles_order_totalprice",
+        "subquery_above_nation_avg", "having_high_volume_suppliers",
+        "sessionize_batch_lag_cumsum", "salted_groupby_count_parts",
+        "lateral_explode_embedding_dims", "events_json_extract",
+        "events_from_json_struct", "events_hourly_tumbling",
+        "text_token_counts", "text_lang_id", "text_quality_scores",
+        "text_fingerprints", "text_corpus_profile_by_source",
+        "dedup_exact", "dedup_ngram_jaccard_pairs",
+        "dedup_minhash_lsh_pairs", "dedup_embedding_top_pairs",
+        "dedup_components", "dedup_components_chain", "dedup_incremental",
+        "sim_bruteforce_topk", "sim_lsh_topk",
+        "streaming_tumbling_windows", "streaming_sliding_windows",
+        "streaming_session_windows",
+    ],
+}
 
 
 def load_all() -> dict[str, Query]:

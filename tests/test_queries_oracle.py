@@ -62,3 +62,22 @@ def test_graded_window_is_full_and_oracled():
     assert names[:50] == GRADED_FIRST
     missing_oracle = [n for n in names[:50] if n not in os_]
     assert not missing_oracle, f"rows-only queries in graded window: {missing_oracle}"
+
+
+def test_every_oracled_query_has_been_graded():
+    """Cumulative driver coverage: every oracled query must appear in the
+    CURRENT graded window or a past round's window (GRADED_HISTORY) — a
+    never-graded oracled query is unverified-by-driver debt (round-2
+    verdict finding #1). New oracled queries must be rotated into
+    GRADED_FIRST before (or in the round) they ship."""
+    import __spark_entry__ as e
+    from sparkstreamingtwitter_presidential_spark.queries.registry import (
+        GRADED_FIRST,
+        GRADED_HISTORY,
+    )
+
+    ever_graded = set(GRADED_FIRST)
+    for window in GRADED_HISTORY.values():
+        ever_graded.update(window)
+    never = sorted(set(e.oracle_sql()) - ever_graded)
+    assert not never, f"oracled queries never in any graded window: {never}"
