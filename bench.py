@@ -9,6 +9,12 @@ exactly ONE JSON line:
 Each query is forced with count() (full pipeline execution without
 driver-side materialization of wide results). Session startup and a
 warm-up action are excluded from timings.
+
+Each query runs ``SPARK_GRAFT_BENCH_REPEATS`` times (default 3) and the
+MINIMUM is reported: round-2's driver run showed ~2x head-of-run
+inflation on the first few queries (JIT/classloading warmup) that a
+single timed pass cannot distinguish from a plan regression. Min-of-3
+makes the number a property of the plan, not of run order.
 """
 
 from __future__ import annotations
@@ -26,6 +32,7 @@ from sparkstreamingtwitter_presidential_spark.queries import load_all  # noqa: E
 from sparkstreamingtwitter_presidential_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
 #: Headline set: one per operator family (scan/agg, joins, windows,
 #: set-ops-free sort, JSON, event-time windows, text stats, dedup x3,
@@ -76,9 +83,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        t0 = time.perf_counter()
-        q.fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     out = {
         "metric": "headline_total_sec",

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -35,15 +36,29 @@ def milestone_counter(events: DataFrame, emit_every: int = 50) -> DataFrame:
         # deterministic prefix sums (batches themselves arrive in
         # event-time order from the range-partitioned replay source).
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        out = []
-        for v in batch["value"]:
-            count += 1
-            value_sum += float(v)
-            if count % emit_every == 0:
-                out.append((user_id, count, round(value_sum, 2)))
-        state.update((count, value_sum))
-        if out:
-            yield pd.DataFrame(out, columns=["user_id", "milestone", "total_value"])
+        if len(batch) == 0:
+            state.update((count, value_sum))
+            return
+        # Vectorized prefix sums over the whole key-batch: a hot user's
+        # batch costs O(n) numpy ops, never a Python-level per-row loop.
+        # Seeding the cumsum with the carried state keeps the exact
+        # left-to-right FP association of per-row accumulation.
+        counts = count + np.arange(1, len(batch) + 1, dtype=np.int64)
+        vals = batch["value"].astype("float64").to_numpy()
+        sums = np.cumsum(np.concatenate(([value_sum], vals)))[1:]
+        mask = counts % emit_every == 0
+        state.update((int(counts[-1]), float(sums[-1])))
+        if mask.any():
+            # Cross-engine rounding rule (DESIGN.md): floor(x*100+0.5)/100,
+            # never Python round() (banker's) / Spark round() (HALF_UP).
+            totals = np.floor(sums[mask] * 100.0 + 0.5) / 100.0
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(int(mask.sum()), user_id, dtype=np.int64),
+                    "milestone": counts[mask],
+                    "total_value": totals,
+                }
+            )
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,

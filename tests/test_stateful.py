@@ -37,13 +37,15 @@ def test_milestones_match_batch_rule(spark):
     }
     assert rows == want and len(want) > 0
 
-    # exact value check for one milestone: first EMIT_EVERY events by ts
+    # exact value check for one milestone: first EMIT_EVERY events by ts,
+    # rounded with the repo's cross-engine floor rule (DESIGN.md), which
+    # the operator uses instead of HALF_UP round().
     uid = next(iter(counts))
     first = (
         ev.filter(F.col("user_id") == uid)
         .orderBy("ts")
         .limit(EMIT_EVERY)
-        .agg(F.round(F.sum("value"), 2))
+        .agg(F.floor(F.sum("value") * 100.0 + 0.5) / 100.0)
         .collect()[0][0]
     )
     got_first = {
