@@ -82,7 +82,6 @@ GRADED_FIRST: list[str] = [
     "window_ranking_functions",
     "cube_orders_status_priority",
     "grouping_sets_orders",
-    "unpivot_customer_balances",
     "percentiles_order_totalprice",
     "subquery_above_nation_avg",
     "having_high_volume_suppliers",
@@ -112,6 +111,7 @@ GRADED_FIRST: list[str] = [
     "text_pii_scrub",
     "sample_documents_stratified",
     "streaming_dedup_exact",
+    "streaming_stream_join",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

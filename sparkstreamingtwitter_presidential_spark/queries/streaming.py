@@ -30,6 +30,7 @@ from sparkstreamingtwitter_presidential_spark.streaming import (
     run_bounded_collector,
     session_aggregate,
     sliding_aggregate,
+    stream_stream_join,
     streaming_exact_dedup,
     tumbling_aggregate,
 )
@@ -200,6 +201,72 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_exact_dedup(stream, ["event_id"])
     out = _run_to_memory(deduped, mode="append")
     return out.select("event_id", "user_id", "event_type", "value")
+
+
+def _staged_enrichment(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per sf_dir per process) a late-arriving enrichment
+    stream derived deterministically from events: 2 of every 3 events
+    gain an enrichment record delayed by ``event_id % 240`` seconds
+    (within-watermark lateness a producer-side annotator would show; the
+    remaining third stays unmatched so outer joins have NULL rows to
+    emit). Deterministic derivation is what lets the DuckDB oracle
+    reconstruct the right side from the events table."""
+    from sparkstreamingtwitter_presidential_spark.io import load_table
+
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_enr_v1_{key}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        enr = (
+            load_table(spark, sf_dir, "events")
+            .where("event_id % 3 <> 0")
+            .selectExpr(
+                "event_id",
+                "timestampadd(SECOND, CAST(event_id % 240 AS INT), ts) AS enr_ts",
+                "concat('enr:', event_type) AS label",
+                "CAST(event_id % 240 AS BIGINT) AS delay_s",
+            )
+        )
+        stage_ts_ordered(enr, out, n_files=4, ts_col="enr_ts")
+    return out
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, e.value,
+               x.label, x.delay_s
+        FROM events e
+        JOIN (
+            SELECT event_id,
+                   ts + (event_id % 240) * INTERVAL 1 SECOND AS enr_ts,
+                   'enr:' || event_type AS label,
+                   CAST(event_id % 240 AS BIGINT) AS delay_s
+            FROM events WHERE event_id % 3 <> 0
+        ) x
+          ON e.event_id = x.event_id
+         AND x.enr_ts >= e.ts
+         AND x.enr_ts <= e.ts + INTERVAL 30 MINUTE
+    """,
+    doc=(
+        "NEW: watermarked stream-stream inner join — events replay ⋈ "
+        "late-arriving enrichment replay (both watermarked, 30 min time "
+        "bound); inner pairs emit as soon as both arrive, so the drained "
+        "stream equals the batch join the oracle reconstructs"
+    ),
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = read_events_stream(spark, _staged(spark, sf_dir))
+    right = read_events_stream(spark, _staged_enrichment(spark, sf_dir))
+    joined = stream_stream_join(
+        left, right, on="event_id", left_ts="ts", right_ts="enr_ts",
+        within="30 minutes", how="inner",
+    )
+    out = _run_to_memory(
+        joined.select("event_id", "user_id", "event_type", "value", "label", "delay_s"),
+        mode="append",
+    )
+    return out
 
 
 @query(

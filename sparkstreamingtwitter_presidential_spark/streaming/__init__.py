@@ -1,5 +1,6 @@
 from sparkstreamingtwitter_presidential_spark.streaming.collector import run_bounded_collector
 from sparkstreamingtwitter_presidential_spark.streaming.dedup import streaming_exact_dedup
+from sparkstreamingtwitter_presidential_spark.streaming.joins import stream_stream_join
 from sparkstreamingtwitter_presidential_spark.streaming.windows import (
     session_aggregate,
     sliding_aggregate,
@@ -10,6 +11,7 @@ __all__ = [
     "run_bounded_collector",
     "session_aggregate",
     "sliding_aggregate",
+    "stream_stream_join",
     "streaming_exact_dedup",
     "tumbling_aggregate",
 ]
