@@ -33,11 +33,15 @@ accumulated in double, bit-identical to DuckDB's list_cosine_similarity
 on DOUBLE[] (verified empirically on the fixtures).
 
 Scale notes: brute-force scoring is a broadcast nested loop — fine for
-O(10) queries, but the per-query ranking uses a window over the scored
-rows; at a real 100 TB corpus, swap the window for per-partition
-partial top-k + global merge, or use the LSH path. Hyperplanes are
-deterministic module constants (seed 7), so signatures are reproducible
-across runs and engines.
+O(10) queries. Its ranking is a PARTIAL top-k (Arrow-batched per-batch
+head-k via mapInPandas) followed by a global per-query merge window, so
+only ~k rows per query survive each scan batch and the shuffle into the
+merge is O(k x partitions x queries), never O(|corpus| x queries) — a
+single hot per-query task over all scored rows would be the 100x scale
+killer. LSH/IVF rankings keep a plain window: their candidate sets are
+already bucket-pruned small. Hyperplanes are deterministic module
+constants (seed 7), so signatures are reproducible across runs and
+engines.
 """
 
 from __future__ import annotations
@@ -80,6 +84,35 @@ def lsh_bucket(vec: Column) -> Column:
     return out
 
 
+def _partial_then_merge_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k per query over a (query_id, vec_id, cos_sim)
+    DataFrame: per-Arrow-batch head-k (same ordering as the final rank,
+    so any global top-k row survives its own batch — the standard
+    partial-top-k argument), then a global merge window over the tiny
+    survivor set. The merge input is bounded by k x batches x queries
+    regardless of corpus size."""
+    import pandas as pd  # noqa: F401 — Arrow batch type
+
+    def head_k(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["cos_sim", "vec_id"], ascending=[False, True]
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+    partial = scored.mapInPandas(head_k, schema=scored.schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     query_ids: list[int],
@@ -90,7 +123,8 @@ def brute_force_topk(
     """Exact cosine top-k neighbors for each query vector (self excluded).
 
     The query set is broadcast (it is tiny by construction); the corpus
-    is scanned exactly once. Returns (query_id, vec_id, cos_sim, rank).
+    is scanned exactly once and ranked via partial top-k + merge (see
+    _partial_then_merge_topk). Returns (query_id, vec_id, cos_sim, rank).
     """
     base = corpus.filter(F.col(vec_col).isNotNull())
     q = base.filter(F.col(id_col).isin(query_ids)).select(
@@ -109,11 +143,7 @@ def brute_force_topk(
             (F.floor(sim * 10000.0 + F.lit(0.5)) / 10000.0).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _partial_then_merge_topk(scored, k)
 
 
 def ivf_index(
@@ -202,6 +232,12 @@ def ivf_topk(
     """
     centroids, assigned = ivf_index(corpus, id_col, vec_col, n_cells, seed)
     assigned = assigned.persist()
+    assigned.count()  # materialize BEFORE fan-out: the query-side filter
+    #                   and the cell join race under AQE, and an unfilled
+    #                   cache is recomputed by every racing branch (same
+    #                   fix as dedup.jaccard_pairs; blocks are released by
+    #                   the ContextCleaner once the result's lineage is
+    #                   collected — same lifecycle as every persist here)
     q = (
         assigned.filter(F.col("vec_id").isin(query_ids))
         .withColumn(

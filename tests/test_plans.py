@@ -63,6 +63,20 @@ def test_ivf_probe_broadcasts_query_side(spark):
     assert "CartesianProduct" not in a.text
 
 
+def test_bruteforce_topk_partial_before_merge(spark):
+    """Brute-force similarity must rank via per-batch partial top-k
+    (MapInPandas) BEFORE the per-query merge window — a window directly
+    over the scored cross-join would funnel |corpus| rows into one task
+    per query at scale. The partial stage must sit below the window's
+    shuffle in the plan."""
+    a = _audit(spark, "sim_bruteforce_topk")
+    assert "MapInPandas" in a.text, "partial top-k stage missing"
+    # the window (RunningWindowFunction/Window) must consume the partial
+    # output: MapInPandas appears in the subtree under the window sort
+    head, _, tail = a.text.partition("Window")
+    assert "MapInPandas" in tail, "window does not consume the partial top-k"
+
+
 def test_incremental_dedup_reads_signature_cache(spark):
     """All three consumers of the unioned signature table (bucket
     explode x2 + verification) must read the persisted copy, not
