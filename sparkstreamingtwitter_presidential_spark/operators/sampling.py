@@ -29,7 +29,13 @@ HASH_MOD = 1 << 31
 
 
 def sample_hash(id_col: Column | str) -> Column:
-    """Deterministic uniform hash of an integer id in [0, 2^31)."""
+    """Deterministic uniform hash of an integer id in [0, 2^31).
+
+    Mod semantics: Spark's pmod is always non-negative, while SQL ``%``
+    takes the dividend's sign — an oracle/twin on another engine must
+    use the pmod-equivalent form ``((x % m) + m) % m`` (as the registered
+    DuckDB oracles do) so selection agrees for ALL int64 ids, negative
+    included — never bare ``%``."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return F.pmod(c.cast("long") * F.lit(HASH_MULT), F.lit(HASH_MOD))
 

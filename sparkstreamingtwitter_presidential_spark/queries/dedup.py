@@ -186,6 +186,15 @@ def dedup_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental",
+    # ORACLE RECALL CAVEAT (r2 advice): the Spark side is probabilistic
+    # 16x2-band MinHash-LSH; the oracle is EXACT brute-force Jaccard. At
+    # the 0.5 threshold LSH recalls a candidate pair w.p. 1-(1-j^2)^16
+    # (~0.99 at j=0.5), and on the CURRENT fixture every qualifying pair
+    # happens to be recalled, so they agree exactly. If the fixture or
+    # the MinHash coefficients ever change, a qualifying pair can
+    # legitimately miss (~1% per pair near j=0.5) — re-verify that the
+    # planted near-dup pairs all sit well above the threshold, or
+    # restrict this oracle to LSH-recallable pairs before re-grading.
     oracle=f"""
         SELECT * FROM ({_DUCK_JACCARD_PAIRS})
         WHERE id_a % 5 = 0 OR id_b % 5 = 0

@@ -64,7 +64,14 @@ def _run_to_memory(stream_agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Drain a bounded streaming aggregation into a memory sink and
     return the result table. State partitioning is pinned to
     STREAM_STATE_PARTITIONS for the lifetime of the run (the setting is
-    only read at query start; restored after the drain)."""
+    only read at query start; restored after the drain).
+
+    SINGLE-THREADED by assumption (r2 advice): the pin temporarily
+    mutates the session-global spark.sql.shuffle.partitions, so a query
+    started concurrently on another thread would observe or clobber the
+    wrong value. The driver contract and tests run queries sequentially;
+    a concurrent harness must clone the session first
+    (spark.newSession() shares the context but isolates SQL conf)."""
     spark = stream_agg.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -210,8 +210,12 @@ def _duck_mix_threshold() -> str:
 @query(
     "sample_documents_stratified",
     oracle=f"""
+        -- pmod-equivalent ((x % m) + m) % m: DuckDB's % takes the
+        -- dividend's sign while Spark's pmod is non-negative; this form
+        -- agrees for ALL int64 ids, negative included (advice r2)
         SELECT doc_id, source FROM documents
-        WHERE (doc_id * 2654435761) % 2147483648 < ({_duck_mix_threshold()})
+        WHERE (((doc_id * 2654435761) % 2147483648) + 2147483648) % 2147483648
+              < ({_duck_mix_threshold()})
     """,
     doc=(
         "NEW: deterministic dataset mixing — per-source keep rates via "

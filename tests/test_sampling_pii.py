@@ -46,6 +46,28 @@ def test_sample_is_deterministic_and_partition_independent(spark):
     assert a == b and 0 < len(a) < 5000
 
 
+def test_sample_hash_matches_duckdb_for_negative_ids(spark):
+    """Spark pmod vs SQL %: the oracle's pmod-equivalent form
+    ((x % m) + m) % m must select the exact same rows for ALL int64 ids,
+    negative included (r2 advice — bare % takes the dividend's sign in
+    DuckDB and silently diverges)."""
+    import duckdb
+
+    ids = list(range(-500, 500))
+    d = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id for r in smp.deterministic_sample(d, "doc_id", 0.3).collect()}
+    thr = smp.rate_threshold(0.3)
+    want = {
+        r[0]
+        for r in duckdb.sql(
+            "SELECT i FROM (SELECT unnest(range(-500, 500)) AS i) "
+            f"WHERE (((i * {smp.HASH_MULT}) % {smp.HASH_MOD}) + {smp.HASH_MOD})"
+            f" % {smp.HASH_MOD} < {thr}"
+        ).fetchall()
+    }
+    assert got == want and 0 < len(got) < len(ids)
+
+
 def test_subset_rates_nest(spark):
     """Lower rates select subsets of higher rates (same hash, smaller
     threshold) — so shrinking a mix never introduces unseen rows."""
