@@ -13,16 +13,22 @@ from sparkstreamingtwitter_presidential_spark.queries.registry import query
 @query(
     "multimodal_byte_features",
     oracle=None,
-    doc="binary payload -> length/entropy/16-bin byte histogram via mapInPandas",
+    doc=(
+        "REAL decode path: BMP/PPM/WAV payloads (pure-numpy codecs) -> "
+        "decoded-content entropy/16-bin histogram via mapInPandas"
+    ),
 )
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.extract_features(M.make_synthetic_media(spark, sf_dir))
+    return M.extract_features(M.make_real_media(spark, sf_dir), decode_backend="real")
 
 
 @query(
     "multimodal_frame_samples",
     oracle=None,
-    doc="video payload -> 4 deterministic frame slices per media item",
+    doc=(
+        "REAL decode path: BMP-stream video payloads -> 4 complete, "
+        "individually-decodable BMP frames per item"
+    ),
 )
 def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.sample_frames(M.make_synthetic_media(spark, sf_dir), n_frames=4)
+    return M.sample_frames(M.make_real_media(spark, sf_dir), n_frames=4, decode_backend="real")
