@@ -108,3 +108,49 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             f"connected_components did not converge in {max_iter} rounds"
         )
     return labels
+
+
+def merge_components(labels: DataFrame, new_pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Incrementally fold ``new_pairs`` into an existing labeling:
+    returns (id, component) equal to a FULL recompute over
+    old_graph + new_pairs — without touching the old graph's edges.
+
+    How: each existing component collapses to one super-node (its label
+    — valid because labels are min-reachable ids, so the label of a
+    merged group of components is the min of their labels, and new
+    nodes contribute their own ids). New pairs are mapped through the
+    labeling to representatives, self-loops (pairs internal to one old
+    component) drop out, and the pointer-jumping core runs on the
+    REDUCED graph only — cost ∝ components touched by new edges + new
+    nodes, not |old graph|. Untouched components pass through by a
+    left-join coalesce, unshuffled beyond the one relabel join.
+
+    At 100 TB this is the companion to incremental_lsh_pairs
+    (operators/dedup.py): the persisted labeling is corpus state, each
+    ingest batch contributes its LSH pairs, and clustering cost tracks
+    the batch, never the corpus.
+    """
+    la = labels.select(F.col("id").alias("id_a"), F.col("component").alias("rep_a"))
+    lb = labels.select(F.col("id").alias("id_b"), F.col("component").alias("rep_b"))
+    reduced_edges = (
+        new_pairs.select("id_a", "id_b")
+        .join(la, "id_a", "left")
+        .join(lb, "id_b", "left")
+        .select(
+            F.coalesce("rep_a", "id_a").alias("id_a"),
+            F.coalesce("rep_b", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    reduced = connected_components(reduced_edges, max_iter)
+    red = reduced.select(F.col("id").alias("rep"), F.col("component").alias("newc"))
+    relabeled_old = (
+        labels.join(F.broadcast(red), labels.component == red.rep, "left")
+        .select("id", F.coalesce("newc", "component").alias("component"))
+    )
+    # Nodes introduced by the new pairs (their representative is their
+    # own id, so they appear in the reduced labeling directly).
+    new_nodes = reduced.join(labels.select("id"), "id", "left_anti").select(
+        "id", "component"
+    )
+    return relabeled_old.unionByName(new_nodes)

@@ -185,6 +185,56 @@ def dedup_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components_merge",
+    oracle="""
+        WITH RECURSIVE chain AS (
+            SELECT doc_id,
+                   lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev
+            FROM documents
+        ),
+        edges AS (
+            SELECT prev AS u, doc_id AS v FROM chain WHERE prev IS NOT NULL
+            UNION
+            SELECT doc_id, prev FROM chain WHERE prev IS NOT NULL
+        ),
+        reach(id, label) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+        )
+        SELECT id, min(label) AS component FROM reach GROUP BY id
+    """,
+    doc=(
+        "incremental clustering: the per-source chain graph arrives in "
+        "two installments — edges avoiding doc_id%7=3 nodes are labeled "
+        "first, then merge_components folds in the edges touching those "
+        "nodes (cost ∝ touched components). Oracle = recursive-CTE "
+        "closure of the FULL graph: merge must equal full recompute"
+    ),
+)
+def dedup_components_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtwitter_presidential_spark.operators.components import (
+        connected_components,
+        merge_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        d.select("doc_id", "source")
+        .withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    is_new = (F.col("id_a") % 7 == 3) | (F.col("id_b") % 7 == 3)
+    base_labels = connected_components(pairs.filter(~is_new))
+    return merge_components(base_labels, pairs.filter(is_new))
+
+
+@query(
     "dedup_incremental",
     # ORACLE RECALL CAVEAT (r2 advice): the Spark side is probabilistic
     # 16x2-band MinHash-LSH; the oracle is EXACT brute-force Jaccard. At

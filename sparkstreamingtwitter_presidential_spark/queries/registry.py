@@ -81,7 +81,6 @@ GRADED_FIRST: list[str] = [
     "window_lag_order_gap_days",
     "window_ranking_functions",
     "cube_orders_status_priority",
-    "grouping_sets_orders",
     "percentiles_order_totalprice",
     "subquery_above_nation_avg",
     "having_high_volume_suppliers",
@@ -102,6 +101,7 @@ GRADED_FIRST: list[str] = [
     "dedup_embedding_top_pairs",
     "dedup_components",
     "dedup_components_chain",
+    "dedup_components_merge",
     "dedup_incremental",
     "sim_bruteforce_topk",
     "sim_lsh_topk",

@@ -117,6 +117,49 @@ def test_connected_components_deep_chain(spark):
     assert got == {i: 0 for i in range(201)}
 
 
+def test_merge_components_equals_full_recompute(spark):
+    """merge_components(labels(old), new) == connected_components(all)
+    on a randomized graph whose new edges (a) bridge previously separate
+    components, (b) extend chains, and (c) introduce brand-new nodes."""
+    import random
+
+    from sparkstreamingtwitter_presidential_spark.operators.components import (
+        connected_components,
+        merge_components,
+    )
+
+    rng = random.Random(13)
+    all_edges = {(rng.randrange(60), rng.randrange(60)) for _ in range(80)}
+    all_edges |= {(100, 101), (101, 102), (102, 0)}  # new nodes + a bridge
+    all_edges = [(a, b) for a, b in all_edges if a != b]
+    rng.shuffle(all_edges)
+    old, new = all_edges[: len(all_edges) // 2], all_edges[len(all_edges) // 2 :]
+
+    to_df = lambda e: spark.createDataFrame(e, "id_a long, id_b long")  # noqa: E731
+    full = {r.id: r.component for r in connected_components(to_df(all_edges)).collect()}
+    base = connected_components(to_df(old))
+    merged = {r.id: r.component for r in merge_components(base, to_df(new)).collect()}
+    assert merged == full and len(full) > 0
+
+
+def test_merge_components_untouched_passthrough_and_no_new_edges(spark):
+    """Components untouched by new edges keep their labels verbatim;
+    an all-internal new batch (every new pair inside one existing
+    component) is a no-op."""
+    from sparkstreamingtwitter_presidential_spark.operators.components import (
+        connected_components,
+        merge_components,
+    )
+
+    old = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    base = connected_components(old)
+    internal = spark.createDataFrame([(0, 2)], "id_a long, id_b long")
+    got = {r.id: r.component for r in merge_components(base, internal).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_simhash_columnar_equals_hof_path(spark):
     """simhash_pairs computes signatures via explode + 64 codegen'd sum
     aggregates (the scale-audit fix); the reference expression is the
