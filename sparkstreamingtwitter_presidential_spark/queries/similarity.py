@@ -99,14 +99,50 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, TOP_K)
 
 
+#: Minimum acceptable IVF recall vs exact brute force on the fixtures.
+#: Measured (seed 7, n_cells=16, n_probe=8): 0.90 at sf0.001/sf0.01
+#: (500-vector corpus), 0.84 at sf0.1 (2000) — these GENERAL query ids
+#: sit near the unclustered regime the operator docstring describes, so
+#: the floor is 0.8 with margin; the >=0.9 planted-near-dup contract
+#: stays pinned in tests/test_similarity.py. A real quantizer/probe
+#: regression craters recall far below this, so the gate still bites.
+IVF_MIN_RECALL = 0.8
+IVF_N_PROBE = 8
+
+
 @query(
     "sim_ivf_topk",
     oracle=None,  # KMeans quantizer is iterative/seeded — no SQL twin;
-    #               quality pinned by tests/test_similarity.py recall bound
+    #               recall vs brute force is verified IN-QUERY instead
     doc=(
-        "NEW: IVF ANN top-10 — KMeans(16) coarse quantizer, 4-cell probe, "
-        "exact cosine re-rank; the data-adaptive alternative to sign-LSH"
+        "NEW: IVF ANN top-10 — KMeans(16) coarse quantizer, 8-cell probe, "
+        "exact cosine re-rank, the data-adaptive alternative to sign-LSH. "
+        "Emits hits-vs-brute-force per row and RAISES below 0.8 recall, "
+        "so the driver's rows-only check still carries quality signal"
     ),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.ivf_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, TOP_K)
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = S.ivf_topk(emb, QUERY_IDS, TOP_K, n_probe=IVF_N_PROBE)
+    exact = S.brute_force_topk(emb, QUERY_IDS, TOP_K).select(
+        "query_id", "vec_id", F.lit(True).alias("in_exact_topk")
+    )
+    out = (
+        ivf.join(exact, ["query_id", "vec_id"], "left")
+        .withColumn("in_exact_topk", F.coalesce("in_exact_topk", F.lit(False)))
+    )
+    # The verification aggregate is a deliberate driver-side scalar (this
+    # is a QUALITY-GATED query; the exact twin costs one extra corpus
+    # scan, same as the pytest recall check it replaces in the window).
+    hits, total = out.agg(
+        F.sum(F.col("in_exact_topk").cast("long")), F.count("*")
+    ).collect()[0]
+    recall = hits / total if total else 0.0
+    if recall < IVF_MIN_RECALL:
+        raise RuntimeError(
+            f"IVF recall {recall:.3f} < {IVF_MIN_RECALL} vs brute force "
+            f"({hits}/{total} of exact top-{TOP_K} recovered)"
+        )
+    return out

@@ -27,6 +27,20 @@ def test_kmeans_centroids_and_coverage(spark):
     assert pred.select("prediction").distinct().count() <= K
 
 
+def test_kmeans_cluster_sizes_golden(spark):
+    """Exact cluster-size histogram under the pinned seed on the
+    sf0.001 documents fixture (identical at sf0.01 — the table doesn't
+    scale below sf0.1). A drift here means the featurization, hashing,
+    or KMeans seed path changed — a hard red, not a determinism shrug.
+    (Golden values computed 2026-08-13, pyspark 4.1.2.)"""
+    _, pred = cluster_documents(spark, SF_DIR)
+    got = {
+        r.prediction: r.n_docs
+        for r in pred.groupBy("prediction").agg(F.count("*").alias("n_docs")).collect()
+    }
+    assert got == {0: 23, 1: 94, 2: 59, 3: 25, 4: 97, 5: 49, 6: 20, 7: 63, 8: 58, 9: 12}
+
+
 def test_kmeans_deterministic_under_seed(spark):
     _, p1 = cluster_documents(spark, SF_DIR)
     _, p2 = cluster_documents(spark, SF_DIR)
