@@ -1,0 +1,37 @@
+"""Rot-proofing for scripts/scale_audit.py (r2 verdict: the script was
+wired into nothing, so an operator-signature change could silently break
+it). Builds every audit case lazily against the small fixture — plan
+construction alone catches API drift — and executes the two cheapest
+ones end-to-end."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _load_audit_module():
+    path = os.path.join(REPO_ROOT, "scripts", "scale_audit.py")
+    spec = importlib.util.spec_from_file_location("scale_audit", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_audit_cases_build_and_cheap_ones_run(spark):
+    audit = _load_audit_module()
+    cs = audit.cases(spark, SF_DIR)
+    # full case list pinned: a new heavy operator should be added here
+    assert set(cs) == {
+        "exact_dedup", "jaccard_pairs", "minhash_lsh_pairs",
+        "incremental_lsh", "simhash_pairs", "components_chain",
+        "brute_force_topk", "lsh_topk", "ivf_topk", "stratified_sample",
+    }
+    for name, fn in cs.items():
+        df = fn()  # lazy plan construction — catches signature drift
+        assert df.columns, name
+    assert cs["stratified_sample"]().count() > 0
+    assert cs["exact_dedup"]().count() > 0
