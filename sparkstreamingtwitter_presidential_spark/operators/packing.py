@@ -1,0 +1,102 @@
+"""Sequence packing: assign documents to fixed-token-budget bins — the
+step between a curated corpus and a training run (pack documents into
+~budget-token training sequences with minimal padding).
+
+This is GREEDY SEQUENTIAL packing: documents are taken in a
+deterministic order (doc_id within each group) and a document starts a
+new bin when it would overflow the budget. That is the streaming/
+distributed-friendly variant — optimal bin packing is NP-hard and
+order-dependent heuristics (first-fit-decreasing) need a global sort +
+sequential state, which turns into a single-task bottleneck at scale.
+Sequential packing is one window cumsum per group, deterministic,
+engine-portable, and what large training-data pipelines actually run.
+
+Bin boundary rule (exactly expressible in SQL, so the DuckDB oracle is
+EXACT): a document with cumulative token count c (inclusive) and length
+t belongs to bin floor((c - t) / budget) — i.e. bins are budget-sized
+intervals of the EXCLUSIVE prefix sum. Documents longer than the budget
+occupy their own bin(s) boundary-wise rather than erroring: at 100 TB
+you filter or chunk oversized docs upstream (token_chunks below).
+
+Scale: one shuffle per group column (window partition); state is the
+running sum — no driver involvement, no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.functions.text_stats import ws_token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, doc_id, n_tokens, bin_id, bin_offset): greedy sequential
+    packing of each group's documents (doc_id order) into bins of
+    ``budget`` whitespace tokens. bin_offset is the document's token
+    start position within its bin."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        ws_token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    # exclusive prefix sum: tokens BEFORE this document in its group
+    start = F.coalesce(
+        F.sum("n_tokens").over(
+            Window.partitionBy("grp")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return toks.select(
+        "grp",
+        "doc_id",
+        "n_tokens",
+        F.floor(start / budget).cast("long").alias("bin_id"),
+        (start % budget).cast("long").alias("bin_offset"),
+    )
+
+
+def token_chunks(
+    docs: DataFrame,
+    chunk_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into ``chunk_tokens``-sized
+    chunks: (doc_id, chunk_index, chunk_text). The upstream companion to
+    pack_sequences for documents longer than the budget. One generate
+    off a materialized token array — map-only, no shuffle."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    # The GENERATOR INPUT is the cheap sequence(0, n-1); the token array
+    # rides along as a plain projected column — only generator inputs
+    # get re-evaluated per output row (round-2 Generate-inlining trap).
+    n_chunks = F.ceil(F.size("toks") / F.lit(chunk_tokens)).cast("int")
+    return toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+    ).select(
+        "doc_id",
+        "chunk_index",
+        F.array_join(
+            F.slice(
+                F.col("toks"), F.col("chunk_index") * chunk_tokens + 1, chunk_tokens
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )

@@ -1,0 +1,135 @@
+r"""Training-data assembly queries: sequence packing, token chunking,
+and BM25 keyword search over the documents table.
+
+These are the "last mile" of an LLM data pipeline (reference has no
+analogue — its surface stops at collection, `Collector.scala:71`; these
+extend SURVEY.md §2's LLM-pipeline block): after curation/dedup you
+chunk oversized documents, pack the rest into fixed-token-budget
+training sequences, and use keyword search to slice/inspect the corpus.
+
+Every query here has an EXACT DuckDB twin:
+  * packing is integer window-cumsum arithmetic (engine-portable by
+    construction; the window sum is CAST AS BIGINT against the DuckDB
+    HUGEINT repr trap),
+  * chunking is the same regex split + 1-based slice in both engines,
+  * BM25 writes the same literal arithmetic shape in both engines
+    (constant folding then produces bit-identical doubles) and floors
+    scores on the 1e-4 grid (DESIGN.md cross-engine float rule) to
+    absorb libm ln() last-ulp differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkstreamingtwitter_presidential_spark.io import load_table
+from sparkstreamingtwitter_presidential_spark.operators.packing import (
+    pack_sequences,
+    token_chunks,
+)
+from sparkstreamingtwitter_presidential_spark.operators.search import (
+    BM25_B,
+    BM25_K1,
+    bm25_topk,
+)
+from sparkstreamingtwitter_presidential_spark.queries.registry import query
+
+PACK_BUDGET = 128  # ~2.4 docs/bin at the fixtures' ~54 ws-tokens/doc
+CHUNK_TOKENS = 16
+BM25_TERMS = ["spark", "vector", "window"]
+BM25_K = 10
+
+
+@query(
+    "pack_documents_by_source",
+    oracle=f"""
+        WITH t AS (
+          SELECT source AS grp, doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+          FROM documents WHERE text IS NOT NULL
+        ), c AS (
+          SELECT grp, doc_id, n_tokens,
+                 COALESCE(CAST(SUM(n_tokens) OVER (
+                     PARTITION BY grp ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS BIGINT), 0) AS start
+          FROM t
+        )
+        SELECT grp, doc_id, n_tokens,
+               start // {PACK_BUDGET} AS bin_id,
+               start % {PACK_BUDGET} AS bin_offset
+        FROM c
+    """,
+    doc="greedy sequential packing of documents into "
+    f"{PACK_BUDGET}-token training bins per source",
+)
+def pack_documents_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=PACK_BUDGET)
+
+
+@query(
+    "chunk_documents_tokens",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, i AS chunk_index,
+               array_to_string(
+                 list_slice(toks, i * {CHUNK_TOKENS} + 1,
+                            i * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' '
+               ) AS chunk_text
+        FROM t, UNNEST(generate_series(
+            0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS INT) - 1)) AS u(i)
+    """,
+    doc=f"split each document into {CHUNK_TOKENS}-token chunks "
+    "(upstream companion to packing for oversized docs)",
+)
+def chunk_documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return token_chunks(d, chunk_tokens=CHUNK_TOKENS)
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(BM25_TERMS))
+    # Literal arithmetic SHAPE matches operators/search.py exactly:
+    # (k1 + 1) and (1 - b) fold to the same doubles in both engines.
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ), corpus AS (
+          SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM d
+        ), post AS (
+          SELECT doc_id, len(toks) AS dl, term, COUNT(*) AS tf
+          FROM d, UNNEST(toks) AS u(term)
+          WHERE term IN ({terms})
+          GROUP BY doc_id, dl, term
+        ), dfq AS (
+          SELECT term, COUNT(*) AS df FROM post GROUP BY term
+        )
+        SELECT p.doc_id,
+               COUNT(*) AS n_terms_hit,
+               FLOOR(SUM(
+                 LN(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+                 (tf * ({BM25_K1} + 1)) /
+                 (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+               ) * 10000.0 + 0.5) / 10000.0 AS score
+        FROM post p JOIN dfq USING (term) CROSS JOIN corpus
+        GROUP BY p.doc_id
+        ORDER BY score DESC, p.doc_id
+        LIMIT {BM25_K}
+    """
+
+
+@query(
+    "search_bm25_topk",
+    oracle=_bm25_oracle(),
+    doc=f"BM25 top-{BM25_K} keyword search for {BM25_TERMS} over documents",
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, BM25_TERMS, k=BM25_K)

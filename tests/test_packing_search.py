@@ -1,0 +1,122 @@
+"""Operator-level contracts for sequence packing, token chunking, and
+BM25 search (the driver oracles prove cross-engine equality; these pin
+the semantic promises on hand-computable fixtures)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sparkstreamingtwitter_presidential_spark.operators.packing import (
+    pack_sequences,
+    token_chunks,
+)
+from sparkstreamingtwitter_presidential_spark.operators.search import (
+    BM25_B,
+    BM25_K1,
+    bm25_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_pack_golden(spark):
+    """Hand-packed: budget 10, tokens [5, 5, 5] -> bins [0, 0, 1] with
+    offsets [0, 5, 0]; an oversized doc straddles bins boundary-wise."""
+    d = _docs(
+        spark,
+        [
+            (0, "a", "t t t t t"),
+            (1, "a", "t t t t t"),
+            (2, "a", "t t t t t"),
+            # 12 tokens: starts at cumsum 15 -> bin 1, offset 5
+            (3, "a", " ".join(["t"] * 12)),
+            # next doc starts at 27 -> bin 2, offset 7
+            (4, "a", "t t"),
+            (5, "b", "t"),  # separate group restarts at bin 0
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"], r["n_tokens"])
+        for r in pack_sequences(d, budget=10).collect()
+    }
+    assert got == {
+        0: (0, 0, 5),
+        1: (0, 5, 5),
+        2: (1, 0, 5),
+        3: (1, 5, 12),
+        4: (2, 7, 2),
+        5: (0, 0, 1),
+    }
+
+
+def test_pack_rejects_bad_budget(spark):
+    d = _docs(spark, [(0, "a", "t")])
+    with pytest.raises(ValueError):
+        pack_sequences(d, budget=0)
+
+
+def test_chunks_golden_and_reassembly(spark):
+    """5 tokens at chunk size 2 -> ['a b', 'c d', 'e']; joining chunks
+    in order reproduces the whitespace-normalized document."""
+    d = _docs(spark, [(0, "a", "a b c d e"), (1, "a", "x"), (2, "a", "p q")])
+    rows = token_chunks(d, chunk_tokens=2).collect()
+    by_doc: dict[int, list[tuple[int, str]]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_index"], r["chunk_text"]))
+    chunks = {k: [t for _, t in sorted(v)] for k, v in by_doc.items()}
+    assert chunks == {0: ["a b", "c d", "e"], 1: ["x"], 2: ["p q"]}
+    assert " ".join(chunks[0]) == "a b c d e"
+
+
+def test_bm25_golden(spark):
+    """3-doc corpus, query {'cat'}: score computed by hand with the same
+    formula; the doc mentioning 'cat' twice in fewer tokens ranks first."""
+    d = _docs(
+        spark,
+        [
+            (0, "a", "cat cat dog"),  # tf=2, dl=3
+            (1, "a", "cat dog bird fish mouse"),  # tf=1, dl=5
+            (2, "a", "dog bird"),  # no hit
+        ],
+    )
+    got = [
+        (r["doc_id"], r["n_terms_hit"], r["score"])
+        for r in bm25_topk(d, ["cat"], k=5).collect()
+    ]
+    n_docs, avgdl = 3, (3 + 5 + 2) / 3  # avgdl spans the whole corpus
+    idf = math.log(1 + (n_docs - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf, dl):
+        raw = idf * (tf * (BM25_K1 + 1)) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+        )
+        return math.floor(raw * 10000.0 + 0.5) / 10000.0
+
+    assert got == [(0, 1, score(2, 3)), (1, 1, score(1, 5))]
+    assert got[0][2] > got[1][2]
+
+
+def test_bm25_multi_term_and_absent_term(spark):
+    """n_terms_hit counts distinct matched query terms; a vocabulary
+    term absent from the corpus contributes nothing (no NaN/inf)."""
+    d = _docs(
+        spark,
+        [
+            (0, "a", "cat dog"),
+            (1, "a", "cat cat cat"),
+            (2, "a", "fish"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["score"])
+        for r in bm25_topk(d, ["cat", "dog", "unicorn"], k=5).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0][0] == 2 and got[1][0] == 1
+    assert all(math.isfinite(s) for _, s in got.values())
+    # two matched terms beat one repeated term here (tf saturation)
+    assert got[0][1] > got[1][1]
