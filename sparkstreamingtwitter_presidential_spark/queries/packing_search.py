@@ -21,6 +21,7 @@ Every query here has an EXACT DuckDB twin:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sparkstreamingtwitter_presidential_spark.io import load_table
 from sparkstreamingtwitter_presidential_spark.operators.packing import (
@@ -133,3 +134,93 @@ def _bm25_oracle() -> str:
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return bm25_topk(d, BM25_TERMS, k=BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline: the composition a real training-data run
+# executes — quality + language gate, exact dedup, then packing — as ONE
+# declarative plan (Catalyst fuses the gates into the scan; the only
+# shuffles are the dedup groupBy and the pack window, both on real keys).
+# ---------------------------------------------------------------------------
+
+QUALITY_MIN = 0.5
+PIPELINE_LANG = "en"
+
+
+def _pipeline_oracle() -> str:
+    from sparkstreamingtwitter_presidential_spark.functions.text_stats import LANG_STOPWORDS
+    from sparkstreamingtwitter_presidential_spark.queries.text_stats import (
+        _DUCK_HITS,
+        _DUCK_PUNCT_HITS,
+        _DUCK_WS,
+    )
+
+    quality = f"""
+        floor((0.5 * least(1.0, {_DUCK_WS} / 64.0)
+            + 0.3 * least(1.0, 4.0 * (CASE WHEN {_DUCK_WS} > 0
+                  THEN {_DUCK_HITS['en']}::DOUBLE / {_DUCK_WS} ELSE 0 END))
+            + 0.2 * (1.0 - least(1.0, 4.0 * (CASE WHEN length(text) > 0
+                  THEN {_DUCK_PUNCT_HITS}::DOUBLE / length(text) ELSE 0 END))))
+              * 10000.0 + 0.5) / 10000.0
+    """
+    best = "greatest({})".format(
+        ", ".join(_DUCK_HITS[lang] for lang in LANG_STOPWORDS)
+    )
+    whens = "\n".join(
+        f"WHEN {_DUCK_HITS[lang]} = best THEN '{lang}'" for lang in LANG_STOPWORDS
+    )
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, source, text, {quality} AS q, {best} AS best
+          FROM documents WHERE text IS NOT NULL
+        ), kept AS (
+          SELECT doc_id, source, text FROM scored
+          WHERE q >= {QUALITY_MIN} AND best > 0
+            AND (CASE {whens} END) = '{PIPELINE_LANG}'
+        ), canon AS (
+          SELECT doc_id, source, text FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS keeper
+            FROM kept) WHERE doc_id = keeper
+        ), t AS (
+          SELECT source AS grp, doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+          FROM canon
+        ), c AS (
+          SELECT grp, doc_id, n_tokens,
+                 COALESCE(CAST(SUM(n_tokens) OVER (
+                     PARTITION BY grp ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS BIGINT), 0) AS start
+          FROM t
+        )
+        SELECT grp, doc_id, n_tokens,
+               start // {PACK_BUDGET} AS bin_id,
+               start % {PACK_BUDGET} AS bin_offset
+        FROM c
+    """
+
+
+@query(
+    "pipeline_curate_pack",
+    oracle=_pipeline_oracle(),
+    doc="end-to-end curation: quality>=0.5 + en-only gate, exact dedup "
+    f"(min doc_id per text), greedy {PACK_BUDGET}-token packing",
+)
+def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sparkstreamingtwitter_presidential_spark.functions import text_stats as ts
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    kept = d.filter(
+        (ts.quality_score("text") >= QUALITY_MIN)
+        & (ts.lang_id("text") == PIPELINE_LANG)
+    )
+    canon = (
+        kept.withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy("text"))
+        )
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "source", "text")
+    )
+    return pack_sequences(canon, budget=PACK_BUDGET)

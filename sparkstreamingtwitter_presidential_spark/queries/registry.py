@@ -83,7 +83,6 @@ GRADED_FIRST: list[str] = [
     "subquery_above_nation_avg",
     "sessionize_batch_lag_cumsum",
     "salted_groupby_count_parts",
-    "lateral_explode_embedding_dims",
     "events_json_extract",
     "events_from_json_struct",
     "events_hourly_tumbling",
@@ -116,6 +115,8 @@ GRADED_FIRST: list[str] = [
     "pack_documents_by_source",
     "chunk_documents_tokens",
     "search_bm25_topk",
+    # (also ceded for r3 newcomers: lateral_explode_embedding_dims)
+    "pipeline_curate_pack",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).
