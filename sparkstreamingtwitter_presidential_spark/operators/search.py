@@ -88,7 +88,14 @@ def bm25_topk(
         F.count("*").alias("n_docs"),
         F.avg(F.size(tokenize(F.col(text_col)))).alias("avgdl"),
     )
-    hits = post.filter(F.col("term").isin(terms))
+    # The isin() filter is pushed below the posting groupBy by Catalyst,
+    # so `hits` is tiny (query-vocab postings only) — but it fans out to
+    # two consumers (df aggregation + scoring join). Persist-and-
+    # materialize before the fan-out or each branch re-runs the full
+    # corpus scan + explode + aggregate (measured repo pattern; blocks
+    # are released by the ContextCleaner with the result's lineage).
+    hits = post.filter(F.col("term").isin(terms)).persist()
+    hits.count()
     df_ = hits.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0)

@@ -83,3 +83,36 @@ def test_incremental_dedup_reads_signature_cache(spark):
     recompute the MinHash pipeline (the 58s->3s round-2 fix)."""
     a = _audit(spark, "dedup_incremental")
     assert a.text.count("InMemoryTableScan") >= 3
+
+
+def test_pack_single_shuffle_pruned_scan(spark):
+    """Packing is ONE window shuffle on the group key over a pruned
+    scan (doc_id, text, source only) with the null filter pushed down."""
+    a = _audit(spark, "pack_documents_by_source")
+    assert a.n_exchanges == 1
+    assert any("IsNotNull(text)" in f for f in a.pushed_filters)
+    assert a.read_schemas and "n_chars" not in a.read_schemas[0]
+
+
+def test_pipeline_two_shuffles_gates_fused(spark):
+    """The full curation pipeline (gate -> dedup -> pack) must stay at
+    two shuffles (dedup window on text, pack window on source); the
+    quality/lang gates fuse into the scan stage, never a shuffle."""
+    a = _audit(spark, "pipeline_curate_pack")
+    assert a.n_exchanges == 2
+    assert any("IsNotNull(text)" in f for f in a.pushed_filters)
+
+
+def test_bm25_caches_postings_and_broadcasts_stats(spark):
+    """BM25: the query-vocab posting table fans out to the df aggregate
+    and the scoring join — both must read the persisted copy (ONE parquet
+    scan for postings; corpus stats is the only other scan). df and
+    corpus stats must broadcast; the corpus never enters a shuffle join."""
+    a = _audit(spark, "search_bm25_topk")
+    # Both posting consumers hit the cache. (InMemoryRelation prints its
+    # stored lineage including the original FileScan, so counting "Scan
+    # parquet" overcounts — count the cache reads instead.)
+    assert a.text.count("InMemoryTableScan") == 2
+    assert a.n_broadcast_joins >= 1
+    assert a.n_sortmerge_joins == 0
+    assert a.has_take_ordered
