@@ -84,7 +84,6 @@ GRADED_FIRST: list[str] = [
     "sessionize_batch_lag_cumsum",
     "salted_groupby_count_parts",
     "events_json_extract",
-    "events_from_json_struct",
     "events_hourly_tumbling",
     "text_token_counts",
     "text_lang_id",
@@ -115,8 +114,10 @@ GRADED_FIRST: list[str] = [
     "pack_documents_by_source",
     "chunk_documents_tokens",
     "search_bm25_topk",
-    # (also ceded for r3 newcomers: lateral_explode_embedding_dims)
+    # (also ceded for r3 newcomers: lateral_explode_embedding_dims,
+    # events_from_json_struct)
     "pipeline_curate_pack",
+    "lakehouse_delta_events_agg",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).
@@ -201,6 +202,7 @@ def load_all() -> dict[str, Query]:
         "sparkstreamingtwitter_presidential_spark.queries.ml",
         "sparkstreamingtwitter_presidential_spark.queries.multimodal",
         "sparkstreamingtwitter_presidential_spark.queries.packing_search",
+        "sparkstreamingtwitter_presidential_spark.queries.lakehouse",
     ]
     for m in modules:
         try:

@@ -1,0 +1,373 @@
+"""Minimal native Delta Lake reader/writer over the PUBLIC transaction-
+log protocol (delta.io PROTOCOL.md) — no jars, no external deps.
+
+The container lacks the delta-spark jar (`sources/lakehouse.py` probes
+and raises), but the Delta *protocol* is just files: a `_delta_log/`
+directory of ordered JSON commits (and optional parquet checkpoints)
+whose `add`/`remove` actions name the live parquet data files. Replaying
+that log needs only the filesystem and JSON; the data files are plain
+parquet Spark already reads. So this module implements the real thing:
+
+  read_delta(spark, path, version=None)   snapshot (with time travel)
+  write_delta(df, path, mode=...)         append / overwrite commits
+  delta_history(path)                     commit metadata per version
+
+Protocol coverage (reader version 1, writer version 2 — the classic
+protocol): JSON commits, parquet checkpoints + `_last_checkpoint`,
+`metaData.schemaString` (Spark JSON schema — applied, so reads are
+schema-stable even over evolving files), partition columns (values live
+in the log, NOT the data files), `remove` tombstones, time travel by
+version. Tables requiring reader features beyond that (deletion
+vectors, column mapping — `protocol.minReaderVersion > 1`) raise
+NotImplementedError naming the feature rather than returning wrong rows.
+
+Commit atomicity uses O_CREAT|O_EXCL on the next `%020d.json`, the
+protocol's put-if-absent primitive: correct on POSIX / HDFS-like stores;
+on S3-style object stores real deployments interpose a commit
+coordinator (documented limitation, same as open-source delta-rs).
+
+Scale notes: log replay is O(#actions since checkpoint) driver-side
+metadata work — the same cost the real Delta client pays; data stays
+distributed (one `spark.read.parquet` per partition-value group, since
+partition values are log metadata, not file content). Statistics-based
+file skipping (per-file min/max) is the one read-path optimization not
+implemented; filters still prune via parquet row-group stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+import uuid
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_delta_log"
+_LAST_CHECKPOINT = "_last_checkpoint"
+MAX_SUPPORTED_READER_VERSION = 1
+
+
+def _log_path(table_path: str) -> str:
+    return os.path.join(table_path, _LOG_DIR)
+
+
+def _version_of(fname: str, suffix: str) -> int | None:
+    stem = fname[: -len(suffix)]
+    if fname.endswith(suffix) and len(stem) == 20 and stem.isdigit():
+        return int(stem)
+    return None
+
+
+@dataclass
+class _Snapshot:
+    version: int = -1
+    schema: StructType | None = None
+    partition_columns: list[str] = field(default_factory=list)
+    # path -> add action dict (the live file set)
+    files: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+
+def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
+    if "protocol" in action:
+        v = action["protocol"].get("minReaderVersion", 1)
+        if v > MAX_SUPPORTED_READER_VERSION:
+            feats = action["protocol"].get("readerFeatures", [])
+            raise NotImplementedError(
+                f"table requires reader protocol {v} "
+                f"(features {feats}); this native reader supports "
+                f"version {MAX_SUPPORTED_READER_VERSION}"
+            )
+    elif "metaData" in action:
+        md = action["metaData"]
+        snap.schema = StructType.fromJson(json.loads(md["schemaString"]))
+        snap.partition_columns = list(md.get("partitionColumns", []))
+    elif "add" in action:
+        a = action["add"]
+        if a.get("deletionVector"):
+            raise NotImplementedError(
+                "file carries a deletion vector; not supported by this "
+                "native reader"
+            )
+        snap.files[a["path"]] = a
+    elif "remove" in action:
+        snap.files.pop(action["remove"]["path"], None)
+
+
+def _checkpoint_actions(cp_file: str) -> list[dict[str, Any]]:
+    """Read a classic single-file parquet checkpoint via pyarrow (no
+    JVM needed for metadata): one row per action, struct columns."""
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(cp_file).to_pylist()
+    out = []
+    for row in rows:
+        for key in ("protocol", "metaData", "add", "remove"):
+            if row.get(key) is not None:
+                out.append({key: row[key]})
+    return out
+
+
+def _replay_log(table_path: str, version: int | None) -> _Snapshot:
+    log_dir = _log_path(table_path)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {table_path}")
+    names = os.listdir(log_dir)
+    commits = {
+        v: n for n in names if (v := _version_of(n, ".json")) is not None
+    }
+    checkpoints = {
+        v: n
+        for n in names
+        if (v := _version_of(n, ".checkpoint.parquet")) is not None
+    }
+
+    snap = _Snapshot()
+    start = 0
+    # A checkpoint collapses every commit <= its version; prefer the
+    # newest one at-or-below the requested version.
+    usable = [v for v in checkpoints if version is None or v <= version]
+    if usable:
+        cp_v = max(usable)
+        for action in _checkpoint_actions(os.path.join(log_dir, checkpoints[cp_v])):
+            _apply_action(snap, action)
+        snap.version = cp_v
+        start = cp_v + 1
+
+    todo = sorted(v for v in commits if v >= start)
+    if version is not None:
+        if version not in commits and not (usable and version <= snap.version):
+            raise ValueError(
+                f"version {version} does not exist for table {table_path}"
+            )
+        todo = [v for v in todo if v <= version]
+    for v in todo:
+        with open(os.path.join(log_dir, commits[v])) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    _apply_action(snap, json.loads(line))
+        snap.version = v
+    if snap.version < 0:
+        raise FileNotFoundError(f"empty Delta log: {table_path}")
+    if snap.schema is None:
+        raise ValueError(f"Delta log has no metaData action: {table_path}")
+    return snap
+
+
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read of a Delta table (optionally a past ``version``).
+
+    Data columns come from the parquet files under the log's declared
+    schema; partition columns are injected from the log's
+    ``partitionValues`` (cast to the declared types) — one parquet read
+    per distinct partition tuple, unioned.
+    """
+    snap = _replay_log(path, version)
+    schema = snap.schema
+    assert schema is not None
+    data_fields = [f for f in schema.fields if f.name not in snap.partition_columns]
+    data_schema = StructType(data_fields)
+    part_types = {
+        f.name: f.dataType for f in schema.fields if f.name in snap.partition_columns
+    }
+
+    if not snap.files:
+        return spark.createDataFrame([], schema)
+
+    def _file(p: str) -> str:
+        return os.path.join(path, urllib.parse.unquote(p))
+
+    if not snap.partition_columns:
+        return spark.read.schema(data_schema).parquet(
+            *[_file(p) for p in sorted(snap.files)]
+        )
+
+    groups: dict[tuple, list[str]] = {}
+    for p, a in snap.files.items():
+        pv = a.get("partitionValues", {})
+        key = tuple(pv.get(c) for c in snap.partition_columns)
+        groups.setdefault(key, []).append(_file(p))
+    parts = []
+    for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+        df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        for col, val in zip(snap.partition_columns, key):
+            # Protocol: partition values serialize as strings; NULL is
+            # the JSON null. Cast back to the declared type.
+            lit = F.lit(val).cast(part_types[col])
+            df = df.withColumn(col, lit)
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    return reduce(DataFrame.unionByName, parts)
+
+
+def table_version(path: str) -> int:
+    """Latest committed version of the table."""
+    return _replay_log(path, None).version
+
+
+def delta_history(path: str) -> list[dict[str, Any]]:
+    """commitInfo (plus version) for each JSON commit, newest first."""
+    log_dir = _log_path(path)
+    out = []
+    for n in sorted(os.listdir(log_dir), reverse=True):
+        v = _version_of(n, ".json")
+        if v is None:
+            continue
+        info: dict[str, Any] = {"version": v}
+        with open(os.path.join(log_dir, n)) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        info.update(action["commitInfo"])
+        out.append(info)
+    return out
+
+
+def _stage_files(
+    df: DataFrame, table_path: str, partition_by: list[str]
+) -> list[dict[str, Any]]:
+    """Write df's parquet under the table root (via a scratch dir →
+    rename, so half-written files never look live) and return add
+    actions. Partition values are recovered from the key=value dirs the
+    partitioned write produces."""
+    scratch = os.path.join(table_path, f".tmp-{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(scratch)
+    adds = []
+    now = int(time.time() * 1000)
+    for root, _dirs, files in os.walk(scratch):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            src = os.path.join(root, fn)
+            rel_dir = os.path.relpath(root, scratch)
+            pv: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pv[k] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(v)
+                    )
+            new_name = f"part-{uuid.uuid4().hex}.parquet"
+            rel_path = (
+                os.path.join(rel_dir, new_name) if rel_dir != "." else new_name
+            )
+            dst = os.path.join(table_path, rel_path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel_path.replace(os.sep, "/"),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(dst),
+                        "modificationTime": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    return adds
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit df to a Delta table at ``path``; returns the new version.
+
+    ``mode``: 'append' adds files; 'overwrite' also tombstones every
+    previously-live file. First commit (version 0) writes protocol +
+    metaData. Commit uses O_CREAT|O_EXCL put-if-absent with retry, so
+    two local writers cannot claim the same version.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    partition_by = list(partition_by or [])
+    log_dir = _log_path(path)
+    os.makedirs(log_dir, exist_ok=True)
+
+    existing: _Snapshot | None
+    try:
+        existing = _replay_log(path, None)
+    except FileNotFoundError:
+        existing = None
+    if existing is not None:
+        if partition_by and partition_by != existing.partition_columns:
+            raise ValueError(
+                f"partition_by {partition_by} != table's "
+                f"{existing.partition_columns}"
+            )
+        partition_by = existing.partition_columns
+
+    actions: list[dict[str, Any]] = []
+    version = 0 if existing is None else existing.version + 1
+    if existing is None:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": int(time.time() * 1000),
+                }
+            }
+        )
+    if mode == "overwrite" and existing is not None:
+        now = int(time.time() * 1000)
+        actions.extend(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+            for p in sorted(existing.files)
+        )
+    actions.extend(_stage_files(df, path, partition_by))
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode},
+                "engineInfo": "sparkstreamingtwitter-presidential-spark native-delta",
+            }
+        }
+    )
+
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+    while True:
+        commit_file = os.path.join(log_dir, f"{version:020d}.json")
+        try:
+            fd = os.open(commit_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            version += 1  # lost the race; data files are already safe
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(payload + "\n")
+        return version

@@ -1,10 +1,12 @@
-"""Lakehouse-format connectors (Delta / Iceberg / Hudi) — stubbed.
+"""Lakehouse-format connectors (Delta / Iceberg / Hudi).
 
-The table-format jars are not on this container's classpath, so these
-raise a clear NotImplementedError naming the missing dependency (the
-repo-wide policy for absent native deps). The call signatures are the
-real ones: in an environment with the jars + catalog conf, each body is
-the standard one-liner shown in its docstring.
+Delta is REAL here even without the jar: `sources/delta.py` implements
+the public transaction-log protocol natively (JSON/checkpoint replay +
+plain parquet IO), so `read_lakehouse`/`write_lakehouse` fall back to
+it when `io.delta` is absent from the classpath. Iceberg and Hudi
+remain classpath probes that raise a clear NotImplementedError naming
+the missing jar (the repo-wide policy for absent native deps); their
+call signatures are the real ones.
 """
 
 from __future__ import annotations
@@ -37,11 +39,28 @@ def _require(fmt: str, spark: SparkSession) -> str:
 
 
 def read_lakehouse(spark: SparkSession, fmt: str, path: str) -> DataFrame:
-    """``spark.read.format(fmt).load(path)`` once the jar is present."""
-    return spark.read.format(_require(fmt, spark)).load(path)
+    """``spark.read.format(fmt).load(path)``; for delta without the
+    jar, the native log-replay reader (`sources/delta.py`)."""
+    try:
+        return spark.read.format(_require(fmt, spark)).load(path)
+    except NotImplementedError:
+        if fmt == "delta":
+            from sparkstreamingtwitter_presidential_spark.sources.delta import read_delta
+
+            return read_delta(spark, path)
+        raise
 
 
 def write_lakehouse(df: DataFrame, fmt: str, path: str, mode: str = "append") -> None:
-    """``df.write.format(fmt).mode(mode).save(path)`` once present."""
-    fmt_name = _require(fmt, df.sparkSession)
+    """``df.write.format(fmt).mode(mode).save(path)``; for delta
+    without the jar, the native log-commit writer."""
+    try:
+        fmt_name = _require(fmt, df.sparkSession)
+    except NotImplementedError:
+        if fmt == "delta":
+            from sparkstreamingtwitter_presidential_spark.sources.delta import write_delta
+
+            write_delta(df, path, mode=mode)
+            return
+        raise
     df.write.format(fmt_name).mode(mode).save(path)

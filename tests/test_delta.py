@@ -1,0 +1,179 @@
+"""Native Delta Lake connector tests: log replay, snapshot reads, time
+travel, partition recovery, overwrite tombstones, checkpoint handling,
+commit-race behavior, and protocol-version refusal."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sparkstreamingtwitter_presidential_spark.sources.delta import (
+    delta_history,
+    read_delta,
+    table_version,
+    write_delta,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp string, v double")
+
+
+def _rows(df):
+    return sorted((r["id"], r["grp"], r["v"]) for r in df.collect())
+
+
+def test_roundtrip_and_append(spark, tmp_path):
+    t = str(tmp_path / "t")
+    assert write_delta(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t) == 0
+    assert _rows(read_delta(spark, t)) == [(1, "a", 1.0), (2, "b", 2.0)]
+    assert write_delta(_df(spark, [(3, "a", 3.0)]), t) == 1
+    assert _rows(read_delta(spark, t)) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+        (3, "a", 3.0),
+    ]
+    assert table_version(t) == 1
+
+
+def test_overwrite_tombstones_previous_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), t)
+    write_delta(_df(spark, [(9, "z", 9.0)]), t, mode="overwrite")
+    assert _rows(read_delta(spark, t)) == [(9, "z", 9.0)]
+    # the old parquet is tombstoned in the log, not deleted from disk
+    log = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    actions = [json.loads(x) for x in open(log) if x.strip()]
+    assert any("remove" in a for a in actions)
+
+
+def test_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), t)
+    write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    write_delta(_df(spark, [(9, "z", 9.0)]), t, mode="overwrite")
+    assert _rows(read_delta(spark, t, version=0)) == [(1, "a", 1.0)]
+    assert _rows(read_delta(spark, t, version=1)) == [(1, "a", 1.0), (2, "b", 2.0)]
+    assert _rows(read_delta(spark, t)) == [(9, "z", 9.0)]
+    with pytest.raises(ValueError, match="version 7"):
+        read_delta(spark, t, version=7)
+
+
+def test_partitioned_write_recovers_values_and_types(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)])
+    write_delta(df, t, partition_by=["grp"])
+    got = read_delta(spark, t)
+    assert dict(got.dtypes)["grp"] == "string"
+    assert _rows(got) == [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)]
+    # appends inherit the table's partitioning; mismatch is rejected
+    with pytest.raises(ValueError, match="partition_by"):
+        write_delta(_df(spark, [(4, "c", 4.0)]), t, partition_by=["id"])
+    write_delta(_df(spark, [(4, "c", 4.0)]), t)
+    assert (4, "c", 4.0) in _rows(read_delta(spark, t))
+
+
+def test_history_records_operations(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), t)
+    write_delta(_df(spark, [(2, "b", 2.0)]), t, mode="overwrite")
+    hist = delta_history(t)
+    assert [h["version"] for h in hist] == [1, 0]
+    assert all(h["operation"] == "WRITE" for h in hist)
+    assert hist[0]["operationParameters"]["mode"] == "overwrite"
+
+
+def test_commit_race_bumps_version(spark, tmp_path):
+    """put-if-absent: if someone claims version N first, the writer
+    retries at N+1 instead of clobbering."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), t)
+    blocker = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    with open(blocker, "w") as f:
+        f.write(json.dumps({"commitInfo": {"operation": "SQUATTER"}}) + "\n")
+    v = write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    assert v == 2
+    assert (2, "b", 2.0) in _rows(read_delta(spark, t))
+
+
+def test_checkpoint_replaces_prior_commits(spark, tmp_path):
+    """Reader must bootstrap from a parquet checkpoint and only replay
+    JSON commits after it (the real protocol's log-compaction path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), t)
+    write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    log = os.path.join(t, "_delta_log")
+    # build the checkpoint from the live v1 state
+    actions = []
+    for n in sorted(os.listdir(log)):
+        if n.endswith(".json"):
+            actions += [json.loads(x) for x in open(os.path.join(log, n)) if x.strip()]
+    cols: dict[str, list] = {"protocol": [], "metaData": [], "add": [], "remove": []}
+    recs = [a for a in actions if any(k in a for k in cols)]
+    for a in recs:
+        # pyarrow cannot write empty-struct columns; these metaData
+        # fields are not consulted by the reader
+        if "metaData" in a:
+            a["metaData"].pop("configuration", None)
+            a["metaData"].pop("format", None)
+        if "add" in a and not a["add"].get("partitionValues"):
+            a["add"].pop("partitionValues", None)
+        for k in cols:
+            cols[k].append(a.get(k))
+    pq.write_table(
+        pa.table(cols), os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 1, "size": len(recs)}))
+    # delete the JSON commits the checkpoint subsumes
+    os.unlink(os.path.join(log, f"{0:020d}.json"))
+    os.unlink(os.path.join(log, f"{1:020d}.json"))
+    assert _rows(read_delta(spark, t)) == [(1, "a", 1.0), (2, "b", 2.0)]
+    # and commits after the checkpoint still apply on top
+    write_delta(_df(spark, [(3, "c", 3.0)]), t)
+    assert (3, "c", 3.0) in _rows(read_delta(spark, t))
+
+
+def test_unsupported_reader_protocol_refused(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), t)
+    log = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    with open(log, "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "readerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta(spark, t)
+
+
+def test_not_a_delta_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, str(tmp_path / "nope"))
+
+
+def test_lakehouse_facade_falls_back_to_native_delta(spark, tmp_path):
+    """Without the delta jar on the classpath, the generic facade must
+    route to the native implementation instead of raising."""
+    from sparkstreamingtwitter_presidential_spark.sources.lakehouse import (
+        read_lakehouse,
+        write_lakehouse,
+    )
+
+    t = str(tmp_path / "t")
+    write_lakehouse(_df(spark, [(1, "a", 1.0)]), "delta", t)
+    assert _rows(read_lakehouse(spark, "delta", t)) == [(1, "a", 1.0)]
+    with pytest.raises(NotImplementedError, match="iceberg"):
+        read_lakehouse(spark, "iceberg", t)

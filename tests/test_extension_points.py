@@ -1,6 +1,6 @@
 """Extension-point tests: the sanctioned pandas_udf shape, the builtin
-global z-score it's contrasted with, and the lakehouse stubs raising
-clearly without their jars."""
+global z-score it's contrasted with, and the lakehouse facade (delta
+routes to the native reader; iceberg/hudi raise clearly sans jars)."""
 
 from __future__ import annotations
 
@@ -34,7 +34,15 @@ def test_global_zscore_builtin_exact(spark):
     assert out.count() == c.count()
 
 
-@pytest.mark.parametrize("fmt", ["delta", "iceberg", "hudi"])
+@pytest.mark.parametrize("fmt", ["iceberg", "hudi"])
 def test_lakehouse_stub_raises_with_named_dep(spark, fmt):
     with pytest.raises(NotImplementedError, match=fmt):
         read_lakehouse(spark, fmt, "/tmp/nope")
+
+
+def test_lakehouse_delta_routes_to_native_reader(spark):
+    # delta no longer stubs: without the jar it falls back to the native
+    # log-replay reader, so a missing path is a table-level error, not a
+    # missing-dependency one (roundtrip covered in tests/test_delta.py)
+    with pytest.raises(FileNotFoundError):
+        read_lakehouse(spark, "delta", "/tmp/nope")
