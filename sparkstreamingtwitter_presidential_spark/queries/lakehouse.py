@@ -42,6 +42,70 @@ def _staged_events_delta(spark: SparkSession, sf_dir: str) -> str:
     return table
 
 
+def _streamed_events_delta(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the events file-replay stream through the exactly-once
+    Delta sink (streaming/delta_sink.py) once per sf_dir; the resulting
+    table is deterministic (full drain, append-only), so it is cached
+    under /tmp with the same unique-staging + atomic-rename pattern as
+    the batch staging above."""
+    from sparkstreamingtwitter_presidential_spark.queries.streaming import _staged
+    from sparkstreamingtwitter_presidential_spark.sources.replay import (
+        read_events_stream,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming import (
+        write_stream_to_delta,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    table = f"/tmp/ssp_delta_stream_{key}"
+    if not os.path.isdir(os.path.join(table, "_delta_log")):
+        scratch = f"{table}.staging-{uuid.uuid4().hex}"
+        stream = read_events_stream(spark, _staged(spark, sf_dir))
+        q = write_stream_to_delta(
+            stream,
+            os.path.join(scratch, "table"),
+            os.path.join(scratch, "ckpt"),
+            app_id=f"ssp_stream_ingest_{key}",
+            partition_by=["event_type"],
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        try:
+            os.rename(os.path.join(scratch, "table"), table)
+        except OSError:
+            pass  # lost the race; winner's table is equivalent
+        shutil.rmtree(scratch, ignore_errors=True)
+    return table
+
+
+@query(
+    "streaming_delta_sink_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS users,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="NEW: events replayed as a bounded stream through the exactly-"
+    "once Delta sink (foreachBatch + txn markers), snapshot read back "
+    "and aggregated — equals the batch aggregate over the source "
+    "parquet iff every micro-batch landed exactly once",
+)
+def streaming_delta_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _streamed_events_delta(spark, sf_dir)
+    ev = read_delta(spark, table)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("users"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+    )
+
+
 @query(
     "lakehouse_delta_events_agg",
     oracle="""

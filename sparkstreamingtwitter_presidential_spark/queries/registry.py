@@ -83,7 +83,6 @@ GRADED_FIRST: list[str] = [
     "subquery_above_nation_avg",
     "sessionize_batch_lag_cumsum",
     "salted_groupby_count_parts",
-    "events_json_extract",
     "events_hourly_tumbling",
     "text_token_counts",
     "text_lang_id",
@@ -115,9 +114,10 @@ GRADED_FIRST: list[str] = [
     "chunk_documents_tokens",
     "search_bm25_topk",
     # (also ceded for r3 newcomers: lateral_explode_embedding_dims,
-    # events_from_json_struct)
+    # events_from_json_struct, events_json_extract)
     "pipeline_curate_pack",
     "lakehouse_delta_events_agg",
+    "streaming_delta_sink_agg",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

@@ -17,7 +17,8 @@ protocol): JSON commits, parquet checkpoints + `_last_checkpoint`,
 `metaData.schemaString` (Spark JSON schema — applied, so reads are
 schema-stable even over evolving files), partition columns (values live
 in the log, NOT the data files), `remove` tombstones, time travel by
-version. Tables requiring reader features beyond that (deletion
+version, and `txn` (appId, version) actions — the protocol's
+idempotent-streaming-writer marker (consumed by streaming/delta_sink.py). Tables requiring reader features beyond that (deletion
 vectors, column mapping — `protocol.minReaderVersion > 1`) raise
 NotImplementedError naming the feature rather than returning wrong rows.
 
@@ -72,6 +73,9 @@ class _Snapshot:
     partition_columns: list[str] = field(default_factory=list)
     # path -> add action dict (the live file set)
     files: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # appId -> highest committed txn version (protocol `txn` actions;
+    # the idempotent-streaming-writer primitive)
+    transactions: dict[str, int] = field(default_factory=dict)
 
 
 def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
@@ -98,6 +102,10 @@ def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
         snap.files[a["path"]] = a
     elif "remove" in action:
         snap.files.pop(action["remove"]["path"], None)
+    elif "txn" in action:
+        t = action["txn"]
+        prev = snap.transactions.get(t["appId"], -1)
+        snap.transactions[t["appId"]] = max(prev, int(t["version"]))
 
 
 def _checkpoint_actions(cp_file: str) -> list[dict[str, Any]]:
@@ -108,7 +116,7 @@ def _checkpoint_actions(cp_file: str) -> list[dict[str, Any]]:
     rows = pq.read_table(cp_file).to_pylist()
     out = []
     for row in rows:
-        for key in ("protocol", "metaData", "add", "remove"):
+        for key in ("protocol", "metaData", "add", "remove", "txn"):
             if row.get(key) is not None:
                 out.append({key: row[key]})
     return out
@@ -213,6 +221,18 @@ def table_version(path: str) -> int:
     return _replay_log(path, None).version
 
 
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """Highest `txn` version committed for ``app_id`` (None if the
+    table doesn't exist yet or the app never committed). This is the
+    protocol's idempotent-writer handshake: a streaming sink asks it
+    before committing a replayed batch."""
+    try:
+        snap = _replay_log(path, None)
+    except FileNotFoundError:
+        return None
+    return snap.transactions.get(app_id)
+
+
 def delta_history(path: str) -> list[dict[str, Any]]:
     """commitInfo (plus version) for each JSON commit, newest first."""
     log_dir = _log_path(path)
@@ -291,6 +311,7 @@ def write_delta(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit df to a Delta table at ``path``; returns the new version.
 
@@ -298,6 +319,11 @@ def write_delta(
     previously-live file. First commit (version 0) writes protocol +
     metaData. Commit uses O_CREAT|O_EXCL put-if-absent with retry, so
     two local writers cannot claim the same version.
+
+    ``txn``: optional ``(app_id, version)`` recorded as a protocol
+    `txn` action — the idempotence marker an at-least-once streaming
+    writer pairs with :func:`last_txn_version` to skip replayed
+    batches (see streaming/delta_sink.py).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -347,6 +373,16 @@ def write_delta(
                 }
             }
             for p in sorted(existing.files)
+        )
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn[0],
+                    "version": int(txn[1]),
+                    "lastUpdated": int(time.time() * 1000),
+                }
+            }
         )
     actions.extend(_stage_files(df, path, partition_by))
     actions.append(

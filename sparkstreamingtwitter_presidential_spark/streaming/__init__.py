@@ -1,5 +1,9 @@
 from sparkstreamingtwitter_presidential_spark.streaming.collector import run_bounded_collector
 from sparkstreamingtwitter_presidential_spark.streaming.dedup import streaming_exact_dedup
+from sparkstreamingtwitter_presidential_spark.streaming.delta_sink import (
+    delta_batch_committer,
+    write_stream_to_delta,
+)
 from sparkstreamingtwitter_presidential_spark.streaming.joins import stream_stream_join
 from sparkstreamingtwitter_presidential_spark.streaming.windows import (
     session_aggregate,
@@ -8,10 +12,12 @@ from sparkstreamingtwitter_presidential_spark.streaming.windows import (
 )
 
 __all__ = [
+    "delta_batch_committer",
     "run_bounded_collector",
     "session_aggregate",
     "sliding_aggregate",
     "stream_stream_join",
     "streaming_exact_dedup",
     "tumbling_aggregate",
+    "write_stream_to_delta",
 ]
