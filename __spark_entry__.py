@@ -38,6 +38,9 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # tz-naive parquet reads as TIMESTAMP (not NTZ): watermarks and
+        # unix_micros reject NTZ; with UTC pinned the instant is identical
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # right-size shuffles for the fixture scale: a driver session
         # left at the 200 default spends more time scheduling empty
         # tasks than computing (observed on the streaming queries)

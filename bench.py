@@ -80,15 +80,23 @@ def main() -> None:
     # warm up the JVM + file listing outside the timings
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
+    # Crash-proof (r3 lesson: one broken query zeroed the whole round's
+    # bench evidence): every query runs in its own try/except, failures
+    # are recorded under "errors", and headline_total_sec is still
+    # emitted over the queries that completed.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = registry[name]
         best = float("inf")
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            q.fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                q.fn(spark, SF_DIR).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 - must survive any query
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
 
     out = {
         "metric": "headline_total_sec",
@@ -97,6 +105,8 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -46,20 +46,35 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one fixture table.
 
-    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We
-    flip the legacy nanos-as-long switch for the scan and rebuild the
-    timestamp with integer ns->us division (``div``, not ``/`` — double
-    math loses precision above 2^53 ns). The fixture carries no
-    sub-microsecond precision, so the conversion is lossless.
+    The ``events`` fixture's ``ts`` has shipped in two physical shapes,
+    and this is the ONE place that normalizes both to a session-tz
+    TIMESTAMP so every downstream ``unix_micros``/``cast``/watermark
+    works unchanged:
+
+    * parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+      (PARQUET_TYPE_ILLEGAL), so we flip the legacy nanos-as-long switch
+      and rebuild with integer ns->us division (``div``, not ``/`` —
+      double math loses precision above 2^53 ns). Lossless: the fixture
+      carries no sub-microsecond precision.
+    * parquet ``timestamp[us]`` with no timezone flag: Spark 4.x infers
+      TIMESTAMP_NTZ, which event-time watermarks and ``unix_micros``
+      reject. Session tz is pinned UTC engine-wide (session.py), so
+      NTZ -> TIMESTAMP is an instant-preserving relabel, and
+      ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` (set in
+      session.get_spark and __spark_entry__._utc) prevents the inference
+      at the scan; the cast branch below is defense for sessions built
+      outside our factory.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

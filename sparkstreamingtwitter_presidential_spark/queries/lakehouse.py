@@ -28,8 +28,16 @@ from sparkstreamingtwitter_presidential_spark.sources.delta import (
 )
 
 
+def _events_cache_key(spark: SparkSession, sf_dir: str) -> str:
+    """Cache key covering both the source dir and the NORMALIZED events
+    schema, so a reader-side type fix (e.g. the r3 TIMESTAMP_NTZ
+    regression) invalidates stale staged tables instead of serving them."""
+    schema = load_table(spark, sf_dir, "events").schema.simpleString()
+    return hashlib.md5(f"{sf_dir}|{schema}".encode()).hexdigest()[:12]
+
+
 def _staged_events_delta(spark: SparkSession, sf_dir: str) -> str:
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    key = _events_cache_key(spark, sf_dir)
     table = f"/tmp/ssp_delta_events_{key}"
     if not os.path.isdir(os.path.join(table, "_delta_log")):
         staging = f"{table}.staging-{uuid.uuid4().hex}"
@@ -56,7 +64,7 @@ def _streamed_events_delta(spark: SparkSession, sf_dir: str) -> str:
         write_stream_to_delta,
     )
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    key = _events_cache_key(spark, sf_dir)
     table = f"/tmp/ssp_delta_stream_{key}"
     if not os.path.isdir(os.path.join(table, "_delta_log")):
         scratch = f"{table}.staging-{uuid.uuid4().hex}"

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sparkstreamingtwitter_presidential_spark.sources.replay import (
     read_events_stream,
-    stage_events_files,
+    schema_keyed_dir,
     stage_ts_ordered,
 )
 from sparkstreamingtwitter_presidential_spark.queries.registry import query
@@ -39,12 +39,16 @@ _SESSION_GAP_S = 30 * 60
 
 
 def _staged(spark: SparkSession, sf_dir: str) -> str:
-    """Stage (once per sf_dir per process) the events fixture for replay."""
-    key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_v3_{key}")
+    """Stage (once per sf_dir+schema) the events fixture for replay.
+    The cache dir is keyed on the NORMALIZED schema (schema_keyed_dir),
+    so a reader-side type fix automatically invalidates old stages."""
+    from sparkstreamingtwitter_presidential_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = schema_keyed_dir("spark_graft_stage", sf_dir, ev.schema)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        stage_events_files(spark, sf_dir, out, n_files=4)
+        stage_ts_ordered(ev, out, n_files=4)
     return out
 
 
@@ -182,11 +186,10 @@ def _staged_dup(spark: SparkSession, sf_dir: str) -> str:
     way producer retries duplicate within a bounded horizon."""
     from sparkstreamingtwitter_presidential_spark.io import load_table
 
-    key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_dup_v1_{key}")
+    ev = load_table(spark, sf_dir, "events")
+    out = schema_keyed_dir("spark_graft_stage_dup", sf_dir, ev.schema)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        ev = load_table(spark, sf_dir, "events")
         stage_ts_ordered(ev.unionByName(ev), out, n_files=4)
     return out
 
@@ -220,20 +223,19 @@ def _staged_enrichment(spark: SparkSession, sf_dir: str) -> str:
     reconstruct the right side from the events table."""
     from sparkstreamingtwitter_presidential_spark.io import load_table
 
-    key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_enr_v1_{key}")
+    enr = (
+        load_table(spark, sf_dir, "events")
+        .where("event_id % 3 <> 0")
+        .selectExpr(
+            "event_id",
+            "timestampadd(SECOND, CAST(event_id % 240 AS INT), ts) AS enr_ts",
+            "concat('enr:', event_type) AS label",
+            "CAST(event_id % 240 AS BIGINT) AS delay_s",
+        )
+    )
+    out = schema_keyed_dir("spark_graft_stage_enr", sf_dir, enr.schema)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        enr = (
-            load_table(spark, sf_dir, "events")
-            .where("event_id % 3 <> 0")
-            .selectExpr(
-                "event_id",
-                "timestampadd(SECOND, CAST(event_id % 240 AS INT), ts) AS enr_ts",
-                "concat('enr:', event_type) AS label",
-                "CAST(event_id % 240 AS BIGINT) AS delay_s",
-            )
-        )
         stage_ts_ordered(enr, out, n_files=4, ts_col="enr_ts")
     return out
 

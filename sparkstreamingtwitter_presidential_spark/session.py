@@ -44,6 +44,10 @@ def get_spark(app_name: str = "sparkstreamingtwitter_presidential_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # tz-naive parquet must read as session-tz TIMESTAMP, not
+        # TIMESTAMP_NTZ: watermarks/unix_micros reject NTZ, and with the
+        # session tz pinned UTC the two label the same instant anyway.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     if "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT"):
         builder = builder.master(f"local[{cpus}]")

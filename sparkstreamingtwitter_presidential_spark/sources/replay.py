@@ -11,12 +11,27 @@ Structured Streaming decouples source from plan.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from sparkstreamingtwitter_presidential_spark.io import load_table
+
+
+def schema_keyed_dir(prefix: str, sf_dir: str, schema: StructType) -> str:
+    """Deterministic /tmp staging path keyed on BOTH the source dir and
+    the staged schema. Round-3 lesson: caches keyed on sf_dir alone kept
+    serving files written under an older type mapping (TIMESTAMP_NTZ)
+    after the reader was fixed — keying on the schema makes environment
+    or fixture drift produce a fresh cache instead of a poisoned read."""
+    digest = hashlib.md5(
+        f"{sf_dir}|{schema.simpleString()}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}")
 
 
 def stage_events_files(
@@ -24,9 +39,10 @@ def stage_events_files(
 ) -> str:
     """Stage the events fixture as ``n_files`` parquet files for replay.
 
-    Also normalizes the TIMESTAMP(NANOS) column to regular microsecond
-    timestamps (readStream's parquet reader rejects nanos like the batch
-    one). Files are RANGE-partitioned on ``ts`` so replay delivers data
+    ``load_table`` normalizes whatever physical ``ts`` shape the fixture
+    ships (legacy nanos bigint, TIMESTAMP_NTZ) to a session-tz TIMESTAMP
+    before staging, so the staged files always carry a watermarkable
+    type. Files are RANGE-partitioned on ``ts`` so replay delivers data
     in event-time order, the way a real stream (or a date-partitioned
     backfill) would: each file is one contiguous time slice, and the
     watermark trails correctly across micro-batches instead of
