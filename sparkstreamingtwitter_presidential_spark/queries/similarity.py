@@ -110,22 +110,26 @@ IVF_MIN_RECALL = 0.8
 IVF_N_PROBE = 8
 
 
-@query(
-    "sim_ivf_topk",
-    oracle=None,  # KMeans quantizer is iterative/seeded — no SQL twin;
-    #               recall vs brute force is verified IN-QUERY instead
-    doc=(
-        "NEW: IVF ANN top-10 — KMeans(16) coarse quantizer, 8-cell probe, "
-        "exact cosine re-rank, the data-adaptive alternative to sign-LSH. "
-        "Emits hits-vs-brute-force per row and RAISES below 0.8 recall, "
-        "so the driver's rows-only check still carries quality signal"
-    ),
-)
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk_query(
+    spark: SparkSession, sf_dir: str, check_recall: bool = True
+) -> DataFrame:
+    """IVF ANN top-k over the embeddings fixture.
+
+    ``check_recall=True`` (the graded-query default) runs the exact
+    brute-force twin alongside, joins it in as an ``in_exact_topk``
+    column, and RAISES below IVF_MIN_RECALL — a quality gate that costs
+    one extra corpus scan plus a driver-side scalar aggregate.
+
+    ``check_recall=False`` is the PRODUCTION path: the IVF probe alone,
+    single corpus treatment, no exact twin, no driver-side action
+    (plan-pinned in tests/test_plans.py). At 100 TB you run the gate on
+    a sampled sidecar job, never inline with the query."""
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
     ivf = S.ivf_topk(emb, QUERY_IDS, TOP_K, n_probe=IVF_N_PROBE)
+    if not check_recall:
+        return ivf
     exact = S.brute_force_topk(emb, QUERY_IDS, TOP_K).select(
         "query_id", "vec_id", F.lit(True).alias("in_exact_topk")
     )
@@ -146,3 +150,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({hits}/{total} of exact top-{TOP_K} recovered)"
         )
     return out
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=None,  # KMeans quantizer is iterative/seeded — no SQL twin;
+    #               recall vs brute force is verified IN-QUERY instead
+    doc=(
+        "NEW: IVF ANN top-10 — KMeans(16) coarse quantizer, 8-cell probe, "
+        "exact cosine re-rank, the data-adaptive alternative to sign-LSH. "
+        "Emits hits-vs-brute-force per row and RAISES below 0.8 recall, "
+        "so the driver's rows-only check still carries quality signal "
+        "(production path: ivf_topk_query(check_recall=False), one scan)"
+    ),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk_query(spark, sf_dir, check_recall=True)

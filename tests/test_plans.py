@@ -63,6 +63,25 @@ def test_ivf_probe_broadcasts_query_side(spark):
     assert "CartesianProduct" not in a.text
 
 
+def test_ivf_production_path_is_single_treatment(spark):
+    """With the recall gate off (production path), the IVF query must be
+    the probe alone: no brute-force twin join (no in_exact_topk column),
+    exactly one parquet scan of the embeddings corpus feeding the cached
+    assignment table, and no extra exchanges from the exact twin."""
+    from sparkstreamingtwitter_presidential_spark.queries.similarity import (
+        ivf_topk_query,
+    )
+
+    df = ivf_topk_query(spark, SF_DIR, check_recall=False)
+    assert "in_exact_topk" not in df.columns
+    a = plan_audit(df)
+    assert "MapInPandas" not in a.text, "exact brute-force twin leaked in"
+    # corpus is read once into the persisted assignment table; both the
+    # query side and the candidate join consume the cache
+    assert a.text.count("InMemoryTableScan") == 2
+    assert "CartesianProduct" not in a.text
+
+
 def test_bruteforce_topk_partial_before_merge(spark):
     """Brute-force similarity must rank via per-batch partial top-k
     (MapInPandas) BEFORE the per-query merge window — a window directly
