@@ -114,6 +114,154 @@ def streaming_delta_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dml_staged_delta(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
+    """Stage a mutated copy of the events Delta table once per
+    (sf_dir, schema): ``build(spark, staging_path)`` creates the table
+    and applies its (deterministic) DML; unique-staging + atomic rename
+    makes racing first calls safe, schema keying makes reader-side type
+    fixes invalidate the cache (r3 lesson)."""
+    key = _events_cache_key(spark, sf_dir)
+    table = f"/tmp/ssp_delta_{tag}_{key}"
+    if not os.path.isdir(os.path.join(table, "_delta_log")):
+        staging = f"{table}.staging-{uuid.uuid4().hex}"
+        build(spark, staging)
+        try:
+            os.rename(staging, table)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+    return table
+
+
+def _agg_by_type(ev: DataFrame) -> DataFrame:
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+    )
+
+
+@query(
+    "lakehouse_delta_merge_agg",
+    oracle="""
+        WITH merged AS (
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 7 = 0 THEN value * 2
+                        ELSE value END AS value
+            FROM events
+            UNION ALL
+            SELECT event_id + 10000000, user_id, event_type, value
+            FROM events WHERE event_id % 13 = 0
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM merged GROUP BY event_type
+    """,
+    doc="NEW r4: copy-on-write MERGE on the native Delta connector — "
+    "upsert a deterministic source (value doubled for id%7==0 keys, "
+    "id+10M inserts for id%13==0) into a partitioned events table, read "
+    "the snapshot back and aggregate; equals the oracle's relational "
+    "reconstruction iff matched-file rewrite + insert append are exact",
+)
+def lakehouse_delta_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import merge_delta
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_delta(ev, table, mode="append", partition_by=["event_type"])
+        updates = ev.filter("event_id % 7 = 0").withColumn(
+            "value", F.col("value") * 2
+        )
+        inserts = ev.filter("event_id % 13 = 0").withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+        merge_delta(
+            spark, table, updates.unionByName(inserts), keys=["event_id"]
+        )
+
+    table = _dml_staged_delta(spark, sf_dir, "merge", build)
+    return _agg_by_type(read_delta(spark, table))
+
+
+@query(
+    "lakehouse_delta_delete_update_agg",
+    oracle="""
+        WITH after AS (
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN user_id % 5 = 0 THEN value + 1
+                        ELSE value END AS value
+            FROM events WHERE event_type <> 'error'
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM after GROUP BY event_type
+    """,
+    doc="NEW r4: DELETE (whole partition: event_type='error') then "
+    "UPDATE (value+1 where user_id%5==0) via copy-on-write DML; the "
+    "delete is partition-pruned (only 'error' files rewrite), the "
+    "update touches only files containing matching rows",
+)
+def lakehouse_delta_delete_update_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        update_delta,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_delta(ev, table, mode="append", partition_by=["event_type"])
+        delete_delta(spark, table, "event_type = 'error'")
+        update_delta(spark, table, {"value": "value + 1"}, "user_id % 5 = 0")
+
+    table = _dml_staged_delta(spark, sf_dir, "dml", build)
+    return _agg_by_type(read_delta(spark, table))
+
+
+@query(
+    "lakehouse_delta_optimize_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events GROUP BY event_type
+    """,
+    doc="NEW r4: OPTIMIZE compaction + checkpoint write — events landed "
+    "as 4 small appends per partition, compacted (dataChange=false), "
+    "checkpointed, then read via checkpoint bootstrap; content must "
+    "equal the plain aggregate (compaction moves bytes, never rows). "
+    "Staging RAISES if compaction fails to reduce the live file count",
+)
+def lakehouse_delta_optimize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        write_checkpoint,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        optimize_delta,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        from sparkstreamingtwitter_presidential_spark.sources.delta import _replay_log
+
+        ev = load_table(spark, sf_dir, "events")
+        for i in range(4):  # simulate 4 small ingest batches
+            write_delta(
+                ev.filter(F.pmod("event_id", F.lit(4)) == i),
+                table,
+                mode="append",
+                partition_by=["event_type"],
+            )
+        before = len(_replay_log(table, None).files)
+        optimize_delta(spark, table)
+        after = len(_replay_log(table, None).files)
+        if after >= before:
+            raise RuntimeError(
+                f"OPTIMIZE failed to compact: {before} -> {after} live files"
+            )
+        write_checkpoint(table)
+
+    table = _dml_staged_delta(spark, sf_dir, "opt", build)
+    return _agg_by_type(read_delta(spark, table))
+
+
 @query(
     "lakehouse_delta_events_agg",
     oracle="""

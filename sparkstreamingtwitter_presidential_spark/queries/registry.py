@@ -78,9 +78,6 @@ GRADED_FIRST: list[str] = [
     "range_join_close_events",
     "window_topk_orders_per_customer",
     "window_running_sum_quantity",
-    "window_lag_order_gap_days",
-    "window_ranking_functions",
-    "subquery_above_nation_avg",
     "sessionize_batch_lag_cumsum",
     "salted_groupby_count_parts",
     "events_hourly_tumbling",
@@ -118,6 +115,13 @@ GRADED_FIRST: list[str] = [
     "pipeline_curate_pack",
     "lakehouse_delta_events_agg",
     "streaming_delta_sink_agg",
+    # Round-4 newcomers (native Delta copy-on-write DML): graded on
+    # arrival. Ceded for them: window_lag_order_gap_days,
+    # window_ranking_functions, subquery_above_nation_avg (all r1-r3
+    # driver-green, still in tests/test_queries_oracle.py).
+    "lakehouse_delta_merge_agg",
+    "lakehouse_delta_delete_update_agg",
+    "lakehouse_delta_optimize_agg",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).
@@ -176,6 +180,33 @@ GRADED_HISTORY: dict[int, list[str]] = {
         "sim_bruteforce_topk", "sim_lsh_topk",
         "streaming_tumbling_windows", "streaming_sliding_windows",
         "streaming_session_windows",
+    ],
+    3: [
+        "flagship_event_type_counts", "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority", "tpch_q4_late_orders",
+        "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+        "tpch_q10_returned_item_revenue", "tpch_q14_promo_revenue_share",
+        "tpch_q18_large_volume_customers",
+        "tpch_q19_disjunctive_predicates", "join_broadcast_dims",
+        "join_full_outer_nation_coverage", "asof_join_last_purchase",
+        "range_join_close_events", "window_topk_orders_per_customer",
+        "window_running_sum_quantity", "window_lag_order_gap_days",
+        "window_ranking_functions", "subquery_above_nation_avg",
+        "sessionize_batch_lag_cumsum", "salted_groupby_count_parts",
+        "events_hourly_tumbling", "text_token_counts", "text_lang_id",
+        "text_quality_scores", "text_fingerprints",
+        "text_corpus_profile_by_source", "dedup_exact",
+        "dedup_ngram_jaccard_pairs", "dedup_minhash_lsh_pairs",
+        "dedup_embedding_top_pairs", "dedup_components",
+        "dedup_components_chain", "dedup_components_merge",
+        "dedup_incremental", "sim_bruteforce_topk", "sim_lsh_topk",
+        "streaming_tumbling_windows", "streaming_sliding_windows",
+        "streaming_session_windows", "text_pii_scrub",
+        "sample_documents_stratified", "streaming_dedup_exact",
+        "streaming_stream_join", "pack_documents_by_source",
+        "chunk_documents_tokens", "search_bm25_topk",
+        "pipeline_curate_pack", "lakehouse_delta_events_agg",
+        "streaming_delta_sink_agg",
     ],
 }
 

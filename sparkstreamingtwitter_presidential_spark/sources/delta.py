@@ -76,6 +76,10 @@ class _Snapshot:
     # appId -> highest committed txn version (protocol `txn` actions;
     # the idempotent-streaming-writer primitive)
     transactions: dict[str, int] = field(default_factory=dict)
+    # raw protocol/metaData actions, retained verbatim so DML commits
+    # and checkpoint writes can re-emit them unchanged
+    protocol_action: dict[str, Any] | None = None
+    metadata_action: dict[str, Any] | None = None
 
 
 def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
@@ -88,10 +92,12 @@ def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
                 f"(features {feats}); this native reader supports "
                 f"version {MAX_SUPPORTED_READER_VERSION}"
             )
+        snap.protocol_action = action["protocol"]
     elif "metaData" in action:
         md = action["metaData"]
         snap.schema = StructType.fromJson(json.loads(md["schemaString"]))
         snap.partition_columns = list(md.get("partitionColumns", []))
+        snap.metadata_action = md
     elif "add" in action:
         a = action["add"]
         if a.get("deletionVector"):
@@ -251,6 +257,100 @@ def delta_history(path: str) -> list[dict[str, Any]]:
                         info.update(action["commitInfo"])
         out.append(info)
     return out
+
+
+class DeltaCommitConflict(RuntimeError):
+    """Another writer claimed the target version. The caller's snapshot
+    is stale: re-read and re-derive the actions (optimistic concurrency,
+    same contract as the real Delta client's conflict checker — which we
+    deliberately do NOT blind-retry for DML, since a remove computed
+    against a stale file set could tombstone a file a concurrent commit
+    already rewrote)."""
+
+
+def commit_actions(
+    path: str,
+    read_version: int,
+    actions: list[dict[str, Any]],
+    operation: str,
+    operation_parameters: dict[str, Any] | None = None,
+) -> int:
+    """Atomically commit ``actions`` as version ``read_version + 1``.
+
+    The protocol's put-if-absent primitive (O_CREAT|O_EXCL): if the
+    version file already exists, a concurrent writer won — raise
+    DeltaCommitConflict instead of retrying, because actions derived
+    from a stale snapshot (DML removes, optimize compactions) are not
+    safe to replay against a moved table. Append-only writers that ARE
+    safe to retry (write_delta) keep their own loop."""
+    version = read_version + 1
+    actions = list(actions) + [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": operation,
+                "operationParameters": operation_parameters or {},
+                "engineInfo": "sparkstreamingtwitter-presidential-spark native-delta",
+            }
+        }
+    ]
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+    commit_file = os.path.join(_log_path(path), f"{version:020d}.json")
+    try:
+        fd = os.open(commit_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise DeltaCommitConflict(
+            f"version {version} of {path} was committed concurrently; "
+            "re-read the table and re-derive the operation"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write(payload + "\n")
+    return version
+
+
+def write_checkpoint(path: str) -> int:
+    """Write a classic single-file parquet checkpoint of the CURRENT
+    snapshot plus ``_last_checkpoint``, and return the checkpointed
+    version. Bounds log-replay cost: the next reader bootstraps from the
+    checkpoint and replays only later commits — O(1) metadata instead of
+    O(#commits), which is what keeps a long-lived streaming table's
+    read-side metadata cost flat (the real client checkpoints every 10
+    commits for the same reason). Layout round-trips through this
+    module's own checkpoint reader (_checkpoint_actions)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = _replay_log(path, None)
+    keys = ("protocol", "metaData", "add", "remove", "txn")
+
+    def _strip_empty(obj: Any) -> Any:
+        """Drop empty-dict fields recursively: pyarrow cannot write a
+        zero-field struct to parquet, and every such field
+        (metaData.configuration, unpartitioned partitionValues,
+        format.options) is read back via .get(..., default) anyway."""
+        if isinstance(obj, dict):
+            out = {k: _strip_empty(v) for k, v in obj.items()}
+            return {k: v for k, v in out.items() if v != {}}
+        return obj
+
+    def _row(key: str, value: dict[str, Any]) -> dict[str, Any]:
+        return {k: (_strip_empty(value) if k == key else None) for k in keys}
+
+    rows = []
+    if snap.protocol_action is None or snap.metadata_action is None:
+        raise ValueError(f"snapshot of {path} lacks protocol/metaData")
+    rows.append(_row("protocol", snap.protocol_action))
+    rows.append(_row("metaData", snap.metadata_action))
+    for p in sorted(snap.files):
+        rows.append(_row("add", snap.files[p]))
+    for app_id, v in sorted(snap.transactions.items()):
+        rows.append(_row("txn", {"appId": app_id, "version": v}))
+    table = pa.Table.from_pylist(rows)
+    cp_file = os.path.join(_log_path(path), f"{snap.version:020d}.checkpoint.parquet")
+    pq.write_table(table, cp_file)
+    with open(os.path.join(_log_path(path), _LAST_CHECKPOINT), "w") as f:
+        json.dump({"version": snap.version, "size": len(rows)}, f)
+    return snap.version
 
 
 def _stage_files(

@@ -1,0 +1,394 @@
+"""Copy-on-write DML for the native Delta connector: DELETE, UPDATE,
+MERGE (upsert), and OPTIMIZE (small-file compaction).
+
+Reference parity: the reference engine's workflow is append-only
+(README.md:88-208 — Hive external tables + streaming appends), so these
+operators extend BEYOND it to the mutation surface a curation pipeline
+needs (retract bad documents, fix labels, upsert refreshed crawls)
+without rewriting the whole table.
+
+Design (the same strategy delta-spark uses without deletion vectors):
+
+1. **Touch only affected files.** A DELETE/UPDATE/MERGE first finds the
+   set of live files that contain at least one matching row — a
+   metadata-sized driver list obtained from ``_metadata.file_path`` on a
+   normal distributed scan (the predicate pushes down; unaffected files
+   are never rewritten, and at 100 TB with partition-aligned predicates
+   the affected set is the pruned partition, not the table).
+2. **Rewrite distributed, commit atomically.** Affected files are
+   re-read, transformed with plain Column expressions, and staged as new
+   parquet via the connector's scratch-dir + rename path; ONE commit
+   then tombstones the old files and adds the new — readers see either
+   the old snapshot or the new, never a mix.
+3. **Fail on conflict, never blind-retry.** Commits use the protocol's
+   put-if-absent primitive; a concurrent commit raises
+   DeltaCommitConflict (a remove derived from a stale snapshot is not
+   safe to replay — same optimistic-concurrency contract as the real
+   client).
+
+OPTIMIZE is the same machinery with ``dataChange: false``: it bin-packs
+small files per partition toward a target size, so downstream streaming
+readers (which key on dataChange) correctly ignore it, and time travel
+to pre-OPTIMIZE versions still works.
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.parse
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from sparkstreamingtwitter_presidential_spark.sources.delta import (
+    _replay_log,
+    _Snapshot,
+    _stage_files,
+    commit_actions,
+)
+
+
+def _now_ms() -> int:
+    import time
+
+    return int(time.time() * 1000)
+
+
+_FILE_COL = "__delta_file"
+
+
+def _scan_with_file(
+    spark: SparkSession, path: str, snap: _Snapshot
+) -> DataFrame:
+    """Distributed scan of the snapshot's live files with one extra
+    column: the file's basename (``__delta_file``). Basenames are
+    unique across the table (every staged file is uuid-named), so they
+    key back to the log's relative paths driver-side. Partition columns
+    are injected from the log exactly as in read_delta."""
+    schema = snap.schema
+    assert schema is not None
+    data_fields = [
+        f for f in schema.fields if f.name not in snap.partition_columns
+    ]
+    data_schema = StructType(data_fields)
+    part_types = {
+        f.name: f.dataType
+        for f in schema.fields
+        if f.name in snap.partition_columns
+    }
+    base_col = F.element_at(
+        F.split(F.col("_metadata.file_path"), "/"), -1
+    ).alias(_FILE_COL)
+
+    def _file(p: str) -> str:
+        return os.path.join(path, urllib.parse.unquote(p))
+
+    cols = [f.name for f in schema.fields]
+    if not snap.files:
+        return spark.createDataFrame([], schema).withColumn(
+            _FILE_COL, F.lit(None).cast("string")
+        )
+    if not snap.partition_columns:
+        return spark.read.schema(data_schema).parquet(
+            *[_file(p) for p in sorted(snap.files)]
+        ).select(*cols, base_col)
+
+    groups: dict[tuple, list[str]] = {}
+    for p, a in snap.files.items():
+        pv = a.get("partitionValues", {})
+        key = tuple(pv.get(c) for c in snap.partition_columns)
+        groups.setdefault(key, []).append(_file(p))
+    parts = []
+    for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+        df = spark.read.schema(data_schema).parquet(*sorted(paths)).select(
+            "*", base_col
+        )
+        for col, val in zip(snap.partition_columns, key):
+            df = df.withColumn(col, F.lit(val).cast(part_types[col]))
+        parts.append(df.select(*cols, _FILE_COL))
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _rel_by_base(snap: _Snapshot) -> dict[str, str]:
+    out = {}
+    for rel in snap.files:
+        base = urllib.parse.unquote(rel).split("/")[-1]
+        if base in out:  # uuid names make this unreachable; stay honest
+            raise ValueError(f"duplicate data-file basename {base!r}")
+        out[base] = rel
+    return out
+
+
+def _removes(snap: _Snapshot, rels: list[str], data_change: bool) -> list[dict]:
+    now = _now_ms()
+    return [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now,
+                "dataChange": data_change,
+                "partitionValues": snap.files[rel].get("partitionValues", {}),
+            }
+        }
+        for rel in sorted(rels)
+    ]
+
+
+def _affected_files(scan: DataFrame, cond: Column) -> list[str]:
+    """Basenames of live files containing >=1 row matching ``cond``.
+    Distributed scan + distinct on the file column; the driver holds
+    only the file LIST (metadata scale, same as the log itself)."""
+    return [
+        r[_FILE_COL]
+        for r in scan.filter(cond).select(_FILE_COL).distinct().collect()
+    ]
+
+
+def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
+    """DELETE FROM table WHERE predicate (SQL-null semantics: only rows
+    where the predicate is TRUE are deleted). Returns the new version
+    (unchanged if nothing matched — no empty commit)."""
+    snap = _replay_log(path, None)
+    scan = _scan_with_file(spark, path, snap)
+    cond = F.expr(predicate)
+    affected = _affected_files(scan, cond)
+    if not affected:
+        return snap.version
+    rels = _rel_by_base(snap)
+    kept = (
+        scan.filter(F.col(_FILE_COL).isin(affected))
+        .filter(~F.coalesce(cond, F.lit(False)))
+        .drop(_FILE_COL)
+    )
+    adds = _stage_files(kept, path, snap.partition_columns)
+    actions = _removes(snap, [rels[b] for b in affected], True) + adds
+    return commit_actions(
+        path, snap.version, actions, "DELETE", {"predicate": predicate}
+    )
+
+
+def update_delta(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str | None = None,
+) -> int:
+    """UPDATE table SET col = expr, ... [WHERE predicate]. Expressions
+    are SQL over the row's own columns (evaluated against the PRE-update
+    row, like SQL UPDATE). Partition columns cannot be updated (a real
+    row-move rewrite is MERGE's job). Returns the new version."""
+    snap = _replay_log(path, None)
+    bad = set(set_exprs) & set(snap.partition_columns)
+    if bad:
+        raise ValueError(
+            f"cannot UPDATE partition column(s) {sorted(bad)}; "
+            "delete+insert (or merge) instead"
+        )
+    schema = snap.schema
+    assert schema is not None
+    unknown = set(set_exprs) - {f.name for f in schema.fields}
+    if unknown:
+        raise ValueError(f"unknown column(s) in SET: {sorted(unknown)}")
+    scan = _scan_with_file(spark, path, snap)
+    cond = F.expr(predicate) if predicate is not None else F.lit(True)
+    affected = _affected_files(scan, cond)
+    if not affected:
+        return snap.version
+    rels = _rel_by_base(snap)
+    hit = F.coalesce(cond, F.lit(False))
+    rewritten = scan.filter(F.col(_FILE_COL).isin(affected)).select(
+        *[
+            (
+                F.when(hit, F.expr(set_exprs[f.name]).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+            )
+            for f in schema.fields
+        ]
+    )
+    adds = _stage_files(rewritten, path, snap.partition_columns)
+    actions = _removes(snap, [rels[b] for b in affected], True) + adds
+    return commit_actions(
+        path,
+        snap.version,
+        actions,
+        "UPDATE",
+        {"predicate": predicate or "true"},
+    )
+
+
+def merge_delta(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+) -> int:
+    """MERGE INTO table USING source ON equality of ``keys``.
+
+    ``when_matched``: 'update' (matched target rows take the source
+    row's values — full-row upsert), 'delete' (matched rows removed), or
+    'none'. ``insert_not_matched``: source rows matching no target row
+    are appended. Source must be duplicate-free on the keys (a target
+    row matching two source rows is ambiguous — raises, same as the
+    real MERGE). Returns the new version.
+
+    Scale shape: the match probe is one distributed join of the target
+    scan against the (usually far smaller, auto-broadcast) source keys;
+    only files containing matches rewrite; inserts append. A
+    partition-aligned key makes the probe partition-pruned."""
+    if when_matched not in ("update", "delete", "none"):
+        raise ValueError(f"when_matched must be update|delete|none: {when_matched!r}")
+    snap = _replay_log(path, None)
+    schema = snap.schema
+    assert schema is not None
+    tcols = [f.name for f in schema.fields]
+    if sorted(source.columns) != sorted(tcols):
+        raise ValueError(
+            f"source columns {sorted(source.columns)} != table's {sorted(tcols)}"
+        )
+    missing = [k for k in keys if k not in tcols]
+    if missing:
+        raise ValueError(f"merge keys not in table: {missing}")
+
+    dup = source.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"source has duplicate merge keys (e.g. "
+            f"{ {k: dup[0][k] for k in keys} }); MERGE would be ambiguous"
+        )
+    source = source.select(*tcols)  # column order for unionByName/insert
+
+    scan = _scan_with_file(spark, path, snap)
+    key_df = source.select(*keys).distinct()
+    affected = [
+        r[_FILE_COL]
+        for r in scan.join(key_df, on=keys, how="leftsemi")
+        .select(_FILE_COL)
+        .distinct()
+        .collect()
+    ]
+    rels = _rel_by_base(snap)
+
+    actions: list[dict[str, Any]] = []
+    matched_keys = None
+    if affected:
+        hit_rows = scan.filter(F.col(_FILE_COL).isin(affected))
+        src = source.select(
+            *[F.col(c).alias(f"__src_{c}") for c in tcols]
+        ).withColumn("__matched", F.lit(True))
+        joined = hit_rows.join(
+            src,
+            on=[hit_rows[k] == src[f"__src_{k}"] for k in keys],
+            how="left",
+        )
+        m = F.coalesce(F.col("__matched"), F.lit(False))
+        if when_matched == "update":
+            rewritten = joined.select(
+                *[
+                    F.when(m, F.col(f"__src_{c}"))
+                    .otherwise(hit_rows[c])
+                    .alias(c)
+                    for c in tcols
+                ]
+            )
+        elif when_matched == "delete":
+            rewritten = joined.filter(~m).select(*[hit_rows[c] for c in tcols])
+        else:  # 'none': matched rows keep their current values
+            rewritten = joined.select(*[hit_rows[c] for c in tcols])
+        actions += _removes(snap, [rels[b] for b in affected], True)
+        actions += _stage_files(rewritten, path, snap.partition_columns)
+        matched_keys = (
+            scan.filter(F.col(_FILE_COL).isin(affected)).select(*keys).distinct()
+        )
+
+    if insert_not_matched:
+        inserts = source
+        if matched_keys is not None:
+            inserts = source.join(matched_keys, on=keys, how="leftanti")
+        # (no affected files -> no key matched -> every source row inserts)
+        actions += _stage_files(inserts, path, snap.partition_columns)
+
+    if not actions:
+        return snap.version
+    return commit_actions(
+        path,
+        snap.version,
+        actions,
+        "MERGE",
+        {"keys": keys, "whenMatched": when_matched,
+         "insertNotMatched": insert_not_matched},
+    )
+
+
+def optimize_delta(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Compact small files: within each partition, files below the
+    target size are read back and rewritten as ~target-sized files
+    (``ceil(total/target)`` output files via repartition). Adds and
+    removes carry ``dataChange: false`` — the snapshot's ROWS are
+    unchanged, only their file layout — so incremental/streaming
+    consumers skip the commit and time travel to pre-OPTIMIZE versions
+    still resolves. Partitions with fewer than two small files are left
+    alone. Returns the new version (unchanged if nothing to compact)."""
+    import math
+
+    snap = _replay_log(path, None)
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in snap.files.items():
+        if int(a.get("size", 0)) >= target_file_bytes:
+            continue
+        pv = a.get("partitionValues", {})
+        key = tuple(sorted(pv.items()))
+        groups.setdefault(key, []).append(rel)
+
+    actions: list[dict[str, Any]] = []
+    for _key, rels_small in sorted(groups.items()):
+        if len(rels_small) < 2:
+            continue
+        total = sum(int(snap.files[r].get("size", 0)) for r in rels_small)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        schema = snap.schema
+        assert schema is not None
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in snap.partition_columns]
+        )
+        part_types = {
+            f.name: f.dataType
+            for f in schema.fields
+            if f.name in snap.partition_columns
+        }
+        df = spark.read.schema(data_schema).parquet(
+            *sorted(
+                os.path.join(path, urllib.parse.unquote(r)) for r in rels_small
+            )
+        ).repartition(n_out)
+        pv = dict(_key)
+        for col in snap.partition_columns:
+            df = df.withColumn(col, F.lit(pv.get(col)).cast(part_types[col]))
+        adds = _stage_files(
+            df.select(*[f.name for f in schema.fields]),
+            path,
+            snap.partition_columns,
+        )
+        for a in adds:
+            a["add"]["dataChange"] = False
+        actions += _removes(snap, rels_small, False) + adds
+
+    if not actions:
+        return snap.version
+    return commit_actions(
+        path,
+        snap.version,
+        actions,
+        "OPTIMIZE",
+        {"targetFileBytes": target_file_bytes},
+    )

@@ -1,0 +1,254 @@
+"""Copy-on-write DML on the native Delta connector: DELETE / UPDATE /
+MERGE semantics (including SQL null handling, partition-column rules,
+ambiguous-source rejection), OPTIMIZE compaction invariants
+(dataChange=false, row preservation, time travel), and checkpoint
+write→bootstrap round-trips after mutations."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.sources.delta import (
+    DeltaCommitConflict,
+    delta_history,
+    read_delta,
+    table_version,
+    write_checkpoint,
+    write_delta,
+)
+from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+    delete_delta,
+    merge_delta,
+    optimize_delta,
+    update_delta,
+)
+
+
+def _mk_table(spark, path, partitioned=False, rows=None):
+    rows = rows or [
+        Row(id=1, cat="a", val=10.0),
+        Row(id=2, cat="a", val=20.0),
+        Row(id=3, cat="b", val=30.0),
+        Row(id=4, cat="b", val=None),
+        Row(id=5, cat="c", val=50.0),
+    ]
+    df = spark.createDataFrame(rows)
+    write_delta(df, path, partition_by=["cat"] if partitioned else None)
+    return path
+
+
+def _rows(spark, path, version=None):
+    return {
+        tuple(r)
+        for r in read_delta(spark, path, version)
+        .select("id", "cat", "val")
+        .collect()
+    }
+
+
+def test_delete_rewrites_only_matching_rows(spark, tmp_path):
+    p = _mk_table(spark, str(tmp_path / "t"))
+    v = delete_delta(spark, p, "val > 25")
+    assert v == 1
+    assert _rows(spark, p) == {(1, "a", 10.0), (2, "a", 20.0), (4, "b", None)}
+    # time travel still sees the pre-delete snapshot
+    assert len(_rows(spark, p, version=0)) == 5
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: a NULL predicate does NOT delete the row."""
+    p = _mk_table(spark, str(tmp_path / "t"))
+    delete_delta(spark, p, "val < 100")  # NULL for id=4
+    assert _rows(spark, p) == {(4, "b", None)}
+
+
+def test_delete_no_match_commits_nothing(spark, tmp_path):
+    p = _mk_table(spark, str(tmp_path / "t"))
+    v = delete_delta(spark, p, "val > 1e9")
+    assert v == 0 and table_version(p) == 0
+
+
+def test_delete_partitioned_untouched_partitions_keep_files(spark, tmp_path):
+    """Only partitions containing matches rewrite: partition 'a' files
+    must survive a delete confined to partition 'b' byte-for-byte."""
+    p = _mk_table(spark, str(tmp_path / "t"), partitioned=True)
+    before = {
+        f
+        for f in os.listdir(os.path.join(p, "cat=a"))
+        if f.endswith(".parquet")
+    }
+    delete_delta(spark, p, "cat = 'b'")
+    after = {
+        f
+        for f in os.listdir(os.path.join(p, "cat=a"))
+        if f.endswith(".parquet")
+    }
+    assert before == after
+    assert _rows(spark, p) == {(1, "a", 10.0), (2, "a", 20.0), (5, "c", 50.0)}
+
+
+def test_update_pre_update_row_semantics(spark, tmp_path):
+    """SET expressions evaluate against the PRE-update row (standard
+    SQL): swapping val = val + id must use the original val."""
+    p = _mk_table(spark, str(tmp_path / "t"))
+    update_delta(spark, p, {"val": "val + id"}, "id <= 2")
+    assert _rows(spark, p) >= {(1, "a", 11.0), (2, "a", 22.0), (3, "b", 30.0)}
+
+
+def test_update_refuses_partition_column(spark, tmp_path):
+    p = _mk_table(spark, str(tmp_path / "t"), partitioned=True)
+    with pytest.raises(ValueError, match="partition column"):
+        update_delta(spark, p, {"cat": "'z'"})
+
+
+def test_update_unknown_column_rejected(spark, tmp_path):
+    p = _mk_table(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="unknown column"):
+        update_delta(spark, p, {"nope": "1"})
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    p = _mk_table(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame(
+        [
+            Row(id=2, cat="a", val=200.0),  # update
+            Row(id=9, cat="z", val=90.0),  # insert
+        ]
+    )
+    merge_delta(spark, p, src, keys=["id"])
+    got = _rows(spark, p)
+    assert (2, "a", 200.0) in got and (9, "z", 90.0) in got
+    assert (2, "a", 20.0) not in got and len(got) == 6
+
+
+def test_merge_matched_delete(spark, tmp_path):
+    p = _mk_table(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame([Row(id=1, cat="a", val=0.0),
+                                 Row(id=8, cat="q", val=80.0)])
+    merge_delta(spark, p, src, keys=["id"], when_matched="delete")
+    got = _rows(spark, p)
+    assert not any(r[0] == 1 for r in got)
+    assert (8, "q", 80.0) in got  # unmatched source still inserts
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    p = _mk_table(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame(
+        [Row(id=2, cat="a", val=1.0), Row(id=2, cat="a", val=2.0)]
+    )
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_delta(spark, p, src, keys=["id"])
+
+
+def test_merge_can_move_rows_across_partitions(spark, tmp_path):
+    """Upserting a row whose partition value changed must land it in the
+    new partition directory (the copy-on-write rewrite repartitions)."""
+    p = _mk_table(spark, str(tmp_path / "t"), partitioned=True)
+    src = spark.createDataFrame([Row(id=1, cat="moved", val=10.0)])
+    merge_delta(spark, p, src, keys=["id"])
+    got = read_delta(spark, p).filter("id = 1").collect()
+    assert len(got) == 1 and got[0]["cat"] == "moved"
+    assert os.path.isdir(os.path.join(p, "cat=moved"))
+
+
+def test_merge_into_empty_key_space_inserts_all(spark, tmp_path):
+    p = _mk_table(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame([Row(id=100, cat="n", val=1.0)])
+    merge_delta(spark, p, src, keys=["id"])
+    assert (100, "n", 1.0) in _rows(spark, p)
+
+
+def test_optimize_compacts_preserves_rows_and_history(spark, tmp_path):
+    p = str(tmp_path / "t")
+    # 4 separate appends -> >=4 small files
+    for i in range(4):
+        write_delta(
+            spark.createDataFrame([Row(id=i, cat="a", val=float(i))]), p
+        )
+    before = _rows(spark, p)
+    n_before = len(_live_files(p))
+    v = optimize_delta(spark, p, target_file_bytes=64 * 1024 * 1024)
+    assert _rows(spark, p) == before  # content identical
+    assert len(_live_files(p)) < n_before  # fewer, larger files
+    assert _rows(spark, p, version=v - 1) == before  # time travel intact
+    # the OPTIMIZE commit is invisible to dataChange consumers
+    ops = {h["version"]: h.get("operation") for h in delta_history(p)}
+    assert ops[v] == "OPTIMIZE"
+    log = os.path.join(p, "_delta_log", f"{v:020d}.json")
+    with open(log) as f:
+        for line in f:
+            a = json.loads(line)
+            for key in ("add", "remove"):
+                if key in a:
+                    assert a[key]["dataChange"] is False
+
+
+def test_optimize_nothing_to_do_is_noop(spark, tmp_path):
+    p = _mk_table(spark, str(tmp_path / "t"))
+    v0 = table_version(p)
+    assert optimize_delta(spark, p, target_file_bytes=1) == v0
+
+
+def _live_files(path):
+    from sparkstreamingtwitter_presidential_spark.sources.delta import _replay_log
+
+    return _replay_log(path, None).files
+
+
+def test_checkpoint_after_dml_bootstraps_equivalent_snapshot(spark, tmp_path):
+    """write_checkpoint must collapse a DML-heavy log such that a reader
+    bootstrapping from the checkpoint (JSON commits deleted) sees the
+    same rows."""
+    p = _mk_table(spark, str(tmp_path / "t"))
+    delete_delta(spark, p, "id = 5")
+    update_delta(spark, p, {"val": "val * 2"}, "id = 1")
+    want = _rows(spark, p)
+    cp_v = write_checkpoint(p)
+    log = os.path.join(p, "_delta_log")
+    for n in os.listdir(log):
+        if n.endswith(".json") and n != "_last_checkpoint":
+            os.remove(os.path.join(log, n))
+    assert _rows(spark, p) == want
+    assert table_version(p) == cp_v
+
+
+def test_dml_probe_pushes_predicate_to_scan(spark, tmp_path):
+    """The affected-file probe is a normal distributed scan: its
+    predicate must reach the parquet reader (PushedFilters), so at scale
+    the probe cost tracks matching row groups, not table size."""
+    from sparkstreamingtwitter_presidential_spark.plans import plan_audit
+    from sparkstreamingtwitter_presidential_spark.sources.delta import _replay_log
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        _FILE_COL,
+        _scan_with_file,
+    )
+
+    p = _mk_table(spark, str(tmp_path / "t"))
+    snap = _replay_log(p, None)
+    probe = (
+        _scan_with_file(spark, p, snap)
+        .filter(F.expr("val > 25"))
+        .select(_FILE_COL)
+        .distinct()
+    )
+    a = plan_audit(probe)
+    assert any("val" in f for f in a.pushed_filters), a.pushed_filters
+
+
+def test_commit_conflict_raises(spark, tmp_path):
+    """A commit landing between snapshot read and commit (simulated by
+    squatting the next version file) must surface as DeltaCommitConflict
+    — never a silent retry of a stale DML plan."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import commit_actions
+
+    p = _mk_table(spark, str(tmp_path / "t"))
+    nxt = os.path.join(p, "_delta_log", f"{1:020d}.json")
+    with open(nxt, "w") as f:  # concurrent writer claims v1 first
+        f.write(json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+    with pytest.raises(DeltaCommitConflict):
+        commit_actions(p, 0, [], "DELETE", {})
