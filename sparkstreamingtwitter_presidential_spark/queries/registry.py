@@ -80,18 +80,11 @@ GRADED_FIRST: list[str] = [
     "window_running_sum_quantity",
     "sessionize_batch_lag_cumsum",
     "salted_groupby_count_parts",
-    "events_hourly_tumbling",
-    "text_token_counts",
     "text_lang_id",
-    "text_quality_scores",
-    "text_fingerprints",
-    "text_corpus_profile_by_source",
-    "dedup_exact",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_top_pairs",
     "dedup_components",
-    "dedup_components_chain",
     "dedup_components_merge",
     "dedup_incremental",
     "sim_bruteforce_topk",
@@ -115,13 +108,24 @@ GRADED_FIRST: list[str] = [
     "pipeline_curate_pack",
     "lakehouse_delta_events_agg",
     "streaming_delta_sink_agg",
-    # Round-4 newcomers (native Delta copy-on-write DML): graded on
-    # arrival. Ceded for them: window_lag_order_gap_days,
-    # window_ranking_functions, subquery_above_nation_avg (all r1-r3
-    # driver-green, still in tests/test_queries_oracle.py).
+    # Round-4 newcomers, graded on arrival per rotation policy: native
+    # Delta copy-on-write DML (3) and the TPC-H suite completion (7).
+    # Ceded for them (all multi-round driver-green, still covered by
+    # tests/test_queries_oracle.py): window_lag_order_gap_days,
+    # window_ranking_functions, subquery_above_nation_avg,
+    # events_hourly_tumbling, text_token_counts, text_quality_scores,
+    # text_fingerprints, text_corpus_profile_by_source, dedup_exact,
+    # dedup_components_chain.
     "lakehouse_delta_merge_agg",
     "lakehouse_delta_delete_update_agg",
     "lakehouse_delta_optimize_agg",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).
@@ -226,6 +230,7 @@ def load_all() -> dict[str, Query]:
         "sparkstreamingtwitter_presidential_spark.queries.relational2",
         "sparkstreamingtwitter_presidential_spark.queries.functions_sweep",
         "sparkstreamingtwitter_presidential_spark.queries.tpch_more",
+        "sparkstreamingtwitter_presidential_spark.queries.tpch_suite2",
         "sparkstreamingtwitter_presidential_spark.queries.text_stats",
         "sparkstreamingtwitter_presidential_spark.queries.dedup",
         "sparkstreamingtwitter_presidential_spark.queries.similarity",

@@ -63,6 +63,29 @@ def test_ivf_probe_broadcasts_query_side(spark):
     assert "CartesianProduct" not in a.text
 
 
+def test_q8_seven_table_join_stays_broadcast_single_exchange(spark):
+    """Q8's 7-table star join must resolve every dim side as a broadcast
+    hash join (no sort-merge on the fact path) with the PROMO/ASIA
+    filters pushed to the scans and ONE exchange (the final group-by) —
+    the shape that survives a 100x fact scale-up."""
+    a = _audit(spark, "tpch_q8_market_share")
+    assert a.n_sortmerge_joins == 0
+    assert a.n_broadcast_joins >= 4
+    assert a.n_exchanges == 1
+    assert any("PROMO" in f for f in a.pushed_filters)
+    assert "CartesianProduct" not in a.text
+
+
+def test_q15_scalar_max_is_broadcast_not_rescan(spark):
+    """Q15's scalar max(total_revenue) must broadcast one row back onto
+    the revenue aggregate — never re-aggregate lineitem per supplier.
+    The date range filter must reach the parquet scan."""
+    a = _audit(spark, "tpch_q15_top_supplier")
+    assert a.n_broadcast_joins >= 2
+    assert any("l_shipdate" in f for f in a.pushed_filters)
+    assert "CartesianProduct" not in a.text
+
+
 def test_ivf_production_path_is_single_treatment(spark):
     """With the recall gate off (production path), the IVF query must be
     the probe alone: no brute-force twin join (no in_exact_topk column),
