@@ -231,15 +231,25 @@ def lakehouse_delta_delete_update_agg(
     "Staging RAISES if compaction fails to reduce the live file count",
 )
 def lakehouse_delta_optimize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparkstreamingtwitter_presidential_spark.sources.delta import (
-        write_checkpoint,
-    )
-    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
-        optimize_delta,
-    )
+    table = _dml_staged_delta(spark, sf_dir, "opt", _build_opt_table(sf_dir))
+    return _agg_by_type(read_delta(spark, table))
+
+
+def _build_opt_table(sf_dir: str):
+    """Builder for the shared optimize/changes staging table: events in
+    4 append commits (versions 0-3, sliced by event_id%4), an OPTIMIZE
+    commit (version 4, raises unless it shrinks the live file count),
+    and a checkpoint. Both lakehouse_delta_optimize_agg and
+    lakehouse_delta_changes_agg read this one cached table."""
 
     def build(spark: SparkSession, table: str) -> None:
-        from sparkstreamingtwitter_presidential_spark.sources.delta import _replay_log
+        from sparkstreamingtwitter_presidential_spark.sources.delta import (
+            _replay_log,
+            write_checkpoint,
+        )
+        from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+            optimize_delta,
+        )
 
         ev = load_table(spark, sf_dir, "events")
         for i in range(4):  # simulate 4 small ingest batches
@@ -258,8 +268,29 @@ def lakehouse_delta_optimize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         write_checkpoint(table)
 
-    table = _dml_staged_delta(spark, sf_dir, "opt", build)
-    return _agg_by_type(read_delta(spark, table))
+    return build
+
+
+@query(
+    "lakehouse_delta_changes_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events WHERE event_id % 4 IN (2, 3)
+        GROUP BY event_type
+    """,
+    doc="NEW r4: incremental change read (delta_changes, the streaming-"
+    "source/Trigger.AvailableNow contract) over the optimize-staged "
+    "table: 4 append commits (event_id%4 slices) + OPTIMIZE + "
+    "checkpoint; reading changes AFTER version 1 must return exactly "
+    "the last two appends — and nothing from the compaction commit "
+    "(dataChange=false rows were already delivered)",
+)
+def lakehouse_delta_changes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.delta import delta_changes
+
+    table = _dml_staged_delta(spark, sf_dir, "opt", _build_opt_table(sf_dir))
+    return _agg_by_type(delta_changes(spark, table, from_version=1))
 
 
 @query(

@@ -48,7 +48,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
@@ -225,6 +225,105 @@ def read_delta(
 def table_version(path: str) -> int:
     """Latest committed version of the table."""
     return _replay_log(path, None).version
+
+
+def delta_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows APPENDED in commits ``(from_version, to_version]`` — the
+    incremental-consumption primitive a streaming reader polls (the same
+    contract as delta-spark's streaming source / Trigger.AvailableNow):
+
+    * ``add`` actions with ``dataChange: true`` in the range are read;
+      partition values are injected from each add's own log entry.
+    * Commits whose adds all carry ``dataChange: false`` (OPTIMIZE
+      compactions) contribute NOTHING — the rows they rewrite were
+      already delivered by their original append commits.
+    * A ``remove`` with ``dataChange: true`` in the range (DELETE /
+      UPDATE / MERGE rewrote data) raises ValueError: an append-only
+      consumer cannot represent a retraction (delta-spark fails the
+      same way without ignoreChanges=true); consumers that can handle
+      it should re-read the snapshot instead.
+
+    Cost: O(actions in range) driver-side metadata + a distributed scan
+    of only the NEW files — at 100 TB a poll touches megabytes, not the
+    table. Each output row carries ``_commit_version`` so a consumer
+    can checkpoint its high-water mark (resume = pass it back as
+    ``from_version``)."""
+    end = _replay_log(path, to_version)  # validates to_version exists
+    if from_version > end.version:
+        raise ValueError(
+            f"from_version {from_version} > table version {end.version}"
+        )
+    schema = end.schema
+    assert schema is not None
+    data_fields = [
+        f for f in schema.fields if f.name not in end.partition_columns
+    ]
+    data_schema = StructType(data_fields)
+    part_types = {
+        f.name: f.dataType
+        for f in schema.fields
+        if f.name in end.partition_columns
+    }
+
+    log_dir = _log_path(path)
+    commits = {
+        v: n
+        for n in os.listdir(log_dir)
+        if (v := _version_of(n, ".json")) is not None
+        and from_version < v <= end.version
+    }
+    new_adds: list[tuple[int, dict[str, Any]]] = []
+    for v in sorted(commits):
+        with open(os.path.join(log_dir, commits[v])) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get("dataChange", True):
+                    new_adds.append((v, action["add"]))
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    raise ValueError(
+                        f"commit {v} of {path} rewrites data (DELETE/"
+                        "UPDATE/MERGE); append-only change reads cannot "
+                        "represent retractions — re-read the snapshot"
+                    )
+
+    out_cols = [f.name for f in schema.fields] + ["_commit_version"]
+    if not new_adds:
+        empty = StructType(
+            schema.fields + [StructField("_commit_version", LongType())]
+        )
+        return spark.createDataFrame([], empty)
+
+    groups: dict[tuple, list[tuple[str, int]]] = {}
+    for v, a in new_adds:
+        pv = a.get("partitionValues", {})
+        key = tuple(pv.get(c) for c in end.partition_columns)
+        groups.setdefault(key, []).append(
+            (os.path.join(path, urllib.parse.unquote(a["path"])), v)
+        )
+    parts = []
+    for key, files in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+        # one scan per (partition tuple, commit version): the version is
+        # log metadata, injected as a literal like partition values
+        by_v: dict[int, list[str]] = {}
+        for fp, v in files:
+            by_v.setdefault(v, []).append(fp)
+        for v, paths in sorted(by_v.items()):
+            df = spark.read.schema(data_schema).parquet(*sorted(paths))
+            for col, val in zip(end.partition_columns, key):
+                df = df.withColumn(col, F.lit(val).cast(part_types[col]))
+            df = df.withColumn("_commit_version", F.lit(v).cast("long"))
+            parts.append(df.select(*out_cols))
+    return reduce(DataFrame.unionByName, parts)
 
 
 def last_txn_version(path: str, app_id: str) -> int | None:

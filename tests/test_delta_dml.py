@@ -217,6 +217,65 @@ def test_checkpoint_after_dml_bootstraps_equivalent_snapshot(spark, tmp_path):
     assert table_version(p) == cp_v
 
 
+def test_delta_changes_incremental_appends(spark, tmp_path):
+    """delta_changes returns exactly the rows appended after
+    from_version, each stamped with its commit version."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import delta_changes
+
+    p = str(tmp_path / "t")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([Row(id=i, cat="a", val=float(i))]), p
+        )
+    ch = delta_changes(spark, p, from_version=0)
+    got = {(r["id"], r["_commit_version"]) for r in ch.collect()}
+    assert got == {(1, 1), (2, 2)}
+
+
+def test_delta_changes_skips_optimize(spark, tmp_path):
+    """An OPTIMIZE commit in the range contributes no rows (its adds are
+    dataChange=false rewrites of already-delivered data)."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import delta_changes
+
+    p = str(tmp_path / "t")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([Row(id=i, cat="a", val=float(i))]), p
+        )
+    v_opt = optimize_delta(spark, p, target_file_bytes=64 * 1024 * 1024)
+    write_delta(spark.createDataFrame([Row(id=9, cat="a", val=9.0)]), p)
+    ch = delta_changes(spark, p, from_version=v_opt - 1)
+    got = {(r["id"], r["_commit_version"]) for r in ch.collect()}
+    assert got == {(9, v_opt + 1)}
+
+
+def test_delta_changes_raises_on_data_rewrite(spark, tmp_path):
+    """A DELETE in the range is a retraction an append-only consumer
+    cannot represent — must raise, not silently drop."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import delta_changes
+
+    p = _mk_table(spark, str(tmp_path / "t"))
+    delete_delta(spark, p, "id = 1")
+    with pytest.raises(ValueError, match="rewrites data"):
+        delta_changes(spark, p, from_version=0)
+
+
+def test_delta_changes_empty_and_partition_injection(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        delta_changes,
+        table_version,
+    )
+
+    p = _mk_table(spark, str(tmp_path / "t"), partitioned=True)
+    v = table_version(p)
+    empty = delta_changes(spark, p, from_version=v)
+    assert empty.count() == 0
+    assert "_commit_version" in empty.columns
+    write_delta(spark.createDataFrame([Row(id=7, cat="zz", val=7.0)]), p)
+    ch = delta_changes(spark, p, from_version=v).collect()
+    assert [(r["id"], r["cat"]) for r in ch] == [(7, "zz")]
+
+
 def test_dml_probe_pushes_predicate_to_scan(spark, tmp_path):
     """The affected-file probe is a normal distributed scan: its
     predicate must reach the parquet reader (PushedFilters), so at scale
