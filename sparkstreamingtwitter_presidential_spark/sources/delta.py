@@ -511,6 +511,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit df to a Delta table at ``path``; returns the new version.
 
@@ -523,6 +524,14 @@ def write_delta(
     `txn` action — the idempotence marker an at-least-once streaming
     writer pairs with :func:`last_txn_version` to skip replayed
     batches (see streaming/delta_sink.py).
+
+    ``merge_schema``: when the incoming frame carries NEW columns, emit
+    an updated ``metaData`` action whose schema is the union (existing
+    fields first, new fields appended) — the protocol's schema-evolution
+    mechanism. Old data files simply lack the new columns; readers scan
+    them under the declared schema and fill nulls, so no rewrite
+    happens. Without the flag, a schema mismatch raises (delta-spark's
+    default, protecting against accidental drift).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -561,6 +570,35 @@ def write_delta(
                 }
             }
         )
+    else:
+        assert existing.schema is not None
+        have = {f.name for f in existing.schema.fields}
+        new_fields = [f for f in df.schema.fields if f.name not in have]
+        if new_fields:
+            if not merge_schema:
+                raise ValueError(
+                    f"incoming columns {[f.name for f in new_fields]} not "
+                    "in table schema; pass merge_schema=True to evolve"
+                )
+            evolved = StructType(list(existing.schema.fields) + new_fields)
+            assert existing.metadata_action is not None
+            md = dict(existing.metadata_action)
+            md["schemaString"] = evolved.json()
+            actions.append({"metaData": md})
+        # align the frame to the (possibly evolved) table schema so
+        # every staged file carries all declared columns it knows about
+        if mode == "append":
+            table_schema = (
+                StructType(list(existing.schema.fields) + new_fields)
+                if new_fields
+                else existing.schema
+            )
+            missing = [
+                f for f in table_schema.fields if f.name not in df.columns
+            ]
+            for f in missing:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            df = df.select(*[f.name for f in table_schema.fields])
     if mode == "overwrite" and existing is not None:
         now = int(time.time() * 1000)
         actions.extend(

@@ -328,6 +328,60 @@ def merge_delta(
     )
 
 
+def vacuum_delta(
+    path: str,
+    retention_hours: float = 168.0,
+    now_ms: int | None = None,
+) -> list[str]:
+    """Physically delete data files tombstoned longer ago than the
+    retention window. Returns the relative paths deleted.
+
+    Scans the log's JSON commits for ``remove`` actions, drops any path
+    that is live in the CURRENT snapshot (a path can be re-added), and
+    unlinks files whose ``deletionTimestamp`` is older than
+    ``now - retention``. Consequences match the real VACUUM: time travel
+    to versions that referenced the deleted files stops working (the
+    log still replays — the scan fails), and the default 7-day window
+    exists so concurrent readers of recent snapshots don't lose files
+    under them. Metadata-only: no Spark job, O(#commits) driver work.
+    ``now_ms`` is injectable for deterministic tests."""
+    now = _now_ms() if now_ms is None else now_ms
+    cutoff = now - int(retention_hours * 3600 * 1000)
+    snap = _replay_log(path, None)
+    log_dir = os.path.join(path, "_delta_log")
+
+    import json
+
+    tombstones: dict[str, int] = {}
+    for n in sorted(os.listdir(log_dir)):
+        if not (n.endswith(".json") and n[:-5].isdigit()):
+            continue
+        with open(os.path.join(log_dir, n)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "remove" in action:
+                    r = action["remove"]
+                    tombstones[r["path"]] = max(
+                        tombstones.get(r["path"], 0),
+                        int(r.get("deletionTimestamp", 0)),
+                    )
+
+    deleted = []
+    for rel, ts in sorted(tombstones.items()):
+        if rel in snap.files or ts > cutoff:
+            continue
+        abs_path = os.path.join(path, urllib.parse.unquote(rel))
+        try:
+            os.remove(abs_path)
+            deleted.append(rel)
+        except FileNotFoundError:
+            deleted.append(rel)  # already gone: idempotent
+    return deleted
+
+
 def optimize_delta(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:

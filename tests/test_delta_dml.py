@@ -217,6 +217,65 @@ def test_checkpoint_after_dml_bootstraps_equivalent_snapshot(spark, tmp_path):
     assert table_version(p) == cp_v
 
 
+def test_schema_evolution_append_fills_nulls(spark, tmp_path):
+    """merge_schema append: new column lands in the declared schema; old
+    files scan with NULL for it, no rewrite. Without the flag, raises."""
+    p = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([Row(id=1, cat="a", val=1.0)]), p)
+    newer = spark.createDataFrame([Row(id=2, cat="b", val=2.0, score=0.9)])
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta(newer, p)
+    write_delta(newer, p, merge_schema=True)
+    got = {
+        (r["id"], r["score"])
+        for r in read_delta(spark, p).select("id", "score").collect()
+    }
+    assert got == {(1, None), (2, 0.9)}
+    # old snapshot still reads under its own (pre-evolution) schema
+    assert "score" not in read_delta(spark, p, version=0).columns
+
+
+def test_append_with_missing_column_fills_nulls(spark, tmp_path):
+    """An append missing a declared column stages it as NULL so every
+    file carries the full schema it knows about."""
+    p = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([Row(id=1, cat="a", val=1.0)]), p)
+    write_delta(spark.createDataFrame([Row(id=2, cat="b")]), p)
+    got = {(r["id"], r["val"]) for r in read_delta(spark, p).collect()}
+    assert got == {(1, 1.0), (2, None)}
+
+
+def test_vacuum_deletes_expired_tombstones_only(spark, tmp_path):
+    """VACUUM removes only files tombstoned beyond retention; live files
+    and fresh tombstones survive; the current snapshot is unaffected."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import vacuum_delta
+
+    p = _mk_table(spark, str(tmp_path / "t"))
+    before_rows = _rows(spark, p)
+    delete_delta(spark, p, "id = 1")  # tombstones every rewritten file
+    after_rows = _rows(spark, p)
+    # fresh tombstones: default 7-day retention keeps them
+    assert vacuum_delta(p) == []
+    assert _rows(spark, p, version=0) == before_rows  # time travel OK
+    # expire them: retention 0 with a far-future clock
+    deleted = vacuum_delta(p, retention_hours=0,
+                           now_ms=10**18)
+    assert deleted, "expected expired tombstoned files to be deleted"
+    assert _rows(spark, p) == after_rows  # current snapshot intact
+    with pytest.raises(Exception):  # noqa: B017 - scan of missing file
+        _rows(spark, p, version=0)
+
+
+def test_vacuum_is_idempotent(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import vacuum_delta
+
+    p = _mk_table(spark, str(tmp_path / "t"))
+    delete_delta(spark, p, "id = 2")
+    first = vacuum_delta(p, retention_hours=0, now_ms=10**18)
+    second = vacuum_delta(p, retention_hours=0, now_ms=10**18)
+    assert first == second  # reruns report the same set, files stay gone
+
+
 def test_delta_changes_incremental_appends(spark, tmp_path):
     """delta_changes returns exactly the rows appended after
     from_version, each stamped with its commit version."""
