@@ -217,6 +217,73 @@ def test_checkpoint_after_dml_bootstraps_equivalent_snapshot(spark, tmp_path):
     assert table_version(p) == cp_v
 
 
+# ---------------------------------------------------------------------------
+# Model-based property test: a random op sequence applied to BOTH the
+# Delta table and an in-memory dict model must yield identical contents.
+# Catches interaction bugs no single-op test sees (e.g. merge after
+# delete re-inserting a tombstoned key, optimize after update serving
+# stale pre-rewrite files).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_op = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.integers(0, 30), min_size=1,
+                                          max_size=4, unique=True)),
+    st.tuples(st.just("delete_gt"), st.floats(0, 60, allow_nan=False)),
+    st.tuples(st.just("update_mod"), st.integers(2, 4)),
+    st.tuples(st.just("merge"), st.lists(st.integers(0, 30), min_size=1,
+                                         max_size=4, unique=True)),
+    st.tuples(st.just("optimize"), st.none()),
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_op, min_size=1, max_size=5))
+def test_dml_sequence_matches_model(spark, tmp_path_factory, ops):
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        read_delta,
+        write_delta,
+    )
+
+    p = str(tmp_path_factory.mktemp("dml") / "t")
+    model: dict[int, float] = {}
+
+    def _df(ids, val_of):
+        return spark.createDataFrame(
+            [Row(id=i, cat="c", val=float(val_of(i))) for i in sorted(ids)]
+        )
+
+    write_delta(_df([0, 1, 2], lambda i: i * 10.0), p)
+    model.update({i: i * 10.0 for i in [0, 1, 2]})
+
+    for kind, arg in ops:
+        if kind == "append":
+            new = [i for i in arg if i not in model]
+            if not new:
+                continue
+            write_delta(_df(new, lambda i: i + 0.5), p)
+            model.update({i: i + 0.5 for i in new})
+        elif kind == "delete_gt":
+            delete_delta(spark, p, f"val > {arg!r}")
+            model = {i: v for i, v in model.items() if not v > arg}
+        elif kind == "update_mod":
+            update_delta(spark, p, {"val": "val + 1"}, f"id % {arg} = 0")
+            model = {
+                i: (v + 1 if i % arg == 0 else v) for i, v in model.items()
+            }
+        elif kind == "merge":
+            merge_delta(spark, p, _df(arg, lambda i: i * 100.0), keys=["id"])
+            model.update({i: i * 100.0 for i in arg})
+        elif kind == "optimize":
+            optimize_delta(spark, p, target_file_bytes=64 * 1024 * 1024)
+        # the model IS the table after every op, not just at the end
+        got = {r["id"]: r["val"] for r in read_delta(spark, p).collect()}
+        assert got == model, f"diverged after {kind}({arg})"
+
+
 def test_schema_evolution_append_fills_nulls(spark, tmp_path):
     """merge_schema append: new column lands in the declared schema; old
     files scan with NULL for it, no rewrite. Without the flag, raises."""
