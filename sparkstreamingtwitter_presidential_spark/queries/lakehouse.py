@@ -294,6 +294,50 @@ def lakehouse_delta_changes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_delta_pipeline_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events WHERE event_type <> 'error'
+        GROUP BY event_type
+    """,
+    doc="NEW r4: incremental Delta->Delta ETL drained one source commit "
+    "per poll (max_commits=1, watermark stored in the destination's own "
+    "txn action — data + high-water mark commit atomically, so every "
+    "poll is an exactly-once unit with no separate checkpoint store); "
+    "source = the 4-append + OPTIMIZE staged table, transform filters "
+    "'error' events; the destination aggregate equals the oracle's "
+    "filtered batch aggregate iff no poll dropped or re-delivered rows",
+)
+def lakehouse_delta_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as _F
+
+    from sparkstreamingtwitter_presidential_spark.streaming.incremental import (
+        drain_delta_incremental,
+    )
+
+    source = _dml_staged_delta(spark, sf_dir, "opt", _build_opt_table(sf_dir))
+
+    def build(spark: SparkSession, dest: str) -> None:
+        drained = drain_delta_incremental(
+            spark,
+            source,
+            dest,
+            app_id="ssp_etl_pipeline",
+            transform=lambda inc: inc.filter(
+                _F.col("event_type") != "error"
+            ).drop("_commit_version"),
+            partition_by=["event_type"],
+            max_commits=1,
+        )
+        if drained < 4:  # 4 append commits must each be their own poll
+            raise RuntimeError(f"expected >=4 drained commits, got {drained}")
+
+    dest = _dml_staged_delta(spark, sf_dir, "etl", build)
+    return _agg_by_type(read_delta(spark, dest))
+
+
+@query(
     "lakehouse_delta_events_agg",
     oracle="""
         SELECT event_type,

@@ -252,7 +252,10 @@ def delta_changes(
     of only the NEW files — at 100 TB a poll touches megabytes, not the
     table. Each output row carries ``_commit_version`` so a consumer
     can checkpoint its high-water mark (resume = pass it back as
-    ``from_version``)."""
+    ``from_version``). Requires the JSON commits in the range to still
+    exist (checkpoints collapse SNAPSHOT state, not per-commit deltas)
+    — i.e. poll within the log-retention window, the same constraint
+    the real streaming source has."""
     end = _replay_log(path, to_version)  # validates to_version exists
     if from_version > end.version:
         raise ValueError(

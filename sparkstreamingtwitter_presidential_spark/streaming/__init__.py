@@ -4,6 +4,10 @@ from sparkstreamingtwitter_presidential_spark.streaming.delta_sink import (
     delta_batch_committer,
     write_stream_to_delta,
 )
+from sparkstreamingtwitter_presidential_spark.streaming.incremental import (
+    drain_delta_incremental,
+    run_delta_incremental,
+)
 from sparkstreamingtwitter_presidential_spark.streaming.joins import stream_stream_join
 from sparkstreamingtwitter_presidential_spark.streaming.windows import (
     session_aggregate,
@@ -13,7 +17,9 @@ from sparkstreamingtwitter_presidential_spark.streaming.windows import (
 
 __all__ = [
     "delta_batch_committer",
+    "drain_delta_incremental",
     "run_bounded_collector",
+    "run_delta_incremental",
     "session_aggregate",
     "sliding_aggregate",
     "stream_stream_join",
