@@ -68,3 +68,72 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(rate_threshold(rate))).otherwise(thr)
     return df.filter(sample_hash(id_col) < thr)
+
+
+#: Epoch salt for oversampling: a large odd prime, small enough that
+#: id + epoch * SALT stays far below 2^32 for 2^31-bounded ids, keeping
+#: the product with HASH_MULT inside int64.
+EPOCH_SALT = 1_000_003
+
+
+def epoch_hash(id_col: Column | str, epoch: int) -> Column:
+    """Per-epoch variant of sample_hash: epoch 0 equals sample_hash (so
+    a weight-1.0 mix is exactly the identity selection); higher epochs
+    decorrelate via an additive salt, so the fractional remainder of
+    epoch k keeps a DIFFERENT subset than epoch k-1 kept."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        (c.cast("long") + F.lit(epoch * EPOCH_SALT)) * F.lit(HASH_MULT),
+        F.lit(HASH_MOD),
+    )
+
+
+def weighted_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    parts: dict[str, float],
+) -> DataFrame:
+    """Corpus re-weighting WITH oversampling ("2.5 parts web, 0.5 parts
+    forums"): each stratum contributes ``floor(parts)`` full copies plus
+    a deterministic hash-selected fraction, tagged with an ``epoch``
+    column (0-based copy number) so downstream packing/shuffling can
+    interleave copies instead of concatenating them. Strata not listed
+    contribute nothing.
+
+    Plan shape: one scan per epoch level (max over the weights' integer
+    parts + 1), each a stateless pushed-down filter, unioned — no
+    shuffle, no join, no state; at 100 TB each epoch scan prunes to the
+    strata that reach that epoch. Epoch k of a stratum with weight w
+    keeps rate min(1, w - k) via the epoch-salted hash, so retries,
+    partitionings, and engines all select identical rows."""
+    if not parts:
+        raise ValueError("parts must name at least one stratum")
+    for k, w in parts.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {k!r}: {w}")
+    max_epoch = max(int(w) + (0 if w == int(w) else 1) for w in parts.values())
+    pieces = []
+    for epoch in range(max_epoch):
+        # strata whose weight reaches into this epoch; full copies keep
+        # everything (threshold = MOD), partial epochs hash-select
+        cond = F.lit(False)
+        thr: Column = F.lit(0)
+        for value, w in sorted(parts.items()):
+            rate = min(1.0, w - epoch)
+            if rate <= 0:
+                continue
+            cond = cond | (F.col(strata_col) == value)
+            thr = F.when(
+                F.col(strata_col) == value, F.lit(rate_threshold(rate))
+            ).otherwise(thr)
+        piece = (
+            df.filter(cond)
+            .filter(epoch_hash(id_col, epoch) < thr)
+            .withColumn("epoch", F.lit(epoch).cast("int"))
+        )
+        pieces.append(piece)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

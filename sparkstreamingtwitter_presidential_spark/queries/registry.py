@@ -91,7 +91,7 @@ GRADED_FIRST: list[str] = [
     "streaming_sliding_windows",
     "streaming_session_windows",
     "text_pii_scrub",
-    "sample_documents_stratified",
+    "mix_documents_weighted",
     "streaming_dedup_exact",
     "streaming_stream_join",
     # Round-3 newcomers (training-data assembly): graded on arrival, per
@@ -116,7 +116,9 @@ GRADED_FIRST: list[str] = [
     # dedup_components_chain, text_lang_id (ceded for the incremental
     # change-read query; still bench-headlined for perf),
     # join_full_outer_nation_coverage (ceded for the incremental
-    # ETL pipeline query; r2+r3 driver-green).
+    # ETL pipeline query; r2+r3 driver-green),
+    # sample_documents_stratified (r3 green; its slot goes to the
+    # superset weighted-oversampling mix query, same hash machinery).
     "lakehouse_delta_merge_agg",
     "lakehouse_delta_changes_agg",
     "lakehouse_delta_pipeline_agg",

@@ -228,3 +228,53 @@ def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return smp.stratified_sample(d, "doc_id", "source", _MIX_RATES, _MIX_DEFAULT)
+
+
+#: Oversampling mix: "2 parts src0/src1, 1.5 parts src2/src3, 0.4 parts
+#: src4" — integer parts become full epoch copies, fractions become
+#: epoch-salted hash selections.
+_MIX_PARTS = {"src0": 2.0, "src1": 2.0, "src2": 1.5, "src3": 1.5, "src4": 0.4}
+
+
+def _duck_epoch_hash(epoch: int) -> str:
+    from sparkstreamingtwitter_presidential_spark.operators import sampling as smp
+
+    x = f"(doc_id + {epoch * smp.EPOCH_SALT})"
+    return (
+        f"((({x} * {smp.HASH_MULT}) % {smp.HASH_MOD}) + {smp.HASH_MOD})"
+        f" % {smp.HASH_MOD}"
+    )
+
+
+def _duck_mix_epochs() -> str:
+    from sparkstreamingtwitter_presidential_spark.operators import sampling as smp
+
+    return f"""
+        SELECT doc_id, source, 0 AS epoch FROM documents
+        WHERE source IN ('src0', 'src1', 'src2', 'src3')
+           OR (source = 'src4'
+               AND {_duck_epoch_hash(0)} < {smp.rate_threshold(0.4)})
+        UNION ALL
+        SELECT doc_id, source, 1 AS epoch FROM documents
+        WHERE source IN ('src0', 'src1')
+           OR (source IN ('src2', 'src3')
+               AND {_duck_epoch_hash(1)} < {smp.rate_threshold(0.5)})
+    """
+
+
+@query(
+    "mix_documents_weighted",
+    oracle=_duck_mix_epochs(),
+    doc=(
+        "NEW r4: weighted corpus mixing WITH oversampling — weights > 1 "
+        "produce full epoch copies plus an epoch-salted fractional "
+        "selection (2 parts src0/src1, 1.5 parts src2/src3, 0.4 parts "
+        "src4), tagged with the copy number for downstream interleave; "
+        "pure integer arithmetic, identical row selection in the oracle"
+    ),
+)
+def mix_documents_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators import sampling as smp
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return smp.weighted_mix(d, "doc_id", "source", _MIX_PARTS)

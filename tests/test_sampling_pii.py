@@ -105,3 +105,55 @@ def test_pii_counts_match_scrub_chain(spark):
         counts["n_emails"].alias("e"), counts["n_ips"].alias("i"), counts["n_phones"].alias("p")
     ).collect()[0]
     assert (r.e, r.i, r.p) == (2, 1, 1)
+
+
+def test_weighted_mix_full_copies_and_fractions(spark):
+    """Weight 2.0 -> exactly two full copies; weight 1.5 -> one full copy
+    plus ~half on epoch 1; weight 0.4 -> ~40% on epoch 0; unlisted ->
+    absent. Epoch 0 of a weight>=1 stratum is the whole stratum."""
+    d = _docs(spark).select("doc_id", "source")
+    mixed = smp.weighted_mix(
+        d, "doc_id", "source", {"src0": 2.0, "src1": 1.5, "src2": 0.4}
+    )
+    totals = dict(d.groupBy("source").count().collect())
+    by = {
+        (r["source"], r["epoch"]): r["count"]
+        for r in mixed.groupBy("source", "epoch").count().collect()
+    }
+    assert by[("src0", 0)] == totals["src0"]
+    assert by[("src0", 1)] == totals["src0"]
+    assert by[("src1", 0)] == totals["src1"]
+    assert 0.35 * totals["src1"] <= by[("src1", 1)] <= 0.65 * totals["src1"]
+    assert 0.25 * totals["src2"] <= by[("src2", 0)] <= 0.55 * totals["src2"]
+    assert ("src2", 1) not in by
+    assert not any(s == "src3" for s, _ in by)
+
+
+def test_weighted_mix_epoch_fractions_decorrelated(spark):
+    """The fractional subset of epoch 1 must differ from epoch 0's (the
+    salt works): two half-rate epochs of the same stratum overlap on
+    roughly a quarter, never all."""
+    d = _docs(spark).select("doc_id", "source")
+    mixed = smp.weighted_mix(d, "doc_id", "source", {"src4": 1.5})
+    e1 = {r["doc_id"] for r in mixed.filter("epoch = 1").collect()}
+    half0 = {
+        r["doc_id"]
+        for r in smp.stratified_sample(
+            d.filter("source = 'src4'"), "doc_id", "source", {"src4": 0.5}
+        ).collect()
+    }
+    assert e1 and half0
+    overlap = len(e1 & half0) / min(len(e1), len(half0))
+    assert overlap < 0.8, "epoch salt failed to decorrelate selections"
+
+
+def test_weighted_mix_epoch0_matches_identity_hash(spark):
+    """epoch_hash(id, 0) == sample_hash(id): a weight-1.0 mix selects
+    exactly the rows deterministic_sample(rate=1.0) keeps (everything),
+    and fraction-only mixes agree with stratified_sample."""
+    d = _docs(spark).select("doc_id", "source")
+    frac = smp.weighted_mix(d, "doc_id", "source", {"src5": 0.3})
+    strat = smp.stratified_sample(d, "doc_id", "source", {"src5": 0.3})
+    assert {r["doc_id"] for r in frac.collect()} == {
+        r["doc_id"] for r in strat.collect()
+    }
