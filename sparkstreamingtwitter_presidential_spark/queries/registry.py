@@ -83,7 +83,6 @@ GRADED_FIRST: list[str] = [
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_top_pairs",
     "dedup_components",
-    "dedup_components_merge",
     "dedup_incremental",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
@@ -118,7 +117,9 @@ GRADED_FIRST: list[str] = [
     # join_full_outer_nation_coverage (ceded for the incremental
     # ETL pipeline query; r2+r3 driver-green),
     # sample_documents_stratified (r3 green; its slot goes to the
-    # superset weighted-oversampling mix query, same hash machinery).
+    # superset weighted-oversampling mix query, same hash machinery),
+    # dedup_components_merge (r3 green; ceded for the JSONL roundtrip).
+    "io_jsonl_roundtrip_docs",
     "lakehouse_delta_merge_agg",
     "lakehouse_delta_changes_agg",
     "lakehouse_delta_pipeline_agg",

@@ -6,6 +6,8 @@ hash proven byte-identical on Unicode inputs)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -278,3 +280,32 @@ def mix_documents_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return smp.weighted_mix(d, "doc_id", "source", _MIX_PARTS)
+
+
+@query(
+    "io_jsonl_roundtrip_docs",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc=(
+        "NEW r4: documents -> gzip JSONL -> read-back must be the "
+        "identity, including texts with embedded newlines/quotes/"
+        "unicode that line formats mangle — proves the interchange "
+        "path (sources/jsonl.py) end-to-end against the oracle's "
+        "direct parquet read"
+    ),
+)
+def io_jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.replay import (
+        schema_keyed_dir,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    staged = schema_keyed_dir("spark_graft_jsonl_docs", sf_dir, d.schema)
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        write_jsonl(d, staged, n_files=4)
+    return read_jsonl(spark, staged, d.schema)
