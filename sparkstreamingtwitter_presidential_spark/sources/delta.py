@@ -175,17 +175,62 @@ def _replay_log(table_path: str, version: int | None) -> _Snapshot:
     return snap
 
 
+def file_skips(
+    add: dict[str, Any], ranges: dict[str, tuple[Any, Any]]
+) -> bool:
+    """True iff the add action's `stats` PROVE no row can satisfy the
+    conjunctive ranges (col in [lo, hi]; None = open end). Advisory:
+    missing/partial stats keep the file — skipping may only ever remove
+    files, never rows a filter would keep."""
+    raw = add.get("stats")
+    if not raw:
+        return False
+    try:
+        st = json.loads(raw)
+    except (TypeError, ValueError):
+        return False
+    mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
+    for col, (lo, hi) in ranges.items():
+        fmin, fmax = mins.get(col), maxs.get(col)
+        if fmin is None or fmax is None:
+            continue
+        if lo is not None and fmax < lo:
+            return True
+        if hi is not None and fmin > hi:
+            return True
+    return False
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    skip_ranges: dict[str, tuple[Any, Any]] | None = None,
 ) -> DataFrame:
     """Snapshot read of a Delta table (optionally a past ``version``).
 
     Data columns come from the parquet files under the log's declared
     schema; partition columns are injected from the log's
     ``partitionValues`` (cast to the declared types) — one parquet read
-    per distinct partition tuple, unioned.
-    """
+    per distinct partition tuple, unioned. (A filter on a partition
+    column constant-folds against those literals, so Catalyst prunes
+    whole partition branches without reading them.)
+
+    ``skip_ranges`` ({col: (lo, hi)}, None = open end) prunes files by
+    the log's per-file min/max `stats` BEFORE Spark ever lists them —
+    the metadata-side skipping the real client does. It is advisory and
+    conservative (files without stats are kept) and does NOT replace
+    the row filter: callers still apply `.filter(...)`; the win is that
+    on a clustered table (optimize_delta cluster_by) a selective range
+    touches a few files instead of every file. Timestamp bounds are
+    ISO-8601 strings (lexicographic == chronological)."""
     snap = _replay_log(path, version)
+    if skip_ranges:
+        snap.files = {
+            p: a
+            for p, a in snap.files.items()
+            if not file_skips(a, skip_ranges)
+        }
     schema = snap.schema
     assert schema is not None
     data_fields = [f for f in schema.fields if f.name not in snap.partition_columns]
@@ -455,12 +500,80 @@ def write_checkpoint(path: str) -> int:
     return snap.version
 
 
+def _file_stats(parquet_path: str) -> str | None:
+    """Per-file column statistics as the protocol's `stats` JSON string
+    (numRecords / minValues / maxValues / nullCount) read from the
+    parquet footer the writer ALREADY produced — no data re-scan, just
+    metadata. Non-primitive and unparseable columns are simply omitted
+    (stats are advisory: a reader that can't prove exclusion keeps the
+    file)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def _json_safe(v: Any) -> Any:
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (bool, int, float, str)) or v is None:
+            return v
+        return None
+
+    try:
+        md = pq.ParquetFile(parquet_path).metadata
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        nulls: dict[str, int] = {}
+        bad: set[str] = set()  # any row group without stats poisons the col
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in bad:  # nested: top-level only
+                    continue
+                st = col.statistics
+                if st is not None and st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                lo = _json_safe(st.min) if st and st.has_min_max else None
+                hi = _json_safe(st.max) if st and st.has_min_max else None
+                if lo is None or hi is None:
+                    # no min/max (e.g. all-NULL column): nullCount above
+                    # is still valid; only the range is unknown
+                    bad.add(name)
+                    continue
+                if name not in mins:
+                    mins[name], maxs[name] = lo, hi
+                else:
+                    mins[name] = min(mins[name], lo)
+                    maxs[name] = max(maxs[name], hi)
+        for name in bad:
+            mins.pop(name, None)
+            maxs.pop(name, None)
+        return json.dumps(
+            {
+                "numRecords": md.num_rows,
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": nulls,
+            },
+            separators=(",", ":"),
+        )
+    except Exception:  # noqa: BLE001 - stats are best-effort metadata
+        return None
+
+
 def _stage_files(
     df: DataFrame, table_path: str, partition_by: list[str]
 ) -> list[dict[str, Any]]:
     """Write df's parquet under the table root (via a scratch dir →
     rename, so half-written files never look live) and return add
-    actions. Partition values are recovered from the key=value dirs the
+    actions (each carrying footer-derived `stats` for file skipping).
+    Partition values are recovered from the key=value dirs the
     partitioned write produces."""
     scratch = os.path.join(table_path, f".tmp-{uuid.uuid4().hex}")
     w = df.write.mode("overwrite")
@@ -491,17 +604,17 @@ def _stage_files(
             dst = os.path.join(table_path, rel_path)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
-            adds.append(
-                {
-                    "add": {
-                        "path": rel_path.replace(os.sep, "/"),
-                        "partitionValues": pv,
-                        "size": os.path.getsize(dst),
-                        "modificationTime": now,
-                        "dataChange": True,
-                    }
-                }
-            )
+            add: dict[str, Any] = {
+                "path": rel_path.replace(os.sep, "/"),
+                "partitionValues": pv,
+                "size": os.path.getsize(dst),
+                "modificationTime": now,
+                "dataChange": True,
+            }
+            stats = _file_stats(dst)
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
     import shutil
 
     shutil.rmtree(scratch, ignore_errors=True)

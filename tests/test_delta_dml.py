@@ -217,6 +217,87 @@ def test_checkpoint_after_dml_bootstraps_equivalent_snapshot(spark, tmp_path):
     assert table_version(p) == cp_v
 
 
+def test_writes_carry_file_stats(spark, tmp_path):
+    """Every staged file records protocol `stats` (numRecords/min/max/
+    nullCount) derived from the parquet footer."""
+    p = _mk_table(spark, str(tmp_path / "t"))
+    stats = [json.loads(a["stats"]) for a in _live_files(p).values()]
+    assert stats and all("numRecords" in s for s in stats)
+    total = sum(s["numRecords"] for s in stats)
+    assert total == 5
+    # empty part files legitimately carry no per-column ranges
+    ranged = [s for s in stats if s["numRecords"] > 0]
+    all_min = min(s["minValues"]["id"] for s in ranged)
+    all_max = max(s["maxValues"]["id"] for s in ranged)
+    assert (all_min, all_max) == (1, 5)
+    # val has one NULL row; nullCount must see it even where min/max
+    # are absent (all-NULL column in that file)
+    assert sum(s["nullCount"].get("val", 0) for s in stats) == 1
+
+
+def test_skip_ranges_prunes_clustered_files_but_not_rows(spark, tmp_path):
+    """After cluster_by compaction, a narrow id range must prune most
+    files at the metadata layer — and the pruned read + row filter must
+    return exactly the same rows as the full read + row filter."""
+    from pyspark.sql import functions as SF
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(id=i, cat="a", val=float(i % 7)) for i in range(2000)]
+    )
+    # land shuffled across 4 appends so pre-compaction files all span
+    # the full id range (stats useless), then cluster
+    for k in range(4):
+        write_delta(df.filter(SF.pmod("id", SF.lit(4)) == k), p)
+    unclustered = read_delta(spark, p, skip_ranges={"id": (100, 120)})
+    n_unclustered = len(_live_after_skip(p, {"id": (100, 120)}))
+    optimize_delta(spark, p, target_file_bytes=6000, cluster_by=["id"])
+    n_total = len(_live_files(p))
+    n_pruned = len(_live_after_skip(p, {"id": (100, 120)}))
+    assert n_total >= 4
+    assert n_pruned < n_total, "clustered stats failed to prune files"
+    got = sorted(
+        r["id"]
+        for r in read_delta(spark, p, skip_ranges={"id": (100, 120)})
+        .filter("id BETWEEN 100 AND 120")
+        .collect()
+    )
+    assert got == list(range(100, 121))
+    assert unclustered.filter("id BETWEEN 100 AND 120").count() == 21
+
+
+def _live_after_skip(path, ranges):
+    from sparkstreamingtwitter_presidential_spark.sources.delta import file_skips
+
+    return {
+        p: a for p, a in _live_files(path).items() if not file_skips(a, ranges)
+    }
+
+
+def test_skip_ranges_conservative_without_stats(spark, tmp_path):
+    """An add without stats can never be skipped (advisory contract)."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import file_skips
+
+    assert file_skips({"path": "x"}, {"id": (0, 1)}) is False
+    assert file_skips({"stats": "not json"}, {"id": (0, 1)}) is False
+
+
+def test_stats_survive_checkpoint(spark, tmp_path):
+    """Checkpoint bootstrap must preserve per-file stats so skipping
+    keeps working after log truncation."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import write_checkpoint
+
+    p = _mk_table(spark, str(tmp_path / "t"))
+    v = write_checkpoint(p)
+    log = os.path.join(p, "_delta_log")
+    for n in os.listdir(log):
+        if n.endswith(".json"):
+            os.remove(os.path.join(log, n))
+    assert v >= 0
+    stats = [a.get("stats") for a in _live_files(p).values()]
+    assert stats and all(s for s in stats)
+
+
 # ---------------------------------------------------------------------------
 # Model-based property test: a random op sequence applied to BOTH the
 # Delta table and an in-memory dict model must yield identical contents.
