@@ -158,3 +158,182 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
         out[name] = F.size(F.regexp_extract_all(scrubbed, F.lit(pattern), F.lit(0)))
         scrubbed = F.regexp_replace(scrubbed, pattern, repl)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition / structure signals (Gopher-style quality rules).
+#
+# All functions below take ALREADY-MATERIALIZED array columns (lines,
+# words, bigrams) rather than raw text: higher-order-function lambdas
+# get no subexpression elimination (DESIGN.md measured lesson), so the
+# caller must project the split arrays as named columns ONCE and feed
+# those — see clean_lines()/clean_words()/word_bigrams() and the
+# text_repetition_signals query. Every ratio is integer-count division
+# (no sum-of-doubles), so cross-engine comparison is exact.
+# ---------------------------------------------------------------------------
+
+
+def clean_lines(col: Column | str) -> Column:
+    """Non-empty trimmed lines of a document (array<string>)."""
+    return F.filter(
+        F.transform(F.split(_c(col), "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def clean_words(col: Column | str) -> Column:
+    """Non-empty whitespace tokens (array<string>; [] for blank text)."""
+    return F.filter(
+        F.split(F.trim(_c(col)), r"\s+"), lambda x: F.length(x) > 0
+    )
+
+
+def word_bigrams(words: Column | str) -> Column:
+    """Adjacent-word bigrams of a MATERIALIZED words column ([] when
+    fewer than 2 words). 1-based element_at matches DuckDB's 1-based
+    list indexing, so the oracle twin is the same arithmetic."""
+    w = _c(words)
+    n = F.size(w)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_fraction(arr: Column) -> Column:
+    """1 - distinct/total for any array (0.0 when empty)."""
+    n = F.size(arr)
+    d = F.size(F.array_distinct(arr))
+    return F.when(
+        n > 0, (n - d).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_fraction(lines: Column | str) -> Column:
+    """Fraction of line occurrences that repeat an earlier line."""
+    return _dup_fraction(_c(lines))
+
+
+def dup_line_char_fraction(lines: Column | str) -> Column:
+    """Fraction of line CHARACTERS belonging to repeated occurrences
+    (total line chars minus distinct-line chars, over total)."""
+    ln = _c(lines)
+    tot = F.aggregate(
+        F.transform(ln, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dis = F.aggregate(
+        F.transform(F.array_distinct(ln), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        tot > 0, (tot - dis).cast("double") / tot.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_bigram_fraction(bigrams: Column | str) -> Column:
+    """Fraction of repeated adjacent-word bigrams (C4-style repetition)."""
+    return _dup_fraction(_c(bigrams))
+
+
+def mean_word_length(words: Column | str) -> Column:
+    """Mean characters per word (0.0 for no words); int/int division,
+    engine-exact."""
+    w = _c(words)
+    n = F.size(w)
+    tot = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        n > 0, tot.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def bullet_line_fraction(lines: Column | str) -> Column:
+    """Fraction of lines starting with a bullet marker (-, *, •)."""
+    ln = _c(lines)
+    n = F.size(ln)
+    hits = F.size(
+        F.filter(
+            ln,
+            lambda x: F.substring(x, 1, 1).isin("-", "*", "•"),
+        )
+    )
+    return F.when(
+        n > 0, hits.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_fraction(lines: Column | str) -> Column:
+    """Fraction of lines ending in '...' or '…'."""
+    ln = _c(lines)
+    n = F.size(ln)
+    hits = F.size(
+        F.filter(
+            ln,
+            lambda x: x.endswith("...") | x.endswith("…"),
+        )
+    )
+    return F.when(
+        n > 0, hits.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(col: Column | str, words: Column | str) -> Column:
+    """(# and ellipsis occurrences) / words — Gopher's symbol ratio."""
+    hits = F.size(
+        F.regexp_extract_all(_c(col), F.lit(r"(#|\.\.\.|…)"), F.lit(0))
+    )
+    n = F.size(_c(words))
+    return F.when(
+        n > 0, hits.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+#: Gopher-style acceptance thresholds, ADAPTED to the fixture's short
+#: documents (the published rules assume web pages; min word count 50
+#: would reject the whole corpus). Every comparison is against an
+#: integer-division double — deterministic in both engines.
+GOPHER_THRESHOLDS = {
+    "min_words": 20,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_dup_bigram_frac": 0.40,
+    "max_bullet_line_frac": 0.90,
+    "max_ellipsis_line_frac": 0.30,
+    "max_symbol_word_ratio": 0.10,
+}
+
+
+def gopher_pass(
+    text: Column | str, lines: Column | str, words: Column | str,
+    bigrams: Column | str,
+) -> Column:
+    """Boolean: document passes every (adapted) Gopher repetition /
+    structure rule. Args are the materialized array columns."""
+    t = GOPHER_THRESHOLDS
+    n_words = F.size(_c(words))
+    return (
+        (n_words >= t["min_words"])
+        & (n_words <= t["max_words"])
+        & (mean_word_length(words) >= t["min_mean_word_len"])
+        & (mean_word_length(words) <= t["max_mean_word_len"])
+        & (dup_line_fraction(lines) <= t["max_dup_line_frac"])
+        & (dup_line_char_fraction(lines) <= t["max_dup_line_char_frac"])
+        & (dup_bigram_fraction(bigrams) <= t["max_dup_bigram_frac"])
+        & (bullet_line_fraction(lines) <= t["max_bullet_line_frac"])
+        & (ellipsis_line_fraction(lines) <= t["max_ellipsis_line_frac"])
+        & (symbol_word_ratio(text, words) <= t["max_symbol_word_ratio"])
+    )

@@ -75,7 +75,6 @@ GRADED_FIRST: list[str] = [
     "join_broadcast_dims",
     "asof_join_last_purchase",
     "range_join_close_events",
-    "window_topk_orders_per_customer",
     "window_running_sum_quantity",
     "sessionize_batch_lag_cumsum",
     "salted_groupby_count_parts",
@@ -118,8 +117,11 @@ GRADED_FIRST: list[str] = [
     # ETL pipeline query; r2+r3 driver-green),
     # sample_documents_stratified (r3 green; its slot goes to the
     # superset weighted-oversampling mix query, same hash machinery),
-    # dedup_components_merge (r3 green; ceded for the JSONL roundtrip).
+    # dedup_components_merge (r3 green; ceded for the JSONL roundtrip),
+    # window_topk_orders_per_customer (r1-r3 green; ceded for the
+    # repetition-signals query — window family keeps running-sum).
     "io_jsonl_roundtrip_docs",
+    "text_repetition_signals",
     "lakehouse_delta_merge_agg",
     "lakehouse_delta_changes_agg",
     "lakehouse_delta_pipeline_agg",

@@ -282,6 +282,126 @@ def mix_documents_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.weighted_mix(d, "doc_id", "source", _MIX_PARTS)
 
 
+def _duck_repetition_cte() -> str:
+    """DuckDB twin of the materialized lines/words/bigrams arrays (same
+    1-based indexing, same trim/filter semantics)."""
+    return r"""
+        SELECT doc_id,
+               text,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)),
+                           x -> length(x) > 0) AS lines,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> length(x) > 0) AS words
+        FROM documents WHERE text IS NOT NULL
+    """
+
+
+_DUCK_R4 = "floor({} * 10000 + 0.5) / 10000"
+
+
+def _duck_repetition_signals() -> str:
+    lines_tot = ("coalesce(list_aggregate(list_transform(lines, "
+                 "x -> length(x)), 'sum'), 0)")
+    lines_dis = ("coalesce(list_aggregate(list_transform(list_distinct(lines), "
+                 "x -> length(x)), 'sum'), 0)")
+    words_tot = ("coalesce(list_aggregate(list_transform(words, "
+                 "x -> length(x)), 'sum'), 0)")
+    bullet = ("len(list_filter(lines, x -> left(x, 1) IN ('-', '*', '•')))")
+    ellipsis = ("len(list_filter(lines, x -> right(x, 3) = '...' "
+                "OR right(x, 1) = '…'))")
+    symbol = r"len(regexp_extract_all(text, '(#|\.\.\.|…)'))"
+    exprs = {
+        "mean_word_len": f"CASE WHEN len(words) > 0 THEN {words_tot}::DOUBLE / len(words) ELSE 0.0 END",
+        "dup_line_frac": "CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines) ELSE 0.0 END",
+        "dup_line_char_frac": f"CASE WHEN {lines_tot} > 0 THEN ({lines_tot} - {lines_dis})::DOUBLE / {lines_tot} ELSE 0.0 END",
+        "dup_bigram_frac": "CASE WHEN len(bigrams) > 0 THEN (len(bigrams) - len(list_distinct(bigrams)))::DOUBLE / len(bigrams) ELSE 0.0 END",
+        "bullet_line_frac": f"CASE WHEN len(lines) > 0 THEN {bullet}::DOUBLE / len(lines) ELSE 0.0 END",
+        "ellipsis_line_frac": f"CASE WHEN len(lines) > 0 THEN {ellipsis}::DOUBLE / len(lines) ELSE 0.0 END",
+        "symbol_word_ratio": f"CASE WHEN len(words) > 0 THEN {symbol}::DOUBLE / len(words) ELSE 0.0 END",
+    }
+    t = {
+        "min_words": 20, "max_words": 100_000,
+        "min_mwl": 2.0, "max_mwl": 12.0,
+    }
+    pass_expr = (
+        f"len(words) >= {t['min_words']} AND len(words) <= {t['max_words']}"
+        f" AND ({exprs['mean_word_len']}) >= {t['min_mwl']}"
+        f" AND ({exprs['mean_word_len']}) <= {t['max_mwl']}"
+        f" AND ({exprs['dup_line_frac']}) <= 0.30"
+        f" AND ({exprs['dup_line_char_frac']}) <= 0.20"
+        f" AND ({exprs['dup_bigram_frac']}) <= 0.40"
+        f" AND ({exprs['bullet_line_frac']}) <= 0.90"
+        f" AND ({exprs['ellipsis_line_frac']}) <= 0.30"
+        f" AND ({exprs['symbol_word_ratio']}) <= 0.10"
+    )
+    rounded = ",\n               ".join(
+        f"{_DUCK_R4.format('(' + e + ')')} AS {name}"
+        for name, e in exprs.items()
+    )
+    return f"""
+        WITH base AS ({_duck_repetition_cte()}),
+        arrs AS (
+            SELECT doc_id, text, lines, words,
+                   CASE WHEN len(words) >= 2
+                        THEN list_transform(range(1, len(words)),
+                                            i -> words[i] || ' ' || words[i + 1])
+                        ELSE [] END AS bigrams
+            FROM base
+        )
+        SELECT doc_id,
+               len(words) AS n_words,
+               {rounded},
+               ({pass_expr}) AS gopher_ok
+        FROM arrs
+    """
+
+
+@query(
+    "text_repetition_signals",
+    oracle=_duck_repetition_signals(),
+    doc=(
+        "NEW r4: Gopher-style repetition/structure quality signals — "
+        "duplicate-line fraction (count and character mass), repeated "
+        "adjacent-bigram fraction, bullet/ellipsis line fractions, "
+        "symbol-to-word ratio, mean word length, and the conjunctive "
+        "acceptance verdict. Arrays are materialized as projected "
+        "columns before any higher-order function touches them "
+        "(DESIGN.md HOF lesson); every ratio is integer-count division, "
+        "so the DuckDB twin is bit-exact"
+    ),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    arrs = d.select(
+        "doc_id",
+        "text",
+        ts.clean_lines("text").alias("lines"),
+        ts.clean_words("text").alias("words"),
+    ).select(
+        "doc_id", "text", "lines", "words",
+        ts.word_bigrams("words").alias("bigrams"),
+    )
+
+    def _r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return arrs.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        _r4(ts.mean_word_length("words")).alias("mean_word_len"),
+        _r4(ts.dup_line_fraction("lines")).alias("dup_line_frac"),
+        _r4(ts.dup_line_char_fraction("lines")).alias("dup_line_char_frac"),
+        _r4(ts.dup_bigram_fraction("bigrams")).alias("dup_bigram_frac"),
+        _r4(ts.bullet_line_fraction("lines")).alias("bullet_line_frac"),
+        _r4(ts.ellipsis_line_fraction("lines")).alias("ellipsis_line_frac"),
+        _r4(ts.symbol_word_ratio("text", "words")).alias("symbol_word_ratio"),
+        ts.gopher_pass("text", "lines", "words", "bigrams").alias("gopher_ok"),
+    )
+
+
 @query(
     "io_jsonl_roundtrip_docs",
     oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
