@@ -86,6 +86,16 @@ def test_q15_scalar_max_is_broadcast_not_rescan(spark):
     assert "CartesianProduct" not in a.text
 
 
+def test_repetition_signals_map_only(spark):
+    """The repetition-signal pass is pure per-row expression work: one
+    pruned scan (doc_id, text), zero exchanges — at 100 TB it runs at
+    scan speed."""
+    a = _audit(spark, "text_repetition_signals")
+    assert a.n_exchanges == 0
+    assert a.read_schemas and "lang" not in a.read_schemas[0]
+    assert any("IsNotNull(text)" in f for f in a.pushed_filters)
+
+
 def test_ivf_production_path_is_single_treatment(spark):
     """With the recall gate off (production path), the IVF query must be
     the probe alone: no brute-force twin join (no in_exact_topk column),
