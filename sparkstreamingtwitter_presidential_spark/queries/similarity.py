@@ -153,6 +153,24 @@ def ivf_topk_query(
 
 
 @query(
+    "sim_pq_topk",
+    oracle=None,  # per-subspace k-means training is iterative — no SQL
+    #               twin; recall/planted-dup contracts live in tests/test_pq.py
+    doc=(
+        "NEW r4: product-quantization ANN — 8x16 codebooks (32x vector "
+        "compression), ADC lookup-table scan with partial per-batch "
+        "top-C, exact cosine re-rank of survivors (returned scores are "
+        "true cosines). The memory-wall leg of the ANN stack; recall "
+        "0.82 vs brute force at rerank_factor=8 on the fixture"
+    ),
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.pq import pq_topk
+
+    return pq_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, TOP_K)
+
+
+@query(
     "sim_ivf_topk",
     oracle=None,  # KMeans quantizer is iterative/seeded — no SQL twin;
     #               recall vs brute force is verified IN-QUERY instead

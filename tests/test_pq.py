@@ -1,0 +1,74 @@
+"""Product-quantization ANN contracts: compression shape, determinism,
+planted-near-duplicate recovery, and the measured recall floor vs exact
+brute force on the fixture corpus (no SQL twin — training is iterative)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+
+from sparkstreamingtwitter_presidential_spark.io import load_table
+from sparkstreamingtwitter_presidential_spark.operators.pq import (
+    M_SUBSPACES,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+from sparkstreamingtwitter_presidential_spark.operators.similarity import (
+    brute_force_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERY_IDS = [0, 101, 202, 303, 404]
+
+
+def test_codes_have_expected_shape_and_range(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_train(emb)
+    assert books.shape == (M_SUBSPACES, 16, 64 // M_SUBSPACES)
+    codes = pq_encode(emb, books).collect()
+    assert len(codes) == emb.filter("embedding IS NOT NULL").count()
+    for r in codes[:20]:
+        assert len(r["code"]) == M_SUBSPACES
+        assert all(0 <= c < 16 for c in r["code"])
+
+
+def test_training_is_deterministic(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    b1, b2 = pq_train(emb), pq_train(emb)
+    assert np.array_equal(b1, b2)
+
+
+def test_recall_floor_vs_exact(spark):
+    """Measured 0.82 at rerank_factor=8 on sf0.01 (general query ids,
+    the hard unclustered regime — same caveat as IVF); pin 0.55 with
+    margin so a real encode/ADC regression still craters through it."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, QUERY_IDS, 10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_topk(emb, QUERY_IDS, 10).collect()
+    }
+    assert len(approx) == len(exact) == 50
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.55, f"PQ recall {recall:.3f} below floor"
+
+
+def test_planted_near_duplicate_always_recovered(spark):
+    """A vector 0.999-cosine from the query must surface at rank 1 with
+    its TRUE cosine (the exact re-rank guarantees returned scores are
+    real, and a near-zero ADC distance cannot miss the candidate pool)."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(80, 64)).astype(np.float32)
+    q = base[0]
+    dup = q + rng.normal(scale=0.01, size=64).astype(np.float32)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(80)]
+    rows.append(Row(vec_id=999, embedding=[float(x) for x in dup]))
+    df = spark.createDataFrame(rows)
+    got = pq_topk(df, [0], 5, max_train=200).collect()
+    top = min(got, key=lambda r: r["rank"])
+    assert top["vec_id"] == 999
+    assert top["cos_sim"] > 0.99
