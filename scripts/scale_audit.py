@@ -141,10 +141,20 @@ def cases(spark, base):
         "brute_force_topk": lambda: S.brute_force_topk(emb(), qids),
         "lsh_topk": lambda: S.lsh_topk(emb(), qids),
         "ivf_topk": lambda: S.ivf_topk(emb(), qids),
+        "pq_topk": _pq(emb, qids),
         "stratified_sample": lambda: smp.deterministic_sample(
             docs().select("doc_id"), "doc_id", 0.1
         ),
     }
+
+
+def _pq(emb, qids):
+    def run():
+        from sparkstreamingtwitter_presidential_spark.operators.pq import pq_topk
+
+        return pq_topk(emb(), qids)
+
+    return run
 
 
 def main() -> None:
