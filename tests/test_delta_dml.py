@@ -217,6 +217,19 @@ def test_checkpoint_after_dml_bootstraps_equivalent_snapshot(spark, tmp_path):
     assert table_version(p) == cp_v
 
 
+def test_partition_filter_prunes_union_branches(spark, tmp_path):
+    """read_delta injects partition values as literals per branch, so a
+    filter on the partition column must constant-fold away every
+    non-matching branch: the executed plan scans ONE partition's file
+    group, not the table (the docstring's partition-pruning claim)."""
+    p = _mk_table(spark, str(tmp_path / "t"), partitioned=True)
+    df = read_delta(spark, p).filter("cat = 'b'")
+    assert {r["id"] for r in df.collect()} == {3, 4}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"expected 1 surviving partition scan, got {n_scans}"
+
+
 def test_writes_carry_file_stats(spark, tmp_path):
     """Every staged file records protocol `stats` (numRecords/min/max/
     nullCount) derived from the parquet footer."""
