@@ -220,6 +220,37 @@ GRADED_HISTORY: dict[int, list[str]] = {
         "pipeline_curate_pack", "lakehouse_delta_events_agg",
         "streaming_delta_sink_agg",
     ],
+    # Round 4: 50/50 green (CORRECTNESS_r04.json, zero err) — recorded
+    # verbatim before round-5 rotation per the rotation invariant.
+    4: [
+        "flagship_event_type_counts", "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority", "tpch_q4_late_orders",
+        "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+        "tpch_q10_returned_item_revenue", "tpch_q14_promo_revenue_share",
+        "tpch_q18_large_volume_customers",
+        "tpch_q19_disjunctive_predicates", "join_broadcast_dims",
+        "asof_join_last_purchase", "range_join_close_events",
+        "window_running_sum_quantity", "sessionize_batch_lag_cumsum",
+        "salted_groupby_count_parts", "dedup_ngram_jaccard_pairs",
+        "dedup_minhash_lsh_pairs", "dedup_embedding_top_pairs",
+        "dedup_components", "dedup_incremental", "sim_bruteforce_topk",
+        "sim_lsh_topk", "streaming_tumbling_windows",
+        "streaming_sliding_windows", "streaming_session_windows",
+        "text_pii_scrub", "mix_documents_weighted",
+        "streaming_dedup_exact", "streaming_stream_join",
+        "pack_documents_by_source", "chunk_documents_tokens",
+        "search_bm25_topk", "pipeline_curate_pack",
+        "lakehouse_delta_events_agg", "streaming_delta_sink_agg",
+        "io_jsonl_roundtrip_docs", "text_repetition_signals",
+        "lakehouse_delta_merge_agg", "lakehouse_delta_changes_agg",
+        "lakehouse_delta_pipeline_agg",
+        "lakehouse_delta_delete_update_agg",
+        "lakehouse_delta_optimize_agg", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q9_product_type_profit",
+        "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q22_global_sales_opportunity",
+    ],
 }
 
 
