@@ -133,6 +133,11 @@ def weighted_mix(
             .withColumn("epoch", F.lit(epoch).cast("int"))
         )
         pieces.append(piece)
+    if not pieces:
+        raise ValueError(
+            "all weights in `parts` are zero — the mix would be empty; "
+            "drop unwanted strata from `parts` instead of zeroing them"
+        )
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)

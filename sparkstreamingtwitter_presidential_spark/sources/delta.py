@@ -175,13 +175,35 @@ def _replay_log(table_path: str, version: int | None) -> _Snapshot:
     return snap
 
 
+def _ts_norm(bound: Any, stat: Any) -> Any:
+    """Timestamp stats are ISO-8601 'T'-separated strings, but the
+    natural SQL literal is space-separated ('2024-01-01 00:00:00').
+    Since 'T' > ' ' lexicographically, comparing the raw forms can
+    PROVE a file out of range when it isn't — so normalize a
+    space-separated string bound to 'T'-form whenever the stat it is
+    compared against is 'T'-form."""
+    if (
+        isinstance(bound, str)
+        and isinstance(stat, str)
+        and len(bound) > 10
+        and bound[10] == " "
+        and len(stat) > 10
+        and stat[10] == "T"
+    ):
+        return bound[:10] + "T" + bound[11:]
+    return bound
+
+
 def file_skips(
     add: dict[str, Any], ranges: dict[str, tuple[Any, Any]]
 ) -> bool:
     """True iff the add action's `stats` PROVE no row can satisfy the
     conjunctive ranges (col in [lo, hi]; None = open end). Advisory:
     missing/partial stats keep the file — skipping may only ever remove
-    files, never rows a filter would keep."""
+    files, never rows a filter would keep. Mixed bound/stat types (e.g.
+    a numeric bound against string stats on an externally written
+    table) prove nothing and keep the file; space-separated timestamp
+    bounds are normalized to the stats' ISO 'T'-form before comparing."""
     raw = add.get("stats")
     if not raw:
         return False
@@ -194,10 +216,13 @@ def file_skips(
         fmin, fmax = mins.get(col), maxs.get(col)
         if fmin is None or fmax is None:
             continue
-        if lo is not None and fmax < lo:
-            return True
-        if hi is not None and fmin > hi:
-            return True
+        try:
+            if lo is not None and fmax < _ts_norm(lo, fmax):
+                return True
+            if hi is not None and fmin > _ts_norm(hi, fmin):
+                return True
+        except TypeError:
+            continue
     return False
 
 
@@ -755,7 +780,52 @@ def write_delta(
         try:
             fd = os.open(commit_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            version += 1  # lost the race; data files are already safe
+            # Lost the race. The staged data files are safe (unique
+            # names), but any action derived from the pre-race snapshot
+            # may no longer be valid — re-replay the log and only retry
+            # when the payload still commutes with what landed:
+            #   * we were creating the table → a second protocol/metaData
+            #     pair with possibly divergent schema must not land;
+            #   * overwrite → our removes tombstone a stale file set;
+            #   * schema evolution → our metaData was unioned against a
+            #     stale base;
+            #   * txn marker → another writer sharing the app_id may have
+            #     already committed this (or a later) batch version;
+            #   * partitioning change → staged directory layout is wrong.
+            # Plain appends commute, so those retry at the next version.
+            fresh = _replay_log(path, None)
+            if existing is None:
+                raise DeltaCommitConflict(
+                    f"table {path} was created concurrently (now at "
+                    f"version {fresh.version}); re-run the write against "
+                    "the existing table"
+                )
+            if mode == "overwrite":
+                raise DeltaCommitConflict(
+                    "concurrent commit during overwrite: the remove set "
+                    "was derived from a stale snapshot; re-run the write"
+                )
+            if new_fields:
+                raise DeltaCommitConflict(
+                    "concurrent commit during schema evolution: the "
+                    "evolved schema was derived from a stale base; "
+                    "re-run the write"
+                )
+            if (
+                txn is not None
+                and fresh.transactions.get(txn[0], -1) >= int(txn[1])
+            ):
+                raise DeltaCommitConflict(
+                    f"txn ({txn[0]!r}, {txn[1]}) was committed "
+                    "concurrently by another writer sharing the app_id; "
+                    "this batch is already durable — do not re-append"
+                )
+            if fresh.partition_columns != partition_by:
+                raise DeltaCommitConflict(
+                    "table partitioning changed concurrently; staged "
+                    "files use a stale directory layout"
+                )
+            version = fresh.version + 1
             continue
         with os.fdopen(fd, "w") as f:
             f.write(payload + "\n")

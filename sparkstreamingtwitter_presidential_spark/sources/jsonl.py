@@ -72,7 +72,13 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     reference ONLY the internal corrupt-record column of a raw JSON
     scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the fork reads the
     scan twice anyway — caching makes both sides one parse, exactly
-    the workaround the error message prescribes."""
+    the workaround the error message prescribes.
+
+    The cache is NOT released by this function (both returned frames
+    read through it lazily). Caching is keyed on the logical plan, so a
+    long-lived pipeline calling this per batch should release each
+    batch's storage once both sides are consumed by calling
+    ``df.unpersist()`` on the frame it passed in."""
     if CORRUPT_COL not in df.columns:
         raise ValueError(f"DataFrame has no {CORRUPT_COL}; read with quarantine=True")
     df = df.cache()

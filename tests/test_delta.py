@@ -98,6 +98,103 @@ def test_commit_race_bumps_version(spark, tmp_path):
     assert (2, "b", 2.0) in _rows(read_delta(spark, t))
 
 
+def _race(monkeypatch, t, version, actions=None):
+    """Make the NEXT write_delta lose the commit race: squat the target
+    version file after the writer has replayed the log and staged its
+    data (the only window where a real race can happen), by hooking
+    _stage_files. One-shot — subsequent writes run unraced."""
+    import sparkstreamingtwitter_presidential_spark.sources.delta as dmod
+
+    real_stage = dmod._stage_files
+    lines = actions or [{"commitInfo": {"operation": "RACER"}}]
+
+    def racing_stage(df, path, partition_by):
+        adds = real_stage(df, path, partition_by)
+        fpath = os.path.join(t, "_delta_log", f"{version:020d}.json")
+        if not os.path.exists(fpath):
+            with open(fpath, "w") as f:
+                f.writelines(json.dumps(a) + "\n" for a in lines)
+        monkeypatch.setattr(dmod, "_stage_files", real_stage)
+        return adds
+
+    monkeypatch.setattr(dmod, "_stage_files", racing_stage)
+
+
+def test_commit_race_append_retries_next_version(spark, monkeypatch, tmp_path):
+    """Appends commute: a lost race re-validates against the fresh log
+    and lands at the next version."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), t)
+    _race(monkeypatch, t, 1)
+    v = write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    assert v == 2
+    assert (2, "b", 2.0) in _rows(read_delta(spark, t))
+
+
+def test_commit_race_overwrite_conflicts(spark, monkeypatch, tmp_path):
+    """An overwrite's remove set is derived from the pre-race snapshot;
+    replaying it blindly after losing the race could tombstone files it
+    never saw — must raise instead of retrying."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import DeltaCommitConflict
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), t)
+    _race(monkeypatch, t, 1)
+    with pytest.raises(DeltaCommitConflict, match="overwrite"):
+        write_delta(_df(spark, [(9, "z", 9.0)]), t, mode="overwrite")
+
+
+def test_commit_race_create_conflicts(spark, monkeypatch, tmp_path):
+    """Two writers both creating the table would land two
+    protocol/metaData pairs with possibly divergent schemas — the loser
+    must raise, not append a second table definition."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import DeltaCommitConflict
+
+    t = str(tmp_path / "t")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    # the "other writer" wins version 0 with a full table definition
+    _race(
+        monkeypatch,
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "other",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _df(spark, [(1, "a", 1.0)]).schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+        ],
+    )
+    with pytest.raises(DeltaCommitConflict, match="created concurrently"):
+        write_delta(_df(spark, [(1, "a", 1.0)]), t)
+
+
+def test_commit_race_same_appid_txn_conflicts(spark, monkeypatch, tmp_path):
+    """Two at-least-once writers sharing an app_id can both pass the
+    last_txn_version pre-check; the race loser must detect the already
+    durable batch and refuse to double-append."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import DeltaCommitConflict
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), t)
+    # racing writer commits batch 5 for app "etl" at version 1 first
+    racer = [
+        {"txn": {"appId": "etl", "version": 5}},
+        {"commitInfo": {"operation": "WRITE"}},
+    ]
+    _race(monkeypatch, t, 1, racer)
+    with pytest.raises(DeltaCommitConflict, match="already durable"):
+        write_delta(_df(spark, [(2, "b", 2.0)]), t, txn=("etl", 5))
+    # a LATER batch for the same app retries cleanly (appends commute)
+    _race(monkeypatch, t, 2, [{"commitInfo": {"operation": "RACER"}}])
+    assert write_delta(_df(spark, [(3, "c", 3.0)]), t, txn=("etl", 6)) == 3
+
+
 def test_checkpoint_replaces_prior_commits(spark, tmp_path):
     """Reader must bootstrap from a parquet checkpoint and only replay
     JSON commits after it (the real protocol's log-compaction path)."""

@@ -295,6 +295,49 @@ def test_skip_ranges_conservative_without_stats(spark, tmp_path):
     assert file_skips({"stats": "not json"}, {"id": (0, 1)}) is False
 
 
+def test_skip_ranges_timestamp_separator_normalized():
+    """A space-separated timestamp bound ('2024-01-01 12:00:00') must
+    compare chronologically against the ISO 'T'-form stats strings —
+    since 'T' > ' ', the raw comparison would falsely prove files out
+    of range and silently drop live rows."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import file_skips
+
+    add = {
+        "stats": json.dumps(
+            {
+                "numRecords": 2,
+                "minValues": {"ts": "2024-01-01T06:00:00"},
+                "maxValues": {"ts": "2024-01-01T18:00:00"},
+            }
+        )
+    }
+    # bound inside the file's range: must KEEP (raw compare would skip,
+    # because '2024-01-01T06' > '2024-01-01 12' lexicographically)
+    assert file_skips(add, {"ts": ("2024-01-01 12:00:00", None)}) is False
+    assert file_skips(add, {"ts": (None, "2024-01-01 12:00:00")}) is False
+    # bound genuinely outside: must still skip, in either literal form
+    assert file_skips(add, {"ts": ("2024-01-02 00:00:00", None)}) is True
+    assert file_skips(add, {"ts": ("2024-01-02T00:00:00", None)}) is True
+    assert file_skips(add, {"ts": (None, "2023-12-31 23:00:00")}) is True
+
+
+def test_skip_ranges_mixed_types_keep_file():
+    """A numeric bound against string stats (externally written table)
+    proves nothing — the file must be kept, not raise TypeError."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import file_skips
+
+    add = {
+        "stats": json.dumps(
+            {
+                "numRecords": 1,
+                "minValues": {"id": "0005"},
+                "maxValues": {"id": "0009"},
+            }
+        )
+    }
+    assert file_skips(add, {"id": (100, 200)}) is False
+
+
 def test_stats_survive_checkpoint(spark, tmp_path):
     """Checkpoint bootstrap must preserve per-file stats so skipping
     keeps working after log truncation."""

@@ -147,6 +147,16 @@ def test_weighted_mix_epoch_fractions_decorrelated(spark):
     assert overlap < 0.8, "epoch salt failed to decorrelate selections"
 
 
+def test_weighted_mix_all_zero_weights_raises(spark):
+    """Every weight 0.0 passes the negative check but selects nothing;
+    that must be a clear ValueError, not an IndexError deep inside."""
+    import pytest
+
+    d = _docs(spark).select("doc_id", "source")
+    with pytest.raises(ValueError, match="zero"):
+        smp.weighted_mix(d, "doc_id", "source", {"src0": 0.0, "src1": 0.0})
+
+
 def test_weighted_mix_epoch0_matches_identity_hash(spark):
     """epoch_hash(id, 0) == sample_hash(id): a weight-1.0 mix selects
     exactly the rows deterministic_sample(rate=1.0) keeps (everything),
