@@ -63,6 +63,19 @@ HEADLINE = [
     "salted_groupby_count_parts",
     "tpch_q5_local_supplier_volume",
     "streaming_tumbling_windows",
+    # Round-3/4 operator families (r4 verdict: half the engine's surface
+    # had no perf net): one representative each for search, packing, the
+    # curation pipeline, Delta DML, incremental Delta ETL, and PQ ANN —
+    # the cheapest family member in each case, keeping the suite
+    # minutes-scale. First-call Delta staging (schema-keyed /tmp cache)
+    # is warm by the time min-of-N lands, so the number tracks the
+    # query plan, not table setup.
+    "search_bm25_topk",
+    "pack_documents_by_source",
+    "pipeline_curate_pack",
+    "lakehouse_delta_merge_agg",
+    "lakehouse_delta_pipeline_agg",
+    "sim_pq_topk",
 ]
 
 
