@@ -338,6 +338,145 @@ def lakehouse_delta_pipeline_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_delta_skipping_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events WHERE event_id BETWEEN 100 AND 299
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r5: min/max stats-based file skipping — events land as 4 "
+        "shuffled appends (each file spans the full event_id range, "
+        "stats useless), are compacted CLUSTERED by event_id into ~8 "
+        "files, then a narrow id range reads with skip_ranges: the scan "
+        "RAISES unless the log's per-file stats pruned files before "
+        "Spark listed them, and the pruned read + row filter must equal "
+        "the oracle's plain filtered aggregate (skipping removes files, "
+        "never rows)"
+    ),
+)
+def lakehouse_delta_skipping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _replay_log,
+        file_skips,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        optimize_delta,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        for i in range(8):  # shuffled ingest: every file spans all ids
+            write_delta(ev.filter(F.pmod("event_id", F.lit(8)) == i), table)
+        live = _replay_log(table, None).files.values()
+        total_bytes = sum(a.get("size", 0) for a in live)
+        # compaction only touches files BELOW the target: 1/6 of the
+        # total sits safely above each 1/8-sized ingest file (so all 8
+        # compact) and still yields ~6 clustered output files to prune
+        optimize_delta(
+            spark,
+            table,
+            target_file_bytes=max(total_bytes // 6, 4096),
+            cluster_by=["event_id"],
+        )
+
+    table = _dml_staged_delta(spark, sf_dir, "skip", build)
+    ranges = {"event_id": (100, 299)}
+    files = _replay_log(table, None).files
+    kept = sum(1 for a in files.values() if not file_skips(a, ranges))
+    if kept >= len(files):
+        raise RuntimeError(
+            f"stats skipping pruned nothing: {kept}/{len(files)} files "
+            "kept for a 200-id range on an id-clustered table"
+        )
+    pruned = read_delta(spark, table, skip_ranges=ranges)
+    return _agg_by_type(pruned.filter("event_id BETWEEN 100 AND 299"))
+
+
+@query(
+    "lakehouse_delta_evolution_agg",
+    oracle="""
+        WITH evolved AS (
+            SELECT event_type, value, CAST(NULL AS DOUBLE) AS bonus
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT event_type, value, value * 2 AS bonus
+            FROM events WHERE event_id % 2 = 1
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value,
+               COUNT(bonus) AS n_bonus,
+               FLOOR(SUM(COALESCE(bonus, 0)) * 100 + 0.5) / 100
+                   AS total_bonus
+        FROM evolved WHERE event_type <> 'error'
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r5: schema evolution + VACUUM — even-id events land under "
+        "the original schema, odd-id events append an evolved `bonus` "
+        "column (merge_schema metaData union, NO rewrite of old files), "
+        "the 'error' partition is deleted and its tombstones physically "
+        "VACUUMed (staging RAISES unless vacuum deleted files); the "
+        "snapshot read must fill NULL bonus for pre-evolution files and "
+        "lose no live rows to vacuum — equals the oracle's relational "
+        "reconstruction"
+    ),
+)
+def lakehouse_delta_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        vacuum_delta,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        write_delta(
+            ev.filter("event_id % 2 = 0"),
+            table,
+            partition_by=["event_type"],
+        )
+        write_delta(
+            ev.filter("event_id % 2 = 1").withColumn(
+                "bonus", F.col("value") * 2
+            ),
+            table,
+            merge_schema=True,
+        )
+        delete_delta(spark, table, "event_type = 'error'")
+        deleted = vacuum_delta(
+            table,
+            retention_hours=0.0,
+            now_ms=int(time.time() * 1000) + 10_000,
+        )
+        if not deleted:
+            raise RuntimeError(
+                "VACUUM deleted nothing despite tombstoned partition"
+            )
+
+    table = _dml_staged_delta(spark, sf_dir, "evolve", build)
+    ev = read_delta(spark, table)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+        F.count("bonus").alias("n_bonus"),
+        (
+            F.floor(
+                F.sum(F.coalesce(F.col("bonus"), F.lit(0.0))) * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("total_bonus"),
+    )
+
+
+@query(
     "lakehouse_delta_events_agg",
     oracle="""
         SELECT event_type,

@@ -65,10 +65,7 @@ GRADED_FIRST: list[str] = [
     "flagship_event_type_counts",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q4_late_orders",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_item_revenue",
     "tpch_q14_promo_revenue_share",
     "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_predicates",
@@ -134,6 +131,15 @@ GRADED_FIRST: list[str] = [
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q22_global_sales_opportunity",
+    # Round-5 newcomers (r4 verdict items 3-5: the only capabilities
+    # with no driver-visible correctness signal), graded on arrival.
+    # Ceded for them: tpch_q4_late_orders, tpch_q6_forecast_revenue,
+    # tpch_q10_returned_item_revenue (all r2+r3+r4 driver-green; the
+    # TPC-H family keeps 12 slots incl. every join-heavy shape, and all
+    # three stay differential-tested by tests/test_queries_oracle.py).
+    "io_csv_roundtrip_docs",
+    "lakehouse_delta_skipping_agg",
+    "lakehouse_delta_evolution_agg",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

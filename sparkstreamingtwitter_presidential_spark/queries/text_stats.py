@@ -429,3 +429,33 @@ def io_jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         write_jsonl(d, staged, n_files=4)
     return read_jsonl(spark, staged, d.schema)
+
+
+@query(
+    "io_csv_roundtrip_docs",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc=(
+        "NEW r5: documents -> quoted multiLine CSV -> read-back must be "
+        "the identity, including embedded newlines/commas/quotes/unicode "
+        "(RFC-4180 quoting) — proves the spreadsheet/annotation-vendor "
+        "interchange path (sources/csv_text.py) end-to-end against the "
+        "oracle's direct parquet read, the CSV twin of "
+        "io_jsonl_roundtrip_docs"
+    ),
+)
+def io_csv_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.csv_text import (
+        read_csv,
+        write_csv,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.replay import (
+        schema_keyed_dir,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    staged = schema_keyed_dir("spark_graft_csv_docs", sf_dir, d.schema)
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        write_csv(d, staged, n_files=4)
+    return read_csv(spark, staged, d.schema)
