@@ -90,23 +90,24 @@ def pq_train(
     """Train per-subspace codebooks on a bounded sample; returns an
     (m, k, dim/m) float64 array. Vectors are L2-normalized first (the
     search metric is cosine; on the unit sphere L2 ordering == cosine
-    ordering). The sample bound keeps driver memory flat at any corpus
-    scale — the deterministic-sample filter happens DISTRIBUTED, only
-    the survivors collect."""
+    ordering). Sampling is ONE distributed pass: the ``max_train`` rows
+    with the smallest deterministic id-hash, via hash-ordered limit —
+    Spark plans it as TakeOrderedAndProject (per-partition partial
+    top-k map-side, executor-side final merge), so the driver receives
+    exactly min(n, max_train) rows and the corpus is never counted
+    first (the r4-verdict extra counting pass)."""
     from sparkstreamingtwitter_presidential_spark.operators.sampling import (
-        rate_threshold,
         sample_hash,
     )
 
-    base = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", sample_hash(F.col("_id")))
+        .orderBy(F.col("_h").asc(), F.col("_id").asc())
+        .limit(max_train)
+        .collect()
     )
-    n = base.count()
-    if n > max_train:
-        base = base.filter(
-            sample_hash(F.col("_id")) < F.lit(rate_threshold(max_train / n))
-        )
-    rows = base.collect()
     x = np.array([r["_v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)
@@ -125,17 +126,23 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """(id, code array<short> of length m): nearest centroid per
-    subspace of the L2-NORMALIZED vector. One Arrow-batched map pass."""
+    """(id, code array<short> of length m, *carry): nearest centroid per
+    subspace of the L2-NORMALIZED vector. One Arrow-batched map pass.
+    ``carry`` columns pass through untouched in the same batch (e.g. an
+    IVF cell id), so composing quantizers costs no join."""
     m, _k, sub = codebooks.shape
     books = codebooks  # captured by value into the closure
+    carry = list(carry or [])
 
+    in_fields = {f.name: f for f in corpus.schema.fields}
     out_schema = StructType(
         [
             StructField("vec_id", LongType()),
             StructField("code", ArrayType(ShortType())),
         ]
+        + [in_fields[c] for c in carry]
     )
 
     def encode(batches):
@@ -152,12 +159,13 @@ def pq_encode(
                 chunk = x[:, i * sub : (i + 1) * sub]
                 d = ((chunk[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
                 codes[:, i] = d.argmin(axis=1).astype(np.int16)
-            yield pd.DataFrame(
-                {"vec_id": pdf[id_col].values, "code": list(codes)}
-            )
+            out = {"vec_id": pdf[id_col].values, "code": list(codes)}
+            for c in carry:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
 
     return corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), F.col(vec_col)
+        F.col(id_col), F.col(vec_col), *carry
     ).mapInPandas(encode, out_schema)
 
 
@@ -181,11 +189,6 @@ def pq_topk(
     (rerank_factor*k per query per batch, merged globally) re-rank
     exactly against raw vectors, so returned scores are TRUE cosines.
     Returns (query_id, vec_id, cos_sim, rank)."""
-    from sparkstreamingtwitter_presidential_spark.operators.dedup import (
-        dot_product,
-        vec_norm,
-    )
-
     codebooks = pq_train(corpus, id_col, vec_col, m, n_centroids, max_train, seed)
     sub = codebooks.shape[2]
     encoded = pq_encode(corpus, codebooks, id_col, vec_col)
@@ -241,8 +244,31 @@ def pq_topk(
         encoded.mapInPandas(scan, out_schema)
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    # global merge: smallest ADC distances per query across batches
+    return _merge_and_rerank(
+        candidates, corpus, qids, qmat, n_cand, k, id_col, vec_col
+    )
+
+
+def _merge_and_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    n_cand: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ADC-candidate tail for pq_topk / ivfpq_topk: global merge
+    of the per-batch partial top-C (smallest ADC distances per query),
+    then an exact cosine re-rank of the survivors against raw vectors —
+    returned scores are TRUE cosines."""
     from pyspark.sql import Window
+
+    from sparkstreamingtwitter_presidential_spark.operators.dedup import (
+        dot_product,
+        vec_norm,
+    )
 
     merged = (
         candidates.withColumn(
@@ -256,7 +282,6 @@ def pq_topk(
         .filter(F.col("r") <= n_cand)
         .drop("r", "adc_dist")
     )
-    # exact re-rank of survivors against raw vectors
     raw = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     )
@@ -286,4 +311,124 @@ def pq_topk(
             ),
         )
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = M_SUBSPACES,
+    n_centroids: int = K_CENTROIDS,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    rerank_factor: int = 8,
+    max_train: int = 10_000,
+    seed: int = SEED,
+) -> DataFrame:
+    """IVF-PQ: PQ codes routed through an IVF coarse quantizer — the
+    billion-vector FAISS composition. The coarse quantizer
+    (similarity.ivf_index, spherical k-means) prunes WHICH codes are
+    scanned; PQ compresses WHAT is scanned — so the ADC pass touches
+    only the probed cells' 8-byte codes instead of every vector.
+
+    Plan shape: the encoded table carries its cell id (pq_encode
+    ``carry`` — no join), the probe-set filter ``cell IN (...)`` is a
+    pushed-down literal predicate (on a cell-bucketed/partitioned table
+    at 100 TB this is partition pruning, not a scan-and-drop), the ADC
+    scan masks per-query probe cells inside each Arrow batch, and the
+    candidate tail (partial top-C per batch -> global merge -> exact
+    cosine re-rank) is shared with pq_topk. Recall loss compounds the
+    two approximations (cell miss + code quantization); the exact
+    re-rank keeps returned scores true cosines, and tests pin the
+    composed floor at the flat-PQ floor on the fixture."""
+    from sparkstreamingtwitter_presidential_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    centroids, assigned = ivf_index(corpus, id_col, vec_col, n_cells, seed)
+    assigned = assigned.persist()
+    assigned.count()  # materialize BEFORE fan-out (same rationale as
+    #                   ivf_topk: racing branches recompute an unfilled
+    #                   cache under AQE)
+    codebooks = pq_train(corpus, id_col, vec_col, m, n_centroids, max_train, seed)
+    sub = codebooks.shape[2]
+
+    qrows = (
+        assigned.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "cv")
+        .collect()
+    )
+    qmat = np.array([r["cv"] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.where(qnorm == 0, 1.0, qnorm)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+
+    # query-side probe sets: n_probe euclidean-nearest centroids of the
+    # NORMALIZED query (the quantizer's own assignment metric)
+    cents = np.array(centroids, dtype=np.float64)
+    d2 = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1)[:, :n_probe]
+    all_cells = sorted({int(c) for row in probes for c in row})
+
+    tables = np.empty((qids.size, m, codebooks.shape[1]), dtype=np.float64)
+    for i in range(m):
+        qc = qmat[:, i * sub : (i + 1) * sub]
+        tables[:, i, :] = ((qc[:, None, :] - codebooks[i][None, :, :]) ** 2).sum(axis=2)
+
+    n_cand = max(k * rerank_factor, k)
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("adc_dist", DoubleType()),
+        ]
+    )
+    probe_sets = [np.array(p, dtype=np.int64) for p in probes]
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(list(pdf["code"]), dtype=np.int64)
+            cells = pdf["cell"].values.astype(np.int64)
+            ids = pdf["vec_id"].values
+            for qi in range(qids.size):
+                mask = np.isin(cells, probe_sets[qi])
+                if not mask.any():
+                    continue
+                d = tables[qi][np.arange(m)[None, :], codes[mask]].sum(axis=1)
+                keep = min(n_cand, d.size)
+                idx = np.argpartition(d, keep - 1)[:keep]
+                mids = ids[mask]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(keep, qids[qi], dtype=np.int64),
+                        "vec_id": mids[idx],
+                        "adc_dist": d[idx],
+                    }
+                )
+
+    # The cell prune happens BEFORE encoding (a filter cannot push
+    # through the opaque Python map): only probed cells' vectors are
+    # encoded and ADC-scanned. In a persisted deployment the encoded
+    # (vec_id, code, cell) table is the stored artifact, bucketed by
+    # cell, and this same literal IN-filter prunes its scan instead.
+    encoded = pq_encode(
+        assigned.filter(F.col("cell").isin(all_cells)),
+        codebooks,
+        "vec_id",
+        "cv",
+        carry=["cell"],
+    )
+    candidates = (
+        encoded.mapInPandas(scan, out_schema)
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    return _merge_and_rerank(
+        candidates, corpus, qids, qmat, n_cand, k, id_col, vec_col
     )

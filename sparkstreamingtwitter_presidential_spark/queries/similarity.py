@@ -171,6 +171,24 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivfpq_topk",
+    oracle=None,  # both quantizers are iteratively trained — no SQL
+    #               twin; recall/planted-dup contracts live in tests/test_pq.py
+    doc=(
+        "NEW r5: IVF-PQ composed ANN — the billion-vector FAISS shape: "
+        "the IVF coarse quantizer prunes WHICH codes are scanned "
+        "(n_probe nearest cells only), PQ compresses WHAT is scanned "
+        "(8-byte codes, 32x), exact cosine re-rank of survivors; "
+        "composed recall >= the flat-PQ floor on the fixture"
+    ),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.pq import ivfpq_topk
+
+    return ivfpq_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, TOP_K)
+
+
+@query(
     "sim_ivf_topk",
     oracle=None,  # KMeans quantizer is iterative/seeded — no SQL twin;
     #               recall vs brute force is verified IN-QUERY instead

@@ -10,6 +10,7 @@ from pyspark.sql import Row
 from sparkstreamingtwitter_presidential_spark.io import load_table
 from sparkstreamingtwitter_presidential_spark.operators.pq import (
     M_SUBSPACES,
+    ivfpq_topk,
     pq_encode,
     pq_topk,
     pq_train,
@@ -55,6 +56,58 @@ def test_recall_floor_vs_exact(spark):
     assert len(approx) == len(exact) == 50
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.55, f"PQ recall {recall:.3f} below floor"
+
+
+def test_train_sample_cap_single_pass_and_deterministic(spark):
+    """max_train below the corpus size must still train deterministic
+    full-shape codebooks (hash-ordered limit: ONE distributed pass,
+    exactly max_train rows, no corpus count)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    b1 = pq_train(emb, max_train=100)
+    b2 = pq_train(emb, max_train=100)
+    assert b1.shape == (M_SUBSPACES, 16, 64 // M_SUBSPACES)
+    assert np.array_equal(b1, b2)
+    # a different cap trains on a different sample -> different books
+    assert not np.array_equal(b1, pq_train(emb, max_train=200))
+
+
+def test_ivfpq_recall_floor_vs_exact(spark):
+    """The IVF-PQ composition stacks two approximations (cell miss +
+    code quantization); on the fixture it must still clear the flat-PQ
+    floor — a regression in either the carry/cell plumbing or the
+    probe-set mask craters through 0.55."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, QUERY_IDS, 10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk(emb, QUERY_IDS, 10).collect()
+    }
+    assert len(approx) == len(exact) == 50
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.55, f"IVF-PQ recall {recall:.3f} below floor"
+
+
+def test_ivfpq_planted_near_duplicate_recovered(spark):
+    """On a CLUSTERED corpus (IVF's home regime) a 0.999-cosine planted
+    duplicate must land in the query's probed cell and surface at rank 1
+    with its true cosine."""
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(4, 64)).astype(np.float32) * 5
+    rows = []
+    for i in range(160):
+        v = centers[i % 4] + rng.normal(scale=0.5, size=64).astype(np.float32)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    q = np.array(rows[0].embedding, dtype=np.float32)
+    dup = q + rng.normal(scale=0.01, size=64).astype(np.float32)
+    rows.append(Row(vec_id=999, embedding=[float(x) for x in dup]))
+    df = spark.createDataFrame(rows)
+    got = ivfpq_topk(df, [0], 5, n_cells=4, n_probe=2, max_train=400).collect()
+    top = min(got, key=lambda r: r["rank"])
+    assert top["vec_id"] == 999
+    assert top["cos_sim"] > 0.99
 
 
 def test_planted_near_duplicate_always_recovered(spark):
