@@ -299,6 +299,53 @@ def symbol_word_ratio(col: Column | str, words: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2, the canonical
+# web-corpus cleanup): keep only lines that read like sentences, then
+# gate whole documents. Thresholds ADAPTED to the fixture's short docs
+# (C4's originals assume full web pages); every rule is a builtin
+# Column expression with an exact DuckDB list-function twin.
+# ---------------------------------------------------------------------------
+
+#: A kept line must end like a sentence...
+C4_TERMINAL_PUNCT_RE = "[.!?\"']$"
+#: ...carry at least this many whitespace words...
+C4_MIN_LINE_WORDS = 3
+#: ...and not be code/boilerplate (C4 drops any line with this word).
+C4_BAD_LINE_SUBSTR = "javascript"
+#: Document gate: at least this many kept lines (C4: >= 5 sentences),
+#: no placeholder text, no curly braces (code).
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_keep_line(line: Column) -> Column:
+    """Line-level C4 keep predicate (for use inside F.filter lambdas;
+    ``line`` is a trimmed non-empty line from clean_lines)."""
+    words = F.size(
+        F.filter(F.split(line, r"\s+"), lambda w: F.length(w) > 0)
+    )
+    return (
+        line.rlike(C4_TERMINAL_PUNCT_RE)
+        & (words >= C4_MIN_LINE_WORDS)
+        & ~F.contains(F.lower(line), F.lit(C4_BAD_LINE_SUBSTR))
+    )
+
+
+def c4_kept_lines(lines: Column | str) -> Column:
+    """The C4-surviving subset of a MATERIALIZED lines column."""
+    return F.filter(_c(lines), c4_keep_line)
+
+
+def c4_doc_pass(text: Column | str, kept: Column | str) -> Column:
+    """Document-level C4 gate over the original text and the
+    MATERIALIZED kept-lines column."""
+    return (
+        (F.size(_c(kept)) >= C4_MIN_KEPT_LINES)
+        & ~F.contains(F.lower(_c(text)), F.lit("lorem ipsum"))
+        & ~F.contains(_c(text), F.lit("{"))
+    )
+
+
 #: Gopher-style acceptance thresholds, ADAPTED to the fixture's short
 #: documents (the published rules assume web pages; min word count 50
 #: would reject the whole corpus). Every comparison is against an

@@ -142,3 +142,36 @@ def weighted_mix(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def sharded_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 64,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic corpus shuffle for training-data assembly: every
+    row gets a ``shard`` (hash bucket) and a 1-based ``pos`` within its
+    shard, ordered by the salted hash — the standard shard-and-shuffle
+    a trainer consumes (readers stream shard files; within-shard order
+    IS the shuffled order; change ``salt`` to reshuffle between runs,
+    identically on every engine/partitioning/retry).
+
+    Scale shape: ONE shuffle (hash-partition by shard), then each
+    shard sorts independently inside its window task — there is no
+    global sort and no single-partition bottleneck; ``n_shards`` is
+    the parallelism knob (size it to the cluster, like output files).
+    Pure BIGINT arithmetic end to end, so a SQL oracle reproduces the
+    exact permutation."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = epoch_hash(F.col(id_col), salt)
+    out = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn("pos", F.row_number().over(w)).drop("_h")

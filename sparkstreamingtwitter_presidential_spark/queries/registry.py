@@ -66,8 +66,6 @@ GRADED_FIRST: list[str] = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q14_promo_revenue_share",
-    "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_predicates",
     "join_broadcast_dims",
     "asof_join_last_purchase",
@@ -78,9 +76,7 @@ GRADED_FIRST: list[str] = [
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_top_pairs",
-    "dedup_components",
     "dedup_incremental",
-    "sim_bruteforce_topk",
     "sim_lsh_topk",
     "streaming_tumbling_windows",
     "streaming_sliding_windows",
@@ -140,6 +136,21 @@ GRADED_FIRST: list[str] = [
     "io_csv_roundtrip_docs",
     "lakehouse_delta_skipping_agg",
     "lakehouse_delta_evolution_agg",
+    # Round-5 engine extensions: C4 line-level cleaning and the
+    # deterministic shard-and-shuffle (training-data assembly ops).
+    # Ceded: tpch_q14_promo_revenue_share, tpch_q18_large_volume_customers
+    # (r2-r4 driver-green; TPC-H keeps 12 windowed slots incl. every
+    # join-heavy shape; both stay in tests/test_queries_oracle.py).
+    "text_c4_line_clean",
+    "shuffle_documents_sharded",
+    # Round-5 source coverage: ORC interchange and the hive-partitioned
+    # data-lake layout. Ceded: dedup_components, sim_bruteforce_topk
+    # (both r2-r4 driver-green; dedup keeps 4 windowed slots incl. the
+    # incremental path, similarity keeps LSH; bruteforce stays
+    # bench-headlined for perf and both stay in
+    # tests/test_queries_oracle.py).
+    "io_orc_roundtrip_docs",
+    "io_partitioned_parquet_agg",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

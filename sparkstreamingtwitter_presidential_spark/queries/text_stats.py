@@ -459,3 +459,201 @@ def io_csv_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         write_csv(d, staged, n_files=4)
     return read_csv(spark, staged, d.schema)
+
+
+@query(
+    "text_c4_line_clean",
+    # The fixture's documents are single-line bags of words with no
+    # punctuation — real C4 rules would keep nothing and the query
+    # would be a constant. Both engines therefore derive the SAME
+    # deterministic multi-line corpus first (sentence breaks at
+    # ' batch ', plus per-doc-id appended lines that trigger each C4
+    # rule: a javascript line, a curly-brace code line, a lorem-ipsum
+    # line) so every rule discriminates and the differential is real.
+    oracle=r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   replace(text, ' batch ', '.' || chr(10))
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN chr(10) || 'embedded javascript snippet here.'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN chr(10) || 'function f() { return 1; }'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                           ELSE '' END AS text
+            FROM documents WHERE text IS NOT NULL
+        ), base AS (
+            SELECT doc_id, text,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                                              l -> trim(l)),
+                               l -> length(l) > 0) AS lines
+            FROM synth
+        ), kept AS (
+            SELECT doc_id, text, lines,
+                   list_filter(lines, l ->
+                       regexp_matches(l, '[.!?"'']$')
+                       AND len(list_filter(string_split_regex(l, '\s+'),
+                                           w -> length(w) > 0)) >= 3
+                       AND NOT contains(lower(l), 'javascript')) AS kept
+            FROM base
+        )
+        SELECT doc_id,
+               len(lines) AS n_lines,
+               len(kept) AS n_kept,
+               (len(kept) >= 3
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')) AS keep_doc,
+               coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        FROM kept
+    """,
+    doc=(
+        "NEW r5: C4-style line-level cleaning (Raffel et al. 2020 "
+        "s2.2) — keep only lines that end like sentences, carry >= 3 "
+        "words, and are not javascript boilerplate; gate documents on "
+        "kept-line count, 'lorem ipsum', and curly braces; emit the "
+        "rejoined clean text. Lines are materialized as a projected "
+        "column before the HOF filter (DESIGN.md HOF lesson); the "
+        "DuckDB list-function twin reproduces the exact kept set and "
+        "rejoined string on a deterministically synthesized multi-line "
+        "corpus (the fixture's docs are unpunctuated single lines)"
+    ),
+)
+def text_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    synth = F.concat(
+        F.replace(F.col("text"), F.lit(" batch "), F.lit(".\n")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.lit("\nembedded javascript snippet here."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(11)) == 0,
+            F.lit("\nfunction f() { return 1; }"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+            F.lit("\nlorem ipsum dolor sit amet."),
+        ).otherwise(F.lit("")),
+    )
+    arrs = d.select("doc_id", synth.alias("text")).select(
+        "doc_id", "text", ts.clean_lines("text").alias("lines")
+    ).select(
+        "doc_id", "text", "lines", ts.c4_kept_lines("lines").alias("kept")
+    )
+    return arrs.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.size("kept").alias("n_kept"),
+        ts.c4_doc_pass("text", "kept").alias("keep_doc"),
+        F.concat_ws("\n", F.col("kept")).alias("clean_text"),
+    )
+
+
+@query(
+    "io_orc_roundtrip_docs",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc=(
+        "NEW r5: documents -> ORC -> read-back must be the identity — "
+        "the Hive/Trino interchange format, read and written natively "
+        "by Spark (splittable stripe compression, no quarantine needed: "
+        "columnar formats have no NULL-vs-empty or embedded-newline "
+        "ambiguity); proves sources/orc.py end-to-end against the "
+        "oracle's direct parquet read"
+    ),
+)
+def io_orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.orc import (
+        read_orc,
+        write_orc,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.replay import (
+        schema_keyed_dir,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    staged = schema_keyed_dir("spark_graft_orc_docs", sf_dir, d.schema)
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        write_orc(d, staged, n_files=4)
+    return read_orc(spark, staged, d.schema)
+
+
+@query(
+    "io_partitioned_parquet_agg",
+    oracle="""
+        SELECT source, lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+        FROM documents WHERE source IN ('src1', 'src2')
+        GROUP BY source, lang
+    """,
+    doc=(
+        "NEW r5: hive-style partitioned data-lake layout — documents "
+        "written partitionBy(source) (one directory per value), read "
+        "back via partition discovery with a partition-column filter "
+        "that Catalyst turns into PartitionFilters (whole directories "
+        "pruned before any file is opened — the layout every real lake "
+        "uses), then aggregated; equals the oracle's filtered aggregate "
+        "over the flat table iff discovery recovers values and types "
+        "and pruning removed directories, not rows"
+    ),
+)
+def io_partitioned_parquet_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.replay import (
+        schema_keyed_dir,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    staged = schema_keyed_dir("spark_graft_part_docs", sf_dir, d.schema)
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        d.write.mode("overwrite").partitionBy("source").parquet(staged)
+    back = spark.read.parquet(staged).filter(
+        F.col("source").isin("src1", "src2")
+    )
+    return back.groupBy("source", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_SHUFFLE_SHARDS = 16
+_SHUFFLE_SALT = 3
+
+
+def _duck_sharded_shuffle() -> str:
+    h = _duck_epoch_hash(_SHUFFLE_SALT)
+    return f"""
+        SELECT doc_id, source,
+               CAST(({h}) % {_SHUFFLE_SHARDS} AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY ({h}) % {_SHUFFLE_SHARDS}
+                   ORDER BY ({h}), doc_id
+               ) AS INTEGER) AS pos
+        FROM documents
+    """
+
+
+@query(
+    "shuffle_documents_sharded",
+    oracle=_duck_sharded_shuffle(),
+    doc=(
+        "NEW r5: deterministic shard-and-shuffle — the corpus "
+        "randomization a trainer consumes: every doc gets a hash shard "
+        "and a 1-based position within it ordered by the salted hash; "
+        "one hash-partition shuffle, per-shard independent sort, no "
+        "global sort or single-partition window; pure BIGINT "
+        "arithmetic, so the oracle reproduces the exact permutation"
+    ),
+)
+def shuffle_documents_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators import sampling as smp
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return smp.sharded_shuffle(
+        d, "doc_id", n_shards=_SHUFFLE_SHARDS, salt=_SHUFFLE_SALT
+    )
