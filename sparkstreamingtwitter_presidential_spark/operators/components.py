@@ -154,3 +154,47 @@ def merge_components(labels: DataFrame, new_pairs: DataFrame, max_iter: int = 25
         "id", "component"
     )
     return relabeled_old.unionByName(new_nodes)
+
+
+def canonical_members(
+    corpus: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Survivor selection — the step after clustering in a dedup
+    pipeline: every corpus row gets its near-dup ``component``, the
+    cluster's ``canonical_id`` (highest ``quality_col``, ties to the
+    smallest id), and ``is_canonical`` (keep this row, drop the rest).
+
+    Scale shape: ``labels`` covers only docs that HAVE near-dups (a
+    tiny fraction of the corpus), so it broadcasts; docs outside any
+    cluster are trivially their own canonical and pass through the
+    anti-join MAP-ONLY — the per-component window shuffles just the
+    clustered slice, never the corpus. Returns
+    (id, component, canonical_id, is_canonical)."""
+    from pyspark.sql import Window
+
+    lab = labels.select(
+        F.col("id").alias(id_col), F.col("component").alias("component")
+    )
+    slim = corpus.select(id_col, quality_col)
+    clustered = slim.join(F.broadcast(lab), id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    ranked = clustered.withColumn(
+        "canonical_id", F.first(F.col(id_col)).over(w)
+    ).select(
+        id_col,
+        "component",
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )
+    singles = slim.join(F.broadcast(lab), id_col, "left_anti").select(
+        F.col(id_col),
+        F.col(id_col).alias("component"),
+        F.col(id_col).alias("canonical_id"),
+        F.lit(True).alias("is_canonical"),
+    )
+    return ranked.unionByName(singles)

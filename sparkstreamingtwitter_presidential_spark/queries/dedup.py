@@ -285,3 +285,60 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_top_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "dedup_canonicalize",
+    oracle=_DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + r"""
+  , jp AS (
+      SELECT id_a, id_b
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common) >= {thr}
+  ),
+  edges AS (SELECT id_a AS u, id_b AS v FROM jp
+            UNION SELECT id_b, id_a FROM jp),
+  reach(id, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+  ),
+  comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+  fullset AS (
+      SELECT doc.doc_id,
+             COALESCE(c.component, doc.doc_id) AS component,
+             doc.n_chars
+      FROM documents doc LEFT JOIN comp c ON c.id = doc.doc_id
+  )
+  SELECT doc_id, component, canonical_id,
+         (doc_id = canonical_id) AS is_canonical
+  FROM (
+      SELECT doc_id, component,
+             FIRST_VALUE(doc_id) OVER (
+                 PARTITION BY component ORDER BY n_chars DESC, doc_id
+             ) AS canonical_id
+      FROM fullset
+  )
+""".replace("{thr}", str(JACCARD_THRESHOLD)),
+    doc=(
+        "NEW r5: survivor selection — the step AFTER clustering in a "
+        "dedup pipeline: every doc gets its near-dup component, the "
+        "cluster's canonical survivor (highest n_chars, ties to the "
+        "smallest id), and the keep/drop verdict. Non-clustered docs "
+        "pass through an anti-join map-only; the per-component window "
+        "shuffles only the clustered slice — never the corpus; oracle "
+        "= recursive-CTE closure + the same window"
+    ),
+)
+def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.components import (
+        canonical_members,
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    return canonical_members(d, labels, "doc_id", "n_chars")

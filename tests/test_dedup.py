@@ -193,3 +193,42 @@ def test_simhash_columnar_equals_hof_path(spark):
     h = {r.doc_id: r.sim for r in hof.collect()}
     c = {r.doc_id: r.sim for r in col.collect()}
     assert h == c
+
+
+def test_canonical_members_survivor_selection(spark):
+    """Per cluster: highest quality wins, ties to smallest id;
+    non-clustered docs are their own canonical."""
+    from pyspark.sql import Row
+
+    from sparkstreamingtwitter_presidential_spark.operators.components import (
+        canonical_members,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, n_chars=10),   # cluster A (component 1)
+            Row(doc_id=2, n_chars=50),   # cluster A winner (max quality)
+            Row(doc_id=3, n_chars=50),   # cluster B: tie -> min id wins
+            Row(doc_id=4, n_chars=50),
+            Row(doc_id=9, n_chars=5),    # singleton
+        ]
+    )
+    labels = spark.createDataFrame(
+        [
+            Row(id=1, component=1),
+            Row(id=2, component=1),
+            Row(id=3, component=3),
+            Row(id=4, component=3),
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["canonical_id"], r["is_canonical"])
+        for r in canonical_members(corpus, labels).collect()
+    }
+    assert got == {
+        1: (1, 2, False),
+        2: (1, 2, True),
+        3: (3, 3, True),
+        4: (3, 3, False),
+        9: (9, 9, True),
+    }

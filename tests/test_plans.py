@@ -96,6 +96,31 @@ def test_repetition_signals_map_only(spark):
     assert any("IsNotNull(text)" in f for f in a.pushed_filters)
 
 
+def test_c4_clean_map_only(spark):
+    """C4 line cleaning is pure per-row expression work: one pruned
+    scan, zero exchanges — runs at scan speed at any corpus size."""
+    a = _audit(spark, "text_c4_line_clean")
+    assert a.n_exchanges == 0
+    assert a.read_schemas and "lang" not in a.read_schemas[0]
+
+
+def test_sharded_shuffle_single_exchange_no_global_sort(spark):
+    """The shard-and-shuffle must cost exactly ONE hash-partition
+    exchange (on shard) with per-shard window sorts — a global Sort or
+    range exchange would single-thread the corpus at scale."""
+    a = _audit(spark, "shuffle_documents_sharded")
+    assert a.n_exchanges == 1
+    assert "Exchange rangepartitioning" not in a.text
+    assert "TakeOrderedAndProject" not in a.text
+
+
+def test_partitioned_read_has_partition_filters(spark):
+    """The hive-layout query's source filter must prune DIRECTORIES
+    (PartitionFilters on the scan), not rows after listing."""
+    a = _audit(spark, "io_partitioned_parquet_agg")
+    assert any("source" in f for f in a.partition_filters), a.partition_filters
+
+
 def test_ivf_production_path_is_single_treatment(spark):
     """With the recall gate off (production path), the IVF query must be
     the probe alone: no brute-force twin join (no in_exact_topk column),
