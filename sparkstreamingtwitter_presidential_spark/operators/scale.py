@@ -10,6 +10,9 @@ tests assert exactly that).
   write_bucketed /     co-located joins: pre-bucket both sides on the
   bucketed_join_plan   join key so repeated joins run with ZERO
                        exchange (verified via plans.plan_audit).
+  salted_join          skew-resistant big-big equi-join: fact salted,
+                       dim replicated once per salt, join on
+                       (key, salt) — inner/left only.
 
 AQE's skew-join splitting handles join-side skew automatically; manual
 salting remains the tool for aggregation-side skew and for stable
@@ -73,3 +76,39 @@ def bucketed_join(
     bucketing, Catalyst plans SortMergeJoin with NO Exchange on either
     side (assert via plans.plan_audit(...).n_exchanges == 0)."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: ``fact`` rows get a salt, the ``dim``
+    side is replicated once per salt value, and the join key becomes
+    (on, salt) — a hot key's 1e9 fact rows spread over ``n_salts``
+    reducers instead of hot-spotting one. Result is EXACTLY the plain
+    join (each fact row matches only its own salt's replica; asserted
+    against the DuckDB oracle).
+
+    Use when the dim side is too large to broadcast but far smaller
+    than the fact side — the price is dim x n_salts replication, the
+    manual twin of AQE's skew-join split for the cases AQE cannot see
+    (pre-shuffle skew, non-AQE engines, stateful reuse of one
+    partitioning). Only inner and left joins are salt-correct: a
+    right/full join would emit one null-extended row per UNMATCHED dim
+    replica (n_salts copies), so those raise."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner|left, got {how!r}: right/full "
+            "would duplicate unmatched dim rows once per salt"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    )
+    replicated = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_fact.join(replicated, [*keys, "__salt"], how).drop("__salt")

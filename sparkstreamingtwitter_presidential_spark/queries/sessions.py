@@ -92,3 +92,39 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "salted_join_order_segment",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc=(
+        "NEW r5: skew-resistant salted equi-join — the fact side "
+        "(orders) is salted, the dim side (customer) replicated once "
+        "per salt, the join runs on (key, salt) so a hot key spreads "
+        "over n_salts reducers; aggregating the joined result must "
+        "equal the oracle's PLAIN join+aggregate exactly (salting is a "
+        "physical rewrite, never a semantic one) — the manual twin of "
+        "AQE skew-split for pre-shuffle skew and stable partitionings"
+    ),
+)
+def salted_join_order_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.scale import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, "o_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
+            "total_price"
+        ),
+    )

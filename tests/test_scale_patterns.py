@@ -66,3 +66,42 @@ def test_bucketed_join_runs_without_exchange(spark):
     finally:
         for t in (lt, rt):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is a physical rewrite only: inner and left results must
+    equal the plain join exactly, including unmatched fact rows (left)
+    and duplicate fact keys."""
+    from pyspark.sql import Row
+
+    from sparkstreamingtwitter_presidential_spark.operators.scale import salted_join
+
+    fact = spark.createDataFrame(
+        [Row(k=i % 5, v=i) for i in range(200)]  # key 0..4, heavy reuse
+        + [Row(k=99, v=-1)]  # unmatched in dim
+    )
+    dim = spark.createDataFrame([Row(k=i, name=f"d{i}") for i in range(5)])
+
+    for how in ("inner", "left"):
+        plain = {(r["k"], r["v"], r["name"])
+                 for r in fact.join(dim, "k", how).collect()}
+        salted = {(r["k"], r["v"], r["name"])
+                  for r in salted_join(fact, dim, "k", 7, how).collect()}
+        assert salted == plain, how
+    # plain inner drops the unmatched row, left keeps it null-extended
+    assert (99, -1, None) in {
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(fact, dim, "k", 7, "left").collect()
+    }
+
+
+def test_salted_join_rejects_right_full(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from sparkstreamingtwitter_presidential_spark.operators.scale import salted_join
+
+    df = spark.createDataFrame([Row(k=1)])
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner|left"):
+            salted_join(df, df, "k", 4, how)
