@@ -90,24 +90,37 @@ def pq_train(
     """Train per-subspace codebooks on a bounded sample; returns an
     (m, k, dim/m) float64 array. Vectors are L2-normalized first (the
     search metric is cosine; on the unit sphere L2 ordering == cosine
-    ordering). Sampling is ONE distributed pass: the ``max_train`` rows
-    with the smallest deterministic id-hash, via hash-ordered limit —
-    Spark plans it as TakeOrderedAndProject (per-partition partial
-    top-k map-side, executor-side final merge), so the driver receives
-    exactly min(n, max_train) rows and the corpus is never counted
-    first (the r4-verdict extra counting pass)."""
+    ordering). Sampling never counts the corpus (the r4-verdict extra
+    pass): a CollectLimit probe for ``max_train + 1`` rows short-
+    circuits after a few partitions — if the whole corpus fits the
+    training budget (the common case for model fitting) that IS the
+    sample; only a genuinely larger corpus pays the one distributed
+    hash-ordered-limit pass (TakeOrderedAndProject: per-partition
+    partial top-k, executor-side merge, driver receives exactly
+    ``max_train`` rows). Either path is partitioning-independent: rows
+    are (re)ordered by the deterministic id-hash before training, so
+    the same corpus always trains the same codebooks."""
     from sparkstreamingtwitter_presidential_spark.operators.sampling import (
+        HASH_MOD,
+        HASH_MULT,
         sample_hash,
     )
 
-    rows = (
-        corpus.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .withColumn("_h", sample_hash(F.col("_id")))
-        .orderBy(F.col("_h").asc(), F.col("_id").asc())
-        .limit(max_train)
-        .collect()
+    base = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
+    probe = base.limit(max_train + 1).collect()
+    if len(probe) <= max_train:
+        rows = sorted(
+            probe, key=lambda r: ((r["_id"] * HASH_MULT) % HASH_MOD, r["_id"])
+        )
+    else:
+        rows = (
+            base.withColumn("_h", sample_hash(F.col("_id")))
+            .orderBy(F.col("_h").asc(), F.col("_id").asc())
+            .limit(max_train)
+            .collect()
+        )
     x = np.array([r["_v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)

@@ -77,7 +77,6 @@ GRADED_FIRST: list[str] = [
     "dedup_incremental",
     "sim_lsh_topk",
     "streaming_tumbling_windows",
-    "streaming_sliding_windows",
     "streaming_session_windows",
     "text_pii_scrub",
     "mix_documents_weighted",
@@ -158,6 +157,11 @@ GRADED_FIRST: list[str] = [
     # salted_groupby_count_parts (r1-r4 driver-green; same skew family,
     # the join variant is the richer op; still pytest-oracled).
     "salted_join_order_segment",
+    # Round-5: CCNet-style unigram LM quality scoring. Ceded:
+    # streaming_sliding_windows (r2-r4 driver-green; the streaming
+    # window family keeps tumbling + session, which bracket sliding's
+    # machinery; still pytest-oracled).
+    "text_unigram_logprob",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

@@ -586,7 +586,8 @@ def io_orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "io_partitioned_parquet_agg",
     oracle="""
-        SELECT source, lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+        SELECT source, lang, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents WHERE source IN ('src1', 'src2')
         GROUP BY source, lang
     """,
@@ -656,4 +657,67 @@ def shuffle_documents_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return smp.sharded_shuffle(
         d, "doc_id", n_shards=_SHUFFLE_SHARDS, salt=_SHUFFLE_SALT
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> length(x) > 0)) AS w
+            FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+        t AS (SELECT SUM(c) AS t FROM c),
+        s AS (
+            SELECT doc_id, COUNT(*) AS n_words, SUM(ln(c.c)) AS slc
+            FROM w JOIN c USING (w) GROUP BY doc_id
+        )
+        SELECT doc_id, n_words,
+               FLOOR((ln(t.t) - slc / n_words) * 10000 + 0.5) / 10000 AS nll
+        FROM s, t
+    """,
+    doc=(
+        "NEW r5: unigram LM quality scoring (the CCNet-style "
+        "perplexity-proxy filter): fit the corpus unigram model "
+        "in-plan (wordcount + total), score each doc as mean negative "
+        "log-likelihood ln(T) - mean(ln c(w)) — low nll = stereotyped "
+        "high-frequency text, high nll = rare-token soup; both tails "
+        "are the cut candidates. One wordcount shuffle + one "
+        "word-join shuffle + per-doc agg; the scalar total broadcasts. "
+        "Floor at 1e-4 absorbs libm ln() last-ulp differences (the "
+        "BM25 rule)"
+    ),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = d.select(
+        "doc_id", ts.clean_words("text").alias("words")
+    )  # materialized projection: explode consumes a column, never a
+    #    computed expression (DESIGN.md Generate-inlining lesson)
+    tok = words.select("doc_id", F.explode("words").alias("w"))
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    per_doc = (
+        tok.join(counts, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.log("c")).alias("slc"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_words",
+        (
+            F.floor(
+                (F.log("t") - F.col("slc") / F.col("n_words")) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("nll"),
     )
