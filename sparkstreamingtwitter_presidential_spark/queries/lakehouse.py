@@ -397,6 +397,62 @@ def lakehouse_delta_skipping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_delta_zorder_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events WHERE user_id BETWEEN 0 AND 4
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r5: Z-ORDER multi-column skipping — events land as 8 "
+        "shuffled appends, compacted on the bit-interleaved "
+        "(event_id, user_id) Z-key (min-max normalized so neither "
+        "column's width dominates); a narrow range on the SECOND "
+        "column must still prune files (linear clustering cannot — "
+        "proven by the pytest contrast), the scan RAISES unless it "
+        "did, and the pruned read + row filter equals the oracle's "
+        "plain filtered aggregate"
+    ),
+)
+def lakehouse_delta_zorder_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _replay_log,
+        file_skips,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        optimize_delta,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        for i in range(8):
+            write_delta(ev.filter(F.pmod("event_id", F.lit(8)) == i), table)
+        live = _replay_log(table, None).files.values()
+        total_bytes = sum(a.get("size", 0) for a in live)
+        optimize_delta(
+            spark,
+            table,
+            target_file_bytes=max(total_bytes // 6, 4096),
+            zorder_by=["event_id", "user_id"],
+        )
+
+    table = _dml_staged_delta(spark, sf_dir, "zorder", build)
+    ranges = {"user_id": (0, 4)}
+    files = _replay_log(table, None).files
+    kept = sum(1 for a in files.values() if not file_skips(a, ranges))
+    if kept >= len(files):
+        raise RuntimeError(
+            f"zorder skipping pruned nothing on the second column: "
+            f"{kept}/{len(files)} files kept"
+        )
+    pruned = read_delta(spark, table, skip_ranges=ranges)
+    return _agg_by_type(pruned.filter("user_id BETWEEN 0 AND 4"))
+
+
+@query(
     "lakehouse_delta_evolution_agg",
     oracle="""
         WITH evolved AS (

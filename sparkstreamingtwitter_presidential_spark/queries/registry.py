@@ -69,11 +69,9 @@ GRADED_FIRST: list[str] = [
     "tpch_q19_disjunctive_predicates",
     "join_broadcast_dims",
     "asof_join_last_purchase",
-    "window_running_sum_quantity",
     "sessionize_batch_lag_cumsum",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
-    "dedup_embedding_top_pairs",
     "dedup_incremental",
     "sim_lsh_topk",
     "streaming_tumbling_windows",
@@ -162,6 +160,16 @@ GRADED_FIRST: list[str] = [
     # window family keeps tumbling + session, which bracket sliding's
     # machinery; still pytest-oracled).
     "text_unigram_logprob",
+    # Round-5: Z-order multi-column file skipping. Ceded:
+    # window_running_sum_quantity (r1-r4 driver-green; window shapes
+    # stay graded via sessionize/pack/canonicalize/shuffle windows;
+    # still pytest-oracled).
+    "lakehouse_delta_zorder_agg",
+    # Round-5: vocabulary coverage / OOV-rate scoring. Ceded:
+    # dedup_embedding_top_pairs (r2-r4 driver-green; embedding
+    # similarity stays windowed via sim_lsh_topk, dedup keeps 4 slots;
+    # still pytest-oracled).
+    "text_oov_rate",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

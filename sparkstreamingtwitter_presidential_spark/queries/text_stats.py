@@ -721,3 +721,69 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("nll"),
     )
+
+
+_VOCAB_SIZE = 16
+
+
+@query(
+    "text_oov_rate",
+    oracle=rf"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                      x -> length(x) > 0)) AS w
+            FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+        v AS (SELECT w FROM c ORDER BY c DESC, w LIMIT {_VOCAB_SIZE}),
+        s AS (
+            SELECT doc_id, COUNT(*) AS n_words,
+                   COUNT(*) FILTER (WHERE w.w NOT IN (SELECT w FROM v))
+                       AS n_oov
+            FROM w GROUP BY doc_id
+        )
+        SELECT doc_id, n_words, n_oov,
+               FLOOR(n_oov::DOUBLE / n_words * 10000 + 0.5) / 10000
+                   AS oov_rate
+        FROM s
+    """,
+    doc=(
+        "NEW r5: vocabulary coverage — build the top-V corpus "
+        "vocabulary in-plan (wordcount, ties broken by word for "
+        "cross-engine determinism) and score every doc's "
+        "out-of-vocabulary token fraction, the tokenizer-coverage "
+        "signal a training pipeline gates on; the tiny vocab "
+        "broadcasts, so scoring is the wordcount shuffle plus a "
+        "map-side flag join"
+    ),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = d.select("doc_id", ts.clean_words("text").alias("words"))
+    tok = words.select("doc_id", F.explode("words").alias("w"))
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(_VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "w", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+        (
+            F.floor(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                .cast("double")
+                / F.count("*")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("oov_rate"),
+    )

@@ -338,6 +338,64 @@ def test_skip_ranges_mixed_types_keep_file():
     assert file_skips(add, {"id": (100, 200)}) is False
 
 
+def test_zorder_prunes_on_every_listed_column(spark, tmp_path):
+    """Z-order clustering must keep min/max stats selective on BOTH
+    listed columns — skip_ranges on either prunes files — while linear
+    cluster_by only prunes sharply on its FIRST column. Both layouts
+    must return identical filtered rows (layout never changes data)."""
+    from pyspark.sql import functions as SF
+
+    rows = [
+        Row(a=i, b=(i * 7919) % 2000, val=float(i % 5)) for i in range(2000)
+    ]
+
+    def build(path, **opt_kwargs):
+        df = spark.createDataFrame(rows)
+        for k in range(8):
+            write_delta(df.filter(SF.pmod("a", SF.lit(8)) == k), path)
+        total = sum(
+            a.get("size", 0) for a in _live_files(path).values()
+        )
+        optimize_delta(
+            spark, path, target_file_bytes=max(total // 6, 4096), **opt_kwargs
+        )
+
+    pz = str(tmp_path / "z")
+    build(pz, zorder_by=["a", "b"])
+    n_total = len(_live_files(pz))
+    assert n_total >= 4
+    kept_a = len(_live_after_skip(pz, {"a": (0, 199)}))
+    kept_b = len(_live_after_skip(pz, {"b": (0, 199)}))
+    assert kept_a < n_total, "zorder failed to prune on first column"
+    assert kept_b < n_total, "zorder failed to prune on second column"
+
+    # linear clustering on (a, b): 'a' prunes, 'b' effectively cannot
+    pl = str(tmp_path / "l")
+    build(pl, cluster_by=["a", "b"])
+    nl = len(_live_files(pl))
+    assert len(_live_after_skip(pl, {"a": (0, 199)})) < nl
+    assert len(_live_after_skip(pl, {"b": (0, 199)})) == nl
+
+    # correctness: both layouts + row filter return the same rows
+    want = sorted(
+        (r.a, r.b) for r in rows if 0 <= r.b <= 199
+    )
+    for p in (pz, pl):
+        got = sorted(
+            (r["a"], r["b"])
+            for r in read_delta(spark, p, skip_ranges={"b": (0, 199)})
+            .filter("b BETWEEN 0 AND 199")
+            .collect()
+        )
+        assert got == want
+
+
+def test_zorder_cluster_by_mutually_exclusive(spark, tmp_path):
+    p = _mk_table(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        optimize_delta(spark, p, cluster_by=["id"], zorder_by=["id"])
+
+
 def test_stats_survive_checkpoint(spark, tmp_path):
     """Checkpoint bootstrap must preserve per-file stats so skipping
     keeps working after log truncation."""
