@@ -76,6 +76,17 @@ HEADLINE = [
     "lakehouse_delta_merge_agg",
     "lakehouse_delta_pipeline_agg",
     "sim_pq_topk",
+    # Round-5 operator families: C4 line cleaning (map-only), the
+    # shard-and-shuffle, unigram LM scoring (wordcount shape), the
+    # salted skew join, and stats-skipping reads (Delta staging warm,
+    # same caveat as the r4 lakehouse entries). dedup_canonicalize is
+    # deliberately absent: it embeds connected components (~8 s at
+    # sf0.1, see BASELINE.md non-bench heavyweights).
+    "text_c4_line_clean",
+    "shuffle_documents_sharded",
+    "text_unigram_logprob",
+    "salted_join_order_segment",
+    "lakehouse_delta_skipping_agg",
 ]
 
 
