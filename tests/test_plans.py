@@ -121,6 +121,43 @@ def test_partitioned_read_has_partition_filters(spark):
     assert any("source" in f for f in a.partition_filters), a.partition_filters
 
 
+def test_salted_join_explodes_dim_no_cartesian(spark):
+    """The salt must appear as a Generate (dim replicated per salt) and
+    the join must stay an equi-join — a CartesianProduct would mean the
+    salt key fell out of the join condition."""
+    a = _audit(spark, "salted_join_order_segment")
+    assert "Generate" in a.text
+    assert "CartesianProduct" not in a.text
+    assert a.n_exchanges <= 2  # (optional join shuffle) + final agg
+
+
+def test_unigram_scalar_total_broadcasts(spark):
+    """The corpus total must reach per-doc scoring as a broadcast
+    single-row join — never a re-aggregation per doc; wordcount +
+    word-join + doc-agg bound the exchanges."""
+    a = _audit(spark, "text_unigram_logprob")
+    assert a.n_exchanges <= 4
+    assert a.n_broadcast_joins >= 1 or "BroadcastNestedLoopJoin" in a.text
+
+
+def test_canonicalize_broadcasts_labels_single_window_exchange(spark):
+    """Survivor selection must broadcast the (tiny) labels table on
+    both the inner and anti join, leaving ONE exchange — the
+    per-component window over the clustered slice only."""
+    a = _audit(spark, "dedup_canonicalize")
+    assert a.n_broadcast_joins >= 2
+    assert a.n_exchanges == 1
+    assert "CartesianProduct" not in a.text
+
+
+def test_oov_vocab_broadcasts(spark):
+    """The top-V vocabulary must broadcast onto the token stream (a
+    shuffle join on words would shuffle the corpus twice)."""
+    a = _audit(spark, "text_oov_rate")
+    assert a.n_broadcast_joins >= 1
+    assert a.n_exchanges <= 3
+
+
 def test_ivf_production_path_is_single_treatment(spark):
     """With the recall gate off (production path), the IVF query must be
     the probe alone: no brute-force twin join (no in_exact_topk column),
