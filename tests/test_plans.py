@@ -158,6 +158,23 @@ def test_oov_vocab_broadcasts(spark):
     assert a.n_exchanges <= 3
 
 
+def test_ivfpq_cell_prune_precedes_encode(spark):
+    """IVF-PQ's probe-cell filter must sit BELOW the PQ encode map
+    (filters cannot push through opaque Python maps, so the operator
+    places it there by construction): exactly two MapInPandas (encode +
+    ADC scan), the cell IN-filter feeding the encode's input from the
+    cached assignment table, and no cartesian anywhere."""
+    import re
+
+    a = _audit(spark, "sim_ivfpq_topk")
+    assert a.text.count("MapInPandas") == 2
+    below_last_map = a.text.split("MapInPandas")[-1]
+    assert re.search(r"\bcell#\d+", below_last_map), (
+        "cell filter not below the encode map"
+    )
+    assert "CartesianProduct" not in a.text
+
+
 def test_ivf_production_path_is_single_treatment(spark):
     """With the recall gate off (production path), the IVF query must be
     the probe alone: no brute-force twin join (no in_exact_topk column),
