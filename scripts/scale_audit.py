@@ -131,6 +131,23 @@ def cases(spark, base):
         )
         return D.incremental_lsh_pairs(base_sigs, new_sigs, 0.5)
 
+    def canonicalize():
+        from sparkstreamingtwitter_presidential_spark.operators.components import (
+            canonical_members,
+        )
+
+        return canonical_members(docs(), connected_components(chain_pairs()))
+
+    def salted():
+        from sparkstreamingtwitter_presidential_spark.operators.scale import salted_join
+
+        return salted_join(
+            docs().select("doc_id", "source"),
+            docs().select(F.col("doc_id"), F.col("n_chars")).limit(100),
+            "doc_id",
+            n_salts=4,
+        )
+
     return {
         "exact_dedup": lambda: D.exact_dedup(docs(), "text", "doc_id"),
         "jaccard_pairs": lambda: D.jaccard_pairs(docs(), "doc_id", "text", 0.5),
@@ -138,13 +155,19 @@ def cases(spark, base):
         "incremental_lsh": incremental,
         "simhash_pairs": lambda: D.simhash_pairs(docs(), "doc_id", "text"),
         "components_chain": lambda: connected_components(chain_pairs()),
+        "canonical_members": canonicalize,
         "brute_force_topk": lambda: S.brute_force_topk(emb(), qids),
         "lsh_topk": lambda: S.lsh_topk(emb(), qids),
         "ivf_topk": lambda: S.ivf_topk(emb(), qids),
         "pq_topk": _pq(emb, qids),
+        "ivfpq_topk": _ivfpq(emb, qids),
         "stratified_sample": lambda: smp.deterministic_sample(
             docs().select("doc_id"), "doc_id", 0.1
         ),
+        "sharded_shuffle": lambda: smp.sharded_shuffle(
+            docs().select("doc_id", "source"), "doc_id", n_shards=8
+        ),
+        "salted_join": salted,
     }
 
 
@@ -153,6 +176,15 @@ def _pq(emb, qids):
         from sparkstreamingtwitter_presidential_spark.operators.pq import pq_topk
 
         return pq_topk(emb(), qids)
+
+    return run
+
+
+def _ivfpq(emb, qids):
+    def run():
+        from sparkstreamingtwitter_presidential_spark.operators.pq import ivfpq_topk
+
+        return ivfpq_topk(emb(), qids)
 
     return run
 

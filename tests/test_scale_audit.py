@@ -28,8 +28,9 @@ def test_audit_cases_build_and_cheap_ones_run(spark):
     assert set(cs) == {
         "exact_dedup", "jaccard_pairs", "minhash_lsh_pairs",
         "incremental_lsh", "simhash_pairs", "components_chain",
-        "brute_force_topk", "lsh_topk", "ivf_topk", "pq_topk",
-        "stratified_sample",
+        "canonical_members", "brute_force_topk", "lsh_topk", "ivf_topk",
+        "pq_topk", "ivfpq_topk", "stratified_sample", "sharded_shuffle",
+        "salted_join",
     }
     for name, fn in cs.items():
         df = fn()  # lazy plan construction — catches signature drift
