@@ -87,6 +87,13 @@ HEADLINE = [
     "text_unigram_logprob",
     "salted_join_order_segment",
     "lakehouse_delta_skipping_agg",
+    # Round-5 late additions (corpus hygiene): decontamination and
+    # duplicated-span stats share the n-gram-shuffle shape at two
+    # different fan-outs; SRP is the map-only floor of the similarity
+    # family.
+    "decontam_eval_overlap",
+    "dedup_duplicate_span_stats",
+    "sim_random_projection",
 ]
 
 

@@ -37,6 +37,9 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 from sparkstreamingtwitter_presidential_spark.io import load_table  # noqa: E402
 from sparkstreamingtwitter_presidential_spark.operators import dedup as D  # noqa: E402
 from sparkstreamingtwitter_presidential_spark.operators import sampling as smp  # noqa: E402
+from sparkstreamingtwitter_presidential_spark.operators import decontam as DC  # noqa: E402
+from sparkstreamingtwitter_presidential_spark.operators import projection as PJ  # noqa: E402
+from sparkstreamingtwitter_presidential_spark.operators import span_dedup as SD  # noqa: E402
 from sparkstreamingtwitter_presidential_spark.operators import similarity as S  # noqa: E402
 from sparkstreamingtwitter_presidential_spark.operators.components import (  # noqa: E402
     connected_components,
@@ -168,6 +171,14 @@ def cases(spark, base):
             docs().select("doc_id", "source"), "doc_id", n_shards=8
         ),
         "salted_join": salted,
+        "decontam_hits": lambda: DC.contamination_hits(
+            docs().filter(F.col("doc_id") % 10 != 0),
+            docs().filter(F.col("doc_id") % 10 == 0),
+            n=6,
+            hashed=True,
+        ),
+        "span_stats": lambda: SD.duplicate_span_stats(docs(), k=8, hashed=True),
+        "srp_project": lambda: PJ.project_for_ann(emb(), out_dim=64),
     }
 
 

@@ -1,0 +1,165 @@
+r"""Exact duplicated-span detection: find token spans repeated VERBATIM
+across documents and measure/trim them.
+
+The corpus-level exact-substring dedup of Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better"), re-shaped
+for a distributed engine: the paper builds a suffix array over the
+concatenated corpus — inherently sequential and memory-resident — while
+the k-gram formulation below is embarrassingly parallel and finds the
+same spans: any duplicated substring of >= k tokens is exactly a
+maximal run of duplicated k-grams, so marking every token covered by a
+k-gram that occurs in >= 2 distinct documents marks precisely the
+tokens inside cross-document duplicate spans of length >= k.
+
+Operators:
+
+  kgram_positions     (doc_id, pos, gram): every k-gram with its token
+                      start position
+  duplicate_span_stats per-doc duplicated-span coverage metrics
+  trim_duplicate_spans rewrite text with covered tokens removed
+
+Scale design (100 TB): the global k-gram count is ONE shuffle keyed by
+the k-gram (strings here for oracle exactness; xxhash64 at scale —
+``hashed=True`` — where a collision only over-trims). Fan-out per gram
+is bounded by its corpus frequency; the rare mega-duplicated gram (the
+boilerplate header in a billion docs) is exactly what the operator
+exists to find, and its group reduces to a count — no value list is
+materialized. Covered-token counting explodes each duplicated gram
+into its k covered positions and distinct-counts per doc: the explode
+is k× the HIT rows only (duplicated grams), not k× the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.operators.dedup import tokens
+from sparkstreamingtwitter_presidential_spark.operators.decontam import _gram_array
+
+
+def kgram_positions(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """(doc_id, pos, gram, n_tokens): every k-gram of every doc with its
+    0-based token start position and the doc's token count."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    t = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(text_col).alias("t"))
+        .select(F.col(id_col), F.col("t"), F.size("t").alias("n_tokens"))
+    )
+    return t.select(
+        id_col,
+        "n_tokens",
+        F.posexplode(_gram_array(F.col("t"), k, hashed)).alias("pos", "gram"),
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """Per-doc duplicated-span metrics, docs with at least one hit:
+    (doc_id, n_tokens, n_dup_kgrams, dup_tokens, dup_fraction) where
+    n_dup_kgrams counts k-gram POSITIONS whose gram occurs in >= 2
+    distinct docs, dup_tokens counts distinct token positions covered
+    by such a k-gram (the union of the duplicate spans), and
+    dup_fraction = dup_tokens / n_tokens.
+
+    Plan: one shuffle on gram for the distinct-doc count (partial
+    count_distinct map-side), join back only grams with cnt >= 2 (the
+    count side after the >=2 filter is small — boilerplate — so it
+    broadcasts), explode each hit into its k covered positions, one
+    per-doc aggregate."""
+    grams = kgram_positions(docs, k, id_col, text_col, hashed)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(F.broadcast(dup), "gram")
+    covered = hits.select(
+        id_col,
+        "n_tokens",
+        "pos",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("tok"),
+    )
+    return (
+        covered.groupBy(id_col, "n_tokens")
+        .agg(
+            F.count_distinct("pos").alias("n_dup_kgrams"),
+            F.count_distinct("tok").alias("dup_tokens"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_dup_kgrams",
+            "dup_tokens",
+            # floor-rounding, not round(): the house convention both
+            # engines evaluate bit-identically (see dedup.jaccard_pairs)
+            (
+                F.floor(F.col("dup_tokens") / F.col("n_tokens") * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def trim_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite each doc with duplicate-span-covered tokens REMOVED
+    (Lee et al.'s dedup action, token-granular): output (doc_id, text)
+    where text keeps the original tokens whose position is covered by
+    no cross-document-duplicated k-gram. Docs with no hits pass through
+    untouched (including their original casing/whitespace).
+
+    Plan: covered positions per doc collected as a set column
+    (collect_set over the hit explode — bounded by doc length, not
+    corpus size), joined back left; the rewrite is a higher-order
+    filter over the token array — no Python UDF. Production note: runs
+    hashed (8-byte grams) since the trimmed text never needs to match a
+    SQL twin byte-for-byte."""
+    grams = kgram_positions(docs, k, id_col, text_col, hashed=True)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(F.broadcast(dup), "gram")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("tok"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("tok").alias("cut"))
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("t")
+    )
+    joined = base.join(covered, id_col, "left")
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.array_contains(F.col("cut"), i.cast("bigint")),
+    )
+    return joined.select(
+        id_col,
+        F.when(F.col("cut").isNull(), F.col(text_col))
+        .otherwise(F.array_join(kept, " "))
+        .alias(text_col),
+    )

@@ -63,7 +63,6 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # failure, not silent debt (round-2 verdict finding).
 GRADED_FIRST: list[str] = [
     "flagship_event_type_counts",
-    "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q19_disjunctive_predicates",
@@ -72,10 +71,8 @@ GRADED_FIRST: list[str] = [
     "sessionize_batch_lag_cumsum",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
-    "dedup_incremental",
     "sim_lsh_topk",
     "streaming_tumbling_windows",
-    "streaming_session_windows",
     "text_pii_scrub",
     "mix_documents_weighted",
     "streaming_dedup_exact",
@@ -170,6 +167,18 @@ GRADED_FIRST: list[str] = [
     # similarity stays windowed via sim_lsh_topk, dedup keeps 4 slots;
     # still pytest-oracled).
     "text_oov_rate",
+    # Round-5 late additions: corpus hygiene (benchmark decontamination,
+    # Lee-et-al exact duplicated-span stats, signed random projection).
+    # Ceded: tpch_q1_pricing_summary (r1-r4 driver-green; the simplest
+    # scan-agg shape, TPC-H keeps 11 slots incl. every join-heavy
+    # shape), dedup_incremental (r2-r4 green; dedup family swaps in the
+    # span-stats op and keeps 4 slots), streaming_session_windows
+    # (r2-r4 green; the streaming family keeps tumbling + delta-sink,
+    # which bracket session's watermark/state machinery). All three
+    # stay differential-tested by tests/test_queries_oracle.py.
+    "decontam_eval_overlap",
+    "dedup_duplicate_span_stats",
+    "sim_random_projection",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).
@@ -314,6 +323,7 @@ def load_all() -> dict[str, Query]:
         "sparkstreamingtwitter_presidential_spark.queries.multimodal",
         "sparkstreamingtwitter_presidential_spark.queries.packing_search",
         "sparkstreamingtwitter_presidential_spark.queries.lakehouse",
+        "sparkstreamingtwitter_presidential_spark.queries.hygiene",
     ]
     for m in modules:
         try:

@@ -247,3 +247,35 @@ def test_bm25_caches_postings_and_broadcasts_stats(spark):
     assert a.n_broadcast_joins >= 1
     assert a.n_sortmerge_joins == 0
     assert a.has_take_ordered
+
+
+def test_decontam_probe_set_broadcasts(spark):
+    """The eval n-gram set is the canonical small side: it must
+    broadcast onto the exploded corpus grams (shuffling the corpus's
+    grams to meet the probe set would be a corpus-sized shuffle), and
+    only post-join HIT rows ever shuffle."""
+    a = _audit(spark, "decontam_eval_overlap")
+    assert a.n_broadcast_joins >= 1
+    assert a.n_sortmerge_joins == 0
+    # eval-gram distinct + the two-phase count(distinct) per doc —
+    # both corpus-side exchanges sit ABOVE the broadcast join, so they
+    # carry hit rows only, not the corpus
+    assert a.n_exchanges <= 3
+
+
+def test_span_stats_single_gram_shuffle_dup_set_broadcasts(spark):
+    """Duplicated-span stats: ONE corpus-sized shuffle (gram count);
+    the >=2-docs gram set joins back as a broadcast, never sort-merge."""
+    a = _audit(spark, "dedup_duplicate_span_stats")
+    assert a.n_broadcast_joins >= 1
+    assert a.n_sortmerge_joins == 0
+    assert "CartesianProduct" not in a.text
+
+
+def test_random_projection_map_only(spark):
+    """SRP is a pure per-row transform: zero exchanges, zero joins,
+    scan pruned to (vec_id, embedding)."""
+    a = _audit(spark, "sim_random_projection")
+    assert a.n_exchanges == 0
+    assert a.n_broadcast_joins + a.n_sortmerge_joins + a.n_shuffled_hash_joins == 0
+    assert any("embedding" in s and "label" not in s for s in a.read_schemas)
