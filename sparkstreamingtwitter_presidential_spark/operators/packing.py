@@ -100,3 +100,49 @@ def token_chunks(
             " ",
         ).alias("chunk_text"),
     )
+
+
+def strided_token_chunks(
+    docs: DataFrame,
+    chunk_tokens: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping (strided) token windows: chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens); the last window starts at the
+    final stride position that still begins inside the document, so
+    every token is covered and trailing windows may be short. With
+    stride == chunk_tokens this degenerates to token_chunks.
+
+    The long-document slicing used for context-window training/eval
+    (stride < size gives each boundary token a window where it has
+    left context). Same plan shape as token_chunks: generator input is
+    the cheap sequence, token array rides as a projected column —
+    map-only, no shuffle, no UDF."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(f"stride must be in (0, chunk_tokens], got {stride}")
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    # number of windows = 1 + ceil((n - chunk)/stride) clamped at >= 1,
+    # i.e. floor((max(n - chunk + stride - 1, 0)) / stride) + 1
+    n = F.size("toks")
+    n_windows = (
+        F.floor(F.greatest(n - chunk_tokens + stride - 1, F.lit(0)) / stride) + 1
+    ).cast("int")
+    return toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("chunk_index"),
+    ).select(
+        "doc_id",
+        "chunk_index",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("chunk_index") * stride + 1, chunk_tokens),
+            " ",
+        ).alias("chunk_text"),
+    )

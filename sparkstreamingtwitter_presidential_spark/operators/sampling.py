@@ -175,3 +175,46 @@ def sharded_shuffle(
         F.col("_h").asc(), F.col(id_col).asc()
     )
     return out.withColumn("pos", F.row_number().over(w)).drop("_h")
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test (or any named) split: adds a
+    ``split`` column assigning each row to a partition of the hash
+    space by cumulative-fraction thresholds, in the dict's insertion
+    order. Fractions must sum to 1 (±1e-9): a split is a PARTITION of
+    the corpus — every row lands in exactly one named slice, so
+    train/val/test can never overlap or drop rows, on any engine.
+
+    Same scale shape as the samplers: stateless per-row arithmetic on
+    the id hash, no shuffle; ``salt`` re-deals the split without
+    touching the data (holdout rotation). The boundary thresholds are
+    integers, so the slice sizes are exact hash-measure fractions and
+    the assignment is reproducible everywhere the oracle runs.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    for name, frac in fractions.items():
+        if frac < 0:
+            raise ValueError(f"negative fraction for {name!r}: {frac}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = epoch_hash(F.col(id_col), salt)
+    cum = 0.0
+    expr = None
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        branch = F.when(h < F.lit(int(cum * HASH_MOD)), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            h < F.lit(int(cum * HASH_MOD)), F.lit(name)
+        )
+    # the last slice absorbs the rounding remainder: thresholds are
+    # floor()ed, so "everything else" is the only exact complement
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

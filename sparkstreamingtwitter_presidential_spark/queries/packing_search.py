@@ -224,3 +224,34 @@ def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
     )
     return pack_sequences(canon, budget=PACK_BUDGET)
+
+
+STRIDE_CHUNK = 40
+STRIDE = 20
+
+
+@query(
+    "chunk_documents_strided",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, i AS chunk_index,
+               array_to_string(
+                 list_slice(toks, i * {STRIDE} + 1,
+                            i * {STRIDE} + {STRIDE_CHUNK}), ' '
+               ) AS chunk_text
+        FROM t, UNNEST(generate_series(
+            0, CAST(floor(greatest(len(toks) - {STRIDE_CHUNK} + {STRIDE} - 1, 0)
+                          / {STRIDE}) AS INT))) AS u(i)
+    """,
+    doc=f"NEW r5: overlapping context windows — {STRIDE_CHUNK}-token "
+    f"chunks at stride {STRIDE} (each boundary token gets a window "
+    "with left context); map-only",
+)
+def chunk_documents_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.packing import strided_token_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return strided_token_chunks(d, chunk_tokens=STRIDE_CHUNK, stride=STRIDE)

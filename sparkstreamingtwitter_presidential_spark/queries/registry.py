@@ -65,7 +65,6 @@ GRADED_FIRST: list[str] = [
     "flagship_event_type_counts",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q19_disjunctive_predicates",
     "join_broadcast_dims",
     "asof_join_last_purchase",
     "sessionize_batch_lag_cumsum",
@@ -82,7 +81,6 @@ GRADED_FIRST: list[str] = [
     # percentiles_order_totalprice, having_high_volume_suppliers (all
     # r1+r2 driver-green, still in tests/test_queries_oracle.py).
     "pack_documents_by_source",
-    "chunk_documents_tokens",
     "search_bm25_topk",
     # (also ceded for r3 newcomers: lateral_explode_embedding_dims,
     # events_from_json_struct, events_json_extract)
@@ -179,6 +177,15 @@ GRADED_FIRST: list[str] = [
     "decontam_eval_overlap",
     "dedup_duplicate_span_stats",
     "sim_random_projection",
+    # Round-5 late additions #2: strided context-window chunking and the
+    # deterministic train/val/test split. Ceded: chunk_documents_tokens
+    # (r3+r4 driver-green; strided is the strict superset — stride ==
+    # chunk degenerates to it, same Generate plan shape) and
+    # tpch_q19_disjunctive_predicates (r2+r4 driver-green; the
+    # disjunctive-pushdown shape also lives in Q6/Q17's graded
+    # predicates). Both stay in tests/test_queries_oracle.py.
+    "chunk_documents_strided",
+    "split_documents_train_val_test",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

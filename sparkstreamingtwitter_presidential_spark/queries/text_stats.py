@@ -787,3 +787,35 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("oov_rate"),
     )
+
+
+_SPLIT_T1 = int(0.8 * 2**31)
+_SPLIT_T2 = int(0.9 * 2**31)
+
+
+@query(
+    "split_documents_train_val_test",
+    oracle=f"""
+        -- pmod form (see sample_documents_stratified note above)
+        WITH h AS (
+          SELECT doc_id,
+                 (((doc_id * 2654435761) % 2147483648) + 2147483648)
+                     % 2147483648 AS hv
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN hv < {_SPLIT_T1} THEN 'train'
+                    WHEN hv < {_SPLIT_T2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    """,
+    doc="NEW r5: deterministic 80/10/10 train/val/test partition by id "
+    "hash — exact hash-measure slices, no overlap, no shuffle",
+)
+def split_documents_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return split_assign(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")

@@ -120,3 +120,44 @@ def test_bm25_multi_term_and_absent_term(spark):
     assert all(math.isfinite(s) for _, s in got.values())
     # two matched terms beat one repeated term here (tf saturation)
     assert got[0][1] > got[1][1]
+
+
+def test_strided_chunks_cover_and_overlap(spark):
+    from sparkstreamingtwitter_presidential_spark.operators.packing import (
+        strided_token_chunks,
+        token_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "a b"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_index"]): r["chunk_text"]
+        for r in strided_token_chunks(docs, chunk_tokens=4, stride=2).collect()
+    }
+    # 7 tokens, size 4, stride 2 -> starts 0,2,4 (last window short)
+    assert got == {
+        (1, 0): "t0 t1 t2 t3",
+        (1, 1): "t2 t3 t4 t5",
+        (1, 2): "t4 t5 t6",
+        (2, 0): "a b",
+    }
+    # stride == chunk degenerates to token_chunks exactly
+    a = sorted(
+        map(tuple, strided_token_chunks(docs, chunk_tokens=3, stride=3).collect())
+    )
+    b = sorted(map(tuple, token_chunks(docs, chunk_tokens=3).collect()))
+    assert a == b
+
+
+def test_strided_chunks_validate_stride(spark):
+    import pytest
+
+    from sparkstreamingtwitter_presidential_spark.operators.packing import strided_token_chunks
+
+    d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        strided_token_chunks(d, chunk_tokens=4, stride=0)
+    with pytest.raises(ValueError):
+        strided_token_chunks(d, chunk_tokens=4, stride=5)

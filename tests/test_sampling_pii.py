@@ -167,3 +167,47 @@ def test_weighted_mix_epoch0_matches_identity_hash(spark):
     assert {r["doc_id"] for r in frac.collect()} == {
         r["doc_id"] for r in strat.collect()
     }
+
+
+def test_split_assign_partitions_exactly(spark):
+    from sparkstreamingtwitter_presidential_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    assert len(rows) == 2000  # partition: no dup, no drop
+    sizes = {}
+    for r in rows:
+        sizes[r["split"]] = sizes.get(r["split"], 0) + 1
+    assert set(sizes) == {"train", "val", "test"}
+    # hash-measure fractions land near nominal on 2k sequential ids
+    assert abs(sizes["train"] / 2000 - 0.8) < 0.05
+    assert abs(sizes["val"] / 2000 - 0.1) < 0.03
+    assert abs(sizes["test"] / 2000 - 0.1) < 0.03
+
+
+def test_split_assign_salt_redeals_and_is_deterministic(spark):
+    from sparkstreamingtwitter_presidential_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.5, "test": 0.5}
+    a = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id", fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id", fr).collect()}
+    c = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id", fr, salt=7).collect()}
+    assert a == b  # rerun-stable
+    assert a != c  # salt rotates the holdout
+    assert sum(v != a[k] for k, v in c.items()) > 50
+
+
+def test_split_assign_validates_fractions(spark):
+    import pytest
+
+    from sparkstreamingtwitter_presidential_spark.operators.sampling import split_assign
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", {})
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", {"a": 1.5, "b": -0.5})
