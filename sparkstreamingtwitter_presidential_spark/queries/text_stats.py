@@ -819,3 +819,29 @@ def split_documents_train_val_test(spark: SparkSession, sf_dir: str) -> DataFram
     return split_assign(
         d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "split")
+
+
+@query(
+    "io_avro_roundtrip_docs",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc=(
+        "NEW r5: documents -> native Avro container files -> read-back "
+        "must be the identity — the Kafka/schema-registry interchange "
+        "format, implemented directly against the public Avro 1.11 "
+        "spec (sources/avro.py: binary encoding, deflate blocks, sync "
+        "markers) since the spark-avro jar is absent; proves the "
+        "encoder, the container framing, and the schema mapping "
+        "end-to-end against the oracle's direct parquet read"
+    ),
+)
+def io_avro_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.avro import read_avro, write_avro
+    from sparkstreamingtwitter_presidential_spark.sources.replay import schema_keyed_dir
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    staged = schema_keyed_dir("spark_graft_avro_docs", sf_dir, d.schema)
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        write_avro(d, staged, n_files=4)
+    return read_avro(spark, staged, d.schema)
