@@ -472,3 +472,67 @@ def embedding_top_pairs(
         .orderBy(F.col("cos_sim").desc(), F.col("id_a"), F.col("id_b"))
         .limit(top_k)
     )
+
+
+def embedding_threshold_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """All blocked embedding pairs with cosine >= threshold — the edge
+    set SemDeDup-style semantic dedup clusters over (embedding_top_pairs
+    keeps the global top-k instead; this keeps every edge above the
+    bar). Same scale shape: the self-join shuffles on the block key,
+    never the global cross product."""
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(block_col).alias("blk"),
+    ).withColumn("nrm", vec_norm(F.col("v")))
+    L, R = e.alias("l"), e.alias("r")
+    sim = dot_product(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))
+    return (
+        L.join(R, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+        .filter(sim >= threshold)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            (F.floor(sim * 10000.0 + F.lit(0.5)) / 10000.0).alias("cos_sim"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023):
+    cluster-blocked cosine edges above ``threshold`` -> connected
+    components -> one representative per component (smallest id,
+    deterministic). Returns (id, component, canonical_id,
+    is_canonical) for EVERY input row — non-clustered rows are their
+    own canonical via the map-only anti-join path.
+
+    At 100 TB the block key is an IVF cell / k-means cluster id over
+    the embeddings themselves (operators/similarity.py::ivf_index);
+    the fixture's ``label`` column stands in for it here so the edge
+    set stays SQL-oracle-able. Components iterate only over rows that
+    HAVE a near-dup edge — the corpus never enters the loop."""
+    from sparkstreamingtwitter_presidential_spark.operators.components import (
+        canonical_members,
+        connected_components,
+    )
+
+    pairs = embedding_threshold_pairs(df, threshold, id_col, vec_col, block_col)
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    corpus = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.lit(0).alias("_q")
+    )
+    # constant quality -> the window tiebreak (id asc) picks the
+    # smallest id as each component's representative
+    return canonical_members(corpus, labels, id_col=id_col, quality_col="_q")

@@ -72,7 +72,6 @@ GRADED_FIRST: list[str] = [
     "dedup_minhash_lsh_pairs",
     "sim_lsh_topk",
     "streaming_tumbling_windows",
-    "text_pii_scrub",
     "mix_documents_weighted",
     "streaming_dedup_exact",
     "streaming_stream_join",
@@ -192,6 +191,12 @@ GRADED_FIRST: list[str] = [
     # DML x3, pipeline, skipping, evolution, zorder, changes — that all
     # exercise the same read path). Stays in tests/test_queries_oracle.py.
     "io_avro_roundtrip_docs",
+    # Round-5 late additions #4: SemDeDup-shaped semantic dedup (the
+    # composition of the embedding edge set, connected components, and
+    # survivor selection). Ceded: text_pii_scrub (r3+r4 driver-green;
+    # the text family keeps c4/unigram/oov/repetition graded slots).
+    # Stays in tests/test_queries_oracle.py.
+    "dedup_semantic_keep",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

@@ -232,3 +232,31 @@ def test_canonical_members_survivor_selection(spark):
         4: (3, 3, False),
         9: (9, 9, True),
     }
+
+
+def test_semantic_dedup_clusters_and_keeps_smallest_id(spark):
+    from sparkstreamingtwitter_presidential_spark.operators.dedup import semantic_dedup
+
+    # vectors 1,2 identical (same block) -> one component, keep id 1;
+    # 3 is near-orthogonal in the same block; 4 identical to 1 but in a
+    # DIFFERENT block -> blocking must keep it apart; 5 null passes out.
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.0, 1.0], 0),
+            (4, [1.0, 0.0], 1),
+            (5, None, 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["vec_id"]: (r["component"], r["canonical_id"], r["is_canonical"])
+        for r in semantic_dedup(emb, threshold=0.9).collect()
+    }
+    assert got == {
+        1: (1, 1, True),
+        2: (1, 1, False),
+        3: (3, 3, True),
+        4: (4, 4, True),
+    }
