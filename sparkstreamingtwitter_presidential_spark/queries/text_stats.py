@@ -845,3 +845,32 @@ def io_avro_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         write_avro(d, staged, n_files=4)
     return read_avro(spark, staged, d.schema)
+
+
+@query(
+    "text_bpe_vocab_top",
+    oracle=None,  # BPE merge application is iterative, not SQL-expressible;
+    # train/encode are differential-tested against an independent
+    # pure-Python twin in tests/test_bpe.py (merge-list equality,
+    # concatenation round-trip, prefix stability).
+    doc=(
+        "NEW r5: distributed BPE tokenizer end-to-end — learn 48 merges "
+        "from the corpus word histogram (one shuffle; driver merge loop "
+        "over the bounded top slice, the production tokenizer-training "
+        "split), map-only Arrow-batched encode, then the top-20 learned "
+        "tokens by corpus frequency (count desc, token asc)"
+    ),
+)
+def text_bpe_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.bpe import bpe_encode, train_bpe
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(d, num_merges=48, max_words=50_000)
+    return (
+        bpe_encode(d, merges)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
