@@ -65,7 +65,6 @@ GRADED_FIRST: list[str] = [
     "flagship_event_type_counts",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    "join_broadcast_dims",
     "asof_join_last_purchase",
     "sessionize_batch_lag_cumsum",
     "dedup_ngram_jaccard_pairs",
@@ -197,6 +196,13 @@ GRADED_FIRST: list[str] = [
     # the text family keeps c4/unigram/oov/repetition graded slots).
     # Stays in tests/test_queries_oracle.py.
     "dedup_semantic_keep",
+    # Round-5 late additions #5: global row numbering without the
+    # single-partition sort (range shuffle + metadata-sized count pass +
+    # map-only offsets; plan-pinned Exchange-SinglePartition-free).
+    # Ceded: join_broadcast_dims (r1-r4 driver-green; the broadcast-dim
+    # shape stays graded via TPC-H Q3/Q5/Q7/Q8/Q9's dimension joins and
+    # stays bench-headlined for perf + in tests/test_queries_oracle.py).
+    "scale_global_row_numbers",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

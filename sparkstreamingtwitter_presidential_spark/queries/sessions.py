@@ -128,3 +128,25 @@ def salted_join_order_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+@query(
+    "scale_global_row_numbers",
+    oracle="""
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS row_num
+        FROM documents
+    """,
+    doc=(
+        "NEW r5: ROW_NUMBER() OVER (ORDER BY key) computed WITHOUT the "
+        "Exchange SinglePartition a global window sort plans — range "
+        "shuffle + per-partition count pass (metadata-sized collect) + "
+        "map-only offset numbering; must equal the oracle's true global "
+        "ROW_NUMBER exactly (the plan-pin test asserts no single-"
+        "partition exchange in the physical plan)"
+    ),
+)
+def scale_global_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.scale import global_row_numbers
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return global_row_numbers(d, "doc_id", n_partitions=16)

@@ -105,3 +105,52 @@ def test_salted_join_rejects_right_full(spark):
     for how in ("right", "full", "outer"):
         with pytest.raises(ValueError, match="inner|left"):
             salted_join(df, df, "k", 4, how)
+
+
+def test_global_row_numbers_equals_window(spark):
+    from pyspark.sql import Window
+    from sparkstreamingtwitter_presidential_spark.operators.scale import global_row_numbers
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    ours = {
+        (r.doc_id, r.row_num)
+        for r in global_row_numbers(d, "doc_id", n_partitions=8).collect()
+    }
+    window = {
+        (r.doc_id, r.row_num)
+        for r in d.select(
+            "doc_id",
+            F.row_number().over(Window.orderBy("doc_id")).alias("row_num"),
+        ).collect()
+    }
+    assert ours == window and len(ours) == 500
+    spark.catalog.clearCache()
+
+
+def test_global_row_numbers_plan_has_no_single_partition(spark):
+    from pyspark.sql import Window
+    from sparkstreamingtwitter_presidential_spark.operators.scale import global_row_numbers
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    ours = global_row_numbers(d, "doc_id", n_partitions=8)
+    plan = ours._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # the naive window DOES plan one — the thing this operator removes
+    naive = d.select(
+        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("rn")
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in naive_plan
+    spark.catalog.clearCache()
+
+
+def test_global_row_numbers_more_partitions_than_rows(spark):
+    from sparkstreamingtwitter_presidential_spark.operators.scale import global_row_numbers
+
+    d = spark.createDataFrame([(3,), (1,), (2,)], "k int")
+    rows = sorted(
+        (r.k, r.row_num)
+        for r in global_row_numbers(d, "k", n_partitions=8).collect()
+    )
+    assert rows == [(1, 1), (2, 2), (3, 3)]
+    spark.catalog.clearCache()
