@@ -556,3 +556,82 @@ def lakehouse_delta_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("ts_min_us"),
         F.max(F.unix_micros("ts")).alias("ts_max_us"),
     )
+
+
+def _upserted_events_delta(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the streaming-upsert result once per (sf_dir, schema):
+    a Delta table pre-seeded with STALE rows (value = -1 for the
+    event_id % 3 == 0 third of events), then the full events feed
+    replayed through the exactly-once upsert sink (MERGE per
+    micro-batch, marker and rewrite in one commit). Keys are unique
+    per feed (event_id), so the final state is order-independent:
+    every event exactly once with its true value — stale rows
+    updated, the rest inserted."""
+    from sparkstreamingtwitter_presidential_spark.streaming.delta_upsert import (
+        upsert_stream_to_delta,
+    )
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    key = _events_cache_key(spark, sf_dir)
+    table = f"/tmp/ssp_delta_upsert_{key}"
+    if not os.path.isdir(os.path.join(table, "_delta_log")):
+        scratch = f"{table}.staging-{uuid.uuid4().hex}"
+        ev = load_table(spark, sf_dir, "events").select(*cols)
+        feed = os.path.join(scratch, "feed")
+        ev.repartition(4).write.parquet(feed)
+        seed = ev.filter("event_id % 3 = 0").withColumn(
+            "value", F.lit(-1.0)
+        ).select(*cols)
+        write_delta(seed, os.path.join(scratch, "table"))
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = upsert_stream_to_delta(
+            stream,
+            os.path.join(scratch, "table"),
+            os.path.join(scratch, "ckpt"),
+            keys=["event_id"],
+            app_id=f"ssp_upsert_{key}",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        try:
+            os.rename(os.path.join(scratch, "table"), table)
+        except OSError:
+            pass  # lost the race; winner's table is equivalent
+        shutil.rmtree(scratch, ignore_errors=True)
+    return table
+
+
+@query(
+    "streaming_delta_upsert_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS users,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="NEW r5: exactly-once streaming UPSERT (CDC-shaped foreachBatch "
+    "MERGE with the txn marker in the same commit) — a table pre-seeded "
+    "with stale value=-1 rows for a third of the keys receives the full "
+    "events feed; the aggregate equals the plain batch aggregate iff "
+    "every stale row was updated, every new key inserted exactly once, "
+    "and no redelivered batch double-merged (a leftover -1 or a double "
+    "insert shifts n or total_value)",
+)
+def streaming_delta_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _upserted_events_delta(spark, sf_dir)
+    ev = read_delta(spark, table)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("users"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+    )

@@ -83,7 +83,6 @@ GRADED_FIRST: list[str] = [
     # (also ceded for r3 newcomers: lateral_explode_embedding_dims,
     # events_from_json_struct, events_json_extract)
     "pipeline_curate_pack",
-    "streaming_delta_sink_agg",
     # Round-4 newcomers, graded on arrival per rotation policy: native
     # Delta copy-on-write DML (3) and the TPC-H suite completion (7).
     # Ceded for them (all multi-round driver-green, still covered by
@@ -203,6 +202,13 @@ GRADED_FIRST: list[str] = [
     # shape stays graded via TPC-H Q3/Q5/Q7/Q8/Q9's dimension joins and
     # stays bench-headlined for perf + in tests/test_queries_oracle.py).
     "scale_global_row_numbers",
+    # Round-5 late additions #6: exactly-once streaming UPSERT (CDC-
+    # shaped foreachBatch MERGE; txn marker atomically in the merge
+    # commit). Ceded: streaming_delta_sink_agg (r3+r4 driver-green; its
+    # append + marker recipe is a strict subset of the upsert path's
+    # merge + marker, the lakehouse family keeps 8 graded slots, and it
+    # stays in tests/test_queries_oracle.py).
+    "streaming_delta_upsert_agg",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

@@ -230,6 +230,7 @@ def merge_delta(
     keys: list[str],
     when_matched: str = "update",
     insert_not_matched: bool = True,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE INTO table USING source ON equality of ``keys``.
 
@@ -239,6 +240,13 @@ def merge_delta(
     are appended. Source must be duplicate-free on the keys (a target
     row matching two source rows is ambiguous — raises, same as the
     real MERGE). Returns the new version.
+
+    ``txn``: optional ``(app_id, version)`` recorded as a protocol
+    `txn` action IN THE SAME COMMIT as the merge — the idempotence
+    marker a streaming upsert sink pairs with ``last_txn_version`` so
+    a redelivered micro-batch is skipped instead of re-merged
+    (streaming/delta_upsert.py). A no-op merge with ``txn`` set still
+    commits (marker-only), so redelivery detection stays monotone.
 
     Scale shape: the match probe is one distributed join of the target
     scan against the (usually far smaller, auto-broadcast) source keys;
@@ -316,6 +324,16 @@ def merge_delta(
         # (no affected files -> no key matched -> every source row inserts)
         actions += _stage_files(inserts, path, snap.partition_columns)
 
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn[0],
+                    "version": int(txn[1]),
+                    "lastUpdated": _now_ms(),
+                }
+            }
+        )
     if not actions:
         return snap.version
     return commit_actions(

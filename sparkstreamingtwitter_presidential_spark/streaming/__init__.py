@@ -4,6 +4,10 @@ from sparkstreamingtwitter_presidential_spark.streaming.delta_sink import (
     delta_batch_committer,
     write_stream_to_delta,
 )
+from sparkstreamingtwitter_presidential_spark.streaming.delta_upsert import (
+    delta_upsert_committer,
+    upsert_stream_to_delta,
+)
 from sparkstreamingtwitter_presidential_spark.streaming.incremental import (
     drain_delta_incremental,
     run_delta_incremental,
@@ -17,6 +21,7 @@ from sparkstreamingtwitter_presidential_spark.streaming.windows import (
 
 __all__ = [
     "delta_batch_committer",
+    "delta_upsert_committer",
     "drain_delta_incremental",
     "run_bounded_collector",
     "run_delta_incremental",
@@ -25,5 +30,6 @@ __all__ = [
     "stream_stream_join",
     "streaming_exact_dedup",
     "tumbling_aggregate",
+    "upsert_stream_to_delta",
     "write_stream_to_delta",
 ]

@@ -1,0 +1,109 @@
+"""Exactly-once streaming UPSERT into the native Delta connector.
+
+delta_sink.py covers the append case; this is the CDC-shaped sibling:
+each micro-batch is a set of keyed change rows, and the sink MERGEs
+them into the table (update matched keys, insert new ones) instead of
+appending. The exactly-once recipe is identical — `foreachBatch` is
+at-least-once, so every merge commit carries a protocol `txn` action
+tagged (app_id, batch_id) IN THE SAME atomic commit as the data
+rewrite, and the committer consults `last_txn_version` before merging:
+a redelivered batch is skipped, never re-merged. Because the marker
+and the rewrite are one commit, there is no window where the data is
+durable but the marker is not (or vice versa).
+
+Within-batch collapse: an upsert stream can carry several updates for
+one key in one micro-batch (MERGE would rightly reject that as
+ambiguous). With `order_col` set, the committer first collapses the
+batch to the LAST row per key by that column — the standard CDC
+"latest change wins" reduction — via a max-order semi-reduction
+(groupBy max + rejoin; deterministic iff (keys, order_col) is unique
+per batch, ties broken by preferring the max over every remaining
+column, documented rather than hidden).
+
+Scale: the collapse is one shuffle of the micro-batch (small by
+construction); the merge probe joins the target scan against the
+batch's keys (auto-broadcast) and rewrites only files containing
+matches — cost ∝ matched files, not table size. Same single-writer-
+per-table caveat as all native-connector commits.
+
+Reference scope note: the reference's sink is an append-only text
+collector (Collector.scala:84-96); keyed upsert is part of the
+lakehouse surface this engine extends it with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from sparkstreamingtwitter_presidential_spark.sources.delta import last_txn_version
+from sparkstreamingtwitter_presidential_spark.sources.delta_dml import merge_delta
+
+
+def collapse_latest(
+    batch_df: DataFrame, keys: list[str], order_col: str
+) -> DataFrame:
+    """Last-change-wins reduction: one row per key, the one with the
+    max ``order_col`` (remaining columns tie-break by max, so the
+    result is deterministic even on order ties)."""
+    other = [c for c in batch_df.columns if c not in keys]
+    ordered = batch_df.select(
+        *keys,
+        F.struct(order_col, *[c for c in other if c != order_col]).alias("__s"),
+    )
+    top = ordered.groupBy(*keys).agg(F.max("__s").alias("__s"))
+    return top.select(*keys, *[F.col(f"__s.{c}").alias(c) for c in other]).select(
+        *batch_df.columns
+    )
+
+
+def delta_upsert_committer(
+    spark: SparkSession,
+    table_path: str,
+    keys: list[str],
+    app_id: str,
+    order_col: str | None = None,
+):
+    """The `foreachBatch` function. Exposed separately so idempotence
+    and collapse semantics are unit-testable without a stream."""
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_txn_version(table_path, app_id)
+        if last is not None and batch_id <= last:
+            return  # post-crash redelivery; this merge is already durable
+        if order_col is not None:
+            batch_df = collapse_latest(batch_df, keys, order_col)
+        merge_delta(
+            spark,
+            table_path,
+            batch_df,
+            keys,
+            when_matched="update",
+            insert_not_matched=True,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return _commit
+
+
+def upsert_stream_to_delta(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    app_id: str,
+    order_col: str | None = None,
+) -> StreamingQuery:
+    """Start an exactly-once streaming upsert (MERGE per micro-batch).
+
+    ``app_id`` must be stable across restarts of the same logical job
+    and unique per (job, table) — it namespaces the txn markers."""
+    spark = stream.sparkSession
+    return (
+        stream.writeStream.foreachBatch(
+            delta_upsert_committer(spark, table_path, keys, app_id, order_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
