@@ -29,3 +29,33 @@ def ml_kmeans_document_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, pred = cluster_documents(spark, sf_dir)
     return pred.groupBy("prediction").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "ml_quality_classifier_by_source",
+    oracle=None,  # LBFGS float reductions are partitioning-order
+    # sensitive, so scores are behaviorally (not bitwise) stable;
+    # discrimination/AUC/save-load contracts live in
+    # tests/test_quality_model.py
+    doc=(
+        "NEW r5: trained quality classifier — weak labels from the "
+        "heuristic quality score, RegexTokenizer -> HashingTF(2^15) -> "
+        "IDF -> LogisticRegression, then per-source mean model "
+        "probability and high-quality share (map-only scoring pass)"
+    ),
+)
+def ml_quality_classifier_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.io import load_table
+    from sparkstreamingtwitter_presidential_spark.ml.quality import (
+        score_quality,
+        train_quality_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    model = train_quality_model(docs)
+    scored = score_quality(docs, model)
+    return scored.groupBy("source").agg(
+        F.avg("quality_prob").alias("mean_prob"),
+        F.avg((F.col("quality_prob") > 0.5).cast("double")).alias("hq_share"),
+        F.count("*").alias("n"),
+    )
