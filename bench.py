@@ -94,6 +94,16 @@ HEADLINE = [
     "decontam_eval_overlap",
     "dedup_duplicate_span_stats",
     "sim_random_projection",
+    # Round-5 late additions #2: exchange-free global row numbering,
+    # BPE train+encode (histogram shuffle + map-only encode), the
+    # trained quality classifier (iterative LBFGS fit + map-only
+    # score — the one deliberate model-fitting entry), and the
+    # streaming-upsert table read (Delta staging warm, same caveat as
+    # the other lakehouse entries).
+    "scale_global_row_numbers",
+    "text_bpe_vocab_top",
+    "ml_quality_classifier_by_source",
+    "streaming_delta_upsert_agg",
 ]
 
 

@@ -179,7 +179,35 @@ def cases(spark, base):
         ),
         "span_stats": lambda: SD.duplicate_span_stats(docs(), k=8, hashed=True),
         "srp_project": lambda: PJ.project_for_ann(emb(), out_dim=64),
+        "bpe_encode": _bpe(docs),
+        "global_row_numbers": _rownum(docs),
     }
+
+
+def _bpe(docs):
+    def run():
+        from sparkstreamingtwitter_presidential_spark.operators.bpe import (
+            bpe_encode,
+            train_bpe,
+        )
+
+        merges = train_bpe(docs(), num_merges=48, max_words=50_000)
+        return bpe_encode(docs(), merges).select(
+            "doc_id", F.size("tokens").alias("n_tokens")
+        )
+
+    return run
+
+
+def _rownum(docs):
+    def run():
+        from sparkstreamingtwitter_presidential_spark.operators.scale import (
+            global_row_numbers,
+        )
+
+        return global_row_numbers(docs().select("doc_id"), "doc_id")
+
+    return run
 
 
 def _pq(emb, qids):
