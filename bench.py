@@ -104,6 +104,10 @@ HEADLINE = [
     "text_bpe_vocab_top",
     "ml_quality_classifier_by_source",
     "streaming_delta_upsert_agg",
+    # Hybrid retrieval: both legs already headline individually
+    # (search_bm25_topk, sim_bruteforce_topk); this times the fusion
+    # composition end-to-end.
+    "search_hybrid_rrf",
 ]
 
 

@@ -116,3 +116,64 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k_each: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical leg + exact-cosine semantic leg,
+    fused by Reciprocal Rank Fusion (Cormack et al. 2009):
+
+        rrf(d) = sum over legs of 1 / (rrf_k + rank_leg(d))
+
+    Returns (doc_id, rrf, rank_lex, rank_sem) — top ``k`` by fused
+    score (doc_id tiebreak); a document absent from one leg has a NULL
+    rank there and contributes only the other leg's term (the standard
+    RRF treatment of non-retrieved documents).
+
+    Scale: each leg is its own already-scale-shaped operator (inverted
+    postings / partial-topk scan); the fusion joins two k_each-row
+    frames — driver-free, broadcast-sized by construction. The rank
+    windows run on ≤ k_each rows (the leg outputs), so their single
+    partition holds k rows, never corpus rows. RRF scores floor-round
+    at 1e-7 (division on bit-identical inputs is exact, but the grid
+    keeps the cross-engine contract uniform with BM25/cosine).
+    """
+    from pyspark.sql import Window
+    from sparkstreamingtwitter_presidential_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    lex = bm25_topk(docs, query_terms, k=k_each, id_col=id_col, text_col=text_col)
+    lex_ranked = lex.select(
+        id_col,
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col(id_col)))
+        .alias("rank_lex"),
+    )
+    sem_ranked = brute_force_topk(embeddings, [query_vec_id], k=k_each).select(
+        F.col("vec_id").alias(id_col), F.col("rank").alias("rank_sem")
+    )
+    one = F.lit(1.0)
+    rrf = F.coalesce(one / (F.lit(rrf_k) + F.col("rank_lex")), F.lit(0.0)) + F.coalesce(
+        one / (F.lit(rrf_k) + F.col("rank_sem")), F.lit(0.0)
+    )
+    return (
+        lex_ranked.join(sem_ranked, on=id_col, how="full_outer")
+        .select(
+            id_col,
+            (F.floor(rrf * 1e7 + F.lit(0.5)) / 1e7).alias("rrf"),
+            "rank_lex",
+            "rank_sem",
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -255,3 +255,99 @@ def chunk_documents_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return strided_token_chunks(d, chunk_tokens=STRIDE_CHUNK, stride=STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical leg + exact-cosine semantic leg fused by
+# Reciprocal Rank Fusion. The oracle rebuilds BOTH legs (the BM25 CTE at
+# k_each with ranks, the cosine CTE for the one query vector) and the same
+# 1/(60+rank) arithmetic, so fusion is exact cross-engine, not approximate.
+# ---------------------------------------------------------------------------
+
+HYBRID_VEC_ID = 101
+HYBRID_K_EACH = 20
+HYBRID_K = 10
+HYBRID_RRF_K = 60
+
+
+def _hybrid_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(BM25_TERMS))
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents WHERE text IS NOT NULL
+        ), corpus AS (
+          SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM d
+        ), post AS (
+          SELECT doc_id, len(toks) AS dl, term, COUNT(*) AS tf
+          FROM d, UNNEST(toks) AS u(term)
+          WHERE term IN ({terms})
+          GROUP BY doc_id, dl, term
+        ), dfq AS (
+          SELECT term, COUNT(*) AS df FROM post GROUP BY term
+        ), bm25 AS (
+          SELECT p.doc_id,
+                 FLOOR(SUM(
+                   LN(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+                   (tf * ({BM25_K1} + 1)) /
+                   (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+                 ) * 10000.0 + 0.5) / 10000.0 AS score
+          FROM post p JOIN dfq USING (term) CROSS JOIN corpus
+          GROUP BY p.doc_id
+          ORDER BY score DESC, p.doc_id
+          LIMIT {HYBRID_K_EACH}
+        ), lex AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+          FROM bm25
+        ), e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL
+        ), q AS (
+          SELECT v AS qv FROM e WHERE vec_id = {HYBRID_VEC_ID}
+        ), scored AS (
+          SELECT e.vec_id AS doc_id,
+                 floor(list_cosine_similarity(q.qv, e.v) * 10000.0 + 0.5)
+                     / 10000.0 AS cos_sim
+          FROM e CROSS JOIN q
+          WHERE e.vec_id <> {HYBRID_VEC_ID}
+        ), sem AS (
+          SELECT doc_id, rank_sem FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                       AS rank_sem
+            FROM scored
+          ) WHERE rank_sem <= {HYBRID_K_EACH}
+        )
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               FLOOR((COALESCE(1.0 / ({HYBRID_RRF_K} + rank_lex), 0.0)
+                    + COALESCE(1.0 / ({HYBRID_RRF_K} + rank_sem), 0.0))
+                     * 10000000.0 + 0.5) / 10000000.0 AS rrf,
+               rank_lex, rank_sem
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        ORDER BY rrf DESC, COALESCE(lex.doc_id, sem.doc_id)
+        LIMIT {HYBRID_K}
+    """
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=_hybrid_oracle(),
+    doc=(
+        "NEW r5: hybrid retrieval — BM25 lexical top-20 + exact-cosine "
+        "semantic top-20 fused by Reciprocal Rank Fusion (1/(60+rank), "
+        "non-retrieved leg contributes 0), top-10 by fused score; both "
+        "legs and the fusion arithmetic are rebuilt exactly in the "
+        "oracle (the RAG-stack retrieval composition)"
+    ),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.search import hybrid_rrf_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(
+        d, e, BM25_TERMS, HYBRID_VEC_ID,
+        k_each=HYBRID_K_EACH, k=HYBRID_K, rrf_k=HYBRID_RRF_K,
+    )

@@ -79,7 +79,6 @@ GRADED_FIRST: list[str] = [
     # percentiles_order_totalprice, having_high_volume_suppliers (all
     # r1+r2 driver-green, still in tests/test_queries_oracle.py).
     "pack_documents_by_source",
-    "search_bm25_topk",
     # (also ceded for r3 newcomers: lateral_explode_embedding_dims,
     # events_from_json_struct, events_json_extract)
     "pipeline_curate_pack",
@@ -209,6 +208,13 @@ GRADED_FIRST: list[str] = [
     # merge + marker, the lakehouse family keeps 8 graded slots, and it
     # stays in tests/test_queries_oracle.py).
     "streaming_delta_upsert_agg",
+    # Round-5 late additions #7: hybrid BM25+cosine retrieval fused by
+    # RRF (the RAG-stack composition; both legs and the fusion
+    # arithmetic rebuilt exactly in the oracle). Ceded:
+    # search_bm25_topk (r3+r4 driver-green; it is literally the
+    # hybrid's lexical leg — the CTE is embedded in the new oracle —
+    # and it stays bench-headlined + in tests/test_queries_oracle.py).
+    "search_hybrid_rrf",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).
