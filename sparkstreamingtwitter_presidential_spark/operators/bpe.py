@@ -217,3 +217,23 @@ def bpe_encode(
             yield result
 
     return with_pre.mapInPandas(encode_batches, schema=out_schema)
+
+
+# ------------------------------------------------------------------ artifact
+
+
+def save_merges(merges: list[Pair], path: str) -> None:
+    """Persist a merge list as a JSON artifact (rank order == list
+    order — the entire tokenizer state; model-persistence parity with
+    the ML sinks, SURVEY.md §2.8 ML4)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump([[a, b] for a, b in merges], f)
+
+
+def load_merges(path: str) -> list[Pair]:
+    import json
+
+    with open(path) as f:
+        return [(a, b) for a, b in json.load(f)]

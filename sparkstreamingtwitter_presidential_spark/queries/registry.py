@@ -78,7 +78,6 @@ GRADED_FIRST: list[str] = [
     # rotation policy. Ceded: cube_orders_status_priority,
     # percentiles_order_totalprice, having_high_volume_suppliers (all
     # r1+r2 driver-green, still in tests/test_queries_oracle.py).
-    "pack_documents_by_source",
     # (also ceded for r3 newcomers: lateral_explode_embedding_dims,
     # events_from_json_struct, events_json_extract)
     "pipeline_curate_pack",
@@ -215,6 +214,13 @@ GRADED_FIRST: list[str] = [
     # hybrid's lexical leg — the CTE is embedded in the new oracle —
     # and it stays bench-headlined + in tests/test_queries_oracle.py).
     "search_hybrid_rrf",
+    # Round-5 late additions #8: shard export with integrity manifest
+    # (deterministic shard-and-shuffle bytes, distributed sha256 scan,
+    # in-query verify). Ceded: pack_documents_by_source (r3+r4
+    # driver-green; the packing family stays windowed via
+    # chunk_documents_strided + pipeline_curate_pack, and it stays
+    # bench-headlined + in tests/test_queries_oracle.py).
+    "io_shard_export_roundtrip",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

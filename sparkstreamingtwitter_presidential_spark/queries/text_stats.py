@@ -874,3 +874,36 @@ def text_bpe_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+@query(
+    "io_shard_export_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc=(
+        "NEW r5: documents -> deterministic JSONL training shards "
+        "(shard-and-shuffle assignment, one file per shard, integrity "
+        "manifest with distributed sha256/line counts) -> verify_export "
+        "-> read-back must be the identity; a corrupted/lost/double-"
+        "written shard fails in-query (verify raises), a row-level "
+        "divergence fails the oracle hash"
+    ),
+)
+def io_shard_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources import export as X
+    from sparkstreamingtwitter_presidential_spark.sources.replay import schema_keyed_dir
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    staged = schema_keyed_dir("spark_graft_shard_export", sf_dir, d.schema)
+    if not os.path.exists(os.path.join(staged, X.MANIFEST_NAME)):
+        import shutil as _sh
+
+        _sh.rmtree(staged, ignore_errors=True)  # partial prior attempt
+        X.export_jsonl_shards(d, staged, "doc_id", n_shards=8)
+    X.verify_export(spark, staged)
+    return X.read_jsonl_shards(
+        spark,
+        staged,
+        "doc_id long, text string, lang string, source string, n_chars long, shard int",
+    ).drop("shard")

@@ -130,3 +130,11 @@ def test_encode_plan_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_merges_artifact_roundtrip(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = bpe.train_bpe(docs, num_merges=10, max_words=1000)
+    p = str(tmp_path / "merges.json")
+    bpe.save_merges(merges, p)
+    assert bpe.load_merges(p) == merges
