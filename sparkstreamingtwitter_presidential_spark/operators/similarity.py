@@ -231,6 +231,20 @@ def ivf_topk(
     Returns (query_id, vec_id, cos_sim, rank).
     """
     centroids, assigned = ivf_index(corpus, id_col, vec_col, n_cells, seed)
+    return ivf_search(centroids, assigned, query_ids, k, n_probe)
+
+
+def ivf_search(
+    centroids: list[list[float]],
+    assigned: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe an EXISTING IVF index: ``assigned`` is any
+    (vec_id, cv, cnrm, cell) table — the freshly-fit one (ivf_topk), a
+    persisted index artifact, or a base-index UNION an incrementally
+    assigned delta (ivf_assign). Searching never needs the fit."""
     assigned = assigned.persist()
     assigned.count()  # materialize BEFORE fan-out: the query-side filter
     #                   and the cell join race under AQE, and an unfilled
@@ -265,6 +279,49 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_assign(
+    new_vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: assign a NEW batch of vectors to
+    the nearest existing centroid — map-only (zero shuffles, no refit,
+    cost proportional to |new batch|). Output schema matches
+    ivf_index's assigned table, so maintenance is
+    ``index.unionByName(ivf_assign(batch, centroids))`` and search is
+    unchanged (ivf_search). Assignment uses the same
+    argmin ||q - c||^2 == argmax (q.c - |c|^2/2) ranking as the
+    quantizer, so an appended vector lands in the cell the fit would
+    have put it in.
+
+    The drift contract at 100 TB: appended batches shift the data
+    distribution the centroids no longer summarize; monitor
+    cell_counts and refit when the balance degrades (recall decays
+    gracefully via n_probe in the meantime). Tests pin
+    assignment-equality with the fitted quantizer and delta-recall.
+    """
+    base = (
+        new_vectors.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+        .withColumn("cnrm", vec_norm(F.col("cv")))
+        .filter(F.col("cnrm") > 0)
+        .withColumn(
+            "nv", F.transform(F.col("cv"), lambda x: x.cast("double") / F.col("cnrm"))
+        )
+    )
+    return base.withColumn(
+        "cell", F.element_at(probe_cells(F.col("nv"), centroids, 1), 1)
+    ).select("vec_id", "cv", "cnrm", "cell")
+
+
+def cell_counts(assigned: DataFrame) -> DataFrame:
+    """(cell, n) occupancy of an IVF index — the drift/imbalance signal
+    an incremental deployment watches to schedule refits (one tiny
+    aggregate; n_cells rows)."""
+    return assigned.groupBy("cell").agg(F.count("*").alias("n"))
 
 
 def probe_buckets(bucket: Column, radius: int = 1) -> Column:

@@ -202,3 +202,33 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_query(spark, sf_dir, check_recall=True)
+
+
+@query(
+    "sim_ivf_incremental_topk",
+    oracle=None,  # KMeans quantizer is iterative/seeded — no SQL twin;
+    #               assignment-equality with the fitted quantizer and
+    #               union-recall contracts live in tests/test_similarity.py
+    doc=(
+        "NEW r5: incremental IVF index maintenance — fit the coarse "
+        "quantizer on the base corpus (vec_id % 5 != 0), append the "
+        "rest via map-only nearest-centroid assignment (ivf_assign, NO "
+        "refit), search the union with the unchanged probe path; the "
+        "production shape for a continuously-ingesting vector store "
+        "(refits scheduled off cell_counts drift, not per batch)"
+    ),
+)
+def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from sparkstreamingtwitter_presidential_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index,
+        ivf_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    centroids, base_assigned = ivf_index(base)
+    index = base_assigned.unionByName(ivf_assign(delta, centroids))
+    return ivf_search(centroids, index, QUERY_IDS, TOP_K)

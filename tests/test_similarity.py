@@ -112,3 +112,53 @@ def test_ivf_recall_on_near_duplicates(spark):
         assert recall >= 0.9, f"IVF recall {recall:.2f} < 0.9"
     finally:
         corpus.unpersist()
+
+
+def test_ivf_assign_matches_fitted_quantizer(spark):
+    """Appending via ivf_assign must put each vector in the same cell
+    the fitted quantizer assigns — re-assigning the INDEXED vectors
+    themselves and diffing is the exact check."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    centroids, assigned = S.ivf_index(emb)
+    fit = {r.vec_id: r.cell for r in assigned.collect()}
+    inc = {r.vec_id: r.cell for r in S.ivf_assign(emb, centroids).collect()}
+    assert fit == inc and len(fit) > 0
+
+
+def test_ivf_assign_plan_is_map_only(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    centroids, _ = S.ivf_index(emb)
+    plan = (
+        S.ivf_assign(emb, centroids)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_incremental_index_finds_delta_neighbors(spark):
+    """Index the base corpus once; append the planted near-dups via
+    ivf_assign (no refit); searching the union must surface the
+    appended copies as the seeds' top-k with >= 0.9 recall vs brute
+    force over the same union."""
+    corpus, query_ids = _planted_corpus(spark)
+    base = corpus.filter("vec_id < 10000")  # fixture vectors only
+    delta = corpus.filter("vec_id >= 10000")  # the appended copies
+    centroids, base_assigned = S.ivf_index(base)
+    index = base_assigned.unionByName(S.ivf_assign(delta, centroids))
+    corpus = corpus.cache()
+    try:
+        exact = _topk_sets(S.brute_force_topk(corpus, query_ids, K))
+        approx = _topk_sets(S.ivf_search(centroids, index, query_ids, K))
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in query_ids)
+        recall = hits / (len(query_ids) * K)
+        assert recall >= 0.9, f"incremental IVF recall {recall:.2f} < 0.9"
+        counts = {r.cell: r.n for r in S.cell_counts(index).collect()}
+        assert sum(counts.values()) == index.count()
+    finally:
+        corpus.unpersist()
