@@ -279,3 +279,25 @@ def test_random_projection_map_only(spark):
     assert a.n_exchanges == 0
     assert a.n_broadcast_joins + a.n_sortmerge_joins + a.n_shuffled_hash_joins == 0
     assert any("embedding" in s and "label" not in s for s in a.read_schemas)
+
+
+def test_hybrid_rrf_fusion_is_broadcast_sized(spark):
+    """Hybrid RRF: the corpus appears only inside the two legs (posting
+    cache + similarity scan) and joins there only via broadcast. The
+    ONE sort-merge join is the fusion full-outer (Spark cannot
+    broadcast full outer), and its inputs are the two <= k_each-row leg
+    outputs — a k-row sort, not a corpus sort. The final top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    a = _audit(spark, "search_hybrid_rrf")
+    assert a.n_sortmerge_joins == 1  # fusion only, on k-row inputs
+    assert a.n_broadcast_joins == 1  # bm25 df(term) hash join
+    # both corpus-side constant attachments are broadcast nested-loop
+    # crosses of 1-row/k-row frames (bm25 corpus stats, cosine queries)
+    assert a.text.count("BroadcastNestedLoopJoin") == 2
+    assert a.has_take_ordered
+
+
+def test_global_row_numbers_no_single_partition_exchange(spark):
+    a = _audit(spark, "scale_global_row_numbers")
+    assert "SinglePartition" not in a.text
+    assert "rangepartitioning" in a.text  # the parallel range shuffle
