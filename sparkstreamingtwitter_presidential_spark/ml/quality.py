@@ -107,7 +107,14 @@ def score_quality(
     whole-stage codegen and adds zero shuffles."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(docs.withColumn("label", F.lit(0.0)))
-    return scored.withColumn(
+    # the LR stage declares a labelCol; satisfy it with a dummy, but
+    # never clobber (or silently drop) a caller's own `label` column
+    had_label = "label" in docs.columns
+    inp = docs if had_label else docs.withColumn("label", F.lit(0.0))
+    scored = model.transform(inp).withColumn(
         score_col, F.element_at(vector_to_array("__prob"), 2)
-    ).drop("label", "__words", "__tf", "__features", "__prob", "__raw", "__pred")
+    )
+    drop = ["__words", "__tf", "__features", "__prob", "__raw", "__pred"]
+    if not had_label:
+        drop.append("label")
+    return scored.drop(*drop)

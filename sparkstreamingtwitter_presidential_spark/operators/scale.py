@@ -146,8 +146,6 @@ def global_row_numbers(
     ``spark.catalog.clearCache()``) after consumption in long-lived
     pipelines.
     """
-    import pandas as pd  # noqa: F401  (mapInPandas batches)
-
     ranged = (
         df.repartitionByRange(n_partitions, F.col(order_col))
         .sortWithinPartitions(order_col)

@@ -94,3 +94,12 @@ def test_model_generalizes_past_rules(spark):
     )
     s = {r["doc_id"]: r["quality_prob"] for r in score_quality(unseen, model).collect()}
     assert s[1] > s[2]
+
+
+def test_scoring_preserves_caller_label_column(spark):
+    corpus = _corpus(spark, n=40)
+    model = train_quality_model(corpus)
+    withlab = corpus.withColumn("label", F.lit(7.0))
+    out = score_quality(withlab, model)
+    assert "label" in out.columns
+    assert {r["label"] for r in out.select("label").distinct().collect()} == {7.0}
