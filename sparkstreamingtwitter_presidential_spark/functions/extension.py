@@ -38,3 +38,44 @@ def global_zscore(df, col: str, out: str = "zscore"):
     return df.crossJoin(F.broadcast(stats)).withColumn(
         out, (F.col(col) - F.col("__mu")) / F.col("__sigma")
     ).drop("__mu", "__sigma")
+
+
+# --------------------------------------------------------------------------
+# The TABLE-function extension point (Spark 4 Python UDTF): one input row
+# -> many output rows. Same policy as the scalar point above: builtin
+# generators (explode/sequence/posexplode over builtin-split arrays) cover
+# most fan-out shapes JVM-side — reach for a UDTF only when the row
+# expansion needs real Python logic. Worked example: sentence splitting
+# with per-sentence indices (the chunking shapes in operators/packing.py
+# stay builtin because token windows ARE expressible with sequence()).
+# --------------------------------------------------------------------------
+
+try:  # pyspark >= 3.5
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, sentence string")
+    class SplitSentences:
+        """(idx, sentence) per sentence-ish segment of the input text.
+
+        Deliberately simple segmentation (./!/? terminators); the point
+        is the extension SHAPE: a lateral-join table function whose
+        Python runs once per input row, streaming output rows without
+        materializing the fan-out on the driver. Register + use:
+
+            spark.udtf.register("split_sentences", SplitSentences)
+            spark.sql("SELECT d.doc_id, s.* FROM {d} d,"
+                      " LATERAL split_sentences(text) s", d=docs)
+        """
+
+        def eval(self, text: str | None):
+            if text is None:
+                return
+            parts = (
+                s.strip()
+                for s in text.replace("!", ".").replace("?", ".").split(".")
+            )
+            for i, s in enumerate(p for p in parts if p):
+                yield i, s
+
+except ImportError:  # pragma: no cover - older pyspark
+    SplitSentences = None

@@ -46,3 +46,23 @@ def test_lakehouse_delta_routes_to_native_reader(spark):
     # missing-dependency one (roundtrip covered in tests/test_delta.py)
     with pytest.raises(FileNotFoundError):
         read_lakehouse(spark, "delta", "/tmp/nope")
+
+
+def test_udtf_extension_point_lateral_join(spark):
+    from sparkstreamingtwitter_presidential_spark.functions.extension import (
+        SplitSentences,
+    )
+
+    assert SplitSentences is not None
+    spark.udtf.register("ssp_split_sentences", SplitSentences)
+    df = spark.createDataFrame(
+        [(1, "one two. three! four?"), (2, None), (3, "  ")],
+        "id int, text string",
+    )
+    out = spark.sql(
+        "SELECT d.id, s.idx, s.sentence "
+        "FROM {d} d, LATERAL ssp_split_sentences(text) s",
+        d=df,
+    )
+    rows = sorted((r.id, r.idx, r.sentence) for r in out.collect())
+    assert rows == [(1, 0, "one two"), (1, 1, "three"), (1, 2, "four")]
