@@ -68,7 +68,6 @@ GRADED_FIRST: list[str] = [
     "asof_join_last_purchase",
     "sessionize_batch_lag_cumsum",
     "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
     "sim_lsh_topk",
     "streaming_tumbling_windows",
     "mix_documents_weighted",
@@ -221,6 +220,12 @@ GRADED_FIRST: list[str] = [
     # chunk_documents_strided + pipeline_curate_pack, and it stays
     # bench-headlined + in tests/test_queries_oracle.py).
     "io_shard_export_roundtrip",
+    # Round-5 late additions #9: UPDATE output mode (running aggregates,
+    # changed-keys-only emission into a keyed upsert store). Ceded:
+    # dedup_minhash_lsh_pairs (r2-r4 driver-green; the near-dup family
+    # keeps ngram-Jaccard/span-stats/semantic/canonicalize graded slots,
+    # and minhash stays bench-headlined + in tests/test_queries_oracle.py).
+    "streaming_update_mode_counts",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

@@ -306,3 +306,34 @@ def streaming_collector_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected = spark.read.parquet(out)
     assert res.rows_collected >= 100 or res.batches > 0
     return collected.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@query(
+    "streaming_update_mode_counts",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               floor(sum(value) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r5: UPDATE output mode — running per-event-type aggregates "
+        "where each micro-batch emits only changed keys into a keyed "
+        "store (foreachBatch upsert, the dashboard sink shape); after a "
+        "full drain the store must equal the plain batch aggregate "
+        "regardless of micro-batch slicing (under-/over-emission fails "
+        "the oracle hash); complements the append-mode watermark windows"
+    ),
+)
+def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.replay import (
+        read_events_stream,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming.update_mode import (
+        drain_update_mode,
+        running_counts,
+    )
+
+    stream = read_events_stream(spark, _staged(spark, sf_dir), files_per_trigger=2)
+    return drain_update_mode(running_counts(stream))

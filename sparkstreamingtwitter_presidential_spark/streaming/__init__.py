@@ -13,6 +13,10 @@ from sparkstreamingtwitter_presidential_spark.streaming.incremental import (
     run_delta_incremental,
 )
 from sparkstreamingtwitter_presidential_spark.streaming.joins import stream_stream_join
+from sparkstreamingtwitter_presidential_spark.streaming.update_mode import (
+    drain_update_mode,
+    running_counts,
+)
 from sparkstreamingtwitter_presidential_spark.streaming.windows import (
     session_aggregate,
     sliding_aggregate,
@@ -22,9 +26,11 @@ from sparkstreamingtwitter_presidential_spark.streaming.windows import (
 __all__ = [
     "delta_batch_committer",
     "delta_upsert_committer",
+    "drain_update_mode",
     "drain_delta_incremental",
     "run_bounded_collector",
     "run_delta_incremental",
+    "running_counts",
     "session_aggregate",
     "sliding_aggregate",
     "stream_stream_join",
