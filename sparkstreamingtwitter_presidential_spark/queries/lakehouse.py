@@ -635,3 +635,60 @@ def streaming_delta_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("users"),
         (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
     )
+
+
+@query(
+    "lakehouse_delta_row_changes",
+    oracle="""
+        WITH up AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE event_id % 7 = 0 AND value IS DISTINCT FROM value * 2
+        )
+        SELECT event_id, event_type, value,
+               'update_preimage' AS change_type
+        FROM up
+        UNION ALL
+        SELECT event_id, event_type, value * 2 AS value,
+               'update_postimage' AS change_type
+        FROM up
+        UNION ALL
+        SELECT event_id + 10000000 AS event_id, event_type, value,
+               'insert' AS change_type
+        FROM events WHERE event_id % 13 = 0
+    """,
+    doc="NEW r5: row-level change feed — delta_row_changes reconstructs "
+    "what the staged MERGE commit did to each key (update pre/post "
+    "pairs for the doubled-value keys, inserts for the +10M keys, "
+    "SILENCE for the copy-over rows sharing rewritten files) by a "
+    "keyed diff of removed vs added files; the oracle rebuilds the "
+    "same change set relationally",
+)
+def lakehouse_delta_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        delta_row_changes,
+        table_version,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import merge_delta
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_delta(ev, table, mode="append", partition_by=["event_type"])
+        updates = ev.filter("event_id % 7 = 0").withColumn(
+            "value", F.col("value") * 2
+        )
+        inserts = ev.filter("event_id % 13 = 0").withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+        merge_delta(
+            spark, table, updates.unionByName(inserts), keys=["event_id"]
+        )
+
+    table = _dml_staged_delta(spark, sf_dir, "merge", build)
+    v = table_version(table)  # the MERGE commit (v0 = initial append)
+    changes = delta_row_changes(spark, table, v, ["event_id"])
+    return changes.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("_change_type").alias("change_type"),
+    )

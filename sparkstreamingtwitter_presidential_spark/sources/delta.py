@@ -292,6 +292,144 @@ def read_delta(
     return reduce(DataFrame.unionByName, parts)
 
 
+def delta_row_changes(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    keys: list[str],
+) -> DataFrame:
+    """Row-level change feed for ONE commit — the CDC read-side
+    complement of the DML write path (delta_dml) and the upsert sink
+    (streaming/delta_upsert): reconstructs what a commit DID to each
+    key by a keyed diff of the files it removed against the files it
+    added (both with ``dataChange: true``).
+
+    Output: the table schema + ``_change_type`` in
+    {'insert', 'delete', 'update_preimage', 'update_postimage'} +
+    ``_commit_version``. Rows copied verbatim by the rewrite (the
+    untouched majority of an affected file) emit NOTHING; a pure
+    OPTIMIZE (``dataChange: false``) emits nothing; a pure append is
+    all inserts.
+
+    Contract: ``keys`` must be a primary key — unique among the
+    removed rows and among the added rows (validated; ambiguous diffs
+    raise, same policy as MERGE's duplicate-source check). Cost scales
+    with the commit's touched files, never the table: old/new sides
+    are scans of exactly those file lists, the diff is one join keyed
+    on a (usually broadcastable) side. This is the log-derived
+    formulation of CDF — protocol-faithful for tables written by this
+    engine; tables whose writers emit real `cdc` actions would be read
+    from those instead (not produced by this engine's writers).
+    """
+    cur = _replay_log(path, version)
+    schema = cur.schema
+    assert schema is not None
+    cols = [f.name for f in schema.fields]
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"change keys not in table schema: {missing}")
+
+    commit_file = os.path.join(_log_path(path), f"{version:020d}.json")
+    if not os.path.exists(commit_file):
+        raise ValueError(
+            f"commit {version} of {path} is not available as a JSON delta "
+            "(checkpoint-collapsed or vacuumed log) — row changes need the "
+            "per-commit actions"
+        )
+    adds: dict[str, dict[str, Any]] = {}
+    removed_paths: list[str] = []
+    with open(commit_file) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "add" in action and action["add"].get("dataChange", True):
+                adds[action["add"]["path"]] = action["add"]
+            elif "remove" in action and action["remove"].get("dataChange", True):
+                removed_paths.append(action["remove"]["path"])
+
+    part_types = {
+        f.name: f.dataType
+        for f in schema.fields
+        if f.name in cur.partition_columns
+    }
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in cur.partition_columns]
+    )
+
+    def _read_actions(actions: dict[str, dict[str, Any]]) -> DataFrame:
+        if not actions:
+            return spark.createDataFrame([], schema)
+        groups: dict[tuple, list[str]] = {}
+        for p, a in actions.items():
+            pv = a.get("partitionValues", {})
+            key = tuple(pv.get(c) for c in cur.partition_columns)
+            groups.setdefault(key, []).append(
+                os.path.join(path, urllib.parse.unquote(p))
+            )
+        parts = []
+        for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+            df = spark.read.schema(data_schema).parquet(*sorted(paths))
+            for col, val in zip(cur.partition_columns, key):
+                df = df.withColumn(col, F.lit(val).cast(part_types[col]))
+            parts.append(df.select(*cols))
+        return reduce(DataFrame.unionByName, parts)
+
+    if removed_paths:
+        prev = _replay_log(path, version - 1)
+        lost = [p for p in removed_paths if p not in prev.files]
+        if lost:
+            raise ValueError(
+                f"commit {version} removes files absent from version "
+                f"{version - 1}: {lost[:3]} — log is inconsistent"
+            )
+        old = _read_actions({p: prev.files[p] for p in removed_paths})
+    else:
+        old = spark.createDataFrame([], schema)
+    new = _read_actions(adds)
+
+    for side, name in ((old, "removed"), (new, "added")):
+        dup = side.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"keys {keys} are not unique among the {name} rows (e.g. "
+                f"{ {k: dup[0][k] for k in keys} }) — row-level changes "
+                "need a primary key"
+            )
+
+    non_keys = [c for c in cols if c not in keys]
+    o = old.select(
+        *keys, F.struct(*[F.col(c).alias(c) for c in non_keys]).alias("__o")
+    )
+    n = new.select(
+        *keys, F.struct(*[F.col(c).alias(c) for c in non_keys]).alias("__n")
+    )
+    j = o.join(n, on=keys, how="full_outer")
+    ver = F.lit(int(version)).cast("long")
+
+    def _emit(img: str, ctype: str, cond) -> DataFrame:
+        return (
+            j.filter(cond)
+            .select(
+                *keys,
+                *[F.col(f"{img}.{c}").alias(c) for c in non_keys],
+                F.lit(ctype).alias("_change_type"),
+                ver.alias("_commit_version"),
+            )
+            .select(*cols, "_change_type", "_commit_version")
+        )
+
+    has_old = F.col("__o").isNotNull()
+    has_new = F.col("__n").isNotNull()
+    differs = has_old & has_new & ~F.col("__o").eqNullSafe(F.col("__n"))
+    out = _emit("__n", "insert", has_new & ~has_old)
+    out = out.unionByName(_emit("__o", "delete", has_old & ~has_new))
+    out = out.unionByName(_emit("__o", "update_preimage", differs))
+    out = out.unionByName(_emit("__n", "update_postimage", differs))
+    return out
+
+
 def table_version(path: str) -> int:
     """Latest committed version of the table."""
     return _replay_log(path, None).version
