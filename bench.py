@@ -108,6 +108,14 @@ HEADLINE = [
     # (search_bm25_topk, sim_bruteforce_topk); this times the fusion
     # composition end-to-end.
     "search_hybrid_rrf",
+    # Shard export + distributed integrity verify (staging warm; the
+    # timed work is the verify scan + read-back). The other late-r5
+    # graded queries are deliberately NOT duplicated here:
+    # lakehouse_delta_row_changes / streaming_update_mode_counts share
+    # their cost shape with the headlined lakehouse/streaming family
+    # reps, and sim_ivf_incremental_topk's KMeans fit (~7.6 s at sf0.1)
+    # is tracked by the scale audit like ivf_topk (DESIGN.md slopes).
+    "io_shard_export_roundtrip",
 ]
 
 

@@ -161,3 +161,16 @@ def test_strided_chunks_validate_stride(spark):
         strided_token_chunks(d, chunk_tokens=4, stride=0)
     with pytest.raises(ValueError):
         strided_token_chunks(d, chunk_tokens=4, stride=5)
+
+
+def test_hybrid_rrf_with_dead_lexical_leg(spark):
+    """Query terms matching nothing: the lexical leg is empty and the
+    fused ranking degenerates to the semantic leg's RRF scores."""
+    from sparkstreamingtwitter_presidential_spark.operators.search import hybrid_rrf_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = hybrid_rrf_topk(docs, emb, ["zzzqqqxxx"], 101, k_each=5, k=3).collect()
+    assert len(out) == 3
+    assert all(r.rank_lex is None and r.rank_sem is not None for r in out)
+    assert [r.rank_sem for r in out] == [1, 2, 3]

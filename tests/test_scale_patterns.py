@@ -154,3 +154,11 @@ def test_global_row_numbers_more_partitions_than_rows(spark):
     )
     assert rows == [(1, 1), (2, 2), (3, 3)]
     spark.catalog.clearCache()
+
+
+def test_global_row_numbers_empty_input(spark):
+    from sparkstreamingtwitter_presidential_spark.operators.scale import global_row_numbers
+
+    d = spark.createDataFrame([], "k int")
+    assert global_row_numbers(d, "k", n_partitions=4).count() == 0
+    spark.catalog.clearCache()
