@@ -29,7 +29,8 @@ coefficients — same policy as the KMeans goldens in ml/clustering.py.
 
 Extension op (not reference parity): the reference's ML surface stops
 at KMeans clustering (README.md:163-199); quality classification is
-part of the training-data-pipeline surface SURVEY.md §6 scopes in.
+part of the north-star LLM-pipeline extension surface (SURVEY.md §4
+custom-rule assessment / BASELINE.json).
 """
 
 from __future__ import annotations

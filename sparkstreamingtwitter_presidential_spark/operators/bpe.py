@@ -37,7 +37,8 @@ pure-Python twin in tests/test_bpe.py.
 
 Extension op (not reference parity): the reference's text pipeline
 stops at char bigrams (Collector.scala:73-76); BPE is part of the
-training-data-pipeline surface SURVEY.md §6 scopes in.
+north-star LLM-pipeline extension surface (SURVEY.md §4 custom-rule
+assessment / BASELINE.json).
 """
 
 from __future__ import annotations
