@@ -536,3 +536,69 @@ def semantic_dedup(
     # constant quality -> the window tiebreak (id asc) picks the
     # smallest id as each component's representative
     return canonical_members(corpus, labels, id_col=id_col, quality_col="_q")
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-granular exact dedup (the RefinedWeb/Falcon middle
+    layer between document-level exact dedup and k-gram span dedup):
+    a paragraph appearing in >= ``min_docs`` DISTINCT documents is
+    boilerplate (headers, footers, license blocks) and is removed from
+    EVERY document; within-doc repeats of a unique paragraph survive.
+
+    Returns (id, n_paras, n_dropped, clean_text) with clean_text the
+    surviving paragraphs rejoined in original order (empty string when
+    everything was boilerplate).
+
+    Scale shape: posexplode paragraphs -> one paragraph-keyed shuffle
+    for the distinct-doc count (map-side combine) -> anti-join the
+    paragraph stream against the duplicated set (AQE picks broadcast
+    when the boilerplate set is small — the common case; a shuffle
+    join is still ∝ paragraphs, never all-pairs) -> per-doc reassembly
+    via sort_array(collect_list(struct)), one aggregate, no window.
+    Exact strings as keys for oracle parity; at 100 TB hash the
+    paragraph (xxhash64) like span_dedup's ``hashed=True`` — a
+    collision only over-deletes, the safe direction.
+    """
+    from sparkstreamingtwitter_presidential_spark.functions.text_stats import (
+        clean_lines,
+    )
+
+    paras = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(clean_lines(text_col)).alias("__idx", "__para"),
+    )
+    dup = (
+        paras.groupBy("__para")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__para")
+    )
+    totals = paras.groupBy("__id").agg(F.count("*").alias("n_paras"))
+    kept = paras.join(dup, on="__para", how="left_anti")
+    assembled = kept.groupBy("__id").agg(
+        F.count("*").alias("__n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__para"))),
+                lambda s: s.getField("__para"),
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(assembled, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_paras",
+            (F.col("n_paras") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -395,3 +395,90 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), SEMANTIC_THRESHOLD
     )
+
+
+#: Same deterministic multi-line synthesis as text_c4_line_clean (the
+#: fixture's docs are single-line; the appended per-doc-id lines are the
+#: cross-doc boilerplate the paragraph dedup must find).
+_SYNTH_SQL = r"""
+        SELECT doc_id,
+               replace(text, ' batch ', '.' || chr(10))
+               || CASE WHEN doc_id % 7 = 0
+                       THEN chr(10) || 'embedded javascript snippet here.'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN chr(10) || 'function f() { return 1; }'
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                       ELSE '' END AS text
+        FROM documents WHERE text IS NOT NULL
+"""
+
+
+@query(
+    "dedup_paragraphs_clean",
+    oracle=f"""
+        WITH synth AS ({_SYNTH_SQL}),
+        base AS (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                                              l -> trim(l)),
+                               l -> length(l) > 0) AS lines
+            FROM synth
+        ),
+        paras AS (
+            SELECT doc_id, i - 1 AS idx, lines[i] AS para
+            FROM base, UNNEST(range(1, len(lines) + 1)) AS t(i)
+        ),
+        dup AS (
+            SELECT para FROM (
+                SELECT para, COUNT(DISTINCT doc_id) AS nd
+                FROM paras GROUP BY para
+            ) WHERE nd >= 2
+        ),
+        kept AS (
+            SELECT p.doc_id, p.idx, p.para
+            FROM paras p ANTI JOIN dup USING (para)
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id),
+        asm AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(para, chr(10) ORDER BY idx) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT tot.doc_id,
+               n_paras,
+               n_paras - COALESCE(n_kept, 0) AS n_dropped,
+               COALESCE(clean_text, '') AS clean_text
+        FROM tot LEFT JOIN asm USING (doc_id)
+    """,
+    doc=(
+        "NEW r5: paragraph-granular exact dedup (the RefinedWeb middle "
+        "layer) — a paragraph in >= 2 distinct docs is boilerplate and "
+        "removed from every doc, within-doc repeats survive, surviving "
+        "paragraphs rejoin in order; same synthesized multi-line corpus "
+        "as the C4 query (the appended per-doc-id lines ARE the planted "
+        "boilerplate), oracle rebuilds the exact survivor texts"
+    ),
+)
+def dedup_paragraphs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    synth = F.concat(
+        F.replace(F.col("text"), F.lit(" batch "), F.lit(".\n")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.lit("\nembedded javascript snippet here."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(11)) == 0,
+            F.lit("\nfunction f() { return 1; }"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+            F.lit("\nlorem ipsum dolor sit amet."),
+        ).otherwise(F.lit("")),
+    )
+    return D.paragraph_dedup(d.select("doc_id", synth.alias("text")))

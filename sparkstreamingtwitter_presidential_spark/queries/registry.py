@@ -69,7 +69,6 @@ GRADED_FIRST: list[str] = [
     "dedup_ngram_jaccard_pairs",
     "sim_lsh_topk",
     "streaming_tumbling_windows",
-    "mix_documents_weighted",
     "streaming_dedup_exact",
     "streaming_stream_join",
     # Round-3 newcomers (training-data assembly): graded on arrival, per
@@ -233,6 +232,13 @@ GRADED_FIRST: list[str] = [
     # and the interval-join family remains pytest-oracled via the range
     # join + asof oracles).
     "lakehouse_delta_row_changes",
+    # Round-5 late additions #11: paragraph-granular exact dedup (the
+    # RefinedWeb boilerplate layer between doc-level and k-gram span
+    # dedup). Ceded: mix_documents_weighted (r4 driver-green; the
+    # sampling family keeps shuffle_documents_sharded +
+    # split_documents_train_val_test graded, and mix stays in
+    # tests/test_queries_oracle.py).
+    "dedup_paragraphs_clean",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

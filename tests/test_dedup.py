@@ -260,3 +260,40 @@ def test_semantic_dedup_clusters_and_keeps_smallest_id(spark):
         3: (3, 3, True),
         4: (4, 4, True),
     }
+
+
+def test_paragraph_dedup_semantics(spark):
+    from sparkstreamingtwitter_presidential_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nSHARED FOOTER\nunique two"),
+            (2, "other text\nSHARED FOOTER"),
+            (3, "repeat\nrepeat\nonly here"),  # within-doc repeat survives
+            (4, "SHARED FOOTER"),  # everything boilerplate -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_paras, r.n_dropped, r.clean_text)
+        for r in paragraph_dedup(docs).collect()
+    }
+    assert out[1] == (3, 1, "unique one\nunique two")
+    assert out[2] == (2, 1, "other text")
+    assert out[3] == (3, 0, "repeat\nrepeat\nonly here")
+    assert out[4] == (1, 1, "")
+
+
+def test_paragraph_dedup_min_docs_threshold(spark):
+    from sparkstreamingtwitter_presidential_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, "a\nb")],
+        "doc_id long, text string",
+    )
+    # min_docs=3: only 'a' (3 docs) is boilerplate; 'b' (2 docs) survives
+    out = {
+        r.doc_id: r.clean_text
+        for r in paragraph_dedup(docs, min_docs=3).collect()
+    }
+    assert out == {1: "b", 2: "c", 3: "b"}
