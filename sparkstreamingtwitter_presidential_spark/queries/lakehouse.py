@@ -692,3 +692,37 @@ def lakehouse_delta_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("_change_type").alias("change_type"),
     )
+
+
+@query(
+    "lakehouse_delta_time_travel_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events GROUP BY event_type
+    """,
+    doc="NEW r5: time travel — the staged MERGE table (doubled values, "
+    "+10M inserts at its latest version) read at version=0 must still "
+    "equal the PRE-merge aggregate: the snapshot isolation a reader "
+    "relies on while writers rewrite files underneath it; fails if the "
+    "version-pinned replay leaks any post-merge add or drops a "
+    "tombstoned-but-then-live file",
+)
+def lakehouse_delta_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import merge_delta
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_delta(ev, table, mode="append", partition_by=["event_type"])
+        updates = ev.filter("event_id % 7 = 0").withColumn(
+            "value", F.col("value") * 2
+        )
+        inserts = ev.filter("event_id % 13 = 0").withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+        merge_delta(
+            spark, table, updates.unionByName(inserts), keys=["event_id"]
+        )
+
+    table = _dml_staged_delta(spark, sf_dir, "merge", build)
+    return _agg_by_type(read_delta(spark, table, version=0))

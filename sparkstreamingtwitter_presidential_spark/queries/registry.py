@@ -94,7 +94,6 @@ GRADED_FIRST: list[str] = [
     # dedup_components_merge (r3 green; ceded for the JSONL roundtrip),
     # window_topk_orders_per_customer (r1-r3 green; ceded for the
     # repetition-signals query — window family keeps running-sum).
-    "io_jsonl_roundtrip_docs",
     "text_repetition_signals",
     "lakehouse_delta_merge_agg",
     "lakehouse_delta_changes_agg",
@@ -239,10 +238,20 @@ GRADED_FIRST: list[str] = [
     # split_documents_train_val_test graded, and mix stays in
     # tests/test_queries_oracle.py).
     "dedup_paragraphs_clean",
+    # Round-5 late additions #12: time travel (version-pinned snapshot
+    # read while the table's head has diverged — the last lakehouse
+    # semantic without a driver-graded query). Ceded:
+    # io_jsonl_roundtrip_docs (r4 driver-green; the interchange family
+    # keeps CSV/ORC/Avro/partitioned/shard-export graded — five
+    # roundtrips — and JSONL stays in tests/test_queries_oracle.py).
+    "lakehouse_delta_time_travel_agg",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).
 # Round 1 predates GRADED_FIRST: its window was plain registration order.
+# NOTE for round 6: append GRADED_HISTORY[5] = the CORRECTNESS_r05.json
+# key list (this round's GRADED_FIRST as frozen on disk) BEFORE any
+# further rotation — the r4 verdict flagged exactly this deferral.
 GRADED_HISTORY: dict[int, list[str]] = {
     1: [
         "flagship_event_type_counts", "a2_global_count", "p2_projection",
