@@ -31,9 +31,19 @@ def running_counts(events: DataFrame, key_col: str = "event_type") -> DataFrame:
     )
 
 
-def drain_update_mode(stream_agg: DataFrame) -> DataFrame:
+def drain_update_mode(
+    stream_agg: DataFrame, state_partitions: int = 8
+) -> DataFrame:
     """Run an update-mode query to exhaustion; return the final keyed
-    state as a DataFrame (one row per key, last update wins)."""
+    state as a DataFrame (one row per key, last update wins).
+
+    State partitioning is pinned to ``state_partitions`` for the run —
+    a stateful query fixes its partition count at first start from
+    spark.sql.shuffle.partitions and commits one state delta PER
+    PARTITION per micro-batch, so a 200-partition default multiplies
+    commit overhead for a handful of keys (the r2 measured lesson in
+    queries/streaming.py). Same single-threaded session-conf contract
+    as that drain helper: restored after, not thread-safe."""
     spark = stream_agg.sparkSession
     key_cols = [stream_agg.columns[0]]
     state: dict[tuple, tuple] = {}
@@ -43,14 +53,19 @@ def drain_update_mode(stream_agg: DataFrame) -> DataFrame:
             d = r.asDict()  # contract; cardinality-bounded by design
             state[tuple(d[k] for k in key_cols)] = tuple(d.values())
 
-    q = (
-        stream_agg.writeStream.outputMode("update")
-        .foreachBatch(apply_updates)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_agg.writeStream.outputMode("update")
+            .foreachBatch(apply_updates)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.createDataFrame(list(state.values()), stream_agg.schema)
