@@ -1,0 +1,59 @@
+"""Mergeable sketch artifacts: the incremental distinct-counting
+pattern a 100 TB deployment runs instead of re-scanning history.
+
+`approx_count_distinct` answers one query over one scan. The artifact
+pattern is stronger: build a compact HLL sketch PER SLICE (day,
+source, tenant) once, store the binary sketches, and answer any
+range/rollup later by MERGING sketches — cost ∝ slices, not rows, and
+yesterday's data is never re-read. Spark 4 ships Apache DataSketes
+HLL under `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`,
+all JVM aggregates with map-side partials.
+
+  build_sketches    one scan -> (slice..., n_rows exact, sketch bytes)
+  merge_estimates   any grouping of stored sketches -> estimated
+                    distinct count per group (plus exact row sums)
+
+The sketch column is an opaque `binary` — persist it like any column
+(parquet/Delta); the estimate is engine-specific (HLL is seeded and
+implementation-defined), so correctness contracts are RELATIVE-ERROR
+bounds vs exact distinct counts (tests pin < 3% at lgK=12), the same
+policy as the approx_sketches query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LG_K = 12  # 2^12 registers: ~0.8% typical HLL error, 4 KB per sketch
+
+
+def build_sketches(
+    df: DataFrame,
+    slice_cols: list[str],
+    distinct_col: str,
+    lg_k: int = LG_K,
+) -> DataFrame:
+    """(slice_cols..., n_rows, sketch): one scan, one shuffle on the
+    slice key; the sketch is a mergeable binary artifact."""
+    return df.groupBy(*slice_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("sketch"),
+    )
+
+
+def merge_estimates(
+    sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Roll stored sketches up to ``group_cols`` (None = grand total):
+    estimated distinct count + exact row sum per group. Reads ONLY the
+    sketch table — the raw data is never touched again."""
+    aggs = [
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "approx_distinct"
+        ),
+    ]
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(*aggs)
+    return sketches.agg(*aggs)

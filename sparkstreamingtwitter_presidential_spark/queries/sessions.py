@@ -150,3 +150,29 @@ def scale_global_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return global_row_numbers(d, "doc_id", n_partitions=16)
+
+
+@query(
+    "sketch_user_rollup",
+    oracle=None,  # HLL estimates are implementation-defined (Apache
+    # DataSketches seeds/registers); the <3% relative-error and
+    # merge-equals-direct contracts live in tests/test_sketches.py
+    doc=(
+        "NEW r5: mergeable sketch artifacts — per (day, event_type) HLL "
+        "sketches built in ONE scan, then rolled up per event_type by "
+        "MERGING stored sketches (cost ∝ slices, raw data never "
+        "re-read): the incremental distinct-counting pattern; exact row "
+        "sums ride alongside the estimates"
+    ),
+)
+def sketch_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.sketches import (
+        build_sketches,
+        merge_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    sketches = build_sketches(ev, ["day", "event_type"], "user_id")
+    return merge_estimates(sketches, ["event_type"])
