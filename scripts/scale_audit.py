@@ -181,6 +181,7 @@ def cases(spark, base):
         "srp_project": lambda: PJ.project_for_ann(emb(), out_dim=64),
         "bpe_encode": _bpe(docs),
         "global_row_numbers": _rownum(docs),
+        "paragraph_dedup": lambda: D.paragraph_dedup(docs()),
     }
 
 

@@ -31,7 +31,7 @@ def test_audit_cases_build_and_cheap_ones_run(spark):
         "canonical_members", "brute_force_topk", "lsh_topk", "ivf_topk",
         "pq_topk", "ivfpq_topk", "stratified_sample", "sharded_shuffle",
         "salted_join", "decontam_hits", "span_stats", "srp_project",
-        "bpe_encode", "global_row_numbers",
+        "bpe_encode", "global_row_numbers", "paragraph_dedup",
     }
     for name, fn in cs.items():
         df = fn()  # lazy plan construction — catches signature drift
