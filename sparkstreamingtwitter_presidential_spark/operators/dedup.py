@@ -98,7 +98,12 @@ def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """All document pairs with word-n-gram Jaccard >= threshold, via the
     shingle inverted index: explode -> equi-join on shingle (with an
@@ -114,7 +119,17 @@ def jaccard_pairs(
     count shuffle — at scale, posting lists pair short boilerplate docs
     against everything, and this is what bounds that fan-out. Sizes ride
     along as group keys (functionally dependent on the ids), replacing
-    the two post-aggregation size joins of the naive plan."""
+    the two post-aggregation size joins of the naive plan.
+
+    ``hashed=True`` is the production shuffle-bytes knob: the inverted
+    index joins on ``xxhash64(shingle)`` (8 bytes) instead of the
+    shingle string (tens of bytes) — the posting-list shuffle IS this
+    operator's cost at 100 TB, so the key width is a direct multiplier.
+    An (astronomically rare) 64-bit collision can only INFLATE a
+    pair's common-shingle count, i.e. over-report similarity — the
+    over-delete-safe direction for dedup, same policy as span_dedup /
+    decontam. Default False so the DuckDB oracle compares exact
+    strings; a fixture-equality test pins hashed == string results."""
     # Persist the shingle index: the two self-join branches would
     # otherwise re-tokenize/re-shingle the corpus each (measured
     # 21s -> 3s at sf0.1). MEMORY_AND_DISK, so at cluster scale it
@@ -124,7 +139,12 @@ def jaccard_pairs(
     sh.count()  # materialize BEFORE fan-out: AQE runs the self-join's
     #             branches concurrently, and an unfilled cache is
     #             recomputed by every racing branch (scale-audit find)
-    inv = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    key = F.xxhash64(F.col("__s")) if hashed else F.col("__s")
+    inv = (
+        sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("__s"))
+        .withColumn("s", key)
+        .drop("__s")
+    )
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(

@@ -297,3 +297,22 @@ def test_paragraph_dedup_min_docs_threshold(spark):
         for r in paragraph_dedup(docs, min_docs=3).collect()
     }
     assert out == {1: "b", 2: "c", 3: "b"}
+
+
+def test_jaccard_pairs_hashed_equals_string_keys(spark):
+    """The production shuffle-bytes knob (hashed=True joins on
+    xxhash64(shingle)) must produce identical pairs and scores on the
+    fixture (collisions are astronomically rare; any would only
+    over-report similarity — the safe direction)."""
+    from sparkstreamingtwitter_presidential_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        tuple(r) for r in jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in jaccard_pairs(docs, "doc_id", "text", 0.5, hashed=True).collect()
+    )
+    assert a == b and len(a) > 0
+    spark.catalog.clearCache()
