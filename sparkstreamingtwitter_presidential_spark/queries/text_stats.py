@@ -907,3 +907,53 @@ def io_shard_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged,
         "doc_id long, text string, lang string, source string, n_chars long, shard int",
     ).drop("shard")
+
+
+@query(
+    "io_pipetext_connector_roundtrip",
+    oracle="""
+        SELECT text,
+               CAST(doc_id % 90 - 45 + 0.25 AS FLOAT) AS latitude,
+               CAST(doc_id % 180 - 90 + 0.5 AS FLOAT) AS longitude,
+               strftime(TIMESTAMP '2024-01-01 00:00:00'
+                        + (doc_id % 86400) * INTERVAL 1 SECOND,
+                        '%Y-%m-%d %H:%M:%S') AS created_str
+        FROM documents WHERE text IS NOT NULL
+    """,
+    doc=(
+        "NEW r5: the pipe-text format as a REGISTERED Spark connector "
+        "(Python DataSource API) — a twitter_presi-shaped derivation of "
+        "documents written through df.write.format('pipetext') and read "
+        "back through spark.read.format('pipetext') (per-file "
+        "partitions, filter pushdown wired) must equal the oracle's "
+        "direct derivation; derived floats are binary-exact (0.25/0.5) "
+        "so float32 round-trips bit-clean through the text format"
+    ),
+)
+def io_pipetext_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.pipetext_ds import (
+        register_pipetext,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.replay import schema_keyed_dir
+
+    register_pipetext(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    presi = d.select(
+        "text",
+        (F.col("doc_id") % 90 - 45 + 0.25).cast("float").alias("latitude"),
+        (F.col("doc_id") % 180 - 90 + 0.5).cast("float").alias("longitude"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,0, doc_id % 86400)"
+        ).alias("created_at"),
+    )
+    staged = schema_keyed_dir("spark_graft_pipetext", sf_dir, presi.schema)
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        presi.write.format("pipetext").mode("append").save(staged)
+    back = spark.read.format("pipetext").load(staged)
+    return back.select(
+        "text",
+        "latitude",
+        "longitude",
+        F.date_format("created_at", "yyyy-MM-dd HH:mm:ss").alias("created_str"),
+    )

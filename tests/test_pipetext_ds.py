@@ -1,0 +1,89 @@
+"""pipetext Python DataSource: connector read == helper read, write
+roundtrip, per-file partitioning, and filter pushdown semantics."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.sources.pipe_text import (
+    read_pipe_table,
+    write_pipe_table,
+)
+from sparkstreamingtwitter_presidential_spark.sources.pipetext_ds import (
+    register_pipetext,
+)
+
+_TS = datetime.datetime(2024, 3, 1, 12, 30, 5)
+
+
+def _presi(spark):
+    return spark.createDataFrame(
+        [
+            ("bonjour le monde", 48.85, 2.35, _TS),
+            ("no geo here", None, None, _TS),
+            (None, 1.0, 2.0, None),
+            ("third row", -33.9, 151.2, _TS),
+        ],
+        "text string, latitude float, longitude float, created_at timestamp",
+    )
+
+
+def test_connector_read_matches_helper_read(spark, tmp_path):
+    register_pipetext(spark)
+    path = str(tmp_path / "t")
+    write_pipe_table(_presi(spark), path, partitions=2)
+    a = sorted((tuple(r) for r in spark.read.format("pipetext").load(path).collect()), key=repr)
+    b = sorted((tuple(r) for r in read_pipe_table(spark, path).collect()), key=repr)
+    assert a == b and len(a) == 4
+
+
+def test_connector_write_roundtrip(spark, tmp_path):
+    register_pipetext(spark)
+    path = str(tmp_path / "t")
+    df = _presi(spark)
+    df.write.format("pipetext").mode("append").save(path)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    back = sorted((tuple(r) for r in read_pipe_table(spark, path).collect()), key=repr)
+    want = sorted((tuple(r) for r in df.collect()), key=repr)
+    assert back == want
+
+
+def test_partition_per_file(spark, tmp_path):
+    register_pipetext(spark)
+    path = str(tmp_path / "t")
+    write_pipe_table(_presi(spark), path, partitions=3)
+    n_files = len(
+        [p for p in glob.glob(os.path.join(path, "*")) if "_SUCCESS" not in p]
+    )
+    got = (
+        spark.read.format("pipetext")
+        .load(path)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert got == n_files >= 2  # one input partition per data file
+
+
+def test_filter_pushdown_semantics(spark, tmp_path):
+    register_pipetext(spark)
+    path = str(tmp_path / "t")
+    write_pipe_table(_presi(spark), path)
+    df = spark.read.format("pipetext").load(path)
+    # pushed: IsNotNull(any col) + EqualTo(text) — equals the plain scan
+    got = sorted(
+        r.text
+        for r in df.filter(F.col("latitude").isNotNull())
+        .filter(F.col("text") == "bonjour le monde")
+        .collect()
+    )
+    assert got == ["bonjour le monde"]
+    # float comparisons are NOT pushed (cast-literal precision — the
+    # exact trap: float32(48.85) != 48.85d, so equality on a float col
+    # is unreliable in EITHER engine); Spark applies range predicates
+    # itself on the scan output: still exact
+    assert df.filter(F.col("latitude") > 0).count() == 2
