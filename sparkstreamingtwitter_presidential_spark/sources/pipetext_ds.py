@@ -39,6 +39,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -171,6 +172,54 @@ class PipeTextWriter(DataSourceWriter):
                     pass
 
 
+class PipeTextStreamReader(DataSourceStreamReader):
+    """Tail a pipe-text directory as a Structured Streaming source.
+
+    Offsets are positions in the SORTED file listing ({"index": N} ==
+    "the first N files are consumed"), so the producer contract is the
+    standard file-source one: files are appended with lexically
+    increasing names and never rewritten (the writer's uuid part names
+    satisfy neither — a streaming producer names files itself, e.g.
+    zero-padded sequence numbers; the collector's replay staging does
+    exactly that). Each micro-batch gets one InputPartition per new
+    file — executor-parallel, exactly-once under checkpointing (the
+    offset log replays the same [start, end) file slice)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pipetext: .load(path) is required")
+
+    def _files(self) -> list:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            n for n in os.listdir(self.path) if not n.startswith(("_", "."))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()
+        return [
+            _FilePartition(os.path.join(self.path, files[i]))
+            for i in range(start["index"], min(end["index"], len(files)))
+        ]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                if line.strip() != "":
+                    yield _parse_line(line)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up; the offset log is the state
+
+
 class PipeTextDataSource(DataSource):
     """format("pipetext"): the reference's pipe-delimited table."""
 
@@ -183,6 +232,9 @@ class PipeTextDataSource(DataSource):
 
     def reader(self, schema: StructType) -> PipeTextReader:
         return PipeTextReader(self.options)
+
+    def streamReader(self, schema: StructType) -> PipeTextStreamReader:
+        return PipeTextStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> PipeTextWriter:
         if sorted(f.name for f in schema.fields) != sorted(_COLS):

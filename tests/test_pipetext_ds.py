@@ -87,3 +87,38 @@ def test_filter_pushdown_semantics(spark, tmp_path):
     # is unreliable in EITHER engine); Spark applies range predicates
     # itself on the scan output: still exact
     assert df.filter(F.col("latitude") > 0).count() == 2
+
+
+def test_stream_reader_tails_directory_exactly_once(spark, tmp_path):
+    register_pipetext(spark)
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+
+    def emit(seq, rows):
+        with open(os.path.join(src, f"{seq:06d}.txt"), "w") as fh:
+            for r in rows:
+                fh.write(r + "\n")
+
+    emit(0, ["alpha|1.0|2.0|2024-03-01 12:00:00.0", "beta|||"])
+    sink: list = []
+
+    stream = spark.readStream.format("pipetext").load(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: sink.extend(tuple(r) for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(r[0] for r in sink) == ["alpha", "beta"]
+        # a new file arrives: the next batch delivers ONLY its rows
+        emit(1, ["gamma|5.0|6.0|2024-03-01 13:00:00.0"])
+        q.processAllAvailable()
+        assert sorted(r[0] for r in sink) == ["alpha", "beta", "gamma"]
+        # nothing new: no duplicates on a further drain
+        q.processAllAvailable()
+        assert len(sink) == 3
+    finally:
+        q.stop()
+        q.awaitTermination(30)
