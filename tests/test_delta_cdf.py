@@ -100,3 +100,20 @@ def test_partitioned_table_changes_carry_partition_values(spark, tmp_path):
         (2, "b", 2.0, "update_preimage"),
         (2, "b", 2.5, "update_postimage"),
     ]
+
+
+def test_row_changes_refuse_collapsed_log(spark, tmp_path):
+    """After checkpointing + deleting the per-commit JSON, row changes
+    for that commit are unrecoverable — refuse with a clear error, not
+    a crash or empty result."""
+    import os
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import write_checkpoint
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), t)
+    write_delta(_df(spark, [(2, "a", 2.0)]), t, mode="append")
+    write_checkpoint(t)
+    os.remove(os.path.join(t, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="not available"):
+        delta_row_changes(spark, t, 1, ["id"])
