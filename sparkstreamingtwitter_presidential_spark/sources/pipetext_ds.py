@@ -189,6 +189,11 @@ class PipeTextStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pipetext: .load(path) is required")
+        # admission control, same knob as the builtin file source: cap
+        # how many new files one micro-batch admits so a backlog drains
+        # in bounded batches instead of one giant catch-up batch
+        self.max_files = int(options.get("maxFilesPerTrigger", "0")) or None
+        self._last = 0
 
     def _files(self) -> list:
         if not os.path.isdir(self.path):
@@ -201,9 +206,18 @@ class PipeTextStreamReader(DataSourceStreamReader):
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        return {"index": len(self._files())}
+        n = len(self._files())
+        if self.max_files is not None:
+            n = min(n, self._last + self.max_files)
+        self._last = n
+        return {"index": n}
 
     def partitions(self, start: dict, end: dict):
+        # restart safety for the admission cap: a fresh reader's _last
+        # starts at 0, but a replayed/committed batch proves the stream
+        # is already at end.index — never let latestOffset regress
+        # behind what the offset log has durably planned
+        self._last = max(self._last, end["index"])
         files = self._files()
         return [
             _FilePartition(os.path.join(self.path, files[i]))
@@ -217,7 +231,7 @@ class PipeTextStreamReader(DataSourceStreamReader):
                     yield _parse_line(line)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing to clean up; the offset log is the state
+        self._last = max(self._last, end["index"])  # see partitions()
 
 
 class PipeTextDataSource(DataSource):

@@ -122,3 +122,34 @@ def test_stream_reader_tails_directory_exactly_once(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_stream_reader_max_files_per_trigger(spark, tmp_path):
+    register_pipetext(spark)
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    for i in range(5):
+        with open(os.path.join(src, f"{i:06d}.txt"), "w") as fh:
+            fh.write(f"row{i}|||\n")
+
+    batches: list = []
+    stream = (
+        spark.readStream.format("pipetext")
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: batches.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    nonzero = [b for b in batches if b > 0]
+    assert sum(nonzero) == 5  # every row exactly once
+    assert max(nonzero) <= 2  # backlog drained in capped batches
+    assert len(nonzero) == 3  # 2 + 2 + 1
