@@ -98,7 +98,6 @@ GRADED_FIRST: list[str] = [
     "lakehouse_delta_changes_agg",
     "lakehouse_delta_pipeline_agg",
     "lakehouse_delta_delete_update_agg",
-    "lakehouse_delta_optimize_agg",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
@@ -252,6 +251,15 @@ GRADED_FIRST: list[str] = [
     # IVF/PQ/incremental paths, and LSH stays bench-headlined + in
     # tests/test_queries_oracle.py).
     "io_pipetext_connector_roundtrip",
+    # Round-5 late additions #14: zero-storage deterministic generator
+    # source (dbgen pattern; a Python DataSource proven value-exact
+    # against a relational twin, partition-invariance graded). Ceded:
+    # lakehouse_delta_optimize_agg (r4 driver-green; OPTIMIZE stays
+    # graded through lakehouse_delta_zorder_agg — whose staging IS an
+    # optimize_delta(zorder_by=...) run — plus the changes query's
+    # dataChange:false invisibility and the CDF optimize-emits-nothing
+    # pytest; it also stays in tests/test_queries_oracle.py).
+    "io_synthdocs_generate",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

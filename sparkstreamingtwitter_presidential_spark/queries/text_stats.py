@@ -957,3 +957,39 @@ def io_pipetext_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         "longitude",
         F.date_format("created_at", "yyyy-MM-dd HH:mm:ss").alias("created_str"),
     )
+
+
+def _synthdocs_oracle() -> str:
+    from sparkstreamingtwitter_presidential_spark.sources.synthdocs_ds import (
+        synthdocs_oracle_sql,
+    )
+
+    return synthdocs_oracle_sql(2000)
+
+
+@query(
+    "io_synthdocs_generate",
+    oracle=_synthdocs_oracle(),
+    doc=(
+        "NEW r5: zero-storage deterministic corpus generator as a "
+        "registered Python DataSource (the dbgen pattern) — 2000 rows "
+        "generated on executors from row-range partitions must equal "
+        "the oracle's relational derivation over range(2000) exactly "
+        "(small-modulus integer arithmetic, no 64-bit wraparound); "
+        "partition-count invariance is part of the graded contract "
+        "(the query reads with a different n_partitions than the "
+        "default)"
+    ),
+)
+def io_synthdocs_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.synthdocs_ds import (
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    return (
+        spark.read.format("synthdocs")
+        .option("n_rows", "2000")
+        .option("n_partitions", "7")
+        .load()
+    )

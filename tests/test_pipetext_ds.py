@@ -153,3 +153,30 @@ def test_stream_reader_max_files_per_trigger(spark, tmp_path):
     assert sum(nonzero) == 5  # every row exactly once
     assert max(nonzero) <= 2  # backlog drained in capped batches
     assert len(nonzero) == 3  # 2 + 2 + 1
+
+
+def test_synthdocs_partition_invariance_and_determinism(spark):
+    from sparkstreamingtwitter_presidential_spark.sources.synthdocs_ds import (
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+
+    def rows(parts):
+        return sorted(
+            tuple(r)
+            for r in spark.read.format("synthdocs")
+            .option("n_rows", "300")
+            .option("n_partitions", str(parts))
+            .load()
+            .collect()
+        )
+
+    a, b, c = rows(1), rows(7), rows(64)
+    assert a == b == c and len(a) == 300  # content independent of slicing
+    assert rows(7) == b  # and of the run
+    # zero-row corner
+    empty = (
+        spark.read.format("synthdocs").option("n_rows", "0").load().count()
+    )
+    assert empty == 0
