@@ -25,7 +25,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 _DDL = "doc_id long, text string, lang string, source string, n_chars int"
@@ -79,6 +84,48 @@ class SynthDocsReader(DataSourceReader):
             yield gen_row(i)
 
 
+class SynthDocsStreamReader(DataSourceStreamReader):
+    """Streaming mode: a deterministic rate source. Each micro-batch
+    admits the next ``rows_per_batch`` row indices (offset = row
+    index), sliced into ``n_partitions`` range partitions — so a
+    streaming job can be driven with reproducible, zero-storage input
+    at a controlled rate (the benchmarking twin of the builtin `rate`
+    source, but with corpus-shaped rows and exact replayability: batch
+    k is ALWAYS rows [k*r, (k+1)*r) whatever the wall clock did).
+    ``max_rows`` (0 = unbounded) lets tests drain to quiescence."""
+
+    def __init__(self, options):
+        self.rate = int(options.get("rows_per_batch", "1000"))
+        self.n_parts = max(1, int(options.get("n_partitions", "4")))
+        self.max_rows = int(options.get("max_rows", "0"))
+        self._emitted = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        nxt = self._emitted + self.rate
+        if self.max_rows:
+            nxt = min(nxt, self.max_rows)
+        self._emitted = nxt
+        return {"row": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        self._emitted = max(self._emitted, end["row"])
+        lo, hi = start["row"], end["row"]
+        step = max(1, -(-(hi - lo) // self.n_parts))
+        return [
+            _RangePartition(a, min(a + step, hi)) for a in range(lo, hi, step)
+        ] or [_RangePartition(lo, lo)]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.lo, partition.hi):
+            yield gen_row(i)
+
+    def commit(self, end: dict) -> None:
+        self._emitted = max(self._emitted, end["row"])
+
+
 class SynthDocsDataSource(DataSource):
     """format("synthdocs"): zero-storage deterministic documents."""
 
@@ -91,6 +138,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+    def streamReader(self, schema: StructType) -> SynthDocsStreamReader:
+        return SynthDocsStreamReader(self.options)
 
 
 def register_synthdocs(spark: SparkSession) -> None:

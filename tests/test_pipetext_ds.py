@@ -180,3 +180,35 @@ def test_synthdocs_partition_invariance_and_determinism(spark):
         spark.read.format("synthdocs").option("n_rows", "0").load().count()
     )
     assert empty == 0
+
+
+def test_synthdocs_stream_is_deterministic_rate_source(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.synthdocs_ds import (
+        gen_row,
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    sink: list = []
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("rows_per_batch", "40")
+        .option("max_rows", "100")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: sink.append(sorted(tuple(r) for r in df.collect())))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    batches = [b for b in sink if b]
+    assert [len(b) for b in batches] == [40, 40, 20]  # capped drain
+    got = sorted(sum(batches, []))
+    want = sorted(gen_row(i) for i in range(100))
+    assert got == want  # every row exactly once, content == pure function
