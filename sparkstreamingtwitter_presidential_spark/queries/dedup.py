@@ -78,8 +78,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="brute-force word-3-gram Jaccard near-dup pairs via shingle inverted index",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hashed=False: exact shingle strings so the DuckDB oracle is an
+    # exact twin; production default is hashed=True (8-byte keys).
     return D.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        JACCARD_THRESHOLD,
+        hashed=False,
     )
 
 
@@ -135,7 +141,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstreamingtwitter_presidential_spark.operators.components import connected_components
 
     pairs = D.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        JACCARD_THRESHOLD,
+        hashed=False,
     )
     return connected_components(pairs)
 
@@ -339,7 +349,7 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
+    pairs = D.jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD, hashed=False)
     labels = connected_components(pairs)
     return canonical_members(d, labels, "doc_id", "n_chars")
 
@@ -481,4 +491,6 @@ def dedup_paragraphs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\nlorem ipsum dolor sit amet."),
         ).otherwise(F.lit("")),
     )
-    return D.paragraph_dedup(d.select("doc_id", synth.alias("text")))
+    # hashed=False: exact paragraph strings for the DuckDB oracle twin;
+    # production default is hashed=True (8-byte keys).
+    return D.paragraph_dedup(d.select("doc_id", synth.alias("text")), hashed=False)

@@ -100,7 +100,9 @@ _SPAN_ORACLE = f"""
 )
 def dedup_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return SD.duplicate_span_stats(docs, k=SPAN_K)
+    # hashed=False: exact gram strings so the DuckDB oracle is an
+    # exact twin; production default is hashed=True (8-byte keys).
+    return SD.duplicate_span_stats(docs, k=SPAN_K, hashed=False)
 
 
 _SRP_ORACLE = f"""

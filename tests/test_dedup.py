@@ -300,15 +300,16 @@ def test_paragraph_dedup_min_docs_threshold(spark):
 
 
 def test_jaccard_pairs_hashed_equals_string_keys(spark):
-    """The production shuffle-bytes knob (hashed=True joins on
-    xxhash64(shingle)) must produce identical pairs and scores on the
-    fixture (collisions are astronomically rare; any would only
-    over-report similarity — the safe direction)."""
+    """The production default (hashed=True joins on xxhash64(shingle))
+    must produce identical pairs and scores to the string-key oracle
+    variant on the fixture (collisions are astronomically rare; any
+    would only over-report similarity — the safe direction)."""
     from sparkstreamingtwitter_presidential_spark.operators.dedup import jaccard_pairs
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     a = sorted(
-        tuple(r) for r in jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+        tuple(r)
+        for r in jaccard_pairs(docs, "doc_id", "text", 0.5, hashed=False).collect()
     )
     b = sorted(
         tuple(r)
@@ -316,3 +317,52 @@ def test_jaccard_pairs_hashed_equals_string_keys(spark):
     )
     assert a == b and len(a) > 0
     spark.catalog.clearCache()
+
+
+def test_paragraph_dedup_hashed_equals_string_keys(spark):
+    """hashed=True (production default: xxhash64 paragraph keys) must
+    match the string-key oracle variant row-for-row on the fixture."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtwitter_presidential_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", F.replace("text", F.lit(" batch "), F.lit(".\n")).alias("text")
+    )
+    a = sorted(tuple(r) for r in paragraph_dedup(docs, hashed=False).collect())
+    b = sorted(tuple(r) for r in paragraph_dedup(docs, hashed=True).collect())
+    assert a == b and len(a) > 0
+
+
+def test_span_stats_hashed_equals_string_keys(spark):
+    """hashed=True (production default: xxhash64 gram keys) must match
+    the string-key oracle variant row-for-row on the fixture."""
+    from sparkstreamingtwitter_presidential_spark.operators.span_dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(tuple(r) for r in duplicate_span_stats(docs, k=4, hashed=False).collect())
+    b = sorted(tuple(r) for r in duplicate_span_stats(docs, k=4, hashed=True).collect())
+    assert a == b and len(a) > 0
+
+
+def test_paragraph_dedup_keeps_zero_paragraph_docs(spark):
+    """A doc whose text yields no paragraphs (empty / whitespace-only /
+    null) must surface as (n_paras=0, n_dropped=0, clean_text=''), not
+    silently vanish from the output."""
+    from sparkstreamingtwitter_presidential_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "real\nSHARED"), (2, "SHARED\nother"), (3, ""), (4, "   \n  "), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_paras, r.n_dropped, r.clean_text)
+        for r in paragraph_dedup(docs).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1] == (2, 1, "real")
+    assert out[3] == (0, 0, "")
+    assert out[4] == (0, 0, "")
+    assert out[5] == (0, 0, "")

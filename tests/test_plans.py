@@ -301,3 +301,23 @@ def test_global_row_numbers_no_single_partition_exchange(spark):
     a = _audit(spark, "scale_global_row_numbers")
     assert "SinglePartition" not in a.text
     assert "rangepartitioning" in a.text  # the parallel range shuffle
+
+
+def test_span_dedup_dup_gram_join_is_unhinted(spark):
+    """The duplicated-gram side of span dedup is unbounded on a web
+    corpus (Lee et al.'s own finding: a large fraction of k-gram TYPES
+    are cross-document duplicates), so neither span operator may force
+    a broadcast of it — the optimized logical plan must carry no join
+    hint at all; AQE alone decides the physical strategy (r5 verdict
+    item 1, the paragraph_dedup discipline)."""
+    from sparkstreamingtwitter_presidential_spark.operators import span_dedup as SD
+    from sparkstreamingtwitter_presidential_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (
+        SD.duplicate_span_stats(docs, k=8),
+        SD.trim_duplicate_spans(docs, k=8),
+    ):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in opt
+        assert "broadcast" not in opt.lower()
