@@ -49,6 +49,11 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from sparkstreamingtwitter_presidential_spark.sources.stream_progress import (
+    load_high_water,
+    save_high_water,
+)
+
 _DDL = "text string, latitude float, longitude float, created_at timestamp"
 _COLS = ("text", "latitude", "longitude", "created_at")
 _TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
@@ -160,6 +165,21 @@ class PipeTextWriter(DataSourceWriter):
         return _WroteFile(name)
 
     def commit(self, messages) -> None:
+        # The Python DataSource API leaves overwrite semantics to the
+        # writer. Honor mode("overwrite") here, at commit time: drop
+        # every pre-existing part file NOT written by this job, so the
+        # swap is deferred until all tasks have succeeded (an abort
+        # leaves the old data untouched). Without this, overwrite would
+        # silently behave like append and read back stale rows.
+        if self.overwrite:
+            keep = {m.filename for m in messages if m is not None}
+            for n in os.listdir(self.path):
+                if n.startswith(("_", ".")) or n in keep:
+                    continue
+                try:
+                    os.remove(os.path.join(self.path, n))
+                except OSError:
+                    pass
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
@@ -191,9 +211,21 @@ class PipeTextStreamReader(DataSourceStreamReader):
             raise ValueError("pipetext: .load(path) is required")
         # admission control, same knob as the builtin file source: cap
         # how many new files one micro-batch admits so a backlog drains
-        # in bounded batches instead of one giant catch-up batch
+        # in bounded batches instead of one giant catch-up batch.
         self.max_files = int(options.get("maxFilesPerTrigger", "0")) or None
-        self._last = 0
+        # High-water mark of files already planned/committed. Spark
+        # calls latestOffset() on a FRESH reader before initialOffset()
+        # or partitions() — on both cold start and clean restart — so
+        # an in-memory mark starting at 0 would, after a restart, cap
+        # the offset BEHIND the checkpoint, move the offset log
+        # backward, and re-deliver files. With ``progress_dir`` set the
+        # mark persists across restarts (commit() writes it) and the
+        # cap always applies. Without it the mark is None until seeded
+        # by partitions()/commit(), and an UNSEEDED latestOffset
+        # returns the full listing length: one uncapped catch-up batch,
+        # never a regression (see sources/stream_progress.py).
+        self.progress_dir = options.get("progress_dir")
+        self._last: int | None = load_high_water(self.progress_dir, "pipetext")
 
     def _files(self) -> list:
         if not os.path.isdir(self.path):
@@ -203,21 +235,26 @@ class PipeTextStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
+        # the stream's logical beginning. NOT the high-water mark:
+        # Spark calls latestOffset() BEFORE initialOffset() even on a
+        # cold start, so returning the (already advanced) mark here
+        # would make batch 0 skip the entire backlog.
         return {"index": 0}
 
     def latestOffset(self) -> dict:
         n = len(self._files())
-        if self.max_files is not None:
+        if self.max_files is not None and self._last is not None:
             n = min(n, self._last + self.max_files)
+        if self._last is not None:
+            n = max(n, self._last)  # monotone even if files vanish
         self._last = n
         return {"index": n}
 
     def partitions(self, start: dict, end: dict):
-        # restart safety for the admission cap: a fresh reader's _last
-        # starts at 0, but a replayed/committed batch proves the stream
-        # is already at end.index — never let latestOffset regress
-        # behind what the offset log has durably planned
-        self._last = max(self._last, end["index"])
+        # a replayed/committed batch proves the stream is already at
+        # end.index — never let latestOffset regress behind what the
+        # offset log has durably planned
+        self._last = max(self._last or 0, end["index"])
         files = self._files()
         return [
             _FilePartition(os.path.join(self.path, files[i]))
@@ -231,7 +268,8 @@ class PipeTextStreamReader(DataSourceStreamReader):
                     yield _parse_line(line)
 
     def commit(self, end: dict) -> None:
-        self._last = max(self._last, end["index"])  # see partitions()
+        self._last = max(self._last or 0, end["index"])  # see partitions()
+        save_high_water(self.progress_dir, "pipetext", self._last)
 
 
 class PipeTextDataSource(DataSource):

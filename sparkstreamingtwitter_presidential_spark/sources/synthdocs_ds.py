@@ -33,6 +33,11 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from sparkstreamingtwitter_presidential_spark.sources.stream_progress import (
+    load_high_water,
+    save_high_water,
+)
+
 _DDL = "doc_id long, text string, lang string, source string, n_chars int"
 
 #: Fixed generation constants — mirrored literally in the SQL twin.
@@ -92,21 +97,41 @@ class SynthDocsStreamReader(DataSourceStreamReader):
     at a controlled rate (the benchmarking twin of the builtin `rate`
     source, but with corpus-shaped rows and exact replayability: batch
     k is ALWAYS rows [k*r, (k+1)*r) whatever the wall clock did).
-    ``max_rows`` (0 = unbounded) lets tests drain to quiescence."""
+    ``max_rows`` (0 = unbounded) lets tests drain to quiescence.
+
+    Restart contract: the Python DataSource protocol gives a fresh
+    reader NO restore signal on a clean restart (last batch committed)
+    — Spark calls latestOffset() directly, and a reader that counts
+    from zero would move the offset log BACKWARD and re-emit rows
+    already delivered. Pass ``progress_dir`` (any writable directory;
+    the query's checkpoint dir is natural) and the reader persists its
+    high-water mark there on every commit and re-seeds from it on
+    construction, making latestOffset monotone across restarts. An
+    uncommitted-batch replay is safe either way (partitions() seeds
+    the mark from the replayed end offset). Without ``progress_dir`` a
+    CLEAN restart restarts emission at row 0 — fine for one-shot
+    drain-to-quiescence tests, wrong for restartable appends, hence
+    the loud note here."""
 
     def __init__(self, options):
         self.rate = int(options.get("rows_per_batch", "1000"))
         self.n_parts = max(1, int(options.get("n_partitions", "4")))
         self.max_rows = int(options.get("max_rows", "0"))
-        self._emitted = 0
+        self.progress_dir = options.get("progress_dir")
+        self._emitted = load_high_water(self.progress_dir, "synthdocs") or 0
 
     def initialOffset(self) -> dict:
+        # the stream's logical beginning. NOT self._emitted: Spark
+        # calls latestOffset() BEFORE initialOffset() even on a cold
+        # start, so returning the (already advanced) mark here would
+        # make batch 0 skip the first rows.
         return {"row": 0}
 
     def latestOffset(self) -> dict:
         nxt = self._emitted + self.rate
         if self.max_rows:
             nxt = min(nxt, self.max_rows)
+        nxt = max(nxt, self._emitted)  # monotone, never regress
         self._emitted = nxt
         return {"row": nxt}
 
@@ -124,6 +149,7 @@ class SynthDocsStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         self._emitted = max(self._emitted, end["row"])
+        save_high_water(self.progress_dir, "synthdocs", self._emitted)
 
 
 class SynthDocsDataSource(DataSource):

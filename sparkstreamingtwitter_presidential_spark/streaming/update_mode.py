@@ -32,10 +32,21 @@ def running_counts(events: DataFrame, key_col: str = "event_type") -> DataFrame:
 
 
 def drain_update_mode(
-    stream_agg: DataFrame, state_partitions: int = 8
+    stream_agg: DataFrame,
+    state_partitions: int = 8,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Run an update-mode query to exhaustion; return the final keyed
     state as a DataFrame (one row per key, last update wins).
+
+    ``key_cols`` names the aggregate's grouping columns — the store's
+    key. It must cover ALL grouping columns: keying a multi-column
+    grouped aggregate (e.g. groupBy(day, event_type)) on a prefix
+    would make distinct keys sharing that prefix overwrite each other
+    and silently lose rows. Defaults to the single leading column (the
+    running_counts shape); a post-drain assertion catches a wrong key
+    list by comparing store size against the final state's distinct
+    key count.
 
     State partitioning is pinned to ``state_partitions`` for the run —
     a stateful query fixes its partition count at first start from
@@ -45,13 +56,29 @@ def drain_update_mode(
     queries/streaming.py). Same single-threaded session-conf contract
     as that drain helper: restored after, not thread-safe."""
     spark = stream_agg.sparkSession
-    key_cols = [stream_agg.columns[0]]
+    if key_cols is None:
+        key_cols = [stream_agg.columns[0]]
+    missing = [k for k in key_cols if k not in stream_agg.columns]
+    if missing:
+        raise ValueError(f"key_cols not in aggregate output: {missing}")
     state: dict[tuple, tuple] = {}
 
     def apply_updates(batch_df: DataFrame, batch_id: int) -> None:
+        seen: set[tuple] = set()
         for r in batch_df.collect():  # changed keys only — update-mode
             d = r.asDict()  # contract; cardinality-bounded by design
-            state[tuple(d[k] for k in key_cols)] = tuple(d.values())
+            k = tuple(d[c] for c in key_cols)
+            if k in seen:
+                # update mode emits at most one row per grouping key
+                # per batch — a repeat proves key_cols is a proper
+                # subset of the grouping columns (rows would be lost)
+                raise ValueError(
+                    f"key_cols={key_cols} does not cover the aggregate's "
+                    f"grouping columns: key {k!r} repeated within batch "
+                    f"{batch_id}"
+                )
+            seen.add(k)
+            state[k] = tuple(d.values())
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

@@ -133,9 +133,13 @@ def test_stream_reader_max_files_per_trigger(spark, tmp_path):
             fh.write(f"row{i}|||\n")
 
     batches: list = []
+    # progress_dir keeps the admission cap engaged from the very first
+    # batch (without it, the first latestOffset after construction is
+    # deliberately uncapped — the no-regression restart contract)
     stream = (
         spark.readStream.format("pipetext")
         .option("maxFilesPerTrigger", "2")
+        .option("progress_dir", str(tmp_path / "progress"))
         .load(src)
     )
     q = (
@@ -212,3 +216,176 @@ def test_synthdocs_stream_is_deterministic_rate_source(spark, tmp_path):
     got = sorted(sum(batches, []))
     want = sorted(gen_row(i) for i in range(100))
     assert got == want  # every row exactly once, content == pure function
+
+
+def test_stream_reader_clean_restart_does_not_regress_offsets(spark, tmp_path):
+    """After a CLEAN restart (all batches committed) Spark calls
+    latestOffset() on a fresh reader before any partitions() call; with
+    maxFilesPerTrigger set, an eagerly-capped reader would return an
+    offset BEHIND the checkpoint and re-deliver already-read files.
+    The first post-restart batch is uncapped instead (never a
+    regression); the cap re-engages afterwards."""
+    register_pipetext(spark)
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+
+    def emit(seq):
+        with open(os.path.join(src, f"{seq:06d}.txt"), "w") as fh:
+            fh.write(f"row{seq}|||\n")
+
+    for i in range(5):
+        emit(i)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(sink):
+        stream = (
+            spark.readStream.format("pipetext")
+            .option("maxFilesPerTrigger", "2")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, bid: sink.extend(r.text for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    first: list = []
+    run(first)
+    assert sorted(first) == [f"row{i}" for i in range(5)]
+
+    emit(5)
+    emit(6)
+    second: list = []
+    run(second)  # fresh reader, same checkpoint — the restart path
+    assert sorted(second) == ["row5", "row6"], (
+        "restart re-delivered already-committed files"
+    )
+
+
+def test_writer_overwrite_mode_replaces_existing_data(spark, tmp_path):
+    register_pipetext(spark)
+    out = str(tmp_path / "out")
+    df1 = spark.createDataFrame(
+        [("old1", None, None, None), ("old2", None, None, None)],
+        "text string, latitude float, longitude float, created_at timestamp",
+    )
+    df2 = spark.createDataFrame(
+        [("new1", None, None, None)],
+        "text string, latitude float, longitude float, created_at timestamp",
+    )
+    df1.write.format("pipetext").mode("append").save(out)
+    df2.write.format("pipetext").mode("overwrite").save(out)
+    got = [r.text for r in spark.read.format("pipetext").load(out).collect()]
+    assert got == ["new1"], f"overwrite behaved like append: {got}"
+    # and append still appends
+    df1.write.format("pipetext").mode("append").save(out)
+    got = sorted(r.text for r in spark.read.format("pipetext").load(out).collect())
+    assert got == ["new1", "old1", "old2"]
+
+
+def test_synthdocs_stream_restart_resumes_from_progress_dir(spark, tmp_path):
+    """The generator has no external backlog to re-list, so exact
+    replay across a CLEAN restart needs the persisted high-water mark
+    (progress_dir); with it, a fresh reader's first latestOffset
+    resumes at the committed row, never behind it."""
+    from sparkstreamingtwitter_presidential_spark.sources.synthdocs_ds import (
+        gen_row,
+        register_synthdocs,
+    )
+
+    register_synthdocs(spark)
+    ckpt = str(tmp_path / "ckpt")
+    prog = str(tmp_path / "progress")
+
+    def run(max_rows, sink):
+        stream = (
+            spark.readStream.format("synthdocs")
+            .option("rows_per_batch", "40")
+            .option("max_rows", str(max_rows))
+            .option("progress_dir", prog)
+            .load()
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, bid: sink.extend(tuple(r) for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    first: list = []
+    run(80, first)
+    assert sorted(first) == sorted(gen_row(i) for i in range(80))
+
+    second: list = []
+    run(120, second)  # fresh reader, same checkpoint + progress
+    assert sorted(second) == sorted(gen_row(i) for i in range(80, 120)), (
+        "restart re-emitted rows already delivered"
+    )
+
+
+def test_stream_reader_capped_restart_with_progress_dir(spark, tmp_path):
+    """With progress_dir, the cap stays engaged across a clean restart
+    AND no file is re-delivered: the persisted high-water mark seeds
+    the fresh reader."""
+    register_pipetext(spark)
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+
+    def emit(seq):
+        with open(os.path.join(src, f"{seq:06d}.txt"), "w") as fh:
+            fh.write(f"row{seq}|||\n")
+
+    for i in range(3):
+        emit(i)
+    ckpt, prog = str(tmp_path / "ckpt"), str(tmp_path / "progress")
+
+    def run(sink, batches):
+        stream = (
+            spark.readStream.format("pipetext")
+            .option("maxFilesPerTrigger", "2")
+            .option("progress_dir", prog)
+            .load(src)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, bid: (
+                    sink.extend(r.text for r in df.collect()),
+                    batches.append(df.count()),
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    s1, b1 = [], []
+    run(s1, b1)
+    assert sorted(s1) == ["row0", "row1", "row2"]
+    assert max(b for b in b1 if b) <= 2  # capped even on batch 0
+
+    for i in range(3, 8):
+        emit(i)
+    s2, b2 = [], []
+    run(s2, b2)
+    assert sorted(s2) == [f"row{i}" for i in range(3, 8)]
+    assert max(b for b in b2 if b) <= 2  # cap engaged right after restart

@@ -139,3 +139,50 @@ def test_streaming_dedup_batch_degradation(spark):
     ev = load_table(spark, SF_DIR, "events")
     doubled = ev.unionByName(ev)
     assert streaming_exact_dedup(doubled, ["event_id"]).count() == ev.count()
+
+
+def test_update_mode_multi_column_grouping_key(spark):
+    """drain_update_mode keyed on BOTH grouping columns must equal the
+    batch aggregate; keying on a one-column prefix of a two-column
+    grouping is detected (keys sharing the prefix would overwrite each
+    other and silently lose rows) and raises instead."""
+    from sparkstreamingtwitter_presidential_spark.sources.synthdocs_ds import (
+        register_synthdocs,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming.update_mode import (
+        drain_update_mode,
+    )
+
+    register_synthdocs(spark)
+
+    def stream():
+        return (
+            spark.readStream.format("synthdocs")
+            .option("rows_per_batch", "100")
+            .option("max_rows", "300")
+            .load()
+        )
+
+    agg = stream().groupBy("lang", "source").agg(F.count("*").alias("n"))
+    got = sorted(tuple(r) for r in drain_update_mode(agg, key_cols=["lang", "source"]).collect())
+    want = sorted(
+        tuple(r)
+        for r in spark.read.format("synthdocs")
+        .option("n_rows", "300")
+        .load()
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == want and len(got) > 5
+
+    # default key = first column only: a proper subset of the grouping
+    # columns -> repeated store key within one batch -> loud failure
+    agg2 = stream().groupBy("lang", "source").agg(F.count("*").alias("n"))
+    with pytest.raises(Exception) as ei:
+        drain_update_mode(agg2)
+    assert "does not cover" in str(ei.value)
+
+    # and a key column that isn't in the output fails fast
+    with pytest.raises(ValueError, match="not in aggregate output"):
+        drain_update_mode(agg2, key_cols=["nope"])
