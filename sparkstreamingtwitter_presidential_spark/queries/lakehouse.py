@@ -726,3 +726,77 @@ def lakehouse_delta_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFra
 
     table = _dml_staged_delta(spark, sf_dir, "merge", build)
     return _agg_by_type(read_delta(spark, table, version=0))
+
+
+@query(
+    "lakehouse_delta_history_agg",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), 'WRITE',    CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), TRUE),
+            (CAST(1 AS BIGINT), 'WRITE',    CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), TRUE),
+            (CAST(2 AS BIGINT), 'DELETE',   'event_id % 5 = 0',
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), TRUE),
+            (CAST(3 AS BIGINT), 'UPDATE',   'event_id % 7 = 0',
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), TRUE),
+            (CAST(4 AS BIGINT), 'MERGE',    CAST(NULL AS VARCHAR),
+             'history-app', CAST(1 AS BIGINT), TRUE),
+            (CAST(5 AS BIGINT), 'OPTIMIZE', CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), FALSE)
+        ) AS t(version, operation, predicate, txn_app_id, txn_version,
+               data_change)
+    """,
+    doc=(
+        "NEW r6: DESCRIBE HISTORY as a queryable frame — a staged table "
+        "receives a fixed operation sequence (2 appends, DELETE, UPDATE, "
+        "MERGE carrying a txn idempotence marker, OPTIMIZE) and "
+        "describe_history must reconstruct commit-by-commit bookkeeping "
+        "from commitInfo + txn actions: exact versions, operations, DML "
+        "predicates, the MERGE's (appId, version) marker, and OPTIMIZE's "
+        "data_change=false (adds/removes all dataChange:false); the "
+        "oracle is the spec constant — any drift in commit layout, "
+        "predicate recording, txn placement, or dataChange flags "
+        "hash-fails. Retention contract: history reaches exactly as far "
+        "back as retained JSON commits (expire_log is the truncation "
+        "primitive; tests pin refusal semantics past the horizon)."
+    ),
+)
+def lakehouse_delta_history_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        describe_history,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        merge_delta,
+        optimize_delta,
+        update_delta,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        # two appends (not partitioned): guarantees >= 2 small files so
+        # the closing OPTIMIZE always has something to compact (a no-op
+        # OPTIMIZE would not commit and the version sequence would
+        # shift — the oracle pins it)
+        write_delta(ev.filter("event_id % 2 = 0"), table, mode="append")
+        write_delta(ev.filter("event_id % 2 = 1"), table, mode="append")
+        delete_delta(spark, table, "event_id % 5 = 0")
+        update_delta(spark, table, {"value": "value * 2"}, "event_id % 7 = 0")
+        upserts = ev.filter("event_id % 11 = 0").withColumn(
+            "event_id", F.col("event_id") + F.lit(20_000_000)
+        )
+        merge_delta(
+            spark, table, upserts, keys=["event_id"], txn=("history-app", 1)
+        )
+        optimize_delta(spark, table)
+
+    table = _dml_staged_delta(spark, sf_dir, "hist", build)
+    return describe_history(spark, table).select(
+        "version",
+        "operation",
+        "predicate",
+        "txn_app_id",
+        "txn_version",
+        "data_change",
+    )

@@ -98,7 +98,6 @@ GRADED_FIRST: list[str] = [
     "lakehouse_delta_changes_agg",
     "lakehouse_delta_pipeline_agg",
     "lakehouse_delta_delete_update_agg",
-    "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
     "tpch_q13_customer_distribution",
@@ -260,6 +259,13 @@ GRADED_FIRST: list[str] = [
     # dataChange:false invisibility and the CDF optimize-emits-nothing
     # pytest; it also stays in tests/test_queries_oracle.py).
     "io_synthdocs_generate",
+    # Round-6 newcomers, graded on arrival per rotation policy.
+    # DESCRIBE HISTORY as a queryable frame (r5 verdict item 4: the
+    # last lakehouse bookkeeping gap). Ceded: tpch_q7_volume_shipping
+    # (r4+r5 driver-green; TPC-H keeps 6 windowed slots incl. the
+    # 7-table Q8 star join and Q9's 6-way profit join; Q7 stays in
+    # tests/test_queries_oracle.py and bench).
+    "lakehouse_delta_history_agg",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

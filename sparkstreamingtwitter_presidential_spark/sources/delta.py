@@ -43,6 +43,7 @@ import time
 import urllib.parse
 import uuid
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 from functools import reduce
 from typing import Any
 
@@ -321,6 +322,20 @@ def delta_row_changes(
     engine; tables whose writers emit real `cdc` actions would be read
     from those instead (not produced by this engine's writers).
     """
+    # Retention contract: row changes need the commit's own JSON
+    # actions. They remain readable for ANY retained commit — including
+    # ones below a checkpoint (a checkpoint collapses replay, it does
+    # not delete commits) — and are permanently gone once the JSON is
+    # expired (expire_log / external cleanup), refused here by name
+    # BEFORE replay so the error states the contract, not a replay
+    # detail.
+    commit_file = os.path.join(_log_path(path), f"{version:020d}.json")
+    if not os.path.exists(commit_file):
+        raise ValueError(
+            f"commit {version} of {path} is not available as a JSON delta "
+            "(expired by log retention / vacuumed) — row changes need the "
+            "per-commit actions"
+        )
     cur = _replay_log(path, version)
     schema = cur.schema
     assert schema is not None
@@ -328,14 +343,6 @@ def delta_row_changes(
     missing = [k for k in keys if k not in cols]
     if missing:
         raise ValueError(f"change keys not in table schema: {missing}")
-
-    commit_file = os.path.join(_log_path(path), f"{version:020d}.json")
-    if not os.path.exists(commit_file):
-        raise ValueError(
-            f"commit {version} of {path} is not available as a JSON delta "
-            "(checkpoint-collapsed or vacuumed log) — row changes need the "
-            "per-commit actions"
-        )
     adds: dict[str, dict[str, Any]] = {}
     removed_paths: list[str] = []
     with open(commit_file) as f:
@@ -567,6 +574,127 @@ def delta_history(path: str) -> list[dict[str, Any]]:
                         info.update(action["commitInfo"])
         out.append(info)
     return out
+
+
+_HISTORY_DDL = (
+    "version long, timestamp timestamp, operation string, "
+    "predicate string, operation_parameters string, n_adds long, "
+    "n_removes long, data_change boolean, txn_app_id string, "
+    "txn_version long, engine_info string"
+)
+
+
+def describe_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY as a queryable frame: one row per RETAINED
+    JSON commit — version, commit timestamp, operation +
+    operationParameters (with the common ``predicate`` parameter
+    surfaced as its own column; the full map as canonical JSON),
+    add/remove action counts, whether the commit changed data
+    (any add/remove with ``dataChange: true`` — an OPTIMIZE is
+    ``false``), and the idempotence ``txn`` marker (appId, version)
+    when the commit carries one (streaming upsert commits do).
+
+    Retention contract (same as DESCRIBE HISTORY on the real client):
+    history reaches exactly as far back as the per-commit JSON files.
+    A checkpoint does NOT truncate it — only ``expire_log`` (or an
+    external cleanup) does, and from then on older commits are gone
+    from history and from ``delta_row_changes`` alike.
+
+    Cost: driver-side parse of the retained commit files — metadata,
+    one row each, bounded by log retention; the frame is built with
+    createDataFrame like any other metadata frame."""
+    log_dir = _log_path(path)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {path}")
+    rows = []
+    for n in sorted(os.listdir(log_dir)):
+        v = _version_of(n, ".json")
+        if v is None:
+            continue
+        info: dict[str, Any] = {}
+        n_adds = n_removes = 0
+        data_change = False
+        txn_app_id, txn_version = None, None
+        with open(os.path.join(log_dir, n)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    info = action["commitInfo"]
+                elif "add" in action:
+                    n_adds += 1
+                    data_change = data_change or action["add"].get(
+                        "dataChange", True
+                    )
+                elif "remove" in action:
+                    n_removes += 1
+                    data_change = data_change or action["remove"].get(
+                        "dataChange", True
+                    )
+                elif "txn" in action:
+                    txn_app_id = action["txn"].get("appId")
+                    txn_version = action["txn"].get("version")
+        params = info.get("operationParameters") or {}
+        ts_ms = info.get("timestamp")
+        rows.append(
+            (
+                v,
+                datetime.fromtimestamp(ts_ms / 1000.0, tz=timezone.utc).replace(
+                    tzinfo=None
+                )
+                if ts_ms is not None
+                else None,
+                info.get("operation"),
+                params.get("predicate"),
+                json.dumps(params, sort_keys=True, separators=(",", ":")),
+                n_adds,
+                n_removes,
+                data_change,
+                txn_app_id,
+                txn_version,
+                info.get("engineInfo"),
+            )
+        )
+    return spark.createDataFrame(rows, _HISTORY_DDL)
+
+
+def expire_log(path: str, keep_from: int) -> list[int]:
+    """Delete per-commit JSON files with version < ``keep_from`` and
+    return the deleted versions — the engine's log-retention primitive
+    (the real client's logRetentionDuration cleanup, keyed by version
+    instead of age so tests and callers are deterministic).
+
+    Safety: requires a checkpoint at version >= keep_from - 1, because
+    replaying the LATEST snapshot must never need an expired commit.
+    After expiry, time travel to versions below the checkpoint and
+    ``delta_row_changes`` for expired commits are permanently gone
+    (both refuse with clear errors) — that is the documented retention
+    trade, identical to the real system's VACUUM/log-cleanup
+    semantics."""
+    log_dir = _log_path(path)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {path}")
+    names = os.listdir(log_dir)
+    checkpoints = [
+        v
+        for n in names
+        if (v := _version_of(n, ".checkpoint.parquet")) is not None
+    ]
+    if not checkpoints or max(checkpoints) < keep_from - 1:
+        raise ValueError(
+            f"cannot expire commits below {keep_from}: no checkpoint at "
+            f"version >= {keep_from - 1} (latest snapshot replay would "
+            "need the expired commits — write_checkpoint first)"
+        )
+    deleted = []
+    for n in names:
+        v = _version_of(n, ".json")
+        if v is not None and v < keep_from:
+            os.remove(os.path.join(log_dir, n))
+            deleted.append(v)
+    return sorted(deleted)
 
 
 class DeltaCommitConflict(RuntimeError):

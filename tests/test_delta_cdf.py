@@ -117,3 +117,48 @@ def test_row_changes_refuse_collapsed_log(spark, tmp_path):
     os.remove(os.path.join(t, "_delta_log", f"{1:020d}.json"))
     with pytest.raises(ValueError, match="not available"):
         delta_row_changes(spark, t, 1, ["id"])
+
+
+def test_row_changes_readable_below_checkpoint_while_json_retained(
+    spark, tmp_path
+):
+    """A checkpoint collapses REPLAY, it does not delete commits: row
+    changes for a commit below the checkpoint stay readable as long as
+    its JSON is retained (the retention contract's positive half)."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        write_checkpoint,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), t)
+    write_delta(_df(spark, [(2, "a", 2.0)]), t, mode="append")
+    write_checkpoint(t)  # at v1 — v1 is now "collapsed"
+    write_delta(_df(spark, [(3, "a", 3.0)]), t, mode="append")
+    assert _changes(spark, t, 1) == [(2, "a", 2.0, "insert")]
+
+
+def test_expire_log_enforces_checkpoint_and_kills_expired_reads(
+    spark, tmp_path
+):
+    """expire_log refuses without a covering checkpoint; after expiry
+    the latest snapshot still reads, while time travel and row changes
+    below the horizon refuse with clear errors."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        expire_log,
+        read_delta,
+        write_checkpoint,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), t)
+    write_delta(_df(spark, [(2, "a", 2.0)]), t, mode="append")
+    with pytest.raises(ValueError, match="no checkpoint"):
+        expire_log(t, keep_from=2)
+    write_checkpoint(t)  # v1
+    write_delta(_df(spark, [(3, "a", 3.0)]), t, mode="append")
+    assert expire_log(t, keep_from=2) == [0, 1]
+    assert read_delta(spark, t).count() == 3  # latest snapshot intact
+    with pytest.raises(ValueError, match="expired by log retention"):
+        delta_row_changes(spark, t, 1, ["id"])
+    with pytest.raises(ValueError, match="does not exist"):
+        read_delta(spark, t, version=0)

@@ -632,3 +632,47 @@ def test_commit_conflict_raises(spark, tmp_path):
         f.write(json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
     with pytest.raises(DeltaCommitConflict):
         commit_actions(p, 0, [], "DELETE", {})
+
+
+def test_describe_history_frame(spark, tmp_path):
+    """describe_history surfaces (version, operation, predicate, txn
+    markers, data_change) per retained commit as a queryable frame —
+    the DESCRIBE HISTORY shape over commitInfo + txn actions."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        describe_history,
+    )
+
+    t = _mk_table(spark, str(tmp_path / "t"), partitioned=True)
+    delete_delta(spark, t, "id = 5")
+    update_delta(spark, t, {"val": "val * 2"}, "id = 1")
+    src = spark.createDataFrame([Row(id=9, cat="a", val=9.0)])
+    merge_delta(spark, t, src, keys=["id"], txn=("hist-app", 42))
+    optimize_delta(spark, t)
+
+    h = {r.version: r for r in describe_history(spark, t).collect()}
+    assert sorted(h) == [0, 1, 2, 3, 4]
+    assert [h[v].operation for v in range(5)] == [
+        "WRITE", "DELETE", "UPDATE", "MERGE", "OPTIMIZE",
+    ]
+    assert h[1].predicate == "id = 5"
+    assert h[2].predicate == "id = 1"
+    assert h[3].txn_app_id == "hist-app" and h[3].txn_version == 42
+    assert h[0].txn_app_id is None
+    # OPTIMIZE rewrites without changing data; everything else changes it
+    assert [h[v].data_change for v in range(5)] == [
+        True, True, True, True, False,
+    ]
+    # v1 deletes cat 'c' entirely: pure remove, no rewritten file
+    assert h[1].n_adds == 0 and h[1].n_removes > 0
+    assert h[0].n_adds > 0 and h[2].n_adds > 0
+    assert h[0].n_removes == 0 and h[4].n_removes > 0
+    assert h[0].timestamp is not None
+    params = json.loads(h[3].operation_parameters)
+    assert params["keys"] == ["id"]
+    # history can be queried like any frame
+    n_dml = (
+        describe_history(spark, t)
+        .filter(F.col("operation").isin("DELETE", "UPDATE", "MERGE"))
+        .count()
+    )
+    assert n_dml == 3
