@@ -109,13 +109,20 @@ HEADLINE = [
     # composition end-to-end.
     "search_hybrid_rrf",
     # Shard export + distributed integrity verify (staging warm; the
-    # timed work is the verify scan + read-back). The other late-r5
-    # graded queries are deliberately NOT duplicated here:
-    # lakehouse_delta_row_changes / streaming_update_mode_counts share
-    # their cost shape with the headlined lakehouse/streaming family
-    # reps, and sim_ivf_incremental_topk's KMeans fit (~7.6 s at sf0.1)
-    # is tracked by the scale audit like ivf_topk (DESIGN.md slopes).
+    # timed work is the verify scan + read-back).
     "io_shard_export_roundtrip",
+    # Round-6 (r5 verdict item 5): the measured-but-unheadlined heavies
+    # get driver-tracked numbers instead of one-off BASELINE.md entries
+    # — row-level CDF reconstruction, the update-mode drain (full
+    # micro-batch machinery per repeat), and incremental IVF (KMeans
+    # fit + assign; the single most expensive entry, ~7.6 s at sf0.1 —
+    # kept because an unmeasured regression there would be invisible).
+    "lakehouse_delta_row_changes",
+    "streaming_update_mode_counts",
+    "sim_ivf_incremental_topk",
+    # Round-6: commit-bookkeeping frame (staging warm; timed work is
+    # the log parse + frame build — the metadata-cost floor).
+    "lakehouse_delta_history_agg",
 ]
 
 
@@ -157,10 +164,23 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        # self-evident run status (r5 verdict item 6): JVM/py4j teardown
+        # can spray benign stack fragments onto stderr AFTER the
+        # timings; "clean" makes the artifact unambiguous — true means
+        # every headline query completed and anything below/around the
+        # JSON line is teardown noise, not a mid-run crash.
+        "clean": not errors,
     }
     if errors:
         out["errors"] = errors
+    # stop the session BEFORE printing so teardown noise lands above
+    # the JSON line, keeping it the artifact's last word
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 - teardown must not eat the result
+        pass
     print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
