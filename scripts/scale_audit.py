@@ -229,6 +229,104 @@ def _ivfpq(emb, qids):
     return run
 
 
+X100_DIR = "/tmp/spark_graft_scale100x_v1"
+
+
+def build_synth_x100(spark) -> None:
+    """Stage suffix-transformed x10 and x100 corpora for the 100x spot
+    check. Caesar rotation (the x10 builder) only has 26 distinct
+    rotations, so at 100 replicas texts would collide across replicas
+    and duplicate density would explode; instead every WORD gets a
+    per-replica suffix (``regexp_replace(\\w+ -> $1_rK)``) — shingles
+    and k-grams never collide across replicas while each replica keeps
+    the original corpus's internal duplicate structure exactly. Both
+    scales use the SAME transform so the x100/x10 ratio is a clean
+    per-decade slope."""
+    if os.path.exists(os.path.join(X100_DIR, "_BUILT")):
+        return
+    docs = load_table(spark, SF_DIR, "documents")
+    stride = 10_000
+
+    def replica(r: int):
+        return docs.select(
+            (F.col("doc_id") + F.lit(r * stride)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\w+)", f"$1_r{r}").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+
+    for n, sub in ((10, "x10"), (100, "x100")):
+        parts = [replica(r) for r in range(n)]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(X100_DIR, sub, "documents.parquet")
+        )
+    open(os.path.join(X100_DIR, "_BUILT"), "w").close()
+
+
+def steep_cases(spark, base):
+    """The two steepest x10 slopes (r5 verdict item 3): the ones where
+    a 10x run could hide superlinear onset."""
+    docs = lambda: spark.read.parquet(  # noqa: E731
+        os.path.join(base, "documents.parquet")
+    )
+
+    def incremental():
+        base_sigs = D.lsh_signature_table(
+            docs().filter(F.col("doc_id") % 5 != 0), "doc_id", "text"
+        )
+        new_sigs = D.lsh_signature_table(
+            docs().filter(F.col("doc_id") % 5 == 0), "doc_id", "text"
+        )
+        return D.incremental_lsh_pairs(base_sigs, new_sigs, 0.5)
+
+    return {
+        "incremental_lsh": incremental,
+        "span_stats": lambda: SD.duplicate_span_stats(docs(), k=8, hashed=True),
+    }
+
+
+def main_x100() -> None:
+    spark = get_spark("scale-audit-x100")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--skip-build" not in sys.argv:
+        build_synth_x100(spark)
+    for sub in ("x10", "x100"):
+        spark.read.parquet(os.path.join(X100_DIR, sub, "documents.parquet")).count()
+
+    # Shuffle partitions scale WITH the data, as they would on a real
+    # cluster (partitions ~ bytes / maxPartitionBytes; a 100x corpus on
+    # 1000 executors gets ~100x the partitions, it does not cram 100x
+    # bytes into the same 32). Holding 32 partitions fixed at x100
+    # measures sort/agg SPILL, not the operator: the first x100 run did
+    # exactly that and read 17x/decade for span_stats; right-sized it
+    # is ~4x/decade (linear, overheads amortizing).
+    parts = {"x10": "32", "x100": "256"}
+    results = {}
+    for sub in ("x10", "x100"):
+        base = os.path.join(X100_DIR, sub)
+        spark.conf.set("spark.sql.shuffle.partitions", parts[sub])
+        for name, fn in steep_cases(spark, base).items():
+            t0 = time.perf_counter()
+            n = fn().count()
+            dt = time.perf_counter() - t0
+            results.setdefault(name, {})[sub] = {"sec": round(dt, 2), "rows": n}
+            spark.catalog.clearCache()
+
+    print("\n| operator | x10 sec | x100 sec | per-decade ratio | x10 rows | x100 rows |")
+    print("|---|---|---|---|---|---|")
+    for name, r in results.items():
+        ratio = r["x100"]["sec"] / max(r["x10"]["sec"], 1e-9)
+        print(
+            f"| {name} | {r['x10']['sec']} | {r['x100']['sec']} | "
+            f"{ratio:.1f}x | {r['x10']['rows']} | {r['x100']['rows']} |"
+        )
+    print(json.dumps({"scale_audit_x100": results}))
+
+
 def main() -> None:
     spark = get_spark("scale-audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -261,4 +359,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--x100" in sys.argv:
+        main_x100()
+    else:
+        main()
