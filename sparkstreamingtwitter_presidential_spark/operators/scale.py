@@ -21,6 +21,8 @@ production plans.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -119,6 +121,7 @@ def global_row_numbers(
     order_col: str,
     row_col: str = "row_num",
     n_partitions: int = 32,
+    handle_out: list | None = None,
 ) -> DataFrame:
     """ROW_NUMBER() OVER (ORDER BY order_col) without the single-
     partition sort.
@@ -142,10 +145,25 @@ def global_row_numbers(
     The numbering is total iff ``order_col`` is a total order (unique
     key); with duplicate keys Spark's own window ROW_NUMBER is equally
     tie-arbitrary. The persisted intermediate backs the returned frame
-    — call ``.unpersist()`` on it via the frame's lineage (or
-    ``spark.catalog.clearCache()``) after consumption in long-lived
-    pipelines.
+    — long-lived pipelines should use ``scoped_global_row_numbers``
+    (context manager: releases the blocks deterministically on exit)
+    or pass ``handle_out`` to get the persisted frame to
+    ``.unpersist()`` themselves.
     """
+    numbered, _ranged = _global_row_numbers(
+        df, order_col, row_col, n_partitions
+    )
+    if handle_out is not None:
+        handle_out.append(_ranged)
+    return numbered
+
+
+def _global_row_numbers(
+    df: DataFrame,
+    order_col: str,
+    row_col: str,
+    n_partitions: int,
+) -> tuple[DataFrame, DataFrame]:
     ranged = (
         df.repartitionByRange(n_partitions, F.col(order_col))
         .sortWithinPartitions(order_col)
@@ -185,4 +203,23 @@ def global_row_numbers(
             local += len(b)
             yield out
 
-    return tagged.mapInPandas(number, schema=out_schema)
+    return tagged.mapInPandas(number, schema=out_schema), ranged
+
+
+@contextmanager
+def scoped_global_row_numbers(
+    df: DataFrame,
+    order_col: str,
+    row_col: str = "row_num",
+    n_partitions: int = 32,
+):
+    """Context-managed ``global_row_numbers``: yields the numbered
+    frame and UNPERSISTS the range-partitioned intermediate on exit,
+    so a long-lived pipeline releases the storage deterministically
+    instead of waiting for LRU eviction. Consume (write/collect) the
+    frame inside the block — after exit it recomputes from scratch."""
+    numbered, ranged = _global_row_numbers(df, order_col, row_col, n_partitions)
+    try:
+        yield numbered
+    finally:
+        ranged.unpersist()

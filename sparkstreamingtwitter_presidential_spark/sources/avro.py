@@ -17,10 +17,11 @@ coercion).
 
 Scale shape: one container FILE per partition, written by the
 executors (shared-filesystem sink contract, like every file sink);
-reads parallelize over the file list, one task per file — Avro blocks
-would allow sub-file splits, but a file-per-task floor matches how
-these interchange drops are produced (many files), and `n_files` is
-the write-side parallelism knob. Per-row Python encode/decode is the
+reads parallelize over the file list, one task per file by default,
+and ``read_avro(split_bytes=...)`` splits each file into byte-range
+tasks at container-BLOCK granularity (Hadoop's sync-scan split rule),
+removing the single-huge-file parallelism floor — a lone large
+container decodes across the cluster. Per-row Python encode/decode is the
 honest cost of a native row format without the jar (there is no Arrow
 shortcut for row-oriented Avro); at petabyte scale you deploy
 spark-avro and keep this module as the spec-true fallback and test
@@ -358,14 +359,92 @@ def _decode_file(fname: str):
             yield Row(**{n: br.value(t) for n, t in zip(names, field_types)})
 
 
+def _decode_split(fname: str, start: int, end: int):
+    """Decode the container blocks whose START byte lies in
+    [start, end) — the Hadoop split rule: a task seeks to its range,
+    sync-scans forward to the first block boundary at-or-after
+    ``start``, then reads sequential blocks until one starts at-or-past
+    ``end`` (the final claimed block may extend beyond ``end``; the
+    next split will skip it because its start is behind that split's
+    range). Block boundaries are recognized as a position immediately
+    preceded by the file's 16-byte sync marker (or the header end);
+    a data byte-string that happens to equal the sync (2^-128 per
+    position) is caught by the trailing-sync validation and re-scanned
+    past."""
+    with open(fname, "rb") as f:
+        head = f.read(1 << 20)  # container headers are far below 1 MiB
+        schema, codec, sync, header_end = _read_header(head)
+        field_types = [fld["type"] for fld in schema["fields"]]
+        names = [fld["name"] for fld in schema["fields"]]
+        f.seek(0, os.SEEK_END)
+        fsize = f.tell()
+        end = min(end, fsize)
+
+        if start <= header_end:
+            p = header_end
+        else:
+            # scan for the sync whose END is the first boundary >= start
+            scan_from = max(start - SYNC_SIZE, header_end)
+            f.seek(scan_from)
+            window = f.read(min(end - scan_from + (1 << 20), fsize - scan_from))
+            idx = window.find(sync)
+            p = None
+            while idx != -1:
+                cand = scan_from + idx + SYNC_SIZE
+                if cand >= start:
+                    p = cand
+                    break
+                idx = window.find(sync, idx + 1)
+            if p is None:
+                return  # no boundary in range: nothing to claim
+
+        while p is not None and p < end and p < fsize:
+            f.seek(p)
+            # longest block header: two 10-byte varints
+            chunk = f.read(20)
+            r = _Reader(chunk)
+            try:
+                count = r.long()
+                size = r.long()
+            except IndexError:
+                return  # truncated tail
+            body_at = p + r.pos
+            f.seek(body_at)
+            block = f.read(size)
+            trailer = f.read(SYNC_SIZE)
+            if len(block) != size or trailer != sync:
+                # false-positive sync inside data: resume scanning just
+                # past the bogus boundary
+                f.seek(p)
+                window = f.read(min(1 << 20, fsize - p))
+                idx = window.find(sync)
+                p = p + idx + SYNC_SIZE if idx != -1 else None
+                continue
+            if codec == "deflate":
+                block = zlib.decompress(block, -15)
+            elif codec != "null":
+                raise NotImplementedError(f"avro codec {codec!r} not supported")
+            br = _Reader(block)
+            for _ in range(count):
+                yield Row(**{n: br.value(t) for n, t in zip(names, field_types)})
+            p = body_at + size + SYNC_SIZE
+
+
 def read_avro(
     spark: SparkSession,
     path: str,
     schema: StructType | None = None,
+    split_bytes: int | None = None,
 ) -> DataFrame:
-    """Parallel Avro read: one task per container file. Pass ``schema``
-    to pin reader types (interchange rule); otherwise the writer schema
-    embedded in the first file's header is mapped back to Spark types."""
+    """Parallel Avro read. Default: one task per container file (the
+    natural floor for many-file interchange drops). ``split_bytes``
+    additionally splits each file into byte-range tasks at container
+    BLOCK granularity (the Hadoop split rule — sync-scan to the first
+    block at-or-after the range start), removing the single-huge-file
+    parallelism floor: a lone 100 GB container decodes across the whole
+    cluster instead of one task. Pass ``schema`` to pin reader types
+    (interchange rule); otherwise the writer schema embedded in the
+    first file's header is mapped back to Spark types."""
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
     )
@@ -377,5 +456,19 @@ def read_avro(
         with open(files[0], "rb") as fh:
             head = fh.read(1 << 20)
         schema = avro_to_spark_schema(_read_header(head)[0])
-    rdd = spark.sparkContext.parallelize(files, len(files)).flatMap(_decode_file)
+    if split_bytes is None:
+        rdd = spark.sparkContext.parallelize(files, len(files)).flatMap(
+            _decode_file
+        )
+    else:
+        if split_bytes < 1:
+            raise ValueError(f"split_bytes must be >= 1, got {split_bytes}")
+        splits = []
+        for fn in files:
+            fsize = os.path.getsize(fn)
+            for s in range(0, fsize, split_bytes):
+                splits.append((fn, s, min(s + split_bytes, fsize)))
+        rdd = spark.sparkContext.parallelize(splits, len(splits)).flatMap(
+            lambda t: _decode_split(*t)
+        )
     return spark.createDataFrame(rdd, schema)

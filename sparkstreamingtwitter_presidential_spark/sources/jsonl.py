@@ -28,6 +28,8 @@ Scale rules baked in:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -75,16 +77,31 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     the workaround the error message prescribes.
 
     The cache is NOT released by this function (both returned frames
-    read through it lazily). Caching is keyed on the logical plan, so a
-    long-lived pipeline calling this per batch should release each
-    batch's storage once both sides are consumed by calling
-    ``df.unpersist()`` on the frame it passed in."""
+    read through it lazily); a long-lived pipeline calling this per
+    batch should use ``quarantine_fork`` (context manager — releases
+    the batch's storage deterministically on exit) or call
+    ``df.unpersist()`` on the frame it passed in once both sides are
+    consumed."""
     if CORRUPT_COL not in df.columns:
         raise ValueError(f"DataFrame has no {CORRUPT_COL}; read with quarantine=True")
     df = df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, bad
+
+
+@contextmanager
+def quarantine_fork(df: DataFrame):
+    """Context-managed ``split_quarantine``: yields (good, bad) and
+    UNPERSISTS the shared parse cache on exit — the deterministic
+    release a per-batch dead-letter pipeline needs (LRU eviction is
+    not a contract). Consume both sides inside the block; after exit
+    they recompute from the raw scan."""
+    good, bad = split_quarantine(df)
+    try:
+        yield good, bad
+    finally:
+        df.unpersist()
 
 
 def write_jsonl(

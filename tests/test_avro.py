@@ -116,3 +116,64 @@ def test_avro_corrupt_block_detected(spark, tmp_path):
     open(f, "wb").write(bytes(data))
     with pytest.raises(Exception, match="sync|corrupt|Py4J|decompress"):
         read_avro(spark, p, SCHEMA).collect()
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_block_split_read_equals_file_read(spark, tmp_path, codec):
+    """split_bytes removes the one-task-per-file floor: a single
+    multi-block container read as byte-range splits must yield exactly
+    the per-file read's rows, across >1 actual input partitions, for
+    both codecs (the sync-scan boundary rule is codec-independent)."""
+    out = str(tmp_path / f"a_{codec}")
+    # ~2000 rows x ~300 bytes -> several 256 KiB blocks in ONE file;
+    # hash-derived text stays bulky under deflate (repetitive filler
+    # would compress the whole file below one split)
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.concat_ws(
+            "",
+            *[
+                F.sha2(F.concat(F.col("id").cast("string"), F.lit(str(k))), 256)
+                for k in range(5)
+            ],
+        ).alias("text"),
+        (F.col("id") * 0.5).alias("score"),
+        F.array(F.col("id").cast("float")).alias("vec"),
+        F.col("id").cast("string").cast("binary").alias("blob"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    )
+    write_avro(df, out, codec=codec, n_files=1)
+    assert len(glob.glob(os.path.join(out, "*.avro"))) == 1
+
+    whole = read_avro(spark, out)
+    split = read_avro(spark, out, split_bytes=64 * 1024)
+    a = sorted(tuple(r) for r in whole.collect())
+    b = sorted(tuple(r) for r in split.collect())
+    assert a == b and len(a) == 2000
+    # the split read actually fans out over multiple tasks
+    n_parts = (
+        read_avro(spark, out, split_bytes=64 * 1024)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n_parts > 1
+
+
+def test_avro_split_read_empty_and_tiny_ranges(spark, tmp_path):
+    """Degenerate splits: ranges entirely inside the header or beyond
+    EOF claim nothing; a split_bytes larger than the file equals the
+    whole-file read."""
+    out = str(tmp_path / "tiny")
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    write_avro(df, out, n_files=1)
+    whole = sorted(tuple(r) for r in read_avro(spark, out).collect())
+    big = sorted(
+        tuple(r) for r in read_avro(spark, out, split_bytes=1 << 30).collect()
+    )
+    small = sorted(
+        tuple(r) for r in read_avro(spark, out, split_bytes=64).collect()
+    )
+    assert whole == big == small
+    with pytest.raises(ValueError, match="split_bytes"):
+        read_avro(spark, out, split_bytes=0)

@@ -95,3 +95,36 @@ def test_n_files_controls_part_count(spark, tmp_path):
     )
     write_jsonl(df, p, n_files=3)
     assert len(glob.glob(os.path.join(p, "part-*.json.gz"))) == 3
+
+
+def test_quarantine_fork_releases_cache(spark, tmp_path):
+    """The context manager yields both sides of the dead-letter fork
+    and frees the shared parse cache on exit."""
+    import os
+
+    from sparkstreamingtwitter_presidential_spark.sources.jsonl import (
+        quarantine_fork,
+        read_jsonl,
+    )
+
+    p = str(tmp_path / "in")
+    os.makedirs(p)
+    with open(os.path.join(p, "a.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "ok"}\n')
+        fh.write("not json at all\n")
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    df = read_jsonl(
+        spark,
+        p,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        ),
+        quarantine=True,
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    with quarantine_fork(df) as (good, bad):
+        assert good.count() == 1 and bad.count() == 1
+        assert jsc.getPersistentRDDs().size() > before
+    assert jsc.getPersistentRDDs().size() == before

@@ -162,3 +162,33 @@ def test_global_row_numbers_empty_input(spark):
     d = spark.createDataFrame([], "k int")
     assert global_row_numbers(d, "k", n_partitions=4).count() == 0
     spark.catalog.clearCache()
+
+
+def test_scoped_global_row_numbers_releases_cache(spark):
+    """The context manager must free the persisted range-partitioned
+    intermediate on exit (deterministic release, not LRU)."""
+    from sparkstreamingtwitter_presidential_spark.operators.scale import (
+        scoped_global_row_numbers,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    with scoped_global_row_numbers(df, "k") as numbered:
+        rows = numbered.orderBy("k").limit(3).collect()
+        assert [r.row_num for r in rows] == [1, 2, 3]
+        assert jsc.getPersistentRDDs().size() > before
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_global_row_numbers_handle_out(spark):
+    from sparkstreamingtwitter_presidential_spark.operators.scale import (
+        global_row_numbers,
+    )
+
+    handle: list = []
+    df = spark.range(100).select(F.col("id").alias("k"))
+    out = global_row_numbers(df, "k", handle_out=handle)
+    assert out.count() == 100
+    assert len(handle) == 1
+    handle[0].unpersist()  # caller-driven release path
