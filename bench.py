@@ -123,6 +123,10 @@ HEADLINE = [
     # Round-6: commit-bookkeeping frame (staging warm; timed work is
     # the log parse + frame build — the metadata-cost floor).
     "lakehouse_delta_history_agg",
+    # Round-6: native Iceberg snapshot read (staging warm; timed work
+    # is the metadata/manifest walk + distributed parquet scan + agg —
+    # the Iceberg twin of the delta events entry).
+    "lakehouse_iceberg_events_agg",
 ]
 
 

@@ -800,3 +800,114 @@ def lakehouse_delta_history_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "txn_version",
         "data_change",
     )
+
+
+def _staged_events_iceberg(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as a native Iceberg table once per
+    (sf_dir, schema): two appends (even ids, then odd ids) so the table
+    has real multi-snapshot structure for the latest-read AND
+    time-travel queries. Iceberg manifests record absolute file paths
+    (spec: full URIs), so the Delta staging's rename trick would break
+    them; first-caller races are fenced with an O_EXCL lock + _READY
+    marker instead (build happens in place, visibility is gated by the
+    marker, losers poll)."""
+    import time as _time
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        write_iceberg,
+    )
+
+    key = _events_cache_key(spark, sf_dir)
+    table = f"/tmp/ssp_iceberg_events_{key}"
+    ready = os.path.join(table, "_READY")
+    if os.path.exists(ready):
+        return table
+    os.makedirs(table, exist_ok=True)
+    lock = os.path.join(table, "_BUILD_LOCK")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        for _ in range(600):  # lost the race: wait for the winner
+            if os.path.exists(ready):
+                return table
+            _time.sleep(0.5)
+        raise TimeoutError(f"iceberg staging never became ready: {table}")
+    ev = load_table(spark, sf_dir, "events")
+    write_iceberg(ev.filter("event_id % 2 = 0"), table)
+    write_iceberg(ev.filter("event_id % 2 = 1"), table, mode="append")
+    open(ready, "w").close()
+    return table
+
+
+@query(
+    "lakehouse_iceberg_events_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value,
+               MIN(epoch_us(ts)) AS min_ts_us,
+               MAX(epoch_us(ts)) AS max_ts_us
+        FROM events GROUP BY event_type
+    """,
+    doc=(
+        "NEW r6: native Iceberg — events staged through the engine's own "
+        "spec-true Iceberg writer (metadata.json + avro manifest list / "
+        "manifests built by the package's avro codec, two append "
+        "snapshots) and read back via manifest-walk snapshot resolution; "
+        "the aggregate over the read-back (counts, values, timestamp "
+        "microseconds) must equal the oracle on the original parquet — "
+        "a driver-graded write->manifest->scan fidelity proof, the "
+        "Iceberg twin of lakehouse_delta_events_agg"
+    ),
+)
+def lakehouse_iceberg_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        read_iceberg,
+    )
+
+    table = _staged_events_iceberg(spark, sf_dir)
+    ev = read_iceberg(spark, table)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )
+
+
+@query(
+    "lakehouse_iceberg_time_travel_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+    """,
+    doc=(
+        "NEW r6: Iceberg time travel — the staged table's FIRST snapshot "
+        "(discovered via the snapshots frame by sequence number, not a "
+        "remembered id) read while the table head holds both halves; "
+        "must equal the even-ids aggregate exactly: fails if snapshot "
+        "resolution leaks the second append's manifests or drops any of "
+        "the first's"
+    ),
+)
+def lakehouse_iceberg_time_travel_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        read_iceberg,
+        table_snapshots,
+    )
+
+    table = _staged_events_iceberg(spark, sf_dir)
+    first = (
+        table_snapshots(spark, table)
+        .orderBy("sequence_number")
+        .first()
+        .snapshot_id
+    )
+    ev = read_iceberg(spark, table, snapshot_id=first)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+    )

@@ -95,12 +95,10 @@ GRADED_FIRST: list[str] = [
     # repetition-signals query — window family keeps running-sum).
     "text_repetition_signals",
     "lakehouse_delta_merge_agg",
-    "lakehouse_delta_changes_agg",
     "lakehouse_delta_pipeline_agg",
     "lakehouse_delta_delete_update_agg",
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
-    "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q22_global_sales_opportunity",
@@ -266,6 +264,17 @@ GRADED_FIRST: list[str] = [
     # 7-table Q8 star join and Q9's 6-way profit join; Q7 stays in
     # tests/test_queries_oracle.py and bench).
     "lakehouse_delta_history_agg",
+    # Round-6: native Iceberg (table-spec metadata.json + avro manifest
+    # walk via the package's own avro codec) — snapshot read fidelity
+    # and time travel by snapshot id. Ceded: tpch_q13_customer_
+    # distribution (r4+r5 driver-green; the outer-join-distribution
+    # shape stays via join_left_outer in bench + pytest oracle) and
+    # lakehouse_delta_changes_agg (r4+r5 driver-green; the incremental
+    # change-read family keeps lakehouse_delta_pipeline_agg and
+    # lakehouse_delta_row_changes graded; both ceded queries stay in
+    # tests/test_queries_oracle.py).
+    "lakehouse_iceberg_events_agg",
+    "lakehouse_iceberg_time_travel_agg",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

@@ -148,12 +148,16 @@ def _write_bytes(buf: bytearray, b: bytes) -> None:
 
 
 def _write_value(buf: bytearray, t: object, v: object) -> None:
-    if isinstance(t, list):  # ["null", T]
+    if isinstance(t, list):  # union: null + one branch
         if v is None:
-            _write_long(buf, 0)
+            buf_idx = next(i for i, x in enumerate(t) if x == "null")
+            _write_long(buf, buf_idx)
             return
-        _write_long(buf, 1)
-        _write_value(buf, [x for x in t if x != "null"][0], v)
+        idx, branch = next(
+            (i, x) for i, x in enumerate(t) if x != "null"
+        )
+        _write_long(buf, idx)
+        _write_value(buf, branch, v)
     elif t == "boolean":
         buf.append(1 if v else 0)
     elif t in ("int", "long"):
@@ -172,6 +176,26 @@ def _write_value(buf: bytearray, t: object, v: object) -> None:
             for item in v:
                 _write_value(buf, t["items"], item)
         _write_long(buf, 0)
+    elif isinstance(t, dict) and t.get("type") == "map":
+        # string keys, block-framed like arrays
+        if len(v):
+            _write_long(buf, len(v))
+            for k, mv in v.items():
+                _write_bytes(buf, k.encode("utf-8"))
+                _write_value(buf, t["values"], mv)
+        _write_long(buf, 0)
+    elif isinstance(t, dict) and t.get("type") == "record":
+        # value addressed by field name: dict or pyspark Row both
+        # support __getitem__ by name
+        for fld in t["fields"]:
+            _write_value(buf, fld["type"], v[fld["name"]])
+    elif isinstance(t, dict) and t.get("type") == "fixed":
+        b = bytes(v)
+        if len(b) != t["size"]:
+            raise ValueError(
+                f"fixed({t['size']}) value has {len(b)} bytes"
+            )
+        buf += b
     else:  # pragma: no cover — schema validated at write entry
         raise NotImplementedError(f"unsupported avro type {t!r}")
 
@@ -229,6 +253,24 @@ class _Reader:
                     self.long()  # skip the size hint
                 for _ in range(n):
                     out.append(self.value(t["items"]))
+        if isinstance(t, dict) and t.get("type") == "map":
+            m: dict = {}
+            while True:
+                n = self.long()
+                if n == 0:
+                    return m
+                if n < 0:
+                    n = -n
+                    self.long()
+                for _ in range(n):
+                    k = self.bytes_().decode("utf-8")
+                    m[k] = self.value(t["values"])
+        if isinstance(t, dict) and t.get("type") == "record":
+            return {
+                fld["name"]: self.value(fld["type"]) for fld in t["fields"]
+            }
+        if isinstance(t, dict) and t.get("type") == "fixed":
+            return self.raw(t["size"])
         raise NotImplementedError(f"unsupported avro type {t!r}")
 
 
@@ -428,6 +470,78 @@ def _decode_split(fname: str, start: int, end: int):
             for _ in range(count):
                 yield Row(**{n: br.value(t) for n, t in zip(names, field_types)})
             p = body_at + size + SYNC_SIZE
+
+
+def write_container(
+    fname: str,
+    avro_schema: dict,
+    rows: list,
+    meta: dict[str, bytes] | None = None,
+    codec: str = "null",
+) -> int:
+    """Driver-side single-file container write with an ARBITRARY Avro
+    record schema (nested records / maps / fixed included) and caller
+    metadata keys — the primitive Iceberg manifests are built from
+    (manifest files ARE Avro containers whose metadata carries the
+    Iceberg schema/spec strings). Rows are dicts keyed by field name.
+    Returns the file's byte length (Iceberg manifest lists record it)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"codec must be 'null' or 'deflate', got {codec!r}")
+    schema_json = json.dumps(avro_schema)
+    sync = hashlib.md5(fname.encode()).digest()
+    all_meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    all_meta.update(meta or {})
+    with open(fname, "wb") as out:
+        _write_header(out, all_meta, sync)
+        buf = bytearray()
+        count = 0
+        for row in rows:
+            _write_value(buf, avro_schema, row)
+            count += 1
+            if len(buf) >= _BLOCK_BYTES:
+                _flush_block(out, buf, count, codec, sync)
+                buf = bytearray()
+                count = 0
+        _flush_block(out, buf, count, codec, sync)
+    return os.path.getsize(fname)
+
+
+def read_container(fname: str) -> tuple[dict, dict[str, bytes], list]:
+    """Driver-side single-file container read: (writer schema, metadata
+    map, rows-as-dicts). The inverse of ``write_container``; nested
+    records come back as dicts, maps as dicts, fixed as bytes."""
+    with open(fname, "rb") as f:
+        data = f.read()
+    schema, codec, sync, pos = _read_header(data)
+    r = _Reader(data)
+    r.pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.long()
+        for _ in range(n):
+            key = r.bytes_().decode()
+            meta[key] = r.bytes_()
+    rows = []
+    r.pos = pos
+    while r.pos < len(data):
+        count = r.long()
+        size = r.long()
+        block = r.raw(size)
+        if r.raw(SYNC_SIZE) != sync:
+            raise ValueError(f"{fname}: sync marker mismatch (corrupt block)")
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise NotImplementedError(f"avro codec {codec!r} not supported")
+        br = _Reader(block)
+        for _ in range(count):
+            rows.append(br.value(schema))
+    return schema, meta, rows
 
 
 def read_avro(

@@ -1,12 +1,15 @@
 """Lakehouse-format connectors (Delta / Iceberg / Hudi).
 
-Delta is REAL here even without the jar: `sources/delta.py` implements
-the public transaction-log protocol natively (JSON/checkpoint replay +
-plain parquet IO), so `read_lakehouse`/`write_lakehouse` fall back to
-it when `io.delta` is absent from the classpath. Iceberg and Hudi
-remain classpath probes that raise a clear NotImplementedError naming
-the missing jar (the repo-wide policy for absent native deps); their
-call signatures are the real ones.
+Delta and Iceberg are REAL here even without their jars:
+`sources/delta.py` implements the Delta transaction-log protocol
+natively (JSON/checkpoint replay + plain parquet IO) and
+`sources/iceberg.py` implements the Iceberg table spec's
+Hadoop-catalog layout (metadata.json + avro manifest lists/manifests
+via the package's own avro codec), so `read_lakehouse` /
+`write_lakehouse` fall back to them when the classpath probes fail.
+Hudi remains a classpath probe that raises a clear NotImplementedError
+naming the missing jar (the repo-wide policy for absent native deps);
+its call signature is the real one.
 """
 
 from __future__ import annotations
@@ -48,6 +51,10 @@ def read_lakehouse(spark: SparkSession, fmt: str, path: str) -> DataFrame:
             from sparkstreamingtwitter_presidential_spark.sources.delta import read_delta
 
             return read_delta(spark, path)
+        if fmt == "iceberg":
+            from sparkstreamingtwitter_presidential_spark.sources.iceberg import read_iceberg
+
+            return read_iceberg(spark, path)
         raise
 
 
@@ -61,6 +68,11 @@ def write_lakehouse(df: DataFrame, fmt: str, path: str, mode: str = "append") ->
             from sparkstreamingtwitter_presidential_spark.sources.delta import write_delta
 
             write_delta(df, path, mode=mode)
+            return
+        if fmt == "iceberg":
+            from sparkstreamingtwitter_presidential_spark.sources.iceberg import write_iceberg
+
+            write_iceberg(df, path, mode=mode)
             return
         raise
     df.write.format(fmt_name).mode(mode).save(path)

@@ -1,0 +1,191 @@
+"""Native Iceberg (sources/iceberg.py): spec-layout write -> snapshot
+read roundtrip, append vs overwrite snapshot semantics, time travel by
+snapshot id, the snapshots inspection frame, commit atomicity, stale
+version hints, and the honest refusal boundary (partitioned specs,
+delete files, foreign formats)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+    IcebergCommitConflict,
+    current_snapshot_id,
+    read_iceberg,
+    table_snapshots,
+    write_iceberg,
+)
+
+SCHEMA = "id long, s string, v double, arr array<float>"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_roundtrip_and_layout_is_spec_shaped(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.5, [0.5, -1.0]), (2, "b", None, []), (3, None, 3.0, None)])
+    write_iceberg(df, t)
+    back = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    assert back == sorted(tuple(r) for r in df.collect())
+    # spec layout: version hint, metadata json, snap-*.avro list,
+    # *-m0.avro manifest, parquet data
+    md = os.path.join(t, "metadata")
+    names = os.listdir(md)
+    assert "version-hint.text" in names
+    assert "v1.metadata.json" in names
+    assert any(n.startswith("snap-") and n.endswith(".avro") for n in names)
+    assert any(n.endswith("-m0.avro") for n in names)
+    meta = json.load(open(os.path.join(md, "v1.metadata.json")))
+    assert meta["format-version"] == 2
+    assert meta["partition-specs"] == [{"spec-id": 0, "fields": []}]
+    # iceberg schema carries field ids
+    assert all("id" in f for f in meta["schemas"][0]["fields"])
+
+
+def test_append_accumulates_overwrite_replaces(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0, None)]), t)
+    write_iceberg(_df(spark, [(2, "b", 2.0, None)]), t, mode="append")
+    assert read_iceberg(spark, t).count() == 2
+    write_iceberg(_df(spark, [(9, "z", 9.0, None)]), t, mode="overwrite")
+    got = [(r.id, r.s) for r in read_iceberg(spark, t).collect()]
+    assert got == [(9, "z")]
+
+
+def test_time_travel_by_snapshot_id(spark, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a", 1.0, None)]), t)
+    s2 = write_iceberg(_df(spark, [(2, "b", 2.0, None)]), t, mode="append")
+    assert read_iceberg(spark, t, snapshot_id=s1).count() == 1
+    assert read_iceberg(spark, t, snapshot_id=s2).count() == 2
+    assert current_snapshot_id(t) == s2
+    with pytest.raises(ValueError, match="does not exist"):
+        read_iceberg(spark, t, snapshot_id=12345)
+
+
+def test_snapshots_frame_attribution(spark, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a", 1.0, None), (2, "b", 2.0, None)]), t)
+    s2 = write_iceberg(_df(spark, [(3, "c", 3.0, None)]), t, mode="append")
+    snaps = {r.snapshot_id: r for r in table_snapshots(spark, t).collect()}
+    assert set(snaps) == {s1, s2}
+    assert snaps[s1].parent_id is None and snaps[s2].parent_id == s1
+    assert (snaps[s1].sequence_number, snaps[s2].sequence_number) == (1, 2)
+    assert snaps[s1].operation == "append"
+    assert snaps[s1].added_rows == 2 and snaps[s2].added_rows == 1
+    assert snaps[s1].existing_files == 0 and snaps[s2].existing_files > 0
+
+
+def test_schema_is_applied_and_pinned(spark, tmp_path):
+    """Reads go through the TABLE schema (schema-stable over files),
+    and the writer refuses a mismatched frame rather than evolving."""
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0, [1.0])]), t)
+    assert read_iceberg(spark, t).schema == _df(spark, []).schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg(
+            spark.createDataFrame([(1,)], "only long"), t, mode="append"
+        )
+
+
+def test_commit_conflict_put_if_absent(spark, tmp_path, monkeypatch):
+    """A writer that read v1 while a concurrent winner commits v2 must
+    lose the O_EXCL claim on v2 and raise, not overwrite."""
+    import shutil
+
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0, None)]), t)
+    md = os.path.join(t, "metadata")
+    # concurrent winner: a valid v2 lands AFTER our reader snapshots v1
+    shutil.copy(
+        os.path.join(md, "v1.metadata.json"),
+        os.path.join(md, "v2.metadata.json"),
+    )
+    monkeypatch.setattr(I, "_current_metadata_version", lambda p: 1)
+    with pytest.raises(IcebergCommitConflict):
+        write_iceberg(_df(spark, [(2, "b", 2.0, None)]), t, mode="append")
+
+
+def test_stale_version_hint_recovers_from_listing(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0, None)]), t)
+    write_iceberg(_df(spark, [(2, "b", 2.0, None)]), t, mode="append")
+    hint = os.path.join(t, "metadata", "version-hint.text")
+    open(hint, "w").write("1")  # stale hint
+    assert read_iceberg(spark, t).count() == 2  # listing wins
+    os.remove(hint)
+    assert read_iceberg(spark, t).count() == 2  # absent hint tolerated
+
+
+def test_refusals_partitioned_and_deletes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0, None)]), t)
+    md = os.path.join(t, "metadata")
+    meta = json.load(open(os.path.join(md, "v1.metadata.json")))
+
+    # partitioned spec -> refuse
+    meta2 = dict(meta)
+    meta2["partition-specs"] = [
+        {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "source-id": 1,
+                    "field-id": 1000,
+                    "name": "id",
+                    "transform": "identity",
+                }
+            ],
+        }
+    ]
+    json.dump(meta2, open(os.path.join(md, "v2.metadata.json"), "w"))
+    open(os.path.join(md, "version-hint.text"), "w").write("2")
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        read_iceberg(spark, t)
+
+    # format-version 3 -> refuse
+    meta3 = dict(meta)
+    meta3["format-version"] = 3
+    json.dump(meta3, open(os.path.join(md, "v3.metadata.json"), "w"))
+    open(os.path.join(md, "version-hint.text"), "w").write("3")
+    with pytest.raises(NotImplementedError, match="format-version"):
+        read_iceberg(spark, t)
+
+
+def test_unsupported_column_type_refused_up_front(spark, tmp_path):
+    df = spark.createDataFrame([({"k": 1},)], "m map<string,long>")
+    with pytest.raises(NotImplementedError, match="supports"):
+        write_iceberg(df, str(tmp_path / "t"))
+
+
+def test_lakehouse_fallback_routes_to_native_iceberg(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.lakehouse import (
+        read_lakehouse,
+        write_lakehouse,
+    )
+
+    t = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.0, None)])
+    write_lakehouse(df, "iceberg", t)
+    assert read_lakehouse(spark, "iceberg", t).count() == 1
+
+
+def test_timestamp_column_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT id, timestamp'2024-03-01 12:00:00' + make_interval(0,0,0,0,0,0,id) AS ts "
+        "FROM range(5)"
+    )
+    write_iceberg(df, t)
+    meta = json.load(open(os.path.join(t, "metadata", "v1.metadata.json")))
+    assert meta["schemas"][0]["fields"][1]["type"] == "timestamptz"
+    back = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    assert back == sorted(tuple(r) for r in df.collect())
