@@ -911,3 +911,41 @@ def lakehouse_iceberg_time_travel_agg(
         F.count("*").alias("n"),
         (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
     )
+
+
+@query(
+    "lakehouse_iceberg_incremental_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+    """,
+    doc=(
+        "NEW r6: Iceberg incremental append-scan — rows added strictly "
+        "AFTER the first snapshot (manifest selection by sequence-number "
+        "range; cost tracks the delta, never the table) must equal the "
+        "odd-ids aggregate exactly: fails if the range leaks the first "
+        "append's files or drops any of the second's; the Iceberg twin "
+        "of the Delta incremental change-read query"
+    ),
+)
+def lakehouse_iceberg_incremental_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        read_iceberg_incremental,
+        table_snapshots,
+    )
+
+    table = _staged_events_iceberg(spark, sf_dir)
+    first = (
+        table_snapshots(spark, table)
+        .orderBy("sequence_number")
+        .first()
+        .snapshot_id
+    )
+    ev = read_iceberg_incremental(spark, table, from_snapshot=first)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+    )

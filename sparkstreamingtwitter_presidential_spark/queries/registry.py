@@ -69,7 +69,6 @@ GRADED_FIRST: list[str] = [
     "dedup_ngram_jaccard_pairs",
     "streaming_tumbling_windows",
     "streaming_dedup_exact",
-    "streaming_stream_join",
     # Round-3 newcomers (training-data assembly): graded on arrival, per
     # rotation policy. Ceded: cube_orders_status_priority,
     # percentiles_order_totalprice, having_high_volume_suppliers (all
@@ -275,6 +274,13 @@ GRADED_FIRST: list[str] = [
     # tests/test_queries_oracle.py).
     "lakehouse_iceberg_events_agg",
     "lakehouse_iceberg_time_travel_agg",
+    # Round-6: Iceberg incremental append-scan (sequence-number-range
+    # manifest selection). Ceded: streaming_stream_join (r2-r5
+    # driver-green, four consecutive rounds; the streaming family keeps
+    # tumbling windows, exact dedup, the exactly-once upsert, and the
+    # update-mode drain graded; stream-stream join stays in
+    # tests/test_queries_oracle.py and the streaming pytest suite).
+    "lakehouse_iceberg_incremental_agg",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

@@ -189,3 +189,34 @@ def test_timestamp_column_roundtrip(spark, tmp_path):
     assert meta["schemas"][0]["fields"][1]["type"] == "timestamptz"
     back = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
     assert back == sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_read_between_snapshots(spark, tmp_path):
+    """Incremental scan yields exactly the rows added after
+    from_snapshot, selects by sequence range (not listing diff), and
+    refuses ranges crossing an overwrite."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        read_iceberg_incremental,
+    )
+
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a", 1.0, None)]), t)
+    s2 = write_iceberg(_df(spark, [(2, "b", 2.0, None)]), t, mode="append")
+    s3 = write_iceberg(_df(spark, [(3, "c", 3.0, None)]), t, mode="append")
+
+    inc = read_iceberg_incremental(spark, t, from_snapshot=s1)
+    assert sorted(r.id for r in inc.collect()) == [2, 3]
+    inc12 = read_iceberg_incremental(spark, t, s1, to_snapshot=s2)
+    assert [r.id for r in inc12.collect()] == [2]
+    assert read_iceberg_incremental(spark, t, s3).count() == 0  # empty range
+    with pytest.raises(ValueError, match="precedes"):
+        read_iceberg_incremental(spark, t, s3, to_snapshot=s1)
+
+    s4 = write_iceberg(_df(spark, [(9, "z", 9.0, None)]), t, mode="overwrite")
+    with pytest.raises(ValueError, match="not an append"):
+        read_iceberg_incremental(spark, t, s1, to_snapshot=s4)
+    # a range strictly after the overwrite is fine again
+    s5 = write_iceberg(_df(spark, [(10, "y", 1.0, None)]), t, mode="append")
+    assert sorted(
+        r.id for r in read_iceberg_incremental(spark, t, s4, to_snapshot=s5).collect()
+    ) == [10]
