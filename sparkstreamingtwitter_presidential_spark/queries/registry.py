@@ -99,7 +99,6 @@ GRADED_FIRST: list[str] = [
     "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
     "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
     "tpch_q22_global_sales_opportunity",
     # Round-5 newcomers (r4 verdict items 3-5: the only capabilities
     # with no driver-visible correctness signal), graded on arrival.
@@ -281,6 +280,12 @@ GRADED_FIRST: list[str] = [
     # update-mode drain graded; stream-stream join stays in
     # tests/test_queries_oracle.py and the streaming pytest suite).
     "lakehouse_iceberg_incremental_agg",
+    # Round-6: scan-piggybacked quality metrics (Dataset.observe — the
+    # zero-extra-pass ETL profiling shape). Ceded: tpch_q17_small_
+    # quantity_revenue (r4+r5 driver-green; TPC-H keeps Q3/Q5/Q8/Q9/
+    # Q15/Q22 graded incl. the correlated-scalar-subquery shape via
+    # Q15/Q22; Q17 stays in tests/test_queries_oracle.py).
+    "quality_observed_metrics",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

@@ -993,3 +993,49 @@ def io_synthdocs_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_partitions", "7")
         .load()
     )
+
+
+@query(
+    "quality_observed_metrics",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS text_nulls,
+               CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS lang_nulls,
+               CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_chars_nulls,
+               MIN(n_chars) AS n_chars_min,
+               MAX(n_chars) AS n_chars_max
+        FROM documents
+    """,
+    doc=(
+        "NEW r6: observe()-piggybacked data-quality metrics — row count, "
+        "per-column null counts, numeric ranges evaluated INSIDE the "
+        "scan's own job (AccumulatorV2 merge, zero extra pass — the "
+        "100 TB profiling shape: metrics ride the pipeline's real write "
+        "action); graded by materializing the observation dict as a "
+        "1-row frame against the direct-aggregate oracle"
+    ),
+)
+def quality_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.observability import (
+        observed_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = observed_profile(docs, ["text", "lang", "n_chars"])
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["text_nulls"],
+                m["lang_nulls"],
+                m["n_chars_nulls"],
+                m["n_chars_min"],
+                m["n_chars_max"],
+            )
+        ],
+        "n_rows long, text_nulls long, lang_nulls long, n_chars_nulls long, "
+        "n_chars_min int, n_chars_max int",
+    )
