@@ -146,3 +146,76 @@ def strided_token_chunks(
             " ",
         ).alias("chunk_text"),
     )
+
+
+def length_bucket_boundaries(
+    df: DataFrame, length_col: str, n_buckets: int
+) -> list[float]:
+    """Equal-frequency bucket boundaries for ``length_col``: the
+    (1/n .. (n-1)/n) interior percentiles, floor-rounded to 1e-6 (the
+    house convention that keeps Spark and a SQL twin bit-identical on
+    interpolated doubles). One aggregate job; the boundary list is
+    n_buckets-1 doubles to the driver — metadata, never data."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.select(
+        F.percentile(F.col(length_col), F.array(*[F.lit(p) for p in fracs])).alias(
+            "b"
+        )
+    ).first()
+    return [int(b * 1e6 + 0.5) / 1e6 for b in row["b"]]
+
+
+def bucket_by_length(
+    df: DataFrame,
+    length_col: str,
+    n_buckets: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Sequence-length bucketing (the padding-waste reducer for
+    training batch assembly): assign each row an equal-frequency
+    bucket id in [0, n_buckets) by its length percentile, so batches
+    drawn within one bucket pad to a near-uniform length instead of
+    the corpus max.
+
+    Scale shape: ONE percentile aggregate for the boundary list
+    (driver gets n_buckets-1 doubles), then a map-only CASE-chain
+    assignment fused into the scan — no shuffle of the data, no
+    global sort (contrast NTILE, whose unpartitioned window is an
+    Exchange SinglePartition). Ties at a boundary go to the LOWER
+    bucket (len <= boundary), deterministically."""
+    bounds = length_bucket_boundaries(df, length_col, n_buckets)
+    c = F.col(length_col)
+    expr = F.lit(n_buckets - 1)
+    for i in range(n_buckets - 2, -1, -1):
+        expr = F.when(c <= F.lit(bounds[i]), F.lit(i)).otherwise(expr)
+    return df.withColumn(bucket_col, expr.cast("int"))
+
+
+def bucket_padding_stats(
+    df: DataFrame,
+    length_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Per-bucket padding economics: (bucket, n_docs, min_len, max_len,
+    pad_waste) where pad_waste = 1 - sum(len)/(n_docs*max_len) — the
+    fraction of a batch's tokens that would be padding if every doc in
+    the bucket pads to the bucket max. The un-bucketed waste (pad to
+    corpus max) is what this operator exists to beat."""
+    b = bucket_by_length(df, length_col, n_buckets)
+    c = F.col(length_col)
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(c).alias("min_len"),
+            F.max(c).alias("max_len"),
+            (
+                F.floor(
+                    (1 - F.sum(c) / (F.count("*") * F.max(c))) * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("pad_waste"),
+        )
+    )

@@ -410,3 +410,48 @@ def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_text").alias("text"),
     )
     return bm25_topk(chunk_docs, BM25_TERMS, k=10)
+
+
+@query(
+    "pack_length_bucket_stats",
+    oracle="""
+        WITH fb AS (
+            SELECT list_transform(
+                       quantile_cont(n_chars, [0.2, 0.4, 0.6, 0.8]),
+                       v -> FLOOR(v * 1e6 + 0.5) / 1e6) AS q
+            FROM documents
+        ), assigned AS (
+            SELECT d.n_chars,
+                   CASE WHEN d.n_chars <= q[1] THEN 0
+                        WHEN d.n_chars <= q[2] THEN 1
+                        WHEN d.n_chars <= q[3] THEN 2
+                        WHEN d.n_chars <= q[4] THEN 3
+                        ELSE 4 END AS bucket
+            FROM documents d, fb
+        )
+        SELECT bucket,
+               COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_len,
+               MAX(n_chars) AS max_len,
+               FLOOR((1 - SUM(n_chars)::DOUBLE / (COUNT(*) * MAX(n_chars)))
+                     * 1e6 + 0.5) / 1e6 AS pad_waste
+        FROM assigned GROUP BY bucket
+    """,
+    doc=(
+        "NEW r6: sequence-length bucketing — equal-frequency buckets by "
+        "exact interpolated percentile boundaries (ONE aggregate to the "
+        "driver, n-1 doubles; assignment is a map-only CASE chain fused "
+        "into the scan — no shuffle, no NTILE SinglePartition sort), "
+        "with per-bucket padding-waste economics (1 - sum/(n*max), the "
+        "fraction of batch tokens that would be padding at the bucket "
+        "max); boundaries floor-rounded to 1e-6 on both engines so the "
+        "interpolated doubles compare bit-identically"
+    ),
+)
+def pack_length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.packing import (
+        bucket_padding_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bucket_padding_stats(docs, "n_chars", n_buckets=5)

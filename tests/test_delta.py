@@ -272,5 +272,10 @@ def test_lakehouse_facade_falls_back_to_native_delta(spark, tmp_path):
     t = str(tmp_path / "t")
     write_lakehouse(_df(spark, [(1, "a", 1.0)]), "delta", t)
     assert _rows(read_lakehouse(spark, "delta", t)) == [(1, "a", 1.0)]
-    with pytest.raises(NotImplementedError, match="iceberg"):
+    # iceberg ALSO routes native since r6 — on a delta path it reports
+    # a missing iceberg layout, not a missing jar
+    with pytest.raises(FileNotFoundError, match="not an Iceberg table"):
         read_lakehouse(spark, "iceberg", t)
+    # hudi stays an honest jar probe
+    with pytest.raises(NotImplementedError, match="hudi"):
+        read_lakehouse(spark, "hudi", t)

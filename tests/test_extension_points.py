@@ -34,18 +34,21 @@ def test_global_zscore_builtin_exact(spark):
     assert out.count() == c.count()
 
 
-@pytest.mark.parametrize("fmt", ["iceberg", "hudi"])
-def test_lakehouse_stub_raises_with_named_dep(spark, fmt):
-    with pytest.raises(NotImplementedError, match=fmt):
-        read_lakehouse(spark, fmt, "/tmp/nope")
+def test_lakehouse_stub_raises_with_named_dep(spark):
+    # hudi is the remaining honest stub (timeline + Avro log blocks
+    # exercise no capability beyond the two NATIVE formats)
+    with pytest.raises(NotImplementedError, match="hudi"):
+        read_lakehouse(spark, "hudi", "/tmp/nope")
 
 
-def test_lakehouse_delta_routes_to_native_reader(spark):
-    # delta no longer stubs: without the jar it falls back to the native
-    # log-replay reader, so a missing path is a table-level error, not a
-    # missing-dependency one (roundtrip covered in tests/test_delta.py)
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_lakehouse_routes_to_native_readers(spark, fmt):
+    # delta (r3) and iceberg (r6) no longer stub: without the jars they
+    # fall back to the native implementations, so a missing path is a
+    # table-level error, not a missing-dependency one (roundtrips in
+    # tests/test_delta.py and tests/test_iceberg.py)
     with pytest.raises(FileNotFoundError):
-        read_lakehouse(spark, "delta", "/tmp/nope")
+        read_lakehouse(spark, fmt, "/tmp/nope")
 
 
 def test_udtf_extension_point_lateral_join(spark):

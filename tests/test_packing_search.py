@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from sparkstreamingtwitter_presidential_spark.operators.packing import (
     pack_sequences,
@@ -174,3 +175,47 @@ def test_hybrid_rrf_with_dead_lexical_leg(spark):
     assert len(out) == 3
     assert all(r.rank_lex is None and r.rank_sem is not None for r in out)
     assert [r.rank_sem for r in out] == [1, 2, 3]
+
+
+def test_bucket_by_length_equal_frequency_and_order(spark):
+    from sparkstreamingtwitter_presidential_spark.operators.packing import (
+        bucket_by_length,
+        length_bucket_boundaries,
+    )
+
+    df = spark.range(1000).select((F.col("id") + 1).alias("len"))
+    out = bucket_by_length(df, "len", 4)
+    sizes = {r.bucket: r.cnt for r in out.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    assert all(abs(v - 250) <= 1 for v in sizes.values())  # equal frequency
+    # order preserved: every member of bucket k is <= every member of k+1
+    maxes = {r.bucket: r.m for r in out.groupBy("bucket").agg(F.max("len").alias("m")).collect()}
+    mins = {r.bucket: r.m for r in out.groupBy("bucket").agg(F.min("len").alias("m")).collect()}
+    assert maxes[0] <= mins[1] and maxes[1] <= mins[2] and maxes[2] <= mins[3]
+    with pytest.raises(ValueError, match="n_buckets"):
+        length_bucket_boundaries(df, "len", 1)
+
+
+def test_bucketing_reduces_padding_waste(spark):
+    """The operator's raison d'etre: per-bucket padding waste must be
+    well under the pad-to-corpus-max waste on a skewed length mix."""
+    from sparkstreamingtwitter_presidential_spark.operators.packing import (
+        bucket_padding_stats,
+    )
+
+    # bimodal: many short docs, few very long ones — the bad case for
+    # corpus-max padding
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 10 == 0, F.col("id") % 97 + 900)
+        .otherwise(F.col("id") % 37 + 10)
+        .alias("len")
+    )
+    stats = bucket_padding_stats(df, "len", 4).collect()
+    total = df.agg(
+        (1 - F.sum("len") / (F.count("*") * F.max("len"))).alias("w")
+    ).first()["w"]
+    assert total > 0.8  # corpus-max padding is terrible here
+    weighted = sum(r.pad_waste * r.n_docs for r in stats) / sum(
+        r.n_docs for r in stats
+    )
+    assert weighted < total / 2  # bucketing at least halves the waste
