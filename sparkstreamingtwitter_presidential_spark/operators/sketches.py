@@ -57,3 +57,52 @@ def merge_estimates(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(*aggs)
     return sketches.agg(*aggs)
+
+
+def build_theta_sketches(
+    df: DataFrame,
+    slice_cols: list[str],
+    distinct_col: str,
+    lg_k: int = LG_K,
+) -> DataFrame:
+    """Theta-sketch artifacts per slice. HLL answers only distinct
+    COUNTS; theta sketches additionally support set INTERSECTION and
+    DIFFERENCE across stored sketches — the overlap-estimation pattern
+    (shared content between corpus slices, audience overlap between
+    tenants) that would otherwise need a full join of the raw data."""
+    return df.groupBy(*slice_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.theta_sketch_agg(distinct_col, F.lit(lg_k)).alias("sketch"),
+    )
+
+
+def slice_overlap_estimates(
+    sketches: DataFrame, slice_col: str
+) -> DataFrame:
+    """Pairwise estimated overlap between slices from STORED theta
+    sketches: (slice_a, slice_b, distinct_a, distinct_b,
+    overlap_est, jaccard_est) for every unordered pair. The join is
+    sketch-count x sketch-count (slices, not rows) and each cell is a
+    constant-size binary op — at 100 TB this reads kilobytes where the
+    exact computation re-shuffles the corpus."""
+    a = sketches.select(
+        F.col(slice_col).alias("slice_a"),
+        F.col("sketch").alias("sk_a"),
+    )
+    b = sketches.select(
+        F.col(slice_col).alias("slice_b"),
+        F.col("sketch").alias("sk_b"),
+    )
+    pairs = a.join(b, F.col("slice_a") < F.col("slice_b"))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+    )
+    union = F.theta_sketch_estimate(F.theta_union(F.col("sk_a"), F.col("sk_b")))
+    return pairs.select(
+        "slice_a",
+        "slice_b",
+        F.theta_sketch_estimate("sk_a").alias("distinct_a"),
+        F.theta_sketch_estimate("sk_b").alias("distinct_b"),
+        inter.alias("overlap_est"),
+        (inter / union).alias("jaccard_est"),
+    )

@@ -490,3 +490,104 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured ingestion (Spark 4's open-variant type): parse
+# heterogeneous JSON ONCE into the binary variant encoding, then typed
+# path extraction — the schema-flexible ingestion shape for event streams
+# whose payloads vary by producer. Contrast events_json_extract
+# (get_json_object re-parses the string per path; variant parses once and
+# extraction is a binary traversal).
+# ---------------------------------------------------------------------------
+@query(
+    "events_variant_extract",
+    oracle="""
+        WITH synth AS (
+            SELECT event_id, event_type,
+                   CASE
+                     WHEN event_id % 3 = 0 THEN
+                       '{"a": {"b": ' || CAST(value AS VARCHAR)
+                       || '}, "tag": "' || event_type || '"}'
+                     WHEN event_id % 3 = 1 THEN
+                       '{"a": {"b": null}, "n": ' || CAST(user_id AS VARCHAR)
+                       || '}'
+                     ELSE
+                       '[' || CAST(event_id AS VARCHAR) || ', '
+                       || CAST(user_id AS VARCHAR) || ']'
+                   END AS payload
+            FROM events
+        ), ext AS (
+            SELECT event_type,
+                   CAST(json_extract(payload, '$.a.b') AS DOUBLE) AS ab,
+                   CAST(json_extract(payload, '$.n') AS BIGINT) AS n,
+                   CAST(json_extract(payload, '$[0]') AS BIGINT) AS arr0,
+                   json_extract_string(payload, '$.tag') AS tag
+            FROM synth
+        )
+        SELECT event_type,
+               COUNT(ab) AS n_ab,
+               FLOOR(SUM(COALESCE(ab, 0)) * 100 + 0.5) / 100 AS sum_ab,
+               CAST(SUM(COALESCE(n, 0)) AS BIGINT) AS sum_n,
+               CAST(SUM(COALESCE(arr0, 0)) AS BIGINT) AS sum_arr0,
+               COUNT(tag) AS n_tag
+        FROM ext GROUP BY event_type
+    """,
+    doc=(
+        "NEW r6: VARIANT ingestion — deterministically synthesized "
+        "heterogeneous JSON (three producer shapes: nested object, "
+        "null-valued nested field + top-level int, bare array) parsed "
+        "ONCE via parse_json into Spark 4's binary variant encoding, "
+        "then typed variant_get path extraction ($.a.b double, $.n "
+        "long, $[0] array index, $.tag string) with missing-path nulls; "
+        "aggregated per event_type against a json_extract oracle — "
+        "fails if variant parsing, path traversal, typed casts, or "
+        "null-vs-missing semantics diverge"
+    ),
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit('{"a": {"b": '),
+                F.col("value").cast("string"),
+                F.lit('}, "tag": "'),
+                F.col("event_type"),
+                F.lit('"}'),
+            ),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit('{"a": {"b": null}, "n": '),
+                F.col("user_id").cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("["),
+                F.col("event_id").cast("string"),
+                F.lit(", "),
+                F.col("user_id").cast("string"),
+                F.lit("]"),
+            )
+        )
+    )
+    v = F.parse_json(payload)
+    ext = ev.select(
+        "event_type",
+        F.variant_get(v, "$.a.b", "double").alias("ab"),
+        F.variant_get(v, "$.n", "long").alias("n"),
+        F.variant_get(v, "$[0]", "long").alias("arr0"),
+        F.variant_get(v, "$.tag", "string").alias("tag"),
+    )
+    return ext.groupBy("event_type").agg(
+        F.count("ab").alias("n_ab"),
+        (F.floor(F.sum(F.coalesce(F.col("ab"), F.lit(0.0))) * 100 + F.lit(0.5)) / 100).alias("sum_ab"),
+        F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("sum_n"),
+        F.sum(F.coalesce(F.col("arr0"), F.lit(0))).alias("sum_arr0"),
+        F.count("tag").alias("n_tag"),
+    )

@@ -65,7 +65,6 @@ GRADED_FIRST: list[str] = [
     "flagship_event_type_counts",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    "sessionize_batch_lag_cumsum",
     "dedup_ngram_jaccard_pairs",
     "streaming_tumbling_windows",
     "streaming_dedup_exact",
@@ -291,6 +290,13 @@ GRADED_FIRST: list[str] = [
     # anti-join + scalar-subquery shapes Q22 shares; stays in
     # tests/test_queries_oracle.py).
     "pack_length_bucket_stats",
+    # Round-6: VARIANT semi-structured ingestion (Spark 4 open-variant
+    # type: parse-once binary encoding + typed path extraction over
+    # heterogeneous JSON). Ceded: sessionize_batch_lag_cumsum (r1+r2+r5
+    # driver-green, three rounds; the gap-sessionization shape stays
+    # bench-headlined and in tests/test_queries_oracle.py, and window
+    # machinery keeps canonicalize/shuffle/pack slots graded).
+    "events_variant_extract",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).

@@ -176,3 +176,26 @@ def sketch_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketches = build_sketches(ev, ["day", "event_type"], "user_id")
     return merge_estimates(sketches, ["event_type"])
+
+
+@query(
+    "sketch_event_type_overlap",
+    oracle=None,  # theta estimates are implementation-defined; the
+    # planted-overlap error bounds live in tests/test_sketches.py
+    doc=(
+        "NEW r6: theta-sketch slice overlap — per-event_type theta "
+        "sketches over user_id built in ONE scan, then every pairwise "
+        "audience overlap + Jaccard estimated by intersecting STORED "
+        "sketches (constant-size binary ops over slices, never a re-join "
+        "of the raw data): the set-operation pattern HLL cannot express"
+    ),
+)
+def sketch_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.sketches import (
+        build_theta_sketches,
+        slice_overlap_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sketches = build_theta_sketches(ev, ["event_type"], "user_id")
+    return slice_overlap_estimates(sketches, "event_type")

@@ -77,3 +77,32 @@ def test_sketch_artifact_survives_parquet(spark, tmp_path):
     a = merge_estimates(reloaded).collect()[0]["approx_distinct"]
     b = merge_estimates(sk).collect()[0]["approx_distinct"]
     assert a == b
+
+
+def test_theta_overlap_estimates_within_error(spark):
+    """Theta sketches must estimate pairwise slice overlap (the thing
+    HLL cannot do) within a few percent of exact on planted overlaps."""
+    from sparkstreamingtwitter_presidential_spark.operators.sketches import (
+        build_theta_sketches,
+        slice_overlap_estimates,
+    )
+
+    # slices A and B share ids 0..4999; C is disjoint from both
+    df = spark.sql("""
+        SELECT 'A' AS src, id FROM range(0, 10000)
+        UNION ALL SELECT 'B', id FROM range(0, 5000)
+        UNION ALL SELECT 'B', id FROM range(20000, 25000)
+        UNION ALL SELECT 'C', id FROM range(50000, 60000)
+    """)
+    sk = build_theta_sketches(df, ["src"], "id")
+    out = {
+        (r.slice_a, r.slice_b): r
+        for r in slice_overlap_estimates(sk, "src").collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert abs(ab.overlap_est - 5000) / 5000 < 0.05
+    assert abs(ab.distinct_a - 10000) / 10000 < 0.05
+    assert abs(ab.jaccard_est - 5000 / 15000) < 0.03
+    assert out[("A", "C")].overlap_est < 200  # disjoint ~ 0
+    assert out[("B", "C")].overlap_est < 200
