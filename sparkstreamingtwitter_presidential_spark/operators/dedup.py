@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic MinHash parameters (seeded once; identical every run).
@@ -83,6 +83,32 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
             F.min(id_col).alias("keeper_id"),
             F.count("*").alias("n_copies"),
         )
+    )
+
+
+def exact_dedup_ci(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    collation: str = "UTF8_LCASE",
+) -> DataFrame:
+    """Collation-aware exact dedup (Spark 4 collations): rows whose
+    content compares equal under ``collation`` (default UTF8_LCASE —
+    case-insensitive) form one group; output is every input row with
+    (keeper_id, n_copies, keep) so callers filter or anti-join.
+
+    The collated comparison happens JVM-side IN the grouping key
+    (``F.collate``) — no lower()/normalized shadow column materialized,
+    and the shuffle carries the original strings once. This is the
+    engine's normalization-free dedup for corpora where casing varies
+    by scrape (HTML titles, shouting forums) but content is identical.
+    """
+    w = Window.partitionBy(F.collate(F.col(content_col), collation))
+    return (
+        df.filter(F.col(content_col).isNotNull())
+        .withColumn("keeper_id", F.min(id_col).over(w))
+        .withColumn("n_copies", F.count("*").over(w))
+        .withColumn("keep", F.col(id_col) == F.col("keeper_id"))
     )
 
 

@@ -494,3 +494,43 @@ def dedup_paragraphs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed=False: exact paragraph strings for the DuckDB oracle twin;
     # production default is hashed=True (8-byte keys).
     return D.paragraph_dedup(d.select("doc_id", synth.alias("text")), hashed=False)
+
+
+@query(
+    "dedup_exact_case_insensitive",
+    oracle="""
+        WITH synth AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END
+                       AS text
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY lower(text)) AS keeper_id,
+               COUNT(*) OVER (PARTITION BY lower(text)) AS n_copies,
+               doc_id = MIN(doc_id) OVER (PARTITION BY lower(text)) AS keep
+        FROM synth
+    """,
+    doc=(
+        "NEW r6: collation-aware exact dedup (Spark 4 collations) — "
+        "every 7th doc uppercased (casing varies by scrape, content "
+        "identical), then grouped under UTF8_LCASE comparison IN the "
+        "window key (F.collate; no lower() shadow column): keeper, copy "
+        "count, and keep verdict per row must equal the lower()-window "
+        "oracle exactly on the ASCII fixture (where ICU lowercase-"
+        "comparison and lower() agree by construction)"
+    ),
+)
+def dedup_exact_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    synth = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.exact_dedup_ci(synth, "text", "doc_id").select(
+        "doc_id", "keeper_id", "n_copies", "keep"
+    )

@@ -366,3 +366,21 @@ def test_paragraph_dedup_keeps_zero_paragraph_docs(spark):
     assert out[3] == (0, 0, "")
     assert out[4] == (0, 0, "")
     assert out[5] == (0, 0, "")
+
+
+def test_exact_dedup_ci_collation_semantics(spark):
+    from sparkstreamingtwitter_presidential_spark.operators.dedup import exact_dedup_ci
+
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world"), (3, "HELLO WORLD"),
+         (4, "other"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.keeper_id, r.n_copies, r.keep)
+           for r in exact_dedup_ci(df, "text", "doc_id").collect()}
+    assert out == {
+        1: (1, 3, True), 2: (1, 3, False), 3: (1, 3, False), 4: (4, 1, True),
+    }  # null content filtered, casing variants collapse to one group
+    # UTF8_BINARY degrades to plain exact grouping
+    exact = exact_dedup_ci(df, "text", "doc_id", collation="UTF8_BINARY")
+    assert all(r.n_copies == 1 for r in exact.collect())
