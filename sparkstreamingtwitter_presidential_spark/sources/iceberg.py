@@ -493,6 +493,97 @@ def current_snapshot_id(path: str) -> int:
     return _snapshot(_load_metadata(path), None)["snapshot-id"]
 
 
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots (by sequence
+    number; the current snapshot always survives) — the spec's
+    expire-snapshots maintenance op, and the Iceberg twin of Delta's
+    vacuum + expire_log pair rolled into one: snapshot entries leave
+    the metadata (time travel to them refuses with the standard
+    does-not-exist error), their manifest lists are deleted, and
+    manifests/data files referenced ONLY by expired snapshots are
+    physically removed. Anything still reachable from a kept snapshot
+    is untouched (append chains share manifests across snapshots; the
+    reachability diff is what keeps them safe).
+
+    Returns {"expired_snapshots": [...], "deleted_files": n}. The
+    bookkeeping walks manifests of expired+kept snapshots driver-side
+    — metadata-sized, like every other log walk here. Committed as a
+    new metadata version via the same put-if-absent primitive."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    meta = _load_metadata(path)
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
+    )
+    if len(snaps) <= keep_last:
+        return {"expired_snapshots": [], "deleted_files": 0}
+    expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+
+    def _reachable(snapshots: list[dict]) -> tuple[set, set]:
+        manifests: set[str] = set()
+        data: set[str] = set()
+        for s in snapshots:
+            _, _, mlist = read_container(s["manifest-list"])
+            for m in mlist:
+                manifests.add(m["manifest_path"])
+                _, _, entries = read_container(m["manifest_path"])
+                for e in entries:
+                    data.add(e["data_file"]["file_path"])
+        return manifests, data
+
+    exp_manifests, exp_data = _reachable(expired)
+    kept_manifests, kept_data = _reachable(kept)
+
+    new_meta = dict(meta)
+    new_meta.pop("_loaded_version", None)
+    new_meta["snapshots"] = kept
+    keep_ids = {s["snapshot-id"] for s in kept}
+    new_meta["snapshot-log"] = [
+        e
+        for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in keep_ids
+    ]
+    new_version = meta["_loaded_version"] + 1
+    target = os.path.join(_metadata_dir(path), f"v{new_version}.metadata.json")
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise IcebergCommitConflict(
+            f"metadata version {new_version} of {path} was committed "
+            "concurrently; re-read the table and retry"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    tmp_hint = os.path.join(
+        _metadata_dir(path), f".{_VERSION_HINT}.{uuid.uuid4().hex}"
+    )
+    with open(tmp_hint, "w", encoding="utf-8") as fh:
+        fh.write(str(new_version))
+    os.replace(tmp_hint, os.path.join(_metadata_dir(path), _VERSION_HINT))
+
+    # physical deletion AFTER the metadata commit: a reader racing the
+    # expiry either sees the old metadata (files still present) or the
+    # new one (files unreferenced) — never a kept snapshot with missing
+    # files
+    deleted = 0
+    for s in expired:
+        try:
+            os.remove(s["manifest-list"])
+            deleted += 1
+        except OSError:
+            pass
+    for p_ in (exp_manifests - kept_manifests) | (exp_data - kept_data):
+        try:
+            os.remove(p_)
+            deleted += 1
+        except OSError:
+            pass
+    return {
+        "expired_snapshots": [s["snapshot-id"] for s in expired],
+        "deleted_files": deleted,
+    }
+
+
 # ---------------------------------------------------------------- writing
 
 

@@ -220,3 +220,58 @@ def test_incremental_read_between_snapshots(spark, tmp_path):
     assert sorted(
         r.id for r in read_iceberg_incremental(spark, t, s4, to_snapshot=s5).collect()
     ) == [10]
+
+
+def test_expire_snapshots_prunes_history_and_orphans(spark, tmp_path):
+    """expire_snapshots removes expired snapshots from metadata (time
+    travel refuses), deletes files reachable ONLY from them, and never
+    touches anything a kept snapshot still references."""
+    import glob as _glob
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        expire_snapshots,
+    )
+
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a", 1.0, None)]), t)
+    s2 = write_iceberg(_df(spark, [(9, "z", 9.0, None)]), t, mode="overwrite")
+    s3 = write_iceberg(_df(spark, [(10, "y", 1.0, None)]), t, mode="append")
+
+    n_data_before = len(_glob.glob(os.path.join(t, "data", "*", "*.parquet")))
+    res = expire_snapshots(t, keep_last=2)
+    assert res["expired_snapshots"] == [s1]
+    assert res["deleted_files"] > 0
+
+    # current and the kept parent still read exactly
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [9, 10]
+    assert [r.id for r in read_iceberg(spark, t, snapshot_id=s2).collect()] == [9]
+    # the expired snapshot is gone from history and time travel
+    with pytest.raises(ValueError, match="does not exist"):
+        read_iceberg(spark, t, snapshot_id=s1)
+    assert {r.snapshot_id for r in table_snapshots(spark, t).collect()} == {s2, s3}
+    # s1's data files (overwritten, reachable only from s1) are deleted
+    n_data_after = len(_glob.glob(os.path.join(t, "data", "*", "*.parquet")))
+    assert n_data_after < n_data_before
+
+    # keep_last covering everything is a no-op
+    assert expire_snapshots(t, keep_last=5) == {
+        "expired_snapshots": [],
+        "deleted_files": 0,
+    }
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(t, keep_last=0)
+
+
+def test_expire_snapshots_keeps_files_shared_with_kept(spark, tmp_path):
+    """Append chains share manifests across snapshots: expiring the
+    first snapshot of an append chain must delete NOTHING the head
+    still reads."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        expire_snapshots,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0, None)]), t)
+    write_iceberg(_df(spark, [(2, "b", 2.0, None)]), t, mode="append")
+    expire_snapshots(t, keep_last=1)
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [1, 2]
