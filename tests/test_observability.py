@@ -34,10 +34,39 @@ def test_observed_profile_matches_direct_aggregate(spark):
 
 def test_metrics_ride_a_write_action(spark, tmp_path):
     """The canonical use: metrics come out of the pipeline's own write
-    — no second scan issued by the caller."""
-    profiled, obs = with_quality_observation(_docs(spark), ["text"])
+    — no second scan issued by the caller. Runs on newSession(): the
+    Observation rider engages the session's ObservationManager, whose
+    listener poisons LATER ML-summary closures on the same session
+    (Spark 4.1 footgun, module docstring) — a per-SparkSession
+    instance, so newSession() isolates the shared test session."""
+    iso = spark.newSession()
+    docs = iso.createDataFrame(
+        [(1, "a", 2.0), (2, None, -1.5), (3, "c", None), (4, None, 7.0)],
+        "id long, text string, score double",
+    )
+    profiled, obs = with_quality_observation(docs, ["text"])
     profiled.write.mode("overwrite").parquet(str(tmp_path / "out"))
     assert obs.get == {"n_rows": 4, "text_nulls": 2}
+
+
+def test_ml_closures_survive_after_observed_profile(spark):
+    """The regression that motivated the two-path design: after
+    observed_profile (string-observe, no ObservationManager), a fitted
+    model's transform().collect() — whose closure serializes the
+    session via the training summary — must still work on the SAME
+    session."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    observed_profile(_docs(spark), ["text"])
+    fresh = spark.createDataFrame(
+        [(1, "aa bb", 1.0), (2, "cc dd", 0.0)], "id long, text string, label double"
+    )
+    tok = Tokenizer(inputCol="text", outputCol="w")
+    h = HashingTF(inputCol="w", outputCol="f", numFeatures=16)
+    ldf = h.transform(tok.transform(fresh))
+    model = LogisticRegression(featuresCol="f", labelCol="label").fit(ldf)
+    assert len(model.transform(ldf).collect()) == 2
 
 
 def test_unknown_column_fails_fast(spark):
@@ -62,9 +91,11 @@ def test_streaming_refused_with_alternative_that_works(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="streaming"):
         with_quality_observation(stream)
+    with pytest.raises(ValueError, match="streaming"):
+        observed_profile(stream)
 
     observed = stream.observe(
-        "quality", *quality_metric_exprs(stream, ["lang"])
+        "quality", *quality_metric_exprs(stream, ["lang"])[0]
     )
     seen: list = []
 
