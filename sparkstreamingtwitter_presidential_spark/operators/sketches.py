@@ -106,3 +106,60 @@ def slice_overlap_estimates(
         inter.alias("overlap_est"),
         (inter / union).alias("jaccard_est"),
     )
+
+
+def build_kll_sketches(
+    df: DataFrame,
+    slice_cols: list[str],
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """KLL quantile-sketch artifacts per slice (Apache DataSketches
+    KLL, bigint stream): the mergeable-PERCENTILE pattern completing
+    the sketch family — HLL counts distincts, theta does set algebra,
+    KLL answers "what is p50/p99 of X over any slice rollup" from
+    stored artifacts, without re-scanning history. k=200 gives ~1.65%
+    one-sided rank error (the library default)."""
+    return df.groupBy(*slice_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.kll_sketch_agg_bigint(
+            F.col(value_col).cast("bigint"), F.lit(k)
+        ).alias("sketch"),
+    )
+
+
+def merge_quantile_estimates(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    quantiles: list[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Roll stored KLL sketches up to ``group_cols`` (None = grand
+    total): estimated quantiles + exact row sums per group, reading
+    ONLY the sketch table. Quantile columns are named q50/q90/q99
+    style from the fraction.
+
+    Spark exposes KLL merge as a PAIRWISE scalar
+    (kll_sketch_merge_bigint(left, right)), not an aggregate, so the
+    rollup collects each group's sketches into an array (bounded by
+    the group's SLICE count — metadata, never rows) and folds it with
+    a higher-order aggregate."""
+    aggs = [
+        F.sum("n_rows").alias("n_rows"),
+        F.collect_list("sketch").alias("__sks"),
+    ]
+    arr = F.col("__sks")
+    merged = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: F.kll_sketch_merge_bigint(acc, x),
+    )
+    proj = [
+        F.kll_sketch_get_quantile_bigint(merged, F.lit(q)).alias(
+            f"q{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    if group_cols:
+        base = sketches.groupBy(*group_cols).agg(*aggs)
+        return base.select(*group_cols, "n_rows", *proj)
+    return sketches.agg(*aggs).select("n_rows", *proj)

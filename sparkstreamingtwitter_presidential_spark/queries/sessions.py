@@ -199,3 +199,27 @@ def sketch_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     sketches = build_theta_sketches(ev, ["event_type"], "user_id")
     return slice_overlap_estimates(sketches, "event_type")
+
+
+@query(
+    "sketch_length_quantiles",
+    oracle=None,  # KLL estimates are implementation-defined; the
+    # rank-error bounds vs exact percentiles live in tests/test_sketches.py
+    doc=(
+        "NEW r6: KLL quantile-sketch artifacts — per-source sketches of "
+        "doc length built in ONE scan, then corpus p50/p90/p99 answered "
+        "by FOLDING stored sketches (pairwise kll_sketch_merge via a "
+        "higher-order aggregate over the slice-bounded sketch list): "
+        "the mergeable-percentile pattern completing the sketch family "
+        "(HLL distincts, theta set algebra, KLL quantiles)"
+    ),
+)
+def sketch_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.sketches import (
+        build_kll_sketches,
+        merge_quantile_estimates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    sk = build_kll_sketches(docs, ["source"], "n_chars")
+    return merge_quantile_estimates(sk)

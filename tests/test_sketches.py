@@ -106,3 +106,32 @@ def test_theta_overlap_estimates_within_error(spark):
     assert abs(ab.jaccard_est - 5000 / 15000) < 0.03
     assert out[("A", "C")].overlap_est < 200  # disjoint ~ 0
     assert out[("B", "C")].overlap_est < 200
+
+
+def test_kll_merged_quantiles_track_exact_percentiles(spark):
+    """Merging per-slice KLL sketches must estimate rollup quantiles
+    within the sketch's rank-error bound of the exact percentiles, and
+    merge must see ALL slices (a dropped slice shifts the median)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtwitter_presidential_spark.operators.sketches import (
+        build_kll_sketches,
+        merge_quantile_estimates,
+    )
+
+    # values 1..10000 split across 4 slices by modulus
+    df = spark.range(1, 10001).select(
+        (F.col("id") % 4).alias("slice"), F.col("id").alias("v")
+    )
+    sk = build_kll_sketches(df, ["slice"], "v")
+    total = merge_quantile_estimates(sk).first()
+    assert total.n_rows == 10000
+    # rank error ~1.65% at k=200 -> generous 3% value tolerance on a
+    # uniform 1..10000 stream
+    assert abs(total.q50 - 5000) < 300
+    assert abs(total.q90 - 9000) < 300
+    assert abs(total.q99 - 9900) < 300
+    # per-group rollup keeps the slice column and its own estimates
+    per = {r.slice: r.q50 for r in merge_quantile_estimates(sk, ["slice"]).collect()}
+    assert set(per) == {0, 1, 2, 3}
+    assert all(abs(v - 5000) < 400 for v in per.values())
