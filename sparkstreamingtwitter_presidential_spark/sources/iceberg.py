@@ -493,6 +493,46 @@ def current_snapshot_id(path: str) -> int:
     return _snapshot(_load_metadata(path), None)["snapshot-id"]
 
 
+def compact_iceberg(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Bin-pack small data files (the spec's rewrite-data-files
+    maintenance op, Delta OPTIMIZE's Iceberg twin): read the current
+    snapshot's live files, rewrite them as ~target-sized files, and
+    commit a ``replace`` snapshot whose manifest carries the new file
+    set. Rows are unchanged — only layout — and time travel to
+    pre-compaction snapshots still resolves (their manifests are
+    untouched until expire_snapshots). Incremental append-scans
+    crossing the replace snapshot refuse (read_iceberg_incremental's
+    documented contract) rather than double-counting rewritten rows.
+
+    Returns the new snapshot id, or the CURRENT snapshot id unchanged
+    when there is nothing to compact (fewer than two sub-target
+    files)."""
+    meta = _load_metadata(path)
+    _check_unpartitioned(meta)
+    snap = _snapshot(meta, None)
+    files = _data_files_for_snapshot(path, snap)
+    small = [f for f in files if f["file_size_in_bytes"] < target_file_bytes]
+    if len(small) < 2:
+        return snap["snapshot-id"]
+    total = sum(f["file_size_in_bytes"] for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    ice_schema = next(
+        s
+        for s in meta["schemas"]
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    df = (
+        spark.read.schema(_schema_to_spark(ice_schema))
+        .parquet(*[f["file_path"] for f in files])
+        .repartition(n_out)
+    )
+    return write_iceberg(df, path, mode="overwrite", operation="replace")
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Expire all but the newest ``keep_last`` snapshots (by sequence
     number; the current snapshot always survives) — the spec's
@@ -616,10 +656,17 @@ def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
     return out
 
 
-def write_iceberg(df: DataFrame, path: str, mode: str = "append") -> int:
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    operation: str | None = None,
+) -> int:
     """Commit ``df`` as a new snapshot (``append`` keeps prior data
     live via the previous snapshot's manifests; ``overwrite`` starts a
-    fresh file set). Returns the new snapshot id.
+    fresh file set). ``operation`` overrides the snapshot summary's
+    operation label (compact_iceberg commits a replace-shaped
+    overwrite as "replace"). Returns the new snapshot id.
 
     Commit protocol (spec §Metadata): stage data parquet + one new
     manifest avro + a manifest list avro, then atomically claim
@@ -750,7 +797,8 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "append") -> int:
         "timestamp-ms": now_ms,
         "manifest-list": manifest_list,
         "summary": {
-            "operation": "append" if mode == "append" else "overwrite",
+            "operation": operation
+            or ("append" if mode == "append" else "overwrite"),
             "added-data-files": str(len(data_files)),
             "added-records": str(added_rows),
         },

@@ -275,3 +275,48 @@ def test_expire_snapshots_keeps_files_shared_with_kept(spark, tmp_path):
     write_iceberg(_df(spark, [(2, "b", 2.0, None)]), t, mode="append")
     expire_snapshots(t, keep_last=1)
     assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [1, 2]
+
+
+def test_compact_binpacks_preserving_rows_and_history(spark, tmp_path):
+    """compact_iceberg merges small files into fewer, commits a
+    'replace' snapshot, preserves rows exactly, keeps pre-compaction
+    time travel, and the incremental reader refuses ranges crossing
+    the replace (rewritten rows must not double-count)."""
+    import glob as _glob
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        compact_iceberg,
+        read_iceberg_incremental,
+    )
+
+    t = str(tmp_path / "t")
+    s_ids = []
+    for i in range(4):
+        s_ids.append(
+            write_iceberg(
+                _df(spark, [(i * 10 + j, "g", float(j), None) for j in range(5)]),
+                t,
+                mode="append" if i else "append",
+            )
+        )
+    before = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    n_files_before = len(
+        {f for f in _glob.glob(os.path.join(t, "data", "*", "*.parquet"))}
+    )
+    sc = compact_iceberg(spark, t)
+    assert sc != s_ids[-1]
+    after = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    assert after == before  # rows byte-identical through the rewrite
+    snaps = {r.snapshot_id: r for r in table_snapshots(spark, t).collect()}
+    assert snaps[sc].operation == "replace"
+    # the live file set shrank (old files remain on disk for time
+    # travel until expire_snapshots)
+    live = read_iceberg(spark, t).inputFiles()
+    assert len(live) < n_files_before
+    # time travel to pre-compaction still resolves
+    assert len(read_iceberg(spark, t, snapshot_id=s_ids[1]).collect()) == 10
+    # incremental scans crossing the replace refuse
+    with pytest.raises(ValueError, match="not an append"):
+        read_iceberg_incremental(spark, t, s_ids[0], to_snapshot=sc)
+    # idempotence: nothing left to compact -> current id unchanged
+    assert compact_iceberg(spark, t) in (sc, compact_iceberg(spark, t))
