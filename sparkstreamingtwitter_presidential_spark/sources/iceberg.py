@@ -205,6 +205,27 @@ _MANIFEST_FILE_SCHEMA = {
     ],
 }
 
+def _bounds_type(kv_name: str) -> list:
+    """The spec's k/v-map encoding for lower/upper bounds: an avro
+    array of (key:int field-id, value:bytes single-value-serialized)
+    records with logicalType map, nullable."""
+    return [
+        "null",
+        {
+            "type": "array",
+            "logicalType": "map",
+            "items": {
+                "type": "record",
+                "name": kv_name,
+                "fields": [
+                    {"name": "key", "type": "int"},
+                    {"name": "value", "type": "bytes"},
+                ],
+            },
+        },
+    ]
+
+
 # unpartitioned: the partition struct is an empty record (r102)
 _MANIFEST_ENTRY_SCHEMA = {
     "type": "record",
@@ -239,11 +260,76 @@ _MANIFEST_ENTRY_SCHEMA = {
                         "type": "long",
                         "field-id": 104,
                     },
+                    {
+                        "name": "lower_bounds",
+                        "type": _bounds_type("k126_v127"),
+                        "field-id": 125,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": _bounds_type("k129_v130"),
+                        "field-id": 128,
+                    },
                 ],
             },
         },
     ],
 }
+
+
+# -------------------------------------------- single-value serialization
+# Spec appendix D: bounds are binary single-value serialization keyed by
+# field id — int/date 4-byte LE, long/timestamp 8-byte LE, float/double
+# IEEE LE, string UTF-8. Types outside this subset record no bounds.
+
+import struct as _struct
+from datetime import datetime as _dt, date as _date, timezone as _tz
+
+
+def _encode_bound(ice_type: str, v: Any) -> bytes | None:
+    try:
+        if ice_type == "int":
+            return _struct.pack("<i", int(v))
+        if ice_type == "long":
+            return _struct.pack("<q", int(v))
+        if ice_type == "float":
+            return _struct.pack("<f", float(v))
+        if ice_type == "double":
+            return _struct.pack("<d", float(v))
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+        if ice_type in ("timestamp", "timestamptz"):
+            if isinstance(v, _dt):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=_tz.utc)
+                us = int(v.timestamp() * 1_000_000)
+            else:
+                us = int(v)
+            return _struct.pack("<q", us)
+        if ice_type == "date":
+            days = (v - _date(1970, 1, 1)).days if isinstance(v, _date) else int(v)
+            return _struct.pack("<i", days)
+    except (ValueError, TypeError, OverflowError, _struct.error):
+        return None
+    return None
+
+
+def _decode_bound(ice_type: str, b: bytes) -> Any:
+    if ice_type == "int":
+        return _struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", b)[0]
+    if ice_type == "string":
+        return b.decode("utf-8", errors="replace")
+    if ice_type in ("timestamp", "timestamptz"):
+        return _struct.unpack("<q", b)[0]  # micros since epoch
+    if ice_type == "date":
+        return _struct.unpack("<i", b)[0]
+    return None
 
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
 
@@ -351,15 +437,67 @@ def _data_files_for_snapshot(path: str, snap: dict) -> list[dict]:
     return files
 
 
+def _file_excluded_by_bounds(
+    df_entry: dict,
+    ranges: dict[str, tuple[Any, Any]],
+    prim: dict[str, tuple[int, str]],
+) -> bool:
+    """True iff the manifest's per-file bounds PROVE no row satisfies
+    the conjunctive ranges (col in [lo, hi]; None = open end).
+    Advisory, same contract as delta.file_skips: missing bounds,
+    unknown columns, or un-encodable user bounds keep the file —
+    skipping may only remove files, never rows a filter would keep."""
+    lb = {e["key"]: e["value"] for e in (df_entry.get("lower_bounds") or [])}
+    ub = {e["key"]: e["value"] for e in (df_entry.get("upper_bounds") or [])}
+    for col, (lo, hi) in ranges.items():
+        if col not in prim:
+            continue
+        fid, typ = prim[col]
+        if fid not in lb or fid not in ub:
+            continue
+        fmin = _decode_bound(typ, lb[fid])
+        fmax = _decode_bound(typ, ub[fid])
+        # normalize the user bound through the same serialization
+        # (datetime -> micros, date -> days); failure keeps the file
+        def norm(v):
+            if v is None:
+                return None
+            enc = _encode_bound(typ, v)
+            return None if enc is None else _decode_bound(typ, enc)
+
+        nlo, nhi = norm(lo), norm(hi)
+        if lo is not None and nlo is None:
+            continue
+        if hi is not None and nhi is None:
+            continue
+        try:
+            if nhi is not None and fmin > nhi:
+                return True
+            if nlo is not None and fmax < nlo:
+                return True
+        except TypeError:
+            continue  # mixed types prove nothing
+    return False
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
+    skip_ranges: dict[str, tuple[Any, Any]] | None = None,
 ) -> DataFrame:
     """Snapshot read (with time travel by ``snapshot_id``): metadata
     walk driver-side, data scan a plain distributed parquet read over
     exactly the snapshot's live files, with the table schema applied
-    (reads stay schema-stable over evolving files, like read_delta)."""
+    (reads stay schema-stable over evolving files, like read_delta).
+
+    ``skip_ranges`` ({col: (lo, hi)}, None = open end) prunes files by
+    the manifests' per-file lower/upper bounds BEFORE Spark lists them
+    — the metadata-side skipping the real client's scan planning does,
+    the Iceberg twin of read_delta's stats skipping. Advisory:
+    files without bounds (older manifests, unsupported types) are
+    kept, so skipping never drops rows a filter would keep; callers
+    still apply their own filter on the result."""
     meta = _load_metadata(path)
     _check_unpartitioned(meta)
     snap = _snapshot(meta, snapshot_id)
@@ -369,6 +507,17 @@ def read_iceberg(
     )
     spark_schema = _schema_to_spark(ice_schema)
     files = _data_files_for_snapshot(path, snap)
+    if skip_ranges:
+        prim = {
+            f["name"]: (f["id"], f["type"])
+            for f in ice_schema["fields"]
+            if isinstance(f["type"], str)
+        }
+        files = [
+            f
+            for f in files
+            if not _file_excluded_by_bounds(f, skip_ranges, prim)
+        ]
     if not files:
         return spark.createDataFrame([], spark_schema)
     return spark.read.schema(spark_schema).parquet(
@@ -627,30 +776,83 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
 # ---------------------------------------------------------------- writing
 
 
-def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
+def _footer_bounds(md, prim: dict) -> tuple[list, list]:
+    """Per-column min/max over all row groups of one parquet footer,
+    spec-serialized as the manifest's k/v bound lists. ``prim`` maps
+    column name -> (field-id, iceberg primitive type). Columns with no
+    usable stats record no bound (readers keep such files)."""
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if name not in prim or st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            mins[name] = lo if name not in mins or lo < mins[name] else mins[name]
+            maxs[name] = hi if name not in maxs or hi > maxs[name] else maxs[name]
+    lower, upper = [], []
+    for name, lo in mins.items():
+        fid, typ = prim[name]
+        lb = _encode_bound(typ, lo)
+        ub = _encode_bound(typ, maxs[name])
+        if lb is not None and ub is not None:
+            lower.append({"key": fid, "value": lb})
+            upper.append({"key": fid, "value": ub})
+    return lower, upper
+
+
+def _stage_data_files(df: DataFrame, path: str, ice_schema: dict) -> list[dict]:
     """Write df as parquet under data/<uuid>/ and return data_file
-    dicts (path, counts from the parquet footers — driver-side
-    metadata reads, same as the real client collects stats)."""
+    dicts (path, counts, and spec-serialized per-column lower/upper
+    bounds — all from the parquet footers the write already produced:
+    driver-side metadata reads, same as the real client collects
+    stats; no data re-scan)."""
     import pyarrow.parquet as pq
 
+    prim = {
+        f["name"]: (f["id"], f["type"])
+        for f in ice_schema["fields"]
+        if isinstance(f["type"], str)
+    }
     staging = os.path.join(path, _DATA_DIR, uuid.uuid4().hex)
-    df.write.mode("overwrite").parquet(staging)
+    # INT96 (Spark's default parquet timestamp) carries NO column
+    # statistics, which would silently disable timestamp bounds; write
+    # staged files as TIMESTAMP_MICROS — the modern, stats-bearing
+    # representation and what Iceberg's own writers emit. Session-conf
+    # set/restore, same single-threaded driver contract as io.load_table.
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(staging)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
     out = []
     for n in sorted(os.listdir(staging)):
         if not n.endswith(".parquet"):
             continue
         full = os.path.join(staging, n)
-        n_rows = pq.ParquetFile(full).metadata.num_rows
-        if n_rows == 0:
+        md = pq.ParquetFile(full).metadata
+        if md.num_rows == 0:
             continue  # empty part files add metadata, never data
+        lower, upper = _footer_bounds(md, prim)
         out.append(
             {
                 "content": 0,
                 "file_path": full,
                 "file_format": "PARQUET",
                 "partition": {},
-                "record_count": n_rows,
+                "record_count": md.num_rows,
                 "file_size_in_bytes": os.path.getsize(full),
+                "lower_bounds": lower or None,
+                "upper_bounds": upper or None,
             }
         )
     return out
@@ -736,7 +938,7 @@ def write_iceberg(
         parent_id = None
 
     seq = last_seq + 1
-    data_files = _stage_data_files(df, path)
+    data_files = _stage_data_files(df, path, ice_schema)
     added_rows = sum(f["record_count"] for f in data_files)
 
     manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")

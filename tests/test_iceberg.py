@@ -320,3 +320,77 @@ def test_compact_binpacks_preserving_rows_and_history(spark, tmp_path):
         read_iceberg_incremental(spark, t, s_ids[0], to_snapshot=sc)
     # idempotence: nothing left to compact -> current id unchanged
     assert compact_iceberg(spark, t) in (sc, compact_iceberg(spark, t))
+
+
+def test_bounds_recorded_and_skip_ranges_prune_files(spark, tmp_path):
+    """The writer records spec-serialized per-file column bounds from
+    the parquet footers; read_iceberg(skip_ranges=...) prunes files
+    the bounds PROVE irrelevant, keeps files without bounds, and never
+    drops rows a filter would keep."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        read_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    # 4 range-clustered files: ids 0..999 in disjoint quarters
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("doc_"), F.format_string("%04d", F.col("id"))).alias("s"),
+            (F.col("id") * 0.5).alias("v"),
+            F.array(F.col("id").cast("float")).alias("arr"),
+        )
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    write_iceberg(
+        df.select(
+            F.col("id"), F.col("s"), F.col("v"), F.col("arr")
+        ).withColumnRenamed("s", "s"),
+        t,
+    )
+
+    full = read_iceberg(spark, t)
+    assert len(full.inputFiles()) == 4
+    # a narrow id range hits ONE quarter
+    pruned = read_iceberg(spark, t, skip_ranges={"id": (100, 120)})
+    assert len(pruned.inputFiles()) == 1
+    got = sorted(r.id for r in pruned.filter("id BETWEEN 100 AND 120").collect())
+    assert got == list(range(100, 121))  # rows exact after own filter
+    # string bounds prune too
+    pruned_s = read_iceberg(spark, t, skip_ranges={"s": ("doc_0990", None)})
+    assert len(pruned_s.inputFiles()) == 1
+    # double bounds
+    pruned_v = read_iceberg(spark, t, skip_ranges={"v": (None, 10.0)})
+    assert len(pruned_v.inputFiles()) == 1
+    # unknown / non-primitive columns are advisory no-ops
+    assert len(read_iceberg(spark, t, skip_ranges={"arr": (1, 2)}).inputFiles()) == 4
+    assert len(read_iceberg(spark, t, skip_ranges={"nope": (1, 2)}).inputFiles()) == 4
+    # a range excluding everything reads zero files but keeps schema
+    none = read_iceberg(spark, t, skip_ranges={"id": (5000, 6000)})
+    # (dtypes, not schema equality: a parquet scan relaxes nullability)
+    assert none.count() == 0 and none.dtypes == full.dtypes
+
+
+def test_timestamp_bounds_skip(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    import datetime
+
+    t = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS ts "
+        "FROM range(100)"
+    ).repartitionByRange(4, "id").sortWithinPartitions("id")
+    write_iceberg(df, t)
+    assert len(read_iceberg(spark, t).inputFiles()) == 4
+    lo = datetime.datetime(2024, 1, 11)
+    hi = datetime.datetime(2024, 1, 20)
+    pruned = read_iceberg(spark, t, skip_ranges={"ts": (lo, hi)})
+    assert 1 <= len(pruned.inputFiles()) <= 2
+    got = pruned.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))).count()
+    assert got == 10  # days 10..19 inclusive of lo..hi window
