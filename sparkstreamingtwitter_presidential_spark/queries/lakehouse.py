@@ -949,3 +949,72 @@ def lakehouse_iceberg_incremental_agg(
         F.count("*").alias("n"),
         (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
     )
+
+
+@query(
+    "lakehouse_iceberg_skipping_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events WHERE event_id BETWEEN 100 AND 299
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r6: Iceberg manifest-bounds file skipping — events staged "
+        "range-clustered by event_id through the native writer (per-file "
+        "appendix-D-serialized lower/upper bounds recorded from the "
+        "parquet footers), then a narrow id range reads with "
+        "skip_ranges: the query RAISES unless the manifests' bounds "
+        "pruned files before Spark listed them, and the pruned read + "
+        "row filter must equal the oracle's plain filtered aggregate "
+        "(skipping removes files, never rows); the Iceberg twin of "
+        "lakehouse_delta_skipping_agg"
+    ),
+)
+def lakehouse_iceberg_skipping_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time as _time
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    key = _events_cache_key(spark, sf_dir)
+    table = f"/tmp/ssp_iceberg_skip_{key}"
+    ready = os.path.join(table, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(table, exist_ok=True)
+        lock = os.path.join(table, "_BUILD_LOCK")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            ev = load_table(spark, sf_dir, "events").select(
+                "event_id", "event_type", "value"
+            )
+            write_iceberg(
+                ev.repartitionByRange(8, "event_id").sortWithinPartitions(
+                    "event_id"
+                ),
+                table,
+            )
+            open(ready, "w").close()
+        except FileExistsError:
+            for _ in range(600):
+                if os.path.exists(ready):
+                    break
+                _time.sleep(0.5)
+            else:
+                raise TimeoutError(f"iceberg staging never ready: {table}")
+
+    ranges = {"event_id": (100, 299)}
+    pruned = read_iceberg(spark, table, skip_ranges=ranges)
+    n_all = len(read_iceberg(spark, table).inputFiles())
+    n_kept = len(pruned.inputFiles())
+    if n_kept >= n_all:
+        raise RuntimeError(
+            f"bounds skipping pruned nothing: {n_kept}/{n_all} files kept "
+            "for a 200-id range on an id-clustered table"
+        )
+    return _agg_by_type(pruned.filter("event_id BETWEEN 100 AND 299"))

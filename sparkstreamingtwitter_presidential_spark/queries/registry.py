@@ -95,7 +95,6 @@ GRADED_FIRST: list[str] = [
     "lakehouse_delta_pipeline_agg",
     "lakehouse_delta_delete_update_agg",
     "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
     "tpch_q15_top_supplier",
     # Round-5 newcomers (r4 verdict items 3-5: the only capabilities
     # with no driver-visible correctness signal), graded on arrival.
@@ -302,6 +301,12 @@ GRADED_FIRST: list[str] = [
     # and the dedup family gains the collated variant; stays in
     # tests/test_queries_oracle.py + the streaming pytest suite).
     "dedup_exact_case_insensitive",
+    # Round-6 late: Iceberg manifest-bounds file skipping (in-query
+    # RAISE unless files pruned — the Delta skipping query's twin).
+    # Ceded: tpch_q9_product_type_profit (r4+r5 driver-green; TPC-H
+    # keeps Q3/Q5/Q8/Q15 graded incl. the 7-table star join; Q9 stays
+    # bench-adjacent in tests/test_queries_oracle.py).
+    "lakehouse_iceberg_skipping_agg",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).
