@@ -641,9 +641,10 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
         rows.append(
             (
                 v,
-                datetime.fromtimestamp(ts_ms / 1000.0, tz=timezone.utc).replace(
-                    tzinfo=None
-                )
+                # tz-AWARE: a naive datetime would be re-interpreted in
+                # the session timezone by createDataFrame, shifting the
+                # stored instant on any non-UTC session
+                datetime.fromtimestamp(ts_ms / 1000.0, tz=timezone.utc)
                 if ts_ms is not None
                 else None,
                 info.get("operation"),

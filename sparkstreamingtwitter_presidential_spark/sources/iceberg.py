@@ -22,15 +22,29 @@ fully distributed (`spark.read.parquet(paths)`), only the metadata
 walk is driver-side — the identical cost split as the real client and
 as `sources/delta.py`.
 
-Coverage: format-version 1/2 metadata, UNPARTITIONED tables, parquet
-data files, append + overwrite snapshots, time travel by snapshot-id,
-snapshot-history inspection frame, commit atomicity via O_CREAT|O_EXCL
-on the next metadata version (put-if-absent — correct on POSIX/HDFS;
-object stores interpose a catalog, same honesty note as Delta).
+Coverage: format-version 1/2 metadata, unpartitioned AND
+identity-partitioned tables (int/long/string/date partition sources;
+partition tuples spec-serialized in manifest entries, partition-pruned
+reads composing with per-file column bounds), parquet data files,
+append + overwrite snapshots, copy-on-write DELETE/UPDATE/MERGE
+(affected-file probe -> rewrite -> replace commit, mirroring
+`sources/delta_dml.py`'s contract), small-file-only compaction with
+carried-forward EXISTING entries, time travel by snapshot-id,
+snapshot-history inspection frame, incremental append-scan (merged-
+manifest-safe entry selection), snapshot expiration with age guard,
+commit atomicity via O_CREAT|O_EXCL on the next metadata version
+(put-if-absent — correct on POSIX/HDFS; object stores interpose a
+catalog, same honesty note as Delta). The put-if-absent claims the
+version the PLANNING-time metadata read resolved + 1, so a concurrent
+commit between planning and claim always surfaces as
+IcebergCommitConflict — never a silently-lost write.
 Refusals (clear NotImplementedError/ValueError rather than wrong
-rows): partitioned specs, delete manifests (content != data) and
-delete files (v2 row-level deletes), non-parquet data files,
-format-version > 2, types outside the supported subset.
+rows): non-identity partition transforms, partition sources outside
+int/long/string/date, null partition values, delete manifests
+(content != data) and delete files (v2 row-level deletes — this
+module's DML is CoW, it neither writes nor reads merge-on-read
+deletes), non-parquet data files, format-version > 2, types outside
+the supported subset.
 
 Name-based column mapping note: Iceberg's spec prescribes FIELD-ID
 based projection so foreign engines survive renames; this module
@@ -45,10 +59,12 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sparkstreamingtwitter_presidential_spark.sources.avro import (
@@ -59,6 +75,8 @@ from sparkstreamingtwitter_presidential_spark.sources.avro import (
 _METADATA_DIR = "metadata"
 _DATA_DIR = "data"
 _VERSION_HINT = "version-hint.text"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_FILE_COL = "__iceberg_file"
 
 
 class IcebergCommitConflict(RuntimeError):
@@ -180,6 +198,169 @@ def _schema_to_spark(ice_schema: dict) -> T.StructType:
     )
 
 
+# ------------------------------------------------- partition spec (identity)
+# Identity transforms over int/long/string/date sources. Partition
+# tuples are spec-serialized into each manifest entry's data_file
+# record (field r102 typed per the spec's "Partition struct" rule:
+# one field per spec field, ids from the spec). Values live ONLY in
+# the manifests + hive-style staging dirs — data files omit the
+# source columns (partitionBy staging), and reads inject them back
+# from the manifest tuple, the spec's identity-transform allowance.
+
+_PART_TYPES = ("int", "long", "string", "date")
+_PART_AVRO = {"int": "int", "long": "long", "string": "string", "date": "int"}
+
+from datetime import date as _date, datetime as _dt
+from datetime import timedelta as _timedelta, timezone as _tz
+
+_EPOCH_DATE = _date(1970, 1, 1)
+
+
+def _default_spec_fields(meta: dict) -> list[dict]:
+    spec_id = meta.get("default-spec-id", 0)
+    for spec in meta.get("partition-specs", []):
+        if spec.get("spec-id") == spec_id:
+            return spec.get("fields", [])
+    return []
+
+
+def _partition_fields(meta: dict, ice_schema: dict) -> list[dict]:
+    """The default partition spec resolved against ``ice_schema``: one
+    dict per spec field with the partition field name/id and the source
+    column's name/type. Identity transforms over the supported primitive
+    subset only — anything else refuses by name (never wrong rows)."""
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+    out = []
+    for pf in _default_spec_fields(meta):
+        if pf.get("transform") != "identity":
+            raise NotImplementedError(
+                f"partition transform {pf.get('transform')!r} is not "
+                "supported by this native reader (identity only)"
+            )
+        src = by_id.get(pf["source-id"])
+        if (
+            src is None
+            or not isinstance(src["type"], str)
+            or src["type"] not in _PART_TYPES
+        ):
+            raise NotImplementedError(
+                f"partition source field {pf.get('source-id')} must be a "
+                f"top-level {'/'.join(_PART_TYPES)} column"
+            )
+        out.append(
+            {
+                "name": pf["name"],
+                "field_id": pf["field-id"],
+                "source_name": src["name"],
+                "type": src["type"],
+            }
+        )
+    return out
+
+
+def _hive_to_avro_partition(ice_type: str, s: str) -> Any:
+    """One hive dir-name value (already unquoted) -> the manifest's
+    avro-stored partition value (dates as epoch days, the spec's
+    storage type)."""
+    if ice_type in ("int", "long"):
+        return int(s)
+    if ice_type == "date":
+        return (_date.fromisoformat(s) - _EPOCH_DATE).days
+    return s
+
+
+def _avro_partition_to_python(ice_type: str, v: Any) -> Any:
+    """Manifest-stored partition value -> the python literal injected
+    into the scan (F.lit)."""
+    if v is None:
+        return None
+    if ice_type == "date":
+        return _EPOCH_DATE + _timedelta(days=int(v))
+    return v
+
+
+def _manifest_entry_schema(part_fields: list[dict]) -> dict:
+    """The manifest avro schema with the partition record (r102) typed
+    for the table's spec — empty for unpartitioned tables, one
+    nullable typed field per identity partition field otherwise."""
+    r102_fields = [
+        {
+            "name": pf["name"],
+            "type": ["null", _PART_AVRO[pf["type"]]],
+            "field-id": pf["field_id"],
+        }
+        for pf in part_fields
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "field-id": 4,
+            },
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {
+                            "name": "file_path",
+                            "type": "string",
+                            "field-id": 100,
+                        },
+                        {
+                            "name": "file_format",
+                            "type": "string",
+                            "field-id": 101,
+                        },
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": r102_fields,
+                            },
+                        },
+                        {
+                            "name": "record_count",
+                            "type": "long",
+                            "field-id": 103,
+                        },
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                            "field-id": 104,
+                        },
+                        {
+                            "name": "lower_bounds",
+                            "type": _bounds_type("k126_v127"),
+                            "field-id": 125,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": _bounds_type("k129_v130"),
+                            "field-id": 128,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
 # ------------------------------------------------- manifest avro schemas
 # Field names and ids follow the spec's manifest-list / manifest-file
 # tables; optional stats/summary columns are omitted (spec-legal: they
@@ -226,64 +407,15 @@ def _bounds_type(kv_name: str) -> list:
     ]
 
 
-# unpartitioned: the partition struct is an empty record (r102)
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
-        {
-            "name": "file_sequence_number",
-            "type": ["null", "long"],
-            "field-id": 4,
-        },
-        {
-            "name": "data_file",
-            "field-id": 2,
-            "type": {
-                "type": "record",
-                "name": "r2",
-                "fields": [
-                    {"name": "content", "type": "int", "field-id": 134},
-                    {"name": "file_path", "type": "string", "field-id": 100},
-                    {"name": "file_format", "type": "string", "field-id": 101},
-                    {
-                        "name": "partition",
-                        "field-id": 102,
-                        "type": {"type": "record", "name": "r102", "fields": []},
-                    },
-                    {"name": "record_count", "type": "long", "field-id": 103},
-                    {
-                        "name": "file_size_in_bytes",
-                        "type": "long",
-                        "field-id": 104,
-                    },
-                    {
-                        "name": "lower_bounds",
-                        "type": _bounds_type("k126_v127"),
-                        "field-id": 125,
-                    },
-                    {
-                        "name": "upper_bounds",
-                        "type": _bounds_type("k129_v130"),
-                        "field-id": 128,
-                    },
-                ],
-            },
-        },
-    ],
-}
-
-
 # -------------------------------------------- single-value serialization
 # Spec appendix D: bounds are binary single-value serialization keyed by
 # field id — int/date 4-byte LE, long/timestamp 8-byte LE, float/double
 # IEEE LE, string UTF-8. Types outside this subset record no bounds.
 
 import struct as _struct
-from datetime import datetime as _dt, date as _date, timezone as _tz
+
+_EPOCH_DT = _dt(1970, 1, 1, tzinfo=_tz.utc)
+_US = _timedelta(microseconds=1)
 
 
 def _encode_bound(ice_type: str, v: Any) -> bytes | None:
@@ -302,12 +434,16 @@ def _encode_bound(ice_type: str, v: Any) -> bytes | None:
             if isinstance(v, _dt):
                 if v.tzinfo is None:
                     v = v.replace(tzinfo=_tz.utc)
-                us = int(v.timestamp() * 1_000_000)
+                # integer arithmetic: float .timestamp() has ~0.24 µs
+                # resolution at current epochs and int() truncates —
+                # a bound 1 µs low would wrongly prune a file whose
+                # true max equals a query's lower bound
+                us = (v - _EPOCH_DT) // _US
             else:
                 us = int(v)
             return _struct.pack("<q", us)
         if ice_type == "date":
-            days = (v - _date(1970, 1, 1)).days if isinstance(v, _date) else int(v)
+            days = (v - _EPOCH_DATE).days if isinstance(v, _date) else int(v)
             return _struct.pack("<i", days)
     except (ValueError, TypeError, OverflowError, _struct.error):
         return None
@@ -381,15 +517,10 @@ def _load_metadata(path: str) -> dict:
     return meta
 
 
-def _check_unpartitioned(meta: dict) -> None:
-    spec_id = meta.get("default-spec-id", 0)
-    for spec in meta.get("partition-specs", []):
-        if spec.get("spec-id") == spec_id and spec.get("fields"):
-            raise NotImplementedError(
-                "partitioned Iceberg tables are not supported by this "
-                "native reader (identity/transform specs need "
-                "field-id-based partition tuple handling)"
-            )
+def _schema_for(meta: dict, schema_id: int) -> dict:
+    return next(
+        s for s in meta["schemas"] if s.get("schema-id", 0) == schema_id
+    )
 
 
 def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
@@ -408,10 +539,14 @@ def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
     )
 
 
-def _data_files_for_snapshot(path: str, snap: dict) -> list[dict]:
-    """Walk manifest-list -> manifests -> live data-file entries."""
+def _entries_for_snapshot(path: str, snap: dict) -> list[dict]:
+    """Walk manifest-list -> manifests -> LIVE entries (ADDED/EXISTING;
+    DELETED rows are gone from this snapshot), with the spec's metadata
+    inheritance resolved: a null entry snapshot-id / sequence-number
+    inherits the manifest's. Each returned dict carries status,
+    snapshot_id, sequence_number, file_sequence_number, data_file."""
     _, _, manifests = read_container(snap["manifest-list"])
-    files: list[dict] = []
+    out: list[dict] = []
     for m in manifests:
         if m["content"] != 0:
             raise NotImplementedError(
@@ -433,8 +568,68 @@ def _data_files_for_snapshot(path: str, snap: dict) -> list[dict]:
                     f"data file format {df['file_format']!r} not supported "
                     "(parquet only)"
                 )
-            files.append(df)
-    return files
+            seq = e.get("sequence_number")
+            out.append(
+                {
+                    "status": e["status"],
+                    "snapshot_id": (
+                        e.get("snapshot_id")
+                        if e.get("snapshot_id") is not None
+                        else m["added_snapshot_id"]
+                    ),
+                    "sequence_number": (
+                        seq if seq is not None else m["sequence_number"]
+                    ),
+                    "file_sequence_number": (
+                        e.get("file_sequence_number")
+                        if e.get("file_sequence_number") is not None
+                        else m["sequence_number"]
+                    ),
+                    "data_file": df,
+                }
+            )
+    return out
+
+
+def _data_files_for_snapshot(path: str, snap: dict) -> list[dict]:
+    return [e["data_file"] for e in _entries_for_snapshot(path, snap)]
+
+
+def _file_excluded_by_partition(
+    df_entry: dict,
+    ranges: dict[str, tuple[Any, Any]],
+    part_fields: list[dict],
+) -> bool:
+    """True iff the file's identity-partition VALUE proves no row can
+    satisfy the conjunctive ranges — exact (not advisory) for identity
+    transforms: every row in the file has exactly this value."""
+    part = df_entry.get("partition") or {}
+    for pf in part_fields:
+        rng = ranges.get(pf["source_name"])
+        if rng is None:
+            continue
+        v = part.get(pf["name"])
+        if v is None:
+            continue
+        lo, hi = rng
+
+        def norm(u):
+            if u is None:
+                return None
+            enc = _encode_bound(
+                "date" if pf["type"] == "date" else pf["type"], u
+            )
+            return None if enc is None else _decode_bound(pf["type"], enc)
+
+        nlo, nhi = norm(lo), norm(hi)
+        try:
+            if nlo is not None and v < nlo:
+                return True
+            if nhi is not None and v > nhi:
+                return True
+        except TypeError:
+            continue  # mixed types prove nothing
+    return False
 
 
 def _file_excluded_by_bounds(
@@ -480,6 +675,77 @@ def _file_excluded_by_bounds(
     return False
 
 
+def _read_files(
+    spark: SparkSession,
+    files: list[dict],
+    spark_schema: T.StructType,
+    part_fields: list[dict],
+    with_file: bool = False,
+) -> DataFrame:
+    """Distributed scan of ``files`` (data_file dicts) under the TABLE
+    schema. Unpartitioned: one parquet scan over the file list.
+    Partitioned: data files omit the identity source columns, so files
+    group by partition tuple and each group's scan injects the tuple
+    back as typed literals (exactly `delta_dml._scan_with_file`'s
+    shape; the union is one branch per DISTINCT partition value in the
+    scanned file set — after pruning, usually few). ``with_file`` adds
+    the file's basename column for DML's affected-file probe."""
+    cols = [f.name for f in spark_schema.fields]
+    base_col = F.element_at(
+        F.split(F.col("_metadata.file_path"), "/"), -1
+    ).alias(_FILE_COL)
+    out_cols = cols + ([_FILE_COL] if with_file else [])
+    if not files:
+        df = spark.createDataFrame([], spark_schema)
+        if with_file:
+            df = df.withColumn(_FILE_COL, F.lit(None).cast("string"))
+        return df
+    if not part_fields:
+        df = spark.read.schema(spark_schema).parquet(
+            *[f["file_path"] for f in files]
+        )
+        return df.select(*cols, base_col).select(*out_cols) if with_file else df
+    pnames = {pf["source_name"] for pf in part_fields}
+    data_schema = T.StructType(
+        [f for f in spark_schema.fields if f.name not in pnames]
+    )
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        part = f.get("partition") or {}
+        key = tuple(part.get(pf["name"]) for pf in part_fields)
+        groups.setdefault(key, []).append(f["file_path"])
+    parts = []
+    for key, paths in sorted(
+        groups.items(), key=lambda kv: tuple(map(str, kv[0]))
+    ):
+        df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        if with_file:
+            df = df.select("*", base_col)
+        for pf, av in zip(part_fields, key):
+            fld = next(
+                f for f in spark_schema.fields if f.name == pf["source_name"]
+            )
+            df = df.withColumn(
+                pf["source_name"],
+                F.lit(_avro_partition_to_python(pf["type"], av)).cast(
+                    fld.dataType
+                ),
+            )
+        parts.append(df.select(*out_cols))
+    from functools import reduce
+
+    # injected literals analyze non-nullable; prepending a zero-row
+    # frame with the TABLE schema restores its nullability (union
+    # nullability is the OR of the branches) so partitioned reads stay
+    # schema-stable like read_delta — an empty LocalRelation, no cost
+    target = T.StructType(
+        list(spark_schema.fields)
+        + ([T.StructField(_FILE_COL, T.StringType())] if with_file else [])
+    )
+    empty = spark.createDataFrame([], target)
+    return reduce(DataFrame.unionByName, [empty] + parts)
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -490,21 +756,23 @@ def read_iceberg(
     walk driver-side, data scan a plain distributed parquet read over
     exactly the snapshot's live files, with the table schema applied
     (reads stay schema-stable over evolving files, like read_delta).
+    Identity-partitioned tables inject partition values from the
+    manifest tuples (the spec's identity allowance); see _read_files.
 
-    ``skip_ranges`` ({col: (lo, hi)}, None = open end) prunes files by
-    the manifests' per-file lower/upper bounds BEFORE Spark lists them
-    — the metadata-side skipping the real client's scan planning does,
-    the Iceberg twin of read_delta's stats skipping. Advisory:
-    files without bounds (older manifests, unsupported types) are
-    kept, so skipping never drops rows a filter would keep; callers
-    still apply their own filter on the result."""
+    ``skip_ranges`` ({col: (lo, hi)}, None = open end) prunes files
+    BEFORE Spark lists them, composing two metadata-side checks:
+    identity-partition values (exact — every row in a file shares the
+    tuple) and the manifests' per-file lower/upper column bounds
+    (advisory) — the scan planning the real client does, the Iceberg
+    twin of read_delta's stats skipping. Files without bounds (older
+    manifests, unsupported types) are kept, so skipping never drops
+    rows a filter would keep; callers still apply their own filter on
+    the result."""
     meta = _load_metadata(path)
-    _check_unpartitioned(meta)
     snap = _snapshot(meta, snapshot_id)
     schema_id = snap.get("schema-id", meta.get("current-schema-id", 0))
-    ice_schema = next(
-        s for s in meta["schemas"] if s.get("schema-id", 0) == schema_id
-    )
+    ice_schema = _schema_for(meta, schema_id)
+    part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
     files = _data_files_for_snapshot(path, snap)
     if skip_ranges:
@@ -516,13 +784,10 @@ def read_iceberg(
         files = [
             f
             for f in files
-            if not _file_excluded_by_bounds(f, skip_ranges, prim)
+            if not _file_excluded_by_partition(f, skip_ranges, part_fields)
+            and not _file_excluded_by_bounds(f, skip_ranges, prim)
         ]
-    if not files:
-        return spark.createDataFrame([], spark_schema)
-    return spark.read.schema(spark_schema).parquet(
-        *[f["file_path"] for f in files]
-    )
+    return _read_files(spark, files, spark_schema, part_fields)
 
 
 def read_iceberg_incremental(
@@ -534,17 +799,23 @@ def read_iceberg_incremental(
     """Incremental append-scan: rows ADDED strictly AFTER
     ``from_snapshot`` up to ``to_snapshot`` (default: current) — the
     Iceberg twin of Delta's incremental change read and of the real
-    client's incremental scan API. Selects manifests by sequence-number
-    range (min_sequence_number > from's sequence), then entries whose
-    status is ADDED with data_file content — cost tracks the DELTA's
-    touched manifests/files, never the table.
+    client's incremental scan API. A manifest is skipped only when its
+    entries provably lie outside the range (sequence_number <= from's,
+    or min_sequence_number > to's); within a scanned manifest, entries
+    select by their OWN data sequence number (inheriting the
+    manifest's when null, the spec's inheritance rule) regardless of
+    ADDED/EXISTING status — real writers merge manifests on append
+    (manifest-merge-enabled defaults true), re-marking older adds
+    EXISTING inside a manifest whose min_sequence_number predates the
+    range, so status- or min-seq-based selection would silently drop
+    in-range rows on spec-legal foreign tables. Cost still tracks the
+    DELTA's touched manifests/files, never the table.
 
     Append-only contract: an overwrite snapshot inside the range
     REPLACES data rather than adding it, so a consumer that treated
     its files as increments would double-count — refused by name, the
     same policy as Delta's incremental reader on non-append commits."""
     meta = _load_metadata(path)
-    _check_unpartitioned(meta)
     lo = _snapshot(meta, from_snapshot)
     hi = _snapshot(meta, to_snapshot) if to_snapshot is not None else _snapshot(meta, None)
     lo_seq, hi_seq = lo["sequence-number"], hi["sequence-number"]
@@ -563,39 +834,35 @@ def read_iceberg_incremental(
                 "incremental file scan would misread replaced data; read "
                 "full snapshots across it instead"
             )
-    ice_schema = next(
-        s
-        for s in meta["schemas"]
-        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
-    )
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+    part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
     _, _, manifests = read_container(hi["manifest-list"])
-    files: list[str] = []
+    files: list[dict] = []
     for m in manifests:
         if m["content"] != 0:
             raise NotImplementedError(
                 "delete manifests (row-level deletes) are not supported "
                 "by this native reader"
             )
-        if not (lo_seq < m["min_sequence_number"] <= hi_seq):
+        if m["sequence_number"] <= lo_seq or m["min_sequence_number"] > hi_seq:
             continue
         _, _, entries = read_container(m["manifest_path"])
         for e in entries:
-            if e["status"] != _STATUS_ADDED:
+            if e["status"] == _STATUS_DELETED:
                 continue
             df = e["data_file"]
-            seq = e["sequence_number"]
-            if seq is not None and not (lo_seq < seq <= hi_seq):
+            seq = e.get("sequence_number")
+            eff = seq if seq is not None else m["sequence_number"]
+            if not (lo_seq < eff <= hi_seq):
                 continue
             if df["file_format"].upper() != "PARQUET":
                 raise NotImplementedError(
                     f"data file format {df['file_format']!r} not supported "
                     "(parquet only)"
                 )
-            files.append(df["file_path"])
-    if not files:
-        return spark.createDataFrame([], spark_schema)
-    return spark.read.schema(spark_schema).parquet(*files)
+            files.append(df)
+    return _read_files(spark, files, spark_schema, part_fields)
 
 
 def table_snapshots(spark: SparkSession, path: str) -> DataFrame:
@@ -611,7 +878,9 @@ def table_snapshots(spark: SparkSession, path: str) -> DataFrame:
         sid = s["snapshot-id"]
         # a manifest list carries ALL live manifests; this snapshot's
         # own additions are the manifests it added, the rest is the
-        # carried-forward file set
+        # carried-forward file set. EXISTING entries inside an owned
+        # manifest (compaction/DML carry-forward) count as existing
+        # too — files live before and after this snapshot.
         own = [m for m in manifests if m["added_snapshot_id"] == sid]
         carried = [m for m in manifests if m["added_snapshot_id"] != sid]
         rows.append(
@@ -622,7 +891,8 @@ def table_snapshots(spark: SparkSession, path: str) -> DataFrame:
                 s["timestamp-ms"],
                 s.get("summary", {}).get("operation"),
                 sum(m["added_files_count"] for m in own),
-                sum(
+                sum(m["existing_files_count"] for m in manifests)
+                + sum(
                     m["added_files_count"] + m["existing_files_count"]
                     for m in carried
                 ),
@@ -640,137 +910,6 @@ def table_snapshots(spark: SparkSession, path: str) -> DataFrame:
 
 def current_snapshot_id(path: str) -> int:
     return _snapshot(_load_metadata(path), None)["snapshot-id"]
-
-
-def compact_iceberg(
-    spark: SparkSession,
-    path: str,
-    target_file_bytes: int = 128 * 1024 * 1024,
-) -> int:
-    """Bin-pack small data files (the spec's rewrite-data-files
-    maintenance op, Delta OPTIMIZE's Iceberg twin): read the current
-    snapshot's live files, rewrite them as ~target-sized files, and
-    commit a ``replace`` snapshot whose manifest carries the new file
-    set. Rows are unchanged — only layout — and time travel to
-    pre-compaction snapshots still resolves (their manifests are
-    untouched until expire_snapshots). Incremental append-scans
-    crossing the replace snapshot refuse (read_iceberg_incremental's
-    documented contract) rather than double-counting rewritten rows.
-
-    Returns the new snapshot id, or the CURRENT snapshot id unchanged
-    when there is nothing to compact (fewer than two sub-target
-    files)."""
-    meta = _load_metadata(path)
-    _check_unpartitioned(meta)
-    snap = _snapshot(meta, None)
-    files = _data_files_for_snapshot(path, snap)
-    small = [f for f in files if f["file_size_in_bytes"] < target_file_bytes]
-    if len(small) < 2:
-        return snap["snapshot-id"]
-    total = sum(f["file_size_in_bytes"] for f in files)
-    n_out = max(1, -(-total // target_file_bytes))
-    ice_schema = next(
-        s
-        for s in meta["schemas"]
-        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
-    )
-    df = (
-        spark.read.schema(_schema_to_spark(ice_schema))
-        .parquet(*[f["file_path"] for f in files])
-        .repartition(n_out)
-    )
-    return write_iceberg(df, path, mode="overwrite", operation="replace")
-
-
-def expire_snapshots(path: str, keep_last: int = 1) -> dict:
-    """Expire all but the newest ``keep_last`` snapshots (by sequence
-    number; the current snapshot always survives) — the spec's
-    expire-snapshots maintenance op, and the Iceberg twin of Delta's
-    vacuum + expire_log pair rolled into one: snapshot entries leave
-    the metadata (time travel to them refuses with the standard
-    does-not-exist error), their manifest lists are deleted, and
-    manifests/data files referenced ONLY by expired snapshots are
-    physically removed. Anything still reachable from a kept snapshot
-    is untouched (append chains share manifests across snapshots; the
-    reachability diff is what keeps them safe).
-
-    Returns {"expired_snapshots": [...], "deleted_files": n}. The
-    bookkeeping walks manifests of expired+kept snapshots driver-side
-    — metadata-sized, like every other log walk here. Committed as a
-    new metadata version via the same put-if-absent primitive."""
-    if keep_last < 1:
-        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-    meta = _load_metadata(path)
-    snaps = sorted(
-        meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
-    )
-    if len(snaps) <= keep_last:
-        return {"expired_snapshots": [], "deleted_files": 0}
-    expired, kept = snaps[:-keep_last], snaps[-keep_last:]
-
-    def _reachable(snapshots: list[dict]) -> tuple[set, set]:
-        manifests: set[str] = set()
-        data: set[str] = set()
-        for s in snapshots:
-            _, _, mlist = read_container(s["manifest-list"])
-            for m in mlist:
-                manifests.add(m["manifest_path"])
-                _, _, entries = read_container(m["manifest_path"])
-                for e in entries:
-                    data.add(e["data_file"]["file_path"])
-        return manifests, data
-
-    exp_manifests, exp_data = _reachable(expired)
-    kept_manifests, kept_data = _reachable(kept)
-
-    new_meta = dict(meta)
-    new_meta.pop("_loaded_version", None)
-    new_meta["snapshots"] = kept
-    keep_ids = {s["snapshot-id"] for s in kept}
-    new_meta["snapshot-log"] = [
-        e
-        for e in meta.get("snapshot-log", [])
-        if e["snapshot-id"] in keep_ids
-    ]
-    new_version = meta["_loaded_version"] + 1
-    target = os.path.join(_metadata_dir(path), f"v{new_version}.metadata.json")
-    try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise IcebergCommitConflict(
-            f"metadata version {new_version} of {path} was committed "
-            "concurrently; re-read the table and retry"
-        ) from None
-    with os.fdopen(fd, "w") as fh:
-        json.dump(new_meta, fh)
-    tmp_hint = os.path.join(
-        _metadata_dir(path), f".{_VERSION_HINT}.{uuid.uuid4().hex}"
-    )
-    with open(tmp_hint, "w", encoding="utf-8") as fh:
-        fh.write(str(new_version))
-    os.replace(tmp_hint, os.path.join(_metadata_dir(path), _VERSION_HINT))
-
-    # physical deletion AFTER the metadata commit: a reader racing the
-    # expiry either sees the old metadata (files still present) or the
-    # new one (files unreferenced) — never a kept snapshot with missing
-    # files
-    deleted = 0
-    for s in expired:
-        try:
-            os.remove(s["manifest-list"])
-            deleted += 1
-        except OSError:
-            pass
-    for p_ in (exp_manifests - kept_manifests) | (exp_data - kept_data):
-        try:
-            os.remove(p_)
-            deleted += 1
-        except OSError:
-            pass
-    return {
-        "expired_snapshots": [s["snapshot-id"] for s in expired],
-        "deleted_files": deleted,
-    }
 
 
 # ---------------------------------------------------------------- writing
@@ -805,12 +944,37 @@ def _footer_bounds(md, prim: dict) -> tuple[list, list]:
     return lower, upper
 
 
-def _stage_data_files(df: DataFrame, path: str, ice_schema: dict) -> list[dict]:
+def _walk_staged_parquet(staging: str) -> list[tuple[str, dict]]:
+    """(full path, {hive dir name: raw value}) for every staged parquet
+    part file, however deep partitionBy nested it."""
+    out = []
+    for root, _dirs, names in os.walk(staging):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(root, staging)
+            raw: dict[str, str] = {}
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    raw[k] = urllib.parse.unquote(v)
+            out.append((os.path.join(root, n), raw))
+    return out
+
+
+def _stage_data_files(
+    df: DataFrame, path: str, ice_schema: dict, part_fields: list[dict]
+) -> list[dict]:
     """Write df as parquet under data/<uuid>/ and return data_file
-    dicts (path, counts, and spec-serialized per-column lower/upper
-    bounds — all from the parquet footers the write already produced:
-    driver-side metadata reads, same as the real client collects
-    stats; no data re-scan)."""
+    dicts (path, counts, partition tuple, and spec-serialized
+    per-column lower/upper bounds — all from the parquet footers the
+    write already produced: driver-side metadata reads, same as the
+    real client collects stats; no data re-scan). Partitioned tables
+    stage with partitionBy (hive layout, one file set per partition
+    value — the spec's one-partition-per-data-file invariant) and
+    parse the tuple back from the dir names; the source columns stay
+    OUT of the data files and are injected from the manifests on read
+    (identity-transform allowance)."""
     import pyarrow.parquet as pq
 
     prim = {
@@ -828,27 +992,37 @@ def _stage_data_files(df: DataFrame, path: str, ice_schema: dict) -> list[dict]:
     prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:
-        df.write.mode("overwrite").parquet(staging)
+        w = df.write.mode("overwrite")
+        if part_fields:
+            w = w.partitionBy(*[pf["source_name"] for pf in part_fields])
+        w.parquet(staging)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.parquet.outputTimestampType")
         else:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
     out = []
-    for n in sorted(os.listdir(staging)):
-        if not n.endswith(".parquet"):
-            continue
-        full = os.path.join(staging, n)
+    for full, raw in _walk_staged_parquet(staging):
         md = pq.ParquetFile(full).metadata
         if md.num_rows == 0:
             continue  # empty part files add metadata, never data
+        partition: dict[str, Any] = {}
+        for pf in part_fields:
+            rv = raw.get(pf["source_name"])
+            if rv is None or rv == _HIVE_NULL:
+                raise ValueError(
+                    f"null partition value in column {pf['source_name']!r}: "
+                    "this writer refuses null identity-partition tuples "
+                    "(filter or coalesce them first)"
+                )
+            partition[pf["name"]] = _hive_to_avro_partition(pf["type"], rv)
         lower, upper = _footer_bounds(md, prim)
         out.append(
             {
                 "content": 0,
                 "file_path": full,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": partition,
                 "record_count": md.num_rows,
                 "file_size_in_bytes": os.path.getsize(full),
                 "lower_bounds": lower or None,
@@ -858,90 +1032,52 @@ def _stage_data_files(df: DataFrame, path: str, ice_schema: dict) -> list[dict]:
     return out
 
 
-def write_iceberg(
-    df: DataFrame,
+def _commit_snapshot(
     path: str,
-    mode: str = "append",
-    operation: str | None = None,
+    meta: dict,
+    ice_schema: dict,
+    part_fields: list[dict],
+    added_files: list[dict],
+    existing_entries: list[dict],
+    deleted_entries: list[dict],
+    carry_prior_manifests: bool,
+    operation: str,
 ) -> int:
-    """Commit ``df`` as a new snapshot (``append`` keeps prior data
-    live via the previous snapshot's manifests; ``overwrite`` starts a
-    fresh file set). ``operation`` overrides the snapshot summary's
-    operation label (compact_iceberg commits a replace-shaped
-    overwrite as "replace"). Returns the new snapshot id.
+    """Write one manifest (ADDED + carried-EXISTING + DELETED entries),
+    a manifest list, and claim the next metadata version — the shared
+    commit primitive under write/compact/DML.
 
-    Commit protocol (spec §Metadata): stage data parquet + one new
-    manifest avro + a manifest list avro, then atomically claim
-    vN+1.metadata.json with O_CREAT|O_EXCL — the same put-if-absent
-    primitive as the Delta writer; a lost race raises
-    IcebergCommitConflict (re-read, re-derive). version-hint.text is
-    advisory and updated last (readers tolerate a stale hint)."""
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    ``meta`` is the PLANNING-time metadata (from _load_metadata); the
+    put-if-absent claims ``meta['_loaded_version'] + 1``, so any commit
+    that landed after planning — even during the staging Spark job —
+    makes the claim fail with IcebergCommitConflict instead of silently
+    dropping the concurrent writer's rows (the real rewrite-data-files'
+    revalidate-before-commit, achieved here by never re-reading newer
+    metadata between planning and claim).
+
+    ``existing_entries``/``deleted_entries`` are resolved entries from
+    _entries_for_snapshot: their original snapshot_id and sequence
+    numbers are preserved (EXISTING keeps attribution; DELETED records
+    the removed file's data sequence per the spec), which keeps
+    expire_snapshots' reachability and the incremental reader's
+    sequence selection exact across compaction/DML commits."""
     md = _metadata_dir(path)
-    os.makedirs(md, exist_ok=True)
-    exists = any(
-        n.startswith("v") and n.endswith(".metadata.json")
-        for n in os.listdir(md)
-    )
-
     now_ms = int(time.time() * 1000)
     snapshot_id = uuid.uuid4().int % (1 << 62)
+    base_version = meta["_loaded_version"]
+    seq = meta.get("last-sequence-number", 0) + 1
 
-    if exists:
-        meta = _load_metadata(path)
-        _check_unpartitioned(meta)
-        ice_schema = next(
-            s
-            for s in meta["schemas"]
-            if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
-        )
-        if _schema_to_spark(ice_schema) != df.schema:
-            raise ValueError(
-                "schema mismatch: iceberg writer does not evolve schemas; "
-                f"table {_schema_to_spark(ice_schema).simpleString()} vs "
-                f"df {df.schema.simpleString()}"
-            )
-        base_version = meta["_loaded_version"]
-        last_seq = meta.get("last-sequence-number", 0)
-        prior_manifests: list[dict] = []
-        if mode == "append" and meta.get("current-snapshot-id", -1) != -1:
-            snap = _snapshot(meta, None)
-            _, _, prior_manifests = read_container(snap["manifest-list"])
-        parent_id = meta.get("current-snapshot-id")
-        if parent_id == -1:
-            parent_id = None
-    else:
-        ice_schema, last_col = _schema_to_iceberg(df.schema)
-        meta = {
-            "format-version": 2,
-            "table-uuid": str(uuid.uuid4()),
-            "location": path,
-            "last-updated-ms": now_ms,
-            "last-column-id": last_col,
-            "schemas": [ice_schema],
-            "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "default-spec-id": 0,
-            "last-partition-id": 999,
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "default-sort-order-id": 0,
-            "properties": {},
-            "snapshots": [],
-            "snapshot-log": [],
-            "metadata-log": [],
-            "last-sequence-number": 0,
-        }
-        base_version = 0
-        last_seq = 0
-        prior_manifests = []
+    prior_manifests: list[dict] = []
+    if carry_prior_manifests and meta.get("current-snapshot-id", -1) not in (
+        None,
+        -1,
+    ):
+        snap = _snapshot(meta, None)
+        _, _, prior_manifests = read_container(snap["manifest-list"])
+    parent_id = meta.get("current-snapshot-id")
+    if parent_id == -1:
         parent_id = None
 
-    seq = last_seq + 1
-    data_files = _stage_data_files(df, path, ice_schema)
-    added_rows = sum(f["record_count"] for f in data_files)
-
-    manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
     entries = [
         {
             "status": _STATUS_ADDED,
@@ -950,16 +1086,41 @@ def write_iceberg(
             "file_sequence_number": seq,
             "data_file": f,
         }
-        for f in data_files
+        for f in added_files
     ]
+    entries += [
+        {
+            "status": _STATUS_EXISTING,
+            "snapshot_id": e["snapshot_id"],
+            "sequence_number": e["sequence_number"],
+            "file_sequence_number": e["file_sequence_number"],
+            "data_file": e["data_file"],
+        }
+        for e in existing_entries
+    ]
+    entries += [
+        {
+            "status": _STATUS_DELETED,
+            "snapshot_id": snapshot_id,
+            "sequence_number": e["sequence_number"],
+            "file_sequence_number": e["file_sequence_number"],
+            "data_file": e["data_file"],
+        }
+        for e in deleted_entries
+    ]
+
+    added_rows = sum(f["record_count"] for f in added_files)
+    manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
     manifest_len = write_container(
         manifest_path,
-        _MANIFEST_ENTRY_SCHEMA,
+        _manifest_entry_schema(part_fields),
         entries,
         meta={
             "schema": json.dumps(ice_schema).encode(),
-            "partition-spec": json.dumps([]).encode(),
-            "partition-spec-id": b"0",
+            "partition-spec": json.dumps(
+                _default_spec_fields(meta)
+            ).encode(),
+            "partition-spec-id": str(meta.get("default-spec-id", 0)).encode(),
             "format-version": b"2",
             "content": b"data",
         },
@@ -967,17 +1128,25 @@ def write_iceberg(
     new_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": manifest_len,
-        "partition_spec_id": 0,
+        "partition_spec_id": meta.get("default-spec-id", 0),
         "content": 0,
         "sequence_number": seq,
-        "min_sequence_number": seq,
+        "min_sequence_number": min(
+            [seq]
+            + [e["sequence_number"] for e in existing_entries]
+            + [e["sequence_number"] for e in deleted_entries]
+        ),
         "added_snapshot_id": snapshot_id,
-        "added_files_count": len(data_files),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
+        "added_files_count": len(added_files),
+        "existing_files_count": len(existing_entries),
+        "deleted_files_count": len(deleted_entries),
         "added_rows_count": added_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
+        "existing_rows_count": sum(
+            e["data_file"]["record_count"] for e in existing_entries
+        ),
+        "deleted_rows_count": sum(
+            e["data_file"]["record_count"] for e in deleted_entries
+        ),
     }
     manifest_list = os.path.join(
         md, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
@@ -985,7 +1154,7 @@ def write_iceberg(
     write_container(
         manifest_list,
         _MANIFEST_FILE_SCHEMA,
-        [new_manifest] + (prior_manifests if mode == "append" else []),
+        [new_manifest] + prior_manifests,
         meta={
             "snapshot-id": str(snapshot_id).encode(),
             "sequence-number": str(seq).encode(),
@@ -999,9 +1168,8 @@ def write_iceberg(
         "timestamp-ms": now_ms,
         "manifest-list": manifest_list,
         "summary": {
-            "operation": operation
-            or ("append" if mode == "append" else "overwrite"),
-            "added-data-files": str(len(data_files)),
+            "operation": operation,
+            "added-data-files": str(len(added_files)),
             "added-records": str(added_rows),
         },
         "schema-id": meta.get("current-schema-id", 0),
@@ -1030,9 +1198,595 @@ def write_iceberg(
         ) from None
     with os.fdopen(fd, "w") as fh:
         json.dump(new_meta, fh)
-    tmp_hint = os.path.join(md, f".{_VERSION_HINT}.{uuid.uuid4().hex}"
-                            )
+    tmp_hint = os.path.join(md, f".{_VERSION_HINT}.{uuid.uuid4().hex}")
     with open(tmp_hint, "w", encoding="utf-8") as fh:
         fh.write(str(new_version))
     os.replace(tmp_hint, os.path.join(md, _VERSION_HINT))
     return snapshot_id
+
+
+def _new_table_metadata(
+    path: str, df_schema: T.StructType, partition_by: list[str] | None
+) -> tuple[dict, dict, list[dict]]:
+    """Fresh metadata dict (version 0, not yet written) for a new
+    table, with an identity partition spec when ``partition_by`` names
+    top-level columns of supported types."""
+    ice_schema, last_col = _schema_to_iceberg(df_schema)
+    spec_fields = []
+    for i, col in enumerate(partition_by or []):
+        src = next(
+            (f for f in ice_schema["fields"] if f["name"] == col), None
+        )
+        if src is None:
+            raise ValueError(f"partition column {col!r} not in schema")
+        if not isinstance(src["type"], str) or src["type"] not in _PART_TYPES:
+            raise NotImplementedError(
+                f"partition column {col!r} must be a top-level "
+                f"{'/'.join(_PART_TYPES)} column, got "
+                f"{src['type'] if isinstance(src['type'], str) else 'nested'}"
+            )
+        spec_fields.append(
+            {
+                "source-id": src["id"],
+                "field-id": 1000 + i,
+                "name": col,
+                "transform": "identity",
+            }
+        )
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": path,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": last_col,
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": 999 + len(spec_fields),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "last-sequence-number": 0,
+        "_loaded_version": 0,
+    }
+    part_fields = _partition_fields(meta, ice_schema)
+    return meta, ice_schema, part_fields
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    operation: str | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit ``df`` as a new snapshot (``append`` keeps prior data
+    live via the previous snapshot's manifests; ``overwrite`` starts a
+    fresh file set). ``operation`` overrides the snapshot summary's
+    operation label. ``partition_by`` (new tables only) creates an
+    identity partition spec over the named int/long/string/date
+    columns; appends to a partitioned table stage per-partition
+    automatically from the table's spec — passing partition_by again
+    must match it. Returns the new snapshot id.
+
+    Commit protocol (spec §Metadata): stage data parquet + one new
+    manifest avro + a manifest list avro, then atomically claim
+    vN+1.metadata.json with O_CREAT|O_EXCL — the same put-if-absent
+    primitive as the Delta writer; a lost race raises
+    IcebergCommitConflict (re-read, re-derive). version-hint.text is
+    advisory and updated last (readers tolerate a stale hint)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    md = _metadata_dir(path)
+    os.makedirs(md, exist_ok=True)
+    exists = any(
+        n.startswith("v") and n.endswith(".metadata.json")
+        for n in os.listdir(md)
+    )
+
+    if exists:
+        meta = _load_metadata(path)
+        ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+        part_fields = _partition_fields(meta, ice_schema)
+        if _schema_to_spark(ice_schema) != df.schema:
+            raise ValueError(
+                "schema mismatch: iceberg writer does not evolve schemas; "
+                f"table {_schema_to_spark(ice_schema).simpleString()} vs "
+                f"df {df.schema.simpleString()}"
+            )
+        if partition_by is not None:
+            have = [pf["source_name"] for pf in part_fields]
+            if list(partition_by) != have:
+                raise ValueError(
+                    f"partition_by {list(partition_by)} does not match the "
+                    f"table's partition spec {have}; the spec is fixed at "
+                    "table creation"
+                )
+    else:
+        meta, ice_schema, part_fields = _new_table_metadata(
+            path, df.schema, partition_by
+        )
+
+    data_files = _stage_data_files(df, path, ice_schema, part_fields)
+    return _commit_snapshot(
+        path,
+        meta,
+        ice_schema,
+        part_fields,
+        added_files=data_files,
+        existing_entries=[],
+        deleted_entries=[],
+        carry_prior_manifests=(mode == "append"),
+        operation=operation or ("append" if mode == "append" else "overwrite"),
+    )
+
+
+# -------------------------------------------------------- maintenance ops
+
+
+def compact_iceberg(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Bin-pack SMALL data files (the spec's rewrite-data-files
+    maintenance op, Delta OPTIMIZE's Iceberg twin): within each
+    partition, files under ``target_file_bytes`` — and only those —
+    are read, rewritten as ~target-sized files, and committed as a
+    ``replace`` snapshot whose manifest carries every untouched file
+    forward as an EXISTING entry (original snapshot attribution and
+    sequence numbers preserved). Already-compacted files are NOT
+    rewritten: on a 100 TB table with a handful of stragglers this
+    costs megabytes, not a full-table rewrite — the same shape as
+    delta_dml.optimize_delta. Rows are unchanged — only layout — and
+    time travel to pre-compaction snapshots still resolves (their
+    manifests are untouched until expire_snapshots). Incremental
+    append-scans crossing the replace snapshot refuse
+    (read_iceberg_incremental's documented contract) rather than
+    double-counting rewritten rows. A commit that raced a concurrent
+    writer raises IcebergCommitConflict instead of dropping its rows
+    (the planning-version put-if-absent in _commit_snapshot).
+
+    Returns the new snapshot id, or the CURRENT snapshot id unchanged
+    when no partition has two or more sub-target files."""
+    meta = _load_metadata(path)
+    snap = _snapshot(meta, None)
+    ice_schema = _schema_for(
+        meta, snap.get("schema-id", meta.get("current-schema-id", 0))
+    )
+    part_fields = _partition_fields(meta, ice_schema)
+    spark_schema = _schema_to_spark(ice_schema)
+    entries = _entries_for_snapshot(path, snap)
+
+    groups: dict[tuple, list[dict]] = {}
+    for e in entries:
+        if e["data_file"]["file_size_in_bytes"] >= target_file_bytes:
+            continue
+        part = e["data_file"].get("partition") or {}
+        key = tuple(part.get(pf["name"]) for pf in part_fields)
+        groups.setdefault(key, []).append(e)
+
+    rewritten: list[dict] = []
+    added: list[dict] = []
+    for _key, small in sorted(
+        groups.items(), key=lambda kv: tuple(map(str, kv[0]))
+    ):
+        if len(small) < 2:
+            continue
+        total = sum(e["data_file"]["file_size_in_bytes"] for e in small)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = _read_files(
+            spark, [e["data_file"] for e in small], spark_schema, part_fields
+        ).repartition(n_out)
+        added += _stage_data_files(df, path, ice_schema, part_fields)
+        rewritten += small
+
+    if not rewritten:
+        return snap["snapshot-id"]
+    rewritten_paths = {e["data_file"]["file_path"] for e in rewritten}
+    kept = [
+        e for e in entries if e["data_file"]["file_path"] not in rewritten_paths
+    ]
+    return _commit_snapshot(
+        path,
+        meta,
+        ice_schema,
+        part_fields,
+        added_files=added,
+        existing_entries=kept,
+        deleted_entries=rewritten,
+        carry_prior_manifests=False,
+        operation="replace",
+    )
+
+
+def expire_snapshots(
+    path: str,
+    keep_last: int = 1,
+    older_than: Any | None = None,
+) -> dict:
+    """Expire old snapshots — the spec's expire-snapshots maintenance
+    op, and the Iceberg twin of Delta's vacuum + expire_log pair rolled
+    into one: snapshot entries leave the metadata (time travel to them
+    refuses with the standard does-not-exist error), their manifest
+    lists are deleted, and manifests/data files referenced ONLY by
+    expired snapshots are physically removed. Anything still reachable
+    from a kept snapshot is untouched (append chains share manifests
+    across snapshots; the reachability diff is what keeps them safe).
+
+    Kept: the newest ``keep_last`` snapshots by sequence number, PLUS
+    the snapshot ``current-snapshot-id`` points at (a foreign writer's
+    rollback can leave the current snapshot below the max sequence —
+    expiring it would leave metadata pointing at nothing), PLUS — when
+    ``older_than`` is given (datetime or epoch millis) — every
+    snapshot at least that recent. The age guard is the real client's
+    primary retention control, and it is what bounds the in-flight-
+    reader race: deleting files only AFTER the metadata commit
+    protects readers that resolve metadata later, but a reader that
+    resolved the OLD metadata just before the commit may still be
+    scanning an expired snapshot's files when they are removed.
+    Retention (expire only snapshots older than every plausible
+    in-flight scan) is the mitigation; keep_last alone does not close
+    that race.
+
+    Returns {"expired_snapshots": [...], "deleted_files": n}. The
+    bookkeeping walks manifests of expired+kept snapshots driver-side
+    — metadata-sized, like every other log walk here. Committed as a
+    new metadata version via the same put-if-absent primitive."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    cutoff_ms: int | None = None
+    if older_than is not None:
+        if isinstance(older_than, _dt):
+            ref = (
+                older_than
+                if older_than.tzinfo is not None
+                else older_than.replace(tzinfo=_tz.utc)
+            )
+            cutoff_ms = (ref - _EPOCH_DT) // _timedelta(milliseconds=1)
+        else:
+            cutoff_ms = int(older_than)
+    meta = _load_metadata(path)
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
+    )
+    current_id = meta.get("current-snapshot-id")
+    keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]}
+    if current_id is not None and current_id != -1:
+        keep_ids.add(current_id)
+    if cutoff_ms is not None:
+        keep_ids |= {
+            s["snapshot-id"] for s in snaps if s["timestamp-ms"] >= cutoff_ms
+        }
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    kept = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    if not expired:
+        return {"expired_snapshots": [], "deleted_files": 0}
+
+    def _reachable(snapshots: list[dict]) -> tuple[set, set]:
+        manifests: set[str] = set()
+        data: set[str] = set()
+        for s in snapshots:
+            _, _, mlist = read_container(s["manifest-list"])
+            for m in mlist:
+                manifests.add(m["manifest_path"])
+                _, _, entries = read_container(m["manifest_path"])
+                for e in entries:
+                    data.add(e["data_file"]["file_path"])
+        return manifests, data
+
+    exp_manifests, exp_data = _reachable(expired)
+    kept_manifests, kept_data = _reachable(kept)
+
+    new_meta = dict(meta)
+    new_meta.pop("_loaded_version", None)
+    new_meta["snapshots"] = kept
+    new_meta["snapshot-log"] = [
+        e
+        for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in keep_ids
+    ]
+    new_version = meta["_loaded_version"] + 1
+    target = os.path.join(_metadata_dir(path), f"v{new_version}.metadata.json")
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise IcebergCommitConflict(
+            f"metadata version {new_version} of {path} was committed "
+            "concurrently; re-read the table and retry"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    tmp_hint = os.path.join(
+        _metadata_dir(path), f".{_VERSION_HINT}.{uuid.uuid4().hex}"
+    )
+    with open(tmp_hint, "w", encoding="utf-8") as fh:
+        fh.write(str(new_version))
+    os.replace(tmp_hint, os.path.join(_metadata_dir(path), _VERSION_HINT))
+
+    # physical deletion AFTER the metadata commit: readers that resolve
+    # metadata from here on never see the expired snapshots; see the
+    # docstring for the in-flight-reader race older_than mitigates
+    deleted = 0
+    for s in expired:
+        try:
+            os.remove(s["manifest-list"])
+            deleted += 1
+        except OSError:
+            pass
+    for p_ in (exp_manifests - kept_manifests) | (exp_data - kept_data):
+        try:
+            os.remove(p_)
+            deleted += 1
+        except OSError:
+            pass
+    return {
+        "expired_snapshots": [s["snapshot-id"] for s in expired],
+        "deleted_files": deleted,
+    }
+
+
+# ------------------------------------------------------ copy-on-write DML
+# The Delta twin's contract (sources/delta_dml.py): an affected-file
+# probe (one distributed scan + distinct on the file column — the
+# driver holds only a file LIST), a rewrite of JUST the affected
+# files, and one commit whose manifest records the rewrite as
+# ADDED + carried-EXISTING + DELETED entries. Untouched files never
+# rewrite, so DML cost tracks the matched files, not the table.
+# Commits label their operation per the spec's summary values
+# ("delete"/"overwrite"), which read_iceberg_incremental already
+# refuses to cross — rewritten rows can never double-count.
+
+
+def _entries_by_base(entries: list[dict]) -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for e in entries:
+        base = e["data_file"]["file_path"].rsplit("/", 1)[-1]
+        if base in out:  # uuid-named staging makes this unreachable
+            raise ValueError(f"duplicate data-file basename {base!r}")
+        out[base] = e
+    return out
+
+
+def _dml_plan(spark: SparkSession, path: str):
+    meta = _load_metadata(path)
+    snap = _snapshot(meta, None)
+    ice_schema = _schema_for(
+        meta, snap.get("schema-id", meta.get("current-schema-id", 0))
+    )
+    part_fields = _partition_fields(meta, ice_schema)
+    spark_schema = _schema_to_spark(ice_schema)
+    entries = _entries_for_snapshot(path, snap)
+    scan = _read_files(
+        spark,
+        [e["data_file"] for e in entries],
+        spark_schema,
+        part_fields,
+        with_file=True,
+    )
+    return meta, snap, ice_schema, part_fields, spark_schema, entries, scan
+
+
+def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
+    """DELETE FROM table WHERE predicate (SQL-null semantics: only
+    rows where the predicate is TRUE are deleted), copy-on-write: only
+    files containing at least one matching row rewrite; the commit is
+    a ``delete`` snapshot carrying every untouched file forward.
+    Returns the new snapshot id (the current one unchanged if nothing
+    matched — no empty commit)."""
+    meta, snap, ice_schema, part_fields, _schema, entries, scan = _dml_plan(
+        spark, path
+    )
+    cond = F.expr(predicate)
+    affected = [
+        r[_FILE_COL]
+        for r in scan.filter(cond).select(_FILE_COL).distinct().collect()
+    ]
+    if not affected:
+        return snap["snapshot-id"]
+    by_base = _entries_by_base(entries)
+    affected_set = set(affected)
+    kept_rows = (
+        scan.filter(F.col(_FILE_COL).isin(affected))
+        .filter(~F.coalesce(cond, F.lit(False)))
+        .drop(_FILE_COL)
+    )
+    staged = _stage_data_files(kept_rows, path, ice_schema, part_fields)
+    return _commit_snapshot(
+        path,
+        meta,
+        ice_schema,
+        part_fields,
+        added_files=staged,
+        existing_entries=[
+            e
+            for b, e in by_base.items()
+            if b not in affected_set
+        ],
+        deleted_entries=[by_base[b] for b in sorted(affected_set)],
+        carry_prior_manifests=False,
+        operation="delete",
+    )
+
+
+def update_iceberg(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str | None = None,
+) -> int:
+    """UPDATE table SET col = expr, ... [WHERE predicate], copy-on-
+    write. Expressions are SQL over the row's own columns (evaluated
+    against the PRE-update row, like SQL UPDATE). Identity-partition
+    columns cannot be updated (a real row-move rewrite is MERGE's
+    job — the same refusal as the Delta twin). Returns the new
+    snapshot id."""
+    meta, snap, ice_schema, part_fields, spark_schema, entries, scan = (
+        _dml_plan(spark, path)
+    )
+    pcols = {pf["source_name"] for pf in part_fields}
+    bad = set(set_exprs) & pcols
+    if bad:
+        raise ValueError(
+            f"cannot UPDATE partition column(s) {sorted(bad)}; "
+            "delete+insert (or merge) instead"
+        )
+    unknown = set(set_exprs) - {f.name for f in spark_schema.fields}
+    if unknown:
+        raise ValueError(f"unknown column(s) in SET: {sorted(unknown)}")
+    cond = F.expr(predicate) if predicate is not None else F.lit(True)
+    affected = [
+        r[_FILE_COL]
+        for r in scan.filter(cond).select(_FILE_COL).distinct().collect()
+    ]
+    if not affected:
+        return snap["snapshot-id"]
+    by_base = _entries_by_base(entries)
+    affected_set = set(affected)
+    hit = F.coalesce(cond, F.lit(False))
+    rewritten = scan.filter(F.col(_FILE_COL).isin(affected)).select(
+        *[
+            (
+                F.when(hit, F.expr(set_exprs[f.name]).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+            )
+            for f in spark_schema.fields
+        ]
+    )
+    staged = _stage_data_files(rewritten, path, ice_schema, part_fields)
+    return _commit_snapshot(
+        path,
+        meta,
+        ice_schema,
+        part_fields,
+        added_files=staged,
+        existing_entries=[
+            e for b, e in by_base.items() if b not in affected_set
+        ],
+        deleted_entries=[by_base[b] for b in sorted(affected_set)],
+        carry_prior_manifests=False,
+        operation="overwrite",
+    )
+
+
+def merge_iceberg(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+) -> int:
+    """MERGE INTO table USING source ON equality of ``keys``, copy-on-
+    write — the Delta twin's contract exactly (delta_dml.merge_delta):
+
+    ``when_matched``: 'update' (matched target rows take the source
+    row's values — full-row upsert), 'delete' (matched rows removed),
+    or 'none'. ``insert_not_matched``: source rows matching no target
+    row are appended. Source must be duplicate-free on the keys (a
+    target row matching two source rows is ambiguous — raises, same
+    as the real MERGE). Returns the new snapshot id.
+
+    Scale shape: the match probe is one distributed join of the
+    target scan against the (usually far smaller, auto-broadcast)
+    source keys; only files containing matches rewrite; inserts
+    append; a partition-aligned key makes the probe partition-pruned
+    at the parquet level and keeps rewrites inside their partitions."""
+    if when_matched not in ("update", "delete", "none"):
+        raise ValueError(
+            f"when_matched must be update|delete|none: {when_matched!r}"
+        )
+    meta, snap, ice_schema, part_fields, spark_schema, entries, scan = (
+        _dml_plan(spark, path)
+    )
+    tcols = [f.name for f in spark_schema.fields]
+    if sorted(source.columns) != sorted(tcols):
+        raise ValueError(
+            f"source columns {sorted(source.columns)} != table's {sorted(tcols)}"
+        )
+    missing = [k for k in keys if k not in tcols]
+    if missing:
+        raise ValueError(f"merge keys not in table: {missing}")
+    dup = source.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"source has duplicate merge keys (e.g. "
+            f"{ {k: dup[0][k] for k in keys} }); MERGE would be ambiguous"
+        )
+    source = source.select(*tcols)  # column order for union/insert
+
+    key_df = source.select(*keys).distinct()
+    affected = [
+        r[_FILE_COL]
+        for r in scan.join(key_df, on=keys, how="leftsemi")
+        .select(_FILE_COL)
+        .distinct()
+        .collect()
+    ]
+    by_base = _entries_by_base(entries)
+    affected_set = set(affected)
+
+    added: list[dict] = []
+    matched_keys = None
+    if affected:
+        hit_rows = scan.filter(F.col(_FILE_COL).isin(affected))
+        src = source.select(
+            *[F.col(c).alias(f"__src_{c}") for c in tcols]
+        ).withColumn("__matched", F.lit(True))
+        joined = hit_rows.join(
+            src,
+            on=[hit_rows[k] == src[f"__src_{k}"] for k in keys],
+            how="left",
+        )
+        m = F.coalesce(F.col("__matched"), F.lit(False))
+        if when_matched == "update":
+            rewritten = joined.select(
+                *[
+                    F.when(m, F.col(f"__src_{c}"))
+                    .otherwise(hit_rows[c])
+                    .alias(c)
+                    for c in tcols
+                ]
+            )
+        elif when_matched == "delete":
+            rewritten = joined.filter(~m).select(
+                *[hit_rows[c] for c in tcols]
+            )
+        else:  # 'none': matched rows keep their current values
+            rewritten = joined.select(*[hit_rows[c] for c in tcols])
+        added += _stage_data_files(rewritten, path, ice_schema, part_fields)
+        matched_keys = (
+            scan.filter(F.col(_FILE_COL).isin(affected))
+            .select(*keys)
+            .distinct()
+        )
+
+    if insert_not_matched:
+        inserts = source
+        if matched_keys is not None:
+            inserts = source.join(matched_keys, on=keys, how="leftanti")
+        # (no affected files -> no key matched -> every source row inserts)
+        added += _stage_data_files(inserts, path, ice_schema, part_fields)
+
+    if not added and not affected:
+        return snap["snapshot-id"]
+    return _commit_snapshot(
+        path,
+        meta,
+        ice_schema,
+        part_fields,
+        added_files=added,
+        existing_entries=[
+            e for b, e in by_base.items() if b not in affected_set
+        ],
+        deleted_entries=[by_base[b] for b in sorted(affected_set)],
+        carry_prior_manifests=False,
+        operation="overwrite",
+    )

@@ -131,7 +131,7 @@ def test_refusals_partitioned_and_deletes(spark, tmp_path):
     md = os.path.join(t, "metadata")
     meta = json.load(open(os.path.join(md, "v1.metadata.json")))
 
-    # partitioned spec -> refuse
+    # non-identity partition transform -> refuse (identity is handled)
     meta2 = dict(meta)
     meta2["partition-specs"] = [
         {
@@ -140,15 +140,15 @@ def test_refusals_partitioned_and_deletes(spark, tmp_path):
                 {
                     "source-id": 1,
                     "field-id": 1000,
-                    "name": "id",
-                    "transform": "identity",
+                    "name": "id_bucket",
+                    "transform": "bucket[16]",
                 }
             ],
         }
     ]
     json.dump(meta2, open(os.path.join(md, "v2.metadata.json"), "w"))
     open(os.path.join(md, "version-hint.text"), "w").write("2")
-    with pytest.raises(NotImplementedError, match="partitioned"):
+    with pytest.raises(NotImplementedError, match="transform"):
         read_iceberg(spark, t)
 
     # format-version 3 -> refuse

@@ -1,0 +1,521 @@
+"""Round-7 native Iceberg surface (sources/iceberg.py): small-file-only
+compaction with carried-forward EXISTING entries, identity-partitioned
+tables (write/read/prune), copy-on-write DELETE/UPDATE/MERGE, commit
+revalidation against concurrent writers, expire_snapshots age +
+current-snapshot guards, merged-manifest-safe incremental scans, and
+exact integer timestamp bound serialization."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+    IcebergCommitConflict,
+    compact_iceberg,
+    current_snapshot_id,
+    delete_iceberg,
+    expire_snapshots,
+    merge_iceberg,
+    read_iceberg,
+    read_iceberg_incremental,
+    table_snapshots,
+    update_iceberg,
+    write_iceberg,
+)
+
+SCHEMA = "id long, s string, v double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _live_paths(spark, t):
+    return sorted(read_iceberg(spark, t).inputFiles())
+
+
+# ------------------------------------------------------------- compaction
+
+
+def test_compact_rewrites_only_small_files(spark, tmp_path):
+    """The round-6 scale-killer fix: files already at/over the target
+    are carried forward byte-identical (same PATHS — never rewritten);
+    only the small set merges. Rows unchanged, replace snapshot
+    committed, incremental refusal contract intact."""
+    t = str(tmp_path / "t")
+    # one big file (single 2k-row append coalesced to 1 file) ...
+    big = _df(
+        spark, [(i, f"s{i}", float(i)) for i in range(2000)]
+    ).coalesce(1)
+    s1 = write_iceberg(big, t)
+    big_paths = set(_live_paths(spark, t))
+    assert len(big_paths) == 1
+    big_size = os.path.getsize(next(iter(big_paths)).replace("file:", ""))
+    # ... plus several tiny appends
+    for i in range(3):
+        write_iceberg(_df(spark, [(10000 + i, "tiny", 0.5)]), t, mode="append")
+    before = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    n_before = len(_live_paths(spark, t))
+    assert n_before == 4
+
+    # target sized so the big file is at/over it and the tiny ones under
+    sc = compact_iceberg(spark, t, target_file_bytes=big_size)
+    after_paths = set(_live_paths(spark, t))
+    # the big file's PATH survives identically — it was not rewritten
+    assert big_paths <= after_paths
+    assert len(after_paths) < n_before
+    # rows exact through the rewrite
+    after = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    assert after == before
+    snaps = {r.snapshot_id: r for r in table_snapshots(spark, t).collect()}
+    assert snaps[sc].operation == "replace"
+    assert snaps[sc].existing_files >= 1  # the carried big file
+    # incremental across the replace refuses
+    with pytest.raises(ValueError, match="not an append"):
+        read_iceberg_incremental(spark, t, s1, to_snapshot=sc)
+    # nothing left to compact -> current id unchanged (no empty commit)
+    assert compact_iceberg(spark, t, target_file_bytes=big_size) == sc
+
+
+def test_compact_commit_conflict_on_concurrent_append(spark, tmp_path):
+    """A writer that appends between compaction planning and commit
+    must surface as IcebergCommitConflict — never silently lose its
+    rows (the put-if-absent claims the PLANNING version + 1)."""
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as I
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        write_iceberg(_df(spark, [(i, "x", 1.0)]), t, mode="append")
+
+    real_stage = I._stage_data_files
+    fired = {"done": False}
+
+    def stage_with_race(df, path, ice_schema, part_fields):
+        out = real_stage(df, path, ice_schema, part_fields)
+        if not fired["done"]:
+            fired["done"] = True  # concurrent append lands mid-compaction
+            write_iceberg(_df(spark, [(99, "race", 9.9)]), t, mode="append")
+        return out
+
+    try:
+        I._stage_data_files = stage_with_race
+        with pytest.raises(IcebergCommitConflict):
+            compact_iceberg(spark, t, target_file_bytes=1 << 30)
+    finally:
+        I._stage_data_files = real_stage
+    # the concurrent append's row is intact
+    assert (99, "race", 9.9) in {
+        tuple(r) for r in read_iceberg(spark, t).collect()
+    }
+
+
+# ------------------------------------------------------ partitioned tables
+
+
+def test_partitioned_roundtrip_and_spec_shape(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _df(
+        spark,
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "c", 4.0)],
+    )
+    write_iceberg(df, t, partition_by=["s"])
+    meta = json.load(open(os.path.join(t, "metadata", "v1.metadata.json")))
+    assert meta["partition-specs"] == [
+        {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "source-id": 2,
+                    "field-id": 1000,
+                    "name": "s",
+                    "transform": "identity",
+                }
+            ],
+        }
+    ]
+    # hive-style per-partition staging, source column NOT in data files
+    staged = glob.glob(os.path.join(t, "data", "*", "s=*", "*.parquet"))
+    assert staged
+    import pyarrow.parquet as pq
+
+    assert "s" not in pq.ParquetFile(staged[0]).schema_arrow.names
+    # read injects partition values back; rows and schema exact
+    back = read_iceberg(spark, t)
+    assert back.schema == df.schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_partitioned_append_and_pruning(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t, partition_by=["s"]
+    )
+    write_iceberg(_df(spark, [(3, "a", 3.0), (4, "c", 4.0)]), t, mode="append")
+    full = read_iceberg(spark, t)
+    assert sorted(r.id for r in full.collect()) == [1, 2, 3, 4]
+    n_files = len(full.inputFiles())
+    # partition pruning: exact equality range on the partition column
+    pruned = read_iceberg(spark, t, skip_ranges={"s": ("a", "a")})
+    assert len(pruned.inputFiles()) < n_files
+    assert sorted(r.id for r in pruned.collect()) == [1, 3]
+    # pruning composes with data-column bounds
+    both = read_iceberg(
+        spark, t, skip_ranges={"s": ("a", "a"), "id": (3, None)}
+    )
+    assert [r.id for r in both.collect()] == [3]
+    # mismatched partition_by on append refuses
+    with pytest.raises(ValueError, match="partition spec"):
+        write_iceberg(
+            _df(spark, [(9, "z", 9.0)]), t, mode="append", partition_by=["id"]
+        )
+
+
+def test_partitioned_date_column_and_incremental(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT id, date'2024-01-01' + CAST(id % 3 AS INT) AS d FROM range(9)"
+    )
+    s1 = write_iceberg(df, t, partition_by=["d"])
+    s2 = write_iceberg(
+        spark.sql(
+            "SELECT id, CASE WHEN id >= 0 THEN date'2024-01-05' END AS d "
+            "FROM range(100, 103)"
+        ),
+        t,
+        mode="append",
+    )
+    back = read_iceberg(spark, t)
+    assert back.count() == 12
+    assert dict(back.dtypes)["d"] == "date"
+    pruned = read_iceberg(
+        spark,
+        t,
+        skip_ranges={"d": (datetime.date(2024, 1, 5), None)},
+    )
+    assert sorted(r.id for r in pruned.collect()) == [100, 101, 102]
+    # incremental over a partitioned table injects partition values too
+    inc = read_iceberg_incremental(spark, t, from_snapshot=s1, to_snapshot=s2)
+    assert sorted(r.id for r in inc.collect()) == [100, 101, 102]
+    assert {r.d for r in inc.collect()} == {datetime.date(2024, 1, 5)}
+
+
+def test_partition_refusals(spark, tmp_path):
+    # null partition values refuse by name
+    with pytest.raises(ValueError, match="null partition"):
+        write_iceberg(
+            _df(spark, [(1, None, 1.0)]), str(tmp_path / "t1"), partition_by=["s"]
+        )
+    # unsupported partition source type (double) refuses
+    with pytest.raises(NotImplementedError, match="partition column"):
+        write_iceberg(
+            _df(spark, [(1, "a", 1.0)]), str(tmp_path / "t2"), partition_by=["v"]
+        )
+    # unknown partition column refuses
+    with pytest.raises(ValueError, match="not in schema"):
+        write_iceberg(
+            _df(spark, [(1, "a", 1.0)]), str(tmp_path / "t3"), partition_by=["nope"]
+        )
+
+
+def test_partitioned_compact_stays_inside_partitions(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(3):  # 3 appends x 2 partitions = 6 small files
+        write_iceberg(
+            _df(spark, [(i * 2, "a", 1.0), (i * 2 + 1, "b", 2.0)]),
+            t,
+            mode="append" if i else "append",
+            partition_by=None if i else ["s"],
+        )
+    before = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    n_before = len(_live_paths(spark, t))
+    assert n_before == 6
+    compact_iceberg(spark, t)
+    after_files = _live_paths(spark, t)
+    assert len(after_files) == 2  # one merged file per partition
+    assert sorted(tuple(r) for r in read_iceberg(spark, t).collect()) == before
+    # partition pruning still exact after compaction
+    pruned = read_iceberg(spark, t, skip_ranges={"s": ("b", "b")})
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.id for r in pruned.collect()) == [1, 3, 5]
+
+
+# ------------------------------------------------------------ CoW DML
+
+
+def test_delete_iceberg_cow(spark, tmp_path):
+    t = str(tmp_path / "t")
+    # two files: one will contain matches, one must not be rewritten
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "a", 2.0)]).coalesce(1), t)
+    write_iceberg(
+        _df(spark, [(3, "b", 3.0), (4, "b", 4.0)]).coalesce(1),
+        t,
+        mode="append",
+    )
+    untouched = {
+        p for p in _live_paths(spark, t)
+    }
+    s_before = current_snapshot_id(t)
+    sd = delete_iceberg(spark, t, "id = 2")
+    assert sd != s_before
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [1, 3, 4]
+    # the b-file was untouched: its exact path is still live
+    after = set(_live_paths(spark, t))
+    b_files = {p for p in untouched if p in after}
+    assert len(b_files) == 1  # a-file rewritten, b-file carried forward
+    # time travel to pre-delete still resolves
+    assert len(read_iceberg(spark, t, snapshot_id=s_before).collect()) == 4
+    snaps = {r.snapshot_id: r for r in table_snapshots(spark, t).collect()}
+    assert snaps[sd].operation == "delete"
+    # nothing matched -> no empty commit
+    assert delete_iceberg(spark, t, "id = 999") == sd
+    # null-predicate rows are NOT deleted (SQL semantics)
+    write_iceberg(_df(spark, [(5, None, 5.0)]), t, mode="append")
+    delete_iceberg(spark, t, "s = 'zzz'")
+    assert 5 in {r.id for r in read_iceberg(spark, t).collect()}
+
+
+def test_update_iceberg_cow(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]), t)
+    su = update_iceberg(
+        spark, t, {"v": "v * 10", "s": "upper(s)"}, predicate="id >= 2"
+    )
+    got = {r.id: (r.s, r.v) for r in read_iceberg(spark, t).collect()}
+    assert got == {1: ("a", 1.0), 2: ("B", 20.0), 3: ("C", 30.0)}
+    snaps = {r.snapshot_id: r for r in table_snapshots(spark, t).collect()}
+    assert snaps[su].operation == "overwrite"
+    with pytest.raises(ValueError, match="unknown column"):
+        update_iceberg(spark, t, {"nope": "1"})
+    # no match -> no commit
+    assert update_iceberg(spark, t, {"v": "0.0"}, predicate="id > 99") == su
+
+
+def test_update_refuses_partition_columns(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t, partition_by=["s"])
+    with pytest.raises(ValueError, match="partition column"):
+        update_iceberg(spark, t, {"s": "'z'"})
+
+
+def test_merge_iceberg_upsert(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t)
+    src = _df(spark, [(2, "B2", 22.0), (9, "new", 9.0)])
+    sm = merge_iceberg(spark, t, src, keys=["id"])
+    got = {r.id: (r.s, r.v) for r in read_iceberg(spark, t).collect()}
+    assert got == {1: ("a", 1.0), 2: ("B2", 22.0), 9: ("new", 9.0)}
+    snaps = {r.snapshot_id: r for r in table_snapshots(spark, t).collect()}
+    assert snaps[sm].operation == "overwrite"
+
+    # when_matched='delete' removes matches, still inserting non-matches
+    merge_iceberg(
+        spark,
+        t,
+        _df(spark, [(9, "x", 0.0), (50, "ins", 5.0)]),
+        keys=["id"],
+        when_matched="delete",
+    )
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [1, 2, 50]
+
+    # duplicate source keys are ambiguous -> refuse
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_iceberg(
+            spark, t, _df(spark, [(1, "x", 0.0), (1, "y", 0.0)]), keys=["id"]
+        )
+    # insert_not_matched=False + no matches -> no commit
+    before = current_snapshot_id(t)
+    assert (
+        merge_iceberg(
+            spark,
+            t,
+            _df(spark, [(777, "no", 0.0)]),
+            keys=["id"],
+            insert_not_matched=False,
+        )
+        == before
+    )
+
+
+def test_merge_iceberg_partitioned(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t, partition_by=["s"]
+    )
+    merge_iceberg(
+        spark, t, _df(spark, [(1, "a", 11.0), (3, "c", 3.0)]), keys=["id"]
+    )
+    got = {r.id: (r.s, r.v) for r in read_iceberg(spark, t).collect()}
+    assert got == {1: ("a", 11.0), 2: ("b", 2.0), 3: ("c", 3.0)}
+    # partition pruning exact after the merge
+    pruned = read_iceberg(spark, t, skip_ranges={"s": ("a", "a")})
+    assert [r.id for r in pruned.collect()] == [1]
+
+
+# --------------------------------------------------------------- expire
+
+
+def test_expire_snapshots_older_than(spark, tmp_path):
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    s2 = write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    s3 = write_iceberg(_df(spark, [(3, "c", 3.0)]), t, mode="append")
+    # a cutoff BEFORE every commit expires nothing even with keep_last=1
+    res = expire_snapshots(t, keep_last=1, older_than=0)
+    assert res == {"expired_snapshots": [], "deleted_files": 0}
+    assert {r.snapshot_id for r in table_snapshots(spark, t).collect()} == {
+        s1,
+        s2,
+        s3,
+    }
+    # a cutoff after every commit falls back to keep_last
+    future = int(datetime.datetime.now(datetime.timezone.utc).timestamp() * 1000) + 10_000
+    res = expire_snapshots(t, keep_last=2, older_than=future)
+    assert res["expired_snapshots"] == [s1]
+    # datetime form accepted
+    expire_snapshots(
+        t,
+        keep_last=2,
+        older_than=datetime.datetime.now(datetime.timezone.utc),
+    )
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [1, 2, 3]
+
+
+def test_expire_snapshots_keeps_rolled_back_current(spark, tmp_path):
+    """A foreign rollback can point current-snapshot-id below the max
+    sequence number; expiry must force that snapshot into the kept set
+    instead of leaving metadata pointing at nothing."""
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    s3 = write_iceberg(_df(spark, [(3, "c", 3.0)]), t, mode="append")
+    # simulate the rollback: current points at s1
+    md = os.path.join(t, "metadata")
+    meta = json.load(open(os.path.join(md, "v3.metadata.json")))
+    meta["current-snapshot-id"] = s1
+    json.dump(meta, open(os.path.join(md, "v4.metadata.json"), "w"))
+    open(os.path.join(md, "version-hint.text"), "w").write("4")
+
+    res = expire_snapshots(t, keep_last=1)
+    assert s1 not in res["expired_snapshots"]
+    kept = {r.snapshot_id for r in table_snapshots(spark, t).collect()}
+    assert {s1, s3} <= kept
+    # the rolled-back current still reads
+    assert [r.id for r in read_iceberg(spark, t).collect()] == [1]
+
+
+# ------------------------------------------- foreign merged manifests
+
+
+def test_incremental_reads_foreign_merged_manifest(spark, tmp_path):
+    """Real writers merge manifests on append (manifest-merge-enabled
+    defaults true): one manifest carries several appends' entries, the
+    older ones re-marked EXISTING, min_sequence_number predating the
+    scan range. Entry-level sequence selection must still find the
+    in-range adds — the round-6 reader skipped the whole manifest."""
+    from sparkstreamingtwitter_presidential_spark.sources.avro import (
+        read_container,
+        write_container,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _manifest_entry_schema,
+        _snapshot,
+        _load_metadata,
+    )
+
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    s2 = write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    s3 = write_iceberg(_df(spark, [(3, "c", 3.0)]), t, mode="append")
+
+    # merge s3's manifests the way a real writer would: one manifest,
+    # older entries EXISTING with their original sequence numbers
+    meta = _load_metadata(t)
+    snap = _snapshot(meta, s3)
+    _, _, manifests = read_container(snap["manifest-list"])
+    all_entries = []
+    for m in manifests:
+        _, _, entries = read_container(m["manifest_path"])
+        for e in entries:
+            seq = e["sequence_number"]
+            if seq is None:
+                seq = m["sequence_number"]
+            all_entries.append(
+                {
+                    "status": 1 if seq == snap["sequence-number"] else 0,
+                    "snapshot_id": e["snapshot_id"],
+                    "sequence_number": seq,
+                    "file_sequence_number": e["file_sequence_number"],
+                    "data_file": e["data_file"],
+                }
+            )
+    merged_path = os.path.join(t, "metadata", "merged-m0.avro")
+    mlen = write_container(
+        merged_path, _manifest_entry_schema([]), all_entries
+    )
+    merged = {
+        "manifest_path": merged_path,
+        "manifest_length": mlen,
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": snap["sequence-number"],
+        "min_sequence_number": 1,
+        "added_snapshot_id": s3,
+        "added_files_count": 1,
+        "existing_files_count": len(all_entries) - 1,
+        "deleted_files_count": 0,
+        "added_rows_count": 1,
+        "existing_rows_count": len(all_entries) - 1,
+        "deleted_rows_count": 0,
+    }
+    write_container(
+        snap["manifest-list"],
+        __import__(
+            "sparkstreamingtwitter_presidential_spark.sources.iceberg",
+            fromlist=["_MANIFEST_FILE_SCHEMA"],
+        )._MANIFEST_FILE_SCHEMA,
+        [merged],
+    )
+
+    # full read unaffected
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [1, 2, 3]
+    # incremental (s1, s3]: the merged manifest's min_seq=1 <= lo_seq=1,
+    # yet rows 2 and 3 are in range — entry-level selection finds them
+    inc = read_iceberg_incremental(spark, t, from_snapshot=s1)
+    assert sorted(r.id for r in inc.collect()) == [2, 3]
+    inc12 = read_iceberg_incremental(spark, t, s1, to_snapshot=s2)
+    assert sorted(r.id for r in inc12.collect()) == [2]
+
+
+# ------------------------------------------------- timestamp bound exactness
+
+
+def test_timestamp_bound_encoding_is_exact_integer_micros():
+    """float-seconds conversion has ~0.24 µs resolution at current
+    epochs and int() truncates — a recorded upper bound 1 µs low
+    would wrongly prune a file whose true max equals a query's lower
+    bound. Integer arithmetic must be exact for every microsecond."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _decode_bound,
+        _encode_bound,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0, tzinfo=datetime.timezone.utc)
+    base_us = int(base.timestamp()) * 1_000_000
+    for delta_us in list(range(0, 50)) + [123457, 999999, 10**10 + 7]:
+        dt = base + datetime.timedelta(microseconds=delta_us)
+        enc = _encode_bound("timestamptz", dt)
+        assert _decode_bound("timestamptz", enc) == base_us + delta_us
+    # naive datetimes are read as UTC (Spark TIMESTAMP normalization)
+    naive = datetime.datetime(2024, 3, 1, 12, 0, 0, 1)
+    assert _decode_bound(
+        "timestamptz", _encode_bound("timestamptz", naive)
+    ) == base_us + 1
