@@ -1018,3 +1018,164 @@ def lakehouse_iceberg_skipping_agg(
             "for a 200-id range on an id-clustered table"
         )
     return _agg_by_type(pruned.filter("event_id BETWEEN 100 AND 299"))
+
+
+def _staged_iceberg_locked(spark: SparkSession, table: str, build) -> str:
+    """Stage an Iceberg table in place behind an O_EXCL build lock +
+    _READY marker (manifests hold absolute paths — the Delta staging's
+    rename trick would break them; losers poll the marker)."""
+    import time as _time
+
+    ready = os.path.join(table, "_READY")
+    if os.path.exists(ready):
+        return table
+    os.makedirs(table, exist_ok=True)
+    lock = os.path.join(table, "_BUILD_LOCK")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        for _ in range(600):
+            if os.path.exists(ready):
+                return table
+            _time.sleep(0.5)
+        raise TimeoutError(f"iceberg staging never became ready: {table}")
+    build(spark, table)
+    open(ready, "w").close()
+    return table
+
+
+@query(
+    "lakehouse_iceberg_partitioned_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        WHERE event_type = (SELECT MIN(event_type) FROM events)
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r7: identity-PARTITIONED native Iceberg — events staged "
+        "partition_by=['event_type'] (spec-serialized partition tuples "
+        "in the manifest entries, source column absent from the data "
+        "files, two append snapshots), then the lexicographically first "
+        "event_type read back with skip_ranges on the partition column: "
+        "the query RAISES unless partition pruning removed files before "
+        "Spark listed them, and the pruned read (partition values "
+        "injected from the manifests) must equal the oracle's filtered "
+        "aggregate on the original parquet — closing the round-6 "
+        "functional asymmetry with the partitioned Delta twin"
+    ),
+)
+def lakehouse_iceberg_partitioned_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_iceberg(
+            ev.filter("event_id % 2 = 0"), table, partition_by=["event_type"]
+        )
+        write_iceberg(ev.filter("event_id % 2 = 1"), table, mode="append")
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(
+        spark, f"/tmp/ssp_iceberg_part_{key}", build
+    )
+    mt = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min("event_type"))
+        .first()[0]
+    )
+    pruned = read_iceberg(spark, table, skip_ranges={"event_type": (mt, mt)})
+    n_all = len(read_iceberg(spark, table).inputFiles())
+    n_kept = len(pruned.inputFiles())
+    if n_kept >= n_all:
+        raise RuntimeError(
+            f"partition pruning removed nothing: {n_kept}/{n_all} files "
+            f"kept for a single-partition read of event_type={mt!r}"
+        )
+    return _agg_by_type(pruned)
+
+
+@query(
+    "lakehouse_iceberg_merge_agg",
+    oracle="""
+        WITH merged AS (
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 11 = 0 THEN value + 100
+                        WHEN event_id % 7 = 0 THEN value * 2
+                        ELSE value END AS value
+            FROM events WHERE event_id % 5 <> 0
+            UNION ALL
+            SELECT event_id + 10000000 AS event_id, user_id, event_type,
+                   value
+            FROM events WHERE event_id % 13 = 0 AND event_id % 5 <> 0
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM merged GROUP BY event_type
+    """,
+    doc=(
+        "NEW r7: copy-on-write DML on the NATIVE Iceberg connector — "
+        "DELETE (event_id%5==0), UPDATE (value*2 where %7==0), then "
+        "MERGE (matched %11 keys take value+100 computed from the "
+        "ORIGINAL values — source rows, not table rows; %13 keys insert "
+        "at id+10M) against an identity-partitioned table; the staging "
+        "RAISES unless the snapshot history shows exactly the "
+        "append/delete/overwrite/overwrite operation sequence. Equals "
+        "the oracle's relational reconstruction iff affected-file "
+        "rewrite, EXISTING carry-forward, and insert append are all "
+        "exact — the Iceberg twin of lakehouse_delta_merge_agg, "
+        "completing the CoW DML symmetry"
+    ),
+)
+def lakehouse_iceberg_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        merge_iceberg,
+        delete_iceberg,
+        read_iceberg,
+        table_snapshots,
+        update_iceberg,
+        write_iceberg,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_iceberg(ev, table, partition_by=["event_type"])
+        delete_iceberg(spark, table, "event_id % 5 = 0")
+        update_iceberg(
+            spark, table, {"value": "value * 2"}, "event_id % 7 = 0"
+        )
+        updates = ev.filter(
+            "event_id % 11 = 0 AND event_id % 5 != 0"
+        ).withColumn("value", F.col("value") + 100)
+        inserts = ev.filter(
+            "event_id % 13 = 0 AND event_id % 5 != 0"
+        ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+        merge_iceberg(
+            spark, table, updates.unionByName(inserts), keys=["event_id"]
+        )
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(spark, f"/tmp/ssp_iceberg_dml_{key}", build)
+    ops = [
+        r.operation
+        for r in table_snapshots(spark, table)
+        .orderBy("sequence_number")
+        .collect()
+    ]
+    if ops != ["append", "delete", "overwrite", "overwrite"]:
+        raise RuntimeError(
+            f"iceberg DML staging committed {ops}, expected "
+            "append/delete/overwrite/overwrite — an op silently no-opped"
+        )
+    return _agg_by_type(read_iceberg(spark, table))

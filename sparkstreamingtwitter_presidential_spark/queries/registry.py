@@ -91,10 +91,22 @@ GRADED_FIRST: list[str] = [
     # window_topk_orders_per_customer (r1-r3 green; ceded for the
     # repetition-signals query — window family keeps running-sum).
     "text_repetition_signals",
-    "lakehouse_delta_merge_agg",
+    # Round-7: identity-partitioned native Iceberg (partition-pruned
+    # read with in-query RAISE unless files pruned — the partitioned
+    # Delta twin's symmetry closer). Ceded: tpch_q8_market_share
+    # (r4+r5+r6 driver-green, three rounds; TPC-H keeps Q3/Q5/Q15
+    # graded incl. the 8-table snowflake via Q5/Q15; Q8 stays in
+    # tests/test_queries_oracle.py).
+    "lakehouse_iceberg_partitioned_agg",
+    # Round-7: Iceberg copy-on-write DELETE/UPDATE/MERGE (relational
+    # reconstruction oracle + in-query op-sequence RAISE). Ceded:
+    # lakehouse_delta_merge_agg (r4+r5+r6 driver-green, three rounds;
+    # the CoW-merge shape stays graded through this Iceberg twin and
+    # delta keeps pipeline/delete_update/upsert slots; the Delta merge
+    # stays in tests/test_queries_oracle.py).
+    "lakehouse_iceberg_merge_agg",
     "lakehouse_delta_pipeline_agg",
     "lakehouse_delta_delete_update_agg",
-    "tpch_q8_market_share",
     "tpch_q15_top_supplier",
     # Round-5 newcomers (r4 verdict items 3-5: the only capabilities
     # with no driver-visible correctness signal), graded on arrival.

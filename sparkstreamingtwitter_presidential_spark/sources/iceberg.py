@@ -1003,6 +1003,15 @@ def _stage_data_files(
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
     out = []
     for full, raw in _walk_staged_parquet(staging):
+        # one partitioned write job reuses the SAME part-file basename
+        # in every partition dir; DML's affected-file probe keys on
+        # basenames, so each staged file gets a fresh uuid name (the
+        # Delta twin's rule, delta._stage_files)
+        renamed = os.path.join(
+            os.path.dirname(full), f"part-{uuid.uuid4().hex}.parquet"
+        )
+        os.rename(full, renamed)
+        full = renamed
         md = pq.ParquetFile(full).metadata
         if md.num_rows == 0:
             continue  # empty part files add metadata, never data
