@@ -283,9 +283,27 @@ def steep_cases(spark, base):
         )
         return D.incremental_lsh_pairs(base_sigs, new_sigs, 0.5)
 
+    def bpe_case():
+        from sparkstreamingtwitter_presidential_spark.operators.bpe import (
+            bpe_encode,
+            train_bpe,
+        )
+
+        # train is histogram-bounded (max_words cap) — its cost is a
+        # near-constant offset at both scales, so including it makes
+        # the measured ratio a FLOOR-biased view of encode's slope;
+        # same composition as the 10x audit's _bpe for comparability
+        merges = train_bpe(docs(), num_merges=48, max_words=50_000)
+        return bpe_encode(docs(), merges).select(
+            "doc_id", F.size("tokens").alias("n_tokens")
+        )
+
     return {
         "incremental_lsh": incremental,
         "span_stats": lambda: SD.duplicate_span_stats(docs(), k=8, hashed=True),
+        # r6 verdict item 7: the steepest slope not yet spot-checked
+        # at 100x (2.2x per decade at 10x)
+        "bpe_encode": bpe_case,
     }
 
 

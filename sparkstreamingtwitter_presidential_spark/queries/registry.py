@@ -105,7 +105,13 @@ GRADED_FIRST: list[str] = [
     # delta keeps pipeline/delete_update/upsert slots; the Delta merge
     # stays in tests/test_queries_oracle.py).
     "lakehouse_iceberg_merge_agg",
-    "lakehouse_delta_pipeline_agg",
+    # Round-7: hash-graded sketch rollup (exact columns oracled, the
+    # HLL estimate surfaced as a 5%-bound boolean pinned TRUE — r6
+    # verdict item 9). Ceded: lakehouse_delta_pipeline_agg (r4+r5+r6
+    # driver-green, three rounds; the Delta family keeps 9 graded slots
+    # incl. delete_update/upsert/history/changes, and the incremental-
+    # ETL composite stays in tests/test_queries_oracle.py).
+    "sketch_rollup_exact_agg",
     "lakehouse_delta_delete_update_agg",
     "tpch_q15_top_supplier",
     # Round-5 newcomers (r4 verdict items 3-5: the only capabilities

@@ -223,3 +223,52 @@ def sketch_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     sk = build_kll_sketches(docs, ["source"], "n_chars")
     return merge_quantile_estimates(sk)
+
+
+@query(
+    "sketch_rollup_exact_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS est_within_5pct
+        FROM events GROUP BY event_type
+    """,
+    doc=(
+        "NEW r7 (r6 verdict item 9): the sketch family's driver-graded "
+        "twin — per (day, event_type) HLL sketches rolled up per "
+        "event_type by MERGING stored sketches, with every value-graded "
+        "column EXACT (row sums ride the sketch build; exact distincts "
+        "from a parallel countDistinct) and the implementation-defined "
+        "estimate surfaced as a 5%-relative-error boolean the oracle "
+        "pins TRUE (HLL at lgK=12 is deterministic and ~0.8% typical, "
+        "so the bound is stable): a hash-graded proof that the sketch "
+        "build + union-merge pipeline neither loses rows nor degrades "
+        "past its documented error bound"
+    ),
+)
+def sketch_rollup_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.operators.sketches import (
+        build_sketches,
+        merge_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    rolled = merge_estimates(
+        build_sketches(ev, ["day", "event_type"], "user_id"), ["event_type"]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_rows",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            < 0.05
+        ).alias("est_within_5pct"),
+    )
