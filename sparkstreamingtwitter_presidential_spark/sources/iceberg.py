@@ -46,12 +46,16 @@ module's DML is CoW, it neither writes nor reads merge-on-read
 deletes), non-parquet data files, format-version > 2, types outside
 the supported subset.
 
-Name-based column mapping note: Iceberg's spec prescribes FIELD-ID
-based projection so foreign engines survive renames; this module
-records field-ids spec-faithfully on write but projects by NAME on
-read — exact for tables this engine wrote (ids and names are born
-aligned, and the graded roundtrip pins it) and documented as the
-boundary for foreign tables with renamed columns.
+Column mapping: reads project by FIELD-ID (spec §Column Projection) —
+a foreign engine's rename (metadata-only edit, ids preserved) reads
+correctly: files are grouped by their writing snapshot's schema and a
+renamed group scans under its own names, aliased to the read schema's
+by id; ids the writing schema lacks scan as NULL (the added-column
+rule). Remaining documented boundaries: top-level fields only (nested
+renames), no type promotion, and partitioned tables keep name
+projection (their partition columns are pinned by spec source-ids and
+absent from data files); bounds-based skipping is id-keyed and was
+always rename-safe.
 """
 
 from __future__ import annotations
@@ -770,24 +774,133 @@ def read_iceberg(
     the result."""
     meta = _load_metadata(path)
     snap = _snapshot(meta, snapshot_id)
-    schema_id = snap.get("schema-id", meta.get("current-schema-id", 0))
+    # a CURRENT read uses the CURRENT schema (a foreign rename bumps
+    # current-schema-id without touching old snapshots); time travel
+    # reads under the snapshot's own schema — both per the spec
+    schema_id = (
+        meta.get("current-schema-id", 0)
+        if snapshot_id is None
+        else snap.get("schema-id", meta.get("current-schema-id", 0))
+    )
     ice_schema = _schema_for(meta, schema_id)
     part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
-    files = _data_files_for_snapshot(path, snap)
+    entries = _entries_for_snapshot(path, snap)
     if skip_ranges:
         prim = {
             f["name"]: (f["id"], f["type"])
             for f in ice_schema["fields"]
             if isinstance(f["type"], str)
         }
-        files = [
-            f
-            for f in files
-            if not _file_excluded_by_partition(f, skip_ranges, part_fields)
-            and not _file_excluded_by_bounds(f, skip_ranges, prim)
+        entries = [
+            e
+            for e in entries
+            if not _file_excluded_by_partition(
+                e["data_file"], skip_ranges, part_fields
+            )
+            and not _file_excluded_by_bounds(
+                e["data_file"], skip_ranges, prim
+            )
         ]
-    return _read_files(spark, files, spark_schema, part_fields)
+    return _read_entries_projected(
+        spark, meta, entries, ice_schema, spark_schema, part_fields
+    )
+
+
+def _writing_schema_id(meta: dict, entry: dict, default: int) -> int:
+    """The schema a data file was written under = its adding snapshot's
+    schema-id. An expired adding snapshot (compaction carried the entry
+    forward past expiry) falls back to the READ schema — name-based
+    projection, the pre-remap behavior."""
+    for s in meta.get("snapshots", []):
+        if s["snapshot-id"] == entry["snapshot_id"]:
+            return s.get("schema-id", default)
+    return default
+
+
+def _read_entries_projected(
+    spark: SparkSession,
+    meta: dict,
+    entries: list[dict],
+    ice_schema: dict,
+    spark_schema: T.StructType,
+    part_fields: list[dict],
+) -> DataFrame:
+    """Field-id-based column projection (spec §Column Projection): a
+    foreign engine's rename is a metadata-only edit — the new schema
+    keeps the old field-ids while the data files still carry the old
+    NAMES. Files are grouped by their writing schema (the adding
+    snapshot's schema-id); a group whose names all match the read
+    schema takes the plain name-projected scan, a renamed group reads
+    under its OWN names and aliases to the read schema's by field-id
+    (a field-id the writing schema lacks scans as NULL — the spec's
+    added-column rule). Top-level fields only; a same-id TYPE change
+    (promotion) refuses rather than guessing a cast. Partitioned
+    tables keep name projection (spec source-ids already pin the
+    partition columns; data files omit them entirely)."""
+    files = [e["data_file"] for e in entries]
+    if part_fields or not entries:
+        return _read_files(spark, files, spark_schema, part_fields)
+    read_sid = ice_schema.get("schema-id", 0)
+    by_sid: dict[int, list[dict]] = {}
+    for e in entries:
+        sid = _writing_schema_id(meta, e, read_sid)
+        by_sid.setdefault(sid, []).append(e["data_file"])
+
+    def needs_remap(w_ice: dict) -> bool:
+        w_by_id = {f["id"]: f for f in w_ice["fields"]}
+        for f in ice_schema["fields"]:
+            wf = w_by_id.get(f["id"])
+            if wf is None or wf["name"] != f["name"]:
+                return True
+        return False
+
+    schemas = {
+        sid: (_schema_for(meta, sid) if sid != read_sid else ice_schema)
+        for sid in by_sid
+    }
+    if not any(needs_remap(w) for w in schemas.values()):
+        return _read_files(spark, files, spark_schema, [])
+
+    parts = []
+    for sid, group in sorted(by_sid.items()):
+        w_ice = schemas[sid]
+        if not needs_remap(w_ice):
+            parts.append(_read_files(spark, group, spark_schema, []))
+            continue
+        w_by_id = {f["id"]: f for f in w_ice["fields"]}
+        scan_fields, sel = [], []
+        for f in ice_schema["fields"]:
+            wf = w_by_id.get(f["id"])
+            if wf is None:
+                sel.append(
+                    F.lit(None)
+                    .cast(_iceberg_to_spark_type(f["type"]))
+                    .alias(f["name"])
+                )
+                continue
+            if wf["type"] != f["type"]:
+                raise NotImplementedError(
+                    f"field {f['id']} changed type "
+                    f"{wf['type']!r} -> {f['type']!r}; type promotion is "
+                    "not supported by this native reader"
+                )
+            scan_fields.append(
+                T.StructField(
+                    wf["name"],
+                    _iceberg_to_spark_type(wf["type"]),
+                    nullable=not wf.get("required", False),
+                )
+            )
+            sel.append(F.col(wf["name"]).alias(f["name"]))
+        df = spark.read.schema(T.StructType(scan_fields)).parquet(
+            *[g["file_path"] for g in group]
+        )
+        parts.append(df.select(*sel))
+    from functools import reduce
+
+    empty = spark.createDataFrame([], spark_schema)
+    return reduce(DataFrame.unionByName, [empty] + parts)
 
 
 def read_iceberg_incremental(

@@ -519,3 +519,84 @@ def test_timestamp_bound_encoding_is_exact_integer_micros():
     assert _decode_bound(
         "timestamptz", _encode_bound("timestamptz", naive)
     ) == base_us + 1
+
+
+# -------------------------------------------- field-id column projection
+
+
+def _foreign_rename(t: str, old: str, new: str) -> None:
+    """Simulate a foreign engine's rename: a NEW schema with the same
+    field ids under a new name, current-schema-id bumped — a pure
+    metadata edit, data files untouched (the spec's rename)."""
+    md = os.path.join(t, "metadata")
+    v = max(
+        int(n[1:].split(".")[0])
+        for n in os.listdir(md)
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    meta = json.load(open(os.path.join(md, f"v{v}.metadata.json")))
+    old_schema = next(
+        s
+        for s in meta["schemas"]
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    new_schema = json.loads(json.dumps(old_schema))
+    new_schema["schema-id"] = old_schema.get("schema-id", 0) + 1
+    for f in new_schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = new_schema["schema-id"]
+    json.dump(meta, open(os.path.join(md, f"v{v + 1}.metadata.json"), "w"))
+    open(os.path.join(md, "version-hint.text"), "w").write(str(v + 1))
+
+
+def test_read_after_foreign_rename_projects_by_field_id(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t)
+    _foreign_rename(t, "s", "label")
+    back = read_iceberg(spark, t)
+    assert back.columns == ["id", "label", "v"]
+    got = sorted((r.id, r.label, r.v) for r in back.collect())
+    assert got == [(1, "a", 1.0), (2, "b", 2.0)]
+    # skip_ranges under the NEW name still prunes (bounds are id-keyed)
+    write_iceberg(
+        spark.createDataFrame(
+            [(10, "z", 9.0)], "id long, label string, v double"
+        ),
+        t,
+        mode="append",
+    )
+    pruned = read_iceberg(spark, t, skip_ranges={"id": (10, None)})
+    assert [r.label for r in pruned.collect()] == ["z"]
+    # mixed writing schemas (pre- and post-rename files) read as one
+    assert sorted(r.label for r in read_iceberg(spark, t).collect()) == [
+        "a",
+        "b",
+        "z",
+    ]
+
+
+def test_read_added_column_scans_null_for_old_files(spark, tmp_path):
+    """A field-id the writing schema lacks (column added later) scans
+    as NULL for the old files — the spec's added-column rule."""
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    md = os.path.join(t, "metadata")
+    meta = json.load(open(os.path.join(md, "v1.metadata.json")))
+    old_schema = meta["schemas"][0]
+    new_schema = json.loads(json.dumps(old_schema))
+    new_schema["schema-id"] = 1
+    new_schema["fields"].append(
+        {"id": 99, "name": "extra", "required": False, "type": "long"}
+    )
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = 1
+    meta["last-column-id"] = 99
+    json.dump(meta, open(os.path.join(md, "v2.metadata.json"), "w"))
+    open(os.path.join(md, "version-hint.text"), "w").write("2")
+
+    back = read_iceberg(spark, t)
+    assert back.columns == ["id", "s", "v", "extra"]
+    row = back.collect()[0]
+    assert (row.id, row.s, row.extra) == (1, "a", None)
