@@ -1179,3 +1179,70 @@ def lakehouse_iceberg_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append/delete/overwrite/overwrite — an op silently no-opped"
         )
     return _agg_by_type(read_iceberg(spark, table))
+
+
+@query(
+    "streaming_iceberg_sink_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS users,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r7: events replayed as a bounded stream through the "
+        "exactly-once ICEBERG sink (foreachBatch + streaming-app-id/"
+        "batch-id markers in the snapshot summary, atomic with each "
+        "data commit — the marker channel the real Spark/Flink Iceberg "
+        "sinks use), snapshot read back and aggregated — equals the "
+        "batch aggregate over the source parquet iff every micro-batch "
+        "landed exactly once; completes the exactly-once family "
+        "(Delta append r3/r4-graded, Delta upsert r5/r6-graded, "
+        "Iceberg append) and the streaming half of the Delta/Iceberg "
+        "twin symmetry"
+    ),
+)
+def streaming_iceberg_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.queries.streaming import _staged
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        last_committed_batch,
+        read_iceberg,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.replay import (
+        read_events_stream,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming import (
+        write_stream_to_iceberg,
+    )
+
+    key = _events_cache_key(spark, sf_dir)
+    table = f"/tmp/ssp_iceberg_stream_{key}"
+
+    def build(spark: SparkSession, table: str) -> None:
+        stream = read_events_stream(spark, _staged(spark, sf_dir))
+        q = write_stream_to_iceberg(
+            stream,
+            table,
+            os.path.join(table, "_ckpt"),
+            app_id=f"ssp_iceberg_ingest_{key}",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        if last_committed_batch(table, f"ssp_iceberg_ingest_{key}") is None:
+            raise RuntimeError(
+                "iceberg streaming sink drained zero marker-bearing "
+                "commits — the exactly-once channel never engaged"
+            )
+
+    _staged_iceberg_locked(spark, table, build)
+    ev = read_iceberg(spark, table)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("users"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+    )

@@ -121,7 +121,14 @@ GRADED_FIRST: list[str] = [
     # TPC-H family keeps 12 slots incl. every join-heavy shape, and all
     # three stay differential-tested by tests/test_queries_oracle.py).
     "io_csv_roundtrip_docs",
-    "lakehouse_delta_skipping_agg",
+    # Round-7: exactly-once ICEBERG streaming sink (snapshot-summary
+    # batch markers, the real sinks' channel) — the streaming half of
+    # the Delta/Iceberg twin symmetry. Ceded:
+    # lakehouse_delta_skipping_agg (r5+r6 driver-green; stats-based
+    # file skipping keeps its graded representative through the
+    # lakehouse_iceberg_skipping_agg twin, and the Delta variant stays
+    # in tests/test_queries_oracle.py).
+    "streaming_iceberg_sink_agg",
     "lakehouse_delta_evolution_agg",
     # Round-5 engine extensions: C4 line-level cleaning and the
     # deterministic shard-and-shuffle (training-data assembly ops).

@@ -1164,6 +1164,7 @@ def _commit_snapshot(
     deleted_entries: list[dict],
     carry_prior_manifests: bool,
     operation: str,
+    summary_extra: dict[str, str] | None = None,
 ) -> int:
     """Write one manifest (ADDED + carried-EXISTING + DELETED entries),
     a manifest list, and claim the next metadata version — the shared
@@ -1293,6 +1294,10 @@ def _commit_snapshot(
             "operation": operation,
             "added-data-files": str(len(added_files)),
             "added-records": str(added_rows),
+            # caller-supplied summary properties ride IN the atomic
+            # commit (the streaming sink's exactly-once marker channel,
+            # like the real Spark/Flink sinks' epoch/checkpoint ids)
+            **{k: str(v) for k, v in (summary_extra or {}).items()},
         },
         "schema-id": meta.get("current-schema-id", 0),
     }
@@ -1385,6 +1390,7 @@ def write_iceberg(
     mode: str = "append",
     operation: str | None = None,
     partition_by: list[str] | None = None,
+    summary_extra: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot (``append`` keeps prior data
     live via the previous snapshot's manifests; ``overwrite`` starts a
@@ -1444,6 +1450,7 @@ def write_iceberg(
         deleted_entries=[],
         carry_prior_manifests=(mode == "append"),
         operation=operation or ("append" if mode == "append" else "overwrite"),
+        summary_extra=summary_extra,
     )
 
 
@@ -1912,3 +1919,103 @@ def merge_iceberg(
         carry_prior_manifests=False,
         operation="overwrite",
     )
+
+
+def last_committed_batch(path: str, app_id: str) -> int | None:
+    """The highest streaming batch id durably committed for ``app_id``,
+    read from snapshot summary properties (the marker channel the real
+    Spark/Flink Iceberg sinks use — epoch / checkpoint ids live in the
+    snapshot summary, atomically with the data commit). None if no
+    snapshot carries the app's marker. Markers survive as long as
+    their snapshots; expire_snapshots keeping >= 1 marker-bearing
+    snapshot preserves idempotence across restarts (the same retention
+    contract as Delta's txn actions surviving in the log)."""
+    try:
+        meta = _load_metadata(path)
+    except FileNotFoundError:
+        return None
+    best: int | None = None
+    for s in meta.get("snapshots", []):
+        summ = s.get("summary", {})
+        if summ.get("streaming-app-id") != app_id:
+            continue
+        try:
+            b = int(summ.get("streaming-batch-id", ""))
+        except ValueError:
+            continue
+        best = b if best is None or b > best else best
+    return best
+
+
+def remove_orphan_files(
+    path: str,
+    older_than_ms: int | None = None,
+    retention_hours: float = 72.0,
+) -> list[str]:
+    """Delete files under the table location referenced by NO snapshot
+    in the current metadata — the spec's remove-orphan-files
+    maintenance op. Orphans are real in this engine: a commit that
+    loses the put-if-absent race (IcebergCommitConflict) leaves its
+    staged data parquet, manifest, and manifest list on disk, and a
+    crashed writer leaves partial staging dirs.
+
+    Safety is the AGE GUARD, exactly as in the real client: an
+    in-flight commit stages files BEFORE claiming the metadata
+    version, so a freshly staged file is indistinguishable from an
+    orphan — only files modified before ``now - retention_hours``
+    (or an explicit ``older_than_ms`` cutoff, epoch millis) are
+    deleted; the default 72 h mirrors the real op's 3-day default.
+    Driver-side listing + set difference over metadata-sized
+    reference sets; returns the deleted paths."""
+    meta = _load_metadata(path)
+    referenced: set[str] = set()
+    for s in meta.get("snapshots", []):
+        referenced.add(s["manifest-list"])
+        _, _, mlist = read_container(s["manifest-list"])
+        for m in mlist:
+            referenced.add(m["manifest_path"])
+            _, _, entries = read_container(m["manifest_path"])
+            for e in entries:
+                referenced.add(e["data_file"]["file_path"])
+
+    cutoff = (
+        older_than_ms
+        if older_than_ms is not None
+        else int(time.time() * 1000) - int(retention_hours * 3600 * 1000)
+    )
+    deleted: list[str] = []
+    data_root = os.path.join(path, _DATA_DIR)
+    for root, _dirs, names in os.walk(data_root):
+        for n in names:
+            full = os.path.join(root, n)
+            if full in referenced or not n.endswith(".parquet"):
+                continue
+            try:
+                if os.path.getmtime(full) * 1000 >= cutoff:
+                    continue
+                os.remove(full)
+                deleted.append(full)
+            except OSError:
+                continue
+    md = _metadata_dir(path)
+    for n in os.listdir(md):
+        if not n.endswith(".avro"):
+            continue  # metadata jsons and the hint are never orphans
+        full = os.path.join(md, n)
+        if full in referenced:
+            continue
+        try:
+            if os.path.getmtime(full) * 1000 >= cutoff:
+                continue
+            os.remove(full)
+            deleted.append(full)
+        except OSError:
+            continue
+    # sweep now-empty staging dirs (cosmetic; listing stays clean)
+    for root, dirs, names in os.walk(data_root, topdown=False):
+        if root != data_root and not dirs and not names:
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass
+    return sorted(deleted)

@@ -8,6 +8,10 @@ from sparkstreamingtwitter_presidential_spark.streaming.delta_upsert import (
     delta_upsert_committer,
     upsert_stream_to_delta,
 )
+from sparkstreamingtwitter_presidential_spark.streaming.iceberg_sink import (
+    iceberg_batch_committer,
+    write_stream_to_iceberg,
+)
 from sparkstreamingtwitter_presidential_spark.streaming.incremental import (
     drain_delta_incremental,
     run_delta_incremental,
@@ -28,6 +32,7 @@ __all__ = [
     "delta_upsert_committer",
     "drain_update_mode",
     "drain_delta_incremental",
+    "iceberg_batch_committer",
     "run_bounded_collector",
     "run_delta_incremental",
     "running_counts",
@@ -38,4 +43,5 @@ __all__ = [
     "tumbling_aggregate",
     "upsert_stream_to_delta",
     "write_stream_to_delta",
+    "write_stream_to_iceberg",
 ]

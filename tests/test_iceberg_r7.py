@@ -600,3 +600,154 @@ def test_read_added_column_scans_null_for_old_files(spark, tmp_path):
     assert back.columns == ["id", "s", "v", "extra"]
     row = back.collect()[0]
     assert (row.id, row.s, row.extra) == (1, "a", None)
+
+
+# --------------------------------------- exactly-once streaming sink
+
+
+def test_iceberg_sink_markers_and_idempotence(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        last_committed_batch,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming import (
+        iceberg_batch_committer,
+    )
+
+    t = str(tmp_path / "t")
+    assert last_committed_batch(t, "job") is None  # table doesn't exist
+    commit = iceberg_batch_committer(t, "job")
+    commit(_df(spark, [(1, "a", 1.0)]), 0)
+    commit(_df(spark, [(2, "b", 2.0)]), 1)
+    n_snaps = table_snapshots(spark, t).count()
+    # crash-replay: batches 0 and 1 re-delivered -> skipped, no commit
+    commit(_df(spark, [(1, "a", 1.0)]), 0)
+    commit(_df(spark, [(2, "b", 2.0)]), 1)
+    assert table_snapshots(spark, t).count() == n_snaps
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [1, 2]
+    # fresh batch still lands; markers are per-app
+    commit(_df(spark, [(3, "c", 3.0)]), 2)
+    assert last_committed_batch(t, "job") == 2
+    iceberg_batch_committer(t, "job_b")(_df(spark, [(9, "z", 9.0)]), 0)
+    assert read_iceberg(spark, t).count() == 4
+    assert last_committed_batch(t, "job") == 2  # job_b didn't touch it
+
+
+def test_iceberg_sink_stream_equals_batch(spark, tmp_path):
+    import shutil
+    import uuid as _uuid
+
+    from sparkstreamingtwitter_presidential_spark.io import load_table
+    from sparkstreamingtwitter_presidential_spark.queries import streaming as qs
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        last_committed_batch,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.replay import (
+        read_events_stream,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming import (
+        write_stream_to_iceberg,
+    )
+
+    SF_DIR = "/root/testdata/sf0.001"
+    staged = qs._staged(spark, SF_DIR)
+    run = f"/tmp/iceberg_sink_{_uuid.uuid4().hex[:8]}"
+    table, ckpt = f"{run}/table", f"{run}/ckpt"
+    try:
+        stream = read_events_stream(spark, staged, files_per_trigger=1)
+        q = write_stream_to_iceberg(stream, table, ckpt, app_id="test_ingest")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        got = read_iceberg(spark, table).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        want = load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.collect())
+        assert g == w and len(g) > 0
+        assert last_committed_batch(table, "test_ingest") >= 0
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+
+
+# ------------------------------------------------- orphan file cleanup
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        remove_orphan_files,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    live_before = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+
+    # plant orphans: a stale staged parquet dir and a stale avro
+    orphan_dir = os.path.join(t, "data", "deadbeefcafe")
+    os.makedirs(orphan_dir)
+    orphan_parquet = os.path.join(orphan_dir, "part-orphan.parquet")
+    open(orphan_parquet, "wb").write(b"PAR1junkPAR1")
+    orphan_avro = os.path.join(t, "metadata", "deadbeef-m0.avro")
+    open(orphan_avro, "wb").write(b"Obj\x01junk")
+    old = 1  # epoch 1970 -> definitely older than any cutoff
+    os.utime(orphan_parquet, (old, old))
+    os.utime(orphan_avro, (old, old))
+
+    # a FRESH orphan (mtime now) must survive the age guard
+    fresh = os.path.join(orphan_dir, "part-fresh.parquet")
+    open(fresh, "wb").write(b"PAR1junkPAR1")
+
+    deleted = remove_orphan_files(t)
+    assert orphan_parquet in deleted and orphan_avro in deleted
+    assert os.path.exists(fresh)
+    assert not os.path.exists(orphan_parquet)
+    # nothing referenced was touched: reads exact, time travel intact
+    assert sorted(tuple(r) for r in read_iceberg(spark, t).collect()) == live_before
+    for sid in [r.snapshot_id for r in table_snapshots(spark, t).collect()]:
+        read_iceberg(spark, t, snapshot_id=sid).collect()
+    # explicit future cutoff sweeps the fresh orphan too
+    future = int(__import__("time").time() * 1000) + 60_000
+    deleted2 = remove_orphan_files(t, older_than_ms=future)
+    assert fresh in deleted2
+    assert sorted(tuple(r) for r in read_iceberg(spark, t).collect()) == live_before
+
+
+def test_conflict_loser_files_become_orphans_and_sweep(spark, tmp_path):
+    """The commit-conflict path leaves staged files on disk; the
+    orphan sweep with an explicit cutoff reclaims them."""
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as I
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        remove_orphan_files,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        write_iceberg(_df(spark, [(i, "x", 1.0)]), t, mode="append")
+
+    real_stage = I._stage_data_files
+    fired = {"done": False}
+
+    def stage_with_race(df, path, ice_schema, part_fields):
+        out = real_stage(df, path, ice_schema, part_fields)
+        if not fired["done"]:
+            fired["done"] = True
+            write_iceberg(_df(spark, [(99, "race", 9.9)]), t, mode="append")
+        return out
+
+    try:
+        I._stage_data_files = stage_with_race
+        with pytest.raises(IcebergCommitConflict):
+            compact_iceberg(spark, t, target_file_bytes=1 << 30)
+    finally:
+        I._stage_data_files = real_stage
+
+    future = int(__import__("time").time() * 1000) + 60_000
+    deleted = remove_orphan_files(t, older_than_ms=future)
+    assert deleted  # the losing compaction's staged parquet reclaimed
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [0, 1, 2, 99]
