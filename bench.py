@@ -127,6 +127,17 @@ HEADLINE = [
     # is the metadata/manifest walk + distributed parquet scan + agg —
     # the Iceberg twin of the delta events entry).
     "lakehouse_iceberg_events_agg",
+    # Round-7: partition-pruned Iceberg read (staging warm; timed work
+    # is manifest walk + partition pruning + the single-partition scan
+    # — the metadata-pruning floor), the CoW-DML'd table read (staging
+    # warm; read+agg over a rewritten file set incl. EXISTING
+    # carry-forwards), the stream-drained table read (staging warm),
+    # and the sketch build+rollup (one scan + HLL union — the one new
+    # entry that re-reads source data every repeat).
+    "lakehouse_iceberg_partitioned_agg",
+    "lakehouse_iceberg_merge_agg",
+    "streaming_iceberg_sink_agg",
+    "sketch_rollup_exact_agg",
 ]
 
 
