@@ -352,7 +352,10 @@ def vacuum_delta(
     now_ms: int | None = None,
 ) -> list[str]:
     """Physically delete data files tombstoned longer ago than the
-    retention window. Returns the relative paths deleted.
+    retention window, plus UNTRACKED parquet (never referenced by any
+    log action — conflict losers, crashed writers) older than the same
+    window, matching the real VACUUM's "not referenced by the table"
+    rule. Returns the relative paths deleted.
 
     Scans the log's JSON commits for ``remove`` actions, drops any path
     that is live in the CURRENT snapshot (a path can be re-added), and
@@ -397,6 +400,36 @@ def vacuum_delta(
             deleted.append(rel)
         except FileNotFoundError:
             deleted.append(rel)  # already gone: idempotent
+
+    # UNTRACKED files: parquet under the table dir that no log action
+    # ever referenced — a commit-conflict loser's staged files, or a
+    # crashed writer's leftovers (the real VACUUM deletes these too:
+    # "not referenced by the table"). Age-guarded by mtime with the
+    # same cutoff: a freshly staged file of an IN-FLIGHT commit is
+    # indistinguishable from an orphan, so retention is the safety —
+    # the same rule as iceberg.remove_orphan_files. Deleting them
+    # breaks nothing: a file absent from every commit is unreachable
+    # from every version, including via time travel.
+    referenced = {
+        os.path.normpath(os.path.join(path, urllib.parse.unquote(r)))
+        for r in set(snap.files) | set(tombstones)
+    }
+    for root, _dirs, names in os.walk(path):
+        if "_delta_log" in root.split(os.sep):
+            continue
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            full = os.path.normpath(os.path.join(root, n))
+            if full in referenced:
+                continue
+            try:
+                if os.path.getmtime(full) * 1000 > cutoff:
+                    continue
+                os.remove(full)
+                deleted.append(os.path.relpath(full, path))
+            except OSError:
+                continue
     return deleted
 
 

@@ -1812,6 +1812,7 @@ def merge_iceberg(
     keys: list[str],
     when_matched: str = "update",
     insert_not_matched: bool = True,
+    summary_extra: dict[str, str] | None = None,
 ) -> int:
     """MERGE INTO table USING source ON equality of ``keys``, copy-on-
     write — the Delta twin's contract exactly (delta_dml.merge_delta):
@@ -1905,6 +1906,11 @@ def merge_iceberg(
         added += _stage_data_files(inserts, path, ice_schema, part_fields)
 
     if not added and not affected:
+        # a true no-op (nothing matched, nothing staged) commits
+        # nothing — including no summary_extra marker. Safe for the
+        # streaming upsert sink: replaying a no-op batch is another
+        # no-op, and any LATER marker-bearing commit already covers
+        # redelivery detection (batch_id <= last).
         return snap["snapshot-id"]
     return _commit_snapshot(
         path,
@@ -1918,6 +1924,7 @@ def merge_iceberg(
         deleted_entries=[by_base[b] for b in sorted(affected_set)],
         carry_prior_manifests=False,
         operation="overwrite",
+        summary_extra=summary_extra,
     )
 
 
@@ -2019,3 +2026,107 @@ def remove_orphan_files(
             except OSError:
                 pass
     return sorted(deleted)
+
+
+# ------------------------------------------------------- schema evolution
+# Metadata-only commits (spec §Schema Evolution): a new schema joins
+# the `schemas` list under a bumped current-schema-id; data files are
+# untouched. Reads resolve through field-id projection — old files
+# scan NULL for added ids and keep serving renamed ids — and the
+# writer's schema check pins appends to the NEW shape from then on.
+
+
+def _evolve_schema(path: str, mutate) -> int:
+    """Shared metadata-only schema commit: ``mutate(fields, meta)``
+    edits a deep copy of the current schema's field list in place and
+    may bump meta bookkeeping (last-column-id). Claims the next
+    metadata version with the same put-if-absent primitive as data
+    commits. Returns the new schema id."""
+    meta = _load_metadata(path)
+    cur = _schema_for(meta, meta.get("current-schema-id", 0))
+    new_schema = json.loads(json.dumps(cur))
+    new_schema["schema-id"] = (
+        max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
+    )
+    new_meta = dict(meta)
+    new_meta.pop("_loaded_version", None)
+    mutate(new_schema["fields"], new_meta)
+    new_meta["schemas"] = list(meta["schemas"]) + [new_schema]
+    new_meta["current-schema-id"] = new_schema["schema-id"]
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    new_version = meta["_loaded_version"] + 1
+    target = os.path.join(_metadata_dir(path), f"v{new_version}.metadata.json")
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise IcebergCommitConflict(
+            f"metadata version {new_version} of {path} was committed "
+            "concurrently; re-read the table and retry"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    tmp_hint = os.path.join(
+        _metadata_dir(path), f".{_VERSION_HINT}.{uuid.uuid4().hex}"
+    )
+    with open(tmp_hint, "w", encoding="utf-8") as fh:
+        fh.write(str(new_version))
+    os.replace(tmp_hint, os.path.join(_metadata_dir(path), _VERSION_HINT))
+    return new_schema["schema-id"]
+
+
+def add_column_iceberg(path: str, name: str, ice_type: str) -> int:
+    """ADD COLUMN (top-level, optional, primitive): existing data
+    files scan as NULL for the new field-id (the projection's
+    added-column rule — no file is touched); appends from now on must
+    carry the column. The Iceberg twin of Delta's schema-evolution
+    append path (lakehouse_delta_evolution_agg's shape)."""
+    valid = {p for _, p in _PRIMITIVES} | {"timestamp", "timestamptz"}
+    if ice_type not in valid:
+        raise NotImplementedError(
+            f"add_column supports primitive types {sorted(valid)}; "
+            f"got {ice_type!r}"
+        )
+
+    def mutate(fields: list[dict], meta: dict) -> None:
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        fid = meta.get("last-column-id", len(fields)) + 1
+        meta["last-column-id"] = fid
+        # spec: added columns are always optional (required would make
+        # every existing row invalid)
+        fields.append(
+            {"id": fid, "name": name, "required": False, "type": ice_type}
+        )
+
+    return _evolve_schema(path, mutate)
+
+
+def rename_column_iceberg(path: str, old: str, new: str) -> int:
+    """RENAME COLUMN: metadata-only — the field keeps its id, so every
+    existing data file keeps serving the column through field-id
+    projection (reads alias the file's old name to the new one).
+    Renaming a partition SOURCE column refuses: this module decodes
+    historical partition tuples by the manifest's field NAME, so a
+    rename would orphan old manifests' tuples (a by-id re-key is the
+    lift; refusal is the honest boundary until then)."""
+
+    def mutate(fields: list[dict], meta: dict) -> None:
+        hit = [f for f in fields if f["name"] == old]
+        if not hit:
+            raise ValueError(f"column {old!r} not in schema")
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new!r} already exists")
+        spec_srcs = {
+            pf.get("source-id")
+            for spec in meta.get("partition-specs", [])
+            for pf in spec.get("fields", [])
+        }
+        if hit[0]["id"] in spec_srcs:
+            raise NotImplementedError(
+                f"renaming partition source column {old!r} is not "
+                "supported (historical partition tuples are name-keyed "
+                "in this module's manifests)"
+            )
+        hit[0]["name"] = new
+
+    return _evolve_schema(path, mutate)

@@ -10,6 +10,8 @@ from sparkstreamingtwitter_presidential_spark.streaming.delta_upsert import (
 )
 from sparkstreamingtwitter_presidential_spark.streaming.iceberg_sink import (
     iceberg_batch_committer,
+    iceberg_upsert_committer,
+    upsert_stream_to_iceberg,
     write_stream_to_iceberg,
 )
 from sparkstreamingtwitter_presidential_spark.streaming.incremental import (
@@ -33,6 +35,7 @@ __all__ = [
     "drain_update_mode",
     "drain_delta_incremental",
     "iceberg_batch_committer",
+    "iceberg_upsert_committer",
     "run_bounded_collector",
     "run_delta_incremental",
     "running_counts",
@@ -42,6 +45,7 @@ __all__ = [
     "streaming_exact_dedup",
     "tumbling_aggregate",
     "upsert_stream_to_delta",
+    "upsert_stream_to_iceberg",
     "write_stream_to_delta",
     "write_stream_to_iceberg",
 ]

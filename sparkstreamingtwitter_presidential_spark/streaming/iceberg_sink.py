@@ -92,3 +92,67 @@ def write_stream_to_iceberg(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def iceberg_upsert_committer(
+    spark,
+    table_path: str,
+    keys: list[str],
+    app_id: str,
+    order_col: str | None = None,
+):
+    """The CDC-shaped sibling (the Iceberg twin of
+    `delta_upsert.delta_upsert_committer`): each micro-batch MERGEs
+    into the table (update matched keys, insert new ones), the marker
+    riding the merge snapshot's summary. With ``order_col`` the batch
+    first collapses to the LAST row per key (same last-change-wins
+    reduction, reused from delta_upsert.collapse_latest). A batch that
+    merges nothing commits nothing — replaying a no-op is a no-op, so
+    skipping the marker there is safe (see merge_iceberg)."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import merge_iceberg
+    from sparkstreamingtwitter_presidential_spark.streaming.delta_upsert import (
+        collapse_latest,
+    )
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_committed_batch(table_path, app_id)
+        if last is not None and batch_id <= last:
+            return  # post-crash redelivery; this merge is already durable
+        if order_col is not None:
+            batch_df = collapse_latest(batch_df, keys, order_col)
+        merge_iceberg(
+            spark,
+            table_path,
+            batch_df,
+            keys,
+            when_matched="update",
+            insert_not_matched=True,
+            summary_extra={
+                "streaming-app-id": app_id,
+                "streaming-batch-id": str(int(batch_id)),
+            },
+        )
+
+    return _commit
+
+
+def upsert_stream_to_iceberg(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    app_id: str,
+    order_col: str | None = None,
+) -> StreamingQuery:
+    """Start an exactly-once streaming upsert (MERGE per micro-batch)
+    into an Iceberg table. The target table must already exist (MERGE
+    needs a schema to probe); seed it with an empty or initial
+    `write_iceberg` first — the same contract as the real sink."""
+    spark = stream.sparkSession
+    return (
+        stream.writeStream.foreachBatch(
+            iceberg_upsert_committer(spark, table_path, keys, app_id, order_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

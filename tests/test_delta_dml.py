@@ -676,3 +676,38 @@ def test_describe_history_frame(spark, tmp_path):
         .count()
     )
     assert n_dml == 3
+
+
+def test_vacuum_sweeps_untracked_orphans_with_age_guard(spark, tmp_path):
+    """NEW r7: files no log action ever referenced (conflict losers,
+    crashed writers) are deleted by VACUUM once older than retention;
+    fresh untracked files survive (in-flight commit protection), and
+    live/tombstoned handling is unchanged."""
+    import time as _time
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        vacuum_delta,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    write_delta(df, t)
+    live_rows = [tuple(r) for r in read_delta(spark, t).collect()]
+
+    orphan = os.path.join(t, "part-orphan-untracked.parquet")
+    open(orphan, "wb").write(b"PAR1junkPAR1")
+    os.utime(orphan, (1, 1))  # ancient
+    fresh = os.path.join(t, "part-fresh-untracked.parquet")
+    open(fresh, "wb").write(b"PAR1junkPAR1")
+
+    deleted = vacuum_delta(t, retention_hours=1.0)
+    assert "part-orphan-untracked.parquet" in deleted
+    assert not os.path.exists(orphan)
+    assert os.path.exists(fresh)  # age guard protects in-flight staging
+    assert [tuple(r) for r in read_delta(spark, t).collect()] == live_rows
+
+    # zero-retention sweep takes the fresh one too (explicit opt-in)
+    _time.sleep(0.01)
+    deleted2 = vacuum_delta(t, retention_hours=0.0)
+    assert "part-fresh-untracked.parquet" in deleted2
+    assert [tuple(r) for r in read_delta(spark, t).collect()] == live_rows

@@ -751,3 +751,88 @@ def test_conflict_loser_files_become_orphans_and_sweep(spark, tmp_path):
     assert deleted  # the losing compaction's staged parquet reclaimed
     got = sorted(r.id for r in read_iceberg(spark, t).collect())
     assert got == [0, 1, 2, 99]
+
+
+def test_iceberg_upsert_committer_idempotence_and_collapse(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        last_committed_batch,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming import (
+        iceberg_upsert_committer,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t)  # seed
+    commit = iceberg_upsert_committer(spark, t, keys=["id"], app_id="up")
+    commit(_df(spark, [(2, "B", 22.0), (3, "c", 3.0)]), 0)
+    got = {r.id: (r.s, r.v) for r in read_iceberg(spark, t).collect()}
+    assert got == {1: ("a", 1.0), 2: ("B", 22.0), 3: ("c", 3.0)}
+    n_snaps = table_snapshots(spark, t).count()
+    # redelivery of batch 0 is skipped — no new snapshot, values stable
+    commit(_df(spark, [(2, "B", 22.0), (3, "c", 3.0)]), 0)
+    assert table_snapshots(spark, t).count() == n_snaps
+    assert last_committed_batch(t, "up") == 0
+
+    # within-batch collapse: several changes for one key, last wins by v
+    commit2 = iceberg_upsert_committer(
+        spark, t, keys=["id"], app_id="up", order_col="v"
+    )
+    commit2(_df(spark, [(5, "first", 1.0), (5, "last", 9.0)]), 1)
+    got = {r.id: r.s for r in read_iceberg(spark, t).collect()}
+    assert got[5] == "last"
+    # without collapse, duplicate keys refuse (MERGE ambiguity)
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        iceberg_upsert_committer(spark, t, keys=["id"], app_id="up")(
+            _df(spark, [(6, "x", 1.0), (6, "y", 2.0)]), 2
+        )
+
+
+# ------------------------------------------------------ schema evolution
+
+
+def test_add_column_reads_null_then_appends_carry_it(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        add_column_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    add_column_iceberg(t, "score", "double")
+    back = read_iceberg(spark, t)
+    assert back.columns == ["id", "s", "v", "score"]
+    assert back.collect()[0].score is None  # old file: added-column NULL
+    # appends must now carry the evolved schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    evolved = spark.createDataFrame(
+        [(2, "b", 2.0, 0.5)], "id long, s string, v double, score double"
+    )
+    write_iceberg(evolved, t, mode="append")
+    got = {r.id: r.score for r in read_iceberg(spark, t).collect()}
+    assert got == {1: None, 2: 0.5}
+    with pytest.raises(ValueError, match="already exists"):
+        add_column_iceberg(t, "score", "double")
+    with pytest.raises(NotImplementedError, match="primitive"):
+        add_column_iceberg(t, "m", "map<string,int>")
+
+
+def test_rename_column_first_class(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        rename_column_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    rename_column_iceberg(t, "s", "label")
+    back = read_iceberg(spark, t)
+    assert back.columns == ["id", "label", "v"]
+    assert back.collect()[0].label == "a"
+    with pytest.raises(ValueError, match="not in schema"):
+        rename_column_iceberg(t, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column_iceberg(t, "id", "label")
+    # partition source columns refuse (name-keyed historical tuples)
+    t2 = str(tmp_path / "t2")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t2, partition_by=["s"])
+    with pytest.raises(NotImplementedError, match="partition source"):
+        rename_column_iceberg(t2, "s", "label")
