@@ -688,12 +688,18 @@ def _read_files(
 ) -> DataFrame:
     """Distributed scan of ``files`` (data_file dicts) under the TABLE
     schema. Unpartitioned: one parquet scan over the file list.
-    Partitioned: data files omit the identity source columns, so files
-    group by partition tuple and each group's scan injects the tuple
-    back as typed literals (exactly `delta_dml._scan_with_file`'s
-    shape; the union is one branch per DISTINCT partition value in the
-    scanned file set — after pruning, usually few). ``with_file`` adds
-    the file's basename column for DML's affected-file probe."""
+    Partitioned: data files omit the identity source columns; the FAST
+    path reconstructs them JVM-side from `_metadata.file_path` (the
+    hive-style `col=val` staging layout this writer produces) in ONE
+    scan — plan width is independent of partition count, so a
+    1000-partition full-table scan is a single scan node, not a
+    1000-branch union. Files whose paths lack the layout (foreign
+    tables) or tables with REQUIRED partition columns (path parsing
+    analyzes nullable) fall back to the group-by-tuple union with
+    typed literals (`delta_dml._scan_with_file`'s shape — one branch
+    per DISTINCT partition value in the scanned set, few after
+    pruning). ``with_file`` adds the file's basename column for DML's
+    affected-file probe."""
     cols = [f.name for f in spark_schema.fields]
     base_col = F.element_at(
         F.split(F.col("_metadata.file_path"), "/"), -1
@@ -713,6 +719,45 @@ def _read_files(
     data_schema = T.StructType(
         [f for f in spark_schema.fields if f.name not in pnames]
     )
+
+    fields_by_name = {f.name: f for f in spark_schema.fields}
+    hive_ok = all(
+        fields_by_name[pf["source_name"]].nullable for pf in part_fields
+    ) and all(
+        f"/{pf['source_name']}=" in f["file_path"]
+        for f in files
+        for pf in part_fields
+    )
+    if hive_ok:
+        df = spark.read.schema(data_schema).parquet(
+            *sorted(f["file_path"] for f in files)
+        )
+        if with_file:
+            df = df.select("*", base_col)
+        import re as _re
+
+        def unesc(col):
+            # url_decode with '+' treated as a LITERAL (hive and URI
+            # path encoding both leave '+' unescaped; java URLDecoder
+            # would turn it into a space) — pre-escape it to %2B
+            return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+        for pf in part_fields:
+            seg = F.regexp_extract(
+                F.col("_metadata.file_path"),
+                f"/{_re.escape(pf['source_name'])}=([^/]+)/",
+                1,
+            )
+            # _metadata.file_path is a URI: the dir name is
+            # hive-ESCAPED at write, then URI-ENCODED by the path —
+            # invert both layers (URI first, then hive's %XX)
+            raw = unesc(unesc(seg))
+            df = df.withColumn(
+                pf["source_name"],
+                raw.cast(fields_by_name[pf["source_name"]].dataType),
+            )
+        return df.select(*out_cols)
+
     groups: dict[tuple, list[str]] = {}
     for f in files:
         part = f.get("partition") or {}

@@ -836,3 +836,50 @@ def test_rename_column_first_class(spark, tmp_path):
     write_iceberg(_df(spark, [(1, "a", 1.0)]), t2, partition_by=["s"])
     with pytest.raises(NotImplementedError, match="partition source"):
         rename_column_iceberg(t2, "s", "label")
+
+
+def test_partitioned_fast_path_single_scan_and_special_chars(spark, tmp_path):
+    """The hive-layout fast path reads a multi-partition table in ONE
+    scan (plan width independent of partition count — no Union node),
+    and partition values with hive-escaped or url_decode-hostile
+    characters (space, '+', '%', '#', '=') roundtrip exactly."""
+    t = str(tmp_path / "t")
+    vals = ["plain", "with space", "a+b", "100%", "x#y", "k=v"]
+    rows = [(i, v, float(i)) for i, v in enumerate(vals)]
+    write_iceberg(_df(spark, rows), t, partition_by=["s"])
+    back = read_iceberg(spark, t)
+    assert sorted(r.s for r in back.collect()) == sorted(vals)
+    plan = back._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan  # single scan, not per-partition union
+    # the DML probe (with_file) rides the same single-scan path
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        update_iceberg,
+    )
+
+    update_iceberg(spark, t, {"v": "v + 1"}, predicate="s = 'a+b'")
+    got = {r.s: r.v for r in read_iceberg(spark, t).collect()}
+    assert got["a+b"] == 3.0 and got["plain"] == 0.0
+
+
+def test_partitioned_required_column_falls_back_to_union(spark, tmp_path):
+    """A REQUIRED (non-nullable) partition column cannot take the
+    path-parsing fast path (it analyzes nullable); the literal-union
+    fallback preserves the table schema exactly."""
+    t = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS s "
+        "FROM range(6)"
+    )  # range() id and the exhaustive CASE are non-nullable
+    assert not df.schema["s"].nullable
+    write_iceberg(df, t, partition_by=["s"])
+    back = read_iceberg(spark, t)
+    # the REQUIRED partition column keeps its nullability through the
+    # literal-union fallback (data columns relax to nullable on any
+    # parquet scan — the engine-wide documented behavior)
+    assert not back.schema["s"].nullable
+    assert back.dtypes == df.dtypes
+    plan = back._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan  # fallback took the per-partition shape
+    assert sorted((r.id, r.s) for r in back.collect()) == sorted(
+        (r.id, r.s) for r in df.collect()
+    )
