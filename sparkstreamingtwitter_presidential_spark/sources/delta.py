@@ -281,6 +281,48 @@ def read_delta(
         pv = a.get("partitionValues", {})
         key = tuple(pv.get(c) for c in snap.partition_columns)
         groups.setdefault(key, []).append(_file(p))
+
+    # Adaptive, matching the Iceberg twin (iceberg._read_files): up to
+    # 32 distinct tuples the literal union wins (Catalyst constant-
+    # folds partition filters against the literals, pruning branches
+    # plan-time); above it plan WIDTH is the enemy — reconstruct the
+    # partition values JVM-side from _metadata.file_path (the hive
+    # col=val layout _stage_files produces) in ONE scan, so a
+    # 1000-partition full scan is a single scan node. Null partition
+    # values or layout-less paths (foreign writers) keep the union.
+    fast_ok = (
+        len(groups) > 32
+        and all(v is not None for key in groups for v in key)
+        and all(
+            f"/{c}=" in p
+            for paths in groups.values()
+            for p in paths
+            for c in snap.partition_columns
+        )
+    )
+    if fast_ok:
+        import re as _re
+
+        df = spark.read.schema(data_schema).parquet(
+            *sorted(p for paths in groups.values() for p in paths)
+        )
+
+        def unesc(col):
+            # '+' is literal in both hive and URI path encoding;
+            # java URLDecoder would turn it into a space
+            return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+        for col in snap.partition_columns:
+            seg = F.regexp_extract(
+                F.col("_metadata.file_path"),
+                f"/{_re.escape(col)}=([^/]+)/",
+                1,
+            )
+            # file_path is a URI: hive-escaped dir name, URI-encoded
+            # on top — invert both layers
+            df = df.withColumn(col, unesc(unesc(seg)).cast(part_types[col]))
+        return df.select(*[f.name for f in schema.fields])
+
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(data_schema).parquet(*sorted(paths))

@@ -81,6 +81,10 @@ _DATA_DIR = "data"
 _VERSION_HINT = "version-hint.text"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _FILE_COL = "__iceberg_file"
+# partitioned reads: literal-union (plan-time pruning) up to this many
+# distinct partition tuples, single path-derived scan above (plan
+# width independent of partition count) — see _read_files
+_UNION_MAX_GROUPS = 32
 
 
 class IcebergCommitConflict(RuntimeError):
@@ -688,18 +692,19 @@ def _read_files(
 ) -> DataFrame:
     """Distributed scan of ``files`` (data_file dicts) under the TABLE
     schema. Unpartitioned: one parquet scan over the file list.
-    Partitioned: data files omit the identity source columns; the FAST
-    path reconstructs them JVM-side from `_metadata.file_path` (the
-    hive-style `col=val` staging layout this writer produces) in ONE
-    scan — plan width is independent of partition count, so a
+    Partitioned, ADAPTIVE by distinct-tuple count: up to
+    _UNION_MAX_GROUPS the scan is a group-by-tuple union with typed
+    literals (`delta_dml._scan_with_file`'s shape — Catalyst constant-
+    folds partition filters against the literals and prunes whole
+    branches plan-time; post-skip_ranges reads land here); above it
+    the FAST path reconstructs partition values JVM-side from
+    `_metadata.file_path` (the hive `col=val` staging layout) in ONE
+    scan — plan width independent of partition count, so a
     1000-partition full-table scan is a single scan node, not a
     1000-branch union. Files whose paths lack the layout (foreign
     tables) or tables with REQUIRED partition columns (path parsing
-    analyzes nullable) fall back to the group-by-tuple union with
-    typed literals (`delta_dml._scan_with_file`'s shape — one branch
-    per DISTINCT partition value in the scanned set, few after
-    pruning). ``with_file`` adds the file's basename column for DML's
-    affected-file probe."""
+    analyzes nullable) always take the union. ``with_file`` adds the
+    file's basename column for DML's affected-file probe."""
     cols = [f.name for f in spark_schema.fields]
     base_col = F.element_at(
         F.split(F.col("_metadata.file_path"), "/"), -1
@@ -720,13 +725,29 @@ def _read_files(
         [f for f in spark_schema.fields if f.name not in pnames]
     )
 
+    n_groups = len(
+        {
+            tuple((f.get("partition") or {}).get(pf["name"]) for pf in part_fields)
+            for f in files
+        }
+    )
     fields_by_name = {f.name: f for f in spark_schema.fields}
-    hive_ok = all(
-        fields_by_name[pf["source_name"]].nullable for pf in part_fields
-    ) and all(
-        f"/{pf['source_name']}=" in f["file_path"]
-        for f in files
-        for pf in part_fields
+    # adaptive: up to _UNION_MAX_GROUPS distinct tuples the literal
+    # union wins (Catalyst constant-folds partition filters against
+    # the literals, pruning whole branches plan-time — and narrow
+    # unions are cheap); above it, plan WIDTH is the enemy and pruning
+    # belongs to skip_ranges (metadata-side, strictly better), so the
+    # single path-derived scan takes over
+    hive_ok = (
+        n_groups > _UNION_MAX_GROUPS
+        and all(
+            fields_by_name[pf["source_name"]].nullable for pf in part_fields
+        )
+        and all(
+            f"/{pf['source_name']}=" in f["file_path"]
+            for f in files
+            for pf in part_fields
+        )
     )
     if hive_ok:
         df = spark.read.schema(data_schema).parquet(

@@ -711,3 +711,27 @@ def test_vacuum_sweeps_untracked_orphans_with_age_guard(spark, tmp_path):
     deleted2 = vacuum_delta(t, retention_hours=0.0)
     assert "part-fresh-untracked.parquet" in deleted2
     assert [tuple(r) for r in read_delta(spark, t).collect()] == live_rows
+
+
+def test_read_delta_many_partitions_single_scan(spark, tmp_path):
+    """NEW r7: above 32 distinct partition tuples read_delta takes the
+    path-derived single-scan fast path (no Union in the plan), values
+    exact and type-cast; at/below the ceiling the literal union (with
+    plan-time filter pruning) is kept."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"p{i:02d}", float(i)) for i in range(40)],
+        "id long, part string, v double",
+    )
+    write_delta(df, t, partition_by=["part"])
+    back = read_delta(spark, t)
+    plan = back._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    assert sorted((r.id, r.part, r.v) for r in back.collect()) == sorted(
+        (r.id, r.part, r.v) for r in df.collect()
+    )
+    # small table keeps the union shape
+    t2 = str(tmp_path / "t2")
+    write_delta(df.filter("id < 3"), t2, partition_by=["part"])
+    plan2 = read_delta(spark, t2)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan2

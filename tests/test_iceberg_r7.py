@@ -839,26 +839,33 @@ def test_rename_column_first_class(spark, tmp_path):
 
 
 def test_partitioned_fast_path_single_scan_and_special_chars(spark, tmp_path):
-    """The hive-layout fast path reads a multi-partition table in ONE
-    scan (plan width independent of partition count — no Union node),
-    and partition values with hive-escaped or url_decode-hostile
-    characters (space, '+', '%', '#', '=') roundtrip exactly."""
+    """Above _UNION_MAX_GROUPS distinct tuples, the hive-layout fast
+    path reads the table in ONE scan (plan width independent of
+    partition count — no Union node), and partition values with
+    hive-escaped or url_decode-hostile characters (space, '+', '%',
+    '#', '=') roundtrip exactly through the path decoding."""
     t = str(tmp_path / "t")
-    vals = ["plain", "with space", "a+b", "100%", "x#y", "k=v"]
+    vals = ["plain", "with space", "a+b", "100%", "x#y", "k=v"] + [
+        f"bulk_{i:02d}" for i in range(30)
+    ]  # 36 distinct tuples > the 32-group union ceiling
     rows = [(i, v, float(i)) for i, v in enumerate(vals)]
     write_iceberg(_df(spark, rows), t, partition_by=["s"])
     back = read_iceberg(spark, t)
     assert sorted(r.s for r in back.collect()) == sorted(vals)
     plan = back._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in plan  # single scan, not per-partition union
+    # pruned reads drop under the ceiling -> union path with literal
+    # folding; values still exact
+    pruned = read_iceberg(spark, t, skip_ranges={"s": ("a+b", "a+b")})
+    assert [r.s for r in pruned.collect()] == ["a+b"]
     # the DML probe (with_file) rides the same single-scan path
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         update_iceberg,
     )
 
-    update_iceberg(spark, t, {"v": "v + 1"}, predicate="s = 'a+b'")
+    update_iceberg(spark, t, {"v": "v + 1"}, predicate="s = '100%'")
     got = {r.s: r.v for r in read_iceberg(spark, t).collect()}
-    assert got["a+b"] == 3.0 and got["plain"] == 0.0
+    assert got["100%"] == 4.0 and got["plain"] == 0.0
 
 
 def test_partitioned_required_column_falls_back_to_union(spark, tmp_path):
