@@ -902,10 +902,18 @@ def _read_entries_projected(
     (a field-id the writing schema lacks scans as NULL — the spec's
     added-column rule). Top-level fields only; a same-id TYPE change
     (promotion) refuses rather than guessing a cast. Partitioned
-    tables keep name projection (spec source-ids already pin the
-    partition columns; data files omit them entirely)."""
+    tables keep name projection — exact for ADDED columns (a missing
+    parquet column scans NULL under the applied schema), but a
+    same-id RENAME would silently read NULLs there, so renamed
+    partitioned tables refuse by name instead of returning wrong
+    rows (rename_column_iceberg refuses writing that shape too)."""
     files = [e["data_file"] for e in entries]
-    if part_fields or not entries:
+    if part_fields:
+        _refuse_renamed_files(
+            meta, entries, ice_schema, "partitioned read (name projection)"
+        )
+        return _read_files(spark, files, spark_schema, part_fields)
+    if not entries:
         return _read_files(spark, files, spark_schema, part_fields)
     read_sid = ice_schema.get("schema-id", 0)
     by_sid: dict[int, list[dict]] = {}
@@ -1070,11 +1078,11 @@ def table_snapshots(spark: SparkSession, path: str) -> DataFrame:
                 s["timestamp-ms"],
                 s.get("summary", {}).get("operation"),
                 sum(m["added_files_count"] for m in own),
+                # files live here but added earlier: EXISTING entries
+                # in ANY manifest + ADDED entries of carried manifests
+                # (a carried manifest's EXISTING would double-count)
                 sum(m["existing_files_count"] for m in manifests)
-                + sum(
-                    m["added_files_count"] + m["existing_files_count"]
-                    for m in carried
-                ),
+                + sum(m["added_files_count"] for m in carried),
                 sum(m["added_rows_count"] for m in own),
                 s["manifest-list"],
             )
@@ -1748,14 +1756,19 @@ def _entries_by_base(entries: list[dict]) -> dict[str, dict]:
 
 
 def _dml_plan(spark: SparkSession, path: str):
+    """DML plans under the CURRENT schema (like a current read): after
+    add_column, old files scan NULL for the new field and rewrites
+    land in the evolved shape — so SET/MERGE may reference evolved
+    columns. Name projection here (same boundary as partitioned reads;
+    self-written tables are exact — renames go through
+    rename_column_iceberg's guards)."""
     meta = _load_metadata(path)
     snap = _snapshot(meta, None)
-    ice_schema = _schema_for(
-        meta, snap.get("schema-id", meta.get("current-schema-id", 0))
-    )
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
     part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
     entries = _entries_for_snapshot(path, snap)
+    _refuse_renamed_files(meta, entries, ice_schema, "copy-on-write DML")
     scan = _read_files(
         spark,
         [e["data_file"] for e in entries],
@@ -1764,6 +1777,32 @@ def _dml_plan(spark: SparkSession, path: str):
         with_file=True,
     )
     return meta, snap, ice_schema, part_fields, spark_schema, entries, scan
+
+
+def _refuse_renamed_files(
+    meta: dict, entries: list[dict], ice_schema: dict, ctx: str
+) -> None:
+    """Raise if any scanned file was written under a schema where a
+    CURRENT field-id carried a different name: a name-projected scan
+    would read NULLs for the renamed column, and a CoW rewrite would
+    MATERIALIZE them — refusal over silent data loss."""
+    by_id_cur = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    cur_sid = ice_schema.get("schema-id", 0)
+    seen: set[int] = set()
+    for e in entries:
+        sid = _writing_schema_id(meta, e, cur_sid)
+        if sid == cur_sid or sid in seen:
+            continue
+        seen.add(sid)
+        for wf in _schema_for(meta, sid)["fields"]:
+            cur_name = by_id_cur.get(wf["id"])
+            if cur_name is not None and cur_name != wf["name"]:
+                raise NotImplementedError(
+                    f"field {wf['id']} was renamed {wf['name']!r} -> "
+                    f"{cur_name!r}; {ctx} projects by name and would "
+                    "read (and materialize) NULLs for the renamed "
+                    "column in files written under the old schema"
+                )
 
 
 def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
@@ -2182,16 +2221,23 @@ def rename_column_iceberg(path: str, old: str, new: str) -> int:
             raise ValueError(f"column {old!r} not in schema")
         if any(f["name"] == new for f in fields):
             raise ValueError(f"column {new!r} already exists")
-        spec_srcs = {
-            pf.get("source-id")
+        spec_fields = [
+            pf
             for spec in meta.get("partition-specs", [])
             for pf in spec.get("fields", [])
-        }
-        if hit[0]["id"] in spec_srcs:
+        ]
+        if hit[0]["id"] in {pf.get("source-id") for pf in spec_fields}:
             raise NotImplementedError(
                 f"renaming partition source column {old!r} is not "
                 "supported (historical partition tuples are name-keyed "
                 "in this module's manifests)"
+            )
+        if spec_fields:
+            raise NotImplementedError(
+                f"renaming column {old!r} on a PARTITIONED table is "
+                "not supported: partitioned reads project by name, so "
+                "old files would scan NULL for the renamed column "
+                "(field-id projection is unpartitioned-only)"
             )
         hit[0]["name"] = new
 

@@ -890,3 +890,66 @@ def test_partitioned_required_column_falls_back_to_union(spark, tmp_path):
     assert sorted((r.id, r.s) for r in back.collect()) == sorted(
         (r.id, r.s) for r in df.collect()
     )
+
+
+def test_rename_guards_refuse_silent_null_paths(spark, tmp_path):
+    """The three name-projected surfaces that would materialize or
+    return NULLs for a renamed column refuse by name: partitioned
+    reads over foreign-renamed files, rename on partitioned tables,
+    and CoW DML over pre-rename files."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        rename_column_iceberg,
+        update_iceberg,
+    )
+
+    # write-side: rename of ANY column on a partitioned table refuses
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t, partition_by=["s"])
+    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+        rename_column_iceberg(t, "v", "val")
+
+    # read-side: a FOREIGN rename on a partitioned table refuses
+    _foreign_rename(t, "v", "val")
+    with pytest.raises(NotImplementedError, match="renamed"):
+        read_iceberg(spark, t).collect()
+
+    # DML over pre-rename files refuses (unpartitioned)
+    t2 = str(tmp_path / "t2")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t2)
+    _foreign_rename(t2, "v", "val")
+    with pytest.raises(NotImplementedError, match="materialize"):
+        update_iceberg(spark, t2, {"val": "val + 1"})
+    # but plain reads still project correctly by field id
+    assert read_iceberg(spark, t2).collect()[0].val == 1.0
+
+
+def test_dml_after_add_column_uses_evolved_schema(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        add_column_iceberg,
+        update_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t)
+    add_column_iceberg(t, "score", "double")
+    # SET may reference and assign the evolved column; old rows' NULL
+    # score flows through the rewrite for non-matching rows
+    update_iceberg(spark, t, {"score": "v * 10"}, predicate="id = 2")
+    got = {r.id: r.score for r in read_iceberg(spark, t).collect()}
+    assert got == {1: None, 2: 20.0}
+
+
+def test_snapshots_frame_existing_not_double_counted(spark, tmp_path):
+    """An append AFTER a compaction carries the compaction's manifest
+    (which holds EXISTING entries); the frame must count each
+    pre-existing file once."""
+    t = str(tmp_path / "t")
+    for i in range(3):
+        write_iceberg(_df(spark, [(i, "x", 1.0)]), t, mode="append")
+    compact_iceberg(spark, t)  # 3 small -> 1 file (EXISTING none, ADDED 1)
+    s5 = write_iceberg(_df(spark, [(9, "z", 9.0)]), t, mode="append")
+    snaps = {r.snapshot_id: r for r in table_snapshots(spark, t).collect()}
+    # before the append: 1 live file (the compacted one); the append
+    # adds 1 -> existing_files for the append snapshot is exactly 1
+    assert snaps[s5].existing_files == 1
+    assert snaps[s5].added_files == 1
