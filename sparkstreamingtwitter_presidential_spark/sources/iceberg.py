@@ -1048,8 +1048,22 @@ def read_iceberg_incremental(
                     f"data file format {df['file_format']!r} not supported "
                     "(parquet only)"
                 )
-            files.append(df)
-    return _read_files(spark, files, spark_schema, part_fields)
+            files.append(
+                {
+                    "snapshot_id": (
+                        e.get("snapshot_id")
+                        if e.get("snapshot_id") is not None
+                        else m["added_snapshot_id"]
+                    ),
+                    "data_file": df,
+                }
+            )
+    # incremental scans project by name; refuse pre-rename files
+    # rather than reading NULLs for a renamed column
+    _refuse_renamed_files(meta, files, ice_schema, "incremental scan")
+    return _read_files(
+        spark, [f["data_file"] for f in files], spark_schema, part_fields
+    )
 
 
 def table_snapshots(spark: SparkSession, path: str) -> DataFrame:
@@ -1558,12 +1572,15 @@ def compact_iceberg(
     when no partition has two or more sub-target files."""
     meta = _load_metadata(path)
     snap = _snapshot(meta, None)
-    ice_schema = _schema_for(
-        meta, snap.get("schema-id", meta.get("current-schema-id", 0))
-    )
+    # plan under the CURRENT schema (like DML): rewrites land in the
+    # evolved shape (old files' added columns flow through as NULL)
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
     part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
     entries = _entries_for_snapshot(path, snap)
+    # the rewrite scans by name; a renamed column in pre-rename files
+    # would be rewritten as NULL — refuse, like DML (_dml_plan)
+    _refuse_renamed_files(meta, entries, ice_schema, "compaction")
 
     groups: dict[tuple, list[dict]] = {}
     for e in entries:

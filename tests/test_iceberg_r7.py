@@ -953,3 +953,20 @@ def test_snapshots_frame_existing_not_double_counted(spark, tmp_path):
     # adds 1 -> existing_files for the append snapshot is exactly 1
     assert snaps[s5].existing_files == 1
     assert snaps[s5].added_files == 1
+
+
+def test_rename_guard_covers_compact_and_incremental(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        rename_column_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    s2 = write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    rename_column_iceberg(t, "v", "val")
+    with pytest.raises(NotImplementedError, match="compaction"):
+        compact_iceberg(spark, t, target_file_bytes=1 << 30)
+    with pytest.raises(NotImplementedError, match="incremental"):
+        read_iceberg_incremental(spark, t, from_snapshot=s1).collect()
+    # the snapshot read itself still projects correctly by field id
+    assert sorted(r.val for r in read_iceberg(spark, t).collect()) == [1.0, 2.0]
