@@ -1246,3 +1246,118 @@ def streaming_iceberg_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("users"),
         (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
     )
+
+
+@query(
+    "lakehouse_hudi_events_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value,
+               MIN(epoch_us(ts)) AS min_ts_us,
+               MAX(epoch_us(ts)) AS max_ts_us
+        FROM events GROUP BY event_type
+    """,
+    doc=(
+        "NEW r7: native Hudi CoW — events staged through the engine's "
+        "own spec-layout Hudi writer (.hoodie timeline with "
+        "requested/inflight/completed instants, record-keyed base "
+        "files named <fileId>_<token>_<instant>.parquet, physically "
+        "stored meta columns) as two INSERT commits, read back via "
+        "latest-file-slice selection; the aggregate (counts, values, "
+        "timestamp microseconds) must equal the oracle on the original "
+        "parquet — the write->timeline->slice-read fidelity proof "
+        "completing the three-format lakehouse family"
+    ),
+)
+def lakehouse_hudi_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        read_hudi,
+        write_hudi,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_hudi(
+            ev.filter("event_id % 2 = 0"),
+            table,
+            record_key="event_id",
+            n_file_groups=2,
+        )
+        write_hudi(
+            ev.filter("event_id % 2 = 1"),
+            table,
+            record_key="event_id",
+            n_file_groups=2,
+        )
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(spark, f"/tmp/ssp_hudi_events_{key}", build)
+    ev = read_hudi(spark, table)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )
+
+
+@query(
+    "lakehouse_hudi_upsert_agg",
+    oracle="""
+        WITH merged AS (
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 7 = 0 THEN value * 2
+                        ELSE value END AS value
+            FROM events
+            UNION ALL
+            SELECT event_id + 10000000 AS event_id, user_id, event_type,
+                   value
+            FROM events WHERE event_id % 13 = 0
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM merged GROUP BY event_type
+    """,
+    doc=(
+        "NEW r7: Hudi record-key UPSERT (the format's core write op) — "
+        "events land as 4 hash-bucketed file groups, then matched keys "
+        "(id%7, value doubled) rewrite ONLY their file groups as new "
+        "slices while unmatched groups carry forward untouched, and "
+        "id%13 inserts land at id+10M; staging RAISES unless the "
+        "timeline shows exactly INSERT then UPSERT. Equals the "
+        "oracle's relational reconstruction iff slice selection, "
+        "group-targeted rewrite, and insert routing are all exact — "
+        "the Hudi member of the CoW-merge family "
+        "(delta_merge/iceberg_merge twins)"
+    ),
+)
+def lakehouse_hudi_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        hudi_timeline,
+        read_hudi,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_hudi(ev, table, record_key="event_id", n_file_groups=4)
+        updates = ev.filter("event_id % 7 = 0").withColumn(
+            "value", F.col("value") * 2
+        )
+        inserts = ev.filter("event_id % 13 = 0").withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+        upsert_hudi(spark, table, updates.unionByName(inserts))
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(spark, f"/tmp/ssp_hudi_dml_{key}", build)
+    ops = [r.operation for r in hudi_timeline(spark, table).collect()]
+    if ops != ["INSERT", "UPSERT"]:
+        raise RuntimeError(
+            f"hudi staging committed {ops}, expected INSERT then UPSERT "
+            "— an op silently no-opped"
+        )
+    return _agg_by_type(read_hudi(spark, table))

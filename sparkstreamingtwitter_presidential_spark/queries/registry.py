@@ -143,7 +143,12 @@ GRADED_FIRST: list[str] = [
     # incremental path, similarity keeps LSH; bruteforce stays
     # bench-headlined for perf and both stay in
     # tests/test_queries_oracle.py).
-    "io_orc_roundtrip_docs",
+    # Round-7: native Hudi CoW snapshot read (the third lakehouse
+    # format's write->timeline->slice-read fidelity proof). Ceded:
+    # io_orc_roundtrip_docs (r5+r6 driver-green; interchange keeps
+    # csv/avro/shard-export/partitioned-parquet graded and ORC stays
+    # in tests/test_queries_oracle.py).
+    "lakehouse_hudi_events_agg",
     "io_partitioned_parquet_agg",
     # Round-5: dedup survivor selection (the step after clustering).
     # Ceded: range_join_close_events (r1/r2/r4 driver-green; the
@@ -180,7 +185,13 @@ GRADED_FIRST: list[str] = [
     # stay differential-tested by tests/test_queries_oracle.py.
     "decontam_eval_overlap",
     "dedup_duplicate_span_stats",
-    "sim_random_projection",
+    # Round-7: Hudi record-key UPSERT (file-group-targeted rewrite,
+    # relational reconstruction oracle + timeline op-sequence RAISE) —
+    # the third member of the CoW-merge family. Ceded:
+    # sim_random_projection (r5+r6 driver-green; the map-only
+    # projection stays pytest-oracled and similarity keeps
+    # hybrid-RRF graded + three bench-headlined entries).
+    "lakehouse_hudi_upsert_agg",
     # Round-5 late additions #2: strided context-window chunking and the
     # deterministic train/val/test split. Ceded: chunk_documents_tokens
     # (r3+r4 driver-green; strided is the strict superset — stride ==

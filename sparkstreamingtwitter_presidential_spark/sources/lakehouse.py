@@ -7,9 +7,11 @@ natively (JSON/checkpoint replay + plain parquet IO) and
 Hadoop-catalog layout (metadata.json + avro manifest lists/manifests
 via the package's own avro codec), so `read_lakehouse` /
 `write_lakehouse` fall back to them when the classpath probes fail.
-Hudi remains a classpath probe that raises a clear NotImplementedError
-naming the missing jar (the repo-wide policy for absent native deps);
-its call signature is the real one.
+Hudi (round 7) is native too: `sources/hudi.py` implements the CoW
+timeline + file-group/file-slice layout (record-key upserts, time
+travel, incremental pull, clean/rollback); the facade falls back to it
+when the jar probe fails. Writing through the facade requires a
+``record_key`` kwarg (Hudi's mandatory record key).
 """
 
 from __future__ import annotations
@@ -55,10 +57,20 @@ def read_lakehouse(spark: SparkSession, fmt: str, path: str) -> DataFrame:
             from sparkstreamingtwitter_presidential_spark.sources.iceberg import read_iceberg
 
             return read_iceberg(spark, path)
+        if fmt == "hudi":
+            from sparkstreamingtwitter_presidential_spark.sources.hudi import read_hudi
+
+            return read_hudi(spark, path)
         raise
 
 
-def write_lakehouse(df: DataFrame, fmt: str, path: str, mode: str = "append") -> None:
+def write_lakehouse(
+    df: DataFrame,
+    fmt: str,
+    path: str,
+    mode: str = "append",
+    record_key: str | None = None,
+) -> None:
     """``df.write.format(fmt).mode(mode).save(path)``; for delta
     without the jar, the native log-commit writer."""
     try:
@@ -73,6 +85,16 @@ def write_lakehouse(df: DataFrame, fmt: str, path: str, mode: str = "append") ->
             from sparkstreamingtwitter_presidential_spark.sources.iceberg import write_iceberg
 
             write_iceberg(df, path, mode=mode)
+            return
+        if fmt == "hudi":
+            if record_key is None:
+                raise ValueError(
+                    "hudi writes need record_key= (Hudi's mandatory "
+                    "record key field)"
+                )
+            from sparkstreamingtwitter_presidential_spark.sources.hudi import write_hudi
+
+            write_hudi(df, path, record_key=record_key, mode=mode)
             return
         raise
     df.write.format(fmt_name).mode(mode).save(path)

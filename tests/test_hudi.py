@@ -1,0 +1,217 @@
+"""Native Hudi CoW (sources/hudi.py): timeline + file-slice layout
+roundtrip, record-key upserts (file-group targeting), time travel,
+incremental pull, rollback, clean, and the honest refusal boundary
+(MOR tables/log files, missing record key, bad file names)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+    HudiCommitConflict,
+    clean_hudi,
+    hudi_timeline,
+    read_hudi,
+    read_hudi_incremental,
+    rollback_hudi,
+    upsert_hudi,
+    write_hudi,
+)
+
+SCHEMA = "id long, s string, v double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_roundtrip_and_layout_is_spec_shaped(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.5), (2, "b", None), (3, None, 3.0)])
+    write_hudi(df, t, record_key="id")
+    back = read_hudi(spark, t)
+    assert sorted(back.columns) == sorted(df.columns)
+    assert sorted(tuple(r) for r in back.select(*df.columns).collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # spec layout: .hoodie with properties + three timeline states,
+    # base files named <fileId>_<token>_<instant>.parquet
+    hd = os.path.join(t, ".hoodie")
+    names = os.listdir(hd)
+    assert "hoodie.properties" in names
+    assert any(n.endswith(".commit") for n in names)
+    assert any(n.endswith(".inflight") for n in names)
+    assert any(n.endswith(".commit.requested") for n in names)
+    props = open(os.path.join(hd, "hoodie.properties")).read()
+    assert "hoodie.table.type=COPY_ON_WRITE" in props
+    assert "hoodie.table.recordkey.fields=id" in props
+    base = [n for n in os.listdir(t) if n.endswith(".parquet")]
+    assert base and all(len(n.split("_")) == 3 for n in base)
+    # meta columns are physically stored, surfaced with keep_meta
+    meta = read_hudi(spark, t, keep_meta=True)
+    for c in [
+        "_hoodie_commit_time",
+        "_hoodie_record_key",
+        "_hoodie_file_name",
+    ]:
+        assert c in meta.columns
+    keys = {r._hoodie_record_key for r in meta.collect()}
+    assert keys == {"1", "2", "3"}
+
+
+def test_append_accumulates_overwrite_replaces(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_hudi(_df(spark, [(1, "a", 1.0)]), t, record_key="id")
+    write_hudi(_df(spark, [(2, "b", 2.0)]), t, record_key="id")
+    assert read_hudi(spark, t).count() == 2
+    write_hudi(_df(spark, [(9, "z", 9.0)]), t, record_key="id", mode="overwrite")
+    got = [(r.id, r.s) for r in read_hudi(spark, t).collect()]
+    assert got == [(9, "z")]
+
+
+def test_upsert_targets_matched_file_groups_only(spark, tmp_path):
+    t = str(tmp_path / "t")
+    # two file groups: keys split by hash buckets
+    write_hudi(
+        _df(spark, [(i, f"s{i}", float(i)) for i in range(10)]),
+        t,
+        record_key="id",
+        n_file_groups=2,
+    )
+    before = {
+        (fid, inst)
+        for fid, inst, _ in __import__(
+            "sparkstreamingtwitter_presidential_spark.sources.hudi", fromlist=["_latest_slices"]
+        )._latest_slices(t)
+    }
+    assert len(before) == 2
+    up = upsert_hudi(
+        spark, t, _df(spark, [(3, "UP", 33.0), (100, "new", 100.0)])
+    )
+    got = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert got[3] == ("UP", 33.0) and got[100] == ("new", 100.0)
+    assert got[4] == ("s4", 4.0)  # untouched rows intact
+    assert len(got) == 11
+    # only the matched group gained a new slice; the other's latest
+    # slice is unchanged
+    after = {
+        (fid, inst)
+        for fid, inst, _ in __import__(
+            "sparkstreamingtwitter_presidential_spark.sources.hudi", fromlist=["_latest_slices"]
+        )._latest_slices(t)
+    }
+    carried = before & after
+    assert len(carried) == 1  # one group untouched, one rewritten (+1 insert group)
+    snaps = {r.instant: r for r in hudi_timeline(spark, t).collect()}
+    assert snaps[up].operation == "UPSERT"
+    # duplicate source keys refuse
+    with pytest.raises(ValueError, match="duplicate record keys"):
+        upsert_hudi(spark, t, _df(spark, [(1, "x", 0.0), (1, "y", 0.0)]))
+
+
+def test_time_travel_and_incremental(spark, tmp_path):
+    t = str(tmp_path / "t")
+    i1 = write_hudi(_df(spark, [(1, "a", 1.0)]), t, record_key="id")
+    i2 = write_hudi(_df(spark, [(2, "b", 2.0)]), t, record_key="id")
+    i3 = upsert_hudi(spark, t, _df(spark, [(1, "A2", 11.0), (3, "c", 3.0)]))
+
+    assert sorted(r.id for r in read_hudi(spark, t, as_of=i1).collect()) == [1]
+    assert sorted(r.id for r in read_hudi(spark, t, as_of=i2).collect()) == [1, 2]
+    # pre-upsert value visible at i2, post-upsert at head
+    assert read_hudi(spark, t, as_of=i2).filter("id=1").collect()[0].s == "a"
+    assert read_hudi(spark, t).filter("id=1").collect()[0].s == "A2"
+    with pytest.raises(ValueError, match="not a completed commit"):
+        read_hudi(spark, t, as_of="19700101000000000")
+
+    # incremental pull: exactly the records WRITTEN in the range —
+    # the upsert slice's copied-over rows must not leak in
+    inc = read_hudi_incremental(spark, t, from_instant=i1)
+    got = sorted((r.id, r.s) for r in inc.collect())
+    assert got == [(1, "A2"), (2, "b"), (3, "c")]
+    inc23 = read_hudi_incremental(spark, t, from_instant=i2, to_instant=i3)
+    assert sorted((r.id, r.s) for r in inc23.collect()) == [(1, "A2"), (3, "c")]
+    assert read_hudi_incremental(spark, t, from_instant=i3).count() == 0
+    # overwrite inside the range refuses
+    write_hudi(_df(spark, [(9, "z", 9.0)]), t, record_key="id", mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        read_hudi_incremental(spark, t, from_instant=i1).collect()
+
+
+def test_rollback_latest_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    i1 = write_hudi(_df(spark, [(1, "a", 1.0)]), t, record_key="id")
+    i2 = upsert_hudi(spark, t, _df(spark, [(1, "A2", 11.0)]))
+    assert read_hudi(spark, t).collect()[0].s == "A2"
+    with pytest.raises(ValueError, match="latest"):
+        rollback_hudi(t, i1)
+    removed = rollback_hudi(t, i2)
+    assert removed
+    assert read_hudi(spark, t).collect()[0].s == "a"  # pre-upsert restored
+    assert [r.instant for r in hudi_timeline(spark, t).collect()] == [i1]
+
+
+def test_clean_retires_superseded_slices(spark, tmp_path):
+    t = str(tmp_path / "t")
+    i1 = write_hudi(_df(spark, [(1, "a", 1.0)]), t, record_key="id")
+    upsert_hudi(spark, t, _df(spark, [(1, "v2", 2.0)]))
+    upsert_hudi(spark, t, _df(spark, [(1, "v3", 3.0)]))
+    n_before = len([n for n in os.listdir(t) if n.endswith(".parquet")])
+    deleted = clean_hudi(t, keep_last=1)
+    assert deleted
+    n_after = len([n for n in os.listdir(t) if n.endswith(".parquet")])
+    assert n_after < n_before
+    # head still exact; cleaned instants no longer time travel
+    assert read_hudi(spark, t).collect()[0].s == "v3"
+    with pytest.raises(Exception):
+        read_hudi(spark, t, as_of=i1).collect()
+    with pytest.raises(ValueError, match="keep_last"):
+        clean_hudi(t, keep_last=0)
+
+
+def test_refusals(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_hudi(_df(spark, [(1, "a", 1.0)]), t, record_key="id")
+    # record-key mismatch on later writes
+    with pytest.raises(ValueError, match="record_key"):
+        write_hudi(_df(spark, [(2, "b", 2.0)]), t, record_key="s")
+    # MOR table type refuses
+    props = os.path.join(t, ".hoodie", "hoodie.properties")
+    body = open(props).read()
+    open(props, "w").write(body.replace("COPY_ON_WRITE", "MERGE_ON_READ"))
+    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+        read_hudi(spark, t)
+    open(props, "w").write(body)
+    # a stray .log file (MOR remnant) refuses
+    log = os.path.join(t, "stray.log")
+    open(log, "w").close()
+    with pytest.raises(NotImplementedError, match="log files"):
+        read_hudi(spark, t)
+    os.remove(log)
+    # inflight (never completed) commits are invisible
+    hd = os.path.join(t, ".hoodie")
+    open(os.path.join(hd, "99999999999999999.inflight"), "w").close()
+    assert read_hudi(spark, t).count() == 1
+    # conflict: completing an already-completed instant raises
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import _complete_instant
+
+    done = [n[:-7] for n in os.listdir(hd) if n.endswith(".commit")][0]
+    with pytest.raises(HudiCommitConflict):
+        _complete_instant(t, done, {})
+
+
+def test_lakehouse_facade_routes_to_native_hudi(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.lakehouse import (
+        read_lakehouse,
+        write_lakehouse,
+    )
+
+    t = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.0)])
+    with pytest.raises(ValueError, match="record_key"):
+        write_lakehouse(df, "hudi", t)
+    write_lakehouse(df, "hudi", t, record_key="id")
+    assert read_lakehouse(spark, "hudi", t).count() == 1
