@@ -138,6 +138,11 @@ HEADLINE = [
     "lakehouse_iceberg_merge_agg",
     "streaming_iceberg_sink_agg",
     "sketch_rollup_exact_agg",
+    # Round-7 late: native Hudi snapshot read (staging warm; timed
+    # work is timeline walk + latest-slice selection + scan + agg —
+    # the third format's read floor) and the upsert-table read.
+    "lakehouse_hudi_events_agg",
+    "lakehouse_hudi_upsert_agg",
 ]
 
 
