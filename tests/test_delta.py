@@ -276,6 +276,7 @@ def test_lakehouse_facade_falls_back_to_native_delta(spark, tmp_path):
     # a missing iceberg layout, not a missing jar
     with pytest.raises(FileNotFoundError, match="not an Iceberg table"):
         read_lakehouse(spark, "iceberg", t)
-    # hudi stays an honest jar probe
-    with pytest.raises(NotImplementedError, match="hudi"):
+    # hudi routes native since r7 — a delta path reports a missing
+    # Hudi layout, not a missing jar
+    with pytest.raises(FileNotFoundError, match="not a Hudi table"):
         read_lakehouse(spark, "hudi", t)

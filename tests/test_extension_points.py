@@ -1,6 +1,6 @@
 """Extension-point tests: the sanctioned pandas_udf shape, the builtin
 global z-score it's contrasted with, and the lakehouse facade (delta
-routes to the native reader; iceberg/hudi raise clearly sans jars)."""
+routes to the native reader for all three formats sans jars)."""
 
 from __future__ import annotations
 
@@ -35,9 +35,9 @@ def test_global_zscore_builtin_exact(spark):
 
 
 def test_lakehouse_stub_raises_with_named_dep(spark):
-    # hudi is the remaining honest stub (timeline + Avro log blocks
-    # exercise no capability beyond the two NATIVE formats)
-    with pytest.raises(NotImplementedError, match="hudi"):
+    # since r7 ALL THREE formats route native without jars; a missing
+    # path is a table-level error, never a missing-dependency one
+    with pytest.raises(FileNotFoundError, match="not a Hudi table"):
         read_lakehouse(spark, "hudi", "/tmp/nope")
 
 
