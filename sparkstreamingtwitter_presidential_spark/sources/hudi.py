@@ -35,17 +35,21 @@ The three core Hudi ideas this module implements faithfully:
   are a plain filter on `_hoodie_commit_time` over the slices the
   timeline says a commit range touched.
 
-Coverage: CoW tables, unpartitioned layout, insert + record-key
-upsert commits (file-group-targeted rewrite — cost ∝ matched groups,
-never the table), snapshot read (with or without meta columns), time
-travel by completed instant, incremental pull (commit-time range),
-rollback of the latest commit, and clean (retire superseded slices,
-keep_last guard). Refusals (clear NotImplementedError/ValueError
-rather than wrong rows): MERGE_ON_READ tables and `.log` delta files,
-partitioned tables (partition-path layouts need the key-generator
-surface; the Delta/Iceberg twins demonstrate partitioning), foreign
-tables without the record-key property, bootstrap/clustering/metadata
--table features.
+Coverage: CoW tables, unpartitioned AND hive-style partitioned
+layouts (single STRING partition field, ``col=val`` dirs with
+partition-metadata markers; partition columns stay IN the data —
+Hudi stores full rows — so partitioning is layout + exact dir-level
+pruning via ``read_hudi(partition_filter=...)``), insert + record-key
+upsert commits (rewrite targeted per (partition, file group) — cost
+∝ matched groups, never the table), snapshot read (with or without
+meta columns), time travel by completed instant, incremental pull
+(commit-time range), rollback of the latest commit, and clean
+(retire superseded slices, keep_last guard). Refusals (clear
+NotImplementedError/ValueError rather than wrong rows):
+MERGE_ON_READ tables and `.log` delta files, multi-level or
+non-string partition paths, partition values needing hive escaping,
+null partition values, foreign tables without the record-key
+property, bootstrap/clustering/metadata-table features.
 
 Reference scope note: the reference persists micro-batches as plain
 text (Collector.scala:84-96); the lakehouse connectors are the
@@ -119,12 +123,15 @@ def _completed_commits(path: str) -> list[str]:
     )
 
 
-def _base_files(path: str) -> list[tuple[str, str, str]]:
-    """(file_id, instant, full_path) for every base parquet under the
-    (unpartitioned) table root. Hudi file name contract:
-    <fileId>_<writeToken>_<instant>.parquet."""
+def _scan_dir(path: str, partition: str) -> list[tuple[str, str, str, str]]:
+    d = os.path.join(path, partition) if partition else path
     out = []
-    for n in sorted(os.listdir(path)):
+    for n in sorted(os.listdir(d)):
+        if n.endswith(".log") or ".log." in n:
+            raise NotImplementedError(
+                "MERGE_ON_READ log files present; this native reader "
+                "is CoW-only"
+            )
         if not n.endswith(".parquet"):
             continue
         stem = n[: -len(".parquet")]
@@ -135,34 +142,58 @@ def _base_files(path: str) -> list[tuple[str, str, str]]:
                 "<fileId>_<writeToken>_<instant>.parquet)"
             )
         file_id, _token, instant = parts
-        out.append((file_id, instant, os.path.join(path, n)))
-    for n in os.listdir(path):
-        if n.endswith(".log") or ".log." in n:
+        out.append((partition, file_id, instant, os.path.join(d, n)))
+    return out
+
+
+def _base_files(path: str) -> list[tuple[str, str, str, str]]:
+    """(partition_path, file_id, instant, full_path) for every base
+    parquet — the table root ("" partition) plus one level of
+    hive-style ``col=val`` partition dirs. Hudi file name contract:
+    <fileId>_<writeToken>_<instant>.parquet. Deeper nesting
+    (multi-field partition paths) refuses."""
+    out = _scan_dir(path, "")
+    for n in sorted(os.listdir(path)):
+        full = os.path.join(path, n)
+        if not os.path.isdir(full) or n.startswith("."):
+            continue
+        if "=" not in n:
             raise NotImplementedError(
-                "MERGE_ON_READ log files present; this native reader "
-                "is CoW-only"
+                f"unrecognized subdirectory {n!r} (expected hive-style "
+                "col=val partition dirs; multi-level partition paths "
+                "are not supported)"
             )
+        for sub in os.listdir(full):
+            if os.path.isdir(os.path.join(full, sub)):
+                raise NotImplementedError(
+                    "multi-level Hudi partition paths are not supported "
+                    "(single col=val level only)"
+                )
+        out += _scan_dir(path, n)
     return out
 
 
 def _latest_slices(
     path: str, as_of: str | None = None
-) -> list[tuple[str, str, str]]:
-    """Per file group, the newest slice whose instant is a COMPLETED
-    commit (≤ ``as_of`` when time traveling). Slices from inflight or
-    rolled-back instants are invisible — that is the CoW isolation
-    story."""
+) -> list[tuple[str, str, str, str]]:
+    """Per (partition, file group), the newest slice whose instant is
+    a COMPLETED commit (≤ ``as_of`` when time traveling). Slices from
+    inflight or rolled-back instants are invisible — that is the CoW
+    isolation story."""
     commits = set(_completed_commits(path))
     if as_of is not None:
         commits = {c for c in commits if c <= as_of}
-    best: dict[str, tuple[str, str]] = {}
-    for file_id, instant, full in _base_files(path):
+    best: dict[tuple[str, str], tuple[str, str]] = {}
+    for part, file_id, instant, full in _base_files(path):
         if instant not in commits:
             continue
-        cur = best.get(file_id)
+        cur = best.get((part, file_id))
         if cur is None or instant > cur[0]:
-            best[file_id] = (instant, full)
-    return [(fid, inst, full) for fid, (inst, full) in sorted(best.items())]
+            best[(part, file_id)] = (instant, full)
+    return [
+        (part, fid, inst, full)
+        for (part, fid), (inst, full) in sorted(best.items())
+    ]
 
 
 # ---------------------------------------------------------------- instants
@@ -209,21 +240,38 @@ def _complete_instant(path: str, instant: str, commit_meta: dict) -> None:
 
 
 def _with_meta(
-    df: DataFrame, record_key: str, instant: str, file_name_expr
+    df: DataFrame,
+    record_key: str,
+    instant: str,
+    file_name_expr,
+    partition: str = "",
+    ct_col: str | None = None,
+    sq_col: str | None = None,
 ) -> DataFrame:
     """Prepend the five Hudi meta columns (physically stored, like the
     real writer). Seqno is instant_partitionid_rowid-shaped; this
     writer uses a key-derived stable token so files are deterministic
-    for a given input."""
-    return df.select(
-        F.lit(instant).alias("_hoodie_commit_time"),
-        F.concat_ws(
+    for a given input. ``ct_col``/``sq_col`` name caller-provided
+    commit-time/seqno columns — the CoW rewrite path uses them to
+    PRESERVE the original commit time of copied-over rows (what makes
+    incremental pulls exact; only actually-changed rows carry the new
+    instant), exactly the real writer's behavior."""
+    ct = F.col(ct_col) if ct_col else F.lit(instant)
+    sq = (
+        F.col(sq_col)
+        if sq_col
+        else F.concat_ws(
             "_", F.lit(instant), F.xxhash64(F.col(record_key)).cast("string")
-        ).alias("_hoodie_commit_seqno"),
+        )
+    )
+    data_cols = [c for c in df.columns if c not in (ct_col, sq_col)]
+    return df.select(
+        ct.alias("_hoodie_commit_time"),
+        sq.alias("_hoodie_commit_seqno"),
         F.col(record_key).cast("string").alias("_hoodie_record_key"),
-        F.lit("").alias("_hoodie_partition_path"),
+        F.lit(partition).alias("_hoodie_partition_path"),
         file_name_expr.alias("_hoodie_file_name"),
-        "*",
+        *data_cols,
     )
 
 
@@ -233,27 +281,76 @@ def _stage_slice(
     record_key: str,
     instant: str,
     file_id: str,
+    partition: str = "",
+    ct_col: str | None = None,
+    sq_col: str | None = None,
 ) -> str | None:
-    """Write ONE file group slice: <fileId>_0-0-0_<instant>.parquet.
-    Returns the file name (None for an empty frame). The real writer
-    packs multiple groups per commit by bucketing; this writer maps
-    each staged frame to one group — callers split frames per group."""
+    """Write ONE file group slice: <fileId>_0-0-0_<instant>.parquet
+    (under the ``col=val`` partition dir when partitioned — note the
+    PARTITION COLUMN STAYS IN THE DATA, Hudi stores full rows; the dir
+    is layout + pruning structure only). Returns the partition-relative
+    file path (None for an empty frame). The real writer packs
+    multiple groups per commit by bucketing; this writer maps each
+    staged frame to one group — callers split frames per group."""
     name = f"{file_id}_0-0-0_{instant}.parquet"
     staged = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    _with_meta(df, record_key, instant, F.lit(name)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(staged)
+    _with_meta(
+        df, record_key, instant, F.lit(name), partition, ct_col, sq_col
+    ).coalesce(1).write.mode("overwrite").parquet(staged)
     part = [n for n in os.listdir(staged) if n.endswith(".parquet")]
-    if not part:
-        import shutil
-
-        shutil.rmtree(staged, ignore_errors=True)
-        return None
-    os.replace(os.path.join(staged, part[0]), os.path.join(path, name))
     import shutil
 
+    if not part:
+        shutil.rmtree(staged, ignore_errors=True)
+        return None
+    dest_dir = os.path.join(path, partition) if partition else path
+    if partition and not os.path.isdir(dest_dir):
+        os.makedirs(dest_dir, exist_ok=True)
+        # spec cosmetics: every partition dir carries a metadata marker
+        with open(
+            os.path.join(dest_dir, ".hoodie_partition_metadata"),
+            "w",
+            encoding="utf-8",
+        ) as fh:
+            fh.write(
+                "#partition metadata\n"
+                f"commitTime={instant}\npartitionDepth=1\n"
+            )
+    os.replace(os.path.join(staged, part[0]), os.path.join(dest_dir, name))
     shutil.rmtree(staged, ignore_errors=True)
-    return name
+    return os.path.join(partition, name) if partition else name
+
+
+_SAFE_PART = __import__("re").compile(r"^[A-Za-z0-9][A-Za-z0-9._\- :]*$")
+
+
+def _partition_values(df: DataFrame, col: str) -> list[str]:
+    """Distinct partition values (driver-side, partition-count-sized).
+    Values must be filesystem-safe strings — escaping is the honest
+    boundary (the Delta/Iceberg twins carry the full hive-escaping
+    machinery; Hudi v1 refuses instead of guessing)."""
+    from pyspark.sql import types as _T
+
+    fld = df.schema[col]
+    if not isinstance(fld.dataType, _T.StringType):
+        raise NotImplementedError(
+            f"hudi partition column {col!r} must be STRING "
+            f"(got {fld.dataType.simpleString()}); string partition "
+            "paths keep dir-name order == value order"
+        )
+    vals = [r[0] for r in df.select(col).distinct().collect()]
+    for v in vals:
+        if v is None:
+            raise ValueError(
+                f"null partition value in column {col!r}: this writer "
+                "refuses null partition paths"
+            )
+        if not _SAFE_PART.match(v):
+            raise NotImplementedError(
+                f"partition value {v!r} needs path escaping; this "
+                "writer refuses rather than guessing hive escaping"
+            )
+    return sorted(vals)
 
 
 def write_hudi(
@@ -262,6 +359,7 @@ def write_hudi(
     record_key: str,
     mode: str = "append",
     n_file_groups: int = 1,
+    partition_by: str | None = None,
 ) -> str:
     """INSERT commit: create the table on first write (hoodie.properties
     + timeline), land ``df`` as ``n_file_groups`` NEW file groups, and
@@ -280,6 +378,8 @@ def write_hudi(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if record_key not in df.columns:
         raise ValueError(f"record_key {record_key!r} not in {df.columns}")
+    if partition_by is not None and partition_by not in df.columns:
+        raise ValueError(f"partition_by {partition_by!r} not in {df.columns}")
     hd = _hoodie(path)
     exists = os.path.isfile(os.path.join(hd, _PROPS))
     if not exists:
@@ -292,6 +392,12 @@ def write_hudi(
                 + "\nhoodie.table.version=6"
                 + "\nhoodie.timeline.layout.version=1"
                 + f"\nhoodie.table.recordkey.fields={record_key}\n"
+                + (
+                    f"hoodie.table.partition.fields={partition_by}\n"
+                    "hoodie.datasource.write.hive_style_partitioning=true\n"
+                    if partition_by
+                    else ""
+                )
             )
     else:
         props = _load_props(path)
@@ -300,36 +406,73 @@ def write_hudi(
             raise ValueError(
                 f"record_key {record_key!r} != table's {want!r}"
             )
+        have_part = props.get("hoodie.table.partition.fields") or None
+        if partition_by is not None and partition_by != have_part:
+            raise ValueError(
+                f"partition_by {partition_by!r} != table's {have_part!r}; "
+                "the partition field is fixed at table creation"
+            )
+        partition_by = have_part
     instant = _new_instant(path)
 
-    replaced: list[str] = []
+    replaced: dict[str, list[str]] = {}
     if mode == "overwrite" and exists:
-        replaced = [fid for fid, _i, _f in _latest_slices(path)]
+        for part, fid, _i, _f in _latest_slices(path):
+            replaced.setdefault(part, []).append(fid)
 
-    names = []
-    if n_file_groups > 1:
-        # deterministic key-hash bucketing maps each record to its
-        # file group (Hudi's index contract: a key lives in ONE group)
-        bucket = F.pmod(F.xxhash64(F.col(record_key)), F.lit(n_file_groups))
-        frames = [
-            df.filter(bucket == i) for i in range(n_file_groups)
-        ]
+    def _groups(frame: DataFrame):
+        if n_file_groups > 1:
+            # deterministic key-hash bucketing maps each record to its
+            # file group (Hudi's index contract: a key lives in ONE
+            # group)
+            bucket = F.pmod(
+                F.xxhash64(F.col(record_key)), F.lit(n_file_groups)
+            )
+            return [frame.filter(bucket == i) for i in range(n_file_groups)]
+        return [frame]
+
+    stats: dict[str, list[dict]] = {}
+    if partition_by:
+        # one staging job per (partition value, file group) — the
+        # correctness-first shape (known slice names feed the stored
+        # _hoodie_file_name); a bulk-insert committer is the scale
+        # lift, documented rather than faked
+        for v in _partition_values(df, partition_by):
+            part = f"{partition_by}={v}"
+            sub = df.filter(F.col(partition_by) == F.lit(v))
+            for frame in _groups(sub):
+                rel = _stage_slice(
+                    frame,
+                    path,
+                    record_key,
+                    instant,
+                    uuid.uuid4().hex[:12],
+                    partition=part,
+                )
+                if rel:
+                    stats.setdefault(part, []).append(
+                        {
+                            "path": rel,
+                            "fileId": os.path.basename(rel).split("_")[0],
+                        }
+                    )
     else:
-        frames = [df]
-    for frame in frames:
-        name = _stage_slice(
-            frame, path, record_key, instant, uuid.uuid4().hex[:12]
-        )
-        if name:
-            names.append(name)
+        for frame in _groups(df):
+            rel = _stage_slice(
+                frame, path, record_key, instant, uuid.uuid4().hex[:12]
+            )
+            if rel:
+                stats.setdefault("", []).append(
+                    {"path": rel, "fileId": rel.split("_")[0]}
+                )
     commit_meta = {
-        "operationType": "INSERT_OVERWRITE_TABLE" if mode == "overwrite" else "INSERT",
-        "partitionToWriteStats": {
-            "": [{"path": n, "fileId": n.split("_")[0]} for n in names]
-        },
+        "operationType": "INSERT_OVERWRITE_TABLE"
+        if mode == "overwrite"
+        else "INSERT",
+        "partitionToWriteStats": stats,
     }
     if replaced:
-        commit_meta["partitionToReplaceFileIds"] = {"": replaced}
+        commit_meta["partitionToReplaceFileIds"] = replaced
     _complete_instant(path, instant, commit_meta)
     return instant
 
@@ -342,10 +485,17 @@ def read_hudi(
     path: str,
     as_of: str | None = None,
     keep_meta: bool = False,
+    partition_filter: tuple[str | None, str | None] | None = None,
 ) -> DataFrame:
-    """Snapshot read (CoW): per file group the newest completed slice
-    (≤ ``as_of`` for time travel by instant), one distributed parquet
-    scan over exactly those files. Meta columns are dropped unless
+    """Snapshot read (CoW): per (partition, file group) the newest
+    completed slice (≤ ``as_of`` for time travel by instant), one
+    distributed parquet scan over exactly those files — partition
+    columns are STORED IN the data (Hudi keeps full rows), so
+    partitioned reads need no value injection. ``partition_filter``
+    = (lo, hi) on the partition VALUE (string columns; None = open
+    end) prunes whole partition dirs metadata-side before Spark lists
+    a file — exact, every row in a dir shares the value; callers
+    still apply their own row filter. Meta columns are dropped unless
     ``keep_meta`` (the real reader's default surfaces them; dropping
     is this engine's analytics-friendly default — flip the flag for
     parity with hudi-spark output)."""
@@ -357,12 +507,29 @@ def read_hudi(
             f"(have {commits})"
         )
     use = [c for c in commits if as_of is None or c <= as_of]
-    files = [
-        full
-        for fid, inst, full in _latest_slices(path, as_of=as_of)
-        if _slice_after_replace(path, fid, inst, use)
+    slices = [
+        (part, fid, inst, full)
+        for part, fid, inst, full in _latest_slices(path, as_of=as_of)
+        if _slice_after_replace(path, part, fid, inst, use)
     ]
+    if partition_filter is not None:
+        lo, hi = partition_filter
+        def keep(part: str) -> bool:
+            if not part:
+                return True  # unpartitioned files prove nothing
+            v = part.partition("=")[2]
+            if lo is not None and v < lo:
+                return False
+            if hi is not None and v > hi:
+                return False
+            return True
+
+        slices = [s for s in slices if keep(s[0])]
+    files = [full for _p, _fid, _inst, full in slices]
     if not files:
+        if partition_filter is not None and _latest_slices(path):
+            # the filter pruned everything: empty frame, table schema
+            return read_hudi(spark, path, as_of=as_of, keep_meta=keep_meta).limit(0)
         # an empty table still has a schema only if something was
         # written; surface the honest error instead of a guess
         raise ValueError(f"Hudi table {path} has no completed commits")
@@ -371,11 +538,11 @@ def read_hudi(
 
 
 def _slice_after_replace(
-    path: str, fid: str, inst: str, commits: list[str]
+    path: str, part: str, fid: str, inst: str, commits: list[str]
 ) -> bool:
     """A replaced file group can be re-created by a later commit under
     a new write; a slice is live iff its instant is after the LAST
-    commit that replaced its group."""
+    commit that replaced its (partition, group)."""
     hd = _hoodie(path)
     last_replace = ""
     for c in commits:
@@ -384,9 +551,9 @@ def _slice_after_replace(
                 meta = json.load(fh)
         except (OSError, ValueError):
             continue
-        for fids in (meta.get("partitionToReplaceFileIds") or {}).values():
-            if fid in fids:
-                last_replace = max(last_replace, c)
+        fids = (meta.get("partitionToReplaceFileIds") or {}).get(part, [])
+        if fid in fids:
+            last_replace = max(last_replace, c)
     return inst > last_replace
 
 
@@ -515,23 +682,27 @@ def upsert_hudi(
     source = source.select(*tcols)
 
     instant = _new_instant(path)
+    pcol = props.get("hoodie.table.partition.fields") or None
     file_col = F.element_at(F.split("_hoodie_file_name", "_"), 1)
-    keyed = snap.withColumn("__fid", file_col)
+    keyed = snap.withColumn("__fid", file_col).withColumn(
+        "__part", F.col("_hoodie_partition_path")
+    )
     matches = (
         keyed.join(
             source.select(F.col(key).cast("string").alias("__sk")),
             keyed["_hoodie_record_key"] == F.col("__sk"),
             "leftsemi",
         )
-        .select("__fid")
+        .select("__part", "__fid")
         .distinct()
         .collect()
     )
-    matched_fids = sorted(r["__fid"] for r in matches)
+    matched = sorted((r["__part"], r["__fid"]) for r in matches)
+    matched_fids = sorted({fid for _p, fid in matched})
 
     names = []
     matched_keys = None
-    if matched_fids:
+    if matched:
         src = source.select(
             *[F.col(c).alias(f"__src_{c}") for c in tcols]
         ).withColumn("__matched", F.lit(True))
@@ -543,20 +714,43 @@ def upsert_hudi(
             "left",
         )
         m = F.coalesce(F.col("__matched"), F.lit(False))
+        # copied-over rows KEEP their original commit time / seqno
+        # (the real writer's contract — incremental pulls select rows
+        # by _hoodie_commit_time, so stamping unchanged rows with the
+        # new instant would leak them into every later pull)
         rewritten = joined.select(
+            F.col("__part"),
             F.col("__fid"),
+            F.when(m, F.lit(instant))
+            .otherwise(hit["_hoodie_commit_time"])
+            .alias("__ct"),
+            F.when(
+                m,
+                F.concat_ws(
+                    "_",
+                    F.lit(instant),
+                    F.xxhash64(F.col(f"__src_{key}")).cast("string"),
+                ),
+            )
+            .otherwise(hit["_hoodie_commit_seqno"])
+            .alias("__sq"),
             *[
                 F.when(m, F.col(f"__src_{c}")).otherwise(hit[c]).alias(c)
                 for c in tcols
             ],
         )
-        for fid in matched_fids:
+        for part, fid in matched:
             name = _stage_slice(
-                rewritten.filter(F.col("__fid") == fid).drop("__fid"),
+                rewritten.filter(
+                    (F.col("__fid") == fid) & (F.col("__part") == part)
+                ).drop("__fid", "__part"),
                 path,
                 key,
                 instant,
                 fid,
+                partition=part,
+                ct_col="__ct",
+                sq_col="__sq",
             )
             if name:
                 names.append(name)
@@ -573,21 +767,37 @@ def upsert_hudi(
             source[key].cast("string") == F.col("__mk"),
             "leftanti",
         )
-    name = _stage_slice(inserts, path, key, instant, uuid.uuid4().hex[:12])
-    if name:
-        names.append(name)
+    if pcol:
+        for v in _partition_values(inserts, pcol):
+            name = _stage_slice(
+                inserts.filter(F.col(pcol) == F.lit(v)),
+                path,
+                key,
+                instant,
+                uuid.uuid4().hex[:12],
+                partition=f"{pcol}={v}",
+            )
+            if name:
+                names.append(name)
+    else:
+        name = _stage_slice(
+            inserts, path, key, instant, uuid.uuid4().hex[:12]
+        )
+        if name:
+            names.append(name)
 
     if not names:
         return _completed_commits(path)[-1]
+    stats: dict[str, list[dict]] = {}
+    for n in names:  # names are partition-relative paths
+        part, base = os.path.split(n)
+        stats.setdefault(part, []).append(
+            {"path": n, "fileId": base.split("_")[0]}
+        )
     _complete_instant(
         path,
         instant,
-        {
-            "operationType": "UPSERT",
-            "partitionToWriteStats": {
-                "": [{"path": n, "fileId": n.split("_")[0]} for n in names]
-            },
-        },
+        {"operationType": "UPSERT", "partitionToWriteStats": stats},
     )
     return instant
 
@@ -607,7 +817,7 @@ def rollback_hudi(path: str, instant: str) -> list[str]:
             f"(latest {commits[-1] if commits else None!r}, got {instant!r})"
         )
     removed = []
-    for _fid, inst, full in _base_files(path):
+    for _part, _fid, inst, full in _base_files(path):
         if inst == instant:
             os.remove(full)
             removed.append(os.path.basename(full))
@@ -630,9 +840,9 @@ def clean_hudi(path: str, keep_last: int = 1) -> list[str]:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     commits = _completed_commits(path)
     protected = set(commits[-keep_last:])
-    live = {full for _f, _i, full in _latest_slices(path)}
+    live = {full for _p, _f, _i, full in _latest_slices(path)}
     deleted = []
-    for _fid, inst, full in _base_files(path):
+    for _part, _fid, inst, full in _base_files(path):
         if full in live or inst in protected:
             continue
         os.remove(full)

@@ -82,12 +82,9 @@ def test_upsert_targets_matched_file_groups_only(spark, tmp_path):
         record_key="id",
         n_file_groups=2,
     )
-    before = {
-        (fid, inst)
-        for fid, inst, _ in __import__(
-            "sparkstreamingtwitter_presidential_spark.sources.hudi", fromlist=["_latest_slices"]
-        )._latest_slices(t)
-    }
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import _latest_slices
+
+    before = {(fid, inst) for _p, fid, inst, _ in _latest_slices(t)}
     assert len(before) == 2
     up = upsert_hudi(
         spark, t, _df(spark, [(3, "UP", 33.0), (100, "new", 100.0)])
@@ -98,12 +95,7 @@ def test_upsert_targets_matched_file_groups_only(spark, tmp_path):
     assert len(got) == 11
     # only the matched group gained a new slice; the other's latest
     # slice is unchanged
-    after = {
-        (fid, inst)
-        for fid, inst, _ in __import__(
-            "sparkstreamingtwitter_presidential_spark.sources.hudi", fromlist=["_latest_slices"]
-        )._latest_slices(t)
-    }
+    after = {(fid, inst) for _p, fid, inst, _ in _latest_slices(t)}
     carried = before & after
     assert len(carried) == 1  # one group untouched, one rewritten (+1 insert group)
     snaps = {r.instant: r for r in hudi_timeline(spark, t).collect()}
@@ -215,3 +207,118 @@ def test_lakehouse_facade_routes_to_native_hudi(spark, tmp_path):
         write_lakehouse(df, "hudi", t)
     write_lakehouse(df, "hudi", t, record_key="id")
     assert read_lakehouse(spark, "hudi", t).count() == 1
+
+
+# ------------------------------------------------------ partitioned tables
+
+
+def test_partitioned_roundtrip_pruning_and_layout(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _df(
+        spark,
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "c", 4.0)],
+    )
+    write_hudi(df, t, record_key="id", partition_by="s")
+    # hive-style dirs with partition metadata markers; the partition
+    # column stays IN the data files (Hudi stores full rows)
+    assert os.path.isdir(os.path.join(t, "s=a"))
+    assert os.path.isfile(
+        os.path.join(t, "s=a", ".hoodie_partition_metadata")
+    )
+    import pyarrow.parquet as pq
+
+    base = [
+        os.path.join(t, "s=a", n)
+        for n in os.listdir(os.path.join(t, "s=a"))
+        if n.endswith(".parquet")
+    ]
+    assert "s" in pq.ParquetFile(base[0]).schema_arrow.names
+    back = read_hudi(spark, t)
+    assert sorted(tuple(r) for r in back.select("id", "s", "v").collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # meta column records the partition path
+    meta = read_hudi(spark, t, keep_meta=True)
+    assert {r._hoodie_partition_path for r in meta.collect()} == {
+        "s=a",
+        "s=b",
+        "s=c",
+    }
+    # exact dir-level pruning
+    pruned = read_hudi(spark, t, partition_filter=("a", "a"))
+    assert len(pruned.inputFiles()) < len(back.inputFiles())
+    assert sorted(r.id for r in pruned.collect()) == [1, 2]
+    none = read_hudi(spark, t, partition_filter=("zz", None))
+    assert none.count() == 0 and sorted(none.columns) == sorted(df.columns)
+
+
+def test_partitioned_upsert_targets_partition_groups(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_hudi(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "b", 3.0)]),
+        t,
+        record_key="id",
+        partition_by="s",
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import _latest_slices
+
+    before = {(p, fid, inst) for p, fid, inst, _ in _latest_slices(t)}
+    # update one key in partition b, insert a new key into partition c
+    upsert_hudi(spark, t, _df(spark, [(3, "b", 33.0), (9, "c", 9.0)]))
+    got = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert got == {
+        1: ("a", 1.0),
+        2: ("b", 2.0),
+        3: ("b", 33.0),
+        9: ("c", 9.0),
+    }
+    after = {(p, fid, inst) for p, fid, inst, _ in _latest_slices(t)}
+    # partition a's slice untouched; b rewritten; c new
+    assert {s for s in before if s[0] == "s=a"} <= after
+    assert not ({s for s in before if s[0] == "s=b"} & after)
+    assert any(s[0] == "s=c" for s in after)
+    # incremental after a partitioned upsert pulls exactly the writes
+    i0 = hudi_timeline(spark, t).collect()[0].instant
+    inc = sorted(
+        (r.id, r.v)
+        for r in read_hudi_incremental(spark, t, from_instant=i0).collect()
+    )
+    assert inc == [(3, 33.0), (9, 9.0)]
+
+
+def test_partitioned_refusals(spark, tmp_path):
+    # non-string partition column refuses
+    with pytest.raises(NotImplementedError, match="STRING"):
+        write_hudi(
+            _df(spark, [(1, "a", 1.0)]),
+            str(tmp_path / "t1"),
+            record_key="id",
+            partition_by="v",
+        )
+    # null partition value refuses
+    with pytest.raises(ValueError, match="null partition"):
+        write_hudi(
+            _df(spark, [(1, None, 1.0)]),
+            str(tmp_path / "t2"),
+            record_key="id",
+            partition_by="s",
+        )
+    # value needing escaping refuses
+    with pytest.raises(NotImplementedError, match="escap"):
+        write_hudi(
+            _df(spark, [(1, "a/b", 1.0)]),
+            str(tmp_path / "t3"),
+            record_key="id",
+            partition_by="s",
+        )
+    # partition field fixed at creation
+    t4 = str(tmp_path / "t4")
+    write_hudi(_df(spark, [(1, "a", 1.0)]), t4, record_key="id", partition_by="s")
+    with pytest.raises(ValueError, match="fixed at table creation"):
+        write_hudi(
+            _df(spark, [(2, "b", 2.0)]), t4, record_key="id", partition_by="id"
+        )
+    # appends without partition_by inherit the table's spec
+    write_hudi(_df(spark, [(2, "b", 2.0)]), t4, record_key="id")
+    assert os.path.isdir(os.path.join(t4, "s=b"))
+    assert read_hudi(spark, t4).count() == 2
