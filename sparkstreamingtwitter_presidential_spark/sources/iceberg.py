@@ -2259,3 +2259,38 @@ def rename_column_iceberg(path: str, old: str, new: str) -> int:
         hit[0]["name"] = new
 
     return _evolve_schema(path, mutate)
+
+
+def rewrite_manifests(spark: SparkSession, path: str) -> int:
+    """Manifest compaction (the spec's rewrite-manifests maintenance
+    op): collapse the current snapshot's manifest LIST — which grows
+    one manifest per append, so a 10k-append chain costs 10k avro
+    reads per planning walk — into a single manifest of EXISTING
+    entries with every file's original attribution and sequence
+    numbers preserved. Data files are untouched (zero Spark jobs;
+    driver-side metadata only), rows identical, expire/incremental
+    semantics exact (preserved sequence numbers are what keeps them
+    so). Commits a ``replace`` snapshot via the same planning-version
+    put-if-absent as every other commit; incremental scans crossing
+    it refuse, the standard conservative contract for non-append
+    snapshots. Returns the new snapshot id (unchanged when the list
+    already holds a single manifest)."""
+    meta = _load_metadata(path)
+    snap = _snapshot(meta, None)
+    _, _, manifests = read_container(snap["manifest-list"])
+    if len(manifests) <= 1:
+        return snap["snapshot-id"]
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+    part_fields = _partition_fields(meta, ice_schema)
+    entries = _entries_for_snapshot(path, snap)
+    return _commit_snapshot(
+        path,
+        meta,
+        ice_schema,
+        part_fields,
+        added_files=[],
+        existing_entries=entries,
+        deleted_entries=[],
+        carry_prior_manifests=False,
+        operation="replace",
+    )

@@ -970,3 +970,39 @@ def test_rename_guard_covers_compact_and_incremental(spark, tmp_path):
         read_iceberg_incremental(spark, t, from_snapshot=s1).collect()
     # the snapshot read itself still projects correctly by field id
     assert sorted(r.val for r in read_iceberg(spark, t).collect()) == [1.0, 2.0]
+
+
+def test_rewrite_manifests_collapses_the_walk(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.avro import (
+        read_container,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _load_metadata,
+        _snapshot,
+        rewrite_manifests,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(6):
+        write_iceberg(_df(spark, [(i, "x", float(i))]), t, mode="append")
+    before = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    files_before = set(read_iceberg(spark, t).inputFiles())
+    snap = _snapshot(_load_metadata(t), None)
+    assert len(read_container(snap["manifest-list"])[2]) == 6
+
+    sc = rewrite_manifests(spark, t)
+    snap2 = _snapshot(_load_metadata(t), None)
+    assert len(read_container(snap2["manifest-list"])[2]) == 1  # collapsed
+    # zero data movement: same files, same rows
+    assert set(read_iceberg(spark, t).inputFiles()) == files_before
+    assert sorted(tuple(r) for r in read_iceberg(spark, t).collect()) == before
+    snaps = {r.snapshot_id: r for r in table_snapshots(spark, t).collect()}
+    assert snaps[sc].operation == "replace" and snaps[sc].added_files == 0
+    # appends continue normally and incremental works after the rewrite
+    s_next = write_iceberg(_df(spark, [(99, "y", 9.0)]), t, mode="append")
+    inc = read_iceberg_incremental(spark, t, from_snapshot=sc, to_snapshot=s_next)
+    assert [r.id for r in inc.collect()] == [99]
+    # idempotent: single manifest -> no new commit
+    write_iceberg(_df(spark, [(100, "z", 1.0)]), t, mode="append")
+    collapsed = rewrite_manifests(spark, t)
+    assert rewrite_manifests(spark, t) == collapsed  # no empty commit
