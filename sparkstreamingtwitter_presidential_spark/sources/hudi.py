@@ -173,19 +173,55 @@ def _base_files(path: str) -> list[tuple[str, str, str, str]]:
     return out
 
 
+def _committed_rel_paths(path: str, commits: set[str]) -> set[str] | None:
+    """Partition-relative paths the completed commits' OWN metadata
+    recorded (partitionToWriteStats). Slice visibility keys off this
+    set, not the listing: a writer that lost the completion race may
+    leave stray slices named with an instant a DIFFERENT writer then
+    completed — listing-by-instant would surface them, the commit's
+    file list never does. None when any commit lacks stats (foreign
+    tables with sparse commit metadata fall back to listing, the
+    spec's bootstrap path — documented trust boundary)."""
+    hd = _hoodie(path)
+    out: set[str] = set()
+    for c in commits:
+        try:
+            with open(os.path.join(hd, f"{c}.commit"), encoding="utf-8") as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        stats = meta.get("partitionToWriteStats")
+        if stats is None:
+            return None
+        for sts in stats.values():
+            for st in sts:
+                p = st.get("path")
+                if not p:
+                    return None
+                out.add(p)
+    return out
+
+
 def _latest_slices(
     path: str, as_of: str | None = None
 ) -> list[tuple[str, str, str, str]]:
     """Per (partition, file group), the newest slice whose instant is
-    a COMPLETED commit (≤ ``as_of`` when time traveling). Slices from
-    inflight or rolled-back instants are invisible — that is the CoW
-    isolation story."""
+    a COMPLETED commit (≤ ``as_of`` when time traveling) AND which
+    that commit's own metadata recorded (see _committed_rel_paths).
+    Slices from inflight, rolled-back, or race-losing writes are
+    invisible — that is the CoW isolation story."""
     commits = set(_completed_commits(path))
     if as_of is not None:
         commits = {c for c in commits if c <= as_of}
+    recorded = _committed_rel_paths(path, commits)
     best: dict[tuple[str, str], tuple[str, str]] = {}
     for part, file_id, instant, full in _base_files(path):
         if instant not in commits:
+            continue
+        rel = os.path.join(part, os.path.basename(full)) if part else (
+            os.path.basename(full)
+        )
+        if recorded is not None and rel not in recorded:
             continue
         cur = best.get((part, file_id))
         if cur is None or instant > cur[0]:

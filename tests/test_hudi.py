@@ -322,3 +322,28 @@ def test_partitioned_refusals(spark, tmp_path):
     write_hudi(_df(spark, [(2, "b", 2.0)]), t4, record_key="id")
     assert os.path.isdir(os.path.join(t4, "s=b"))
     assert read_hudi(spark, t4).count() == 2
+
+
+def test_race_loser_stray_slices_invisible(spark, tmp_path):
+    """A writer that staged slices but LOST the instant-completion race
+    leaves files named with an instant another writer completed; slice
+    visibility keys off the completed commit's own file list, so the
+    strays never surface (and clean_hudi may later reclaim them)."""
+    t = str(tmp_path / "t")
+    write_hudi(_df(spark, [(1, "a", 1.0)]), t, record_key="id")
+    inst = hudi_timeline(spark, t).collect()[0].instant
+    # the loser's stray slice: same completed instant, unknown file id
+    import shutil
+
+    real = [n for n in os.listdir(t) if n.endswith(".parquet")][0]
+    stray = os.path.join(t, f"deadbeef_0-0-0_{inst}.parquet")
+    shutil.copy(os.path.join(t, real), stray)
+    got = [tuple(r) for r in read_hudi(spark, t).select("id", "s", "v").collect()]
+    assert got == [(1, "a", 1.0)]  # the duplicate row never appears
+    # foreign commits WITHOUT write stats fall back to listing
+    hd = os.path.join(t, ".hoodie")
+    cf = os.path.join(hd, f"{inst}.commit")
+    meta = json.load(open(cf))
+    del meta["partitionToWriteStats"]
+    json.dump(meta, open(cf, "w"))
+    assert read_hudi(spark, t).count() == 2  # listing-trust boundary
