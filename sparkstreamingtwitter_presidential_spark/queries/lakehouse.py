@@ -1088,10 +1088,16 @@ def lakehouse_iceberg_partitioned_agg(
     table = _staged_iceberg_locked(
         spark, f"/tmp/ssp_iceberg_part_{key}", build
     )
-    mt = (
-        load_table(spark, sf_dir, "events")
-        .agg(F.min("event_type"))
-        .first()[0]
+    # the target partition comes from the MANIFESTS (.partitions
+    # metadata frame) — zero data scans; every event_type present in
+    # the source is present as a partition, so min(partition value)
+    # == the oracle's min(event_type)
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        table_partitions,
+    )
+
+    mt = min(
+        r.event_type for r in table_partitions(spark, table).collect()
     )
     pruned = read_iceberg(spark, table, skip_ranges={"event_type": (mt, mt)})
     n_all = len(read_iceberg(spark, table).inputFiles())

@@ -2294,3 +2294,49 @@ def rewrite_manifests(spark: SparkSession, path: str) -> int:
         carry_prior_manifests=False,
         operation="replace",
     )
+
+
+def table_partitions(spark: SparkSession, path: str) -> DataFrame:
+    """The .partitions metadata table shape: one row per identity-
+    partition tuple of the CURRENT snapshot with live file/row counts
+    — answered entirely from the manifests (driver-side metadata, no
+    data scan), like the real client's partitions table. Partition
+    values come back as their source types (dates decoded from epoch
+    days). Unpartitioned tables return a single all-table totals row
+    (no partition columns)."""
+    meta = _load_metadata(path)
+    snap = _snapshot(meta, None)
+    ice_schema = _schema_for(
+        meta, snap.get("schema-id", meta.get("current-schema-id", 0))
+    )
+    part_fields = _partition_fields(meta, ice_schema)
+    entries = _entries_for_snapshot(path, snap)
+    agg: dict[tuple, list[int]] = {}
+    for e in entries:
+        part = e["data_file"].get("partition") or {}
+        key = tuple(part.get(pf["name"]) for pf in part_fields)
+        cur = agg.setdefault(key, [0, 0, 0])
+        cur[0] += 1
+        cur[1] += e["data_file"]["record_count"]
+        cur[2] += e["data_file"]["file_size_in_bytes"]
+    rows = [
+        tuple(
+            _avro_partition_to_python(pf["type"], v)
+            for pf, v in zip(part_fields, key)
+        )
+        + (n_files, n_rows, n_bytes)
+        for key, (n_files, n_rows, n_bytes) in sorted(
+            agg.items(), key=lambda kv: tuple(map(str, kv[0]))
+        )
+    ]
+    fields = [
+        T.StructField(
+            pf["source_name"], _iceberg_to_spark_type(pf["type"]), True
+        )
+        for pf in part_fields
+    ] + [
+        T.StructField("n_files", T.LongType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+    return spark.createDataFrame(rows, T.StructType(fields))

@@ -1006,3 +1006,86 @@ def test_rewrite_manifests_collapses_the_walk(spark, tmp_path):
     write_iceberg(_df(spark, [(100, "z", 1.0)]), t, mode="append")
     collapsed = rewrite_manifests(spark, t)
     assert rewrite_manifests(spark, t) == collapsed  # no empty commit
+
+
+def test_table_partitions_metadata_frame(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        table_partitions,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]),
+        t,
+        partition_by=["s"],
+    )
+    write_iceberg(_df(spark, [(4, "b", 4.0)]), t, mode="append")
+    parts = {r.s: (r.n_files, r.n_rows) for r in table_partitions(spark, t).collect()}
+    assert set(parts) == {"a", "b"}
+    assert parts["a"][1] == 2 and parts["b"][1] == 2
+    assert parts["b"][0] == 2  # two appends -> two files in b
+    # date partitions decode back to dates
+    t2 = str(tmp_path / "t2")
+    df = spark.sql(
+        "SELECT id, date'2024-01-01' + CAST(id % 2 AS INT) AS d FROM range(4)"
+    )
+    write_iceberg(df, t2, partition_by=["d"])
+    got = {r.d for r in table_partitions(spark, t2).collect()}
+    assert got == {datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)}
+    # unpartitioned: one totals row
+    t3 = str(tmp_path / "t3")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t3)
+    rows = table_partitions(spark, t3).collect()
+    assert len(rows) == 1 and rows[0].n_rows == 1
+
+
+def test_bound_codec_roundtrips_exactly():
+    """Appendix-D single-value serialization: decode(encode(v)) is
+    exact for every supported primitive across sign/extreme values."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _decode_bound,
+        _encode_bound,
+    )
+
+    cases = [
+        ("int", [0, 1, -1, 2**31 - 1, -(2**31)]),
+        ("long", [0, 1, -1, 2**63 - 1, -(2**63)]),
+        ("double", [0.0, -0.0, 1.5, -2.25, 1e308, 5e-324]),
+        ("string", ["", "a", "doc_0099", "Ünïcodé ✓", "a\tb"]),
+        ("date", [datetime.date(1970, 1, 1), datetime.date(2024, 2, 29),
+                  datetime.date(1969, 12, 31)]),
+    ]
+    for typ, vals in cases:
+        for v in vals:
+            enc = _encode_bound(typ, v)
+            dec = _decode_bound(typ, enc)
+            if typ == "date":
+                assert dec == (v - datetime.date(1970, 1, 1)).days
+            else:
+                assert dec == v, (typ, v)
+    # float roundtrips through float32 precision
+    import struct
+
+    f = _decode_bound("float", _encode_bound("float", 1.5))
+    assert f == 1.5
+    # unsupported values record NO bound (readers keep the file)
+    assert _encode_bound("int", "not a number") is None
+
+
+def test_expire_after_rewrite_manifests(spark, tmp_path):
+    """Expiring pre-rewrite snapshots deletes their per-append
+    manifests while the collapsed manifest keeps every data file
+    reachable — the reachability diff across the two shapes."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        rewrite_manifests,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(4):
+        write_iceberg(_df(spark, [(i, "x", float(i))]), t, mode="append")
+    before = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    rewrite_manifests(spark, t)
+    res = expire_snapshots(t, keep_last=1)
+    assert len(res["expired_snapshots"]) == 4
+    assert res["deleted_files"] > 0  # old manifest lists + manifests
+    assert sorted(tuple(r) for r in read_iceberg(spark, t).collect()) == before
