@@ -347,8 +347,9 @@ GRADED_FIRST: list[str] = [
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).
 # Round 1 predates GRADED_FIRST: its window was plain registration order.
-# NOTE for round 8: append GRADED_HISTORY[7] = the CORRECTNESS_r07.json
-# key list BEFORE any further rotation (standing invariant).
+# NOTE standing invariant: at the start of round N+1, append
+# GRADED_HISTORY[N] = the CORRECTNESS_r{N}.json key list BEFORE any
+# further rotation (so cumulative-coverage checks stay exact).
 GRADED_HISTORY: dict[int, list[str]] = {
     1: [
         "flagship_event_type_counts", "a2_global_count", "p2_projection",
@@ -524,6 +525,36 @@ GRADED_HISTORY: dict[int, list[str]] = {
         "quality_observed_metrics", "pack_length_bucket_stats",
         "events_variant_extract", "dedup_exact_case_insensitive",
         "lakehouse_iceberg_skipping_agg",
+    ],
+    # Round 7: 50/50 green (CORRECTNESS_r07.json, zero err) — recorded
+    # verbatim before round-8 rotation per the rotation invariant.
+    7: [
+        "flagship_event_type_counts", "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume", "dedup_ngram_jaccard_pairs",
+        "streaming_tumbling_windows", "pipeline_curate_pack",
+        "text_repetition_signals", "lakehouse_iceberg_partitioned_agg",
+        "lakehouse_iceberg_merge_agg", "sketch_rollup_exact_agg",
+        "lakehouse_delta_delete_update_agg", "tpch_q15_top_supplier",
+        "io_csv_roundtrip_docs", "streaming_iceberg_sink_agg",
+        "lakehouse_delta_evolution_agg", "text_c4_line_clean",
+        "shuffle_documents_sharded", "lakehouse_hudi_events_agg",
+        "io_partitioned_parquet_agg", "dedup_canonicalize",
+        "salted_join_order_segment", "text_unigram_logprob",
+        "lakehouse_delta_zorder_agg", "text_oov_rate",
+        "decontam_eval_overlap", "dedup_duplicate_span_stats",
+        "lakehouse_hudi_upsert_agg", "chunk_documents_strided",
+        "split_documents_train_val_test", "io_avro_roundtrip_docs",
+        "dedup_semantic_keep", "scale_global_row_numbers",
+        "streaming_delta_upsert_agg", "search_hybrid_rrf",
+        "io_shard_export_roundtrip", "streaming_update_mode_counts",
+        "lakehouse_delta_row_changes", "dedup_paragraphs_clean",
+        "lakehouse_delta_time_travel_agg",
+        "io_pipetext_connector_roundtrip", "io_synthdocs_generate",
+        "lakehouse_delta_history_agg", "lakehouse_iceberg_events_agg",
+        "lakehouse_iceberg_time_travel_agg",
+        "lakehouse_iceberg_incremental_agg", "quality_observed_metrics",
+        "pack_length_bucket_stats", "events_variant_extract",
+        "dedup_exact_case_insensitive", "lakehouse_iceberg_skipping_agg",
     ],
 }
 
