@@ -301,6 +301,26 @@ def read_delta(
         )
     )
     if fast_ok:
+        # The log's partitionValues are AUTHORITATIVE (Delta spec:
+        # readers must not infer values from paths — dir names are not
+        # required to agree). Before trusting the path-derived fast
+        # read, verify driver-side (one string compare per file) that
+        # every /col=val/ segment decodes to EXACTLY the log's value;
+        # a foreign table whose layout disagrees with its log falls
+        # back to the literal union, which reads only log values.
+        import re as _re
+
+        for p, a in snap.files.items():
+            pv = a.get("partitionValues", {})
+            rel = "/" + urllib.parse.unquote(p)
+            for c in snap.partition_columns:
+                m = _re.search(f"/{_re.escape(c)}=([^/]+)/", rel)
+                if m is None or urllib.parse.unquote(m.group(1)) != pv.get(c):
+                    fast_ok = False
+                    break
+            if not fast_ok:
+                break
+    if fast_ok:
         import re as _re
 
         df = spark.read.schema(data_schema).parquet(

@@ -750,6 +750,37 @@ def _read_files(
         )
     )
     if hive_ok:
+        # The manifest's partition tuples are AUTHORITATIVE (the spec's
+        # identity allowance) — dir names are not required to agree.
+        # Before trusting the path-derived fast read, verify driver-
+        # side (one string compare per file) that every /col=val/
+        # segment decodes to EXACTLY the manifest value; any
+        # disagreement (foreign layouts, null values, types whose
+        # string form differs) falls back to the literal union, which
+        # reads only manifest values.
+        import re as _vre
+        import urllib.parse as _vup
+
+        for f in files:
+            part = f.get("partition") or {}
+            for pf in part_fields:
+                m = _vre.search(
+                    f"/{_vre.escape(pf['source_name'])}=([^/]+)/",
+                    f["file_path"],
+                )
+                want = _avro_partition_to_python(
+                    pf["type"], part.get(pf["name"])
+                )
+                if (
+                    m is None
+                    or want is None
+                    or _vup.unquote(m.group(1)) != str(want)
+                ):
+                    hive_ok = False
+                    break
+            if not hive_ok:
+                break
+    if hive_ok:
         df = spark.read.schema(data_schema).parquet(
             *sorted(f["file_path"] for f in files)
         )

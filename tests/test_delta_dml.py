@@ -735,3 +735,42 @@ def test_read_delta_many_partitions_single_scan(spark, tmp_path):
     write_delta(df.filter("id < 3"), t2, partition_by=["part"])
     plan2 = read_delta(spark, t2)._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" in plan2
+
+
+def test_read_delta_path_layout_disagreeing_with_log_uses_log_values(
+    spark, tmp_path
+):
+    """The log's partitionValues are authoritative (Delta spec: dir
+    names are NOT required to agree). When a foreign table's layout
+    disagrees with its log, the >32-tuple path-derived fast path must
+    NOT be taken — the read falls back to the literal union and
+    returns the LOG's values (was: silently different answers above
+    vs below 32 distinct tuples; ADVICE r7)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"p{i:02d}", float(i)) for i in range(40)],
+        "id long, part string, v double",
+    )
+    write_delta(df, t, partition_by=["part"])
+    # forge a foreign table: one add action's partitionValues disagrees
+    # with the col=val dir its path lives under
+    log = os.path.join(t, "_delta_log", "00000000000000000000.json")
+    lines = open(log).read().splitlines()
+    out, tampered = [], 0
+    for ln in lines:
+        act = json.loads(ln)
+        add = act.get("add")
+        if add and add.get("partitionValues", {}).get("part") == "p07" and not tampered:
+            add["partitionValues"]["part"] = "zz"
+            tampered += 1
+        out.append(json.dumps(act))
+    assert tampered == 1
+    open(log, "w").write("\n".join(out) + "\n")
+
+    back = read_delta(spark, t)
+    plan = back._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan  # fast path refused, literal union kept
+    got = {r.id: r.part for r in back.collect()}
+    assert got[7] == "zz"  # the log's value, not the dir's
+    assert got[8] == "p08"
+    assert len(got) == 40

@@ -1089,3 +1089,54 @@ def test_expire_after_rewrite_manifests(spark, tmp_path):
     assert len(res["expired_snapshots"]) == 4
     assert res["deleted_files"] > 0  # old manifest lists + manifests
     assert sorted(tuple(r) for r in read_iceberg(spark, t).collect()) == before
+
+
+def test_fast_path_refuses_when_path_disagrees_with_manifest(spark, tmp_path):
+    """The manifest's partition tuples are authoritative (the spec's
+    identity allowance — dir names are NOT required to agree). Above
+    the union ceiling, a file whose /col=val/ segment decodes to a
+    value different from its manifest tuple must force the literal
+    union, which returns the MANIFEST's values (was: silently
+    different answers above vs below the ceiling; ADVICE r7)."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _read_files,
+    )
+    import pyspark.sql.types as T
+
+    base = str(tmp_path / "data")
+    spark.createDataFrame(
+        [(i, f"p{i:02d}") for i in range(40)], "id long, s string"
+    ).write.partitionBy("s").parquet(base)
+    files = []
+    for d in sorted(os.listdir(base)):
+        if not d.startswith("s="):
+            continue
+        for fn in os.listdir(os.path.join(base, d)):
+            if fn.endswith(".parquet"):
+                files.append(
+                    {
+                        "file_path": os.path.join(base, d, fn),
+                        "partition": {"s_part": d[2:]},
+                    }
+                )
+    assert len(files) >= 40
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    pf = [{"name": "s_part", "source_name": "s", "type": "string"}]
+    back = _read_files(spark, files, schema, pf)
+    plan = back._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan  # agreeing layout: fast path holds
+    assert sorted(r.s for r in back.collect()) == sorted(
+        f"p{i:02d}" for i in range(40)
+    )
+    # forge disagreement: one manifest tuple differs from its dir
+    files[7] = dict(files[7], partition={"s_part": "zz"})
+    back2 = _read_files(spark, files, schema, pf)
+    plan2 = back2._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan2  # fast path refused
+    got = sorted(r.s for r in back2.collect())
+    assert "zz" in got and len(got) == 40  # the manifest's value wins
