@@ -53,6 +53,12 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
+# how long remove tombstones stay in checkpoints (mirrors the real
+# protocol's delta.deletedFileRetentionDuration default of 7 days).
+# Must be >= the vacuum retention in use: vacuum's untracked-file
+# sweep trusts checkpoints to carry every tombstone younger than the
+# vacuum window (see vacuum_delta).
+TOMBSTONE_RETENTION_HOURS = 168.0
 MAX_SUPPORTED_READER_VERSION = 1
 
 
@@ -81,6 +87,13 @@ class _Snapshot:
     # and checkpoint writes can re-emit them unchanged
     protocol_action: dict[str, Any] | None = None
     metadata_action: dict[str, Any] | None = None
+    # path -> remove action (tombstones seen during replay, newest
+    # deletionTimestamp wins). Checkpoints PERSIST these (the real
+    # protocol stores unexpired tombstones in checkpoints) so that
+    # vacuum's retention guard survives write_checkpoint + expire_log:
+    # without them, an expired remove would make a recently-tombstoned
+    # file look untracked and lose its retention protection.
+    tombstones: dict[str, dict[str, Any]] = field(default_factory=dict)
 
 
 def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
@@ -108,7 +121,13 @@ def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
             )
         snap.files[a["path"]] = a
     elif "remove" in action:
-        snap.files.pop(action["remove"]["path"], None)
+        r = action["remove"]
+        snap.files.pop(r["path"], None)
+        prev = snap.tombstones.get(r["path"])
+        if prev is None or int(r.get("deletionTimestamp", 0)) >= int(
+            prev.get("deletionTimestamp", 0)
+        ):
+            snap.tombstones[r["path"]] = r
     elif "txn" in action:
         t = action["txn"]
         prev = snap.transactions.get(t["appId"], -1)
@@ -844,6 +863,22 @@ def write_checkpoint(path: str) -> int:
     rows.append(_row("metaData", snap.metadata_action))
     for p in sorted(snap.files):
         rows.append(_row("add", snap.files[p]))
+    # persist UNEXPIRED remove tombstones (the real protocol keeps
+    # them in checkpoints until deletedFileRetentionDuration passes):
+    # after expire_log drops the JSON commits, these rows are what
+    # keeps vacuum's retention guard aware of recent deletes. Expired
+    # tombstones (older than the retention default) are pruned here,
+    # exactly the real checkpoint writer's behavior — their files are
+    # already past every reader's window.
+    cutoff = int(time.time() * 1000) - int(
+        TOMBSTONE_RETENTION_HOURS * 3600 * 1000
+    )
+    for p in sorted(snap.tombstones):
+        if p in snap.files:
+            continue  # re-added path: the add row is authoritative
+        r = snap.tombstones[p]
+        if int(r.get("deletionTimestamp", 0)) >= cutoff:
+            rows.append(_row("remove", r))
     for app_id, v in sorted(snap.transactions.items()):
         rows.append(_row("txn", {"appId": app_id, "version": v}))
     table = pa.Table.from_pylist(rows)

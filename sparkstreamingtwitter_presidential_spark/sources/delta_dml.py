@@ -389,6 +389,20 @@ def vacuum_delta(
                         tombstones.get(r["path"], 0),
                         int(r.get("deletionTimestamp", 0)),
                     )
+    # fold in tombstones the snapshot replay carried from CHECKPOINTS
+    # (write_checkpoint persists unexpired removes, as the real
+    # protocol does): after write_checkpoint + expire_log the JSON
+    # commits holding a recent remove are gone, and without these the
+    # file would be misclassified as untracked below — losing the
+    # retention guard that protects concurrent readers. Boundary:
+    # checkpoints written by this engine since round 8 and by the real
+    # client both carry tombstones; a pre-round-8 checkpoint that
+    # dropped them should be rewritten (write_checkpoint) before
+    # expiring the log.
+    for rel, r in snap.tombstones.items():
+        tombstones[rel] = max(
+            tombstones.get(rel, 0), int(r.get("deletionTimestamp", 0))
+        )
 
     deleted = []
     for rel, ts in sorted(tombstones.items()):

@@ -6,6 +6,7 @@ write→bootstrap round-trips after mutations."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -774,3 +775,53 @@ def test_read_delta_path_layout_disagreeing_with_log_uses_log_values(
     assert got[7] == "zz"  # the log's value, not the dir's
     assert got[8] == "p08"
     assert len(got) == 40
+
+
+def test_vacuum_retention_survives_checkpoint_plus_log_expiry(
+    spark, tmp_path
+):
+    """write_checkpoint persists unexpired remove tombstones (as the
+    real protocol does), so after write_checkpoint + expire_log a
+    recently-tombstoned file — whose remove JSON is gone — is still
+    protected by vacuum's retention guard instead of being
+    misclassified as untracked and deleted by file mtime (ADVICE r7)."""
+    import time as _time
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        expire_log,
+        write_checkpoint,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        vacuum_delta,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    )
+    write_delta(df, p)
+    # age the data files far past any retention window
+    old = _time.time() - 30 * 24 * 3600
+    for n in os.listdir(p):
+        if n.endswith(".parquet"):
+            os.utime(os.path.join(p, n), (old, old))
+    # tombstone them NOW (deletionTimestamp = current time)
+    delete_delta(spark, p, "id >= 0")
+    tombstoned = [n for n in os.listdir(p) if n.endswith(".parquet")]
+    v = write_checkpoint(p)
+    # expire EVERY commit at-or-below the checkpoint, including the
+    # delete commit holding the remove actions
+    expire_log(p, keep_from=v + 1)
+    assert not glob.glob(os.path.join(p, "_delta_log", "*0.json"))
+    # 24h retention: the tombstones are seconds old -> nothing may go,
+    # even though every file's MTIME is a month old
+    gone = vacuum_delta(p, retention_hours=24.0)
+    assert gone == []
+    for n in tombstoned:
+        assert os.path.exists(os.path.join(p, n)), n
+    # past the window the same files are reclaimed (guard, not leak)
+    later = int(_time.time() * 1000) + 48 * 3600 * 1000
+    gone2 = vacuum_delta(p, retention_hours=24.0, now_ms=later)
+    assert sorted(gone2)  # all tombstoned files reclaimed now
+    assert read_delta(spark, p).count() == 0
