@@ -810,34 +810,22 @@ def _staged_events_iceberg(spark: SparkSession, sf_dir: str) -> str:
     (spec: full URIs), so the Delta staging's rename trick would break
     them; first-caller races are fenced with an O_EXCL lock + _READY
     marker instead (build happens in place, visibility is gated by the
-    marker, losers poll)."""
-    import time as _time
-
+    marker, losers poll — see _staged_iceberg_locked for the heartbeat
+    and stale-lock takeover story)."""
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         write_iceberg,
     )
 
     key = _events_cache_key(spark, sf_dir)
-    table = f"/tmp/ssp_iceberg_events_{key}"
-    ready = os.path.join(table, "_READY")
-    if os.path.exists(ready):
-        return table
-    os.makedirs(table, exist_ok=True)
-    lock = os.path.join(table, "_BUILD_LOCK")
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
-    except FileExistsError:
-        for _ in range(600):  # lost the race: wait for the winner
-            if os.path.exists(ready):
-                return table
-            _time.sleep(0.5)
-        raise TimeoutError(f"iceberg staging never became ready: {table}")
-    ev = load_table(spark, sf_dir, "events")
-    write_iceberg(ev.filter("event_id % 2 = 0"), table)
-    write_iceberg(ev.filter("event_id % 2 = 1"), table, mode="append")
-    open(ready, "w").close()
-    return table
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_iceberg(ev.filter("event_id % 2 = 0"), table)
+        write_iceberg(ev.filter("event_id % 2 = 1"), table, mode="append")
+
+    return _staged_iceberg_locked(
+        spark, f"/tmp/ssp_iceberg_events_{key}", build
+    )
 
 
 @query(
@@ -974,39 +962,27 @@ def lakehouse_iceberg_incremental_agg(
 def lakehouse_iceberg_skipping_agg(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import time as _time
-
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         read_iceberg,
         write_iceberg,
     )
 
     key = _events_cache_key(spark, sf_dir)
-    table = f"/tmp/ssp_iceberg_skip_{key}"
-    ready = os.path.join(table, "_READY")
-    if not os.path.exists(ready):
-        os.makedirs(table, exist_ok=True)
-        lock = os.path.join(table, "_BUILD_LOCK")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            ev = load_table(spark, sf_dir, "events").select(
-                "event_id", "event_type", "value"
-            )
-            write_iceberg(
-                ev.repartitionByRange(8, "event_id").sortWithinPartitions(
-                    "event_id"
-                ),
-                table,
-            )
-            open(ready, "w").close()
-        except FileExistsError:
-            for _ in range(600):
-                if os.path.exists(ready):
-                    break
-                _time.sleep(0.5)
-            else:
-                raise TimeoutError(f"iceberg staging never ready: {table}")
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        write_iceberg(
+            ev.repartitionByRange(8, "event_id").sortWithinPartitions(
+                "event_id"
+            ),
+            table,
+        )
+
+    table = _staged_iceberg_locked(
+        spark, f"/tmp/ssp_iceberg_skip_{key}", build
+    )
 
     ranges = {"event_id": (100, 299)}
     pruned = read_iceberg(spark, table, skip_ranges=ranges)
@@ -1020,29 +996,79 @@ def lakehouse_iceberg_skipping_agg(
     return _agg_by_type(pruned.filter("event_id BETWEEN 100 AND 299"))
 
 
+_LOCK_STALE_SECS = 30.0  # no heartbeat for this long == crashed builder
+
+
 def _staged_iceberg_locked(spark: SparkSession, table: str, build) -> str:
     """Stage an Iceberg table in place behind an O_EXCL build lock +
     _READY marker (manifests hold absolute paths — the Delta staging's
-    rename trick would break them; losers poll the marker)."""
+    rename trick would break them; build happens in place, visibility
+    is gated by the marker).
+
+    Liveness, not a fixed wall cap: the builder HEARTBEATS the lock's
+    mtime every 2 s from a daemon thread; waiters poll the marker and
+    treat a lock whose heartbeat stopped for _LOCK_STALE_SECS as a
+    crashed builder — one waiter wins an atomic os.rename of the stale
+    lock, wipes the partial build, and rebuilds; the rest keep
+    polling. A legitimately slow large-SF build keeps its lock fresh
+    and is waited on indefinitely (the old fixed 300 s cap could
+    false-timeout it), while a builder that died between lock and
+    marker no longer wedges every later caller (ADVICE r7)."""
+    import shutil
+    import threading
     import time as _time
 
     ready = os.path.join(table, "_READY")
-    if os.path.exists(ready):
-        return table
-    os.makedirs(table, exist_ok=True)
     lock = os.path.join(table, "_BUILD_LOCK")
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
-    except FileExistsError:
-        for _ in range(600):
-            if os.path.exists(ready):
-                return table
+    while True:
+        if os.path.exists(ready):
+            return table
+        os.makedirs(table, exist_ok=True)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            # lost the claim: wait while the builder shows a pulse
+            try:
+                age = _time.time() - os.stat(lock).st_mtime
+            except OSError:
+                continue  # lock vanished (crash cleanup/publish): re-check
+            if age > _LOCK_STALE_SECS:
+                try:
+                    os.rename(lock, f"{lock}.stale")  # one winner
+                except OSError:
+                    pass  # another waiter claimed the takeover
+                else:
+                    shutil.rmtree(table, ignore_errors=True)
+                continue
             _time.sleep(0.5)
-        raise TimeoutError(f"iceberg staging never became ready: {table}")
-    build(spark, table)
-    open(ready, "w").close()
-    return table
+            continue
+        # builder: heartbeat the lock while the (possibly long) Spark
+        # build runs, so waiters can tell slow from dead
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(2.0):
+                try:
+                    os.utime(lock)
+                except OSError:
+                    return
+
+        beater = threading.Thread(target=_beat, daemon=True)
+        beater.start()
+        try:
+            build(spark, table)
+            open(ready, "w").close()
+        except BaseException:
+            # leave no half-built table behind a dead lock: clear the
+            # claim so the next caller rebuilds from scratch
+            stop.set()
+            beater.join(timeout=5.0)
+            shutil.rmtree(table, ignore_errors=True)
+            raise
+        stop.set()
+        beater.join(timeout=5.0)
+        return table
 
 
 @query(
