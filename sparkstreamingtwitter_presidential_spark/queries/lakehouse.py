@@ -1393,3 +1393,73 @@ def lakehouse_hudi_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "— an op silently no-opped"
         )
     return _agg_by_type(read_hudi(spark, table))
+
+
+@query(
+    "lakehouse_hudi_partitioned_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        WHERE event_type = (SELECT MIN(event_type) FROM events)
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r8: hive-PARTITIONED native Hudi — events staged "
+        "partition_by='event_type' (col=val dirs with partition "
+        "metadata markers, partition column kept IN the data files — "
+        "Hudi stores full rows — and two INSERT commits across 2 file "
+        "groups per partition), then the lexicographically first "
+        "event_type read back with read_hudi(partition_filter=): the "
+        "query RAISES unless dir-level pruning removed files before "
+        "Spark listed them, and the pruned read must equal the "
+        "oracle's filtered aggregate on the original parquet — the "
+        "Hudi member of the partitioned-read family "
+        "(delta/iceberg partitioned twins)"
+    ),
+)
+def lakehouse_hudi_partitioned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        read_hudi,
+        write_hudi,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_hudi(
+            ev.filter("event_id % 2 = 0"),
+            table,
+            record_key="event_id",
+            partition_by="event_type",
+            n_file_groups=2,
+        )
+        # second commit inherits the table's partition spec
+        write_hudi(
+            ev.filter("event_id % 2 = 1"),
+            table,
+            record_key="event_id",
+            n_file_groups=2,
+        )
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(spark, f"/tmp/ssp_hudi_part_{key}", build)
+    # the target partition comes from the DIR LAYOUT (hive col=val
+    # names are exact for string partitions) — zero data scans; every
+    # event_type present in the source has a dir, so min(dir value)
+    # == the oracle's min(event_type)
+    mt = min(
+        d.partition("=")[2]
+        for d in os.listdir(table)
+        if d.startswith("event_type=")
+    )
+    pruned = read_hudi(spark, table, partition_filter=(mt, mt))
+    n_all = len(read_hudi(spark, table).inputFiles())
+    n_kept = len(pruned.inputFiles())
+    if n_kept >= n_all:
+        raise RuntimeError(
+            f"partition pruning removed nothing: {n_kept}/{n_all} files "
+            f"kept for a single-partition read of event_type={mt!r}"
+        )
+    return _agg_by_type(pruned)
