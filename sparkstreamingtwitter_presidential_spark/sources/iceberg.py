@@ -956,7 +956,11 @@ def _read_entries_projected(
         w_by_id = {f["id"]: f for f in w_ice["fields"]}
         for f in ice_schema["fields"]:
             wf = w_by_id.get(f["id"])
-            if wf is None or wf["name"] != f["name"]:
+            if (
+                wf is None
+                or wf["name"] != f["name"]
+                or wf["type"] != f["type"]
+            ):
                 return True
         return False
 
@@ -984,11 +988,15 @@ def _read_entries_projected(
                     .alias(f["name"])
                 )
                 continue
-            if wf["type"] != f["type"]:
+            if wf["type"] != f["type"] and not _safe_promotion(
+                wf["type"], f["type"]
+            ):
                 raise NotImplementedError(
                     f"field {f['id']} changed type "
-                    f"{wf['type']!r} -> {f['type']!r}; type promotion is "
-                    "not supported by this native reader"
+                    f"{wf['type']!r} -> {f['type']!r}; only the spec's "
+                    "safe promotions (int->long, float->double, decimal "
+                    "precision widening at equal scale) are supported "
+                    "by this native reader"
                 )
             scan_fields.append(
                 T.StructField(
@@ -997,7 +1005,12 @@ def _read_entries_projected(
                     nullable=not wf.get("required", False),
                 )
             )
-            sel.append(F.col(wf["name"]).alias(f["name"]))
+            col = F.col(wf["name"])
+            if wf["type"] != f["type"]:
+                # spec-safe promotion: scan under the WRITING type,
+                # widen to the read type (lossless by construction)
+                col = col.cast(_iceberg_to_spark_type(f["type"]))
+            sel.append(col.alias(f["name"]))
         df = spark.read.schema(T.StructType(scan_fields)).parquet(
             *[g["file_path"] for g in group]
         )
@@ -1827,14 +1840,37 @@ def _dml_plan(spark: SparkSession, path: str):
     return meta, snap, ice_schema, part_fields, spark_schema, entries, scan
 
 
+def _safe_promotion(w_type: Any, r_type: Any) -> bool:
+    """The Iceberg spec's lossless primitive type promotions (Schema
+    Evolution: int->long, float->double, decimal(P,S)->decimal(P',S)
+    with P' > P — precision widens, scale is fixed). Anything else is
+    not safe to widen on read."""
+    if not isinstance(w_type, str) or not isinstance(r_type, str):
+        return False  # nested types never promote
+    if (w_type, r_type) in {("int", "long"), ("float", "double")}:
+        return True
+    if w_type.startswith("decimal(") and r_type.startswith("decimal("):
+        try:
+            wp, ws = map(int, w_type[len("decimal("):-1].split(","))
+            rp, rs = map(int, r_type[len("decimal("):-1].split(","))
+        except ValueError:
+            return False
+        return rs == ws and rp > wp
+    return False
+
+
 def _refuse_renamed_files(
     meta: dict, entries: list[dict], ice_schema: dict, ctx: str
 ) -> None:
     """Raise if any scanned file was written under a schema where a
-    CURRENT field-id carried a different name: a name-projected scan
+    CURRENT field-id carried a different name (a name-projected scan
     would read NULLs for the renamed column, and a CoW rewrite would
-    MATERIALIZE them — refusal over silent data loss."""
-    by_id_cur = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    MATERIALIZE them) or a different TYPE (the scan declares the read
+    type, so parquet pages of the writing type would fail — or worse,
+    silently coerce — instead of widening; only _read_entries_projected
+    implements the spec's safe promotions) — refusal over silent data
+    loss."""
+    by_id_cur = {f["id"]: f for f in ice_schema["fields"]}
     cur_sid = ice_schema.get("schema-id", 0)
     seen: set[int] = set()
     for e in entries:
@@ -1843,13 +1879,23 @@ def _refuse_renamed_files(
             continue
         seen.add(sid)
         for wf in _schema_for(meta, sid)["fields"]:
-            cur_name = by_id_cur.get(wf["id"])
-            if cur_name is not None and cur_name != wf["name"]:
+            cur = by_id_cur.get(wf["id"])
+            if cur is None:
+                continue
+            if cur["name"] != wf["name"]:
                 raise NotImplementedError(
                     f"field {wf['id']} was renamed {wf['name']!r} -> "
-                    f"{cur_name!r}; {ctx} projects by name and would "
+                    f"{cur['name']!r}; {ctx} projects by name and would "
                     "read (and materialize) NULLs for the renamed "
                     "column in files written under the old schema"
+                )
+            if cur["type"] != wf["type"]:
+                raise NotImplementedError(
+                    f"field {wf['id']} changed type {wf['type']!r} -> "
+                    f"{cur['type']!r}; {ctx} scans under the read "
+                    "schema and cannot widen files written under the "
+                    "old type (plain unpartitioned reads support the "
+                    "spec's safe promotions)"
                 )
 
 

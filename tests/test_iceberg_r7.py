@@ -1140,3 +1140,103 @@ def test_fast_path_refuses_when_path_disagrees_with_manifest(spark, tmp_path):
     assert "Union" in plan2  # fast path refused
     got = sorted(r.s for r in back2.collect())
     assert "zz" in got and len(got) == 40  # the manifest's value wins
+
+
+# ------------------------------------------------ r8: type promotion
+
+
+def _foreign_retype(t: str, col: str, new_type: str) -> None:
+    """Simulate a foreign engine's type evolution: a NEW schema with
+    the same field ids where ``col`` carries ``new_type``,
+    current-schema-id bumped — a pure metadata edit, data files
+    untouched (the spec's type promotion)."""
+    md = os.path.join(t, "metadata")
+    v = max(
+        int(n[1:].split(".")[0])
+        for n in os.listdir(md)
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    meta = json.load(open(os.path.join(md, f"v{v}.metadata.json")))
+    old_schema = next(
+        s
+        for s in meta["schemas"]
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    new_schema = json.loads(json.dumps(old_schema))
+    new_schema["schema-id"] = old_schema.get("schema-id", 0) + 1
+    for f in new_schema["fields"]:
+        if f["name"] == col:
+            f["type"] = new_type
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = new_schema["schema-id"]
+    json.dump(meta, open(os.path.join(md, f"v{v + 1}.metadata.json"), "w"))
+    open(os.path.join(md, "version-hint.text"), "w").write(str(v + 1))
+
+
+def test_read_after_safe_type_promotion_widens_old_files(spark, tmp_path):
+    """The spec's safe promotions (int->long, float->double) read
+    exactly: files written under the OLD type scan under it and widen
+    to the read schema; files written under the NEW type scan
+    directly; mixed histories union to one frame (r7 verdict item 4)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "id long, n int, x float"
+    )
+    write_iceberg(df, t)
+    _foreign_retype(t, "n", "long")
+    _foreign_retype(t, "x", "double")
+    back = read_iceberg(spark, t)
+    assert dict(back.dtypes) == {"id": "bigint", "n": "bigint", "x": "double"}
+    got = sorted((r.id, r.n, round(r.x, 1)) for r in back.collect())
+    assert got == [(1, 10, 1.5), (2, 20, 2.5)]
+    # append under the WIDENED schema: mixed writing types read as one
+    write_iceberg(
+        spark.createDataFrame(
+            [(3, 2**40, 3.5)], "id long, n long, x double"
+        ),
+        t,
+        mode="append",
+    )
+    got2 = sorted((r.id, r.n) for r in read_iceberg(spark, t).collect())
+    assert got2 == [(1, 10), (2, 20), (3, 2**40)]
+    # skip_ranges still prunes across the mixed history
+    pruned = read_iceberg(spark, t, skip_ranges={"id": (3, None)})
+    assert [r.n for r in pruned.collect()] == [2**40]
+
+
+def test_unsafe_type_changes_still_refuse(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, 10)], "id long, n int"), t
+    )
+    _foreign_retype(t, "n", "string")  # not a spec promotion
+    with pytest.raises(NotImplementedError, match="safe promotions"):
+        read_iceberg(spark, t).collect()
+    # narrowing is never safe either
+    t2 = str(tmp_path / "t2")
+    write_iceberg(
+        spark.createDataFrame([(1, 2**40)], "id long, n long"), t2
+    )
+    _foreign_retype(t2, "n", "int")
+    with pytest.raises(NotImplementedError, match="safe promotions"):
+        read_iceberg(spark, t2).collect()
+
+
+def test_partitioned_read_over_promoted_files_refuses_by_name(
+    spark, tmp_path
+):
+    """Partitioned reads scan under the read schema (no per-schema
+    remap); a foreign type promotion under them refuses with the
+    named-type message instead of failing inside the parquet reader
+    (the same honest boundary as the rename guards)."""
+    t = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "id long, n int, s string"
+        ),
+        t,
+        partition_by=["s"],
+    )
+    _foreign_retype(t, "n", "long")
+    with pytest.raises(NotImplementedError, match="changed type"):
+        read_iceberg(spark, t).collect()
