@@ -1281,6 +1281,75 @@ def streaming_iceberg_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_hudi_sink_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS users,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r8: events replayed as a bounded stream through the "
+        "exactly-once HUDI sink (foreachBatch + streaming-app-id/"
+        "batch-id markers in the .commit file's extraMetadata, durable "
+        "in the same O_EXCL completion as the data — the marker "
+        "channel the real Hudi streaming writers use for DeltaStreamer "
+        "checkpoints), snapshot read back via latest-file-slice "
+        "selection and aggregated — equals the batch aggregate over "
+        "the source parquet iff every micro-batch landed exactly "
+        "once; the third format of the exactly-once family (Delta "
+        "append/upsert, Iceberg append graded r7)"
+    ),
+)
+def streaming_hudi_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.queries.streaming import _staged
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        last_committed_batch,
+        read_hudi,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.replay import (
+        read_events_stream,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming import (
+        write_stream_to_hudi,
+    )
+
+    key = _events_cache_key(spark, sf_dir)
+    table = f"/tmp/ssp_hudi_stream_{key}"
+
+    def build(spark: SparkSession, table: str) -> None:
+        stream = read_events_stream(spark, _staged(spark, sf_dir))
+        q = write_stream_to_hudi(
+            stream,
+            table,
+            os.path.join(table, ".ckpt"),  # dot-dir: invisible to the
+            # slice scanner, wiped with the table on stale takeover
+            record_key="event_id",
+            app_id=f"ssp_hudi_ingest_{key}",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        if last_committed_batch(table, f"ssp_hudi_ingest_{key}") is None:
+            raise RuntimeError(
+                "hudi streaming sink drained zero marker-bearing "
+                "commits — the exactly-once channel never engaged"
+            )
+
+    _staged_iceberg_locked(spark, table, build)
+    ev = read_hudi(spark, table)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("users"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+    )
+
+
+@query(
     "lakehouse_hudi_events_agg",
     oracle="""
         SELECT event_type, COUNT(*) AS n,

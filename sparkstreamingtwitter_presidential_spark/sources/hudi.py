@@ -412,6 +412,7 @@ def write_hudi(
     mode: str = "append",
     n_file_groups: int = 1,
     partition_by: str | None = None,
+    extra_metadata: dict[str, str] | None = None,
 ) -> str:
     """INSERT commit: create the table on first write (hoodie.properties
     + timeline), land ``df`` as ``n_file_groups`` NEW file groups, and
@@ -520,6 +521,8 @@ def write_hudi(
     }
     if replaced:
         commit_meta["partitionToReplaceFileIds"] = replaced
+    if extra_metadata:
+        commit_meta["extraMetadata"] = dict(extra_metadata)
     _complete_instant(path, instant, commit_meta)
     return instant
 
@@ -700,6 +703,7 @@ def upsert_hudi(
     path: str,
     source: DataFrame,
     record_key: str | None = None,
+    extra_metadata: dict[str, str] | None = None,
 ) -> str:
     """UPSERT commit (CoW): matched record keys take the source row's
     values, unmatched keys insert — Hudi's core write operation.
@@ -854,8 +858,43 @@ def upsert_hudi(
         commit_meta["partitionToReplaceFileIds"] = {
             p: sorted(v) for p, v in sorted(emptied.items())
         }
+    if extra_metadata:
+        commit_meta["extraMetadata"] = dict(extra_metadata)
     _complete_instant(path, instant, commit_meta)
     return instant
+
+
+def last_committed_batch(path: str, app_id: str) -> int | None:
+    """The highest streaming batch id durably committed for ``app_id``,
+    read from completed commits' ``extraMetadata`` (the marker channel
+    the real Hudi streaming writers use — DeltaStreamer checkpoints
+    and the Spark sink's batch ids live in commit metadata, atomically
+    with the data commit). None if no commit carries the app's marker.
+    Markers survive as long as their .commit files stay on the active
+    timeline — clean_hudi never removes timeline files, so idempotence
+    holds across restarts (timeline archival, when added, must keep
+    the newest marker-bearing commit per app)."""
+    try:
+        commits = _completed_commits(path)
+    except FileNotFoundError:
+        return None
+    hd = _hoodie(path)
+    best: int | None = None
+    for c in commits:
+        try:
+            with open(os.path.join(hd, f"{c}.commit"), encoding="utf-8") as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        extra = meta.get("extraMetadata") or {}
+        if extra.get("streaming-app-id") != app_id:
+            continue
+        try:
+            b = int(extra.get("streaming-batch-id", ""))
+        except ValueError:
+            continue
+        best = b if best is None or b > best else best
+    return best
 
 
 # ------------------------------------------------------------ maintenance

@@ -8,6 +8,12 @@ from sparkstreamingtwitter_presidential_spark.streaming.delta_upsert import (
     delta_upsert_committer,
     upsert_stream_to_delta,
 )
+from sparkstreamingtwitter_presidential_spark.streaming.hudi_sink import (
+    hudi_batch_committer,
+    hudi_upsert_committer,
+    upsert_stream_to_hudi,
+    write_stream_to_hudi,
+)
 from sparkstreamingtwitter_presidential_spark.streaming.iceberg_sink import (
     iceberg_batch_committer,
     iceberg_upsert_committer,
@@ -34,6 +40,8 @@ __all__ = [
     "delta_upsert_committer",
     "drain_update_mode",
     "drain_delta_incremental",
+    "hudi_batch_committer",
+    "hudi_upsert_committer",
     "iceberg_batch_committer",
     "iceberg_upsert_committer",
     "run_bounded_collector",
@@ -45,7 +53,9 @@ __all__ = [
     "streaming_exact_dedup",
     "tumbling_aggregate",
     "upsert_stream_to_delta",
+    "upsert_stream_to_hudi",
     "upsert_stream_to_iceberg",
     "write_stream_to_delta",
+    "write_stream_to_hudi",
     "write_stream_to_iceberg",
 ]

@@ -478,3 +478,110 @@ def test_write_hudi_runs_one_staging_job(spark, tmp_path):
     assert sorted(tuple(r) for r in back.select("id", "s", "v").collect()) == sorted(
         (i, "wxyz"[i % 4], float(i)) for i in range(64)
     )
+
+
+# ------------------------------------------------ r8: streaming sink
+
+
+def test_hudi_sink_markers_and_idempotence(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        last_committed_batch,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming import (
+        hudi_batch_committer,
+    )
+
+    t = str(tmp_path / "t")
+    assert last_committed_batch(t, "job") is None  # table doesn't exist
+    commit = hudi_batch_committer(t, record_key="id", app_id="job")
+    commit(_df(spark, [(1, "a", 1.0)]), 0)
+    commit(_df(spark, [(2, "b", 2.0)]), 1)
+    n_commits = hudi_timeline(spark, t).count()
+    # crash-replay: batches 0 and 1 re-delivered -> skipped, no commit
+    commit(_df(spark, [(1, "a", 1.0)]), 0)
+    commit(_df(spark, [(2, "b", 2.0)]), 1)
+    assert hudi_timeline(spark, t).count() == n_commits
+    assert sorted(r.id for r in read_hudi(spark, t).collect()) == [1, 2]
+    # fresh batch still lands; markers are per-app
+    commit(_df(spark, [(3, "c", 3.0)]), 2)
+    assert last_committed_batch(t, "job") == 2
+    hudi_batch_committer(t, record_key="id", app_id="job_b")(
+        _df(spark, [(9, "z", 9.0)]), 0
+    )
+    assert read_hudi(spark, t).count() == 4
+    assert last_committed_batch(t, "job") == 2  # job_b didn't touch it
+
+
+def test_hudi_upsert_committer_idempotence_and_collapse(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        last_committed_batch,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming import (
+        hudi_upsert_committer,
+    )
+
+    t = str(tmp_path / "t")
+    write_hudi(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t, record_key="id")
+    commit = hudi_upsert_committer(spark, t, app_id="up")
+    commit(_df(spark, [(1, "A", 11.0), (3, "c", 3.0)]), 0)
+    got = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert got == {1: ("A", 11.0), 2: ("b", 2.0), 3: ("c", 3.0)}
+    assert last_committed_batch(t, "up") == 0
+    # redelivery is a no-op
+    n = hudi_timeline(spark, t).count()
+    commit(_df(spark, [(1, "A", 11.0), (3, "c", 3.0)]), 0)
+    assert hudi_timeline(spark, t).count() == n
+    # order_col collapses to last-change-wins before the upsert
+    commit2 = hudi_upsert_committer(spark, t, app_id="up", order_col="v")
+    commit2(_df(spark, [(2, "old", 1.0), (2, "new", 99.0)]), 1)
+    assert {
+        r.s for r in read_hudi(spark, t).filter("id = 2").collect()
+    } == {"new"}
+    # an EMPTY batch commits nothing and records no marker (a replayed
+    # no-op is a no-op; same contract as merge_iceberg)
+    commit(_df(spark, []), 2)
+    assert last_committed_batch(t, "up") == 1
+
+
+def test_hudi_sink_stream_equals_batch(spark, tmp_path):
+    import shutil
+    import uuid as _uuid
+
+    from sparkstreamingtwitter_presidential_spark.io import load_table
+    from sparkstreamingtwitter_presidential_spark.queries import streaming as qs
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        last_committed_batch,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.replay import (
+        read_events_stream,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming import (
+        write_stream_to_hudi,
+    )
+
+    SF_DIR = "/root/testdata/sf0.001"
+    staged = qs._staged(spark, SF_DIR)
+    run = f"/tmp/hudi_sink_{_uuid.uuid4().hex[:8]}"
+    table, ckpt = f"{run}/table", f"{run}/ckpt"
+    try:
+        stream = read_events_stream(spark, staged, files_per_trigger=1)
+        q = write_stream_to_hudi(
+            stream, table, ckpt, record_key="event_id", app_id="test_ingest"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        got = read_hudi(spark, table).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        want = load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.collect())
+        assert g == w and len(g) > 0
+        assert last_committed_batch(table, "test_ingest") >= 0
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
