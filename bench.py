@@ -143,6 +143,13 @@ HEADLINE = [
     # the third format's read floor) and the upsert-table read.
     "lakehouse_hudi_events_agg",
     "lakehouse_hudi_upsert_agg",
+    # Round-8: the Hudi family completion — partition-pruned read
+    # (dir-pruning floor), incremental pull (commit-time-filtered
+    # slice scan), and the stream-drained table read (staging warm for
+    # all three; same caveat as the Delta/Iceberg twins).
+    "lakehouse_hudi_partitioned_agg",
+    "lakehouse_hudi_incremental_agg",
+    "streaming_hudi_sink_agg",
 ]
 
 

@@ -304,6 +304,12 @@ def steep_cases(spark, base):
         # r6 verdict item 7: the steepest slope not yet spot-checked
         # at 100x (2.2x per decade at 10x)
         "bpe_encode": bpe_case,
+        # r7 verdict item 6: the last >=1.8x@10x slope unchecked at
+        # 100x (banded LSH bucket self-join; cost tracks bucket
+        # collisions, which the suffix transform keeps per-replica)
+        "minhash_lsh_pairs": lambda: D.minhash_lsh_pairs(
+            docs(), "doc_id", "text", 0.5
+        ),
     }
 
 

@@ -1465,6 +1465,67 @@ def lakehouse_hudi_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_hudi_incremental_agg",
+    oracle="""
+        WITH changed AS (
+            SELECT event_id, user_id, event_type, value * 2 AS value
+            FROM events WHERE event_id % 7 = 0
+            UNION ALL
+            SELECT event_id + 10000000 AS event_id, user_id, event_type,
+                   value
+            FROM events WHERE event_id % 13 = 0
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM changed GROUP BY event_type
+    """,
+    doc=(
+        "NEW r8: Hudi incremental pull — over the INSERT+UPSERT staged "
+        "table, records written in (first_instant, head]: EXACTLY the "
+        "upsert's changed rows (id%7 doubled in place, id%13 inserted "
+        "at +10M), because copied-over rows in the rewritten slices "
+        "keep their ORIGINAL _hoodie_commit_time and the meta-column "
+        "filter excludes them — the pull-exactness proof of the CoW "
+        "rewrite contract, the Hudi twin of the Delta/Iceberg "
+        "incremental queries; scans only the commits' own slices, "
+        "never the table"
+    ),
+)
+def lakehouse_hudi_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        hudi_timeline,
+        read_hudi_incremental,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_hudi(ev, table, record_key="event_id", n_file_groups=4)
+        updates = ev.filter("event_id % 7 = 0").withColumn(
+            "value", F.col("value") * 2
+        )
+        inserts = ev.filter("event_id % 13 = 0").withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+        upsert_hudi(spark, table, updates.unionByName(inserts))
+
+    key = _events_cache_key(spark, sf_dir)
+    # shares the INSERT+UPSERT staging with lakehouse_hudi_upsert_agg
+    table = _staged_iceberg_locked(spark, f"/tmp/ssp_hudi_dml_{key}", build)
+    instants = [r.instant for r in hudi_timeline(spark, table).collect()]
+    if len(instants) != 2:
+        raise RuntimeError(
+            f"hudi DML staging has {len(instants)} commits, expected "
+            "INSERT then UPSERT"
+        )
+    inc = read_hudi_incremental(spark, table, from_instant=instants[0])
+    return _agg_by_type(inc)
+
+
+@query(
     "lakehouse_hudi_partitioned_agg",
     oracle="""
         SELECT event_type, COUNT(*) AS n,

@@ -169,11 +169,13 @@ GRADED_FIRST: list[str] = [
     # stay graded via sessionize/pack/canonicalize/shuffle windows;
     # still pytest-oracled).
     "lakehouse_delta_zorder_agg",
-    # Round-5: vocabulary coverage / OOV-rate scoring. Ceded:
-    # dedup_embedding_top_pairs (r2-r4 driver-green; embedding
-    # similarity stays windowed via sim_lsh_topk, dedup keeps 4 slots;
-    # still pytest-oracled).
-    "text_oov_rate",
+    # Round-8: partition-pruned native Hudi read (in-query RAISE
+    # unless dir-level pruning removed files — the Delta/Iceberg
+    # partitioned twins' third member; r7 verdict item 3). Ceded:
+    # text_oov_rate (r5+r6+r7 driver-green, three rounds; the text
+    # family keeps c4/unigram/repetition graded; stays in
+    # tests/test_queries_oracle.py).
+    "lakehouse_hudi_partitioned_agg",
     # Round-5 late additions: corpus hygiene (benchmark decontamination,
     # Lee-et-al exact duplicated-span stats, signed random projection).
     # Ceded: tpch_q1_pricing_summary (r1-r4 driver-green; the simplest
@@ -200,14 +202,25 @@ GRADED_FIRST: list[str] = [
     # disjunctive-pushdown shape also lives in Q6/Q17's graded
     # predicates). Both stay in tests/test_queries_oracle.py.
     "chunk_documents_strided",
-    "split_documents_train_val_test",
+    # Round-8: Hudi incremental pull (changed-rows-only oracle — the
+    # commit-time-preservation proof of the CoW rewrite; the Delta/
+    # Iceberg incremental twins' third member). Ceded:
+    # split_documents_train_val_test (r5+r6+r7 driver-green, three
+    # rounds; the pipeline family keeps curate_pack/chunk/shuffle/
+    # pack-stats graded; stays in tests/test_queries_oracle.py).
+    "lakehouse_hudi_incremental_agg",
     # Round-5 late additions #3: native Avro interchange (public-spec
     # container files; the spark-avro jar is absent, same policy as the
     # native Delta connector). Ceded: lakehouse_delta_events_agg (r3+r4
     # driver-green; the lakehouse family holds 8 richer graded slots —
     # DML x3, pipeline, skipping, evolution, zorder, changes — that all
     # exercise the same read path). Stays in tests/test_queries_oracle.py.
-    "io_avro_roundtrip_docs",
+    # Round-8 swap: exactly-once HUDI streaming sink (commit-metadata
+    # batch markers; the family's third format — r7 verdict item 5).
+    # Ceded: io_avro_roundtrip_docs (r5+r6+r7 driver-green, three
+    # rounds; the IO family keeps csv/partitioned-parquet/shard-export/
+    # pipetext/synthdocs graded; stays in tests/test_queries_oracle.py).
+    "streaming_hudi_sink_agg",
     # Round-5 late additions #4: SemDeDup-shaped semantic dedup (the
     # composition of the embedding edge set, connected components, and
     # survivor selection). Ceded: text_pii_scrub (r3+r4 driver-green;

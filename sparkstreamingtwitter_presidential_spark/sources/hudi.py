@@ -250,6 +250,18 @@ def _new_instant(path: str) -> str:
         if n[:1].isdigit()
     ]
     top = max(existing, default="")
+    # the archived prefix also bounds new instants (a rollback after
+    # archival can empty the ACTIVE timeline); archives are contiguous
+    # oldest-first, so the newest archive file's last line is the max —
+    # O(1) archive reads per write, not O(history)
+    ad = os.path.join(hd, _ARCHIVE_DIR)
+    if os.path.isdir(ad):
+        files = sorted(n for n in os.listdir(ad) if n.endswith(".archive"))
+        if files:
+            with open(os.path.join(ad, files[-1]), encoding="utf-8") as fh:
+                lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+            if lines:
+                top = max(top, json.loads(lines[-1])["instant"])
     if inst <= top:
         inst = str(int(top) + 1).zfill(len(inst))
     return inst
@@ -552,6 +564,13 @@ def read_hudi(
     _load_props(path)
     commits = _completed_commits(path)
     if as_of is not None and as_of not in commits:
+        if as_of in _archived_instants(path):
+            raise ValueError(
+                f"as_of instant {as_of!r} was ARCHIVED off the active "
+                "timeline (archive_hudi_timeline); time travel to "
+                "archived instants is permanently gone — the documented "
+                "retention trade"
+            )
         raise ValueError(
             f"as_of instant {as_of!r} is not a completed commit "
             f"(have {commits})"
@@ -627,6 +646,15 @@ def read_hudi_incremental(
     _load_props(path)
     commits = _completed_commits(path)
     hi = to_instant if to_instant is not None else (commits[-1] if commits else "")
+    archived = _archived_instants(path)
+    if archived and from_instant < archived[-1]:
+        raise ValueError(
+            f"incremental range ({from_instant!r}, {hi!r}] reaches into "
+            f"the ARCHIVED timeline (archived through {archived[-1]!r}); "
+            "the pull would silently miss archived commits — start from "
+            "an instant at or after the archival boundary, or read a "
+            "full snapshot"
+        )
     sel = [c for c in commits if from_instant < c <= hi]
     if not sel:
         return read_hudi(spark, path).limit(0)
@@ -943,3 +971,120 @@ def clean_hudi(path: str, keep_last: int = 1) -> list[str]:
         os.remove(full)
         deleted.append(os.path.basename(full))
     return deleted
+
+
+_ARCHIVE_DIR = "archived"
+
+
+def _archived_instants(path: str) -> list[str]:
+    """Sorted instants moved off the active timeline by
+    archive_hudi_timeline (read from .hoodie/archived/*.archive, one
+    JSON line per archived instant)."""
+    ad = os.path.join(_hoodie(path), _ARCHIVE_DIR)
+    if not os.path.isdir(ad):
+        return []
+    out = []
+    for n in sorted(os.listdir(ad)):
+        if not n.endswith(".archive"):
+            continue
+        with open(os.path.join(ad, n), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line)["instant"])
+    return sorted(out)
+
+
+def archive_hudi_timeline(path: str, keep_last: int = 10) -> list[str]:
+    """Archive old completed commits off the ACTIVE timeline (the real
+    table's hoodie.keep.max.commits retention: without it the .hoodie
+    dir grows one file set per commit forever and every timeline walk
+    pays O(total history)). Archived instants move, oldest-first and
+    contiguously, into .hoodie/archived/commits_<n>.archive (JSON
+    lines with the commit metadata, the spec's archived-timeline
+    role); their .commit/.inflight/.requested files leave the active
+    dir, so reads, replace maps, and marker lookups walk only the
+    bounded active timeline.
+
+    Refusal-safe floors — a commit is NOT archived (and, since
+    archival must stay contiguous, neither is anything newer) when:
+
+    * any of its slices is still SELECTED by the current snapshot
+      (archiving would make live rows invisible — clean first); a
+      superseded-but-uncleaned slice is fine: it stays unreachable;
+    * it carries partitionToReplaceFileIds still MASKING an on-disk
+      slice with an older active instant (archiving would resurrect
+      replaced data — clean first);
+    * it is the newest marker-bearing commit of a streaming app
+      (the hudi_sink idempotence contract: markers must survive
+      archival).
+
+    After archival: time travel to an archived instant refuses BY NAME
+    ("archived"), and incremental pulls whose range reaches into the
+    archived prefix refuse rather than silently skipping archived
+    commits. Returns the archived instants."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    commits = _completed_commits(path)
+    candidates = commits[:-keep_last]
+    if not candidates:
+        return []
+    hd = _hoodie(path)
+    live_instants = {inst for _p, _f, inst, _ in _latest_slices(path)}
+    on_disk = _base_files(path)
+    # newest marker-bearing commit per streaming app is protected
+    newest_marker: dict[str, str] = {}
+    metas: dict[str, dict] = {}
+    for c in commits:
+        try:
+            with open(os.path.join(hd, f"{c}.commit"), encoding="utf-8") as fh:
+                metas[c] = json.load(fh)
+        except (OSError, ValueError):
+            metas[c] = {}
+        app = (metas[c].get("extraMetadata") or {}).get("streaming-app-id")
+        if app:
+            newest_marker[app] = c  # commits are sorted: last wins
+    protected_markers = set(newest_marker.values())
+    active = set(commits)
+    disk_by_group: dict[tuple[str, str], list[str]] = {}
+    for part, fid, inst, _full in on_disk:
+        disk_by_group.setdefault((part, fid), []).append(inst)
+
+    to_archive: list[str] = []
+    for c in candidates:  # oldest first; stop at the first keeper
+        if c in live_instants or c in protected_markers:
+            break
+        replaces = metas[c].get("partitionToReplaceFileIds") or {}
+        masked = any(
+            inst < c and inst in active
+            for p, fids in replaces.items()
+            for f in fids
+            for inst in disk_by_group.get((p, f), [])
+        )
+        if masked:
+            break
+        to_archive.append(c)
+    if not to_archive:
+        return []
+
+    ad = os.path.join(hd, _ARCHIVE_DIR)
+    os.makedirs(ad, exist_ok=True)
+    seq = 1 + sum(1 for n in os.listdir(ad) if n.endswith(".archive"))
+    # zero-padded so lexicographic file order == archival order (the
+    # max-instant fast path in _new_instant reads only the last file)
+    target = os.path.join(ad, f"commits_{seq:06d}.archive")
+    with open(target, "w", encoding="utf-8") as fh:
+        for c in to_archive:
+            fh.write(
+                json.dumps(
+                    {"instant": c, "action": "commit", "metadata": metas[c]}
+                )
+                + "\n"
+            )
+    for c in to_archive:
+        for suffix in (".commit", ".inflight", ".commit.requested"):
+            try:
+                os.remove(os.path.join(hd, f"{c}{suffix}"))
+            except OSError:
+                pass
+    return to_archive

@@ -259,6 +259,7 @@ def _partition_fields(meta: dict, ice_schema: dict) -> list[dict]:
             {
                 "name": pf["name"],
                 "field_id": pf["field-id"],
+                "source_id": pf["source-id"],
                 "source_name": src["name"],
                 "type": src["type"],
             }
@@ -932,18 +933,15 @@ def _read_entries_projected(
     under its OWN names and aliases to the read schema's by field-id
     (a field-id the writing schema lacks scans as NULL — the spec's
     added-column rule). Top-level fields only; a same-id TYPE change
-    (promotion) refuses rather than guessing a cast. Partitioned
-    tables keep name projection — exact for ADDED columns (a missing
-    parquet column scans NULL under the applied schema), but a
-    same-id RENAME would silently read NULLs there, so renamed
-    partitioned tables refuse by name instead of returning wrong
-    rows (rename_column_iceberg refuses writing that shape too)."""
+    widens through the spec's safe promotions and refuses otherwise.
+    Partitioned tables (r8) take the SAME per-writing-schema grouping:
+    each renamed group scans under its OWN names with partition values
+    injected under the writing schema's source name (field-id keyed —
+    `source_id` resolves the spec field against the writing schema),
+    then aliases every column to the read schema's names — lifting the
+    r7 refusal (rename_column_iceberg still refuses WRITING a
+    partition-source rename; this path is for foreign tables)."""
     files = [e["data_file"] for e in entries]
-    if part_fields:
-        _refuse_renamed_files(
-            meta, entries, ice_schema, "partitioned read (name projection)"
-        )
-        return _read_files(spark, files, spark_schema, part_fields)
     if not entries:
         return _read_files(spark, files, spark_schema, part_fields)
     read_sid = ice_schema.get("schema-id", 0)
@@ -969,24 +967,38 @@ def _read_entries_projected(
         for sid in by_sid
     }
     if not any(needs_remap(w) for w in schemas.values()):
-        return _read_files(spark, files, spark_schema, [])
+        return _read_files(spark, files, spark_schema, part_fields)
 
     parts = []
+    psrc_ids = {pf["source_id"] for pf in part_fields}
     for sid, group in sorted(by_sid.items()):
         w_ice = schemas[sid]
         if not needs_remap(w_ice):
-            parts.append(_read_files(spark, group, spark_schema, []))
+            parts.append(_read_files(spark, group, spark_schema, part_fields))
             continue
         w_by_id = {f["id"]: f for f in w_ice["fields"]}
         scan_fields, sel = [], []
         for f in ice_schema["fields"]:
             wf = w_by_id.get(f["id"])
-            if wf is None:
+            if wf is None and f["id"] not in psrc_ids:
+                # column added after these files were written: NULL
+                # (the spec's added-column rule)
                 sel.append(
                     F.lit(None)
                     .cast(_iceberg_to_spark_type(f["type"]))
                     .alias(f["name"])
                 )
+                continue
+            if wf is None:
+                # a partition SOURCE added later: inject-only — keep it
+                # in the scan schema (absent from the files) so
+                # _read_files' manifest injection survives the select
+                scan_fields.append(
+                    T.StructField(
+                        f["name"], _iceberg_to_spark_type(f["type"]), True
+                    )
+                )
+                sel.append(F.col(f["name"]))
                 continue
             if wf["type"] != f["type"] and not _safe_promotion(
                 wf["type"], f["type"]
@@ -1011,9 +1023,30 @@ def _read_entries_projected(
                 # widen to the read type (lossless by construction)
                 col = col.cast(_iceberg_to_spark_type(f["type"]))
             sel.append(col.alias(f["name"]))
-        df = spark.read.schema(T.StructType(scan_fields)).parquet(
-            *[g["file_path"] for g in group]
-        )
+        names = [sf.name for sf in scan_fields]
+        if len(names) != len(set(names)):
+            raise NotImplementedError(
+                "field-id projection hit a writing-name/current-name "
+                "collision (a column was renamed and its old name "
+                "reused); refusing rather than scanning ambiguously"
+            )
+        # partition values inject under the WRITING schema's source
+        # names and types (field-id keyed); the select then aliases
+        # them to the read schema — what lifts the r7 partitioned-
+        # rename refusal
+        w_pf = [
+            {
+                **pf,
+                "source_name": (
+                    w_by_id.get(pf["source_id"]) or {"name": pf["source_name"]}
+                )["name"],
+                "type": (
+                    w_by_id.get(pf["source_id"]) or {"type": pf["type"]}
+                )["type"],
+            }
+            for pf in part_fields
+        ]
+        df = _read_files(spark, group, T.StructType(scan_fields), w_pf)
         parts.append(df.select(*sel))
     from functools import reduce
 

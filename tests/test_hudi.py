@@ -585,3 +585,91 @@ def test_hudi_sink_stream_equals_batch(spark, tmp_path):
         assert last_committed_batch(table, "test_ingest") >= 0
     finally:
         shutil.rmtree(run, ignore_errors=True)
+
+
+# ------------------------------------------------ r8: timeline archival
+
+
+def test_archive_timeline_bounds_active_and_guards_reads(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        _archived_instants,
+        archive_hudi_timeline,
+    )
+
+    t = str(tmp_path / "t")
+    i1 = write_hudi(_df(spark, [(1, "a", 1.0)]), t, record_key="id")
+    upsert_hudi(spark, t, _df(spark, [(1, "v2", 2.0)]))
+    i3 = upsert_hudi(spark, t, _df(spark, [(1, "v3", 3.0)]))
+    # nothing archivable while old slices are still selected/uncleaned
+    # is fine — i1/i2's slices are superseded (unreachable), so they
+    # CAN archive once outside keep_last
+    clean_hudi(t, keep_last=1)
+    archived = archive_hudi_timeline(t, keep_last=1)
+    assert archived and i3 not in archived
+    assert _archived_instants(t) == archived
+    # active timeline shrank; snapshot read still exact
+    assert [r.instant for r in hudi_timeline(spark, t).collect()] == [i3]
+    assert read_hudi(spark, t).collect()[0].s == "v3"
+    # time travel to an archived instant refuses BY NAME
+    with pytest.raises(ValueError, match="ARCHIVED"):
+        read_hudi(spark, t, as_of=i1)
+    # incremental pulls reaching into the archived prefix refuse
+    with pytest.raises(ValueError, match="ARCHIVED"):
+        read_hudi_incremental(spark, t, from_instant=i1)
+    # ...but ranges wholly in the active timeline still work
+    i4 = upsert_hudi(spark, t, _df(spark, [(1, "v4", 4.0)]))
+    inc = read_hudi_incremental(spark, t, from_instant=i3, to_instant=i4)
+    assert [(r.id, r.s) for r in inc.collect()] == [(1, "v4")]
+    # new commits stay above the archived prefix (monotonic instants)
+    assert i4 > max(archived)
+
+
+def test_archive_refuses_live_slices_and_keeps_contiguity(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        archive_hudi_timeline,
+    )
+
+    t = str(tmp_path / "t")
+    i1 = write_hudi(_df(spark, [(1, "a", 1.0)]), t, record_key="id")
+    write_hudi(_df(spark, [(2, "b", 2.0)]), t, record_key="id")
+    write_hudi(_df(spark, [(3, "c", 3.0)]), t, record_key="id")
+    # every commit's slice is still SELECTED -> nothing archives, even
+    # though keep_last=1 would otherwise allow two
+    assert archive_hudi_timeline(t, keep_last=1) == []
+    assert read_hudi(spark, t).count() == 3
+    # contiguity: i1 live blocks newer candidates too
+    upsert_hudi(spark, t, _df(spark, [(2, "B2", 22.0)]))
+    clean_hudi(t, keep_last=1)  # retires 2's superseded slice only
+    assert archive_hudi_timeline(t, keep_last=1) == []  # i1 still live
+    assert sorted(r.s for r in read_hudi(spark, t).collect()) == [
+        "B2",
+        "a",
+        "c",
+    ]
+    with pytest.raises(ValueError, match="keep_last"):
+        archive_hudi_timeline(t, keep_last=0)
+    assert i1  # silence lints
+
+
+def test_archive_protects_newest_streaming_marker(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        archive_hudi_timeline,
+        last_committed_batch,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming import (
+        hudi_batch_committer,
+    )
+
+    t = str(tmp_path / "t")
+    commit = hudi_batch_committer(t, record_key="id", app_id="job")
+    commit(_df(spark, [(1, "a", 1.0)]), 0)
+    # marker commit's slice is still live -> protected twice over; make
+    # it superseded so ONLY the marker rule protects it
+    upsert_hudi(spark, t, _df(spark, [(1, "v2", 2.0)]))
+    upsert_hudi(spark, t, _df(spark, [(1, "v3", 3.0)]))
+    clean_hudi(t, keep_last=1)
+    archived = archive_hudi_timeline(t, keep_last=1)
+    # batch 0's commit is the newest marker for app "job": kept, and
+    # contiguity means nothing archived at all
+    assert archived == []
+    assert last_committed_batch(t, "job") == 0  # idempotence intact

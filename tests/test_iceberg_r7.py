@@ -893,10 +893,10 @@ def test_partitioned_required_column_falls_back_to_union(spark, tmp_path):
 
 
 def test_rename_guards_refuse_silent_null_paths(spark, tmp_path):
-    """The three name-projected surfaces that would materialize or
-    return NULLs for a renamed column refuse by name: partitioned
-    reads over foreign-renamed files, rename on partitioned tables,
-    and CoW DML over pre-rename files."""
+    """Name-projected surfaces that would materialize NULLs for a
+    renamed column refuse by name (rename on partitioned tables, CoW
+    DML over pre-rename files); partitioned READS project by field-id
+    since r8 — see test_partitioned_read_after_foreign_rename."""
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         rename_column_iceberg,
         update_iceberg,
@@ -908,11 +908,6 @@ def test_rename_guards_refuse_silent_null_paths(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="PARTITIONED"):
         rename_column_iceberg(t, "v", "val")
 
-    # read-side: a FOREIGN rename on a partitioned table refuses
-    _foreign_rename(t, "v", "val")
-    with pytest.raises(NotImplementedError, match="renamed"):
-        read_iceberg(spark, t).collect()
-
     # DML over pre-rename files refuses (unpartitioned)
     t2 = str(tmp_path / "t2")
     write_iceberg(_df(spark, [(1, "a", 1.0)]), t2)
@@ -921,6 +916,49 @@ def test_rename_guards_refuse_silent_null_paths(spark, tmp_path):
         update_iceberg(spark, t2, {"val": "val + 1"})
     # but plain reads still project correctly by field id
     assert read_iceberg(spark, t2).collect()[0].val == 1.0
+
+
+def test_partitioned_read_after_foreign_rename(spark, tmp_path):
+    """r8 (r7 stretch item 9): partitioned reads project by field-id —
+    files written before a foreign rename scan under their OWN names
+    with partition values injected under the writing schema's source
+    name, then alias to the read schema; mixed pre-/post-rename files
+    union to one correct frame. The r7 refusal is lifted."""
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t, partition_by=["s"]
+    )
+    # rename a DATA column
+    _foreign_rename(t, "v", "val")
+    back = read_iceberg(spark, t)
+    assert back.columns == ["id", "s", "val"]
+    assert sorted((r.id, r.s, r.val) for r in back.collect()) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+    ]
+    # rename the PARTITION SOURCE column too (spec fields are
+    # source-id keyed, so injection follows the field id)
+    _foreign_rename(t, "s", "label")
+    back2 = read_iceberg(spark, t)
+    assert back2.columns == ["id", "label", "val"]
+    assert sorted((r.id, r.label, r.val) for r in back2.collect()) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+    ]
+    # an append under the NEW names mixes with the pre-rename files
+    write_iceberg(
+        spark.createDataFrame(
+            [(3, "c", 3.0)], "id long, label string, val double"
+        ),
+        t,
+        mode="append",
+    )
+    got = sorted((r.id, r.label, r.val) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    # partition skipping still prunes across the mixed history, under
+    # the NEW source name
+    pruned = read_iceberg(spark, t, skip_ranges={"label": ("c", "c")})
+    assert [r.id for r in pruned.collect()] == [3]
 
 
 def test_dml_after_add_column_uses_evolved_schema(spark, tmp_path):
@@ -1222,13 +1260,12 @@ def test_unsafe_type_changes_still_refuse(spark, tmp_path):
         read_iceberg(spark, t2).collect()
 
 
-def test_partitioned_read_over_promoted_files_refuses_by_name(
-    spark, tmp_path
-):
-    """Partitioned reads scan under the read schema (no per-schema
-    remap); a foreign type promotion under them refuses with the
-    named-type message instead of failing inside the parquet reader
-    (the same honest boundary as the rename guards)."""
+def test_partitioned_read_over_promoted_files_widens(spark, tmp_path):
+    """Partitioned reads ride the same per-writing-schema remap as
+    unpartitioned ones (r8): files written under the OLD type scan
+    under it, widen to the read type, and partition values inject from
+    the manifests — correct values, no refusal, no parquet-reader
+    crash."""
     t = str(tmp_path / "t")
     write_iceberg(
         spark.createDataFrame(
@@ -1238,5 +1275,13 @@ def test_partitioned_read_over_promoted_files_refuses_by_name(
         partition_by=["s"],
     )
     _foreign_retype(t, "n", "long")
-    with pytest.raises(NotImplementedError, match="changed type"):
+    back = read_iceberg(spark, t)
+    assert dict(back.dtypes)["n"] == "bigint"
+    assert sorted((r.id, r.n, r.s) for r in back.collect()) == [
+        (1, 10, "a"),
+        (2, 20, "b"),
+    ]
+    # unsafe changes still refuse on the partitioned path too
+    _foreign_retype(t, "n", "string")
+    with pytest.raises(NotImplementedError, match="safe promotions"):
         read_iceberg(spark, t).collect()
