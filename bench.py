@@ -150,6 +150,10 @@ HEADLINE = [
     "lakehouse_hudi_partitioned_agg",
     "lakehouse_hudi_incremental_agg",
     "streaming_hudi_sink_agg",
+    # Round-8 late: MOR positional-delete read (staging warm; timed
+    # work is the delete-pair build + per-scan anti-join — the
+    # row-level-delete read floor).
+    "lakehouse_iceberg_positional_delete_agg",
 ]
 
 

@@ -1281,6 +1281,65 @@ def streaming_iceberg_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_iceberg_positional_delete_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        WHERE event_id % 5 <> 0
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r8: MERGE-ON-READ row-level deletes — events staged as "
+        "two Iceberg appends, then delete_iceberg_positional writes a "
+        "v2 POSITION-delete file ((file_path, pos) rows through a "
+        "content=1 delete manifest; cost ∝ matched rows, not "
+        "rewritten bytes) for event_id%5==0; the graded read is the "
+        "MOR snapshot itself — the scan anti-joins the delete pairs "
+        "on (_metadata.file_path, _metadata.row_index) with "
+        "sequence-number scoping — and RAISES unless the timeline "
+        "shows append/append/delete. Equals the oracle's filtered "
+        "aggregate iff pair generation, normalization, and the "
+        "per-branch anti-join are all exact"
+    ),
+)
+def lakehouse_iceberg_positional_delete_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg_positional,
+        read_iceberg,
+        table_snapshots,
+        write_iceberg,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_iceberg(ev.filter("event_id % 2 = 0"), table)
+        write_iceberg(ev.filter("event_id % 2 = 1"), table, mode="append")
+        delete_iceberg_positional(spark, table, "event_id % 5 = 0")
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(
+        spark, f"/tmp/ssp_iceberg_posdel_{key}", build
+    )
+    ops = [
+        r.operation
+        for r in table_snapshots(spark, table)
+        .orderBy("sequence_number")
+        .collect()
+    ]
+    if ops != ["append", "append", "delete"]:
+        raise RuntimeError(
+            f"positional-delete staging committed {ops}, expected "
+            "append/append/delete — an op silently no-opped"
+        )
+    return _agg_by_type(read_iceberg(spark, table))
+
+
+@query(
     "streaming_hudi_sink_agg",
     oracle="""
         SELECT event_type,

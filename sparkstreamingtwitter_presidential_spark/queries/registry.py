@@ -154,7 +154,13 @@ GRADED_FIRST: list[str] = [
     # Ceded: range_join_close_events (r1/r2/r4 driver-green; the
     # interval-join shape stays windowed via asof_join_last_purchase
     # and pytest-oracled).
-    "dedup_canonicalize",
+    # Round-8 swap: MERGE-ON-READ positional deletes (v2 delete files
+    # written, committed via a content=1 delete manifest, applied by
+    # the scan-side anti-join — the graded read IS the MOR snapshot).
+    # Ceded: dedup_canonicalize (r5+r6+r7 driver-green, three rounds;
+    # the dedup family keeps jaccard/span/semantic/collated-exact
+    # graded; stays in tests/test_queries_oracle.py).
+    "lakehouse_iceberg_positional_delete_agg",
     # Round-5: skew-resistant salted equi-join. Ceded:
     # salted_groupby_count_parts (r1-r4 driver-green; same skew family,
     # the join variant is the richer op; still pytest-oracled).

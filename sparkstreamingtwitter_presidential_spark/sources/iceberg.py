@@ -38,23 +38,31 @@ catalog, same honesty note as Delta). The put-if-absent claims the
 version the PLANNING-time metadata read resolved + 1, so a concurrent
 commit between planning and claim always surfaces as
 IcebergCommitConflict — never a silently-lost write.
+Row-level deletes (r8): POSITION deletes (v2) are first-class on
+unpartitioned tables — `delete_iceberg_positional` writes sorted
+(file_path, pos) delete files committed through a content=1 delete
+manifest (cost ∝ matched rows, not rewritten bytes), snapshot reads
+anti-join the pairs on (`_metadata.file_path`, `_metadata.row_index`)
+with the spec's sequence-number scoping, and
+`rewrite_position_deletes` folds them back into data files (cost ∝
+affected files). DML/compaction/incremental REFUSE while deletes are
+live (rewrite first) — never resurrect deleted rows.
 Refusals (clear NotImplementedError/ValueError rather than wrong
 rows): non-identity partition transforms, partition sources outside
-int/long/string/date, null partition values, delete manifests
-(content != data) and delete files (v2 row-level deletes — this
-module's DML is CoW, it neither writes nor reads merge-on-read
-deletes), non-parquet data files, format-version > 2, types outside
-the supported subset.
+int/long/string/date, null partition values, EQUALITY delete files
+and position deletes on partitioned tables, non-parquet data files,
+format-version > 2, types outside the supported subset.
 
 Column mapping: reads project by FIELD-ID (spec §Column Projection) —
 a foreign engine's rename (metadata-only edit, ids preserved) reads
 correctly: files are grouped by their writing snapshot's schema and a
 renamed group scans under its own names, aliased to the read schema's
-by id; ids the writing schema lacks scan as NULL (the added-column
-rule). Remaining documented boundaries: top-level fields only (nested
-renames), no type promotion, and partitioned tables keep name
-projection (their partition columns are pinned by spec source-ids and
-absent from data files); bounds-based skipping is id-keyed and was
+by id (partitioned tables too since r8 — partition values inject
+under the writing schema's source names); ids the writing schema
+lacks scan as NULL (the added-column rule); same-id type changes
+widen through the spec's safe promotions (int->long, float->double,
+decimal precision). Remaining documented boundaries: top-level fields
+only (nested renames); bounds-based skipping is id-keyed and was
 always rename-safe.
 """
 
@@ -548,29 +556,41 @@ def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
     )
 
 
-def _entries_for_snapshot(path: str, snap: dict) -> list[dict]:
+def _entries_and_deletes_for_snapshot(
+    path: str, snap: dict
+) -> tuple[list[dict], list[dict]]:
     """Walk manifest-list -> manifests -> LIVE entries (ADDED/EXISTING;
     DELETED rows are gone from this snapshot), with the spec's metadata
     inheritance resolved: a null entry snapshot-id / sequence-number
-    inherits the manifest's. Each returned dict carries status,
-    snapshot_id, sequence_number, file_sequence_number, data_file."""
+    inherits the manifest's. Returns (data entries, POSITION-delete
+    entries) — delete manifests (content=1) carrying position-delete
+    files (v2 row-level deletes) are collected for the read path to
+    apply; equality deletes (content=2 files) refuse (they need an
+    equality-predicate anti-join this reader does not implement).
+    Each dict carries status, snapshot_id, sequence_number,
+    file_sequence_number, data_file."""
     _, _, manifests = read_container(snap["manifest-list"])
     out: list[dict] = []
+    dels: list[dict] = []
     for m in manifests:
-        if m["content"] != 0:
-            raise NotImplementedError(
-                "delete manifests (row-level deletes) are not supported "
-                "by this native reader"
-            )
         _, _, entries = read_container(m["manifest_path"])
         for e in entries:
             if e["status"] == _STATUS_DELETED:
                 continue
             df = e["data_file"]
-            if df["content"] != 0:
+            if m["content"] == 0 and df["content"] != 0:
                 raise NotImplementedError(
-                    "equality/position delete files are not supported by "
-                    "this native reader"
+                    "delete file inside a DATA manifest (spec violation); "
+                    "refusing rather than guessing"
+                )
+            if m["content"] != 0 and df["content"] == 2:
+                raise NotImplementedError(
+                    "equality delete files are not supported by this "
+                    "native reader (position deletes are)"
+                )
+            if m["content"] != 0 and df["content"] != 1:
+                raise NotImplementedError(
+                    f"unknown delete-file content {df['content']!r}"
                 )
             if df["file_format"].upper() != "PARQUET":
                 raise NotImplementedError(
@@ -578,30 +598,110 @@ def _entries_for_snapshot(path: str, snap: dict) -> list[dict]:
                     "(parquet only)"
                 )
             seq = e.get("sequence_number")
-            out.append(
-                {
-                    "status": e["status"],
-                    "snapshot_id": (
-                        e.get("snapshot_id")
-                        if e.get("snapshot_id") is not None
-                        else m["added_snapshot_id"]
-                    ),
-                    "sequence_number": (
-                        seq if seq is not None else m["sequence_number"]
-                    ),
-                    "file_sequence_number": (
-                        e.get("file_sequence_number")
-                        if e.get("file_sequence_number") is not None
-                        else m["sequence_number"]
-                    ),
-                    "data_file": df,
-                }
-            )
-    return out
+            rec = {
+                "status": e["status"],
+                "snapshot_id": (
+                    e.get("snapshot_id")
+                    if e.get("snapshot_id") is not None
+                    else m["added_snapshot_id"]
+                ),
+                "sequence_number": (
+                    seq if seq is not None else m["sequence_number"]
+                ),
+                "file_sequence_number": (
+                    e.get("file_sequence_number")
+                    if e.get("file_sequence_number") is not None
+                    else m["sequence_number"]
+                ),
+                "data_file": df,
+            }
+            (dels if m["content"] != 0 else out).append(rec)
+    return out, dels
+
+
+def _entries_for_snapshot(path: str, snap: dict) -> list[dict]:
+    """Data entries of a snapshot for operations that do NOT apply
+    row-level deletes (DML, compaction, rewrite_manifests, incremental
+    bookkeeping): a table carrying live position deletes REFUSES here
+    — scanning its data files without applying the deletes would
+    resurrect deleted rows, and rewriting them correctly is the
+    (unimplemented) rewrite-position-deletes maintenance op. Plain
+    snapshot reads go through _entries_and_deletes_for_snapshot and
+    apply the deletes."""
+    entries, dels = _entries_and_deletes_for_snapshot(path, snap)
+    if dels:
+        raise NotImplementedError(
+            "table carries live position-delete files; only plain "
+            "snapshot reads apply them — rewrite the deletes into data "
+            "files before DML/compaction/maintenance ops"
+        )
+    return entries
 
 
 def _data_files_for_snapshot(path: str, snap: dict) -> list[dict]:
     return [e["data_file"] for e in _entries_for_snapshot(path, snap)]
+
+
+def _norm_path(p: str) -> str:
+    """Normalize a file path for position-delete matching: strip the
+    file: scheme (any slash count) and undo URI %-encoding. Driver-side
+    twin of _norm_path_col — both sides of the (path, pos) join must
+    agree byte-for-byte."""
+    p = __import__("re").sub(r"^file:/*", "/", p)
+    return urllib.parse.unquote(p)
+
+
+def _norm_path_col(col):
+    """Column twin of _norm_path (for `_metadata.file_path` and the
+    file_path column inside position-delete files). '+' is literal in
+    paths; java URLDecoder would eat it — pre-escape."""
+    stripped = F.regexp_replace(col, r"^file:/*", "/")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+
+
+def _position_delete_pairs(
+    spark: SparkSession, entries: list[dict], delete_entries: list[dict]
+) -> DataFrame:
+    """The (data-file path, row position) pairs the current snapshot's
+    position deletes remove, as a DataFrame (__dpath string, __dpos
+    long) ready for the scan-side anti-join.
+
+    Spec scoping: a position delete applies to a data file iff the
+    delete's data sequence number >= the data file's — enforced here by
+    joining each delete row to its delete FILE's sequence (tiny
+    broadcast map, one row per delete file) and to the named data
+    file's sequence (one row per live data file, also broadcast).
+    Rows naming files outside the live set drop out in the join; the
+    result's size tracks DELETED ROWS, never the table."""
+    dmap = [
+        (_norm_path(d["data_file"]["file_path"]), int(d["sequence_number"]))
+        for d in delete_entries
+    ]
+    emap = [
+        (_norm_path(e["data_file"]["file_path"]), int(e["sequence_number"]))
+        for e in entries
+    ]
+    dseq = F.broadcast(
+        spark.createDataFrame(dmap, "__dfile string, __dseq long")
+    )
+    eseq = F.broadcast(
+        spark.createDataFrame(emap, "__efile string, __eseq long")
+    )
+    raw = spark.read.schema("file_path string, pos long").parquet(
+        *sorted({d["data_file"]["file_path"] for d in delete_entries})
+    )
+    raw = raw.select(
+        _norm_path_col(F.col("file_path")).alias("__dpath"),
+        F.col("pos").alias("__dpos"),
+        _norm_path_col(F.col("_metadata.file_path")).alias("__dfile"),
+    )
+    return (
+        raw.join(dseq, "__dfile")
+        .join(eseq, F.col("__dpath") == F.col("__efile"))
+        .filter(F.col("__dseq") >= F.col("__eseq"))
+        .select("__dpath", "__dpos")
+        .distinct()
+    )
 
 
 def _file_excluded_by_partition(
@@ -690,6 +790,7 @@ def _read_files(
     spark_schema: T.StructType,
     part_fields: list[dict],
     with_file: bool = False,
+    pos_deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed scan of ``files`` (data_file dicts) under the TABLE
     schema. Unpartitioned: one parquet scan over the file list.
@@ -705,7 +806,25 @@ def _read_files(
     1000-branch union. Files whose paths lack the layout (foreign
     tables) or tables with REQUIRED partition columns (path parsing
     analyzes nullable) always take the union. ``with_file`` adds the
-    file's basename column for DML's affected-file probe."""
+    file's basename column for DML's affected-file probe.
+    ``pos_deletes`` ((__dpath, __dpos) pairs from
+    _position_delete_pairs) anti-joins each raw scan on
+    (normalized `_metadata.file_path`, `_metadata.row_index`) — the
+    v2 position-delete application, done per scan branch because the
+    `_metadata` pseudo-column is only reachable on the direct file
+    scan."""
+
+    def _minus_deletes(scan: DataFrame) -> DataFrame:
+        if pos_deletes is None:
+            return scan
+        key = _norm_path_col(F.col("_metadata.file_path"))
+        return scan.join(
+            pos_deletes,
+            (key == pos_deletes["__dpath"])
+            & (F.col("_metadata.row_index") == pos_deletes["__dpos"]),
+            "left_anti",
+        )
+
     cols = [f.name for f in spark_schema.fields]
     base_col = F.element_at(
         F.split(F.col("_metadata.file_path"), "/"), -1
@@ -717,10 +836,12 @@ def _read_files(
             df = df.withColumn(_FILE_COL, F.lit(None).cast("string"))
         return df
     if not part_fields:
-        df = spark.read.schema(spark_schema).parquet(
-            *[f["file_path"] for f in files]
+        df = _minus_deletes(
+            spark.read.schema(spark_schema).parquet(
+                *[f["file_path"] for f in files]
+            )
         )
-        return df.select(*cols, base_col).select(*out_cols) if with_file else df
+        return df.select(*cols, base_col).select(*out_cols) if with_file else df.select(*cols)
     pnames = {pf["source_name"] for pf in part_fields}
     data_schema = T.StructType(
         [f for f in spark_schema.fields if f.name not in pnames]
@@ -785,6 +906,7 @@ def _read_files(
         df = spark.read.schema(data_schema).parquet(
             *sorted(f["file_path"] for f in files)
         )
+        df = _minus_deletes(df)
         if with_file:
             df = df.select("*", base_col)
         import re as _re
@@ -820,7 +942,9 @@ def _read_files(
     for key, paths in sorted(
         groups.items(), key=lambda kv: tuple(map(str, kv[0]))
     ):
-        df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        df = _minus_deletes(
+            spark.read.schema(data_schema).parquet(*sorted(paths))
+        )
         if with_file:
             df = df.select("*", base_col)
         for pf, av in zip(part_fields, key):
@@ -883,7 +1007,7 @@ def read_iceberg(
     ice_schema = _schema_for(meta, schema_id)
     part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
-    entries = _entries_for_snapshot(path, snap)
+    entries, dels = _entries_and_deletes_for_snapshot(path, snap)
     if skip_ranges:
         prim = {
             f["name"]: (f["id"], f["type"])
@@ -900,8 +1024,14 @@ def read_iceberg(
                 e["data_file"], skip_ranges, prim
             )
         ]
+    # v2 row-level deletes: build the (path, pos) pairs once per read
+    # and anti-join them inside every scan branch
+    pos = (
+        _position_delete_pairs(spark, entries, dels) if dels else None
+    )
     return _read_entries_projected(
-        spark, meta, entries, ice_schema, spark_schema, part_fields
+        spark, meta, entries, ice_schema, spark_schema, part_fields,
+        pos_deletes=pos,
     )
 
 
@@ -923,6 +1053,7 @@ def _read_entries_projected(
     ice_schema: dict,
     spark_schema: T.StructType,
     part_fields: list[dict],
+    pos_deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Field-id-based column projection (spec §Column Projection): a
     foreign engine's rename is a metadata-only edit — the new schema
@@ -943,7 +1074,9 @@ def _read_entries_projected(
     partition-source rename; this path is for foreign tables)."""
     files = [e["data_file"] for e in entries]
     if not entries:
-        return _read_files(spark, files, spark_schema, part_fields)
+        return _read_files(
+            spark, files, spark_schema, part_fields, pos_deletes=pos_deletes
+        )
     read_sid = ice_schema.get("schema-id", 0)
     by_sid: dict[int, list[dict]] = {}
     for e in entries:
@@ -967,14 +1100,21 @@ def _read_entries_projected(
         for sid in by_sid
     }
     if not any(needs_remap(w) for w in schemas.values()):
-        return _read_files(spark, files, spark_schema, part_fields)
+        return _read_files(
+            spark, files, spark_schema, part_fields, pos_deletes=pos_deletes
+        )
 
     parts = []
     psrc_ids = {pf["source_id"] for pf in part_fields}
     for sid, group in sorted(by_sid.items()):
         w_ice = schemas[sid]
         if not needs_remap(w_ice):
-            parts.append(_read_files(spark, group, spark_schema, part_fields))
+            parts.append(
+                _read_files(
+                    spark, group, spark_schema, part_fields,
+                    pos_deletes=pos_deletes,
+                )
+            )
             continue
         w_by_id = {f["id"]: f for f in w_ice["fields"]}
         scan_fields, sel = [], []
@@ -1046,7 +1186,10 @@ def _read_entries_projected(
             }
             for pf in part_fields
         ]
-        df = _read_files(spark, group, T.StructType(scan_fields), w_pf)
+        df = _read_files(
+            spark, group, T.StructType(scan_fields), w_pf,
+            pos_deletes=pos_deletes,
+        )
         parts.append(df.select(*sel))
     from functools import reduce
 
@@ -1330,6 +1473,7 @@ def _commit_snapshot(
     carry_prior_manifests: bool,
     operation: str,
     summary_extra: dict[str, str] | None = None,
+    added_delete_files: list[dict] | None = None,
 ) -> int:
     """Write one manifest (ADDED + carried-EXISTING + DELETED entries),
     a manifest list, and claim the next metadata version — the shared
@@ -1436,13 +1580,64 @@ def _commit_snapshot(
             e["data_file"]["record_count"] for e in deleted_entries
         ),
     }
+    delete_manifests: list[dict] = []
+    if added_delete_files:
+        # v2 row-level deletes: a separate DELETE manifest (content=1)
+        # in the same atomic commit — its sequence number is what
+        # scopes the deletes to data files with seq <= it
+        dm_entries = [
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": f,
+            }
+            for f in added_delete_files
+        ]
+        dm_path = os.path.join(md, f"{uuid.uuid4().hex}-d0.avro")
+        dm_len = write_container(
+            dm_path,
+            _manifest_entry_schema(part_fields),
+            dm_entries,
+            meta={
+                "schema": json.dumps(ice_schema).encode(),
+                "partition-spec": json.dumps(
+                    _default_spec_fields(meta)
+                ).encode(),
+                "partition-spec-id": str(
+                    meta.get("default-spec-id", 0)
+                ).encode(),
+                "format-version": b"2",
+                "content": b"deletes",
+            },
+        )
+        delete_manifests.append(
+            {
+                "manifest_path": dm_path,
+                "manifest_length": dm_len,
+                "partition_spec_id": meta.get("default-spec-id", 0),
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(added_delete_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    f["record_count"] for f in added_delete_files
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
     manifest_list = os.path.join(
         md, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     )
     write_container(
         manifest_list,
         _MANIFEST_FILE_SCHEMA,
-        [new_manifest] + prior_manifests,
+        [new_manifest] + delete_manifests + prior_manifests,
         meta={
             "snapshot-id": str(snapshot_id).encode(),
             "sequence-number": str(seq).encode(),
@@ -1971,6 +2166,162 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
         deleted_entries=[by_base[b] for b in sorted(affected_set)],
         carry_prior_manifests=False,
         operation="delete",
+    )
+
+
+def delete_iceberg_positional(
+    spark: SparkSession, path: str, predicate: str
+) -> int:
+    """MERGE-ON-READ DELETE: write v2 POSITION DELETE files
+    ((file_path, pos) rows, sorted — the spec's delete-file shape)
+    instead of rewriting data files. Cost ∝ MATCHED ROWS, never
+    affected-file bytes — on a 100 TB table a point delete writes
+    kilobytes where the CoW rewrite (delete_iceberg) rewrites every
+    touched file; the trade is read-side work (every snapshot read
+    anti-joins the pairs) until the deletes are compacted away.
+    Matching uses `_metadata.row_index` for the in-file row position —
+    the scan stays one distributed job with no row-number shuffle.
+
+    Boundaries (honest refusals, not wrong rows): unpartitioned tables
+    only (CoW DML covers partitioned; partition-scoped delete files
+    are not implemented), and the written parquet carries the spec's
+    column NAMES (file_path, pos) without its reserved parquet
+    field-ids (readers here and the name-based ecosystem read it;
+    field-id-strict readers may not). SQL DELETE semantics: only rows
+    where the predicate is TRUE are deleted. A no-match predicate
+    commits nothing. Returns the (possibly unchanged) snapshot id."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    meta = _load_metadata(path)
+    snap = _snapshot(meta, None)
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+    part_fields = _partition_fields(meta, ice_schema)
+    if part_fields:
+        raise NotImplementedError(
+            "positional deletes on partitioned tables are not "
+            "supported; use delete_iceberg (copy-on-write)"
+        )
+    spark_schema = _schema_to_spark(ice_schema)
+    entries, _dels = _entries_and_deletes_for_snapshot(path, snap)
+    # existing deletes need not be applied before matching: a pair
+    # re-recorded for an already-deleted row is idempotent under the
+    # read-side anti-join
+    _refuse_renamed_files(meta, entries, ice_schema, "positional delete")
+    if not entries:
+        return snap["snapshot-id"]
+    scan = spark.read.schema(spark_schema).parquet(
+        *[e["data_file"]["file_path"] for e in entries]
+    )
+    matched = (
+        scan.filter(F.expr(predicate))
+        .select(
+            _norm_path_col(F.col("_metadata.file_path")).alias("file_path"),
+            F.col("_metadata.row_index").cast("long").alias("pos"),
+        )
+        .orderBy("file_path", "pos")
+    )
+    staging = os.path.join(path, _DATA_DIR, uuid.uuid4().hex)
+    matched.coalesce(1).write.mode("overwrite").parquet(staging)
+    try:
+        staged = [full for full, _ in _walk_staged_parquet(staging)]
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in staged)
+        if n_rows == 0:
+            shutil.rmtree(staging, ignore_errors=True)
+            return snap["snapshot-id"]
+        assert len(staged) == 1  # coalesce(1) wrote one file
+        final = os.path.join(
+            staging, f"delete-{uuid.uuid4().hex}.parquet"
+        )
+        os.rename(staged[0], final)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    delete_file = {
+        "content": 1,
+        "file_path": final,
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": n_rows,
+        "file_size_in_bytes": os.path.getsize(final),
+        "lower_bounds": None,
+        "upper_bounds": None,
+    }
+    return _commit_snapshot(
+        path,
+        meta,
+        ice_schema,
+        part_fields,
+        added_files=[],
+        existing_entries=[],
+        deleted_entries=[],
+        carry_prior_manifests=True,
+        operation="delete",
+        added_delete_files=[delete_file],
+    )
+
+
+def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
+    """Fold live position deletes back into data files (the spec's
+    rewrite-position-deletes maintenance op): ONLY data files with at
+    least one delete pair rewrite (minus their deleted rows); untouched
+    files carry forward as EXISTING with their original attribution,
+    and the new snapshot drops every delete manifest — restoring the
+    table to the state CoW DML/compaction accept. Cost ∝ affected
+    files' bytes, never the table. No-op (current id) when no deletes
+    are live."""
+    meta = _load_metadata(path)
+    snap = _snapshot(meta, None)
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+    part_fields = _partition_fields(meta, ice_schema)
+    if part_fields:
+        raise NotImplementedError(
+            "positional deletes on partitioned tables are not supported"
+        )
+    spark_schema = _schema_to_spark(ice_schema)
+    entries, dels = _entries_and_deletes_for_snapshot(path, snap)
+    if not dels:
+        return snap["snapshot-id"]
+    _refuse_renamed_files(
+        meta, entries, ice_schema, "rewrite-position-deletes"
+    )
+    pairs = _position_delete_pairs(spark, entries, dels)
+    affected = {
+        r["__dpath"] for r in pairs.select("__dpath").distinct().collect()
+    }
+    by_path = {
+        _norm_path(e["data_file"]["file_path"]): e for e in entries
+    }
+    hit = [by_path[p] for p in sorted(affected) if p in by_path]
+    keep = [
+        e
+        for e in entries
+        if _norm_path(e["data_file"]["file_path"]) not in affected
+    ]
+    added: list[dict] = []
+    if hit:
+        scan = spark.read.schema(spark_schema).parquet(
+            *[e["data_file"]["file_path"] for e in hit]
+        )
+        key = _norm_path_col(F.col("_metadata.file_path"))
+        remaining = scan.join(
+            pairs,
+            (key == pairs["__dpath"])
+            & (F.col("_metadata.row_index") == pairs["__dpos"]),
+            "left_anti",
+        ).select(*[f.name for f in spark_schema.fields])
+        added = _stage_data_files(remaining, path, ice_schema, part_fields)
+    return _commit_snapshot(
+        path,
+        meta,
+        ice_schema,
+        part_fields,
+        added_files=added,
+        existing_entries=keep,
+        deleted_entries=hit,
+        carry_prior_manifests=False,
+        operation="replace",
     )
 
 

@@ -1285,3 +1285,117 @@ def test_partitioned_read_over_promoted_files_widens(spark, tmp_path):
     _foreign_retype(t, "n", "string")
     with pytest.raises(NotImplementedError, match="safe promotions"):
         read_iceberg(spark, t).collect()
+
+
+# ------------------------------------------------ r8: position deletes
+
+
+def test_positional_delete_write_read_roundtrip(spark, tmp_path):
+    """MOR DELETE: delete_iceberg_positional writes a (file_path, pos)
+    delete file through a content=1 delete manifest; snapshot reads
+    apply it (anti-join on _metadata row position); time travel to the
+    pre-delete snapshot still sees every row."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg_positional,
+        table_snapshots,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(i, f"s{i}", float(i)) for i in range(10)]), t)
+    write_iceberg(
+        _df(spark, [(i, f"s{i}", float(i)) for i in range(10, 20)]),
+        t,
+        mode="append",
+    )
+    pre = read_iceberg(spark, t)
+    assert pre.count() == 20
+    sid = delete_iceberg_positional(spark, t, "id % 3 = 0")
+    back = read_iceberg(spark, t)
+    got = sorted(r.id for r in back.collect())
+    assert got == [i for i in range(20) if i % 3 != 0]
+    # the delete snapshot is a 'delete' op; rows survive in history
+    snaps = {r.snapshot_id: r.operation for r in table_snapshots(spark, t).collect()}
+    assert snaps[sid] == "delete"
+    hist = sorted(
+        s for s in snaps if s != sid
+    )
+    at = read_iceberg(spark, t, snapshot_id=hist[-1])
+    assert at.count() in (10, 20)  # pre-delete snapshot intact
+    # no-match predicate commits nothing
+    sid2 = delete_iceberg_positional(spark, t, "id > 1000000")
+    assert sid2 == sid
+    # second delete stacks on the first
+    delete_iceberg_positional(spark, t, "id = 1")
+    got2 = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got2 == [i for i in range(20) if i % 3 != 0 and i != 1]
+
+
+def test_positional_deletes_scope_by_sequence_number(spark, tmp_path):
+    """A position delete applies only to data files with sequence
+    number <= the delete's: rows appended AFTER the delete at the same
+    in-file positions must survive."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg_positional,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t)
+    delete_iceberg_positional(spark, t, "id = 1")
+    # append rows that could collide positionally with deleted ones
+    write_iceberg(
+        _df(spark, [(1, "a2", 10.0), (2, "b2", 20.0)]), t, mode="append"
+    )
+    got = sorted((r.id, r.s) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "a2"), (2, "b"), (2, "b2")]
+
+
+def test_live_deletes_block_dml_and_rewrite_restores(spark, tmp_path):
+    """CoW DML / compaction / incremental refuse while position deletes
+    are live (scanning without applying them would resurrect rows);
+    rewrite_position_deletes folds them into data files — only
+    affected files rewrite — and the ops work again."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        compact_iceberg,
+        delete_iceberg_positional,
+        rewrite_position_deletes,
+        update_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(i, f"s{i}", float(i)) for i in range(6)]), t)
+    write_iceberg(
+        _df(spark, [(i, f"s{i}", float(i)) for i in range(6, 12)]),
+        t,
+        mode="append",
+    )
+    delete_iceberg_positional(spark, t, "id = 3")  # touches file 1 only
+    with pytest.raises(NotImplementedError, match="position-delete"):
+        update_iceberg(spark, t, {"v": "v + 1"})
+    with pytest.raises(NotImplementedError, match="position-delete"):
+        compact_iceberg(spark, t)
+
+    before = {
+        f for f in read_iceberg(spark, t).inputFiles()
+    }
+    rewrite_position_deletes(spark, t)
+    after = {f for f in read_iceberg(spark, t).inputFiles()}
+    # the untouched file survives byte-identical (same path)
+    assert before & after, "unaffected files must carry forward"
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(12) if i != 3]
+    # DML works again
+    update_iceberg(spark, t, {"v": "v + 100"}, predicate="id = 0")
+    assert read_iceberg(spark, t).filter("id = 0").collect()[0].v == 100.0
+
+
+def test_positional_delete_refusals(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg_positional,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0)]), t, partition_by=["s"]
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        delete_iceberg_positional(spark, t, "id = 1")
