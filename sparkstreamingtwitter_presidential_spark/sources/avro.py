@@ -186,9 +186,17 @@ def _write_value(buf: bytearray, t: object, v: object) -> None:
         _write_long(buf, 0)
     elif isinstance(t, dict) and t.get("type") == "record":
         # value addressed by field name: dict or pyspark Row both
-        # support __getitem__ by name
+        # support __getitem__ by name. A field ABSENT from the value
+        # writes null — that lets schema-evolved writers (e.g. the
+        # manifest entry gaining equality_ids) re-serialize records
+        # read under an older schema; a missing NON-nullable field
+        # still fails in _write_value's type dispatch.
         for fld in t["fields"]:
-            _write_value(buf, fld["type"], v[fld["name"]])
+            try:
+                fv = v[fld["name"]]
+            except (KeyError, ValueError):
+                fv = None
+            _write_value(buf, fld["type"], fv)
     elif isinstance(t, dict) and t.get("type") == "fixed":
         b = bytes(v)
         if len(b) != t["size"]:

@@ -371,6 +371,14 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
                             "type": _bounds_type("k129_v130"),
                             "field-id": 128,
                         },
+                        {
+                            # spec: field ids of the equality columns
+                            # of an equality delete file (content=2);
+                            # null for data and position-delete files
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array", "items": "int"}],
+                            "field-id": 135,
+                        },
                     ],
                 },
             },
@@ -562,11 +570,10 @@ def _entries_and_deletes_for_snapshot(
     """Walk manifest-list -> manifests -> LIVE entries (ADDED/EXISTING;
     DELETED rows are gone from this snapshot), with the spec's metadata
     inheritance resolved: a null entry snapshot-id / sequence-number
-    inherits the manifest's. Returns (data entries, POSITION-delete
-    entries) — delete manifests (content=1) carrying position-delete
-    files (v2 row-level deletes) are collected for the read path to
-    apply; equality deletes (content=2 files) refuse (they need an
-    equality-predicate anti-join this reader does not implement).
+    inherits the manifest's. Returns (data entries, row-level-delete
+    entries) — delete manifests (content=1 in the manifest list)
+    carrying POSITION (content=1) or EQUALITY (content=2) delete files
+    are collected for the read path to apply (_row_delete_filter).
     Each dict carries status, snapshot_id, sequence_number,
     file_sequence_number, data_file."""
     _, _, manifests = read_container(snap["manifest-list"])
@@ -583,12 +590,7 @@ def _entries_and_deletes_for_snapshot(
                     "delete file inside a DATA manifest (spec violation); "
                     "refusing rather than guessing"
                 )
-            if m["content"] != 0 and df["content"] == 2:
-                raise NotImplementedError(
-                    "equality delete files are not supported by this "
-                    "native reader (position deletes are)"
-                )
-            if m["content"] != 0 and df["content"] != 1:
+            if m["content"] != 0 and df["content"] not in (1, 2):
                 raise NotImplementedError(
                     f"unknown delete-file content {df['content']!r}"
                 )
@@ -673,6 +675,9 @@ def _position_delete_pairs(
     file's sequence (one row per live data file, also broadcast).
     Rows naming files outside the live set drop out in the join; the
     result's size tracks DELETED ROWS, never the table."""
+    delete_entries = [
+        d for d in delete_entries if d["data_file"]["content"] == 1
+    ]
     dmap = [
         (_norm_path(d["data_file"]["file_path"]), int(d["sequence_number"]))
         for d in delete_entries
@@ -702,6 +707,117 @@ def _position_delete_pairs(
         .select("__dpath", "__dpos")
         .distinct()
     )
+
+
+def _row_delete_filter(
+    spark: SparkSession,
+    meta: dict,
+    entries: list[dict],
+    delete_entries: list[dict],
+    ice_schema: dict,
+):
+    """ONE closure applying every live row-level delete to a RAW scan
+    DataFrame (called per scan branch inside _read_files, where the
+    `_metadata` pseudo-columns are reachable):
+
+    * POSITION deletes (content=1): anti-join the precomputed
+      (path, pos) pairs on (normalized file path, row_index).
+    * EQUALITY deletes (content=2): per (equality column set, delete
+      file), an eqNullSafe anti-join of the scan against the delete
+      file's value rows, scoped by the spec's STRICT rule — a delete
+      with sequence s removes only rows of data files with seq < s —
+      via a broadcast (file -> sequence) map attached to the scan.
+      Equality ids resolve against the CURRENT schema and must name
+      top-level primitive columns; delete-file columns are read by
+      those names (name-based, the same honesty note as the writer's
+      missing reserved field-ids). Unsupported shapes refuse by name
+      rather than resurrecting or over-deleting rows.
+
+    Cost shape at 100 TB: the pair set and the per-file value frames
+    track DELETED ROWS; the seq map tracks live files (metadata-sized,
+    broadcast); each application is one anti-join AQE sizes itself."""
+    pos = [d for d in delete_entries if d["data_file"]["content"] == 1]
+    eqs = [d for d in delete_entries if d["data_file"]["content"] == 2]
+    pairs = _position_delete_pairs(spark, entries, pos) if pos else None
+
+    eq_frames: list[tuple[list[str], DataFrame]] = []
+    if eqs and _partition_fields(meta, ice_schema):
+        raise NotImplementedError(
+            "equality deletes on partitioned tables are not supported "
+            "(scan branches lack the partition source columns the "
+            "delete may key on)"
+        )
+    if eqs:
+        by_id = {f["id"]: f for f in ice_schema["fields"]}
+        emap = [
+            (
+                _norm_path(e["data_file"]["file_path"]),
+                int(e["sequence_number"]),
+            )
+            for e in entries
+        ]
+        seq_map = F.broadcast(
+            spark.createDataFrame(emap, "__eqfile string, __eseq long")
+        )
+        for d in eqs:
+            ids = d["data_file"].get("equality_ids") or []
+            if not ids:
+                raise NotImplementedError(
+                    "equality delete file without equality_ids; refusing "
+                    "rather than guessing the delete key"
+                )
+            cols = []
+            for i in ids:
+                f = by_id.get(i)
+                if f is None or not isinstance(f["type"], str):
+                    raise NotImplementedError(
+                        f"equality delete keyed on field id {i} which is "
+                        "not a top-level primitive of the current schema"
+                    )
+                cols.append(f["name"])
+            schema = T.StructType(
+                [
+                    T.StructField(c, _iceberg_to_spark_type(by_id[i]["type"]))
+                    for c, i in zip(cols, ids)
+                ]
+            )
+            vals = (
+                spark.read.schema(schema)
+                .parquet(d["data_file"]["file_path"])
+                .withColumn("__dseq", F.lit(int(d["sequence_number"])))
+            )
+            eq_frames.append((cols, vals))
+    else:
+        seq_map = None
+
+    def apply(scan: DataFrame) -> DataFrame:
+        out = scan
+        if pairs is not None:
+            key = _norm_path_col(F.col("_metadata.file_path"))
+            out = out.join(
+                pairs,
+                (key == pairs["__dpath"])
+                & (F.col("_metadata.row_index") == pairs["__dpos"]),
+                "left_anti",
+            )
+        if eq_frames:
+            before = out.columns
+            out = out.withColumn(
+                "__eqfile_s", _norm_path_col(F.col("_metadata.file_path"))
+            ).join(
+                seq_map,
+                F.col("__eqfile_s") == seq_map["__eqfile"],
+                "left",
+            )
+            for cols, vals in eq_frames:
+                cond = F.col("__eseq") < vals["__dseq"]
+                for c in cols:
+                    cond = cond & out[c].eqNullSafe(vals[c])
+                out = out.join(vals, cond, "left_anti")
+            out = out.select(*before)
+        return out
+
+    return apply
 
 
 def _file_excluded_by_partition(
@@ -790,7 +906,7 @@ def _read_files(
     spark_schema: T.StructType,
     part_fields: list[dict],
     with_file: bool = False,
-    pos_deletes: DataFrame | None = None,
+    scan_filter: Any | None = None,
 ) -> DataFrame:
     """Distributed scan of ``files`` (data_file dicts) under the TABLE
     schema. Unpartitioned: one parquet scan over the file list.
@@ -807,23 +923,13 @@ def _read_files(
     tables) or tables with REQUIRED partition columns (path parsing
     analyzes nullable) always take the union. ``with_file`` adds the
     file's basename column for DML's affected-file probe.
-    ``pos_deletes`` ((__dpath, __dpos) pairs from
-    _position_delete_pairs) anti-joins each raw scan on
-    (normalized `_metadata.file_path`, `_metadata.row_index`) — the
-    v2 position-delete application, done per scan branch because the
-    `_metadata` pseudo-column is only reachable on the direct file
-    scan."""
+    ``scan_filter`` (a DataFrame->DataFrame closure built by
+    _row_delete_filter) applies v2 row-level deletes to each RAW scan
+    — per branch, because the `_metadata` pseudo-columns it joins on
+    are only reachable on the direct file scan."""
 
     def _minus_deletes(scan: DataFrame) -> DataFrame:
-        if pos_deletes is None:
-            return scan
-        key = _norm_path_col(F.col("_metadata.file_path"))
-        return scan.join(
-            pos_deletes,
-            (key == pos_deletes["__dpath"])
-            & (F.col("_metadata.row_index") == pos_deletes["__dpos"]),
-            "left_anti",
-        )
+        return scan_filter(scan) if scan_filter is not None else scan
 
     cols = [f.name for f in spark_schema.fields]
     base_col = F.element_at(
@@ -1024,14 +1130,16 @@ def read_iceberg(
                 e["data_file"], skip_ranges, prim
             )
         ]
-    # v2 row-level deletes: build the (path, pos) pairs once per read
-    # and anti-join them inside every scan branch
-    pos = (
-        _position_delete_pairs(spark, entries, dels) if dels else None
+    # v2 row-level deletes: build ONE filter closure per read and
+    # apply it inside every scan branch
+    flt = (
+        _row_delete_filter(spark, meta, entries, dels, ice_schema)
+        if dels
+        else None
     )
     return _read_entries_projected(
         spark, meta, entries, ice_schema, spark_schema, part_fields,
-        pos_deletes=pos,
+        scan_filter=flt,
     )
 
 
@@ -1053,7 +1161,7 @@ def _read_entries_projected(
     ice_schema: dict,
     spark_schema: T.StructType,
     part_fields: list[dict],
-    pos_deletes: DataFrame | None = None,
+    scan_filter: Any | None = None,
 ) -> DataFrame:
     """Field-id-based column projection (spec §Column Projection): a
     foreign engine's rename is a metadata-only edit — the new schema
@@ -1075,7 +1183,7 @@ def _read_entries_projected(
     files = [e["data_file"] for e in entries]
     if not entries:
         return _read_files(
-            spark, files, spark_schema, part_fields, pos_deletes=pos_deletes
+            spark, files, spark_schema, part_fields, scan_filter=scan_filter
         )
     read_sid = ice_schema.get("schema-id", 0)
     by_sid: dict[int, list[dict]] = {}
@@ -1101,7 +1209,7 @@ def _read_entries_projected(
     }
     if not any(needs_remap(w) for w in schemas.values()):
         return _read_files(
-            spark, files, spark_schema, part_fields, pos_deletes=pos_deletes
+            spark, files, spark_schema, part_fields, scan_filter=scan_filter
         )
 
     parts = []
@@ -1112,7 +1220,7 @@ def _read_entries_projected(
             parts.append(
                 _read_files(
                     spark, group, spark_schema, part_fields,
-                    pos_deletes=pos_deletes,
+                    scan_filter=scan_filter,
                 )
             )
             continue
@@ -1188,7 +1296,7 @@ def _read_entries_projected(
         ]
         df = _read_files(
             spark, group, T.StructType(scan_fields), w_pf,
-            pos_deletes=pos_deletes,
+            scan_filter=scan_filter,
         )
         parts.append(df.select(*sel))
     from functools import reduce
@@ -2263,21 +2371,23 @@ def delete_iceberg_positional(
 
 
 def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
-    """Fold live position deletes back into data files (the spec's
-    rewrite-position-deletes maintenance op): ONLY data files with at
-    least one delete pair rewrite (minus their deleted rows); untouched
+    """Fold live row-level deletes (POSITION and EQUALITY) back into
+    data files (the spec's rewrite-deletes maintenance op): only
+    AFFECTED data files rewrite (minus their deleted rows); untouched
     files carry forward as EXISTING with their original attribution,
     and the new snapshot drops every delete manifest — restoring the
-    table to the state CoW DML/compaction accept. Cost ∝ affected
-    files' bytes, never the table. No-op (current id) when no deletes
-    are live."""
+    table to the state CoW DML/compaction accept. Affected =
+    position-pair files (exact) ∪ files whose sequence number any
+    equality delete can reach (seq < delete seq — conservative: a
+    reachable file rewrites even if no row matches, the trade for
+    skipping a per-file probe pass). No-op when no deletes are live."""
     meta = _load_metadata(path)
     snap = _snapshot(meta, None)
     ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
     part_fields = _partition_fields(meta, ice_schema)
     if part_fields:
         raise NotImplementedError(
-            "positional deletes on partitioned tables are not supported"
+            "row-level deletes on partitioned tables are not supported"
         )
     spark_schema = _schema_to_spark(ice_schema)
     entries, dels = _entries_and_deletes_for_snapshot(path, snap)
@@ -2286,10 +2396,22 @@ def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
     _refuse_renamed_files(
         meta, entries, ice_schema, "rewrite-position-deletes"
     )
-    pairs = _position_delete_pairs(spark, entries, dels)
-    affected = {
-        r["__dpath"] for r in pairs.select("__dpath").distinct().collect()
-    }
+    pos = [d for d in dels if d["data_file"]["content"] == 1]
+    eqs = [d for d in dels if d["data_file"]["content"] == 2]
+    affected: set[str] = set()
+    if pos:
+        pairs = _position_delete_pairs(spark, entries, pos)
+        affected |= {
+            r["__dpath"]
+            for r in pairs.select("__dpath").distinct().collect()
+        }
+    if eqs:
+        max_eq = max(int(d["sequence_number"]) for d in eqs)
+        affected |= {
+            _norm_path(e["data_file"]["file_path"])
+            for e in entries
+            if int(e["sequence_number"]) < max_eq
+        }
     by_path = {
         _norm_path(e["data_file"]["file_path"]): e for e in entries
     }
@@ -2301,16 +2423,13 @@ def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
     ]
     added: list[dict] = []
     if hit:
+        flt = _row_delete_filter(spark, meta, entries, dels, ice_schema)
         scan = spark.read.schema(spark_schema).parquet(
             *[e["data_file"]["file_path"] for e in hit]
         )
-        key = _norm_path_col(F.col("_metadata.file_path"))
-        remaining = scan.join(
-            pairs,
-            (key == pairs["__dpath"])
-            & (F.col("_metadata.row_index") == pairs["__dpos"]),
-            "left_anti",
-        ).select(*[f.name for f in spark_schema.fields])
+        remaining = flt(scan).select(
+            *[f.name for f in spark_schema.fields]
+        )
         added = _stage_data_files(remaining, path, ice_schema, part_fields)
     return _commit_snapshot(
         path,
@@ -2322,6 +2441,106 @@ def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
         deleted_entries=hit,
         carry_prior_manifests=False,
         operation="replace",
+    )
+
+
+def upsert_iceberg_mor(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE-ON-READ UPSERT — the streaming-CDC write shape (what the
+    Flink Iceberg upsert sink commits): ONE snapshot carries (a) the
+    source rows as new data files and (b) an EQUALITY DELETE file
+    holding the source keys (content=2, equality_ids = the key
+    columns' field ids). The spec's strict sequence rule does the
+    merge: the delete (seq s) removes old versions in files with
+    seq < s, while the batch's own data files (seq s) are untouched —
+    so cost is ∝ BATCH SIZE and independent of table size (the CoW
+    merge_iceberg rewrite is ∝ affected-file bytes), traded for
+    read-side anti-joins until rewrite_position_deletes folds the
+    backlog. Unpartitioned tables; duplicate source keys refuse (an
+    in-batch order would be arbitrary); empty batches commit nothing.
+    Returns the (possibly unchanged) snapshot id."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    meta = _load_metadata(path)
+    snap = _snapshot(meta, None)
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+    part_fields = _partition_fields(meta, ice_schema)
+    if part_fields:
+        raise NotImplementedError(
+            "MOR upsert on partitioned tables is not supported; use "
+            "merge_iceberg (copy-on-write)"
+        )
+    spark_schema = _schema_to_spark(ice_schema)
+    tcols = [f.name for f in spark_schema.fields]
+    if sorted(source.columns) != sorted(tcols):
+        raise ValueError(
+            f"source columns {sorted(source.columns)} != table's "
+            f"{sorted(tcols)}"
+        )
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    ids = []
+    for k in keys:
+        f = by_name.get(k)
+        if f is None or not isinstance(f["type"], str):
+            raise ValueError(
+                f"upsert key {k!r} must be a top-level primitive column"
+            )
+        ids.append(f["id"])
+    dup = (
+        source.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            "source has duplicate keys "
+            f"(e.g. {tuple(dup[0][k] for k in keys)!r}); MOR upsert "
+            "would be ambiguous"
+        )
+    source = source.select(*tcols)
+    added = _stage_data_files(source, path, ice_schema, part_fields)
+    if not added:
+        return snap["snapshot-id"]
+    # the equality delete file: one sorted row per source key tuple
+    staging = os.path.join(path, _DATA_DIR, uuid.uuid4().hex)
+    source.select(*keys).distinct().orderBy(*keys).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    try:
+        staged = [full for full, _ in _walk_staged_parquet(staging)]
+        assert len(staged) == 1
+        n_rows = pq.ParquetFile(staged[0]).metadata.num_rows
+        final = os.path.join(staging, f"eq-delete-{uuid.uuid4().hex}.parquet")
+        os.rename(staged[0], final)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    eq_file = {
+        "content": 2,
+        "file_path": final,
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": n_rows,
+        "file_size_in_bytes": os.path.getsize(final),
+        "lower_bounds": None,
+        "upper_bounds": None,
+        "equality_ids": ids,
+    }
+    return _commit_snapshot(
+        path,
+        meta,
+        ice_schema,
+        part_fields,
+        added_files=added,
+        existing_entries=[],
+        deleted_entries=[],
+        carry_prior_manifests=True,
+        operation="overwrite",
+        added_delete_files=[eq_file],
     )
 
 

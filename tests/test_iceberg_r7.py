@@ -1399,3 +1399,109 @@ def test_positional_delete_refusals(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="partitioned"):
         delete_iceberg_positional(spark, t, "id = 1")
+
+
+def test_mor_upsert_equality_deletes(spark, tmp_path):
+    """upsert_iceberg_mor: one snapshot = new data files + an equality
+    delete file on the key columns; the strict sequence rule (delete
+    seq s removes only rows of files with seq < s) makes reads
+    last-write-wins without rewriting a single old file."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        table_snapshots,
+        upsert_iceberg_mor,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]), t)
+    files_before = set(read_iceberg(spark, t).inputFiles())
+    sid = upsert_iceberg_mor(
+        spark, t, _df(spark, [(2, "B2", 22.0), (9, "new", 9.0)]), keys=["id"]
+    )
+    got = {r.id: (r.s, r.v) for r in read_iceberg(spark, t).collect()}
+    assert got == {
+        1: ("a", 1.0),
+        2: ("B2", 22.0),
+        3: ("c", 3.0),
+        9: ("new", 9.0),
+    }
+    # MOR: the original data files were NOT rewritten
+    assert files_before <= set(read_iceberg(spark, t).inputFiles())
+    snaps = {
+        r.snapshot_id: r.operation
+        for r in table_snapshots(spark, t).collect()
+    }
+    assert snaps[sid] == "overwrite"
+    # stacked upserts: later delete outranks earlier batch's data file
+    upsert_iceberg_mor(spark, t, _df(spark, [(2, "B3", 222.0)]), keys=["id"])
+    assert read_iceberg(spark, t).filter("id = 2").collect()[0].s == "B3"
+    assert read_iceberg(spark, t).count() == 4
+    # duplicate source keys refuse; empty batch is a no-op
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="duplicate keys"):
+        upsert_iceberg_mor(
+            spark, t, _df(spark, [(5, "x", 1.0), (5, "y", 2.0)]), keys=["id"]
+        )
+    cur = snaps  # noqa: F841
+    before = read_iceberg(spark, t).count()
+    upsert_iceberg_mor(spark, t, _df(spark, []), keys=["id"])
+    assert read_iceberg(spark, t).count() == before
+
+
+def test_mor_upsert_rewrite_folds_both_delete_kinds(spark, tmp_path):
+    """rewrite_position_deletes folds positional AND equality deletes:
+    after the fold the delete manifests are gone, rows are exact, and
+    CoW DML works again."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg_positional,
+        rewrite_position_deletes,
+        update_iceberg,
+        upsert_iceberg_mor,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(i, f"s{i}", float(i)) for i in range(8)]), t)
+    upsert_iceberg_mor(
+        spark, t, _df(spark, [(1, "U1", 11.0), (100, "ins", 100.0)]),
+        keys=["id"],
+    )
+    delete_iceberg_positional(spark, t, "id = 4")
+    want = sorted(
+        [(i, f"s{i}", float(i)) for i in range(8) if i not in (1, 4)]
+        + [(1, "U1", 11.0), (100, "ins", 100.0)]
+    )
+    assert sorted(tuple(r) for r in read_iceberg(spark, t).collect()) == want
+    rewrite_position_deletes(spark, t)
+    assert sorted(tuple(r) for r in read_iceberg(spark, t).collect()) == want
+    # DML-able again
+    update_iceberg(spark, t, {"v": "v + 1000"}, predicate="id = 100")
+    assert read_iceberg(spark, t).filter("id = 100").collect()[0].v == 1100.0
+
+
+def test_mor_upsert_refusals_and_null_keys(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        upsert_iceberg_mor,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t, partition_by=["s"])
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        upsert_iceberg_mor(spark, t, _df(spark, [(1, "a", 2.0)]), keys=["id"])
+    # equality deletes match NULL keys null-safely
+    t2 = str(tmp_path / "t2")
+    write_iceberg(
+        spark.createDataFrame([(1, None), (2, "b")], "id long, s string"),
+        t2,
+    )
+    upsert_iceberg_mor(
+        spark,
+        t2,
+        spark.createDataFrame([(9, None)], "id long, s string"),
+        keys=["s"],
+    )
+    got = sorted(
+        (r.id, r.s) for r in
+        __import__("sparkstreamingtwitter_presidential_spark.sources.iceberg",
+                   fromlist=["read_iceberg"]).read_iceberg(spark, t2).collect()
+    )
+    assert got == [(2, "b"), (9, None)]  # null key matched null-safely
