@@ -661,6 +661,9 @@ def _norm_path_col(col):
     return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
 
 
+_PAIRS_DRIVER_MAX = 100_000  # rows; above this the pair build distributes
+
+
 def _position_delete_pairs(
     spark: SparkSession, entries: list[dict], delete_entries: list[dict]
 ) -> DataFrame:
@@ -678,6 +681,37 @@ def _position_delete_pairs(
     delete_entries = [
         d for d in delete_entries if d["data_file"]["content"] == 1
     ]
+    # small delete sets (the CDC steady state; size known for free
+    # from the manifests' record_count) build driver-side via pyarrow
+    # into a LocalRelation: no distributed sub-plan, no per-read scan
+    # jobs, and the anti-join's build side is trivially broadcastable.
+    # Large backlogs take the distributed path below — the signal to
+    # run rewrite_position_deletes anyway.
+    total = sum(int(d["data_file"]["record_count"]) for d in delete_entries)
+    if total <= _PAIRS_DRIVER_MAX:
+        import pyarrow.parquet as pq
+
+        eseq_map = {
+            _norm_path(e["data_file"]["file_path"]): int(e["sequence_number"])
+            for e in entries
+        }
+        rows: list[tuple[str, int]] = []
+        for d in delete_entries:
+            ds = int(d["sequence_number"])
+            t = pq.read_table(
+                d["data_file"]["file_path"], columns=["file_path", "pos"]
+            )
+            for p, pos in zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            ):
+                np_ = _norm_path(p)
+                es = eseq_map.get(np_)
+                if es is not None and ds >= es:
+                    rows.append((np_, int(pos)))
+        return spark.createDataFrame(
+            rows, "__dpath string, __dpos long"
+        )
     dmap = [
         (_norm_path(d["data_file"]["file_path"]), int(d["sequence_number"]))
         for d in delete_entries
@@ -700,12 +734,14 @@ def _position_delete_pairs(
         F.col("pos").alias("__dpos"),
         _norm_path_col(F.col("_metadata.file_path")).alias("__dfile"),
     )
+    # no distinct: duplicate pairs (re-deleted rows, overlapping delete
+    # files) are harmless under the left_anti application, and the
+    # dedup would cost a full shuffle of the pair set
     return (
         raw.join(dseq, "__dfile")
         .join(eseq, F.col("__dpath") == F.col("__efile"))
         .filter(F.col("__dseq") >= F.col("__eseq"))
         .select("__dpath", "__dpos")
-        .distinct()
     )
 
 
