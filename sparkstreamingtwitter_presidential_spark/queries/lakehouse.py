@@ -1037,12 +1037,32 @@ def _staged_iceberg_locked(spark: SparkSession, table: str, build) -> str:
                 try:
                     os.rename(lock, f"{lock}.stale")  # one winner
                 except OSError:
-                    pass  # another waiter claimed the takeover
-                else:
-                    shutil.rmtree(table, ignore_errors=True)
+                    continue  # another waiter claimed the takeover
+                # claim BEFORE clearing: create our own fresh lock so
+                # no other waiter can slip in between the rename and
+                # the wipe (an rmtree here could delete a racer's
+                # fresh lock and in-progress build — review finding);
+                # then clear the dead builder's partial state around
+                # our held lock.
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                except FileExistsError:
+                    continue  # a racer claimed first; wait on them
+                for n in os.listdir(table):
+                    if n == "_BUILD_LOCK":
+                        continue
+                    full = os.path.join(table, n)
+                    if os.path.isdir(full):
+                        shutil.rmtree(full, ignore_errors=True)
+                    else:
+                        try:
+                            os.remove(full)
+                        except OSError:
+                            pass
+            else:
+                _time.sleep(0.5)
                 continue
-            _time.sleep(0.5)
-            continue
         # builder: heartbeat the lock while the (possibly long) Spark
         # build runs, so waiters can tell slow from dead
         stop = threading.Event()

@@ -174,7 +174,9 @@ def _base_files(path: str) -> list[tuple[str, str, str, str]]:
     return out
 
 
-def _committed_rel_paths(path: str, commits: set[str]) -> set[str] | None:
+def _committed_rel_paths(
+    path: str, commits: set[str], extra_metas: dict[str, dict] | None = None
+) -> set[str] | None:
     """Partition-relative paths the completed commits' OWN metadata
     recorded (partitionToWriteStats). Slice visibility keys off this
     set, not the listing: a writer that lost the completion race may
@@ -186,11 +188,16 @@ def _committed_rel_paths(path: str, commits: set[str]) -> set[str] | None:
     hd = _hoodie(path)
     out: set[str] = set()
     for c in commits:
-        try:
-            with open(os.path.join(hd, f"{c}.commit"), encoding="utf-8") as fh:
-                meta = json.load(fh)
-        except (OSError, ValueError):
-            return None
+        if extra_metas is not None and c in extra_metas:
+            meta = extra_metas[c]
+        else:
+            try:
+                with open(
+                    os.path.join(hd, f"{c}.commit"), encoding="utf-8"
+                ) as fh:
+                    meta = json.load(fh)
+            except (OSError, ValueError):
+                return None
         stats = meta.get("partitionToWriteStats")
         if stats is None:
             return None
@@ -204,7 +211,9 @@ def _committed_rel_paths(path: str, commits: set[str]) -> set[str] | None:
 
 
 def _latest_slices(
-    path: str, as_of: str | None = None
+    path: str,
+    as_of: str | None = None,
+    extra_metas: dict[str, dict] | None = None,
 ) -> list[tuple[str, str, str, str]]:
     """Per (partition, file group), the newest slice whose instant is
     a COMPLETED commit (≤ ``as_of`` when time traveling) AND which
@@ -212,9 +221,11 @@ def _latest_slices(
     Slices from inflight, rolled-back, or race-losing writes are
     invisible — that is the CoW isolation story."""
     commits = set(_completed_commits(path))
+    if extra_metas:
+        commits |= set(extra_metas)
     if as_of is not None:
         commits = {c for c in commits if c <= as_of}
-    recorded = _committed_rel_paths(path, commits)
+    recorded = _committed_rel_paths(path, commits, extra_metas)
     best: dict[tuple[str, str], tuple[str, str]] = {}
     for part, file_id, instant, full in _base_files(path):
         if instant not in commits:
@@ -582,6 +593,32 @@ def read_hudi(
         for part, fid, inst, full in _latest_slices(path, as_of=as_of)
         if inst > rmap.get((part, fid), "")
     ]
+    if as_of is not None:
+        # archival guard: recompute the selection WITH the archived
+        # commits' metadata folded in; any difference means the as-of
+        # snapshot depends on archived state (e.g. a file group whose
+        # latest-at-as_of slice was written by an archived commit,
+        # which the active-only selection would silently DROP) —
+        # refuse by name rather than returning wrong rows. HEAD reads
+        # never pay this: the walk is O(archived) only under as_of on
+        # an archived table.
+        arch = _archived_commit_metas(path)
+        if arch:
+            full_rmap = _replace_map(
+                path, sorted(set(use) | set(arch)), extra_metas=arch
+            )
+            full_slices = [
+                t
+                for t in _latest_slices(path, as_of=as_of, extra_metas=arch)
+                if t[2] > full_rmap.get((t[0], t[1]), "")
+            ]
+            if sorted(full_slices) != sorted(slices):
+                raise ValueError(
+                    f"as_of {as_of!r} snapshot depends on ARCHIVED "
+                    "commits (archive_hudi_timeline); time travel below "
+                    "the archival boundary is permanently gone — the "
+                    "documented retention trade"
+                )
     if partition_filter is not None:
         lo, hi = partition_filter
         def keep(part: str) -> bool:
@@ -607,7 +644,11 @@ def read_hudi(
     return df if keep_meta else df.drop(*META_COLS)
 
 
-def _replace_map(path: str, commits: list[str]) -> dict[tuple[str, str], str]:
+def _replace_map(
+    path: str,
+    commits: list[str],
+    extra_metas: dict[str, dict] | None = None,
+) -> dict[tuple[str, str], str]:
     """Last replacing instant per (partition, file group), built in ONE
     pass over the completed commits' metadata per read call (was a
     per-slice re-parse of every commit — O(slices × commits) driver
@@ -617,11 +658,16 @@ def _replace_map(path: str, commits: list[str]) -> dict[tuple[str, str], str]:
     hd = _hoodie(path)
     out: dict[tuple[str, str], str] = {}
     for c in commits:
-        try:
-            with open(os.path.join(hd, f"{c}.commit"), encoding="utf-8") as fh:
-                meta = json.load(fh)
-        except (OSError, ValueError):
-            continue
+        if extra_metas is not None and c in extra_metas:
+            meta = extra_metas[c]
+        else:
+            try:
+                with open(
+                    os.path.join(hd, f"{c}.commit"), encoding="utf-8"
+                ) as fh:
+                    meta = json.load(fh)
+            except (OSError, ValueError):
+                continue
         for part, fids in (meta.get("partitionToReplaceFileIds") or {}).items():
             for fid in fids:
                 if c > out.get((part, fid), ""):
@@ -974,6 +1020,27 @@ def clean_hudi(path: str, keep_last: int = 1) -> list[str]:
 
 
 _ARCHIVE_DIR = "archived"
+
+
+def _archived_commit_metas(path: str) -> dict[str, dict]:
+    """instant -> commit metadata for every archived commit (read from
+    .hoodie/archived/*.archive). Used by as-of reads to PROVE an
+    archived commit cannot influence the requested snapshot — see
+    read_hudi's archival guard."""
+    ad = os.path.join(_hoodie(path), _ARCHIVE_DIR)
+    if not os.path.isdir(ad):
+        return {}
+    out: dict[str, dict] = {}
+    for n in sorted(os.listdir(ad)):
+        if not n.endswith(".archive"):
+            continue
+        with open(os.path.join(ad, n), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    out[rec["instant"]] = rec.get("metadata") or {}
+    return out
 
 
 def _archived_instants(path: str) -> list[str]:

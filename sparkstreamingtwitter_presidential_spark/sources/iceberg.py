@@ -70,6 +70,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re_mod
 import time
 import urllib.parse
 import uuid
@@ -644,13 +645,16 @@ def _data_files_for_snapshot(path: str, snap: dict) -> list[dict]:
     return [e["data_file"] for e in _entries_for_snapshot(path, snap)]
 
 
+_FILE_SCHEME_RE = _re_mod.compile(r"^file:/*")
+
+
 def _norm_path(p: str) -> str:
     """Normalize a file path for position-delete matching: strip the
     file: scheme (any slash count) and undo URI %-encoding. Driver-side
     twin of _norm_path_col — both sides of the (path, pos) join must
-    agree byte-for-byte."""
-    p = __import__("re").sub(r"^file:/*", "/", p)
-    return urllib.parse.unquote(p)
+    agree byte-for-byte. Hot on the driver pair-build loop (once per
+    delete row): precompiled pattern, no per-call imports."""
+    return urllib.parse.unquote(_FILE_SCHEME_RE.sub("/", p))
 
 
 def _norm_path_col(col):
@@ -751,6 +755,7 @@ def _row_delete_filter(
     entries: list[dict],
     delete_entries: list[dict],
     ice_schema: dict,
+    pos_pairs: DataFrame | None = None,
 ):
     """ONE closure applying every live row-level delete to a RAW scan
     DataFrame (called per scan branch inside _read_files, where the
@@ -771,10 +776,17 @@ def _row_delete_filter(
 
     Cost shape at 100 TB: the pair set and the per-file value frames
     track DELETED ROWS; the seq map tracks live files (metadata-sized,
-    broadcast); each application is one anti-join AQE sizes itself."""
+    broadcast); each application is one anti-join AQE sizes itself.
+    ``pos_pairs`` lets a caller that already built the pair frame
+    (rewrite_position_deletes' affected-file probe) pass it in instead
+    of re-reading every delete file."""
     pos = [d for d in delete_entries if d["data_file"]["content"] == 1]
     eqs = [d for d in delete_entries if d["data_file"]["content"] == 2]
-    pairs = _position_delete_pairs(spark, entries, pos) if pos else None
+    pairs = (
+        pos_pairs
+        if pos_pairs is not None
+        else (_position_delete_pairs(spark, entries, pos) if pos else None)
+    )
 
     eq_frames: list[tuple[list[str], DataFrame]] = []
     if eqs and _partition_fields(meta, ice_schema):
@@ -784,6 +796,14 @@ def _row_delete_filter(
             "delete may key on)"
         )
     if eqs:
+        # equality values resolve by CURRENT names inside the scan;
+        # file groups written under a drifted schema scan under their
+        # WRITING names (r8 field-id projection), where a current-name
+        # lookup would miss — or, on a name-swap rename, silently bind
+        # the WRONG column. Refuse the combination.
+        _refuse_renamed_files(
+            meta, entries, ice_schema, "equality-delete read"
+        )
         by_id = {f["id"]: f for f in ice_schema["fields"]}
         emap = [
             (
@@ -827,22 +847,29 @@ def _row_delete_filter(
         seq_map = None
 
     def apply(scan: DataFrame) -> DataFrame:
-        out = scan
+        # materialize the scan's pseudo-columns BEFORE any join: the
+        # pair/value frames are parquet-scan-derived too, so an
+        # unresolved `_metadata` reference in a post-join condition
+        # would be AMBIGUOUS between the two sides (found by review;
+        # reproduced as AMBIGUOUS_REFERENCE on the distributed pair
+        # path). After this projection the conditions reference only
+        # plain, unambiguous columns of the left side.
+        before = scan.columns
+        out = scan.withColumn(
+            "__scan_path", _norm_path_col(F.col("_metadata.file_path"))
+        )
         if pairs is not None:
-            key = _norm_path_col(F.col("_metadata.file_path"))
+            out = out.withColumn("__scan_pos", F.col("_metadata.row_index"))
             out = out.join(
                 pairs,
-                (key == pairs["__dpath"])
-                & (F.col("_metadata.row_index") == pairs["__dpos"]),
+                (F.col("__scan_path") == pairs["__dpath"])
+                & (F.col("__scan_pos") == pairs["__dpos"]),
                 "left_anti",
             )
         if eq_frames:
-            before = out.columns
-            out = out.withColumn(
-                "__eqfile_s", _norm_path_col(F.col("_metadata.file_path"))
-            ).join(
+            out = out.join(
                 seq_map,
-                F.col("__eqfile_s") == seq_map["__eqfile"],
+                F.col("__scan_path") == seq_map["__eqfile"],
                 "left",
             )
             for cols, vals in eq_frames:
@@ -850,8 +877,7 @@ def _row_delete_filter(
                 for c in cols:
                     cond = cond & out[c].eqNullSafe(vals[c])
                 out = out.join(vals, cond, "left_anti")
-            out = out.select(*before)
-        return out
+        return out.select(*before)
 
     return apply
 
@@ -2435,6 +2461,7 @@ def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
     pos = [d for d in dels if d["data_file"]["content"] == 1]
     eqs = [d for d in dels if d["data_file"]["content"] == 2]
     affected: set[str] = set()
+    pairs = None
     if pos:
         pairs = _position_delete_pairs(spark, entries, pos)
         affected |= {
@@ -2459,7 +2486,11 @@ def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
     ]
     added: list[dict] = []
     if hit:
-        flt = _row_delete_filter(spark, meta, entries, dels, ice_schema)
+        # reuse the already-built pair frame: no second pass over the
+        # delete files (review finding)
+        flt = _row_delete_filter(
+            spark, meta, entries, dels, ice_schema, pos_pairs=pairs
+        )
         scan = spark.read.schema(spark_schema).parquet(
             *[e["data_file"]["file_path"] for e in hit]
         )

@@ -673,3 +673,34 @@ def test_archive_protects_newest_streaming_marker(spark, tmp_path):
     # contiguity means nothing archived at all
     assert archived == []
     assert last_committed_batch(t, "job") == 0  # idempotence intact
+
+
+def test_archival_guards_as_of_reads_that_depend_on_archived_commits(
+    spark, tmp_path
+):
+    """Time travel to a still-ACTIVE instant must not silently drop a
+    file group whose as-of-latest slice was written by an ARCHIVED
+    commit (review finding): the read recomputes the selection with
+    the archived metadata folded in and refuses by name on any
+    difference; unaffected as-of reads still work."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        archive_hudi_timeline,
+    )
+
+    t = str(tmp_path / "t")
+    i1 = write_hudi(_df(spark, [(1, "a", 1.0)]), t, record_key="id")
+    i2 = write_hudi(_df(spark, [(2, "b", 2.0)]), t, record_key="id")
+    i3 = upsert_hudi(spark, t, _df(spark, [(1, "A3", 3.0)]))
+    archived = archive_hudi_timeline(t, keep_last=2)
+    assert archived == [i1]  # i1's slice is superseded -> archivable
+    # as_of i2's snapshot NEEDS i1 (group 1's latest slice then):
+    # refuse, never silently return only row 2
+    with pytest.raises(ValueError, match="ARCHIVED"):
+        read_hudi(spark, t, as_of=i2)
+    # as_of i3 and HEAD are provably independent of the archive
+    assert sorted(r.id for r in read_hudi(spark, t, as_of=i3).collect()) == [
+        1,
+        2,
+    ]
+    got = {r.id: r.s for r in read_hudi(spark, t).collect()}
+    assert got == {1: "A3", 2: "b"}

@@ -1505,3 +1505,29 @@ def test_mor_upsert_refusals_and_null_keys(spark, tmp_path):
                    fromlist=["read_iceberg"]).read_iceberg(spark, t2).collect()
     )
     assert got == [(2, "b"), (9, None)]  # null key matched null-safely
+
+
+def test_positional_delete_distributed_pair_path(spark, tmp_path, monkeypatch):
+    """Backlogs above _PAIRS_DRIVER_MAX build the pair set as a
+    distributed plan whose frames are themselves parquet-scan-derived;
+    the scan-side anti-join must not trip AMBIGUOUS_REFERENCE on the
+    `_metadata` pseudo-columns (review-confirmed crash: the condition
+    must reference materialized left-side columns, never an unresolved
+    `_metadata` across the join)."""
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as I
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg_positional,
+        rewrite_position_deletes,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(i, f"s{i}", float(i)) for i in range(40)]), t)
+    delete_iceberg_positional(spark, t, "id % 4 = 0")
+    monkeypatch.setattr(I, "_PAIRS_DRIVER_MAX", 0)  # force distributed
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(40) if i % 4 != 0]
+    # the rewrite (the documented remedy for large backlogs) must run
+    # on the distributed path too
+    rewrite_position_deletes(spark, t)
+    got2 = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got2 == got
