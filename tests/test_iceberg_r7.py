@@ -1531,3 +1531,30 @@ def test_positional_delete_distributed_pair_path(spark, tmp_path, monkeypatch):
     rewrite_position_deletes(spark, t)
     got2 = sorted(r.id for r in read_iceberg(spark, t).collect())
     assert got2 == got
+
+
+def test_equality_deletes_refuse_over_foreign_renamed_files(
+    spark, tmp_path
+):
+    """The equality filter resolves CURRENT column names inside scan
+    branches; file groups written under a drifted (renamed) schema
+    scan under their WRITING names, where a current-name lookup would
+    miss — or bind the wrong column on a name swap. The combination
+    refuses by name (review finding)."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        upsert_iceberg_mor,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t)
+    _foreign_rename(t, "v", "val")
+    upsert_iceberg_mor(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(2, "B2", 22.0)], "id long, s string, val double"
+        ),
+        keys=["id"],
+    )
+    with pytest.raises(NotImplementedError, match="equality-delete read"):
+        read_iceberg(spark, t).collect()
