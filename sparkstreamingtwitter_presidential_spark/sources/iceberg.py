@@ -1145,6 +1145,7 @@ def read_iceberg(
     path: str,
     snapshot_id: int | None = None,
     skip_ranges: dict[str, tuple[Any, Any]] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Snapshot read (with time travel by ``snapshot_id``): metadata
     walk driver-side, data scan a plain distributed parquet read over
@@ -1161,8 +1162,16 @@ def read_iceberg(
     twin of read_delta's stats skipping. Files without bounds (older
     manifests, unsupported types) are kept, so skipping never drops
     rows a filter would keep; callers still apply their own filter on
-    the result."""
+    the result.
+
+    ``ref`` reads at a named TAG or BRANCH (spec v2 `refs`): the name
+    resolves to its pinned snapshot-id driver-side; `"main"` is the
+    current snapshot. Mutually exclusive with ``snapshot_id``."""
     meta = _load_metadata(path)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass either snapshot_id or ref, not both")
+        snapshot_id = _resolve_ref(meta, ref)
     snap = _snapshot(meta, snapshot_id)
     # a CURRENT read uses the CURRENT schema (a foreign rename bumps
     # current-schema-id without touching old snapshots); time travel
@@ -1501,6 +1510,87 @@ def table_snapshots(spark: SparkSession, path: str) -> DataFrame:
 
 def current_snapshot_id(path: str) -> int:
     return _snapshot(_load_metadata(path), None)["snapshot-id"]
+
+
+# ----------------------------------------------------- refs (tags/branches)
+
+
+def _resolve_ref(meta: dict, name: str) -> int:
+    """A ref name -> its snapshot id. `main` always resolves to the
+    current snapshot (the spec's implicit main branch)."""
+    if name == "main":
+        cur = meta.get("current-snapshot-id")
+        if cur in (None, -1):
+            raise ValueError("table has no current snapshot")
+        return cur
+    r = (meta.get("refs") or {}).get(name)
+    if r is None:
+        raise ValueError(
+            f"unknown ref {name!r} (have "
+            f"{sorted((meta.get('refs') or {}))!r})"
+        )
+    return r["snapshot-id"]
+
+
+def create_ref(
+    path: str, name: str, snapshot_id: int | None = None, kind: str = "tag"
+) -> int:
+    """Create a named TAG or BRANCH (spec v2 `refs` metadata): a
+    human-readable pin on a snapshot that survives rotation of the
+    snapshot log and — crucially — PROTECTS the snapshot (and its
+    files) from expire_snapshots, which is what makes tags the audit/
+    reproducibility primitive (pin the training-data snapshot a model
+    was built from; the pin holds while newer snapshots churn and
+    expire). Metadata-only commit via the put-if-absent version claim.
+    Returns the pinned snapshot id."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"kind must be tag|branch, got {kind!r}")
+    if name == "main":
+        raise ValueError("'main' is the implicit current-snapshot branch")
+    meta = _load_metadata(path)
+    sid = (
+        snapshot_id
+        if snapshot_id is not None
+        else _snapshot(meta, None)["snapshot-id"]
+    )
+    _snapshot(meta, sid)  # must exist
+    refs = dict(meta.get("refs") or {})
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists")
+    refs[name] = {"snapshot-id": sid, "type": kind}
+    new_meta = dict(meta)
+    new_meta.pop("_loaded_version", None)
+    new_meta["refs"] = refs
+    _claim_metadata_version(path, meta, new_meta)
+    return sid
+
+
+def drop_ref(path: str, name: str) -> None:
+    """Remove a named ref (its snapshot becomes expirable again)."""
+    meta = _load_metadata(path)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"unknown ref {name!r}")
+    del refs[name]
+    new_meta = dict(meta)
+    new_meta.pop("_loaded_version", None)
+    new_meta["refs"] = refs
+    _claim_metadata_version(path, meta, new_meta)
+
+
+def table_refs(spark: SparkSession, path: str) -> DataFrame:
+    """The .refs metadata-table shape: one row per named ref (plus the
+    implicit main branch) — driver-side metadata only."""
+    meta = _load_metadata(path)
+    rows = []
+    cur = meta.get("current-snapshot-id")
+    if cur not in (None, -1):
+        rows.append(("main", "branch", cur))
+    for name, r in sorted((meta.get("refs") or {}).items()):
+        rows.append((name, r.get("type", "tag"), r["snapshot-id"]))
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot_id long"
+    )
 
 
 # ---------------------------------------------------------------- writing
@@ -2120,6 +2210,11 @@ def expire_snapshots(
     keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]}
     if current_id is not None and current_id != -1:
         keep_ids.add(current_id)
+    # named refs PIN their snapshots (the spec's ref retention: a tag
+    # outlives the snapshot churn around it — drop_ref to release)
+    keep_ids |= {
+        r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+    }
     if cutoff_ms is not None:
         keep_ids |= {
             s["snapshot-id"] for s in snaps if s["timestamp-ms"] >= cutoff_ms
@@ -2905,23 +3000,13 @@ def remove_orphan_files(
 # writer's schema check pins appends to the NEW shape from then on.
 
 
-def _evolve_schema(path: str, mutate) -> int:
-    """Shared metadata-only schema commit: ``mutate(fields, meta)``
-    edits a deep copy of the current schema's field list in place and
-    may bump meta bookkeeping (last-column-id). Claims the next
-    metadata version with the same put-if-absent primitive as data
-    commits. Returns the new schema id."""
-    meta = _load_metadata(path)
-    cur = _schema_for(meta, meta.get("current-schema-id", 0))
-    new_schema = json.loads(json.dumps(cur))
-    new_schema["schema-id"] = (
-        max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
-    )
-    new_meta = dict(meta)
+def _claim_metadata_version(path: str, meta: dict, new_meta: dict) -> int:
+    """Shared metadata-only commit primitive (schema evolution, refs):
+    put-if-absent claim of ``meta['_loaded_version'] + 1``, then
+    repoint the version hint. Raises IcebergCommitConflict if any
+    commit landed since planning."""
+    new_meta = dict(new_meta)
     new_meta.pop("_loaded_version", None)
-    mutate(new_schema["fields"], new_meta)
-    new_meta["schemas"] = list(meta["schemas"]) + [new_schema]
-    new_meta["current-schema-id"] = new_schema["schema-id"]
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     new_version = meta["_loaded_version"] + 1
     target = os.path.join(_metadata_dir(path), f"v{new_version}.metadata.json")
@@ -2940,6 +3025,27 @@ def _evolve_schema(path: str, mutate) -> int:
     with open(tmp_hint, "w", encoding="utf-8") as fh:
         fh.write(str(new_version))
     os.replace(tmp_hint, os.path.join(_metadata_dir(path), _VERSION_HINT))
+    return new_version
+
+
+def _evolve_schema(path: str, mutate) -> int:
+    """Shared metadata-only schema commit: ``mutate(fields, meta)``
+    edits a deep copy of the current schema's field list in place and
+    may bump meta bookkeeping (last-column-id). Claims the next
+    metadata version with the same put-if-absent primitive as data
+    commits. Returns the new schema id."""
+    meta = _load_metadata(path)
+    cur = _schema_for(meta, meta.get("current-schema-id", 0))
+    new_schema = json.loads(json.dumps(cur))
+    new_schema["schema-id"] = (
+        max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
+    )
+    new_meta = dict(meta)
+    new_meta.pop("_loaded_version", None)
+    mutate(new_schema["fields"], new_meta)
+    new_meta["schemas"] = list(meta["schemas"]) + [new_schema]
+    new_meta["current-schema-id"] = new_schema["schema-id"]
+    _claim_metadata_version(path, meta, new_meta)
     return new_schema["schema-id"]
 
 

@@ -1558,3 +1558,52 @@ def test_equality_deletes_refuse_over_foreign_renamed_files(
     )
     with pytest.raises(NotImplementedError, match="equality-delete read"):
         read_iceberg(spark, t).collect()
+
+
+# ------------------------------------------------------- r8: refs
+
+
+def test_refs_tag_read_protect_and_drop(spark, tmp_path):
+    """Spec v2 refs: a tag pins a snapshot by name — read_iceberg(ref=)
+    time travel, expire_snapshots protection (the audit/repro
+    primitive: pin the snapshot a model trained on), drop to release;
+    'main' is the implicit current branch."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        create_ref,
+        drop_ref,
+        expire_snapshots,
+        table_refs,
+    )
+
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    create_ref(t, "v1.0", kind="tag")  # pins s1 (current)
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    write_iceberg(_df(spark, [(3, "c", 3.0)]), t, mode="append")
+
+    assert sorted(r.id for r in read_iceberg(spark, t, ref="v1.0").collect()) == [1]
+    assert sorted(r.id for r in read_iceberg(spark, t, ref="main").collect()) == [1, 2, 3]
+    refs = {r.name: (r.type, r.snapshot_id) for r in table_refs(spark, t).collect()}
+    assert refs["v1.0"] == ("tag", s1) and refs["main"][0] == "branch"
+
+    # expiry keeps the tagged snapshot (and its files) alive
+    out = expire_snapshots(t, keep_last=1)
+    assert s1 not in out["expired_snapshots"]
+    assert sorted(r.id for r in read_iceberg(spark, t, ref="v1.0").collect()) == [1]
+
+    # unknown / duplicate / main refusals
+    with pytest.raises(ValueError, match="unknown ref"):
+        read_iceberg(spark, t, ref="nope")
+    with pytest.raises(ValueError, match="already exists"):
+        create_ref(t, "v1.0")
+    with pytest.raises(ValueError, match="main"):
+        create_ref(t, "main")
+    with pytest.raises(ValueError, match="either snapshot_id or ref"):
+        read_iceberg(spark, t, snapshot_id=s1, ref="v1.0")
+
+    # drop releases the pin; the next expiry reclaims it
+    drop_ref(t, "v1.0")
+    out2 = expire_snapshots(t, keep_last=1)
+    assert s1 in out2["expired_snapshots"]
+    with pytest.raises(ValueError, match="unknown ref"):
+        read_iceberg(spark, t, ref="v1.0")
