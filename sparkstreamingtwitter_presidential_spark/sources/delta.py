@@ -251,6 +251,7 @@ def read_delta(
     path: str,
     version: int | None = None,
     skip_ranges: dict[str, tuple[Any, Any]] | None = None,
+    timestamp: Any | None = None,
 ) -> DataFrame:
     """Snapshot read of a Delta table (optionally a past ``version``).
 
@@ -268,7 +269,15 @@ def read_delta(
     the row filter: callers still apply `.filter(...)`; the win is that
     on a clustered table (optimize_delta cluster_by) a selective range
     touches a few files instead of every file. Timestamp bounds are
-    ISO-8601 strings (lexicographic == chronological)."""
+    ISO-8601 strings (lexicographic == chronological).
+
+    ``timestamp`` (datetime or epoch millis) is `timestampAsOf` time
+    travel: resolves to the latest version committed at-or-before it
+    (version_at_timestamp); mutually exclusive with ``version``."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass either version or timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
     snap = _replay_log(path, version)
     if skip_ranges:
         snap.files = {
@@ -521,6 +530,90 @@ def delta_row_changes(
 def table_version(path: str) -> int:
     """Latest committed version of the table."""
     return _replay_log(path, None).version
+
+
+def version_at_timestamp(path: str, ts: Any) -> int:
+    """Resolve timestamp-based time travel (`timestampAsOf`): the
+    LATEST version whose commit timestamp is <= ``ts`` (datetime —
+    naive treated as UTC — or epoch millis), per the real client's
+    rule. Commit timestamps come from each commit's commitInfo
+    (falling back to the json file's mtime for foreign commits
+    without one, the protocol's documented fallback). Raises if every
+    commit is newer than ``ts``."""
+    from datetime import datetime as _dtt
+    from datetime import timezone as _tzz
+
+    if isinstance(ts, _dtt):
+        ref = ts if ts.tzinfo is not None else ts.replace(tzinfo=_tzz.utc)
+        ts_ms = int(ref.timestamp() * 1000)
+    else:
+        ts_ms = int(ts)
+    log_dir = _log_path(path)
+    best: int | None = None
+    for n in sorted(os.listdir(log_dir)):
+        v = _version_of(n, ".json")
+        if v is None:
+            continue
+        commit_ms: int | None = None
+        with open(os.path.join(log_dir, n)) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        commit_ms = action["commitInfo"].get("timestamp")
+        if commit_ms is None:
+            commit_ms = int(
+                os.path.getmtime(os.path.join(log_dir, n)) * 1000
+            )
+        if commit_ms <= ts_ms and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit of {path} at or before the requested timestamp "
+            "(the earliest readable commit is newer, or the log below "
+            "it was expired)"
+        )
+    return best
+
+
+def restore_delta(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF v: commit a new version whose
+    live file set equals version ``v``'s — adds back files ``v`` had
+    that the head dropped, removes files the head has that ``v``
+    lacked. History is PRESERVED (restore is one more commit, not a
+    rewind): time travel to the pre-restore head still works, and the
+    restored-to files must still exist (a vacuum that reclaimed them
+    makes the restore fail loudly at scan time, the real client's
+    documented caveat). Metadata-only: no data files move. Returns the
+    new version."""
+    head = _replay_log(path, None)
+    target = _replay_log(path, version)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = []
+    for p_, a in target.files.items():
+        if p_ not in head.files:
+            actions.append({"add": {**a, "dataChange": True}})
+    for p_ in head.files:
+        if p_ not in target.files:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p_,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    if not actions:
+        return head.version  # already identical: no empty commit
+    return commit_actions(
+        path,
+        head.version,
+        actions,
+        "RESTORE",
+        {"version": str(version)},
+    )
 
 
 def delta_changes(

@@ -1140,12 +1140,39 @@ def _read_files(
     return reduce(DataFrame.unionByName, [empty] + parts)
 
 
+def snapshot_at_timestamp(path: str, ts: Any) -> int:
+    """Resolve timestamp-based time travel: the snapshot CURRENT at
+    ``ts`` (datetime — naive treated as UTC — or epoch millis) = the
+    latest snapshot-log entry at-or-before it, the real client's
+    rule. Raises if the log starts after ``ts``."""
+    if isinstance(ts, _dt):
+        ref = ts if ts.tzinfo is not None else ts.replace(tzinfo=_tz.utc)
+        ts_ms = int(ref.timestamp() * 1000)
+    else:
+        ts_ms = int(ts)
+    meta = _load_metadata(path)
+    best = None
+    for e in meta.get("snapshot-log", []):
+        if e["timestamp-ms"] <= ts_ms and (
+            best is None or e["timestamp-ms"] > best["timestamp-ms"]
+        ):
+            best = e
+    if best is None:
+        raise ValueError(
+            f"no snapshot of {path} at or before the requested "
+            "timestamp (the earliest log entry is newer, or history "
+            "below it was expired)"
+        )
+    return best["snapshot-id"]
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     skip_ranges: dict[str, tuple[Any, Any]] | None = None,
     ref: str | None = None,
+    timestamp: Any | None = None,
 ) -> DataFrame:
     """Snapshot read (with time travel by ``snapshot_id``): metadata
     walk driver-side, data scan a plain distributed parquet read over
@@ -1166,11 +1193,17 @@ def read_iceberg(
 
     ``ref`` reads at a named TAG or BRANCH (spec v2 `refs`): the name
     resolves to its pinned snapshot-id driver-side; `"main"` is the
-    current snapshot. Mutually exclusive with ``snapshot_id``."""
+    current snapshot. ``timestamp`` (datetime or epoch millis) reads
+    the snapshot current at that instant (snapshot_at_timestamp).
+    snapshot_id / ref / timestamp are mutually exclusive."""
+    if sum(x is not None for x in (snapshot_id, ref, timestamp)) > 1:
+        raise ValueError(
+            "pass at most one of snapshot_id, ref, timestamp"
+        )
+    if timestamp is not None:
+        snapshot_id = snapshot_at_timestamp(path, timestamp)
     meta = _load_metadata(path)
     if ref is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass either snapshot_id or ref, not both")
         snapshot_id = _resolve_ref(meta, ref)
     snap = _snapshot(meta, snapshot_id)
     # a CURRENT read uses the CURRENT schema (a foreign rename bumps

@@ -825,3 +825,49 @@ def test_vacuum_retention_survives_checkpoint_plus_log_expiry(
     gone2 = vacuum_delta(p, retention_hours=24.0, now_ms=later)
     assert sorted(gone2)  # all tombstoned files reclaimed now
     assert read_delta(spark, p).count() == 0
+
+
+def test_restore_delta_and_timestamp_travel(spark, tmp_path):
+    """RESTORE commits a new version whose live set equals the target
+    version's (history preserved: the pre-restore head still time
+    travels); timestamp travel resolves the latest version committed
+    at-or-before the instant."""
+    import time as _time
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        restore_delta,
+        version_at_timestamp,
+    )
+
+    p = _mk_table(spark, str(tmp_path / "t"))
+    t_v0 = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    delete_delta(spark, p, "id <= 2")  # v1
+    update_delta(spark, p, {"val": "val * 10"}, "id = 5")  # v2
+    head = _rows(spark, p)
+    assert (5, "c", 500.0) in head and len(head) == 3
+
+    v = restore_delta(spark, p, 0)
+    assert v == 3
+    assert _rows(spark, p) == _rows(spark, p, version=0)
+    assert len(_rows(spark, p)) == 5
+    # history preserved: the pre-restore head is still reachable
+    assert _rows(spark, p, version=2) == head
+    ops = {h["version"]: h.get("operation") for h in delta_history(p)}
+    assert ops[3] == "RESTORE"
+    # restore to the current state is a no-op (no empty commit)
+    assert restore_delta(spark, p, 3) == 3
+
+    # timestamp travel: an instant just after v0 resolves version 0
+    assert version_at_timestamp(p, t_v0) == 0
+    got = {
+        tuple(r)
+        for r in read_delta(spark, p, timestamp=t_v0)
+        .select("id", "cat", "val")
+        .collect()
+    }
+    assert len(got) == 5
+    with pytest.raises(ValueError, match="either version or timestamp"):
+        read_delta(spark, p, version=0, timestamp=t_v0)
+    with pytest.raises(ValueError, match="at or before"):
+        version_at_timestamp(p, 0)

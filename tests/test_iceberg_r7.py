@@ -1607,3 +1607,31 @@ def test_refs_tag_read_protect_and_drop(spark, tmp_path):
     assert s1 in out2["expired_snapshots"]
     with pytest.raises(ValueError, match="unknown ref"):
         read_iceberg(spark, t, ref="v1.0")
+
+
+def test_iceberg_timestamp_travel(spark, tmp_path):
+    import time as _time
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        snapshot_at_timestamp,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    t_after_s1 = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+
+    sid = snapshot_at_timestamp(t, t_after_s1)
+    assert sorted(
+        r.id for r in read_iceberg(spark, t, timestamp=t_after_s1).collect()
+    ) == [1]
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [1, 2]
+    # the resolved id reads identically to explicit snapshot travel
+    assert sorted(
+        r.id for r in read_iceberg(spark, t, snapshot_id=sid).collect()
+    ) == [1]
+    with pytest.raises(ValueError, match="at most one"):
+        read_iceberg(spark, t, ref="main", timestamp=t_after_s1)
+    with pytest.raises(ValueError, match="at or before"):
+        snapshot_at_timestamp(t, 0)
