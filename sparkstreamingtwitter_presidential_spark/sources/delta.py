@@ -98,15 +98,22 @@ class _Snapshot:
 
 def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
     if "protocol" in action:
-        v = action["protocol"].get("minReaderVersion", 1)
-        if v > MAX_SUPPORTED_READER_VERSION:
-            feats = action["protocol"].get("readerFeatures", [])
+        pr = action["protocol"]
+        v = pr.get("minReaderVersion", 1)
+        feats = set(pr.get("readerFeatures") or [])
+        # reader v2 IS column mapping; v3 lists features — we read
+        # columnMapping (name/id modes, see read_delta) and refuse
+        # everything else (deletion vectors, v2 checkpoints, ...)
+        if v == 2 or (v == 3 and feats <= {"columnMapping"}):
+            pass
+        elif v > MAX_SUPPORTED_READER_VERSION:
             raise NotImplementedError(
                 f"table requires reader protocol {v} "
-                f"(features {feats}); this native reader supports "
-                f"version {MAX_SUPPORTED_READER_VERSION}"
+                f"(features {sorted(feats)}); this native reader "
+                f"supports version {MAX_SUPPORTED_READER_VERSION} plus "
+                "columnMapping"
             )
-        snap.protocol_action = action["protocol"]
+        snap.protocol_action = pr
     elif "metaData" in action:
         md = action["metaData"]
         snap.schema = StructType.fromJson(json.loads(md["schemaString"]))
@@ -246,6 +253,45 @@ def file_skips(
     return False
 
 
+def _column_mapping(snap: _Snapshot) -> dict[str, str] | None:
+    """logical name -> PHYSICAL name for top-level fields when the
+    table uses column mapping (delta.columnMapping.mode name|id —
+    reader v2/v3's feature; Databricks-default tables). None when
+    unmapped. Physical names come from each field's
+    `delta.columnMapping.physicalName` metadata in schemaString; data
+    files and add.partitionValues use the physical names."""
+    md = snap.metadata_action or {}
+    mode = (md.get("configuration") or {}).get("delta.columnMapping.mode")
+    if mode in (None, "none"):
+        return None
+    if mode not in ("name", "id"):
+        raise NotImplementedError(
+            f"columnMapping mode {mode!r} is not supported"
+        )
+    assert snap.schema is not None
+    out: dict[str, str] = {}
+    for f in snap.schema.fields:
+        phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        if not phys:
+            raise NotImplementedError(
+                f"column-mapped table field {f.name!r} lacks "
+                "delta.columnMapping.physicalName metadata"
+            )
+        out[f.name] = phys
+    return out
+
+
+def _refuse_column_mapping(snap: _Snapshot, ctx: str) -> None:
+    """Write paths stage files and stats under LOGICAL names; on a
+    mapped table that would corrupt the physical-name contract —
+    refuse (read support only)."""
+    if _column_mapping(snap) is not None:
+        raise NotImplementedError(
+            f"{ctx} on a column-mapped table is not supported by this "
+            "native writer (reads are)"
+        )
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -279,7 +325,10 @@ def read_delta(
             raise ValueError("pass either version or timestamp, not both")
         version = version_at_timestamp(path, timestamp)
     snap = _replay_log(path, version)
-    if skip_ranges:
+    mapping = _column_mapping(snap)
+    if skip_ranges and mapping is None:
+        # mapped tables skip stats-skipping: their stats JSON keys are
+        # PHYSICAL names; keeping every file is always correct
         snap.files = {
             p: a
             for p, a in snap.files.items()
@@ -292,6 +341,16 @@ def read_delta(
     part_types = {
         f.name: f.dataType for f in schema.fields if f.name in snap.partition_columns
     }
+    phys = (lambda c: mapping[c]) if mapping else (lambda c: c)
+    if mapping:
+        # scan under the PHYSICAL names (what the files store), alias
+        # back to logical after — the protocol's name/id-mode read
+        data_schema = StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
 
     if not snap.files:
         return spark.createDataFrame([], schema)
@@ -300,14 +359,26 @@ def read_delta(
         return os.path.join(path, urllib.parse.unquote(p))
 
     if not snap.partition_columns:
-        return spark.read.schema(data_schema).parquet(
+        df = spark.read.schema(data_schema).parquet(
             *[_file(p) for p in sorted(snap.files)]
         )
+        if mapping:
+            df = df.select(
+                *[
+                    F.col(mapping[f.name]).alias(f.name)
+                    for f in data_fields
+                ]
+            )
+        return df
 
     groups: dict[tuple, list[str]] = {}
     for p, a in snap.files.items():
         pv = a.get("partitionValues", {})
-        key = tuple(pv.get(c) for c in snap.partition_columns)
+        # mapped tables key partitionValues by PHYSICAL name; accept a
+        # logical-keyed fallback for lenient foreign writers
+        key = tuple(
+            pv.get(phys(c), pv.get(c)) for c in snap.partition_columns
+        )
         groups.setdefault(key, []).append(_file(p))
 
     # Adaptive, matching the Iceberg twin (iceberg._read_files): up to
@@ -319,7 +390,8 @@ def read_delta(
     # 1000-partition full scan is a single scan node. Null partition
     # values or layout-less paths (foreign writers) keep the union.
     fast_ok = (
-        len(groups) > 32
+        mapping is None
+        and len(groups) > 32
         and all(v is not None for key in groups for v in key)
         and all(
             f"/{c}=" in p
@@ -374,6 +446,13 @@ def read_delta(
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        if mapping:
+            df = df.select(
+                *[
+                    F.col(mapping[f.name]).alias(f.name)
+                    for f in data_fields
+                ]
+            )
         for col, val in zip(snap.partition_columns, key):
             # Protocol: partition values serialize as strings; NULL is
             # the JSON null. Cast back to the declared type.
@@ -1143,6 +1222,7 @@ def write_delta(
     except FileNotFoundError:
         existing = None
     if existing is not None:
+        _refuse_column_mapping(existing, "write_delta")
         if partition_by and partition_by != existing.partition_columns:
             raise ValueError(
                 f"partition_by {partition_by} != table's "

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from sparkstreamingtwitter_presidential_spark.sources.delta import (
+    _refuse_column_mapping,
     _replay_log,
     _Snapshot,
     _stage_files,
@@ -153,6 +154,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
     where the predicate is TRUE are deleted). Returns the new version
     (unchanged if nothing matched — no empty commit)."""
     snap = _replay_log(path, None)
+    _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
     scan = _scan_with_file(spark, path, snap)
     cond = F.expr(predicate)
     affected = _affected_files(scan, cond)
@@ -182,6 +184,7 @@ def update_delta(
     row, like SQL UPDATE). Partition columns cannot be updated (a real
     row-move rewrite is MERGE's job). Returns the new version."""
     snap = _replay_log(path, None)
+    _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
     bad = set(set_exprs) & set(snap.partition_columns)
     if bad:
         raise ValueError(
@@ -255,6 +258,7 @@ def merge_delta(
     if when_matched not in ("update", "delete", "none"):
         raise ValueError(f"when_matched must be update|delete|none: {when_matched!r}")
     snap = _replay_log(path, None)
+    _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
     schema = snap.schema
     assert schema is not None
     tcols = [f.name for f in schema.fields]
@@ -368,6 +372,7 @@ def vacuum_delta(
     ``now_ms`` is injectable for deterministic tests."""
     now = _now_ms() if now_ms is None else now_ms
     cutoff = now - int(retention_hours * 3600 * 1000)
+    # vacuum deals purely in PATHS — safe on column-mapped tables
     snap = _replay_log(path, None)
     log_dir = os.path.join(path, "_delta_log")
 
@@ -512,6 +517,7 @@ def optimize_delta(
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     snap = _replay_log(path, None)
+    _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
     for arg_name, arg in (("cluster_by", cluster_by), ("zorder_by", zorder_by)):
         if not arg:
             continue

@@ -280,3 +280,82 @@ def test_lakehouse_facade_falls_back_to_native_delta(spark, tmp_path):
     # Hudi layout, not a missing jar
     with pytest.raises(FileNotFoundError, match="not a Hudi table"):
         read_lakehouse(spark, "hudi", t)
+
+
+def test_column_mapped_table_reads_by_physical_name(spark, tmp_path):
+    """Reader v2/v3 column mapping (name mode — the Databricks
+    default): data files store PHYSICAL column names; the log's
+    schemaString carries logical names with
+    delta.columnMapping.physicalName metadata. Reads scan under the
+    physical names and alias to logical; write/DML on mapped tables
+    refuse (read-only support); vacuum (path-only) still works."""
+    import json as _json
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        read_delta,
+        write_delta,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+    )
+
+    t = str(tmp_path / "t")
+    # stage a table whose FILES carry physical names
+    phys = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)],
+        "`col-abc123` long, `col-def456` string, `col-ghi789` double",
+    )
+    write_delta(phys, t)
+    # forge the mapped metadata: logical names + physicalName metadata
+    log = os.path.join(t, "_delta_log", "00000000000000000000.json")
+    out = []
+    logical = [("id", "col-abc123"), ("s", "col-def456"), ("v", "col-ghi789")]
+    for ln in open(log).read().splitlines():
+        act = _json.loads(ln)
+        if "protocol" in act:
+            act["protocol"]["minReaderVersion"] = 2
+        if "metaData" in act:
+            sch = _json.loads(act["metaData"]["schemaString"])
+            for f, (lname, pname) in zip(sch["fields"], logical):
+                assert f["name"] == pname
+                f["name"] = lname
+                f["metadata"] = {
+                    "delta.columnMapping.id": logical.index((lname, pname)) + 1,
+                    "delta.columnMapping.physicalName": pname,
+                }
+            act["metaData"]["schemaString"] = _json.dumps(sch)
+            act["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "name"
+            }
+        out.append(_json.dumps(act))
+    open(log, "w").write("\n".join(out) + "\n")
+
+    back = read_delta(spark, t)
+    assert back.columns == ["id", "s", "v"]
+    assert sorted((r.id, r.s, r.v) for r in back.collect()) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+    ]
+    # writes and DML refuse; vacuum is path-only and allowed
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        write_delta(back, t)
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        delete_delta(spark, t, "id = 1")
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        vacuum_delta,
+    )
+
+    assert vacuum_delta(t) == []
+    # reader v3 with features beyond columnMapping still refuses
+    out2 = []
+    for ln in open(log).read().splitlines():
+        act = _json.loads(ln)
+        if "protocol" in act:
+            act["protocol"] = {
+                "minReaderVersion": 3,
+                "readerFeatures": ["columnMapping", "deletionVectors"],
+            }
+        out2.append(_json.dumps(act))
+    open(log, "w").write("\n".join(out2) + "\n")
+    with pytest.raises(NotImplementedError, match="reader protocol"):
+        read_delta(spark, t).collect()
