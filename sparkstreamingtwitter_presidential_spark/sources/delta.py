@@ -12,15 +12,19 @@ parquet Spark already reads. So this module implements the real thing:
   write_delta(df, path, mode=...)         append / overwrite commits
   delta_history(path)                     commit metadata per version
 
-Protocol coverage (reader version 1, writer version 2 — the classic
-protocol): JSON commits, parquet checkpoints + `_last_checkpoint`,
-`metaData.schemaString` (Spark JSON schema — applied, so reads are
-schema-stable even over evolving files), partition columns (values live
-in the log, NOT the data files), `remove` tombstones, time travel by
-version, and `txn` (appId, version) actions — the protocol's
-idempotent-streaming-writer marker (consumed by streaming/delta_sink.py). Tables requiring reader features beyond that (deletion
-vectors, column mapping — `protocol.minReaderVersion > 1`) raise
-NotImplementedError naming the feature rather than returning wrong rows.
+Protocol coverage (reader version 1 writes, reads through version 3's
+columnMapping): JSON commits, parquet checkpoints + `_last_checkpoint`
+(persisting unexpired remove tombstones, r8), `metaData.schemaString`
+(applied, so reads are schema-stable even over evolving files),
+partition columns (values live in the log, NOT the data files),
+`remove` tombstones, time travel by version AND timestamp
+(`timestampAsOf`, r8), RESTORE to a version (r8), COLUMN MAPPING reads
+(name/id modes — physical-name scans aliased to the logical schema,
+r8; writes/DML on mapped tables refuse), and `txn` (appId, version)
+actions — the protocol's idempotent-streaming-writer marker (consumed
+by streaming/delta_sink.py). Tables requiring any OTHER reader feature
+(deletion vectors, v2 checkpoints) raise NotImplementedError naming
+the feature rather than returning wrong rows.
 
 Commit atomicity uses O_CREAT|O_EXCL on the next `%020d.json`, the
 protocol's put-if-absent primitive: correct on POSIX / HDFS-like stores;
