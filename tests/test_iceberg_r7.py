@@ -1598,7 +1598,7 @@ def test_refs_tag_read_protect_and_drop(spark, tmp_path):
         create_ref(t, "v1.0")
     with pytest.raises(ValueError, match="main"):
         create_ref(t, "main")
-    with pytest.raises(ValueError, match="either snapshot_id or ref"):
+    with pytest.raises(ValueError, match="at most one"):
         read_iceberg(spark, t, snapshot_id=s1, ref="v1.0")
 
     # drop releases the pin; the next expiry reclaims it
