@@ -43,24 +43,32 @@ def _require(fmt: str, spark: SparkSession) -> str:
     return name
 
 
-def read_lakehouse(spark: SparkSession, fmt: str, path: str) -> DataFrame:
-    """``spark.read.format(fmt).load(path)``; for delta without the
-    jar, the native log-replay reader (`sources/delta.py`)."""
+def read_lakehouse(
+    spark: SparkSession, fmt: str, path: str, **kwargs
+) -> DataFrame:
+    """``spark.read.format(fmt).load(path)``; without the jar, the
+    native readers (`sources/delta.py` / `iceberg.py` / `hudi.py`).
+    ``kwargs`` always route to the NATIVE reader (version=, timestamp=,
+    snapshot_id=, ref=, skip_ranges=, as_of=, partition_filter=, ...)
+    — the jar path takes no options here, so passing any option picks
+    the native implementation rather than silently dropping it."""
     try:
+        if kwargs:
+            raise NotImplementedError("kwargs route to the native readers")
         return spark.read.format(_require(fmt, spark)).load(path)
     except NotImplementedError:
         if fmt == "delta":
             from sparkstreamingtwitter_presidential_spark.sources.delta import read_delta
 
-            return read_delta(spark, path)
+            return read_delta(spark, path, **kwargs)
         if fmt == "iceberg":
             from sparkstreamingtwitter_presidential_spark.sources.iceberg import read_iceberg
 
-            return read_iceberg(spark, path)
+            return read_iceberg(spark, path, **kwargs)
         if fmt == "hudi":
             from sparkstreamingtwitter_presidential_spark.sources.hudi import read_hudi
 
-            return read_hudi(spark, path)
+            return read_hudi(spark, path, **kwargs)
         raise
 
 
