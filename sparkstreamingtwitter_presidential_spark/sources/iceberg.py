@@ -713,8 +713,12 @@ def _position_delete_pairs(
                 es = eseq_map.get(np_)
                 if es is not None and ds >= es:
                     rows.append((np_, int(pos)))
-        return spark.createDataFrame(
-            rows, "__dpath string, __dpos long"
+        # explicitly broadcast: the driver path is BOUNDED by
+        # _PAIRS_DRIVER_MAX (a few MB at most), and createDataFrame is
+        # RDD-backed (no size stats), so without the hint the static
+        # planner falls back to a full SortMergeJoin of the table
+        return F.broadcast(
+            spark.createDataFrame(rows, "__dpath string, __dpos long")
         )
     dmap = [
         (_norm_path(d["data_file"]["file_path"]), int(d["sequence_number"]))

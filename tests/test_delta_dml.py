@@ -871,3 +871,29 @@ def test_restore_delta_and_timestamp_travel(spark, tmp_path):
         read_delta(spark, p, version=0, timestamp=t_v0)
     with pytest.raises(ValueError, match="at or before"):
         version_at_timestamp(p, 0)
+
+
+def test_version_at_timestamp_mtime_fallback(spark, tmp_path):
+    """Foreign commits without a commitInfo timestamp fall back to the
+    json file's mtime (the protocol's documented fallback)."""
+    import json as _json
+    import time as _time
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        version_at_timestamp,
+    )
+
+    p = _mk_table(spark, str(tmp_path / "t"))
+    log = os.path.join(p, "_delta_log", "00000000000000000000.json")
+    # strip commitInfo entirely (a minimal foreign writer)
+    lines = [
+        ln
+        for ln in open(log).read().splitlines()
+        if "commitInfo" not in _json.loads(ln)
+    ]
+    open(log, "w").write("\n".join(lines) + "\n")
+    old = _time.time() - 3600
+    os.utime(log, (old, old))
+    assert version_at_timestamp(p, int((old + 60) * 1000)) == 0
+    with pytest.raises(ValueError, match="at or before"):
+        version_at_timestamp(p, int((old - 60) * 1000))

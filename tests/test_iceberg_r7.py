@@ -1635,3 +1635,22 @@ def test_iceberg_timestamp_travel(spark, tmp_path):
         read_iceberg(spark, t, ref="main", timestamp=t_after_s1)
     with pytest.raises(ValueError, match="at or before"):
         snapshot_at_timestamp(t, 0)
+
+
+def test_positional_delete_read_plan_broadcasts_pairs(spark, tmp_path):
+    """Small delete sets (the CDC steady state) build pairs as a
+    driver-side LocalRelation with a KNOWN size, so the scan-side
+    LeftAnti join plans as a BroadcastHashJoin — no shuffle of the
+    table for a kilobyte of deletes (the 100 TB plan shape)."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg_positional,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(i, f"s{i}", float(i)) for i in range(100)]), t)
+    delete_iceberg_positional(spark, t, "id % 10 = 0")
+    df = read_iceberg(spark, t)
+    assert len(df.collect()) == 90  # execute THIS frame's plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
