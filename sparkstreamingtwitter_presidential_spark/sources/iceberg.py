@@ -793,12 +793,6 @@ def _row_delete_filter(
     )
 
     eq_frames: list[tuple[list[str], DataFrame]] = []
-    if eqs and _partition_fields(meta, ice_schema):
-        raise NotImplementedError(
-            "equality deletes on partitioned tables are not supported "
-            "(scan branches lack the partition source columns the "
-            "delete may key on)"
-        )
     if eqs:
         # equality values resolve by CURRENT names inside the scan;
         # file groups written under a drifted schema scan under their
@@ -826,6 +820,9 @@ def _row_delete_filter(
                     "equality delete file without equality_ids; refusing "
                     "rather than guessing the delete key"
                 )
+            psrc = {
+                pf["source_id"] for pf in _partition_fields(meta, ice_schema)
+            }
             cols = []
             for i in ids:
                 f = by_id.get(i)
@@ -833,6 +830,13 @@ def _row_delete_filter(
                     raise NotImplementedError(
                         f"equality delete keyed on field id {i} which is "
                         "not a top-level primitive of the current schema"
+                    )
+                if i in psrc:
+                    raise NotImplementedError(
+                        f"equality delete keyed on partition source "
+                        f"column {f['name']!r}; scan branches inject "
+                        "partition values AFTER the delete filter — "
+                        "data-column-keyed equality deletes are supported"
                     )
                 cols.append(f["name"])
             schema = T.StructType(

@@ -1654,3 +1654,60 @@ def test_positional_delete_read_plan_broadcasts_pairs(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_equality_deletes_apply_on_partitioned_tables(spark, tmp_path):
+    """Foreign partitioned tables carrying DATA-column-keyed equality
+    deletes read correctly (every scan branch holds the data columns);
+    a delete keyed on a PARTITION SOURCE column refuses by name (its
+    values inject after the filter)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]),
+        t,
+        partition_by=["s"],
+    )
+    # forge a foreign equality-delete commit keyed on the DATA column
+    # id (field 1): one value row deleting id=2 wherever it lives
+    meta = I._load_metadata(t)
+    ddir = os.path.join(t, "data", "eqdel")
+    os.makedirs(ddir)
+    dfile = os.path.join(ddir, "eq.parquet")
+    pq.write_table(pa.table({"id": pa.array([2], pa.int64())}), dfile)
+    eq = {
+        "content": 2,
+        "file_path": dfile,
+        "file_format": "PARQUET",
+        "partition": {"s": None},
+        "record_count": 1,
+        "file_size_in_bytes": os.path.getsize(dfile),
+        "lower_bounds": None,
+        "upper_bounds": None,
+        "equality_ids": [1],
+    }
+    ice_schema = I._schema_for(meta, meta.get("current-schema-id", 0))
+    pf = I._partition_fields(meta, ice_schema)
+    I._commit_snapshot(
+        t, meta, ice_schema, pf,
+        added_files=[], existing_entries=[], deleted_entries=[],
+        carry_prior_manifests=True, operation="overwrite",
+        added_delete_files=[eq],
+    )
+    got = sorted((r.id, r.s) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "a"), (3, "b")]  # id=2 gone across partitions
+    # keyed on the partition source -> named refusal
+    meta2 = I._load_metadata(t)
+    eq2 = dict(eq, equality_ids=[2])  # field 2 == partition source 's'
+    I._commit_snapshot(
+        t, meta2, ice_schema, pf,
+        added_files=[], existing_entries=[], deleted_entries=[],
+        carry_prior_manifests=True, operation="overwrite",
+        added_delete_files=[eq2],
+    )
+    with pytest.raises(NotImplementedError, match="partition source"):
+        read_iceberg(spark, t).collect()
