@@ -1082,7 +1082,6 @@ def _read_files(
         df = spark.read.schema(data_schema).parquet(
             *sorted(f["file_path"] for f in files)
         )
-        df = _minus_deletes(df)
         if with_file:
             df = df.select("*", base_col)
         import re as _re
@@ -1107,6 +1106,9 @@ def _read_files(
                 pf["source_name"],
                 raw.cast(fields_by_name[pf["source_name"]].dataType),
             )
+        # delete filter LAST: its joins leave `_metadata` ambiguous,
+        # so every _metadata-derived column must exist already
+        df = _minus_deletes(df)
         return df.select(*out_cols)
 
     groups: dict[tuple, list[str]] = {}

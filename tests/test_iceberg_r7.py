@@ -1711,3 +1711,53 @@ def test_equality_deletes_apply_on_partitioned_tables(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="partition source"):
         read_iceberg(spark, t).collect()
+
+
+def test_equality_deletes_on_many_partition_fast_path(spark, tmp_path):
+    """Above the 32-tuple union ceiling the hive fast path derives
+    partition values from `_metadata` — which must happen BEFORE the
+    delete filter's joins (they leave `_metadata` ambiguous). A
+    40-partition table with a data-column-keyed equality delete reads
+    single-scan and exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(i, f"p{i:02d}", float(i)) for i in range(40)]),
+        t,
+        partition_by=["s"],
+    )
+    meta = I._load_metadata(t)
+    ddir = os.path.join(t, "data", "eqdel")
+    os.makedirs(ddir)
+    dfile = os.path.join(ddir, "eq.parquet")
+    pq.write_table(pa.table({"id": pa.array([7, 13], pa.int64())}), dfile)
+    eq = {
+        "content": 2,
+        "file_path": dfile,
+        "file_format": "PARQUET",
+        "partition": {"s": None},
+        "record_count": 2,
+        "file_size_in_bytes": os.path.getsize(dfile),
+        "lower_bounds": None,
+        "upper_bounds": None,
+        "equality_ids": [1],
+    }
+    ice_schema = I._schema_for(meta, meta.get("current-schema-id", 0))
+    pf = I._partition_fields(meta, ice_schema)
+    I._commit_snapshot(
+        t, meta, ice_schema, pf,
+        added_files=[], existing_entries=[], deleted_entries=[],
+        carry_prior_manifests=True, operation="overwrite",
+        added_delete_files=[eq],
+    )
+    back = read_iceberg(spark, t)
+    got = sorted((r.id, r.s) for r in back.collect())
+    assert got == [
+        (i, f"p{i:02d}") for i in range(40) if i not in (7, 13)
+    ]
+    plan = back._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan  # the single-scan fast path held
