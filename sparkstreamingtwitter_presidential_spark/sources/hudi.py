@@ -732,16 +732,30 @@ def read_hudi_incremental(
     )
 
 
-def hudi_timeline(spark: SparkSession, path: str) -> DataFrame:
+def hudi_timeline(
+    spark: SparkSession, path: str, include_archived: bool = False
+) -> DataFrame:
     """The timeline as a queryable frame: one row per completed commit
     with operation type and file/record stats (driver-side metadata,
-    like describe_history / table_snapshots)."""
+    like describe_history / table_snapshots). ``include_archived``
+    folds in the archived timeline's commits (flagged by the
+    ``archived`` column) — the audit view; the default stays bounded
+    by the ACTIVE timeline."""
     _load_props(path)
     hd = _hoodie(path)
     rows = []
-    for c in _completed_commits(path):
-        with open(os.path.join(hd, f"{c}.commit"), encoding="utf-8") as fh:
-            meta = json.load(fh)
+    items = [(c, None) for c in _completed_commits(path)]
+    archived_set: set[str] = set()
+    if include_archived:
+        arch = _archived_commit_metas(path)
+        archived_set = set(arch)
+        items = sorted(items + list(arch.items()), key=lambda kv: kv[0])
+    for c, meta in items:
+        if meta is None:
+            with open(
+                os.path.join(hd, f"{c}.commit"), encoding="utf-8"
+            ) as fh:
+                meta = json.load(fh)
         stats = [
             st
             for sts in (meta.get("partitionToWriteStats") or {}).values()
@@ -761,11 +775,13 @@ def hudi_timeline(spark: SparkSession, path: str) -> DataFrame:
                         for f in fids
                     ]
                 ),
+                c in archived_set,
             )
         )
     return spark.createDataFrame(
         rows,
-        "instant string, operation string, n_files long, n_replaced long",
+        "instant string, operation string, n_files long, n_replaced long, "
+        "archived boolean",
     )
 
 

@@ -704,3 +704,25 @@ def test_archival_guards_as_of_reads_that_depend_on_archived_commits(
     ]
     got = {r.id: r.s for r in read_hudi(spark, t).collect()}
     assert got == {1: "A3", 2: "b"}
+
+
+def test_timeline_include_archived(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        archive_hudi_timeline,
+        hudi_timeline,
+    )
+
+    t = str(tmp_path / "t")
+    i1 = write_hudi(_df(spark, [(1, "a", 1.0)]), t, record_key="id")
+    upsert_hudi(spark, t, _df(spark, [(1, "v2", 2.0)]))
+    i3 = upsert_hudi(spark, t, _df(spark, [(1, "v3", 3.0)]))
+    clean_hudi(t, keep_last=1)
+    archived = archive_hudi_timeline(t, keep_last=1)
+    assert archived
+    active = hudi_timeline(spark, t)
+    assert "archived" in active.columns
+    assert [r.instant for r in active.collect()] == [i3]
+    full = hudi_timeline(spark, t, include_archived=True)
+    got = {r.instant: r.archived for r in full.collect()}
+    assert got[i3] is False and got[i1] is True
+    assert len(got) == 3
