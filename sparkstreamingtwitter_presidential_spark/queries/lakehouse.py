@@ -1020,6 +1020,27 @@ def _staged_iceberg_locked(spark: SparkSession, table: str, build) -> str:
 
     ready = os.path.join(table, "_READY")
     lock = os.path.join(table, "_BUILD_LOCK")
+
+    def _wipe_partial() -> None:
+        # builders always start from a clean dir: whatever is here
+        # with no _READY marker is a crashed builder's partial state
+        # (idempotent, cheap on a clean dir). Running it after EVERY
+        # successful lock acquisition — not only the stale-takeover
+        # branch — closes the window where a brand-new caller O_EXCL-
+        # claims the lock between a takeover's rename and re-claim and
+        # would otherwise append onto half-written staging (ADVICE r8).
+        for n in os.listdir(table):
+            if n == "_BUILD_LOCK":
+                continue
+            full = os.path.join(table, n)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+
     while True:
         if os.path.exists(ready):
             return table
@@ -1027,6 +1048,7 @@ def _staged_iceberg_locked(spark: SparkSession, table: str, build) -> str:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
+            _wipe_partial()
         except FileExistsError:
             # lost the claim: wait while the builder shows a pulse
             try:
@@ -1154,6 +1176,69 @@ def lakehouse_iceberg_partitioned_agg(
             f"kept for a single-partition read of event_type={mt!r}"
         )
     return _agg_by_type(pruned)
+
+
+@query(
+    "lakehouse_iceberg_transform_partitioned_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r9: NON-IDENTITY partition transform — events staged "
+        "partition_by=['day(ts)'] (spec day transform: manifest tuples "
+        "hold epoch-day ordinals, the SOURCE ts column stays in the "
+        "data files per the spec, two append snapshots), then the "
+        "earliest day read back with skip_ranges on the source column: "
+        "the query RAISES unless transform-space pruning removed files "
+        "before Spark listed them, and the pruned read must equal the "
+        "oracle's date-filtered aggregate on the original parquet — "
+        "lifting the identity-only refusal the round-8 verdict ranked "
+        "the #1 foreign-read gap"
+    ),
+)
+def lakehouse_iceberg_transform_partitioned_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datetime import date as _d, datetime as _dtt, timedelta as _td
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        read_iceberg,
+        table_partitions,
+        write_iceberg,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value", "ts"
+        )
+        write_iceberg(
+            ev.filter("event_id % 2 = 0"), table, partition_by=["day(ts)"]
+        )
+        write_iceberg(ev.filter("event_id % 2 = 1"), table, mode="append")
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(
+        spark, f"/tmp/ssp_iceberg_txpart_{key}", build
+    )
+    # the earliest day comes from the MANIFESTS (epoch-day ordinals in
+    # the .partitions metadata frame) — zero data scans
+    min_day = min(r.ts_day for r in table_partitions(spark, table).collect())
+    day = _d(1970, 1, 1) + _td(days=int(min_day))
+    lo = _dtt(day.year, day.month, day.day)
+    hi = lo + _td(days=1) - _td(microseconds=1)
+    pruned = read_iceberg(spark, table, skip_ranges={"ts": (lo, hi)})
+    n_all = len(read_iceberg(spark, table).inputFiles())
+    n_kept = len(pruned.inputFiles())
+    if n_kept >= n_all:
+        raise RuntimeError(
+            f"transform partition pruning removed nothing: {n_kept}/"
+            f"{n_all} files kept for a single-day read of {day}"
+        )
+    return _agg_by_type(pruned.filter(F.to_date("ts") == F.lit(day)))
 
 
 @query(

@@ -63,7 +63,13 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # failure, not silent debt (round-2 verdict finding).
 GRADED_FIRST: list[str] = [
     "flagship_event_type_counts",
-    "tpch_q3_shipping_priority",
+    # Round-9: non-identity Iceberg partition transforms (day(ts)
+    # staged table, transform-space pruning RAISE — the r8 verdict's
+    # #1 foreign-read gap). Ceded: tpch_q3_shipping_priority (driver-
+    # green EVERY round r1-r8, eight consecutive windows; TPC-H keeps
+    # Q5/Q15 graded incl. the 6-table join + scalar-subquery shapes;
+    # Q3 stays in tests/test_queries_oracle.py and bench).
+    "lakehouse_iceberg_transform_partitioned_agg",
     "tpch_q5_local_supplier_volume",
     "dedup_ngram_jaccard_pairs",
     "streaming_tumbling_windows",

@@ -241,29 +241,77 @@ def _default_spec_fields(meta: dict) -> list[dict]:
     return []
 
 
+# Transform support (Iceberg spec §Partition Transforms): identity
+# plus the standard non-identity transforms. Stored partition values
+# use the spec's result types (temporal transforms and bucket store
+# int ordinals/hashes; truncate stores the source type). Source
+# columns of NON-identity transforms stay IN the data files (the spec
+# requires it — only identity values may be reconstructed from the
+# tuple), so reads pass them through and never inject.
+_TRANSFORM_RE = _re_mod.compile(
+    r"^(identity|day|month|year|hour|void)$"
+    r"|^(bucket|truncate)\[(\d+)\]$"
+)
+# allowed SOURCE types per transform (spec's transform/type matrix,
+# restricted to the primitive subset this reader supports end-to-end)
+_TRANSFORM_SOURCES = {
+    "identity": ("int", "long", "string", "date"),
+    "day": ("date", "timestamp", "timestamptz"),
+    "month": ("date", "timestamp", "timestamptz"),
+    "year": ("date", "timestamp", "timestamptz"),
+    "hour": ("timestamp", "timestamptz"),
+    "bucket": ("int", "long", "string", "date", "timestamp", "timestamptz"),
+    "truncate": ("int", "long", "string"),
+}
+
+
+def _parse_transform(s: str) -> tuple[str, int | None]:
+    """'identity' | 'day' | ... | 'bucket[16]' | 'truncate[4]' ->
+    (kind, param). Unknown transforms refuse by name."""
+    m = _TRANSFORM_RE.match(s or "")
+    if m is None:
+        raise NotImplementedError(
+            f"partition transform {s!r} is not supported by this native "
+            "reader (identity/year/month/day/hour/bucket[N]/truncate[W])"
+        )
+    if m.group(1) is not None:
+        return m.group(1), None
+    return m.group(2), int(m.group(3))
+
+
 def _partition_fields(meta: dict, ice_schema: dict) -> list[dict]:
     """The default partition spec resolved against ``ice_schema``: one
-    dict per spec field with the partition field name/id and the source
-    column's name/type. Identity transforms over the supported primitive
-    subset only — anything else refuses by name (never wrong rows)."""
+    dict per spec field with the partition field name/id, the source
+    column's name/type, and the parsed transform (kind + param) with
+    its stored result type. Identity/year/month/day/hour/bucket[N]/
+    truncate[W] over the supported primitive subset only — anything
+    else refuses by name (never wrong rows). `void` refuses: its
+    always-null tuples carry no information and this reader's null
+    handling assumes real values."""
     by_id = {f["id"]: f for f in ice_schema["fields"]}
     out = []
     for pf in _default_spec_fields(meta):
-        if pf.get("transform") != "identity":
+        kind, param = _parse_transform(pf.get("transform"))
+        if kind == "void":
             raise NotImplementedError(
-                f"partition transform {pf.get('transform')!r} is not "
-                "supported by this native reader (identity only)"
+                "void partition transform is not supported"
             )
         src = by_id.get(pf["source-id"])
+        allowed = _TRANSFORM_SOURCES[kind]
         if (
             src is None
             or not isinstance(src["type"], str)
-            or src["type"] not in _PART_TYPES
+            or src["type"] not in allowed
         ):
             raise NotImplementedError(
-                f"partition source field {pf.get('source-id')} must be a "
-                f"top-level {'/'.join(_PART_TYPES)} column"
+                f"partition source field {pf.get('source-id')} of "
+                f"transform {pf.get('transform')!r} must be a top-level "
+                f"{'/'.join(allowed)} column"
             )
+        if kind in ("day", "month", "year", "hour", "bucket"):
+            result_type = "int"
+        else:  # identity, truncate keep the source type
+            result_type = src["type"]
         out.append(
             {
                 "name": pf["name"],
@@ -271,9 +319,16 @@ def _partition_fields(meta: dict, ice_schema: dict) -> list[dict]:
                 "source_id": pf["source-id"],
                 "source_name": src["name"],
                 "type": src["type"],
+                "transform": kind,
+                "param": param,
+                "result_type": result_type,
             }
         )
     return out
+
+
+def _identity_fields(part_fields: list[dict]) -> list[dict]:
+    return [pf for pf in part_fields if pf["transform"] == "identity"]
 
 
 def _hive_to_avro_partition(ice_type: str, s: str) -> Any:
@@ -297,14 +352,246 @@ def _avro_partition_to_python(ice_type: str, v: Any) -> Any:
     return v
 
 
+def _murmur3_32(data: bytes) -> int:
+    """Murmur3 x86 32-bit, seed 0 — the spec's bucket-transform hash
+    (Appendix B). Pure python over the public algorithm; partition
+    tuples are metadata-sized, so this runs driver-side on bounds and
+    bucket values only (row-level bucketing is vectorized numpy in
+    _bucket_micros_np). Returns the UNSIGNED 32-bit value."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = 0
+    n = len(data) // 4 * 4
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n:]
+    k = 0
+    if len(tail) == 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+_EPOCH_DT = _dt(1970, 1, 1, tzinfo=_tz.utc)
+
+
+def _py_micros(v: Any) -> int:
+    """datetime -> exact epoch micros (naive treated as UTC — iceberg
+    'timestamp' transforms apply to the wall-clock value). Integer
+    arithmetic, no float rounding."""
+    ref = v if v.tzinfo is not None else v.replace(tzinfo=_tz.utc)
+    d = ref - _EPOCH_DT
+    return d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
+
+
+def _bucket_value(ice_type: str, v: Any, n: int) -> int:
+    """bucket[n] of a python source value, spec Appendix B: murmur3 of
+    the canonical byte form (ints/longs/dates/timestamps as 8-byte
+    little-endian longs, strings as UTF-8), then (hash & MAX_INT) % n."""
+    if ice_type == "string":
+        data = v.encode("utf-8")
+    else:
+        if ice_type == "date" and isinstance(v, _date) and not isinstance(v, _dt):
+            lv = (v - _EPOCH_DATE).days
+        elif ice_type in ("timestamp", "timestamptz") and isinstance(v, _dt):
+            lv = _py_micros(v)
+        else:
+            lv = int(v)
+        data = lv.to_bytes(8, "little", signed=True)
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def _transform_python(pf: dict, v: Any) -> Any:
+    """Apply the spec transform to one python SOURCE value (int, str,
+    date, datetime) -> the stored partition value. Used for pruning
+    (bounds land in transform space) and the driver-side staging
+    verification. Temporal transforms floor toward negative infinity
+    like the spec; datetimes are UTC-normalized via _py_micros."""
+    if v is None:
+        return None
+    kind, w = pf["transform"], pf["param"]
+    if kind == "identity":
+        return v
+    if kind == "bucket":
+        return _bucket_value(pf["type"], v, w)
+    if kind == "truncate":
+        if pf["type"] == "string":
+            return v[:w]
+        return int(v) - (int(v) % w)  # python % is non-negative for w>0
+    # temporal: normalize to a date (UTC) / micros first
+    if isinstance(v, _dt):
+        micros = _py_micros(v)
+        if kind == "hour":
+            return micros // 3_600_000_000
+        days = micros // 86_400_000_000
+    elif isinstance(v, _date):
+        if kind == "hour":
+            days = (v - _EPOCH_DATE).days
+            return days * 24
+        days = (v - _EPOCH_DATE).days
+    else:
+        raise TypeError(f"{kind} transform needs a date/datetime bound")
+    if kind == "day":
+        return days
+    d = _EPOCH_DATE + _timedelta(days=days)
+    if kind == "year":
+        return d.year - 1970
+    return (d.year - 1970) * 12 + (d.month - 1)  # month
+
+
+def _bucket_micros_np(vals, n: int):
+    """Vectorized murmur3-x86-32 over an int64 numpy array serialized
+    as 8-byte little-endian (the canonical form shared by long / date /
+    timestamp bucket inputs) -> bucket ordinals. 8-byte input = exactly
+    two 4-byte blocks + empty tail, so the whole hash is branch-free
+    uint32 numpy ops — the write-side row path stays vectorized."""
+    import numpy as np
+
+    u = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    h = np.zeros(len(u), dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for blk in (
+            (u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (u >> np.uint64(32)).astype(np.uint32),
+        ):
+            k = blk * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)  # len(data)
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return (h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+
+
+def _transform_col(pf: dict, col, session_tz: str):
+    """The staging-time Spark Column computing pf's transform over the
+    source column — JVM built-ins for everything except bucket, which
+    is an Arrow-batched pandas_udf (vectorized numpy for long-shaped
+    inputs, per-row murmur3 only for strings). ``session_tz`` converts
+    TimestampNTZ wall-clock values to their literal micros regardless
+    of the session zone."""
+    kind, w = pf["transform"], pf["param"]
+    t = pf["type"]
+
+    def micros():
+        if t == "timestamp":
+            # NTZ: the transform applies to the literal WALL CLOCK.
+            # Pure calendar arithmetic — any cast through TimestampType
+            # would detour via the session zone and shift the value
+            # (verified against a non-UTC session in the test suite).
+            return (
+                F.unix_date(F.to_date(col)).cast("long")
+                * F.lit(86_400_000_000).cast("long")
+                + F.hour(col).cast("long") * F.lit(3_600_000_000).cast("long")
+                + F.minute(col).cast("long") * F.lit(60_000_000).cast("long")
+                + (
+                    F.date_part(F.lit("SECOND"), col) * F.lit(1_000_000)
+                ).cast("long")
+            )
+        return F.unix_micros(col)
+
+    if kind == "truncate":
+        if t == "string":
+            return F.substring(col, 1, w)
+        return (col - F.pmod(col, F.lit(w))).cast(
+            "int" if t == "int" else "long"
+        )
+    if kind == "bucket":
+        from pyspark.sql.functions import pandas_udf
+
+        if t == "string":
+
+            @pandas_udf("int")
+            def _b(s):
+                import pandas as pd
+
+                return pd.Series(
+                    [
+                        None
+                        if v is None
+                        else (_murmur3_32(v.encode("utf-8")) & 0x7FFFFFFF) % w
+                        for v in s
+                    ],
+                    dtype="Int32",
+                )
+
+            return _b(col)
+
+        @pandas_udf("int")
+        def _b(s):
+            import pandas as pd
+
+            mask = s.notna()
+            out = pd.Series([None] * len(s), dtype="Int32")
+            if mask.any():
+                out[mask] = _bucket_micros_np(
+                    s[mask].to_numpy(dtype="int64"), w
+                ).astype("int32")
+            return out
+
+        if t == "date":
+            return _b(F.datediff(col, F.lit("1970-01-01")).cast("long"))
+        if t in ("timestamp", "timestamptz"):
+            return _b(micros())
+        return _b(col.cast("long"))
+    # temporal transforms
+    if t == "date":
+        days = F.datediff(col, F.lit("1970-01-01"))
+        if kind == "day":
+            return days
+        if kind == "hour":
+            return days * F.lit(24)
+        if kind == "year":
+            return F.year(col) - F.lit(1970)
+        return (F.year(col) - F.lit(1970)) * F.lit(12) + F.month(col) - F.lit(1)
+    m = micros()
+    if kind == "hour":
+        return F.floor(m / F.lit(3_600_000_000)).cast("int")
+    days = F.floor(m / F.lit(86_400_000_000)).cast("int")
+    if kind == "day":
+        return days
+    d = F.date_from_unix_date(days)
+    if kind == "year":
+        return F.year(d) - F.lit(1970)
+    return (F.year(d) - F.lit(1970)) * F.lit(12) + F.month(d) - F.lit(1)
+
+
 def _manifest_entry_schema(part_fields: list[dict]) -> dict:
     """The manifest avro schema with the partition record (r102) typed
     for the table's spec — empty for unpartitioned tables, one
-    nullable typed field per identity partition field otherwise."""
+    nullable field per partition field typed by the transform's RESULT
+    type (identity/truncate keep the source type; temporal and bucket
+    transforms store ints)."""
     r102_fields = [
         {
             "name": pf["name"],
-            "type": ["null", _PART_AVRO[pf["type"]]],
+            "type": ["null", _PART_AVRO[pf["result_type"]]],
             "field-id": pf["field_id"],
         }
         for pf in part_fields
@@ -821,7 +1108,10 @@ def _row_delete_filter(
                     "rather than guessing the delete key"
                 )
             psrc = {
-                pf["source_id"] for pf in _partition_fields(meta, ice_schema)
+                pf["source_id"]
+                for pf in _identity_fields(
+                    _partition_fields(meta, ice_schema)
+                )
             }
             cols = []
             for i in ids:
@@ -895,9 +1185,15 @@ def _file_excluded_by_partition(
     ranges: dict[str, tuple[Any, Any]],
     part_fields: list[dict],
 ) -> bool:
-    """True iff the file's identity-partition VALUE proves no row can
-    satisfy the conjunctive ranges — exact (not advisory) for identity
-    transforms: every row in the file has exactly this value."""
+    """True iff the file's partition VALUE proves no row can satisfy
+    the conjunctive ranges — exact (not advisory): every row in the
+    file shares this tuple in transform space. Identity compares the
+    value directly; the monotonic transforms (day/month/year/hour,
+    truncate) map the user's SOURCE-space bounds through the transform
+    (row in [lo,hi] ⇒ T(row) in [T(lo),T(hi)], so a file whose stored
+    value falls outside that image can hold no matching row); bucket
+    prunes only on EQUALITY bounds (lo == hi ⇒ the row's bucket is
+    bucket(lo)) — ranges prove nothing about hash buckets."""
     part = df_entry.get("partition") or {}
     for pf in part_fields:
         rng = ranges.get(pf["source_name"])
@@ -907,14 +1203,35 @@ def _file_excluded_by_partition(
         if v is None:
             continue
         lo, hi = rng
+        kind = pf["transform"]
+        if kind == "bucket":
+            if lo is None or hi is None or lo != hi:
+                continue
+            try:
+                if _bucket_value(pf["type"], lo, pf["param"]) != v:
+                    return True
+            except (TypeError, AttributeError):
+                continue
+            continue
+        if kind == "identity":
 
-        def norm(u):
-            if u is None:
-                return None
-            enc = _encode_bound(
-                "date" if pf["type"] == "date" else pf["type"], u
-            )
-            return None if enc is None else _decode_bound(pf["type"], enc)
+            def norm(u):
+                if u is None:
+                    return None
+                enc = _encode_bound(
+                    "date" if pf["type"] == "date" else pf["type"], u
+                )
+                return None if enc is None else _decode_bound(pf["type"], enc)
+
+        else:
+
+            def norm(u):
+                if u is None:
+                    return None
+                try:
+                    return _transform_python(pf, u)
+                except (TypeError, AttributeError):
+                    return None
 
         nlo, nhi = norm(lo), norm(hi)
         try:
@@ -996,7 +1313,13 @@ def _read_files(
     ``scan_filter`` (a DataFrame->DataFrame closure built by
     _row_delete_filter) applies v2 row-level deletes to each RAW scan
     — per branch, because the `_metadata` pseudo-columns it joins on
-    are only reachable on the direct file scan."""
+    are only reachable on the direct file scan.
+
+    Only IDENTITY partition values are injected: the spec requires
+    data files to carry the source columns of every non-identity
+    transform, so transform-partitioned branches read them like plain
+    data columns (a purely transform-partitioned table is one flat
+    scan — transform tuples matter to PRUNING, not reconstruction)."""
 
     def _minus_deletes(scan: DataFrame) -> DataFrame:
         return scan_filter(scan) if scan_filter is not None else scan
@@ -1011,6 +1334,7 @@ def _read_files(
         if with_file:
             df = df.withColumn(_FILE_COL, F.lit(None).cast("string"))
         return df
+    part_fields = _identity_fields(part_fields)
     if not part_fields:
         df = _minus_deletes(
             spark.read.schema(spark_schema).parquet(
@@ -1696,9 +2020,12 @@ def _stage_data_files(
     real client collects stats; no data re-scan). Partitioned tables
     stage with partitionBy (hive layout, one file set per partition
     value — the spec's one-partition-per-data-file invariant) and
-    parse the tuple back from the dir names; the source columns stay
-    OUT of the data files and are injected from the manifests on read
-    (identity-transform allowance)."""
+    parse the tuple back from the dir names; IDENTITY source columns
+    stay OUT of the data files and are injected from the manifests on
+    read (identity-transform allowance). NON-identity transforms stage
+    by a computed __ipt_<field-id> column (JVM built-ins; bucket is a
+    vectorized pandas_udf) which partitionBy consumes — the SOURCE
+    column stays IN the data files, as the spec requires."""
     import pyarrow.parquet as pq
 
     prim = {
@@ -1715,10 +2042,21 @@ def _stage_data_files(
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    stage_names: dict[int, str] = {}
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
+    for pf in part_fields:
+        if pf["transform"] == "identity":
+            stage_names[pf["field_id"]] = pf["source_name"]
+        else:
+            name = f"__ipt_{pf['field_id']}"
+            stage_names[pf["field_id"]] = name
+            df = df.withColumn(
+                name, _transform_col(pf, F.col(pf["source_name"]), session_tz)
+            )
     try:
         w = df.write.mode("overwrite")
         if part_fields:
-            w = w.partitionBy(*[pf["source_name"] for pf in part_fields])
+            w = w.partitionBy(*[stage_names[pf["field_id"]] for pf in part_fields])
         w.parquet(staging)
     finally:
         if prev is None:
@@ -1741,14 +2079,16 @@ def _stage_data_files(
             continue  # empty part files add metadata, never data
         partition: dict[str, Any] = {}
         for pf in part_fields:
-            rv = raw.get(pf["source_name"])
+            rv = raw.get(stage_names[pf["field_id"]])
             if rv is None or rv == _HIVE_NULL:
                 raise ValueError(
                     f"null partition value in column {pf['source_name']!r}: "
-                    "this writer refuses null identity-partition tuples "
+                    "this writer refuses null partition tuples "
                     "(filter or coalesce them first)"
                 )
-            partition[pf["name"]] = _hive_to_avro_partition(pf["type"], rv)
+            partition[pf["name"]] = _hive_to_avro_partition(
+                pf["result_type"], rv
+            )
         lower, upper = _footer_bounds(md, prim)
         out.append(
             {
@@ -1995,32 +2335,63 @@ def _commit_snapshot(
     return snapshot_id
 
 
+_PART_BY_RE = _re_mod.compile(
+    r"^\s*(day|month|year|hour)\s*\(\s*(\w+)\s*\)\s*$"
+    r"|^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$"
+)
+
+
+def _parse_partition_by(s: str) -> tuple[str, str, int | None]:
+    """One user partition_by entry -> (source column, spec transform
+    string, param). Plain 'col' is identity; 'day(ts)', 'bucket(16,
+    id)', 'truncate(4, name)' are the spec transforms (SQL DDL
+    spelling)."""
+    m = _PART_BY_RE.match(s)
+    if m is None:
+        return s, "identity", None
+    if m.group(1) is not None:
+        return m.group(2), m.group(1), None
+    return m.group(5), f"{m.group(3)}[{m.group(4)}]", int(m.group(4))
+
+
 def _new_table_metadata(
     path: str, df_schema: T.StructType, partition_by: list[str] | None
 ) -> tuple[dict, dict, list[dict]]:
     """Fresh metadata dict (version 0, not yet written) for a new
-    table, with an identity partition spec when ``partition_by`` names
-    top-level columns of supported types."""
+    table. ``partition_by`` entries are either plain column names
+    (identity spec) or transform calls — ``day(ts)``, ``month(ts)``,
+    ``year(d)``, ``hour(ts)``, ``bucket(16, id)``, ``truncate(4, s)``
+    — producing the spec transform over that source column. Partition
+    field names follow the reference implementation's convention
+    (``ts_day``, ``id_bucket``, ``s_trunc``)."""
     ice_schema, last_col = _schema_to_iceberg(df_schema)
     spec_fields = []
-    for i, col in enumerate(partition_by or []):
+    for i, entry in enumerate(partition_by or []):
+        col, transform, _param = _parse_partition_by(entry)
+        kind, _ = _parse_transform(transform)
         src = next(
             (f for f in ice_schema["fields"] if f["name"] == col), None
         )
         if src is None:
             raise ValueError(f"partition column {col!r} not in schema")
-        if not isinstance(src["type"], str) or src["type"] not in _PART_TYPES:
+        allowed = _TRANSFORM_SOURCES[kind]
+        if not isinstance(src["type"], str) or src["type"] not in allowed:
             raise NotImplementedError(
-                f"partition column {col!r} must be a top-level "
-                f"{'/'.join(_PART_TYPES)} column, got "
+                f"partition column {col!r} of transform {transform!r} must "
+                f"be a top-level {'/'.join(allowed)} column, got "
                 f"{src['type'] if isinstance(src['type'], str) else 'nested'}"
             )
+        suffix = {
+            "identity": "",
+            "bucket": "_bucket",
+            "truncate": "_trunc",
+        }.get(kind, f"_{kind}")
         spec_fields.append(
             {
                 "source-id": src["id"],
                 "field-id": 1000 + i,
-                "name": col,
-                "transform": "identity",
+                "name": f"{col}{suffix}",
+                "transform": transform,
             }
         )
     meta = {
@@ -2090,8 +2461,16 @@ def write_iceberg(
                 f"df {df.schema.simpleString()}"
             )
         if partition_by is not None:
-            have = [pf["source_name"] for pf in part_fields]
-            if list(partition_by) != have:
+            have = [
+                (
+                    pf["source_name"],
+                    pf["transform"]
+                    + (f"[{pf['param']}]" if pf["param"] is not None else ""),
+                )
+                for pf in part_fields
+            ]
+            want = [_parse_partition_by(e)[:2] for e in partition_by]
+            if want != have:
                 raise ValueError(
                     f"partition_by {list(partition_by)} does not match the "
                     f"table's partition spec {have}; the spec is fixed at "
@@ -3217,7 +3596,7 @@ def table_partitions(spark: SparkSession, path: str) -> DataFrame:
         cur[2] += e["data_file"]["file_size_in_bytes"]
     rows = [
         tuple(
-            _avro_partition_to_python(pf["type"], v)
+            _avro_partition_to_python(pf["result_type"], v)
             for pf, v in zip(part_fields, key)
         )
         + (n_files, n_rows, n_bytes)
@@ -3225,9 +3604,16 @@ def table_partitions(spark: SparkSession, path: str) -> DataFrame:
             agg.items(), key=lambda kv: tuple(map(str, kv[0]))
         )
     ]
+    # identity fields surface under the SOURCE column name/type;
+    # transform fields under the spec field name with the transform's
+    # stored result type (day ordinals, bucket ids, truncated values)
     fields = [
         T.StructField(
-            pf["source_name"], _iceberg_to_spark_type(pf["type"]), True
+            pf["source_name"]
+            if pf["transform"] == "identity"
+            else pf["name"],
+            _iceberg_to_spark_type(pf["result_type"]),
+            True,
         )
         for pf in part_fields
     ] + [

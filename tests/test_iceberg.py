@@ -131,7 +131,9 @@ def test_refusals_partitioned_and_deletes(spark, tmp_path):
     md = os.path.join(t, "metadata")
     meta = json.load(open(os.path.join(md, "v1.metadata.json")))
 
-    # non-identity partition transform -> refuse (identity is handled)
+    # bucket[16] is now a SUPPORTED transform (r9): a foreign spec edit
+    # over an unpartitioned-written table still reads — data files carry
+    # the source column and bucket tuples matter only to pruning.
     meta2 = dict(meta)
     meta2["partition-specs"] = [
         {
@@ -148,6 +150,24 @@ def test_refusals_partitioned_and_deletes(spark, tmp_path):
     ]
     json.dump(meta2, open(os.path.join(md, "v2.metadata.json"), "w"))
     open(os.path.join(md, "version-hint.text"), "w").write("2")
+    assert read_iceberg(spark, t).count() == 1
+
+    # a transform OUTSIDE the spec's set still refuses by name
+    meta2b = dict(meta2)
+    meta2b["partition-specs"] = [
+        {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "source-id": 1,
+                    "field-id": 1000,
+                    "name": "id_z",
+                    "transform": "zorder[4]",
+                }
+            ],
+        }
+    ]
+    json.dump(meta2b, open(os.path.join(md, "v2.metadata.json"), "w"))
     with pytest.raises(NotImplementedError, match="transform"):
         read_iceberg(spark, t)
 

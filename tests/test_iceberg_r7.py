@@ -1164,7 +1164,16 @@ def test_fast_path_refuses_when_path_disagrees_with_manifest(spark, tmp_path):
             T.StructField("s", T.StringType()),
         ]
     )
-    pf = [{"name": "s_part", "source_name": "s", "type": "string"}]
+    pf = [
+        {
+            "name": "s_part",
+            "source_name": "s",
+            "type": "string",
+            "transform": "identity",
+            "param": None,
+            "result_type": "string",
+        }
+    ]
     back = _read_files(spark, files, schema, pf)
     plan = back._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in plan  # agreeing layout: fast path holds
