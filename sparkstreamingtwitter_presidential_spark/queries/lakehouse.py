@@ -729,6 +729,161 @@ def lakehouse_delta_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "lakehouse_delta_dv_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events WHERE event_id % 5 <> 0
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r9: DELETION-VECTOR read — the staged events Delta table "
+        "receives a hand-authored foreign DV commit (reader-v3 "
+        "deletionVectors protocol: per-file remove + re-add carrying "
+        "on-disk 'u' descriptors whose roaring bitmaps mark every "
+        "event_id %% 5 == 0 row index; one file gets an inline 'i' "
+        "descriptor for coverage), and the snapshot read must apply "
+        "them via the broadcast (file, row_index) anti-join: the query "
+        "RAISES unless the live log actually carries DV descriptors, "
+        "and the aggregate must equal the oracle's filtered aggregate "
+        "on the original parquet — lifting the refusal the round-8 "
+        "verdict ranked the #2 foreign-read gap"
+    ),
+)
+def lakehouse_delta_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _replay_log,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+        inline_dv_descriptor,
+        write_dv_file,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        import pyarrow.parquet as pq
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_delta(ev.repartition(4), table, mode="append")
+        snap = _replay_log(table, None)
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "operation": "DELETE",
+                        "timestamp": 1700000000000,
+                    }
+                }
+            ),
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                }
+            ),
+        ]
+        for i, p in enumerate(sorted(snap.files)):
+            ids = pq.read_table(
+                os.path.join(table, p), columns=["event_id"]
+            ).column("event_id").to_pylist()
+            idxs = [ri for ri, eid in enumerate(ids) if eid % 5 == 0]
+            if not idxs:
+                continue
+            dv = (
+                inline_dv_descriptor(idxs)
+                if i == 0
+                else write_dv_file(table, idxs)
+            )
+            a = dict(snap.files[p])
+            a["deletionVector"] = dv
+            lines.append(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": 1700000000000,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            )
+            lines.append(json.dumps({"add": a}))
+        commit = os.path.join(
+            table, "_delta_log", f"{snap.version + 1:020d}.json"
+        )
+        with open(commit, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    table = _dml_staged_delta(spark, sf_dir, "dv", build)
+    live = _replay_log(table, None)
+    n_dv = sum(
+        1 for a in live.files.values() if a.get("deletionVector")
+    )
+    if n_dv == 0:
+        raise RuntimeError(
+            "staged table carries no deletion vectors — the DV commit "
+            "did not land; the read below would not exercise the "
+            "anti-join path"
+        )
+    return _agg_by_type(read_delta(spark, table))
+
+
+@query(
+    "lakehouse_delta_restore_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events GROUP BY event_type
+    """,
+    doc=(
+        "NEW r9 (r8 verdict item 5: grade the restore surface) — the "
+        "staged table gets a good append (v0), a corrupting overwrite "
+        "(v1: values shifted +1000, half the rows dropped), then "
+        "RESTORE to v0 (v2): the query RAISES unless describe_history "
+        "shows the RESTORE commit at the head with the overwrite "
+        "preserved below it (restore is one more commit, not a "
+        "rewind), and the read-back must equal the oracle's aggregate "
+        "over the ORIGINAL events — proving the restored file set is "
+        "exactly v0's"
+    ),
+)
+def lakehouse_delta_restore_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        describe_history,
+        restore_delta,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_delta(ev, table, mode="append")
+        bad = ev.filter("event_id % 2 = 0").withColumn(
+            "value", F.col("value") + F.lit(1000.0)
+        )
+        write_delta(bad, table, mode="overwrite")
+        restore_delta(spark, table, 0)
+
+    table = _dml_staged_delta(spark, sf_dir, "restore", build)
+    hist = describe_history(spark, table).orderBy("version").collect()
+    ops = [r.operation for r in hist]
+    if ops != ["WRITE", "WRITE", "RESTORE"]:
+        raise RuntimeError(
+            f"unexpected history {ops}: want append, overwrite, RESTORE "
+            "— the restore must be a new commit preserving the bad "
+            "overwrite below it"
+        )
+    return _agg_by_type(read_delta(spark, table))
+
+
+@query(
     "lakehouse_delta_history_agg",
     oracle="""
         SELECT * FROM (VALUES

@@ -126,7 +126,14 @@ GRADED_FIRST: list[str] = [
     # tpch_q10_returned_item_revenue (all r2+r3+r4 driver-green; the
     # TPC-H family keeps 12 slots incl. every join-heavy shape, and all
     # three stay differential-tested by tests/test_queries_oracle.py).
-    "io_csv_roundtrip_docs",
+    # Round-9 swap: Delta DELETION-VECTOR read (foreign reader-v3 DV
+    # commit, inline + on-disk roaring descriptors applied by the
+    # broadcast anti-join; in-query RAISE unless the log carries DVs —
+    # the r8 verdict's #2 foreign-read gap). Ceded:
+    # io_csv_roundtrip_docs (r7+r8 driver-green; the interchange
+    # family keeps ORC/Avro-rotated plus partitioned-parquet and
+    # shard-export graded; CSV stays in tests/test_queries_oracle.py).
+    "lakehouse_delta_dv_agg",
     # Round-7: exactly-once ICEBERG streaming sink (snapshot-summary
     # batch markers, the real sinks' channel) — the streaming half of
     # the Delta/Iceberg twin symmetry. Ceded:
@@ -294,7 +301,15 @@ GRADED_FIRST: list[str] = [
     # io_jsonl_roundtrip_docs (r4 driver-green; the interchange family
     # keeps CSV/ORC/Avro/partitioned/shard-export graded — five
     # roundtrips — and JSONL stays in tests/test_queries_oracle.py).
-    "lakehouse_delta_time_travel_agg",
+    # Round-9 swap: RESTORE graded (r8 verdict item 5 — the restore
+    # surface landed r8 with pytest only; the graded query restores
+    # past a corrupting overwrite and RAISES unless history shows
+    # WRITE/WRITE/RESTORE). Ceded: lakehouse_delta_time_travel_agg
+    # (r7+r8 driver-green; restore READS THROUGH the same version-
+    # pinned replay — a restore that leaked post-v0 adds would hash-
+    # fail — and the explicit version read stays in
+    # tests/test_queries_oracle.py).
+    "lakehouse_delta_restore_agg",
     # Round-5 late additions #13: the pipe-text format as a registered
     # Spark connector (Python DataSource API: per-file partitions,
     # filter pushdown, task writer + commit). Ceded: sim_lsh_topk

@@ -20,11 +20,15 @@ partition columns (values live in the log, NOT the data files),
 `remove` tombstones, time travel by version AND timestamp
 (`timestampAsOf`, r8), RESTORE to a version (r8), COLUMN MAPPING reads
 (name/id modes — physical-name scans aliased to the logical schema,
-r8; writes/DML on mapped tables refuse), and `txn` (appId, version)
-actions — the protocol's idempotent-streaming-writer marker (consumed
-by streaming/delta_sink.py). Tables requiring any OTHER reader feature
-(deletion vectors, v2 checkpoints) raise NotImplementedError naming
-the feature rather than returning wrong rows.
+r8; writes/DML on mapped tables refuse), DELETION VECTOR reads (r9 —
+inline/on-disk descriptors decoded via sources/delta_dv.py and applied
+as a broadcast anti-join on `_metadata` file/row-index; every rewrite,
+diff, checkpoint and vacuum path refuses on DV tables, _refuse_dvs),
+and `txn` (appId, version) actions — the protocol's idempotent-
+streaming-writer marker (consumed by streaming/delta_sink.py). Tables
+requiring any OTHER reader feature (v2 checkpoints) raise
+NotImplementedError naming the feature rather than returning wrong
+rows.
 
 Commit atomicity uses O_CREAT|O_EXCL on the next `%020d.json`, the
 protocol's put-if-absent primitive: correct on POSIX / HDFS-like stores;
@@ -106,9 +110,10 @@ def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
         v = pr.get("minReaderVersion", 1)
         feats = set(pr.get("readerFeatures") or [])
         # reader v2 IS column mapping; v3 lists features — we read
-        # columnMapping (name/id modes, see read_delta) and refuse
-        # everything else (deletion vectors, v2 checkpoints, ...)
-        if v == 2 or (v == 3 and feats <= {"columnMapping"}):
+        # columnMapping (name/id modes, see read_delta) and
+        # deletionVectors (anti-join application, see _dv_filter) and
+        # refuse everything else (v2 checkpoints, type widening, ...)
+        if v == 2 or (v == 3 and feats <= {"columnMapping", "deletionVectors"}):
             pass
         elif v > MAX_SUPPORTED_READER_VERSION:
             raise NotImplementedError(
@@ -124,13 +129,11 @@ def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
         snap.partition_columns = list(md.get("partitionColumns", []))
         snap.metadata_action = md
     elif "add" in action:
-        a = action["add"]
-        if a.get("deletionVector"):
-            raise NotImplementedError(
-                "file carries a deletion vector; not supported by this "
-                "native reader"
-            )
-        snap.files[a["path"]] = a
+        # adds may carry a deletionVector descriptor (reader v3's
+        # deletionVectors feature); plain snapshot reads APPLY it
+        # (_dv_filter), every rewrite/maintenance path calls
+        # _refuse_dvs instead of silently resurrecting deleted rows
+        snap.files[action["add"]["path"]] = action["add"]
     elif "remove" in action:
         r = action["remove"]
         snap.files.pop(r["path"], None)
@@ -296,6 +299,93 @@ def _refuse_column_mapping(snap: _Snapshot, ctx: str) -> None:
         )
 
 
+def _refuse_dvs(snap: _Snapshot, ctx: str) -> None:
+    """Every path that REWRITES, diffs, checkpoints, or sweeps files
+    must refuse while live adds carry deletion vectors: a scan that
+    ignored the DV would resurrect deleted rows, a checkpoint through
+    a DV-less schema would silently drop the descriptor, and vacuum's
+    untracked-file sweep would reclaim live deletion_vector_*.bin
+    sidecars. Plain snapshot reads apply DVs (_dv_filter); everything
+    else refuses by name (never wrong rows)."""
+    n = sum(1 for a in snap.files.values() if a.get("deletionVector"))
+    if n:
+        raise NotImplementedError(
+            f"{ctx}: {n} live file(s) carry deletion vectors; only "
+            "snapshot reads apply them — rewrite the deletes into data "
+            "files (e.g. with a DV-aware OPTIMIZE on the writing "
+            "engine) first"
+        )
+
+
+# driver-side pair budget for DV application: the pair set tracks the
+# table's DELETE BACKLOG (sum of DV cardinalities), never its row
+# count. Above this the anti-join build side stops being a sane
+# broadcast — refuse with the remediation spelled out rather than
+# building a multi-GB driver list. (The scale path — decoding DV
+# bytes executor-side per file — is the documented follow-up if a
+# real workload ever carries a bigger backlog.)
+_DV_PAIRS_DRIVER_MAX = 2_000_000
+
+
+def _dv_filter(spark: SparkSession, path: str, snap: _Snapshot):
+    """None when no live add carries a deletionVector; otherwise a
+    closure applying rows-minus-DV to a RAW parquet scan (must run
+    while `_metadata` is still reachable, i.e. directly on the scan
+    before any join/alias). Descriptors decode driver-side
+    (delta_dv.dv_row_indexes — bounded metadata, CRC-checked) into a
+    broadcast (file, row_index) build side; the probe side anti-joins
+    on `_metadata.file_path`/`row_index`, the Iceberg position-delete
+    reader's proven shape."""
+    dv_adds = [
+        (p, a["deletionVector"])
+        for p, a in sorted(snap.files.items())
+        if a.get("deletionVector")
+    ]
+    if not dv_adds:
+        return None
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dv import dv_row_indexes
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _norm_path,
+        _norm_path_col,
+    )
+
+    total = sum(int(dv.get("cardinality", 0)) for _p, dv in dv_adds)
+    if total > _DV_PAIRS_DRIVER_MAX:
+        raise NotImplementedError(
+            f"deletion-vector backlog of {total} deleted rows exceeds "
+            f"the driver pair budget ({_DV_PAIRS_DRIVER_MAX}); compact "
+            "the DVs into data files on the writing engine first"
+        )
+    pairs = []
+    for p, dv in dv_adds:
+        full = _norm_path(
+            os.path.abspath(os.path.join(path, urllib.parse.unquote(p)))
+        )
+        for ri in dv_row_indexes(path, dv):
+            pairs.append((full, ri))
+    build = F.broadcast(
+        spark.createDataFrame(pairs, "__dpath string, __dpos long")
+    )
+
+    def apply(scan: DataFrame) -> DataFrame:
+        before = scan.columns
+        out = (
+            scan.withColumn(
+                "__scan_path", _norm_path_col(F.col("_metadata.file_path"))
+            )
+            .withColumn("__scan_pos", F.col("_metadata.row_index"))
+            .join(
+                build,
+                (F.col("__scan_path") == build["__dpath"])
+                & (F.col("__scan_pos") == build["__dpos"]),
+                "left_anti",
+            )
+        )
+        return out.select(*before)
+
+    return apply
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -359,12 +449,19 @@ def read_delta(
     if not snap.files:
         return spark.createDataFrame([], schema)
 
+    dv_apply = _dv_filter(spark, path, snap)
+
+    def _minus_dvs(scan: DataFrame) -> DataFrame:
+        return dv_apply(scan) if dv_apply is not None else scan
+
     def _file(p: str) -> str:
         return os.path.join(path, urllib.parse.unquote(p))
 
     if not snap.partition_columns:
-        df = spark.read.schema(data_schema).parquet(
-            *[_file(p) for p in sorted(snap.files)]
+        df = _minus_dvs(
+            spark.read.schema(data_schema).parquet(
+                *[_file(p) for p in sorted(snap.files)]
+            )
         )
         if mapping:
             df = df.select(
@@ -427,8 +524,10 @@ def read_delta(
     if fast_ok:
         import re as _re
 
-        df = spark.read.schema(data_schema).parquet(
-            *sorted(p for paths in groups.values() for p in paths)
+        df = _minus_dvs(
+            spark.read.schema(data_schema).parquet(
+                *sorted(p for paths in groups.values() for p in paths)
+            )
         )
 
         def unesc(col):
@@ -449,7 +548,7 @@ def read_delta(
 
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-        df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        df = _minus_dvs(spark.read.schema(data_schema).parquet(*sorted(paths)))
         if mapping:
             df = df.select(
                 *[
@@ -510,6 +609,7 @@ def delta_row_changes(
             "per-commit actions"
         )
     cur = _replay_log(path, version)
+    _refuse_dvs(cur, "delta_row_changes")
     schema = cur.schema
     assert schema is not None
     cols = [f.name for f in schema.fields]
@@ -558,6 +658,7 @@ def delta_row_changes(
 
     if removed_paths:
         prev = _replay_log(path, version - 1)
+        _refuse_dvs(prev, "delta_row_changes (pre-image)")
         lost = [p for p in removed_paths if p not in prev.files]
         if lost:
             raise ValueError(
@@ -672,6 +773,10 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     new version."""
     head = _replay_log(path, None)
     target = _replay_log(path, version)
+    # the diff below keys on PATH alone; a path live in both versions
+    # with different deletionVector states would keep the wrong DV
+    _refuse_dvs(head, "restore_delta")
+    _refuse_dvs(target, "restore_delta (target version)")
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     for p_, a in target.files.items():
@@ -729,6 +834,11 @@ def delta_changes(
     — i.e. poll within the log-retention window, the same constraint
     the real streaming source has."""
     end = _replay_log(path, to_version)  # validates to_version exists
+    # mapped tables store PHYSICAL column names in data files and key
+    # partitionValues by them; scanning under logical names here would
+    # return all-NULL rows — refuse like the DML paths (ADVICE r8)
+    _refuse_column_mapping(end, "delta_changes")
+    _refuse_dvs(end, "delta_changes")
     if from_version > end.version:
         raise ValueError(
             f"from_version {from_version} > table version {end.version}"
@@ -761,6 +871,13 @@ def delta_changes(
                     continue
                 action = json.loads(line)
                 if "add" in action and action["add"].get("dataChange", True):
+                    if action["add"].get("deletionVector"):
+                        raise ValueError(
+                            f"commit {v} of {path} attaches a deletion "
+                            "vector (row-level DELETE); append-only "
+                            "change reads cannot represent retractions "
+                            "— re-read the snapshot"
+                        )
                     new_adds.append((v, action["add"]))
                 elif "remove" in action and action["remove"].get(
                     "dataChange", True
@@ -1017,6 +1134,10 @@ def write_checkpoint(path: str) -> int:
     import pyarrow.parquet as pq
 
     snap = _replay_log(path, None)
+    # the checkpoint add-schema below has no deletionVector struct: a
+    # checkpoint of a DV table would silently DROP the descriptors and
+    # resurrect deleted rows for every later bootstrap — refuse
+    _refuse_dvs(snap, "write_checkpoint")
     keys = ("protocol", "metaData", "add", "remove", "txn")
 
     def _strip_empty(obj: Any) -> Any:

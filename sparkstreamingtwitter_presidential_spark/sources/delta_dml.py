@@ -44,6 +44,7 @@ from pyspark.sql.types import StructType
 
 from sparkstreamingtwitter_presidential_spark.sources.delta import (
     _refuse_column_mapping,
+    _refuse_dvs,
     _replay_log,
     _Snapshot,
     _stage_files,
@@ -155,6 +156,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
     (unchanged if nothing matched — no empty commit)."""
     snap = _replay_log(path, None)
     _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
+    _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
     scan = _scan_with_file(spark, path, snap)
     cond = F.expr(predicate)
     affected = _affected_files(scan, cond)
@@ -185,6 +187,7 @@ def update_delta(
     row-move rewrite is MERGE's job). Returns the new version."""
     snap = _replay_log(path, None)
     _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
+    _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
     bad = set(set_exprs) & set(snap.partition_columns)
     if bad:
         raise ValueError(
@@ -259,6 +262,7 @@ def merge_delta(
         raise ValueError(f"when_matched must be update|delete|none: {when_matched!r}")
     snap = _replay_log(path, None)
     _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
+    _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
     schema = snap.schema
     assert schema is not None
     tcols = [f.name for f in schema.fields]
@@ -372,8 +376,11 @@ def vacuum_delta(
     ``now_ms`` is injectable for deterministic tests."""
     now = _now_ms() if now_ms is None else now_ms
     cutoff = now - int(retention_hours * 3600 * 1000)
-    # vacuum deals purely in PATHS — safe on column-mapped tables
+    # vacuum deals purely in PATHS — safe on column-mapped tables, but
+    # NOT on DV tables: live deletion_vector_*.bin sidecars are not in
+    # snap.files, so the untracked-file sweep would reclaim them
     snap = _replay_log(path, None)
+    _refuse_dvs(snap, "VACUUM")
     log_dir = os.path.join(path, "_delta_log")
 
     import json
@@ -518,6 +525,7 @@ def optimize_delta(
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     snap = _replay_log(path, None)
     _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
+    _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
     for arg_name, arg in (("cluster_by", cluster_by), ("zorder_by", zorder_by)):
         if not arg:
             continue

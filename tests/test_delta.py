@@ -246,13 +246,15 @@ def test_unsupported_reader_protocol_refused(spark, tmp_path):
                 {
                     "protocol": {
                         "minReaderVersion": 3,
-                        "readerFeatures": ["deletionVectors"],
+                        "readerFeatures": ["v2Checkpoint"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    # deletionVectors and columnMapping read (r8/r9); anything else
+    # still refuses by version+features
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         read_delta(spark, t)
 
 
@@ -346,7 +348,8 @@ def test_column_mapped_table_reads_by_physical_name(spark, tmp_path):
     )
 
     assert vacuum_delta(t) == []
-    # reader v3 with features beyond columnMapping still refuses
+    # reader v3 with columnMapping + deletionVectors both reads (r9);
+    # any feature beyond that pair still refuses
     out2 = []
     for ln in open(log).read().splitlines():
         act = _json.loads(ln)
@@ -357,5 +360,16 @@ def test_column_mapped_table_reads_by_physical_name(spark, tmp_path):
             }
         out2.append(_json.dumps(act))
     open(log, "w").write("\n".join(out2) + "\n")
+    assert read_delta(spark, t).count() == 2
+    out3 = []
+    for ln in open(log).read().splitlines():
+        act = _json.loads(ln)
+        if "protocol" in act:
+            act["protocol"] = {
+                "minReaderVersion": 3,
+                "readerFeatures": ["columnMapping", "v2Checkpoint"],
+            }
+        out3.append(_json.dumps(act))
+    open(log, "w").write("\n".join(out3) + "\n")
     with pytest.raises(NotImplementedError, match="reader protocol"):
         read_delta(spark, t).collect()

@@ -1,0 +1,284 @@
+"""Delta deletion-vector reads (PROTOCOL.md §Deletion Vectors): the
+Z85 / portable-roaring / RoaringBitmapArray codec stack pinned to
+public vectors, and read_delta applying inline + on-disk DVs as a
+broadcast anti-join while every rewrite path refuses by name."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.sources.delta import (
+    _replay_log,
+    delta_changes,
+    delta_row_changes,
+    read_delta,
+    restore_delta,
+    write_checkpoint,
+    write_delta,
+)
+from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+    dv_row_indexes,
+    inline_dv_descriptor,
+    rba_deserialize,
+    rba_serialize,
+    roaring32_deserialize,
+    roaring32_serialize,
+    write_dv_file,
+    z85_decode,
+    z85_encode,
+)
+
+
+def test_z85_public_vector():
+    # ZeroMQ RFC 32/Z85 reference vector
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(raw) == "HelloWorld"
+    assert z85_decode("HelloWorld") == raw
+    with pytest.raises(ValueError):
+        z85_decode("Hell")  # length not a multiple of 5
+    with pytest.raises(ValueError):
+        z85_decode("Hell~")  # '~' outside the Z85 alphabet
+
+
+def test_roaring32_handbuilt_bytes():
+    # array container, key 0, values {4, 8} — bytes computed by hand
+    # from the RoaringFormatSpec (cookie 12347, 2 containers-1=0 in
+    # the high half-word, 1-byte empty run bitset, header, payload)
+    hand = (
+        struct.pack("<I", 12347)
+        + b"\x00"
+        + struct.pack("<HH", 0, 1)
+        + struct.pack("<HH", 4, 8)
+    )
+    vals, pos = roaring32_deserialize(hand)
+    assert vals == [4, 8] and pos == len(hand)
+    # run container: key 0, one run (start 10, length 3) -> 10..13
+    hand = (
+        struct.pack("<I", 12347)
+        + b"\x01"
+        + struct.pack("<HH", 0, 3)
+        + struct.pack("<H", 1)
+        + struct.pack("<HH", 10, 3)
+    )
+    assert roaring32_deserialize(hand)[0] == [10, 11, 12, 13]
+    # legacy cookie 12346 with explicit size + offsets
+    hand = (
+        struct.pack("<II", 12346, 1)
+        + struct.pack("<HH", 1, 0)
+        + struct.pack("<I", 16)
+        + struct.pack("<H", 7)
+    )
+    assert roaring32_deserialize(hand)[0] == [(1 << 16) + 7]
+
+
+def test_roaring32_roundtrip_all_container_types():
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        [],
+        [0],
+        [0xFFFFFFFF],
+        [65535, 65536],                       # container boundary
+        list(range(5000)),                    # bitmap container
+        sorted(rng.sample(range(1 << 20), 9000)),  # multi-key mix
+    ]
+    for vals in cases:
+        buf = roaring32_serialize(vals)
+        got, pos = roaring32_deserialize(buf)
+        assert got == sorted(set(vals))
+        assert pos == len(buf)
+
+
+def test_rba_64bit_roundtrip_and_magic():
+    vals = [0, 5, (1 << 32) + 7, (2 << 32) + 1]
+    data = rba_serialize(vals)
+    assert struct.unpack_from("<I", data, 0)[0] == 1681511377
+    assert rba_deserialize(data) == vals
+    with pytest.raises(ValueError, match="magic"):
+        rba_deserialize(b"\x00\x00\x00\x00" + data[4:])
+
+
+def test_dv_file_and_inline_descriptors(tmp_path):
+    t = str(tmp_path)
+    desc = write_dv_file(t, [5, 3, 5, 1])
+    assert desc["storageType"] == "u"
+    assert desc["cardinality"] == 3
+    assert dv_row_indexes(t, desc) == [1, 3, 5]
+    # corrupt the checksum -> loud failure
+    import glob
+
+    fpath = glob.glob(os.path.join(t, "deletion_vector_*.bin"))[0]
+    blob = bytearray(open(fpath, "rb").read())
+    blob[-1] ^= 0xFF
+    open(fpath, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        dv_row_indexes(t, desc)
+    inline = inline_dv_descriptor([10, 20])
+    assert dv_row_indexes(t, inline) == [10, 20]
+    bad = dict(inline, cardinality=5)
+    with pytest.raises(ValueError, match="cardinality"):
+        dv_row_indexes(t, bad)
+
+
+def _dv_commit(table: str, dvs: dict[str, dict]) -> None:
+    """Author the foreign writer's DV commit: remove + re-add each
+    path with its descriptor, under the reader-v3 protocol."""
+    snap = _replay_log(table, None)
+    v = snap.version + 1
+    lines = [
+        json.dumps(
+            {"commitInfo": {"operation": "DELETE", "timestamp": 1700000000000}}
+        ),
+        json.dumps(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        ),
+    ]
+    for p, dv in dvs.items():
+        a = dict(snap.files[p])
+        a["deletionVector"] = dv
+        lines.append(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": 1700000000000,
+                        "dataChange": True,
+                    }
+                }
+            )
+        )
+        lines.append(json.dumps({"add": a}))
+    with open(
+        os.path.join(table, "_delta_log", f"{v:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture()
+def dv_table(spark, tmp_path):
+    """A 100-row two-file table with DVs on both files: on-disk DV
+    deleting row indexes 0-4 of the first file, inline DV deleting
+    indexes 1 and 3 of the second. Returns (path, surviving ids)."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "id long, s string"
+    )
+    write_delta(df.repartition(2), t, mode="append")
+    snap = _replay_log(t, None)
+    p0, p1 = sorted(snap.files)
+    ids0 = [
+        r["id"]
+        for r in pq.read_table(
+            os.path.join(t, p0), columns=["id"]
+        ).to_pylist()
+    ]
+    ids1 = [
+        r["id"]
+        for r in pq.read_table(
+            os.path.join(t, p1), columns=["id"]
+        ).to_pylist()
+    ]
+    deleted = set(ids0[:5]) | {ids1[1], ids1[3]}
+    _dv_commit(
+        t,
+        {
+            p0: write_dv_file(t, [0, 1, 2, 3, 4]),
+            p1: inline_dv_descriptor([1, 3]),
+        },
+    )
+    return t, sorted(set(range(100)) - deleted)
+
+
+def test_read_applies_dvs(spark, dv_table):
+    t, want = dv_table
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == want
+    # time travel BEFORE the DV commit sees every row
+    assert read_delta(spark, t, version=0).count() == 100
+
+
+def test_dv_read_plans_broadcast_anti_join(spark, dv_table):
+    t, _want = dv_table
+    plan = read_delta(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_appends_commute_with_dvs(spark, dv_table):
+    t, want = dv_table
+    write_delta(
+        spark.createDataFrame([(1000, "x")], "id long, s string"),
+        t,
+        mode="append",
+    )
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == want + [1000]
+
+
+def test_partitioned_dv_read(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(60)],
+        "id long, g int, s string",
+    )
+    write_delta(df.repartition(1), t, mode="append", partition_by=["g"])
+    snap = _replay_log(t, None)
+    # delete the first 2 row indexes of ONE partition's file
+    target = sorted(snap.files)[0]
+    ids = [
+        r["id"]
+        for r in pq.read_table(
+            os.path.join(t, target), columns=["id"]
+        ).to_pylist()
+    ]
+    _dv_commit(t, {target: write_dv_file(t, [0, 1])})
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == sorted(set(range(60)) - set(ids[:2]))
+
+
+def test_rewrite_paths_refuse_on_dv_tables(spark, dv_table):
+    t, _want = dv_table
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        optimize_delta,
+        update_delta,
+        vacuum_delta,
+    )
+
+    for op in (
+        lambda: delete_delta(spark, t, "id = 50"),
+        lambda: update_delta(spark, t, {"s": "'x'"}, "id = 50"),
+        lambda: optimize_delta(spark, t),
+        lambda: vacuum_delta(t, retention_hours=0.0),
+        lambda: write_checkpoint(t),
+        lambda: restore_delta(spark, t, 0),
+        lambda: delta_changes(spark, t, 0),
+        lambda: delta_row_changes(spark, t, 1, keys=["id"]),
+    ):
+        with pytest.raises(NotImplementedError, match="deletion vector"):
+            op()
+
+
+def test_dv_backlog_budget_refuses(spark, dv_table, monkeypatch):
+    t, _want = dv_table
+    import sparkstreamingtwitter_presidential_spark.sources.delta as delta_mod
+
+    monkeypatch.setattr(delta_mod, "_DV_PAIRS_DRIVER_MAX", 3)
+    with pytest.raises(NotImplementedError, match="backlog"):
+        read_delta(spark, t).collect()
