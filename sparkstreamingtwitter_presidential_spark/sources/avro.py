@@ -187,15 +187,26 @@ def _write_value(buf: bytearray, t: object, v: object) -> None:
     elif isinstance(t, dict) and t.get("type") == "record":
         # value addressed by field name: dict or pyspark Row both
         # support __getitem__ by name. A field ABSENT from the value
-        # writes null — that lets schema-evolved writers (e.g. the
-        # manifest entry gaining equality_ids) re-serialize records
-        # read under an older schema; a missing NON-nullable field
-        # still fails in _write_value's type dispatch.
+        # writes null ONLY when its schema type is a nullable union —
+        # that lets schema-evolved writers (e.g. the manifest entry
+        # gaining equality_ids) re-serialize records read under an
+        # older schema, while a typo'd or forgotten key for any
+        # REQUIRED field raises instead of silently nulling (r8
+        # verdict: the broad except converted loud future bugs into
+        # silent ones).
         for fld in t["fields"]:
             try:
                 fv = v[fld["name"]]
             except (KeyError, ValueError):
-                fv = None
+                ft = fld["type"]
+                if isinstance(ft, list) and "null" in ft:
+                    fv = None
+                else:
+                    raise KeyError(
+                        f"record value is missing required field "
+                        f"{fld['name']!r} (only nullable-union fields "
+                        "may be absent, the schema-evolution allowance)"
+                    ) from None
             _write_value(buf, fld["type"], fv)
     elif isinstance(t, dict) and t.get("type") == "fixed":
         b = bytes(v)

@@ -722,8 +722,13 @@ def version_at_timestamp(path: str, ts: Any) -> int:
     naive treated as UTC — or epoch millis), per the real client's
     rule. Commit timestamps come from each commit's commitInfo
     (falling back to the json file's mtime for foreign commits
-    without one, the protocol's documented fallback). Raises if every
-    commit is newer than ``ts``."""
+    without one, the protocol's documented fallback) and are
+    MONOTONIZED first — each version's timestamp becomes
+    max(prev + 1, its own), the real client's adjustment — so a
+    foreign log with out-of-order commitInfo timestamps (clock skew
+    between writers, mtime fallbacks) resolves to the same version
+    delta-spark would pick instead of a version-order-violating one
+    (ADVICE r8). Raises if every commit is newer than ``ts``."""
     from datetime import datetime as _dtt
     from datetime import timezone as _tzz
 
@@ -733,7 +738,7 @@ def version_at_timestamp(path: str, ts: Any) -> int:
     else:
         ts_ms = int(ts)
     log_dir = _log_path(path)
-    best: int | None = None
+    stamped: list[tuple[int, int]] = []  # (version, raw commit ms)
     for n in sorted(os.listdir(log_dir)):
         v = _version_of(n, ".json")
         if v is None:
@@ -750,6 +755,13 @@ def version_at_timestamp(path: str, ts: Any) -> int:
             commit_ms = int(
                 os.path.getmtime(os.path.join(log_dir, n)) * 1000
             )
+        stamped.append((v, commit_ms))
+    best: int | None = None
+    prev_ms: int | None = None
+    for v, commit_ms in sorted(stamped):
+        if prev_ms is not None and commit_ms <= prev_ms:
+            commit_ms = prev_ms + 1
+        prev_ms = commit_ms
         if commit_ms <= ts_ms and (best is None or v > best):
             best = v
     if best is None:

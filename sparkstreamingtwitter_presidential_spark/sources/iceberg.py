@@ -1107,6 +1107,20 @@ def _row_delete_filter(
                     "equality delete file without equality_ids; refusing "
                     "rather than guessing the delete key"
                 )
+            if any(
+                v is not None
+                for v in (d["data_file"].get("partition") or {}).values()
+            ):
+                # a partition-scoped equality delete targets ONLY its
+                # partition's data files; applying it globally would
+                # over-delete matching keys elsewhere — refuse (global
+                # unpartitioned-spec deletes, the shape this writer
+                # emits, apply below)
+                raise NotImplementedError(
+                    "partition-scoped equality delete files are not "
+                    "supported by this reader (global unpartitioned-"
+                    "spec equality deletes are)"
+                )
             psrc = {
                 pf["source_id"]
                 for pf in _identity_fields(
@@ -2117,6 +2131,7 @@ def _commit_snapshot(
     operation: str,
     summary_extra: dict[str, str] | None = None,
     added_delete_files: list[dict] | None = None,
+    delete_files_unpartitioned_spec: bool = False,
 ) -> int:
     """Write one manifest (ADDED + carried-EXISTING + DELETED entries),
     a manifest list, and claim the next metadata version — the shared
@@ -2227,7 +2242,28 @@ def _commit_snapshot(
     if added_delete_files:
         # v2 row-level deletes: a separate DELETE manifest (content=1)
         # in the same atomic commit — its sequence number is what
-        # scopes the deletes to data files with seq <= it
+        # scopes the deletes to data files with seq <= it.
+        # GLOBAL deletes (equality files that apply table-wide, the
+        # Flink-upsert shape) commit under an UNPARTITIONED spec per
+        # the spec's scoping rule: find-or-register it in the
+        # metadata's partition-specs (the mutation lands in new_meta
+        # below) and type the manifest's r102 record empty.
+        if delete_files_unpartitioned_spec and part_fields:
+            specs = list(meta.get("partition-specs", []))
+            empty = next((sp for sp in specs if not sp.get("fields")), None)
+            if empty is None:
+                empty = {
+                    "spec-id": max(sp["spec-id"] for sp in specs) + 1,
+                    "fields": [],
+                }
+                meta["partition-specs"] = specs + [empty]
+            dm_part_fields: list[dict] = []
+            dm_spec_fields: list[dict] = []
+            dm_spec_id = empty["spec-id"]
+        else:
+            dm_part_fields = part_fields
+            dm_spec_fields = _default_spec_fields(meta)
+            dm_spec_id = meta.get("default-spec-id", 0)
         dm_entries = [
             {
                 "status": _STATUS_ADDED,
@@ -2241,16 +2277,12 @@ def _commit_snapshot(
         dm_path = os.path.join(md, f"{uuid.uuid4().hex}-d0.avro")
         dm_len = write_container(
             dm_path,
-            _manifest_entry_schema(part_fields),
+            _manifest_entry_schema(dm_part_fields),
             dm_entries,
             meta={
                 "schema": json.dumps(ice_schema).encode(),
-                "partition-spec": json.dumps(
-                    _default_spec_fields(meta)
-                ).encode(),
-                "partition-spec-id": str(
-                    meta.get("default-spec-id", 0)
-                ).encode(),
+                "partition-spec": json.dumps(dm_spec_fields).encode(),
+                "partition-spec-id": str(dm_spec_id).encode(),
                 "format-version": b"2",
                 "content": b"deletes",
             },
@@ -2259,7 +2291,7 @@ def _commit_snapshot(
             {
                 "manifest_path": dm_path,
                 "manifest_length": dm_len,
-                "partition_spec_id": meta.get("default-spec-id", 0),
+                "partition_spec_id": dm_spec_id,
                 "content": 1,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -2857,7 +2889,10 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
 
 
 def delete_iceberg_positional(
-    spark: SparkSession, path: str, predicate: str
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    max_matched_rows: int = 10_000_000,
 ) -> int:
     """MERGE-ON-READ DELETE: write v2 POSITION DELETE files
     ((file_path, pos) rows, sorted — the spec's delete-file shape)
@@ -2869,15 +2904,25 @@ def delete_iceberg_positional(
     Matching uses `_metadata.row_index` for the in-file row position —
     the scan stays one distributed job with no row-number shuffle.
 
-    Boundaries (honest refusals, not wrong rows): unpartitioned tables
-    only (CoW DML covers partitioned; partition-scoped delete files
-    are not implemented), and the written parquet carries the spec's
-    column NAMES (file_path, pos) without its reserved parquet
-    field-ids (readers here and the name-based ecosystem read it;
-    field-id-strict readers may not). SQL DELETE semantics: only rows
-    where the predicate is TRUE are deleted. A no-match predicate
-    commits nothing. Returns the (possibly unchanged) snapshot id."""
+    Partitioned tables (r9): delete files are PARTITION-SCOPED per the
+    spec — matched pairs route to their data file's partition tuple
+    (driver-known log metadata) and ONE write job emits per-partition
+    sorted delete files via partitionBy on a group ordinal; plan width
+    is the number of live partition TUPLES (the MOR shape targets
+    point/CDC deletes — for bulk deletes use CoW delete_iceberg).
+
+    Boundaries (honest refusals, not wrong rows): the written parquet
+    carries the spec's column NAMES (file_path, pos) without its
+    reserved parquet field-ids (readers here and the name-based
+    ecosystem read it; field-id-strict readers may not), and matches
+    above ``max_matched_rows`` refuse pointing at CoW — each delete
+    file sorts inside ONE task (the per-group sortWithinPartitions),
+    and the read side rebuilds the full pair set, so the backlog must
+    stay metadata-sized. SQL DELETE semantics: only rows where the
+    predicate is TRUE are deleted. A no-match predicate commits
+    nothing. Returns the (possibly unchanged) snapshot id."""
     import shutil
+    from functools import reduce
 
     import pyarrow.parquet as pq
 
@@ -2885,11 +2930,6 @@ def delete_iceberg_positional(
     snap = _snapshot(meta, None)
     ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
     part_fields = _partition_fields(meta, ice_schema)
-    if part_fields:
-        raise NotImplementedError(
-            "positional deletes on partitioned tables are not "
-            "supported; use delete_iceberg (copy-on-write)"
-        )
     spark_schema = _schema_to_spark(ice_schema)
     entries, _dels = _entries_and_deletes_for_snapshot(path, snap)
     # existing deletes need not be applied before matching: a pair
@@ -2898,43 +2938,101 @@ def delete_iceberg_positional(
     _refuse_renamed_files(meta, entries, ice_schema, "positional delete")
     if not entries:
         return snap["snapshot-id"]
-    scan = spark.read.schema(spark_schema).parquet(
-        *[e["data_file"]["file_path"] for e in entries]
+    id_fields = _identity_fields(part_fields)
+    pnames = {pf["source_name"] for pf in id_fields}
+    data_schema = T.StructType(
+        [f for f in spark_schema.fields if f.name not in pnames]
     )
-    matched = (
-        scan.filter(F.expr(predicate))
-        .select(
-            _norm_path_col(F.col("_metadata.file_path")).alias("file_path"),
-            F.col("_metadata.row_index").cast("long").alias("pos"),
+    fields_by_name = {f.name: f for f in spark_schema.fields}
+    groups: dict[tuple, list[dict]] = {}
+    for e in entries:
+        part = e["data_file"].get("partition") or {}
+        key = tuple(part.get(pf["name"]) for pf in part_fields)
+        groups.setdefault(key, []).append(e["data_file"])
+    group_keys = sorted(groups, key=lambda k: tuple(map(str, k)))
+    frames = []
+    for gi, key in enumerate(group_keys):
+        scan = spark.read.schema(data_schema).parquet(
+            *sorted(d["file_path"] for d in groups[key])
         )
-        .orderBy("file_path", "pos")
-    )
+        # pseudo-columns FIRST (injection below would hide _metadata)
+        scan = scan.select(
+            "*",
+            _norm_path_col(F.col("_metadata.file_path")).alias("__dv_path"),
+            F.col("_metadata.row_index").cast("long").alias("__dv_pos"),
+        )
+        # identity partition values are log metadata — inject so the
+        # predicate may reference them (transform sources are IN data)
+        for pf, av in zip(part_fields, key):
+            if pf["transform"] != "identity":
+                continue
+            scan = scan.withColumn(
+                pf["source_name"],
+                F.lit(_avro_partition_to_python(pf["type"], av)).cast(
+                    fields_by_name[pf["source_name"]].dataType
+                ),
+            )
+        frames.append(
+            scan.filter(F.expr(predicate)).select(
+                F.col("__dv_path").alias("file_path"),
+                F.col("__dv_pos").alias("pos"),
+                F.lit(gi).alias("__grp"),
+            )
+        )
+    matched = reduce(DataFrame.unionByName, frames)
     staging = os.path.join(path, _DATA_DIR, uuid.uuid4().hex)
-    matched.coalesce(1).write.mode("overwrite").parquet(staging)
+    (
+        matched.repartition("__grp")
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite")
+        .partitionBy("__grp")
+        .parquet(staging)
+    )
     try:
-        staged = [full for full, _ in _walk_staged_parquet(staging)]
-        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in staged)
-        if n_rows == 0:
+        staged = _walk_staged_parquet(staging)
+        delete_files: list[dict] = []
+        total = 0
+        for full, raw in staged:
+            md_ = pq.ParquetFile(full).metadata
+            if md_.num_rows == 0:
+                continue
+            total += md_.num_rows
+            gi = int(raw["__grp"])
+            final = os.path.join(
+                os.path.dirname(full), f"delete-{uuid.uuid4().hex}.parquet"
+            )
+            os.rename(full, final)
+            delete_files.append(
+                {
+                    "content": 1,
+                    "file_path": final,
+                    "file_format": "PARQUET",
+                    "partition": dict(
+                        zip(
+                            [pf["name"] for pf in part_fields],
+                            group_keys[gi],
+                        )
+                    ),
+                    "record_count": md_.num_rows,
+                    "file_size_in_bytes": os.path.getsize(final),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                }
+            )
+        if total == 0:
             shutil.rmtree(staging, ignore_errors=True)
             return snap["snapshot-id"]
-        assert len(staged) == 1  # coalesce(1) wrote one file
-        final = os.path.join(
-            staging, f"delete-{uuid.uuid4().hex}.parquet"
-        )
-        os.rename(staged[0], final)
+        if total > max_matched_rows:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(
+                f"predicate matched {total} rows > max_matched_rows "
+                f"({max_matched_rows}); a delete backlog this size "
+                "belongs to copy-on-write delete_iceberg, not MOR "
+                "position deletes"
+            )
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    delete_file = {
-        "content": 1,
-        "file_path": final,
-        "file_format": "PARQUET",
-        "partition": {},
-        "record_count": n_rows,
-        "file_size_in_bytes": os.path.getsize(final),
-        "lower_bounds": None,
-        "upper_bounds": None,
-    }
     return _commit_snapshot(
         path,
         meta,
@@ -2945,7 +3043,7 @@ def delete_iceberg_positional(
         deleted_entries=[],
         carry_prior_manifests=True,
         operation="delete",
-        added_delete_files=[delete_file],
+        added_delete_files=delete_files,
     )
 
 
@@ -2964,10 +3062,6 @@ def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
     snap = _snapshot(meta, None)
     ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
     part_fields = _partition_fields(meta, ice_schema)
-    if part_fields:
-        raise NotImplementedError(
-            "row-level deletes on partitioned tables are not supported"
-        )
     spark_schema = _schema_to_spark(ice_schema)
     entries, dels = _entries_and_deletes_for_snapshot(path, snap)
     if not dels:
@@ -3004,15 +3098,19 @@ def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
     added: list[dict] = []
     if hit:
         # reuse the already-built pair frame: no second pass over the
-        # delete files (review finding)
+        # delete files (review finding). _read_files applies the
+        # filter per branch (identity partition values inject AFTER
+        # it) and re-staging re-derives the partition tuples — the
+        # r9 partitioned-table path.
         flt = _row_delete_filter(
             spark, meta, entries, dels, ice_schema, pos_pairs=pairs
         )
-        scan = spark.read.schema(spark_schema).parquet(
-            *[e["data_file"]["file_path"] for e in hit]
-        )
-        remaining = flt(scan).select(
-            *[f.name for f in spark_schema.fields]
+        remaining = _read_files(
+            spark,
+            [e["data_file"] for e in hit],
+            spark_schema,
+            part_fields,
+            scan_filter=flt,
         )
         added = _stage_data_files(remaining, path, ice_schema, part_fields)
     return _commit_snapshot(
@@ -3044,9 +3142,16 @@ def upsert_iceberg_mor(
     so cost is ∝ BATCH SIZE and independent of table size (the CoW
     merge_iceberg rewrite is ∝ affected-file bytes), traded for
     read-side anti-joins until rewrite_position_deletes folds the
-    backlog. Unpartitioned tables; duplicate source keys refuse (an
-    in-batch order would be arbitrary); empty batches commit nothing.
-    Returns the (possibly unchanged) snapshot id."""
+    backlog. Partitioned tables (r9): batch data files stage per
+    partition as usual; the equality delete commits GLOBALLY under a
+    registered unpartitioned spec (the spec's table-wide scope — an
+    updated key's OLD version may live in a different partition than
+    its new one, so partition-scoped deletes would miss it). Keys on
+    identity partition SOURCE columns refuse (scan branches inject
+    those values after the delete filter; use CoW merge_iceberg).
+    Duplicate source keys refuse (an in-batch order would be
+    arbitrary); empty batches commit nothing. Returns the (possibly
+    unchanged) snapshot id."""
     import shutil
 
     import pyarrow.parquet as pq
@@ -3055,10 +3160,14 @@ def upsert_iceberg_mor(
     snap = _snapshot(meta, None)
     ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
     part_fields = _partition_fields(meta, ice_schema)
-    if part_fields:
+    id_src = {pf["source_name"] for pf in _identity_fields(part_fields)}
+    bad_keys = sorted(set(keys) & id_src)
+    if bad_keys:
         raise NotImplementedError(
-            "MOR upsert on partitioned tables is not supported; use "
-            "merge_iceberg (copy-on-write)"
+            f"MOR upsert keyed on identity partition column(s) "
+            f"{bad_keys} is not supported (partition values inject "
+            "AFTER the read-side delete filter); use merge_iceberg "
+            "(copy-on-write)"
         )
     spark_schema = _schema_to_spark(ice_schema)
     tcols = [f.name for f in spark_schema.fields]
@@ -3125,6 +3234,7 @@ def upsert_iceberg_mor(
         carry_prior_manifests=True,
         operation="overwrite",
         added_delete_files=[eq_file],
+        delete_files_unpartitioned_spec=True,
     )
 
 

@@ -177,3 +177,27 @@ def test_avro_split_read_empty_and_tiny_ranges(spark, tmp_path):
     assert whole == big == small
     with pytest.raises(ValueError, match="split_bytes"):
         read_avro(spark, out, split_bytes=0)
+
+
+def test_absent_record_field_nullable_only():
+    """The schema-evolution allowance is SCOPED (r8 verdict item 7):
+    an absent field serializes null only when its type is a nullable
+    union; a missing required field raises instead of silently
+    nulling."""
+    from sparkstreamingtwitter_presidential_spark.sources.avro import (
+        _write_value,
+    )
+
+    rec = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "req", "type": "long"},
+            {"name": "opt", "type": ["null", "string"]},
+        ],
+    }
+    buf = bytearray()
+    _write_value(buf, rec, {"req": 7})  # opt absent -> null branch
+    assert bytes(buf) == bytes([14, 0])  # zigzag(7), union idx 0
+    with pytest.raises(KeyError, match="required field 'req'"):
+        _write_value(bytearray(), rec, {"opt": "x"})

@@ -897,3 +897,43 @@ def test_version_at_timestamp_mtime_fallback(spark, tmp_path):
     assert version_at_timestamp(p, int((old + 60) * 1000)) == 0
     with pytest.raises(ValueError, match="at or before"):
         version_at_timestamp(p, int((old - 60) * 1000))
+
+
+def test_version_at_timestamp_monotonizes_out_of_order_commits(
+    spark, tmp_path
+):
+    """A foreign log whose commitInfo timestamps go BACKWARD (clock
+    skew between writers) resolves like the real client: timestamps
+    monotonize to max(prev + 1, own) before comparison, so a later
+    version never resolves at an earlier instant than its parent
+    (ADVICE r8)."""
+    import json as _json
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        version_at_timestamp,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, s string, v double")
+    write_delta(df, p, mode="append")
+    write_delta(df, p, mode="append")
+    write_delta(df, p, mode="append")
+    stamps = {0: 1_000_000, 1: 500_000, 2: 2_000_000}  # v1 goes BACK
+    for v, ms in stamps.items():
+        log = os.path.join(p, "_delta_log", f"{v:020d}.json")
+        out = []
+        for ln in open(log).read().splitlines():
+            act = _json.loads(ln)
+            if "commitInfo" in act:
+                act["commitInfo"]["timestamp"] = ms
+            out.append(_json.dumps(act))
+        open(log, "w").write("\n".join(out) + "\n")
+    # monotonized: v0 @1000000, v1 @1000001, v2 @2000000
+    assert version_at_timestamp(p, 1_000_000) == 0
+    assert version_at_timestamp(p, 1_000_001) == 1
+    assert version_at_timestamp(p, 1_999_999) == 1
+    assert version_at_timestamp(p, 2_000_000) == 2
+    # WITHOUT monotonization, 600000 would wrongly resolve to v1
+    with pytest.raises(ValueError, match="at or before"):
+        version_at_timestamp(p, 999_999)

@@ -1,0 +1,176 @@
+"""Row-level deletes on PARTITIONED Iceberg tables (r9 — r8 verdict
+item 4): partition-scoped position-delete files, globally-scoped
+equality deletes under a registered unpartitioned spec, and
+rewrite_position_deletes folding the backlog per partition."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+    _entries_and_deletes_for_snapshot,
+    _load_metadata,
+    _snapshot,
+    delete_iceberg_positional,
+    read_iceberg,
+    rewrite_position_deletes,
+    upsert_iceberg_mor,
+    write_iceberg,
+)
+
+
+def _dels(path):
+    meta = _load_metadata(path)
+    _, dels = _entries_and_deletes_for_snapshot(path, _snapshot(meta, None))
+    return dels
+
+
+@pytest.fixture()
+def part_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    rows = [(i, f"g{i % 3}", float(i)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    write_iceberg(df, t, partition_by=["g"])
+    return t, rows
+
+
+def test_positional_delete_scopes_files_by_partition(spark, part_table):
+    t, rows = part_table
+    delete_iceberg_positional(spark, t, "id % 10 = 3 AND g = 'g0'")
+    got = sorted(map(tuple, read_iceberg(spark, t).collect()))
+    want = sorted(r for r in rows if not (r[0] % 10 == 3 and r[0] % 3 == 0))
+    assert got == want
+    # every delete file carries the partition tuple of the data it
+    # scopes — here only g0 was touched
+    parts = [d["data_file"]["partition"] for d in _dels(t)]
+    assert parts and all(p == {"g": "g0"} for p in parts)
+
+
+def test_positional_delete_predicate_may_use_partition_column(
+    spark, part_table
+):
+    # identity partition values are NOT in the data files; the matcher
+    # must inject them before evaluating the predicate
+    t, rows = part_table
+    delete_iceberg_positional(spark, t, "g = 'g1'")
+    got = read_iceberg(spark, t)
+    assert got.filter("g = 'g1'").count() == 0
+    assert got.count() == len([r for r in rows if r[1] != "g1"])
+
+
+def test_mor_upsert_partitioned_global_equality_delete(spark, part_table):
+    t, rows = part_table
+    src = spark.createDataFrame(
+        [(3, "g0", 999.0), (1000, "g1", 5.0)], "id long, g string, v double"
+    )
+    upsert_iceberg_mor(spark, t, src, keys=["id"])
+    got = {r.id: (r.g, r.v) for r in read_iceberg(spark, t).collect()}
+    assert got[3] == ("g0", 999.0)
+    assert got[1000] == ("g1", 5.0)
+    assert len(got) == 91
+    # the equality delete commits GLOBALLY: empty partition tuple, and
+    # the metadata registers an unpartitioned spec for it
+    eqs = [d for d in _dels(t) if d["data_file"]["content"] == 2]
+    assert eqs and all(
+        not any((d["data_file"].get("partition") or {}).values())
+        for d in eqs
+    )
+    specs = _load_metadata(t)["partition-specs"]
+    assert any(sp["fields"] == [] for sp in specs)
+
+
+def test_mor_upsert_moves_row_across_partitions(spark, part_table):
+    # an update that CHANGES the partition value: the old version
+    # (other partition) must disappear — the global equality scope
+    t, _rows = part_table
+    src = spark.createDataFrame([(7, "g0", 70.0)], "id long, g string, v double")
+    upsert_iceberg_mor(spark, t, src, keys=["id"])  # 7 was g1
+    got = read_iceberg(spark, t).filter("id = 7").collect()
+    assert [(r.g, r.v) for r in got] == [("g0", 70.0)]
+
+
+def test_rewrite_folds_partitioned_backlog(spark, part_table):
+    t, _rows = part_table
+    delete_iceberg_positional(spark, t, "id < 9")
+    upsert_iceberg_mor(
+        spark,
+        t,
+        spark.createDataFrame([(20, "g2", 0.5)], "id long, g string, v double"),
+        keys=["id"],
+    )
+    before = sorted(map(tuple, read_iceberg(spark, t).collect()))
+    assert _dels(t)
+    rewrite_position_deletes(spark, t)
+    assert sorted(map(tuple, read_iceberg(spark, t).collect())) == before
+    assert _dels(t) == []
+    # partition tuples survived the rewrite (read still injects them)
+    assert read_iceberg(spark, t).filter("g = 'g2'").count() > 0
+
+
+def test_transform_partitioned_mor_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 4), float(i)) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    write_iceberg(df, t, partition_by=["day(ts)"])
+    delete_iceberg_positional(spark, t, "id < 8")
+    assert read_iceberg(spark, t).count() == 72
+    upsert_iceberg_mor(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(10, dt.datetime(2024, 3, 1), 7.0)], df.schema
+        ),
+        keys=["id"],
+    )
+    got = read_iceberg(spark, t)
+    assert got.count() == 72
+    assert got.filter("id = 10").collect()[0].v == 7.0
+    rewrite_position_deletes(spark, t)
+    assert read_iceberg(spark, t).count() == 72
+    assert _dels(t) == []
+
+
+def test_matched_rows_budget_refuses(spark, part_table):
+    t, _rows = part_table
+    with pytest.raises(ValueError, match="max_matched_rows"):
+        delete_iceberg_positional(spark, t, "true", max_matched_rows=5)
+    # nothing committed, nothing deleted
+    assert read_iceberg(spark, t).count() == 90
+    assert _dels(t) == []
+
+
+def test_partition_scoped_equality_delete_refuses_on_read(spark, tmp_path):
+    """A FOREIGN partition-scoped equality delete (non-null tuple on a
+    content=2 file) must refuse at filter-build time: applying it
+    globally would over-delete other partitions' rows. Exercised at
+    the _row_delete_filter boundary with a hand-built delete entry —
+    the shape a foreign writer's manifest would resolve to."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _row_delete_filter,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, g string, v double"
+    )
+    write_iceberg(df, t, partition_by=["g"])
+    upsert_iceberg_mor(
+        spark,
+        t,
+        spark.createDataFrame([(1, "a", 9.0)], "id long, g string, v double"),
+        keys=["id"],
+    )
+    meta = _load_metadata(t)
+    snap = _snapshot(meta, None)
+    entries, dels = _entries_and_deletes_for_snapshot(t, snap)
+    eqs = [d for d in dels if d["data_file"]["content"] == 2]
+    assert eqs, "fixture must carry an equality delete"
+    scoped = [
+        {**d, "data_file": {**d["data_file"], "partition": {"g": "a"}}}
+        for d in dels
+    ]
+    ice_schema = meta["schemas"][meta.get("current-schema-id", 0)]
+    with pytest.raises(NotImplementedError, match="partition-scoped"):
+        _row_delete_filter(spark, meta, entries, scoped, ice_schema)

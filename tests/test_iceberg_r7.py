@@ -1397,17 +1397,22 @@ def test_live_deletes_block_dml_and_rewrite_restores(spark, tmp_path):
     assert read_iceberg(spark, t).filter("id = 0").collect()[0].v == 100.0
 
 
-def test_positional_delete_refusals(spark, tmp_path):
+def test_positional_delete_on_partitioned_table(spark, tmp_path):
+    # the r8 refusal is LIFTED in r9: delete files are partition-scoped
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         delete_iceberg_positional,
+        read_iceberg,
     )
 
     t = str(tmp_path / "t")
     write_iceberg(
-        _df(spark, [(1, "a", 1.0)]), t, partition_by=["s"]
+        _df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]),
+        t,
+        partition_by=["s"],
     )
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        delete_iceberg_positional(spark, t, "id = 1")
+    delete_iceberg_positional(spark, t, "id = 2")
+    got = sorted((r.id, r.s) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "a"), (3, "b")]
 
 
 def test_mor_upsert_equality_deletes(spark, tmp_path):
@@ -1494,8 +1499,11 @@ def test_mor_upsert_refusals_and_null_keys(spark, tmp_path):
 
     t = str(tmp_path / "t")
     write_iceberg(_df(spark, [(1, "a", 1.0)]), t, partition_by=["s"])
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        upsert_iceberg_mor(spark, t, _df(spark, [(1, "a", 2.0)]), keys=["id"])
+    # partitioned upserts work since r9 — but keying on an identity
+    # partition SOURCE column still refuses (values inject after the
+    # read-side delete filter)
+    with pytest.raises(NotImplementedError, match="partition column"):
+        upsert_iceberg_mor(spark, t, _df(spark, [(1, "a", 2.0)]), keys=["s"])
     # equality deletes match NULL keys null-safely
     t2 = str(tmp_path / "t2")
     write_iceberg(
