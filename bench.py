@@ -152,8 +152,19 @@ HEADLINE = [
     "streaming_hudi_sink_agg",
     # Round-8 late: MOR positional-delete read (staging warm; timed
     # work is the delete-pair build + per-scan anti-join — the
-    # row-level-delete read floor).
+    # row-level-delete read floor; PARTITIONED staging since r9, so
+    # the number also covers per-branch anti-join application).
     "lakehouse_iceberg_positional_delete_agg",
+    # Round-9: the new foreign-read surfaces — transform-partitioned
+    # Iceberg read (staging warm; timed work is the manifest walk +
+    # transform-space pruning + single-day scan), the deletion-vector
+    # Delta read (staging warm; timed work is DV decode + broadcast
+    # anti-join + scan — the Delta row-level-delete read floor), and
+    # the restored-table read (staging warm; metadata-cost floor of
+    # RESTORE's live-set-equals-target commit).
+    "lakehouse_iceberg_transform_partitioned_agg",
+    "lakehouse_delta_dv_agg",
+    "lakehouse_delta_restore_agg",
 ]
 
 

@@ -1550,17 +1550,21 @@ def streaming_iceberg_sink_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
     """,
     doc=(
-        "NEW r8: MERGE-ON-READ row-level deletes — events staged as "
-        "two Iceberg appends, then delete_iceberg_positional writes a "
-        "v2 POSITION-delete file ((file_path, pos) rows through a "
+        "r8 (PARTITIONED since r9): MERGE-ON-READ row-level deletes — "
+        "events staged as two Iceberg appends PARTITIONED BY "
+        "event_type (r9: the r8 unpartitioned-only refusal is "
+        "lifted), then delete_iceberg_positional writes PARTITION-"
+        "SCOPED v2 position-delete files ((file_path, pos) rows, one "
+        "sorted file set per touched partition tuple, through a "
         "content=1 delete manifest; cost ∝ matched rows, not "
         "rewritten bytes) for event_id%5==0; the graded read is the "
-        "MOR snapshot itself — the scan anti-joins the delete pairs "
-        "on (_metadata.file_path, _metadata.row_index) with "
-        "sequence-number scoping — and RAISES unless the timeline "
-        "shows append/append/delete. Equals the oracle's filtered "
-        "aggregate iff pair generation, normalization, and the "
-        "per-branch anti-join are all exact"
+        "MOR snapshot itself — each partition branch anti-joins the "
+        "delete pairs on (_metadata.file_path, _metadata.row_index) "
+        "BEFORE identity values inject, with sequence-number scoping "
+        "— and RAISES unless the timeline shows append/append/delete. "
+        "Equals the oracle's filtered aggregate iff pair generation, "
+        "partition routing, normalization, and the per-branch "
+        "anti-join are all exact"
     ),
 )
 def lakehouse_iceberg_positional_delete_agg(
@@ -1577,13 +1581,17 @@ def lakehouse_iceberg_positional_delete_agg(
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         )
-        write_iceberg(ev.filter("event_id % 2 = 0"), table)
+        write_iceberg(
+            ev.filter("event_id % 2 = 0"),
+            table,
+            partition_by=["event_type"],
+        )
         write_iceberg(ev.filter("event_id % 2 = 1"), table, mode="append")
         delete_iceberg_positional(spark, table, "event_id % 5 = 0")
 
     key = _events_cache_key(spark, sf_dir)
     table = _staged_iceberg_locked(
-        spark, f"/tmp/ssp_iceberg_posdel_{key}", build
+        spark, f"/tmp/ssp_iceberg_posdel2_{key}", build
     )
     ops = [
         r.operation

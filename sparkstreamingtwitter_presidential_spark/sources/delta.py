@@ -420,13 +420,21 @@ def read_delta(
         version = version_at_timestamp(path, timestamp)
     snap = _replay_log(path, version)
     mapping = _column_mapping(snap)
-    if skip_ranges and mapping is None:
-        # mapped tables skip stats-skipping: their stats JSON keys are
-        # PHYSICAL names; keeping every file is always correct
+    if skip_ranges:
+        # mapped tables store stats under PHYSICAL names — translate
+        # the user's logical-keyed ranges through the mapping before
+        # comparing (r9; previously mapped tables skipped skipping
+        # entirely). Unknown logical names pass through unchanged and
+        # prove nothing, same as any unknown column.
+        eff_ranges = (
+            {mapping.get(c, c): rng for c, rng in skip_ranges.items()}
+            if mapping
+            else skip_ranges
+        )
         snap.files = {
             p: a
             for p, a in snap.files.items()
-            if not file_skips(a, skip_ranges)
+            if not file_skips(a, eff_ranges)
         }
     schema = snap.schema
     assert schema is not None

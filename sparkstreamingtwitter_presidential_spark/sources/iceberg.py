@@ -2132,10 +2132,18 @@ def _commit_snapshot(
     summary_extra: dict[str, str] | None = None,
     added_delete_files: list[dict] | None = None,
     delete_files_unpartitioned_spec: bool = False,
+    branch: str | None = None,
 ) -> int:
     """Write one manifest (ADDED + carried-EXISTING + DELETED entries),
     a manifest list, and claim the next metadata version — the shared
     commit primitive under write/compact/DML.
+
+    ``branch`` (r9) commits to a NAMED BRANCH ref instead of main: the
+    snapshot's parent and carried manifests come from the branch HEAD,
+    the ref advances to the new snapshot, and main's
+    current-snapshot-id / snapshot-log stay untouched (snapshot-log is
+    the main branch's history per the spec). Tags refuse — they are
+    immutable pins.
 
     ``meta`` is the PLANNING-time metadata (from _load_metadata); the
     put-if-absent claims ``meta['_loaded_version'] + 1``, so any commit
@@ -2157,16 +2165,36 @@ def _commit_snapshot(
     base_version = meta["_loaded_version"]
     seq = meta.get("last-sequence-number", 0) + 1
 
+    branch_head: int | None = None
+    if branch is not None and branch != "main":
+        r = (meta.get("refs") or {}).get(branch)
+        if r is None:
+            raise ValueError(
+                f"unknown branch {branch!r}; create it first with "
+                "create_ref(kind='branch')"
+            )
+        if r.get("type") != "branch":
+            raise ValueError(
+                f"ref {branch!r} is a tag — tags are immutable pins; "
+                "only branches accept commits"
+            )
+        branch_head = r["snapshot-id"]
+
     prior_manifests: list[dict] = []
-    if carry_prior_manifests and meta.get("current-snapshot-id", -1) not in (
-        None,
-        -1,
-    ):
-        snap = _snapshot(meta, None)
-        _, _, prior_manifests = read_container(snap["manifest-list"])
-    parent_id = meta.get("current-snapshot-id")
-    if parent_id == -1:
-        parent_id = None
+    if branch_head is not None:
+        if carry_prior_manifests:
+            snap = _snapshot(meta, branch_head)
+            _, _, prior_manifests = read_container(snap["manifest-list"])
+        parent_id = branch_head
+    else:
+        if carry_prior_manifests and meta.get(
+            "current-snapshot-id", -1
+        ) not in (None, -1):
+            snap = _snapshot(meta, None)
+            _, _, prior_manifests = read_container(snap["manifest-list"])
+        parent_id = meta.get("current-snapshot-id")
+        if parent_id == -1:
+            parent_id = None
 
     entries = [
         {
@@ -2343,11 +2371,18 @@ def _commit_snapshot(
     new_meta.pop("_loaded_version", None)
     new_meta["last-updated-ms"] = now_ms
     new_meta["last-sequence-number"] = seq
-    new_meta["current-snapshot-id"] = snapshot_id
     new_meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
-    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
-        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-    ]
+    if branch_head is not None:
+        # branch commit: advance the ref; main's head and history
+        # (snapshot-log tracks the MAIN branch) stay untouched
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {**refs[branch], "snapshot-id": snapshot_id}
+        new_meta["refs"] = refs
+    else:
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
 
     new_version = base_version + 1
     target = os.path.join(md, f"v{new_version}.metadata.json")
@@ -2457,10 +2492,15 @@ def write_iceberg(
     operation: str | None = None,
     partition_by: list[str] | None = None,
     summary_extra: dict[str, str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot (``append`` keeps prior data
     live via the previous snapshot's manifests; ``overwrite`` starts a
-    fresh file set). ``operation`` overrides the snapshot summary's
+    fresh file set). ``branch`` (r9) commits to a named BRANCH ref —
+    append carries the BRANCH head's manifests, the ref advances, and
+    main is untouched (read back with ``read_iceberg(ref=...)``);
+    requires an existing table and an existing branch (create_ref
+    kind='branch'); tags refuse. ``operation`` overrides the snapshot summary's
     operation label. ``partition_by`` (new tables only) creates an
     identity partition spec over the named int/long/string/date
     columns; appends to a partitioned table stage per-partition
@@ -2513,6 +2553,8 @@ def write_iceberg(
             path, df.schema, partition_by
         )
 
+    if branch is not None and not exists:
+        raise ValueError("branch writes require an existing table")
     data_files = _stage_data_files(df, path, ice_schema, part_fields)
     return _commit_snapshot(
         path,
@@ -2525,6 +2567,7 @@ def write_iceberg(
         carry_prior_manifests=(mode == "append"),
         operation=operation or ("append" if mode == "append" else "overwrite"),
         summary_extra=summary_extra,
+        branch=branch,
     )
 
 

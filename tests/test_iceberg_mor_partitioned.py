@@ -174,3 +174,80 @@ def test_partition_scoped_equality_delete_refuses_on_read(spark, tmp_path):
     ice_schema = meta["schemas"][meta.get("current-schema-id", 0)]
     with pytest.raises(NotImplementedError, match="partition-scoped"):
         _row_delete_filter(spark, meta, entries, scoped, ice_schema)
+
+
+# ------------------------------------------------- branch writes (r9)
+
+
+def test_branch_write_roundtrip_main_untouched(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        create_ref,
+        table_refs,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    write_iceberg(df, t)
+    create_ref(t, "dev", kind="branch")
+    write_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, s string"),
+        t,
+        mode="append",
+        branch="dev",
+    )
+    # branch sees base + branch-append; main sees only base
+    at_dev = sorted(r.id for r in read_iceberg(spark, t, ref="dev").collect())
+    assert at_dev == [1, 2, 3]
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [1, 2]
+    # a second branch append stacks on the BRANCH head
+    write_iceberg(
+        spark.createDataFrame([(4, "d")], "id long, s string"),
+        t,
+        mode="append",
+        branch="dev",
+    )
+    assert sorted(
+        r.id for r in read_iceberg(spark, t, ref="dev").collect()
+    ) == [1, 2, 3, 4]
+    # main keeps advancing independently
+    write_iceberg(
+        spark.createDataFrame([(9, "z")], "id long, s string"),
+        t,
+        mode="append",
+    )
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [1, 2, 9]
+    assert sorted(
+        r.id for r in read_iceberg(spark, t, ref="dev").collect()
+    ) == [1, 2, 3, 4]
+    refs = {r.name: r.snapshot_id for r in table_refs(spark, t).collect()}
+    assert refs["dev"] != refs["main"]
+
+
+def test_branch_overwrite_and_refusals(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        create_ref,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    write_iceberg(df, t)
+    create_ref(t, "v1", kind="tag")
+    create_ref(t, "exp", kind="branch")
+    # overwrite on the branch starts a fresh file set THERE only
+    write_iceberg(
+        spark.createDataFrame([(7, "x")], "id long, s string"),
+        t,
+        mode="overwrite",
+        branch="exp",
+    )
+    assert [r.id for r in read_iceberg(spark, t, ref="exp").collect()] == [7]
+    assert [r.id for r in read_iceberg(spark, t).collect()] == [1]
+    # tags are immutable pins
+    with pytest.raises(ValueError, match="tag"):
+        write_iceberg(df, t, mode="append", branch="v1")
+    # unknown branches refuse with the remediation
+    with pytest.raises(ValueError, match="create_ref"):
+        write_iceberg(df, t, mode="append", branch="nope")
+    # branch writes need an existing table
+    with pytest.raises(ValueError, match="existing table"):
+        write_iceberg(df, str(tmp_path / "new"), branch="exp")
