@@ -13,8 +13,11 @@ parquet Spark already reads. So this module implements the real thing:
   delta_history(path)                     commit metadata per version
 
 Protocol coverage (reader version 1 writes, reads through version 3's
-columnMapping): JSON commits, parquet checkpoints + `_last_checkpoint`
-(persisting unexpired remove tombstones, r8), `metaData.schemaString`
+columnMapping / deletionVectors / v2Checkpoint): JSON commits, parquet
+checkpoints + `_last_checkpoint`
+(persisting unexpired remove tombstones, r8), V2 CHECKPOINT reads (r9 —
+uuid-named json/parquet manifest + `_sidecars/` parquet file actions,
+the modern Databricks default), `metaData.schemaString`
 (applied, so reads are schema-stable even over evolving files),
 partition columns (values live in the log, NOT the data files),
 `remove` tombstones, time travel by version AND timestamp
@@ -26,7 +29,7 @@ as a broadcast anti-join on `_metadata` file/row-index; every rewrite,
 diff, checkpoint and vacuum path refuses on DV tables, _refuse_dvs),
 and `txn` (appId, version) actions — the protocol's idempotent-
 streaming-writer marker (consumed by streaming/delta_sink.py). Tables
-requiring any OTHER reader feature (v2 checkpoints) raise
+requiring any OTHER reader feature (type widening, ...) raise
 NotImplementedError naming the feature rather than returning wrong
 rows.
 
@@ -47,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import time
 import urllib.parse
 import uuid
@@ -110,10 +114,15 @@ def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
         v = pr.get("minReaderVersion", 1)
         feats = set(pr.get("readerFeatures") or [])
         # reader v2 IS column mapping; v3 lists features — we read
-        # columnMapping (name/id modes, see read_delta) and
-        # deletionVectors (anti-join application, see _dv_filter) and
-        # refuse everything else (v2 checkpoints, type widening, ...)
-        if v == 2 or (v == 3 and feats <= {"columnMapping", "deletionVectors"}):
+        # columnMapping (name/id modes, see read_delta), deletionVectors
+        # (anti-join application, see _dv_filter), and v2Checkpoint
+        # (manifest + sidecars, see _v2_checkpoint_actions), and
+        # refuse everything else (type widening, timestampNtz, ...)
+        if v == 2 or (
+            v == 3
+            and feats
+            <= {"columnMapping", "deletionVectors", "v2Checkpoint"}
+        ):
             pass
         elif v > MAX_SUPPORTED_READER_VERSION:
             raise NotImplementedError(
@@ -148,6 +157,19 @@ def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
         snap.transactions[t["appId"]] = max(prev, int(t["version"]))
 
 
+def _norm_cp_action(key: str, body: dict[str, Any]) -> dict[str, Any]:
+    """Normalize one checkpoint-stored action: real writers store
+    map-typed fields (add.partitionValues, metaData.configuration,
+    commitInfo maps) as parquet MAP, which pyarrow materializes as a
+    LIST OF (k, v) PAIRS — convert back to dicts so downstream
+    `.get(col)` lookups behave identically to JSON-commit replay."""
+    for f in ("partitionValues", "configuration", "tags"):
+        v = body.get(f)
+        if isinstance(v, list):
+            body = {**body, f: dict(v)}
+    return {key: body}
+
+
 def _checkpoint_actions(cp_file: str) -> list[dict[str, Any]]:
     """Read a classic single-file parquet checkpoint via pyarrow (no
     JVM needed for metadata): one row per action, struct columns."""
@@ -158,7 +180,62 @@ def _checkpoint_actions(cp_file: str) -> list[dict[str, Any]]:
     for row in rows:
         for key in ("protocol", "metaData", "add", "remove", "txn"):
             if row.get(key) is not None:
-                out.append({key: row[key]})
+                out.append(_norm_cp_action(key, row[key]))
+    return out
+
+
+_V2_CHECKPOINT_RE = _re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]{8,}\.(json|parquet)$"
+)
+
+
+def _v2_checkpoint_actions(
+    log_dir: str, cp_name: str
+) -> list[dict[str, Any]]:
+    """Read a V2 CHECKPOINT (PROTOCOL.md §V2 Spec Checkpoints — the
+    v2Checkpoint reader feature, default for modern Databricks
+    tables): a top-level manifest named
+    ``<version>.checkpoint.<uuid>.{json,parquet}`` carrying
+    protocol/metaData/txn (and possibly add/remove) actions plus
+    ``sidecar`` actions whose files — parquet under
+    ``_delta_log/_sidecars/`` — hold the add/remove file actions. The
+    manifest's ``checkpointMetadata`` action is bookkeeping (version +
+    tags) and is consumed here, not replayed. Driver-side metadata
+    reads, same as the classic checkpoint path."""
+    import pyarrow.parquet as pq
+
+    full = os.path.join(log_dir, cp_name)
+    raw_rows: list[dict[str, Any]]
+    if cp_name.endswith(".json"):
+        raw_rows = []
+        with open(full) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    raw_rows.append(json.loads(line))
+    else:
+        raw_rows = pq.read_table(full).to_pylist()
+    out: list[dict[str, Any]] = []
+    sidecars: list[str] = []
+    for row in raw_rows:
+        for key in ("protocol", "metaData", "add", "remove", "txn"):
+            if row.get(key) is not None:
+                out.append(_norm_cp_action(key, row[key]))
+        sc = row.get("sidecar")
+        if sc is not None:
+            sidecars.append(sc["path"])
+        # checkpointMetadata: presence is the v2 marker; nothing to
+        # replay from it
+    for name in sidecars:
+        sc_path = (
+            name
+            if "/" in name and os.path.isabs(name)
+            else os.path.join(log_dir, "_sidecars", os.path.basename(name))
+        )
+        for row in pq.read_table(sc_path).to_pylist():
+            for key in ("add", "remove"):
+                if row.get(key) is not None:
+                    out.append(_norm_cp_action(key, row[key]))
     return out
 
 
@@ -175,15 +252,35 @@ def _replay_log(table_path: str, version: int | None) -> _Snapshot:
         for n in names
         if (v := _version_of(n, ".checkpoint.parquet")) is not None
     }
+    # V2 checkpoints (uuid-named manifest + sidecars) coexist with
+    # classic ones; at the same version either is complete — prefer
+    # classic (single file, no sidecar reads)
+    v2_checkpoints = {
+        int(m.group(1)): n
+        for n in names
+        if (m := _V2_CHECKPOINT_RE.match(n)) is not None
+    }
 
     snap = _Snapshot()
     start = 0
     # A checkpoint collapses every commit <= its version; prefer the
     # newest one at-or-below the requested version.
-    usable = [v for v in checkpoints if version is None or v <= version]
+    usable = [
+        v
+        for v in set(checkpoints) | set(v2_checkpoints)
+        if version is None or v <= version
+    ]
     if usable:
         cp_v = max(usable)
-        for action in _checkpoint_actions(os.path.join(log_dir, checkpoints[cp_v])):
+        if cp_v in checkpoints:
+            cp_actions = _checkpoint_actions(
+                os.path.join(log_dir, checkpoints[cp_v])
+            )
+        else:
+            cp_actions = _v2_checkpoint_actions(
+                log_dir, v2_checkpoints[cp_v]
+            )
+        for action in cp_actions:
             _apply_action(snap, action)
         snap.version = cp_v
         start = cp_v + 1
@@ -1288,11 +1385,15 @@ def _stage_files(
     w.parquet(scratch)
     adds = []
     now = int(time.time() * 1000)
+    import pyarrow.parquet as _pq
+
     for root, _dirs, files in os.walk(scratch):
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue
             src = os.path.join(root, fn)
+            if _pq.ParquetFile(src).metadata.num_rows == 0:
+                continue  # empty part files add metadata, never data
             rel_dir = os.path.relpath(root, scratch)
             pv: dict[str, str | None] = {}
             if rel_dir != ".":
@@ -1334,6 +1435,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    column_mapping: str | None = None,
 ) -> int:
     """Commit df to a Delta table at ``path``; returns the new version.
 
@@ -1354,9 +1456,26 @@ def write_delta(
     them under the declared schema and fill nulls, so no rewrite
     happens. Without the flag, a schema mismatch raises (delta-spark's
     default, protecting against accidental drift).
+
+    ``column_mapping`` (r9): ``"name"`` on the CREATING write enables
+    name-mode column mapping — each top-level field gets a generated
+    physical name (``col-<uuid>``) recorded in the schemaString's
+    field metadata, data files store the physical names, and the
+    protocol bumps to reader v2 / writer v5 (the real writer's
+    versions for the feature). Appends and overwrites to mapped
+    tables (own or foreign) stage under the physical names
+    automatically; schema EVOLUTION on mapped tables refuses (it
+    would need new physical ids — use the writing engine that owns
+    the table). Top-level fields only, matching the read support.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if column_mapping not in (None, "name"):
+        raise NotImplementedError(
+            f"column_mapping mode {column_mapping!r} is not supported "
+            "(name mode only; id mode differs only in metadata this "
+            "writer does not emit)"
+        )
     partition_by = list(partition_by or [])
     log_dir = _log_path(path)
     os.makedirs(log_dir, exist_ok=True)
@@ -1366,8 +1485,14 @@ def write_delta(
         existing = _replay_log(path, None)
     except FileNotFoundError:
         existing = None
+    mapping: dict[str, str] | None = None
     if existing is not None:
-        _refuse_column_mapping(existing, "write_delta")
+        if column_mapping is not None:
+            raise ValueError(
+                "column_mapping is fixed at table creation; the table "
+                "already exists"
+            )
+        mapping = _column_mapping(existing)
         if partition_by and partition_by != existing.partition_columns:
             raise ValueError(
                 f"partition_by {partition_by} != table's "
@@ -1378,17 +1503,48 @@ def write_delta(
     actions: list[dict[str, Any]] = []
     version = 0 if existing is None else existing.version + 1
     if existing is None:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
+        if column_mapping == "name":
+            # generate stable physical names + field ids; the logical
+            # schema (user-facing names) rides schemaString with the
+            # mapping in each field's metadata, per the protocol
+            mapping = {
+                f.name: f"col-{uuid.uuid4().hex[:16]}"
+                for f in df.schema.fields
+            }
+            mapped_fields = [
+                StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": mapping[f.name],
+                    },
+                )
+                for i, f in enumerate(df.schema.fields)
+            ]
+            schema_string = StructType(mapped_fields).json()
+            config = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(len(mapped_fields)),
+            }
+            protocol = {
+                "minReaderVersion": 2,
+                "minWriterVersion": 5,
+            }
+        else:
+            schema_string = df.schema.json()
+            config = {}
+            protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        actions.append({"protocol": protocol})
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema_string,
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": config,
                     "createdTime": int(time.time() * 1000),
                 }
             }
@@ -1397,6 +1553,12 @@ def write_delta(
         assert existing.schema is not None
         have = {f.name for f in existing.schema.fields}
         new_fields = [f for f in df.schema.fields if f.name not in have]
+        if new_fields and mapping is not None:
+            raise NotImplementedError(
+                "schema evolution on a column-mapped table is not "
+                "supported by this writer (new fields need fresh "
+                "physical names/ids owned by the mapping writer)"
+            )
         if new_fields:
             if not merge_schema:
                 raise ValueError(
@@ -1444,7 +1606,15 @@ def write_delta(
                 }
             }
         )
-    actions.extend(_stage_files(df, path, partition_by))
+    stage_partition_by = partition_by
+    if mapping is not None:
+        # mapped tables: data files (and partition dirs, hence the
+        # add's partitionValues keys) store PHYSICAL names
+        df = df.select(
+            *[F.col(c).alias(mapping[c]) for c in df.columns]
+        )
+        stage_partition_by = [mapping[c] for c in partition_by]
+    actions.extend(_stage_files(df, path, stage_partition_by))
     actions.append(
         {
             "commitInfo": {

@@ -246,15 +246,15 @@ def test_unsupported_reader_protocol_refused(spark, tmp_path):
                 {
                     "protocol": {
                         "minReaderVersion": 3,
-                        "readerFeatures": ["v2Checkpoint"],
+                        "readerFeatures": ["typeWidening"],
                     }
                 }
             )
             + "\n"
         )
-    # deletionVectors and columnMapping read (r8/r9); anything else
-    # still refuses by version+features
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    # deletionVectors, columnMapping and v2Checkpoint read (r8/r9);
+    # anything else still refuses by version+features
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta(spark, t)
 
 
@@ -338,11 +338,40 @@ def test_column_mapped_table_reads_by_physical_name(spark, tmp_path):
         (1, "a", 1.0),
         (2, "b", 2.0),
     ]
-    # writes and DML refuse; vacuum is path-only and allowed
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        write_delta(back, t)
+    # appends stage under PHYSICAL names since r9; DML still refuses;
+    # vacuum is path-only and allowed
+    write_delta(
+        spark.createDataFrame([(3, "c", 3.0)], "id long, s string, v double"),
+        t,
+    )
+    assert sorted((r.id, r.s, r.v) for r in read_delta(spark, t).collect()) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+        (3, "c", 3.0),
+    ]
+    import pyarrow.parquet as _pq
+
+    newest = max(
+        (
+            os.path.join(t, n)
+            for n in os.listdir(t)
+            if n.endswith(".parquet")
+        ),
+        key=os.path.getmtime,
+    )
+    assert set(_pq.ParquetFile(newest).schema_arrow.names) == {
+        "col-abc123",
+        "col-def456",
+        "col-ghi789",
+    }
     with pytest.raises(NotImplementedError, match="column-mapped"):
         delete_delta(spark, t, "id = 1")
+    with pytest.raises(NotImplementedError, match="schema evolution"):
+        write_delta(
+            spark.createDataFrame([(4, "d", 4.0, 1)], "id long, s string, v double, extra int"),
+            t,
+            merge_schema=True,
+        )
     from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
         vacuum_delta,
     )
@@ -360,14 +389,14 @@ def test_column_mapped_table_reads_by_physical_name(spark, tmp_path):
             }
         out2.append(_json.dumps(act))
     open(log, "w").write("\n".join(out2) + "\n")
-    assert read_delta(spark, t).count() == 2
+    assert read_delta(spark, t).count() == 3  # incl. the r9 append
     out3 = []
     for ln in open(log).read().splitlines():
         act = _json.loads(ln)
         if "protocol" in act:
             act["protocol"] = {
                 "minReaderVersion": 3,
-                "readerFeatures": ["columnMapping", "v2Checkpoint"],
+                "readerFeatures": ["columnMapping", "typeWidening"],
             }
         out3.append(_json.dumps(act))
     open(log, "w").write("\n".join(out3) + "\n")
@@ -439,3 +468,70 @@ def test_column_mapped_stats_skipping(spark, tmp_path):
     assert len(
         read_delta(spark, t, skip_ranges={"nope": (1, 2)}).inputFiles()
     ) == 2
+
+
+def test_create_column_mapped_table_native(spark, tmp_path):
+    """r9: write_delta(column_mapping='name') creates a mapped table
+    natively — physical col-<uuid> names in the data files, logical
+    schema + mapping metadata in schemaString, reader v2 protocol —
+    and the full write/append/overwrite/read/skip surface works."""
+    import pyarrow.parquet as pq
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _column_mapping,
+        _replay_log,
+    )
+
+    t = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    assert write_delta(df, t, column_mapping="name") == 0
+    snap = _replay_log(t, None)
+    mapping = _column_mapping(snap)
+    assert mapping is not None and set(mapping) == {"id", "grp", "v"}
+    assert all(p.startswith("col-") for p in mapping.values())
+    assert snap.protocol_action["minReaderVersion"] == 2
+    # data files carry ONLY physical names
+    for p in snap.files:
+        names = set(pq.ParquetFile(os.path.join(t, p)).schema_arrow.names)
+        assert names == set(mapping.values())
+    assert _rows(read_delta(spark, t)) == [(1, "a", 1.0), (2, "b", 2.0)]
+    # append + overwrite + stats skipping through the mapping
+    write_delta(_df(spark, [(100, "c", 3.0)]), t)
+    assert _rows(read_delta(spark, t)) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+        (100, "c", 3.0),
+    ]
+    pruned = read_delta(spark, t, skip_ranges={"id": (100, 100)})
+    assert len(pruned.inputFiles()) == 1
+    write_delta(_df(spark, [(9, "z", 9.0)]), t, mode="overwrite")
+    assert _rows(read_delta(spark, t)) == [(9, "z", 9.0)]
+    # column_mapping is a creation-time property
+    with pytest.raises(ValueError, match="table creation"):
+        write_delta(df, t, column_mapping="name")
+    with pytest.raises(NotImplementedError, match="name mode only"):
+        write_delta(df, str(tmp_path / "t2"), column_mapping="id")
+
+
+def test_create_column_mapped_partitioned_table(spark, tmp_path):
+    """Partition dirs and add.partitionValues use PHYSICAL names on a
+    mapped table; metaData.partitionColumns stay logical."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _column_mapping,
+        _replay_log,
+    )
+
+    t = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)])
+    write_delta(df, t, partition_by=["grp"], column_mapping="name")
+    snap = _replay_log(t, None)
+    mapping = _column_mapping(snap)
+    assert snap.partition_columns == ["grp"]  # logical in metaData
+    phys_grp = mapping["grp"]
+    for a in snap.files.values():
+        assert set(a["partitionValues"]) == {phys_grp}
+    got = read_delta(spark, t)
+    assert _rows(got) == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+    # appends inherit partitioning and stage physically
+    write_delta(_df(spark, [(4, "c", 4.0)]), t)
+    assert (4, "c", 4.0) in _rows(read_delta(spark, t))
