@@ -1889,6 +1889,111 @@ def table_snapshots(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def table_files(spark: SparkSession, path: str) -> DataFrame:
+    """The .files metadata-table shape (r9): one row per LIVE data or
+    delete file of the current snapshot — content (0 data / 1 position
+    deletes / 2 equality deletes), path, format, partition tuple as a
+    canonical-JSON string (stored transform-space values, like the
+    real table's partition struct rendered textually), record count,
+    size, and the owning snapshot/sequence attribution. Row-level
+    deletes are listed, NOT applied — this is the physical inventory
+    the real .files table shows. Driver-side manifest walk only."""
+    meta = _load_metadata(path)
+    snap = _snapshot(meta, None)
+    ice_schema = _schema_for(
+        meta, snap.get("schema-id", meta.get("current-schema-id", 0))
+    )
+    part_fields = _partition_fields(meta, ice_schema)
+    entries, dels = _entries_and_deletes_for_snapshot(path, snap)
+    rows = []
+    for e in entries + dels:
+        df_ = e["data_file"]
+        part = df_.get("partition") or {}
+        rows.append(
+            (
+                int(df_.get("content", 0)),
+                df_["file_path"],
+                df_.get("file_format", "PARQUET"),
+                json.dumps(
+                    {pf["name"]: part.get(pf["name"]) for pf in part_fields},
+                    sort_keys=True,
+                ),
+                int(df_["record_count"]),
+                int(df_.get("file_size_in_bytes", 0)),
+                e["snapshot_id"],
+                e["sequence_number"],
+            )
+        )
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return spark.createDataFrame(
+        rows,
+        "content int, file_path string, file_format string, "
+        "partition string, record_count long, file_size_in_bytes long, "
+        "snapshot_id long, sequence_number long",
+    )
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """The .history metadata-table shape (r9): the snapshot-log (main
+    branch lineage) — made_current_at, snapshot_id, parent_id, and
+    is_current_ancestor (whether the entry is an ancestor of the
+    CURRENT snapshot: false for entries orphaned by a rollback, the
+    real table's semantics). Driver-side metadata only."""
+    meta = _load_metadata(path)
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    ancestors: set[int] = set()
+    cur = meta.get("current-snapshot-id")
+    while cur is not None and cur != -1 and cur in by_id:
+        ancestors.add(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    rows = [
+        (
+            e["timestamp-ms"],
+            e["snapshot-id"],
+            by_id.get(e["snapshot-id"], {}).get("parent-snapshot-id"),
+            e["snapshot-id"] in ancestors,
+        )
+        for e in meta.get("snapshot-log", [])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "made_current_at long, snapshot_id long, parent_id long, "
+        "is_current_ancestor boolean",
+    )
+
+
+def table_manifests(spark: SparkSession, path: str) -> DataFrame:
+    """The .manifests metadata-table shape (r9): one row per manifest
+    of the CURRENT snapshot's manifest list — path, length, spec id,
+    content (0 data / 1 deletes), attribution, and the added/existing/
+    deleted file counts the planner prunes by."""
+    meta = _load_metadata(path)
+    snap = _snapshot(meta, None)
+    _, _, manifests = read_container(snap["manifest-list"])
+    rows = [
+        (
+            m["manifest_path"],
+            int(m["manifest_length"]),
+            int(m.get("partition_spec_id", 0)),
+            int(m.get("content", 0)),
+            m["added_snapshot_id"],
+            int(m["sequence_number"]),
+            int(m["added_files_count"]),
+            int(m["existing_files_count"]),
+            int(m["deleted_files_count"]),
+            int(m["added_rows_count"]),
+        )
+        for m in manifests
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path string, length long, partition_spec_id int, content int, "
+        "added_snapshot_id long, sequence_number long, "
+        "added_data_files_count int, existing_data_files_count int, "
+        "deleted_data_files_count int, added_rows_count long",
+    )
+
+
 def current_snapshot_id(path: str) -> int:
     return _snapshot(_load_metadata(path), None)["snapshot-id"]
 

@@ -251,3 +251,75 @@ def test_branch_overwrite_and_refusals(spark, tmp_path):
     # branch writes need an existing table
     with pytest.raises(ValueError, match="existing table"):
         write_iceberg(df, str(tmp_path / "new"), branch="exp")
+
+
+# ------------------------------------------- metadata tables (r9)
+
+
+def test_metadata_tables_files_history_manifests(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        table_files,
+        table_history,
+        table_manifests,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i)) for i in range(20)],
+        "id long, g string, v double",
+    )
+    write_iceberg(df.repartition(1), t, partition_by=["g"])
+    write_iceberg(df.repartition(1), t, mode="append")
+    delete_iceberg_positional(spark, t, "id = 3")
+
+    files = table_files(spark, t).collect()
+    data = [r for r in files if r.content == 0]
+    dels = [r for r in files if r.content == 1]
+    assert len(data) == 4  # 2 partitions x 2 appends
+    assert len(dels) == 1  # one touched partition
+    assert sum(r.record_count for r in data) == 40
+    assert dels[0].record_count == 2  # id=3 appended twice, same part
+    import json as _json
+
+    parts = {tuple(sorted(_json.loads(r.partition).items())) for r in data}
+    assert parts == {(("g", "g0"),), (("g", "g1"),)}
+
+    hist = table_history(spark, t).orderBy("made_current_at").collect()
+    assert len(hist) == 3
+    assert all(h.is_current_ancestor for h in hist)
+    assert hist[0].parent_id is None
+
+    man = table_manifests(spark, t).collect()
+    assert {m.content for m in man} == {0, 1}
+    assert sum(m.added_data_files_count for m in man if m.content == 0) >= 2
+
+
+def test_history_marks_orphans_after_foreign_rollback(spark, tmp_path):
+    """A foreign writer's rollback (current-snapshot-id moved back)
+    leaves later snapshot-log entries as NON-ancestors."""
+    import json as _json
+    import os
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        table_history,
+        _metadata_dir,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    write_iceberg(df, t)
+    write_iceberg(df, t, mode="append")
+    meta = _load_metadata(t)
+    first = meta["snapshot-log"][0]["snapshot-id"]
+    new_meta = dict(meta)
+    new_meta.pop("_loaded_version", None)
+    new_meta["current-snapshot-id"] = first
+    md = _metadata_dir(t)
+    v = meta["_loaded_version"] + 1
+    with open(os.path.join(md, f"v{v}.metadata.json"), "w") as fh:
+        _json.dump(new_meta, fh)
+    open(os.path.join(md, "version-hint.text"), "w").write(str(v))
+    hist = {r.snapshot_id: r.is_current_ancestor
+            for r in table_history(spark, t).collect()}
+    assert hist[first] is True
+    assert sum(1 for v_ in hist.values() if not v_) == 1
