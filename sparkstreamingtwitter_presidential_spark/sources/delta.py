@@ -855,7 +855,14 @@ def version_at_timestamp(path: str, ts: Any) -> int:
                 if line:
                     action = json.loads(line)
                     if "commitInfo" in action:
-                        commit_ms = action["commitInfo"].get("timestamp")
+                        ci = action["commitInfo"]
+                        # inCommitTimestamp (the ICT writer feature) is
+                        # the protocol's authoritative clock when
+                        # present — already writer-monotonized; the
+                        # wall-clock `timestamp` is the fallback
+                        commit_ms = ci.get(
+                            "inCommitTimestamp", ci.get("timestamp")
+                        )
         if commit_ms is None:
             commit_ms = int(
                 os.path.getmtime(os.path.join(log_dir, n)) * 1000

@@ -937,3 +937,35 @@ def test_version_at_timestamp_monotonizes_out_of_order_commits(
     # WITHOUT monotonization, 600000 would wrongly resolve to v1
     with pytest.raises(ValueError, match="at or before"):
         version_at_timestamp(p, 999_999)
+
+
+def test_version_at_timestamp_prefers_in_commit_timestamp(spark, tmp_path):
+    """Tables with the inCommitTimestamp writer feature carry the
+    authoritative clock inside commitInfo.inCommitTimestamp; the
+    wall-clock `timestamp` field may disagree (the ICT migration
+    case) and must lose."""
+    import json as _json
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        version_at_timestamp,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, s string, v double")
+    write_delta(df, p, mode="append")
+    write_delta(df, p, mode="append")
+    icts = {0: 1_000_000, 1: 3_000_000}
+    for v, ms in icts.items():
+        log = os.path.join(p, "_delta_log", f"{v:020d}.json")
+        out = []
+        for ln in open(log).read().splitlines():
+            act = _json.loads(ln)
+            if "commitInfo" in act:
+                act["commitInfo"]["timestamp"] = 999  # wrong wall clock
+                act["commitInfo"]["inCommitTimestamp"] = ms
+            out.append(_json.dumps(act))
+        open(log, "w").write("\n".join(out) + "\n")
+    assert version_at_timestamp(p, 1_000_000) == 0
+    assert version_at_timestamp(p, 2_999_999) == 0
+    assert version_at_timestamp(p, 3_000_000) == 1
