@@ -1310,13 +1310,15 @@ def write_checkpoint(path: str) -> int:
     return snap.version
 
 
-def _file_stats(parquet_path: str) -> str | None:
+def _file_stats(parquet_path: str, metadata: Any | None = None) -> str | None:
     """Per-file column statistics as the protocol's `stats` JSON string
     (numRecords / minValues / maxValues / nullCount) read from the
     parquet footer the writer ALREADY produced — no data re-scan, just
-    metadata. Non-primitive and unparseable columns are simply omitted
-    (stats are advisory: a reader that can't prove exclusion keeps the
-    file)."""
+    metadata. ``metadata`` (a pyarrow FileMetaData) skips re-parsing a
+    footer the caller already opened (_stage_files reads it once for
+    the empty-file check). Non-primitive and unparseable columns are
+    simply omitted (stats are advisory: a reader that can't prove
+    exclusion keeps the file)."""
     import datetime
 
     import pyarrow.parquet as pq
@@ -1334,7 +1336,7 @@ def _file_stats(parquet_path: str) -> str | None:
         return None
 
     try:
-        md = pq.ParquetFile(parquet_path).metadata
+        md = metadata if metadata is not None else pq.ParquetFile(parquet_path).metadata
         mins: dict[str, Any] = {}
         maxs: dict[str, Any] = {}
         nulls: dict[str, int] = {}
@@ -1399,7 +1401,8 @@ def _stage_files(
             if not fn.endswith(".parquet"):
                 continue
             src = os.path.join(root, fn)
-            if _pq.ParquetFile(src).metadata.num_rows == 0:
+            md = _pq.ParquetFile(src).metadata
+            if md.num_rows == 0:
                 continue  # empty part files add metadata, never data
             rel_dir = os.path.relpath(root, scratch)
             pv: dict[str, str | None] = {}
@@ -1425,7 +1428,7 @@ def _stage_files(
                 "modificationTime": now,
                 "dataChange": True,
             }
-            stats = _file_stats(dst)
+            stats = _file_stats(dst, metadata=md)
             if stats is not None:
                 add["stats"] = stats
             adds.append({"add": add})
@@ -1500,6 +1503,21 @@ def write_delta(
                 "already exists"
             )
         mapping = _column_mapping(existing)
+        if mapping is not None:
+            cm_mode = (
+                (existing.metadata_action or {}).get("configuration") or {}
+            ).get("delta.columnMapping.mode")
+            if cm_mode == "id":
+                # id-mode readers resolve columns by PARQUET FIELD ID,
+                # which this staging never emits — an append would
+                # commit files real id-mode readers resolve to nulls.
+                # Reads here are name-based and keep working; writes
+                # refuse (never foreign-side wrong rows).
+                raise NotImplementedError(
+                    "writes to an id-mode column-mapped table are not "
+                    "supported (staged parquet carries no field ids); "
+                    "name-mode tables and reads are"
+                )
         if partition_by and partition_by != existing.partition_columns:
             raise ValueError(
                 f"partition_by {partition_by} != table's "

@@ -489,13 +489,13 @@ def _bucket_micros_np(vals, n: int):
     return (h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
 
 
-def _transform_col(pf: dict, col, session_tz: str):
+def _transform_col(pf: dict, col):
     """The staging-time Spark Column computing pf's transform over the
     source column — JVM built-ins for everything except bucket, which
     is an Arrow-batched pandas_udf (vectorized numpy for long-shaped
-    inputs, per-row murmur3 only for strings). ``session_tz`` converts
-    TimestampNTZ wall-clock values to their literal micros regardless
-    of the session zone."""
+    inputs, per-row murmur3 only for strings). TimestampNTZ values
+    reduce to their literal wall-clock micros via pure calendar
+    arithmetic (see micros()), so no session-zone input is needed."""
     kind, w = pf["transform"], pf["param"]
     t = pf["type"]
 
@@ -1107,15 +1107,15 @@ def _row_delete_filter(
                     "equality delete file without equality_ids; refusing "
                     "rather than guessing the delete key"
                 )
-            if any(
-                v is not None
-                for v in (d["data_file"].get("partition") or {}).values()
-            ):
-                # a partition-scoped equality delete targets ONLY its
-                # partition's data files; applying it globally would
-                # over-delete matching keys elsewhere — refuse (global
-                # unpartitioned-spec deletes, the shape this writer
-                # emits, apply below)
+            if d["data_file"].get("partition") or {}:
+                # a NON-EMPTY partition record (any keys at all — a
+                # tuple of nulls scopes to the NULL partition, so value
+                # nullness proves nothing) marks a partition-scoped
+                # equality delete: it targets ONLY its partition's data
+                # files, and applying it globally would over-delete
+                # matching keys elsewhere — refuse (global
+                # unpartitioned-spec deletes, the empty-record shape
+                # this writer emits, apply below)
                 raise NotImplementedError(
                     "partition-scoped equality delete files are not "
                     "supported by this reader (global unpartitioned-"
@@ -2162,7 +2162,6 @@ def _stage_data_files(
     prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     stage_names: dict[int, str] = {}
-    session_tz = spark.conf.get("spark.sql.session.timeZone")
     for pf in part_fields:
         if pf["transform"] == "identity":
             stage_names[pf["field_id"]] = pf["source_name"]
@@ -2170,7 +2169,7 @@ def _stage_data_files(
             name = f"__ipt_{pf['field_id']}"
             stage_names[pf["field_id"]] = name
             df = df.withColumn(
-                name, _transform_col(pf, F.col(pf["source_name"]), session_tz)
+                name, _transform_col(pf, F.col(pf["source_name"]))
             )
     try:
         w = df.write.mode("overwrite")

@@ -535,3 +535,47 @@ def test_create_column_mapped_partitioned_table(spark, tmp_path):
     # appends inherit partitioning and stage physically
     write_delta(_df(spark, [(4, "c", 4.0)]), t)
     assert (4, "c", 4.0) in _rows(read_delta(spark, t))
+
+
+def test_id_mode_mapped_table_write_refuses(spark, tmp_path):
+    """ID-mode readers resolve columns by parquet field id, which this
+    staging never writes — appends must refuse (r9 review finding);
+    name-based reads keep working."""
+    import json as _json
+
+    t = str(tmp_path / "t")
+    phys = spark.createDataFrame(
+        [(1, "a", 1.0)],
+        "`col-abc123` long, `col-def456` string, `col-ghi789` double",
+    )
+    write_delta(phys, t)
+    log = os.path.join(t, "_delta_log", "00000000000000000000.json")
+    logical = [("id", "col-abc123"), ("s", "col-def456"), ("v", "col-ghi789")]
+    out = []
+    for ln in open(log).read().splitlines():
+        act = _json.loads(ln)
+        if "protocol" in act:
+            act["protocol"]["minReaderVersion"] = 2
+        if "metaData" in act:
+            sch = _json.loads(act["metaData"]["schemaString"])
+            for f, (lname, pname) in zip(sch["fields"], logical):
+                f["name"] = lname
+                f["metadata"] = {
+                    "delta.columnMapping.id": logical.index((lname, pname))
+                    + 1,
+                    "delta.columnMapping.physicalName": pname,
+                }
+            act["metaData"]["schemaString"] = _json.dumps(sch)
+            act["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "id"
+            }
+        out.append(_json.dumps(act))
+    open(log, "w").write("\n".join(out) + "\n")
+    assert read_delta(spark, t).count() == 1
+    with pytest.raises(NotImplementedError, match="id-mode"):
+        write_delta(
+            spark.createDataFrame(
+                [(2, "b", 2.0)], "id long, s string, v double"
+            ),
+            t,
+        )

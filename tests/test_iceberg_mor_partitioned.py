@@ -323,3 +323,36 @@ def test_history_marks_orphans_after_foreign_rollback(spark, tmp_path):
             for r in table_history(spark, t).collect()}
     assert hist[first] is True
     assert sum(1 for v_ in hist.values() if not v_) == 1
+
+
+def test_null_partition_scoped_equality_delete_refuses(spark, tmp_path):
+    """A foreign equality delete scoped to the NULL partition carries
+    a tuple of all-null VALUES — presence of the record (any keys),
+    not value nullness, must trigger the scoped refusal (r9 review
+    finding: the value-based check classified it as global and
+    over-deleted)."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _row_delete_filter,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, g string, v double"
+    )
+    write_iceberg(df, t, partition_by=["g"])
+    upsert_iceberg_mor(
+        spark,
+        t,
+        spark.createDataFrame([(1, "a", 9.0)], "id long, g string, v double"),
+        keys=["id"],
+    )
+    meta = _load_metadata(t)
+    snap = _snapshot(meta, None)
+    entries, dels = _entries_and_deletes_for_snapshot(t, snap)
+    scoped = [
+        {**d, "data_file": {**d["data_file"], "partition": {"g": None}}}
+        for d in dels
+    ]
+    ice_schema = meta["schemas"][meta.get("current-schema-id", 0)]
+    with pytest.raises(NotImplementedError, match="partition-scoped"):
+        _row_delete_filter(spark, meta, entries, scoped, ice_schema)
