@@ -282,3 +282,50 @@ def test_dv_backlog_budget_refuses(spark, dv_table, monkeypatch):
     monkeypatch.setattr(delta_mod, "_DV_PAIRS_DRIVER_MAX", 3)
     with pytest.raises(NotImplementedError, match="backlog"):
         read_delta(spark, t).collect()
+
+
+# ------------------------------------------------ property tests
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=0xFFFFFFFF), max_size=400)
+)
+def test_roaring32_roundtrip_property(vals):
+    buf = roaring32_serialize(vals)
+    got, pos = roaring32_deserialize(buf)
+    assert got == sorted(set(vals))
+    assert pos == len(buf)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 40)), max_size=200
+    )
+)
+def test_rba_and_inline_descriptor_roundtrip_property(vals):
+    assert rba_deserialize(rba_serialize(vals)) == sorted(set(vals))
+    desc = inline_dv_descriptor(vals)
+    assert dv_row_indexes("/nonexistent", desc) == sorted(set(vals))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.sets(
+        st.integers(min_value=0, max_value=1 << 20), max_size=150
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_dv_decode_throughput_contract(vals, _salt):
+    """Bounded check that dense/sparse shapes both roundtrip through
+    the FILE form (version byte + BE length + CRC)."""
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    desc = write_dv_file(d, vals)
+    assert dv_row_indexes(d, desc) == sorted(vals)

@@ -301,3 +301,77 @@ def test_ntz_timestamp_day_is_wall_clock(spark, tmp_path):
         assert sorted(map(tuple, back.collect())) == rows
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# ------------------------------------------------ property tests
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_dt_strategy = st.datetimes(
+    min_value=dt.datetime(1969, 1, 1), max_value=dt.datetime(2100, 1, 1)
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_dt_strategy, _dt_strategy)
+def test_temporal_transforms_are_monotonic(a, b):
+    """The pruning rule's soundness rests on monotonicity: a <= b must
+    imply T(a) <= T(b) for every temporal transform."""
+    if a > b:
+        a, b = b, a
+    for kind in ("day", "month", "year", "hour"):
+        pf = {"transform": kind, "param": None, "type": "timestamptz"}
+        assert _transform_python(pf, a) <= _transform_python(pf, b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=-(1 << 40), max_value=1 << 40),
+    st.integers(min_value=-(1 << 40), max_value=1 << 40),
+    st.integers(min_value=1, max_value=1 << 20),
+)
+def test_truncate_int_monotonic_and_idempotent(a, b, w):
+    pf = {"transform": "truncate", "param": w, "type": "long"}
+    ta, tb = _transform_python(pf, a), _transform_python(pf, b)
+    if a <= b:
+        assert ta <= tb
+    assert _transform_python(pf, ta) == ta  # idempotent
+    assert ta <= a < ta + w  # floor semantics
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(_dt_strategy, min_size=1, max_size=20),
+    _dt_strategy,
+    _dt_strategy,
+)
+def test_day_pruning_never_drops_matching_files(file_ts, lo, hi):
+    """Soundness of _file_excluded_by_partition in transform space: a
+    file whose stored day-ordinal could hold an in-range row is NEVER
+    excluded (checked against brute force over the file's value)."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _file_excluded_by_partition,
+    )
+
+    if lo > hi:
+        lo, hi = hi, lo
+    pf = {
+        "name": "ts_day",
+        "transform": "day",
+        "param": None,
+        "type": "timestamptz",
+        "source_name": "ts",
+        "result_type": "int",
+    }
+    for ts in file_ts:
+        day = _transform_python(pf, ts)
+        entry = {"partition": {"ts_day": day}}
+        excluded = _file_excluded_by_partition(
+            entry, {"ts": (lo, hi)}, [pf]
+        )
+        # if the file's actual row is inside [lo, hi], exclusion is a
+        # wrong-rows bug
+        if lo <= ts <= hi:
+            assert not excluded
