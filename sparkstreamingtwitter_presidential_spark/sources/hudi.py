@@ -36,21 +36,26 @@ The three core Hudi ideas this module implements faithfully:
   timeline says a commit range touched.
 
 Coverage: CoW tables, unpartitioned AND hive-style partitioned
-layouts (single STRING partition field, ``col=val`` dirs with
-partition-metadata markers; partition columns stay IN the data —
-Hudi stores full rows — so partitioning is layout + exact dir-level
-pruning via ``read_hudi(partition_filter=...)``), insert + record-key
-upsert commits (rewrite targeted per (partition, file group), staged
-by a single-job bulk committer — cost ∝ matched groups + inserts in
-bytes and O(1) Spark jobs, never the table), snapshot read (with or without
+layouts (ONE OR MORE string partition fields since r9 — nested
+``a=1/b=2`` dirs with partition-metadata markers carrying the real
+depth; partition columns stay IN the data — Hudi stores full rows —
+so partitioning is layout + exact dir-level pruning via
+``read_hudi(partition_filter=...)``: a (lo, hi) tuple bounds the
+OUTERMOST field, a {col: (lo, hi)} dict bounds any named field),
+insert + record-key upsert commits (rewrite targeted per (partition,
+file group), staged by a single-job bulk committer — cost ∝ matched
+groups + inserts in bytes and O(1) Spark jobs, never the table;
+upserts whose row moves across ANY partition field route as
+delete-old + insert-new), snapshot read (with or without
 meta columns), time travel by completed instant, incremental pull
 (commit-time range), rollback of the latest commit, and clean
 (retire superseded slices, keep_last guard). Refusals (clear
 NotImplementedError/ValueError rather than wrong rows):
-MERGE_ON_READ tables and `.log` delta files, multi-level or
-non-string partition paths, partition values needing hive escaping,
-null partition values, foreign tables without the record-key
-property, bootstrap/clustering/metadata-table features.
+MERGE_ON_READ tables and `.log` delta files,
+non-string partition columns (string paths keep dir-name order ==
+value order, the exact-pruning contract), partition values needing
+hive escaping, null partition values, foreign tables without the
+record-key property, bootstrap/clustering/metadata-table features.
 
 **MERGE_ON_READ is a PERMANENT documented boundary, not debt**
 (decided r9, per the r8 verdict's ask to settle it): MOR's read path
@@ -165,28 +170,29 @@ def _scan_dir(path: str, partition: str) -> list[tuple[str, str, str, str]]:
 
 def _base_files(path: str) -> list[tuple[str, str, str, str]]:
     """(partition_path, file_id, instant, full_path) for every base
-    parquet — the table root ("" partition) plus one level of
-    hive-style ``col=val`` partition dirs. Hudi file name contract:
-    <fileId>_<writeToken>_<instant>.parquet. Deeper nesting
-    (multi-field partition paths) refuses."""
+    parquet — the table root ("" partition) plus hive-style
+    ``col=val`` partition dirs, nested to ANY depth (multi-field
+    partition paths, r9). Hudi file name contract:
+    <fileId>_<writeToken>_<instant>.parquet. Directories that are not
+    col=val segments refuse by name (never guessed layouts)."""
     out = _scan_dir(path, "")
-    for n in sorted(os.listdir(path)):
-        full = os.path.join(path, n)
-        if not os.path.isdir(full) or n.startswith("."):
-            continue
-        if "=" not in n:
-            raise NotImplementedError(
-                f"unrecognized subdirectory {n!r} (expected hive-style "
-                "col=val partition dirs; multi-level partition paths "
-                "are not supported)"
-            )
-        for sub in os.listdir(full):
-            if os.path.isdir(os.path.join(full, sub)):
+
+    def _walk(rel: str) -> None:
+        d = os.path.join(path, rel)
+        for n in sorted(os.listdir(d)):
+            full = os.path.join(d, n)
+            if not os.path.isdir(full) or n.startswith("."):
+                continue
+            if "=" not in n:
                 raise NotImplementedError(
-                    "multi-level Hudi partition paths are not supported "
-                    "(single col=val level only)"
+                    f"unrecognized subdirectory {n!r} under {rel or '.'!r} "
+                    "(expected hive-style col=val partition dirs)"
                 )
-        out += _scan_dir(path, n)
+            sub_rel = os.path.join(rel, n) if rel else n
+            out.extend(_scan_dir(path, sub_rel))
+            _walk(sub_rel)
+
+    _walk("")
     return out
 
 
@@ -317,6 +323,33 @@ def _complete_instant(path: str, instant: str, commit_meta: dict) -> None:
 _SAFE_PART = __import__("re").compile(r"^[A-Za-z0-9][A-Za-z0-9._\- :]*$")
 
 
+def _partition_cols(raw) -> list[str]:
+    """Normalize a partition spec (None | 'a' | 'a,b' | ['a','b'])
+    to the ordered column list. Hudi's hoodie.table.partition.fields
+    property stores the comma-joined form."""
+    if raw is None:
+        return []
+    if isinstance(raw, str):
+        return [c.strip() for c in raw.split(",") if c.strip()]
+    return list(raw)
+
+
+def _part_path_expr(cols: list[str], name=lambda c: c):
+    """The hive-style partition PATH expression ('a=1/b=2') for the
+    given columns — plain F.concat so a NULL in ANY value nulls the
+    whole path (routed to the writer's loud null refusal; concat_ws
+    would silently drop the segment and corrupt the depth)."""
+    if not cols:
+        return F.lit("")
+    segs = []
+    for i, c in enumerate(cols):
+        if i:
+            segs.append(F.lit("/"))
+        segs.append(F.lit(f"{c}="))
+        segs.append(F.col(name(c)).cast("string"))
+    return F.concat(*segs)
+
+
 def _check_partition_type(df: DataFrame, col: str) -> None:
     """Partition columns must be STRING — string partition paths keep
     dir-name order == value order (the exact-pruning contract). Value
@@ -395,13 +428,14 @@ def _write_slices_bulk(
                 )
             part = bytes.fromhex(raw[1:]).decode("utf-8")
             if part:
-                v = part.partition("=")[2]
-                if not _SAFE_PART.match(v):
-                    raise NotImplementedError(
-                        f"partition value {v!r} needs path escaping; "
-                        "this writer refuses rather than guessing hive "
-                        "escaping"
-                    )
+                for seg in part.split("/"):
+                    v = seg.partition("=")[2]
+                    if not _SAFE_PART.match(v):
+                        raise NotImplementedError(
+                            f"partition value {v!r} needs path escaping; "
+                            "this writer refuses rather than guessing "
+                            "hive escaping"
+                        )
             for fd_ in sorted(os.listdir(os.path.join(staging, pd))):
                 if not fd_.startswith("__fid="):
                     continue
@@ -432,9 +466,10 @@ def _write_slices_bulk(
                     "w",
                     encoding="utf-8",
                 ) as fh:
+                    depth = part.count("/") + 1
                     fh.write(
                         "#partition metadata\n"
-                        f"commitTime={instant}\npartitionDepth=1\n"
+                        f"commitTime={instant}\npartitionDepth={depth}\n"
                     )
             name = f"{fid}_0-0-0_{instant}.parquet"
             os.replace(staged_file, os.path.join(dest_dir, name))
@@ -470,8 +505,10 @@ def write_hudi(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if record_key not in df.columns:
         raise ValueError(f"record_key {record_key!r} not in {df.columns}")
-    if partition_by is not None and partition_by not in df.columns:
-        raise ValueError(f"partition_by {partition_by!r} not in {df.columns}")
+    pcols = _partition_cols(partition_by)
+    missing_p = [c for c in pcols if c not in df.columns]
+    if missing_p:
+        raise ValueError(f"partition_by {missing_p!r} not in {df.columns}")
     hd = _hoodie(path)
     exists = os.path.isfile(os.path.join(hd, _PROPS))
     if not exists:
@@ -485,9 +522,11 @@ def write_hudi(
                 + "\nhoodie.timeline.layout.version=1"
                 + f"\nhoodie.table.recordkey.fields={record_key}\n"
                 + (
-                    f"hoodie.table.partition.fields={partition_by}\n"
+                    "hoodie.table.partition.fields="
+                    + ",".join(pcols)
+                    + "\n"
                     "hoodie.datasource.write.hive_style_partitioning=true\n"
-                    if partition_by
+                    if pcols
                     else ""
                 )
             )
@@ -498,13 +537,15 @@ def write_hudi(
             raise ValueError(
                 f"record_key {record_key!r} != table's {want!r}"
             )
-        have_part = props.get("hoodie.table.partition.fields") or None
-        if partition_by is not None and partition_by != have_part:
+        have_part = _partition_cols(
+            props.get("hoodie.table.partition.fields") or None
+        )
+        if partition_by is not None and pcols != have_part:
             raise ValueError(
-                f"partition_by {partition_by!r} != table's {have_part!r}; "
-                "the partition field is fixed at table creation"
+                f"partition_by {pcols!r} != table's {have_part!r}; "
+                "the partition fields are fixed at table creation"
             )
-        partition_by = have_part
+        pcols = have_part
     instant = _new_instant(path)
 
     replaced: dict[str, list[str]] = {}
@@ -512,11 +553,10 @@ def write_hudi(
         for part, fid, _i, _f in _latest_slices(path):
             replaced.setdefault(part, []).append(fid)
 
-    if partition_by:
-        _check_partition_type(df, partition_by)
-        part_expr = F.concat(
-            F.lit(f"{partition_by}="), F.col(partition_by)
-        )
+    if pcols:
+        for c in pcols:
+            _check_partition_type(df, c)
+        part_expr = _part_path_expr(pcols)
     else:
         part_expr = F.lit("")
     # deterministic key-hash bucketing maps each record to its file
@@ -636,16 +676,39 @@ def read_hudi(
                     "documented retention trade"
                 )
     if partition_filter is not None:
-        lo, hi = partition_filter
-        def keep(part: str) -> bool:
-            if not part:
-                return True  # unpartitioned files prove nothing
-            v = part.partition("=")[2]
-            if lo is not None and v < lo:
-                return False
-            if hi is not None and v > hi:
-                return False
-            return True
+        if isinstance(partition_filter, dict):
+            bounds = dict(partition_filter)
+
+            def keep(part: str) -> bool:
+                if not part:
+                    return True  # unpartitioned files prove nothing
+                segs = dict(
+                    (seg.partition("=")[0], seg.partition("=")[2])
+                    for seg in part.split("/")
+                )
+                for c, (lo, hi) in bounds.items():
+                    v = segs.get(c)
+                    if v is None:
+                        continue  # unknown column proves nothing
+                    if lo is not None and v < lo:
+                        return False
+                    if hi is not None and v > hi:
+                        return False
+                return True
+
+        else:
+            lo, hi = partition_filter
+
+            def keep(part: str) -> bool:
+                if not part:
+                    return True  # unpartitioned files prove nothing
+                # tuple form bounds the FIRST (outermost) field
+                v = part.split("/")[0].partition("=")[2]
+                if lo is not None and v < lo:
+                    return False
+                if hi is not None and v > hi:
+                    return False
+                return True
 
         slices = [s for s in slices if keep(s[0])]
     files = [full for _p, _fid, _inst, full in slices]
@@ -849,7 +912,9 @@ def upsert_hudi(
     source = source.select(*tcols)
 
     instant = _new_instant(path)
-    pcol = props.get("hoodie.table.partition.fields") or None
+    pcols = _partition_cols(
+        props.get("hoodie.table.partition.fields") or None
+    )
     file_col = F.element_at(F.split("_hoodie_file_name", "_"), 1)
     keyed = snap.withColumn("__fid", file_col).withColumn(
         "__part", F.col("_hoodie_partition_path")
@@ -901,8 +966,8 @@ def upsert_hudi(
     )
     m = F.coalesce(F.col("__matched"), F.lit(False))
     e = F.coalesce(F.col("__existing"), F.lit(False))
-    if pcol:
-        src_part = F.concat(F.lit(f"{pcol}="), F.col(f"__src_{pcol}"))
+    if pcols:
+        src_part = _part_path_expr(pcols, name=lambda c: f"__src_{c}")
         moved = m & e & (src_part != F.col("__part"))
     else:
         src_part = F.lit("")

@@ -726,3 +726,109 @@ def test_timeline_include_archived(spark, tmp_path):
     got = {r.instant: r.archived for r in full.collect()}
     assert got[i3] is False and got[i1] is True
     assert len(got) == 3
+
+
+# ------------------------------------------ multi-level partitions (r9)
+
+
+def test_multilevel_partitioned_roundtrip_layout_and_pruning(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        read_hudi,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "t")
+    rows = [(i, f"y{2020 + i % 2}", f"m{i % 3}", float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, y string, m string, v double")
+    write_hudi(df, t, record_key="id", partition_by=["y", "m"])
+    back = read_hudi(spark, t)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    # nested a=1/b=2 layout with a depth-2 marker in each leaf
+    leaf = os.path.join(t, "y=y2020", "m=m1")
+    assert os.path.isdir(leaf)
+    marker = open(
+        os.path.join(leaf, ".hoodie_partition_metadata")
+    ).read()
+    assert "partitionDepth=2" in marker
+    # dict filter prunes by the INNER field
+    pr = read_hudi(spark, t, partition_filter={"m": ("m1", "m1")})
+    assert set(r.m for r in pr.collect()) == {"m1"}
+    assert len(pr.inputFiles()) < len(back.inputFiles())
+    # tuple filter bounds the OUTERMOST field
+    pr2 = read_hudi(spark, t, partition_filter=("y2021", "y2021"))
+    assert set(r.y for r in pr2.collect()) == {"y2021"}
+    # both fields at once
+    pr3 = read_hudi(
+        spark, t, partition_filter={"y": ("y2020", "y2020"), "m": ("m2", None)}
+    )
+    assert set((r.y, r.m) for r in pr3.collect()) == {("y2020", "m2")}
+
+
+def test_multilevel_upsert_moves_and_incremental_exactness(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        _completed_commits,
+        read_hudi,
+        read_hudi_incremental,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "t")
+    rows = [(i, f"y{2020 + i % 2}", f"m{i % 3}", float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, y string, m string, v double")
+    write_hudi(df, t, record_key="id", partition_by=["y", "m"])
+    # id=5 moves from (y2021, m2) stays y2021 but value updated; also
+    # move id=4 across BOTH fields; and a fresh insert
+    src = spark.createDataFrame(
+        [
+            (5, "y2021", "m2", 555.0),
+            (4, "y2021", "m0", 444.0),  # was (y2020, m1)
+            (1000, "y2020", "m0", 1.0),
+        ],
+        df.schema,
+    )
+    upsert_hudi(spark, t, src, record_key="id")
+    got = {r.id: (r.y, r.m, r.v) for r in read_hudi(spark, t).collect()}
+    assert got[5] == ("y2021", "m2", 555.0)
+    assert got[4] == ("y2021", "m0", 444.0)
+    assert got[1000] == ("y2020", "m0", 1.0)
+    assert len(got) == 61
+    # incremental pull sees ONLY the changed rows (copied-over rows
+    # keep their original commit time)
+    commits = _completed_commits(t)
+    inc = read_hudi_incremental(spark, t, from_instant=commits[0])
+    assert sorted(r.id for r in inc.collect()) == [4, 5, 1000]
+
+
+def test_multilevel_refusals_and_spec_pinning(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        read_hudi,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "x", 1.0)], "id long, a string, b string, v double"
+    )
+    write_hudi(df, t, record_key="id", partition_by=["a", "b"])
+    # spec pinned at creation
+    with pytest.raises(ValueError, match="fixed at table creation"):
+        write_hudi(df, t, record_key="id", partition_by=["a"])
+    # null in ANY level refuses loudly
+    t2 = str(tmp_path / "t2")
+    df_null = spark.createDataFrame(
+        [(1, "a", None, 1.0)], "id long, a string, b string, v double"
+    )
+    with pytest.raises(ValueError, match="null partition"):
+        write_hudi(df_null, t2, record_key="id", partition_by=["a", "b"])
+    # non-string inner level refuses
+    df_int = spark.createDataFrame(
+        [(1, "a", 2, 1.0)], "id long, a string, b int, v double"
+    )
+    with pytest.raises(NotImplementedError, match="STRING"):
+        write_hudi(df_int, str(tmp_path / "t3"), record_key="id",
+                   partition_by=["a", "b"])
+    # a foreign non-hive dir under a partition level refuses by name
+    os.makedirs(os.path.join(t, "a=a", "junk"), exist_ok=True)
+    with pytest.raises(NotImplementedError, match="unrecognized subdirectory"):
+        read_hudi(spark, t).collect()
