@@ -1859,20 +1859,23 @@ def lakehouse_hudi_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFram
                FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
         FROM events
         WHERE event_type = (SELECT MIN(event_type) FROM events)
+          AND event_id % 3 = 1
         GROUP BY event_type
     """,
     doc=(
-        "NEW r8: hive-PARTITIONED native Hudi — events staged "
-        "partition_by='event_type' (col=val dirs with partition "
-        "metadata markers, partition column kept IN the data files — "
-        "Hudi stores full rows — and two INSERT commits across 2 file "
-        "groups per partition), then the lexicographically first "
-        "event_type read back with read_hudi(partition_filter=): the "
-        "query RAISES unless dir-level pruning removed files before "
-        "Spark listed them, and the pruned read must equal the "
-        "oracle's filtered aggregate on the original parquet — the "
-        "Hudi member of the partitioned-read family "
-        "(delta/iceberg partitioned twins)"
+        "r8 (MULTI-LEVEL since r9): hive-partitioned native Hudi — "
+        "events staged partition_by=['event_type', 'shard'] (shard = "
+        "event_id %% 3 as string; NESTED a=1/b=2 dirs with depth-2 "
+        "partition metadata markers, partition columns kept IN the "
+        "data files — Hudi stores full rows — two INSERT commits "
+        "across 2 file groups per leaf), then ONE (event_type, shard) "
+        "leaf read back with the r9 dict-form "
+        "read_hudi(partition_filter={col: (lo, hi)}): the query "
+        "RAISES unless dir-level pruning removed files before Spark "
+        "listed them, and the pruned read must equal the oracle's "
+        "two-predicate filtered aggregate on the original parquet — "
+        "the Hudi member of the partitioned-read family, now grading "
+        "the multi-level layout"
     ),
 )
 def lakehouse_hudi_partitioned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1882,14 +1885,18 @@ def lakehouse_hudi_partitioned_agg(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     def build(spark: SparkSession, table: str) -> None:
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .withColumn(
+                "shard", (F.col("event_id") % 3).cast("string")
+            )
         )
         write_hudi(
             ev.filter("event_id % 2 = 0"),
             table,
             record_key="event_id",
-            partition_by="event_type",
+            partition_by=["event_type", "shard"],
             n_file_groups=2,
         )
         # second commit inherits the table's partition spec
@@ -1901,9 +1908,9 @@ def lakehouse_hudi_partitioned_agg(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     key = _events_cache_key(spark, sf_dir)
-    table = _staged_iceberg_locked(spark, f"/tmp/ssp_hudi_part_{key}", build)
-    # the target partition comes from the DIR LAYOUT (hive col=val
-    # names are exact for string partitions) — zero data scans; every
+    table = _staged_iceberg_locked(spark, f"/tmp/ssp_hudi_mlpart_{key}", build)
+    # the target leaf comes from the DIR LAYOUT (hive col=val names
+    # are exact for string partitions) — zero data scans; every
     # event_type present in the source has a dir, so min(dir value)
     # == the oracle's min(event_type)
     mt = min(
@@ -1911,12 +1918,16 @@ def lakehouse_hudi_partitioned_agg(spark: SparkSession, sf_dir: str) -> DataFram
         for d in os.listdir(table)
         if d.startswith("event_type=")
     )
-    pruned = read_hudi(spark, table, partition_filter=(mt, mt))
+    pruned = read_hudi(
+        spark,
+        table,
+        partition_filter={"event_type": (mt, mt), "shard": ("1", "1")},
+    )
     n_all = len(read_hudi(spark, table).inputFiles())
     n_kept = len(pruned.inputFiles())
     if n_kept >= n_all:
         raise RuntimeError(
             f"partition pruning removed nothing: {n_kept}/{n_all} files "
-            f"kept for a single-partition read of event_type={mt!r}"
+            f"kept for a single-leaf read of ({mt!r}, shard=1)"
         )
-    return _agg_by_type(pruned)
+    return _agg_by_type(pruned.drop("shard"))
