@@ -396,6 +396,55 @@ def _refuse_column_mapping(snap: _Snapshot, ctx: str) -> None:
         )
 
 
+def _refuse_unenforced_writer_contracts(
+    snap: _Snapshot, ctx: str, emits_removes: bool
+) -> None:
+    """A foreign table can carry WRITER-side contracts this engine
+    does not evaluate: column invariants (`delta.invariants` field
+    metadata), CHECK constraints (`delta.constraints.*` configuration),
+    generated columns (`delta.generationExpression` field metadata),
+    and the append-only property. A blind commit would VIOLATE the
+    table's declared contract for every other client (rows failing a
+    constraint, generated columns not matching their formula, removes
+    on an append-only table) — so any write refuses by the contract's
+    NAME while one is present; content-based, not version-number-based
+    (the protocol's writer versions only imply feature SUPPORT, the
+    metadata says what is actually in force). ``emits_removes`` gates
+    the append-only check (plain appends are exactly what that
+    property permits)."""
+    md = snap.metadata_action or {}
+    cfg = md.get("configuration") or {}
+    if emits_removes and cfg.get("delta.appendOnly") == "true":
+        raise NotImplementedError(
+            f"{ctx}: table is delta.appendOnly=true — an operation "
+            "emitting remove actions would violate the table's "
+            "declared contract (appends are allowed)"
+        )
+    bad_constraints = sorted(
+        k for k in cfg if k.startswith("delta.constraints.")
+    )
+    if bad_constraints:
+        raise NotImplementedError(
+            f"{ctx}: table declares CHECK constraints "
+            f"{bad_constraints} this writer does not evaluate; "
+            "refusing rather than committing unvalidated rows"
+        )
+    if snap.schema is not None:
+        for f in snap.schema.fields:
+            fmeta = f.metadata or {}
+            if "delta.invariants" in fmeta:
+                raise NotImplementedError(
+                    f"{ctx}: column {f.name!r} declares an invariant "
+                    "this writer does not evaluate"
+                )
+            if "delta.generationExpression" in fmeta:
+                raise NotImplementedError(
+                    f"{ctx}: column {f.name!r} is a GENERATED column; "
+                    "this writer does not compute generation "
+                    "expressions"
+                )
+
+
 def _refuse_dvs(snap: _Snapshot, ctx: str) -> None:
     """Every path that REWRITES, diffs, checkpoints, or sweeps files
     must refuse while live adds carry deletion vectors: a scan that
@@ -1503,6 +1552,9 @@ def write_delta(
                 "already exists"
             )
         mapping = _column_mapping(existing)
+        _refuse_unenforced_writer_contracts(
+            existing, "write_delta", emits_removes=(mode == "overwrite")
+        )
         if mapping is not None:
             cm_mode = (
                 (existing.metadata_action or {}).get("configuration") or {}

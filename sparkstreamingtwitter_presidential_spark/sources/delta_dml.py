@@ -45,6 +45,7 @@ from pyspark.sql.types import StructType
 from sparkstreamingtwitter_presidential_spark.sources.delta import (
     _refuse_column_mapping,
     _refuse_dvs,
+    _refuse_unenforced_writer_contracts,
     _replay_log,
     _Snapshot,
     _stage_files,
@@ -157,6 +158,9 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
     snap = _replay_log(path, None)
     _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
     _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
+    _refuse_unenforced_writer_contracts(
+        snap, "copy-on-write DML/OPTIMIZE", emits_removes=True
+    )
     scan = _scan_with_file(spark, path, snap)
     cond = F.expr(predicate)
     affected = _affected_files(scan, cond)
@@ -188,6 +192,9 @@ def update_delta(
     snap = _replay_log(path, None)
     _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
     _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
+    _refuse_unenforced_writer_contracts(
+        snap, "copy-on-write DML/OPTIMIZE", emits_removes=True
+    )
     bad = set(set_exprs) & set(snap.partition_columns)
     if bad:
         raise ValueError(
@@ -263,6 +270,9 @@ def merge_delta(
     snap = _replay_log(path, None)
     _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
     _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
+    _refuse_unenforced_writer_contracts(
+        snap, "copy-on-write DML/OPTIMIZE", emits_removes=True
+    )
     schema = snap.schema
     assert schema is not None
     tcols = [f.name for f in schema.fields]
@@ -526,6 +536,9 @@ def optimize_delta(
     snap = _replay_log(path, None)
     _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
     _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
+    _refuse_unenforced_writer_contracts(
+        snap, "copy-on-write DML/OPTIMIZE", emits_removes=True
+    )
     for arg_name, arg in (("cluster_by", cluster_by), ("zorder_by", zorder_by)):
         if not arg:
             continue

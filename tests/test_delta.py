@@ -579,3 +579,60 @@ def test_id_mode_mapped_table_write_refuses(spark, tmp_path):
             ),
             t,
         )
+
+
+def test_unenforced_writer_contracts_refuse(spark, tmp_path):
+    """Foreign writer contracts this engine does not evaluate —
+    CHECK constraints, column invariants, generated columns,
+    append-only — refuse BY NAME instead of being silently violated
+    (r9). Plain appends remain allowed on append-only tables."""
+    import json as _json
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+    )
+
+    def _forge(t, configuration=None, field_meta=None):
+        write_delta(_df(spark, [(1, "a", 1.0)]), t)
+        log = os.path.join(t, "_delta_log", f"{0:020d}.json")
+        out = []
+        for ln in open(log).read().splitlines():
+            act = _json.loads(ln)
+            if "metaData" in act and configuration is not None:
+                act["metaData"]["configuration"] = configuration
+            if "metaData" in act and field_meta is not None:
+                sch = _json.loads(act["metaData"]["schemaString"])
+                sch["fields"][0]["metadata"] = field_meta
+                act["metaData"]["schemaString"] = _json.dumps(sch)
+            out.append(_json.dumps(act))
+        open(log, "w").write("\n".join(out) + "\n")
+
+    # append-only: appends fine, overwrite/DML refuse
+    t = str(tmp_path / "ao")
+    _forge(t, configuration={"delta.appendOnly": "true"})
+    write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    assert read_delta(spark, t).count() == 2
+    with pytest.raises(NotImplementedError, match="appendOnly"):
+        write_delta(_df(spark, [(9, "z", 9.0)]), t, mode="overwrite")
+    with pytest.raises(NotImplementedError, match="appendOnly"):
+        delete_delta(spark, t, "id = 1")
+
+    # CHECK constraint: every write refuses
+    t = str(tmp_path / "ck")
+    _forge(t, configuration={"delta.constraints.positive": "v > 0"})
+    with pytest.raises(NotImplementedError, match="constraints.positive"):
+        write_delta(_df(spark, [(2, "b", 2.0)]), t)
+
+    # column invariant
+    t = str(tmp_path / "inv")
+    _forge(t, field_meta={"delta.invariants": '{"expression":{"expression":"id > 0"}}'})
+    with pytest.raises(NotImplementedError, match="invariant"):
+        write_delta(_df(spark, [(2, "b", 2.0)]), t)
+
+    # generated column
+    t = str(tmp_path / "gen")
+    _forge(t, field_meta={"delta.generationExpression": "v * 2"})
+    with pytest.raises(NotImplementedError, match="GENERATED"):
+        write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    # reads stay fine on all of them
+    assert read_delta(spark, t).count() == 1
