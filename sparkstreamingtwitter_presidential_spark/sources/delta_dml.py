@@ -60,16 +60,20 @@ def _now_ms() -> int:
 
 
 _FILE_COL = "__delta_file"
+_POS_COL = "__delta_pos"
 
 
 def _scan_with_file(
-    spark: SparkSession, path: str, snap: _Snapshot
+    spark: SparkSession, path: str, snap: _Snapshot, with_pos: bool = False
 ) -> DataFrame:
     """Distributed scan of the snapshot's live files with one extra
     column: the file's basename (``__delta_file``). Basenames are
     unique across the table (every staged file is uuid-named), so they
     key back to the log's relative paths driver-side. Partition columns
-    are injected from the log exactly as in read_delta."""
+    are injected from the log exactly as in read_delta.
+
+    ``with_pos`` adds ``__delta_pos`` = ``_metadata.row_index`` (the
+    file-relative row ordinal deletion vectors are keyed by)."""
     schema = snap.schema
     assert schema is not None
     data_fields = [
@@ -81,22 +85,30 @@ def _scan_with_file(
         for f in schema.fields
         if f.name in snap.partition_columns
     }
-    base_col = F.element_at(
-        F.split(F.col("_metadata.file_path"), "/"), -1
-    ).alias(_FILE_COL)
+    extra_cols = [
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias(_FILE_COL)
+    ]
+    if with_pos:
+        extra_cols.append(F.col("_metadata.row_index").alias(_POS_COL))
+    extra_names = [_FILE_COL] + ([_POS_COL] if with_pos else [])
 
     def _file(p: str) -> str:
         return os.path.join(path, urllib.parse.unquote(p))
 
     cols = [f.name for f in schema.fields]
     if not snap.files:
-        return spark.createDataFrame([], schema).withColumn(
+        out = spark.createDataFrame([], schema).withColumn(
             _FILE_COL, F.lit(None).cast("string")
         )
+        if with_pos:
+            out = out.withColumn(_POS_COL, F.lit(None).cast("long"))
+        return out
     if not snap.partition_columns:
         return spark.read.schema(data_schema).parquet(
             *[_file(p) for p in sorted(snap.files)]
-        ).select(*cols, base_col)
+        ).select(*cols, *extra_cols)
 
     groups: dict[tuple, list[str]] = {}
     for p, a in snap.files.items():
@@ -106,11 +118,11 @@ def _scan_with_file(
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(data_schema).parquet(*sorted(paths)).select(
-            "*", base_col
+            "*", *extra_cols
         )
         for col, val in zip(snap.partition_columns, key):
             df = df.withColumn(col, F.lit(val).cast(part_types[col]))
-        parts.append(df.select(*cols, _FILE_COL))
+        parts.append(df.select(*cols, *extra_names))
     from functools import reduce
 
     return reduce(DataFrame.unionByName, parts)
@@ -176,6 +188,176 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
     actions = _removes(snap, [rels[b] for b in affected], True) + adds
     return commit_actions(
         path, snap.version, actions, "DELETE", {"predicate": predicate}
+    )
+
+
+# Legacy protocol versions imply fixed feature sets (PROTOCOL.md
+# "Table Features" appendix); an upgrade to the table-features
+# protocol (reader 3 / writer 7) must carry them forward explicitly.
+_LEGACY_READER_FEATURES = {1: [], 2: ["columnMapping"]}
+_LEGACY_WRITER_FEATURES = {
+    1: [],
+    2: ["appendOnly", "invariants"],
+    3: ["appendOnly", "invariants", "checkConstraints"],
+    4: [
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns",
+    ],
+    5: [
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping",
+    ],
+    6: [
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping",
+        "identityColumns",
+    ],
+}
+
+
+def _dv_protocol_upgrade(snap: _Snapshot) -> dict[str, Any] | None:
+    """The protocol action (or None if already in force) adding the
+    deletionVectors table feature: reader 3 / writer 7 with every
+    feature the PREVIOUS protocol implied carried forward explicitly
+    (the spec's upgrade rule — dropping an implied feature on upgrade
+    would silently lift a contract other clients rely on)."""
+    pr = snap.protocol_action or {"minReaderVersion": 1, "minWriterVersion": 2}
+    rv, wv = pr.get("minReaderVersion", 1), pr.get("minWriterVersion", 2)
+    rfeats = set(pr.get("readerFeatures") or _LEGACY_READER_FEATURES.get(rv, []))
+    wfeats = set(pr.get("writerFeatures") or _LEGACY_WRITER_FEATURES.get(wv, []))
+    if rv == 3 and wv == 7 and "deletionVectors" in rfeats & wfeats:
+        return None
+    rfeats.add("deletionVectors")
+    wfeats.add("deletionVectors")
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rfeats),
+        "writerFeatures": sorted(wfeats),
+    }
+
+
+# Matched-row budget for a DV delete: positions collect driver-side
+# (the descriptor bitmaps are driver-written metadata), so the matched
+# set must stay metadata-sized. Matches delta._DV_PAIRS_DRIVER_MAX so
+# a table this writer produces always reads back under read_delta's
+# pair budget. Bigger deletes belong to copy-on-write delete_delta,
+# whose cost is ∝ affected-file bytes but whose driver state is only
+# the file list.
+_DV_DELETE_MAX_ROWS = 2_000_000
+
+
+def delete_delta_dv(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    max_deleted_rows: int = _DV_DELETE_MAX_ROWS,
+) -> int:
+    """DELETE FROM table WHERE predicate — MERGE-ON-READ flavor: marks
+    matched rows in per-file DELETION VECTORS instead of rewriting the
+    data files (the write side of the r9 DV read path; Delta
+    PROTOCOL.md §Deletion Vectors). Returns the new version (unchanged
+    if nothing matched).
+
+    Mechanics: one distributed scan finds matched (file, row_index)
+    pairs; they collect driver-side (bounded by ``max_deleted_rows`` —
+    refuse above, pointing at copy-on-write :func:`delete_delta`), are
+    unioned with each file's EXISTING vector (the spec: a new DV
+    replaces the old and must contain it), and serialize into ONE
+    roaring-bitmap sidecar per commit (delta_dv.pack_dv_file). A file
+    whose union covers every physical row emits a plain remove instead
+    of a 100%-deleted DV, matching the real writer. The commit
+    re-adds each surviving file unchanged except for the descriptor
+    and ``stats.tightBounds: false`` (min/max stay valid SUPERSETS for
+    file skipping — they may overcount deleted rows, never miss live
+    ones). First DV on a table upgrades the protocol to reader 3 /
+    writer 7 in the same commit, carrying implied legacy features
+    forward (_dv_protocol_upgrade).
+
+    Scale: the scan is predicate-filtered and projects only metadata
+    columns; write cost is ∝ matched rows (bitmap bytes), NOT affected
+    -file bytes — the point of DVs. Read-back applies the vectors via
+    read_delta's broadcast anti-join. Column-mapped tables refuse
+    (DV + mapping composition is untested territory — CoW DML refuses
+    them too); appendOnly tables refuse (a DV is a delete)."""
+    import json as _json
+
+    snap = _replay_log(path, None)
+    _refuse_column_mapping(snap, "delete_delta_dv")
+    _refuse_unenforced_writer_contracts(
+        snap, "delete_delta_dv", emits_removes=True
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+        dv_row_indexes,
+        pack_dv_file,
+    )
+
+    cond = F.expr(predicate)
+    scan = _scan_with_file(spark, path, snap, with_pos=True)
+    matched = (
+        scan.filter(cond)
+        .select(_FILE_COL, _POS_COL)
+        .limit(max_deleted_rows + 1)
+        .collect()
+    )
+    if len(matched) > max_deleted_rows:
+        raise NotImplementedError(
+            f"DV delete matched more than {max_deleted_rows} rows; "
+            "descriptors are driver-built metadata and a backlog this "
+            "size should be rewritten into data files — use the "
+            "copy-on-write delete_delta for bulk deletes"
+        )
+    if not matched:
+        return snap.version
+    rels = _rel_by_base(snap)
+    by_rel: dict[str, set[int]] = {}
+    for r in matched:
+        by_rel.setdefault(rels[r[_FILE_COL]], set()).add(int(r[_POS_COL]))
+
+    new_rows_per_rel: dict[str, list[int]] = {}
+    fully_deleted: list[str] = []
+    for rel, poss in by_rel.items():
+        add = snap.files[rel]
+        old_dv = add.get("deletionVector")
+        old = set(dv_row_indexes(path, old_dv)) if old_dv else set()
+        union = sorted(old | poss)
+        if len(union) == len(old):
+            continue  # every match was already deleted — no-op file
+        stats = add.get("stats")
+        n_phys = _json.loads(stats).get("numRecords") if stats else None
+        if n_phys is not None and len(union) == int(n_phys):
+            fully_deleted.append(rel)
+        else:
+            new_rows_per_rel[rel] = union
+    if not new_rows_per_rel and not fully_deleted:
+        return snap.version
+
+    actions: list[dict[str, Any]] = []
+    upgrade = _dv_protocol_upgrade(snap)
+    if upgrade is not None and new_rows_per_rel:
+        actions.append({"protocol": upgrade})
+    actions.extend(
+        _removes(snap, fully_deleted + sorted(new_rows_per_rel), True)
+    )
+    descs = (
+        pack_dv_file(path, new_rows_per_rel) if new_rows_per_rel else {}
+    )
+    for rel in sorted(new_rows_per_rel):
+        a = dict(snap.files[rel])
+        a["deletionVector"] = descs[rel]
+        a["dataChange"] = True
+        a["modificationTime"] = _now_ms()
+        if a.get("stats"):
+            st = _json.loads(a["stats"])
+            st["tightBounds"] = False
+            a["stats"] = _json.dumps(st)
+        actions.append({"add": a})
+    return commit_actions(
+        path,
+        snap.version,
+        actions,
+        "DELETE",
+        {"predicate": predicate, "mode": "deletion-vectors"},
     )
 
 

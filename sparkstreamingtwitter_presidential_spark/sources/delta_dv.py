@@ -302,6 +302,41 @@ def write_dv_file(
     }
 
 
+def pack_dv_file(
+    table_path: str, per_key_rows: dict[Any, Iterable[int]], prefix: str = ""
+) -> dict[Any, dict[str, Any]]:
+    """Production DV writer (delete_delta_dv): serialize EVERY key's
+    row-index set into ONE sidecar file — the real writer's layout, a
+    single ``deletion_vector_<uuid>.bin`` per commit with each vector
+    at its own offset — and return {key: descriptor}. Layout per the
+    module docstring: 1-byte format version, then per vector 4-byte
+    BE length + RoaringBitmapArray bytes + 4-byte BE CRC-32. One file
+    per commit keeps the sidecar count O(commits), not O(files)."""
+    u = _uuid.uuid4()
+    target_dir = os.path.join(table_path, prefix) if prefix else table_path
+    os.makedirs(target_dir, exist_ok=True)
+    fpath = os.path.join(target_dir, f"deletion_vector_{u}.bin")
+    descriptors: dict[Any, dict[str, Any]] = {}
+    with open(fpath, "wb") as fh:
+        fh.write(b"\x01")
+        offset = 1
+        for key in sorted(per_key_rows, key=str):
+            rows = sorted(set(int(r) for r in per_key_rows[key]))
+            data = rba_serialize(rows)
+            fh.write(struct.pack(">i", len(data)))
+            fh.write(data)
+            fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+            descriptors[key] = {
+                "storageType": "u",
+                "pathOrInlineDv": prefix + z85_encode(u.bytes),
+                "offset": offset,
+                "sizeInBytes": len(data),
+                "cardinality": len(rows),
+            }
+            offset += 4 + len(data) + 4
+    return descriptors
+
+
 def inline_dv_descriptor(row_indexes: Iterable[int]) -> dict[str, Any]:
     """Fixture/test writer: an INLINE ("i") descriptor. Z85 needs
     length % 4 == 0; the pad bytes are excluded by sizeInBytes."""

@@ -329,3 +329,201 @@ def test_dv_decode_throughput_contract(vals, _salt):
     d = tempfile.mkdtemp()
     desc = write_dv_file(d, vals)
     assert dv_row_indexes(d, desc) == sorted(vals)
+
+
+# ------------------------------------------------- write side (r9 late)
+
+
+def _dv_sidecars(t):
+    return [
+        f for f in os.listdir(t) if f.startswith("deletion_vector_")
+    ]
+
+
+def test_pack_dv_file_multi_vector_offsets(tmp_path):
+    """One sidecar, three vectors at increasing offsets — every
+    descriptor decodes its own rows back (the packed layout
+    delete_delta_dv commits)."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+        pack_dv_file,
+    )
+
+    d = str(tmp_path)
+    sets = {"a": [0, 5, 9], "b": [1 << 33, 7], "c": list(range(100))}
+    descs = pack_dv_file(d, sets)
+    assert len(_dv_sidecars(d)) == 1
+    offs = [descs[k]["offset"] for k in sorted(sets)]
+    assert offs[0] == 1 and offs == sorted(offs)
+    for k, rows in sets.items():
+        assert dv_row_indexes(d, descs[k]) == sorted(set(rows))
+
+
+def test_delete_delta_dv_roundtrip(spark, tmp_path):
+    """MOR delete: rows vanish from the snapshot read without any data
+    file being rewritten; the protocol upgrades to reader 3 / writer 7
+    carrying implied legacy features; time travel below the delete
+    still sees every row; history records the DELETE."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        describe_history,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(300)],
+        "id long, part int, s string",
+    )
+    write_delta(df, t, mode="append", partition_by=["part"])
+    snap0 = _replay_log(t, None)
+    data_files_before = sorted(snap0.files)
+    v = delete_delta_dv(spark, t, "id % 5 = 0")
+    assert v == 1
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == [i for i in range(300) if i % 5 != 0]
+    snap = _replay_log(t, None)
+    # same physical files, now descriptor-carrying — nothing rewritten
+    assert sorted(snap.files) == data_files_before
+    assert all(a.get("deletionVector") for a in snap.files.values())
+    assert len(_dv_sidecars(t)) == 1  # one packed sidecar per commit
+    pr = snap.protocol_action
+    assert pr["minReaderVersion"] == 3 and pr["minWriterVersion"] == 7
+    assert "deletionVectors" in pr["readerFeatures"]
+    assert {"appendOnly", "invariants", "deletionVectors"} <= set(
+        pr["writerFeatures"]
+    )
+    assert read_delta(spark, t, version=0).count() == 300
+    ops = [
+        (r.version, r.operation)
+        for r in describe_history(spark, t).collect()
+    ]
+    assert (1, "DELETE") in ops
+    # stats on the re-added files are explicitly untightened
+    assert all(
+        json.loads(a["stats"])["tightBounds"] is False
+        for a in snap.files.values()
+        if a.get("stats")
+    )
+
+
+def test_delete_delta_dv_merges_existing_dv(spark, tmp_path):
+    """A second DV delete UNIONS with each file's existing vector (the
+    spec: the new DV replaces the old and must contain it) and a
+    delete matching only already-deleted rows commits nothing."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(100)], "id long, s string"
+        ),
+        t,
+        mode="append",
+    )
+    delete_delta_dv(spark, t, "id % 10 = 0")
+    v2 = delete_delta_dv(spark, t, "id % 15 = 0")
+    assert v2 == 2
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == [i for i in range(100) if i % 10 and i % 15]
+    snap = _replay_log(t, None)
+    union = sorted(
+        ri
+        for p, a in snap.files.items()
+        for ri in dv_row_indexes(t, a["deletionVector"])
+    )
+    assert len(union) == sum(
+        1 for i in range(100) if i % 10 == 0 or i % 15 == 0
+    )
+    # fully-contained predicate: no new version
+    assert delete_delta_dv(spark, t, "id = 30") == 2
+
+
+def test_delete_delta_dv_fully_deleted_file_removes(spark, tmp_path):
+    """A file whose every physical row is deleted leaves the snapshot
+    as a plain remove — never a 100%-deleted DV."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(50)], "id long, part int"
+        ),
+        t,
+        mode="append",
+        partition_by=["part"],
+    )
+    delete_delta_dv(spark, t, "part = 0")
+    snap = _replay_log(t, None)
+    assert all(
+        a.get("partitionValues", {}).get("part") != "0"
+        for a in snap.files.values()
+    )
+    assert not any(a.get("deletionVector") for a in snap.files.values())
+    assert _dv_sidecars(t) == []  # no vector was needed at all
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == [i for i in range(50) if i % 2 == 1]
+
+
+def test_delete_delta_dv_refusals(spark, tmp_path):
+    """Budget overflow and appendOnly both refuse by name; nothing is
+    committed on refusal."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i,) for i in range(100)], "id long"
+        ),
+        t,
+        mode="append",
+    )
+    with pytest.raises(NotImplementedError, match="copy-on-write"):
+        delete_delta_dv(spark, t, "id >= 0", max_deleted_rows=10)
+    ao = str(tmp_path / "ao")
+    write_delta(spark.createDataFrame([(1,)], "id long"), ao, mode="append")
+    log = os.path.join(ao, "_delta_log", f"{0:020d}.json")
+    out = []
+    for ln in open(log).read().splitlines():
+        act = json.loads(ln)
+        if "metaData" in act:
+            act["metaData"]["configuration"] = {"delta.appendOnly": "true"}
+        out.append(json.dumps(act))
+    open(log, "w").write("\n".join(out) + "\n")
+    with pytest.raises(NotImplementedError, match="appendOnly"):
+        delete_delta_dv(spark, ao, "id = 1")
+    assert _replay_log(t, None).version == 0
+    assert _replay_log(ao, None).version == 0
+
+
+def test_delete_delta_dv_then_cow_paths_refuse(spark, tmp_path):
+    """Own-written DVs hit the same rewrite guards as foreign ones:
+    OPTIMIZE / CoW DML / checkpoint / vacuum refuse while live adds
+    carry descriptors."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        delete_delta_dv,
+        optimize_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i,) for i in range(100)], "id long"
+        ),
+        t,
+        mode="append",
+    )
+    delete_delta_dv(spark, t, "id < 5")
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        optimize_delta(spark, t)
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        delete_delta(spark, t, "id = 50")
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        write_checkpoint(t)
