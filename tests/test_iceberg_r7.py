@@ -1674,10 +1674,14 @@ def test_positional_delete_read_plan_broadcasts_pairs(spark, tmp_path):
 
 
 def test_equality_deletes_apply_on_partitioned_tables(spark, tmp_path):
-    """Foreign partitioned tables carrying DATA-column-keyed equality
-    deletes read correctly (every scan branch holds the data columns);
-    a delete keyed on a PARTITION SOURCE column refuses by name (its
-    values inject after the filter)."""
+    """Foreign partitioned tables carrying DATA-column-keyed GLOBAL
+    equality deletes (the spec's empty partition record — an
+    unpartitioned-spec delete file) read correctly (every scan branch
+    holds the data columns); a delete keyed on a PARTITION SOURCE
+    column refuses by name (its values inject after the filter); and
+    a NON-empty partition record — even a tuple of nulls, which
+    scopes to the NULL partition, not globally — refuses as
+    partition-scoped (r9 review fix)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1691,6 +1695,64 @@ def test_equality_deletes_apply_on_partitioned_tables(spark, tmp_path):
     )
     # forge a foreign equality-delete commit keyed on the DATA column
     # id (field 1): one value row deleting id=2 wherever it lives
+    meta = I._load_metadata(t)
+    ddir = os.path.join(t, "data", "eqdel")
+    os.makedirs(ddir)
+    dfile = os.path.join(ddir, "eq.parquet")
+    pq.write_table(pa.table({"id": pa.array([2], pa.int64())}), dfile)
+    eq = {
+        "content": 2,
+        "file_path": dfile,
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": 1,
+        "file_size_in_bytes": os.path.getsize(dfile),
+        "lower_bounds": None,
+        "upper_bounds": None,
+        "equality_ids": [1],
+    }
+    ice_schema = I._schema_for(meta, meta.get("current-schema-id", 0))
+    pf = I._partition_fields(meta, ice_schema)
+    I._commit_snapshot(
+        t, meta, ice_schema, pf,
+        added_files=[], existing_entries=[], deleted_entries=[],
+        carry_prior_manifests=True, operation="overwrite",
+        added_delete_files=[eq],
+        delete_files_unpartitioned_spec=True,
+    )
+    got = sorted((r.id, r.s) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "a"), (3, "b")]  # id=2 gone across partitions
+    # keyed on the partition source -> named refusal
+    meta2 = I._load_metadata(t)
+    eq2 = dict(eq, equality_ids=[2])  # field 2 == partition source 's'
+    I._commit_snapshot(
+        t, meta2, ice_schema, pf,
+        added_files=[], existing_entries=[], deleted_entries=[],
+        carry_prior_manifests=True, operation="overwrite",
+        added_delete_files=[eq2],
+        delete_files_unpartitioned_spec=True,
+    )
+    with pytest.raises(NotImplementedError, match="partition source"):
+        read_iceberg(spark, t).collect()
+
+
+def test_partition_scoped_equality_delete_refuses(spark, tmp_path):
+    """A NON-empty partition record on an equality delete — including
+    a tuple of NULLs, which per the spec scopes the delete to the
+    NULL partition — refuses as partition-scoped rather than being
+    applied globally (over-deleting matching keys elsewhere) or
+    dropped (resurrecting rows). r9 review fix pin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]),
+        t,
+        partition_by=["s"],
+    )
     meta = I._load_metadata(t)
     ddir = os.path.join(t, "data", "eqdel")
     os.makedirs(ddir)
@@ -1715,18 +1777,7 @@ def test_equality_deletes_apply_on_partitioned_tables(spark, tmp_path):
         carry_prior_manifests=True, operation="overwrite",
         added_delete_files=[eq],
     )
-    got = sorted((r.id, r.s) for r in read_iceberg(spark, t).collect())
-    assert got == [(1, "a"), (3, "b")]  # id=2 gone across partitions
-    # keyed on the partition source -> named refusal
-    meta2 = I._load_metadata(t)
-    eq2 = dict(eq, equality_ids=[2])  # field 2 == partition source 's'
-    I._commit_snapshot(
-        t, meta2, ice_schema, pf,
-        added_files=[], existing_entries=[], deleted_entries=[],
-        carry_prior_manifests=True, operation="overwrite",
-        added_delete_files=[eq2],
-    )
-    with pytest.raises(NotImplementedError, match="partition source"):
+    with pytest.raises(NotImplementedError, match="partition-scoped"):
         read_iceberg(spark, t).collect()
 
 
