@@ -61,7 +61,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
@@ -738,15 +738,22 @@ def delta_row_changes(
     OPTIMIZE (``dataChange: false``) emits nothing; a pure append is
     all inserts.
 
-    Contract: ``keys`` must be a primary key — unique among the
-    removed rows and among the added rows (validated; ambiguous diffs
-    raise, same policy as MERGE's duplicate-source check). Cost scales
-    with the commit's touched files, never the table: old/new sides
-    are scans of exactly those file lists, the diff is one join keyed
-    on a (usually broadcastable) side. This is the log-derived
-    formulation of CDF — protocol-faithful for tables written by this
-    engine; tables whose writers emit real `cdc` actions would be read
-    from those instead (not produced by this engine's writers).
+    Two formulations, spec-ordered (PROTOCOL.md §Change Data Files):
+
+    * A commit carrying ``cdc`` actions is read from THOSE exclusively
+      — the writer materialized the exact change rows under
+      ``_change_data/`` (this engine's own DML does when
+      ``delta.enableChangeDataFeed=true``; foreign CDF writers
+      always do). ``keys`` is not needed and not validated here, and
+      live deletion vectors don't matter (cdc files are
+      self-contained).
+    * Otherwise the changes are DERIVED by a keyed diff: ``keys``
+      must be a primary key — unique among the removed rows and
+      among the added rows (validated; ambiguous diffs raise, same
+      policy as MERGE's duplicate-source check). Cost scales with
+      the commit's touched files, never the table: old/new sides are
+      scans of exactly those file lists, the diff is one join keyed
+      on a (usually broadcastable) side.
     """
     # Retention contract: row changes need the commit's own JSON
     # actions. They remain readable for ANY retained commit — including
@@ -763,15 +770,12 @@ def delta_row_changes(
             "per-commit actions"
         )
     cur = _replay_log(path, version)
-    _refuse_dvs(cur, "delta_row_changes")
     schema = cur.schema
     assert schema is not None
     cols = [f.name for f in schema.fields]
-    missing = [k for k in keys if k not in cols]
-    if missing:
-        raise ValueError(f"change keys not in table schema: {missing}")
     adds: dict[str, dict[str, Any]] = {}
     removed_paths: list[str] = []
+    cdc_actions: list[dict[str, Any]] = []
     with open(commit_file) as f:
         for line in f:
             line = line.strip()
@@ -782,6 +786,51 @@ def delta_row_changes(
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action and action["remove"].get("dataChange", True):
                 removed_paths.append(action["remove"]["path"])
+            elif "cdc" in action:
+                cdc_actions.append(action["cdc"])
+
+    if cdc_actions:
+        # PROTOCOL.md §Change Data Files: when a version carries cdc
+        # actions, change readers MUST use them EXCLUSIVELY for that
+        # version — the writer materialized the exact change rows
+        # (with `_change_type`), so no diff (and no key contract) is
+        # needed, and DVs on the snapshot don't matter: the cdc files
+        # are self-contained. This covers both this engine's CDF
+        # writers (delta.enableChangeDataFeed=true DML) and foreign
+        # tables whose writers emit cdc.
+        cdc_data_schema = StructType(
+            [f for f in schema.fields if f.name not in cur.partition_columns]
+            + [StructField("_change_type", StringType(), False)]
+        )
+        part_types_c = {
+            f.name: f.dataType
+            for f in schema.fields
+            if f.name in cur.partition_columns
+        }
+        groups: dict[tuple, list[str]] = {}
+        for a in cdc_actions:
+            pv = a.get("partitionValues", {})
+            key = tuple(pv.get(c) for c in cur.partition_columns)
+            groups.setdefault(key, []).append(
+                os.path.join(path, urllib.parse.unquote(a["path"]))
+            )
+        parts = []
+        for key, paths in sorted(
+            groups.items(), key=lambda kv: tuple(map(str, kv[0]))
+        ):
+            df = spark.read.schema(cdc_data_schema).parquet(*sorted(paths))
+            for col, val in zip(cur.partition_columns, key):
+                df = df.withColumn(col, F.lit(val).cast(part_types_c[col]))
+            parts.append(df.select(*cols, "_change_type"))
+        return reduce(DataFrame.unionByName, parts).withColumn(
+            "_commit_version", F.lit(int(version)).cast("long")
+        )
+
+    # diff-derived path: needs clean data files and a real key
+    _refuse_dvs(cur, "delta_row_changes")
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"change keys not in table schema: {missing}")
 
     part_types = {
         f.name: f.dataType
@@ -863,6 +912,45 @@ def delta_row_changes(
     out = out.unionByName(_emit("__o", "update_preimage", differs))
     out = out.unionByName(_emit("__n", "update_postimage", differs))
     return out
+
+
+def set_delta_properties(path: str, props: dict[str, str]) -> int:
+    """ALTER TABLE SET TBLPROPERTIES: one metadata-only commit merging
+    ``props`` into the table's configuration. Enabling
+    ``delta.enableChangeDataFeed`` also raises the protocol so foreign
+    clients know the contract: legacy writer < 4 bumps to 4 (the
+    feature's legacy version), a table-features protocol gains
+    ``changeDataFeed`` in writerFeatures. Returns the new version.
+    Driver-only — no Spark job."""
+    snap = _replay_log(path, None)
+    assert snap.metadata_action is not None
+    md = dict(snap.metadata_action)
+    cfg = dict(md.get("configuration") or {})
+    cfg.update(props)
+    md["configuration"] = cfg
+    actions: list[dict[str, Any]] = []
+    if cfg.get("delta.enableChangeDataFeed") == "true":
+        pr = dict(
+            snap.protocol_action
+            or {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+        if pr.get("writerFeatures") is not None:
+            if "changeDataFeed" not in pr["writerFeatures"]:
+                pr["writerFeatures"] = sorted(
+                    set(pr["writerFeatures"]) | {"changeDataFeed"}
+                )
+                actions.append({"protocol": pr})
+        elif pr.get("minWriterVersion", 2) < 4:
+            pr["minWriterVersion"] = 4
+            actions.append({"protocol": pr})
+    actions.append({"metaData": md})
+    return commit_actions(
+        path,
+        snap.version,
+        actions,
+        "SET TBLPROPERTIES",
+        {"properties": json.dumps(props)},
+    )
 
 
 def table_version(path: str) -> int:
@@ -1495,6 +1583,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
     column_mapping: str | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """Commit df to a Delta table at ``path``; returns the new version.
 
@@ -1526,6 +1615,13 @@ def write_delta(
     automatically; schema EVOLUTION on mapped tables refuses (it
     would need new physical ids — use the writing engine that owns
     the table). Top-level fields only, matching the read support.
+
+    ``configuration`` (r9): table properties recorded in the CREATING
+    commit's metaData (e.g. ``{"delta.enableChangeDataFeed": "true"}``
+    — which also bumps the protocol to writer 4, the feature's legacy
+    version, and makes every later DML commit stage change-data files
+    under ``_change_data/``; see delta_dml). Fixed at creation here —
+    use :func:`set_delta_properties` to change an existing table.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -1550,6 +1646,11 @@ def write_delta(
             raise ValueError(
                 "column_mapping is fixed at table creation; the table "
                 "already exists"
+            )
+        if configuration is not None:
+            raise ValueError(
+                "configuration is applied at table creation; use "
+                "set_delta_properties on an existing table"
             )
         mapping = _column_mapping(existing)
         _refuse_unenforced_writer_contracts(
@@ -1613,6 +1714,15 @@ def write_delta(
             schema_string = df.schema.json()
             config = {}
             protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        if configuration:
+            config = {**config, **configuration}
+            if (
+                config.get("delta.enableChangeDataFeed") == "true"
+                and protocol["minWriterVersion"] < 4
+            ):
+                # changeDataFeed's legacy writer version (PROTOCOL.md);
+                # the column-mapping creation path is already at 5
+                protocol["minWriterVersion"] = 4
         actions.append({"protocol": protocol})
         actions.append(
             {

@@ -153,6 +153,74 @@ def _removes(snap: _Snapshot, rels: list[str], data_change: bool) -> list[dict]:
     ]
 
 
+def _cdf_enabled(snap: _Snapshot) -> bool:
+    cfg = (snap.metadata_action or {}).get("configuration") or {}
+    return cfg.get("delta.enableChangeDataFeed") == "true"
+
+
+def _stage_cdc_files(
+    change_df: DataFrame, table_path: str, partition_by: list[str]
+) -> list[dict]:
+    """Stage CHANGE DATA files (PROTOCOL.md §Change Data Files) under
+    ``_change_data/`` and return the commit's ``cdc`` actions.
+    ``change_df`` carries the table columns plus ``_change_type``;
+    files partition like data files (values in the action, not the
+    file). ``dataChange: false`` per spec — cdc rows are descriptive,
+    a snapshot reader never scans them. Cost ∝ changed rows (the
+    frames the DML paths already computed), one extra write job per
+    CDF-enabled DML commit."""
+    import shutil
+    import time as _time  # noqa: F401  (parity with _stage_files)
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    scratch = os.path.join(table_path, f".tmp-{_uuid.uuid4().hex}")
+    w = change_df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(scratch)
+    out: list[dict] = []
+    for root, _dirs, files in os.walk(scratch):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            src = os.path.join(root, fn)
+            if _pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            rel_dir = os.path.relpath(root, scratch)
+            pv: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pv[k] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(v)
+                    )
+            new_name = f"cdc-{_uuid.uuid4().hex}.parquet"
+            rel_path = (
+                os.path.join("_change_data", rel_dir, new_name)
+                if rel_dir != "."
+                else os.path.join("_change_data", new_name)
+            )
+            dst = os.path.join(table_path, rel_path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            out.append(
+                {
+                    "cdc": {
+                        "path": rel_path.replace(os.sep, "/"),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(dst),
+                        "dataChange": False,
+                    }
+                }
+            )
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 def _affected_files(scan: DataFrame, cond: Column) -> list[str]:
     """Basenames of live files containing >=1 row matching ``cond``.
     Distributed scan + distinct on the file column; the driver holds
@@ -185,7 +253,16 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
         .drop(_FILE_COL)
     )
     adds = _stage_files(kept, path, snap.partition_columns)
-    actions = _removes(snap, [rels[b] for b in affected], True) + adds
+    cdc: list[dict] = []
+    if _cdf_enabled(snap):
+        deleted_rows = (
+            scan.filter(F.col(_FILE_COL).isin(affected))
+            .filter(F.coalesce(cond, F.lit(False)))
+            .drop(_FILE_COL)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        cdc = _stage_cdc_files(deleted_rows, path, snap.partition_columns)
+    actions = _removes(snap, [rels[b] for b in affected], True) + adds + cdc
     return commit_actions(
         path, snap.version, actions, "DELETE", {"predicate": predicate}
     )
@@ -316,6 +393,7 @@ def delete_delta_dv(
 
     new_rows_per_rel: dict[str, list[int]] = {}
     fully_deleted: list[str] = []
+    fresh_pairs: list[tuple[str, int]] = []  # (file basename, row_index)
     for rel, poss in by_rel.items():
         add = snap.files[rel]
         old_dv = add.get("deletionVector")
@@ -323,6 +401,8 @@ def delete_delta_dv(
         union = sorted(old | poss)
         if len(union) == len(old):
             continue  # every match was already deleted — no-op file
+        base = urllib.parse.unquote(rel).split("/")[-1]
+        fresh_pairs.extend((base, p) for p in sorted(poss - old))
         stats = add.get("stats")
         n_phys = _json.loads(stats).get("numRecords") if stats else None
         if n_phys is not None and len(union) == int(n_phys):
@@ -352,6 +432,23 @@ def delete_delta_dv(
             st["tightBounds"] = False
             a["stats"] = _json.dumps(st)
         actions.append({"add": a})
+    if _cdf_enabled(snap) and fresh_pairs:
+        # CDF on a DV delete: the newly-deleted rows (never the ones a
+        # previous vector already covered) materialize as cdc 'delete'
+        # rows — the driver-built pair set is already budget-bounded
+        pairs_df = F.broadcast(
+            spark.createDataFrame(
+                fresh_pairs, f"{_FILE_COL} string, {_POS_COL} long"
+            )
+        )
+        deleted_rows = (
+            scan.join(pairs_df, on=[_FILE_COL, _POS_COL], how="leftsemi")
+            .drop(_FILE_COL, _POS_COL)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        actions.extend(
+            _stage_cdc_files(deleted_rows, path, snap.partition_columns)
+        )
     return commit_actions(
         path,
         snap.version,
@@ -408,7 +505,26 @@ def update_delta(
         ]
     )
     adds = _stage_files(rewritten, path, snap.partition_columns)
-    actions = _removes(snap, [rels[b] for b in affected], True) + adds
+    cdc: list[dict] = []
+    if _cdf_enabled(snap):
+        matched = scan.filter(F.col(_FILE_COL).isin(affected)).filter(hit)
+        pre = matched.drop(_FILE_COL).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = matched.select(
+            *[
+                (
+                    F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        cdc = _stage_cdc_files(
+            pre.unionByName(post), path, snap.partition_columns
+        )
+    actions = _removes(snap, [rels[b] for b in affected], True) + adds + cdc
     return commit_actions(
         path,
         snap.version,
@@ -487,6 +603,8 @@ def merge_delta(
 
     actions: list[dict[str, Any]] = []
     matched_keys = None
+    cdc_frames: list[DataFrame] = []
+    emit_cdf = _cdf_enabled(snap)
     if affected:
         hit_rows = scan.filter(F.col(_FILE_COL).isin(affected))
         src = source.select(
@@ -507,8 +625,26 @@ def merge_delta(
                     for c in tcols
                 ]
             )
+            if emit_cdf:
+                matched_rows = joined.filter(m)
+                cdc_frames.append(
+                    matched_rows.select(
+                        *[hit_rows[c] for c in tcols]
+                    ).withColumn("_change_type", F.lit("update_preimage"))
+                )
+                cdc_frames.append(
+                    matched_rows.select(
+                        *[F.col(f"__src_{c}").alias(c) for c in tcols]
+                    ).withColumn("_change_type", F.lit("update_postimage"))
+                )
         elif when_matched == "delete":
             rewritten = joined.filter(~m).select(*[hit_rows[c] for c in tcols])
+            if emit_cdf:
+                cdc_frames.append(
+                    joined.filter(m)
+                    .select(*[hit_rows[c] for c in tcols])
+                    .withColumn("_change_type", F.lit("delete"))
+                )
         else:  # 'none': matched rows keep their current values
             rewritten = joined.select(*[hit_rows[c] for c in tcols])
         actions += _removes(snap, [rels[b] for b in affected], True)
@@ -523,6 +659,18 @@ def merge_delta(
             inserts = source.join(matched_keys, on=keys, how="leftanti")
         # (no affected files -> no key matched -> every source row inserts)
         actions += _stage_files(inserts, path, snap.partition_columns)
+        if emit_cdf:
+            cdc_frames.append(
+                inserts.withColumn("_change_type", F.lit("insert"))
+            )
+    if cdc_frames:
+        from functools import reduce as _reduce
+
+        actions += _stage_cdc_files(
+            _reduce(DataFrame.unionByName, cdc_frames),
+            path,
+            snap.partition_columns,
+        )
 
     if txn is not None:
         actions.append(

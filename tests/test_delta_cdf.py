@@ -1,164 +1,213 @@
-"""Row-level change feed (delta_row_changes): keyed diff of a commit's
-removed vs added files — inserts, deletes, update pre/post pairs, the
-silence of copy-over rows and OPTIMIZE, and the primary-key contract."""
+"""Delta Change Data Feed (PROTOCOL.md §Change Data Files): DML on
+``delta.enableChangeDataFeed=true`` tables stages cdc files under
+``_change_data/``, and delta_row_changes reads a commit's cdc actions
+EXCLUSIVELY when present (deriving by keyed diff otherwise)."""
 
 from __future__ import annotations
 
+import json
+import os
+
 import pytest
 
-from pyspark.sql import functions as F
-
 from sparkstreamingtwitter_presidential_spark.sources.delta import (
+    _replay_log,
     delta_row_changes,
+    read_delta,
+    set_delta_properties,
     write_delta,
 )
 from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
     delete_delta,
+    delete_delta_dv,
     merge_delta,
-    optimize_delta,
     update_delta,
 )
 
 
-def _df(spark, rows):
-    return spark.createDataFrame(rows, "id long, grp string, v double")
-
-
-def _changes(spark, t, version):
-    return sorted(
-        (r.id, r.grp, r.v, r._change_type)
-        for r in delta_row_changes(spark, t, version, ["id"]).collect()
-    )
-
-
-def test_append_commit_is_all_inserts(spark, tmp_path):
-    t = str(tmp_path / "t")
-    write_delta(_df(spark, [(1, "a", 1.0)]), t)
-    write_delta(_df(spark, [(2, "a", 2.0), (3, "b", 3.0)]), t, mode="append")
-    assert _changes(spark, t, 1) == [
-        (2, "a", 2.0, "insert"),
-        (3, "b", 3.0, "insert"),
-    ]
-
-
-def test_update_emits_pre_post_pairs_only_for_changed_rows(spark, tmp_path):
-    t = str(tmp_path / "t")
-    write_delta(_df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]), t)
-    v = update_delta(spark, t, {"v": "v * 10"}, "v > 1.5")
-    got = _changes(spark, t, v)
-    # row 1 lives in a rewritten file but is byte-identical -> silent
-    assert got == [
-        (2, "a", 2.0, "update_preimage"),
-        (2, "a", 20.0, "update_postimage"),
-        (3, "b", 3.0, "update_preimage"),
-        (3, "b", 30.0, "update_postimage"),
-    ]
-
-
-def test_delete_emits_deletes(spark, tmp_path):
-    t = str(tmp_path / "t")
-    write_delta(_df(spark, [(1, "a", 1.0), (2, "a", 2.0)]), t)
-    v = delete_delta(spark, t, "id = 2")
-    assert _changes(spark, t, v) == [(2, "a", 2.0, "delete")]
-
-
-def test_merge_emits_updates_and_inserts(spark, tmp_path):
-    t = str(tmp_path / "t")
-    write_delta(_df(spark, [(1, "a", 1.0), (2, "a", 2.0)]), t)
-    src = _df(spark, [(2, "a", 99.0), (7, "b", 7.0)])
-    v = merge_delta(spark, t, src, keys=["id"])
-    assert _changes(spark, t, v) == [
-        (2, "a", 2.0, "update_preimage"),
-        (2, "a", 99.0, "update_postimage"),
-        (7, "b", 7.0, "insert"),
-    ]
-
-
-def test_optimize_emits_nothing(spark, tmp_path):
-    t = str(tmp_path / "t")
-    write_delta(_df(spark, [(1, "a", 1.0)]), t)
-    write_delta(_df(spark, [(2, "a", 2.0)]), t, mode="append")
-    v = optimize_delta(spark, t)
-    assert delta_row_changes(spark, t, v, ["id"]).count() == 0
-
-
-def test_duplicate_key_raises(spark, tmp_path):
-    t = str(tmp_path / "t")
-    write_delta(_df(spark, [(1, "a", 1.0), (1, "a", 2.0)]), t)
-    with pytest.raises(ValueError, match="not unique"):
-        delta_row_changes(spark, t, 0, ["id"]).count()
-
-
-def test_partitioned_table_changes_carry_partition_values(spark, tmp_path):
-    t = str(tmp_path / "t")
+def _mk(spark, tmp_path, name, cdf=True, rows=None):
+    t = str(tmp_path / name)
+    df = spark.createDataFrame(
+        rows or [(i, i % 2, float(i)) for i in range(20)],
+        "id long, part int, v double",
+    ).repartition(2)  # multi-row files: a 1-row file would turn a DV
+    # delete into a plain full-file remove and skip the vector path
     write_delta(
-        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t, partition_by=["grp"]
+        df,
+        t,
+        mode="append",
+        partition_by=["part"],
+        configuration=(
+            {"delta.enableChangeDataFeed": "true"} if cdf else None
+        ),
     )
-    v = update_delta(spark, t, {"v": "v + 0.5"}, "grp = 'b'")
-    got = _changes(spark, t, v)
-    assert got == [
-        (2, "b", 2.0, "update_preimage"),
-        (2, "b", 2.5, "update_postimage"),
+    return t
+
+
+def _cdc_paths(t, version):
+    commit = os.path.join(t, "_delta_log", f"{version:020d}.json")
+    return [
+        json.loads(ln)["cdc"]["path"]
+        for ln in open(commit)
+        if ln.strip() and "cdc" in json.loads(ln)
     ]
 
 
-def test_row_changes_refuse_collapsed_log(spark, tmp_path):
-    """After checkpointing + deleting the per-commit JSON, row changes
-    for that commit are unrecoverable — refuse with a clear error, not
-    a crash or empty result."""
-    import os
-
-    from sparkstreamingtwitter_presidential_spark.sources.delta import write_checkpoint
-
-    t = str(tmp_path / "t")
-    write_delta(_df(spark, [(1, "a", 1.0)]), t)
-    write_delta(_df(spark, [(2, "a", 2.0)]), t, mode="append")
-    write_checkpoint(t)
-    os.remove(os.path.join(t, "_delta_log", f"{1:020d}.json"))
-    with pytest.raises(ValueError, match="not available"):
-        delta_row_changes(spark, t, 1, ["id"])
+def test_cdf_creation_sets_protocol(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t")
+    pr = _replay_log(t, None).protocol_action
+    assert pr["minWriterVersion"] == 4 and pr["minReaderVersion"] == 1
 
 
-def test_row_changes_readable_below_checkpoint_while_json_retained(
-    spark, tmp_path
-):
-    """A checkpoint collapses REPLAY, it does not delete commits: row
-    changes for a commit below the checkpoint stay readable as long as
-    its JSON is retained (the retention contract's positive half)."""
-    from sparkstreamingtwitter_presidential_spark.sources.delta import (
-        write_checkpoint,
+def test_cdf_delete_writes_and_reads_cdc(spark, tmp_path):
+    """DELETE on a CDF table emits cdc 'delete' rows that the change
+    reader returns — byte-identical to the keyed diff a non-CDF twin
+    derives — and the snapshot read never scans them."""
+    t = _mk(spark, tmp_path, "cdf")
+    u = _mk(spark, tmp_path, "plain", cdf=False)
+    delete_delta(spark, t, "id % 5 = 0")
+    delete_delta(spark, u, "id % 5 = 0")
+    assert _cdc_paths(t, 1) and not _cdc_paths(u, 1)
+    assert all(p.startswith("_change_data/") for p in _cdc_paths(t, 1))
+    got = delta_row_changes(spark, t, 1, keys=["id"])
+    want = delta_row_changes(spark, u, 1, keys=["id"])
+    key = lambda r: (r["id"], r["_change_type"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, want.collect())
     )
-
-    t = str(tmp_path / "t")
-    write_delta(_df(spark, [(1, "a", 1.0)]), t)
-    write_delta(_df(spark, [(2, "a", 2.0)]), t, mode="append")
-    write_checkpoint(t)  # at v1 — v1 is now "collapsed"
-    write_delta(_df(spark, [(3, "a", 3.0)]), t, mode="append")
-    assert _changes(spark, t, 1) == [(2, "a", 2.0, "insert")]
+    assert sorted(got.columns) == sorted(want.columns)
+    assert {r["_change_type"] for r in got.collect()} == {"delete"}
+    # snapshot read: cdc files are not data
+    assert read_delta(spark, t).count() == 16
 
 
-def test_expire_log_enforces_checkpoint_and_kills_expired_reads(
-    spark, tmp_path
-):
-    """expire_log refuses without a covering checkpoint; after expiry
-    the latest snapshot still reads, while time travel and row changes
-    below the horizon refuse with clear errors."""
-    from sparkstreamingtwitter_presidential_spark.sources.delta import (
-        expire_log,
-        read_delta,
-        write_checkpoint,
+def test_cdf_update_pre_post(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t")
+    update_delta(spark, t, {"v": "v + 100"}, "id < 3")
+    ch = delta_row_changes(spark, t, 1, keys=["id"]).collect()
+    pre = sorted((r.id, r.v) for r in ch if r._change_type == "update_preimage")
+    post = sorted(
+        (r.id, r.v) for r in ch if r._change_type == "update_postimage"
     )
+    assert pre == [(0, 0.0), (1, 1.0), (2, 2.0)]
+    assert post == [(0, 100.0), (1, 101.0), (2, 102.0)]
+    assert len(ch) == 6
 
-    t = str(tmp_path / "t")
-    write_delta(_df(spark, [(1, "a", 1.0)]), t)
-    write_delta(_df(spark, [(2, "a", 2.0)]), t, mode="append")
-    with pytest.raises(ValueError, match="no checkpoint"):
-        expire_log(t, keep_from=2)
-    write_checkpoint(t)  # v1
-    write_delta(_df(spark, [(3, "a", 3.0)]), t, mode="append")
-    assert expire_log(t, keep_from=2) == [0, 1]
-    assert read_delta(spark, t).count() == 3  # latest snapshot intact
-    with pytest.raises(ValueError, match="expired by log retention"):
-        delta_row_changes(spark, t, 1, ["id"])
-    with pytest.raises(ValueError, match="does not exist"):
-        read_delta(spark, t, version=0)
+
+def test_cdf_merge_emits_all_change_types(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t")
+    src = spark.createDataFrame(
+        [(1, 1, 500.0), (100, 0, 900.0)], "id long, part int, v double"
+    )
+    merge_delta(spark, t, src, keys=["id"])
+    ch = delta_row_changes(spark, t, 1, keys=["id"]).collect()
+    by = {}
+    for r in ch:
+        by.setdefault(r._change_type, []).append((r.id, r.v))
+    assert by["insert"] == [(100, 900.0)]
+    assert by["update_preimage"] == [(1, 1.0)]
+    assert by["update_postimage"] == [(1, 500.0)]
+    # merge-delete variant
+    t2 = _mk(spark, tmp_path, "t2")
+    merge_delta(
+        spark,
+        t2,
+        src,
+        keys=["id"],
+        when_matched="delete",
+        insert_not_matched=False,
+    )
+    ch2 = delta_row_changes(spark, t2, 1, keys=["id"]).collect()
+    assert [(r.id, r._change_type) for r in ch2] == [(1, "delete")]
+
+
+def test_cdf_dv_delete_changes_read_through_cdc(spark, tmp_path):
+    """A DV delete on a CDF table emits cdc rows for the NEWLY deleted
+    rows only, and the change reader serves them even while live adds
+    carry deletion vectors (cdc files are self-contained — the
+    diff-derived path would refuse)."""
+    t = _mk(spark, tmp_path, "t")
+    delete_delta_dv(spark, t, "id IN (2, 4)")
+    delete_delta_dv(spark, t, "id IN (4, 6)")  # 4 already gone
+    ch1 = delta_row_changes(spark, t, 1, keys=["id"]).collect()
+    ch2 = delta_row_changes(spark, t, 2, keys=["id"]).collect()
+    assert sorted(r.id for r in ch1) == [2, 4]
+    assert sorted(r.id for r in ch2) == [6]  # fresh rows only
+    assert {r._change_type for r in ch1 + ch2} == {"delete"}
+    # non-CDF DV table: diff path still refuses on live DVs
+    u = _mk(spark, tmp_path, "u", cdf=False)
+    delete_delta_dv(spark, u, "id = 2")
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        delta_row_changes(spark, u, 1, keys=["id"])
+
+
+def test_set_delta_properties_enables_cdf(spark, tmp_path):
+    """Enabling CDF later: SET TBLPROPERTIES commits metadata-only,
+    bumps the protocol to writer 4, and the NEXT delete stages cdc."""
+    t = _mk(spark, tmp_path, "t", cdf=False)
+    v = set_delta_properties(t, {"delta.enableChangeDataFeed": "true"})
+    assert v == 1
+    snap = _replay_log(t, None)
+    assert snap.protocol_action["minWriterVersion"] == 4
+    assert (
+        snap.metadata_action["configuration"][
+            "delta.enableChangeDataFeed"
+        ]
+        == "true"
+    )
+    delete_delta(spark, t, "id = 7")
+    assert _cdc_paths(t, 2)
+    got = delta_row_changes(spark, t, 2, keys=["id"]).collect()
+    assert [(r.id, r._change_type) for r in got] == [(7, "delete")]
+
+
+def test_foreign_cdc_actions_are_exclusive(spark, tmp_path):
+    """Spec rule: when a commit carries cdc actions, readers use them
+    and IGNORE its add/remove diff — pinned by forging a commit whose
+    cdc content deliberately disagrees with its file diff."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, tmp_path, "t", cdf=False)
+    delete_delta(spark, t, "id = 3")  # v1: a real diff-visible commit
+    cdir = os.path.join(t, "_change_data")
+    os.makedirs(cdir)
+    cfile = os.path.join(cdir, "cdc-forged.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([999], pa.int64()),
+                "v": pa.array([1.5], pa.float64()),
+                "_change_type": pa.array(["delete"], pa.string()),
+            }
+        ),
+        cfile,
+    )
+    commit = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    with open(commit, "a") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "cdc": {
+                        "path": "_change_data/cdc-forged.parquet",
+                        "partitionValues": {"part": "1"},
+                        "size": os.path.getsize(cfile),
+                        "dataChange": False,
+                    }
+                }
+            )
+            + "\n"
+        )
+    got = delta_row_changes(spark, t, 1, keys=["id"]).collect()
+    assert [(r.id, r.part, r.v, r._change_type) for r in got] == [
+        (999, 1, 1.5, "delete")
+    ]
+
+
+def test_cdf_write_job_only_when_enabled(spark, tmp_path):
+    """No CDF config -> the DML commit contains zero cdc actions and
+    no _change_data dir materializes (no silent extra write job)."""
+    t = _mk(spark, tmp_path, "t", cdf=False)
+    update_delta(spark, t, {"v": "v + 1"}, "id = 1")
+    assert not _cdc_paths(t, 1)
+    assert not os.path.exists(os.path.join(t, "_change_data"))
