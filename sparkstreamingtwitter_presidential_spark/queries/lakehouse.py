@@ -836,6 +836,90 @@ def lakehouse_delta_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_delta_cdf_agg",
+    oracle="""
+        WITH ev AS (SELECT event_id, event_type, value FROM events),
+        ch AS (
+            SELECT 'update_preimage' AS change_type, event_type, value
+            FROM ev WHERE event_id % 7 = 0
+            UNION ALL
+            SELECT 'update_postimage', event_type, value * 2
+            FROM ev WHERE event_id % 7 = 0
+            UNION ALL
+            SELECT 'delete', event_type,
+                   CASE WHEN event_id % 7 = 0 THEN value * 2
+                        ELSE value END
+            FROM ev WHERE event_id % 5 = 0
+        )
+        SELECT change_type, event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM ch GROUP BY change_type, event_type
+    """,
+    doc=(
+        "NEW r9 late: CHANGE DATA FEED read over cdc actions — the "
+        "staged table is CREATED with delta.enableChangeDataFeed=true, "
+        "receives an UPDATE (values doubled for event_id % 7 = 0) then "
+        "a DELETE (event_id % 5 = 0, post-update values), and the "
+        "change frames for both commits must come from the cdc files "
+        "the DML staged under _change_data/ (the query RAISES unless "
+        "both commits actually carry cdc actions — the spec's "
+        "exclusive source when present): per-change-type aggregates "
+        "must equal the oracle's relational reconstruction of "
+        "pre/post/delete images over the original events"
+    ),
+)
+def lakehouse_delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        update_delta,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_delta(
+            ev,
+            table,
+            mode="append",
+            partition_by=["event_type"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        update_delta(spark, table, {"value": "value * 2"}, "event_id % 7 = 0")
+        delete_delta(spark, table, "event_id % 5 = 0")
+
+    table = _dml_staged_delta(spark, sf_dir, "cdf", build)
+    for v in (1, 2):
+        cf = os.path.join(table, "_delta_log", f"{v:020d}.json")
+        if not any(
+            "cdc" in json.loads(ln) for ln in open(cf) if ln.strip()
+        ):
+            raise RuntimeError(
+                f"commit {v} of the CDF staging table carries no cdc "
+                "actions — the change read below would silently fall "
+                "back to the derived diff instead of exercising the "
+                "spec's exclusive cdc path"
+            )
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        delta_row_changes,
+    )
+
+    changes = delta_row_changes(spark, table, 1, keys=["event_id"]).unionByName(
+        delta_row_changes(spark, table, 2, keys=["event_id"])
+    )
+    return changes.groupBy(
+        F.col("_change_type").alias("change_type"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias(
+            "total_value"
+        ),
+    )
+
+
+@query(
     "lakehouse_delta_restore_agg",
     oracle="""
         SELECT event_type, COUNT(*) AS n,

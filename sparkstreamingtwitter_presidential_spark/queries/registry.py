@@ -318,15 +318,16 @@ GRADED_FIRST: list[str] = [
     # IVF/PQ/incremental paths, and LSH stays bench-headlined + in
     # tests/test_queries_oracle.py).
     "io_pipetext_connector_roundtrip",
-    # Round-5 late additions #14: zero-storage deterministic generator
-    # source (dbgen pattern; a Python DataSource proven value-exact
-    # against a relational twin, partition-invariance graded). Ceded:
-    # lakehouse_delta_optimize_agg (r4 driver-green; OPTIMIZE stays
-    # graded through lakehouse_delta_zorder_agg — whose staging IS an
-    # optimize_delta(zorder_by=...) run — plus the changes query's
-    # dataChange:false invisibility and the CDF optimize-emits-nothing
-    # pytest; it also stays in tests/test_queries_oracle.py).
-    "io_synthdocs_generate",
+    # Round-9 late swap: CHANGE DATA FEED over cdc actions (DML on a
+    # delta.enableChangeDataFeed=true table stages exact change rows
+    # under _change_data/; the graded read RAISES unless both commits
+    # carry cdc actions, proving the spec's exclusive-source path —
+    # not the derived diff — served the frames). Ceded:
+    # io_synthdocs_generate (r5-r8 driver-green, four rounds; the
+    # Python DataSource surface stays graded through
+    # io_pipetext_connector_roundtrip, and synthdocs stays in
+    # tests/test_queries_oracle.py).
+    "lakehouse_delta_cdf_agg",
     # Round-6 newcomers, graded on arrival per rotation policy.
     # DESCRIBE HISTORY as a queryable frame (r5 verdict item 4: the
     # last lakehouse bookkeeping gap). Ceded: tpch_q7_volume_shipping

@@ -1807,7 +1807,7 @@ def test_equality_deletes_on_many_partition_fast_path(spark, tmp_path):
         "content": 2,
         "file_path": dfile,
         "file_format": "PARQUET",
-        "partition": {"s": None},
+        "partition": {},
         "record_count": 2,
         "file_size_in_bytes": os.path.getsize(dfile),
         "lower_bounds": None,
@@ -1821,6 +1821,7 @@ def test_equality_deletes_on_many_partition_fast_path(spark, tmp_path):
         added_files=[], existing_entries=[], deleted_entries=[],
         carry_prior_manifests=True, operation="overwrite",
         added_delete_files=[eq],
+        delete_files_unpartitioned_spec=True,
     )
     back = read_iceberg(spark, t)
     got = sorted((r.id, r.s) for r in back.collect())
