@@ -165,6 +165,10 @@ HEADLINE = [
     "lakehouse_iceberg_transform_partitioned_agg",
     "lakehouse_delta_dv_agg",
     "lakehouse_delta_restore_agg",
+    # Round-9 late: CDF read over cdc actions (staging warm; timed
+    # work is the per-commit cdc parquet scan + change-type agg — the
+    # change-feed read floor when the writer materialized the rows).
+    "lakehouse_delta_cdf_agg",
 ]
 
 

@@ -446,13 +446,14 @@ def _refuse_unenforced_writer_contracts(
 
 
 def _refuse_dvs(snap: _Snapshot, ctx: str) -> None:
-    """Every path that REWRITES, diffs, checkpoints, or sweeps files
-    must refuse while live adds carry deletion vectors: a scan that
-    ignored the DV would resurrect deleted rows, a checkpoint through
-    a DV-less schema would silently drop the descriptor, and vacuum's
-    untracked-file sweep would reclaim live deletion_vector_*.bin
-    sidecars. Plain snapshot reads apply DVs (_dv_filter); everything
-    else refuses by name (never wrong rows)."""
+    """Every path that REWRITES, diffs, or sweeps files must refuse
+    while live adds carry deletion vectors: a scan that ignored the DV
+    would resurrect deleted rows, and vacuum's untracked-file sweep
+    would reclaim live deletion_vector_*.bin sidecars. Snapshot reads
+    apply DVs (_dv_filter), checkpoints carry the descriptors through
+    verbatim (write_checkpoint), cdc-carrying commits serve change
+    reads (delta_row_changes); everything else refuses by name (never
+    wrong rows)."""
     n = sum(1 for a in snap.files.values() if a.get("deletionVector"))
     if n:
         raise NotImplementedError(
@@ -1395,10 +1396,12 @@ def write_checkpoint(path: str) -> int:
     import pyarrow.parquet as pq
 
     snap = _replay_log(path, None)
-    # the checkpoint add-schema below has no deletionVector struct: a
-    # checkpoint of a DV table would silently DROP the descriptors and
-    # resurrect deleted rows for every later bootstrap — refuse
-    _refuse_dvs(snap, "write_checkpoint")
+    # add actions carry their deletionVector descriptors through the
+    # checkpoint verbatim (r9 late — pyarrow infers the struct from
+    # the dicts; non-DV adds read back with the field null, which
+    # .get() treats exactly like absence), so a long-lived MOR table
+    # can compact its log without resurrecting deleted rows. Pinned by
+    # test_checkpoint_preserves_dvs.
     keys = ("protocol", "metaData", "add", "remove", "txn")
 
     def _strip_empty(obj: Any) -> Any:

@@ -266,13 +266,39 @@ def test_rewrite_paths_refuse_on_dv_tables(spark, dv_table):
         lambda: update_delta(spark, t, {"s": "'x'"}, "id = 50"),
         lambda: optimize_delta(spark, t),
         lambda: vacuum_delta(t, retention_hours=0.0),
-        lambda: write_checkpoint(t),
         lambda: restore_delta(spark, t, 0),
         lambda: delta_changes(spark, t, 0),
         lambda: delta_row_changes(spark, t, 1, keys=["id"]),
     ):
         with pytest.raises(NotImplementedError, match="deletion vector"):
             op()
+
+
+def test_checkpoint_preserves_dvs(spark, dv_table):
+    """Checkpointing a DV table carries the descriptors through (r9
+    late): after expire_log drops every JSON commit at-or-below the
+    checkpoint, a bootstrap read still applies the vectors, and a
+    LATER DV delete merges with descriptors READ FROM the checkpoint."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        expire_log,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta_dv,
+    )
+
+    t, want = dv_table
+    v = write_checkpoint(t)
+    expire_log(t, keep_from=v + 1)
+    assert not os.path.exists(
+        os.path.join(t, "_delta_log", f"{v:020d}.json")
+    )
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == want
+    # merge path: union with checkpoint-carried vectors
+    victim = want[0]
+    delete_delta_dv(spark, t, f"id = {victim}")
+    got2 = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got2 == want[1:]
 
 
 def test_dv_backlog_budget_refuses(spark, dv_table, monkeypatch):
@@ -504,8 +530,8 @@ def test_delete_delta_dv_refusals(spark, tmp_path):
 
 def test_delete_delta_dv_then_cow_paths_refuse(spark, tmp_path):
     """Own-written DVs hit the same rewrite guards as foreign ones:
-    OPTIMIZE / CoW DML / checkpoint / vacuum refuse while live adds
-    carry descriptors."""
+    OPTIMIZE / CoW DML refuse while live adds carry descriptors
+    (checkpoints carry DVs through since r9 late)."""
     from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
         delete_delta,
         delete_delta_dv,
@@ -525,5 +551,3 @@ def test_delete_delta_dv_then_cow_paths_refuse(spark, tmp_path):
         optimize_delta(spark, t)
     with pytest.raises(NotImplementedError, match="deletion vector"):
         delete_delta(spark, t, "id = 50")
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        write_checkpoint(t)
