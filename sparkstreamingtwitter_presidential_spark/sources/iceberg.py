@@ -3758,11 +3758,23 @@ def add_column_iceberg(path: str, name: str, ice_type: str) -> int:
 def rename_column_iceberg(path: str, old: str, new: str) -> int:
     """RENAME COLUMN: metadata-only — the field keeps its id, so every
     existing data file keeps serving the column through field-id
-    projection (reads alias the file's old name to the new one).
-    Renaming a partition SOURCE column refuses: this module decodes
-    historical partition tuples by the manifest's field NAME, so a
-    rename would orphan old manifests' tuples (a by-id re-key is the
-    lift; refusal is the honest boundary until then)."""
+    projection (reads group files by their WRITING schema and alias
+    the old name to the new one, _read_entries_projected).
+
+    Partitioned tables (r9 late, lifting the r7 refusal): safe on both
+    sides of the spec's indirection —
+
+    * manifest partition RECORDS key by the SPEC FIELD name, which a
+      column rename never touches (spec fields are immutable; only
+      the schema field renames), so historical tuples keep decoding;
+    * `_partition_fields` resolves spec field -> CURRENT column by
+      source-id, so injection/pruning/table_partitions all surface
+      the new name, and pre-rename scan branches inject under the
+      WRITING schema's source name before aliasing (the r8 foreign-
+      rename machinery — own renames ride the identical path).
+
+    Rewrite paths (DML, compaction, incremental) keep their standing
+    conservative refusal over files written under the old name."""
 
     def mutate(fields: list[dict], meta: dict) -> None:
         hit = [f for f in fields if f["name"] == old]
@@ -3770,24 +3782,6 @@ def rename_column_iceberg(path: str, old: str, new: str) -> int:
             raise ValueError(f"column {old!r} not in schema")
         if any(f["name"] == new for f in fields):
             raise ValueError(f"column {new!r} already exists")
-        spec_fields = [
-            pf
-            for spec in meta.get("partition-specs", [])
-            for pf in spec.get("fields", [])
-        ]
-        if hit[0]["id"] in {pf.get("source-id") for pf in spec_fields}:
-            raise NotImplementedError(
-                f"renaming partition source column {old!r} is not "
-                "supported (historical partition tuples are name-keyed "
-                "in this module's manifests)"
-            )
-        if spec_fields:
-            raise NotImplementedError(
-                f"renaming column {old!r} on a PARTITIONED table is "
-                "not supported: partitioned reads project by name, so "
-                "old files would scan NULL for the renamed column "
-                "(field-id projection is unpartitioned-only)"
-            )
         hit[0]["name"] = new
 
     return _evolve_schema(path, mutate)

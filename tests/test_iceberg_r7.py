@@ -831,11 +831,15 @@ def test_rename_column_first_class(spark, tmp_path):
         rename_column_iceberg(t, "nope", "x")
     with pytest.raises(ValueError, match="already exists"):
         rename_column_iceberg(t, "id", "label")
-    # partition source columns refuse (name-keyed historical tuples)
+    # partition SOURCE renames work since r9 late: manifest tuples key
+    # by the SPEC field name (immutable under column renames) and
+    # resolve to the current column by source-id
     t2 = str(tmp_path / "t2")
     write_iceberg(_df(spark, [(1, "a", 1.0)]), t2, partition_by=["s"])
-    with pytest.raises(NotImplementedError, match="partition source"):
-        rename_column_iceberg(t2, "s", "label")
+    rename_column_iceberg(t2, "s", "label")
+    back2 = read_iceberg(spark, t2)
+    assert back2.columns == ["id", "label", "v"]
+    assert back2.collect()[0].label == "a"
 
 
 def test_partitioned_fast_path_single_scan_and_special_chars(spark, tmp_path):
@@ -894,19 +898,20 @@ def test_partitioned_required_column_falls_back_to_union(spark, tmp_path):
 
 def test_rename_guards_refuse_silent_null_paths(spark, tmp_path):
     """Name-projected surfaces that would materialize NULLs for a
-    renamed column refuse by name (rename on partitioned tables, CoW
-    DML over pre-rename files); partitioned READS project by field-id
-    since r8 — see test_partitioned_read_after_foreign_rename."""
+    renamed column refuse by name (CoW DML over pre-rename files);
+    partitioned READS project by field-id since r8, and partitioned
+    RENAMES are first-class since r9 late — see
+    test_partitioned_rename_first_class."""
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         rename_column_iceberg,
         update_iceberg,
     )
 
-    # write-side: rename of ANY column on a partitioned table refuses
+    # partitioned rename works; old files keep serving via projection
     t = str(tmp_path / "t")
     write_iceberg(_df(spark, [(1, "a", 1.0)]), t, partition_by=["s"])
-    with pytest.raises(NotImplementedError, match="PARTITIONED"):
-        rename_column_iceberg(t, "v", "val")
+    rename_column_iceberg(t, "v", "val")
+    assert read_iceberg(spark, t).collect()[0].val == 1.0
 
     # DML over pre-rename files refuses (unpartitioned)
     t2 = str(tmp_path / "t2")
@@ -1830,3 +1835,76 @@ def test_equality_deletes_on_many_partition_fast_path(spark, tmp_path):
     ]
     plan = back._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in plan  # the single-scan fast path held
+
+
+def test_partitioned_rename_first_class(spark, tmp_path):
+    """Partition-source and data-column renames on PARTITIONED tables
+    (r9 late): historical manifest tuples decode through the spec-
+    field-name key, pre-rename files project by field-id, post-rename
+    appends land in the right partitions, partition pruning works
+    under the NEW name, the .partitions frame surfaces it, and CoW
+    DML over pre-rename files keeps its conservative refusal."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg,
+        rename_column_iceberg,
+        table_partitions,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]),
+        t,
+        partition_by=["s"],
+    )
+    rename_column_iceberg(t, "s", "region")
+    # post-rename append under the new name, same spec
+    write_iceberg(
+        spark.createDataFrame(
+            [(4, "b", 4.0)], "id long, region string, v double"
+        ),
+        t,
+        partition_by=["region"],
+        mode="append",
+    )
+    back = read_iceberg(spark, t)
+    assert back.columns == ["id", "region", "v"]
+    assert sorted((r.id, r.region) for r in back.collect()) == [
+        (1, "a"), (2, "a"), (3, "b"), (4, "b"),
+    ]
+    # pruning by the NEW name prunes pre-rename files too
+    pruned = read_iceberg(spark, t, skip_ranges={"region": ("b", "b")})
+    assert sorted(r.id for r in pruned.collect()) == [3, 4]
+    pframe = table_partitions(spark, t)
+    assert "region" in pframe.columns  # surfaces the NEW source name
+    parts = {r.region: r.n_rows for r in pframe.collect()}
+    assert parts == {"a": 2, "b": 2}
+    # rewrite paths stay conservative over pre-rename files
+    with pytest.raises(NotImplementedError):
+        delete_iceberg(spark, t, "id = 1")
+
+
+def test_transform_partitioned_source_rename(spark, tmp_path):
+    """Renaming the SOURCE column of a day(ts) transform partition:
+    the transform tuple keys by the spec field name, so decode,
+    grouping, and reads under the new column name all hold."""
+    import datetime
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        rename_column_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i % 3, 12, 0), float(i))
+        for i in range(9)
+    ]
+    write_iceberg(
+        spark.createDataFrame(rows, "id long, ts timestamp, v double"),
+        t,
+        partition_by=["day(ts)"],
+    )
+    rename_column_iceberg(t, "ts", "event_ts")
+    back = read_iceberg(spark, t)
+    assert back.columns == ["id", "event_ts", "v"]
+    got = sorted((r.id, r.event_ts.day) for r in back.collect())
+    assert got == sorted((i, 1 + i % 3) for i in range(9))
