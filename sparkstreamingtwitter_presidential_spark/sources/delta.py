@@ -724,7 +724,7 @@ def delta_row_changes(
     spark: SparkSession,
     path: str,
     version: int,
-    keys: list[str],
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Row-level change feed for ONE commit — the CDC read-side
     complement of the DML write path (delta_dml) and the upsert sink
@@ -827,11 +827,19 @@ def delta_row_changes(
             "_commit_version", F.lit(int(version)).cast("long")
         )
 
-    # diff-derived path: needs clean data files and a real key
-    _refuse_dvs(cur, "delta_row_changes")
-    missing = [k for k in keys if k not in cols]
-    if missing:
-        raise ValueError(f"change keys not in table schema: {missing}")
+    insert_only = not removed_paths and keys is None
+    if keys is None and not insert_only:
+        raise ValueError(
+            f"commit {version} rewrites files (removes with "
+            "dataChange) and carries no cdc actions — deriving row "
+            "changes needs a primary key; pass keys=[...]"
+        )
+    if keys is not None:
+        # diff-derived path: needs clean data files and a real key
+        _refuse_dvs(cur, "delta_row_changes")
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            raise ValueError(f"change keys not in table schema: {missing}")
 
     part_types = {
         f.name: f.dataType
@@ -859,6 +867,20 @@ def delta_row_changes(
                 df = df.withColumn(col, F.lit(val).cast(part_types[col]))
             parts.append(df.select(*cols))
         return reduce(DataFrame.unionByName, parts)
+
+    if insert_only:
+        # INSERT-ONLY commit (pure append): every added row is an
+        # 'insert' — no key contract needed, and snapshot-level DVs
+        # are irrelevant (a vector committed at-or-before ``version``
+        # can only reference files from EARLIER commits; a same-commit
+        # DV attach is a remove+re-add, which lands in the diff path).
+        # This is how the real table_changes serves append commits
+        # without cdc files.
+        return _read_actions(adds).select(
+            *cols,
+            F.lit("insert").alias("_change_type"),
+            F.lit(int(version)).cast("long").alias("_commit_version"),
+        )
 
     if removed_paths:
         prev = _replay_log(path, version - 1)
@@ -913,6 +935,72 @@ def delta_row_changes(
     out = out.unionByName(_emit("__o", "update_preimage", differs))
     out = out.unionByName(_emit("__n", "update_postimage", differs))
     return out
+
+
+def delta_table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Row-level changes for every commit in ``(from_version,
+    to_version]`` — the real client's ``table_changes`` TVF shape:
+    the union of :func:`delta_row_changes` over the range, each row
+    stamped with its ``_commit_version``. Per commit, the source is
+    (in spec order) its cdc actions, the insert-only shortcut for
+    pure appends, or the keyed diff (which needs ``keys``; a rewrite
+    commit in the range raises without them). Pure-metadata commits
+    (SET TBLPROPERTIES, OPTIMIZE's dataChange:false rewrites) emit
+    nothing. Cost ∝ the range's changed rows, never the table —
+    commits are read independently, so a poll's plan width is
+    O(commits in range)."""
+    end = _replay_log(path, to_version)
+    if from_version > end.version:
+        raise ValueError(
+            f"from_version {from_version} > table version {end.version}"
+        )
+    log_dir = _log_path(path)
+    frames: list[DataFrame] = []
+    for v in range(from_version + 1, end.version + 1):
+        commit_file = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.exists(commit_file):
+            raise ValueError(
+                f"commit {v} of {path} is not available as a JSON delta "
+                "(expired by log retention) — table_changes needs the "
+                "per-commit actions for the whole range"
+            )
+        has_change = False
+        with open(commit_file) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    has_change = True
+                    break
+                for k in ("add", "remove"):
+                    if k in action and action[k].get("dataChange", True):
+                        has_change = True
+                        break
+                if has_change:
+                    break
+        if has_change:
+            frames.append(delta_row_changes(spark, path, v, keys=keys))
+    if not frames:
+        assert end.schema is not None
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(end.schema.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            ),
+        )
+    return reduce(DataFrame.unionByName, frames)
 
 
 def set_delta_properties(path: str, props: dict[str, str]) -> int:

@@ -211,3 +211,58 @@ def test_cdf_write_job_only_when_enabled(spark, tmp_path):
     update_delta(spark, t, {"v": "v + 1"}, "id = 1")
     assert not _cdc_paths(t, 1)
     assert not os.path.exists(os.path.join(t, "_change_data"))
+
+
+def test_table_changes_range(spark, tmp_path):
+    """The version-range TVF shape: cdc commits, insert-only appends
+    (no keys needed), and pure-metadata commits composing into one
+    frame with per-commit stamps."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        delta_table_changes,
+    )
+
+    t = _mk(spark, tmp_path, "t")  # v0: CDF-enabled create
+    update_delta(spark, t, {"v": "v + 100"}, "id = 1")       # v1 cdc
+    write_delta(
+        spark.createDataFrame([(50, 0, 5.0)], "id long, part int, v double"),
+        t,
+        mode="append",
+    )                                                         # v2 insert-only
+    set_err = __import__(
+        "sparkstreamingtwitter_presidential_spark.sources.delta",
+        fromlist=["set_delta_properties"],
+    ).set_delta_properties
+    set_err(t, {"foo": "bar"})                                # v3 metadata-only
+    delete_delta(spark, t, "id = 50")                         # v4 cdc
+    ch = delta_table_changes(spark, t, 0).collect()
+    by_ver = {}
+    for r in ch:
+        by_ver.setdefault(r._commit_version, []).append(
+            (r.id, r._change_type)
+        )
+    assert sorted(by_ver) == [1, 2, 4]  # v3 emitted nothing
+    assert sorted(by_ver[1]) == [
+        (1, "update_postimage"), (1, "update_preimage"),
+    ]
+    assert by_ver[2] == [(50, "insert")]
+    assert by_ver[4] == [(50, "delete")]
+    # bounded range
+    sub = delta_table_changes(spark, t, 1, to_version=2).collect()
+    assert [(r.id, r._change_type) for r in sub] == [(50, "insert")]
+    # empty range -> empty frame with the full change schema
+    empty = delta_table_changes(spark, t, 3, to_version=3)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
+def test_table_changes_requires_keys_for_uncdc_rewrites(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        delta_table_changes,
+    )
+
+    t = _mk(spark, tmp_path, "t", cdf=False)
+    delete_delta(spark, t, "id = 3")
+    with pytest.raises(ValueError, match="primary key"):
+        delta_table_changes(spark, t, 0)
+    got = delta_table_changes(spark, t, 0, keys=["id"]).collect()
+    assert [(r.id, r._change_type) for r in got] == [(3, "delete")]
