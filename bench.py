@@ -169,6 +169,11 @@ HEADLINE = [
     # work is the per-commit cdc parquet scan + change-type agg — the
     # change-feed read floor when the writer materialized the rows).
     "lakehouse_delta_cdf_agg",
+    # Round-9 late: the native Delta streaming source (staging warm;
+    # timed work is the FULL per-run drain — version planning + three
+    # Arrow-batched micro-batches + parquet re-write + agg; the
+    # measured-heavy policy, same as streaming_update_mode_counts).
+    "streaming_delta_source_agg",
 ]
 
 

@@ -638,6 +638,95 @@ def streaming_delta_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_delta_source_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS users,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r9 late: native Delta STREAMING SOURCE — the staged "
+        "events table (three append commits) is drained through "
+        "spark.readStream.format('delta_native') with "
+        "maxCommitsPerTrigger=1 (version offsets, Arrow-batched "
+        "per-file reads, partition values injected from the log); "
+        "the query RAISES unless the drain took >= 3 micro-batches "
+        "(one per commit — a single catch-up batch would mean the "
+        "admission cap or the version clock is broken), and the "
+        "aggregate over the drained rows equals the plain batch "
+        "aggregate iff every commit's files were delivered exactly "
+        "once (a dropped or replayed version shifts n/total_value)"
+    ),
+)
+def streaming_delta_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_stream_ds import (
+        register_delta_stream,
+    )
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(*cols)
+        for m in range(3):
+            write_delta(
+                ev.filter(f"event_id % 3 = {m}"), table, mode="append"
+            )
+
+    table = _dml_staged_delta(spark, sf_dir, "stream_src", build)
+    register_delta_stream(spark)
+    scratch = tempfile.mkdtemp(prefix="ssp_delta_src_drain_")
+    out = os.path.join(scratch, "out")
+    batch_ids: list[int] = []
+
+    def sink(df: DataFrame, bid: int) -> None:
+        df.write.mode("append").parquet(out)
+        batch_ids.append(bid)
+
+    q = (
+        spark.readStream.format("delta_native")
+        .option("maxCommitsPerTrigger", "1")
+        .option("progress_dir", os.path.join(scratch, "progress"))
+        .load(table)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    if len(batch_ids) < 3:
+        raise RuntimeError(
+            f"expected >= 3 micro-batches (one per append commit under "
+            f"maxCommitsPerTrigger=1), got {len(batch_ids)} — the "
+            "admission cap or the version offset clock is broken"
+        )
+    agg = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("users"),
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias(
+                "total_value"
+            ),
+        )
+    )
+    # materialize before the scratch dir is reclaimed: the returned
+    # frame must not reference per-run temp files
+    rows = agg.collect()
+    schema = agg.schema
+    shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
     "lakehouse_delta_row_changes",
     oracle="""
         WITH up AS (

@@ -310,14 +310,15 @@ GRADED_FIRST: list[str] = [
     # fail — and the explicit version read stays in
     # tests/test_queries_oracle.py).
     "lakehouse_delta_restore_agg",
-    # Round-5 late additions #13: the pipe-text format as a registered
-    # Spark connector (Python DataSource API: per-file partitions,
-    # filter pushdown, task writer + commit). Ceded: sim_lsh_topk
-    # (r2-r4 driver-green; similarity keeps sim_random_projection and
-    # the hybrid query's exact-cosine leg graded plus the rows-only
-    # IVF/PQ/incremental paths, and LSH stays bench-headlined + in
-    # tests/test_queries_oracle.py).
-    "io_pipetext_connector_roundtrip",
+    # Round-9 late swap: native Delta STREAMING SOURCE (Python
+    # DataSource stream reader — version offsets, Arrow-batched
+    # per-file reads, maxCommitsPerTrigger admission; the graded
+    # drain RAISES unless it took one micro-batch per commit). Ceded:
+    # io_pipetext_connector_roundtrip (r5-r8 driver-green, four
+    # rounds; the Python DataSource family's graded representative
+    # becomes this richer STREAMING reader, and pipetext stays in
+    # tests/test_queries_oracle.py + bench-adjacent suites).
+    "streaming_delta_source_agg",
     # Round-9 late swap: CHANGE DATA FEED over cdc actions (DML on a
     # delta.enableChangeDataFeed=true table stages exact change rows
     # under _change_data/; the graded read RAISES unless both commits

@@ -1,0 +1,305 @@
+"""Native Delta STREAMING SOURCE (Spark 4 Python DataSource API):
+``spark.readStream.format("delta_native").load(path)`` tails a Delta
+table's commit log — the real delta-spark streaming source's contract,
+no jars.
+
+Offsets are TABLE VERSIONS ({"version": V} == "commits 0..V
+consumed"), the log's own monotone clock: a micro-batch plans the add
+actions of commits ``(start, end]``, one InputPartition per data file,
+so replays under checkpointing re-read exactly the same file slice —
+exactly-once composition with any idempotent sink. Version offsets
+never regress on a clean restart even without state (the log only
+grows), and with ``progress_dir`` set the admission cap
+(``maxCommitsPerTrigger``) stays engaged across restarts (the
+latestOffset-before-initialOffset protocol gap; see
+sources/stream_progress.py).
+
+Append-only contract, like the real source without
+ignoreChanges/ignoreDeletes: a commit in range carrying a
+``dataChange`` remove (DELETE/UPDATE/MERGE/overwrite rewrote rows) or
+a deletion-vector attach fails the stream with the remediation named —
+an append-only consumer cannot represent a retraction. Metadata-only
+commits (SET TBLPROPERTIES, OPTIMIZE's dataChange:false) contribute
+nothing.
+
+Scale/shape notes: planning is O(actions in the version range)
+driver-side; reads are executor-parallel per file and yield ARROW
+RECORD BATCHES (pyarrow iter_batches -> JVM columnar transfer, not
+row-at-a-time Python). Partition values are log metadata injected as
+constant Arrow columns per the declared type. Column-mapped tables
+refuse at schema time (files store physical names).
+
+Parity: delta-spark's `readStream.format("delta")`
+(delta.io docs §Streaming reads). Reference scope: the original app's
+DStream source is a keyword-filtered socket feed (Collector.scala) —
+this module is the lakehouse-native replacement surface.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import os
+import urllib.parse
+from typing import Any, Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from sparkstreamingtwitter_presidential_spark.sources.delta import (
+    _column_mapping,
+    _log_path,
+    _replay_log,
+)
+from sparkstreamingtwitter_presidential_spark.sources.stream_progress import (
+    load_high_water,
+    save_high_water,
+)
+
+
+class _AddFilePartition(InputPartition):
+    """One data file of one commit: absolute path, the declared fields
+    as (name, ddl_type, is_partition) triples in schema order, and the
+    add's partitionValues (log-encoded strings). Picklable — read()
+    runs executor-side with no driver state."""
+
+    def __init__(self, path: str, fields: list, part_values: dict):
+        self.path = path
+        self.fields = fields
+        self.part_values = part_values
+
+
+_PA_BY_DDL: dict[str, Any] = {}
+
+
+def _pa_type(ddl: str):
+    import pyarrow as pa
+
+    if not _PA_BY_DDL:
+        _PA_BY_DDL.update(
+            {
+                "tinyint": pa.int8(), "smallint": pa.int16(),
+                "int": pa.int32(), "bigint": pa.int64(),
+                "float": pa.float32(), "double": pa.float64(),
+                "string": pa.string(), "boolean": pa.bool_(),
+                "date": pa.date32(),
+                "timestamp": pa.timestamp("us", tz="UTC"),
+                "binary": pa.binary(),
+            }
+        )
+    if ddl.startswith("decimal"):
+        import re
+
+        m = re.match(r"decimal\((\d+),(\d+)\)", ddl)
+        import pyarrow as pa
+
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    try:
+        return _PA_BY_DDL[ddl]
+    except KeyError:
+        raise NotImplementedError(
+            f"delta_native stream: unsupported partition-column type "
+            f"{ddl!r}"
+        ) from None
+
+
+def _pv_python(value: str | None, ddl: str) -> Any:
+    """Decode one log-encoded partition value (the protocol's string
+    serialization; JSON null == NULL) to the Python value Arrow
+    accepts for the declared type."""
+    if value is None:
+        return None
+    if ddl in ("tinyint", "smallint", "int", "bigint"):
+        return int(value)
+    if ddl in ("float", "double"):
+        return float(value)
+    if ddl == "boolean":
+        return value == "true"
+    if ddl == "date":
+        return datetime.date.fromisoformat(value)
+    if ddl == "timestamp":
+        return datetime.datetime.fromisoformat(value)
+    if ddl.startswith("decimal"):
+        return decimal.Decimal(value)
+    return value  # string
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, options, fields: list):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("delta_native: .load(path) is required")
+        self.fields = fields  # (name, ddl, is_partition) in schema order
+        self.starting_version = int(options.get("startingVersion", "0"))
+        self.max_commits = (
+            int(options.get("maxCommitsPerTrigger", "0")) or None
+        )
+        self.progress_dir = options.get("progress_dir")
+        # persisted mark uses COUNT semantics (versions consumed ==
+        # last version + 1) so the empty-progress-dir cold-start value
+        # of 0 means "nothing consumed" (version -1), not "version 0
+        # consumed" — the version clock starts at -1, unlike the
+        # pipetext file index
+        consumed = load_high_water(self.progress_dir, "delta_native")
+        self._last: int | None = (
+            consumed - 1 if consumed is not None else None
+        )
+
+    def initialOffset(self) -> dict:
+        # the stream's logical beginning: one BELOW the first version
+        # to deliver (latestOffset is called first even on cold start,
+        # so this must not consult the high-water mark)
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self) -> dict:
+        v = _replay_log(self.path, None).version
+        if self.max_commits is not None and self._last is not None:
+            v = min(v, self._last + self.max_commits)
+        if self._last is not None:
+            v = max(v, self._last)  # monotone (log never shrinks anyway)
+        # never below the stream's logical beginning (a capped cold
+        # start with startingVersion>0 must not plan end < start)
+        v = max(v, self.starting_version - 1)
+        self._last = v
+        return {"version": v}
+
+    def partitions(self, start: dict, end: dict):
+        self._last = max(
+            self._last if self._last is not None else -1, end["version"]
+        )
+        log_dir = _log_path(self.path)
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            commit = os.path.join(log_dir, f"{v:020d}.json")
+            if not os.path.exists(commit):
+                raise ValueError(
+                    f"commit {v} of {self.path} is not available as a "
+                    "JSON delta (expired by log retention) — the "
+                    "stream's offset range needs the per-commit actions"
+                )
+            with open(commit) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        raise ValueError(
+                            f"commit {v} of {self.path} removes data "
+                            "(DELETE/UPDATE/MERGE/overwrite) — an "
+                            "append-only stream cannot represent a "
+                            "retraction; restart from a snapshot read "
+                            "+ startingVersion past it"
+                        )
+                    if "add" not in action:
+                        continue
+                    add = action["add"]
+                    if not add.get("dataChange", True):
+                        continue  # OPTIMIZE rewrite: rows already sent
+                    if add.get("deletionVector"):
+                        raise ValueError(
+                            f"commit {v} of {self.path} attaches a "
+                            "deletion vector (row-level DELETE) — "
+                            "append-only stream, see above"
+                        )
+                    out.append(
+                        _AddFilePartition(
+                            os.path.join(
+                                self.path,
+                                urllib.parse.unquote(add["path"]),
+                            ),
+                            self.fields,
+                            add.get("partitionValues", {}),
+                        )
+                    )
+        return out
+
+    def read(self, partition: _AddFilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        data_cols = [
+            n for n, _t, is_p in partition.fields if not is_p
+        ]
+        pf = pq.ParquetFile(partition.path)
+        for batch in pf.iter_batches(columns=data_cols):
+            n = batch.num_rows
+            arrays, names = [], []
+            for name, ddl, is_part in partition.fields:
+                if is_part:
+                    pv = _pv_python(
+                        partition.part_values.get(name), ddl
+                    )
+                    arrays.append(
+                        pa.array([pv] * n, type=_pa_type(ddl))
+                    )
+                else:
+                    arrays.append(
+                        batch.column(batch.schema.names.index(name))
+                    )
+                names.append(name)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    def commit(self, end: dict) -> None:
+        self._last = max(
+            self._last if self._last is not None else -1, end["version"]
+        )
+        save_high_water(
+            self.progress_dir, "delta_native", self._last + 1
+        )
+
+
+class DeltaNativeDataSource(DataSource):
+    """format("delta_native"): streaming reads of a Delta table."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_native"
+
+    def _snapshot_fields(self) -> list:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_native: .load(path) is required")
+        snap = _replay_log(path, None)
+        if _column_mapping(snap) is not None:
+            raise NotImplementedError(
+                "delta_native stream on a column-mapped table is not "
+                "supported (data files store physical names)"
+            )
+        assert snap.schema is not None
+        return [
+            (
+                f.name,
+                f.dataType.simpleString(),
+                f.name in snap.partition_columns,
+            )
+            for f in snap.schema.fields
+        ]
+
+    def schema(self) -> str:
+        return ", ".join(
+            f"{n} {t}" for n, t, _p in self._snapshot_fields()
+        )
+
+    def streamReader(self, schema: StructType) -> DeltaStreamReader:
+        return DeltaStreamReader(self.options, self._snapshot_fields())
+
+    def reader(self, schema: StructType):
+        raise NotImplementedError(
+            "delta_native is a STREAMING source; batch reads go "
+            "through sources.delta.read_delta (native snapshot reads "
+            "with DV/time-travel/skipping support)"
+        )
+
+
+def register_delta_stream(spark: SparkSession) -> None:
+    """Idempotent registration of the streaming source on a session."""
+    spark.dataSource.register(DeltaNativeDataSource)

@@ -1,0 +1,182 @@
+"""Native Delta streaming source (format('delta_native')): version
+offsets, exactly-once restarts on a shared checkpoint, Arrow-batched
+reads with partition injection, and the append-only refusals."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sparkstreamingtwitter_presidential_spark.sources.delta import (
+    write_delta,
+)
+from sparkstreamingtwitter_presidential_spark.sources.delta_stream_ds import (
+    register_delta_stream,
+)
+
+
+def _run(spark, table, ckpt, sink, batches=None, **opts):
+    reader = spark.readStream.format("delta_native")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(table)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: (
+                sink.extend(tuple(r) for r in df.collect()),
+                batches is not None and batches.append(df.count()),
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def test_stream_delivers_appends_exactly_once_across_restart(
+    spark, tmp_path
+):
+    """Cold start drains the backlog; appends delivered; a fresh
+    reader on the SAME checkpoint delivers only post-restart commits
+    (version offsets are restart-safe by construction)."""
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(6)],
+            "id long, part int, v double",
+        ),
+        t,
+        mode="append",
+        partition_by=["part"],
+    )
+    write_delta(
+        spark.createDataFrame([(10, 0, 10.0)], "id long, part int, v double"),
+        t,
+        mode="append",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    first: list = []
+    _run(spark, t, ckpt, first)
+    assert sorted(r[0] for r in first) == [0, 1, 2, 3, 4, 5, 10]
+    # partition values injected with the declared type
+    assert {(r[0], r[1]) for r in first if r[0] < 6} == {
+        (i, i % 2) for i in range(6)
+    }
+    write_delta(
+        spark.createDataFrame([(11, 1, 11.0)], "id long, part int, v double"),
+        t,
+        mode="append",
+    )
+    second: list = []
+    _run(spark, t, ckpt, second)
+    assert [r[0] for r in second] == [11], (
+        "restart re-delivered committed versions"
+    )
+
+
+def test_stream_starting_version_skips_history(spark, tmp_path):
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 0, 1.0)], "id long, part int, v double"),
+        t,
+        mode="append",
+    )
+    write_delta(
+        spark.createDataFrame([(2, 0, 2.0)], "id long, part int, v double"),
+        t,
+        mode="append",
+    )
+    sink: list = []
+    _run(
+        spark, t, str(tmp_path / "ckpt"), sink, startingVersion="1"
+    )
+    assert [r[0] for r in sink] == [2]
+
+
+def test_stream_caps_backlog_with_progress_dir(spark, tmp_path):
+    """maxCommitsPerTrigger + progress_dir: the backlog drains in
+    bounded batches and the cap survives a restart without offset
+    regression."""
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    for i in range(5):
+        write_delta(
+            spark.createDataFrame(
+                [(i, 0, float(i))], "id long, part int, v double"
+            ),
+            t,
+            mode="append",
+        )
+    ckpt = str(tmp_path / "ckpt")
+    sink: list = []
+    counts: list = []
+    _run(
+        spark, t, ckpt, sink, batches=counts,
+        maxCommitsPerTrigger="2", progress_dir=ckpt,
+    )
+    assert sorted(r[0] for r in sink) == [0, 1, 2, 3, 4]
+    assert max(counts) <= 2 and len(counts) >= 3
+    write_delta(
+        spark.createDataFrame([(9, 0, 9.0)], "id long, part int, v double"),
+        t,
+        mode="append",
+    )
+    sink2: list = []
+    _run(
+        spark, t, ckpt, sink2,
+        maxCommitsPerTrigger="2", progress_dir=ckpt,
+    )
+    assert [r[0] for r in sink2] == [9]
+
+
+def test_stream_refuses_retractions_and_optimize_is_silent(
+    spark, tmp_path
+):
+    """A DELETE commit in range fails the stream by name; an OPTIMIZE
+    (dataChange:false) commit contributes nothing."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        optimize_delta,
+    )
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, 0, float(i)) for i in range(4)],
+            "id long, part int, v double",
+        ).repartition(2),
+        t,
+        mode="append",
+    )
+    optimize_delta(spark, t)  # v1: dataChange false
+    ckpt = str(tmp_path / "ckpt")
+    sink: list = []
+    _run(spark, t, ckpt, sink)
+    assert sorted(r[0] for r in sink) == [0, 1, 2, 3]  # once, not twice
+    delete_delta(spark, t, "id = 1")  # v2: retraction
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        _run(spark, t, ckpt, sink)
+
+
+def test_stream_refusals_at_schema_time(spark, tmp_path):
+    register_delta_stream(spark)
+    t = str(tmp_path / "mapped")
+    write_delta(
+        spark.createDataFrame([(1, "a", 1.0)], "id long, s string, v double"),
+        t,
+        mode="append",
+        column_mapping="name",
+    )
+    with pytest.raises(Exception, match="column-mapped"):
+        spark.readStream.format("delta_native").load(t).schema
