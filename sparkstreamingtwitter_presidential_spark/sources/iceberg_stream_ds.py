@@ -1,0 +1,264 @@
+"""Native Iceberg STREAMING SOURCE (Spark 4 Python DataSource API):
+``spark.readStream.format("iceberg_native").load(path)`` tails an
+Iceberg table's snapshot chain — the real iceberg-spark streaming
+read's contract (stream-from-timestamp/snapshot), no jars.
+
+Offsets are SEQUENCE NUMBERS ({"seq": S} == "snapshots with
+sequence-number <= S consumed") — the v2 spec's monotone commit clock
+(snapshot IDs are random; sequence numbers order them). A micro-batch
+plans the data files whose DATA SEQUENCE NUMBER falls in
+``(start, end]`` from the range's latest manifest list (entries
+select by their own sequence number with the spec's inheritance rule
+— the same selection as read_iceberg_incremental, so foreign
+manifest-merging writers are read correctly). One InputPartition per
+data file; replays under checkpointing plan the identical slice.
+
+Append-only contract (the real source's default): a non-append
+snapshot in range (replace/overwrite/delete) fails the stream by
+name; delete manifests with in-range content fail likewise. Schema
+evolution mid-stream is conservative: a range snapshot whose schema
+renames or retypes any current field refuses (field-id projection is
+the batch reader's job; a stream silently NULLing a renamed column
+would corrupt every downstream aggregate).
+
+Scale/shape: planning is a driver-side metadata walk of the range's
+manifests (cost ∝ the delta, never the table); reads yield ARROW
+RECORD BATCHES per file with IDENTITY partition values injected as
+typed constant columns (non-identity transform sources live in the
+data files themselves, per the spec).
+
+Parity: iceberg-spark's `readStream.format("iceberg")` (Iceberg docs
+§Spark Structured Streaming). Reference scope note as
+sources/delta_stream_ds.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from sparkstreamingtwitter_presidential_spark.sources.delta_stream_ds import (
+    _pa_type,
+)
+from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+    _STATUS_DELETED,
+    _avro_partition_to_python,
+    _load_metadata,
+    _partition_fields,
+    _schema_for,
+    _schema_to_spark,
+    _snapshot,
+    read_container,
+)
+from sparkstreamingtwitter_presidential_spark.sources.stream_progress import (
+    load_high_water,
+    save_high_water,
+)
+
+
+class _IceFilePartition(InputPartition):
+    """One data file: absolute path, (name, ddl) for every declared
+    field in schema order, and {name: python value} for the identity
+    partition columns to inject (absent from the data files)."""
+
+    def __init__(self, path: str, fields: list, inject: dict):
+        self.path = path
+        self.fields = fields
+        self.inject = inject
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, options, fields: list):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("iceberg_native: .load(path) is required")
+        self.fields = fields  # (name, ddl) in schema order
+        self.starting_seq = int(options.get("startingSequence", "0"))
+        self.max_snapshots = (
+            int(options.get("maxSnapshotsPerTrigger", "0")) or None
+        )
+        self.progress_dir = options.get("progress_dir")
+        # sequence numbers are 1-based, so load_high_water's cold-start
+        # 0 natively means "nothing consumed" — no count shift needed
+        self._last: int | None = load_high_water(
+            self.progress_dir, "iceberg_native"
+        )
+
+    def initialOffset(self) -> dict:
+        return {"seq": self.starting_seq}
+
+    def latestOffset(self) -> dict:
+        meta = _load_metadata(self.path)
+        cur = _snapshot(meta, None)
+        s = cur["sequence-number"]
+        if self.max_snapshots is not None and self._last is not None:
+            s = min(s, self._last + self.max_snapshots)
+        if self._last is not None:
+            s = max(s, self._last)
+        s = max(s, self.starting_seq)
+        self._last = s
+        return {"seq": s}
+
+    def partitions(self, start: dict, end: dict):
+        self._last = max(self._last or 0, end["seq"])
+        lo_seq, hi_seq = start["seq"], end["seq"]
+        if lo_seq >= hi_seq:
+            return []  # empty replan tick — nothing to deliver
+        meta = _load_metadata(self.path)
+        snaps_in_range = [
+            s
+            for s in meta.get("snapshots", [])
+            if lo_seq < s.get("sequence-number", 0) <= hi_seq
+        ]
+        if not snaps_in_range:
+            raise ValueError(
+                f"no snapshots with sequence in ({lo_seq}, {hi_seq}] "
+                f"remain in {self.path} — the range was expired; "
+                "restart the stream from a snapshot read"
+            )
+        cur_sid = meta.get("current-schema-id", 0)
+        cur_schema = _schema_for(meta, cur_sid)
+        cur_by_id = {f["id"]: f for f in cur_schema["fields"]}
+        for s in snaps_in_range:
+            op = s.get("summary", {}).get("operation")
+            if op not in (None, "append"):
+                raise ValueError(
+                    f"snapshot {s['snapshot-id']} (seq "
+                    f"{s['sequence-number']}) in the stream's range is "
+                    f"a {op!r}, not an append — an append-only stream "
+                    "cannot represent replaced data; restart from a "
+                    "snapshot read past it"
+                )
+            sid = s.get("schema-id", cur_sid)
+            if sid != cur_sid:
+                for f in _schema_for(meta, sid)["fields"]:
+                    cf = cur_by_id.get(f["id"])
+                    if cf is not None and (
+                        cf["name"] != f["name"] or cf["type"] != f["type"]
+                    ):
+                        raise NotImplementedError(
+                            f"snapshot {s['snapshot-id']} wrote field "
+                            f"{f['id']} as {f['name']!r}:{f['type']!r} "
+                            f"but the current schema says "
+                            f"{cf['name']!r}:{cf['type']!r} — "
+                            "mid-stream renames/retypes are not "
+                            "supported (batch reads project by "
+                            "field-id; restart the stream from a "
+                            "snapshot read)"
+                        )
+        hi = max(snaps_in_range, key=lambda s: s["sequence-number"])
+        part_fields = _partition_fields(meta, cur_schema)
+        identity = [
+            pf for pf in part_fields if pf["transform"] == "identity"
+        ]
+        _, _, manifests = read_container(hi["manifest-list"])
+        out = []
+        for m in manifests:
+            if m["sequence_number"] <= lo_seq or (
+                m["min_sequence_number"] > hi_seq
+            ):
+                continue
+            if m["content"] != 0:
+                raise ValueError(
+                    f"delete manifest in the stream's range of "
+                    f"{self.path} — row-level deletes are retractions "
+                    "an append-only stream cannot represent"
+                )
+            _, _, entries = read_container(m["manifest_path"])
+            for e in entries:
+                if e["status"] == _STATUS_DELETED:
+                    continue
+                seq = e.get("sequence_number")
+                if seq is None:  # spec inheritance: the manifest's
+                    seq = m["sequence_number"]
+                if not (lo_seq < seq <= hi_seq):
+                    continue
+                part = e["data_file"].get("partition") or {}
+                inject = {
+                    pf["source_name"]: _avro_partition_to_python(
+                        pf["result_type"], part.get(pf["name"])
+                    )
+                    for pf in identity
+                }
+                out.append(
+                    _IceFilePartition(
+                        e["data_file"]["file_path"], self.fields, inject
+                    )
+                )
+        return out
+
+    def read(self, partition: _IceFilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        data_cols = [
+            n for n, _t in partition.fields if n not in partition.inject
+        ]
+        pf = pq.ParquetFile(partition.path)
+        for batch in pf.iter_batches(columns=data_cols):
+            n = batch.num_rows
+            arrays, names = [], []
+            for name, ddl in partition.fields:
+                if name in partition.inject:
+                    arrays.append(
+                        pa.array(
+                            [partition.inject[name]] * n,
+                            type=_pa_type(ddl),
+                        )
+                    )
+                else:
+                    arrays.append(
+                        batch.column(batch.schema.names.index(name))
+                    )
+                names.append(name)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    def commit(self, end: dict) -> None:
+        self._last = max(self._last or 0, end["seq"])
+        save_high_water(self.progress_dir, "iceberg_native", self._last)
+
+
+class IcebergNativeDataSource(DataSource):
+    """format("iceberg_native"): streaming reads of an Iceberg table."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_native"
+
+    def _snapshot_fields(self) -> list:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("iceberg_native: .load(path) is required")
+        meta = _load_metadata(path)
+        ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+        spark_schema = _schema_to_spark(ice_schema)
+        return [
+            (f.name, f.dataType.simpleString())
+            for f in spark_schema.fields
+        ]
+
+    def schema(self) -> str:
+        return ", ".join(f"{n} {t}" for n, t in self._snapshot_fields())
+
+    def streamReader(self, schema: StructType) -> IcebergStreamReader:
+        return IcebergStreamReader(self.options, self._snapshot_fields())
+
+    def reader(self, schema: StructType):
+        raise NotImplementedError(
+            "iceberg_native is a STREAMING source; batch reads go "
+            "through sources.iceberg.read_iceberg (snapshot reads "
+            "with transforms/deletes/time-travel support)"
+        )
+
+
+def register_iceberg_stream(spark: SparkSession) -> None:
+    """Idempotent registration of the streaming source on a session."""
+    spark.dataSource.register(IcebergNativeDataSource)

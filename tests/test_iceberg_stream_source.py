@@ -1,0 +1,158 @@
+"""Native Iceberg streaming source (format('iceberg_native')):
+sequence-number offsets, exactly-once restarts, identity partition
+injection, and the append-only/schema-drift refusals."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+    write_iceberg,
+)
+from sparkstreamingtwitter_presidential_spark.sources.iceberg_stream_ds import (
+    register_iceberg_stream,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, s string, v double")
+
+
+def _run(spark, table, ckpt, sink, batches=None, **opts):
+    reader = spark.readStream.format("iceberg_native")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(table)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: (
+                sink.extend(tuple(r) for r in df.collect()),
+                batches is not None and batches.append(df.count()),
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def test_iceberg_stream_appends_exactly_once_across_restart(
+    spark, tmp_path
+):
+    """Identity-partitioned appends deliver exactly once, partition
+    values injected from the manifests; a fresh reader on the same
+    checkpoint delivers only post-restart snapshots."""
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t, partition_by=["s"]
+    )
+    write_iceberg(
+        _df(spark, [(3, "a", 3.0)]), t, partition_by=["s"], mode="append"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    first: list = []
+    _run(spark, t, ckpt, first)
+    assert sorted(first) == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+    write_iceberg(
+        _df(spark, [(4, "b", 4.0)]), t, partition_by=["s"], mode="append"
+    )
+    second: list = []
+    _run(spark, t, ckpt, second)
+    assert second == [(4, "b", 4.0)], "restart re-delivered snapshots"
+
+
+def test_iceberg_stream_caps_backlog(spark, tmp_path):
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    for i in range(4):
+        write_iceberg(
+            _df(spark, [(i, "x", float(i))]),
+            t,
+            mode="append",
+        )
+    ckpt = str(tmp_path / "ckpt")
+    sink: list = []
+    counts: list = []
+    _run(
+        spark, t, ckpt, sink, batches=counts,
+        maxSnapshotsPerTrigger="1", progress_dir=ckpt,
+    )
+    assert sorted(r[0] for r in sink) == [0, 1, 2, 3]
+    assert max(counts) <= 1 and len(counts) >= 4
+    write_iceberg(_df(spark, [(9, "x", 9.0)]), t, mode="append")
+    sink2: list = []
+    _run(
+        spark, t, ckpt, sink2,
+        maxSnapshotsPerTrigger="1", progress_dir=ckpt,
+    )
+    assert [r[0] for r in sink2] == [9]
+
+
+def test_iceberg_stream_refuses_non_append_snapshots(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg,
+    )
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(i, "x", float(i)) for i in range(4)]), t)
+    ckpt = str(tmp_path / "ckpt")
+    sink: list = []
+    _run(spark, t, ckpt, sink)
+    assert sorted(r[0] for r in sink) == [0, 1, 2, 3]
+    delete_iceberg(spark, t, "id = 1")  # CoW rewrite snapshot
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        _run(spark, t, ckpt, sink)
+
+
+def test_iceberg_stream_refuses_midstream_rename(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        rename_column_iceberg,
+    )
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    ckpt = str(tmp_path / "ckpt")
+    sink: list = []
+    _run(spark, t, ckpt, sink)  # consume v1 under the old schema
+    rename_column_iceberg(t, "v", "val")
+    write_iceberg(
+        spark.createDataFrame(
+            [(2, "b", 2.0)], "id long, s string, val double"
+        ),
+        t,
+        mode="append",
+    )
+    # the new snapshot wrote under the CURRENT schema — fine
+    sink2: list = []
+    _run(spark, t, ckpt, sink2)
+    assert sink2 == [(2, "b", 2.0)]
+    # but a COLD stream whose range spans the pre-rename snapshot
+    # refuses (its files store the old name)
+    with pytest.raises(
+        StreamingQueryException, match="renames|field-id"
+    ):
+        _run(spark, t, str(tmp_path / "ckpt2"), [])
+
+
+def test_iceberg_stream_starting_sequence(spark, tmp_path):
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    sink: list = []
+    _run(
+        spark, t, str(tmp_path / "ckpt"), sink, startingSequence="1"
+    )
+    assert [r[0] for r in sink] == [2]
