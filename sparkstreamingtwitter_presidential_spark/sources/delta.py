@@ -1186,9 +1186,12 @@ def delta_changes(
     end = _replay_log(path, to_version)  # validates to_version exists
     # mapped tables store PHYSICAL column names in data files and key
     # partitionValues by them; scanning under logical names here would
-    # return all-NULL rows — refuse like the DML paths (ADVICE r8)
+    # return all-NULL rows — refuse like the DML paths (ADVICE r8).
+    # DVs need no blanket refusal (r9 late): a DV attach IN RANGE is a
+    # remove+re-add and raises on the remove below; vectors on files
+    # OUTSIDE the range cannot reference the range's new adds, which
+    # are the only files this read scans.
     _refuse_column_mapping(end, "delta_changes")
-    _refuse_dvs(end, "delta_changes")
     if from_version > end.version:
         raise ValueError(
             f"from_version {from_version} > table version {end.version}"

@@ -716,11 +716,16 @@ def vacuum_delta(
     ``now_ms`` is injectable for deterministic tests."""
     now = _now_ms() if now_ms is None else now_ms
     cutoff = now - int(retention_hours * 3600 * 1000)
-    # vacuum deals purely in PATHS — safe on column-mapped tables, but
-    # NOT on DV tables: live deletion_vector_*.bin sidecars are not in
-    # snap.files, so the untracked-file sweep would reclaim them
+    # vacuum deals purely in PATHS — safe on column-mapped tables AND
+    # (r9 late) on DV tables: the untracked sweep below only targets
+    # *.parquet, so deletion_vector_*.bin sidecars are never
+    # reclaimed (live ones keep serving; ones orphaned by replaced
+    # vectors persist — a documented conservative boundary, since an
+    # old sidecar may still serve TIME TRAVEL within retention and
+    # nothing tracks its replacement instant), and a DV rewrite's
+    # remove+re-add of the SAME path is protected by the
+    # `rel in snap.files` guard on the tombstone pass.
     snap = _replay_log(path, None)
-    _refuse_dvs(snap, "VACUUM")
     log_dir = os.path.join(path, "_delta_log")
 
     import json

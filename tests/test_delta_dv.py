@@ -265,13 +265,41 @@ def test_rewrite_paths_refuse_on_dv_tables(spark, dv_table):
         lambda: delete_delta(spark, t, "id = 50"),
         lambda: update_delta(spark, t, {"s": "'x'"}, "id = 50"),
         lambda: optimize_delta(spark, t),
-        lambda: vacuum_delta(t, retention_hours=0.0),
         lambda: restore_delta(spark, t, 0),
-        lambda: delta_changes(spark, t, 0),
         lambda: delta_row_changes(spark, t, 1, keys=["id"]),
     ):
         with pytest.raises(NotImplementedError, match="deletion vector"):
             op()
+    # incremental pull over the DV-attach commit: the remove+re-add is
+    # a retraction — ValueError on the remove, not a blanket DV refusal
+    with pytest.raises(ValueError, match="retraction|rewrote"):
+        delta_changes(spark, t, 0)
+
+
+def test_vacuum_is_dv_aware(spark, dv_table):
+    """VACUUM works on DV tables (r9 late): tombstoned-but-re-added
+    paths are protected (the DV rewrite's own file), sidecars are
+    never swept (the untracked sweep is parquet-only), and reads stay
+    exact afterward; genuinely dead files still reclaim."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        write_delta,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        vacuum_delta,
+    )
+
+    t, want = dv_table
+    # an untracked orphan (conflict-loser shape), mtime in the past
+    orphan = os.path.join(t, "part-orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1junkPAR1")
+    os.utime(orphan, (1_000_000, 1_000_000))
+    gone = vacuum_delta(t, retention_hours=0.0)
+    assert gone == ["part-orphan.parquet"]  # dead file reclaimed...
+    assert _dv_sidecars(t)  # ...sidecars untouched
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == want  # the DV rewrite's re-added files survived
+    assert vacuum_delta(t, retention_hours=0.0) == []  # idempotent
 
 
 def test_checkpoint_preserves_dvs(spark, dv_table):
@@ -551,3 +579,30 @@ def test_delete_delta_dv_then_cow_paths_refuse(spark, tmp_path):
         optimize_delta(spark, t)
     with pytest.raises(NotImplementedError, match="deletion vector"):
         delete_delta(spark, t, "id = 50")
+
+
+def test_incremental_pull_clean_range_on_dv_table(spark, dv_table):
+    """The r9 narrowing's payoff: an APPEND-only range on a table
+    whose older files carry deletion vectors reads incrementally —
+    the old vectors cannot reference the range's new files."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        delta_changes,
+        table_version,
+    )
+
+    t, _want = dv_table
+    v_dv = table_version(t)
+    write_delta(
+        spark.createDataFrame([(500, "n1")], "id long, s string"),
+        t,
+        mode="append",
+    )
+    write_delta(
+        spark.createDataFrame([(501, "n2")], "id long, s string"),
+        t,
+        mode="append",
+    )
+    got = delta_changes(spark, t, v_dv).collect()
+    assert sorted((r.id, r._commit_version) for r in got) == [
+        (500, v_dv + 1), (501, v_dv + 2),
+    ]
