@@ -760,14 +760,21 @@ def read_hudi_incremental(
     from_instant: str,
     to_instant: str | None = None,
 ) -> DataFrame:
-    """Incremental pull: records written by commits in
-    (``from_instant``, ``to_instant``] — scan only the slices those
-    commits created and filter `_hoodie_commit_time` (upsert slices
-    carry copied-over older rows; the meta-column filter is what makes
-    the pull exact — Hudi's own incremental query semantics). Cost
-    tracks the commits' files, never the table. Refuses overwrite
-    commits inside the range, like the Delta/Iceberg twins refuse
-    non-append commits (replaced data must not double-count)."""
+    """Incremental pull: the LATEST STATE of records changed by
+    commits in (``from_instant``, ``to_instant``] — Hudi's own
+    incremental query semantics. Planning (r9 fix): scan the latest
+    slice AS OF the range's end of each file GROUP the range's
+    commits touched, then filter `_hoodie_commit_time` into the range
+    (copied-over rows preserve their original stamp and fall out).
+    Scanning every range commit's files instead — the pre-r9 shape —
+    DOUBLE-DELIVERS a row updated at c1 whose group is rewritten
+    again at c2 (the c2 slice carries it copied WITH its preserved c1
+    stamp), pinned by
+    test_incremental_no_duplicates_on_double_rewrite. A row updated
+    twice in range delivers once, with its final value. Cost tracks
+    the touched groups' latest slices, never the table. Refuses
+    overwrite commits inside the range, like the Delta/Iceberg twins
+    refuse non-append commits (replaced data must not double-count)."""
     _load_props(path)
     commits = _completed_commits(path)
     hi = to_instant if to_instant is not None else (commits[-1] if commits else "")
@@ -784,7 +791,7 @@ def read_hudi_incremental(
     if not sel:
         return read_hudi(spark, path).limit(0)
     hd = _hoodie(path)
-    files = []
+    touched: set[tuple[str, str]] = set()
     for c in sel:
         with open(os.path.join(hd, f"{c}.commit"), encoding="utf-8") as fh:
             meta = json.load(fh)
@@ -794,11 +801,18 @@ def read_hudi_incremental(
                 "an incremental pull would misread replaced data; read "
                 "full snapshots across it instead"
             )
-        for stats in (meta.get("partitionToWriteStats") or {}).values():
+        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
             for st in stats:
-                full = os.path.join(path, st["path"])
-                if os.path.isfile(full):
-                    files.append(full)
+                fid = st.get("fileId") or os.path.basename(
+                    st["path"]
+                ).split("_")[0]
+                touched.add((part, fid))
+    rmap = _replace_map(path, [c for c in commits if c <= hi])
+    files = [
+        full
+        for part, fid, inst, full in _latest_slices(path, as_of=hi)
+        if (part, fid) in touched and inst > rmap.get((part, fid), "")
+    ]
     if not files:
         return read_hudi(spark, path).limit(0)
     df = spark.read.parquet(*files)

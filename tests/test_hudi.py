@@ -832,3 +832,54 @@ def test_multilevel_refusals_and_spec_pinning(spark, tmp_path):
     os.makedirs(os.path.join(t, "a=a", "junk"), exist_ok=True)
     with pytest.raises(NotImplementedError, match="unrecognized subdirectory"):
         read_hudi(spark, t).collect()
+
+
+def test_incremental_no_duplicates_on_double_rewrite(spark, tmp_path):
+    """r9 fix: a row updated at c1 whose file group is rewritten AGAIN
+    at c2 (copied over with its preserved c1 stamp) must deliver ONCE
+    — the pull plans from the latest slice per touched group, not
+    from every range commit's files. A row updated twice in range
+    delivers once with its FINAL value (Hudi incremental semantics)."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        _completed_commits,
+        read_hudi_incremental,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(10)],
+        "id long, s string, v double",
+    ).repartition(1)
+    write_hudi(df, t, record_key="id")
+    c0 = _completed_commits(t)[-1]
+    upsert_hudi(
+        spark,
+        t,
+        spark.createDataFrame([(1, "x", 100.0)], "id long, s string, v double"),
+        record_key="id",
+    )
+    c1 = _completed_commits(t)[-1]
+    upsert_hudi(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(2, "x", 200.0), (1, "x", 111.0)], "id long, s string, v double"
+        ),
+        record_key="id",
+    )
+    got = sorted(
+        (r.id, r.v)
+        for r in read_hudi_incremental(spark, t, from_instant=c0).collect()
+    )
+    # id=1 once with its FINAL value; id=2 once
+    assert got == [(1, 111.0), (2, 200.0)]
+    # sub-range ending at c1: only the first update, original value
+    got1 = sorted(
+        (r.id, r.v)
+        for r in read_hudi_incremental(
+            spark, t, from_instant=c0, to_instant=c1
+        ).collect()
+    )
+    assert got1 == [(1, 100.0)]
