@@ -357,35 +357,88 @@ def delete_delta_dv(
     read_delta's broadcast anti-join. Column-mapped tables refuse
     (DV + mapping composition is untested territory — CoW DML refuses
     them too); appendOnly tables refuse (a DV is a delete)."""
-    import json as _json
-
     snap = _replay_log(path, None)
     _refuse_column_mapping(snap, "delete_delta_dv")
     _refuse_unenforced_writer_contracts(
         snap, "delete_delta_dv", emits_removes=True
     )
+    cond = F.expr(predicate)
+    scan = _scan_with_file(spark, path, snap, with_pos=True)
+    mark = _dv_mark_matched(
+        path, snap, scan, cond, max_deleted_rows, "delete"
+    )
+    if mark is None:
+        return snap.version
+    actions, fresh_pairs = mark
+    if _cdf_enabled(snap) and fresh_pairs:
+        # CDF on a DV delete: the newly-deleted rows (never the ones a
+        # previous vector already covered) materialize as cdc 'delete'
+        # rows — the driver-built pair set is already budget-bounded
+        deleted_rows = (
+            scan.join(
+                _pairs_frame(spark, fresh_pairs),
+                on=[_FILE_COL, _POS_COL],
+                how="leftsemi",
+            )
+            .drop(_FILE_COL, _POS_COL)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        actions.extend(
+            _stage_cdc_files(deleted_rows, path, snap.partition_columns)
+        )
+    return commit_actions(
+        path,
+        snap.version,
+        actions,
+        "DELETE",
+        {"predicate": predicate, "mode": "deletion-vectors"},
+    )
+
+
+def _pairs_frame(spark: SparkSession, pairs: list) -> DataFrame:
+    return F.broadcast(
+        spark.createDataFrame(pairs, f"{_FILE_COL} string, {_POS_COL} long")
+    )
+
+
+def _dv_mark_matched(
+    path: str,
+    snap: _Snapshot,
+    scan: DataFrame,
+    cond,
+    budget: int,
+    op: str,
+) -> tuple[list[dict], list[tuple[str, int]]] | None:
+    """Shared DV-marking machinery (delete_delta_dv / update_delta_dv):
+    collect matched (file, row_index) pairs driver-side (bounded by
+    ``budget``), union each touched file's set with its EXISTING
+    vector (spec: a new DV must contain the old), and build the commit
+    actions — protocol upgrade if needed, plain removes for fully-
+    deleted files, remove+re-add with the packed descriptor otherwise.
+    Returns (actions, fresh_pairs) where fresh_pairs are the NEWLY
+    marked (file basename, row_index) rows (never ones a previous
+    vector already covered), or None when nothing new matched."""
+    import json as _json
+
     from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
         dv_row_indexes,
         pack_dv_file,
     )
 
-    cond = F.expr(predicate)
-    scan = _scan_with_file(spark, path, snap, with_pos=True)
     matched = (
         scan.filter(cond)
         .select(_FILE_COL, _POS_COL)
-        .limit(max_deleted_rows + 1)
+        .limit(budget + 1)
         .collect()
     )
-    if len(matched) > max_deleted_rows:
+    if len(matched) > budget:
         raise NotImplementedError(
-            f"DV delete matched more than {max_deleted_rows} rows; "
-            "descriptors are driver-built metadata and a backlog this "
-            "size should be rewritten into data files — use the "
-            "copy-on-write delete_delta for bulk deletes"
+            f"DV {op} matched more than {budget} rows; descriptors are "
+            "driver-built metadata and a change this size should "
+            "rewrite data files — use the copy-on-write path"
         )
     if not matched:
-        return snap.version
+        return None
     rels = _rel_by_base(snap)
     by_rel: dict[str, set[int]] = {}
     for r in matched:
@@ -410,7 +463,7 @@ def delete_delta_dv(
         else:
             new_rows_per_rel[rel] = union
     if not new_rows_per_rel and not fully_deleted:
-        return snap.version
+        return None
 
     actions: list[dict[str, Any]] = []
     upgrade = _dv_protocol_upgrade(snap)
@@ -432,29 +485,86 @@ def delete_delta_dv(
             st["tightBounds"] = False
             a["stats"] = _json.dumps(st)
         actions.append({"add": a})
-    if _cdf_enabled(snap) and fresh_pairs:
-        # CDF on a DV delete: the newly-deleted rows (never the ones a
-        # previous vector already covered) materialize as cdc 'delete'
-        # rows — the driver-built pair set is already budget-bounded
-        pairs_df = F.broadcast(
-            spark.createDataFrame(
-                fresh_pairs, f"{_FILE_COL} string, {_POS_COL} long"
-            )
+    return actions, fresh_pairs
+
+
+def update_delta_dv(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str | None = None,
+    max_updated_rows: int = _DV_DELETE_MAX_ROWS,
+) -> int:
+    """UPDATE ... SET — MERGE-ON-READ flavor (how the real writer runs
+    UPDATE/MERGE on DV-enabled tables): ONE commit marks the matched
+    rows deleted in per-file deletion vectors AND stages their updated
+    versions as new data files. No matched file is rewritten; write
+    cost ∝ matched rows (bitmap bytes + the new rows' bytes), not
+    affected-file bytes.
+
+    Rows a PREVIOUS vector already deleted are invisible and are NOT
+    updated (resurrecting them as fresh rows would be wrong) — the
+    update set is exactly the newly-marked rows. Expressions evaluate
+    against the PRE-update row (SQL UPDATE semantics); partition
+    columns cannot be updated (same contract as the CoW path). With
+    CDF enabled the commit stages update pre/post images. Budget and
+    refusal story match delete_delta_dv."""
+    snap = _replay_log(path, None)
+    _refuse_column_mapping(snap, "update_delta_dv")
+    _refuse_unenforced_writer_contracts(
+        snap, "update_delta_dv", emits_removes=True
+    )
+    bad = set(set_exprs) & set(snap.partition_columns)
+    if bad:
+        raise ValueError(
+            f"cannot UPDATE partition column(s) {sorted(bad)}; "
+            "delete+insert (or merge) instead"
         )
-        deleted_rows = (
-            scan.join(pairs_df, on=[_FILE_COL, _POS_COL], how="leftsemi")
-            .drop(_FILE_COL, _POS_COL)
-            .withColumn("_change_type", F.lit("delete"))
+    schema = snap.schema
+    assert schema is not None
+    unknown = set(set_exprs) - {f.name for f in schema.fields}
+    if unknown:
+        raise ValueError(f"unknown column(s) in SET: {sorted(unknown)}")
+    cond = F.expr(predicate) if predicate is not None else F.lit(True)
+    scan = _scan_with_file(spark, path, snap, with_pos=True)
+    mark = _dv_mark_matched(
+        path, snap, scan, cond, max_updated_rows, "update"
+    )
+    if mark is None:
+        return snap.version
+    actions, fresh_pairs = mark
+    fresh = scan.join(
+        _pairs_frame(spark, fresh_pairs),
+        on=[_FILE_COL, _POS_COL],
+        how="leftsemi",
+    ).drop(_FILE_COL, _POS_COL)
+    updated = fresh.select(
+        *[
+            (
+                F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+            )
+            for f in schema.fields
+        ]
+    )
+    actions.extend(_stage_files(updated, path, snap.partition_columns))
+    if _cdf_enabled(snap):
+        pre = fresh.withColumn("_change_type", F.lit("update_preimage"))
+        post = updated.withColumn(
+            "_change_type", F.lit("update_postimage")
         )
         actions.extend(
-            _stage_cdc_files(deleted_rows, path, snap.partition_columns)
+            _stage_cdc_files(
+                pre.unionByName(post), path, snap.partition_columns
+            )
         )
     return commit_actions(
         path,
         snap.version,
         actions,
-        "DELETE",
-        {"predicate": predicate, "mode": "deletion-vectors"},
+        "UPDATE",
+        {"predicate": predicate or "true", "mode": "deletion-vectors"},
     )
 
 

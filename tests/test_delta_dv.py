@@ -606,3 +606,75 @@ def test_incremental_pull_clean_range_on_dv_table(spark, dv_table):
     assert sorted((r.id, r._commit_version) for r in got) == [
         (500, v_dv + 1), (501, v_dv + 2),
     ]
+
+
+def test_update_delta_dv_roundtrip(spark, tmp_path):
+    """MOR update: one commit DVs the old rows and stages the new —
+    no matched file rewritten; read-back equals the CoW update twin;
+    already-DV'd rows are NOT resurrected by an overlapping update."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta_dv,
+        update_delta,
+        update_delta_dv,
+    )
+
+    t = str(tmp_path / "mor")
+    u = str(tmp_path / "cow")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(40)],
+        "id long, part int, v double",
+    ).repartition(2)
+    write_delta(df, t, mode="append", partition_by=["part"])
+    write_delta(df, u, mode="append", partition_by=["part"])
+    files_before = sorted(_replay_log(t, None).files)
+    v = update_delta_dv(spark, t, {"v": "v + 1000"}, "id % 4 = 0")
+    assert v == 1
+    update_delta(spark, u, {"v": "v + 1000"}, "id % 4 = 0")
+    got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+    want = sorted(tuple(r) for r in read_delta(spark, u).collect())
+    assert got == want
+    snap = _replay_log(t, None)
+    # the original files survive (DV'd), plus new files for the rows
+    assert set(files_before) <= set(snap.files)
+    assert any(a.get("deletionVector") for a in snap.files.values())
+    # overlapping DV delete then DV update: deleted rows stay gone
+    delete_delta_dv(spark, t, "id = 8")
+    update_delta_dv(spark, t, {"v": "v * 0"}, "id = 8")
+    ids = [r.id for r in read_delta(spark, t).collect() if r.id == 8]
+    assert ids == [], "a DV update resurrected a deleted row"
+
+
+def test_update_delta_dv_cdf_and_guards(spark, tmp_path):
+    """CDF emits pre/post for the newly-updated rows; partition-column
+    updates and unknown columns refuse; empty match commits nothing."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        delta_row_changes,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        update_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(10)],
+            "id long, part int, v double",
+        ).repartition(1),
+        t,
+        mode="append",
+        partition_by=["part"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    update_delta_dv(spark, t, {"v": "v + 5"}, "id < 2")
+    ch = delta_row_changes(spark, t, 1).collect()
+    pre = sorted((r.id, r.v) for r in ch if r._change_type == "update_preimage")
+    post = sorted(
+        (r.id, r.v) for r in ch if r._change_type == "update_postimage"
+    )
+    assert pre == [(0, 0.0), (1, 1.0)] and post == [(0, 5.0), (1, 6.0)]
+    with pytest.raises(ValueError, match="partition column"):
+        update_delta_dv(spark, t, {"part": "0"})
+    with pytest.raises(ValueError, match="unknown"):
+        update_delta_dv(spark, t, {"nope": "1"})
+    v = _replay_log(t, None).version
+    assert update_delta_dv(spark, t, {"v": "v"}, "id = 999") == v
