@@ -568,6 +568,162 @@ def update_delta_dv(
     )
 
 
+def merge_delta_dv(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+    txn: tuple[str, int] | None = None,
+    max_matched_rows: int = _DV_DELETE_MAX_ROWS,
+) -> int:
+    """MERGE INTO — MERGE-ON-READ flavor (the real writer's MERGE on
+    DV-enabled tables, and the common CDC-upsert shape): ONE commit
+    marks the matched target rows deleted in per-file deletion
+    vectors, stages the source's versions of those keys
+    (``when_matched='update'``; ``'delete'`` stages nothing), and
+    appends the unmatched source rows (``insert_not_matched``). No
+    matched file rewrites — write cost ∝ matched rows + source bytes,
+    not affected-file bytes, which is what makes a small CDC batch
+    against a huge table cheap.
+
+    Contract matches :func:`merge_delta`: source columns must equal
+    the table's, duplicate source keys raise, ``txn`` records the
+    idempotence marker in the same commit. Matched-row positions
+    collect driver-side under ``max_matched_rows`` (refuse → CoW
+    merge_delta). Rows a previous vector already deleted are invisible
+    — a source row matching only dead rows inserts (if enabled) rather
+    than updating them. With CDF enabled the commit stages
+    pre/post/insert (or delete) change rows."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"when_matched must be update|delete: {when_matched!r}"
+        )
+    snap = _replay_log(path, None)
+    _refuse_column_mapping(snap, "merge_delta_dv")
+    _refuse_unenforced_writer_contracts(
+        snap, "merge_delta_dv", emits_removes=True
+    )
+    schema = snap.schema
+    assert schema is not None
+    tcols = [f.name for f in schema.fields]
+    if sorted(source.columns) != sorted(tcols):
+        raise ValueError(
+            f"source columns {sorted(source.columns)} != table's "
+            f"{sorted(tcols)}"
+        )
+    missing = [k for k in keys if k not in tcols]
+    if missing:
+        raise ValueError(f"merge keys not in table: {missing}")
+    dup = source.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"source has duplicate merge keys (e.g. "
+            f"{ {k: dup[0][k] for k in keys} }); MERGE would be ambiguous"
+        )
+    source = source.select(*tcols)
+
+    scan = _scan_with_file(spark, path, snap, with_pos=True)
+    key_df = source.select(*keys).distinct()
+    # the LIVE matched rows: raw-scan matches minus rows an existing
+    # vector already deleted (handled inside _dv_mark_matched's
+    # fresh-pair computation; the semi-join here is the raw match)
+    cond_scan = scan.join(key_df, on=keys, how="leftsemi")
+    mark = _dv_mark_matched(
+        path,
+        snap,
+        cond_scan,
+        F.lit(True),
+        max_matched_rows,
+        "merge",
+    )
+    actions: list[dict[str, Any]] = []
+    fresh_pairs: list[tuple[str, int]] = []
+    if mark is not None:
+        actions, fresh_pairs = mark
+    cdc_frames: list[DataFrame] = []
+    emit_cdf = _cdf_enabled(snap)
+    matched_keys = None
+    if fresh_pairs:
+        fresh_rows = scan.join(
+            _pairs_frame(spark, fresh_pairs),
+            on=[_FILE_COL, _POS_COL],
+            how="leftsemi",
+        ).drop(_FILE_COL, _POS_COL)
+        matched_keys = fresh_rows.select(*keys).distinct()
+        if when_matched == "update":
+            # one updated row PER MATCHED TARGET ROW (duplicate target
+            # keys each update — the CoW merge's semantics), hence the
+            # inner join on the matched rows' keys, not a semi-join
+            updated = fresh_rows.select(*keys).join(
+                source, on=keys, how="inner"
+            ).select(*tcols)
+            actions.extend(
+                _stage_files(updated, path, snap.partition_columns)
+            )
+            if emit_cdf:
+                cdc_frames.append(
+                    fresh_rows.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                )
+                cdc_frames.append(
+                    updated.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+        elif emit_cdf:
+            cdc_frames.append(
+                fresh_rows.withColumn("_change_type", F.lit("delete"))
+            )
+    if insert_not_matched:
+        inserts = source
+        if matched_keys is not None:
+            inserts = source.join(matched_keys, on=keys, how="leftanti")
+        actions.extend(
+            _stage_files(inserts, path, snap.partition_columns)
+        )
+        if emit_cdf:
+            cdc_frames.append(
+                inserts.withColumn("_change_type", F.lit("insert"))
+            )
+    if cdc_frames:
+        from functools import reduce as _reduce
+
+        actions.extend(
+            _stage_cdc_files(
+                _reduce(DataFrame.unionByName, cdc_frames),
+                path,
+                snap.partition_columns,
+            )
+        )
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn[0],
+                    "version": int(txn[1]),
+                    "lastUpdated": _now_ms(),
+                }
+            }
+        )
+    if not actions:
+        return snap.version
+    return commit_actions(
+        path,
+        snap.version,
+        actions,
+        "MERGE",
+        {
+            "keys": keys,
+            "whenMatched": when_matched,
+            "insertNotMatched": insert_not_matched,
+            "mode": "deletion-vectors",
+        },
+    )
+
+
 def update_delta(
     spark: SparkSession,
     path: str,

@@ -678,3 +678,72 @@ def test_update_delta_dv_cdf_and_guards(spark, tmp_path):
         update_delta_dv(spark, t, {"nope": "1"})
     v = _replay_log(t, None).version
     assert update_delta_dv(spark, t, {"v": "v"}, "id = 999") == v
+
+
+def test_merge_delta_dv_upsert_roundtrip(spark, tmp_path):
+    """MOR MERGE: matched keys DV out + source versions staged +
+    unmatched inserted, one commit; read-back equals the CoW merge
+    twin; txn marker lands in the same commit."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        last_txn_version,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        merge_delta,
+        merge_delta_dv,
+    )
+
+    df = lambda s: s.createDataFrame(  # noqa: E731
+        [(i, i % 2, float(i)) for i in range(30)],
+        "id long, part int, v double",
+    ).repartition(2)
+    t, u = str(tmp_path / "mor"), str(tmp_path / "cow")
+    write_delta(df(spark), t, mode="append", partition_by=["part"])
+    write_delta(df(spark), u, mode="append", partition_by=["part"])
+    src = spark.createDataFrame(
+        [(3, 1, 300.0), (4, 0, 400.0), (100, 0, 1.0)],
+        "id long, part int, v double",
+    )
+    files_before = sorted(_replay_log(t, None).files)
+    merge_delta_dv(spark, t, src, keys=["id"], txn=("app", 7))
+    merge_delta(spark, u, src, keys=["id"])
+    got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+    want = sorted(tuple(r) for r in read_delta(spark, u).collect())
+    assert got == want
+    snap = _replay_log(t, None)
+    assert set(files_before) <= set(snap.files)  # nothing rewritten
+    assert last_txn_version(t, "app") == 7
+    # merge-delete variant: matched keys vanish, nothing staged
+    merge_delta_dv(
+        spark, t,
+        spark.createDataFrame([(5, 1, 0.0)], "id long, part int, v double"),
+        keys=["id"], when_matched="delete", insert_not_matched=False,
+    )
+    assert 5 not in {r.id for r in read_delta(spark, t).collect()}
+
+
+def test_merge_delta_dv_dead_rows_insert(spark, tmp_path):
+    """A source key matching only rows a previous vector already
+    deleted INSERTS (the dead rows are invisible) instead of
+    resurrecting or double-deleting."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta_dv,
+        merge_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double"
+        ).repartition(1),
+        t,
+        mode="append",
+    )
+    delete_delta_dv(spark, t, "id = 4")
+    merge_delta_dv(
+        spark, t,
+        spark.createDataFrame([(4, 444.0)], "id long, v double"),
+        keys=["id"],
+    )
+    rows = sorted((r.id, r.v) for r in read_delta(spark, t).collect())
+    assert (4, 444.0) in rows and (4, 4.0) not in rows
+    assert len([r for r in rows if r[0] == 4]) == 1
