@@ -38,7 +38,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from sparkstreamingtwitter_presidential_spark.sources.delta import last_txn_version
-from sparkstreamingtwitter_presidential_spark.sources.delta_dml import merge_delta
+from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+    merge_delta,
+    merge_delta_dv,
+)
 
 
 def collapse_latest(
@@ -64,9 +67,20 @@ def delta_upsert_committer(
     keys: list[str],
     app_id: str,
     order_col: str | None = None,
+    use_dvs: bool = False,
 ):
     """The `foreachBatch` function. Exposed separately so idempotence
-    and collapse semantics are unit-testable without a stream."""
+    and collapse semantics are unit-testable without a stream.
+
+    ``use_dvs`` (r9 late) routes each micro-batch through
+    merge_delta_dv instead of the CoW merge: matched keys are marked
+    in deletion vectors and the batch's rows stage as new files — per-
+    batch write cost ∝ batch size instead of ∝ matched-file bytes,
+    the right trade for high-frequency small CDC batches against a
+    large table (fold the vectors back with a DV-aware OPTIMIZE on a
+    maintenance cadence). The txn idempotence marker rides the same
+    commit either way."""
+    merge_fn = merge_delta_dv if use_dvs else merge_delta
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         last = last_txn_version(table_path, app_id)
@@ -74,7 +88,7 @@ def delta_upsert_committer(
             return  # post-crash redelivery; this merge is already durable
         if order_col is not None:
             batch_df = collapse_latest(batch_df, keys, order_col)
-        merge_delta(
+        merge_fn(
             spark,
             table_path,
             batch_df,
@@ -94,15 +108,19 @@ def upsert_stream_to_delta(
     keys: list[str],
     app_id: str,
     order_col: str | None = None,
+    use_dvs: bool = False,
 ) -> StreamingQuery:
-    """Start an exactly-once streaming upsert (MERGE per micro-batch).
+    """Start an exactly-once streaming upsert (MERGE per micro-batch;
+    ``use_dvs`` = MERGE-ON-READ batches, see delta_upsert_committer).
 
     ``app_id`` must be stable across restarts of the same logical job
     and unique per (job, table) — it namespaces the txn markers."""
     spark = stream.sparkSession
     return (
         stream.writeStream.foreachBatch(
-            delta_upsert_committer(spark, table_path, keys, app_id, order_col)
+            delta_upsert_committer(
+                spark, table_path, keys, app_id, order_col, use_dvs
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .start()

@@ -95,3 +95,37 @@ def test_stream_upsert_equals_last_change_wins(spark, tmp_path):
         assert last_txn_version(table, "cdc") >= 0
     finally:
         shutil.rmtree(run, ignore_errors=True)
+
+
+def test_committer_dv_mode_marks_instead_of_rewriting(spark, tmp_path):
+    """use_dvs=True (r9 late): each micro-batch MERGEs merge-on-read —
+    matched keys DV out, batch rows stage as new files, the txn marker
+    rides the same commit, redelivery skips; no seeded file is ever
+    rewritten and the final state equals the CoW committer's."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _replay_log,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, 1.0, 0), (2, 2.0, 0), (3, 3.0, 0)]).repartition(1),
+        t,
+    )
+    files0 = sorted(_replay_log(t, None).files)
+    commit = delta_upsert_committer(
+        spark, t, ["id"], "job", order_col="seq", use_dvs=True
+    )
+    commit(_df(spark, [(2, 20.0, 1), (4, 40.0, 1)]), 0)
+    assert sorted(tuple(r) for r in read_delta(spark, t).collect()) == [
+        (1, 1.0, 0), (2, 20.0, 1), (3, 3.0, 0), (4, 40.0, 1),
+    ]
+    snap = _replay_log(t, None)
+    assert set(files0) <= set(snap.files)  # seeded files only DV'd
+    assert any(a.get("deletionVector") for a in snap.files.values())
+    v = table_version(t)
+    commit(_df(spark, [(2, 999.0, 9)]), 0)  # crash replay: skipped
+    assert table_version(t) == v
+    assert last_txn_version(t, "job") == 0
+    # second batch collapses then DV-merges on top of the first's DVs
+    commit(_df(spark, [(2, 21.0, 2), (2, 22.0, 3)]), 1)
+    assert read_delta(spark, t).filter("id = 2").collect()[0]["v"] == 22.0
