@@ -969,3 +969,28 @@ def test_version_at_timestamp_prefers_in_commit_timestamp(spark, tmp_path):
     assert version_at_timestamp(p, 1_000_000) == 0
     assert version_at_timestamp(p, 2_999_999) == 0
     assert version_at_timestamp(p, 3_000_000) == 1
+
+
+def test_dv_mark_scan_pushes_predicate(spark, tmp_path):
+    """The DV writers' matched-pair probe is the same distributed scan
+    shape as the CoW probe: the predicate must reach the parquet
+    reader (PushedFilters) so a point delete's scan cost tracks
+    matching row groups, not table size — the premise of 'DV write
+    cost ∝ matched rows' at 100 TB."""
+    from sparkstreamingtwitter_presidential_spark.plans import plan_audit
+    from sparkstreamingtwitter_presidential_spark.sources.delta import _replay_log
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        _FILE_COL,
+        _POS_COL,
+        _scan_with_file,
+    )
+
+    p = _mk_table(spark, str(tmp_path / "t"))
+    snap = _replay_log(p, None)
+    probe = (
+        _scan_with_file(spark, p, snap, with_pos=True)
+        .filter(F.expr("val > 25"))
+        .select(_FILE_COL, _POS_COL)
+    )
+    a = plan_audit(probe)
+    assert any("val" in f for f in a.pushed_filters), a.pushed_filters
