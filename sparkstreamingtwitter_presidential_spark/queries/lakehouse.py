@@ -1569,43 +1569,13 @@ def lakehouse_iceberg_transform_partitioned_agg(
     return _agg_by_type(pruned.filter(F.to_date("ts") == F.lit(day)))
 
 
-@query(
-    "lakehouse_iceberg_merge_agg",
-    oracle="""
-        WITH merged AS (
-            SELECT event_id, user_id, event_type,
-                   CASE WHEN event_id % 11 = 0 THEN value + 100
-                        WHEN event_id % 7 = 0 THEN value * 2
-                        ELSE value END AS value
-            FROM events WHERE event_id % 5 <> 0
-            UNION ALL
-            SELECT event_id + 10000000 AS event_id, user_id, event_type,
-                   value
-            FROM events WHERE event_id % 13 = 0 AND event_id % 5 <> 0
-        )
-        SELECT event_type, COUNT(*) AS n,
-               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
-        FROM merged GROUP BY event_type
-    """,
-    doc=(
-        "NEW r7: copy-on-write DML on the NATIVE Iceberg connector — "
-        "DELETE (event_id%5==0), UPDATE (value*2 where %7==0), then "
-        "MERGE (matched %11 keys take value+100 computed from the "
-        "ORIGINAL values — source rows, not table rows; %13 keys insert "
-        "at id+10M) against an identity-partitioned table; the staging "
-        "RAISES unless the snapshot history shows exactly the "
-        "append/delete/overwrite/overwrite operation sequence. Equals "
-        "the oracle's relational reconstruction iff affected-file "
-        "rewrite, EXISTING carry-forward, and insert append are all "
-        "exact — the Iceberg twin of lakehouse_delta_merge_agg, "
-        "completing the CoW DML symmetry"
-    ),
-)
-def lakehouse_iceberg_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _staged_iceberg_dml(spark: SparkSession, sf_dir: str) -> str:
+    """The shared append/delete/update/merge Iceberg staging (one
+    table serves lakehouse_iceberg_merge_agg AND the row-changes
+    query); validates the op sequence before anyone reads it."""
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
-        merge_iceberg,
         delete_iceberg,
-        read_iceberg,
+        merge_iceberg,
         table_snapshots,
         update_iceberg,
         write_iceberg,
@@ -1643,7 +1613,100 @@ def lakehouse_iceberg_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"iceberg DML staging committed {ops}, expected "
             "append/delete/overwrite/overwrite — an op silently no-opped"
         )
+    return table
+
+
+
+@query(
+    "lakehouse_iceberg_merge_agg",
+    oracle="""
+        WITH merged AS (
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 11 = 0 THEN value + 100
+                        WHEN event_id % 7 = 0 THEN value * 2
+                        ELSE value END AS value
+            FROM events WHERE event_id % 5 <> 0
+            UNION ALL
+            SELECT event_id + 10000000 AS event_id, user_id, event_type,
+                   value
+            FROM events WHERE event_id % 13 = 0 AND event_id % 5 <> 0
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM merged GROUP BY event_type
+    """,
+    doc=(
+        "NEW r7: copy-on-write DML on the NATIVE Iceberg connector — "
+        "DELETE (event_id%5==0), UPDATE (value*2 where %7==0), then "
+        "MERGE (matched %11 keys take value+100 computed from the "
+        "ORIGINAL values — source rows, not table rows; %13 keys insert "
+        "at id+10M) against an identity-partitioned table; the staging "
+        "RAISES unless the snapshot history shows exactly the "
+        "append/delete/overwrite/overwrite operation sequence. Equals "
+        "the oracle's relational reconstruction iff affected-file "
+        "rewrite, EXISTING carry-forward, and insert append are all "
+        "exact — the Iceberg twin of lakehouse_delta_merge_agg, "
+        "completing the CoW DML symmetry"
+    ),
+)
+def lakehouse_iceberg_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        read_iceberg,
+    )
+
+    table = _staged_iceberg_dml(spark, sf_dir)
     return _agg_by_type(read_iceberg(spark, table))
+
+
+@query(
+    "lakehouse_iceberg_row_changes",
+    oracle="""
+        WITH up AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE event_id % 7 = 0 AND event_id % 5 <> 0
+              AND value IS DISTINCT FROM value * 2
+        )
+        SELECT event_id, event_type, value,
+               'update_preimage' AS change_type
+        FROM up
+        UNION ALL
+        SELECT event_id, event_type, value * 2 AS value,
+               'update_postimage' AS change_type
+        FROM up
+    """,
+    doc=(
+        "NEW r9 late: Iceberg row-level CHANGELOG — iceberg_row_changes "
+        "reconstructs what the staged UPDATE snapshot did to each key "
+        "by diffing the parent's live file set against the snapshot's "
+        "(file_path-keyed, robust to writers that drop DELETED "
+        "entries) and key-joining removed vs added rows: update "
+        "pre/post pairs for the doubled-value keys, SILENCE for the "
+        "copy-over rows sharing rewritten files; the oracle rebuilds "
+        "the same change set relationally over the original events "
+        "(post-delete survivors only) — the Iceberg twin of "
+        "lakehouse_delta_row_changes"
+    ),
+)
+def lakehouse_iceberg_row_changes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        iceberg_row_changes,
+        table_snapshots,
+    )
+
+    table = _staged_iceberg_dml(spark, sf_dir)
+    snaps = (
+        table_snapshots(spark, table).orderBy("sequence_number").collect()
+    )
+    update_sid = snaps[2].snapshot_id  # append/delete/UPDATE/merge
+    ch = iceberg_row_changes(spark, table, update_sid, keys=["event_id"])
+    return ch.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("_change_type").alias("change_type"),
+    )
 
 
 @query(

@@ -288,13 +288,14 @@ GRADED_FIRST: list[str] = [
     # and the interval-join family remains pytest-oracled via the range
     # join + asof oracles).
     "lakehouse_delta_row_changes",
-    # Round-5 late additions #11: paragraph-granular exact dedup (the
-    # RefinedWeb boilerplate layer between doc-level and k-gram span
-    # dedup). Ceded: mix_documents_weighted (r4 driver-green; the
-    # sampling family keeps shuffle_documents_sharded +
-    # split_documents_train_val_test graded, and mix stays in
-    # tests/test_queries_oracle.py).
-    "dedup_paragraphs_clean",
+    # Round-9 late swap: Iceberg row-level CHANGELOG (parent-vs-
+    # snapshot live-set diff keyed by file_path + full-outer key join
+    # — the Iceberg twin of the graded Delta row_changes, completing
+    # the CDC-read story across formats). Ceded:
+    # dedup_paragraphs_clean (r5-r8 driver-green, four rounds; the
+    # dedup family keeps jaccard/span/semantic/collated-exact graded;
+    # stays in tests/test_queries_oracle.py).
+    "lakehouse_iceberg_row_changes",
     # Round-5 late additions #12: time travel (version-pinned snapshot
     # read while the table's head has diverged — the last lakehouse
     # semantic without a driver-graded query). Ceded:

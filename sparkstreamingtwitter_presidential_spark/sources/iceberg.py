@@ -1757,6 +1757,152 @@ def _read_entries_projected(
     return reduce(DataFrame.unionByName, [empty] + parts)
 
 
+def iceberg_row_changes(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change feed for ONE snapshot — the Iceberg twin of
+    delta.delta_row_changes (the real client's changelog scan over CoW
+    commits): reconstructs what a snapshot DID to each key by a keyed
+    diff of the files it removed against the files it added.
+
+    The two file sets come from comparing the snapshot's LIVE set with
+    its PARENT's (by file_path) — robust to foreign writers that drop
+    old manifests instead of retaining status=DELETED entries, which
+    an entry-status walk would silently misread as pure adds. A pure
+    append (nothing removed) needs no ``keys`` and emits 'insert'
+    rows; a ``replace`` snapshot (compaction / rewrite_manifests)
+    emits NOTHING (rows unchanged by definition); anything that
+    removed files derives insert/delete/update_preimage/
+    update_postimage via the full-outer key diff (``keys`` must be a
+    primary key on both sides — validated). Output: the table schema
+    + ``_change_type`` + ``_snapshot_id``.
+
+    Refusals: row-level delete manifests on either side (MOR change
+    reconstruction needs delete-file awareness — CoW commits only),
+    renamed/retyped files in scope (_refuse_renamed_files), expired
+    parents. Cost ∝ the snapshot's touched files, never the table."""
+    meta = _load_metadata(path)
+    snap = _snapshot(meta, snapshot_id)
+    op = (snap.get("summary") or {}).get("operation")
+    sid = snap["snapshot-id"]
+    ice_schema = _schema_for(
+        meta, snap.get("schema-id", meta.get("current-schema-id", 0))
+    )
+    part_fields = _partition_fields(meta, ice_schema)
+    spark_schema = _schema_to_spark(ice_schema)
+    cols = [f.name for f in spark_schema.fields]
+    out_schema = T.StructType(
+        list(spark_schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_snapshot_id", T.LongType(), False),
+        ]
+    )
+    if op == "replace":
+        # layout-only snapshot: same rows, different files
+        return spark.createDataFrame([], out_schema)
+
+    cur_entries, cur_dels = _entries_and_deletes_for_snapshot(path, snap)
+    parent_id = snap.get("parent-snapshot-id")
+    if parent_id is not None and parent_id != -1:
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        parent = by_id.get(parent_id)
+        if parent is None:
+            raise ValueError(
+                f"parent snapshot {parent_id} of {sid} was expired — "
+                "the pre-image file set is gone; row changes for this "
+                "snapshot are permanently unavailable"
+            )
+        par_entries, par_dels = _entries_and_deletes_for_snapshot(
+            path, parent
+        )
+    else:
+        par_entries, par_dels = [], []
+    if cur_dels or par_dels:
+        raise NotImplementedError(
+            "row-level delete files on the snapshot or its parent; "
+            "change reconstruction over MOR snapshots is not supported "
+            "(CoW commits only)"
+        )
+    cur_by_path = {e["data_file"]["file_path"]: e for e in cur_entries}
+    par_by_path = {e["data_file"]["file_path"]: e for e in par_entries}
+    added = [
+        e for p, e in sorted(cur_by_path.items()) if p not in par_by_path
+    ]
+    removed = [
+        e for p, e in sorted(par_by_path.items()) if p not in cur_by_path
+    ]
+    _refuse_renamed_files(
+        meta, added + removed, ice_schema, "iceberg_row_changes"
+    )
+
+    def _read(recs: list[dict]) -> DataFrame:
+        if not recs:
+            return spark.createDataFrame([], spark_schema)
+        return _read_files(
+            spark, [r["data_file"] for r in recs], spark_schema, part_fields
+        )
+
+    ver = F.lit(int(sid)).cast("long")
+    if not removed:
+        return _read(added).select(
+            *cols,
+            F.lit("insert").alias("_change_type"),
+            ver.alias("_snapshot_id"),
+        )
+    if keys is None:
+        raise ValueError(
+            f"snapshot {sid} removed files — deriving row changes "
+            "needs a primary key; pass keys=[...]"
+        )
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"change keys not in table schema: {missing}")
+    old, new = _read(removed), _read(added)
+    for side, name in ((old, "removed"), (new, "added")):
+        dup = (
+            side.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"keys {keys} are not unique among the {name} rows "
+                f"(e.g. { {k: dup[0][k] for k in keys} }) — row-level "
+                "changes need a primary key"
+            )
+    non_keys = [c for c in cols if c not in keys]
+    o = old.select(
+        *keys, F.struct(*[F.col(c).alias(c) for c in non_keys]).alias("__o")
+    )
+    n = new.select(
+        *keys, F.struct(*[F.col(c).alias(c) for c in non_keys]).alias("__n")
+    )
+    j = o.join(n, on=keys, how="full_outer")
+
+    def _emit(img: str, ctype: str, cond) -> DataFrame:
+        return (
+            j.filter(cond)
+            .select(
+                *keys,
+                *[F.col(f"{img}.{c}").alias(c) for c in non_keys],
+                F.lit(ctype).alias("_change_type"),
+                ver.alias("_snapshot_id"),
+            )
+            .select(*cols, "_change_type", "_snapshot_id")
+        )
+
+    has_old = F.col("__o").isNotNull()
+    has_new = F.col("__n").isNotNull()
+    differs = has_old & has_new & ~F.col("__o").eqNullSafe(F.col("__n"))
+    out = _emit("__n", "insert", has_new & ~has_old)
+    out = out.unionByName(_emit("__o", "delete", has_old & ~has_new))
+    out = out.unionByName(_emit("__o", "update_preimage", differs))
+    out = out.unionByName(_emit("__n", "update_postimage", differs))
+    return out
+
+
 def read_iceberg_incremental(
     spark: SparkSession,
     path: str,

@@ -1908,3 +1908,83 @@ def test_transform_partitioned_source_rename(spark, tmp_path):
     assert back.columns == ["id", "event_ts", "v"]
     got = sorted((r.id, r.event_ts.day) for r in back.collect())
     assert got == sorted((i, 1 + i % 3) for i in range(9))
+
+
+def test_iceberg_row_changes_shapes_and_refusals(spark, tmp_path):
+    """Changelog over CoW snapshots: append=inserts (no keys needed),
+    update=pre/post, delete=deletes, compaction=silence; MOR
+    snapshots, missing keys on rewrites, and expired parents refuse
+    by name."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        compact_iceberg,
+        delete_iceberg,
+        expire_snapshots,
+        iceberg_row_changes,
+        update_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 3 else "b", float(i)) for i in range(6)],
+        "id long, s string, v double",
+    )
+    s0 = write_iceberg(df.repartition(1), t, partition_by=["s"])
+    s1 = update_iceberg(spark, t, {"v": "v * 10"}, "id = 1")
+    s2 = delete_iceberg(spark, t, "id = 4")
+    # pure append: inserts, keys optional
+    ch0 = iceberg_row_changes(spark, t, s0)
+    assert sorted((r.id, r._change_type) for r in ch0.collect()) == [
+        (i, "insert") for i in range(6)
+    ]
+    ch1 = iceberg_row_changes(spark, t, s1, keys=["id"]).collect()
+    assert sorted((r.id, r.v, r._change_type) for r in ch1) == [
+        (1, 1.0, "update_preimage"), (1, 10.0, "update_postimage"),
+    ]
+    assert all(r._snapshot_id == s1 for r in ch1)
+    ch2 = iceberg_row_changes(spark, t, s2, keys=["id"]).collect()
+    assert [(r.id, r._change_type) for r in ch2] == [(4, "delete")]
+    # rewrites without keys refuse by name
+    with pytest.raises(ValueError, match="primary key"):
+        iceberg_row_changes(spark, t, s1)
+    # compaction: layout-only, silence (append a second small file
+    # first so the compactor actually rewrites instead of no-opping)
+    write_iceberg(
+        _df(spark, [(7, "b", 7.0)]).repartition(1),
+        t,
+        partition_by=["s"],
+        mode="append",
+    )
+    s3 = compact_iceberg(spark, t, target_file_bytes=1 << 30)
+    assert s3 != s2
+    assert iceberg_row_changes(spark, t, s3, keys=["id"]).count() == 0
+    # expired PARENT: s1 is retained but s0 (its pre-image) is gone
+    # — the changes are permanently unavailable, by name
+    expire_snapshots(t, keep_last=4)  # drops only s0 (5 snapshots)
+    with pytest.raises(ValueError, match="expired"):
+        iceberg_row_changes(spark, t, s1, keys=["id"])
+    # expired SNAPSHOT itself: the generic missing-snapshot error
+    expire_snapshots(t, keep_last=1)
+    with pytest.raises(ValueError, match="does not exist"):
+        iceberg_row_changes(spark, t, s1, keys=["id"])
+
+
+def test_iceberg_row_changes_refuses_mor_snapshots(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg_positional,
+        iceberg_row_changes,
+        table_snapshots,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(i, "x", float(i)) for i in range(6)]).repartition(1), t
+    )
+    delete_iceberg_positional(spark, t, "id = 2")
+    sid = (
+        table_snapshots(spark, t)
+        .orderBy("sequence_number")
+        .collect()[-1]
+        .snapshot_id
+    )
+    with pytest.raises(NotImplementedError, match="MOR|delete"):
+        iceberg_row_changes(spark, t, sid, keys=["id"])
