@@ -825,6 +825,152 @@ def read_hudi_incremental(
     )
 
 
+def hudi_row_changes(
+    spark: SparkSession,
+    path: str,
+    instant: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change feed for ONE commit — the Hudi member of the
+    Delta/Iceberg row_changes trilogy: reconstructs what a commit DID
+    to each key by a keyed diff of the touched file groups' PREVIOUS
+    latest slices against the slices the commit wrote. Unlike the
+    incremental pull (post-images only), this surfaces UPDATE
+    pre-images AND Hudi's deletes-by-absence: a key present in the old
+    slice but missing from the rewrite emits a 'delete' row — the one
+    change class the commit-time filter can never see.
+
+    A pure INSERT commit (no prior slices in its groups) needs no
+    ``keys`` and emits 'insert' rows; rewrites derive insert/delete/
+    update_preimage/update_postimage via the full-outer key diff
+    (``keys`` validated unique per side). Copy-over rows (equal on
+    both sides) emit NOTHING. Output: data columns + ``_change_type``
+    + ``_commit_instant``.
+
+    Archival: the commit's own metadata must be ACTIVE (an archived
+    instant refuses — permanently gone); the OLD side folds archived
+    commit metadata in (extra_metas), so pre-images stay exact on
+    archived tables. INSERT_OVERWRITE_TABLE refuses (the pre-image is
+    the whole previous table, not a per-group diff). Cost ∝ the
+    commit's touched groups' slices, never the table."""
+    _load_props(path)
+    commits = _completed_commits(path)
+    if instant not in commits:
+        if instant in _archived_instants(path):
+            raise ValueError(
+                f"instant {instant!r} was ARCHIVED off the active "
+                "timeline; its commit metadata (the touched-group "
+                "list) is permanently gone"
+            )
+        raise ValueError(
+            f"instant {instant!r} is not a completed commit "
+            f"(have {commits})"
+        )
+    hd = _hoodie(path)
+    with open(os.path.join(hd, f"{instant}.commit"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    if meta.get("operationType") == "INSERT_OVERWRITE_TABLE":
+        raise ValueError(
+            f"instant {instant!r} is an overwrite — its pre-image is "
+            "the whole previous table, not a per-group diff; compare "
+            "snapshots instead"
+        )
+    touched: set[tuple[str, str]] = set()
+    new_files: list[str] = []
+    for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+        for st in stats:
+            fid = st.get("fileId") or os.path.basename(
+                st["path"]
+            ).split("_")[0]
+            touched.add((part, fid))
+            full = os.path.join(path, st["path"])
+            if os.path.isfile(full):
+                new_files.append(full)
+    prev_commits = [c for c in commits if c < instant]
+    prev_instant = prev_commits[-1] if prev_commits else None
+    arch = _archived_commit_metas(path)
+    old_files: list[str] = []
+    if prev_instant is not None or arch:
+        as_of = prev_instant if prev_instant is not None else (
+            max(arch) if arch else None
+        )
+        if as_of is not None:
+            all_prior = sorted(
+                set(c for c in commits if c <= as_of) | set(arch)
+            )
+            rmap_prev = _replace_map(path, all_prior, extra_metas=arch)
+            old_files = [
+                full
+                for part, fid, inst, full in _latest_slices(
+                    path, as_of=as_of, extra_metas=arch
+                )
+                if (part, fid) in touched
+                and inst > rmap_prev.get((part, fid), "")
+            ]
+
+    def _read(files: list[str]) -> DataFrame:
+        if not files:
+            # schema from the new side (a commit always writes files)
+            return spark.read.parquet(*new_files).drop(*META_COLS).limit(0)
+        return spark.read.parquet(*files).drop(*META_COLS)
+
+    new = _read(new_files)
+    cols = new.columns
+    inst_col = F.lit(instant).alias("_commit_instant")
+    if not old_files:
+        return new.select(
+            *cols, F.lit("insert").alias("_change_type"), inst_col
+        )
+    if keys is None:
+        raise ValueError(
+            f"instant {instant!r} rewrote file groups — deriving row "
+            "changes needs a primary key; pass keys=[...]"
+        )
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"change keys not in table schema: {missing}")
+    old = _read(old_files)
+    for side, name in ((old, "removed"), (new, "added")):
+        dup = (
+            side.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"keys {keys} are not unique among the {name} rows "
+                f"(e.g. { {k: dup[0][k] for k in keys} }) — row-level "
+                "changes need a primary key"
+            )
+    non_keys = [c for c in cols if c not in keys]
+    o = old.select(
+        *keys, F.struct(*[F.col(c).alias(c) for c in non_keys]).alias("__o")
+    )
+    n = new.select(
+        *keys, F.struct(*[F.col(c).alias(c) for c in non_keys]).alias("__n")
+    )
+    j = o.join(n, on=keys, how="full_outer")
+
+    def _emit(img: str, ctype: str, cond) -> DataFrame:
+        return (
+            j.filter(cond)
+            .select(
+                *keys,
+                *[F.col(f"{img}.{c}").alias(c) for c in non_keys],
+                F.lit(ctype).alias("_change_type"),
+                inst_col,
+            )
+            .select(*cols, "_change_type", "_commit_instant")
+        )
+
+    has_old = F.col("__o").isNotNull()
+    has_new = F.col("__n").isNotNull()
+    differs = has_old & has_new & ~F.col("__o").eqNullSafe(F.col("__n"))
+    out = _emit("__n", "insert", has_new & ~has_old)
+    out = out.unionByName(_emit("__o", "delete", has_old & ~has_new))
+    out = out.unionByName(_emit("__o", "update_preimage", differs))
+    out = out.unionByName(_emit("__n", "update_postimage", differs))
+    return out
+
+
 def hudi_timeline(
     spark: SparkSession, path: str, include_archived: bool = False
 ) -> DataFrame:

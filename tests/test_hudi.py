@@ -883,3 +883,82 @@ def test_incremental_no_duplicates_on_double_rewrite(spark, tmp_path):
         ).collect()
     )
     assert got1 == [(1, 100.0)]
+
+
+def test_hudi_row_changes_trilogy(spark, tmp_path):
+    """The Hudi row_changes member: insert commits need no keys,
+    upserts emit pre/post pairs with copy-over silence, a key ABSENT
+    from the rewrite emits 'delete' (deletes-by-absence — invisible
+    to the commit-time incremental filter), overwrites and unknown
+    instants refuse."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        _completed_commits,
+        hudi_row_changes,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(6)],
+        "id long, s string, v double",
+    ).repartition(1)
+    write_hudi(df, t, record_key="id")
+    c0 = _completed_commits(t)[-1]
+    ch0 = hudi_row_changes(spark, t, c0)  # pure insert: no keys
+    assert sorted((r.id, r._change_type) for r in ch0.collect()) == [
+        (i, "insert") for i in range(6)
+    ]
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame(
+            [(1, "x", 100.0), (9, "x", 9.0)], "id long, s string, v double"
+        ),
+        record_key="id",
+    )
+    c1 = _completed_commits(t)[-1]
+    ch1 = hudi_row_changes(spark, t, c1, keys=["id"]).collect()
+    assert sorted((r.id, r.v, r._change_type) for r in ch1) == [
+        (1, 1.0, "update_preimage"),
+        (1, 100.0, "update_postimage"),
+        (9, 9.0, "insert"),
+    ]
+    # cross-partition key move: the old partition's rewrite omits the
+    # key (delete-by-absence in that group) while the new partition's
+    # slice carries it — the full-outer diff across BOTH touched
+    # groups resolves it to one update pre/post pair, not a
+    # delete+insert
+    tp = str(tmp_path / "tp")
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "p0", 1.0), (2, "p0", 2.0), (3, "p1", 3.0)],
+            "id long, s string, v double",
+        ).repartition(1),
+        tp,
+        record_key="id",
+        partition_by="s",
+    )
+    upsert_hudi(
+        spark, tp,
+        spark.createDataFrame([(2, "p1", 22.0)], "id long, s string, v double"),
+        record_key="id",
+    )
+    cm = _completed_commits(tp)[-1]
+    chm = hudi_row_changes(spark, tp, cm, keys=["id"]).collect()
+    assert sorted((r.id, r.s, r.v, r._change_type) for r in chm) == [
+        (2, "p0", 2.0, "update_preimage"),
+        (2, "p1", 22.0, "update_postimage"),
+    ]
+    with pytest.raises(ValueError, match="not a completed commit"):
+        hudi_row_changes(spark, t, "19990101000000000", keys=["id"])
+    t2 = str(tmp_path / "t2")
+    write_hudi(df, t2, record_key="id")
+    write_hudi(
+        spark.createDataFrame([(7, "x", 7.0)], "id long, s string, v double"),
+        t2,
+        record_key="id",
+        mode="overwrite",
+    )
+    c2 = _completed_commits(t2)[-1]
+    with pytest.raises(ValueError, match="overwrite"):
+        hudi_row_changes(spark, t2, c2, keys=["id"])
