@@ -174,6 +174,11 @@ HEADLINE = [
     # Arrow-batched micro-batches + parquet re-write + agg; the
     # measured-heavy policy, same as streaming_update_mode_counts).
     "streaming_delta_source_agg",
+    # Round-9 late: the Iceberg changelog (staging warm; timed work is
+    # two manifest-list walks + the removed-vs-added keyed diff over
+    # the update snapshot's touched files — the Delta row_changes
+    # twin's floor).
+    "lakehouse_iceberg_row_changes",
 ]
 
 
