@@ -971,6 +971,44 @@ def hudi_row_changes(
     return out
 
 
+def hudi_table_changes(
+    spark: SparkSession,
+    path: str,
+    from_instant: str,
+    to_instant: str | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Row-level changes for every commit in (``from_instant``,
+    ``to_instant``] — the range composition of
+    :func:`hudi_row_changes` (the trilogy's range TVF). Per-commit
+    semantics (pre/post pairs, deletes-by-absence, copy-over silence,
+    overwrite refusal) apply commit-by-commit; a key changed twice in
+    range emits one pre/post pair PER commit, chronologically —
+    unlike the incremental pull, which collapses to final state."""
+    _load_props(path)
+    commits = _completed_commits(path)
+    hi = (
+        to_instant
+        if to_instant is not None
+        else (commits[-1] if commits else "")
+    )
+    frames = [
+        hudi_row_changes(spark, path, c, keys=keys)
+        for c in commits
+        if from_instant < c <= hi
+    ]
+    if not frames:
+        return (
+            read_hudi(spark, path)
+            .limit(0)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_instant", F.lit(""))
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, frames)
+
+
 def hudi_timeline(
     spark: SparkSession, path: str, include_archived: bool = False
 ) -> DataFrame:

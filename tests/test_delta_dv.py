@@ -747,3 +747,34 @@ def test_merge_delta_dv_dead_rows_insert(spark, tmp_path):
     rows = sorted((r.id, r.v) for r in read_delta(spark, t).collect())
     assert (4, 444.0) in rows and (4, 4.0) not in rows
     assert len([r for r in rows if r[0] == 4]) == 1
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=25, deadline=None)
+@_given(
+    _st.dictionaries(
+        _st.text(
+            alphabet="abcdef0123456789", min_size=1, max_size=8
+        ),
+        _st.sets(_st.integers(min_value=0, max_value=1 << 34), max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_pack_dv_file_property(per_key):
+    """Packed multi-vector sidecars: every key's descriptor decodes
+    its own rows back exactly, regardless of key count, offsets, or
+    64-bit high words."""
+    import tempfile
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+        pack_dv_file,
+    )
+
+    d = tempfile.mkdtemp()
+    descs = pack_dv_file(d, per_key)
+    for k, rows in per_key.items():
+        assert dv_row_indexes(d, descs[k]) == sorted(rows)

@@ -962,3 +962,45 @@ def test_hudi_row_changes_trilogy(spark, tmp_path):
     c2 = _completed_commits(t2)[-1]
     with pytest.raises(ValueError, match="overwrite"):
         hudi_row_changes(spark, t2, c2, keys=["id"])
+
+
+def test_hudi_table_changes_range(spark, tmp_path):
+    """The Hudi range TVF emits per-commit pre/post chronology (no
+    final-state collapse) with per-commit stamps."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        _completed_commits,
+        hudi_table_changes,
+        upsert_hudi,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "t")
+    write_hudi(
+        spark.createDataFrame(
+            [(1, "x", 1.0), (2, "x", 2.0)], "id long, s string, v double"
+        ).repartition(1),
+        t,
+        record_key="id",
+    )
+    c0 = _completed_commits(t)[-1]
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame([(1, "x", 10.0)], "id long, s string, v double"),
+        record_key="id",
+    )
+    upsert_hudi(
+        spark, t,
+        spark.createDataFrame([(1, "x", 11.0)], "id long, s string, v double"),
+        record_key="id",
+    )
+    ch = hudi_table_changes(spark, t, c0, keys=["id"]).collect()
+    pairs = sorted(
+        (r._commit_instant, r.v, r._change_type) for r in ch
+    )
+    vals = [(v, c) for _i, v, c in pairs]
+    # per-commit chronology: 1->10 then 10->11 (4 rows, both pairs)
+    assert vals == [
+        (1.0, "update_preimage"), (10.0, "update_postimage"),
+        (10.0, "update_preimage"), (11.0, "update_postimage"),
+    ]
+    assert hudi_table_changes(spark, t, "99999999999999999").count() == 0

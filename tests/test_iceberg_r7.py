@@ -1988,3 +1988,38 @@ def test_iceberg_row_changes_refuses_mor_snapshots(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="MOR|delete"):
         iceberg_row_changes(spark, t, sid, keys=["id"])
+
+
+def test_iceberg_table_changes_range(spark, tmp_path):
+    """The range TVF: appends (keyless), a keyed-rewrite commit, and a
+    compaction composing into one frame with per-snapshot stamps; the
+    replace snapshot contributes nothing."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        compact_iceberg,
+        iceberg_table_changes,
+        update_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    s0 = write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "a", 2.0)]).repartition(1), t
+    )
+    s1 = update_iceberg(spark, t, {"v": "v * 10"}, "id = 1")
+    s2 = write_iceberg(
+        _df(spark, [(3, "b", 3.0)]).repartition(1), t, mode="append"
+    )
+    compact_iceberg(spark, t, target_file_bytes=1 << 30)
+    ch = iceberg_table_changes(spark, t, s0, keys=["id"]).collect()
+    by_snap = {}
+    for r in ch:
+        by_snap.setdefault(r._snapshot_id, []).append(
+            (r.id, r.v, r._change_type)
+        )
+    assert sorted(by_snap) == sorted([s1, s2])
+    assert sorted(by_snap[s1]) == [
+        (1, 1.0, "update_preimage"), (1, 10.0, "update_postimage"),
+    ]
+    assert by_snap[s2] == [(3, 3.0, "insert")]
+    # empty range -> typed empty frame
+    empty = iceberg_table_changes(spark, t, s0, to_snapshot=s0)
+    assert empty.count() == 0 and "_change_type" in empty.columns
