@@ -1903,6 +1903,21 @@ def iceberg_row_changes(
     return out
 
 
+def _ancestor_ids(meta: dict, head_id: int) -> set[int]:
+    """The snapshot ids on ``head_id``'s parent chain (inclusive).
+    ``meta["snapshots"]`` holds EVERY retained snapshot — including
+    BRANCH commits — so any reader that walks 'snapshots in a
+    sequence range' must intersect with the head's ancestry or it
+    will leak (or false-refuse on) other branches' history."""
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    out: set[int] = set()
+    cur = head_id
+    while cur is not None and cur != -1 and cur in by_id:
+        out.add(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    return out
+
+
 def iceberg_table_changes(
     spark: SparkSession,
     path: str,
@@ -1929,11 +1944,20 @@ def iceberg_table_changes(
             f"to_snapshot (seq {hi_seq}) precedes from_snapshot "
             f"(seq {lo_seq})"
         )
+    anc = _ancestor_ids(meta, hi["snapshot-id"])
+    if lo["snapshot-id"] not in anc:
+        raise ValueError(
+            f"from_snapshot {from_snapshot} is not an ancestor of the "
+            "range's end — the two snapshots are on different branches"
+        )
     in_range = sorted(
         (
             s
             for s in meta.get("snapshots", [])
+            # ancestry-filtered: other BRANCHES' snapshots share the
+            # table-wide sequence clock and must not leak in
             if lo_seq < s.get("sequence-number", 0) <= hi_seq
+            and s["snapshot-id"] in anc
         ),
         key=lambda s: s["sequence-number"],
     )
@@ -1992,8 +2016,15 @@ def read_iceberg_incremental(
         raise ValueError(
             f"to_snapshot (seq {hi_seq}) precedes from_snapshot (seq {lo_seq})"
         )
+    anc = _ancestor_ids(meta, hi["snapshot-id"])
     for s in meta.get("snapshots", []):
         seq = s.get("sequence-number", 0)
+        # ancestry-filtered (r9 late): a BRANCH commit sharing the
+        # sequence range must neither false-refuse a clean main range
+        # (its op doesn't matter here) nor be mistaken for main
+        # history — hi's manifest list already excludes its files
+        if s["snapshot-id"] not in anc:
+            continue
         if lo_seq < seq <= hi_seq and s.get("summary", {}).get(
             "operation"
         ) not in (None, "append"):

@@ -50,6 +50,7 @@ from sparkstreamingtwitter_presidential_spark.sources.delta_stream_ds import (
 )
 from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
     _STATUS_DELETED,
+    _ancestor_ids,
     _avro_partition_to_python,
     _load_metadata,
     _partition_fields,
@@ -113,12 +114,22 @@ class IcebergStreamReader(DataSourceStreamReader):
         if lo_seq >= hi_seq:
             return []  # empty replan tick — nothing to deliver
         meta = _load_metadata(self.path)
+        # ancestry-filtered: the table-wide sequence clock also stamps
+        # BRANCH commits — a main-history stream must not deliver (or
+        # plan from the manifest list of) another branch's snapshot
+        anc = _ancestor_ids(meta, _snapshot(meta, None)["snapshot-id"])
         snaps_in_range = [
             s
             for s in meta.get("snapshots", [])
             if lo_seq < s.get("sequence-number", 0) <= hi_seq
+            and s["snapshot-id"] in anc
         ]
         if not snaps_in_range:
+            if any(
+                lo_seq < s.get("sequence-number", 0) <= hi_seq
+                for s in meta.get("snapshots", [])
+            ):
+                return []  # window holds only other branches' commits
             raise ValueError(
                 f"no snapshots with sequence in ({lo_seq}, {hi_seq}] "
                 f"remain in {self.path} — the range was expired; "

@@ -356,3 +356,73 @@ def test_null_partition_scoped_equality_delete_refuses(spark, tmp_path):
     ice_schema = meta["schemas"][meta.get("current-schema-id", 0)]
     with pytest.raises(NotImplementedError, match="partition-scoped"):
         _row_delete_filter(spark, meta, entries, scoped, ice_schema)
+
+
+def test_branch_commits_do_not_leak_into_main_range_reads(
+    spark, tmp_path
+):
+    """Branch commits share the table-wide sequence clock; the range
+    readers (table_changes, incremental, the streaming source) must
+    walk MAIN's ancestry, not 'snapshots in seq range' (r9 late fix):
+    a branch append interleaved between main appends leaks neither
+    rows nor false refusals into main-history reads."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        create_ref,
+        iceberg_table_changes,
+        read_iceberg_incremental,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_stream_ds import (
+        register_iceberg_stream,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    s0 = write_iceberg(df.repartition(1), t)
+    create_ref(t, "dev", kind="branch")
+    write_iceberg(  # branch commit BETWEEN two main commits
+        spark.createDataFrame([(100, "BR")], "id long, s string"),
+        t,
+        mode="append",
+        branch="dev",
+    )
+    s2 = write_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, s string"),
+        t,
+        mode="append",
+    )
+    # table_changes over main: branch row 100 absent
+    ch = iceberg_table_changes(spark, t, s0, keys=["id"]).collect()
+    assert sorted((r.id, r._change_type) for r in ch) == [(3, "insert")]
+    # incremental over main: no leak, no false refusal
+    inc = read_iceberg_incremental(spark, t, from_snapshot=s0)
+    assert sorted(r.id for r in inc.collect()) == [3]
+    # streaming source: cold drain delivers main rows only
+    register_iceberg_stream(spark)
+    sink: list = []
+    q = (
+        spark.readStream.format("iceberg_native")
+        .load(t)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda d, b: sink.extend(tuple(r) for r in d.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert sorted(r[0] for r in sink) == [1, 2, 3]  # no 100
+    # cross-branch range refuses by name
+    import pytest as _pytest
+
+    refs_meta = __import__(
+        "sparkstreamingtwitter_presidential_spark.sources.iceberg",
+        fromlist=["_load_metadata"],
+    )
+    meta = refs_meta._load_metadata(t)
+    dev_head = meta["refs"]["dev"]["snapshot-id"]
+    with _pytest.raises(ValueError, match="different branches"):
+        iceberg_table_changes(spark, t, dev_head, to_snapshot=s2)
