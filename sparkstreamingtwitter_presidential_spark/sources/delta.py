@@ -905,36 +905,18 @@ def delta_row_changes(
                 "need a primary key"
             )
 
-    non_keys = [c for c in cols if c not in keys]
-    o = old.select(
-        *keys, F.struct(*[F.col(c).alias(c) for c in non_keys]).alias("__o")
+    from sparkstreamingtwitter_presidential_spark.sources.changefeed import (
+        keyed_change_rows,
     )
-    n = new.select(
-        *keys, F.struct(*[F.col(c).alias(c) for c in non_keys]).alias("__n")
+
+    return keyed_change_rows(
+        old,
+        new,
+        keys,
+        cols,
+        "_commit_version",
+        F.lit(int(version)).cast("long"),
     )
-    j = o.join(n, on=keys, how="full_outer")
-    ver = F.lit(int(version)).cast("long")
-
-    def _emit(img: str, ctype: str, cond) -> DataFrame:
-        return (
-            j.filter(cond)
-            .select(
-                *keys,
-                *[F.col(f"{img}.{c}").alias(c) for c in non_keys],
-                F.lit(ctype).alias("_change_type"),
-                ver.alias("_commit_version"),
-            )
-            .select(*cols, "_change_type", "_commit_version")
-        )
-
-    has_old = F.col("__o").isNotNull()
-    has_new = F.col("__n").isNotNull()
-    differs = has_old & has_new & ~F.col("__o").eqNullSafe(F.col("__n"))
-    out = _emit("__n", "insert", has_new & ~has_old)
-    out = out.unionByName(_emit("__o", "delete", has_old & ~has_new))
-    out = out.unionByName(_emit("__o", "update_preimage", differs))
-    out = out.unionByName(_emit("__n", "update_postimage", differs))
-    return out
 
 
 def delta_table_changes(
