@@ -774,6 +774,11 @@ def delta_row_changes(
     schema = cur.schema
     assert schema is not None
     cols = [f.name for f in schema.fields]
+    # column-mapped tables (r10): data AND cdc files store PHYSICAL
+    # names (delta_dml stages them that way; foreign CDF writers do
+    # per spec) — read under them, alias back to logical.
+    mapping = _column_mapping(cur)
+    phys = (lambda c: mapping[c]) if mapping else (lambda c: c)
     adds: dict[str, dict[str, Any]] = {}
     removed_paths: list[str] = []
     cdc_actions: list[dict[str, Any]] = []
@@ -799,10 +804,17 @@ def delta_row_changes(
         # are self-contained. This covers both this engine's CDF
         # writers (delta.enableChangeDataFeed=true DML) and foreign
         # tables whose writers emit cdc.
+        cdc_fields = [
+            f for f in schema.fields if f.name not in cur.partition_columns
+        ]
         cdc_data_schema = StructType(
-            [f for f in schema.fields if f.name not in cur.partition_columns]
+            [
+                StructField(phys(f.name), f.dataType, f.nullable)
+                for f in cdc_fields
+            ]
             + [StructField("_change_type", StringType(), False)]
         )
+        cdc_sel = [F.col(phys(f.name)).alias(f.name) for f in cdc_fields]
         part_types_c = {
             f.name: f.dataType
             for f in schema.fields
@@ -811,7 +823,9 @@ def delta_row_changes(
         groups: dict[tuple, list[str]] = {}
         for a in cdc_actions:
             pv = a.get("partitionValues", {})
-            key = tuple(pv.get(c) for c in cur.partition_columns)
+            key = tuple(
+                pv.get(phys(c), pv.get(c)) for c in cur.partition_columns
+            )
             groups.setdefault(key, []).append(
                 os.path.join(path, urllib.parse.unquote(a["path"]))
             )
@@ -819,7 +833,9 @@ def delta_row_changes(
         for key, paths in sorted(
             groups.items(), key=lambda kv: tuple(map(str, kv[0]))
         ):
-            df = spark.read.schema(cdc_data_schema).parquet(*sorted(paths))
+            df = spark.read.schema(cdc_data_schema).parquet(
+                *sorted(paths)
+            ).select(*cdc_sel, "_change_type")
             for col, val in zip(cur.partition_columns, key):
                 df = df.withColumn(col, F.lit(val).cast(part_types_c[col]))
             parts.append(df.select(*cols, "_change_type"))
@@ -846,9 +862,16 @@ def delta_row_changes(
         for f in schema.fields
         if f.name in cur.partition_columns
     }
+    diff_fields = [
+        f for f in schema.fields if f.name not in cur.partition_columns
+    ]
     data_schema = StructType(
-        [f for f in schema.fields if f.name not in cur.partition_columns]
+        [
+            StructField(phys(f.name), f.dataType, f.nullable)
+            for f in diff_fields
+        ]
     )
+    data_sel = [F.col(phys(f.name)).alias(f.name) for f in diff_fields]
 
     def _read_actions(actions: dict[str, dict[str, Any]]) -> DataFrame:
         if not actions:
@@ -856,13 +879,17 @@ def delta_row_changes(
         groups: dict[tuple, list[str]] = {}
         for p, a in actions.items():
             pv = a.get("partitionValues", {})
-            key = tuple(pv.get(c) for c in cur.partition_columns)
+            key = tuple(
+                pv.get(phys(c), pv.get(c)) for c in cur.partition_columns
+            )
             groups.setdefault(key, []).append(
                 os.path.join(path, urllib.parse.unquote(p))
             )
         parts = []
         for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-            df = spark.read.schema(data_schema).parquet(*sorted(paths))
+            df = spark.read.schema(data_schema).parquet(
+                *sorted(paths)
+            ).select(*data_sel)
             for col, val in zip(cur.partition_columns, key):
                 df = df.withColumn(col, F.lit(val).cast(part_types[col]))
             parts.append(df.select(*cols))

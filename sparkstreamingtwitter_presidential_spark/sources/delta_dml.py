@@ -40,10 +40,10 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from sparkstreamingtwitter_presidential_spark.sources.delta import (
-    _refuse_column_mapping,
+    _column_mapping,
     _refuse_dvs,
     _refuse_unenforced_writer_contracts,
     _replay_log,
@@ -63,6 +63,66 @@ _FILE_COL = "__delta_file"
 _POS_COL = "__delta_pos"
 
 
+def _write_mapping(snap: _Snapshot, ctx: str) -> dict[str, str] | None:
+    """Logical→physical name mapping for a DML rewrite, or None when
+    the table is unmapped. Mirrors write_delta's contract (r10 — DML
+    previously refused mapped tables outright): NAME-mode tables work
+    end-to-end (scans resolve physical names, rewrites stage physical-
+    named files + partition dirs), id-mode tables refuse because this
+    engine's staged parquet carries no field ids — an id-mode reader
+    would resolve every rewritten column to null."""
+    mapping = _column_mapping(snap)
+    if mapping is not None:
+        mode = (
+            (snap.metadata_action or {}).get("configuration") or {}
+        ).get("delta.columnMapping.mode")
+        if mode == "id":
+            raise NotImplementedError(
+                f"{ctx} on an id-mode column-mapped table is not "
+                "supported (staged parquet carries no field ids); "
+                "name-mode tables and reads are"
+            )
+    return mapping
+
+
+def _stage_table_files(
+    df: DataFrame,
+    table_path: str,
+    snap: _Snapshot,
+    mapping: dict[str, str] | None,
+) -> list[dict[str, Any]]:
+    """Stage ``df`` (LOGICAL column names) as table data files. On a
+    mapped table the files — and the partition dirs, hence the add's
+    partitionValues keys — must store PHYSICAL names (the same rename
+    write_delta's mapped append performs), so rewritten files keep the
+    contract foreign readers resolve by."""
+    if mapping is None:
+        return _stage_files(df, table_path, snap.partition_columns)
+    df = df.select(*[F.col(c).alias(mapping[c]) for c in df.columns])
+    return _stage_files(
+        df, table_path, [mapping[c] for c in snap.partition_columns]
+    )
+
+
+def _stage_cdc_mapped(
+    change_df: DataFrame,
+    table_path: str,
+    snap: _Snapshot,
+    mapping: dict[str, str] | None,
+) -> list[dict[str, Any]]:
+    """Stage change-data files with the same physical-name contract as
+    data files; ``_change_type`` is the protocol's own column and is
+    never mapped."""
+    if mapping is None:
+        return _stage_cdc_files(change_df, table_path, snap.partition_columns)
+    change_df = change_df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in change_df.columns]
+    )
+    return _stage_cdc_files(
+        change_df, table_path, [mapping[c] for c in snap.partition_columns]
+    )
+
+
 def _scan_with_file(
     spark: SparkSession, path: str, snap: _Snapshot, with_pos: bool = False
 ) -> DataFrame:
@@ -73,13 +133,24 @@ def _scan_with_file(
     are injected from the log exactly as in read_delta.
 
     ``with_pos`` adds ``__delta_pos`` = ``_metadata.row_index`` (the
-    file-relative row ordinal deletion vectors are keyed by)."""
+    file-relative row ordinal deletion vectors are keyed by).
+
+    Column-mapped tables (r10): the parquet files store PHYSICAL names,
+    so the scan schema uses them and aliases back to logical in the
+    same select (predicates and SET expressions downstream see logical
+    names, exactly like read_delta); add.partitionValues are keyed by
+    physical name with a logical-keyed fallback for lenient writers."""
     schema = snap.schema
     assert schema is not None
+    mapping = _column_mapping(snap)
+    phys = (lambda c: mapping[c]) if mapping else (lambda c: c)
     data_fields = [
         f for f in schema.fields if f.name not in snap.partition_columns
     ]
-    data_schema = StructType(data_fields)
+    data_schema = StructType(
+        [StructField(phys(f.name), f.dataType, f.nullable) for f in data_fields]
+    )
+    data_sel = [F.col(phys(f.name)).alias(f.name) for f in data_fields]
     part_types = {
         f.name: f.dataType
         for f in schema.fields
@@ -108,17 +179,19 @@ def _scan_with_file(
     if not snap.partition_columns:
         return spark.read.schema(data_schema).parquet(
             *[_file(p) for p in sorted(snap.files)]
-        ).select(*cols, *extra_cols)
+        ).select(*data_sel, *extra_cols)
 
     groups: dict[tuple, list[str]] = {}
     for p, a in snap.files.items():
         pv = a.get("partitionValues", {})
-        key = tuple(pv.get(c) for c in snap.partition_columns)
+        key = tuple(
+            pv.get(phys(c), pv.get(c)) for c in snap.partition_columns
+        )
         groups.setdefault(key, []).append(_file(p))
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(data_schema).parquet(*sorted(paths)).select(
-            "*", *extra_cols
+            *data_sel, *extra_cols
         )
         for col, val in zip(snap.partition_columns, key):
             df = df.withColumn(col, F.lit(val).cast(part_types[col]))
@@ -236,7 +309,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
     where the predicate is TRUE are deleted). Returns the new version
     (unchanged if nothing matched — no empty commit)."""
     snap = _replay_log(path, None)
-    _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
+    mapping = _write_mapping(snap, "DELETE")
     _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
     _refuse_unenforced_writer_contracts(
         snap, "copy-on-write DML/OPTIMIZE", emits_removes=True
@@ -252,7 +325,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
         .filter(~F.coalesce(cond, F.lit(False)))
         .drop(_FILE_COL)
     )
-    adds = _stage_files(kept, path, snap.partition_columns)
+    adds = _stage_table_files(kept, path, snap, mapping)
     cdc: list[dict] = []
     if _cdf_enabled(snap):
         deleted_rows = (
@@ -261,7 +334,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
             .drop(_FILE_COL)
             .withColumn("_change_type", F.lit("delete"))
         )
-        cdc = _stage_cdc_files(deleted_rows, path, snap.partition_columns)
+        cdc = _stage_cdc_mapped(deleted_rows, path, snap, mapping)
     actions = _removes(snap, [rels[b] for b in affected], True) + adds + cdc
     return commit_actions(
         path, snap.version, actions, "DELETE", {"predicate": predicate}
@@ -354,11 +427,12 @@ def delete_delta_dv(
     Scale: the scan is predicate-filtered and projects only metadata
     columns; write cost is ∝ matched rows (bitmap bytes), NOT affected
     -file bytes — the point of DVs. Read-back applies the vectors via
-    read_delta's broadcast anti-join. Column-mapped tables refuse
-    (DV + mapping composition is untested territory — CoW DML refuses
-    them too); appendOnly tables refuse (a DV is a delete)."""
+    read_delta's broadcast anti-join. Name-mode column-mapped tables
+    work (r10 — DVs key on positions, untouched files keep their
+    physical names; only the cdc staging renames); id-mode refuses
+    (_write_mapping); appendOnly tables refuse (a DV is a delete)."""
     snap = _replay_log(path, None)
-    _refuse_column_mapping(snap, "delete_delta_dv")
+    mapping = _write_mapping(snap, "delete_delta_dv")
     _refuse_unenforced_writer_contracts(
         snap, "delete_delta_dv", emits_removes=True
     )
@@ -384,7 +458,7 @@ def delete_delta_dv(
             .withColumn("_change_type", F.lit("delete"))
         )
         actions.extend(
-            _stage_cdc_files(deleted_rows, path, snap.partition_columns)
+            _stage_cdc_mapped(deleted_rows, path, snap, mapping)
         )
     return commit_actions(
         path,
@@ -510,7 +584,7 @@ def update_delta_dv(
     CDF enabled the commit stages update pre/post images. Budget and
     refusal story match delete_delta_dv."""
     snap = _replay_log(path, None)
-    _refuse_column_mapping(snap, "update_delta_dv")
+    mapping = _write_mapping(snap, "update_delta_dv")
     _refuse_unenforced_writer_contracts(
         snap, "update_delta_dv", emits_removes=True
     )
@@ -548,16 +622,14 @@ def update_delta_dv(
             for f in schema.fields
         ]
     )
-    actions.extend(_stage_files(updated, path, snap.partition_columns))
+    actions.extend(_stage_table_files(updated, path, snap, mapping))
     if _cdf_enabled(snap):
         pre = fresh.withColumn("_change_type", F.lit("update_preimage"))
         post = updated.withColumn(
             "_change_type", F.lit("update_postimage")
         )
         actions.extend(
-            _stage_cdc_files(
-                pre.unionByName(post), path, snap.partition_columns
-            )
+            _stage_cdc_mapped(pre.unionByName(post), path, snap, mapping)
         )
     return commit_actions(
         path,
@@ -601,7 +673,7 @@ def merge_delta_dv(
             f"when_matched must be update|delete: {when_matched!r}"
         )
     snap = _replay_log(path, None)
-    _refuse_column_mapping(snap, "merge_delta_dv")
+    mapping = _write_mapping(snap, "merge_delta_dv")
     _refuse_unenforced_writer_contracts(
         snap, "merge_delta_dv", emits_removes=True
     )
@@ -660,7 +732,7 @@ def merge_delta_dv(
                 source, on=keys, how="inner"
             ).select(*tcols)
             actions.extend(
-                _stage_files(updated, path, snap.partition_columns)
+                _stage_table_files(updated, path, snap, mapping)
             )
             if emit_cdf:
                 cdc_frames.append(
@@ -682,7 +754,7 @@ def merge_delta_dv(
         if matched_keys is not None:
             inserts = source.join(matched_keys, on=keys, how="leftanti")
         actions.extend(
-            _stage_files(inserts, path, snap.partition_columns)
+            _stage_table_files(inserts, path, snap, mapping)
         )
         if emit_cdf:
             cdc_frames.append(
@@ -692,10 +764,11 @@ def merge_delta_dv(
         from functools import reduce as _reduce
 
         actions.extend(
-            _stage_cdc_files(
+            _stage_cdc_mapped(
                 _reduce(DataFrame.unionByName, cdc_frames),
                 path,
-                snap.partition_columns,
+                snap,
+                mapping,
             )
         )
     if txn is not None:
@@ -735,7 +808,7 @@ def update_delta(
     row, like SQL UPDATE). Partition columns cannot be updated (a real
     row-move rewrite is MERGE's job). Returns the new version."""
     snap = _replay_log(path, None)
-    _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
+    mapping = _write_mapping(snap, "UPDATE")
     _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
     _refuse_unenforced_writer_contracts(
         snap, "copy-on-write DML/OPTIMIZE", emits_removes=True
@@ -770,7 +843,7 @@ def update_delta(
             for f in schema.fields
         ]
     )
-    adds = _stage_files(rewritten, path, snap.partition_columns)
+    adds = _stage_table_files(rewritten, path, snap, mapping)
     cdc: list[dict] = []
     if _cdf_enabled(snap):
         matched = scan.filter(F.col(_FILE_COL).isin(affected)).filter(hit)
@@ -787,9 +860,7 @@ def update_delta(
                 for f in schema.fields
             ]
         ).withColumn("_change_type", F.lit("update_postimage"))
-        cdc = _stage_cdc_files(
-            pre.unionByName(post), path, snap.partition_columns
-        )
+        cdc = _stage_cdc_mapped(pre.unionByName(post), path, snap, mapping)
     actions = _removes(snap, [rels[b] for b in affected], True) + adds + cdc
     return commit_actions(
         path,
@@ -832,7 +903,7 @@ def merge_delta(
     if when_matched not in ("update", "delete", "none"):
         raise ValueError(f"when_matched must be update|delete|none: {when_matched!r}")
     snap = _replay_log(path, None)
-    _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
+    mapping = _write_mapping(snap, "MERGE")
     _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
     _refuse_unenforced_writer_contracts(
         snap, "copy-on-write DML/OPTIMIZE", emits_removes=True
@@ -914,7 +985,7 @@ def merge_delta(
         else:  # 'none': matched rows keep their current values
             rewritten = joined.select(*[hit_rows[c] for c in tcols])
         actions += _removes(snap, [rels[b] for b in affected], True)
-        actions += _stage_files(rewritten, path, snap.partition_columns)
+        actions += _stage_table_files(rewritten, path, snap, mapping)
         matched_keys = (
             scan.filter(F.col(_FILE_COL).isin(affected)).select(*keys).distinct()
         )
@@ -924,7 +995,7 @@ def merge_delta(
         if matched_keys is not None:
             inserts = source.join(matched_keys, on=keys, how="leftanti")
         # (no affected files -> no key matched -> every source row inserts)
-        actions += _stage_files(inserts, path, snap.partition_columns)
+        actions += _stage_table_files(inserts, path, snap, mapping)
         if emit_cdf:
             cdc_frames.append(
                 inserts.withColumn("_change_type", F.lit("insert"))
@@ -932,10 +1003,11 @@ def merge_delta(
     if cdc_frames:
         from functools import reduce as _reduce
 
-        actions += _stage_cdc_files(
+        actions += _stage_cdc_mapped(
             _reduce(DataFrame.unionByName, cdc_frames),
             path,
-            snap.partition_columns,
+            snap,
+            mapping,
         )
 
     if txn is not None:
@@ -1135,7 +1207,7 @@ def optimize_delta(
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     snap = _replay_log(path, None)
-    _refuse_column_mapping(snap, "copy-on-write DML/OPTIMIZE")
+    mapping = _write_mapping(snap, "OPTIMIZE")
     _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
     _refuse_unenforced_writer_contracts(
         snap, "copy-on-write DML/OPTIMIZE", emits_removes=True
@@ -1170,8 +1242,15 @@ def optimize_delta(
         n_out = max(1, math.ceil(total / target_file_bytes))
         schema = snap.schema
         assert schema is not None
+        phys = (lambda c: mapping[c]) if mapping else (lambda c: c)
+        data_fields = [
+            f for f in schema.fields if f.name not in snap.partition_columns
+        ]
         data_schema = StructType(
-            [f for f in schema.fields if f.name not in snap.partition_columns]
+            [
+                StructField(phys(f.name), f.dataType, f.nullable)
+                for f in data_fields
+            ]
         )
         part_types = {
             f.name: f.dataType
@@ -1182,6 +1261,8 @@ def optimize_delta(
             *sorted(
                 os.path.join(path, urllib.parse.unquote(r)) for r in rels_small
             )
+        ).select(
+            *[F.col(phys(f.name)).alias(f.name) for f in data_fields]
         )
         if cluster_by:
             df = df.repartitionByRange(
@@ -1208,11 +1289,14 @@ def optimize_delta(
             df = df.repartition(n_out)
         pv = dict(_key)
         for col in snap.partition_columns:
-            df = df.withColumn(col, F.lit(pv.get(col)).cast(part_types[col]))
-        adds = _stage_files(
+            # mapped tables key partitionValues by PHYSICAL name
+            val = pv.get(phys(col), pv.get(col))
+            df = df.withColumn(col, F.lit(val).cast(part_types[col]))
+        adds = _stage_table_files(
             df.select(*[f.name for f in schema.fields]),
             path,
-            snap.partition_columns,
+            snap,
+            mapping,
         )
         for a in adds:
             a["add"]["dataChange"] = False

@@ -289,8 +289,8 @@ def test_column_mapped_table_reads_by_physical_name(spark, tmp_path):
     default): data files store PHYSICAL column names; the log's
     schemaString carries logical names with
     delta.columnMapping.physicalName metadata. Reads scan under the
-    physical names and alias to logical; write/DML on mapped tables
-    refuse (read-only support); vacuum (path-only) still works."""
+    physical names and alias to logical; writes and DML (r10) stage
+    under physical names; vacuum (path-only) still works."""
     import json as _json
 
     from sparkstreamingtwitter_presidential_spark.sources.delta import (
@@ -364,8 +364,9 @@ def test_column_mapped_table_reads_by_physical_name(spark, tmp_path):
         "col-def456",
         "col-ghi789",
     }
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        delete_delta(spark, t, "id = 1")
+    # DML works through the mapping since r10 (see test_delta_mapped_dml)
+    delete_delta(spark, t, "id = 1")
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == [2, 3]
     with pytest.raises(NotImplementedError, match="schema evolution"):
         write_delta(
             spark.createDataFrame([(4, "d", 4.0, 1)], "id long, s string, v double, extra int"),
@@ -389,7 +390,8 @@ def test_column_mapped_table_reads_by_physical_name(spark, tmp_path):
             }
         out2.append(_json.dumps(act))
     open(log, "w").write("\n".join(out2) + "\n")
-    assert read_delta(spark, t).count() == 3  # incl. the r9 append
+    # incl. the r9 append, minus the r10 DELETE of id=1
+    assert read_delta(spark, t).count() == 2
     out3 = []
     for ln in open(log).read().splitlines():
         act = _json.loads(ln)
