@@ -466,11 +466,13 @@ def _refuse_dvs(snap: _Snapshot, ctx: str) -> None:
 
 # driver-side pair budget for DV application: the pair set tracks the
 # table's DELETE BACKLOG (sum of DV cardinalities), never its row
-# count. Above this the anti-join build side stops being a sane
-# broadcast — refuse with the remediation spelled out rather than
-# building a multi-GB driver list. (The scale path — decoding DV
-# bytes executor-side per file — is the documented follow-up if a
-# real workload ever carries a bigger backlog.)
+# count. At or below it, descriptors decode DRIVER-side into a
+# broadcast build (cheap, no extra job). Above it (r10 — previously a
+# named refusal) the decode moves EXECUTOR-side: descriptors (bounded
+# metadata) ship to tasks, the pure-Python codec expands them into a
+# distributed (file, row_index) frame, and AQE picks broadcast vs
+# shuffled anti-join from the materialized size — a 100 TB table with
+# a billion-row backlog never builds a driver list.
 _DV_PAIRS_DRIVER_MAX = 2_000_000
 
 
@@ -478,11 +480,13 @@ def _dv_filter(spark: SparkSession, path: str, snap: _Snapshot):
     """None when no live add carries a deletionVector; otherwise a
     closure applying rows-minus-DV to a RAW parquet scan (must run
     while `_metadata` is still reachable, i.e. directly on the scan
-    before any join/alias). Descriptors decode driver-side
+    before any join/alias). Small backlogs decode driver-side
     (delta_dv.dv_row_indexes — bounded metadata, CRC-checked) into a
-    broadcast (file, row_index) build side; the probe side anti-joins
-    on `_metadata.file_path`/`row_index`, the Iceberg position-delete
-    reader's proven shape."""
+    broadcast (file, row_index) build side; backlogs above
+    _DV_PAIRS_DRIVER_MAX decode executor-side (one task per slice of
+    descriptors, sidecars read from the table's shared storage). The
+    probe side anti-joins on `_metadata.file_path`/`row_index`, the
+    Iceberg position-delete reader's proven shape."""
     dv_adds = [
         (p, a["deletionVector"])
         for p, a in sorted(snap.files.items())
@@ -497,22 +501,45 @@ def _dv_filter(spark: SparkSession, path: str, snap: _Snapshot):
     )
 
     total = sum(int(dv.get("cardinality", 0)) for _p, dv in dv_adds)
-    if total > _DV_PAIRS_DRIVER_MAX:
-        raise NotImplementedError(
-            f"deletion-vector backlog of {total} deleted rows exceeds "
-            f"the driver pair budget ({_DV_PAIRS_DRIVER_MAX}); compact "
-            "the DVs into data files on the writing engine first"
-        )
-    pairs = []
-    for p, dv in dv_adds:
-        full = _norm_path(
+    abs_table = os.path.abspath(path)
+    fulls = [
+        _norm_path(
             os.path.abspath(os.path.join(path, urllib.parse.unquote(p)))
         )
-        for ri in dv_row_indexes(path, dv):
-            pairs.append((full, ri))
-    build = F.broadcast(
-        spark.createDataFrame(pairs, "__dpath string, __dpos long")
-    )
+        for p, _dv in dv_adds
+    ]
+    if total <= _DV_PAIRS_DRIVER_MAX:
+        pairs = []
+        for full, (_p, dv) in zip(fulls, dv_adds):
+            for ri in dv_row_indexes(path, dv):
+                pairs.append((full, ri))
+        build = F.broadcast(
+            spark.createDataFrame(pairs, "__dpath string, __dpos long")
+        )
+    else:
+        desc_rows = [
+            (full, json.dumps(dv)) for full, (_p, dv) in zip(fulls, dv_adds)
+        ]
+
+        def _decode(row):
+            # runs on executors: pure-Python codec, sidecar reads from
+            # the table path (shared storage, same reachability
+            # contract as the data files themselves)
+            from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+                dv_row_indexes as _dvri,
+            )
+
+            dv = json.loads(row[1])
+            for ri in _dvri(abs_table, dv):
+                yield (row[0], ri)
+
+        n_slices = max(1, min(len(desc_rows), 256))
+        build = spark.createDataFrame(
+            spark.sparkContext.parallelize(desc_rows, n_slices).flatMap(
+                _decode
+            ),
+            "__dpath string, __dpos long",
+        )
 
     def apply(scan: DataFrame) -> DataFrame:
         before = scan.columns

@@ -21,13 +21,13 @@ Layers, all public formats:
   4-byte BIG-endian length, the RoaringBitmapArray bytes, 4-byte
   BIG-endian CRC-32 of those bytes.
 
-The writer half exists for fixtures and tests (this engine's own DML
-is copy-on-write); the reader half is the production path used by
-``read_delta``. Scale note: descriptors and bitmaps are METADATA —
-they are decoded driver-side (bounded by the table's delete backlog,
-never its row count) and applied as a broadcast anti-join on
-(file, row_index), the same shape as the Iceberg position-delete
-reader.
+The writer half serves the DV-mode DML paths (delta_dml) plus
+fixtures; the reader half is the production path used by
+``read_delta``. Scale note: descriptors are METADATA; small backlogs
+decode driver-side into a broadcast anti-join on (file, row_index) —
+the Iceberg position-delete reader's shape — while backlogs above the
+driver pair budget decode executor-side into a distributed build
+(delta._dv_filter), so the pair set never lands on the driver.
 """
 
 from __future__ import annotations
@@ -188,6 +188,16 @@ def roaring32_deserialize(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
 _RBA_MAGIC = 1681511377
 
 
+# Dense high-word ceiling for the WRITE path: the serializer emits an
+# (empty) 32-bit bitmap for every high word up to the max row index,
+# so a forged/corrupt descriptor with an absurd index would allocate
+# proportionally. 1024 high words = a row index past 2^42 (4.4
+# trillion rows in ONE parquet file) — far beyond any real file, so
+# raising here refuses garbage without constraining real tables. The
+# READ path is unaffected (length fields bound parsing).
+_RBA_MAX_HIGH_WORDS = 1024
+
+
 def rba_serialize(row_indexes: Iterable[int]) -> bytes:
     """Delta's portable RoaringBitmapArray: magic, 8-byte count, then
     DENSE 32-bit bitmaps for high words 0..max (empty ones included,
@@ -199,6 +209,13 @@ def rba_serialize(row_indexes: Iterable[int]) -> bytes:
             raise ValueError("row index must be non-negative")
         by_high.setdefault(ri >> 32, []).append(ri & 0xFFFFFFFF)
     n = (max(by_high) + 1) if by_high else 0
+    if n > _RBA_MAX_HIGH_WORDS:
+        top = (max(by_high) << 32) | max(by_high[max(by_high)])
+        raise ValueError(
+            f"row index {top} implies {n} dense high-word bitmaps "
+            f"(max {_RBA_MAX_HIGH_WORDS}); refusing an implausible "
+            "index rather than allocating proportionally"
+        )
     out = bytearray()
     out += struct.pack("<I", _RBA_MAGIC)
     out += struct.pack("<q", n)
