@@ -1057,6 +1057,168 @@ def lakehouse_delta_restore_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_delta_mapped_dml_agg",
+    oracle="""
+        WITH after_del AS (
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 7 <> 0
+        ), after_upd AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 3 = 0 THEN value * 2
+                        ELSE value END AS value
+            FROM after_del
+        ), merged AS (
+            SELECT * FROM after_upd
+            UNION ALL
+            SELECT event_id + 20000000, event_type, value
+            FROM events WHERE event_id % 11 = 0
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM merged GROUP BY event_type
+    """,
+    doc=(
+        "NEW r10: DML on a NAME-MODE COLUMN-MAPPED table — the events "
+        "table is created with column_mapping='name' (physical "
+        "col-<uuid> names in files and partition dirs, the Databricks "
+        "default this engine refused to mutate through r9), then "
+        "DELETE (event_id %% 7 = 0), UPDATE (value*2 where %% 3 = 0) "
+        "and MERGE (+20M-keyed inserts for %% 11 = 0) rewrite through "
+        "the mapping; the query RAISES unless the live table is "
+        "actually mapped AND every rewritten add keys its "
+        "partitionValues by the PHYSICAL partition name — proving the "
+        "rewrite preserved the mapping contract, not just the rows"
+    ),
+)
+def lakehouse_delta_mapped_dml_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _column_mapping,
+        _replay_log,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        merge_delta,
+        update_delta,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_delta(
+            ev,
+            table,
+            mode="append",
+            partition_by=["event_type"],
+            column_mapping="name",
+        )
+        delete_delta(spark, table, "event_id % 7 = 0")
+        update_delta(spark, table, {"value": "value * 2"}, "event_id % 3 = 0")
+        inserts = ev.filter("event_id % 11 = 0").withColumn(
+            "event_id", F.col("event_id") + F.lit(20_000_000)
+        )
+        merge_delta(spark, table, inserts, keys=["event_id"])
+
+    table = _dml_staged_delta(spark, sf_dir, "mapped_dml", build)
+    snap = _replay_log(table, None)
+    mapping = _column_mapping(snap)
+    if mapping is None:
+        raise RuntimeError(
+            "staged table lost its column mapping — the DML below "
+            "would not exercise the physical-name rewrite path"
+        )
+    phys_part = mapping["event_type"]
+    bad = [
+        p
+        for p, a in snap.files.items()
+        if set(a.get("partitionValues", {})) != {phys_part}
+    ]
+    if bad:
+        raise RuntimeError(
+            f"{len(bad)} rewritten add(s) key partitionValues by a "
+            f"non-physical name (want {{{phys_part!r}}}): {bad[:3]} — "
+            "the rewrite broke the mapping contract"
+        )
+    return _agg_by_type(read_delta(spark, table))
+
+
+@query(
+    "lakehouse_delta_mor_merge_agg",
+    oracle="""
+        WITH upd AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 9 = 0 THEN value * 3
+                        ELSE value END AS value
+            FROM events
+        ), merged AS (
+            SELECT * FROM upd
+            UNION ALL
+            SELECT event_id + 30000000, event_type, value
+            FROM events WHERE event_id % 17 = 0
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM merged GROUP BY event_type
+    """,
+    doc=(
+        "NEW r10: MERGE-ON-READ MERGE via deletion vectors (the r9 "
+        "write family's first graded read-back) — a CDC-style source "
+        "(value*3 updates for event_id %% 9 = 0, +30M-keyed inserts "
+        "for %% 17 = 0) merges into an unpartitioned events table "
+        "through merge_delta_dv: matched rows are marked deleted in "
+        "per-file roaring bitmaps and re-staged, NO matched data file "
+        "rewrites. The query RAISES unless every pre-merge file is "
+        "still live (remove+re-add same path only), at least one live "
+        "add carries a DV descriptor, and new files were appended; the "
+        "aggregate must equal the CoW merge's relational reconstruction"
+    ),
+)
+def lakehouse_delta_mor_merge_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _replay_log,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        merge_delta_dv,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_delta(ev.repartition(4), table, mode="append")
+        updates = ev.filter("event_id % 9 = 0").withColumn(
+            "value", F.col("value") * 3
+        )
+        inserts = ev.filter("event_id % 17 = 0").withColumn(
+            "event_id", F.col("event_id") + F.lit(30_000_000)
+        )
+        merge_delta_dv(
+            spark, table, updates.unionByName(inserts), keys=["event_id"]
+        )
+
+    table = _dml_staged_delta(spark, sf_dir, "mor_merge", build)
+    v0 = _replay_log(table, 0)
+    live = _replay_log(table, None)
+    rewritten = sorted(set(v0.files) - set(live.files))
+    if rewritten:
+        raise RuntimeError(
+            f"MOR merge rewrote {len(rewritten)} matched data file(s) "
+            f"({rewritten[:3]}) — a DV merge must mark, never rewrite"
+        )
+    n_dv = sum(1 for a in live.files.values() if a.get("deletionVector"))
+    if n_dv == 0:
+        raise RuntimeError(
+            "no live add carries a deletion vector — the merge did not "
+            "take the MOR path"
+        )
+    if len(live.files) <= len(v0.files):
+        raise RuntimeError(
+            "no new data files appended — updated/inserted rows missing"
+        )
+    return _agg_by_type(read_delta(spark, table))
+
+
+@query(
     "lakehouse_delta_history_agg",
     oracle="""
         SELECT * FROM (VALUES

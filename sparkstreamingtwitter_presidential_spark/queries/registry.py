@@ -183,11 +183,16 @@ GRADED_FIRST: list[str] = [
     # window family keeps tumbling + session, which bracket sliding's
     # machinery; still pytest-oracled).
     "text_unigram_logprob",
-    # Round-5: Z-order multi-column file skipping. Ceded:
-    # window_running_sum_quantity (r1-r4 driver-green; window shapes
-    # stay graded via sessionize/pack/canonicalize/shuffle windows;
-    # still pytest-oracled).
-    "lakehouse_delta_zorder_agg",
+    # Round-10: DML on a NAME-MODE COLUMN-MAPPED Delta table
+    # (DELETE/UPDATE/MERGE through physical names, in-query RAISE
+    # unless the rewrite preserved the mapping contract — the r9
+    # verdict's #1 remaining interop refusal, lifted this round).
+    # Ceded: lakehouse_delta_zorder_agg (r5-r9 driver-green, FIVE
+    # consecutive windows; file-skipping stays graded via
+    # lakehouse_iceberg_skipping_agg and the mapped-DML query's
+    # physical-named stats, and zorder stays in
+    # tests/test_queries_oracle.py + bench).
+    "lakehouse_delta_mapped_dml_agg",
     # Round-8: partition-pruned native Hudi read (in-query RAISE
     # unless dir-level pruning removed files — the Delta/Iceberg
     # partitioned twins' third member; r7 verdict item 3). Ceded:
@@ -280,14 +285,15 @@ GRADED_FIRST: list[str] = [
     # keeps ngram-Jaccard/span-stats/semantic/canonicalize graded slots,
     # and minhash stays bench-headlined + in tests/test_queries_oracle.py).
     "streaming_update_mode_counts",
-    # Round-5 late additions #10: row-level change feed (CDC read side —
-    # keyed diff of a commit's removed vs added files; update pre/post
-    # pairs, inserts, copy-over silence). Ceded: asof_join_last_purchase
-    # (r1-r4 driver-green, the longest-green slot in the window; it
-    # stays bench-headlined for perf and in tests/test_queries_oracle.py,
-    # and the interval-join family remains pytest-oracled via the range
-    # join + asof oracles).
-    "lakehouse_delta_row_changes",
+    # Round-10: MERGE-ON-READ MERGE via deletion vectors — the r9
+    # DV-write family's first graded read-back (r9 verdict item 4):
+    # matched rows marked in roaring bitmaps, in-query RAISE unless NO
+    # matched file was rewritten and a live DV descriptor exists.
+    # Ceded: lakehouse_delta_row_changes (r5-r9 driver-green, FIVE
+    # consecutive windows; the CDC-read family keeps
+    # lakehouse_iceberg_row_changes + lakehouse_delta_cdf_agg graded,
+    # and the keyed-diff read stays in tests/test_queries_oracle.py).
+    "lakehouse_delta_mor_merge_agg",
     # Round-9 late swap: Iceberg row-level CHANGELOG (parent-vs-
     # snapshot live-set diff keyed by file_path + full-outer key join
     # — the Iceberg twin of the graded Delta row_changes, completing

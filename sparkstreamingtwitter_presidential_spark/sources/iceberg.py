@@ -821,13 +821,57 @@ def _load_metadata(path: str) -> dict:
         encoding="utf-8",
     ) as fh:
         meta = json.load(fh)
-    if meta.get("format-version", 1) > 2:
+    fv = meta.get("format-version", 1)
+    if fv > 3:
         raise NotImplementedError(
-            f"iceberg format-version {meta['format-version']} > 2 not "
-            "supported by this native reader"
+            f"iceberg format-version {fv} > 3 not supported by this "
+            "native reader"
         )
+    if fv == 3:
+        _refuse_v3_unsupported(meta)
     meta["_loaded_version"] = v
     return meta
+
+
+def _refuse_v3_writes(meta: dict, ctx: str) -> None:
+    """WRITES to format-version 3 tables refuse by name (reads work,
+    r10): this engine's staged manifests/metadata are v2-shaped — a v3
+    writer must maintain row lineage (next-row-id / first-row-id
+    assignment), which this engine does not implement, so committing
+    would corrupt the table's lineage contract for foreign readers."""
+    if meta.get("format-version", 1) >= 3:
+        raise NotImplementedError(
+            f"{ctx} on an iceberg format-version 3 table is not "
+            "supported by this native writer (reads, including Puffin "
+            "deletion vectors, are)"
+        )
+
+
+def _refuse_v3_unsupported(meta: dict) -> None:
+    """Format-version 3 READS are supported (r10) for the shapes this
+    engine can serve exactly: snapshot scans, Puffin deletion vectors,
+    and the v2-carried surfaces. v3 features that would make a read
+    WRONG if ignored refuse by NAME here:
+
+    * column DEFAULT VALUES (``initial-default`` on a schema field) —
+      scanning old files under the declared schema would fill NULL
+      where the spec says the default; refuse rather than misread.
+
+    Row lineage metadata (``next-row-id``, ``first-row-id``) is
+    ACCEPTED: it adds provenance columns this engine does not expose,
+    and ignoring it cannot change a snapshot read's rows. New v3 types
+    (timestamp_ns, variant, geometry, unknown) refuse naturally in
+    _iceberg_to_spark_type when a schema carries one. WRITES to v3
+    tables refuse in the commit primitives (never foreign-side wrong
+    metadata)."""
+    for s in meta.get("schemas", []):
+        for f in s.get("fields", []):
+            if "initial-default" in f or "write-default" in f:
+                raise NotImplementedError(
+                    f"v3 field {f.get('name')!r} declares a default "
+                    "value this reader does not apply; refusing rather "
+                    "than reading NULLs where the spec says the default"
+                )
 
 
 def _schema_for(meta: dict, schema_id: int) -> dict:
@@ -882,7 +926,21 @@ def _entries_and_deletes_for_snapshot(
                 raise NotImplementedError(
                     f"unknown delete-file content {df['content']!r}"
                 )
-            if df["file_format"].upper() != "PARQUET":
+            if df["file_format"].upper() == "PUFFIN":
+                # v3 deletion vector: a position delete stored as a
+                # Puffin deletion-vector-v1 blob scoped to ONE data
+                # file named by referenced_data_file (r10)
+                if m["content"] == 0 or df["content"] != 1:
+                    raise NotImplementedError(
+                        "puffin file outside a position-delete entry"
+                    )
+                if not df.get("referenced_data_file"):
+                    raise NotImplementedError(
+                        "deletion-vector entry without "
+                        "referenced_data_file; refusing rather than "
+                        "guessing its scope"
+                    )
+            elif df["file_format"].upper() != "PARQUET":
                 raise NotImplementedError(
                     f"data file format {df['file_format']!r} not supported "
                     "(parquet only)"
@@ -968,10 +1026,47 @@ def _position_delete_pairs(
     broadcast map, one row per delete file) and to the named data
     file's sequence (one row per live data file, also broadcast).
     Rows naming files outside the live set drop out in the join; the
-    result's size tracks DELETED ROWS, never the table."""
+    result's size tracks DELETED ROWS, never the table.
+
+    v3 DELETION VECTORS (r10): a content=1 entry whose file is PUFFIN
+    scopes to exactly ONE data file (referenced_data_file), so its seq
+    check resolves DRIVER-side against the live-file map — no join.
+    Small vectors decode driver-side (deletion-vector-v1 blob at the
+    manifest-carried offset/length, CRC-checked); backlogs above the
+    budget decode executor-side via the picklable codec, mirroring the
+    Delta DV scale path."""
     delete_entries = [
         d for d in delete_entries if d["data_file"]["content"] == 1
     ]
+    dvs = [
+        d
+        for d in delete_entries
+        if d["data_file"]["file_format"].upper() == "PUFFIN"
+    ]
+    pds = [
+        d
+        for d in delete_entries
+        if d["data_file"]["file_format"].upper() != "PUFFIN"
+    ]
+    eseq_map = {
+        _norm_path(e["data_file"]["file_path"]): int(e["sequence_number"])
+        for e in entries
+    }
+    # DV applicability is known here: one referenced file per vector
+    dv_jobs: list[tuple[str, int, int, str]] = []
+    for d in dvs:
+        df_ = d["data_file"]
+        np_ = _norm_path(df_["referenced_data_file"])
+        es = eseq_map.get(np_)
+        if es is not None and int(d["sequence_number"]) >= es:
+            dv_jobs.append(
+                (
+                    df_["file_path"],
+                    int(df_["content_offset"]),
+                    int(df_["content_size_in_bytes"]),
+                    np_,
+                )
+            )
     # small delete sets (the CDC steady state; size known for free
     # from the manifests' record_count) build driver-side via pyarrow
     # into a LocalRelation: no distributed sub-plan, no per-read scan
@@ -982,12 +1077,13 @@ def _position_delete_pairs(
     if total <= _PAIRS_DRIVER_MAX:
         import pyarrow.parquet as pq
 
-        eseq_map = {
-            _norm_path(e["data_file"]["file_path"]): int(e["sequence_number"])
-            for e in entries
-        }
+        from sparkstreamingtwitter_presidential_spark.sources.puffin import (
+            deserialize_dv_blob,
+            read_blob,
+        )
+
         rows: list[tuple[str, int]] = []
-        for d in delete_entries:
+        for d in pds:
             ds = int(d["sequence_number"])
             t = pq.read_table(
                 d["data_file"]["file_path"], columns=["file_path", "pos"]
@@ -1000,6 +1096,9 @@ def _position_delete_pairs(
                 es = eseq_map.get(np_)
                 if es is not None and ds >= es:
                     rows.append((np_, int(pos)))
+        for fpath, off, size, np_ in dv_jobs:
+            for pos in deserialize_dv_blob(read_blob(fpath, off, size)):
+                rows.append((np_, int(pos)))
         # explicitly broadcast: the driver path is BOUNDED by
         # _PAIRS_DRIVER_MAX (a few MB at most), and createDataFrame is
         # RDD-backed (no size stats), so without the hint the static
@@ -1007,37 +1106,65 @@ def _position_delete_pairs(
         return F.broadcast(
             spark.createDataFrame(rows, "__dpath string, __dpos long")
         )
-    dmap = [
-        (_norm_path(d["data_file"]["file_path"]), int(d["sequence_number"]))
-        for d in delete_entries
-    ]
-    emap = [
-        (_norm_path(e["data_file"]["file_path"]), int(e["sequence_number"]))
-        for e in entries
-    ]
-    dseq = F.broadcast(
-        spark.createDataFrame(dmap, "__dfile string, __dseq long")
-    )
-    eseq = F.broadcast(
-        spark.createDataFrame(emap, "__efile string, __eseq long")
-    )
-    raw = spark.read.schema("file_path string, pos long").parquet(
-        *sorted({d["data_file"]["file_path"] for d in delete_entries})
-    )
-    raw = raw.select(
-        _norm_path_col(F.col("file_path")).alias("__dpath"),
-        F.col("pos").alias("__dpos"),
-        _norm_path_col(F.col("_metadata.file_path")).alias("__dfile"),
-    )
-    # no distinct: duplicate pairs (re-deleted rows, overlapping delete
-    # files) are harmless under the left_anti application, and the
-    # dedup would cost a full shuffle of the pair set
-    return (
-        raw.join(dseq, "__dfile")
-        .join(eseq, F.col("__dpath") == F.col("__efile"))
-        .filter(F.col("__dseq") >= F.col("__eseq"))
-        .select("__dpath", "__dpos")
-    )
+    frames: list[DataFrame] = []
+    if pds:
+        dmap = [
+            (_norm_path(d["data_file"]["file_path"]), int(d["sequence_number"]))
+            for d in pds
+        ]
+        emap = [
+            (_norm_path(e["data_file"]["file_path"]), int(e["sequence_number"]))
+            for e in entries
+        ]
+        dseq = F.broadcast(
+            spark.createDataFrame(dmap, "__dfile string, __dseq long")
+        )
+        eseq = F.broadcast(
+            spark.createDataFrame(emap, "__efile string, __eseq long")
+        )
+        raw = spark.read.schema("file_path string, pos long").parquet(
+            *sorted({d["data_file"]["file_path"] for d in pds})
+        )
+        raw = raw.select(
+            _norm_path_col(F.col("file_path")).alias("__dpath"),
+            F.col("pos").alias("__dpos"),
+            _norm_path_col(F.col("_metadata.file_path")).alias("__dfile"),
+        )
+        # no distinct: duplicate pairs (re-deleted rows, overlapping
+        # delete files) are harmless under the left_anti application,
+        # and the dedup would cost a full shuffle of the pair set
+        frames.append(
+            raw.join(dseq, "__dfile")
+            .join(eseq, F.col("__dpath") == F.col("__efile"))
+            .filter(F.col("__dseq") >= F.col("__eseq"))
+            .select("__dpath", "__dpos")
+        )
+    if dv_jobs:
+
+        def _decode(job):
+            from sparkstreamingtwitter_presidential_spark.sources.puffin import (
+                deserialize_dv_blob as _dsb,
+                read_blob as _rb,
+            )
+
+            fpath, off, size, np_ = job
+            for pos in _dsb(_rb(fpath, off, size)):
+                yield (np_, int(pos))
+
+        n_slices = max(1, min(len(dv_jobs), 256))
+        frames.append(
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(dv_jobs, n_slices).flatMap(
+                    _decode
+                ),
+                "__dpath string, __dpos long",
+            )
+        )
+    if len(frames) == 1:
+        return frames[0]
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, frames)
 
 
 def _row_delete_filter(
@@ -1059,6 +1186,16 @@ def _row_delete_filter(
       file's value rows, scoped by the spec's STRICT rule — a delete
       with sequence s removes only rows of data files with seq < s —
       via a broadcast (file -> sequence) map attached to the scan.
+      PARTITION-SCOPED equality deletes (a non-empty partition record,
+      the Flink-CDC per-partition shape; r10 — previously a named
+      refusal) additionally restrict to data files sharing the
+      delete's partition tuple: the same broadcast map carries each
+      file's partition record, and the per-delete condition compares
+      it to the delete file's (spec: "applied to files of the same
+      partition"; a tuple of NULLs scopes to the NULL partition).
+      Tables carrying MORE THAN ONE field-bearing partition spec still
+      refuse — tuple equality across evolved specs is spec-id-keyed,
+      which these name-keyed manifests don't disambiguate.
       Equality ids resolve against the CURRENT schema and must name
       top-level primitive columns; delete-file columns are read by
       those names (name-based, the same honesty note as the writer's
@@ -1090,15 +1227,25 @@ def _row_delete_filter(
             meta, entries, ice_schema, "equality-delete read"
         )
         by_id = {f["id"]: f for f in ice_schema["fields"]}
+
+        def _part_key(part: dict | None) -> str:
+            # deterministic, bytes-safe encoding of a partition record
+            # for tuple equality (both sides come from the same avro
+            # manifest machinery, so raw-value repr compares exactly)
+            return repr(sorted((part or {}).items()))
+
         emap = [
             (
                 _norm_path(e["data_file"]["file_path"]),
                 int(e["sequence_number"]),
+                _part_key(e["data_file"].get("partition")),
             )
             for e in entries
         ]
         seq_map = F.broadcast(
-            spark.createDataFrame(emap, "__eqfile string, __eseq long")
+            spark.createDataFrame(
+                emap, "__eqfile string, __eseq long, __epart string"
+            )
         )
         for d in eqs:
             ids = d["data_file"].get("equality_ids") or []
@@ -1107,20 +1254,28 @@ def _row_delete_filter(
                     "equality delete file without equality_ids; refusing "
                     "rather than guessing the delete key"
                 )
+            scope: str | None = None
             if d["data_file"].get("partition") or {}:
                 # a NON-EMPTY partition record (any keys at all — a
                 # tuple of nulls scopes to the NULL partition, so value
-                # nullness proves nothing) marks a partition-scoped
-                # equality delete: it targets ONLY its partition's data
-                # files, and applying it globally would over-delete
-                # matching keys elsewhere — refuse (global
-                # unpartitioned-spec deletes, the empty-record shape
-                # this writer emits, apply below)
-                raise NotImplementedError(
-                    "partition-scoped equality delete files are not "
-                    "supported by this reader (global unpartitioned-"
-                    "spec equality deletes are)"
-                )
+                # nullness proves nothing) is a partition-scoped
+                # equality delete (r10): it applies ONLY to data files
+                # sharing its partition tuple. Exact under ONE
+                # field-bearing spec; evolved multi-spec tables refuse
+                # (tuple equality is spec-id-keyed there).
+                specs_with_fields = [
+                    sp
+                    for sp in meta.get("partition-specs", [])
+                    if sp.get("fields")
+                ]
+                if len(specs_with_fields) > 1:
+                    raise NotImplementedError(
+                        "partition-scoped equality delete on a table "
+                        "with multiple field-bearing partition specs; "
+                        "tuple equality needs spec-id resolution this "
+                        "reader does not implement"
+                    )
+                scope = _part_key(d["data_file"]["partition"])
             psrc = {
                 pf["source_id"]
                 for pf in _identity_fields(
@@ -1154,7 +1309,7 @@ def _row_delete_filter(
                 .parquet(d["data_file"]["file_path"])
                 .withColumn("__dseq", F.lit(int(d["sequence_number"])))
             )
-            eq_frames.append((cols, vals))
+            eq_frames.append((cols, vals, scope))
     else:
         seq_map = None
 
@@ -1184,8 +1339,12 @@ def _row_delete_filter(
                 F.col("__scan_path") == seq_map["__eqfile"],
                 "left",
             )
-            for cols, vals in eq_frames:
+            for cols, vals, scope in eq_frames:
                 cond = F.col("__eseq") < vals["__dseq"]
+                if scope is not None:
+                    # partition-scoped: only data files sharing the
+                    # delete's partition tuple participate
+                    cond = cond & (F.col("__epart") == F.lit(scope))
                 for c in cols:
                     cond = cond & out[c].eqNullSafe(vals[c])
                 out = out.join(vals, cond, "left_anti")
@@ -2472,6 +2631,7 @@ def _commit_snapshot(
     the removed file's data sequence per the spec), which keeps
     expire_snapshots' reachability and the incremental reader's
     sequence selection exact across compaction/DML commits."""
+    _refuse_v3_writes(meta, "commit")
     md = _metadata_dir(path)
     now_ms = int(time.time() * 1000)
     snapshot_id = uuid.uuid4().int % (1 << 62)
@@ -3893,6 +4053,7 @@ def _claim_metadata_version(path: str, meta: dict, new_meta: dict) -> int:
     put-if-absent claim of ``meta['_loaded_version'] + 1``, then
     repoint the version hint. Raises IcebergCommitConflict if any
     commit landed since planning."""
+    _refuse_v3_writes(meta, "metadata commit")
     new_meta = dict(new_meta)
     new_meta.pop("_loaded_version", None)
     new_meta["last-updated-ms"] = int(time.time() * 1000)
@@ -4082,3 +4243,181 @@ def table_partitions(spark: SparkSession, path: str) -> DataFrame:
         T.StructField("n_bytes", T.LongType(), False),
     ]
     return spark.createDataFrame(rows, T.StructType(fields))
+
+
+def forge_v3_dv_commit(path: str, deletes: dict[str, list[int]]) -> int:
+    """FIXTURE/TEST writer (the Delta write_dv_file twin): upgrade an
+    UNPARTITIONED v2 table this engine wrote to FORMAT-VERSION 3 and
+    attach Puffin deletion vectors — forging the commit a v3-era
+    foreign writer (Spark 4 + Iceberg 1.8, table spec v3 §Deletion
+    vectors) would produce, so the read path can be tested and graded
+    against it without a real v3 writer in the container.
+
+    ``deletes``: {data file path (as stored in the manifest) ->
+    row positions to delete}. One Puffin file holds one
+    deletion-vector-v1 blob per referenced file; the delete manifest's
+    entries carry the spec's referenced_data_file / content_offset /
+    content_size_in_bytes (field-ids 143/144/145) so readers locate
+    blobs without parsing the Puffin footer. Returns the new snapshot
+    id. Production WRITES to v3 tables still refuse
+    (_refuse_v3_writes) — this helper deliberately writes the
+    metadata JSON directly, as foreign-table fixtures do."""
+    from sparkstreamingtwitter_presidential_spark.sources.puffin import (
+        serialize_dv_blob,
+        write_puffin,
+    )
+
+    meta = _load_metadata(path)
+    if _partition_fields(meta, _schema_for(meta, meta.get("current-schema-id", 0))):
+        raise NotImplementedError(
+            "forge_v3_dv_commit supports unpartitioned tables only "
+            "(fixture writer)"
+        )
+    snap = _snapshot(meta, None)
+    entries, dels = _entries_and_deletes_for_snapshot(path, snap)
+    if dels:
+        raise NotImplementedError(
+            "forge_v3_dv_commit on a table already carrying deletes"
+        )
+    by_path = {e["data_file"]["file_path"]: e for e in entries}
+    unknown = sorted(set(deletes) - set(by_path))
+    if unknown:
+        raise ValueError(f"deletes name unknown data files: {unknown[:3]}")
+
+    md = _metadata_dir(path)
+    now_ms = int(time.time() * 1000)
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    seq = meta.get("last-sequence-number", 0) + 1
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+
+    puffin_path = os.path.join(
+        path, _DATA_DIR, f"dv-{uuid.uuid4().hex}.puffin"
+    )
+    os.makedirs(os.path.dirname(puffin_path), exist_ok=True)
+    ordered = sorted(deletes)
+    blob_metas = write_puffin(
+        puffin_path,
+        [
+            {
+                "type": "deletion-vector-v1",
+                "payload": serialize_dv_blob(deletes[p]),
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {
+                    "referenced-data-file": p,
+                    "cardinality": str(len(set(deletes[p]))),
+                },
+            }
+            for p in ordered
+        ],
+    )
+    dv_files = [
+        {
+            "content": 1,
+            "file_path": puffin_path,
+            "file_format": "PUFFIN",
+            "partition": {},
+            "record_count": len(set(deletes[p])),
+            "file_size_in_bytes": os.path.getsize(puffin_path),
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": None,
+            "referenced_data_file": p,
+            "content_offset": m["offset"],
+            "content_size_in_bytes": m["length"],
+        }
+        for p, m in zip(ordered, blob_metas)
+    ]
+    sch = _manifest_entry_schema([])
+    sch["fields"][-1]["type"]["fields"].extend(
+        [
+            {
+                "name": "referenced_data_file",
+                "type": ["null", "string"],
+                "field-id": 143,
+            },
+            {
+                "name": "content_offset",
+                "type": ["null", "long"],
+                "field-id": 144,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": ["null", "long"],
+                "field-id": 145,
+            },
+        ]
+    )
+    dm_entries = [
+        {
+            "status": _STATUS_ADDED,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": f,
+        }
+        for f in dv_files
+    ]
+    dm_path = os.path.join(md, f"{uuid.uuid4().hex}-dv.avro")
+    dm_len = write_container(
+        dm_path,
+        sch,
+        dm_entries,
+        meta={
+            "schema": json.dumps(ice_schema).encode(),
+            "partition-spec": json.dumps([]).encode(),
+            "partition-spec-id": str(meta.get("default-spec-id", 0)).encode(),
+            "format-version": b"3",
+            "content": b"deletes",
+        },
+    )
+    dv_manifest = {
+        "manifest_path": dm_path,
+        "manifest_length": dm_len,
+        "partition_spec_id": meta.get("default-spec-id", 0),
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(dv_files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(f["record_count"] for f in dv_files),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    _, _, prior_manifests = read_container(snap["manifest-list"])
+    manifest_list = os.path.join(
+        md, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    write_container(
+        manifest_list,
+        _MANIFEST_FILE_SCHEMA,
+        [dv_manifest] + list(prior_manifests),
+        meta={
+            "snapshot-id": str(snapshot_id).encode(),
+            "sequence-number": str(seq).encode(),
+            "format-version": b"3",
+        },
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "parent-snapshot-id": snap["snapshot-id"],
+        "timestamp-ms": now_ms,
+        "manifest-list": manifest_list,
+        "summary": {"operation": "delete"},
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    new_meta = dict(meta)
+    new_meta["format-version"] = 3
+    # v3 requires row-lineage bookkeeping from real writers; the forge
+    # stamps the field so readers see a spec-complete v3 metadata file
+    new_meta["next-row-id"] = 0
+    new_meta["last-sequence-number"] = seq
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    return _claim_metadata_version(path, meta, new_meta) and snapshot_id

@@ -6,6 +6,7 @@ rewrite_position_deletes folding the backlog per partition."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 
@@ -141,12 +142,55 @@ def test_matched_rows_budget_refuses(spark, part_table):
     assert _dels(t) == []
 
 
-def test_partition_scoped_equality_delete_refuses_on_read(spark, tmp_path):
-    """A FOREIGN partition-scoped equality delete (non-null tuple on a
-    content=2 file) must refuse at filter-build time: applying it
-    globally would over-delete other partitions' rows. Exercised at
-    the _row_delete_filter boundary with a hand-built delete entry —
-    the shape a foreign writer's manifest would resolve to."""
+def test_partition_scoped_equality_delete_applies_exactly(spark, tmp_path):
+    """A FOREIGN partition-scoped equality delete (non-empty tuple on a
+    content=2 file — the Flink-CDC per-partition shape, a named refusal
+    through r9) applies ONLY to data files sharing its partition tuple:
+    the same key in another partition survives."""
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as I
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (1, "b", 10.0), (2, "b", 20.0)],
+        "id long, g string, v double",
+    )
+    write_iceberg(df, t, partition_by=["g"])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ddir = os.path.join(t, "data", "eqdel")
+    os.makedirs(ddir)
+    dfile = os.path.join(ddir, "eq.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), dfile)
+    eq = {
+        "content": 2,
+        "file_path": dfile,
+        "file_format": "PARQUET",
+        "partition": {"g": "a"},
+        "record_count": 1,
+        "file_size_in_bytes": os.path.getsize(dfile),
+        "lower_bounds": None,
+        "upper_bounds": None,
+        "equality_ids": [1],
+    }
+    meta = I._load_metadata(t)
+    ice_schema = I._schema_for(meta, meta.get("current-schema-id", 0))
+    pf = I._partition_fields(meta, ice_schema)
+    I._commit_snapshot(
+        t, meta, ice_schema, pf,
+        added_files=[], existing_entries=[], deleted_entries=[],
+        carry_prior_manifests=True, operation="overwrite",
+        added_delete_files=[eq],
+    )
+    got = sorted(map(tuple, read_iceberg(spark, t).collect()))
+    # id=1 deleted ONLY in partition a; (1, b) survives
+    assert got == [(1, "b", 10.0), (2, "a", 2.0), (2, "b", 20.0)]
+
+
+def test_partition_scoped_eq_delete_multi_spec_refuses(spark, tmp_path):
+    """Tuple equality across EVOLVED partition specs is spec-id-keyed;
+    a scoped delete on a table carrying two field-bearing specs still
+    refuses by name (never wrong rows)."""
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         _row_delete_filter,
     )
@@ -171,8 +215,22 @@ def test_partition_scoped_equality_delete_refuses_on_read(spark, tmp_path):
         {**d, "data_file": {**d["data_file"], "partition": {"g": "a"}}}
         for d in dels
     ]
+    meta = dict(meta)
+    meta["partition-specs"] = list(meta.get("partition-specs", [])) + [
+        {
+            "spec-id": 9,
+            "fields": [
+                {
+                    "source-id": 1,
+                    "field-id": 1001,
+                    "name": "id_bucket",
+                    "transform": "bucket[4]",
+                }
+            ],
+        }
+    ]
     ice_schema = meta["schemas"][meta.get("current-schema-id", 0)]
-    with pytest.raises(NotImplementedError, match="partition-scoped"):
+    with pytest.raises(NotImplementedError, match="multiple field-bearing"):
         _row_delete_filter(spark, meta, entries, scoped, ice_schema)
 
 
@@ -325,37 +383,52 @@ def test_history_marks_orphans_after_foreign_rollback(spark, tmp_path):
     assert sum(1 for v_ in hist.values() if not v_) == 1
 
 
-def test_null_partition_scoped_equality_delete_refuses(spark, tmp_path):
+def test_null_partition_scoped_equality_delete_scopes_to_null(
+    spark, tmp_path
+):
     """A foreign equality delete scoped to the NULL partition carries
     a tuple of all-null VALUES — presence of the record (any keys),
-    not value nullness, must trigger the scoped refusal (r9 review
-    finding: the value-based check classified it as global and
-    over-deleted)."""
-    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
-        _row_delete_filter,
-    )
+    not value nullness, marks it scoped (r9 review finding: a
+    value-based check would classify it global and over-delete).
+    Since r10 the scoped delete APPLIES to exactly the null
+    partition's files — none here, so every row survives, including
+    the matching key in partition 'a'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as I
 
     t = str(tmp_path / "t")
     df = spark.createDataFrame(
         [(1, "a", 1.0), (2, "b", 2.0)], "id long, g string, v double"
     )
     write_iceberg(df, t, partition_by=["g"])
-    upsert_iceberg_mor(
-        spark,
-        t,
-        spark.createDataFrame([(1, "a", 9.0)], "id long, g string, v double"),
-        keys=["id"],
+    ddir = os.path.join(t, "data", "eqdel")
+    os.makedirs(ddir)
+    dfile = os.path.join(ddir, "eq.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), dfile)
+    eq = {
+        "content": 2,
+        "file_path": dfile,
+        "file_format": "PARQUET",
+        "partition": {"g": None},
+        "record_count": 1,
+        "file_size_in_bytes": os.path.getsize(dfile),
+        "lower_bounds": None,
+        "upper_bounds": None,
+        "equality_ids": [1],
+    }
+    meta = I._load_metadata(t)
+    ice_schema = I._schema_for(meta, meta.get("current-schema-id", 0))
+    pf = I._partition_fields(meta, ice_schema)
+    I._commit_snapshot(
+        t, meta, ice_schema, pf,
+        added_files=[], existing_entries=[], deleted_entries=[],
+        carry_prior_manifests=True, operation="overwrite",
+        added_delete_files=[eq],
     )
-    meta = _load_metadata(t)
-    snap = _snapshot(meta, None)
-    entries, dels = _entries_and_deletes_for_snapshot(t, snap)
-    scoped = [
-        {**d, "data_file": {**d["data_file"], "partition": {"g": None}}}
-        for d in dels
-    ]
-    ice_schema = meta["schemas"][meta.get("current-schema-id", 0)]
-    with pytest.raises(NotImplementedError, match="partition-scoped"):
-        _row_delete_filter(spark, meta, entries, scoped, ice_schema)
+    got = sorted(map(tuple, read_iceberg(spark, t).collect()))
+    assert got == [(1, "a", 1.0), (2, "b", 2.0)]
 
 
 def test_branch_commits_do_not_leak_into_main_range_reads(

@@ -1741,12 +1741,13 @@ def test_equality_deletes_apply_on_partitioned_tables(spark, tmp_path):
         read_iceberg(spark, t).collect()
 
 
-def test_partition_scoped_equality_delete_refuses(spark, tmp_path):
+def test_partition_scoped_equality_delete_null_tuple_scopes(spark, tmp_path):
     """A NON-empty partition record on an equality delete — including
     a tuple of NULLs, which per the spec scopes the delete to the
-    NULL partition — refuses as partition-scoped rather than being
-    applied globally (over-deleting matching keys elsewhere) or
-    dropped (resurrecting rows). r9 review fix pin."""
+    NULL partition — applies to EXACTLY that partition's files (r10;
+    a named refusal through r9). No data file lives in the NULL
+    partition here, so the matching key in partition 'a' survives
+    instead of being over-deleted."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1782,8 +1783,8 @@ def test_partition_scoped_equality_delete_refuses(spark, tmp_path):
         carry_prior_manifests=True, operation="overwrite",
         added_delete_files=[eq],
     )
-    with pytest.raises(NotImplementedError, match="partition-scoped"):
-        read_iceberg(spark, t).collect()
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [1, 2, 3]
 
 
 def test_equality_deletes_on_many_partition_fast_path(spark, tmp_path):

@@ -1,0 +1,166 @@
+"""Iceberg format-version 3 reads (r10 — previously a named refusal):
+the Puffin container + deletion-vector-v1 blob codec pinned to the
+public specs, snapshot reads applying v3 DVs via the position-delete
+anti-join, honest refusals for v3 features this engine cannot serve
+exactly (defaults, writes, v4+), and the over-budget executor-side
+decode path."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pytest
+
+from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+    _load_metadata,
+    forge_v3_dv_commit,
+    read_iceberg,
+    write_iceberg,
+)
+from sparkstreamingtwitter_presidential_spark.sources.puffin import (
+    DV_MAGIC,
+    PUFFIN_MAGIC,
+    deserialize_dv_blob,
+    portable64_deserialize,
+    portable64_serialize,
+    read_blob,
+    read_puffin_footer,
+    serialize_dv_blob,
+    write_puffin,
+)
+
+
+def test_portable64_roundtrip():
+    vals = [0, 1, 5, 1000, 65536, (1 << 32) + 7, (3 << 32) | 0xFFFF]
+    assert portable64_deserialize(portable64_serialize(vals)) == sorted(vals)
+    assert portable64_deserialize(portable64_serialize([])) == []
+
+
+def test_dv_blob_layout_and_checks():
+    blob = serialize_dv_blob([3, 1, 4, 1, 5])
+    # 4B BE length prefix covers magic+vector; magic next
+    (n,) = struct.unpack_from(">i", blob, 0)
+    assert blob[4:8] == DV_MAGIC and n == len(blob) - 8
+    assert deserialize_dv_blob(blob) == [1, 3, 4, 5]
+    # corrupt a vector byte -> CRC refuses
+    bad = bytearray(blob)
+    bad[10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        deserialize_dv_blob(bytes(bad))
+    with pytest.raises(ValueError, match="length"):
+        deserialize_dv_blob(blob + b"x")
+
+
+def test_puffin_write_read_roundtrip(tmp_path):
+    p = str(tmp_path / "t.puffin")
+    payloads = [serialize_dv_blob([1, 2]), serialize_dv_blob([9])]
+    metas = write_puffin(
+        p,
+        [
+            {"type": "deletion-vector-v1", "payload": payloads[0],
+             "properties": {"referenced-data-file": "a.parquet"}},
+            {"type": "deletion-vector-v1", "payload": payloads[1]},
+        ],
+    )
+    with open(p, "rb") as fh:
+        assert fh.read(4) == PUFFIN_MAGIC
+    footer = read_puffin_footer(p)
+    assert [b["type"] for b in footer["blobs"]] == ["deletion-vector-v1"] * 2
+    assert footer["blobs"][0]["properties"]["referenced-data-file"] == "a.parquet"
+    for m, want in zip(metas, payloads):
+        assert read_blob(p, m["offset"], m["length"]) == want
+    # manifest-carried offsets equal footer offsets
+    assert [m["offset"] for m in metas] == [
+        b["offset"] for b in footer["blobs"]
+    ]
+
+
+@pytest.fixture()
+def v3_table(spark, tmp_path):
+    """Unpartitioned 80-row table in 2 files, upgraded to v3 with DVs
+    deleting every id % 4 == 0 row. Returns (path, surviving ids)."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(80)], "id long, s string"
+    )
+    write_iceberg(df.repartition(2), t)
+    meta = _load_metadata(t)
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _entries_and_deletes_for_snapshot,
+        _snapshot,
+    )
+
+    entries, _ = _entries_and_deletes_for_snapshot(t, _snapshot(meta, None))
+    deletes = {}
+    for e in entries:
+        fp = e["data_file"]["file_path"]
+        ids = pq.read_table(fp, columns=["id"]).column("id").to_pylist()
+        idxs = [ri for ri, i in enumerate(ids) if i % 4 == 0]
+        if idxs:
+            deletes[fp] = idxs
+    assert len(deletes) == 2
+    forge_v3_dv_commit(t, deletes)
+    return t, sorted(i for i in range(80) if i % 4 != 0)
+
+
+def test_v3_dv_read_applies_vectors(spark, v3_table):
+    t, want = v3_table
+    assert _load_metadata(t)["format-version"] == 3
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == want
+
+
+def test_v3_time_travel_to_v2_snapshot_sees_all(spark, v3_table):
+    t, _want = v3_table
+    meta = _load_metadata(t)
+    first = meta["snapshots"][0]["snapshot-id"]
+    assert read_iceberg(spark, t, snapshot_id=first).count() == 80
+
+
+def test_v3_dv_over_budget_decodes_executor_side(spark, v3_table, monkeypatch):
+    t, want = v3_table
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as ice
+
+    monkeypatch.setattr(ice, "_PAIRS_DRIVER_MAX", 1)
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == want
+
+
+def test_v3_writes_refuse_by_name(spark, v3_table):
+    t, _want = v3_table
+    df = spark.createDataFrame([(1000, "x")], "id long, s string")
+    with pytest.raises(NotImplementedError, match="format-version 3"):
+        write_iceberg(df, t, mode="append")
+
+
+def test_v3_field_defaults_refuse(spark, v3_table):
+    t, _want = v3_table
+    md = os.path.join(t, "metadata")
+    versions = sorted(
+        n for n in os.listdir(md) if n.endswith(".metadata.json")
+    )
+    latest = os.path.join(md, versions[-1])
+    meta = json.load(open(latest))
+    for s in meta["schemas"]:
+        s["fields"][1]["initial-default"] = "zz"
+    json.dump(meta, open(latest, "w"))
+    with pytest.raises(NotImplementedError, match="default"):
+        read_iceberg(spark, t).collect()
+
+
+def test_v4_still_refuses(spark, v3_table):
+    t, _want = v3_table
+    md = os.path.join(t, "metadata")
+    versions = sorted(
+        n for n in os.listdir(md) if n.endswith(".metadata.json")
+    )
+    latest = os.path.join(md, versions[-1])
+    meta = json.load(open(latest))
+    meta["format-version"] = 4
+    json.dump(meta, open(latest, "w"))
+    with pytest.raises(NotImplementedError, match="format-version 4"):
+        read_iceberg(spark, t).collect()
