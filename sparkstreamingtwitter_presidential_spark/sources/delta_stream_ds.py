@@ -140,6 +140,14 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.max_commits = (
             int(options.get("maxCommitsPerTrigger", "0")) or None
         )
+        # byte-based admission (r10 — what real backfills tune): cap
+        # each micro-batch at the first commit boundary where the
+        # cumulative ADDED bytes would exceed the budget, always
+        # admitting at least one commit so the stream progresses (the
+        # real maxBytesPerTrigger's soft-max semantics). Engages once
+        # the mark is known, same protocol note as maxCommitsPerTrigger.
+        self.max_bytes = int(options.get("maxBytesPerTrigger", "0")) or None
+        self._commit_bytes_cache: dict[int, int] = {}
         self.progress_dir = options.get("progress_dir")
         # persisted mark uses COUNT semantics (versions consumed ==
         # last version + 1) so the empty-progress-dir cold-start value
@@ -157,10 +165,36 @@ class DeltaStreamReader(DataSourceStreamReader):
         # so this must not consult the high-water mark)
         return {"version": self.starting_version - 1}
 
+    def _commit_bytes(self, v: int) -> int:
+        """Total ADDED bytes of one commit (dataChange adds), cached —
+        O(new commits) driver metadata reads per trigger, never data."""
+        if v not in self._commit_bytes_cache:
+            total = 0
+            commit = os.path.join(_log_path(self.path), f"{v:020d}.json")
+            with open(commit) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    add = action.get("add")
+                    if add is not None and add.get("dataChange", True):
+                        total += int(add.get("size", 0))
+            self._commit_bytes_cache[v] = total
+        return self._commit_bytes_cache[v]
+
     def latestOffset(self) -> dict:
         v = _replay_log(self.path, None).version
         if self.max_commits is not None and self._last is not None:
             v = min(v, self._last + self.max_commits)
+        if self.max_bytes is not None and self._last is not None:
+            admitted, total = self._last, 0
+            for cv in range(self._last + 1, v + 1):
+                b = self._commit_bytes(cv)
+                if admitted > self._last and total + b > self.max_bytes:
+                    break
+                admitted, total = cv, total + b
+            v = admitted
         if self._last is not None:
             v = max(v, self._last)  # monotone (log never shrinks anyway)
         # never below the stream's logical beginning (a capped cold

@@ -590,7 +590,15 @@ def write_hudi(
     for rel in _write_slices_bulk(staged, path, record_key, instant):
         part, base = os.path.split(rel)
         stats.setdefault(part, []).append(
-            {"path": rel, "fileId": base.split("_")[0]}
+            {
+                "path": rel,
+                "fileId": base.split("_")[0],
+                # real Hudi writes per-file sizes; the streaming
+                # source's maxBytesPerTrigger admission reads them
+                "fileSizeInBytes": os.path.getsize(
+                    os.path.join(path, rel)
+                ),
+            }
         )
     commit_meta = {
         "operationType": "INSERT_OVERWRITE_TABLE"
@@ -1187,7 +1195,11 @@ def upsert_hudi(
     for n in names:  # names are partition-relative paths
         part, base = os.path.split(n)
         stats.setdefault(part, []).append(
-            {"path": n, "fileId": base.split("_")[0]}
+            {
+                "path": n,
+                "fileId": base.split("_")[0],
+                "fileSizeInBytes": os.path.getsize(os.path.join(path, n)),
+            }
         )
         written.add((part, base.split("_")[0]))
     # a matched group whose EVERY row moved to another partition has no

@@ -85,6 +85,13 @@ class HudiStreamReader(DataSourceStreamReader):
         self.max_commits = (
             int(options.get("maxCommitsPerTrigger", "0")) or None
         )
+        # byte-based admission (r10): per-commit write sizes from the
+        # commit metadata's fileSizeInBytes (this engine writes them;
+        # foreign commits without the field fall back to one os.stat
+        # per written slice, cached). Soft max — at least one commit
+        # always admits.
+        self.max_bytes = int(options.get("maxBytesPerTrigger", "0")) or None
+        self._commit_bytes_cache: dict[str, int] = {}
         self.progress_dir = options.get("progress_dir")
         # persisted as int(instant); 0 == nothing consumed
         hw = load_high_water(self.progress_dir, "hudi_native")
@@ -95,6 +102,28 @@ class HudiStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"instant": self.starting}
 
+    def _commit_bytes(self, c: str) -> int:
+        if c not in self._commit_bytes_cache:
+            total = 0
+            with open(
+                os.path.join(_hoodie(self.path), f"{c}.commit"),
+                encoding="utf-8",
+            ) as fh:
+                meta = json.load(fh)
+            for sts in (meta.get("partitionToWriteStats") or {}).values():
+                for st in sts:
+                    if "fileSizeInBytes" in st:
+                        total += int(st["fileSizeInBytes"])
+                    elif st.get("path"):
+                        try:
+                            total += os.path.getsize(
+                                os.path.join(self.path, st["path"])
+                            )
+                        except OSError:
+                            pass
+            self._commit_bytes_cache[c] = total
+        return self._commit_bytes_cache[c]
+
     def latestOffset(self) -> dict:
         commits = _completed_commits(self.path)
         floor = self._last if self._last is not None else ""
@@ -102,6 +131,15 @@ class HudiStreamReader(DataSourceStreamReader):
         news = [c for c in commits if c > floor]
         if self.max_commits is not None and self._last is not None:
             news = news[: self.max_commits]
+        if self.max_bytes is not None and self._last is not None:
+            kept, total = [], 0
+            for c in news:
+                b = self._commit_bytes(c)
+                if kept and total + b > self.max_bytes:
+                    break
+                kept.append(c)
+                total += b
+            news = kept
         cur = news[-1] if news else floor
         if self._last is not None:
             cur = max(cur, self._last)

@@ -2830,6 +2830,12 @@ def _commit_snapshot(
             "operation": operation,
             "added-data-files": str(len(added_files)),
             "added-records": str(added_rows),
+            # real-writer parity; the streaming source's
+            # maxBytesPerTrigger admission reads this without a
+            # manifest walk
+            "added-files-size": str(
+                sum(int(f.get("file_size_in_bytes", 0)) for f in added_files)
+            ),
             # caller-supplied summary properties ride IN the atomic
             # commit (the streaming sink's exactly-once marker channel,
             # like the real Spark/Flink sinks' epoch/checkpoint ids)

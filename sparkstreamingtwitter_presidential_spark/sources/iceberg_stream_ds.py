@@ -86,6 +86,12 @@ class IcebergStreamReader(DataSourceStreamReader):
         self.max_snapshots = (
             int(options.get("maxSnapshotsPerTrigger", "0")) or None
         )
+        # byte-based admission (r10): cumulative added-files-size from
+        # the snapshot summaries (real-writer + this engine's field);
+        # summaries without it fall back to one cached manifest walk.
+        # Soft max — at least one snapshot always admits.
+        self.max_bytes = int(options.get("maxBytesPerTrigger", "0")) or None
+        self._snap_bytes_cache: dict[int, int] = {}
         self.progress_dir = options.get("progress_dir")
         # sequence numbers are 1-based, so load_high_water's cold-start
         # 0 natively means "nothing consumed" — no count shift needed
@@ -96,12 +102,60 @@ class IcebergStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"seq": self.starting_seq}
 
+    def _snapshot_bytes(self, meta: dict, snap: dict) -> int:
+        sid = snap["snapshot-id"]
+        if sid not in self._snap_bytes_cache:
+            summ = snap.get("summary") or {}
+            if "added-files-size" in summ:
+                self._snap_bytes_cache[sid] = int(summ["added-files-size"])
+            else:
+                # one cached walk of the snapshot's manifest list,
+                # counting its own ADDED data entries' sizes
+                total = 0
+                seq = snap["sequence-number"]
+                _, _, manifests = read_container(snap["manifest-list"])
+                for m in manifests:
+                    if m["content"] != 0 or m["sequence_number"] != seq:
+                        continue
+                    _, _, entries = read_container(m["manifest_path"])
+                    for e in entries:
+                        eseq = e.get("sequence_number")
+                        if eseq is None:
+                            eseq = m["sequence_number"]
+                        if e["status"] != _STATUS_DELETED and eseq == seq:
+                            total += int(
+                                e["data_file"].get("file_size_in_bytes", 0)
+                            )
+                self._snap_bytes_cache[sid] = total
+        return self._snap_bytes_cache[sid]
+
     def latestOffset(self) -> dict:
         meta = _load_metadata(self.path)
         cur = _snapshot(meta, None)
         s = cur["sequence-number"]
         if self.max_snapshots is not None and self._last is not None:
             s = min(s, self._last + self.max_snapshots)
+        if self.max_bytes is not None and self._last is not None:
+            anc = _ancestor_ids(meta, cur["snapshot-id"])
+            cands = sorted(
+                (
+                    x
+                    for x in meta.get("snapshots", [])
+                    if self._last < x.get("sequence-number", 0) <= s
+                    and x["snapshot-id"] in anc
+                ),
+                key=lambda x: x["sequence-number"],
+            )
+            if cands:  # branch-only windows advance uncapped (they
+                # plan no files; capping to _last would stall the
+                # stream behind another branch's commits)
+                admitted, total = self._last, 0
+                for x in cands:
+                    b = self._snapshot_bytes(meta, x)
+                    if admitted > self._last and total + b > self.max_bytes:
+                        break
+                    admitted, total = x["sequence-number"], total + b
+                s = admitted
         if self._last is not None:
             s = max(s, self._last)
         s = max(s, self.starting_seq)

@@ -180,3 +180,50 @@ def test_stream_refusals_at_schema_time(spark, tmp_path):
     )
     with pytest.raises(Exception, match="column-mapped"):
         spark.readStream.format("delta_native").load(t).schema
+
+
+def test_stream_caps_backlog_by_bytes(spark, tmp_path):
+    """maxBytesPerTrigger (r10): a tiny byte budget admits one commit
+    per micro-batch (soft max — at least one always admits), the
+    whole backlog still drains, and a generous budget drains it in
+    one batch."""
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    for i in range(4):
+        write_delta(
+            spark.createDataFrame(
+                [(i, 0, float(i))], "id long, part int, v double"
+            ),
+            t,
+            mode="append",
+        )
+    ckpt = str(tmp_path / "ckpt")
+    sink: list = []
+    counts: list = []
+    _run(
+        spark, t, ckpt, sink, batches=counts,
+        maxBytesPerTrigger="1", progress_dir=ckpt,
+    )
+    assert sorted(r[0] for r in sink) == [0, 1, 2, 3]
+    nonzero = [c for c in counts if c]
+    assert nonzero == [1, 1, 1, 1], (
+        "1-byte budget must admit exactly one commit per batch"
+    )
+    # generous budget: everything in one batch
+    t2 = str(tmp_path / "t2")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame(
+                [(i, 0, float(i))], "id long, part int, v double"
+            ),
+            t2,
+            mode="append",
+        )
+    sink2: list = []
+    counts2: list = []
+    _run(
+        spark, t2, str(tmp_path / "ckpt2"), sink2, batches=counts2,
+        maxBytesPerTrigger=str(1 << 30), progress_dir=str(tmp_path / "ckpt2"),
+    )
+    assert sorted(r[0] for r in sink2) == [0, 1, 2]
+    assert [c for c in counts2 if c] == [3]

@@ -199,3 +199,51 @@ def test_unknown_reader_feature_still_refuses(spark, tmp_path):
     open(log, "w").write("\n".join(out) + "\n")
     with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta(spark, t)
+
+
+def test_v2_checkpoint_write_bootstrap_roundtrip(spark, tmp_path):
+    """r10 (r9 verdict stretch #9): write_checkpoint(v2=True) emits the
+    uuid-manifest + _sidecars/ parquet form; a reader bootstraps from
+    it after the JSON commits expire, including later commits, txn
+    markers, and DV descriptors carried through the sidecar."""
+    import glob
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _replay_log,
+        expire_log,
+        write_checkpoint,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i}", float(i)) for i in range(20)],
+        "id long, s string, v double",
+    )
+    write_delta(df.repartition(2), t, txn=("app", 7))
+    delete_delta_dv(spark, t, "id % 5 = 0")  # v1: DV commit
+    v = write_checkpoint(t, v2=True)
+    assert v == 1
+    manifests = glob.glob(
+        os.path.join(t, "_delta_log", "*.checkpoint.*.json")
+    )
+    sidecars = glob.glob(os.path.join(t, "_delta_log", "_sidecars", "*.parquet"))
+    assert len(manifests) == 1 and len(sidecars) == 1
+    # manifest carries NO file actions — they live in the sidecar
+    for ln in open(manifests[0]).read().splitlines():
+        act = json.loads(ln)
+        assert "add" not in act and "remove" not in act
+    # later commit + expire the pre-checkpoint JSON commits
+    write_delta(
+        spark.createDataFrame([(100, "x", 1.0)], "id long, s string, v double"),
+        t,
+    )
+    expire_log(t, keep_from=2)
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == [i for i in range(20) if i % 5 != 0] + [100]
+    # txn marker and DV descriptors survived the bootstrap
+    snap = _replay_log(t, None)
+    assert snap.transactions.get("app") == 7
+    assert any(a.get("deletionVector") for a in snap.files.values())

@@ -146,3 +146,27 @@ def test_hudi_stream_refuses_overwrite_in_range(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="overwrite"):
         _run(spark, t, str(tmp_path / "ckpt"), [])
+
+
+def test_hudi_stream_caps_backlog_by_bytes(spark, tmp_path):
+    """maxBytesPerTrigger (r10): a 1-byte budget admits one commit per
+    micro-batch from the commit metadata's fileSizeInBytes (soft max);
+    the backlog still drains completely."""
+    register_hudi_stream(spark)
+    t = str(tmp_path / "t")
+    for i in range(4):
+        write_hudi(
+            _df(spark, [(i, "x", float(i))]).repartition(1),
+            t,
+            record_key="id",
+            mode="append",
+        )
+    ckpt = str(tmp_path / "ckpt")
+    sink: list = []
+    counts: list = []
+    _run(
+        spark, t, ckpt, sink, batches=counts,
+        maxBytesPerTrigger="1", progress_dir=ckpt,
+    )
+    assert sorted(r[0] for r in sink) == [0, 1, 2, 3]
+    assert [c for c in counts if c] == [1, 1, 1, 1]

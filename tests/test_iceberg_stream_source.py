@@ -156,3 +156,22 @@ def test_iceberg_stream_starting_sequence(spark, tmp_path):
         spark, t, str(tmp_path / "ckpt"), sink, startingSequence="1"
     )
     assert [r[0] for r in sink] == [2]
+
+
+def test_iceberg_stream_caps_backlog_by_bytes(spark, tmp_path):
+    """maxBytesPerTrigger (r10): a 1-byte budget admits one snapshot
+    per micro-batch via the summary's added-files-size (soft max);
+    the backlog still drains completely."""
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    for i in range(4):
+        write_iceberg(_df(spark, [(i, "x", float(i))]), t, mode="append")
+    ckpt = str(tmp_path / "ckpt")
+    sink: list = []
+    counts: list = []
+    _run(
+        spark, t, ckpt, sink, batches=counts,
+        maxBytesPerTrigger="1", progress_dir=ckpt,
+    )
+    assert sorted(r[0] for r in sink) == [0, 1, 2, 3]
+    assert [c for c in counts if c] == [1, 1, 1, 1]
