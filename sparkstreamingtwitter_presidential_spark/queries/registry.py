@@ -386,12 +386,17 @@ GRADED_FIRST: list[str] = [
     # and the dedup family gains the collated variant; stays in
     # tests/test_queries_oracle.py + the streaming pytest suite).
     "dedup_exact_case_insensitive",
-    # Round-6 late: Iceberg manifest-bounds file skipping (in-query
-    # RAISE unless files pruned — the Delta skipping query's twin).
-    # Ceded: tpch_q9_product_type_profit (r4+r5 driver-green; TPC-H
-    # keeps Q3/Q5/Q8/Q15 graded incl. the 7-table star join; Q9 stays
-    # bench-adjacent in tests/test_queries_oracle.py).
-    "lakehouse_iceberg_skipping_agg",
+    # Round-10: Iceberg FORMAT-VERSION 3 read with Puffin deletion
+    # vectors (forged v3 metadata + deletion-vector-v1 blobs located
+    # by manifest offsets; in-query RAISE unless the metadata is v3
+    # AND carries PUFFIN delete entries — the r9 verdict's #3 interop
+    # gap, lifted this round). Ceded: lakehouse_iceberg_skipping_agg
+    # (r6-r9 driver-green, four rounds; file skipping stays graded
+    # via lakehouse_iceberg_transform_partitioned_agg's pruning RAISE
+    # and the mapped-DML query's physical-keyed stats assertion, and
+    # the manifest-bounds variant stays in
+    # tests/test_queries_oracle.py).
+    "lakehouse_iceberg_v3_dv_agg",
 ]
 
 # Graded window of each completed round (keys of CORRECTNESS_r{N}.json).
