@@ -385,17 +385,6 @@ def _column_mapping(snap: _Snapshot) -> dict[str, str] | None:
     return out
 
 
-def _refuse_column_mapping(snap: _Snapshot, ctx: str) -> None:
-    """Write paths stage files and stats under LOGICAL names; on a
-    mapped table that would corrupt the physical-name contract —
-    refuse (read support only)."""
-    if _column_mapping(snap) is not None:
-        raise NotImplementedError(
-            f"{ctx} on a column-mapped table is not supported by this "
-            "native writer (reads are)"
-        )
-
-
 def _refuse_unenforced_writer_contracts(
     snap: _Snapshot, ctx: str, emits_removes: bool
 ) -> None:
@@ -1221,13 +1210,15 @@ def delta_changes(
     the real streaming source has."""
     end = _replay_log(path, to_version)  # validates to_version exists
     # mapped tables store PHYSICAL column names in data files and key
-    # partitionValues by them; scanning under logical names here would
-    # return all-NULL rows — refuse like the DML paths (ADVICE r8).
+    # partitionValues by them — scan under the physical names and
+    # alias back to logical (r10; an r8 ADVICE refusal until the DML
+    # paths proved the mapping plumbing).
     # DVs need no blanket refusal (r9 late): a DV attach IN RANGE is a
     # remove+re-add and raises on the remove below; vectors on files
     # OUTSIDE the range cannot reference the range's new adds, which
     # are the only files this read scans.
-    _refuse_column_mapping(end, "delta_changes")
+    mapping = _column_mapping(end)
+    phys = (lambda c: mapping[c]) if mapping else (lambda c: c)
     if from_version > end.version:
         raise ValueError(
             f"from_version {from_version} > table version {end.version}"
@@ -1237,7 +1228,13 @@ def delta_changes(
     data_fields = [
         f for f in schema.fields if f.name not in end.partition_columns
     ]
-    data_schema = StructType(data_fields)
+    data_schema = StructType(
+        [
+            StructField(phys(f.name), f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
+    data_sel = [F.col(phys(f.name)).alias(f.name) for f in data_fields]
     part_types = {
         f.name: f.dataType
         for f in schema.fields
@@ -1287,7 +1284,9 @@ def delta_changes(
     groups: dict[tuple, list[tuple[str, int]]] = {}
     for v, a in new_adds:
         pv = a.get("partitionValues", {})
-        key = tuple(pv.get(c) for c in end.partition_columns)
+        key = tuple(
+            pv.get(phys(c), pv.get(c)) for c in end.partition_columns
+        )
         groups.setdefault(key, []).append(
             (os.path.join(path, urllib.parse.unquote(a["path"])), v)
         )
@@ -1299,7 +1298,9 @@ def delta_changes(
         for fp, v in files:
             by_v.setdefault(v, []).append(fp)
         for v, paths in sorted(by_v.items()):
-            df = spark.read.schema(data_schema).parquet(*sorted(paths))
+            df = spark.read.schema(data_schema).parquet(
+                *sorted(paths)
+            ).select(*data_sel)
             for col, val in zip(end.partition_columns, key):
                 df = df.withColumn(col, F.lit(val).cast(part_types[col]))
             df = df.withColumn("_commit_version", F.lit(v).cast("long"))

@@ -65,9 +65,11 @@ from sparkstreamingtwitter_presidential_spark.sources.stream_progress import (
 
 class _AddFilePartition(InputPartition):
     """One data file of one commit: absolute path, the declared fields
-    as (name, ddl_type, is_partition) triples in schema order, and the
-    add's partitionValues (log-encoded strings). Picklable — read()
-    runs executor-side with no driver state."""
+    as (name, physical_name, ddl_type, is_partition) tuples in schema
+    order (physical == logical on unmapped tables; mapped tables' data
+    files store the physical names, r10), and the add's partitionValues
+    re-keyed to LOGICAL names (log-encoded strings). Picklable —
+    read() runs executor-side with no driver state."""
 
     def __init__(self, path: str, fields: list, part_values: dict):
         self.path = path
@@ -244,6 +246,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                             "deletion vector (row-level DELETE) — "
                             "append-only stream, see above"
                         )
+                    pv = add.get("partitionValues", {})
                     out.append(
                         _AddFilePartition(
                             os.path.join(
@@ -251,7 +254,14 @@ class DeltaStreamReader(DataSourceStreamReader):
                                 urllib.parse.unquote(add["path"]),
                             ),
                             self.fields,
-                            add.get("partitionValues", {}),
+                            # mapped tables key partitionValues by
+                            # PHYSICAL name; re-key to logical here so
+                            # read() stays mapping-blind
+                            {
+                                n: pv.get(ph, pv.get(n))
+                                for n, ph, _t, is_p in self.fields
+                                if is_p
+                            },
                         )
                     )
         return out
@@ -261,13 +271,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         data_cols = [
-            n for n, _t, is_p in partition.fields if not is_p
+            ph for _n, ph, _t, is_p in partition.fields if not is_p
         ]
         pf = pq.ParquetFile(partition.path)
         for batch in pf.iter_batches(columns=data_cols):
             n = batch.num_rows
             arrays, names = [], []
-            for name, ddl, is_part in partition.fields:
+            for name, phys, ddl, is_part in partition.fields:
                 if is_part:
                     pv = _pv_python(
                         partition.part_values.get(name), ddl
@@ -276,8 +286,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                         pa.array([pv] * n, type=_pa_type(ddl))
                     )
                 else:
+                    # files store the PHYSICAL name; emit the logical
                     arrays.append(
-                        batch.column(batch.schema.names.index(name))
+                        batch.column(batch.schema.names.index(phys))
                     )
                 names.append(name)
             yield pa.RecordBatch.from_arrays(arrays, names=names)
@@ -303,15 +314,15 @@ class DeltaNativeDataSource(DataSource):
         if not path:
             raise ValueError("delta_native: .load(path) is required")
         snap = _replay_log(path, None)
-        if _column_mapping(snap) is not None:
-            raise NotImplementedError(
-                "delta_native stream on a column-mapped table is not "
-                "supported (data files store physical names)"
-            )
+        # mapped tables stream too (r10): the planner carries each
+        # field's PHYSICAL name so executors read the right parquet
+        # columns and emit logical names
+        mapping = _column_mapping(snap) or {}
         assert snap.schema is not None
         return [
             (
                 f.name,
+                mapping.get(f.name, f.name),
                 f.dataType.simpleString(),
                 f.name in snap.partition_columns,
             )
@@ -320,7 +331,7 @@ class DeltaNativeDataSource(DataSource):
 
     def schema(self) -> str:
         return ", ".join(
-            f"{n} {t}" for n, t, _p in self._snapshot_fields()
+            f"{n} {t}" for n, _ph, t, _p in self._snapshot_fields()
         )
 
     def streamReader(self, schema: StructType) -> DeltaStreamReader:

@@ -246,3 +246,60 @@ def test_id_mode_dml_refuses(spark, tmp_path):
         optimize_delta(spark, t)
     with pytest.raises(NotImplementedError, match="id-mode"):
         delete_delta_dv(spark, t, "id = 1")
+
+
+def test_mapped_delta_changes_incremental(spark, tmp_path):
+    """File-level incremental reads (delta_changes) resolve physical
+    names on mapped tables (r10 — an r8 ADVICE refusal)."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        delta_changes,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0)]), t, partition_by=["grp"],
+        column_mapping="name",
+    )
+    write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    write_delta(_df(spark, [(3, "a", 3.0)]), t)
+    got = sorted(
+        (r["id"], r["grp"], r["v"], r["_commit_version"])
+        for r in delta_changes(spark, t, from_version=0).collect()
+    )
+    assert got == [(2, "b", 2.0, 1), (3, "a", 3.0, 2)]
+
+
+def test_mapped_table_streams_logical_columns(spark, tmp_path):
+    """delta_native streams mapped tables (r10 — refused at schema
+    time through r9): executors read the physical parquet columns and
+    emit logical names, partition values re-keyed through the map."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_stream_ds import (
+        register_delta_stream,
+    )
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+        t,
+        partition_by=["grp"],
+        column_mapping="name",
+    )
+    write_delta(_df(spark, [(3, "a", 3.0)]), t)
+    sink: list = []
+    q = (
+        spark.readStream.format("delta_native")
+        .load(t)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: sink.extend(
+            (r["id"], r["grp"], r["v"]) for r in df.collect()
+        ))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert sorted(sink) == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
