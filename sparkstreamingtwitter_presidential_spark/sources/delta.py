@@ -385,6 +385,28 @@ def _column_mapping(snap: _Snapshot) -> dict[str, str] | None:
     return out
 
 
+def _mapping_field_ids(snap: _Snapshot) -> dict[str, int]:
+    """logical name -> delta.columnMapping.id for top-level fields
+    (empty when unmapped or ids absent). Staged parquet for mapped
+    tables carries these as parquet field ids (Spark's
+    parquet.field.id StructField metadata +
+    spark.sql.parquet.fieldId.write.enabled, default on), which is
+    what makes the files resolvable by ID-MODE readers — the real
+    writer emits them in both mapping modes."""
+    md = snap.metadata_action or {}
+    if (md.get("configuration") or {}).get("delta.columnMapping.mode") in (
+        None,
+        "none",
+    ):
+        return {}
+    out: dict[str, int] = {}
+    for f in snap.schema.fields if snap.schema is not None else []:
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        if fid is not None:
+            out[f.name] = int(fid)
+    return out
+
+
 def _refuse_unenforced_writer_contracts(
     snap: _Snapshot, ctx: str, emits_removes: bool
 ) -> None:
@@ -1860,16 +1882,15 @@ def write_delta(
             cm_mode = (
                 (existing.metadata_action or {}).get("configuration") or {}
             ).get("delta.columnMapping.mode")
-            if cm_mode == "id":
-                # id-mode readers resolve columns by PARQUET FIELD ID,
-                # which this staging never emits — an append would
-                # commit files real id-mode readers resolve to nulls.
-                # Reads here are name-based and keep working; writes
-                # refuse (never foreign-side wrong rows).
+            if cm_mode == "id" and not _mapping_field_ids(existing):
+                # id-mode readers resolve columns by PARQUET FIELD ID;
+                # staged files carry them from delta.columnMapping.id
+                # (r10) — but a table declaring id mode WITHOUT ids in
+                # its schema metadata cannot be staged resolvably
                 raise NotImplementedError(
-                    "writes to an id-mode column-mapped table are not "
-                    "supported (staged parquet carries no field ids); "
-                    "name-mode tables and reads are"
+                    "id-mode column-mapped table lacks "
+                    "delta.columnMapping.id field metadata; staged "
+                    "files would not be resolvable by id-mode readers"
                 )
         if partition_by and partition_by != existing.partition_columns:
             raise ValueError(
@@ -1996,9 +2017,23 @@ def write_delta(
     stage_partition_by = partition_by
     if mapping is not None:
         # mapped tables: data files (and partition dirs, hence the
-        # add's partitionValues keys) store PHYSICAL names
+        # add's partitionValues keys) store PHYSICAL names, plus
+        # parquet FIELD IDS from delta.columnMapping.id (r10) so
+        # id-mode readers resolve the staged files too
+        fids = (
+            _mapping_field_ids(existing)
+            if existing is not None
+            else {f.name: i + 1 for i, f in enumerate(df.schema.fields)}
+        )
         df = df.select(
-            *[F.col(c).alias(mapping[c]) for c in df.columns]
+            *[
+                F.col(c).alias(
+                    mapping[c], metadata={"parquet.field.id": fids[c]}
+                )
+                if c in fids
+                else F.col(c).alias(mapping[c])
+                for c in df.columns
+            ]
         )
         stage_partition_by = [mapping[c] for c in partition_by]
     actions.extend(_stage_files(df, path, stage_partition_by))

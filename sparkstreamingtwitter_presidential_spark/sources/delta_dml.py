@@ -44,6 +44,7 @@ from pyspark.sql.types import StructField, StructType
 
 from sparkstreamingtwitter_presidential_spark.sources.delta import (
     _column_mapping,
+    _mapping_field_ids,
     _refuse_dvs,
     _refuse_unenforced_writer_contracts,
     _replay_log,
@@ -66,23 +67,43 @@ _POS_COL = "__delta_pos"
 def _write_mapping(snap: _Snapshot, ctx: str) -> dict[str, str] | None:
     """Logical→physical name mapping for a DML rewrite, or None when
     the table is unmapped. Mirrors write_delta's contract (r10 — DML
-    previously refused mapped tables outright): NAME-mode tables work
-    end-to-end (scans resolve physical names, rewrites stage physical-
-    named files + partition dirs), id-mode tables refuse because this
-    engine's staged parquet carries no field ids — an id-mode reader
-    would resolve every rewritten column to null."""
+    previously refused mapped tables outright): mapped tables work
+    end-to-end — scans resolve physical names, rewrites stage
+    physical-named files + partition dirs + parquet FIELD IDS from
+    delta.columnMapping.id (so id-mode readers resolve them too). An
+    id-mode table WITHOUT ids in its schema metadata refuses: staged
+    files would not be resolvable by id-mode readers."""
     mapping = _column_mapping(snap)
     if mapping is not None:
         mode = (
             (snap.metadata_action or {}).get("configuration") or {}
         ).get("delta.columnMapping.mode")
-        if mode == "id":
+        if mode == "id" and not _mapping_field_ids(snap):
             raise NotImplementedError(
-                f"{ctx} on an id-mode column-mapped table is not "
-                "supported (staged parquet carries no field ids); "
-                "name-mode tables and reads are"
+                f"{ctx}: id-mode column-mapped table lacks "
+                "delta.columnMapping.id field metadata; staged files "
+                "would not be resolvable by id-mode readers"
             )
     return mapping
+
+
+def _phys_select(df: DataFrame, snap: _Snapshot, mapping: dict[str, str]):
+    """Rename a LOGICAL-named frame to physical names, attaching each
+    column's parquet field id from delta.columnMapping.id (columns
+    outside the mapping — e.g. cdc's _change_type — pass through)."""
+    fids = _mapping_field_ids(snap)
+    return df.select(
+        *[
+            (
+                F.col(c).alias(
+                    mapping[c], metadata={"parquet.field.id": fids[c]}
+                )
+                if c in mapping and c in fids
+                else F.col(c).alias(mapping.get(c, c))
+            )
+            for c in df.columns
+        ]
+    )
 
 
 def _stage_table_files(
@@ -98,9 +119,10 @@ def _stage_table_files(
     contract foreign readers resolve by."""
     if mapping is None:
         return _stage_files(df, table_path, snap.partition_columns)
-    df = df.select(*[F.col(c).alias(mapping[c]) for c in df.columns])
     return _stage_files(
-        df, table_path, [mapping[c] for c in snap.partition_columns]
+        _phys_select(df, snap, mapping),
+        table_path,
+        [mapping[c] for c in snap.partition_columns],
     )
 
 
@@ -115,11 +137,10 @@ def _stage_cdc_mapped(
     never mapped."""
     if mapping is None:
         return _stage_cdc_files(change_df, table_path, snap.partition_columns)
-    change_df = change_df.select(
-        *[F.col(c).alias(mapping.get(c, c)) for c in change_df.columns]
-    )
     return _stage_cdc_files(
-        change_df, table_path, [mapping[c] for c in snap.partition_columns]
+        _phys_select(change_df, snap, mapping),
+        table_path,
+        [mapping[c] for c in snap.partition_columns],
     )
 
 

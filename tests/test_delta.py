@@ -539,10 +539,11 @@ def test_create_column_mapped_partitioned_table(spark, tmp_path):
     assert (4, "c", 4.0) in _rows(read_delta(spark, t))
 
 
-def test_id_mode_mapped_table_write_refuses(spark, tmp_path):
-    """ID-mode readers resolve columns by parquet field id, which this
-    staging never writes — appends must refuse (r9 review finding);
-    name-based reads keep working."""
+def test_id_mode_mapped_table_write_stages_field_ids(spark, tmp_path):
+    """ID-mode readers resolve columns by parquet field id — staged
+    appends carry them from delta.columnMapping.id (r10; a refusal
+    through r9), so both name- and id-based readers resolve the new
+    files; name-based reads keep working."""
     import json as _json
 
     t = str(tmp_path / "t")
@@ -574,13 +575,42 @@ def test_id_mode_mapped_table_write_refuses(spark, tmp_path):
         out.append(_json.dumps(act))
     open(log, "w").write("\n".join(out) + "\n")
     assert read_delta(spark, t).count() == 1
-    with pytest.raises(NotImplementedError, match="id-mode"):
-        write_delta(
-            spark.createDataFrame(
-                [(2, "b", 2.0)], "id long, s string, v double"
-            ),
-            t,
-        )
+    write_delta(
+        spark.createDataFrame(
+            [(2, "b", 2.0)], "id long, s string, v double"
+        ),
+        t,
+    )
+    back = read_delta(spark, t)
+    assert sorted((r.id, r.s, r.v) for r in back.collect()) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+    ]
+    # the staged file carries PHYSICAL names AND parquet field ids
+    import pyarrow.parquet as _pq
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _replay_log as _rl,
+    )
+
+    snap = _rl(t, None)
+    newest = max(snap.files, key=lambda p: snap.files[p]["modificationTime"])
+    psch = _pq.ParquetFile(os.path.join(t, newest)).schema
+    by_name = {
+        psch.column(i).name: psch.column(i)
+        for i in range(len(psch.names))
+    }
+    assert set(by_name) == {"col-abc123", "col-def456", "col-ghi789"}
+    sch_arrow = _pq.ParquetFile(os.path.join(t, newest)).schema_arrow
+    fids = {
+        f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+        for f in sch_arrow
+    }
+    assert fids == {
+        "col-abc123": b"1",
+        "col-def456": b"2",
+        "col-ghi789": b"3",
+    }
 
 
 def test_unenforced_writer_contracts_refuse(spark, tmp_path):

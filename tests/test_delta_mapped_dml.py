@@ -207,9 +207,11 @@ def test_mapped_keyed_diff_changes(spark, tmp_path):
     assert got == [(1, "delete")]
 
 
-def test_id_mode_dml_refuses(spark, tmp_path):
-    """ID-mode tables resolve columns by parquet field id, which this
-    staging never writes — every DML refuses by name; reads work."""
+def test_id_mode_dml_works_with_field_ids(spark, tmp_path):
+    """ID-mode DML works since r10: rewrites stage physical names AND
+    parquet field ids from delta.columnMapping.id, so id-mode readers
+    resolve the rewritten files; an id-mode table WITHOUT ids in its
+    schema metadata still refuses by name."""
     t = str(tmp_path / "t")
     phys = spark.createDataFrame(
         [(1, "a", 1.0), (2, "b", 2.0)],
@@ -236,16 +238,35 @@ def test_id_mode_dml_refuses(spark, tmp_path):
         out.append(json.dumps(act))
     open(log, "w").write("\n".join(out) + "\n")
     assert read_delta(spark, t).count() == 2
-    with pytest.raises(NotImplementedError, match="id-mode"):
-        delete_delta(spark, t, "id = 1")
-    with pytest.raises(NotImplementedError, match="id-mode"):
-        update_delta(spark, t, {"v": "v + 1"})
-    with pytest.raises(NotImplementedError, match="id-mode"):
-        merge_delta(spark, t, _df(spark, [(9, "z", 9.0)]), keys=["id"])
-    with pytest.raises(NotImplementedError, match="id-mode"):
-        optimize_delta(spark, t)
-    with pytest.raises(NotImplementedError, match="id-mode"):
-        delete_delta_dv(spark, t, "id = 1")
+    delete_delta(spark, t, "id = 1")
+    update_delta(spark, t, {"v": "v + 1"})
+    merge_delta(spark, t, _df(spark, [(9, "z", 9.0)]), keys=["id"])
+    assert _rows(read_delta(spark, t)) == [(2, "b", 3.0), (9, "z", 9.0)]
+    # every rewritten file resolves by ID too: physical names + fids
+    import pyarrow.parquet as pq
+
+    snap = _replay_log(t, None)
+    want_fids = {b"1", b"2", b"3"}
+    for rel in snap.files:
+        sch = pq.ParquetFile(os.path.join(t, rel)).schema_arrow
+        got = {
+            (f.metadata or {}).get(b"PARQUET:field_id") for f in sch
+        }
+        assert got == want_fids, f"{rel} missing field ids: {got}"
+    # an id-mode table with the id metadata STRIPPED still refuses
+    log2 = os.path.join(t, "_delta_log", "00000000000000000000.json")
+    out2 = []
+    for ln in open(log2).read().splitlines():
+        act = json.loads(ln)
+        if "metaData" in act:
+            sch2 = json.loads(act["metaData"]["schemaString"])
+            for f in sch2["fields"]:
+                f["metadata"].pop("delta.columnMapping.id", None)
+            act["metaData"]["schemaString"] = json.dumps(sch2)
+        out2.append(json.dumps(act))
+    open(log2, "w").write("\n".join(out2) + "\n")
+    with pytest.raises(NotImplementedError, match="columnMapping.id"):
+        delete_delta(spark, t, "id = 2")
 
 
 def test_mapped_delta_changes_incremental(spark, tmp_path):
