@@ -1961,21 +1961,44 @@ def write_delta(
         assert existing.schema is not None
         have = {f.name for f in existing.schema.fields}
         new_fields = [f for f in df.schema.fields if f.name not in have]
-        if new_fields and mapping is not None:
-            raise NotImplementedError(
-                "schema evolution on a column-mapped table is not "
-                "supported by this writer (new fields need fresh "
-                "physical names/ids owned by the mapping writer)"
-            )
         if new_fields:
             if not merge_schema:
                 raise ValueError(
                     f"incoming columns {[f.name for f in new_fields]} not "
                     "in table schema; pass merge_schema=True to evolve"
                 )
-            evolved = StructType(list(existing.schema.fields) + new_fields)
             assert existing.metadata_action is not None
             md = dict(existing.metadata_action)
+            if mapping is not None:
+                # mapped-table evolution (r10 — a refusal through r9):
+                # each new field gets a FRESH physical name and the
+                # next delta.columnMapping.id; maxColumnId advances in
+                # the same metaData action (the real writer's shape)
+                cfg = dict(md.get("configuration") or {})
+                next_id = max(
+                    [int(cfg.get("delta.columnMapping.maxColumnId", 0))]
+                    + list(_mapping_field_ids(existing).values())
+                )
+                mapped_new = []
+                for f in new_fields:
+                    next_id += 1
+                    phys_name = f"col-{uuid.uuid4().hex[:16]}"
+                    mapping[f.name] = phys_name
+                    mapped_new.append(
+                        StructField(
+                            f.name,
+                            f.dataType,
+                            f.nullable,
+                            {
+                                "delta.columnMapping.id": next_id,
+                                "delta.columnMapping.physicalName": phys_name,
+                            },
+                        )
+                    )
+                new_fields = mapped_new
+                cfg["delta.columnMapping.maxColumnId"] = str(next_id)
+                md["configuration"] = cfg
+            evolved = StructType(list(existing.schema.fields) + new_fields)
             md["schemaString"] = evolved.json()
             actions.append({"metaData": md})
         # align the frame to the (possibly evolved) table schema so
@@ -2020,11 +2043,16 @@ def write_delta(
         # add's partitionValues keys) store PHYSICAL names, plus
         # parquet FIELD IDS from delta.columnMapping.id (r10) so
         # id-mode readers resolve the staged files too
-        fids = (
-            _mapping_field_ids(existing)
-            if existing is not None
-            else {f.name: i + 1 for i, f in enumerate(df.schema.fields)}
-        )
+        if existing is not None:
+            fids = _mapping_field_ids(existing)
+            # fields added by THIS commit's evolution carry their ids
+            # in the evolved metaData, not the pre-commit snapshot
+            for f in new_fields:
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                if fid is not None:
+                    fids[f.name] = int(fid)
+        else:
+            fids = {f.name: i + 1 for i, f in enumerate(df.schema.fields)}
         df = df.select(
             *[
                 F.col(c).alias(

@@ -367,12 +367,30 @@ def test_column_mapped_table_reads_by_physical_name(spark, tmp_path):
     # DML works through the mapping since r10 (see test_delta_mapped_dml)
     delete_delta(spark, t, "id = 1")
     assert sorted(r.id for r in read_delta(spark, t).collect()) == [2, 3]
-    with pytest.raises(NotImplementedError, match="schema evolution"):
-        write_delta(
-            spark.createDataFrame([(4, "d", 4.0, 1)], "id long, s string, v double, extra int"),
-            t,
-            merge_schema=True,
-        )
+    # schema evolution mints a fresh physical name + next id (r10)
+    write_delta(
+        spark.createDataFrame(
+            [(4, "d", 4.0, 7)], "id long, s string, v double, extra int"
+        ),
+        t,
+        merge_schema=True,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _column_mapping as _cm,
+        _mapping_field_ids as _mfi,
+        _replay_log as _rl2,
+    )
+
+    snap2 = _rl2(t, None)
+    m2 = _cm(snap2)
+    assert m2 is not None and m2["extra"].startswith("col-")
+    assert _mfi(snap2)["extra"] == 4
+    cfg2 = (snap2.metadata_action or {}).get("configuration") or {}
+    assert cfg2.get("delta.columnMapping.maxColumnId") == "4"
+    got = sorted(
+        (r.id, r.extra) for r in read_delta(spark, t).collect()
+    )
+    assert got == [(2, None), (3, None), (4, 7)]
     from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
         vacuum_delta,
     )
@@ -390,8 +408,8 @@ def test_column_mapped_table_reads_by_physical_name(spark, tmp_path):
             }
         out2.append(_json.dumps(act))
     open(log, "w").write("\n".join(out2) + "\n")
-    # incl. the r9 append, minus the r10 DELETE of id=1
-    assert read_delta(spark, t).count() == 2
+    # incl. the r9 append + the r10 evolved append, minus the DELETE
+    assert read_delta(spark, t).count() == 3
     out3 = []
     for ln in open(log).read().splitlines():
         act = _json.loads(ln)
