@@ -4264,21 +4264,20 @@ def forge_v3_dv_commit(path: str, deletes: dict[str, list[int]]) -> int:
     deletion-vector-v1 blob per referenced file; the delete manifest's
     entries carry the spec's referenced_data_file / content_offset /
     content_size_in_bytes (field-ids 143/144/145) so readers locate
-    blobs without parsing the Puffin footer. Returns the new snapshot
-    id. Production WRITES to v3 tables still refuse
-    (_refuse_v3_writes) — this helper deliberately writes the
-    metadata JSON directly, as foreign-table fixtures do."""
+    blobs without parsing the Puffin footer, plus (on partitioned
+    tables, r10) each referenced file's partition tuple as the spec
+    requires. Returns the new snapshot id. Production WRITES to v3
+    tables still refuse (_refuse_v3_writes) — this helper deliberately
+    writes the metadata JSON directly, as foreign-table fixtures do."""
     from sparkstreamingtwitter_presidential_spark.sources.puffin import (
         serialize_dv_blob,
         write_puffin,
     )
 
     meta = _load_metadata(path)
-    if _partition_fields(meta, _schema_for(meta, meta.get("current-schema-id", 0))):
-        raise NotImplementedError(
-            "forge_v3_dv_commit supports unpartitioned tables only "
-            "(fixture writer)"
-        )
+    part_fields = _partition_fields(
+        meta, _schema_for(meta, meta.get("current-schema-id", 0))
+    )
     snap = _snapshot(meta, None)
     entries, dels = _entries_and_deletes_for_snapshot(path, snap)
     if dels:
@@ -4322,7 +4321,10 @@ def forge_v3_dv_commit(path: str, deletes: dict[str, list[int]]) -> int:
             "content": 1,
             "file_path": puffin_path,
             "file_format": "PUFFIN",
-            "partition": {},
+            # spec: a DV entry carries its referenced file's partition
+            "partition": dict(
+                by_path[p]["data_file"].get("partition") or {}
+            ),
             "record_count": len(set(deletes[p])),
             "file_size_in_bytes": os.path.getsize(puffin_path),
             "lower_bounds": None,
@@ -4334,7 +4336,7 @@ def forge_v3_dv_commit(path: str, deletes: dict[str, list[int]]) -> int:
         }
         for p, m in zip(ordered, blob_metas)
     ]
-    sch = _manifest_entry_schema([])
+    sch = _manifest_entry_schema(part_fields)
     sch["fields"][-1]["type"]["fields"].extend(
         [
             {
@@ -4371,7 +4373,7 @@ def forge_v3_dv_commit(path: str, deletes: dict[str, list[int]]) -> int:
         dm_entries,
         meta={
             "schema": json.dumps(ice_schema).encode(),
-            "partition-spec": json.dumps([]).encode(),
+            "partition-spec": json.dumps(_default_spec_fields(meta)).encode(),
             "partition-spec-id": str(meta.get("default-spec-id", 0)).encode(),
             "format-version": b"3",
             "content": b"deletes",

@@ -164,3 +164,45 @@ def test_v4_still_refuses(spark, v3_table):
     json.dump(meta, open(latest, "w"))
     with pytest.raises(NotImplementedError, match="format-version 4"):
         read_iceberg(spark, t).collect()
+
+
+def test_v3_dv_read_on_partitioned_table(spark, tmp_path):
+    """DVs on a PARTITIONED v3 table: the delete manifest's entries
+    carry each referenced file's partition tuple (spec), and the read
+    applies vectors per partition branch."""
+    import pyarrow.parquet as pq
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _entries_and_deletes_for_snapshot,
+        _snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    rows = [(i, f"g{i % 3}", float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    write_iceberg(df, t, partition_by=["g"])
+    meta = _load_metadata(t)
+    entries, _ = _entries_and_deletes_for_snapshot(t, _snapshot(meta, None))
+    deletes = {}
+    for e in entries:
+        if (e["data_file"].get("partition") or {}).get("g") != "g1":
+            continue  # delete only from partition g1
+        fp = e["data_file"]["file_path"]
+        ids = pq.read_table(fp, columns=["id"]).column("id").to_pylist()
+        idxs = [ri for ri, i in enumerate(ids) if i % 2 == 0]
+        if idxs:
+            deletes[fp] = idxs
+    assert deletes
+    forge_v3_dv_commit(t, deletes)
+    # g1 even ids are 4, 10, 16, ... (id % 3 == 1 and id % 2 == 0)
+    want = sorted(
+        r for r in rows if not (r[0] % 3 == 1 and r[0] % 2 == 0)
+    )
+    got = sorted(map(tuple, read_iceberg(spark, t).collect()))
+    assert got == want
+    # the DV entries carry the referenced partition tuple
+    meta2 = _load_metadata(t)
+    _, dels = _entries_and_deletes_for_snapshot(t, _snapshot(meta2, None))
+    assert dels and all(
+        d["data_file"]["partition"] == {"g": "g1"} for d in dels
+    )
