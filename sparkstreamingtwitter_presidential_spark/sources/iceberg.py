@@ -961,6 +961,10 @@ def _entries_and_deletes_for_snapshot(
                     if e.get("file_sequence_number") is not None
                     else m["sequence_number"]
                 ),
+                # the MANIFEST's spec id — what partition tuples are
+                # keyed by (spec: partition-scoped deletes apply to
+                # files of the same spec AND tuple; r10)
+                "spec_id": m.get("partition_spec_id", 0),
                 "data_file": df,
             }
             (dels if m["content"] != 0 else out).append(rec)
@@ -1188,14 +1192,13 @@ def _row_delete_filter(
       via a broadcast (file -> sequence) map attached to the scan.
       PARTITION-SCOPED equality deletes (a non-empty partition record,
       the Flink-CDC per-partition shape; r10 — previously a named
-      refusal) additionally restrict to data files sharing the
-      delete's partition tuple: the same broadcast map carries each
-      file's partition record, and the per-delete condition compares
-      it to the delete file's (spec: "applied to files of the same
-      partition"; a tuple of NULLs scopes to the NULL partition).
-      Tables carrying MORE THAN ONE field-bearing partition spec still
-      refuse — tuple equality across evolved specs is spec-id-keyed,
-      which these name-keyed manifests don't disambiguate.
+      refusal) additionally restrict to data files of the SAME SPEC
+      sharing the delete's partition tuple: the broadcast map carries
+      each file's (manifest spec id, partition record) and the
+      per-delete condition compares it to the delete file's (the
+      spec's rule; a tuple of NULLs scopes to the NULL partition, and
+      evolved multi-spec tables resolve exactly because both sides'
+      spec ids come from their manifests).
       Equality ids resolve against the CURRENT schema and must name
       top-level primitive columns; delete-file columns are read by
       those names (name-based, the same honesty note as the writer's
@@ -1228,17 +1231,19 @@ def _row_delete_filter(
         )
         by_id = {f["id"]: f for f in ice_schema["fields"]}
 
-        def _part_key(part: dict | None) -> str:
-            # deterministic, bytes-safe encoding of a partition record
-            # for tuple equality (both sides come from the same avro
-            # manifest machinery, so raw-value repr compares exactly)
-            return repr(sorted((part or {}).items()))
+        def _part_key(part: dict | None, spec_id: int) -> str:
+            # deterministic, bytes-safe encoding of (spec id, partition
+            # record) for the spec's tuple-equality rule — both sides
+            # come from the same avro manifest machinery, so raw-value
+            # repr compares exactly; the spec id disambiguates tuples
+            # written under EVOLVED partition specs
+            return f"{int(spec_id)}|{sorted((part or {}).items())!r}"
 
         emap = [
             (
                 _norm_path(e["data_file"]["file_path"]),
                 int(e["sequence_number"]),
-                _part_key(e["data_file"].get("partition")),
+                _part_key(e["data_file"].get("partition"), e.get("spec_id", 0)),
             )
             for e in entries
         ]
@@ -1260,22 +1265,12 @@ def _row_delete_filter(
                 # tuple of nulls scopes to the NULL partition, so value
                 # nullness proves nothing) is a partition-scoped
                 # equality delete (r10): it applies ONLY to data files
-                # sharing its partition tuple. Exact under ONE
-                # field-bearing spec; evolved multi-spec tables refuse
-                # (tuple equality is spec-id-keyed there).
-                specs_with_fields = [
-                    sp
-                    for sp in meta.get("partition-specs", [])
-                    if sp.get("fields")
-                ]
-                if len(specs_with_fields) > 1:
-                    raise NotImplementedError(
-                        "partition-scoped equality delete on a table "
-                        "with multiple field-bearing partition specs; "
-                        "tuple equality needs spec-id resolution this "
-                        "reader does not implement"
-                    )
-                scope = _part_key(d["data_file"]["partition"])
+                # of the SAME SPEC sharing its partition tuple (the
+                # spec's rule; spec ids come from each side's manifest,
+                # so evolved multi-spec tables resolve exactly too)
+                scope = _part_key(
+                    d["data_file"]["partition"], d.get("spec_id", 0)
+                )
             psrc = {
                 pf["source_id"]
                 for pf in _identity_fields(

@@ -187,12 +187,15 @@ def test_partition_scoped_equality_delete_applies_exactly(spark, tmp_path):
     assert got == [(1, "b", 10.0), (2, "a", 2.0), (2, "b", 20.0)]
 
 
-def test_partition_scoped_eq_delete_multi_spec_refuses(spark, tmp_path):
-    """Tuple equality across EVOLVED partition specs is spec-id-keyed;
-    a scoped delete on a table carrying two field-bearing specs still
-    refuses by name (never wrong rows)."""
+def test_partition_scoped_eq_delete_keys_on_spec_id(spark, tmp_path):
+    """Tuple equality is SPEC-ID-keyed (the spec's rule for evolved
+    partition specs): the same-looking tuple under a foreign spec id
+    applies to NOTHING, while the file's own spec id applies exactly."""
+    from pyspark.sql import functions as F
+
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         _row_delete_filter,
+        _schema_for,
     )
 
     t = str(tmp_path / "t")
@@ -209,29 +212,33 @@ def test_partition_scoped_eq_delete_multi_spec_refuses(spark, tmp_path):
     meta = _load_metadata(t)
     snap = _snapshot(meta, None)
     entries, dels = _entries_and_deletes_for_snapshot(t, snap)
-    eqs = [d for d in dels if d["data_file"]["content"] == 2]
-    assert eqs, "fixture must carry an equality delete"
-    scoped = [
-        {**d, "data_file": {**d["data_file"], "partition": {"g": "a"}}}
-        for d in dels
-    ]
-    meta = dict(meta)
-    meta["partition-specs"] = list(meta.get("partition-specs", [])) + [
-        {
-            "spec-id": 9,
-            "fields": [
-                {
-                    "source-id": 1,
-                    "field-id": 1001,
-                    "name": "id_bucket",
-                    "transform": "bucket[4]",
-                }
-            ],
-        }
-    ]
-    ice_schema = meta["schemas"][meta.get("current-schema-id", 0)]
-    with pytest.raises(NotImplementedError, match="multiple field-bearing"):
-        _row_delete_filter(spark, meta, entries, scoped, ice_schema)
+    assert [d for d in dels if d["data_file"]["content"] == 2]
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+
+    def apply_with(spec_id):
+        scoped = [
+            {
+                **d,
+                "spec_id": spec_id,
+                "data_file": {**d["data_file"], "partition": {"g": "a"}},
+            }
+            for d in dels
+        ]
+        flt = _row_delete_filter(spark, meta, entries, scoped, ice_schema)
+        scan = spark.read.schema("id long, v double").parquet(
+            *sorted(e["data_file"]["file_path"] for e in entries)
+        )
+        return sorted(
+            (r.id, r.v) for r in flt(scan).select("id", "v").collect()
+        )
+
+    # the DATA files' spec id (the upsert's global delete itself rides
+    # the registered unpartitioned spec — a different id by design)
+    own_spec = entries[0]["spec_id"]
+    # data spec id + tuple a: the pre-image (1, 1.0) is deleted
+    assert apply_with(own_spec) == [(1, 9.0), (2, 2.0)]
+    # foreign spec id, identical tuple: nothing applies
+    assert apply_with(9) == [(1, 1.0), (1, 9.0), (2, 2.0)]
 
 
 # ------------------------------------------------- branch writes (r9)
