@@ -469,9 +469,9 @@ def _refuse_dvs(snap: _Snapshot, ctx: str) -> None:
     if n:
         raise NotImplementedError(
             f"{ctx}: {n} live file(s) carry deletion vectors; only "
-            "snapshot reads apply them — rewrite the deletes into data "
-            "files (e.g. with a DV-aware OPTIMIZE on the writing "
-            "engine) first"
+            "snapshot reads apply them — fold the vectors into data "
+            "files first (delta_dml.rewrite_deletion_vectors, the "
+            "REORG/PURGE op)"
         )
 
 

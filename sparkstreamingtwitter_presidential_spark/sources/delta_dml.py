@@ -1332,3 +1332,109 @@ def optimize_delta(
         "OPTIMIZE",
         {"targetFileBytes": target_file_bytes},
     )
+
+
+def rewrite_deletion_vectors(
+    spark: SparkSession, path: str
+) -> int:
+    """REORG (r10): fold every live deletion vector back into its data
+    file — the maintenance op all the DV refusals point at ("compact
+    the DVs into data files"), completing the MOR lifecycle this
+    engine writes (delete/update/merge via DVs) and reads.
+
+    Mechanics: scan ONLY the DV-carrying files (a restricted snapshot,
+    never the table), anti-join each file's decoded row positions, and
+    stage the surviving rows as fresh files; ONE commit tombstones the
+    DV-carrying files and adds the replacements. ``dataChange: false``
+    on both sides — the snapshot's visible ROWS are unchanged, only
+    their layout (the real REORG TABLE ... APPLY (PURGE) semantics),
+    so streaming/incremental consumers correctly skip the commit and
+    time travel still resolves. Files whose vector covers every row
+    emit a plain remove. After the commit, copy-on-write DML and
+    OPTIMIZE work again (the _refuse_dvs guard sees no live vectors);
+    the replaced deletion_vector_*.bin sidecars become VACUUM-exempt
+    orphans until retention (documented conservative boundary — they
+    may still serve time travel).
+
+    Scale: decode is driver-side under the pair budget and
+    executor-side above it (the read path's split); rewrite cost is
+    ∝ DV-carrying file bytes — exactly the files whose read-side
+    anti-join tax this op retires. Column-mapped tables work (staging
+    goes through the physical-name path)."""
+    import json as _json
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _DV_PAIRS_DRIVER_MAX,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+        dv_row_indexes,
+    )
+
+    snap = _replay_log(path, None)
+    mapping = _write_mapping(snap, "rewrite_deletion_vectors")
+    _refuse_unenforced_writer_contracts(
+        snap, "rewrite_deletion_vectors", emits_removes=True
+    )
+    dv_rels = sorted(
+        p for p, a in snap.files.items() if a.get("deletionVector")
+    )
+    if not dv_rels:
+        return snap.version
+    # restricted view: scan exactly the DV-carrying files
+    import copy as _copy
+
+    sub = _copy.copy(snap)
+    sub.files = {p: snap.files[p] for p in dv_rels}
+    scan = _scan_with_file(spark, path, sub, with_pos=True)
+
+    abs_table = os.path.abspath(path)
+    total = sum(
+        int(snap.files[p]["deletionVector"].get("cardinality", 0))
+        for p in dv_rels
+    )
+    base_of = {
+        p: urllib.parse.unquote(p).split("/")[-1] for p in dv_rels
+    }
+    if total <= _DV_PAIRS_DRIVER_MAX:
+        pairs = []
+        for p in dv_rels:
+            b = base_of[p]
+            for ri in dv_row_indexes(path, snap.files[p]["deletionVector"]):
+                pairs.append((b, ri))
+        build = _pairs_frame(spark, pairs)
+    else:
+        desc_rows = [
+            (base_of[p], _json.dumps(snap.files[p]["deletionVector"]))
+            for p in dv_rels
+        ]
+
+        def _decode(row):
+            from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+                dv_row_indexes as _dvri,
+            )
+
+            dv = _json.loads(row[1])
+            for ri in _dvri(abs_table, dv):
+                yield (row[0], ri)
+
+        n_slices = max(1, min(len(desc_rows), 256))
+        build = spark.createDataFrame(
+            spark.sparkContext.parallelize(desc_rows, n_slices).flatMap(
+                _decode
+            ),
+            f"{_FILE_COL} string, {_POS_COL} long",
+        )
+    kept = scan.join(
+        build, on=[_FILE_COL, _POS_COL], how="left_anti"
+    ).drop(_FILE_COL, _POS_COL)
+    adds = _stage_table_files(kept, path, snap, mapping)
+    for a in adds:
+        a["add"]["dataChange"] = False  # layout-only, like OPTIMIZE
+    actions = _removes(snap, dv_rels, False) + adds
+    return commit_actions(
+        path,
+        snap.version,
+        actions,
+        "REORG",
+        {"applyPurge": True, "rewrittenFiles": len(dv_rels)},
+    )

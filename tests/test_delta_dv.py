@@ -807,3 +807,57 @@ def test_pack_dv_file_property(per_key):
     descs = pack_dv_file(d, per_key)
     for k, rows in per_key.items():
         assert dv_row_indexes(d, descs[k]) == sorted(rows)
+
+
+def test_rewrite_deletion_vectors_folds_backlog(spark, dv_table):
+    """REORG (r10): folds every live DV into fresh files — rows
+    unchanged, vectors gone, dataChange:false (streaming/incremental
+    consumers skip it), time travel intact, and the CoW paths that
+    refused on the DV table work again."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        optimize_delta,
+        rewrite_deletion_vectors,
+    )
+
+    t, want = dv_table
+    v = rewrite_deletion_vectors(spark, t)
+    snap = _replay_log(t, None)
+    assert not any(a.get("deletionVector") for a in snap.files.values())
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == want
+    # layout-only commit: dataChange false everywhere
+    log = os.path.join(t, "_delta_log", f"{v:020d}.json")
+    for ln in open(log).read().splitlines():
+        act = json.loads(ln)
+        for k in ("add", "remove"):
+            if k in act:
+                assert act[k]["dataChange"] is False
+    # pre-REORG snapshots still resolve (vectors still applied there)
+    assert sorted(
+        r.id for r in read_delta(spark, t, version=v - 1).collect()
+    ) == want
+    # the CoW refusals are lifted post-fold
+    delete_delta(spark, t, "id = 50")
+    assert 50 not in {r.id for r in read_delta(spark, t).collect()}
+    optimize_delta(spark, t)
+    # idempotent: nothing left to fold
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        table_version,
+    )
+
+    assert rewrite_deletion_vectors(spark, t) == table_version(t)
+
+
+def test_rewrite_deletion_vectors_over_budget_distributed(
+    spark, dv_table, monkeypatch
+):
+    import sparkstreamingtwitter_presidential_spark.sources.delta as delta_mod
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        rewrite_deletion_vectors,
+    )
+
+    t, want = dv_table
+    monkeypatch.setattr(delta_mod, "_DV_PAIRS_DRIVER_MAX", 2)
+    rewrite_deletion_vectors(spark, t)
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == want

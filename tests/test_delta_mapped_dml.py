@@ -324,3 +324,21 @@ def test_mapped_table_streams_logical_columns(spark, tmp_path):
         q.stop()
         q.awaitTermination(30)
     assert sorted(sink) == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+
+
+def test_mapped_rewrite_deletion_vectors(spark, tmp_path):
+    """REORG folds DVs on mapped tables through the physical-name
+    staging; CoW DML works again afterwards."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        rewrite_deletion_vectors,
+    )
+
+    t = _mk_mapped(spark, str(tmp_path / "t"))
+    delete_delta_dv(spark, t, "id = 2")
+    rewrite_deletion_vectors(spark, t)
+    snap = _replay_log(t, None)
+    assert not any(a.get("deletionVector") for a in snap.files.values())
+    assert _rows(read_delta(spark, t)) == [(1, "a", 1.0), (3, "b", 3.0), (4, "b", 4.0)]
+    _assert_files_physical(t)
+    update_delta(spark, t, {"v": "v + 1"}, "id = 3")
+    assert (3, "b", 4.0) in _rows(read_delta(spark, t))
