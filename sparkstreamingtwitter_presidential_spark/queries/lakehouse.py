@@ -2412,3 +2412,75 @@ def lakehouse_iceberg_v3_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "— the anti-join path would not be exercised"
         )
     return _agg_by_type(read_iceberg(spark, table))
+
+
+@query(
+    "lakehouse_delta_reorg_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events WHERE event_id % 8 <> 0
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r10: REORG / PURGE — a deletion-vector DELETE marks every "
+        "event_id %% 8 == 0 row, then rewrite_deletion_vectors folds "
+        "the vectors back into fresh data files in one layout-only "
+        "commit; the query RAISES unless the history reads "
+        "WRITE/DELETE/REORG, NO live file carries a vector afterwards, "
+        "and every REORG action is dataChange:false (streaming and "
+        "incremental consumers must skip it) — completing the Delta "
+        "MOR lifecycle (DV write -> DV read -> fold) as a graded "
+        "surface"
+    ),
+)
+def lakehouse_delta_reorg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _replay_log,
+        describe_history,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta_dv,
+        rewrite_deletion_vectors,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_delta(ev.repartition(4), table, mode="append")
+        delete_delta_dv(spark, table, "event_id % 8 = 0")
+        rewrite_deletion_vectors(spark, table)
+
+    table = _dml_staged_delta(spark, sf_dir, "reorg", build)
+    hist = describe_history(spark, table).orderBy("version").collect()
+    ops = [r.operation for r in hist]
+    if ops != ["WRITE", "DELETE", "REORG"]:
+        raise RuntimeError(
+            f"unexpected history {ops}: want WRITE/DELETE/REORG — an "
+            "op silently no-opped"
+        )
+    snap = _replay_log(table, None)
+    if any(a.get("deletionVector") for a in snap.files.values()):
+        raise RuntimeError(
+            "live deletion vectors survived the REORG — the fold did "
+            "not retire the backlog"
+        )
+    log = os.path.join(
+        table, "_delta_log", f"{snap.version:020d}.json"
+    )
+    with open(log) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            act = _json.loads(line)
+            for k in ("add", "remove"):
+                if k in act and act[k].get("dataChange", True):
+                    raise RuntimeError(
+                        "REORG emitted a dataChange action — streaming "
+                        "consumers would re-deliver rewritten rows"
+                    )
+    return _agg_by_type(read_delta(spark, table))

@@ -336,13 +336,15 @@ GRADED_FIRST: list[str] = [
     # io_pipetext_connector_roundtrip, and synthdocs stays in
     # tests/test_queries_oracle.py).
     "lakehouse_delta_cdf_agg",
-    # Round-6 newcomers, graded on arrival per rotation policy.
-    # DESCRIBE HISTORY as a queryable frame (r5 verdict item 4: the
-    # last lakehouse bookkeeping gap). Ceded: tpch_q7_volume_shipping
-    # (r4+r5 driver-green; TPC-H keeps 6 windowed slots incl. the
-    # 7-table Q8 star join and Q9's 6-way profit join; Q7 stays in
-    # tests/test_queries_oracle.py and bench).
-    "lakehouse_delta_history_agg",
+    # Round-10: REORG / PURGE — rewrite_deletion_vectors folds the DV
+    # backlog into fresh files in one dataChange:false commit, with an
+    # in-query RAISE on the WRITE/DELETE/REORG history, zero surviving
+    # vectors, and the layout-only contract (completes the Delta MOR
+    # lifecycle as a graded surface). Ceded: lakehouse_delta_history_agg
+    # (r6-r9 driver-green, four rounds; the history frame is exercised
+    # by this query's own op-sequence RAISE and stays in
+    # tests/test_queries_oracle.py).
+    "lakehouse_delta_reorg_agg",
     # Round-6: native Iceberg (table-spec metadata.json + avro manifest
     # walk via the package's own avro codec) — snapshot read fidelity
     # and time travel by snapshot id. Ceded: tpch_q13_customer_
