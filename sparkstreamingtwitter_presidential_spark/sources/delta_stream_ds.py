@@ -138,7 +138,47 @@ class DeltaStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("delta_native: .load(path) is required")
         self.fields = fields  # (name, ddl, is_partition) in schema order
-        self.starting_version = int(options.get("startingVersion", "0"))
+        if options.get("startingTimestamp") is not None:
+            # real-source parity (r10): resolve the first version
+            # committed AT OR AFTER the timestamp — the stream delivers
+            # from there (delta-spark's startingTimestamp contract)
+            if options.get("startingVersion") is not None:
+                raise ValueError(
+                    "pass either startingVersion or startingTimestamp, "
+                    "not both"
+                )
+            from sparkstreamingtwitter_presidential_spark.sources.delta import (
+                delta_history,
+            )
+
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(options["startingTimestamp"])
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            want_ms = int(ts.timestamp() * 1000)
+            versions = sorted(
+                (int(h["version"]) for h in delta_history(self.path)
+                 if int(h.get("timestamp", 0)) >= want_ms),
+            )
+            if not versions:
+                raise ValueError(
+                    f"startingTimestamp {options['startingTimestamp']} "
+                    "is after the table's latest commit — nothing to "
+                    "stream from"
+                )
+            self.starting_version = versions[0]
+        else:
+            self.starting_version = int(options.get("startingVersion", "0"))
+        # real-source parity (r10): skipChangeCommits=true silently
+        # SKIPS commits that rewrite data (DELETE/UPDATE/MERGE/
+        # overwrite, DV attaches) instead of failing the stream — the
+        # consumer sees only append commits' rows (delta-spark's
+        # option; the default remains fail-by-name, never wrong rows
+        # silently)
+        self.skip_change_commits = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
         self.max_commits = (
             int(options.get("maxCommitsPerTrigger", "0")) or None
         )
@@ -219,6 +259,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                     "JSON delta (expired by log retention) — the "
                     "stream's offset range needs the per-commit actions"
                 )
+            commit_parts: list[_AddFilePartition] = []
+            is_change_commit = False
             with open(commit) as fh:
                 for line in fh:
                     line = line.strip()
@@ -228,12 +270,17 @@ class DeltaStreamReader(DataSourceStreamReader):
                     if "remove" in action and action["remove"].get(
                         "dataChange", True
                     ):
+                        if self.skip_change_commits:
+                            is_change_commit = True
+                            continue
                         raise ValueError(
                             f"commit {v} of {self.path} removes data "
                             "(DELETE/UPDATE/MERGE/overwrite) — an "
                             "append-only stream cannot represent a "
                             "retraction; restart from a snapshot read "
-                            "+ startingVersion past it"
+                            "+ startingVersion past it, or pass "
+                            "skipChangeCommits=true to skip such "
+                            "commits entirely"
                         )
                     if "add" not in action:
                         continue
@@ -241,13 +288,16 @@ class DeltaStreamReader(DataSourceStreamReader):
                     if not add.get("dataChange", True):
                         continue  # OPTIMIZE rewrite: rows already sent
                     if add.get("deletionVector"):
+                        if self.skip_change_commits:
+                            is_change_commit = True
+                            continue
                         raise ValueError(
                             f"commit {v} of {self.path} attaches a "
                             "deletion vector (row-level DELETE) — "
                             "append-only stream, see above"
                         )
                     pv = add.get("partitionValues", {})
-                    out.append(
+                    commit_parts.append(
                         _AddFilePartition(
                             os.path.join(
                                 self.path,
@@ -264,6 +314,12 @@ class DeltaStreamReader(DataSourceStreamReader):
                             },
                         )
                     )
+            if is_change_commit:
+                # skipChangeCommits skips the WHOLE commit (the real
+                # option's semantics): its adds are rewrite survivors
+                # or updated versions, not appends
+                continue
+            out.extend(commit_parts)
         return out
 
     def read(self, partition: _AddFilePartition) -> Iterator:

@@ -82,7 +82,39 @@ class IcebergStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("iceberg_native: .load(path) is required")
         self.fields = fields  # (name, ddl) in schema order
-        self.starting_seq = int(options.get("startingSequence", "0"))
+        if options.get("startingTimestamp") is not None:
+            # real-source parity (r10): stream from the first MAIN
+            # snapshot committed at-or-after the timestamp
+            if options.get("startingSequence") is not None:
+                raise ValueError(
+                    "pass either startingSequence or startingTimestamp, "
+                    "not both"
+                )
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(options["startingTimestamp"])
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            want_ms = int(ts.timestamp() * 1000)
+            meta = _load_metadata(self.path)
+            anc = _ancestor_ids(meta, _snapshot(meta, None)["snapshot-id"])
+            cands = sorted(
+                (
+                    s["sequence-number"]
+                    for s in meta.get("snapshots", [])
+                    if s["snapshot-id"] in anc
+                    and int(s.get("timestamp-ms", 0)) >= want_ms
+                ),
+            )
+            if not cands:
+                raise ValueError(
+                    f"startingTimestamp {options['startingTimestamp']} "
+                    "is after the table's latest snapshot — nothing to "
+                    "stream from"
+                )
+            self.starting_seq = cands[0] - 1
+        else:
+            self.starting_seq = int(options.get("startingSequence", "0"))
         self.max_snapshots = (
             int(options.get("maxSnapshotsPerTrigger", "0")) or None
         )

@@ -233,3 +233,79 @@ def test_stream_caps_backlog_by_bytes(spark, tmp_path):
     )
     assert sorted(r[0] for r in sink2) == [0, 1, 2]
     assert [c for c in counts2 if c] == [3]
+
+
+def test_stream_skip_change_commits(spark, tmp_path):
+    """skipChangeCommits=true (r10, real-source parity): DML commits in
+    range are skipped WHOLE (their adds are rewrite survivors, not
+    appends); append commits before and after still deliver. The
+    default remains fail-by-name."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+    )
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, 0, float(i)) for i in range(4)],
+            "id long, part int, v double",
+        ).repartition(1),
+        t,
+        mode="append",
+    )
+    delete_delta(spark, t, "id = 1")  # change commit (remove + add)
+    write_delta(
+        spark.createDataFrame([(10, 0, 10.0)], "id long, part int, v double"),
+        t,
+        mode="append",
+    )
+    # default: the stream fails on the change commit
+    sink0: list = []
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _run(spark, t, str(tmp_path / "ckpt0"), sink0)
+    # with the option: appends only — the DML commit's rewrite
+    # survivors (0, 2, 3) never re-deliver
+    sink: list = []
+    _run(
+        spark, t, str(tmp_path / "ckpt"), sink, skipChangeCommits="true"
+    )
+    assert sorted(r[0] for r in sink) == [0, 1, 2, 3, 10]
+
+
+def test_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp resolves to the first commit at-or-after it
+    (real-source parity); both-options and after-latest refuse."""
+    import time as _time
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 0, 1.0)], "id long, part int, v double"),
+        t,
+        mode="append",
+    )
+    _time.sleep(0.05)
+    import datetime as _dt
+
+    cut = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    _time.sleep(0.05)
+    write_delta(
+        spark.createDataFrame([(2, 0, 2.0)], "id long, part int, v double"),
+        t,
+        mode="append",
+    )
+    sink: list = []
+    _run(spark, t, str(tmp_path / "ckpt"), sink, startingTimestamp=cut)
+    assert [r[0] for r in sink] == [2]
+    with pytest.raises(Exception, match="not both"):
+        _run(
+            spark, t, str(tmp_path / "c2"), [],
+            startingTimestamp=cut, startingVersion="0",
+        )
+    future = _dt.datetime.now(_dt.timezone.utc) + _dt.timedelta(days=1)
+    with pytest.raises(Exception, match="after the table"):
+        _run(
+            spark, t, str(tmp_path / "c3"), [],
+            startingTimestamp=future.isoformat(),
+        )

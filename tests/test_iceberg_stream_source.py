@@ -175,3 +175,32 @@ def test_iceberg_stream_caps_backlog_by_bytes(spark, tmp_path):
     )
     assert sorted(r[0] for r in sink) == [0, 1, 2, 3]
     assert [c for c in counts if c] == [1, 1, 1, 1]
+
+
+def test_iceberg_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp resolves to the first main-ancestry snapshot
+    at-or-after it (r10 parity); both-options and after-latest refuse."""
+    import datetime as dt
+    import time as _time
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    _time.sleep(0.05)
+    cut = dt.datetime.now(dt.timezone.utc).isoformat()
+    _time.sleep(0.05)
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    sink: list = []
+    _run(spark, t, str(tmp_path / "ckpt"), sink, startingTimestamp=cut)
+    assert [r[0] for r in sink] == [2]
+    with pytest.raises(Exception, match="not both"):
+        _run(
+            spark, t, str(tmp_path / "c2"), [],
+            startingTimestamp=cut, startingSequence="0",
+        )
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(days=1)
+    with pytest.raises(Exception, match="after the table"):
+        _run(
+            spark, t, str(tmp_path / "c3"), [],
+            startingTimestamp=future.isoformat(),
+        )
