@@ -224,8 +224,17 @@ class IcebergStreamReader(DataSourceStreamReader):
         cur_sid = meta.get("current-schema-id", 0)
         cur_schema = _schema_for(meta, cur_sid)
         cur_by_id = {f["id"]: f for f in cur_schema["fields"]}
+        planned: list[dict] = []
         for s in snaps_in_range:
             op = s.get("summary", {}).get("operation")
+            if op == "replace":
+                # compaction/rewrite_manifests: layout-only — its rows
+                # were (or will be) delivered under their ORIGINAL
+                # append snapshots' sequences; planning each snapshot
+                # from its OWN manifest list (r10) makes skipping safe
+                # even mid-range (the real source's behavior — a
+                # compacting table must not kill its consumers)
+                continue
             if op not in (None, "append"):
                 raise ValueError(
                     f"snapshot {s['snapshot-id']} (seq "
@@ -251,45 +260,57 @@ class IcebergStreamReader(DataSourceStreamReader):
                             "field-id; restart the stream from a "
                             "snapshot read)"
                         )
-        hi = max(snaps_in_range, key=lambda s: s["sequence-number"])
+            planned.append(s)
         part_fields = _partition_fields(meta, cur_schema)
         identity = [
             pf for pf in part_fields if pf["transform"] == "identity"
         ]
-        _, _, manifests = read_container(hi["manifest-list"])
         out = []
-        for m in manifests:
-            if m["sequence_number"] <= lo_seq or (
-                m["min_sequence_number"] > hi_seq
-            ):
-                continue
-            if m["content"] != 0:
-                raise ValueError(
-                    f"delete manifest in the stream's range of "
-                    f"{self.path} — row-level deletes are retractions "
-                    "an append-only stream cannot represent"
-                )
-            _, _, entries = read_container(m["manifest_path"])
-            for e in entries:
-                if e["status"] == _STATUS_DELETED:
+        # per-snapshot planning (r10; previously one plan off the
+        # range's LATEST manifest list): each append snapshot's own
+        # list still carries its entries even if a LATER in-range
+        # replace compacted them away — no lost rows, no refusal on
+        # compacting tables. Cost stays ∝ the delta: one manifest-list
+        # read per planned snapshot, entry selection by its own seq.
+        for s in planned:
+            sseq = s["sequence-number"]
+            _, _, manifests = read_container(s["manifest-list"])
+            for m in manifests:
+                if m["content"] != 0:
+                    if m["sequence_number"] == sseq:
+                        raise ValueError(
+                            f"delete manifest in the stream's range of "
+                            f"{self.path} — row-level deletes are "
+                            "retractions an append-only stream cannot "
+                            "represent"
+                        )
+                    continue  # older deletes: already outside range
+                if (
+                    m["sequence_number"] < sseq
+                    or m["min_sequence_number"] > sseq
+                ):
                     continue
-                seq = e.get("sequence_number")
-                if seq is None:  # spec inheritance: the manifest's
-                    seq = m["sequence_number"]
-                if not (lo_seq < seq <= hi_seq):
-                    continue
-                part = e["data_file"].get("partition") or {}
-                inject = {
-                    pf["source_name"]: _avro_partition_to_python(
-                        pf["result_type"], part.get(pf["name"])
+                _, _, entries = read_container(m["manifest_path"])
+                for e in entries:
+                    if e["status"] == _STATUS_DELETED:
+                        continue
+                    seq = e.get("sequence_number")
+                    if seq is None:  # spec inheritance: the manifest's
+                        seq = m["sequence_number"]
+                    if seq != sseq:
+                        continue
+                    part = e["data_file"].get("partition") or {}
+                    inject = {
+                        pf["source_name"]: _avro_partition_to_python(
+                            pf["result_type"], part.get(pf["name"])
+                        )
+                        for pf in identity
+                    }
+                    out.append(
+                        _IceFilePartition(
+                            e["data_file"]["file_path"], self.fields, inject
+                        )
                     )
-                    for pf in identity
-                }
-                out.append(
-                    _IceFilePartition(
-                        e["data_file"]["file_path"], self.fields, inject
-                    )
-                )
         return out
 
     def read(self, partition: _IceFilePartition) -> Iterator:

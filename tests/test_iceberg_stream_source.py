@@ -204,3 +204,30 @@ def test_iceberg_stream_starting_timestamp(spark, tmp_path):
             spark, t, str(tmp_path / "c3"), [],
             startingTimestamp=future.isoformat(),
         )
+
+
+def test_iceberg_stream_skips_mid_range_compaction(spark, tmp_path):
+    """A replace (compaction) snapshot in the stream's range is
+    SKIPPED, not fatal (r10 — per-snapshot planning off each append's
+    OWN manifest list): rows deliver exactly once under their original
+    append sequences even though the range's latest manifest list no
+    longer carries the pre-compaction entries."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        compact_iceberg,
+    )
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    assert compact_iceberg(spark, t) is not None  # replace snapshot
+    write_iceberg(_df(spark, [(3, "c", 3.0)]), t, mode="append")
+    # cold drain over the WHOLE range (appends + mid-range compaction)
+    sink: list = []
+    _run(spark, t, str(tmp_path / "ckpt"), sink)
+    assert sorted(sink) == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    # restart sees nothing new; a post-compaction append still streams
+    write_iceberg(_df(spark, [(4, "d", 4.0)]), t, mode="append")
+    sink2: list = []
+    _run(spark, t, str(tmp_path / "ckpt"), sink2)
+    assert sink2 == [(4, "d", 4.0)]
