@@ -71,10 +71,22 @@ class _AddFilePartition(InputPartition):
     re-keyed to LOGICAL names (log-encoded strings). Picklable —
     read() runs executor-side with no driver state."""
 
-    def __init__(self, path: str, fields: list, part_values: dict):
+    def __init__(
+        self,
+        path: str,
+        fields: list,
+        part_values: dict,
+        commit_version: int | None = None,
+        change_type: str | None = None,
+    ):
         self.path = path
         self.fields = fields
         self.part_values = part_values
+        # CDF mode (r10): _commit_version is injected as a constant;
+        # _change_type is a constant for insert-only commits or, when
+        # None with commit_version set, read FROM the cdc file itself
+        self.commit_version = commit_version
+        self.change_type = change_type
 
 
 _PA_BY_DDL: dict[str, Any] = {}
@@ -179,6 +191,19 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.skip_change_commits = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
+        # CDF mode (r10, delta-spark's readChangeFeed): the stream
+        # delivers CHANGE ROWS (+_change_type, +_commit_version)
+        # instead of appended rows — cdc files exclusively when a
+        # commit carries them (the spec's rule), the insert-only
+        # shortcut otherwise; a rewrite commit WITHOUT cdc fails by
+        # name (change rows are underivable without keys in a stream)
+        self.read_change_feed = (
+            str(options.get("readChangeFeed", "false")).lower() == "true"
+        )
+        if self.read_change_feed and self.skip_change_commits:
+            raise ValueError(
+                "readChangeFeed and skipChangeCommits are contradictory"
+            )
         self.max_commits = (
             int(options.get("maxCommitsPerTrigger", "0")) or None
         )
@@ -245,6 +270,69 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._last = v
         return {"version": v}
 
+    def _logical_pv(self, pv: dict) -> dict:
+        # mapped tables key partitionValues by PHYSICAL name; re-key to
+        # logical so read() stays mapping-blind
+        return {
+            n: pv.get(ph, pv.get(n))
+            for n, ph, _t, is_p in self.fields
+            if is_p
+        }
+
+    def _cdf_partitions(self, v: int, commit: str) -> list:
+        """CDF planning for ONE commit: cdc files exclusively when
+        present (self-contained change rows), else the insert-only
+        shortcut; dataChange removes without cdc fail by name."""
+        cdc: list = []
+        adds: list = []
+        saw_remove = False
+        with open(commit) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    cdc.append(action["cdc"])
+                elif "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    adds.append(action["add"])
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    saw_remove = True
+        if cdc:
+            return [
+                _AddFilePartition(
+                    os.path.join(
+                        self.path, urllib.parse.unquote(a["path"])
+                    ),
+                    self.fields,
+                    self._logical_pv(a.get("partitionValues", {})),
+                    commit_version=v,
+                    change_type=None,  # the cdc file carries it
+                )
+                for a in cdc
+            ]
+        if saw_remove:
+            raise ValueError(
+                f"commit {v} of {self.path} rewrites data without cdc "
+                "actions — a change-feed stream cannot derive its rows "
+                "(enable delta.enableChangeDataFeed on the writer, or "
+                "use the batch table_changes with keys)"
+            )
+        return [
+            _AddFilePartition(
+                os.path.join(self.path, urllib.parse.unquote(a["path"])),
+                self.fields,
+                self._logical_pv(a.get("partitionValues", {})),
+                commit_version=v,
+                change_type="insert",
+            )
+            for a in adds
+        ]
+
     def partitions(self, start: dict, end: dict):
         self._last = max(
             self._last if self._last is not None else -1, end["version"]
@@ -259,6 +347,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                     "JSON delta (expired by log retention) — the "
                     "stream's offset range needs the per-commit actions"
                 )
+            if self.read_change_feed:
+                out.extend(self._cdf_partitions(v, commit))
+                continue
             commit_parts: list[_AddFilePartition] = []
             is_change_commit = False
             with open(commit) as fh:
@@ -329,6 +420,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         data_cols = [
             ph for _n, ph, _t, is_p in partition.fields if not is_p
         ]
+        cdf = partition.commit_version is not None
+        if cdf and partition.change_type is None:
+            data_cols = data_cols + ["_change_type"]
         pf = pq.ParquetFile(partition.path)
         for batch in pf.iter_batches(columns=data_cols):
             n = batch.num_rows
@@ -347,6 +441,27 @@ class DeltaStreamReader(DataSourceStreamReader):
                         batch.column(batch.schema.names.index(phys))
                     )
                 names.append(name)
+            if cdf:
+                if partition.change_type is None:
+                    arrays.append(
+                        batch.column(
+                            batch.schema.names.index("_change_type")
+                        )
+                    )
+                else:
+                    arrays.append(
+                        pa.array(
+                            [partition.change_type] * n, type=pa.string()
+                        )
+                    )
+                names.append("_change_type")
+                arrays.append(
+                    pa.array(
+                        [int(partition.commit_version)] * n,
+                        type=pa.int64(),
+                    )
+                )
+                names.append("_commit_version")
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     def commit(self, end: dict) -> None:
@@ -386,9 +501,13 @@ class DeltaNativeDataSource(DataSource):
         ]
 
     def schema(self) -> str:
-        return ", ".join(
+        base = ", ".join(
             f"{n} {t}" for n, _ph, t, _p in self._snapshot_fields()
         )
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            # CDF mode appends the protocol's change columns
+            return base + ", _change_type string, _commit_version bigint"
+        return base
 
     def streamReader(self, schema: StructType) -> DeltaStreamReader:
         return DeltaStreamReader(self.options, self._snapshot_fields())

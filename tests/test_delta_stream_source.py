@@ -309,3 +309,75 @@ def test_stream_starting_timestamp(spark, tmp_path):
             spark, t, str(tmp_path / "c3"), [],
             startingTimestamp=future.isoformat(),
         )
+
+
+def test_stream_read_change_feed(spark, tmp_path):
+    """readChangeFeed=true (r10): the stream delivers CHANGE ROWS —
+    insert rows for appends, the cdc files' exact pre/post/delete rows
+    for CDF-enabled DML — stamped with _change_type/_commit_version;
+    a rewrite commit WITHOUT cdc fails by name."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        update_delta,
+    )
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, 0, float(i)) for i in range(4)],
+            "id long, part int, v double",
+        ).repartition(1),
+        t,
+        mode="append",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    update_delta(spark, t, {"v": "v + 100"}, "id = 2")   # v1
+    delete_delta(spark, t, "id = 3")                     # v2
+    sink: list = []
+    _run(spark, t, str(tmp_path / "ckpt"), sink, readChangeFeed="true")
+    got = sorted((r[0], r[2], r[3], r[4]) for r in sink)
+    assert got == [
+        (0, 0.0, "insert", 0),
+        (1, 1.0, "insert", 0),
+        (2, 2.0, "insert", 0),
+        (2, 2.0, "update_preimage", 1),
+        (2, 102.0, "update_postimage", 1),
+        (3, 3.0, "delete", 2),
+        (3, 3.0, "insert", 0),
+    ]
+    # restart on the same checkpoint: only newer changes
+    update_delta(spark, t, {"v": "v * 0 + 7"}, "id = 0")  # v3
+    sink2: list = []
+    _run(spark, t, str(tmp_path / "ckpt"), sink2, readChangeFeed="true")
+    assert sorted((r[0], r[2], r[3], r[4]) for r in sink2) == [
+        (0, 0.0, "update_preimage", 3),
+        (0, 7.0, "update_postimage", 3),
+    ]
+
+
+def test_stream_read_change_feed_refuses_uncdc_rewrites(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+    )
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, 0, float(i)) for i in range(4)],
+            "id long, part int, v double",
+        ).repartition(1),
+        t,
+        mode="append",
+    )
+    delete_delta(spark, t, "id = 1")  # no CDF enabled -> no cdc files
+    with pytest.raises(StreamingQueryException, match="without cdc"):
+        _run(spark, t, str(tmp_path / "ckpt"), [], readChangeFeed="true")
+    with pytest.raises(Exception, match="contradictory"):
+        _run(
+            spark, t, str(tmp_path / "c2"), [],
+            readChangeFeed="true", skipChangeCommits="true",
+        )
