@@ -410,19 +410,16 @@ def _mapping_field_ids(snap: _Snapshot) -> dict[str, int]:
 def _refuse_unenforced_writer_contracts(
     snap: _Snapshot, ctx: str, emits_removes: bool
 ) -> None:
-    """A foreign table can carry WRITER-side contracts this engine
-    does not evaluate: column invariants (`delta.invariants` field
-    metadata), CHECK constraints (`delta.constraints.*` configuration),
-    generated columns (`delta.generationExpression` field metadata),
-    and the append-only property. A blind commit would VIOLATE the
-    table's declared contract for every other client (rows failing a
-    constraint, generated columns not matching their formula, removes
-    on an append-only table) — so any write refuses by the contract's
-    NAME while one is present; content-based, not version-number-based
-    (the protocol's writer versions only imply feature SUPPORT, the
-    metadata says what is actually in force). ``emits_removes`` gates
-    the append-only check (plain appends are exactly what that
-    property permits)."""
+    """A foreign table can carry WRITER-side contracts. CHECK
+    constraints and column invariants are EVALUATED since r10
+    (_enforce_row_contracts, run by every path that stages rows);
+    what remains here refuses by NAME: generated columns (verifying a
+    generation expression bit-exactly — timezone/rounding semantics —
+    is riskier than refusing) and the append-only property when the
+    operation emits removes (plain appends are exactly what that
+    property permits). Content-based, not version-number-based (the
+    protocol's writer versions only imply feature SUPPORT, the
+    metadata says what is in force)."""
     md = snap.metadata_action or {}
     cfg = md.get("configuration") or {}
     if emits_removes and cfg.get("delta.appendOnly") == "true":
@@ -431,29 +428,81 @@ def _refuse_unenforced_writer_contracts(
             "emitting remove actions would violate the table's "
             "declared contract (appends are allowed)"
         )
-    bad_constraints = sorted(
-        k for k in cfg if k.startswith("delta.constraints.")
-    )
-    if bad_constraints:
-        raise NotImplementedError(
-            f"{ctx}: table declares CHECK constraints "
-            f"{bad_constraints} this writer does not evaluate; "
-            "refusing rather than committing unvalidated rows"
-        )
     if snap.schema is not None:
         for f in snap.schema.fields:
             fmeta = f.metadata or {}
-            if "delta.invariants" in fmeta:
-                raise NotImplementedError(
-                    f"{ctx}: column {f.name!r} declares an invariant "
-                    "this writer does not evaluate"
-                )
             if "delta.generationExpression" in fmeta:
                 raise NotImplementedError(
                     f"{ctx}: column {f.name!r} is a GENERATED column; "
                     "this writer does not compute generation "
                     "expressions"
                 )
+
+
+def _row_contract_exprs(
+    configuration: dict | None, schema: StructType | None
+) -> list[tuple[str, str]]:
+    """(name, SQL expression) for every row-level writer contract the
+    table declares: CHECK constraints (`delta.constraints.*` config)
+    and legacy column invariants (`delta.invariants` field metadata,
+    the {"expression": {"expression": sql}} JSON shape)."""
+    cfg = configuration or {}
+    out = [
+        (k[len("delta.constraints."):], v)
+        for k, v in sorted(cfg.items())
+        if k.startswith("delta.constraints.")
+    ]
+    if schema is not None:
+        for f in schema.fields:
+            inv = (f.metadata or {}).get("delta.invariants")
+            if not inv:
+                continue
+            try:
+                expr = json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError):
+                raise NotImplementedError(
+                    f"unparseable delta.invariants on column "
+                    f"{f.name!r}: {inv!r}"
+                ) from None
+            out.append((f"invariant({f.name})", expr))
+    return out
+
+
+def _enforce_row_contracts(snap: _Snapshot, df: DataFrame, ctx: str) -> None:
+    """EVALUATE the table's CHECK constraints / invariants on rows
+    about to be staged (r10 — previously a blanket refusal): a row
+    violates when the expression is FALSE (SQL CHECK semantics — NULL
+    passes). One filter+limit(1) probe per constrained write; tables
+    without contracts cost nothing. Violations raise BEFORE any file
+    stages, naming the constraint and a sample row — the real writer's
+    InvariantViolationException shape. Rewrites validate COPIED rows
+    too (the real writer's behavior — a legacy-invalid row surfaces on
+    the first rewrite that touches it, never silently re-commits)."""
+    exprs = _row_contract_exprs(
+        (snap.metadata_action or {}).get("configuration"), snap.schema
+    )
+    if not exprs:
+        return
+    cond = None
+    for _name, sql in exprs:
+        ok = F.coalesce(F.expr(sql), F.lit(True))
+        cond = ok if cond is None else (cond & ok)
+    bad = df.filter(~cond).limit(1).collect()
+    if not bad:
+        return
+    # rare path: name the violated constraint(s) with per-expr probes
+    names = [
+        name
+        for name, sql in exprs
+        if df.filter(~F.coalesce(F.expr(sql), F.lit(True)))
+        .limit(1)
+        .collect()
+    ]
+    raise ValueError(
+        f"{ctx}: rows violate the table's declared CHECK constraint/"
+        f"invariant(s) {names or [n for n, _ in exprs]} — e.g. "
+        f"{bad[0].asDict()}; refusing to commit unvalidated rows"
+    )
 
 
 def _refuse_dvs(snap: _Snapshot, ctx: str) -> None:
@@ -2037,6 +2086,15 @@ def write_delta(
                 }
             }
         )
+    # CHECK constraints / invariants evaluate on the LOGICAL frame
+    # before any physical rename (r10 — previously a blanket refusal)
+    if existing is not None:
+        _enforce_row_contracts(existing, df, "write_delta")
+    elif configuration:
+        shim = _Snapshot()
+        shim.metadata_action = {"configuration": dict(configuration)}
+        shim.schema = df.schema
+        _enforce_row_contracts(shim, df, "write_delta")
     stage_partition_by = partition_by
     if mapping is not None:
         # mapped tables: data files (and partition dirs, hence the

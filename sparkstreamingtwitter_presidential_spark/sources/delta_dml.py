@@ -44,6 +44,7 @@ from pyspark.sql.types import StructField, StructType
 
 from sparkstreamingtwitter_presidential_spark.sources.delta import (
     _column_mapping,
+    _enforce_row_contracts,
     _mapping_field_ids,
     _refuse_dvs,
     _refuse_unenforced_writer_contracts,
@@ -346,6 +347,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
         .filter(~F.coalesce(cond, F.lit(False)))
         .drop(_FILE_COL)
     )
+    _enforce_row_contracts(snap, kept, "DELETE rewrite")
     adds = _stage_table_files(kept, path, snap, mapping)
     cdc: list[dict] = []
     if _cdf_enabled(snap):
@@ -643,6 +645,7 @@ def update_delta_dv(
             for f in schema.fields
         ]
     )
+    _enforce_row_contracts(snap, updated, "UPDATE (deletion-vectors)")
     actions.extend(_stage_table_files(updated, path, snap, mapping))
     if _cdf_enabled(snap):
         pre = fresh.withColumn("_change_type", F.lit("update_preimage"))
@@ -752,6 +755,9 @@ def merge_delta_dv(
             updated = fresh_rows.select(*keys).join(
                 source, on=keys, how="inner"
             ).select(*tcols)
+            _enforce_row_contracts(
+                snap, updated, "MERGE (deletion-vectors) update"
+            )
             actions.extend(
                 _stage_table_files(updated, path, snap, mapping)
             )
@@ -774,6 +780,9 @@ def merge_delta_dv(
         inserts = source
         if matched_keys is not None:
             inserts = source.join(matched_keys, on=keys, how="leftanti")
+        _enforce_row_contracts(
+            snap, inserts, "MERGE (deletion-vectors) insert"
+        )
         actions.extend(
             _stage_table_files(inserts, path, snap, mapping)
         )
@@ -864,6 +873,7 @@ def update_delta(
             for f in schema.fields
         ]
     )
+    _enforce_row_contracts(snap, rewritten, "UPDATE rewrite")
     adds = _stage_table_files(rewritten, path, snap, mapping)
     cdc: list[dict] = []
     if _cdf_enabled(snap):
@@ -1006,6 +1016,7 @@ def merge_delta(
         else:  # 'none': matched rows keep their current values
             rewritten = joined.select(*[hit_rows[c] for c in tcols])
         actions += _removes(snap, [rels[b] for b in affected], True)
+        _enforce_row_contracts(snap, rewritten, "MERGE rewrite")
         actions += _stage_table_files(rewritten, path, snap, mapping)
         matched_keys = (
             scan.filter(F.col(_FILE_COL).isin(affected)).select(*keys).distinct()
@@ -1016,6 +1027,7 @@ def merge_delta(
         if matched_keys is not None:
             inserts = source.join(matched_keys, on=keys, how="leftanti")
         # (no affected files -> no key matched -> every source row inserts)
+        _enforce_row_contracts(snap, inserts, "MERGE insert")
         actions += _stage_table_files(inserts, path, snap, mapping)
         if emit_cdf:
             cdc_frames.append(

@@ -632,10 +632,11 @@ def test_id_mode_mapped_table_write_stages_field_ids(spark, tmp_path):
 
 
 def test_unenforced_writer_contracts_refuse(spark, tmp_path):
-    """Foreign writer contracts this engine does not evaluate —
-    CHECK constraints, column invariants, generated columns,
-    append-only — refuse BY NAME instead of being silently violated
-    (r9). Plain appends remain allowed on append-only tables."""
+    """Foreign writer contracts: CHECK constraints and column
+    invariants are EVALUATED since r10 (valid rows commit, violating
+    rows raise naming the constraint); generated columns and
+    append-only removes still refuse BY NAME. Plain appends remain
+    allowed on append-only tables."""
     import json as _json
 
     from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
@@ -667,17 +668,37 @@ def test_unenforced_writer_contracts_refuse(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="appendOnly"):
         delete_delta(spark, t, "id = 1")
 
-    # CHECK constraint: every write refuses
+    # CHECK constraint: valid rows commit; violating rows raise with
+    # the constraint's name; NULL passes (SQL CHECK semantics)
     t = str(tmp_path / "ck")
     _forge(t, configuration={"delta.constraints.positive": "v > 0"})
-    with pytest.raises(NotImplementedError, match="constraints.positive"):
-        write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    write_delta(_df(spark, [(3, "c", None)]), t)  # NULL satisfies CHECK
+    assert read_delta(spark, t).count() == 3
+    with pytest.raises(ValueError, match="positive"):
+        write_delta(_df(spark, [(4, "d", -1.0)]), t)
+    assert read_delta(spark, t).count() == 3  # nothing staged
 
-    # column invariant
+    # column invariant: same enforcement through the legacy JSON shape
     t = str(tmp_path / "inv")
     _forge(t, field_meta={"delta.invariants": '{"expression":{"expression":"id > 0"}}'})
-    with pytest.raises(NotImplementedError, match="invariant"):
-        write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    with pytest.raises(ValueError, match="invariant"):
+        write_delta(_df(spark, [(-5, "x", 1.0)]), t)
+
+    # DML revalidates rewritten rows: an UPDATE driving v negative
+    # violates the CHECK even though the pre-image was valid
+    t = str(tmp_path / "ck2")
+    _forge(t, configuration={"delta.constraints.positive": "v > 0"})
+    write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        update_delta,
+    )
+
+    with pytest.raises(ValueError, match="positive"):
+        update_delta(spark, t, {"v": "v - 100"}, "id = 2")
+    update_delta(spark, t, {"v": "v + 1"}, "id = 2")  # valid update OK
+    assert read_delta(spark, t).filter("id = 2").collect()[0].v == 3.0
 
     # generated column
     t = str(tmp_path / "gen")
