@@ -145,8 +145,62 @@ def _stage_cdc_mapped(
     )
 
 
+def _dv_pairs_by_base(
+    spark: SparkSession, path: str, snap: _Snapshot, dv_rels: list[str]
+) -> DataFrame:
+    """(file basename, row position) frame of every deleted row in
+    ``dv_rels``'s deletion vectors — the build side for basename-keyed
+    anti-joins (_scan_with_file(apply_dvs=True), REORG). Driver decode
+    under the read path's pair budget, executor decode above it."""
+    import json as _json
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        _DV_PAIRS_DRIVER_MAX,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+        dv_row_indexes,
+    )
+
+    abs_table = os.path.abspath(path)
+    base_of = {p: urllib.parse.unquote(p).split("/")[-1] for p in dv_rels}
+    total = sum(
+        int(snap.files[p]["deletionVector"].get("cardinality", 0))
+        for p in dv_rels
+    )
+    if total <= _DV_PAIRS_DRIVER_MAX:
+        pairs = []
+        for p in dv_rels:
+            b = base_of[p]
+            for ri in dv_row_indexes(path, snap.files[p]["deletionVector"]):
+                pairs.append((b, ri))
+        return _pairs_frame(spark, pairs)
+    desc_rows = [
+        (base_of[p], _json.dumps(snap.files[p]["deletionVector"]))
+        for p in dv_rels
+    ]
+
+    def _decode(row):
+        from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+            dv_row_indexes as _dvri,
+        )
+
+        dv = _json.loads(row[1])
+        for ri in _dvri(abs_table, dv):
+            yield (row[0], ri)
+
+    n_slices = max(1, min(len(desc_rows), 256))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(desc_rows, n_slices).flatMap(_decode),
+        f"{_FILE_COL} string, {_POS_COL} long",
+    )
+
+
 def _scan_with_file(
-    spark: SparkSession, path: str, snap: _Snapshot, with_pos: bool = False
+    spark: SparkSession,
+    path: str,
+    snap: _Snapshot,
+    with_pos: bool = False,
+    apply_dvs: bool = False,
 ) -> DataFrame:
     """Distributed scan of the snapshot's live files with one extra
     column: the file's basename (``__delta_file``). Basenames are
@@ -161,7 +215,26 @@ def _scan_with_file(
     so the scan schema uses them and aliases back to logical in the
     same select (predicates and SET expressions downstream see logical
     names, exactly like read_delta); add.partitionValues are keyed by
-    physical name with a logical-keyed fallback for lenient writers."""
+    physical name with a logical-keyed fallback for lenient writers.
+
+    ``apply_dvs`` (r10): rows a live deletion vector marks deleted are
+    REMOVED from the scan (basename-keyed anti-join) — what lets CoW
+    DML run directly on MOR tables without resurrecting deleted rows.
+    The DV writers keep raw scans (their fresh-vs-old logic owns the
+    vectors)."""
+    dv_rels = (
+        sorted(p for p, a in snap.files.items() if a.get("deletionVector"))
+        if apply_dvs
+        else []
+    )
+    if dv_rels:
+        raw = _scan_with_file(spark, path, snap, with_pos=True)
+        out = raw.join(
+            _dv_pairs_by_base(spark, path, snap, dv_rels),
+            on=[_FILE_COL, _POS_COL],
+            how="left_anti",
+        )
+        return out if with_pos else out.drop(_POS_COL)
     schema = snap.schema
     assert schema is not None
     mapping = _column_mapping(snap)
@@ -332,11 +405,14 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
     (unchanged if nothing matched — no empty commit)."""
     snap = _replay_log(path, None)
     mapping = _write_mapping(snap, "DELETE")
-    _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
     _refuse_unenforced_writer_contracts(
         snap, "copy-on-write DML/OPTIMIZE", emits_removes=True
     )
-    scan = _scan_with_file(spark, path, snap)
+    # MOR tables work directly (r10): the scan applies live deletion
+    # vectors, so a rewrite can never resurrect deleted rows; rewritten
+    # files drop their vectors with the remove, untouched files keep
+    # theirs
+    scan = _scan_with_file(spark, path, snap, apply_dvs=True)
     cond = F.expr(predicate)
     affected = _affected_files(scan, cond)
     if not affected:
@@ -839,7 +915,6 @@ def update_delta(
     row-move rewrite is MERGE's job). Returns the new version."""
     snap = _replay_log(path, None)
     mapping = _write_mapping(snap, "UPDATE")
-    _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
     _refuse_unenforced_writer_contracts(
         snap, "copy-on-write DML/OPTIMIZE", emits_removes=True
     )
@@ -854,7 +929,7 @@ def update_delta(
     unknown = set(set_exprs) - {f.name for f in schema.fields}
     if unknown:
         raise ValueError(f"unknown column(s) in SET: {sorted(unknown)}")
-    scan = _scan_with_file(spark, path, snap)
+    scan = _scan_with_file(spark, path, snap, apply_dvs=True)
     cond = F.expr(predicate) if predicate is not None else F.lit(True)
     affected = _affected_files(scan, cond)
     if not affected:
@@ -935,7 +1010,6 @@ def merge_delta(
         raise ValueError(f"when_matched must be update|delete|none: {when_matched!r}")
     snap = _replay_log(path, None)
     mapping = _write_mapping(snap, "MERGE")
-    _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
     _refuse_unenforced_writer_contracts(
         snap, "copy-on-write DML/OPTIMIZE", emits_removes=True
     )
@@ -958,7 +1032,7 @@ def merge_delta(
         )
     source = source.select(*tcols)  # column order for unionByName/insert
 
-    scan = _scan_with_file(spark, path, snap)
+    scan = _scan_with_file(spark, path, snap, apply_dvs=True)
     key_df = source.select(*keys).distinct()
     affected = [
         r[_FILE_COL]
@@ -1373,15 +1447,6 @@ def rewrite_deletion_vectors(
     ∝ DV-carrying file bytes — exactly the files whose read-side
     anti-join tax this op retires. Column-mapped tables work (staging
     goes through the physical-name path)."""
-    import json as _json
-
-    from sparkstreamingtwitter_presidential_spark.sources.delta import (
-        _DV_PAIRS_DRIVER_MAX,
-    )
-    from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
-        dv_row_indexes,
-    )
-
     snap = _replay_log(path, None)
     mapping = _write_mapping(snap, "rewrite_deletion_vectors")
     _refuse_unenforced_writer_contracts(
@@ -1399,43 +1464,7 @@ def rewrite_deletion_vectors(
     sub.files = {p: snap.files[p] for p in dv_rels}
     scan = _scan_with_file(spark, path, sub, with_pos=True)
 
-    abs_table = os.path.abspath(path)
-    total = sum(
-        int(snap.files[p]["deletionVector"].get("cardinality", 0))
-        for p in dv_rels
-    )
-    base_of = {
-        p: urllib.parse.unquote(p).split("/")[-1] for p in dv_rels
-    }
-    if total <= _DV_PAIRS_DRIVER_MAX:
-        pairs = []
-        for p in dv_rels:
-            b = base_of[p]
-            for ri in dv_row_indexes(path, snap.files[p]["deletionVector"]):
-                pairs.append((b, ri))
-        build = _pairs_frame(spark, pairs)
-    else:
-        desc_rows = [
-            (base_of[p], _json.dumps(snap.files[p]["deletionVector"]))
-            for p in dv_rels
-        ]
-
-        def _decode(row):
-            from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
-                dv_row_indexes as _dvri,
-            )
-
-            dv = _json.loads(row[1])
-            for ri in _dvri(abs_table, dv):
-                yield (row[0], ri)
-
-        n_slices = max(1, min(len(desc_rows), 256))
-        build = spark.createDataFrame(
-            spark.sparkContext.parallelize(desc_rows, n_slices).flatMap(
-                _decode
-            ),
-            f"{_FILE_COL} string, {_POS_COL} long",
-        )
+    build = _dv_pairs_by_base(spark, path, snap, dv_rels)
     kept = scan.join(
         build, on=[_FILE_COL, _POS_COL], how="left_anti"
     ).drop(_FILE_COL, _POS_COL)

@@ -252,18 +252,21 @@ def test_partitioned_dv_read(spark, tmp_path):
     assert got == sorted(set(range(60)) - set(ids[:2]))
 
 
-def test_rewrite_paths_refuse_on_dv_tables(spark, dv_table):
-    t, _want = dv_table
+def test_cow_dml_applies_dvs_directly(spark, dv_table):
+    """CoW DELETE/UPDATE run DIRECTLY on DV tables since r10 late: the
+    DML scan applies live vectors (no resurrection), rewritten files
+    drop their vectors with the remove, untouched files keep theirs.
+    OPTIMIZE / RESTORE / keyed row_changes still refuse by name (their
+    read paths bypass the DV-aware scan — REORG first)."""
+    t, want = dv_table
     from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
         delete_delta,
         optimize_delta,
         update_delta,
-        vacuum_delta,
     )
 
+    # with vectors LIVE: optimize/restore/keyed-changes refuse by name
     for op in (
-        lambda: delete_delta(spark, t, "id = 50"),
-        lambda: update_delta(spark, t, {"s": "'x'"}, "id = 50"),
         lambda: optimize_delta(spark, t),
         lambda: restore_delta(spark, t, 0),
         lambda: delta_row_changes(spark, t, 1, keys=["id"]),
@@ -274,6 +277,14 @@ def test_rewrite_paths_refuse_on_dv_tables(spark, dv_table):
     # a retraction — ValueError on the remove, not a blanket DV refusal
     with pytest.raises(ValueError, match="retraction|rewrote"):
         delta_changes(spark, t, 0)
+    # id=50 survives the fixture's vectors; delete it via CoW — the
+    # DV-marked rows of the SAME file must stay deleted, not resurrect
+    assert 50 in want
+    delete_delta(spark, t, "id = 50")
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == [i for i in want if i != 50]
+    update_delta(spark, t, {"s": "'x'"}, "id = 51")
+    assert read_delta(spark, t).filter("id = 51").collect()[0].s == "x"
 
 
 def test_vacuum_is_dv_aware(spark, dv_table):
@@ -585,10 +596,10 @@ def test_delete_delta_dv_refusals(spark, tmp_path):
     assert _replay_log(ao, None).version == 0
 
 
-def test_delete_delta_dv_then_cow_paths_refuse(spark, tmp_path):
-    """Own-written DVs hit the same rewrite guards as foreign ones:
-    OPTIMIZE / CoW DML refuse while live adds carry descriptors
-    (checkpoints carry DVs through since r9 late)."""
+def test_delete_delta_dv_then_cow_composes(spark, tmp_path):
+    """Own-written DVs compose with CoW DML (r10 late): a CoW DELETE
+    after a DV delete respects the vectors; OPTIMIZE still refuses
+    (its compaction path bypasses the DV-aware scan — REORG first)."""
     from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
         delete_delta,
         delete_delta_dv,
@@ -599,15 +610,16 @@ def test_delete_delta_dv_then_cow_paths_refuse(spark, tmp_path):
     write_delta(
         spark.createDataFrame(
             [(i,) for i in range(100)], "id long"
-        ),
+        ).repartition(2),
         t,
         mode="append",
     )
     delete_delta_dv(spark, t, "id < 5")
     with pytest.raises(NotImplementedError, match="deletion vector"):
         optimize_delta(spark, t)
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        delete_delta(spark, t, "id = 50")
+    delete_delta(spark, t, "id = 50")
+    got = sorted(r.id for r in read_delta(spark, t).collect())
+    assert got == [i for i in range(100) if i >= 5 and i != 50]
 
 
 def test_incremental_pull_clean_range_on_dv_table(spark, dv_table):
