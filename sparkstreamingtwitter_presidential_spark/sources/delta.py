@@ -1219,14 +1219,28 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     new version."""
     head = _replay_log(path, None)
     target = _replay_log(path, version)
-    # the diff below keys on PATH alone; a path live in both versions
-    # with different deletionVector states would keep the wrong DV
-    _refuse_dvs(head, "restore_delta")
-    _refuse_dvs(target, "restore_delta (target version)")
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     for p_, a in target.files.items():
-        if p_ not in head.files:
+        cur = head.files.get(p_)
+        if cur is None:
+            actions.append({"add": {**a, "dataChange": True}})
+        elif cur.get("deletionVector") != a.get("deletionVector"):
+            # DV-aware restore (r10 — previously a named refusal): a
+            # path live in BOTH versions with different vector states
+            # re-adds the TARGET's descriptor via remove+re-add, so
+            # rows the head's newer vector deleted come back exactly.
+            # Replaced sidecars are vacuum-exempt (.bin never swept),
+            # so the target's vector is still on disk.
+            actions.append(
+                {
+                    "remove": {
+                        "path": p_,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
             actions.append({"add": {**a, "dataChange": True}})
     for p_ in head.files:
         if p_ not in target.files:

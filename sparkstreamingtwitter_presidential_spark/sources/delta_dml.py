@@ -1315,7 +1315,6 @@ def optimize_delta(
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     snap = _replay_log(path, None)
     mapping = _write_mapping(snap, "OPTIMIZE")
-    _refuse_dvs(snap, "copy-on-write DML/OPTIMIZE")
     _refuse_unenforced_writer_contracts(
         snap, "copy-on-write DML/OPTIMIZE", emits_removes=True
     )
@@ -1364,13 +1363,27 @@ def optimize_delta(
             for f in schema.fields
             if f.name in snap.partition_columns
         }
-        df = spark.read.schema(data_schema).parquet(
-            *sorted(
-                os.path.join(path, urllib.parse.unquote(r)) for r in rels_small
+        if any(snap.files[r].get("deletionVector") for r in rels_small):
+            # DV-carrying small files compact too (r10): read through
+            # the DV-aware scan so the compaction FOLDS their vectors
+            # (rows unchanged -> still dataChange:false); the removes
+            # below retire the descriptors with the old paths
+            import copy as _copy
+
+            sub = _copy.copy(snap)
+            sub.files = {r: snap.files[r] for r in rels_small}
+            df = _scan_with_file(
+                spark, path, sub, apply_dvs=True
+            ).drop(_FILE_COL).select(*[f.name for f in data_fields])
+        else:
+            df = spark.read.schema(data_schema).parquet(
+                *sorted(
+                    os.path.join(path, urllib.parse.unquote(r))
+                    for r in rels_small
+                )
+            ).select(
+                *[F.col(phys(f.name)).alias(f.name) for f in data_fields]
             )
-        ).select(
-            *[F.col(phys(f.name)).alias(f.name) for f in data_fields]
-        )
         if cluster_by:
             df = df.repartitionByRange(
                 n_out, *[F.col(c) for c in cluster_by]

@@ -256,23 +256,15 @@ def test_cow_dml_applies_dvs_directly(spark, dv_table):
     """CoW DELETE/UPDATE run DIRECTLY on DV tables since r10 late: the
     DML scan applies live vectors (no resurrection), rewritten files
     drop their vectors with the remove, untouched files keep theirs.
-    OPTIMIZE / RESTORE / keyed row_changes still refuse by name (their
-    read paths bypass the DV-aware scan — REORG first)."""
+    Keyed row_changes still refuses (its diff reads raw files)."""
     t, want = dv_table
     from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
         delete_delta,
-        optimize_delta,
         update_delta,
     )
 
-    # with vectors LIVE: optimize/restore/keyed-changes refuse by name
-    for op in (
-        lambda: optimize_delta(spark, t),
-        lambda: restore_delta(spark, t, 0),
-        lambda: delta_row_changes(spark, t, 1, keys=["id"]),
-    ):
-        with pytest.raises(NotImplementedError, match="deletion vector"):
-            op()
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        delta_row_changes(spark, t, 1, keys=["id"])
     # incremental pull over the DV-attach commit: the remove+re-add is
     # a retraction — ValueError on the remove, not a blanket DV refusal
     with pytest.raises(ValueError, match="retraction|rewrote"):
@@ -285,6 +277,42 @@ def test_cow_dml_applies_dvs_directly(spark, dv_table):
     assert got == [i for i in want if i != 50]
     update_delta(spark, t, {"s": "'x'"}, "id = 51")
     assert read_delta(spark, t).filter("id = 51").collect()[0].s == "x"
+
+
+def test_optimize_and_restore_are_dv_aware(spark, dv_table):
+    """r10 late: OPTIMIZE compacts DV-carrying small files by FOLDING
+    their vectors (rows unchanged, dataChange:false); RESTORE re-adds
+    the target version's DV state via per-path descriptor diff, so
+    rows a newer vector deleted come back exactly."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        table_version,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        optimize_delta,
+    )
+
+    t, want = dv_table
+    v_dv = table_version(t)
+    v = optimize_delta(spark, t)
+    assert v > v_dv
+    snap = _replay_log(t, None)
+    assert not any(a.get("deletionVector") for a in snap.files.values())
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == want
+    # layout-only: the compaction commit is dataChange:false throughout
+    log = os.path.join(t, "_delta_log", f"{v:020d}.json")
+    for ln in open(log).read().splitlines():
+        act = json.loads(ln)
+        for k in ("add", "remove"):
+            if k in act:
+                assert act[k]["dataChange"] is False
+    # restore back to the DV version: vectors return, rows match
+    restore_delta(spark, t, v_dv)
+    snap2 = _replay_log(t, None)
+    assert any(a.get("deletionVector") for a in snap2.files.values())
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == want
+    # restore to v0 (pre-DV): the deleted rows come back
+    restore_delta(spark, t, 0)
+    assert read_delta(spark, t).count() == 100
 
 
 def test_vacuum_is_dv_aware(spark, dv_table):
@@ -615,8 +643,10 @@ def test_delete_delta_dv_then_cow_composes(spark, tmp_path):
         mode="append",
     )
     delete_delta_dv(spark, t, "id < 5")
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        optimize_delta(spark, t)
+    # OPTIMIZE folds the vectors while compacting (r10 late)
+    optimize_delta(spark, t)
+    snap = _replay_log(t, None)
+    assert not any(a.get("deletionVector") for a in snap.files.values())
     delete_delta(spark, t, "id = 50")
     got = sorted(r.id for r in read_delta(spark, t).collect())
     assert got == [i for i in range(100) if i >= 5 and i != 50]
