@@ -973,19 +973,19 @@ def _entries_and_deletes_for_snapshot(
 
 def _entries_for_snapshot(path: str, snap: dict) -> list[dict]:
     """Data entries of a snapshot for operations that do NOT apply
-    row-level deletes (DML, compaction, rewrite_manifests, incremental
+    row-level deletes (compaction, rewrite_manifests, incremental
     bookkeeping): a table carrying live position deletes REFUSES here
     — scanning its data files without applying the deletes would
-    resurrect deleted rows, and rewriting them correctly is the
-    (unimplemented) rewrite-position-deletes maintenance op. Plain
-    snapshot reads go through _entries_and_deletes_for_snapshot and
-    apply the deletes."""
+    resurrect deleted rows. Plain snapshot reads AND CoW DML (r10,
+    _dml_plan) go through _entries_and_deletes_for_snapshot and apply
+    the deletes; rewrite_position_deletes folds the backlog for the
+    ops that still refuse."""
     entries, dels = _entries_and_deletes_for_snapshot(path, snap)
     if dels:
         raise NotImplementedError(
-            "table carries live position-delete files; only plain "
-            "snapshot reads apply them — rewrite the deletes into data "
-            "files before DML/compaction/maintenance ops"
+            "table carries live position-delete files; snapshot reads "
+            "and CoW DML apply them — run rewrite_position_deletes "
+            "before compaction/maintenance ops"
         )
     return entries
 
@@ -2600,6 +2600,7 @@ def _commit_snapshot(
     added_delete_files: list[dict] | None = None,
     delete_files_unpartitioned_spec: bool = False,
     branch: str | None = None,
+    carry_delete_manifests: bool = False,
 ) -> int:
     """Write one manifest (ADDED + carried-EXISTING + DELETED entries),
     a manifest list, and claim the next metadata version — the shared
@@ -2663,6 +2664,21 @@ def _commit_snapshot(
         parent_id = meta.get("current-snapshot-id")
         if parent_id == -1:
             parent_id = None
+    if (
+        carry_delete_manifests
+        and not carry_prior_manifests
+        and parent_id is not None
+    ):
+        # DML on a MOR table (r10): the data manifests are rebuilt
+        # (existing/deleted entries) but the parent's DELETE manifests
+        # carry forward — their position deletes key on untouched
+        # files' paths and their equality deletes scope by sequence
+        # (< the rewrite's new seq), so rewritten rows are immune and
+        # untouched files stay correctly filtered
+        _, _, parent_ms = read_container(
+            _snapshot(meta, parent_id)["manifest-list"]
+        )
+        prior_manifests = [m for m in parent_ms if m["content"] != 0]
 
     entries = [
         {
@@ -3286,22 +3302,46 @@ def _dml_plan(spark: SparkSession, path: str):
     land in the evolved shape — so SET/MERGE may reference evolved
     columns. Name projection here (same boundary as partitioned reads;
     self-written tables are exact — renames go through
-    rename_column_iceberg's guards)."""
+    rename_column_iceberg's guards).
+
+    MOR tables work directly (r10 — previously refused via
+    _entries_for_snapshot): live position/equality deletes apply to
+    the DML scan through _row_delete_filter, so a rewrite can never
+    resurrect deleted rows; the commit carries the parent's delete
+    manifests forward (carry_delete_manifests) — rewritten rows are
+    immune (higher sequence / removed paths) while untouched files
+    stay filtered. The returned ``has_deletes`` flag tells callers to
+    set that commit option."""
     meta = _load_metadata(path)
     snap = _snapshot(meta, None)
     ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
     part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
-    entries = _entries_for_snapshot(path, snap)
+    entries, dels = _entries_and_deletes_for_snapshot(path, snap)
     _refuse_renamed_files(meta, entries, ice_schema, "copy-on-write DML")
+    scan_filter = (
+        _row_delete_filter(spark, meta, entries, dels, ice_schema)
+        if dels
+        else None
+    )
     scan = _read_files(
         spark,
         [e["data_file"] for e in entries],
         spark_schema,
         part_fields,
         with_file=True,
+        scan_filter=scan_filter,
     )
-    return meta, snap, ice_schema, part_fields, spark_schema, entries, scan
+    return (
+        meta,
+        snap,
+        ice_schema,
+        part_fields,
+        spark_schema,
+        entries,
+        scan,
+        bool(dels),
+    )
 
 
 def _safe_promotion(w_type: Any, r_type: Any) -> bool:
@@ -3370,9 +3410,10 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
     a ``delete`` snapshot carrying every untouched file forward.
     Returns the new snapshot id (the current one unchanged if nothing
     matched — no empty commit)."""
-    meta, snap, ice_schema, part_fields, _schema, entries, scan = _dml_plan(
-        spark, path
-    )
+    (
+        meta, snap, ice_schema, part_fields, _schema, entries, scan,
+        has_deletes,
+    ) = _dml_plan(spark, path)
     cond = F.expr(predicate)
     affected = [
         r[_FILE_COL]
@@ -3402,6 +3443,7 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
         deleted_entries=[by_base[b] for b in sorted(affected_set)],
         carry_prior_manifests=False,
         operation="delete",
+        carry_delete_manifests=has_deletes,
     )
 
 
@@ -3767,9 +3809,10 @@ def update_iceberg(
     columns cannot be updated (a real row-move rewrite is MERGE's
     job — the same refusal as the Delta twin). Returns the new
     snapshot id."""
-    meta, snap, ice_schema, part_fields, spark_schema, entries, scan = (
-        _dml_plan(spark, path)
-    )
+    (
+        meta, snap, ice_schema, part_fields, spark_schema, entries, scan,
+        has_deletes,
+    ) = _dml_plan(spark, path)
     pcols = {pf["source_name"] for pf in part_fields}
     bad = set(set_exprs) & pcols
     if bad:
@@ -3815,6 +3858,7 @@ def update_iceberg(
         deleted_entries=[by_base[b] for b in sorted(affected_set)],
         carry_prior_manifests=False,
         operation="overwrite",
+        carry_delete_manifests=has_deletes,
     )
 
 
@@ -3846,9 +3890,10 @@ def merge_iceberg(
         raise ValueError(
             f"when_matched must be update|delete|none: {when_matched!r}"
         )
-    meta, snap, ice_schema, part_fields, spark_schema, entries, scan = (
-        _dml_plan(spark, path)
-    )
+    (
+        meta, snap, ice_schema, part_fields, spark_schema, entries, scan,
+        has_deletes,
+    ) = _dml_plan(spark, path)
     tcols = [f.name for f in spark_schema.fields]
     if sorted(source.columns) != sorted(tcols):
         raise ValueError(
@@ -3938,6 +3983,7 @@ def merge_iceberg(
         carry_prior_manifests=False,
         operation="overwrite",
         summary_extra=summary_extra,
+        carry_delete_manifests=has_deletes,
     )
 
 

@@ -506,3 +506,37 @@ def test_branch_commits_do_not_leak_into_main_range_reads(
     dev_head = meta["refs"]["dev"]["snapshot-id"]
     with _pytest.raises(ValueError, match="different branches"):
         iceberg_table_changes(spark, t, dev_head, to_snapshot=s2)
+
+
+def test_cow_dml_applies_row_deletes_directly(spark, part_table):
+    """CoW DELETE/UPDATE/MERGE run DIRECTLY on tables with live
+    position/equality deletes (r10 late — previously refused via
+    _entries_for_snapshot): the DML scan applies the deletes (no
+    resurrection) and the commit carries the delete manifests forward
+    so untouched files stay filtered."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg,
+        merge_iceberg,
+        update_iceberg,
+    )
+
+    t, rows = part_table  # 90 rows, ids 0..89, g = id % 3
+    delete_iceberg_positional(spark, t, "id < 10")  # MOR backlog
+    assert read_iceberg(spark, t).count() == 80
+    # CoW delete of one more id: the <10 rows must NOT resurrect
+    delete_iceberg(spark, t, "id = 50")
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(10, 90) if i != 50]
+    # deletes referencing untouched files still apply after the rewrite
+    update_iceberg(spark, t, {"v": "v + 1000"}, "id = 20")
+    got2 = read_iceberg(spark, t)
+    assert got2.count() == 79
+    assert got2.filter("id = 20").collect()[0].v == 1020.0
+    merge_iceberg(
+        spark,
+        t,
+        spark.createDataFrame([(200, "g2", 2.0)], "id long, g string, v double"),
+        keys=["id"],
+    )
+    assert read_iceberg(spark, t).count() == 80
+    assert read_iceberg(spark, t).filter("id < 10").count() == 0

@@ -1364,10 +1364,12 @@ def test_positional_deletes_scope_by_sequence_number(spark, tmp_path):
 
 
 def test_live_deletes_block_dml_and_rewrite_restores(spark, tmp_path):
-    """CoW DML / compaction / incremental refuse while position deletes
-    are live (scanning without applying them would resurrect rows);
-    rewrite_position_deletes folds them into data files — only
-    affected files rewrite — and the ops work again."""
+    """Compaction refuses while position deletes are live (its scan
+    does not apply them); CoW DML runs DIRECTLY since r10 late (the
+    DML scan applies the deletes — pinned here by an UPDATE whose
+    rewrite must not resurrect the deleted row);
+    rewrite_position_deletes folds the backlog — only affected files
+    rewrite — and compaction works again."""
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         compact_iceberg,
         delete_iceberg_positional,
@@ -1384,9 +1386,12 @@ def test_live_deletes_block_dml_and_rewrite_restores(spark, tmp_path):
     )
     delete_iceberg_positional(spark, t, "id = 3")  # touches file 1 only
     with pytest.raises(NotImplementedError, match="position-delete"):
-        update_iceberg(spark, t, {"v": "v + 1"})
-    with pytest.raises(NotImplementedError, match="position-delete"):
         compact_iceberg(spark, t)
+    # DML applies the live delete: id=3 stays gone through the rewrite
+    update_iceberg(spark, t, {"v": "v + 1"}, predicate="id = 4")
+    got_mid = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got_mid == [i for i in range(12) if i != 3]
+    update_iceberg(spark, t, {"v": "v - 1"}, predicate="id = 4")  # undo
 
     before = {
         f for f in read_iceberg(spark, t).inputFiles()
