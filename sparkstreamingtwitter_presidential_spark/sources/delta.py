@@ -23,10 +23,12 @@ partition columns (values live in the log, NOT the data files),
 `remove` tombstones, time travel by version AND timestamp
 (`timestampAsOf`, r8), RESTORE to a version (r8), COLUMN MAPPING reads
 (name/id modes — physical-name scans aliased to the logical schema,
-r8; writes/DML on mapped tables refuse), DELETION VECTOR reads (r9 —
-inline/on-disk descriptors decoded via sources/delta_dv.py and applied
-as a broadcast anti-join on `_metadata` file/row-index; every rewrite,
-diff, checkpoint and vacuum path refuses on DV tables, _refuse_dvs),
+r8; writes/DML/streaming/evolution work through the mapping since
+r10, staging physical names + parquet field ids), DELETION VECTOR
+reads (r9 — inline/on-disk descriptors decoded via sources/delta_dv.py
+and applied as a broadcast anti-join on `_metadata` file/row-index;
+since r10 DML/OPTIMIZE/RESTORE are DV-aware and the keyed change
+diff applies each side's own DV state),
 and `txn` (appId, version) actions — the protocol's idempotent-
 streaming-writer marker (consumed by streaming/delta_sink.py). Tables
 requiring any OTHER reader feature (type widening, ...) raise
@@ -141,7 +143,7 @@ def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
         # adds may carry a deletionVector descriptor (reader v3's
         # deletionVectors feature); plain snapshot reads APPLY it
         # (_dv_filter), every rewrite/maintenance path calls
-        # _refuse_dvs instead of silently resurrecting deleted rows
+        # a named refusal instead of silently resurrecting deleted rows
         snap.files[action["add"]["path"]] = action["add"]
     elif "remove" in action:
         r = action["remove"]
@@ -505,25 +507,6 @@ def _enforce_row_contracts(snap: _Snapshot, df: DataFrame, ctx: str) -> None:
     )
 
 
-def _refuse_dvs(snap: _Snapshot, ctx: str) -> None:
-    """Every path that REWRITES, diffs, or sweeps files must refuse
-    while live adds carry deletion vectors: a scan that ignored the DV
-    would resurrect deleted rows, and vacuum's untracked-file sweep
-    would reclaim live deletion_vector_*.bin sidecars. Snapshot reads
-    apply DVs (_dv_filter), checkpoints carry the descriptors through
-    verbatim (write_checkpoint), cdc-carrying commits serve change
-    reads (delta_row_changes); everything else refuses by name (never
-    wrong rows)."""
-    n = sum(1 for a in snap.files.values() if a.get("deletionVector"))
-    if n:
-        raise NotImplementedError(
-            f"{ctx}: {n} live file(s) carry deletion vectors; only "
-            "snapshot reads apply them — fold the vectors into data "
-            "files first (delta_dml.rewrite_deletion_vectors, the "
-            "REORG/PURGE op)"
-        )
-
-
 # driver-side pair budget for DV application: the pair set tracks the
 # table's DELETE BACKLOG (sum of DV cardinalities), never its row
 # count. At or below it, descriptors decode DRIVER-side into a
@@ -538,20 +521,34 @@ _DV_PAIRS_DRIVER_MAX = 2_000_000
 
 def _dv_filter(spark: SparkSession, path: str, snap: _Snapshot):
     """None when no live add carries a deletionVector; otherwise a
-    closure applying rows-minus-DV to a RAW parquet scan (must run
-    while `_metadata` is still reachable, i.e. directly on the scan
-    before any join/alias). Small backlogs decode driver-side
-    (delta_dv.dv_row_indexes — bounded metadata, CRC-checked) into a
-    broadcast (file, row_index) build side; backlogs above
-    _DV_PAIRS_DRIVER_MAX decode executor-side (one task per slice of
-    descriptors, sidecars read from the table's shared storage). The
-    probe side anti-joins on `_metadata.file_path`/`row_index`, the
-    Iceberg position-delete reader's proven shape."""
-    dv_adds = [
-        (p, a["deletionVector"])
-        for p, a in sorted(snap.files.items())
-        if a.get("deletionVector")
-    ]
+    closure applying rows-minus-DV to a RAW parquet scan (see
+    _dv_filter_for)."""
+    return _dv_filter_for(
+        spark,
+        path,
+        [
+            (p, a["deletionVector"])
+            for p, a in sorted(snap.files.items())
+            if a.get("deletionVector")
+        ],
+    )
+
+
+def _dv_filter_for(
+    spark: SparkSession, path: str, dv_adds: list[tuple[str, dict]]
+):
+    """None when ``dv_adds`` is empty; otherwise a closure applying
+    rows-minus-DV to a RAW parquet scan (must run while `_metadata` is
+    still reachable, i.e. directly on the scan before any join/alias).
+    Small backlogs decode driver-side (delta_dv.dv_row_indexes —
+    bounded metadata, CRC-checked) into a broadcast (file, row_index)
+    build side; backlogs above _DV_PAIRS_DRIVER_MAX decode
+    executor-side (one task per slice of descriptors, sidecars read
+    from the table's shared storage). The probe side anti-joins on
+    `_metadata.file_path`/`row_index`, the Iceberg position-delete
+    reader's proven shape. ``dv_adds``: (relative path, descriptor) —
+    callers pick the SNAPSHOT whose vector state applies (the current
+    one for reads, a commit's own sides for change derivation)."""
     if not dv_adds:
         return None
     from sparkstreamingtwitter_presidential_spark.sources.delta_dv import dv_row_indexes
@@ -938,8 +935,6 @@ def delta_row_changes(
             "changes needs a primary key; pass keys=[...]"
         )
     if keys is not None:
-        # diff-derived path: needs clean data files and a real key
-        _refuse_dvs(cur, "delta_row_changes")
         missing = [k for k in keys if k not in cols]
         if missing:
             raise ValueError(f"change keys not in table schema: {missing}")
@@ -963,6 +958,20 @@ def delta_row_changes(
     def _read_actions(actions: dict[str, dict[str, Any]]) -> DataFrame:
         if not actions:
             return spark.createDataFrame([], schema)
+        # each SIDE applies its own actions' deletion-vector state
+        # (r10 late): the old side reads rows visible at v-1 (prev
+        # snapshot's descriptors), the new side rows visible at v —
+        # so a DV-attach commit derives exact 'delete' rows and a DV
+        # update derives exact pre/post pairs, no CDF needed
+        dv_apply = _dv_filter_for(
+            spark,
+            path,
+            [
+                (p, a["deletionVector"])
+                for p, a in sorted(actions.items())
+                if a.get("deletionVector")
+            ],
+        )
         groups: dict[tuple, list[str]] = {}
         for p, a in actions.items():
             pv = a.get("partitionValues", {})
@@ -974,9 +983,10 @@ def delta_row_changes(
             )
         parts = []
         for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-            df = spark.read.schema(data_schema).parquet(
-                *sorted(paths)
-            ).select(*data_sel)
+            df = spark.read.schema(data_schema).parquet(*sorted(paths))
+            if dv_apply is not None:
+                df = dv_apply(df)
+            df = df.select(*data_sel)
             for col, val in zip(cur.partition_columns, key):
                 df = df.withColumn(col, F.lit(val).cast(part_types[col]))
             parts.append(df.select(*cols))
@@ -998,7 +1008,6 @@ def delta_row_changes(
 
     if removed_paths:
         prev = _replay_log(path, version - 1)
-        _refuse_dvs(prev, "delta_row_changes (pre-image)")
         lost = [p for p in removed_paths if p not in prev.files]
         if lost:
             raise ValueError(

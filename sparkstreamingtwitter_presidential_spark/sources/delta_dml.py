@@ -46,7 +46,6 @@ from sparkstreamingtwitter_presidential_spark.sources.delta import (
     _column_mapping,
     _enforce_row_contracts,
     _mapping_field_ids,
-    _refuse_dvs,
     _refuse_unenforced_writer_contracts,
     _replay_log,
     _Snapshot,
@@ -1450,7 +1449,7 @@ def rewrite_deletion_vectors(
     so streaming/incremental consumers correctly skip the commit and
     time travel still resolves. Files whose vector covers every row
     emit a plain remove. After the commit, copy-on-write DML and
-    OPTIMIZE work again (the _refuse_dvs guard sees no live vectors);
+    OPTIMIZE need no fold at all since r10 late (both are DV-aware);
     the replaced deletion_vector_*.bin sidecars become VACUUM-exempt
     orphans until retention (documented conservative boundary — they
     may still serve time travel).

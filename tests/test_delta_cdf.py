@@ -134,11 +134,12 @@ def test_cdf_dv_delete_changes_read_through_cdc(spark, tmp_path):
     assert sorted(r.id for r in ch1) == [2, 4]
     assert sorted(r.id for r in ch2) == [6]  # fresh rows only
     assert {r._change_type for r in ch1 + ch2} == {"delete"}
-    # non-CDF DV table: diff path still refuses on live DVs
+    # non-CDF DV table (r10 late): the keyed diff applies each side's
+    # own DV state, so a DV delete derives its exact 'delete' rows
     u = _mk(spark, tmp_path, "u", cdf=False)
     delete_delta_dv(spark, u, "id = 2")
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        delta_row_changes(spark, u, 1, keys=["id"])
+    chu = delta_row_changes(spark, u, 1, keys=["id"]).collect()
+    assert [(r.id, r._change_type) for r in chu] == [(2, "delete")]
 
 
 def test_set_delta_properties_enables_cdf(spark, tmp_path):

@@ -255,16 +255,18 @@ def test_partitioned_dv_read(spark, tmp_path):
 def test_cow_dml_applies_dvs_directly(spark, dv_table):
     """CoW DELETE/UPDATE run DIRECTLY on DV tables since r10 late: the
     DML scan applies live vectors (no resurrection), rewritten files
-    drop their vectors with the remove, untouched files keep theirs.
-    Keyed row_changes still refuses (its diff reads raw files)."""
+    drop their vectors with the remove, untouched files keep theirs;
+    the keyed change diff applies each side's own DV state, so the
+    foreign DV-attach commit derives its exact delete rows."""
     t, want = dv_table
     from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
         delete_delta,
         update_delta,
     )
 
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        delta_row_changes(spark, t, 1, keys=["id"])
+    ch = delta_row_changes(spark, t, 1, keys=["id"]).collect()
+    assert sorted(r.id for r in ch) == sorted(set(range(100)) - set(want))
+    assert {r._change_type for r in ch} == {"delete"}
     # incremental pull over the DV-attach commit: the remove+re-add is
     # a retraction — ValueError on the remove, not a blanket DV refusal
     with pytest.raises(ValueError, match="retraction|rewrote"):
