@@ -206,3 +206,50 @@ def test_v3_dv_read_on_partitioned_table(spark, tmp_path):
     assert dels and all(
         d["data_file"]["partition"] == {"g": "g1"} for d in dels
     )
+
+
+# ------------------------------------------------ property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 40) - 1), max_size=300
+    )
+)
+def test_dv_blob_roundtrip_property(vals):
+    assert deserialize_dv_blob(serialize_dv_blob(vals)) == sorted(set(vals))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 34) - 1),
+            min_size=1,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_puffin_multi_blob_roundtrip_property(tmp_path_factory, blobs):
+    import uuid as _uuid
+
+    p = str(tmp_path_factory.mktemp("pf") / f"{_uuid.uuid4().hex}.puffin")
+    payloads = [serialize_dv_blob(v) for v in blobs]
+    metas = write_puffin(
+        p,
+        [
+            {"type": "deletion-vector-v1", "payload": b}
+            for b in payloads
+        ],
+    )
+    footer = read_puffin_footer(p)
+    assert len(footer["blobs"]) == len(blobs)
+    for m, vals in zip(metas, blobs):
+        got = deserialize_dv_blob(read_blob(p, m["offset"], m["length"]))
+        assert got == sorted(set(vals))
