@@ -1934,10 +1934,19 @@ def iceberg_row_changes(
     primary key on both sides — validated). Output: the table schema
     + ``_change_type`` + ``_snapshot_id``.
 
-    Refusals: row-level delete manifests on either side (MOR change
-    reconstruction needs delete-file awareness — CoW commits only),
-    renamed/retyped files in scope (_refuse_renamed_files), expired
-    parents. Cost ∝ the snapshot's touched files, never the table."""
+    MOR snapshots (r10 late): a commit that ADDS (or drops) POSITION
+    delete files — including v3 Puffin deletion vectors — derives its
+    changes exactly: the touched scope extends to the data files the
+    changed delete files reference, and each side reads under its OWN
+    delete state (parent's deletes for the pre-image, the snapshot's
+    for the post-image), so newly-deleted rows surface as 'delete'
+    rows. A changed EQUALITY delete file still refuses by name — its
+    scope is every earlier-sequence file, which would make the diff
+    cost ∝ the table.
+
+    Other refusals: renamed/retyped files in scope
+    (_refuse_renamed_files), expired parents. Cost ∝ the snapshot's
+    touched files (incl. referenced-by-deletes), never the table."""
     meta = _load_metadata(path)
     snap = _snapshot(meta, snapshot_id)
     op = (snap.get("summary") or {}).get("operation")
@@ -1975,12 +1984,37 @@ def iceberg_row_changes(
         )
     else:
         par_entries, par_dels = [], []
-    if cur_dels or par_dels:
-        raise NotImplementedError(
-            "row-level delete files on the snapshot or its parent; "
-            "change reconstruction over MOR snapshots is not supported "
-            "(CoW commits only)"
-        )
+    cur_del_by_path = {d["data_file"]["file_path"]: d for d in cur_dels}
+    par_del_by_path = {d["data_file"]["file_path"]: d for d in par_dels}
+    delta_dels = [
+        d
+        for p, d in sorted(cur_del_by_path.items())
+        if p not in par_del_by_path
+    ] + [
+        d
+        for p, d in sorted(par_del_by_path.items())
+        if p not in cur_del_by_path
+    ]
+    affected_norm: set[str] = set()
+    if delta_dels:
+        import pyarrow.parquet as _pq
+
+        for d in delta_dels:
+            df_ = d["data_file"]
+            if df_["content"] == 2:
+                raise NotImplementedError(
+                    "an equality delete file changed in this snapshot; "
+                    "its scope is every earlier-sequence data file — "
+                    "change reconstruction supports position-delete "
+                    "(and deletion-vector) MOR commits only"
+                )
+            if df_["file_format"].upper() == "PUFFIN":
+                affected_norm.add(_norm_path(df_["referenced_data_file"]))
+            else:
+                t_ = _pq.read_table(df_["file_path"], columns=["file_path"])
+                affected_norm.update(
+                    _norm_path(p) for p in t_.column("file_path").to_pylist()
+                )
     cur_by_path = {e["data_file"]["file_path"]: e for e in cur_entries}
     par_by_path = {e["data_file"]["file_path"]: e for e in par_entries}
     added = [
@@ -1989,33 +2023,63 @@ def iceberg_row_changes(
     removed = [
         e for p, e in sorted(par_by_path.items()) if p not in cur_by_path
     ]
+    # files whose delete-applicability changed join both sides (their
+    # own path survives the commit, but their VISIBLE rows changed)
+    both_affected_cur = [
+        e
+        for p, e in sorted(cur_by_path.items())
+        if p in par_by_path and _norm_path(p) in affected_norm
+    ]
+    both_affected_par = [
+        e
+        for p, e in sorted(par_by_path.items())
+        if p in cur_by_path and _norm_path(p) in affected_norm
+    ]
     _refuse_renamed_files(
-        meta, added + removed, ice_schema, "iceberg_row_changes"
+        meta,
+        added + removed + both_affected_cur,
+        ice_schema,
+        "iceberg_row_changes",
     )
 
-    def _read(recs: list[dict]) -> DataFrame:
+    def _read(
+        recs: list[dict], side_entries: list[dict], side_dels: list[dict]
+    ) -> DataFrame:
         if not recs:
             return spark.createDataFrame([], spark_schema)
+        flt = (
+            _row_delete_filter(
+                spark, meta, side_entries, side_dels, ice_schema
+            )
+            if side_dels
+            else None
+        )
         return _read_files(
-            spark, [r["data_file"] for r in recs], spark_schema, part_fields
+            spark,
+            [r["data_file"] for r in recs],
+            spark_schema,
+            part_fields,
+            scan_filter=flt,
         )
 
     ver = F.lit(int(sid)).cast("long")
-    if not removed:
-        return _read(added).select(
+    if not removed and not both_affected_cur:
+        return _read(added, cur_entries, cur_dels).select(
             *cols,
             F.lit("insert").alias("_change_type"),
             ver.alias("_snapshot_id"),
         )
     if keys is None:
         raise ValueError(
-            f"snapshot {sid} removed files — deriving row changes "
-            "needs a primary key; pass keys=[...]"
+            f"snapshot {sid} removed files (or changed their delete "
+            "state) — deriving row changes needs a primary key; pass "
+            "keys=[...]"
         )
     missing = [k for k in keys if k not in cols]
     if missing:
         raise ValueError(f"change keys not in table schema: {missing}")
-    old, new = _read(removed), _read(added)
+    old = _read(removed + both_affected_par, par_entries, par_dels)
+    new = _read(added + both_affected_cur, cur_entries, cur_dels)
     for side, name in ((old, "removed"), (new, "added")):
         dup = (
             side.groupBy(*keys).count().filter("count > 1").limit(1).collect()

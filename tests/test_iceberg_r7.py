@@ -1974,11 +1974,20 @@ def test_iceberg_row_changes_shapes_and_refusals(spark, tmp_path):
         iceberg_row_changes(spark, t, s1, keys=["id"])
 
 
-def test_iceberg_row_changes_refuses_mor_snapshots(spark, tmp_path):
+def test_iceberg_row_changes_derives_position_delete_commits(
+    spark, tmp_path
+):
+    """MOR changelog (r10 late): a position-delete commit derives its
+    exact 'delete' rows — each side reads under its OWN delete state,
+    and the touched scope extends to the files the changed delete
+    files reference. Later CoW DML on the MOR table diffs exactly
+    too; a changed EQUALITY delete still refuses by name."""
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         delete_iceberg_positional,
         iceberg_row_changes,
         table_snapshots,
+        update_iceberg,
+        upsert_iceberg_mor,
     )
 
     t = str(tmp_path / "t")
@@ -1986,14 +1995,35 @@ def test_iceberg_row_changes_refuses_mor_snapshots(spark, tmp_path):
         _df(spark, [(i, "x", float(i)) for i in range(6)]).repartition(1), t
     )
     delete_iceberg_positional(spark, t, "id = 2")
-    sid = (
-        table_snapshots(spark, t)
-        .orderBy("sequence_number")
-        .collect()[-1]
-        .snapshot_id
+
+    def _last_sid():
+        return (
+            table_snapshots(spark, t)
+            .orderBy("sequence_number")
+            .collect()[-1]
+            .snapshot_id
+        )
+
+    ch = iceberg_row_changes(spark, t, _last_sid(), keys=["id"]).collect()
+    assert [(r.id, r._change_type) for r in ch] == [(2, "delete")]
+    # a CoW UPDATE on the still-MOR table: pre/post derive under the
+    # live delete (the deleted row never appears on either side)
+    update_iceberg(spark, t, {"v": "v + 100"}, "id = 3")
+    ch2 = iceberg_row_changes(spark, t, _last_sid(), keys=["id"]).collect()
+    got = sorted((r.id, r.v, r._change_type) for r in ch2)
+    assert got == [
+        (3, 3.0, "update_preimage"),
+        (3, 103.0, "update_postimage"),
+    ]
+    # equality-delete commits (the upsert's channel) still refuse
+    upsert_iceberg_mor(
+        spark,
+        t,
+        _df(spark, [(4, "x", 400.0)]),
+        keys=["id"],
     )
-    with pytest.raises(NotImplementedError, match="MOR|delete"):
-        iceberg_row_changes(spark, t, sid, keys=["id"])
+    with pytest.raises(NotImplementedError, match="equality delete"):
+        iceberg_row_changes(spark, t, _last_sid(), keys=["id"])
 
 
 def test_iceberg_table_changes_range(spark, tmp_path):
