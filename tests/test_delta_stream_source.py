@@ -381,3 +381,37 @@ def test_stream_read_change_feed_refuses_uncdc_rewrites(spark, tmp_path):
             spark, t, str(tmp_path / "c2"), [],
             readChangeFeed="true", skipChangeCommits="true",
         )
+
+
+def test_stream_change_feed_composes_with_mapping_and_dvs(spark, tmp_path):
+    """readChangeFeed composes with column mapping (cdc files store
+    physical names; the stream emits logical) and with DV-mode DML
+    (delete_delta_dv stages cdc rows on CDF tables — the exclusive
+    source, so the DV attach never trips the append-only check)."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta_dv,
+    )
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, "g", float(i)) for i in range(4)],
+            "id long, grp string, v double",
+        ).repartition(1),
+        t,
+        mode="append",
+        column_mapping="name",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_delta_dv(spark, t, "id = 2")  # v1: DV marks + cdc rows
+    sink: list = []
+    _run(spark, t, str(tmp_path / "ckpt"), sink, readChangeFeed="true")
+    got = sorted((r[0], r[3], r[4]) for r in sink)
+    assert got == [
+        (0, "insert", 0),
+        (1, "insert", 0),
+        (2, "delete", 1),
+        (2, "insert", 0),
+        (3, "insert", 0),
+    ]
