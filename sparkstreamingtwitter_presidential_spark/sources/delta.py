@@ -534,6 +534,57 @@ def _dv_filter(spark: SparkSession, path: str, snap: _Snapshot):
     )
 
 
+def dv_pairs_frame(
+    spark: SparkSession,
+    path: str,
+    keyed: list[tuple[str, dict]],
+    cols: str,
+) -> DataFrame:
+    """(key, row_index) frame of every deleted row in ``keyed``'s
+    deletion-vector descriptors — the ONE implementation of the
+    driver-vs-executor decode split (r10 review finding: two copies
+    had drifted apart). Under _DV_PAIRS_DRIVER_MAX total cardinality
+    the descriptors decode driver-side into a BROADCAST LocalRelation
+    (createDataFrame has no size stats — without the hint the static
+    planner picks SortMergeJoin); above it they ship to executors
+    (one task per slice, sidecars read from the table's shared
+    storage) and AQE sizes the join. ``keyed``: (join key, descriptor)
+    — callers pick the key space (normalized absolute path for raw
+    scans, file basename for the DML scan). ``cols``: the two-column
+    DDL naming the key and position columns."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+        dv_row_indexes,
+    )
+
+    total = sum(int(dv.get("cardinality", 0)) for _k, dv in keyed)
+    if total <= _DV_PAIRS_DRIVER_MAX:
+        pairs = []
+        for k, dv in keyed:
+            for ri in dv_row_indexes(path, dv):
+                pairs.append((k, ri))
+        return F.broadcast(spark.createDataFrame(pairs, cols))
+    abs_table = os.path.abspath(path)
+    desc_rows = [(k, json.dumps(dv)) for k, dv in keyed]
+
+    def _decode(row):
+        # runs on executors: pure-Python codec, sidecar reads from
+        # the table path (shared storage, same reachability contract
+        # as the data files themselves)
+        from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+            dv_row_indexes as _dvri,
+        )
+
+        dv = json.loads(row[1])
+        for ri in _dvri(abs_table, dv):
+            yield (row[0], ri)
+
+    n_slices = max(1, min(len(desc_rows), 256))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(desc_rows, n_slices).flatMap(_decode),
+        cols,
+    )
+
+
 def _dv_filter_for(
     spark: SparkSession, path: str, dv_adds: list[tuple[str, dict]]
 ):
@@ -551,52 +602,27 @@ def _dv_filter_for(
     one for reads, a commit's own sides for change derivation)."""
     if not dv_adds:
         return None
-    from sparkstreamingtwitter_presidential_spark.sources.delta_dv import dv_row_indexes
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         _norm_path,
         _norm_path_col,
     )
 
-    total = sum(int(dv.get("cardinality", 0)) for _p, dv in dv_adds)
-    abs_table = os.path.abspath(path)
-    fulls = [
-        _norm_path(
-            os.path.abspath(os.path.join(path, urllib.parse.unquote(p)))
-        )
-        for p, _dv in dv_adds
-    ]
-    if total <= _DV_PAIRS_DRIVER_MAX:
-        pairs = []
-        for full, (_p, dv) in zip(fulls, dv_adds):
-            for ri in dv_row_indexes(path, dv):
-                pairs.append((full, ri))
-        build = F.broadcast(
-            spark.createDataFrame(pairs, "__dpath string, __dpos long")
-        )
-    else:
-        desc_rows = [
-            (full, json.dumps(dv)) for full, (_p, dv) in zip(fulls, dv_adds)
-        ]
-
-        def _decode(row):
-            # runs on executors: pure-Python codec, sidecar reads from
-            # the table path (shared storage, same reachability
-            # contract as the data files themselves)
-            from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
-                dv_row_indexes as _dvri,
+    build = dv_pairs_frame(
+        spark,
+        path,
+        [
+            (
+                _norm_path(
+                    os.path.abspath(
+                        os.path.join(path, urllib.parse.unquote(p))
+                    )
+                ),
+                dv,
             )
-
-            dv = json.loads(row[1])
-            for ri in _dvri(abs_table, dv):
-                yield (row[0], ri)
-
-        n_slices = max(1, min(len(desc_rows), 256))
-        build = spark.createDataFrame(
-            spark.sparkContext.parallelize(desc_rows, n_slices).flatMap(
-                _decode
-            ),
-            "__dpath string, __dpos long",
-        )
+            for p, dv in dv_adds
+        ],
+        "__dpath string, __dpos long",
+    )
 
     def apply(scan: DataFrame) -> DataFrame:
         before = scan.columns

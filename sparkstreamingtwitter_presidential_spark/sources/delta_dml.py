@@ -149,47 +149,23 @@ def _dv_pairs_by_base(
 ) -> DataFrame:
     """(file basename, row position) frame of every deleted row in
     ``dv_rels``'s deletion vectors — the build side for basename-keyed
-    anti-joins (_scan_with_file(apply_dvs=True), REORG). Driver decode
-    under the read path's pair budget, executor decode above it."""
-    import json as _json
-
+    anti-joins (_scan_with_file(apply_dvs=True), REORG). Delegates to
+    delta.dv_pairs_frame (the shared driver-vs-executor decode split)
+    with basenames as the key space."""
     from sparkstreamingtwitter_presidential_spark.sources.delta import (
-        _DV_PAIRS_DRIVER_MAX,
-    )
-    from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
-        dv_row_indexes,
+        dv_pairs_frame,
     )
 
-    abs_table = os.path.abspath(path)
-    base_of = {p: urllib.parse.unquote(p).split("/")[-1] for p in dv_rels}
-    total = sum(
-        int(snap.files[p]["deletionVector"].get("cardinality", 0))
-        for p in dv_rels
-    )
-    if total <= _DV_PAIRS_DRIVER_MAX:
-        pairs = []
-        for p in dv_rels:
-            b = base_of[p]
-            for ri in dv_row_indexes(path, snap.files[p]["deletionVector"]):
-                pairs.append((b, ri))
-        return _pairs_frame(spark, pairs)
-    desc_rows = [
-        (base_of[p], _json.dumps(snap.files[p]["deletionVector"]))
-        for p in dv_rels
-    ]
-
-    def _decode(row):
-        from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
-            dv_row_indexes as _dvri,
-        )
-
-        dv = _json.loads(row[1])
-        for ri in _dvri(abs_table, dv):
-            yield (row[0], ri)
-
-    n_slices = max(1, min(len(desc_rows), 256))
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(desc_rows, n_slices).flatMap(_decode),
+    return dv_pairs_frame(
+        spark,
+        path,
+        [
+            (
+                urllib.parse.unquote(p).split("/")[-1],
+                snap.files[p]["deletionVector"],
+            )
+            for p in dv_rels
+        ],
         f"{_FILE_COL} string, {_POS_COL} long",
     )
 

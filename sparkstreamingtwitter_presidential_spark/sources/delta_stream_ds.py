@@ -153,33 +153,38 @@ class DeltaStreamReader(DataSourceStreamReader):
         if options.get("startingTimestamp") is not None:
             # real-source parity (r10): resolve the first version
             # committed AT OR AFTER the timestamp — the stream delivers
-            # from there (delta-spark's startingTimestamp contract)
+            # from there (delta-spark's startingTimestamp contract).
+            # Resolution goes through version_at_timestamp so the
+            # mtime fallback for commitInfo-less foreign commits and
+            # the monotonization rule (ADVICE r8) apply here too: the
+            # first at-or-after version is one past the latest
+            # at-or-before (ts - 1ms).
             if options.get("startingVersion") is not None:
                 raise ValueError(
                     "pass either startingVersion or startingTimestamp, "
                     "not both"
                 )
-            from sparkstreamingtwitter_presidential_spark.sources.delta import (
-                delta_history,
-            )
-
             import datetime as _dt
+
+            from sparkstreamingtwitter_presidential_spark.sources.delta import (
+                version_at_timestamp,
+            )
 
             ts = _dt.datetime.fromisoformat(options["startingTimestamp"])
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=_dt.timezone.utc)
             want_ms = int(ts.timestamp() * 1000)
-            versions = sorted(
-                (int(h["version"]) for h in delta_history(self.path)
-                 if int(h.get("timestamp", 0)) >= want_ms),
-            )
-            if not versions:
+            try:
+                start_v = version_at_timestamp(self.path, want_ms - 1) + 1
+            except ValueError:
+                start_v = 0  # every retained commit is at-or-after
+            if start_v > _replay_log(self.path, None).version:
                 raise ValueError(
                     f"startingTimestamp {options['startingTimestamp']} "
                     "is after the table's latest commit — nothing to "
                     "stream from"
                 )
-            self.starting_version = versions[0]
+            self.starting_version = start_v
         else:
             self.starting_version = int(options.get("startingVersion", "0"))
         # real-source parity (r10): skipChangeCommits=true silently
@@ -315,7 +320,10 @@ class DeltaStreamReader(DataSourceStreamReader):
                 )
                 for a in cdc
             ]
-        if saw_remove:
+        if saw_remove or any(a.get("deletionVector") for a in adds):
+            # a DV attach without cdc is a rewrite too — streaming the
+            # add's physical rows would deliver the deleted ones as
+            # 'insert' (the batch twin applies the add's own DV state)
             raise ValueError(
                 f"commit {v} of {self.path} rewrites data without cdc "
                 "actions — a change-feed stream cannot derive its rows "
@@ -387,7 +395,6 @@ class DeltaStreamReader(DataSourceStreamReader):
                             "deletion vector (row-level DELETE) — "
                             "append-only stream, see above"
                         )
-                    pv = add.get("partitionValues", {})
                     commit_parts.append(
                         _AddFilePartition(
                             os.path.join(
@@ -395,14 +402,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                                 urllib.parse.unquote(add["path"]),
                             ),
                             self.fields,
-                            # mapped tables key partitionValues by
-                            # PHYSICAL name; re-key to logical here so
-                            # read() stays mapping-blind
-                            {
-                                n: pv.get(ph, pv.get(n))
-                                for n, ph, _t, is_p in self.fields
-                                if is_p
-                            },
+                            self._logical_pv(
+                                add.get("partitionValues", {})
+                            ),
                         )
                     )
             if is_change_commit:

@@ -864,14 +864,26 @@ def _refuse_v3_unsupported(meta: dict) -> None:
     _iceberg_to_spark_type when a schema carries one. WRITES to v3
     tables refuse in the commit primitives (never foreign-side wrong
     metadata)."""
-    for s in meta.get("schemas", []):
-        for f in s.get("fields", []):
+    def _walk(fields: list) -> None:
+        for f in fields:
             if "initial-default" in f or "write-default" in f:
                 raise NotImplementedError(
                     f"v3 field {f.get('name')!r} declares a default "
                     "value this reader does not apply; refusing rather "
                     "than reading NULLs where the spec says the default"
                 )
+            t = f.get("type")
+            # defaults can live on NESTED struct/list/map fields too
+            if isinstance(t, dict):
+                if t.get("type") == "struct":
+                    _walk(t.get("fields", []))
+                for child in ("element", "value", "key"):
+                    c = t.get(child)
+                    if isinstance(c, dict) and c.get("type") == "struct":
+                        _walk(c.get("fields", []))
+
+    for s in meta.get("schemas", []):
+        _walk(s.get("fields", []))
 
 
 def _schema_for(meta: dict, schema_id: int) -> dict:
@@ -1164,6 +1176,11 @@ def _position_delete_pairs(
                 "__dpath string, __dpos long",
             )
         )
+    if not frames:
+        # every content=1 entry was inapplicable (e.g. dangling DVs
+        # whose referenced files left the live set) — empty pair frame,
+        # not a reduce() crash
+        return spark.createDataFrame([], "__dpath string, __dpos long")
     if len(frames) == 1:
         return frames[0]
     from functools import reduce as _reduce

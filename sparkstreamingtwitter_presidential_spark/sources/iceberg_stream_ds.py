@@ -175,6 +175,11 @@ class IcebergStreamReader(DataSourceStreamReader):
                     for x in meta.get("snapshots", [])
                     if self._last < x.get("sequence-number", 0) <= s
                     and x["snapshot-id"] in anc
+                    # replace (compaction) snapshots deliver zero rows
+                    # (partitions() skips them) — counting their bytes
+                    # would stall the budget on undelivered data
+                    and (x.get("summary") or {}).get("operation")
+                    != "replace"
                 ),
                 key=lambda x: x["sequence-number"],
             )

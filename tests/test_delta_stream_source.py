@@ -415,3 +415,28 @@ def test_stream_change_feed_composes_with_mapping_and_dvs(spark, tmp_path):
         (2, "insert", 0),
         (3, "insert", 0),
     ]
+
+
+def test_stream_change_feed_refuses_dv_adds_without_cdc(spark, tmp_path):
+    """A DV attach WITHOUT cdc actions is a rewrite the CDF stream
+    cannot derive — fail by name, never stream deleted rows as
+    'insert' (r10 review finding)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta_dv,
+    )
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, 0, float(i)) for i in range(4)],
+            "id long, part int, v double",
+        ).repartition(1),
+        t,
+        mode="append",
+    )
+    delete_delta_dv(spark, t, "id = 2")  # no CDF -> no cdc actions
+    with pytest.raises(StreamingQueryException, match="without cdc"):
+        _run(spark, t, str(tmp_path / "ckpt"), [], readChangeFeed="true")
