@@ -905,3 +905,32 @@ def test_rewrite_deletion_vectors_over_budget_distributed(
     monkeypatch.setattr(delta_mod, "_DV_PAIRS_DRIVER_MAX", 2)
     rewrite_deletion_vectors(spark, t)
     assert sorted(r.id for r in read_delta(spark, t).collect()) == want
+
+
+def test_dv_aware_dml_scan_keeps_pushdown(spark, tmp_path):
+    """The DV-applying DML scan must not cost pushdown: the probe's
+    predicate reaches the parquet scan THROUGH the anti-join
+    (PushedFilters carries it) and the DV application stays a
+    broadcast anti-join — at 100 TB the affected-file probe reads the
+    predicate's row groups, never the table."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        _scan_with_file,
+        delete_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(10000).withColumn("v", F.col("id") * 1.0).repartition(2),
+        t,
+    )
+    delete_delta_dv(spark, t, "id % 100 = 0")
+    snap = _replay_log(t, None)
+    probe = _scan_with_file(spark, t, snap, apply_dvs=True).filter(
+        F.expr("id = 5000")
+    )
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(id,5000)" in plan, "predicate not pushed to the scan"
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
