@@ -7,7 +7,9 @@ operators extend BEYOND it to the mutation surface a curation pipeline
 needs (retract bad documents, fix labels, upsert refreshed crawls)
 without rewriting the whole table.
 
-Design (the same strategy delta-spark uses without deletion vectors):
+Design (the same strategy the real delta-spark writer uses; since r10
+every scan is deletion-vector-aware, so the ops below run directly on
+MERGE-ON-READ tables too):
 
 1. **Touch only affected files.** A DELETE/UPDATE/MERGE first finds the
    set of live files that contain at least one matching row — a

@@ -1,7 +1,9 @@
 """Delta deletion-vector reads (PROTOCOL.md §Deletion Vectors): the
 Z85 / portable-roaring / RoaringBitmapArray codec stack pinned to
-public vectors, and read_delta applying inline + on-disk DVs as a
-broadcast anti-join while every rewrite path refuses by name."""
+public vectors, read_delta applying inline + on-disk DVs as a
+broadcast anti-join, and (r10) the DV-aware write surface: CoW DML,
+OPTIMIZE folding, RESTORE state diffs, REORG, and the keyed change
+derivation — each applying the right side's vector state."""
 
 from __future__ import annotations
 
