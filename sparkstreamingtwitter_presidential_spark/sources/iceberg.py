@@ -22,7 +22,9 @@ fully distributed (`spark.read.parquet(paths)`), only the metadata
 walk is driver-side — the identical cost split as the real client and
 as `sources/delta.py`.
 
-Coverage: format-version 1/2 metadata, unpartitioned AND
+Coverage: format-version 1/2/3 metadata (v3 writes maintain the
+spec's row-lineage bookkeeping; Puffin deletion-vector DML lives in
+iceberg_dv.py), unpartitioned AND
 identity-partitioned tables (int/long/string/date partition sources;
 partition tuples spec-serialized in manifest entries, partition-pruned
 reads composing with per-file column bounds), parquet data files,
@@ -48,10 +50,11 @@ with the spec's sequence-number scoping, and
 affected files). DML/compaction/incremental REFUSE while deletes are
 live (rewrite first) — never resurrect deleted rows.
 Refusals (clear NotImplementedError/ValueError rather than wrong
-rows): non-identity partition transforms, partition sources outside
-int/long/string/date, null partition values, EQUALITY delete files
-and position deletes on partitioned tables, non-parquet data files,
-format-version > 2, types outside the supported subset.
+rows): partition sources outside the transform's allowed types,
+non-parquet/non-puffin delete formats, format-version > 3, v3 field
+defaults on read, types outside the supported subset. (Earlier-round
+refusals since lifted: transforms r9, equality deletes r9/r10, v3
+reads r10, v3 writes + Puffin-DV DML r11 — see iceberg_dv.py.)
 
 Column mapping: reads project by FIELD-ID (spec §Column Projection) —
 a foreign engine's rename (metadata-only edit, ids preserved) reads
@@ -582,12 +585,19 @@ def _transform_col(pf: dict, col):
     return (F.year(d) - F.lit(1970)) * F.lit(12) + F.month(d) - F.lit(1)
 
 
-def _manifest_entry_schema(part_fields: list[dict]) -> dict:
+def _manifest_entry_schema(
+    part_fields: list[dict], dv_refs: bool = False
+) -> dict:
     """The manifest avro schema with the partition record (r102) typed
     for the table's spec — empty for unpartitioned tables, one
     nullable field per partition field typed by the transform's RESULT
     type (identity/truncate keep the source type; temporal and bucket
-    transforms store ints)."""
+    transforms store ints). ``dv_refs`` extends the data_file struct
+    with the v3 deletion-vector reference fields (spec field-ids
+    143/144/145: referenced_data_file / content_offset /
+    content_size_in_bytes) — used by DELETE manifests carrying Puffin
+    DV entries; nullable, so mixed manifests (equality deletes beside
+    DVs) serialize with nulls for the non-DV entries."""
     r102_fields = [
         {
             "name": pf["name"],
@@ -667,7 +677,28 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
                             "type": ["null", {"type": "array", "items": "int"}],
                             "field-id": 135,
                         },
-                    ],
+                    ]
+                    + (
+                        [
+                            {
+                                "name": "referenced_data_file",
+                                "type": ["null", "string"],
+                                "field-id": 143,
+                            },
+                            {
+                                "name": "content_offset",
+                                "type": ["null", "long"],
+                                "field-id": 144,
+                            },
+                            {
+                                "name": "content_size_in_bytes",
+                                "type": ["null", "long"],
+                                "field-id": 145,
+                            },
+                        ]
+                        if dv_refs
+                        else []
+                    ),
                 },
             },
         ],
@@ -696,6 +727,12 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # v3 row lineage: the first _row_id assigned to rows of this
+        # manifest's ADDED files (spec manifest-list table, first-row-id).
+        # Null on v2 manifests and on DELETE manifests (deletes assign
+        # no row ids); carried-forward manifests keep their original
+        # value so append-only lineage stays stable across commits.
+        {"name": "first_row_id", "type": ["null", "long"], "field-id": 520},
     ],
 }
 
@@ -833,20 +870,6 @@ def _load_metadata(path: str) -> dict:
     return meta
 
 
-def _refuse_v3_writes(meta: dict, ctx: str) -> None:
-    """WRITES to format-version 3 tables refuse by name (reads work,
-    r10): this engine's staged manifests/metadata are v2-shaped — a v3
-    writer must maintain row lineage (next-row-id / first-row-id
-    assignment), which this engine does not implement, so committing
-    would corrupt the table's lineage contract for foreign readers."""
-    if meta.get("format-version", 1) >= 3:
-        raise NotImplementedError(
-            f"{ctx} on an iceberg format-version 3 table is not "
-            "supported by this native writer (reads, including Puffin "
-            "deletion vectors, are)"
-        )
-
-
 def _refuse_v3_unsupported(meta: dict) -> None:
     """Format-version 3 READS are supported (r10) for the shapes this
     engine can serve exactly: snapshot scans, Puffin deletion vectors,
@@ -862,8 +885,8 @@ def _refuse_v3_unsupported(meta: dict) -> None:
     and ignoring it cannot change a snapshot read's rows. New v3 types
     (timestamp_ns, variant, geometry, unknown) refuse naturally in
     _iceberg_to_spark_type when a schema carries one. WRITES to v3
-    tables refuse in the commit primitives (never foreign-side wrong
-    metadata)."""
+    tables are first-class since r11 (_commit_snapshot maintains the
+    lineage bookkeeping; iceberg_dv holds the Puffin-DV DML family)."""
     def _walk(fields: list) -> None:
         for f in fields:
             if "initial-default" in f or "write-default" in f:
@@ -2682,6 +2705,10 @@ def _commit_snapshot(
     delete_files_unpartitioned_spec: bool = False,
     branch: str | None = None,
     carry_delete_manifests: bool = False,
+    carry_data_manifests: bool = False,
+    existing_delete_entries: list[dict] | None = None,
+    deleted_delete_entries: list[dict] | None = None,
+    extra_carried_manifests: list[dict] | None = None,
 ) -> int:
     """Write one manifest (ADDED + carried-EXISTING + DELETED entries),
     a manifest list, and claim the next metadata version — the shared
@@ -2707,9 +2734,36 @@ def _commit_snapshot(
     numbers are preserved (EXISTING keeps attribution; DELETED records
     the removed file's data sequence per the spec), which keeps
     expire_snapshots' reachability and the incremental reader's
-    sequence selection exact across compaction/DML commits."""
-    _refuse_v3_writes(meta, "commit")
+    sequence selection exact across compaction/DML commits.
+
+    FORMAT-VERSION 3 (r11): commits to v3 tables are first-class —
+    manifests/manifest lists stamp the table's format-version, and the
+    spec's row-lineage bookkeeping is maintained: the snapshot records
+    ``first-row-id`` (= the metadata's ``next-row-id`` at commit), the
+    new data manifest carries that as its explicit ``first_row_id``
+    (manifest-list field 520; carried-forward manifests keep their
+    original values, so append-only histories have stable lineage),
+    and ``next-row-id`` advances by the rows the new manifest can
+    assign (added + rewritten-existing record counts). Per-data-file
+    first_row_id stays null — the spec's in-manifest inheritance
+    assigns sequentially from the manifest's value. Named boundary:
+    a CoW rewrite moves carried files into a NEW manifest, so their
+    derived row ids change; engines requiring rewrite-stable _row_id
+    should not rely on this writer's lineage (this engine's reader
+    does not expose _row_id).
+
+    ``carry_data_manifests`` (r11, the DV-DML shape): carry the
+    parent's DATA manifests verbatim while the delete state rebuilds —
+    the mirror of ``carry_delete_manifests``. The rebuilt DELETE
+    manifest holds ``added_delete_files`` (ADDED) plus
+    ``existing_delete_entries`` (carried with original attribution)
+    and drops ``deleted_delete_entries`` (DELETED status — superseded
+    deletion vectors, per the spec's one-DV-per-data-file rule).
+    ``extra_carried_manifests`` ride the new manifest list verbatim
+    (untouched delete manifests the caller resolved itself)."""
     md = _metadata_dir(path)
+    fv = meta.get("format-version", 1)
+    fv_bytes = b"3" if fv >= 3 else b"2"
     now_ms = int(time.time() * 1000)
     snapshot_id = uuid.uuid4().int % (1 << 62)
     base_version = meta["_loaded_version"]
@@ -2760,6 +2814,19 @@ def _commit_snapshot(
             _snapshot(meta, parent_id)["manifest-list"]
         )
         prior_manifests = [m for m in parent_ms if m["content"] != 0]
+    if (
+        carry_data_manifests
+        and not carry_prior_manifests
+        and parent_id is not None
+    ):
+        # DV DML (r11): data files are untouched — the parent's DATA
+        # manifests carry verbatim (keeping their lineage first_row_id)
+        # while the delete manifest rebuilds below from the caller's
+        # added/existing/deleted delete entries
+        _, _, parent_ms = read_container(
+            _snapshot(meta, parent_id)["manifest-list"]
+        )
+        prior_manifests = [m for m in parent_ms if m["content"] == 0]
 
     entries = [
         {
@@ -2793,46 +2860,60 @@ def _commit_snapshot(
     ]
 
     added_rows = sum(f["record_count"] for f in added_files)
-    manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
-    manifest_len = write_container(
-        manifest_path,
-        _manifest_entry_schema(part_fields),
-        entries,
-        meta={
-            "schema": json.dumps(ice_schema).encode(),
-            "partition-spec": json.dumps(
-                _default_spec_fields(meta)
-            ).encode(),
-            "partition-spec-id": str(meta.get("default-spec-id", 0)).encode(),
-            "format-version": b"2",
-            "content": b"data",
-        },
+    existing_rows = sum(
+        e["data_file"]["record_count"] for e in existing_entries
     )
-    new_manifest = {
-        "manifest_path": manifest_path,
-        "manifest_length": manifest_len,
-        "partition_spec_id": meta.get("default-spec-id", 0),
-        "content": 0,
-        "sequence_number": seq,
-        "min_sequence_number": min(
-            [seq]
-            + [e["sequence_number"] for e in existing_entries]
-            + [e["sequence_number"] for e in deleted_entries]
-        ),
-        "added_snapshot_id": snapshot_id,
-        "added_files_count": len(added_files),
-        "existing_files_count": len(existing_entries),
-        "deleted_files_count": len(deleted_entries),
-        "added_rows_count": added_rows,
-        "existing_rows_count": sum(
-            e["data_file"]["record_count"] for e in existing_entries
-        ),
-        "deleted_rows_count": sum(
-            e["data_file"]["record_count"] for e in deleted_entries
-        ),
-    }
+    # v3 row lineage: this commit's assignable id range starts at the
+    # table's next-row-id and covers the new manifest's added +
+    # rewritten-existing rows (nulls inherit sequentially in-manifest)
+    first_row_id = meta.get("next-row-id", 0) if fv >= 3 else None
+    new_manifests: list[dict] = []
+    if entries or not (carry_data_manifests or carry_prior_manifests):
+        manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
+        manifest_len = write_container(
+            manifest_path,
+            _manifest_entry_schema(part_fields),
+            entries,
+            meta={
+                "schema": json.dumps(ice_schema).encode(),
+                "partition-spec": json.dumps(
+                    _default_spec_fields(meta)
+                ).encode(),
+                "partition-spec-id": str(
+                    meta.get("default-spec-id", 0)
+                ).encode(),
+                "format-version": fv_bytes,
+                "content": b"data",
+            },
+        )
+        new_manifests.append(
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": meta.get("default-spec-id", 0),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    [seq]
+                    + [e["sequence_number"] for e in existing_entries]
+                    + [e["sequence_number"] for e in deleted_entries]
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(added_files),
+                "existing_files_count": len(existing_entries),
+                "deleted_files_count": len(deleted_entries),
+                "added_rows_count": added_rows,
+                "existing_rows_count": existing_rows,
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"] for e in deleted_entries
+                ),
+                "first_row_id": first_row_id,
+            }
+        )
     delete_manifests: list[dict] = []
-    if added_delete_files:
+    ex_dels = existing_delete_entries or []
+    rm_dels = deleted_delete_entries or []
+    if added_delete_files or ex_dels or rm_dels:
         # v2 row-level deletes: a separate DELETE manifest (content=1)
         # in the same atomic commit — its sequence number is what
         # scopes the deletes to data files with seq <= it.
@@ -2865,18 +2946,45 @@ def _commit_snapshot(
                 "file_sequence_number": seq,
                 "data_file": f,
             }
-            for f in added_delete_files
+            for f in (added_delete_files or [])
         ]
+        dm_entries += [
+            {
+                "status": _STATUS_EXISTING,
+                "snapshot_id": e["snapshot_id"],
+                "sequence_number": e["sequence_number"],
+                "file_sequence_number": e["file_sequence_number"],
+                "data_file": e["data_file"],
+            }
+            for e in ex_dels
+        ]
+        dm_entries += [
+            {
+                "status": _STATUS_DELETED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": e["sequence_number"],
+                "file_sequence_number": e["file_sequence_number"],
+                "data_file": e["data_file"],
+            }
+            for e in rm_dels
+        ]
+        # the v3 DV reference fields serialize whenever any entry
+        # carries them (added DVs or carried/superseded DV entries);
+        # non-DV entries write nulls
+        dv_refs = any(
+            e["data_file"].get("referenced_data_file") is not None
+            for e in dm_entries
+        )
         dm_path = os.path.join(md, f"{uuid.uuid4().hex}-d0.avro")
         dm_len = write_container(
             dm_path,
-            _manifest_entry_schema(dm_part_fields),
+            _manifest_entry_schema(dm_part_fields, dv_refs=dv_refs),
             dm_entries,
             meta={
                 "schema": json.dumps(ice_schema).encode(),
                 "partition-spec": json.dumps(dm_spec_fields).encode(),
                 "partition-spec-id": str(dm_spec_id).encode(),
-                "format-version": b"2",
+                "format-version": fv_bytes,
                 "content": b"deletes",
             },
         )
@@ -2887,16 +2995,24 @@ def _commit_snapshot(
                 "partition_spec_id": dm_spec_id,
                 "content": 1,
                 "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(added_delete_files),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": sum(
-                    f["record_count"] for f in added_delete_files
+                "min_sequence_number": min(
+                    [seq]
+                    + [e["sequence_number"] for e in ex_dels]
+                    + [e["sequence_number"] for e in rm_dels]
                 ),
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(added_delete_files or []),
+                "existing_files_count": len(ex_dels),
+                "deleted_files_count": len(rm_dels),
+                "added_rows_count": sum(
+                    f["record_count"] for f in (added_delete_files or [])
+                ),
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in ex_dels
+                ),
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"] for e in rm_dels
+                ),
             }
         )
     manifest_list = os.path.join(
@@ -2905,11 +3021,14 @@ def _commit_snapshot(
     write_container(
         manifest_list,
         _MANIFEST_FILE_SCHEMA,
-        [new_manifest] + delete_manifests + prior_manifests,
+        new_manifests
+        + delete_manifests
+        + list(extra_carried_manifests or [])
+        + prior_manifests,
         meta={
             "snapshot-id": str(snapshot_id).encode(),
             "sequence-number": str(seq).encode(),
-            "format-version": b"2",
+            "format-version": fv_bytes,
         },
     )
 
@@ -2937,11 +3056,17 @@ def _commit_snapshot(
     }
     if parent_id is not None:
         snapshot["parent-snapshot-id"] = parent_id
+    if fv >= 3:
+        snapshot["first-row-id"] = first_row_id
 
     new_meta = dict(meta)
     new_meta.pop("_loaded_version", None)
     new_meta["last-updated-ms"] = now_ms
     new_meta["last-sequence-number"] = seq
+    if fv >= 3:
+        new_meta["next-row-id"] = (
+            (first_row_id or 0) + added_rows + existing_rows
+        )
     new_meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
     if branch_head is not None:
         # branch commit: advance the ref; main's head and history
@@ -2993,10 +3118,15 @@ def _parse_partition_by(s: str) -> tuple[str, str, int | None]:
 
 
 def _new_table_metadata(
-    path: str, df_schema: T.StructType, partition_by: list[str] | None
+    path: str,
+    df_schema: T.StructType,
+    partition_by: list[str] | None,
+    format_version: int = 2,
 ) -> tuple[dict, dict, list[dict]]:
     """Fresh metadata dict (version 0, not yet written) for a new
-    table. ``partition_by`` entries are either plain column names
+    table. ``format_version`` 3 stamps the v3 contract (row-lineage
+    ``next-row-id`` starts at 0; _commit_snapshot maintains it).
+    ``partition_by`` entries are either plain column names
     (identity spec) or transform calls — ``day(ts)``, ``month(ts)``,
     ``year(d)``, ``hour(ts)``, ``bucket(16, id)``, ``truncate(4, s)``
     — producing the spec transform over that source column. Partition
@@ -3032,8 +3162,12 @@ def _new_table_metadata(
                 "transform": transform,
             }
         )
+    if format_version not in (2, 3):
+        raise ValueError(
+            f"format_version must be 2 or 3, got {format_version!r}"
+        )
     meta = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": str(uuid.uuid4()),
         "location": path,
         "last-updated-ms": int(time.time() * 1000),
@@ -3052,6 +3186,8 @@ def _new_table_metadata(
         "last-sequence-number": 0,
         "_loaded_version": 0,
     }
+    if format_version >= 3:
+        meta["next-row-id"] = 0
     part_fields = _partition_fields(meta, ice_schema)
     return meta, ice_schema, part_fields
 
@@ -3064,6 +3200,7 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     summary_extra: dict[str, str] | None = None,
     branch: str | None = None,
+    format_version: int | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot (``append`` keeps prior data
     live via the previous snapshot's manifests; ``overwrite`` starts a
@@ -3076,7 +3213,11 @@ def write_iceberg(
     identity partition spec over the named int/long/string/date
     columns; appends to a partitioned table stage per-partition
     automatically from the table's spec — passing partition_by again
-    must match it. Returns the new snapshot id.
+    must match it. ``format_version`` (r11) picks the table format for
+    NEW tables: 2 (default) or 3 (row-lineage bookkeeping maintained;
+    DV DML via iceberg_dv becomes available). Appends to an existing
+    table follow ITS format-version — passing the parameter then must
+    match it. Returns the new snapshot id.
 
     Commit protocol (spec §Metadata): stage data parquet + one new
     manifest avro + a manifest list avro, then atomically claim
@@ -3095,6 +3236,15 @@ def write_iceberg(
 
     if exists:
         meta = _load_metadata(path)
+        if (
+            format_version is not None
+            and meta.get("format-version", 1) != format_version
+        ):
+            raise ValueError(
+                f"format_version={format_version} does not match the "
+                f"existing table's {meta.get('format-version', 1)}; "
+                "use upgrade_iceberg_v3 to upgrade in place"
+            )
         ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
         part_fields = _partition_fields(meta, ice_schema)
         if _schema_to_spark(ice_schema) != df.schema:
@@ -3121,7 +3271,7 @@ def write_iceberg(
                 )
     else:
         meta, ice_schema, part_fields = _new_table_metadata(
-            path, df.schema, partition_by
+            path, df.schema, partition_by, format_version or 2
         )
 
     if branch is not None and not exists:
@@ -3567,6 +3717,12 @@ def delete_iceberg_positional(
     import pyarrow.parquet as pq
 
     meta = _load_metadata(path)
+    if meta.get("format-version", 1) >= 3:
+        raise NotImplementedError(
+            "position-delete parquet files are deprecated on "
+            "format-version 3 tables; use iceberg_dv.delete_iceberg_dv "
+            "(Puffin deletion vectors) instead"
+        )
     snap = _snapshot(meta, None)
     ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
     part_fields = _partition_fields(meta, ice_schema)
@@ -4180,8 +4336,8 @@ def _claim_metadata_version(path: str, meta: dict, new_meta: dict) -> int:
     """Shared metadata-only commit primitive (schema evolution, refs):
     put-if-absent claim of ``meta['_loaded_version'] + 1``, then
     repoint the version hint. Raises IcebergCommitConflict if any
-    commit landed since planning."""
-    _refuse_v3_writes(meta, "metadata commit")
+    commit landed since planning. Metadata-only commits never assign
+    row ids, so v3 tables need no lineage bookkeeping here."""
     new_meta = dict(new_meta)
     new_meta.pop("_loaded_version", None)
     new_meta["last-updated-ms"] = int(time.time() * 1000)
@@ -4203,6 +4359,44 @@ def _claim_metadata_version(path: str, meta: dict, new_meta: dict) -> int:
         fh.write(str(new_version))
     os.replace(tmp_hint, os.path.join(_metadata_dir(path), _VERSION_HINT))
     return new_version
+
+
+def upgrade_iceberg_v3(path: str) -> int:
+    """Upgrade a format-version 2 table to FORMAT-VERSION 3 in place
+    (metadata-only commit, the spec's version-upgrade path): stamps
+    ``format-version: 3`` and initializes the row-lineage counter
+    (``next-row-id: 0`` — v2 never assigned row ids, so post-upgrade
+    commits start the sequence; pre-upgrade snapshots carry no
+    first-row-id, which v3 readers treat as lineage-less history).
+
+    Refuses while live position-delete PARQUET files exist: v3
+    deprecates them in favor of deletion vectors — run
+    rewrite_position_deletes first (equality deletes stay valid in v3
+    and carry through). Returns the new metadata version."""
+    meta = _load_metadata(path)
+    fv = meta.get("format-version", 1)
+    if fv >= 3:
+        return meta["_loaded_version"]
+    if meta.get("current-snapshot-id", -1) not in (None, -1):
+        _, dels = _entries_and_deletes_for_snapshot(
+            path, _snapshot(meta, None)
+        )
+        pos_parquet = [
+            d
+            for d in dels
+            if d["data_file"]["content"] == 1
+            and d["data_file"]["file_format"].upper() == "PARQUET"
+        ]
+        if pos_parquet:
+            raise NotImplementedError(
+                "upgrade to format-version 3 with live position-delete "
+                "parquet files: v3 deprecates them for deletion "
+                "vectors — run rewrite_position_deletes first"
+            )
+    new_meta = dict(meta)
+    new_meta["format-version"] = 3
+    new_meta["next-row-id"] = 0
+    return _claim_metadata_version(path, meta, new_meta)
 
 
 def _evolve_schema(path: str, mutate) -> int:
@@ -4388,9 +4582,12 @@ def forge_v3_dv_commit(path: str, deletes: dict[str, list[int]]) -> int:
     content_size_in_bytes (field-ids 143/144/145) so readers locate
     blobs without parsing the Puffin footer, plus (on partitioned
     tables, r10) each referenced file's partition tuple as the spec
-    requires. Returns the new snapshot id. Production WRITES to v3
-    tables still refuse (_refuse_v3_writes) — this helper deliberately
-    writes the metadata JSON directly, as foreign-table fixtures do."""
+    requires. Returns the new snapshot id. Since r11 production v3
+    writes exist (upgrade_iceberg_v3 + iceberg_dv's DML family); this
+    helper stays as the FOREIGN-shaped fixture — it writes the
+    metadata JSON directly, bypassing the engine's commit path, so
+    tests exercise the reader against a commit the engine did NOT
+    author."""
     from sparkstreamingtwitter_presidential_spark.sources.puffin import (
         serialize_dv_blob,
         write_puffin,
@@ -4458,26 +4655,7 @@ def forge_v3_dv_commit(path: str, deletes: dict[str, list[int]]) -> int:
         }
         for p, m in zip(ordered, blob_metas)
     ]
-    sch = _manifest_entry_schema(part_fields)
-    sch["fields"][-1]["type"]["fields"].extend(
-        [
-            {
-                "name": "referenced_data_file",
-                "type": ["null", "string"],
-                "field-id": 143,
-            },
-            {
-                "name": "content_offset",
-                "type": ["null", "long"],
-                "field-id": 144,
-            },
-            {
-                "name": "content_size_in_bytes",
-                "type": ["null", "long"],
-                "field-id": 145,
-            },
-        ]
-    )
+    sch = _manifest_entry_schema(part_fields, dv_refs=True)
     dm_entries = [
         {
             "status": _STATUS_ADDED,

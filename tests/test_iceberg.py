@@ -171,15 +171,23 @@ def test_refusals_partitioned_and_deletes(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="transform"):
         read_iceberg(spark, t)
 
-    # format-version 3 READS work since r10 (tests/test_iceberg_v3.py);
-    # v3 WRITES and format-version 4 still refuse by name
+    # format-version 3 READS work since r10 (tests/test_iceberg_v3.py)
+    # and WRITES since r11 — an append to a foreign-stamped v3 table
+    # commits with the lineage bookkeeping; format-version 4 refuses
     meta3 = dict(meta)
     meta3["format-version"] = 3
     json.dump(meta3, open(os.path.join(md, "v3.metadata.json"), "w"))
     open(os.path.join(md, "version-hint.text"), "w").write("3")
     assert read_iceberg(spark, t).count() == 1
-    with pytest.raises(NotImplementedError, match="format-version 3"):
-        write_iceberg(_df(spark, [(2, "b", 2.0, None)]), t, mode="append")
+    write_iceberg(_df(spark, [(2, "b", 2.0, None)]), t, mode="append")
+    assert read_iceberg(spark, t).count() == 2
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _load_metadata,
+    )
+    m_after = _load_metadata(t)
+    assert m_after["format-version"] == 3
+    assert m_after["next-row-id"] == 1  # the appended row's id range
+    assert m_after["snapshots"][-1]["first-row-id"] == 0
     meta4 = dict(meta)
     meta4["format-version"] = 4
     json.dump(meta4, open(os.path.join(md, "v4.metadata.json"), "w"))

@@ -1,0 +1,307 @@
+"""Iceberg v3 WRITES + Puffin deletion-vector DML (r11, the write
+side of the r10 v3 read path — `sources/iceberg_dv.py`).
+
+What the suite pins, against the public table spec (§v3 Deletion
+vectors) and the Delta DV-write twin's contract:
+
+* v3 table authoring (`write_iceberg(format_version=3)`) and in-place
+  upgrade (`upgrade_iceberg_v3`), with row-lineage bookkeeping
+  (next-row-id / snapshot first-row-id) monotone across commits.
+* DELETE/UPDATE/MERGE mark rows in per-file Puffin vectors — no
+  matched data file is rewritten; a superseded vector leaves in the
+  same commit (one DV per data file, new contains old); a 100%-deleted
+  file drops from the data manifests instead of carrying a full
+  vector.
+* Named refusals: DV DML on v2 tables (points at upgrade), position-
+  delete parquet on v3 tables (points at DV delete), upgrade with a
+  live position-delete backlog, over-budget matches (point at CoW).
+"""
+
+import json
+import os
+
+import pytest
+
+from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+    _entries_and_deletes_for_snapshot,
+    _load_metadata,
+    _snapshot,
+    delete_iceberg,
+    delete_iceberg_positional,
+    read_iceberg,
+    read_iceberg_incremental,
+    upgrade_iceberg_v3,
+    upsert_iceberg_mor,
+    write_iceberg,
+)
+from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+    delete_iceberg_dv,
+    merge_iceberg_dv,
+    update_iceberg_dv,
+)
+
+
+def _table(spark, tmp_path, n=100, fv=3, partition_by=None, files=3):
+    t = str(tmp_path / "t")
+    df = spark.range(0, n).selectExpr(
+        "id",
+        "cast(id % 5 as long) as grp",
+        "cast(id * 1.5 as double) as val",
+    )
+    write_iceberg(
+        df.repartition(files),
+        t,
+        format_version=fv,
+        partition_by=partition_by,
+    )
+    return t
+
+
+def _live_state(path):
+    meta = _load_metadata(path)
+    return _entries_and_deletes_for_snapshot(path, _snapshot(meta, None))
+
+
+def test_dv_delete_marks_without_rewrite(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    before, dels0 = _live_state(t)
+    assert dels0 == []
+    files_before = {e["data_file"]["file_path"] for e in before}
+    delete_iceberg_dv(spark, t, "id % 10 = 3")
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(100) if i % 10 != 3]
+    after, dels = _live_state(t)
+    # no data file rewritten, vectors carry the deletes
+    assert {e["data_file"]["file_path"] for e in after} == files_before
+    assert dels and all(
+        d["data_file"]["file_format"] == "PUFFIN" for d in dels
+    )
+    assert sum(d["data_file"]["record_count"] for d in dels) == 10
+
+
+def test_dv_supersede_one_vector_per_file(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    delete_iceberg_dv(spark, t, "id % 10 = 3")
+    delete_iceberg_dv(spark, t, "id % 10 = 4")
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(100) if i % 10 not in (3, 4)]
+    _after, dels = _live_state(t)
+    refs = [d["data_file"]["referenced_data_file"] for d in dels]
+    assert len(refs) == len(set(refs))  # spec: one DV per data file
+    # each live vector CONTAINS the prior one: cardinality = both rounds
+    assert sum(d["data_file"]["record_count"] for d in dels) == 20
+
+
+def test_dv_full_file_deletion_drops_file(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 40).selectExpr("id", "cast(id % 2 as long) as grp")
+    write_iceberg(df, t, format_version=3, partition_by=["grp"])
+    before, _ = _live_state(t)
+    delete_iceberg_dv(spark, t, "grp = 1")
+    after, dels = _live_state(t)
+    assert len(after) < len(before)
+    # the fully-dead file left the data manifests; no vector points at
+    # a dropped file
+    live = {e["data_file"]["file_path"] for e in after}
+    assert all(
+        d["data_file"]["referenced_data_file"] in live for d in dels
+    )
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [
+        i for i in range(40) if i % 2 == 0
+    ]
+
+
+def test_dv_update_roundtrip(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    before, _ = _live_state(t)
+    files_before = {e["data_file"]["file_path"] for e in before}
+    update_iceberg_dv(spark, t, {"val": "val + 1000"}, "id < 10")
+    out = read_iceberg(spark, t)
+    assert out.count() == 100
+    assert out.filter("val >= 1000").count() == 10
+    assert (
+        out.filter("id = 3").collect()[0].val == 3 * 1.5 + 1000
+    )
+    after, dels = _live_state(t)
+    # old files carried (not rewritten), updated rows in NEW files
+    assert files_before <= {e["data_file"]["file_path"] for e in after}
+    assert dels
+
+
+def test_dv_update_skips_already_deleted_rows(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    delete_iceberg_dv(spark, t, "id = 7")
+    update_iceberg_dv(spark, t, {"val": "0.0"}, "id < 10")
+    out = read_iceberg(spark, t)
+    assert out.filter("id = 7").count() == 0  # not resurrected
+    assert out.filter("val = 0.0").count() == 9
+
+
+def test_dv_merge_upsert_and_delete_modes(spark, tmp_path):
+    t = _table(spark, tmp_path, n=50)
+    src = spark.createDataFrame(
+        [(7, 0, -7.0), (999, 1, -1.0)], "id long, grp long, val double"
+    )
+    merge_iceberg_dv(spark, t, src, ["id"])
+    out = {r.id: r.val for r in read_iceberg(spark, t).collect()}
+    assert out[7] == -7.0 and out[999] == -1.0 and len(out) == 51
+    # delete mode
+    src2 = spark.createDataFrame(
+        [(999, 1, 0.0), (1000, 1, 0.0)], "id long, grp long, val double"
+    )
+    merge_iceberg_dv(
+        spark, t, src2, ["id"], when_matched="delete",
+        insert_not_matched=False,
+    )
+    ids = {r.id for r in read_iceberg(spark, t).collect()}
+    assert 999 not in ids and 1000 not in ids and len(ids) == 50
+
+
+def test_dv_dml_on_partitioned_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 60).selectExpr(
+        "id", "cast(id % 3 as long) as grp", "cast(id * 2 as double) as val"
+    )
+    write_iceberg(df, t, format_version=3, partition_by=["grp"])
+    delete_iceberg_dv(spark, t, "id % 10 = 1")
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(60) if i % 10 != 1]
+    _, dels = _live_state(t)
+    # the DV entries carry their referenced file's partition tuple
+    assert all((d["data_file"].get("partition") or {}) for d in dels)
+
+
+def test_dv_coexists_with_equality_deletes(spark, tmp_path):
+    """An upsert's GLOBAL equality delete (carried verbatim) composes
+    with a later DV delete in the same table."""
+    t = _table(spark, tmp_path, n=30)
+    src = spark.range(5, 8).selectExpr(
+        "id", "cast(0 as long) as grp", "cast(-1.0 as double) as val"
+    )
+    upsert_iceberg_mor(spark, t, src, ["id"])
+    delete_iceberg_dv(spark, t, "id = 20")
+    out = {r.id: r.val for r in read_iceberg(spark, t).collect()}
+    assert len(out) == 29 and 20 not in out
+    assert out[5] == -1.0  # upsert survived the DV commit
+
+
+def test_cow_delete_on_dv_table(spark, tmp_path):
+    """CoW DML still works on a table carrying live vectors: the scan
+    applies them, rewritten files leave their vectors dangling
+    (readers ignore vectors for non-live files)."""
+    t = _table(spark, tmp_path)
+    delete_iceberg_dv(spark, t, "id = 11")
+    delete_iceberg(spark, t, "id % 10 = 2")
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(100) if i % 10 != 2 and i != 11]
+
+
+def test_time_travel_across_dv_commits(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    meta = _load_metadata(t)
+    first = meta["snapshots"][-1]["snapshot-id"]
+    delete_iceberg_dv(spark, t, "id < 50")
+    assert read_iceberg(spark, t, snapshot_id=first).count() == 100
+    assert read_iceberg(spark, t).count() == 50
+
+
+def test_incremental_refuses_across_dv_commit(spark, tmp_path):
+    """A DV delete is a 'delete' snapshot — the incremental append
+    reader keeps its standing refusal (same policy as CoW deletes):
+    an incremental file scan across it would misread removed rows."""
+    t = _table(spark, tmp_path, n=20)
+    meta = _load_metadata(t)
+    s0 = meta["snapshots"][-1]["snapshot-id"]
+    delete_iceberg_dv(spark, t, "id = 1")
+    df2 = spark.range(100, 110).selectExpr(
+        "id", "cast(id % 5 as long) as grp", "cast(id * 1.5 as double) as val"
+    )
+    write_iceberg(df2, t, mode="append")
+    with pytest.raises(ValueError, match="not an append"):
+        read_iceberg_incremental(spark, t, from_snapshot=s0).collect()
+
+
+def test_lineage_counters_monotone(spark, tmp_path):
+    t = _table(spark, tmp_path, n=100)
+    m1 = _load_metadata(t)
+    assert m1["next-row-id"] == 100
+    assert m1["snapshots"][-1]["first-row-id"] == 0
+    write_iceberg(
+        spark.range(100, 130).selectExpr(
+            "id", "cast(id % 5 as long) as grp",
+            "cast(id * 1.5 as double) as val",
+        ),
+        t,
+        mode="append",
+    )
+    m2 = _load_metadata(t)
+    assert m2["snapshots"][-1]["first-row-id"] == 100
+    assert m2["next-row-id"] == 130
+    # a DV delete assigns no new row ids
+    delete_iceberg_dv(spark, t, "id = 3")
+    m3 = _load_metadata(t)
+    assert m3["next-row-id"] == 130
+    assert m3["snapshots"][-1]["first-row-id"] == 130
+
+
+def test_dv_dml_refuses_on_v2(spark, tmp_path):
+    t = _table(spark, tmp_path, fv=2)
+    with pytest.raises(NotImplementedError, match="upgrade_iceberg_v3"):
+        delete_iceberg_dv(spark, t, "id = 1")
+    with pytest.raises(NotImplementedError, match="upgrade_iceberg_v3"):
+        update_iceberg_dv(spark, t, {"val": "0.0"}, "id = 1")
+
+
+def test_positional_parquet_refuses_on_v3(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(NotImplementedError, match="delete_iceberg_dv"):
+        delete_iceberg_positional(spark, t, "id = 1")
+
+
+def test_upgrade_v2_to_v3(spark, tmp_path):
+    t = _table(spark, tmp_path, fv=2)
+    upgrade_iceberg_v3(t)
+    meta = _load_metadata(t)
+    assert meta["format-version"] == 3 and meta["next-row-id"] == 0
+    # post-upgrade DV DML works and the table reads back
+    delete_iceberg_dv(spark, t, "id = 42")
+    assert read_iceberg(spark, t).count() == 99
+    # idempotent
+    upgrade_iceberg_v3(t)
+    assert _load_metadata(t)["format-version"] == 3
+
+
+def test_upgrade_refuses_with_live_position_deletes(spark, tmp_path):
+    t = _table(spark, tmp_path, fv=2, files=1)
+    delete_iceberg_positional(spark, t, "id = 1")
+    with pytest.raises(
+        NotImplementedError, match="rewrite_position_deletes"
+    ):
+        upgrade_iceberg_v3(t)
+
+
+def test_dv_budget_refusal_points_at_cow(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(NotImplementedError, match="copy-on-write"):
+        delete_iceberg_dv(spark, t, "id >= 0", max_deleted_rows=5)
+    # the refusal left no commit behind
+    assert read_iceberg(spark, t).count() == 100
+
+
+def test_dv_no_match_commits_nothing(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v = _load_metadata(t)["_loaded_version"]
+    delete_iceberg_dv(spark, t, "id = -1")
+    update_iceberg_dv(spark, t, {"val": "0.0"}, "id = -1")
+    assert _load_metadata(t)["_loaded_version"] == v
+
+
+def test_format_version_mismatch_refused(spark, tmp_path):
+    t = _table(spark, tmp_path, fv=3)
+    df = spark.range(0, 1).selectExpr(
+        "id", "cast(0 as long) as grp", "cast(0.0 as double) as val"
+    )
+    with pytest.raises(ValueError, match="format_version"):
+        write_iceberg(df, t, mode="append", format_version=2)
+    with pytest.raises(ValueError, match="format_version"):
+        write_iceberg(df, str(tmp_path / "t2"), format_version=5)

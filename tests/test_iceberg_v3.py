@@ -130,11 +130,18 @@ def test_v3_dv_over_budget_decodes_executor_side(spark, v3_table, monkeypatch):
     assert got == want
 
 
-def test_v3_writes_refuse_by_name(spark, v3_table):
-    t, _want = v3_table
+def test_v3_append_after_foreign_dv_commit(spark, v3_table):
+    """Appends to a (foreign-forged) v3 DV table work since r11: the
+    new snapshot records first-row-id, next-row-id advances, and the
+    prior vectors keep applying to their referenced files."""
+    t, want = v3_table
     df = spark.createDataFrame([(1000, "x")], "id long, s string")
-    with pytest.raises(NotImplementedError, match="format-version 3"):
-        write_iceberg(df, t, mode="append")
+    write_iceberg(df, t, mode="append")
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == want + [1000]
+    meta = _load_metadata(t)
+    assert meta["snapshots"][-1]["first-row-id"] == 0
+    assert meta["next-row-id"] == 1
 
 
 def test_v3_field_defaults_refuse(spark, v3_table):
