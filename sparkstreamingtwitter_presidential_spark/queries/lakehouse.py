@@ -2415,6 +2415,101 @@ def lakehouse_iceberg_v3_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_iceberg_v3_dml_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(CASE WHEN event_id % 7 = 1 THEN value + 10
+                              ELSE value END) * 100 + 0.5) / 100
+                   AS total_value
+        FROM events WHERE event_id % 7 <> 0
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r11: ICEBERG v3 WRITES + NATIVE Puffin-DV DML — the "
+        "engine AUTHORS the v3 table (write_iceberg(format_version=3), "
+        "row-lineage next-row-id/first-row-id maintained), then runs "
+        "MERGE-ON-READ DML through iceberg_dv: delete_iceberg_dv "
+        "marks every event_id %% 7 == 0 row in per-file deletion "
+        "vectors, and update_iceberg_dv(value += 10 where %% 7 == 1) "
+        "SUPERSEDES those vectors (new DV contains old, superseded "
+        "entry removed in the same commit) while staging the updated "
+        "rows as new files. The query RAISES unless the live metadata "
+        "is v3 with a positive next-row-id, the snapshot history reads "
+        "append/delete/overwrite, live PUFFIN entries exist with at "
+        "most ONE per referenced data file, and NO original data file "
+        "was rewritten — closing the r10 verdict's #1 interop "
+        "asymmetry (v3 read-but-not-write)"
+    ),
+)
+def lakehouse_iceberg_v3_dml_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _entries_and_deletes_for_snapshot,
+        _load_metadata,
+        _snapshot,
+        read_iceberg,
+        write_iceberg,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        delete_iceberg_dv,
+        update_iceberg_dv,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_iceberg(ev.repartition(4), table, format_version=3)
+        delete_iceberg_dv(spark, table, "event_id % 7 = 0")
+        update_iceberg_dv(
+            spark, table, {"value": "value + 10"}, "event_id % 7 = 1"
+        )
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(
+        spark, f"/tmp/ssp_iceberg_v3dml_{key}", build
+    )
+    meta = _load_metadata(table)
+    if meta.get("format-version") != 3 or meta.get("next-row-id", 0) <= 0:
+        raise RuntimeError(
+            "staged table is not an engine-authored v3 table with live "
+            "row-lineage bookkeeping"
+        )
+    ops = [s.get("summary", {}).get("operation") for s in meta["snapshots"]]
+    if ops != ["append", "delete", "overwrite"]:
+        raise RuntimeError(
+            f"unexpected snapshot history {ops}: want "
+            "append/delete/overwrite — a DML op silently no-opped"
+        )
+    first_files = {
+        e["data_file"]["file_path"]
+        for e in _entries_and_deletes_for_snapshot(
+            table, _snapshot(meta, meta["snapshots"][0]["snapshot-id"])
+        )[0]
+    }
+    entries, dels = _entries_and_deletes_for_snapshot(
+        table, _snapshot(meta, None)
+    )
+    live = {e["data_file"]["file_path"] for e in entries}
+    if not first_files <= live:
+        raise RuntimeError(
+            "an original data file was rewritten or dropped — the DML "
+            "did not run merge-on-read"
+        )
+    puffins = [
+        d for d in dels if d["data_file"]["file_format"].upper() == "PUFFIN"
+    ]
+    if not puffins:
+        raise RuntimeError("no live Puffin deletion-vector entries")
+    refs = [d["data_file"]["referenced_data_file"] for d in puffins]
+    if len(refs) != len(set(refs)):
+        raise RuntimeError(
+            "more than one live deletion vector references the same "
+            "data file — the supersede contract was violated"
+        )
+    return _agg_by_type(read_iceberg(spark, table))
+
+
+@query(
     "lakehouse_delta_reorg_agg",
     oracle="""
         SELECT event_type, COUNT(*) AS n,

@@ -142,7 +142,15 @@ GRADED_FIRST: list[str] = [
     # lakehouse_iceberg_skipping_agg twin, and the Delta variant stays
     # in tests/test_queries_oracle.py).
     "streaming_iceberg_sink_agg",
-    "lakehouse_delta_evolution_agg",
+    # Round-11: ICEBERG v3 WRITES + native Puffin-DV DML (the r10
+    # verdict's #1 interop asymmetry: v3 was read-but-not-write) —
+    # engine-authored v3 table, DV delete + superseding DV update,
+    # RAISE pinning v3 metadata/lineage, append/delete/overwrite
+    # history, one live DV per file, and zero rewritten data files.
+    # Ceded: lakehouse_delta_evolution_agg (r6-r10 driver-green, five
+    # rounds; schema evolution stays covered by the mapped-evolution
+    # pytest suite and tests/test_queries_oracle.py).
+    "lakehouse_iceberg_v3_dml_agg",
     # Round-5 engine extensions: C4 line-level cleaning and the
     # deterministic shard-and-shuffle (training-data assembly ops).
     # Ceded: tpch_q14_promo_revenue_share, tpch_q18_large_volume_customers
