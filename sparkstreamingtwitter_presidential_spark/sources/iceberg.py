@@ -1211,6 +1211,16 @@ def _position_delete_pairs(
     return _reduce(DataFrame.unionByName, frames)
 
 
+def _part_key(part: dict | None, spec_id: int) -> str:
+    """Deterministic, bytes-safe encoding of (spec id, partition
+    record) for the spec's tuple-equality rule — both sides come from
+    the same avro manifest machinery, so raw-value repr compares
+    exactly; the spec id disambiguates tuples written under EVOLVED
+    partition specs. Shared by the equality-delete scan filter and the
+    changelog's scoped victim resolution (r11)."""
+    return f"{int(spec_id)}|{sorted((part or {}).items())!r}"
+
+
 def _row_delete_filter(
     spark: SparkSession,
     meta: dict,
@@ -1270,15 +1280,6 @@ def _row_delete_filter(
             meta, entries, ice_schema, "equality-delete read"
         )
         by_id = {f["id"]: f for f in ice_schema["fields"]}
-
-        def _part_key(part: dict | None, spec_id: int) -> str:
-            # deterministic, bytes-safe encoding of (spec id, partition
-            # record) for the spec's tuple-equality rule — both sides
-            # come from the same avro manifest machinery, so raw-value
-            # repr compares exactly; the spec id disambiguates tuples
-            # written under EVOLVED partition specs
-            return f"{int(spec_id)}|{sorted((part or {}).items())!r}"
-
         emap = [
             (
                 _norm_path(e["data_file"]["file_path"]),
@@ -1980,9 +1981,12 @@ def iceberg_row_changes(
     changed delete files reference, and each side reads under its OWN
     delete state (parent's deletes for the pre-image, the snapshot's
     for the post-image), so newly-deleted rows surface as 'delete'
-    rows. A changed EQUALITY delete file still refuses by name — its
-    scope is every earlier-sequence file, which would make the diff
-    cost ∝ the table.
+    rows. A changed PARTITION-SCOPED equality delete derives exactly
+    too (r11): its victim set — same-spec same-tuple files with a
+    lower data sequence, the r10 scoped-apply rule — bounds the
+    touched scope to one partition. Only a changed GLOBAL equality
+    delete (empty partition record) still refuses by name: its scope
+    is every earlier-sequence file table-wide.
 
     Other refusals: renamed/retyped files in scope
     (_refuse_renamed_files), expired parents. Cost ∝ the snapshot's
@@ -2042,13 +2046,39 @@ def iceberg_row_changes(
         for d in delta_dels:
             df_ = d["data_file"]
             if df_["content"] == 2:
-                raise NotImplementedError(
-                    "an equality delete file changed in this snapshot; "
-                    "its scope is every earlier-sequence data file — "
-                    "change reconstruction supports position-delete "
-                    "(and deletion-vector) MOR commits only"
-                )
-            if df_["file_format"].upper() == "PUFFIN":
+                # r11: a changed PARTITION-SCOPED equality delete (the
+                # Flink-CDC per-checkpoint shape) derives exactly — its
+                # victim set is the files of the SAME spec sharing its
+                # partition tuple with a LOWER data sequence (the
+                # r10 scoped-apply rule), so the changelog's touched
+                # scope is ∝ one partition, never the table. GLOBAL
+                # equality deletes (empty partition record) still
+                # refuse by name: their scope is every earlier-sequence
+                # file table-wide, which would make the diff ∝ table.
+                if not (df_.get("partition") or {}):
+                    raise NotImplementedError(
+                        "a GLOBAL equality delete file changed in this "
+                        "snapshot; its scope is every earlier-sequence "
+                        "data file table-wide — partition-SCOPED "
+                        "equality deletes derive exactly (r11); for "
+                        "global ones read full snapshots across this "
+                        "commit instead"
+                    )
+                scope = _part_key(df_["partition"], d.get("spec_id", 0))
+                dseq = int(d["sequence_number"])
+                for e in list(par_entries) + list(cur_entries):
+                    if (
+                        int(e["sequence_number"]) < dseq
+                        and _part_key(
+                            e["data_file"].get("partition"),
+                            e.get("spec_id", 0),
+                        )
+                        == scope
+                    ):
+                        affected_norm.add(
+                            _norm_path(e["data_file"]["file_path"])
+                        )
+            elif df_["file_format"].upper() == "PUFFIN":
                 affected_norm.add(_norm_path(df_["referenced_data_file"]))
             else:
                 t_ = _pq.read_table(df_["file_path"], columns=["file_path"])

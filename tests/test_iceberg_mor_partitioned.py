@@ -540,3 +540,77 @@ def test_cow_dml_applies_row_deletes_directly(spark, part_table):
     )
     assert read_iceberg(spark, t).count() == 80
     assert read_iceberg(spark, t).filter("id < 10").count() == 0
+
+
+def test_changelog_derives_scoped_equality_delete_commit(spark, tmp_path):
+    """r11 (r10 verdict item 3): a changed PARTITION-SCOPED equality
+    delete (the Flink-CDC per-checkpoint shape) derives exact change
+    rows — the victim scope is the delete's same-spec partition tuple
+    at lower sequence, so the keyed diff sees the vanished rows as
+    'delete' (or update pre/post when the checkpoint also carries the
+    new version). A GLOBAL equality delete still refuses by name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as I
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        iceberg_row_changes,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (1, "b", 10.0), (2, "b", 20.0)],
+        "id long, g string, v double",
+    )
+    write_iceberg(df, t, partition_by=["g"])
+
+    def _scoped_eq_commit(ids: list[int], part: str) -> int:
+        ddir = os.path.join(t, "data", f"eqdel_{part}_{len(ids)}")
+        os.makedirs(ddir, exist_ok=True)
+        dfile = os.path.join(ddir, "eq.parquet")
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), dfile)
+        eq = {
+            "content": 2,
+            "file_path": dfile,
+            "file_format": "PARQUET",
+            "partition": {"g": part},
+            "record_count": len(ids),
+            "file_size_in_bytes": os.path.getsize(dfile),
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": [1],
+        }
+        meta = I._load_metadata(t)
+        ice_schema = I._schema_for(meta, meta.get("current-schema-id", 0))
+        pf = I._partition_fields(meta, ice_schema)
+        return I._commit_snapshot(
+            t, meta, ice_schema, pf,
+            added_files=[], existing_entries=[], deleted_entries=[],
+            carry_prior_manifests=True, operation="delete",
+            added_delete_files=[eq],
+        )
+
+    sid = _scoped_eq_commit([1], "a")
+    ch = iceberg_row_changes(spark, t, sid, keys=["id", "g"]).collect()
+    assert [(r.id, r.g, r._change_type) for r in ch] == [(1, "a", "delete")]
+    # a second checkpoint deleting in the OTHER partition: scope stays
+    # exactly that partition (same key in 'a' already gone, untouched)
+    sid2 = _scoped_eq_commit([2], "b")
+    ch2 = iceberg_row_changes(spark, t, sid2, keys=["id", "g"]).collect()
+    assert [(r.id, r.g, r._change_type) for r in ch2] == [
+        (2, "b", "delete")
+    ]
+    got = sorted(map(tuple, read_iceberg(spark, t).collect()))
+    assert got == [(1, "b", 10.0), (2, "a", 2.0)]
+    # GLOBAL equality delete (the upsert channel) still refuses by name
+    upsert_iceberg_mor(
+        spark,
+        t,
+        spark.createDataFrame([(2, "a", 9.0)], "id long, g string, v double"),
+        keys=["id"],
+    )
+    meta = I._load_metadata(t)
+    with pytest.raises(NotImplementedError, match="GLOBAL equality"):
+        iceberg_row_changes(
+            spark, t, meta["current-snapshot-id"], keys=["id", "g"]
+        )
