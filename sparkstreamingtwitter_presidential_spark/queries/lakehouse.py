@@ -924,6 +924,34 @@ def lakehouse_delta_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg_by_type(read_delta(spark, table))
 
 
+def _cdf_staged_delta(spark: SparkSession, sf_dir: str) -> str:
+    """The shared CDF-enabled staging (batch CDF read + CDF stream
+    drain grade the SAME table): events written with
+    delta.enableChangeDataFeed=true, then UPDATE (values doubled for
+    event_id % 7 = 0) and DELETE (event_id % 5 = 0) commits staging
+    cdc files under _change_data/."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        update_delta,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_delta(
+            ev,
+            table,
+            mode="append",
+            partition_by=["event_type"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        update_delta(spark, table, {"value": "value * 2"}, "event_id % 7 = 0")
+        delete_delta(spark, table, "event_id % 5 = 0")
+
+    return _dml_staged_delta(spark, sf_dir, "cdf", build)
+
+
 @query(
     "lakehouse_delta_cdf_agg",
     oracle="""
@@ -960,26 +988,7 @@ def lakehouse_delta_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lakehouse_delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
 
-    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
-        delete_delta,
-        update_delta,
-    )
-
-    def build(spark: SparkSession, table: str) -> None:
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value"
-        )
-        write_delta(
-            ev,
-            table,
-            mode="append",
-            partition_by=["event_type"],
-            configuration={"delta.enableChangeDataFeed": "true"},
-        )
-        update_delta(spark, table, {"value": "value * 2"}, "event_id % 7 = 0")
-        delete_delta(spark, table, "event_id % 5 = 0")
-
-    table = _dml_staged_delta(spark, sf_dir, "cdf", build)
+    table = _cdf_staged_delta(spark, sf_dir)
     for v in (1, 2):
         cf = os.path.join(table, "_delta_log", f"{v:020d}.json")
         if not any(
@@ -1006,6 +1015,118 @@ def lakehouse_delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+@query(
+    "streaming_delta_cdf_agg",
+    oracle="""
+        WITH ev AS (SELECT event_id, event_type, value FROM events),
+        ch AS (
+            SELECT 'insert' AS change_type, event_type, value FROM ev
+            UNION ALL
+            SELECT 'update_preimage', event_type, value
+            FROM ev WHERE event_id % 7 = 0
+            UNION ALL
+            SELECT 'update_postimage', event_type, value * 2
+            FROM ev WHERE event_id % 7 = 0
+            UNION ALL
+            SELECT 'delete', event_type,
+                   CASE WHEN event_id % 7 = 0 THEN value * 2
+                        ELSE value END
+            FROM ev WHERE event_id % 5 = 0
+        )
+        SELECT change_type, event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM ch GROUP BY change_type, event_type
+    """,
+    doc=(
+        "NEW r11 (r10 late surface graded per rotation policy): the "
+        "CDF STREAM — spark.readStream.format('delta_native') with "
+        "readChangeFeed=true over the SAME CDF staging as "
+        "lakehouse_delta_cdf_agg drains CHANGE ROWS (insert rows for "
+        "the seed append, the cdc files' exact pre/post/delete rows "
+        "for the two DML commits) stamped _change_type/_commit_version "
+        "under maxCommitsPerTrigger=1; the query RAISES unless the "
+        "drain took one micro-batch per commit with _commit_version "
+        "strictly increasing batch-over-batch (the chronology pin) and "
+        "each version carries exactly its expected change-type set; "
+        "the per-(change_type, event_type) aggregate equals the "
+        "oracle's relational reconstruction iff every change row was "
+        "delivered exactly once"
+    ),
+)
+def streaming_delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_stream_ds import (
+        register_delta_stream,
+    )
+
+    table = _cdf_staged_delta(spark, sf_dir)
+    register_delta_stream(spark)
+    scratch = tempfile.mkdtemp(prefix="ssp_delta_cdf_drain_")
+    out = os.path.join(scratch, "out")
+    batch_marks: list[tuple[int, int, frozenset]] = []
+
+    def sink(df: DataFrame, bid: int) -> None:
+        df.write.mode("append").parquet(out)
+        marks = df.groupBy("_commit_version").agg(
+            F.collect_set("_change_type").alias("types")
+        ).collect()
+        for r in marks:
+            batch_marks.append(
+                (bid, int(r["_commit_version"]), frozenset(r["types"]))
+            )
+
+    q = (
+        spark.readStream.format("delta_native")
+        .option("readChangeFeed", "true")
+        .option("maxCommitsPerTrigger", "1")
+        .option("progress_dir", os.path.join(scratch, "progress"))
+        .load(table)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    versions = [v for _bid, v, _t in sorted(batch_marks)]
+    if versions != [0, 1, 2]:
+        raise RuntimeError(
+            f"CDF drain chronology broken: saw versions {versions} "
+            "across batches, want exactly [0, 1, 2] (one commit per "
+            "micro-batch, in order)"
+        )
+    want_types = {
+        0: frozenset({"insert"}),
+        1: frozenset({"update_preimage", "update_postimage"}),
+        2: frozenset({"delete"}),
+    }
+    for _bid, v, types in batch_marks:
+        if types != want_types[v]:
+            raise RuntimeError(
+                f"commit {v} delivered change types {sorted(types)}, "
+                f"want {sorted(want_types[v])} — the cdc channel "
+                "leaked or dropped rows"
+            )
+    agg = (
+        spark.read.parquet(out)
+        .groupBy(F.col("_change_type").alias("change_type"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias(
+                "total_value"
+            ),
+        )
+    )
+    rows = agg.collect()
+    schema = agg.schema
+    shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @query(

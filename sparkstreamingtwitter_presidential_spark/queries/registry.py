@@ -156,7 +156,15 @@ GRADED_FIRST: list[str] = [
     # Ceded: tpch_q14_promo_revenue_share, tpch_q18_large_volume_customers
     # (r2-r4 driver-green; TPC-H keeps 12 windowed slots incl. every
     # join-heavy shape; both stay in tests/test_queries_oracle.py).
-    "text_c4_line_clean",
+    # Round-11: the CDF STREAM (readChangeFeed=true through the native
+    # Delta streaming source — an r10-late surface graded per rotation
+    # policy): drains insert/pre/post/delete change rows one commit
+    # per micro-batch with a chronology + change-type-set RAISE, over
+    # the SAME staging as lakehouse_delta_cdf_agg. Ceded:
+    # text_c4_line_clean (r6-r10 driver-green, five rounds; the text
+    # family keeps repetition-signals + unigram-logprob graded and C4
+    # stays in tests/test_queries_oracle.py and the bench HEADLINE).
+    "streaming_delta_cdf_agg",
     "shuffle_documents_sharded",
     # Round-5 source coverage: ORC interchange and the hive-partitioned
     # data-lake layout. Ceded: dedup_components, sim_bruteforce_topk
