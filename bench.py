@@ -179,6 +179,15 @@ HEADLINE = [
     # the update snapshot's touched files — the Delta row_changes
     # twin's floor).
     "lakehouse_iceberg_row_changes",
+    # Round-11 (r10 verdict item 5): the two cheapest r10 graded
+    # surfaces get recorded floors — the post-REORG read (staging
+    # warm; timed work is the plain scan of the folded file set — a
+    # regression here means the fold left vectors or dead files
+    # behind) and the v3 Puffin-DV read (staging warm; timed work is
+    # the v3 metadata walk + portable-roaring decode + anti-join —
+    # the Iceberg DV read floor).
+    "lakehouse_delta_reorg_agg",
+    "lakehouse_iceberg_v3_dv_agg",
 ]
 
 

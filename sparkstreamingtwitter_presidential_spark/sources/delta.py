@@ -413,15 +413,16 @@ def _refuse_unenforced_writer_contracts(
     snap: _Snapshot, ctx: str, emits_removes: bool
 ) -> None:
     """A foreign table can carry WRITER-side contracts. CHECK
-    constraints and column invariants are EVALUATED since r10
-    (_enforce_row_contracts, run by every path that stages rows);
-    what remains here refuses by NAME: generated columns (verifying a
-    generation expression bit-exactly — timezone/rounding semantics —
-    is riskier than refusing) and the append-only property when the
-    operation emits removes (plain appends are exactly what that
-    property permits). Content-based, not version-number-based (the
-    protocol's writer versions only imply feature SUPPORT, the
-    metadata says what is in force)."""
+    constraints and column invariants are EVALUATED since r10, and
+    GENERATED columns since r11 (_enforce_row_contracts validates
+    provided values NULL-safe-equal their generation expression;
+    write_delta derives absent ones — both gated to the deterministic
+    builtin subset, _refuse_nondeterministic_generation). What remains
+    here refuses by NAME: the append-only property when the operation
+    emits removes (plain appends are exactly what that property
+    permits). Content-based, not version-number-based (the protocol's
+    writer versions only imply feature SUPPORT, the metadata says what
+    is in force)."""
     md = snap.metadata_action or {}
     cfg = md.get("configuration") or {}
     if emits_removes and cfg.get("delta.appendOnly") == "true":
@@ -430,15 +431,6 @@ def _refuse_unenforced_writer_contracts(
             "emitting remove actions would violate the table's "
             "declared contract (appends are allowed)"
         )
-    if snap.schema is not None:
-        for f in snap.schema.fields:
-            fmeta = f.metadata or {}
-            if "delta.generationExpression" in fmeta:
-                raise NotImplementedError(
-                    f"{ctx}: column {f.name!r} is a GENERATED column; "
-                    "this writer does not compute generation "
-                    "expressions"
-                )
 
 
 def _row_contract_exprs(
@@ -470,6 +462,69 @@ def _row_contract_exprs(
     return out
 
 
+def _generated_exprs(schema: StructType | None) -> list[tuple[str, str]]:
+    """(column name, generation SQL) for every GENERATED column the
+    schema declares (`delta.generationExpression` field metadata —
+    Delta PROTOCOL.md §Generated Columns)."""
+    out: list[tuple[str, str]] = []
+    for f in schema.fields if schema is not None else []:
+        gen = (f.metadata or {}).get("delta.generationExpression")
+        if gen:
+            out.append((f.name, gen))
+    return out
+
+
+#: session/time-context builtins: Catalyst marks them deterministic
+#: (foldable per query), but a generated value computed at the ORIGINAL
+#: write time would legitimately differ from a re-evaluation now — so
+#: they are outside the subset this writer evaluates.
+_TIME_CONTEXT_RE = _re.compile(
+    r"\b(current_date|current_timestamp|now|localtimestamp|"
+    r"current_timezone|session_window|unix_timestamp\s*\(\s*\))",
+    _re.IGNORECASE,
+)
+
+
+def _refuse_nondeterministic_generation(
+    df: DataFrame, col: str, gen: str, ctx: str
+) -> None:
+    """Gate a generation expression to Spark's DETERMINISTIC builtin
+    subset before evaluating it (r11 — previously every generated
+    column refused): session/time-context functions refuse by the
+    blocklist above, and anything Catalyst itself marks
+    non-deterministic (rand, uuid, monotonically_increasing_id, ...)
+    refuses via the analyzed plan's expression flags. Outside-subset
+    expressions keep the named refusal — never a silently-wrong
+    derived value."""
+    if _TIME_CONTEXT_RE.search(gen):
+        raise NotImplementedError(
+            f"{ctx}: generated column {col!r} uses a session/time-"
+            f"context function ({gen!r}) — its value depends on the "
+            "original write's clock/zone, which this writer cannot "
+            "reproduce; outside the deterministic subset"
+        )
+    try:
+        analyzed = (
+            df.select(F.expr(gen).alias("__gen"))
+            ._jdf.queryExecution()
+            .analyzed()
+        )
+    except Exception as exc:  # unresolvable against the row schema
+        raise NotImplementedError(
+            f"{ctx}: generation expression {gen!r} of column {col!r} "
+            f"does not analyze against the table schema ({exc}); "
+            "refusing rather than guessing"
+        ) from None
+    exprs = analyzed.expressions()
+    for i in range(exprs.length()):
+        if not exprs.apply(i).deterministic():
+            raise NotImplementedError(
+                f"{ctx}: generation expression {gen!r} of column "
+                f"{col!r} is non-deterministic — outside the subset "
+                "this writer evaluates"
+            )
+
+
 def _enforce_row_contracts(snap: _Snapshot, df: DataFrame, ctx: str) -> None:
     """EVALUATE the table's CHECK constraints / invariants on rows
     about to be staged (r10 — previously a blanket refusal): a row
@@ -479,10 +534,21 @@ def _enforce_row_contracts(snap: _Snapshot, df: DataFrame, ctx: str) -> None:
     stages, naming the constraint and a sample row — the real writer's
     InvariantViolationException shape. Rewrites validate COPIED rows
     too (the real writer's behavior — a legacy-invalid row surfaces on
-    the first rewrite that touches it, never silently re-commits)."""
+    the first rewrite that touches it, never silently re-commits).
+
+    GENERATED columns (r11): a provided value must NULL-SAFE-EQUAL its
+    generation expression re-evaluated on the row (`col <=> (expr)` —
+    the protocol's writer obligation expressed as a row predicate,
+    same probe); expressions outside the deterministic builtin subset
+    refuse by name instead of risking a wrong verdict."""
     exprs = _row_contract_exprs(
         (snap.metadata_action or {}).get("configuration"), snap.schema
     )
+    for col, gen in _generated_exprs(snap.schema):
+        if col not in df.columns:
+            continue  # write_delta derives absent generated columns
+        _refuse_nondeterministic_generation(df, col, gen, ctx)
+        exprs.append((f"generated({col})", f"`{col}` <=> ({gen})"))
     if not exprs:
         return
     cond = None
@@ -2111,7 +2177,20 @@ def write_delta(
                 f for f in table_schema.fields if f.name not in df.columns
             ]
             for f in missing:
-                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                gen = (f.metadata or {}).get("delta.generationExpression")
+                if gen:
+                    # GENERATED column absent from the frame: DERIVE it
+                    # (r11, the real writer's behavior) — gated to the
+                    # deterministic subset; provided values validate in
+                    # _enforce_row_contracts instead
+                    _refuse_nondeterministic_generation(
+                        df, f.name, gen, "write_delta"
+                    )
+                    df = df.withColumn(
+                        f.name, F.expr(gen).cast(f.dataType)
+                    )
+                else:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             df = df.select(*[f.name for f in table_schema.fields])
     if mode == "overwrite" and existing is not None:
         now = int(time.time() * 1000)

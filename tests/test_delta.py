@@ -700,10 +700,39 @@ def test_unenforced_writer_contracts_refuse(spark, tmp_path):
     update_delta(spark, t, {"v": "v + 1"}, "id = 2")  # valid update OK
     assert read_delta(spark, t).filter("id = 2").collect()[0].v == 3.0
 
-    # generated column
+    # generated column (EVALUATED since r11 — previously a blanket
+    # refusal): a provided value must null-safe-equal the expression,
+    # an absent column derives, and out-of-subset expressions refuse
     t = str(tmp_path / "gen")
     _forge(t, field_meta={"delta.generationExpression": "v * 2"})
-    with pytest.raises(NotImplementedError, match="GENERATED"):
-        write_delta(_df(spark, [(2, "b", 2.0)]), t)
+    write_delta(_df(spark, [(4, "d", 2.0)]), t)  # 4 == 2.0 * 2: valid
+    assert read_delta(spark, t).count() == 2
+    with pytest.raises(ValueError, match="generated"):
+        write_delta(_df(spark, [(5, "e", 2.0)]), t)  # 5 != 4
+    assert read_delta(spark, t).count() == 2  # nothing staged
+    # absent generated column DERIVES from the expression
+    write_delta(
+        spark.createDataFrame([("z", 3.0)], "grp string, v double"), t
+    )
+    got = read_delta(spark, t).filter("grp = 'z'").collect()
+    assert [(r.id, r.v) for r in got] == [(6, 3.0)]
+
+    # out-of-subset generation expressions keep the NAMED refusal
+    t = str(tmp_path / "gen2")
+    _forge(
+        t,
+        field_meta={
+            "delta.generationExpression": "year(current_date())"
+        },
+    )
+    with pytest.raises(NotImplementedError, match="time"):
+        write_delta(_df(spark, [(2024, "b", 2.0)]), t)
+    t = str(tmp_path / "gen3")
+    _forge(
+        t,
+        field_meta={"delta.generationExpression": "cast(rand() * 10 as long)"},
+    )
+    with pytest.raises(NotImplementedError, match="non-deterministic"):
+        write_delta(_df(spark, [(1, "b", 2.0)]), t)
     # reads stay fine on all of them
     assert read_delta(spark, t).count() == 1
