@@ -260,3 +260,47 @@ def test_puffin_multi_blob_roundtrip_property(tmp_path_factory, blobs):
     for m, vals in zip(metas, blobs):
         got = deserialize_dv_blob(read_blob(p, m["offset"], m["length"]))
         assert got == sorted(set(vals))
+
+
+def test_zstd_compressed_footer_reads(tmp_path):
+    """A foreign writer's ZSTD-compressed Puffin footer (spec-optional
+    flag bit 0) decodes via pyarrow's zstd codec (r11 — previously a
+    named refusal): forge the compressed layout by rewriting an
+    uncompressed file's footer section, then read it back."""
+    import pyarrow as pa
+
+    p = str(tmp_path / "t.puffin")
+    payloads = [serialize_dv_blob([1, 2, 7])]
+    metas = write_puffin(
+        p,
+        [
+            {
+                "type": "deletion-vector-v1",
+                "payload": payloads[0],
+                "properties": {"referenced-data-file": "a.parquet"},
+            }
+        ],
+    )
+    raw = open(p, "rb").read()
+    (plain_size,) = struct.unpack_from("<i", raw, len(raw) - 12)
+    body_end = len(raw) - 12 - plain_size - 4
+    plain = raw[len(raw) - 12 - plain_size : len(raw) - 12]
+    comp = pa.Codec("zstd").compress(plain, asbytes=True)
+    forged = (
+        raw[:body_end]
+        + PUFFIN_MAGIC
+        + comp
+        + struct.pack("<i", len(comp))
+        + bytes([0x1, 0, 0, 0])  # flags: footer-compressed bit set
+        + PUFFIN_MAGIC
+    )
+    zp = str(tmp_path / "z.puffin")
+    open(zp, "wb").write(forged)
+    footer = read_puffin_footer(zp)
+    assert [b["type"] for b in footer["blobs"]] == ["deletion-vector-v1"]
+    assert footer["blobs"][0]["offset"] == metas[0]["offset"]
+    # blob bytes are unaffected by footer compression
+    assert read_blob(zp, metas[0]["offset"], metas[0]["length"]) == payloads[0]
+    assert deserialize_dv_blob(
+        read_blob(zp, metas[0]["offset"], metas[0]["length"])
+    ) == [1, 2, 7]
