@@ -873,12 +873,17 @@ def _load_metadata(path: str) -> dict:
 def _refuse_v3_unsupported(meta: dict) -> None:
     """Format-version 3 READS are supported (r10) for the shapes this
     engine can serve exactly: snapshot scans, Puffin deletion vectors,
-    and the v2-carried surfaces. v3 features that would make a read
-    WRONG if ignored refuse by NAME here:
+    and the v2-carried surfaces. Column DEFAULT VALUES are APPLIED
+    since r11: a top-level primitive field's ``initial-default``
+    injects as a typed constant for file groups written before the
+    column existed (_read_entries_projected — the same mechanism as
+    partition-value injection); ``write-default`` is a writer-side
+    rule this engine never consults (its own writers always provide
+    every column). v3 features that would make a read WRONG if
+    ignored refuse by NAME here:
 
-    * column DEFAULT VALUES (``initial-default`` on a schema field) —
-      scanning old files under the declared schema would fill NULL
-      where the spec says the default; refuse rather than misread.
+    * ``initial-default`` on a NESTED field or an undecodable /
+      non-primitive default value — refuse rather than misread.
 
     Row lineage metadata (``next-row-id``, ``first-row-id``) is
     ACCEPTED: it adds provenance columns this engine does not expose,
@@ -887,26 +892,71 @@ def _refuse_v3_unsupported(meta: dict) -> None:
     _iceberg_to_spark_type when a schema carries one. WRITES to v3
     tables are first-class since r11 (_commit_snapshot maintains the
     lineage bookkeeping; iceberg_dv holds the Puffin-DV DML family)."""
-    def _walk(fields: list) -> None:
+    def _walk(fields: list, top: bool) -> None:
         for f in fields:
-            if "initial-default" in f or "write-default" in f:
-                raise NotImplementedError(
-                    f"v3 field {f.get('name')!r} declares a default "
-                    "value this reader does not apply; refusing rather "
-                    "than reading NULLs where the spec says the default"
-                )
+            if "initial-default" in f:
+                if not top or not isinstance(f.get("type"), str):
+                    raise NotImplementedError(
+                        f"v3 field {f.get('name')!r} declares an "
+                        "initial-default on a nested or non-primitive "
+                        "field; this reader applies top-level "
+                        "primitive defaults only — refusing rather "
+                        "than reading NULLs where the spec says the "
+                        "default"
+                    )
+                # decodability gate up front (refuse at metadata load,
+                # not mid-scan): the read path injects this literal
+                _decode_default(f["type"], f["initial-default"], f["name"])
             t = f.get("type")
             # defaults can live on NESTED struct/list/map fields too
             if isinstance(t, dict):
                 if t.get("type") == "struct":
-                    _walk(t.get("fields", []))
+                    _walk(t.get("fields", []), False)
                 for child in ("element", "value", "key"):
                     c = t.get(child)
                     if isinstance(c, dict) and c.get("type") == "struct":
-                        _walk(c.get("fields", []))
+                        _walk(c.get("fields", []), False)
 
     for s in meta.get("schemas", []):
-        _walk(s.get("fields", []))
+        _walk(s.get("fields", []), True)
+
+
+def _decode_default(ice_type: str, v: Any, name: str) -> Any:
+    """Decode a v3 default's single-value JSON serialization (spec
+    §JSON single-value serialization) into the Python literal the scan
+    injects. Top-level primitives of the supported subset only;
+    anything else refuses by name."""
+    import base64
+    import datetime as _dt
+
+    try:
+        if ice_type == "boolean" and isinstance(v, bool):
+            return v
+        if ice_type in ("int", "long") and isinstance(v, int):
+            return v
+        if (
+            ice_type in ("float", "double")
+            and isinstance(v, (int, float))
+            and not isinstance(v, bool)
+        ):
+            return float(v)
+        if ice_type == "string" and isinstance(v, str):
+            return v
+        if ice_type == "date" and isinstance(v, str):
+            return _dt.date.fromisoformat(v)
+        if ice_type in ("timestamp", "timestamptz") and isinstance(v, str):
+            return _dt.datetime.fromisoformat(v)
+        if ice_type == "binary" and isinstance(v, str):
+            return base64.b16decode(v, casefold=True)
+    except ValueError as exc:
+        raise NotImplementedError(
+            f"v3 default for field {name!r} does not decode as "
+            f"{ice_type}: {v!r} ({exc})"
+        ) from None
+    raise NotImplementedError(
+        f"v3 default for field {name!r}: unsupported (type, value) "
+        f"shape ({ice_type!r}, {v!r})"
+    )
 
 
 def _schema_for(meta: dict, schema_id: int) -> dict:
@@ -1833,8 +1883,24 @@ def _read_entries_projected(
             spark, files, spark_schema, part_fields, scan_filter=scan_filter
         )
     read_sid = ice_schema.get("schema-id", 0)
+    defaulted = {
+        f["id"] for f in ice_schema["fields"] if "initial-default" in f
+    }
+    known_snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
     by_sid: dict[int, list[dict]] = {}
     for e in entries:
+        if defaulted and e["snapshot_id"] not in known_snaps:
+            # the adding snapshot expired: the writing schema is
+            # unknowable, so whether this file predates a defaulted
+            # column cannot be decided — NULL-vs-default would be a
+            # guess. Refuse by name (only bites tables that BOTH carry
+            # defaults AND compacted entries past snapshot expiry).
+            raise NotImplementedError(
+                "table declares column default values but file "
+                f"{e['data_file']['file_path']!r} was added by an "
+                "expired snapshot — its writing schema is unknowable, "
+                "so the default-vs-NULL decision would be a guess"
+            )
         sid = _writing_schema_id(meta, e, read_sid)
         by_sid.setdefault(sid, []).append(e["data_file"])
 
@@ -1876,11 +1942,21 @@ def _read_entries_projected(
         for f in ice_schema["fields"]:
             wf = w_by_id.get(f["id"])
             if wf is None and f["id"] not in psrc_ids:
-                # column added after these files were written: NULL
-                # (the spec's added-column rule)
+                # column added after these files were written: the
+                # field's initial-default when declared (v3, r11 —
+                # injected as a typed constant, the same mechanism as
+                # partition values), else NULL (the spec's
+                # added-column rule)
+                if "initial-default" in f:
+                    lit = F.lit(
+                        _decode_default(
+                            f["type"], f["initial-default"], f["name"]
+                        )
+                    )
+                else:
+                    lit = F.lit(None)
                 sel.append(
-                    F.lit(None)
-                    .cast(_iceberg_to_spark_type(f["type"]))
+                    lit.cast(_iceberg_to_spark_type(f["type"]))
                     .alias(f["name"])
                 )
                 continue

@@ -1,9 +1,10 @@
-"""Iceberg format-version 3 reads (r10 — previously a named refusal):
-the Puffin container + deletion-vector-v1 blob codec pinned to the
-public specs, snapshot reads applying v3 DVs via the position-delete
-anti-join, honest refusals for v3 features this engine cannot serve
-exactly (defaults, writes, v4+), and the over-budget executor-side
-decode path."""
+"""Iceberg format-version 3 reads (r10) and writes (r11): the Puffin
+container + deletion-vector-v1 blob codec pinned to the public specs
+(zstd footers via pyarrow since r11), snapshot reads applying v3 DVs
+via the position-delete anti-join, appends to foreign v3 tables with
+lineage bookkeeping, initial-default injection for pre-add files,
+honest refusals for what remains (nested/undecodable defaults, v4+),
+and the over-budget executor-side decode path."""
 
 from __future__ import annotations
 
@@ -144,18 +145,92 @@ def test_v3_append_after_foreign_dv_commit(spark, v3_table):
     assert meta["next-row-id"] == 1
 
 
-def test_v3_field_defaults_refuse(spark, v3_table):
-    t, _want = v3_table
+def _latest_meta_path(t):
     md = os.path.join(t, "metadata")
     versions = sorted(
-        n for n in os.listdir(md) if n.endswith(".metadata.json")
+        (int(n[1:].split(".")[0]), n)
+        for n in os.listdir(md)
+        if n.startswith("v") and n.endswith(".metadata.json")
     )
-    latest = os.path.join(md, versions[-1])
+    return os.path.join(md, versions[-1][1])
+
+
+def test_v3_initial_default_applies_to_old_files(spark, tmp_path):
+    """r11 (r10 verdict stretch item 9): a column added AFTER files
+    were written reads its ``initial-default`` for those files — a
+    typed constant injection per writing-schema group — while files
+    written under the evolved schema read their real values; an
+    existing-in-files column with a default reads real values."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        add_column_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, s string"
+        ).repartition(1),
+        t,
+        format_version=3,
+    )
+    add_column_iceberg(t, "cat", "string")
+    latest = _latest_meta_path(t)
     meta = json.load(open(latest))
-    for s in meta["schemas"]:
-        s["fields"][1]["initial-default"] = "zz"
+    cur = next(
+        s
+        for s in meta["schemas"]
+        if s.get("schema-id", 0) == meta["current-schema-id"]
+    )
+    next(f for f in cur["fields"] if f["name"] == "cat")[
+        "initial-default"
+    ] = "zz"
     json.dump(meta, open(latest, "w"))
-    with pytest.raises(NotImplementedError, match="default"):
+    write_iceberg(
+        spark.createDataFrame(
+            [(3, "c", "real")], "id long, s string, cat string"
+        ),
+        t,
+        mode="append",
+    )
+    got = sorted(map(tuple, read_iceberg(spark, t).collect()))
+    assert got == [(1, "a", "zz"), (2, "b", "zz"), (3, "c", "real")]
+
+
+def test_v3_default_refusals_nested_and_undecodable(spark, v3_table):
+    t, _want = v3_table
+    latest = _latest_meta_path(t)
+    orig = open(latest).read()
+    # undecodable: a JSON number default on a STRING field
+    meta = json.loads(orig)
+    for s in meta["schemas"]:
+        s["fields"][1]["initial-default"] = 123
+    json.dump(meta, open(latest, "w"))
+    with pytest.raises(NotImplementedError, match="shape"):
+        read_iceberg(spark, t).collect()
+    # nested: a default inside a struct field refuses by name
+    meta = json.loads(orig)
+    for s in meta["schemas"]:
+        s["fields"].append(
+            {
+                "id": 99,
+                "name": "st",
+                "required": False,
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "id": 100,
+                            "name": "inner",
+                            "required": False,
+                            "type": "string",
+                            "initial-default": "x",
+                        }
+                    ],
+                },
+            }
+        )
+    json.dump(meta, open(latest, "w"))
+    with pytest.raises(NotImplementedError, match="nested"):
         read_iceberg(spark, t).collect()
 
 
