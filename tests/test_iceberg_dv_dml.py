@@ -305,3 +305,27 @@ def test_format_version_mismatch_refused(spark, tmp_path):
         write_iceberg(df, t, mode="append", format_version=2)
     with pytest.raises(ValueError, match="format_version"):
         write_iceberg(df, str(tmp_path / "t2"), format_version=5)
+
+
+def test_rewrite_folds_v3_deletion_vectors(spark, tmp_path):
+    """The MOR lifecycle closer on v3 (the Delta REORG twin):
+    rewrite_position_deletes folds live Puffin vectors back into data
+    files — affected files rewrite minus their deleted rows, the
+    delete manifests drop, rows are unchanged, and the table stays
+    format-version 3 with lineage bookkeeping intact."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        compact_iceberg,
+        rewrite_position_deletes,
+    )
+
+    t = _table(spark, tmp_path)
+    delete_iceberg_dv(spark, t, "id % 10 = 3")
+    before = sorted(r.id for r in read_iceberg(spark, t).collect())
+    rewrite_position_deletes(spark, t)
+    meta = _load_metadata(t)
+    _, dels = _live_state(t)
+    assert dels == [] and meta["format-version"] == 3
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == before
+    # post-fold the table is compaction-clean again
+    compact_iceberg(spark, t, target_file_bytes=1 << 30)
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == before
