@@ -3548,7 +3548,16 @@ def expire_snapshots(
     if not expired:
         return {"expired_snapshots": [], "deleted_files": 0}
 
-    def _reachable(snapshots: list[dict]) -> tuple[set, set]:
+    def _reachable(
+        snapshots: list[dict], include_deleted: bool
+    ) -> tuple[set, set]:
+        # KEPT reachability skips status=DELETED entries (r11): a
+        # DELETED entry records a file removed AS OF that snapshot —
+        # reads of the kept snapshot never open it, so its last live
+        # reference is in expired history and it may reclaim (e.g. a
+        # superseded deletion-vector Puffin file, a CoW-rewritten data
+        # file). EXPIRED reachability keeps everything mentioned: more
+        # candidates, and any still-live path survives via kept.
         manifests: set[str] = set()
         data: set[str] = set()
         for s in snapshots:
@@ -3557,11 +3566,12 @@ def expire_snapshots(
                 manifests.add(m["manifest_path"])
                 _, _, entries = read_container(m["manifest_path"])
                 for e in entries:
-                    data.add(e["data_file"]["file_path"])
+                    if include_deleted or e["status"] != _STATUS_DELETED:
+                        data.add(e["data_file"]["file_path"])
         return manifests, data
 
-    exp_manifests, exp_data = _reachable(expired)
-    kept_manifests, kept_data = _reachable(kept)
+    exp_manifests, exp_data = _reachable(expired, include_deleted=True)
+    kept_manifests, kept_data = _reachable(kept, include_deleted=False)
 
     new_meta = dict(meta)
     new_meta.pop("_loaded_version", None)

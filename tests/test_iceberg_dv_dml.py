@@ -329,3 +329,51 @@ def test_rewrite_folds_v3_deletion_vectors(spark, tmp_path):
     # post-fold the table is compaction-clean again
     compact_iceberg(spark, t, target_file_bytes=1 << 30)
     assert sorted(r.id for r in read_iceberg(spark, t).collect()) == before
+
+
+def test_expire_reclaims_superseded_puffin_files(spark, tmp_path):
+    """Snapshot expiry composes with DV supersede: once every snapshot
+    referencing the OLD vector's Puffin file expires, the file is
+    physically removed; the live vector and all data files survive and
+    the read stays exact."""
+    import glob
+    import time as _time
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        expire_snapshots,
+    )
+
+    t = _table(spark, tmp_path)
+    delete_iceberg_dv(spark, t, "id % 10 = 3")
+    first_puffins = set(glob.glob(os.path.join(t, "data", "*.puffin")))
+    assert len(first_puffins) == 1
+    delete_iceberg_dv(spark, t, "id % 10 = 4")  # supersedes every vector
+    assert len(glob.glob(os.path.join(t, "data", "*.puffin"))) == 2
+    expire_snapshots(
+        t, keep_last=1, older_than=int(_time.time() * 1000) + 1000
+    )
+    left = set(glob.glob(os.path.join(t, "data", "*.puffin")))
+    assert first_puffins.isdisjoint(left) and len(left) == 1
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(100) if i % 10 not in (3, 4)]
+
+
+def test_orphan_cleanup_never_sweeps_puffin(spark, tmp_path):
+    """remove_orphan_files only sweeps parquet under data/: a LIVE
+    Puffin sidecar is referenced anyway, and even an ORPHANED one
+    (lost commit race) is left in place — the same conservative
+    boundary as Delta's DV sidecars, documented."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        remove_orphan_files,
+    )
+
+    t = _table(spark, tmp_path)
+    delete_iceberg_dv(spark, t, "id % 10 = 3")
+    orphan = os.path.join(t, "data", "dv-orphan.puffin")
+    open(orphan, "wb").write(b"PFA1 not really")
+    os.utime(orphan, (0, 0))  # far past any age guard
+    deleted = remove_orphan_files(t, older_than_ms=10**18)
+    assert all(not p.endswith(".puffin") for p in deleted)
+    assert os.path.exists(orphan)
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(100) if i % 10 != 3]
