@@ -14,8 +14,11 @@ manifest-merging writers are read correctly). One InputPartition per
 data file; replays under checkpointing plan the identical slice.
 
 Append-only contract (the real source's default): a non-append
-snapshot in range (replace/overwrite/delete) fails the stream by
-name; delete manifests with in-range content fail likewise. Schema
+snapshot in range (overwrite/delete) fails the stream by name —
+or skips WHOLE under ``skipChangeCommits=true`` (r11, the Delta
+twin's option: a change commit's files are rewrite survivors, not
+appends); delete manifests with in-range content fail likewise;
+``replace`` (compaction) always skips as layout-only. Schema
 evolution mid-stream is conservative: a range snapshot whose schema
 renames or retypes any current field refuses (field-id projection is
 the batch reader's job; a stream silently NULLing a renamed column
@@ -117,6 +120,14 @@ class IcebergStreamReader(DataSourceStreamReader):
             self.starting_seq = int(options.get("startingSequence", "0"))
         self.max_snapshots = (
             int(options.get("maxSnapshotsPerTrigger", "0")) or None
+        )
+        # real-source parity (r11, the Delta twin's r10 option): skip
+        # non-append snapshots WHOLE instead of failing the stream — a
+        # change commit's added files are rewrite survivors / upsert
+        # batches, not appends, so delivering them would double rows
+        self.skip_changes = (
+            str(options.get("skipChangeCommits", "false")).lower()
+            == "true"
         )
         # byte-based admission (r10): cumulative added-files-size from
         # the snapshot summaries (real-writer + this engine's field);
@@ -241,12 +252,19 @@ class IcebergStreamReader(DataSourceStreamReader):
                 # compacting table must not kill its consumers)
                 continue
             if op not in (None, "append"):
+                if self.skip_changes:
+                    # skipChangeCommits=true: the commit (data files
+                    # AND its delete manifests) skips whole — the
+                    # consumer opted into missing row-level changes
+                    continue
                 raise ValueError(
                     f"snapshot {s['snapshot-id']} (seq "
                     f"{s['sequence-number']}) in the stream's range is "
                     f"a {op!r}, not an append — an append-only stream "
                     "cannot represent replaced data; restart from a "
-                    "snapshot read past it"
+                    "snapshot read past it (or pass "
+                    "skipChangeCommits=true to skip change commits "
+                    "whole)"
                 )
             sid = s.get("schema-id", cur_sid)
             if sid != cur_sid:

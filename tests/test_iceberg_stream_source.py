@@ -231,3 +231,29 @@ def test_iceberg_stream_skips_mid_range_compaction(spark, tmp_path):
     sink2: list = []
     _run(spark, t, str(tmp_path / "ckpt"), sink2)
     assert sink2 == [(4, "d", 4.0)]
+
+
+def test_iceberg_stream_skip_change_commits(spark, tmp_path):
+    """skipChangeCommits=true (r11, the Delta twin's option): non-
+    append snapshots — CoW rewrites AND their delete manifests — skip
+    WHOLE; appends before and after deliver exactly once."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg,
+    )
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(i, "x", float(i)) for i in range(4)]), t)
+    delete_iceberg(spark, t, "id = 1")  # CoW rewrite snapshot
+    write_iceberg(_df(spark, [(10, "y", 10.0)]), t, mode="append")
+    sink: list = []
+    _run(spark, t, str(tmp_path / "ckpt"), sink, skipChangeCommits="true")
+    # the rewrite's survivor file (ids 0,2,3 re-staged) is NOT
+    # delivered — only true appends
+    assert sorted(r[0] for r in sink) == [0, 1, 2, 3, 10]
+    # restart keeps skipping: another DML + append deliver append-only
+    delete_iceberg(spark, t, "id = 2")
+    write_iceberg(_df(spark, [(11, "z", 11.0)]), t, mode="append")
+    sink2: list = []
+    _run(spark, t, str(tmp_path / "ckpt"), sink2, skipChangeCommits="true")
+    assert sorted(r[0] for r in sink2) == [11]
