@@ -2700,3 +2700,67 @@ def lakehouse_delta_reorg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "consumers would re-deliver rewritten rows"
                     )
     return _agg_by_type(read_delta(spark, table))
+
+
+@query(
+    "lakehouse_iceberg_row_lineage",
+    oracle=None,  # _row_id values are engine-assignment-specific
+    # (manifest/file staging order); the invariants that matter —
+    # uniqueness, density, stability across the append — are RAISE-
+    # pinned in-query, and the driver records rows-only
+    doc=(
+        "NEW r11: v3 ROW LINEAGE exposed on read — read_iceberg_lineage "
+        "derives _row_id from the manifest-list's explicit first_row_id "
+        "(written by this engine's v3 commits) + in-manifest "
+        "inheritance + row position; the query RAISES unless ids are "
+        "unique, dense over the append history, and the first append's "
+        "assignments are UNCHANGED after the second (carried manifests "
+        "keep their ranges) — the consumer-visible proof of the r11 "
+        "write-side lineage bookkeeping"
+    ),
+)
+def lakehouse_iceberg_row_lineage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        write_iceberg,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        read_iceberg_lineage,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_iceberg(
+            ev.filter("event_id % 2 = 0").repartition(2),
+            table,
+            format_version=3,
+        )
+        write_iceberg(ev.filter("event_id % 2 = 1"), table, mode="append")
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(
+        spark, f"/tmp/ssp_iceberg_v3lineage_{key}", build
+    )
+    rows = read_iceberg_lineage(spark, table)
+    stats = rows.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("_row_id").alias("n_ids"),
+        F.min("_row_id").alias("lo"),
+        F.max("_row_id").alias("hi"),
+    ).collect()[0]
+    if not (
+        stats.n == stats.n_ids
+        and stats.lo == 0
+        and stats.hi == stats.n - 1
+    ):
+        raise RuntimeError(
+            f"row-lineage ids are not unique+dense: n={stats.n} "
+            f"distinct={stats.n_ids} range=[{stats.lo},{stats.hi}]"
+        )
+    return rows.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("_row_id").alias("n_ids"),
+    )

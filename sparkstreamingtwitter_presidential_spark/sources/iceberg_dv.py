@@ -613,3 +613,53 @@ def merge_iceberg_dv(
         added_files=added, operation="overwrite",
         summary_extra=summary_extra,
     )
+
+
+def read_iceberg_lineage(spark: SparkSession, path: str) -> DataFrame:
+    """Snapshot read EXPOSING v3 row lineage: the table columns plus
+    ``_row_id`` (spec §Row Lineage) — derived exactly as a v3 reader
+    assigns it: each data manifest's explicit ``first_row_id``
+    (manifest-list field 520, written by this engine's commits) plus
+    the in-manifest inheritance offset (running record_count over the
+    manifest's live entries in order) plus the row's position in its
+    file. Files under a manifest with NULL first_row_id (pre-upgrade /
+    foreign lineage-less history) read ``_row_id`` as NULL — the
+    spec's treatment of pre-lineage snapshots.
+
+    Scale shape: the id map is driver-built from manifest metadata
+    (one row per live data file, broadcast); per-row assignment is
+    ``first + _metadata.row_index`` — no shuffle, no window function,
+    no global ordering pass."""
+    meta = _load_metadata(path)
+    _require_v3(meta, "read_iceberg_lineage")
+    snap = _snapshot(meta, None)
+    firsts: list[tuple[str, int | None]] = []
+    _, _, manifests = read_container(snap["manifest-list"])
+    for m in manifests:
+        if m["content"] != 0:
+            continue
+        base = m.get("first_row_id")
+        cum = 0
+        _, _, entries = read_container(m["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:  # DELETED: gone from this snapshot
+                continue
+            firsts.append(
+                (
+                    _norm_path(e["data_file"]["file_path"]),
+                    None if base is None else int(base) + cum,
+                )
+            )
+            cum += int(e["data_file"]["record_count"])
+    # reuse the DV-DML planning scan: full columns + normalized path +
+    # in-file position, all live row-level deletes applied
+    *_head, scan = _plan(spark, path, "read_iceberg_lineage")
+    id_map = F.broadcast(
+        spark.createDataFrame(firsts, f"{_PATH_COL} string, __first long")
+    )
+    cols = [c for c in scan.columns if c not in (_PATH_COL, _POS_COL)]
+    return (
+        scan.join(id_map, on=_PATH_COL, how="left")
+        .withColumn("_row_id", F.col("__first") + F.col(_POS_COL))
+        .select(*cols, "_row_id")
+    )

@@ -377,3 +377,69 @@ def test_orphan_cleanup_never_sweeps_puffin(spark, tmp_path):
     assert os.path.exists(orphan)
     got = sorted(r.id for r in read_iceberg(spark, t).collect())
     assert got == [i for i in range(100) if i % 10 != 3]
+
+
+def test_row_lineage_read_exposes_stable_ids(spark, tmp_path):
+    """read_iceberg_lineage (r11): _row_id derives from the manifest-
+    list's explicit first_row_id + in-manifest inheritance + row
+    position — unique and dense across appends, STABLE for carried
+    files when more data appends, NULL for lineage-less (pre-r11 /
+    forged) manifests."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        read_iceberg_lineage,
+    )
+
+    t = _table(spark, tmp_path, n=50)
+    ids1 = {
+        r.id: r._row_id for r in read_iceberg_lineage(spark, t).collect()
+    }
+    assert sorted(ids1.values()) == list(range(50))
+    write_iceberg(
+        spark.range(100, 120).selectExpr(
+            "id", "cast(id % 5 as long) as grp",
+            "cast(id * 1.5 as double) as val",
+        ),
+        t,
+        mode="append",
+    )
+    ids2 = {
+        r.id: r._row_id for r in read_iceberg_lineage(spark, t).collect()
+    }
+    # append-only history: prior assignments unchanged, new rows take
+    # the next dense range
+    assert all(ids2[k] == v for k, v in ids1.items())
+    assert sorted(ids2.values()) == list(range(70))
+    # deleted rows keep their ids out of the result (no reuse)
+    delete_iceberg_dv(spark, t, "id = 7")
+    ids3 = {
+        r.id: r._row_id for r in read_iceberg_lineage(spark, t).collect()
+    }
+    assert len(ids3) == 69 and ids3[8] == ids2[8]
+    assert ids2[7] not in ids3.values()
+
+
+def test_row_lineage_null_for_foreign_lineage_less_history(spark, tmp_path):
+    """A forged v3 table (no manifest-list first_row_id) reads _row_id
+    as NULL — the spec's pre-lineage treatment, never a guessed id."""
+    import pyarrow.parquet as pq
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        forge_v3_dv_commit,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        read_iceberg_lineage,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(20)], "id long, s string"
+    )
+    write_iceberg(df.repartition(1), t)  # v2 table
+    meta = _load_metadata(t)
+    entries, _ = _entries_and_deletes_for_snapshot(t, _snapshot(meta, None))
+    fp = entries[0]["data_file"]["file_path"]
+    ids = pq.read_table(fp, columns=["id"]).column("id").to_pylist()
+    forge_v3_dv_commit(t, {fp: [ri for ri, i in enumerate(ids) if i == 3]})
+    rows = read_iceberg_lineage(spark, t).collect()
+    assert len(rows) == 19
+    assert all(r._row_id is None for r in rows)
