@@ -580,8 +580,21 @@ def merge_iceberg_dv(
 
     added: list[dict] = []
     if mark is not None and when_matched == "update":
-        # full-row upsert: the matched source rows are the replacements
-        replacements = source.join(matched_keys, on=keys, how="leftsemi")
+        # full-row upsert, one replacement PER MATCHED TARGET ROW (the
+        # CoW twin's semantics — duplicate target keys each update, so
+        # multiplicity is preserved): join the matched target rows to
+        # the source and take the source's values
+        src_cols = source.select(
+            *[F.col(c).alias(f"__src_{c}") for c in tcols]
+        )
+        joined = hits.join(
+            F.broadcast(src_cols),
+            on=[hits[k] == src_cols[f"__src_{k}"] for k in keys],
+            how="inner",
+        )
+        replacements = joined.select(
+            *[F.col(f"__src_{c}").alias(c) for c in tcols]
+        )
         added += _stage_data_files(
             replacements, path, ice_schema, part_fields
         )

@@ -443,3 +443,19 @@ def test_row_lineage_null_for_foreign_lineage_less_history(spark, tmp_path):
     rows = read_iceberg_lineage(spark, t).collect()
     assert len(rows) == 19
     assert all(r._row_id is None for r in rows)
+
+
+def test_dv_merge_duplicate_target_keys_each_update(spark, tmp_path):
+    """Duplicate TARGET keys each take the source row's values (the
+    CoW twin's multiplicity-preserving semantics): a key present twice
+    in the target updates both rows, never collapsing to one."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 0, 1.5), (2, 0, 2.0)],
+        "id long, grp long, val double",
+    )
+    write_iceberg(df.repartition(1), t, format_version=3)
+    src = spark.createDataFrame([(1, 9, -1.0)], "id long, grp long, val double")
+    merge_iceberg_dv(spark, t, src, ["id"])
+    got = sorted(map(tuple, read_iceberg(spark, t).collect()))
+    assert got == [(1, 9, -1.0), (1, 9, -1.0), (2, 0, 2.0)]
