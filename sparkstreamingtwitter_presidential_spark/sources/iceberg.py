@@ -90,6 +90,10 @@ from sparkstreamingtwitter_presidential_spark.sources.avro import (
 
 _METADATA_DIR = "metadata"
 _DATA_DIR = "data"
+# _read_files(with_path_pos=True) pseudo-columns: NORMALIZED full file
+# path + in-file row position (the DV-DML / row-lineage probe shape)
+_ABS_PATH_COL = "__dv_path"
+_POS_COL = "__dv_pos"
 _VERSION_HINT = "version-hint.text"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _FILE_COL = "__iceberg_file"
@@ -1553,6 +1557,7 @@ def _read_files(
     part_fields: list[dict],
     with_file: bool = False,
     scan_filter: Any | None = None,
+    with_path_pos: bool = False,
 ) -> DataFrame:
     """Distributed scan of ``files`` (data_file dicts) under the TABLE
     schema. Unpartitioned: one parquet scan over the file list.
@@ -1568,7 +1573,11 @@ def _read_files(
     1000-branch union. Files whose paths lack the layout (foreign
     tables) or tables with REQUIRED partition columns (path parsing
     analyzes nullable) always take the union. ``with_file`` adds the
-    file's basename column for DML's affected-file probe.
+    file's basename column for DML's affected-file probe;
+    ``with_path_pos`` (r11) adds the NORMALIZED full path and in-file
+    row position (the DV DML / row-lineage probe shape) — riding the
+    same adaptive machinery, so a 1000-partition DV delete's probe
+    stays one scan node too.
     ``scan_filter`` (a DataFrame->DataFrame closure built by
     _row_delete_filter) applies v2 row-level deletes to each RAW scan
     — per branch, because the `_metadata` pseudo-columns it joins on
@@ -1587,11 +1596,26 @@ def _read_files(
     base_col = F.element_at(
         F.split(F.col("_metadata.file_path"), "/"), -1
     ).alias(_FILE_COL)
-    out_cols = cols + ([_FILE_COL] if with_file else [])
+    pp_cols = [
+        _norm_path_col(F.col("_metadata.file_path")).alias(_ABS_PATH_COL),
+        F.col("_metadata.row_index").cast("long").alias(_POS_COL),
+    ]
+    extra = ([base_col] if with_file else []) + (
+        pp_cols if with_path_pos else []
+    )
+    out_cols = (
+        cols
+        + ([_FILE_COL] if with_file else [])
+        + ([_ABS_PATH_COL, _POS_COL] if with_path_pos else [])
+    )
     if not files:
         df = spark.createDataFrame([], spark_schema)
         if with_file:
             df = df.withColumn(_FILE_COL, F.lit(None).cast("string"))
+        if with_path_pos:
+            df = df.withColumn(
+                _ABS_PATH_COL, F.lit(None).cast("string")
+            ).withColumn(_POS_COL, F.lit(None).cast("long"))
         return df
     part_fields = _identity_fields(part_fields)
     if not part_fields:
@@ -1600,7 +1624,7 @@ def _read_files(
                 *[f["file_path"] for f in files]
             )
         )
-        return df.select(*cols, base_col).select(*out_cols) if with_file else df.select(*cols)
+        return df.select(*cols, *extra).select(*out_cols) if extra else df.select(*cols)
     pnames = {pf["source_name"] for pf in part_fields}
     data_schema = T.StructType(
         [f for f in spark_schema.fields if f.name not in pnames]
@@ -1665,8 +1689,8 @@ def _read_files(
         df = spark.read.schema(data_schema).parquet(
             *sorted(f["file_path"] for f in files)
         )
-        if with_file:
-            df = df.select("*", base_col)
+        if extra:
+            df = df.select("*", *extra)
         import re as _re
 
         def unesc(col):
@@ -1706,8 +1730,8 @@ def _read_files(
         df = _minus_deletes(
             spark.read.schema(data_schema).parquet(*sorted(paths))
         )
-        if with_file:
-            df = df.select("*", base_col)
+        if extra:
+            df = df.select("*", *extra)
         for pf, av in zip(part_fields, key):
             fld = next(
                 f for f in spark_schema.fields if f.name == pf["source_name"]
@@ -1728,6 +1752,14 @@ def _read_files(
     target = T.StructType(
         list(spark_schema.fields)
         + ([T.StructField(_FILE_COL, T.StringType())] if with_file else [])
+        + (
+            [
+                T.StructField(_ABS_PATH_COL, T.StringType()),
+                T.StructField(_POS_COL, T.LongType()),
+            ]
+            if with_path_pos
+            else []
+        )
     )
     empty = spark.createDataFrame([], target)
     return reduce(DataFrame.unionByName, [empty] + parts)

@@ -54,15 +54,16 @@ from pyspark.sql import types as T
 
 from sparkstreamingtwitter_presidential_spark.sources.avro import read_container
 from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+    _ABS_PATH_COL,
     _DATA_DIR,
-    _avro_partition_to_python,
     _commit_snapshot,
     _entries_and_deletes_for_snapshot,
     _identity_fields,
     _load_metadata,
     _norm_path,
-    _norm_path_col,
     _partition_fields,
+    _POS_COL,
+    _read_files,
     _refuse_renamed_files,
     _row_delete_filter,
     _schema_for,
@@ -78,8 +79,7 @@ from sparkstreamingtwitter_presidential_spark.sources.puffin import (
 )
 
 _DV_MAX_ROWS = 2_000_000  # driver-built metadata budget (Delta twin's)
-_PATH_COL = "__dv_path"
-_POS_COL = "__dv_pos"
+_PATH_COL = _ABS_PATH_COL  # the _read_files(with_path_pos) pseudo-column
 
 
 def _require_v3(meta: dict, op: str) -> None:
@@ -96,7 +96,10 @@ def _plan(spark: SparkSession, path: str, op: str):
     data file carrying full columns, the file's NORMALIZED path and
     in-file row position, with all live row-level deletes APPLIED —
     so a matched row is live by construction (an UPDATE can never
-    resurrect an equality-deleted or already-vectored row)."""
+    resurrect an equality-deleted or already-vectored row). The scan
+    rides `_read_files(with_path_pos=True)` (r11) — the adaptive
+    partitioned-read machinery, so a 1000-partition table's probe is
+    one path-derived scan node, never a 1000-branch union."""
     meta = _load_metadata(path)
     _require_v3(meta, op)
     snap = _snapshot(meta, None)
@@ -110,57 +113,13 @@ def _plan(spark: SparkSession, path: str, op: str):
         if dels
         else None
     )
-    id_fields = _identity_fields(part_fields)
-    pnames = {pf["source_name"] for pf in id_fields}
-    data_schema = T.StructType(
-        [f for f in spark_schema.fields if f.name not in pnames]
-    )
-    fields_by_name = {f.name: f for f in spark_schema.fields}
-    groups: dict[tuple, list[dict]] = {}
-    for e in entries:
-        part = e["data_file"].get("partition") or {}
-        key = tuple(part.get(pf["name"]) for pf in part_fields)
-        groups.setdefault(key, []).append(e["data_file"])
-    frames: list[DataFrame] = []
-    for key in sorted(groups, key=lambda k: tuple(map(str, k))):
-        g = spark.read.schema(data_schema).parquet(
-            *sorted(d["file_path"] for d in groups[key])
-        )
-        # pseudo-columns FIRST (identity injection below would shadow
-        # _metadata), then the delete filter (it projects back to the
-        # columns present at application, keeping these two)
-        g = g.select(
-            "*",
-            _norm_path_col(F.col("_metadata.file_path")).alias(_PATH_COL),
-            F.col("_metadata.row_index").cast("long").alias(_POS_COL),
-        )
-        if scan_filter is not None:
-            g = scan_filter(g)
-        for pf, av in zip(part_fields, key):
-            if pf["transform"] != "identity":
-                continue
-            g = g.withColumn(
-                pf["source_name"],
-                F.lit(_avro_partition_to_python(pf["type"], av)).cast(
-                    fields_by_name[pf["source_name"]].dataType
-                ),
-            )
-        frames.append(
-            g.select(*[f.name for f in spark_schema.fields], _PATH_COL, _POS_COL)
-        )
-    scan = (
-        reduce(DataFrame.unionByName, frames)
-        if frames
-        else spark.createDataFrame(
-            [],
-            T.StructType(
-                list(spark_schema.fields)
-                + [
-                    T.StructField(_PATH_COL, T.StringType()),
-                    T.StructField(_POS_COL, T.LongType()),
-                ]
-            ),
-        )
+    scan = _read_files(
+        spark,
+        [e["data_file"] for e in entries],
+        spark_schema,
+        part_fields,
+        scan_filter=scan_filter,
+        with_path_pos=True,
     )
     return meta, snap, ice_schema, part_fields, spark_schema, entries, dels, scan
 
