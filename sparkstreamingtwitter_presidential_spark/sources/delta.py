@@ -480,7 +480,8 @@ def _generated_exprs(schema: StructType | None) -> list[tuple[str, str]]:
 #: they are outside the subset this writer evaluates.
 _TIME_CONTEXT_RE = _re.compile(
     r"\b(current_date|current_timestamp|now|localtimestamp|"
-    r"current_timezone|session_window|unix_timestamp\s*\(\s*\))",
+    r"current_timezone|session_window)\b"
+    r"|\bunix_timestamp\s*\(\s*\)",
     _re.IGNORECASE,
 )
 
@@ -523,6 +524,25 @@ def _refuse_nondeterministic_generation(
                 f"{col!r} is non-deterministic — outside the subset "
                 "this writer evaluates"
             )
+
+
+def _recompute_generated(snap: _Snapshot, df: DataFrame, ctx: str) -> DataFrame:
+    """Re-derive every GENERATED column on a DML-staged frame (r11
+    review fix — the real writer's behavior: UPDATE/MERGE recompute
+    generated columns whose sources changed rather than validating the
+    stale pre-DML value, which would misdiagnose a legitimate update
+    as a constraint violation). Deterministic-subset gated; a frame
+    with no generated columns passes through untouched. Plain appends
+    keep validate-or-derive semantics in _enforce_row_contracts /
+    write_delta instead."""
+    gens = _generated_exprs(snap.schema)
+    if not gens:
+        return df
+    by_name = {f.name: f for f in (snap.schema.fields if snap.schema else [])}
+    for col, gen in gens:
+        _refuse_nondeterministic_generation(df, col, gen, ctx)
+        df = df.withColumn(col, F.expr(gen).cast(by_name[col].dataType))
+    return df
 
 
 def _enforce_row_contracts(snap: _Snapshot, df: DataFrame, ctx: str) -> None:

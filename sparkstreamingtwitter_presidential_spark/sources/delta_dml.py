@@ -47,6 +47,8 @@ from pyspark.sql.types import StructField, StructType
 from sparkstreamingtwitter_presidential_spark.sources.delta import (
     _column_mapping,
     _enforce_row_contracts,
+    _generated_exprs,
+    _recompute_generated,
     _mapping_field_ids,
     _refuse_unenforced_writer_contracts,
     _replay_log,
@@ -675,6 +677,13 @@ def update_delta_dv(
     unknown = set(set_exprs) - {f.name for f in schema.fields}
     if unknown:
         raise ValueError(f"unknown column(s) in SET: {sorted(unknown)}")
+    gen_targets = set(set_exprs) & {c for c, _ in _generated_exprs(schema)}
+    if gen_targets:
+        raise ValueError(
+            f"cannot UPDATE generated column(s) {sorted(gen_targets)}; "
+            "they recompute from their generation expressions when "
+            "their source columns change"
+        )
     cond = F.expr(predicate) if predicate is not None else F.lit(True)
     scan = _scan_with_file(spark, path, snap, with_pos=True)
     mark = _dv_mark_matched(
@@ -697,6 +706,9 @@ def update_delta_dv(
             )
             for f in schema.fields
         ]
+    )
+    updated = _recompute_generated(
+        snap, updated, "UPDATE (deletion-vectors)"
     )
     _enforce_row_contracts(snap, updated, "UPDATE (deletion-vectors)")
     actions.extend(_stage_table_files(updated, path, snap, mapping))
@@ -808,6 +820,9 @@ def merge_delta_dv(
             updated = fresh_rows.select(*keys).join(
                 source, on=keys, how="inner"
             ).select(*tcols)
+            updated = _recompute_generated(
+                snap, updated, "MERGE (deletion-vectors) update"
+            )
             _enforce_row_contracts(
                 snap, updated, "MERGE (deletion-vectors) update"
             )
@@ -833,6 +848,9 @@ def merge_delta_dv(
         inserts = source
         if matched_keys is not None:
             inserts = source.join(matched_keys, on=keys, how="leftanti")
+        inserts = _recompute_generated(
+            snap, inserts, "MERGE (deletion-vectors) insert"
+        )
         _enforce_row_contracts(
             snap, inserts, "MERGE (deletion-vectors) insert"
         )
@@ -906,6 +924,13 @@ def update_delta(
     unknown = set(set_exprs) - {f.name for f in schema.fields}
     if unknown:
         raise ValueError(f"unknown column(s) in SET: {sorted(unknown)}")
+    gen_targets = set(set_exprs) & {c for c, _ in _generated_exprs(schema)}
+    if gen_targets:
+        raise ValueError(
+            f"cannot UPDATE generated column(s) {sorted(gen_targets)}; "
+            "they recompute from their generation expressions when "
+            "their source columns change"
+        )
     scan = _scan_with_file(spark, path, snap, apply_dvs=True)
     cond = F.expr(predicate) if predicate is not None else F.lit(True)
     affected = _affected_files(scan, cond)
@@ -925,6 +950,7 @@ def update_delta(
             for f in schema.fields
         ]
     )
+    rewritten = _recompute_generated(snap, rewritten, "UPDATE rewrite")
     _enforce_row_contracts(snap, rewritten, "UPDATE rewrite")
     adds = _stage_table_files(rewritten, path, snap, mapping)
     cdc: list[dict] = []
@@ -1067,6 +1093,7 @@ def merge_delta(
         else:  # 'none': matched rows keep their current values
             rewritten = joined.select(*[hit_rows[c] for c in tcols])
         actions += _removes(snap, [rels[b] for b in affected], True)
+        rewritten = _recompute_generated(snap, rewritten, "MERGE rewrite")
         _enforce_row_contracts(snap, rewritten, "MERGE rewrite")
         actions += _stage_table_files(rewritten, path, snap, mapping)
         matched_keys = (
@@ -1078,6 +1105,7 @@ def merge_delta(
         if matched_keys is not None:
             inserts = source.join(matched_keys, on=keys, how="leftanti")
         # (no affected files -> no key matched -> every source row inserts)
+        inserts = _recompute_generated(snap, inserts, "MERGE insert")
         _enforce_row_contracts(snap, inserts, "MERGE insert")
         actions += _stage_table_files(inserts, path, snap, mapping)
         if emit_cdf:

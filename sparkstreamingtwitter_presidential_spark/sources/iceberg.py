@@ -936,7 +936,11 @@ def _decode_default(ice_type: str, v: Any, name: str) -> Any:
     try:
         if ice_type == "boolean" and isinstance(v, bool):
             return v
-        if ice_type in ("int", "long") and isinstance(v, int):
+        if (
+            ice_type in ("int", "long")
+            and isinstance(v, int)
+            and not isinstance(v, bool)
+        ):
             return v
         if (
             ice_type in ("float", "double")

@@ -46,11 +46,9 @@ from __future__ import annotations
 
 import os
 import uuid
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from sparkstreamingtwitter_presidential_spark.sources.avro import read_container
 from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
@@ -129,7 +127,6 @@ def _mark_matched(
     matched: list,
     entries: list[dict],
     dels: list[dict],
-    budget: int,
     op: str,
 ):
     """Driver-side vector build from collected (normalized path, pos)
@@ -139,10 +136,10 @@ def _mark_matched(
     rebuild (the ones carrying superseded vectors) vs carry verbatim.
 
     Returns None when nothing matched, else a dict with the commit
-    ingredients. The whole build is bounded: matched rows by
-    ``budget`` (caller enforces), existing vectors by the touched
-    files' deleted-row counts (metadata-sized by the same budget
-    applied at their own write time)."""
+    ingredients. The whole build is bounded: matched rows by the
+    caller's collect budget, existing vectors by the touched files'
+    deleted-row counts (metadata-sized by the same budget applied at
+    their own write time)."""
     if not matched:
         return None
     by_norm: dict[str, dict] = {
@@ -154,7 +151,7 @@ def _mark_matched(
     unknown = sorted(set(new_by_file) - set(by_norm))
     if unknown:
         raise ValueError(
-            f"matched rows name non-live data files: {unknown[:3]}"
+            f"DV {op} matched rows in non-live data files: {unknown[:3]}"
         )
     # existing vector per touched file (PUFFIN delete entries keyed by
     # referenced_data_file); superseded entries leave in this commit
@@ -400,7 +397,7 @@ def delete_iceberg_dv(
             "should rewrite data files — use copy-on-write "
             "delete_iceberg"
         )
-    mark = _mark_matched(path, matched, entries, dels, max_deleted_rows, "delete")
+    mark = _mark_matched(path, matched, entries, dels, "delete")
     if mark is None:
         return snap["snapshot-id"]
     return _commit_dv(
@@ -450,7 +447,7 @@ def update_iceberg_dv(
             f"DV update matched more than {max_updated_rows} rows; "
             "use copy-on-write update_iceberg"
         )
-    mark = _mark_matched(path, matched, entries, dels, max_updated_rows, "update")
+    mark = _mark_matched(path, matched, entries, dels, "update")
     if mark is None:
         return snap["snapshot-id"]
     updated = hits.select(
@@ -531,9 +528,7 @@ def merge_iceberg_dv(
                 f"DV merge matched more than {max_matched_rows} rows; "
                 "use copy-on-write merge_iceberg"
             )
-        mark = _mark_matched(
-            path, matched, entries, dels, max_matched_rows, "merge"
-        )
+        mark = _mark_matched(path, matched, entries, dels, "merge")
     if entries:
         matched_keys = hits.select(*keys).distinct()
 
@@ -602,9 +597,10 @@ def read_iceberg_lineage(spark: SparkSession, path: str) -> DataFrame:
     (one row per live data file, broadcast); per-row assignment is
     ``first + _metadata.row_index`` — no shuffle, no window function,
     no global ordering pass."""
-    meta = _load_metadata(path)
-    _require_v3(meta, "read_iceberg_lineage")
-    snap = _snapshot(meta, None)
+    # ONE metadata load for both the scan and the id map (r11 review
+    # fix: two loads could tear — a commit between them would leave
+    # scan files missing from the map, silently NULLing their ids)
+    _meta, snap, *_rest, scan = _plan(spark, path, "read_iceberg_lineage")
     firsts: list[tuple[str, int | None]] = []
     _, _, manifests = read_container(snap["manifest-list"])
     for m in manifests:
@@ -623,9 +619,6 @@ def read_iceberg_lineage(spark: SparkSession, path: str) -> DataFrame:
                 )
             )
             cum += int(e["data_file"]["record_count"])
-    # reuse the DV-DML planning scan: full columns + normalized path +
-    # in-file position, all live row-level deletes applied
-    *_head, scan = _plan(spark, path, "read_iceberg_lineage")
     id_map = F.broadcast(
         spark.createDataFrame(firsts, f"{_PATH_COL} string, __first long")
     )

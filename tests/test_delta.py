@@ -736,3 +736,65 @@ def test_unenforced_writer_contracts_refuse(spark, tmp_path):
         write_delta(_df(spark, [(1, "b", 2.0)]), t)
     # reads stay fine on all of them
     assert read_delta(spark, t).count() == 1
+
+
+def test_generated_columns_recompute_on_dml(spark, tmp_path):
+    """r11 review fix: UPDATE/MERGE that changes a generated column's
+    SOURCE recompute the generated value (the real writer's behavior)
+    instead of misdiagnosing the stale value as a violation; SET
+    targeting the generated column itself refuses by name; a column
+    merely NAMED like a time function does not trip the subset gate."""
+    import json as _json
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        merge_delta,
+        update_delta,
+    )
+
+    t = str(tmp_path / "gen")
+    write_delta(_df(spark, [(2, "a", 1.0), (4, "b", 2.0)]), t)
+    log = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    out = []
+    for ln in open(log).read().splitlines():
+        act = _json.loads(ln)
+        if "metaData" in act:
+            sch = _json.loads(act["metaData"]["schemaString"])
+            sch["fields"][0]["metadata"] = {
+                "delta.generationExpression": "cast(v * 2 as long)"
+            }
+            act["metaData"]["schemaString"] = _json.dumps(sch)
+        out.append(_json.dumps(act))
+    open(log, "w").write("\n".join(out) + "\n")
+
+    update_delta(spark, t, {"v": "v + 10"}, "grp = 'a'")
+    got = {r.grp: (r.id, r.v) for r in read_delta(spark, t).collect()}
+    assert got["a"] == (22, 11.0)  # id recomputed from the new v
+    assert got["b"] == (4, 2.0)
+    with pytest.raises(ValueError, match="generated"):
+        update_delta(spark, t, {"id": "99"}, "grp = 'a'")
+    # MERGE full-row upsert: stale source generated values normalize
+    src = spark.createDataFrame(
+        [(0, "b", 5.0), (0, "c", 3.0)], "id long, grp string, v double"
+    )
+    merge_delta(spark, t, src, ["grp"])
+    got = {r.grp: (r.id, r.v) for r in read_delta(spark, t).collect()}
+    assert got["b"] == (10, 5.0) and got["c"] == (6, 3.0)
+
+    # a column NAMED like a time function is fine (word-boundary fix)
+    t2 = str(tmp_path / "gen2")
+    df = spark.createDataFrame([(10, 5.0)], "now_ts long, v double")
+    write_delta(df, t2)
+    log2 = os.path.join(t2, "_delta_log", f"{0:020d}.json")
+    out2 = []
+    for ln in open(log2).read().splitlines():
+        act = _json.loads(ln)
+        if "metaData" in act:
+            sch = _json.loads(act["metaData"]["schemaString"])
+            sch["fields"][0]["metadata"] = {
+                "delta.generationExpression": "cast(v * 2 as long)"
+            }
+            act["metaData"]["schemaString"] = _json.dumps(sch)
+        out2.append(_json.dumps(act))
+    open(log2, "w").write("\n".join(out2) + "\n")
+    write_delta(spark.createDataFrame([(12, 6.0)], "now_ts long, v double"), t2)
+    assert read_delta(spark, t2).count() == 2

@@ -379,3 +379,17 @@ def test_zstd_compressed_footer_reads(tmp_path):
     assert deserialize_dv_blob(
         read_blob(zp, metas[0]["offset"], metas[0]["length"])
     ) == [1, 2, 7]
+
+
+def test_v3_boolean_default_on_int_field_refuses(spark, v3_table):
+    """r11 review fix: JSON true/false on an int/long field refuses the
+    shape (bool is an int subclass in Python — without the guard the
+    default would silently inject 1/0)."""
+    t, _want = v3_table
+    latest = _latest_meta_path(t)
+    meta = json.load(open(latest))
+    for s in meta["schemas"]:
+        s["fields"][0]["initial-default"] = True  # id is long
+    json.dump(meta, open(latest, "w"))
+    with pytest.raises(NotImplementedError, match="shape"):
+        read_iceberg(spark, t).collect()
