@@ -459,3 +459,63 @@ def test_dv_merge_duplicate_target_keys_each_update(spark, tmp_path):
     merge_iceberg_dv(spark, t, src, ["id"])
     got = sorted(map(tuple, read_iceberg(spark, t).collect()))
     assert got == [(1, 9, -1.0), (1, 9, -1.0), (2, 0, 2.0)]
+
+
+def test_dv_dml_on_transform_partitioned_table(spark, tmp_path):
+    """DV DML on a TRANSFORM-partitioned v3 table (day(ts)): vectors
+    key on file paths so transform tuples only matter for the probe's
+    pruning; updates re-stage through the transform writer."""
+    import datetime as dt
+
+    t = str(tmp_path / "t")
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 4), float(i)) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    write_iceberg(df, t, format_version=3, partition_by=["day(ts)"])
+    delete_iceberg_dv(spark, t, "id % 8 = 1")
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [i for i in range(80) if i % 8 != 1]
+    update_iceberg_dv(spark, t, {"v": "v + 100"}, "id = 4")
+    out = read_iceberg(spark, t)
+    assert out.filter("id = 4").collect()[0].v == 104.0
+    assert out.count() == 70
+    _, dels = _live_state(t)
+    assert all(d["data_file"]["file_format"] == "PUFFIN" for d in dels)
+
+
+def test_dv_commit_conflict_raises(spark, tmp_path, monkeypatch):
+    """A concurrent commit between DV planning and claim surfaces as
+    IcebergCommitConflict (the shared put-if-absent primitive), never
+    a silently-lost write."""
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as I
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg_dv as dvmod
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        IcebergCommitConflict,
+    )
+
+    t = _table(spark, tmp_path, n=20)
+    real_mark = dvmod._mark_matched
+
+    def racing_mark(*a, **kw):
+        out = real_mark(*a, **kw)
+        # another writer lands an append AFTER planning
+        write_iceberg(
+            spark.range(100, 101).selectExpr(
+                "id",
+                "cast(id % 5 as long) as grp",
+                "cast(id * 1.5 as double) as val",
+            ),
+            t,
+            mode="append",
+        )
+        monkeypatch.setattr(dvmod, "_mark_matched", real_mark)
+        return out
+
+    monkeypatch.setattr(dvmod, "_mark_matched", racing_mark)
+    with pytest.raises(IcebergCommitConflict):
+        delete_iceberg_dv(spark, t, "id = 1")
+    # the loser left no partial state: rows intact incl. the racer's
+    assert read_iceberg(spark, t).count() == 21
+    delete_iceberg_dv(spark, t, "id = 1")  # clean retry lands
+    assert read_iceberg(spark, t).count() == 20
