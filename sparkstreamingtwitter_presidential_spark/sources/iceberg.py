@@ -2140,15 +2140,26 @@ def iceberg_row_changes(
         )
     else:
         par_entries, par_dels = [], []
-    cur_del_by_path = {d["data_file"]["file_path"]: d for d in cur_dels}
-    par_del_by_path = {d["data_file"]["file_path"]: d for d in par_dels}
+    def _del_key(d: dict):
+        # ONE Puffin file carries blobs for MANY data files — keying
+        # by file_path alone collides those entries and silently
+        # DROPS change rows (r11 review repro); the manifest-carried
+        # content_offset disambiguates blobs (None for parquet/equality
+        # delete files, whose paths are unique)
+        return (
+            d["data_file"]["file_path"],
+            d["data_file"].get("content_offset"),
+        )
+
+    cur_del_by_path = {_del_key(d): d for d in cur_dels}
+    par_del_by_path = {_del_key(d): d for d in par_dels}
     delta_dels = [
         d
-        for p, d in sorted(cur_del_by_path.items())
+        for p, d in sorted(cur_del_by_path.items(), key=lambda kv: repr(kv[0]))
         if p not in par_del_by_path
     ] + [
         d
-        for p, d in sorted(par_del_by_path.items())
+        for p, d in sorted(par_del_by_path.items(), key=lambda kv: repr(kv[0]))
         if p not in cur_del_by_path
     ]
     affected_norm: set[str] = set()

@@ -519,3 +519,32 @@ def test_dv_commit_conflict_raises(spark, tmp_path, monkeypatch):
     assert read_iceberg(spark, t).count() == 21
     delete_iceberg_dv(spark, t, "id = 1")  # clean retry lands
     assert read_iceberg(spark, t).count() == 20
+
+
+def test_changelog_derives_multi_file_dv_commits(spark, tmp_path):
+    """r11 review repro: ONE Puffin file carries blobs for MANY data
+    files — the changelog must key delete entries by (path, offset) or
+    it silently drops all but one file's change rows. A DV delete over
+    3 files derives every delete row; a superseding DV update derives
+    exact pre/post pairs."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        iceberg_row_changes,
+    )
+
+    t = _table(spark, tmp_path, n=60)
+    sid = delete_iceberg_dv(spark, t, "id % 10 = 3")
+    ch = iceberg_row_changes(spark, t, sid, keys=["id"]).collect()
+    assert sorted((r.id, r._change_type) for r in ch) == [
+        (i, "delete") for i in range(60) if i % 10 == 3
+    ]
+    sid2 = update_iceberg_dv(spark, t, {"val": "val + 100"}, "id % 10 = 4")
+    ch2 = iceberg_row_changes(spark, t, sid2, keys=["id"]).collect()
+    want = sorted(
+        [(i, i * 1.5, "update_preimage") for i in range(60) if i % 10 == 4]
+        + [
+            (i, i * 1.5 + 100, "update_postimage")
+            for i in range(60)
+            if i % 10 == 4
+        ]
+    )
+    assert sorted((r.id, r.val, r._change_type) for r in ch2) == want
