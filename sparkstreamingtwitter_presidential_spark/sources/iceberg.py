@@ -4684,14 +4684,17 @@ def table_partitions(spark: SparkSession, path: str) -> DataFrame:
     data scan), like the real client's partitions table. Partition
     values come back as their source types (dates decoded from epoch
     days). Unpartitioned tables return a single all-table totals row
-    (no partition columns)."""
+    (no partition columns). MOR tables work (r11): the counts are
+    PHYSICAL file-level stats exactly as the real partitions table
+    reports them — row-level deletes do not subtract (they are delete
+    files, not edits to data-file record counts)."""
     meta = _load_metadata(path)
     snap = _snapshot(meta, None)
     ice_schema = _schema_for(
         meta, snap.get("schema-id", meta.get("current-schema-id", 0))
     )
     part_fields = _partition_fields(meta, ice_schema)
-    entries = _entries_for_snapshot(path, snap)
+    entries, _dels = _entries_and_deletes_for_snapshot(path, snap)
     agg: dict[tuple, list[int]] = {}
     for e in entries:
         part = e["data_file"].get("partition") or {}

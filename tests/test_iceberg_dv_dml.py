@@ -548,3 +548,29 @@ def test_changelog_derives_multi_file_dv_commits(spark, tmp_path):
         ]
     )
     assert sorted((r.id, r.val, r._change_type) for r in ch2) == want
+
+
+def test_partitions_metadata_table_works_on_mor(spark, tmp_path):
+    """table_partitions no longer refuses on MOR tables (r11): its
+    counts are PHYSICAL file-level stats, as the real partitions table
+    reports — vectors do not subtract from data-file record counts."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        table_partitions,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(30).selectExpr(
+        "id", "cast(id % 3 as long) as g", "cast(id * 1.0 as double) as v"
+    )
+    # repartition so files hold many rows (under local[32] a scattered
+    # 1-row file would FULLY delete and drop — the standing gotcha)
+    write_iceberg(
+        df.repartition(1), t, format_version=3, partition_by=["g"]
+    )
+    delete_iceberg_dv(spark, t, "id = 5")
+    rows = {
+        r.g: (r.n_files, r.n_rows)
+        for r in table_partitions(spark, t).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert all(n == 10 for _f, n in rows.values())  # physical counts
