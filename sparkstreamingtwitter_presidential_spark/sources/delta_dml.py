@@ -959,15 +959,21 @@ def update_delta(
         pre = matched.drop(_FILE_COL).withColumn(
             "_change_type", F.lit("update_preimage")
         )
-        post = matched.select(
-            *[
-                (
-                    F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
-                    if f.name in set_exprs
-                    else F.col(f.name)
-                )
-                for f in schema.fields
-            ]
+        post = _recompute_generated(
+            snap,
+            matched.select(
+                *[
+                    (
+                        F.expr(set_exprs[f.name])
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        if f.name in set_exprs
+                        else F.col(f.name)
+                    )
+                    for f in schema.fields
+                ]
+            ),
+            "UPDATE cdc",
         ).withColumn("_change_type", F.lit("update_postimage"))
         cdc = _stage_cdc_mapped(pre.unionByName(post), path, snap, mapping)
     actions = _removes(snap, [rels[b] for b in affected], True) + adds + cdc
@@ -1078,8 +1084,12 @@ def merge_delta(
                     ).withColumn("_change_type", F.lit("update_preimage"))
                 )
                 cdc_frames.append(
-                    matched_rows.select(
-                        *[F.col(f"__src_{c}").alias(c) for c in tcols]
+                    _recompute_generated(
+                        snap,
+                        matched_rows.select(
+                            *[F.col(f"__src_{c}").alias(c) for c in tcols]
+                        ),
+                        "MERGE cdc",
                     ).withColumn("_change_type", F.lit("update_postimage"))
                 )
         elif when_matched == "delete":

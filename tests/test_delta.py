@@ -798,3 +798,49 @@ def test_generated_columns_recompute_on_dml(spark, tmp_path):
     open(log2, "w").write("\n".join(out2) + "\n")
     write_delta(spark.createDataFrame([(12, 6.0)], "now_ts long, v double"), t2)
     assert read_delta(spark, t2).count() == 2
+
+
+def test_generated_columns_cdf_postimages_recompute(spark, tmp_path):
+    """CDF postimages show the RECOMPUTED generated value (not the
+    stale source value) for UPDATE and MERGE on CDF-enabled tables."""
+    import json as _json
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        delta_row_changes,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        merge_delta,
+        update_delta,
+    )
+
+    t = str(tmp_path / "gen")
+    write_delta(
+        _df(spark, [(2, "a", 1.0), (4, "b", 2.0)]),
+        t,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    log = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    out = []
+    for ln in open(log).read().splitlines():
+        act = _json.loads(ln)
+        if "metaData" in act:
+            sch = _json.loads(act["metaData"]["schemaString"])
+            sch["fields"][0]["metadata"] = {
+                "delta.generationExpression": "cast(v * 2 as long)"
+            }
+            act["metaData"]["schemaString"] = _json.dumps(sch)
+        out.append(_json.dumps(act))
+    open(log, "w").write("\n".join(out) + "\n")
+
+    update_delta(spark, t, {"v": "v + 10"}, "grp = 'a'")
+    ch = delta_row_changes(spark, t, 1, keys=["grp"]).collect()
+    got = {(r._change_type): (r.id, r.v) for r in ch}
+    assert got["update_preimage"] == (2, 1.0)
+    assert got["update_postimage"] == (22, 11.0)  # id recomputed
+    src = spark.createDataFrame(
+        [(0, "b", 5.0)], "id long, grp string, v double"
+    )
+    merge_delta(spark, t, src, ["grp"])
+    ch2 = delta_row_changes(spark, t, 2, keys=["grp"]).collect()
+    got2 = {(r._change_type): (r.id, r.v) for r in ch2}
+    assert got2["update_postimage"] == (10, 5.0)  # recomputed, not 0
