@@ -681,6 +681,13 @@ def _manifest_entry_schema(
                             "type": ["null", {"type": "array", "items": "int"}],
                             "field-id": 135,
                         },
+                        {
+                            # spec: the sort order the file was written
+                            # under (r11); null = unsorted/unknown
+                            "name": "sort_order_id",
+                            "type": ["null", "int"],
+                            "field-id": 140,
+                        },
                     ]
                     + (
                         [
@@ -2749,8 +2756,46 @@ def _walk_staged_parquet(staging: str) -> list[tuple[str, dict]]:
     return out
 
 
+def _default_sort_fields(meta: dict, ice_schema: dict) -> list[str]:
+    """Source column names of the table's DEFAULT sort order (spec
+    §Sort Orders) — empty for the unsorted order 0. Identity-transform
+    ascending fields only (what this engine's writer mints); anything
+    else refuses by name rather than staging a wrong order."""
+    oid = meta.get("default-sort-order-id", 0)
+    order = next(
+        (o for o in meta.get("sort-orders", []) if o.get("order-id") == oid),
+        None,
+    )
+    if order is None or not order.get("fields"):
+        return []
+    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    out = []
+    for f in order["fields"]:
+        if (
+            f.get("transform", "identity") != "identity"
+            or f.get("direction", "asc") != "asc"
+        ):
+            raise NotImplementedError(
+                "table declares a sort order with a transform or "
+                "descending field; this writer stages identity-asc "
+                "orders only"
+            )
+        name = by_id.get(f["source-id"])
+        if name is None:
+            raise NotImplementedError(
+                f"sort-order field source-id {f['source-id']} is not a "
+                "top-level column of the current schema"
+            )
+        out.append(name)
+    return out
+
+
 def _stage_data_files(
-    df: DataFrame, path: str, ice_schema: dict, part_fields: list[dict]
+    df: DataFrame,
+    path: str,
+    ice_schema: dict,
+    part_fields: list[dict],
+    sort_fields: list[str] | None = None,
 ) -> list[dict]:
     """Write df as parquet under data/<uuid>/ and return data_file
     dicts (path, counts, partition tuple, and spec-serialized
@@ -2792,6 +2837,19 @@ def _stage_data_files(
                 name, _transform_col(pf, F.col(pf["source_name"]))
             )
     try:
+        if sort_fields:
+            # CLUSTERED staging (r11, the spec's sort-order write):
+            # a range exchange on (partition cols, sort cols) gives
+            # files DISJOINT sort-key ranges — what makes skip_ranges'
+            # bounds pruning actually bite at scale — then an
+            # in-partition sort tightens per-page stats. This is the
+            # real writers' write.distribution-mode=range shape.
+            cluster = [
+                stage_names[pf["field_id"]] for pf in part_fields
+            ] + list(sort_fields)
+            df = df.repartitionByRange(*cluster).sortWithinPartitions(
+                *cluster
+            )
         w = df.write.mode("overwrite")
         if part_fields:
             w = w.partitionBy(*[stage_names[pf["field_id"]] for pf in part_fields])
@@ -2838,6 +2896,7 @@ def _stage_data_files(
                 "file_size_in_bytes": os.path.getsize(full),
                 "lower_bounds": lower or None,
                 "upper_bounds": upper or None,
+                "sort_order_id": 1 if sort_fields else None,
             }
         )
     return out
@@ -3354,6 +3413,7 @@ def write_iceberg(
     summary_extra: dict[str, str] | None = None,
     branch: str | None = None,
     format_version: int | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot (``append`` keeps prior data
     live via the previous snapshot's manifests; ``overwrite`` starts a
@@ -3370,7 +3430,14 @@ def write_iceberg(
     NEW tables: 2 (default) or 3 (row-lineage bookkeeping maintained;
     DV DML via iceberg_dv becomes available). Appends to an existing
     table follow ITS format-version — passing the parameter then must
-    match it. Returns the new snapshot id.
+    match it. ``sort_by`` (r11, new tables only) records the spec's
+    SORT ORDER (identity-asc columns) and makes every write stage
+    CLUSTERED: a range exchange on the sort key gives data files
+    DISJOINT key ranges, so skip_ranges' bounds pruning eliminates
+    whole files instead of overlapping everywhere — the scale lever
+    for selective scans. Appends to a sorted table stage clustered
+    automatically from the table's default order; passing sort_by
+    again must match it. Returns the new snapshot id.
 
     Commit protocol (spec §Metadata): stage data parquet + one new
     manifest avro + a manifest list avro, then atomically claim
@@ -3426,10 +3493,47 @@ def write_iceberg(
         meta, ice_schema, part_fields = _new_table_metadata(
             path, df.schema, partition_by, format_version or 2
         )
+        if sort_by:
+            by_name = {
+                f["name"]: f
+                for f in ice_schema["fields"]
+                if isinstance(f["type"], str)
+            }
+            missing = [c for c in sort_by if c not in by_name]
+            if missing:
+                raise ValueError(
+                    f"sort_by columns not top-level primitives of the "
+                    f"schema: {missing}"
+                )
+            meta["sort-orders"] = [
+                {"order-id": 0, "fields": []},
+                {
+                    "order-id": 1,
+                    "fields": [
+                        {
+                            "transform": "identity",
+                            "source-id": by_name[c]["id"],
+                            "direction": "asc",
+                            "null-order": "nulls-first",
+                        }
+                        for c in sort_by
+                    ],
+                },
+            ]
+            meta["default-sort-order-id"] = 1
 
+    sort_fields = _default_sort_fields(meta, ice_schema)
+    if exists and sort_by is not None and list(sort_by) != sort_fields:
+        raise ValueError(
+            f"sort_by {list(sort_by)} does not match the table's "
+            f"default sort order {sort_fields}; the order is fixed at "
+            "table creation"
+        )
     if branch is not None and not exists:
         raise ValueError("branch writes require an existing table")
-    data_files = _stage_data_files(df, path, ice_schema, part_fields)
+    data_files = _stage_data_files(
+        df, path, ice_schema, part_fields, sort_fields=sort_fields
+    )
     return _commit_snapshot(
         path,
         meta,

@@ -430,3 +430,74 @@ def test_timestamp_bounds_skip(spark, tmp_path):
     assert 1 <= len(pruned.inputFiles()) <= 2
     got = pruned.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))).count()
     assert got == 10  # days 10..19 inclusive of lo..hi window
+
+
+def test_sort_order_clusters_files_for_skipping(spark, tmp_path):
+    """write_iceberg(sort_by=[...]) records the spec's sort order and
+    stages CLUSTERED (range exchange + in-partition sort): data files
+    get DISJOINT sort-key ranges, so a skip_ranges point read keeps
+    ~1 file where the unsorted twin keeps nearly all; appends inherit
+    the order (sort_order_id stamped), a mismatched sort_by refuses,
+    and row content is unchanged."""
+    import random
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _entries_and_deletes_for_snapshot,
+        _load_metadata,
+        _snapshot,
+    )
+
+    rows = list(range(20000))
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in rows], "id long, v double"
+    ).repartition(8)
+    # AQE would (correctly) coalesce this tiny exchange to one file;
+    # pin partitions so the multi-file pruning behavior is visible
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        tables = {}
+        for name, kw in (("plain", {}), ("sorted", {"sort_by": ["id"]})):
+            t = str(tmp_path / name)
+            write_iceberg(df, t, **kw)
+            tables[name] = t
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    kept = {}
+    for name, t in tables.items():
+        meta = _load_metadata(t)
+        n_all = len(
+            _entries_and_deletes_for_snapshot(t, _snapshot(meta, None))[0]
+        )
+        pruned = read_iceberg(spark, t, skip_ranges={"id": (100, 120)})
+        kept[name] = (len(pruned.inputFiles()), n_all)
+        got = sorted(
+            r.id
+            for r in pruned.filter("id between 100 and 120").collect()
+        )
+        assert got == list(range(100, 121))
+    assert kept["sorted"][1] > 1  # clustering actually produced files
+    assert kept["sorted"][0] == 1  # disjoint ranges: point read = 1 file
+    assert kept["plain"][0] > kept["sorted"][0]
+    # append inherits the order and stamps sort_order_id
+    t = tables["sorted"]
+    write_iceberg(
+        spark.createDataFrame([(50000, 1.0)], "id long, v double"),
+        t,
+        mode="append",
+    )
+    meta = _load_metadata(t)
+    entries, _ = _entries_and_deletes_for_snapshot(t, _snapshot(meta, None))
+    assert {e["data_file"].get("sort_order_id") for e in entries} == {1}
+    assert read_iceberg(spark, t).count() == 20001
+    with pytest.raises(ValueError, match="sort order"):
+        write_iceberg(
+            spark.createDataFrame([(1, 1.0)], "id long, v double"),
+            t,
+            mode="append",
+            sort_by=["v"],
+        )
+    with pytest.raises(ValueError, match="sort_by"):
+        write_iceberg(df, str(tmp_path / "bad"), sort_by=["nope"])

@@ -96,7 +96,7 @@ def test_compact_commit_conflict_on_concurrent_append(spark, tmp_path):
     real_stage = I._stage_data_files
     fired = {"done": False}
 
-    def stage_with_race(df, path, ice_schema, part_fields):
+    def stage_with_race(df, path, ice_schema, part_fields, **kw):
         out = real_stage(df, path, ice_schema, part_fields)
         if not fired["done"]:
             fired["done"] = True  # concurrent append lands mid-compaction
@@ -732,7 +732,7 @@ def test_conflict_loser_files_become_orphans_and_sweep(spark, tmp_path):
     real_stage = I._stage_data_files
     fired = {"done": False}
 
-    def stage_with_race(df, path, ice_schema, part_fields):
+    def stage_with_race(df, path, ice_schema, part_fields, **kw):
         out = real_stage(df, path, ice_schema, part_fields)
         if not fired["done"]:
             fired["done"] = True
