@@ -1607,6 +1607,94 @@ def lakehouse_iceberg_skipping_agg(
     return _agg_by_type(pruned.filter("event_id BETWEEN 100 AND 299"))
 
 
+@query(
+    "lakehouse_iceberg_sorted_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events WHERE event_id BETWEEN 500 AND 699
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r11: declared SORT ORDERS — the table is created with "
+        "write_iceberg(sort_by=['event_id']) (spec §Sort Orders:"
+        " identity-asc order recorded as order-id 1, default), which "
+        "makes every write stage CLUSTERED (range exchange + "
+        "in-partition sort → disjoint per-file key ranges); the query "
+        "RAISES unless the metadata declares the order as default, "
+        "every data file entry stamps sort_order_id 1, and a narrow "
+        "id-range skip_ranges read pruned files before Spark listed "
+        "them — clustering as a TABLE PROPERTY (appends inherit it), "
+        "vs the r6 skipping query's caller-side repartition; the "
+        "pruned read + row filter must equal the oracle's plain "
+        "filtered aggregate"
+    ),
+)
+def lakehouse_iceberg_sorted_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _entries_and_deletes_for_snapshot,
+        _load_metadata,
+        _snapshot,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    key = _events_cache_key(spark, sf_dir)
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        # at test SFs, AQE would (correctly) coalesce each tiny range
+        # exchange to ONE full-range file — pin the post-shuffle
+        # partition count during staging so the clustered layout has
+        # multiple disjoint-range files to prune (at real scale the
+        # 64MB advisory sizing produces them naturally)
+        key_ = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev = spark.conf.get(key_, "true")
+        spark.conf.set(key_, "false")
+        try:
+            # two appends: the SECOND proves appends inherit the order
+            write_iceberg(
+                ev.filter("event_id % 2 = 0"), table, sort_by=["event_id"]
+            )
+            write_iceberg(
+                ev.filter("event_id % 2 = 1"), table, mode="append"
+            )
+        finally:
+            spark.conf.set(key_, prev)
+
+    table = _staged_iceberg_locked(
+        spark, f"/tmp/ssp_iceberg_sorted_{key}", build
+    )
+    meta = _load_metadata(table)
+    if meta.get("default-sort-order-id") != 1:
+        raise RuntimeError(
+            "staged table does not declare the sort order as default — "
+            "the clustered-staging path was not exercised"
+        )
+    entries, _dels = _entries_and_deletes_for_snapshot(
+        table, _snapshot(meta, None)
+    )
+    if {e["data_file"].get("sort_order_id") for e in entries} != {1}:
+        raise RuntimeError(
+            "a data file entry is missing the sort_order_id stamp — a "
+            "write staged unclustered"
+        )
+    ranges = {"event_id": (500, 699)}
+    pruned = read_iceberg(spark, table, skip_ranges=ranges)
+    n_all = len(read_iceberg(spark, table).inputFiles())
+    n_kept = len(pruned.inputFiles())
+    if n_kept >= n_all:
+        raise RuntimeError(
+            f"sort-order clustering pruned nothing: {n_kept}/{n_all} "
+            "files kept for a 200-id range on a sorted table"
+        )
+    return _agg_by_type(pruned.filter("event_id BETWEEN 500 AND 699"))
+
+
 _LOCK_STALE_SECS = 30.0  # no heartbeat for this long == crashed builder
 
 

@@ -178,7 +178,16 @@ GRADED_FIRST: list[str] = [
     # csv/avro/shard-export/partitioned-parquet graded and ORC stays
     # in tests/test_queries_oracle.py).
     "lakehouse_hudi_events_agg",
-    "io_partitioned_parquet_agg",
+    # Round-11: declared SORT ORDERS with clustered staging (spec
+    # §Sort Orders as a table property — range-exchange + in-partition
+    # sort on every write, appends inherit; RAISE pins the declared
+    # default order, per-file sort_order_id stamps, and actual file
+    # pruning on a narrow skip_ranges read). Ceded:
+    # io_partitioned_parquet_agg (r5-r10 driver-green, six rounds; the
+    # io family keeps shard-export graded and the partitioned-read
+    # shape stays graded via the delta/iceberg/hudi partitioned
+    # queries; it stays in tests/test_queries_oracle.py and bench).
+    "lakehouse_iceberg_sorted_agg",
     # Round-5: dedup survivor selection (the step after clustering).
     # Ceded: range_join_close_events (r1/r2/r4 driver-green; the
     # interval-join shape stays windowed via asof_join_last_purchase
