@@ -1685,7 +1685,9 @@ def lakehouse_iceberg_sorted_agg(
         )
     ranges = {"event_id": (500, 699)}
     pruned = read_iceberg(spark, table, skip_ranges=ranges)
-    n_all = len(read_iceberg(spark, table).inputFiles())
+    # the live entry list (already loaded for the stamp check) IS the
+    # unpruned file set — no second plan needed for the count
+    n_all = len(entries)
     n_kept = len(pruned.inputFiles())
     if n_kept >= n_all:
         raise RuntimeError(

@@ -2759,8 +2759,13 @@ def _walk_staged_parquet(staging: str) -> list[tuple[str, dict]]:
 def _default_sort_fields(meta: dict, ice_schema: dict) -> list[str]:
     """Source column names of the table's DEFAULT sort order (spec
     §Sort Orders) — empty for the unsorted order 0. Identity-transform
-    ascending fields only (what this engine's writer mints); anything
-    else refuses by name rather than staging a wrong order."""
+    ascending top-level fields only (what this engine's writer mints);
+    an out-of-subset order (transform/descending/nested fields — a
+    foreign writer's shape) returns EMPTY rather than refusing: the
+    spec makes sort orders advisory for writers, so staging unsorted
+    files with a null sort_order_id stamp is legal and keeps
+    appends/DML working on such tables (r11 review fix — the earlier
+    refusal gated every write)."""
     oid = meta.get("default-sort-order-id", 0)
     order = next(
         (o for o in meta.get("sort-orders", []) if o.get("order-id") == oid),
@@ -2771,21 +2776,13 @@ def _default_sort_fields(meta: dict, ice_schema: dict) -> list[str]:
     by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
     out = []
     for f in order["fields"]:
+        name = by_id.get(f["source-id"])
         if (
             f.get("transform", "identity") != "identity"
             or f.get("direction", "asc") != "asc"
+            or name is None
         ):
-            raise NotImplementedError(
-                "table declares a sort order with a transform or "
-                "descending field; this writer stages identity-asc "
-                "orders only"
-            )
-        name = by_id.get(f["source-id"])
-        if name is None:
-            raise NotImplementedError(
-                f"sort-order field source-id {f['source-id']} is not a "
-                "top-level column of the current schema"
-            )
+            return []  # out-of-subset order: stage unsorted (legal)
         out.append(name)
     return out
 
@@ -3609,7 +3606,10 @@ def compact_iceberg(
         df = _read_files(
             spark, [e["data_file"] for e in small], spark_schema, part_fields
         ).repartition(n_out)
-        added += _stage_data_files(df, path, ice_schema, part_fields)
+        added += _stage_data_files(
+            df, path, ice_schema, part_fields,
+            sort_fields=_default_sort_fields(meta, ice_schema),
+        )
         rewritten += small
 
     if not rewritten:
@@ -3926,7 +3926,10 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
         .filter(~F.coalesce(cond, F.lit(False)))
         .drop(_FILE_COL)
     )
-    staged = _stage_data_files(kept_rows, path, ice_schema, part_fields)
+    staged = _stage_data_files(
+        kept_rows, path, ice_schema, part_fields,
+        sort_fields=_default_sort_fields(meta, ice_schema),
+    )
     return _commit_snapshot(
         path,
         meta,
@@ -4175,7 +4178,10 @@ def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
             part_fields,
             scan_filter=flt,
         )
-        added = _stage_data_files(remaining, path, ice_schema, part_fields)
+        added = _stage_data_files(
+            remaining, path, ice_schema, part_fields,
+            sort_fields=_default_sort_fields(meta, ice_schema),
+        )
     return _commit_snapshot(
         path,
         meta,
@@ -4258,7 +4264,10 @@ def upsert_iceberg_mor(
             "would be ambiguous"
         )
     source = source.select(*tcols)
-    added = _stage_data_files(source, path, ice_schema, part_fields)
+    added = _stage_data_files(
+        source, path, ice_schema, part_fields,
+        sort_fields=_default_sort_fields(meta, ice_schema),
+    )
     if not added:
         return snap["snapshot-id"]
     # the equality delete file: one sorted row per source key tuple
@@ -4349,7 +4358,10 @@ def update_iceberg(
             for f in spark_schema.fields
         ]
     )
-    staged = _stage_data_files(rewritten, path, ice_schema, part_fields)
+    staged = _stage_data_files(
+        rewritten, path, ice_schema, part_fields,
+        sort_fields=_default_sort_fields(meta, ice_schema),
+    )
     return _commit_snapshot(
         path,
         meta,
@@ -4453,7 +4465,10 @@ def merge_iceberg(
             )
         else:  # 'none': matched rows keep their current values
             rewritten = joined.select(*[hit_rows[c] for c in tcols])
-        added += _stage_data_files(rewritten, path, ice_schema, part_fields)
+        added += _stage_data_files(
+            rewritten, path, ice_schema, part_fields,
+            sort_fields=_default_sort_fields(meta, ice_schema),
+        )
         matched_keys = (
             scan.filter(F.col(_FILE_COL).isin(affected))
             .select(*keys)
@@ -4465,7 +4480,10 @@ def merge_iceberg(
         if matched_keys is not None:
             inserts = source.join(matched_keys, on=keys, how="leftanti")
         # (no affected files -> no key matched -> every source row inserts)
-        added += _stage_data_files(inserts, path, ice_schema, part_fields)
+        added += _stage_data_files(
+            inserts, path, ice_schema, part_fields,
+            sort_fields=_default_sort_fields(meta, ice_schema),
+        )
 
     if not added and not affected:
         # a true no-op (nothing matched, nothing staged) commits

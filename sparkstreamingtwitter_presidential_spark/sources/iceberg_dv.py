@@ -55,6 +55,7 @@ from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
     _ABS_PATH_COL,
     _DATA_DIR,
     _commit_snapshot,
+    _default_sort_fields,
     _entries_and_deletes_for_snapshot,
     _identity_fields,
     _load_metadata,
@@ -460,7 +461,10 @@ def update_iceberg_dv(
             for f in spark_schema.fields
         ]
     )
-    staged = _stage_data_files(updated, path, ice_schema, part_fields)
+    staged = _stage_data_files(
+        updated, path, ice_schema, part_fields,
+        sort_fields=_default_sort_fields(meta, ice_schema),
+    )
     return _commit_dv(
         spark, path, meta, snap, ice_schema, part_fields, entries, mark,
         added_files=staged, operation="overwrite",
@@ -550,13 +554,17 @@ def merge_iceberg_dv(
             *[F.col(f"__src_{c}").alias(c) for c in tcols]
         )
         added += _stage_data_files(
-            replacements, path, ice_schema, part_fields
+            replacements, path, ice_schema, part_fields,
+            sort_fields=_default_sort_fields(meta, ice_schema),
         )
     if insert_not_matched:
         inserts = source
         if matched_keys is not None:
             inserts = source.join(matched_keys, on=keys, how="left_anti")
-        added += _stage_data_files(inserts, path, ice_schema, part_fields)
+        added += _stage_data_files(
+            inserts, path, ice_schema, part_fields,
+            sort_fields=_default_sort_fields(meta, ice_schema),
+        )
 
     if mark is None and not added:
         return snap["snapshot-id"]

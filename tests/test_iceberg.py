@@ -501,3 +501,77 @@ def test_sort_order_clusters_files_for_skipping(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="sort_by"):
         write_iceberg(df, str(tmp_path / "bad"), sort_by=["nope"])
+
+
+def test_dml_and_compaction_preserve_sort_order(spark, tmp_path):
+    """r11 review fix: DML rewrites and compaction on a sorted table
+    re-stage CLUSTERED (sort_order_id stays 1, skipping keeps biting);
+    a foreign out-of-subset order (descending) stages unsorted with a
+    null stamp instead of refusing the write — spec-legal."""
+    import json as _json
+
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _entries_and_deletes_for_snapshot,
+        _load_metadata,
+        _snapshot,
+        compact_iceberg,
+        update_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(2000)], "id long, v double"
+    ).repartition(4)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        write_iceberg(df, t, sort_by=["id"])
+        update_iceberg(spark, t, {"v": "v + 1"}, "id < 100")
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+    def stamps(path):
+        meta = _load_metadata(path)
+        entries, _ = _entries_and_deletes_for_snapshot(
+            path, _snapshot(meta, None)
+        )
+        return {e["data_file"].get("sort_order_id") for e in entries}
+
+    assert stamps(t) == {1}  # the rewrite re-staged clustered
+    got = read_iceberg(spark, t)
+    assert got.count() == 2000
+    assert got.filter("id = 5").collect()[0].v == 6.0
+    compact_iceberg(spark, t, target_file_bytes=1 << 30)
+    assert stamps(t) == {1}
+    assert read_iceberg(spark, t).count() == 2000
+
+    # foreign out-of-subset order: append works, stamps null
+    t2 = str(tmp_path / "t2")
+    write_iceberg(df, t2)
+    md = os.path.join(t2, "metadata")
+    meta = _json.load(open(os.path.join(md, "v1.metadata.json")))
+    meta["sort-orders"] = [
+        {"order-id": 0, "fields": []},
+        {
+            "order-id": 7,
+            "fields": [
+                {
+                    "transform": "identity",
+                    "source-id": 1,
+                    "direction": "desc",
+                    "null-order": "nulls-last",
+                }
+            ],
+        },
+    ]
+    meta["default-sort-order-id"] = 7
+    _json.dump(meta, open(os.path.join(md, "v2.metadata.json"), "w"))
+    open(os.path.join(md, "version-hint.text"), "w").write("2")
+    write_iceberg(
+        spark.createDataFrame([(99999, 1.0)], "id long, v double"),
+        t2,
+        mode="append",
+    )
+    assert read_iceberg(spark, t2).count() == 2001
+    assert None in stamps(t2)
