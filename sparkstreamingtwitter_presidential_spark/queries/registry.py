@@ -186,7 +186,7 @@ GRADED_FIRST: list[str] = [
     # io_partitioned_parquet_agg (r5-r10 driver-green, six rounds; the
     # io family keeps shard-export graded and the partitioned-read
     # shape stays graded via the delta/iceberg/hudi partitioned
-    # queries; it stays in tests/test_queries_oracle.py and bench).
+    # queries; it stays in tests/test_queries_oracle.py).
     "lakehouse_iceberg_sorted_agg",
     # Round-5: dedup survivor selection (the step after clustering).
     # Ceded: range_join_close_events (r1/r2/r4 driver-green; the
