@@ -848,9 +848,8 @@ def merge_delta_dv(
         inserts = source
         if matched_keys is not None:
             inserts = source.join(matched_keys, on=keys, how="leftanti")
-        inserts = _recompute_generated(
-            snap, inserts, "MERGE (deletion-vectors) insert"
-        )
+        # VALIDATE (not recompute) provided generated values on insert
+        # — the r11 advice fix, same rationale as merge_delta's branch
         _enforce_row_contracts(
             snap, inserts, "MERGE (deletion-vectors) insert"
         )
@@ -1115,7 +1114,12 @@ def merge_delta(
         if matched_keys is not None:
             inserts = source.join(matched_keys, on=keys, how="leftanti")
         # (no affected files -> no key matched -> every source row inserts)
-        inserts = _recompute_generated(snap, inserts, "MERGE insert")
+        # INSERT branch VALIDATES provided generated-column values (the
+        # `col <=> (expr)` probe inside _enforce_row_contracts) rather
+        # than recomputing them (r11 advice): the real writer rejects a
+        # wrong provided value on insert — recompute is reserved for
+        # update/rewrite branches where source columns legitimately
+        # changed under the row.
         _enforce_row_contracts(snap, inserts, "MERGE insert")
         actions += _stage_table_files(inserts, path, snap, mapping)
         if emit_cdf:

@@ -2756,23 +2756,28 @@ def _walk_staged_parquet(staging: str) -> list[tuple[str, dict]]:
     return out
 
 
-def _default_sort_fields(meta: dict, ice_schema: dict) -> list[str]:
-    """Source column names of the table's DEFAULT sort order (spec
-    §Sort Orders) — empty for the unsorted order 0. Identity-transform
-    ascending top-level fields only (what this engine's writer mints);
-    an out-of-subset order (transform/descending/nested fields — a
-    foreign writer's shape) returns EMPTY rather than refusing: the
-    spec makes sort orders advisory for writers, so staging unsorted
-    files with a null sort_order_id stamp is legal and keeps
-    appends/DML working on such tables (r11 review fix — the earlier
-    refusal gated every write)."""
+def _default_sort_fields(
+    meta: dict, ice_schema: dict
+) -> tuple[list[str], int | None]:
+    """(source column names, order-id) of the table's DEFAULT sort
+    order (spec §Sort Orders) — ([], None) for the unsorted order 0.
+    Identity-transform ascending top-level fields only (what this
+    engine's writer mints); an out-of-subset order (transform/
+    descending/nested fields — a foreign writer's shape) returns EMPTY
+    rather than refusing: the spec makes sort orders advisory for
+    writers, so staging unsorted files with a null sort_order_id stamp
+    is legal and keeps appends/DML working on such tables (r11 review
+    fix — the earlier refusal gated every write). The order-id is
+    returned alongside so staged files stamp the table's ACTUAL
+    default order id, not a literal 1 (r11 advice: a foreign table's
+    default identity-asc order may carry any id)."""
     oid = meta.get("default-sort-order-id", 0)
     order = next(
         (o for o in meta.get("sort-orders", []) if o.get("order-id") == oid),
         None,
     )
     if order is None or not order.get("fields"):
-        return []
+        return [], None
     by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
     out = []
     for f in order["fields"]:
@@ -2782,9 +2787,9 @@ def _default_sort_fields(meta: dict, ice_schema: dict) -> list[str]:
             or f.get("direction", "asc") != "asc"
             or name is None
         ):
-            return []  # out-of-subset order: stage unsorted (legal)
+            return [], None  # out-of-subset order: stage unsorted (legal)
         out.append(name)
-    return out
+    return out, oid
 
 
 def _stage_data_files(
@@ -2792,7 +2797,7 @@ def _stage_data_files(
     path: str,
     ice_schema: dict,
     part_fields: list[dict],
-    sort_fields: list[str] | None = None,
+    sort_fields: tuple[list[str], int | None] | None = None,
 ) -> list[dict]:
     """Write df as parquet under data/<uuid>/ and return data_file
     dicts (path, counts, partition tuple, and spec-serialized
@@ -2809,6 +2814,7 @@ def _stage_data_files(
     column stays IN the data files, as the spec requires."""
     import pyarrow.parquet as pq
 
+    sort_fields, sort_order_id = sort_fields if sort_fields else ([], None)
     prim = {
         f["name"]: (f["id"], f["type"])
         for f in ice_schema["fields"]
@@ -2893,7 +2899,7 @@ def _stage_data_files(
                 "file_size_in_bytes": os.path.getsize(full),
                 "lower_bounds": lower or None,
                 "upper_bounds": upper or None,
-                "sort_order_id": 1 if sort_fields else None,
+                "sort_order_id": sort_order_id if sort_fields else None,
             }
         )
     return out
@@ -3519,17 +3525,17 @@ def write_iceberg(
             ]
             meta["default-sort-order-id"] = 1
 
-    sort_fields = _default_sort_fields(meta, ice_schema)
-    if exists and sort_by is not None and list(sort_by) != sort_fields:
+    sort_spec = _default_sort_fields(meta, ice_schema)
+    if exists and sort_by is not None and list(sort_by) != sort_spec[0]:
         raise ValueError(
             f"sort_by {list(sort_by)} does not match the table's "
-            f"default sort order {sort_fields}; the order is fixed at "
+            f"default sort order {sort_spec[0]}; the order is fixed at "
             "table creation"
         )
     if branch is not None and not exists:
         raise ValueError("branch writes require an existing table")
     data_files = _stage_data_files(
-        df, path, ice_schema, part_fields, sort_fields=sort_fields
+        df, path, ice_schema, part_fields, sort_fields=sort_spec
     )
     return _commit_snapshot(
         path,

@@ -188,9 +188,18 @@ class IcebergStreamReader(DataSourceStreamReader):
                     and x["snapshot-id"] in anc
                     # replace (compaction) snapshots deliver zero rows
                     # (partitions() skips them) — counting their bytes
-                    # would stall the budget on undelivered data
+                    # would stall the budget on undelivered data; under
+                    # skipChangeCommits=true the same holds for EVERY
+                    # skipped non-append commit (r11 advice: a trigger
+                    # must not spend its byte budget on commits
+                    # partitions() will skip)
                     and (x.get("summary") or {}).get("operation")
                     != "replace"
+                    and not (
+                        self.skip_changes
+                        and (x.get("summary") or {}).get("operation")
+                        not in (None, "append")
+                    )
                 ),
                 key=lambda x: x["sequence-number"],
             )

@@ -772,9 +772,18 @@ def test_generated_columns_recompute_on_dml(spark, tmp_path):
     assert got["b"] == (4, 2.0)
     with pytest.raises(ValueError, match="generated"):
         update_delta(spark, t, {"id": "99"}, "grp = 'a'")
-    # MERGE full-row upsert: stale source generated values normalize
-    src = spark.createDataFrame(
+    # MERGE full-row upsert: a MATCHED row's stale source generated
+    # value normalizes (update branch recomputes), but an INSERTED
+    # row's wrong provided value is REJECTED, not silently corrected
+    # (r12 advice fix — the real writer validates on insert, matching
+    # this engine's own append path)
+    src_bad = spark.createDataFrame(
         [(0, "b", 5.0), (0, "c", 3.0)], "id long, grp string, v double"
+    )
+    with pytest.raises(ValueError, match="generated"):
+        merge_delta(spark, t, src_bad, ["grp"])
+    src = spark.createDataFrame(
+        [(0, "b", 5.0), (6, "c", 3.0)], "id long, grp string, v double"
     )
     merge_delta(spark, t, src, ["grp"])
     got = {r.grp: (r.id, r.v) for r in read_delta(spark, t).collect()}

@@ -575,3 +575,34 @@ def test_dml_and_compaction_preserve_sort_order(spark, tmp_path):
     )
     assert read_iceberg(spark, t2).count() == 2001
     assert None in stamps(t2)
+
+    # foreign IN-subset order under a non-1 id (e.g. a replaced order):
+    # staged files must stamp THE TABLE'S default-sort-order-id, not a
+    # literal 1 (r11 advice — order 1 may not even exist on the table)
+    t3 = str(tmp_path / "t3")
+    write_iceberg(df, t3)
+    md3 = os.path.join(t3, "metadata")
+    meta3 = _json.load(open(os.path.join(md3, "v1.metadata.json")))
+    meta3["sort-orders"] = [
+        {"order-id": 0, "fields": []},
+        {
+            "order-id": 3,
+            "fields": [
+                {
+                    "transform": "identity",
+                    "source-id": 1,
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+            ],
+        },
+    ]
+    meta3["default-sort-order-id"] = 3
+    _json.dump(meta3, open(os.path.join(md3, "v2.metadata.json"), "w"))
+    open(os.path.join(md3, "version-hint.text"), "w").write("2")
+    write_iceberg(
+        spark.createDataFrame([(99999, 1.0)], "id long, v double"),
+        t3,
+        mode="append",
+    )
+    assert 3 in stamps(t3) and 1 not in stamps(t3)

@@ -257,3 +257,33 @@ def test_iceberg_stream_skip_change_commits(spark, tmp_path):
     sink2: list = []
     _run(spark, t, str(tmp_path / "ckpt"), sink2, skipChangeCommits="true")
     assert sorted(r[0] for r in sink2) == [11]
+
+
+def test_iceberg_stream_skip_change_commits_byte_budget(spark, tmp_path):
+    """r11 advice: with skipChangeCommits=true, maxBytesPerTrigger must
+    not spend a trigger's budget on commits partitions() will skip —
+    no zero-row micro-batch burned on the skipped DML commit."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg,
+    )
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(i, "x", float(i)) for i in range(4)]), t)
+    delete_iceberg(spark, t, "id = 1")  # CoW rewrite (non-append)
+    write_iceberg(_df(spark, [(10, "y", 10.0)]), t, mode="append")
+    write_iceberg(_df(spark, [(11, "z", 11.0)]), t, mode="append")
+    ckpt = str(tmp_path / "ckpt")
+    sink: list = []
+    counts: list = []
+    _run(
+        spark, t, ckpt, sink, batches=counts,
+        maxBytesPerTrigger="1", skipChangeCommits="true",
+        progress_dir=ckpt,
+    )
+    assert sorted(r[0] for r in sink) == [0, 1, 2, 3, 10, 11]
+    while counts and counts[-1] == 0:
+        counts.pop()  # trailing empty replan ticks are fine
+    # one batch per APPEND snapshot; a zero in the middle means a
+    # trigger's whole budget went to the skipped delete commit
+    assert counts == [4, 1, 1]
