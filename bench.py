@@ -188,6 +188,35 @@ HEADLINE = [
     # the Iceberg DV read floor).
     "lakehouse_delta_reorg_agg",
     "lakehouse_iceberg_v3_dv_agg",
+    # Round-12: HEADLINE-ON-GRADE is now POLICY (r11 verdict item 3,
+    # recurring gap): every query in the graded window carries a
+    # recorded perf floor, enforced by tests/test_bench_contract.py's
+    # GRADED_FIRST ⊆ HEADLINE invariant. This block closes the
+    # backlog — the three r11 window entries the verdict named, the
+    # r12 newcomer, and the thirteen older graded queries that never
+    # got floors (all staging-warm where staged; timed work noted):
+    # v3 DV-DML'd table read (v3 metadata + superseded-vector decode +
+    # anti-join + scan), the sorted-table point read (clustered-layout
+    # pruning floor), the CDF stream drain (per-commit micro-batch
+    # machinery), and the lineage read (id-map broadcast + coalesce
+    # over materialized/derived ids — the v3 lineage read floor).
+    "lakehouse_iceberg_v3_dml_agg",
+    "lakehouse_iceberg_sorted_agg",
+    "streaming_delta_cdf_agg",
+    "lakehouse_iceberg_lineage_agg",
+    "text_repetition_signals",
+    "lakehouse_delta_delete_update_agg",
+    "tpch_q15_top_supplier",
+    "lakehouse_delta_mapped_dml_agg",
+    "chunk_documents_strided",
+    "dedup_semantic_keep",
+    "lakehouse_delta_mor_merge_agg",
+    "lakehouse_iceberg_time_travel_agg",
+    "lakehouse_iceberg_incremental_agg",
+    "quality_observed_metrics",
+    "pack_length_bucket_stats",
+    "events_variant_extract",
+    "dedup_exact_case_insensitive",
 ]
 
 

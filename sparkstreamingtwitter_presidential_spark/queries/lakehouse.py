@@ -2854,3 +2854,137 @@ def lakehouse_iceberg_row_lineage(
         F.count("*").alias("n"),
         F.count_distinct("_row_id").alias("n_ids"),
     )
+
+
+@query(
+    "lakehouse_iceberg_lineage_agg",
+    oracle="""
+        WITH merged AS (
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 9 = 1 THEN value + 10
+                        WHEN event_id % 9 = 4 THEN value * 2
+                        ELSE value END AS value
+            FROM events
+            UNION ALL
+            SELECT event_id + 50000000, user_id, event_type, value
+            FROM events WHERE event_id % 17 = 3
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM merged GROUP BY event_type
+    """,
+    doc=(
+        "NEW r12: v3 ROW LINEAGE through Puffin-DV DML, end-to-end — "
+        "the engine authors a v3 table, update_iceberg_dv(value += 10 "
+        "where event_id %% 9 == 1) re-stages the hit rows CARRYING "
+        "their original _row_id as a materialized column, and "
+        "merge_iceberg_dv (full-row upsert of event_id %% 9 == 4 with "
+        "value doubled, + event_id %% 17 == 3 inserts at +50M ids) "
+        "supersedes the update's vectors while carrying matched ids "
+        "and MINTING fresh ids for inserts. The query RAISES unless "
+        "the metadata is v3 with append/overwrite/overwrite history, "
+        "_row_id is unique and non-null over the final read, every "
+        "pre-existing row's id lies INSIDE the initial append's "
+        "assigned range (the carry proof — a dropped carry would mint "
+        "from later ranges), every inserted row's id lies BEYOND it, "
+        "and _last_updated_sequence_number equals the updating "
+        "snapshot's sequence per row (update's for %% 9 == 1, merge's "
+        "for %% 9 == 4 and inserts, the append's otherwise) — the "
+        "r11-verdict #1 gap (lineage inheritance through DML) graded"
+    ),
+)
+def lakehouse_iceberg_lineage_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _load_metadata,
+        read_iceberg,
+        write_iceberg,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        merge_iceberg_dv,
+        read_iceberg_lineage,
+        update_iceberg_dv,
+    )
+
+    _INSERT_BASE = 50_000_000
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_iceberg(ev.repartition(4), table, format_version=3)
+        update_iceberg_dv(
+            spark, table, {"value": "value + 10"}, "event_id % 9 = 1"
+        )
+        source = ev.filter("event_id % 9 = 4").withColumn(
+            "value", F.col("value") * 2
+        ).unionByName(
+            ev.filter("event_id % 17 = 3").withColumn(
+                "event_id", F.col("event_id") + F.lit(_INSERT_BASE)
+            )
+        )
+        merge_iceberg_dv(spark, table, source, ["event_id"])
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(
+        spark, f"/tmp/ssp_iceberg_lineage_{key}", build
+    )
+    meta = _load_metadata(table)
+    if meta.get("format-version") != 3 or meta.get("next-row-id", 0) <= 0:
+        raise RuntimeError(
+            "staged table is not an engine-authored v3 table with live "
+            "row-lineage bookkeeping"
+        )
+    snaps = meta["snapshots"]
+    ops = [s.get("summary", {}).get("operation") for s in snaps]
+    if ops != ["append", "overwrite", "overwrite"]:
+        raise RuntimeError(
+            f"unexpected snapshot history {ops}: want append/overwrite/"
+            "overwrite — a DML op silently no-opped"
+        )
+    # the update snapshot's first-row-id == rows assigned by the append
+    n0 = snaps[1].get("first-row-id")
+    seq_append, seq_update, seq_merge = (
+        s["sequence-number"] for s in snaps
+    )
+    lin = read_iceberg_lineage(spark, table)
+    ins = F.col("event_id") >= _INSERT_BASE
+    expected_lus = (
+        F.when(ins | (F.col("event_id") % 9 == 4), F.lit(seq_merge))
+        .when(F.col("event_id") % 9 == 1, F.lit(seq_update))
+        .otherwise(F.lit(seq_append))
+    )
+    s = lin.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("_row_id").alias("n_ids"),
+        F.sum(
+            (~ins & (F.col("_row_id") >= n0)).cast("int")
+        ).alias("bad_carry"),
+        F.sum(
+            (
+                ins
+                & (F.col("_row_id").isNull() | (F.col("_row_id") < n0))
+            ).cast("int")
+        ).alias("bad_fresh"),
+        F.sum(
+            (
+                ~F.col("_last_updated_sequence_number").eqNullSafe(
+                    expected_lus
+                )
+            ).cast("int")
+        ).alias("bad_lus"),
+    ).collect()[0]
+    if not (
+        s.n == s.n_ids
+        and s.bad_carry == 0
+        and s.bad_fresh == 0
+        and s.bad_lus == 0
+    ):
+        raise RuntimeError(
+            "row lineage violated through DV DML: "
+            f"n={s.n} distinct_ids={s.n_ids} carry_violations="
+            f"{s.bad_carry} fresh_violations={s.bad_fresh} "
+            f"last_updated_violations={s.bad_lus}"
+        )
+    return _agg_by_type(read_iceberg(spark, table))

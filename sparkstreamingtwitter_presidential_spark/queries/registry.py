@@ -379,7 +379,16 @@ GRADED_FIRST: list[str] = [
     # change-read family keeps lakehouse_delta_pipeline_agg and
     # lakehouse_delta_row_changes graded; both ceded queries stay in
     # tests/test_queries_oracle.py).
-    "lakehouse_iceberg_events_agg",
+    # Round-12: v3 ROW LINEAGE through Puffin-DV DML (_row_id carry on
+    # update/merge, fresh ids on insert, _last_updated_sequence_number
+    # per updating snapshot — the r11 verdict's #1 item), graded on
+    # arrival per rotation policy. Ceded: lakehouse_iceberg_events_agg
+    # (driver-green EVERY round r6-r11, six consecutive windows; the
+    # plain-snapshot-read shape stays exercised through the ten other
+    # graded Iceberg slots — partitioned/transform/merge/time-travel/
+    # incremental/row-changes/positional-delete/sorted/v3-dml/v3-dv —
+    # and the query stays in tests/test_queries_oracle.py and bench).
+    "lakehouse_iceberg_lineage_agg",
     "lakehouse_iceberg_time_travel_agg",
     # Round-6: Iceberg incremental append-scan (sequence-number-range
     # manifest selection). Ceded: streaming_stream_join (r2-r5

@@ -688,6 +688,21 @@ def _manifest_entry_schema(
                             "type": ["null", "int"],
                             "field-id": 140,
                         },
+                        {
+                            # v3 row lineage (spec §First Row ID
+                            # Inheritance): the first _row_id assigned
+                            # to this file's rows. Writers leave it
+                            # null on ADDED files (readers inherit
+                            # from the manifest's first_row_id) but
+                            # MUST write the already-assigned value
+                            # explicitly when re-staging an entry into
+                            # a NEW manifest (EXISTING/DELETED) so a
+                            # file's row ids survive manifest rewrites
+                            # (r12, the r11-advice durability fix).
+                            "name": "first_row_id",
+                            "type": ["null", "long"],
+                            "field-id": 142,
+                        },
                     ]
                     + (
                         [
@@ -1007,16 +1022,35 @@ def _entries_and_deletes_for_snapshot(
     carrying POSITION (content=1) or EQUALITY (content=2) delete files
     are collected for the read path to apply (_row_delete_filter).
     Each dict carries status, snapshot_id, sequence_number,
-    file_sequence_number, data_file."""
+    file_sequence_number, data_file.
+
+    v3 ROW LINEAGE (r12): resolution IS assignment — each live DATA
+    entry's ``data_file['first_row_id']`` is resolved to the file's
+    ASSIGNED first row id exactly as a v3 reader does (spec §First Row
+    ID Inheritance): an explicit value is used as-is; a null value
+    under a manifest with non-null ``first_row_id`` inherits the
+    manifest's base plus the record counts of the PRECEDING null-id
+    live files in the manifest; null under a null-base manifest stays
+    null (pre-lineage history reads NULL ``_row_id``). Because commits
+    re-serialize these same dicts, an EXISTING/DELETED entry rewritten
+    into a new manifest automatically carries its original id
+    EXPLICITLY — what keeps ``_row_id`` durable across CoW DML and
+    full-file-drop DV commits (the r11-advice finding)."""
     _, _, manifests = read_container(snap["manifest-list"])
     out: list[dict] = []
     dels: list[dict] = []
     for m in manifests:
         _, _, entries = read_container(m["manifest_path"])
+        lineage_base = m.get("first_row_id") if m["content"] == 0 else None
+        lineage_cum = 0
         for e in entries:
             if e["status"] == _STATUS_DELETED:
                 continue
             df = e["data_file"]
+            if m["content"] == 0 and df.get("first_row_id") is None:
+                if lineage_base is not None:
+                    df["first_row_id"] = lineage_base + lineage_cum
+                    lineage_cum += int(df["record_count"])
             if m["content"] == 0 and df["content"] != 0:
                 raise NotImplementedError(
                     "delete file inside a DATA manifest (spec violation); "
@@ -1092,6 +1126,74 @@ def _entries_for_snapshot(path: str, snap: dict) -> list[dict]:
 
 def _data_files_for_snapshot(path: str, snap: dict) -> list[dict]:
     return [e["data_file"] for e in _entries_for_snapshot(path, snap)]
+
+
+# v3 row-lineage reserved column names (spec §Row Lineage): engines
+# MATERIALIZE these into data files when rows are COPIED (CoW DML,
+# compaction, DV-DML re-stages) so carried rows keep their identity
+# and their last-update attribution; readers prefer a materialized
+# value over the first_row_id/position + data-sequence derivation.
+_ROW_ID_COL = "_row_id"
+_LAST_UPDATED_COL = "_last_updated_sequence_number"
+
+
+def _lineage_scan_schema(spark_schema: T.StructType) -> T.StructType:
+    """The table read schema extended with the two nullable lineage
+    columns — parquet fills null where a data file lacks them, so one
+    scan covers mixed histories (plain appends beside DML re-stages)."""
+    return T.StructType(
+        list(spark_schema.fields)
+        + [
+            T.StructField(_ROW_ID_COL, T.LongType(), True),
+            T.StructField(_LAST_UPDATED_COL, T.LongType(), True),
+        ]
+    )
+
+
+def _resolve_lineage(
+    spark: SparkSession,
+    entries: list[dict],
+    frame: DataFrame,
+    updated_cond: Any | None = None,
+) -> DataFrame:
+    """Resolve both lineage columns on a lineage-schema scan frame
+    carrying the path/position pseudo-columns, exactly as a v3 reader
+    does: ``_row_id`` = materialized value, else the file's assigned
+    first_row_id (resolved at entry resolution — explicit field 142 or
+    manifest inheritance) + in-file position, else NULL (lineage-less
+    history). ``_last_updated_sequence_number`` = materialized value,
+    else the file's DATA sequence number — except where
+    ``updated_cond`` holds (rows this DML modifies): there it becomes
+    NULL so the re-staged file's OWN data sequence (this commit)
+    derives on read, per spec. The id map is manifest metadata — one
+    tiny broadcast row per live data file, no shuffle."""
+    firsts = [
+        (
+            _norm_path(e["data_file"]["file_path"]),
+            e["data_file"].get("first_row_id"),
+            e["sequence_number"],
+        )
+        for e in entries
+    ]
+    id_map = F.broadcast(
+        spark.createDataFrame(
+            firsts, f"{_ABS_PATH_COL} string, __first long, __fseq long"
+        )
+    )
+    lus = F.coalesce(F.col(_LAST_UPDATED_COL), F.col("__fseq"))
+    if updated_cond is not None:
+        lus = F.when(updated_cond, F.lit(None).cast("long")).otherwise(lus)
+    return (
+        frame.join(id_map, on=_ABS_PATH_COL, how="left")
+        .withColumn(
+            _ROW_ID_COL,
+            F.coalesce(
+                F.col(_ROW_ID_COL), F.col("__first") + F.col(_POS_COL)
+            ),
+        )
+        .withColumn(_LAST_UPDATED_COL, lus)
+        .drop("__first", "__fseq")
+    )
 
 
 _FILE_SCHEME_RE = _re_mod.compile(r"^file:/*")
@@ -2071,6 +2173,15 @@ def _read_entries_projected(
     return reduce(DataFrame.unionByName, [empty] + parts)
 
 
+# changelog budget for changed GLOBAL equality deletes: their victim
+# set is every lower-sequence data file table-wide (spec scoping), so
+# the keyed diff's pre/post scans grow with table history — bounded
+# here by FILE COUNT (the diff cost driver), mirroring the DV-DML row
+# budgets' shape: exact below, a named refusal steering to full
+# snapshot reads above.
+_CHANGELOG_GLOBAL_EQ_MAX_FILES = 1_000
+
+
 def iceberg_row_changes(
     spark: SparkSession,
     path: str,
@@ -2103,9 +2214,12 @@ def iceberg_row_changes(
     rows. A changed PARTITION-SCOPED equality delete derives exactly
     too (r11): its victim set — same-spec same-tuple files with a
     lower data sequence, the r10 scoped-apply rule — bounds the
-    touched scope to one partition. Only a changed GLOBAL equality
-    delete (empty partition record) still refuses by name: its scope
-    is every earlier-sequence file table-wide.
+    touched scope to one partition. A changed GLOBAL equality delete
+    (empty partition record — the Flink-CDC upsert shape) derives
+    exactly as well (r12): its victim set is every lower-sequence data
+    file table-wide, budgeted at ``_CHANGELOG_GLOBAL_EQ_MAX_FILES``
+    touched files with a named refusal above (read full snapshots
+    across the commit at that magnitude).
 
     Other refusals: renamed/retyped files in scope
     (_refuse_renamed_files), expired parents. Cost ∝ the snapshot's
@@ -2185,17 +2299,36 @@ def iceberg_row_changes(
                 # equality deletes (empty partition record) still
                 # refuse by name: their scope is every earlier-sequence
                 # file table-wide, which would make the diff ∝ table.
-                if not (df_.get("partition") or {}):
-                    raise NotImplementedError(
-                        "a GLOBAL equality delete file changed in this "
-                        "snapshot; its scope is every earlier-sequence "
-                        "data file table-wide — partition-SCOPED "
-                        "equality deletes derive exactly (r11); for "
-                        "global ones read full snapshots across this "
-                        "commit instead"
-                    )
-                scope = _part_key(df_["partition"], d.get("spec_id", 0))
                 dseq = int(d["sequence_number"])
+                if not (df_.get("partition") or {}):
+                    # r12: a changed GLOBAL equality delete (the
+                    # Flink-CDC upsert shape on unpartitioned tables,
+                    # and what upsert_iceberg_mor commits) derives
+                    # exactly too — its victim set is EVERY data file
+                    # with a lower data sequence, any spec/tuple, so
+                    # the diff's touched scope is ∝ table history up
+                    # to the delete. A file-count budget keeps that
+                    # honest (mirrors the DV-DML row budgets): above
+                    # it, refuse by name — at that magnitude read full
+                    # snapshots across the commit instead.
+                    victims = {
+                        _norm_path(e["data_file"]["file_path"])
+                        for e in list(par_entries) + list(cur_entries)
+                        if int(e["sequence_number"]) < dseq
+                    }
+                    if len(victims) > _CHANGELOG_GLOBAL_EQ_MAX_FILES:
+                        raise NotImplementedError(
+                            "a GLOBAL equality delete file changed in "
+                            f"this snapshot and reaches {len(victims)} "
+                            "earlier-sequence data files — above the "
+                            f"{_CHANGELOG_GLOBAL_EQ_MAX_FILES}-file "
+                            "changelog budget (its scope is table-wide "
+                            "by spec); read full snapshots across this "
+                            "commit instead"
+                        )
+                    affected_norm |= victims
+                    continue
+                scope = _part_key(df_["partition"], d.get("spec_id", 0))
                 for e in list(par_entries) + list(cur_entries):
                     if (
                         int(e["sequence_number"]) < dseq
@@ -2959,13 +3092,17 @@ def _commit_snapshot(
     (manifest-list field 520; carried-forward manifests keep their
     original values, so append-only histories have stable lineage),
     and ``next-row-id`` advances by the rows the new manifest can
-    assign (added + rewritten-existing record counts). Per-data-file
-    first_row_id stays null — the spec's in-manifest inheritance
-    assigns sequentially from the manifest's value. Named boundary:
-    a CoW rewrite moves carried files into a NEW manifest, so their
-    derived row ids change; engines requiring rewrite-stable _row_id
-    should not rely on this writer's lineage (this engine's reader
-    does not expose _row_id).
+    assign (added + id-less-existing record counts). ADDED files'
+    per-data-file first_row_id stays null — the spec's in-manifest
+    inheritance assigns sequentially from the manifest's value —
+    while EXISTING/DELETED entries carry their ORIGINAL assigned id
+    EXPLICITLY (data_file field 142, stamped at resolution by
+    _entries_and_deletes_for_snapshot), so a CoW rewrite or
+    full-file-drop DV commit that moves carried files into a NEW
+    manifest preserves their row ids per spec (r12; closed the
+    r11-advice durability gap). Rows physically REWRITTEN into new
+    files carry ids via the materialized ``_row_id`` column the DV
+    DML writers stage (iceberg_dv).
 
     ``carry_data_manifests`` (r11, the DV-DML shape): carry the
     parent's DATA manifests verbatim while the delete state rebuilds —
@@ -3079,9 +3216,19 @@ def _commit_snapshot(
         e["data_file"]["record_count"] for e in existing_entries
     )
     # v3 row lineage: this commit's assignable id range starts at the
-    # table's next-row-id and covers the new manifest's added +
-    # rewritten-existing rows (nulls inherit sequentially in-manifest)
+    # table's next-row-id and covers only the rows that will INHERIT
+    # ids from the new manifest — ADDED files (written with null
+    # first_row_id) plus any existing entry whose id is still unknown
+    # (pre-lineage history). EXISTING/DELETED entries resolved by
+    # _entries_and_deletes_for_snapshot carry their ORIGINAL id
+    # explicitly (data_file field 142) and consume nothing, which is
+    # what keeps _row_id durable across manifest rewrites (r12).
     first_row_id = meta.get("next-row-id", 0) if fv >= 3 else None
+    inheriting_rows = added_rows + sum(
+        e["data_file"]["record_count"]
+        for e in existing_entries
+        if e["data_file"].get("first_row_id") is None
+    )
     new_manifests: list[dict] = []
     if entries or not (carry_data_manifests or carry_prior_manifests):
         manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
@@ -3279,9 +3426,7 @@ def _commit_snapshot(
     new_meta["last-updated-ms"] = now_ms
     new_meta["last-sequence-number"] = seq
     if fv >= 3:
-        new_meta["next-row-id"] = (
-            (first_row_id or 0) + added_rows + existing_rows
-        )
+        new_meta["next-row-id"] = (first_row_id or 0) + inheriting_rows
     new_meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
     if branch_head is not None:
         # branch commit: advance the ref; main's head and history
@@ -3602,6 +3747,7 @@ def compact_iceberg(
 
     rewritten: list[dict] = []
     added: list[dict] = []
+    fv3 = meta.get("format-version", 1) >= 3
     for _key, small in sorted(
         groups.items(), key=lambda kv: tuple(map(str, kv[0]))
     ):
@@ -3609,9 +3755,31 @@ def compact_iceberg(
             continue
         total = sum(e["data_file"]["file_size_in_bytes"] for e in small)
         n_out = max(1, -(-total // target_file_bytes))
-        df = _read_files(
-            spark, [e["data_file"] for e in small], spark_schema, part_fields
-        ).repartition(n_out)
+        if fv3:
+            # layout-only rewrite: rows MUST keep both lineage values
+            # (spec §Row Lineage — compaction changes neither identity
+            # nor last-update); materialize them into the new files
+            df = _resolve_lineage(
+                spark,
+                small,
+                _read_files(
+                    spark,
+                    [e["data_file"] for e in small],
+                    _lineage_scan_schema(spark_schema),
+                    part_fields,
+                    with_path_pos=True,
+                ),
+            ).select(
+                *[f.name for f in spark_schema.fields],
+                _ROW_ID_COL,
+                _LAST_UPDATED_COL,
+            )
+        else:
+            df = _read_files(
+                spark, [e["data_file"] for e in small], spark_schema,
+                part_fields,
+            )
+        df = df.repartition(n_out)
         added += _stage_data_files(
             df, path, ice_schema, part_fields,
             sort_fields=_default_sort_fields(meta, ice_schema),
@@ -3828,14 +3996,22 @@ def _dml_plan(spark: SparkSession, path: str):
         if dels
         else None
     )
+    # v3: the DML scan reads under the lineage-extended schema and
+    # carries path/position, so rewrites can MATERIALIZE each copied
+    # row's _row_id/_last_updated_sequence_number (spec §Row Lineage —
+    # a CoW rewrite must not change surviving rows' identity; r12)
+    fv3 = meta.get("format-version", 1) >= 3
     scan = _read_files(
         spark,
         [e["data_file"] for e in entries],
-        spark_schema,
+        _lineage_scan_schema(spark_schema) if fv3 else spark_schema,
         part_fields,
         with_file=True,
         scan_filter=scan_filter,
+        with_path_pos=fv3,
     )
+    if fv3:
+        scan = _resolve_lineage(spark, entries, scan)
     return (
         meta,
         snap,
@@ -3927,10 +4103,15 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
         return snap["snapshot-id"]
     by_base = _entries_by_base(entries)
     affected_set = set(affected)
-    kept_rows = (
-        scan.filter(F.col(_FILE_COL).isin(affected))
-        .filter(~F.coalesce(cond, F.lit(False)))
-        .drop(_FILE_COL)
+    fv3 = meta.get("format-version", 1) >= 3
+    kept_rows = scan.filter(F.col(_FILE_COL).isin(affected)).filter(
+        ~F.coalesce(cond, F.lit(False))
+    )
+    # v3: survivors are COPIED rows — carry identity and original
+    # last-update attribution as materialized columns (r12)
+    kept_rows = kept_rows.select(
+        *[f.name for f in _schema.fields],
+        *([_ROW_ID_COL, _LAST_UPDATED_COL] if fv3 else []),
     )
     staged = _stage_data_files(
         kept_rows, path, ice_schema, part_fields,
@@ -4177,13 +4358,23 @@ def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
         flt = _row_delete_filter(
             spark, meta, entries, dels, ice_schema, pos_pairs=pairs
         )
+        fv3 = meta.get("format-version", 1) >= 3
         remaining = _read_files(
             spark,
             [e["data_file"] for e in hit],
-            spark_schema,
+            _lineage_scan_schema(spark_schema) if fv3 else spark_schema,
             part_fields,
             scan_filter=flt,
+            with_path_pos=fv3,
         )
+        if fv3:
+            # delete-fold is a layout rewrite of the SURVIVING rows:
+            # both lineage values carry (r12, spec §Row Lineage)
+            remaining = _resolve_lineage(spark, hit, remaining).select(
+                *[f.name for f in spark_schema.fields],
+                _ROW_ID_COL,
+                _LAST_UPDATED_COL,
+            )
         added = _stage_data_files(
             remaining, path, ice_schema, part_fields,
             sort_fields=_default_sort_fields(meta, ice_schema),
@@ -4351,6 +4542,7 @@ def update_iceberg(
         return snap["snapshot-id"]
     by_base = _entries_by_base(entries)
     affected_set = set(affected)
+    fv3 = meta.get("format-version", 1) >= 3
     hit = F.coalesce(cond, F.lit(False))
     rewritten = scan.filter(F.col(_FILE_COL).isin(affected)).select(
         *[
@@ -4362,7 +4554,21 @@ def update_iceberg(
                 else F.col(f.name)
             )
             for f in spark_schema.fields
-        ]
+        ],
+        # v3 lineage carry (r12): every rewritten row keeps its
+        # _row_id; rows the UPDATE hit null their materialized
+        # last-update so the new file's sequence (this commit)
+        # derives on read, copied-over rows keep their original
+        *(
+            [
+                F.col(_ROW_ID_COL),
+                F.when(hit, F.lit(None).cast("long"))
+                .otherwise(F.col(_LAST_UPDATED_COL))
+                .alias(_LAST_UPDATED_COL),
+            ]
+            if fv3
+            else []
+        ),
     )
     staged = _stage_data_files(
         rewritten, path, ice_schema, part_fields,
@@ -4445,6 +4651,7 @@ def merge_iceberg(
 
     added: list[dict] = []
     matched_keys = None
+    fv3 = meta.get("format-version", 1) >= 3
     if affected:
         hit_rows = scan.filter(F.col(_FILE_COL).isin(affected))
         src = source.select(
@@ -4456,6 +4663,20 @@ def merge_iceberg(
             how="left",
         )
         m = F.coalesce(F.col("__matched"), F.lit(False))
+        # v3 lineage carry (r12): rewritten rows keep their _row_id
+        # (an upsert changes values, not identity); matched rows null
+        # their materialized last-update (the new file's sequence —
+        # this commit — derives on read), copied rows keep theirs
+        lineage = (
+            [
+                hit_rows[_ROW_ID_COL],
+                F.when(m, F.lit(None).cast("long"))
+                .otherwise(hit_rows[_LAST_UPDATED_COL])
+                .alias(_LAST_UPDATED_COL),
+            ]
+            if fv3
+            else []
+        )
         if when_matched == "update":
             rewritten = joined.select(
                 *[
@@ -4463,14 +4684,27 @@ def merge_iceberg(
                     .otherwise(hit_rows[c])
                     .alias(c)
                     for c in tcols
-                ]
+                ],
+                *lineage,
             )
         elif when_matched == "delete":
             rewritten = joined.filter(~m).select(
-                *[hit_rows[c] for c in tcols]
+                *[hit_rows[c] for c in tcols],
+                *(
+                    [hit_rows[_ROW_ID_COL], hit_rows[_LAST_UPDATED_COL]]
+                    if fv3
+                    else []
+                ),
             )
         else:  # 'none': matched rows keep their current values
-            rewritten = joined.select(*[hit_rows[c] for c in tcols])
+            rewritten = joined.select(
+                *[hit_rows[c] for c in tcols],
+                *(
+                    [hit_rows[_ROW_ID_COL], hit_rows[_LAST_UPDATED_COL]]
+                    if fv3
+                    else []
+                ),
+            )
         added += _stage_data_files(
             rewritten, path, ice_schema, part_fields,
             sort_fields=_default_sort_fields(meta, ice_schema),

@@ -54,16 +54,20 @@ from sparkstreamingtwitter_presidential_spark.sources.avro import read_container
 from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
     _ABS_PATH_COL,
     _DATA_DIR,
+    _LAST_UPDATED_COL,
+    _ROW_ID_COL,
     _commit_snapshot,
     _default_sort_fields,
     _entries_and_deletes_for_snapshot,
     _identity_fields,
+    _lineage_scan_schema,
     _load_metadata,
     _norm_path,
     _partition_fields,
     _POS_COL,
     _read_files,
     _refuse_renamed_files,
+    _resolve_lineage,
     _row_delete_filter,
     _schema_for,
     _schema_to_spark,
@@ -79,6 +83,12 @@ from sparkstreamingtwitter_presidential_spark.sources.puffin import (
 
 _DV_MAX_ROWS = 2_000_000  # driver-built metadata budget (Delta twin's)
 _PATH_COL = _ABS_PATH_COL  # the _read_files(with_path_pos) pseudo-column
+
+# v3 row-lineage reserved column names (spec §Row Lineage) — shared
+# with the CoW paths; see iceberg._resolve_lineage for the resolution
+# rules (materialized wins, else first_row_id + position / file seq).
+_ROW_ID = _ROW_ID_COL
+_LAST_UPDATED = _LAST_UPDATED_COL
 
 
 def _require_v3(meta: dict, op: str) -> None:
@@ -112,13 +122,22 @@ def _plan(spark: SparkSession, path: str, op: str):
         if dels
         else None
     )
-    scan = _read_files(
+    # the scan reads under the lineage-extended schema (files staged by
+    # a prior DML carry materialized _row_id/_last_updated... columns,
+    # plain appends read them as null) with both columns RESOLVED, so
+    # DML re-stages carry row identity and read_iceberg_lineage just
+    # projects
+    scan = _resolve_lineage(
         spark,
-        [e["data_file"] for e in entries],
-        spark_schema,
-        part_fields,
-        scan_filter=scan_filter,
-        with_path_pos=True,
+        entries,
+        _read_files(
+            spark,
+            [e["data_file"] for e in entries],
+            _lineage_scan_schema(spark_schema),
+            part_fields,
+            scan_filter=scan_filter,
+            with_path_pos=True,
+        ),
     )
     return meta, snap, ice_schema, part_fields, spark_schema, entries, dels, scan
 
@@ -451,6 +470,12 @@ def update_iceberg_dv(
     mark = _mark_matched(path, matched, entries, dels, "update")
     if mark is None:
         return snap["snapshot-id"]
+    # v3 row lineage (r12): updated rows CARRY their original _row_id
+    # into the re-staged file as a materialized column (spec §Row
+    # Lineage — an updated row keeps its identity); the new file's
+    # data sequence number IS the updating snapshot's, so
+    # _last_updated_sequence_number derives correctly on read with no
+    # materialization needed here (the resolved one is dropped).
     updated = hits.select(
         *[
             (
@@ -459,7 +484,8 @@ def update_iceberg_dv(
                 else F.col(f.name)
             )
             for f in spark_schema.fields
-        ]
+        ],
+        F.col(_ROW_ID),
     )
     staged = _stage_data_files(
         updated, path, ice_schema, part_fields,
@@ -550,8 +576,12 @@ def merge_iceberg_dv(
             on=[hits[k] == src_cols[f"__src_{k}"] for k in keys],
             how="inner",
         )
+        # replacements CARRY the matched TARGET row's _row_id (v3 row
+        # lineage, r12) — an upsert updates the row's values, not its
+        # identity; inserts below stage id-less and mint fresh ids
         replacements = joined.select(
-            *[F.col(f"__src_{c}").alias(c) for c in tcols]
+            *[F.col(f"__src_{c}").alias(c) for c in tcols],
+            F.col(_ROW_ID),
         )
         added += _stage_data_files(
             replacements, path, ice_schema, part_fields,
@@ -592,14 +622,23 @@ def merge_iceberg_dv(
 
 def read_iceberg_lineage(spark: SparkSession, path: str) -> DataFrame:
     """Snapshot read EXPOSING v3 row lineage: the table columns plus
-    ``_row_id`` (spec §Row Lineage) — derived exactly as a v3 reader
-    assigns it: each data manifest's explicit ``first_row_id``
-    (manifest-list field 520, written by this engine's commits) plus
-    the in-manifest inheritance offset (running record_count over the
-    manifest's live entries in order) plus the row's position in its
-    file. Files under a manifest with NULL first_row_id (pre-upgrade /
-    foreign lineage-less history) read ``_row_id`` as NULL — the
-    spec's treatment of pre-lineage snapshots.
+    ``_row_id`` and ``_last_updated_sequence_number`` (spec §Row
+    Lineage) — resolved exactly as a v3 reader does:
+
+    * a MATERIALIZED ``_row_id`` in the data file (what this engine's
+      DV DML stages for updated/upserted rows, r12) wins;
+    * else the file's assigned ``first_row_id`` — its explicit
+      data-file field 142 when present (rewritten entries carry it),
+      else manifest inheritance (first_row_id base + preceding null-id
+      files' record counts, resolved by
+      _entries_and_deletes_for_snapshot) — plus the row's position;
+    * files under a null-base manifest with no explicit id read NULL
+      (pre-upgrade / foreign lineage-less history, per spec).
+
+    ``_last_updated_sequence_number``: a materialized value wins (what
+    compaction would stage — rows copied unchanged keep their last
+    update); else the file's DATA sequence number (a freshly re-staged
+    update's file seq IS the updating snapshot's).
 
     Scale shape: the id map is driver-built from manifest metadata
     (one row per live data file, broadcast); per-row assignment is
@@ -607,32 +646,13 @@ def read_iceberg_lineage(spark: SparkSession, path: str) -> DataFrame:
     no global ordering pass."""
     # ONE metadata load for both the scan and the id map (r11 review
     # fix: two loads could tear — a commit between them would leave
-    # scan files missing from the map, silently NULLing their ids)
-    _meta, snap, *_rest, scan = _plan(spark, path, "read_iceberg_lineage")
-    firsts: list[tuple[str, int | None]] = []
-    _, _, manifests = read_container(snap["manifest-list"])
-    for m in manifests:
-        if m["content"] != 0:
-            continue
-        base = m.get("first_row_id")
-        cum = 0
-        _, _, entries = read_container(m["manifest_path"])
-        for e in entries:
-            if e["status"] == 2:  # DELETED: gone from this snapshot
-                continue
-            firsts.append(
-                (
-                    _norm_path(e["data_file"]["file_path"]),
-                    None if base is None else int(base) + cum,
-                )
-            )
-            cum += int(e["data_file"]["record_count"])
-    id_map = F.broadcast(
-        spark.createDataFrame(firsts, f"{_PATH_COL} string, __first long")
-    )
-    cols = [c for c in scan.columns if c not in (_PATH_COL, _POS_COL)]
-    return (
-        scan.join(id_map, on=_PATH_COL, how="left")
-        .withColumn("_row_id", F.col("__first") + F.col(_POS_COL))
-        .select(*cols, "_row_id")
-    )
+    # scan files missing from the map, silently NULLing their ids);
+    # _plan resolves BOTH lineage columns on the scan already, so this
+    # is a projection dropping the probe pseudo-columns.
+    *_head, scan = _plan(spark, path, "read_iceberg_lineage")
+    cols = [
+        c
+        for c in scan.columns
+        if c not in (_PATH_COL, _POS_COL, _ROW_ID, _LAST_UPDATED)
+    ]
+    return scan.select(*cols, _ROW_ID, _LAST_UPDATED)

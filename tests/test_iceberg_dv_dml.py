@@ -574,3 +574,134 @@ def test_partitions_metadata_table_works_on_mor(spark, tmp_path):
     }
     assert set(rows) == {0, 1, 2}
     assert all(n == 10 for _f, n in rows.values())  # physical counts
+
+
+def test_row_lineage_carries_through_dv_dml(spark, tmp_path):
+    """r12 (spec §Row Lineage): DV UPDATE/MERGE re-stage matched rows
+    with their ORIGINAL _row_id materialized (an update changes values,
+    not identity); MERGE inserts mint FRESH ids from the table's
+    next-row-id; _last_updated_sequence_number reflects the updating
+    snapshot for touched rows and stays put for untouched ones."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        read_iceberg_lineage,
+    )
+
+    t = _table(spark, tmp_path, n=30)
+
+    def lineage():
+        return {
+            r.id: (r._row_id, r._last_updated_sequence_number)
+            for r in read_iceberg_lineage(spark, t).collect()
+        }
+
+    base = lineage()
+    assert sorted(x[0] for x in base.values()) == list(range(30))
+    assert {x[1] for x in base.values()} == {1}
+
+    # UPDATE: touched rows keep identity, take the new sequence
+    update_iceberg_dv(spark, t, {"val": "val + 100"}, "id < 5")
+    l2 = lineage()
+    for i in range(30):
+        assert l2[i][0] == base[i][0], f"_row_id changed for {i}"
+        assert l2[i][1] == (2 if i < 5 else 1)
+
+    # MERGE: matched carries identity + new sequence; inserts take
+    # fresh ids disjoint from every prior assignment
+    src = spark.createDataFrame(
+        [(3, 0, -1.0), (500, 0, 5.0), (501, 1, 6.0)],
+        "id long, grp long, val double",
+    )
+    merge_iceberg_dv(spark, t, src, ["id"])
+    l3 = lineage()
+    assert l3[3][0] == base[3][0] and l3[3][1] == 3
+    prior = {x[0] for x in base.values()}
+    assert l3[500][0] is not None and l3[500][0] not in prior
+    assert l3[501][0] is not None and l3[501][0] not in prior
+    assert l3[500][0] != l3[501][0]
+    for i in range(30):
+        if i != 3:
+            assert l3[i] == l2[i]
+
+    # chained UPDATE of an already-restaged row: identity still carries
+    # (materialized _row_id in the source file wins over derivation)
+    update_iceberg_dv(spark, t, {"val": "val - 1"}, "id = 3")
+    l4 = lineage()
+    assert l4[3][0] == base[3][0] and l4[3][1] == 4
+
+
+def test_row_lineage_stable_across_manifest_rewrites(spark, tmp_path):
+    """r12, the r11-advice durability fix: EXISTING entries rewritten
+    into a NEW manifest (full-file-drop DV commits, CoW DML) carry
+    their assigned first_row_id EXPLICITLY (data_file field 142), so
+    _row_id is stable where it used to silently shift; rows physically
+    REWRITTEN by CoW DML / compaction / delete-fold carry materialized
+    lineage columns and keep BOTH values."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        compact_iceberg,
+        merge_iceberg,
+        rewrite_position_deletes,
+        update_iceberg,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        read_iceberg_lineage,
+    )
+
+    t = _table(spark, tmp_path, n=40, files=4)
+
+    def lineage():
+        return {
+            r.id: (r._row_id, r._last_updated_sequence_number)
+            for r in read_iceberg_lineage(spark, t).collect()
+        }
+
+    base = lineage()
+
+    # full-file drop: delete EVERY row of one file — the other files'
+    # entries move into a new data manifest and must keep their ids
+    meta = _load_metadata(t)
+    entries, _ = _entries_and_deletes_for_snapshot(t, _snapshot(meta, None))
+    import pyarrow.parquet as pq
+
+    victim = entries[0]["data_file"]["file_path"]
+    victim_ids = set(
+        pq.read_table(victim, columns=["id"]).column("id").to_pylist()
+    )
+    delete_iceberg_dv(
+        spark, t, f"id in ({','.join(map(str, sorted(victim_ids)))})"
+    )
+    l2 = lineage()
+    assert set(l2) == set(base) - victim_ids
+    for i in l2:
+        assert l2[i] == base[i], f"survivor {i} shifted: {l2[i]} {base[i]}"
+
+    # CoW UPDATE: hit row keeps id + new sequence; file-mates copied
+    # into the rewritten file keep BOTH values (materialized carry)
+    probe = sorted(l2)[0]
+    update_iceberg(spark, t, {"val": "val * 2"}, f"id = {probe}")
+    l3 = lineage()
+    assert l3[probe][0] == l2[probe][0] and l3[probe][1] > l2[probe][1]
+    for i in l3:
+        if i != probe:
+            assert l3[i] == l2[i], f"CoW shifted untouched row {i}"
+
+    # CoW MERGE: matched keeps id, insert mints fresh
+    src = spark.createDataFrame(
+        [(probe, 0, -5.0), (900, 0, 9.0)], "id long, grp long, val double"
+    )
+    merge_iceberg(spark, t, src, ["id"])
+    l4 = lineage()
+    assert l4[probe][0] == l3[probe][0] and l4[probe][1] > l3[probe][1]
+    assert l4[900][0] not in {x[0] for x in base.values()}
+    for i in l4:
+        if i not in (probe, 900):
+            assert l4[i] == l3[i]
+
+    # delete-fold + compaction: pure layout — EVERYTHING identical
+    rewrite_position_deletes(spark, t)
+    assert lineage() == l4
+    compact_iceberg(spark, t, target_file_bytes=1 << 30)
+    assert lineage() == l4
+
+    # plain reads never expose the lineage columns
+    cols = read_iceberg(spark, t).columns
+    assert "_row_id" not in cols and "_last_updated_sequence_number" not in cols

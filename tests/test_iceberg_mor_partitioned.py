@@ -602,7 +602,9 @@ def test_changelog_derives_scoped_equality_delete_commit(spark, tmp_path):
     ]
     got = sorted(map(tuple, read_iceberg(spark, t).collect()))
     assert got == [(1, "b", 10.0), (2, "a", 2.0)]
-    # GLOBAL equality delete (the upsert channel) still refuses by name
+    # GLOBAL equality delete (the upsert channel): derives exactly
+    # since r12 — the victim set is every lower-sequence file, so the
+    # upserted key surfaces as update pre/post
     upsert_iceberg_mor(
         spark,
         t,
@@ -610,7 +612,76 @@ def test_changelog_derives_scoped_equality_delete_commit(spark, tmp_path):
         keys=["id"],
     )
     meta = I._load_metadata(t)
-    with pytest.raises(NotImplementedError, match="GLOBAL equality"):
-        iceberg_row_changes(
-            spark, t, meta["current-snapshot-id"], keys=["id", "g"]
-        )
+    sid3 = meta["current-snapshot-id"]
+    ch3 = iceberg_row_changes(spark, t, sid3, keys=["id", "g"]).collect()
+    assert sorted((r.id, r.g, r.v, r._change_type) for r in ch3) == [
+        (2, "a", 2.0, "update_preimage"),
+        (2, "a", 9.0, "update_postimage"),
+    ]
+    # above the file budget the named refusal stays (scope ∝ table)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(I, "_CHANGELOG_GLOBAL_EQ_MAX_FILES", 0)
+        with pytest.raises(NotImplementedError, match="changelog budget"):
+            iceberg_row_changes(spark, t, sid3, keys=["id", "g"])
+
+
+def test_changelog_derives_global_equality_delete_unpartitioned(
+    spark, tmp_path
+):
+    """r12 (r11 verdict item 4): a changed GLOBAL equality delete on an
+    UNPARTITIONED table (the Flink-CDC delete shape — no re-insert)
+    derives exact 'delete' rows: the victim set is every
+    lower-sequence data file, all of which join both diff sides under
+    their own delete state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import sparkstreamingtwitter_presidential_spark.sources.iceberg as I
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        iceberg_row_changes,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "id long, v double"
+    )
+    write_iceberg(df.repartition(2), t)
+    write_iceberg(
+        spark.createDataFrame([(100, 1.5)], "id long, v double"),
+        t,
+        mode="append",
+    )
+
+    ddir = os.path.join(t, "data", "eqdel_global")
+    os.makedirs(ddir, exist_ok=True)
+    dfile = os.path.join(ddir, "eq.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([3, 100], pa.int64())}), dfile
+    )
+    eq = {
+        "content": 2,
+        "file_path": dfile,
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": 2,
+        "file_size_in_bytes": os.path.getsize(dfile),
+        "lower_bounds": None,
+        "upper_bounds": None,
+        "equality_ids": [1],
+    }
+    meta = I._load_metadata(t)
+    ice_schema = I._schema_for(meta, meta.get("current-schema-id", 0))
+    pf = I._partition_fields(meta, ice_schema)
+    sid = I._commit_snapshot(
+        t, meta, ice_schema, pf,
+        added_files=[], existing_entries=[], deleted_entries=[],
+        carry_prior_manifests=True, operation="delete",
+        added_delete_files=[eq],
+    )
+    ch = iceberg_row_changes(spark, t, sid, keys=["id"]).collect()
+    assert sorted((r.id, r.v, r._change_type) for r in ch) == [
+        (3, 3.0, "delete"),
+        (100, 1.5, "delete"),
+    ]
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7]

@@ -1981,7 +1981,8 @@ def test_iceberg_row_changes_derives_position_delete_commits(
     exact 'delete' rows — each side reads under its OWN delete state,
     and the touched scope extends to the files the changed delete
     files reference. Later CoW DML on the MOR table diffs exactly
-    too; a changed EQUALITY delete still refuses by name."""
+    too; since r12 a changed GLOBAL equality delete (the upsert's
+    channel) derives exactly as well (budgeted by touched files)."""
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         delete_iceberg_positional,
         iceberg_row_changes,
@@ -2015,15 +2016,19 @@ def test_iceberg_row_changes_derives_position_delete_commits(
         (3, 3.0, "update_preimage"),
         (3, 103.0, "update_postimage"),
     ]
-    # equality-delete commits (the upsert's channel) still refuse
+    # equality-delete commits (the upsert's channel): derive exactly
+    # since r12 — the upserted key surfaces as update pre/post
     upsert_iceberg_mor(
         spark,
         t,
         _df(spark, [(4, "x", 400.0)]),
         keys=["id"],
     )
-    with pytest.raises(NotImplementedError, match="equality delete"):
-        iceberg_row_changes(spark, t, _last_sid(), keys=["id"])
+    ch3 = iceberg_row_changes(spark, t, _last_sid(), keys=["id"]).collect()
+    assert sorted((r.id, r.v, r._change_type) for r in ch3) == [
+        (4, 4.0, "update_preimage"),
+        (4, 400.0, "update_postimage"),
+    ]
 
 
 def test_iceberg_table_changes_range(spark, tmp_path):
