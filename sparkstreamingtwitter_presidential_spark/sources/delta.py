@@ -420,9 +420,16 @@ def _refuse_unenforced_writer_contracts(
     builtin subset, _refuse_nondeterministic_generation). What remains
     here refuses by NAME: the append-only property when the operation
     emits removes (plain appends are exactly what that property
-    permits). Content-based, not version-number-based (the protocol's
-    writer versions only imply feature SUPPORT, the metadata says what
-    is in force)."""
+    permits), and ROW TRACKING (r12) for every write — commits to a
+    row-tracked table must assign fresh baseRowId/
+    defaultRowCommitVersion from the rowIdHighWaterMark domain
+    metadata and preserve materialized row ids through rewrites,
+    which this writer does not maintain yet; silently appending would
+    corrupt the table's row lineage for foreign readers. Reads are
+    unaffected (rowTracking is a writer feature) and
+    delta_dml.read_delta_rows surfaces the ids. Content-based, not
+    version-number-based (the protocol's writer versions only imply
+    feature SUPPORT, the metadata says what is in force)."""
     md = snap.metadata_action or {}
     cfg = md.get("configuration") or {}
     if emits_removes and cfg.get("delta.appendOnly") == "true":
@@ -430,6 +437,15 @@ def _refuse_unenforced_writer_contracts(
             f"{ctx}: table is delta.appendOnly=true — an operation "
             "emitting remove actions would violate the table's "
             "declared contract (appends are allowed)"
+        )
+    feats = set((snap.protocol_action or {}).get("writerFeatures") or [])
+    if "rowTracking" in feats or cfg.get("delta.enableRowTracking") == "true":
+        raise NotImplementedError(
+            f"{ctx}: table carries the rowTracking writer feature — "
+            "this writer does not maintain baseRowId/"
+            "defaultRowCommitVersion/rowIdHighWaterMark yet, and an "
+            "unmaintained commit would corrupt row lineage; reads work "
+            "(read_delta / read_delta_rows)"
         )
 
 

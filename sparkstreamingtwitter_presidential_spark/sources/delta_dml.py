@@ -42,7 +42,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from sparkstreamingtwitter_presidential_spark.sources.delta import (
     _column_mapping,
@@ -180,6 +180,7 @@ def _scan_with_file(
     snap: _Snapshot,
     with_pos: bool = False,
     apply_dvs: bool = False,
+    extra_phys_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distributed scan of the snapshot's live files with one extra
     column: the file's basename (``__delta_file``). Basenames are
@@ -200,14 +201,22 @@ def _scan_with_file(
     REMOVED from the scan (basename-keyed anti-join) — what lets CoW
     DML run directly on MOR tables without resurrecting deleted rows.
     The DV writers keep raw scans (their fresh-vs-old logic owns the
-    vectors)."""
+    vectors).
+
+    ``extra_phys_cols`` (r12): additional PHYSICAL long columns read
+    from the data files verbatim (parquet fills null where absent) —
+    what the row-tracking reader uses to surface materialized
+    row-id/commit-version columns that live outside the table schema."""
     dv_rels = (
         sorted(p for p, a in snap.files.items() if a.get("deletionVector"))
         if apply_dvs
         else []
     )
     if dv_rels:
-        raw = _scan_with_file(spark, path, snap, with_pos=True)
+        raw = _scan_with_file(
+            spark, path, snap, with_pos=True,
+            extra_phys_cols=extra_phys_cols,
+        )
         out = raw.join(
             _dv_pairs_by_base(spark, path, snap, dv_rels),
             on=[_FILE_COL, _POS_COL],
@@ -223,8 +232,11 @@ def _scan_with_file(
     ]
     data_schema = StructType(
         [StructField(phys(f.name), f.dataType, f.nullable) for f in data_fields]
+        + [StructField(c, LongType(), True) for c in extra_phys_cols]
     )
-    data_sel = [F.col(phys(f.name)).alias(f.name) for f in data_fields]
+    data_sel = [F.col(phys(f.name)).alias(f.name) for f in data_fields] + [
+        F.col(c) for c in extra_phys_cols
+    ]
     part_types = {
         f.name: f.dataType
         for f in schema.fields
@@ -244,9 +256,10 @@ def _scan_with_file(
 
     cols = [f.name for f in schema.fields]
     if not snap.files:
-        out = spark.createDataFrame([], schema).withColumn(
-            _FILE_COL, F.lit(None).cast("string")
-        )
+        out = spark.createDataFrame([], schema)
+        for c in extra_phys_cols:
+            out = out.withColumn(c, F.lit(None).cast("long"))
+        out = out.withColumn(_FILE_COL, F.lit(None).cast("string"))
         if with_pos:
             out = out.withColumn(_POS_COL, F.lit(None).cast("long"))
         return out
@@ -269,7 +282,7 @@ def _scan_with_file(
         )
         for col, val in zip(snap.partition_columns, key):
             df = df.withColumn(col, F.lit(val).cast(part_types[col]))
-        parts.append(df.select(*cols, *extra_names))
+        parts.append(df.select(*cols, *extra_phys_cols, *extra_names))
     from functools import reduce
 
     return reduce(DataFrame.unionByName, parts)
@@ -1510,4 +1523,78 @@ def rewrite_deletion_vectors(
         actions,
         "REORG",
         {"applyPurge": True, "rewrittenFiles": len(dv_rels)},
+    )
+
+
+def read_delta_rows(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read EXPOSING Delta ROW TRACKING (PROTOCOL.md §Row
+    Tracking — the Delta twin of Iceberg v3 row lineage): the table
+    columns plus ``_row_id`` and ``_row_commit_version``, resolved the
+    way the real reader does:
+
+    * a MATERIALIZED value in the data file wins — the physical column
+      names come from the table's
+      ``delta.rowTracking.materializedRowIdColumnName`` /
+      ``materializedRowCommitVersionColumnName`` configuration (what
+      writers stamp when rows are copied by DML/OPTIMIZE);
+    * else the FRESH value: the add action's ``baseRowId`` plus the
+      row's physical position in its file, and
+      ``defaultRowCommitVersion`` respectively;
+    * files missing ``baseRowId`` (pre-enablement history awaiting
+      backfill) read NULL rather than a guessed id.
+
+    Requires the table to declare the ``rowTracking`` writer feature;
+    refuses by name otherwise. Reads apply live deletion vectors (a
+    DV-deleted row's id is never surfaced); WRITES to row-tracked
+    tables refuse by name in _refuse_unenforced_writer_contracts until
+    the maintain path exists (r12, read side first).
+
+    Scale shape: the id map is one tiny broadcast row per live file
+    (log metadata); per-row assignment is ``base + _metadata.row_index``
+    — no shuffle, no window, no global ordering pass."""
+    snap = _replay_log(path, version)
+    feats = set((snap.protocol_action or {}).get("writerFeatures") or [])
+    cfg = (snap.metadata_action or {}).get("configuration") or {}
+    if "rowTracking" not in feats:
+        raise NotImplementedError(
+            "table does not declare the rowTracking writer feature — "
+            "row ids are undefined here; use read_delta"
+        )
+    mat_id = cfg.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_ver = cfg.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    extras = tuple(c for c in (mat_id, mat_ver) if c)
+    scan = _scan_with_file(
+        spark, path, snap, with_pos=True, apply_dvs=True,
+        extra_phys_cols=extras,
+    )
+    base_rows = [
+        (
+            urllib.parse.unquote(p).split("/")[-1],
+            a.get("baseRowId"),
+            a.get("defaultRowCommitVersion"),
+        )
+        for p, a in sorted(snap.files.items())
+    ]
+    id_map = F.broadcast(
+        spark.createDataFrame(
+            base_rows, f"{_FILE_COL} string, __base long, __dver long"
+        )
+    )
+    rid = F.col("__base") + F.col(_POS_COL)
+    rver = F.col("__dver")
+    if mat_id:
+        rid = F.coalesce(F.col(mat_id), rid)
+    if mat_ver:
+        rver = F.coalesce(F.col(mat_ver), rver)
+    assert snap.schema is not None
+    cols = [f.name for f in snap.schema.fields]
+    return (
+        scan.join(id_map, on=_FILE_COL, how="left")
+        .withColumn("_row_id", rid)
+        .withColumn("_row_commit_version", rver)
+        .select(*cols, "_row_id", "_row_commit_version")
     )

@@ -1,0 +1,192 @@
+"""Delta ROW TRACKING, read side (r12 — PROTOCOL.md §Row Tracking,
+the Delta twin of Iceberg v3 row lineage and r11 verdict item 6):
+
+* ``read_delta_rows`` surfaces ``_row_id`` / ``_row_commit_version``:
+  fresh values derive from the add action's baseRowId +
+  ``_metadata.row_index`` and defaultRowCommitVersion; MATERIALIZED
+  columns (physical names from the table's
+  ``delta.rowTracking.materialized*ColumnName`` config) win where
+  non-null; files missing baseRowId (pre-enablement history) read
+  NULL rather than a guessed id.
+* WRITES to row-tracked tables refuse by name — this writer does not
+  maintain baseRowId/rowIdHighWaterMark yet, and an unmaintained
+  commit would corrupt lineage for foreign readers.
+* ``read_delta_rows`` on a non-row-tracked table refuses by name.
+"""
+
+import json
+import os
+
+import pytest
+
+from sparkstreamingtwitter_presidential_spark.sources.delta import (
+    read_delta,
+    write_delta,
+)
+from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+    read_delta_rows,
+)
+
+_MAT_ID = "_row_id_col_7f3a"
+_MAT_VER = "_row_commit_col_7f3a"
+
+
+def _forge_row_tracking(
+    table: str, bases: list[int | None], dvers: list[int | None],
+    materialized: bool = False,
+) -> None:
+    """Rewrite commit 0: protocol -> writer v7 + rowTracking, config ->
+    enableRowTracking (+ materialized column names), and stamp the i-th
+    add action (sorted by path) with bases[i]/dvers[i] (None = omit,
+    the pre-enablement shape)."""
+    log = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(x) for x in open(log).read().splitlines() if x.strip()]
+    adds = sorted(
+        (a for a in acts if "add" in a), key=lambda a: a["add"]["path"]
+    )
+    assert len(adds) == len(bases)
+    for a, b, v in zip(adds, bases, dvers):
+        if b is not None:
+            a["add"]["baseRowId"] = b
+        if v is not None:
+            a["add"]["defaultRowCommitVersion"] = v
+    out = []
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking", "domainMetadata"],
+            }
+        if "metaData" in a:
+            cfg = dict(a["metaData"].get("configuration") or {})
+            cfg["delta.enableRowTracking"] = "true"
+            if materialized:
+                cfg["delta.rowTracking.materializedRowIdColumnName"] = _MAT_ID
+                cfg[
+                    "delta.rowTracking.materializedRowCommitVersionColumnName"
+                ] = _MAT_VER
+            a["metaData"]["configuration"] = cfg
+            if materialized:
+                # the materialized columns live in the FILES but OUTSIDE
+                # the table schema — strip them from schemaString
+                sch = json.loads(a["metaData"]["schemaString"])
+                sch["fields"] = [
+                    f
+                    for f in sch["fields"]
+                    if f["name"] not in (_MAT_ID, _MAT_VER)
+                ]
+                a["metaData"]["schemaString"] = json.dumps(sch)
+        out.append(json.dumps(a))
+    # the high-watermark domain metadata a real enabling writer commits
+    out.append(
+        json.dumps(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": max(
+                            (b or 0) for b in bases
+                        ) + 1000}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+    )
+    open(log, "w").write("\n".join(out) + "\n")
+
+
+def _n_adds(table: str) -> int:
+    log = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    return sum(
+        1
+        for x in open(log).read().splitlines()
+        if x.strip() and "add" in json.loads(x)
+    )
+
+
+def test_fresh_row_ids_derive_from_base_and_position(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, v double"
+    ).repartition(2)
+    write_delta(df, t)
+    assert _n_adds(t) == 2
+    _forge_row_tracking(t, [0, 1000], [7, 7])
+    rows = read_delta_rows(spark, t).collect()
+    ids = sorted(r._row_id for r in rows)
+    # two files, bases 0 and 1000: each file's rows take base..base+n-1
+    lo = [i for i in ids if i < 1000]
+    hi = [i for i in ids if i >= 1000]
+    assert lo == list(range(len(lo)))
+    assert hi == list(range(1000, 1000 + len(hi)))
+    assert {r._row_commit_version for r in rows} == {7}
+    assert len({r._row_id for r in rows}) == 20
+    # plain reads never expose the columns
+    assert "_row_id" not in read_delta(spark, t).columns
+
+
+def test_missing_base_row_id_reads_null(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double"
+        ).repartition(2),
+        t,
+    )
+    _forge_row_tracking(t, [0, None], [7, None])
+    rows = read_delta_rows(spark, t).collect()
+    with_id = [r for r in rows if r._row_id is not None]
+    without = [r for r in rows if r._row_id is None]
+    assert with_id and without  # one backfilled file, one awaiting
+    assert all(r._row_commit_version is None for r in without)
+
+
+def test_materialized_columns_win_over_derivation(spark, tmp_path):
+    t = str(tmp_path / "t")
+    # the materialized columns ride INSIDE the staged files, then get
+    # stripped from the declared schema by the forge — the real layout
+    # a copying writer produces
+    df = spark.createDataFrame(
+        [(i, float(i), 5000 + i, 3) for i in range(10)],
+        f"id long, v double, {_MAT_ID} long, {_MAT_VER} long",
+    ).coalesce(1)
+    write_delta(df, t)
+    assert _n_adds(t) == 1
+    _forge_row_tracking(t, [0], [7], materialized=True)
+    rows = read_delta_rows(spark, t).collect()
+    assert sorted(r._row_id for r in rows) == [5000 + i for i in range(10)]
+    assert {r._row_commit_version for r in rows} == {3}
+    assert sorted(r[0] for r in rows) == list(range(10))
+    # the materialized physical columns stay hidden from the output
+    assert set(read_delta_rows(spark, t).columns) == {
+        "id", "v", "_row_id", "_row_commit_version"
+    }
+
+
+def test_writes_to_row_tracked_tables_refuse_by_name(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1), t
+    )
+    _forge_row_tracking(t, [0], [7])
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        write_delta(
+            spark.createDataFrame([(2, 2.0)], "id long, v double"), t
+        )
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        delete_delta(spark, t, "id = 1")
+    # the table is still readable, ids intact
+    assert [r._row_id for r in read_delta_rows(spark, t).collect()] == [0]
+
+
+def test_read_delta_rows_refuses_without_the_feature(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, 1.0)], "id long, v double"), t)
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        read_delta_rows(spark, t)
