@@ -921,18 +921,21 @@ def _refuse_v3_unsupported(meta: dict) -> None:
     def _walk(fields: list, top: bool) -> None:
         for f in fields:
             if "initial-default" in f:
-                if not top or not isinstance(f.get("type"), str):
+                t = f.get("type")
+                struct_typed = isinstance(t, dict) and t.get("type") == "struct"
+                if not top or not (isinstance(t, str) or struct_typed):
                     raise NotImplementedError(
                         f"v3 field {f.get('name')!r} declares an "
-                        "initial-default on a nested or non-primitive "
-                        "field; this reader applies top-level "
-                        "primitive defaults only — refusing rather "
-                        "than reading NULLs where the spec says the "
-                        "default"
+                        "initial-default on a nested field or a "
+                        "list/map-typed column; this reader applies "
+                        "top-level primitive and struct defaults only "
+                        "(spec §Default values: list/map defaults are "
+                        "the remaining shape) — refusing rather than "
+                        "reading NULLs where the spec says the default"
                     )
                 # decodability gate up front (refuse at metadata load,
                 # not mid-scan): the read path injects this literal
-                _decode_default(f["type"], f["initial-default"], f["name"])
+                _decode_default(t, f["initial-default"], f["name"])
             t = f.get("type")
             # defaults can live on NESTED struct/list/map fields too
             if isinstance(t, dict):
@@ -947,14 +950,40 @@ def _refuse_v3_unsupported(meta: dict) -> None:
         _walk(s.get("fields", []), True)
 
 
-def _decode_default(ice_type: str, v: Any, name: str) -> Any:
+def _decode_default(ice_type: Any, v: Any, name: str) -> Any:
     """Decode a v3 default's single-value JSON serialization (spec
     §JSON single-value serialization) into the Python literal the scan
-    injects. Top-level primitives of the supported subset only;
-    anything else refuses by name."""
+    injects. Primitives of the supported subset, plus STRUCTS (r12 —
+    the spec serializes a struct default as a JSON object keyed by
+    FIELD ID, values recursively single-value-serialized; absent keys
+    read the spec's null): a struct decodes to a {field name: literal}
+    dict that _default_literal turns into a typed struct constant.
+    Anything else refuses by name."""
     import base64
     import datetime as _dt
 
+    if isinstance(ice_type, dict) and ice_type.get("type") == "struct":
+        if not isinstance(v, dict):
+            raise NotImplementedError(
+                f"v3 struct default for field {name!r} is not the "
+                f"spec's field-id-keyed JSON object: {v!r}"
+            )
+        unknown = set(v) - {str(sf["id"]) for sf in ice_type["fields"]}
+        if unknown:
+            raise NotImplementedError(
+                f"v3 struct default for field {name!r} carries "
+                f"unknown field ids {sorted(unknown)}"
+            )
+        return {
+            sf["name"]: (
+                _decode_default(
+                    sf["type"], v[str(sf["id"])], f"{name}.{sf['name']}"
+                )
+                if v.get(str(sf["id"])) is not None
+                else None
+            )
+            for sf in ice_type["fields"]
+        }
     try:
         if ice_type == "boolean" and isinstance(v, bool):
             return v
@@ -987,6 +1016,31 @@ def _decode_default(ice_type: str, v: Any, name: str) -> Any:
         f"v3 default for field {name!r}: unsupported (type, value) "
         f"shape ({ice_type!r}, {v!r})"
     )
+
+
+def _default_literal(ice_type: Any, v: Any, name: str):
+    """The injectable Column for a decoded v3 default: primitives are
+    plain literals; STRUCTS (r12) build a typed struct constant
+    field-by-field (F.struct of per-field literals — nested structs
+    recurse), absent/null fields reading as typed NULLs. The caller
+    casts to the read-schema type, which normalizes nullability."""
+    if isinstance(ice_type, dict) and ice_type.get("type") == "struct":
+        _decode_default(ice_type, v, name)  # shape gate, refuses by name
+        cols = []
+        for sf in ice_type["fields"]:
+            sv = v.get(str(sf["id"]))
+            inner = (
+                _default_literal(sf["type"], sv, f"{name}.{sf['name']}")
+                if sv is not None
+                else F.lit(None)
+            )
+            cols.append(
+                inner.cast(_iceberg_to_spark_type(sf["type"])).alias(
+                    sf["name"]
+                )
+            )
+        return F.struct(*cols)
+    return F.lit(_decode_default(ice_type, v, name))
 
 
 def _schema_for(meta: dict, schema_id: int) -> dict:
@@ -2093,10 +2147,8 @@ def _read_entries_projected(
                 # partition values), else NULL (the spec's
                 # added-column rule)
                 if "initial-default" in f:
-                    lit = F.lit(
-                        _decode_default(
-                            f["type"], f["initial-default"], f["name"]
-                        )
+                    lit = _default_literal(
+                        f["type"], f["initial-default"], f["name"]
                     )
                 else:
                     lit = F.lit(None)

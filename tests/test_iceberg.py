@@ -575,6 +575,13 @@ def test_dml_and_compaction_preserve_sort_order(spark, tmp_path):
     )
     assert read_iceberg(spark, t2).count() == 2001
     assert None in stamps(t2)
+    # the foreign DECLARED order survives the append untouched (r12
+    # stretch check: an append must never clobber sort-order metadata)
+    m2 = _load_metadata(t2)
+    assert m2["default-sort-order-id"] == 7
+    assert {o["order-id"] for o in m2["sort-orders"]} == {0, 7}
+    o7 = next(o for o in m2["sort-orders"] if o["order-id"] == 7)
+    assert o7["fields"][0]["direction"] == "desc"
 
     # foreign IN-subset order under a non-1 id (e.g. a replaced order):
     # staged files must stamp THE TABLE'S default-sort-order-id, not a
