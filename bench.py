@@ -217,6 +217,10 @@ HEADLINE = [
     "pack_length_bucket_stats",
     "events_variant_extract",
     "dedup_exact_case_insensitive",
+    # Round-12 late (headline-on-grade policy): the Delta row-tracking
+    # read floor — resolving scan (materialized-vs-derived coalesce) +
+    # the relational agg read over the DML'd table (staging warm).
+    "lakehouse_delta_row_tracking_agg",
 ]
 
 

@@ -360,7 +360,16 @@ GRADED_FIRST: list[str] = [
     # Python DataSource surface stays graded through
     # io_pipetext_connector_roundtrip, and synthdocs stays in
     # tests/test_queries_oracle.py).
-    "lakehouse_delta_cdf_agg",
+    # Round-12 swap: Delta ROW TRACKING maintained end-to-end
+    # (enable/backfill + fresh-range appends + materialized-carry DML
+    # — the Iceberg lineage twin and the r11 verdict's missing #3),
+    # graded on arrival per rotation policy. Ceded:
+    # lakehouse_delta_cdf_agg (r9+r10+r11 driver-green, three rounds;
+    # the CDF read machinery stays graded through
+    # streaming_delta_cdf_agg — which drains the same cdc actions per
+    # commit — and the batch query stays in
+    # tests/test_queries_oracle.py and bench).
+    "lakehouse_delta_row_tracking_agg",
     # Round-10: REORG / PURGE — rewrite_deletion_vectors folds the DV
     # backlog into fresh files in one dataChange:false commit, with an
     # in-query RAISE on the WRITE/DELETE/REORG history, zero surviving

@@ -108,6 +108,12 @@ class _Snapshot:
     # without them, an expired remove would make a recently-tombstoned
     # file look untracked and lose its retention protection.
     tombstones: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # domain -> domainMetadata action body (PROTOCOL.md §Domain
+    # Metadata; r12 — carries the row-tracking rowIdHighWaterMark).
+    # Last writer wins; removed=true deletes the domain. Checkpoints
+    # persist these (losing the watermark after log expiry would make
+    # a later commit REUSE row ids).
+    domain_metadata: dict[str, dict[str, Any]] = field(default_factory=dict)
 
 
 def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
@@ -157,6 +163,12 @@ def _apply_action(snap: _Snapshot, action: dict[str, Any]) -> None:
         t = action["txn"]
         prev = snap.transactions.get(t["appId"], -1)
         snap.transactions[t["appId"]] = max(prev, int(t["version"]))
+    elif "domainMetadata" in action:
+        dm = action["domainMetadata"]
+        if dm.get("removed"):
+            snap.domain_metadata.pop(dm["domain"], None)
+        else:
+            snap.domain_metadata[dm["domain"]] = dm
 
 
 def _norm_cp_action(key: str, body: dict[str, Any]) -> dict[str, Any]:
@@ -180,7 +192,10 @@ def _checkpoint_actions(cp_file: str) -> list[dict[str, Any]]:
     rows = pq.read_table(cp_file).to_pylist()
     out = []
     for row in rows:
-        for key in ("protocol", "metaData", "add", "remove", "txn"):
+        for key in (
+            "protocol", "metaData", "add", "remove", "txn",
+            "domainMetadata",
+        ):
             if row.get(key) is not None:
                 out.append(_norm_cp_action(key, row[key]))
     return out
@@ -220,7 +235,10 @@ def _v2_checkpoint_actions(
     out: list[dict[str, Any]] = []
     sidecars: list[str] = []
     for row in raw_rows:
-        for key in ("protocol", "metaData", "add", "remove", "txn"):
+        for key in (
+            "protocol", "metaData", "add", "remove", "txn",
+            "domainMetadata",
+        ):
             if row.get(key) is not None:
                 out.append(_norm_cp_action(key, row[key]))
         sc = row.get("sidecar")
@@ -420,16 +438,14 @@ def _refuse_unenforced_writer_contracts(
     builtin subset, _refuse_nondeterministic_generation). What remains
     here refuses by NAME: the append-only property when the operation
     emits removes (plain appends are exactly what that property
-    permits), and ROW TRACKING (r12) for every write — commits to a
-    row-tracked table must assign fresh baseRowId/
-    defaultRowCommitVersion from the rowIdHighWaterMark domain
-    metadata and preserve materialized row ids through rewrites,
-    which this writer does not maintain yet; silently appending would
-    corrupt the table's row lineage for foreign readers. Reads are
-    unaffected (rowTracking is a writer feature) and
-    delta_dml.read_delta_rows surfaces the ids. Content-based, not
-    version-number-based (the protocol's writer versions only imply
-    feature SUPPORT, the metadata says what is in force)."""
+    permits). ROW TRACKING is MAINTAINED since r12-late for appends
+    and the CoW DML/OPTIMIZE family (_assign_row_tracking mints fresh
+    baseRowId/defaultRowCommitVersion from the rowIdHighWaterMark
+    domain metadata; rewrites materialize carried ids); the DV write
+    family still refuses on row-tracked tables via
+    _refuse_row_tracking. Content-based, not version-number-based
+    (the protocol's writer versions only imply feature SUPPORT, the
+    metadata says what is in force)."""
     md = snap.metadata_action or {}
     cfg = md.get("configuration") or {}
     if emits_removes and cfg.get("delta.appendOnly") == "true":
@@ -438,15 +454,120 @@ def _refuse_unenforced_writer_contracts(
             "emitting remove actions would violate the table's "
             "declared contract (appends are allowed)"
         )
+
+
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def _row_tracking_active(snap: _Snapshot) -> bool:
+    """True when the table declares the rowTracking writer feature or
+    the enabling property — every commit must then maintain row ids
+    (PROTOCOL.md §Row Tracking)."""
     feats = set((snap.protocol_action or {}).get("writerFeatures") or [])
-    if "rowTracking" in feats or cfg.get("delta.enableRowTracking") == "true":
+    cfg = (snap.metadata_action or {}).get("configuration") or {}
+    return (
+        "rowTracking" in feats
+        or cfg.get("delta.enableRowTracking") == "true"
+    )
+
+
+def _refuse_row_tracking(snap: _Snapshot, ctx: str) -> None:
+    """Named refusal for write paths that do not yet maintain row
+    tracking (the DV write family): an unmaintained commit would
+    corrupt row lineage for foreign readers. Appends and CoW
+    DML/OPTIMIZE maintain ids (_assign_row_tracking) and do not call
+    this."""
+    if _row_tracking_active(snap):
         raise NotImplementedError(
             f"{ctx}: table carries the rowTracking writer feature — "
-            "this writer does not maintain baseRowId/"
-            "defaultRowCommitVersion/rowIdHighWaterMark yet, and an "
-            "unmaintained commit would corrupt row lineage; reads work "
-            "(read_delta / read_delta_rows)"
+            "deletion-vector writes do not maintain materialized row "
+            "ids yet; use the copy-on-write paths (delete_delta/"
+            "update_delta/merge_delta), which do"
         )
+
+
+def _row_id_high_water(snap: _Snapshot) -> int:
+    """The highest row id ever assigned (domain metadata
+    rowIdHighWaterMark; -1 on a freshly-enabled table). Ids are never
+    reused — RESTORE keeps the domain untouched, so the watermark
+    survives table rollbacks (PROTOCOL.md §Row ID high-water mark)."""
+    dm = snap.domain_metadata.get(_ROW_TRACKING_DOMAIN)
+    if dm is None:
+        return -1
+    try:
+        return int(json.loads(dm["configuration"])["rowIdHighWaterMark"])
+    except (KeyError, ValueError, TypeError):
+        raise NotImplementedError(
+            "unparseable delta.rowTracking domain metadata: "
+            f"{dm.get('configuration')!r}"
+        ) from None
+
+
+def _rt_materialized_names(snap: _Snapshot, ctx: str) -> tuple[str, str]:
+    """The configured physical names for materialized row id / commit
+    version columns. A row-tracked table must declare both before any
+    rewrite can preserve ids — refuse by name otherwise (the real
+    writer sets them at enablement; enable_row_tracking does too)."""
+    cfg = (snap.metadata_action or {}).get("configuration") or {}
+    mat_id = cfg.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_ver = cfg.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    if not mat_id or not mat_ver:
+        raise NotImplementedError(
+            f"{ctx}: row-tracked table does not configure "
+            "delta.rowTracking.materialized*ColumnName — a rewrite "
+            "could not preserve row ids; set both properties (or "
+            "enable via enable_row_tracking, which does)"
+        )
+    return mat_id, mat_ver
+
+
+def _assign_row_tracking(
+    snap: _Snapshot, actions: list[dict[str, Any]], commit_version: int
+) -> list[dict[str, Any]]:
+    """Assign fresh ``baseRowId``/``defaultRowCommitVersion`` to every
+    add action in ``actions`` that lacks them and append the advanced
+    ``rowIdHighWaterMark`` domain metadata — the writer obligation of
+    PROTOCOL.md §Row Tracking. Fresh id ranges are claimed per file
+    from the watermark using the add's numRecords stats (every file
+    this engine stages carries them; a statless add refuses — guessing
+    a range could collide). Files re-added with an existing baseRowId
+    (RESTORE, checkpoint round-trips) pass through untouched."""
+    hw = _row_id_high_water(snap)
+    out: list[dict[str, Any]] = []
+    for a in actions:
+        add = a.get("add")
+        if add is not None and add.get("baseRowId") is None:
+            stats = add.get("stats")
+            n = None
+            if stats:
+                try:
+                    n = int(json.loads(stats)["numRecords"])
+                except (KeyError, ValueError, TypeError):
+                    n = None
+            if n is None:
+                raise NotImplementedError(
+                    "row-tracked commit: staged file "
+                    f"{add.get('path')!r} lacks numRecords stats — "
+                    "cannot claim a fresh row-id range"
+                )
+            add = dict(add)
+            add["baseRowId"] = hw + 1
+            add["defaultRowCommitVersion"] = commit_version
+            hw += n
+            a = {"add": add}
+        out.append(a)
+    out.append(
+        {
+            "domainMetadata": {
+                "domain": _ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": hw}),
+                "removed": False,
+            }
+        }
+    )
+    return out
 
 
 def _row_contract_exprs(
@@ -1275,6 +1396,91 @@ def set_delta_properties(path: str, props: dict[str, str]) -> int:
     )
 
 
+# Legacy protocol versions imply fixed feature sets (PROTOCOL.md
+# "Table Features" appendix); converting to the table-features form
+# must list them explicitly or foreign writers would stop honoring
+# them. Shared with delta_dml's deletionVectors upgrade.
+_LEGACY_READER_FEATURES: dict[int, list[str]] = {1: [], 2: ["columnMapping"]}
+_LEGACY_WRITER_FEATURES: dict[int, list[str]] = {
+    1: [],
+    2: ["appendOnly", "invariants"],
+    3: ["appendOnly", "invariants", "checkConstraints"],
+    4: [
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns",
+    ],
+    5: [
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping",
+    ],
+    6: [
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping",
+        "identityColumns",
+    ],
+}
+
+
+def enable_row_tracking(spark: SparkSession, path: str) -> int:
+    """ALTER TABLE ... SET delta.enableRowTracking = true (PROTOCOL.md
+    §Row Tracking — the r12 write side): ONE commit that
+
+    * upgrades the protocol to the table-features form
+      (minWriterVersion 7) with ``rowTracking`` + ``domainMetadata``
+      added and every legacy-implied feature listed explicitly;
+    * sets ``delta.enableRowTracking`` and mints the two materialized
+      physical column names (what rewrites stamp carried ids under);
+    * BACKFILLS: re-adds every live file with a freshly assigned
+      ``baseRowId``/``defaultRowCommitVersion`` (dataChange: false —
+      a metadata-only layout commit, streaming readers skip it) and
+      records the ``rowIdHighWaterMark`` domain metadata.
+
+    Subsequent appends and CoW DML maintain ids automatically
+    (_assign_row_tracking); read ids back with
+    delta_dml.read_delta_rows. Returns the new version."""
+    snap = _replay_log(path, None)
+    assert snap.metadata_action is not None
+    if _row_tracking_active(snap):
+        return snap.version  # idempotent
+    pr = dict(
+        snap.protocol_action or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    if pr.get("writerFeatures") is not None:
+        feats = set(pr["writerFeatures"])
+    else:
+        w = int(pr.get("minWriterVersion", 2))
+        legacy = _LEGACY_WRITER_FEATURES.get(w)
+        if legacy is None:
+            raise NotImplementedError(
+                f"cannot convert legacy writer version {w} to the "
+                "table-features protocol form (unknown implied set)"
+            )
+        feats = set(legacy)
+    pr["minWriterVersion"] = 7
+    pr["writerFeatures"] = sorted(feats | {"rowTracking", "domainMetadata"})
+    md = dict(snap.metadata_action)
+    cfg = dict(md.get("configuration") or {})
+    cfg["delta.enableRowTracking"] = "true"
+    cfg["delta.rowTracking.materializedRowIdColumnName"] = (
+        f"_row-id-col-{uuid.uuid4()}"
+    )
+    cfg["delta.rowTracking.materializedRowCommitVersionColumnName"] = (
+        f"_row-commit-version-col-{uuid.uuid4()}"
+    )
+    md["configuration"] = cfg
+    actions: list[dict[str, Any]] = [{"protocol": pr}, {"metaData": md}]
+    version = snap.version + 1
+    for p in sorted(snap.files):
+        add = dict(snap.files[p])
+        add["dataChange"] = False
+        actions.append({"add": add})
+    actions = _assign_row_tracking(snap, actions, version)
+    return commit_actions(
+        path, snap.version, actions, "SET TBLPROPERTIES",
+        {"properties": json.dumps({"delta.enableRowTracking": "true"})},
+    )
+
+
 def table_version(path: str) -> int:
     """Latest committed version of the table."""
     return _replay_log(path, None).version
@@ -1768,7 +1974,7 @@ def write_checkpoint(path: str, v2: bool = False) -> int:
     # .get() treats exactly like absence), so a long-lived MOR table
     # can compact its log without resurrecting deleted rows. Pinned by
     # test_checkpoint_preserves_dvs.
-    keys = ("protocol", "metaData", "add", "remove", "txn")
+    keys = ("protocol", "metaData", "add", "remove", "txn", "domainMetadata")
 
     def _strip_empty(obj: Any) -> Any:
         """Drop empty-dict fields recursively: pyarrow cannot write a
@@ -1808,6 +2014,8 @@ def write_checkpoint(path: str, v2: bool = False) -> int:
             rows.append(_row("remove", r))
     for app_id, v in sorted(snap.transactions.items()):
         rows.append(_row("txn", {"appId": app_id, "version": v}))
+    for dom in sorted(snap.domain_metadata):
+        rows.append(_row("domainMetadata", snap.domain_metadata[dom]))
     if v2:
         log_dir = _log_path(path)
         sc_dir = os.path.join(log_dir, "_sidecars")
@@ -2287,6 +2495,13 @@ def write_delta(
         )
         stage_partition_by = [mapping[c] for c in partition_by]
     actions.extend(_stage_files(df, path, stage_partition_by))
+    rt_assigned = existing is not None and _row_tracking_active(existing)
+    if rt_assigned:
+        # row tracking (r12): claim fresh id ranges from the
+        # high-water mark and advance it in the same commit; the
+        # claimed range and defaultRowCommitVersion bind to THIS
+        # version, so a lost race aborts instead of retrying below
+        actions = _assign_row_tracking(existing, actions, version)
     actions.append(
         {
             "commitInfo": {
@@ -2323,6 +2538,13 @@ def write_delta(
                     f"table {path} was created concurrently (now at "
                     f"version {fresh.version}); re-run the write against "
                     "the existing table"
+                )
+            if rt_assigned:
+                raise DeltaCommitConflict(
+                    "concurrent commit during a row-tracked append: "
+                    "the claimed row-id range and "
+                    "defaultRowCommitVersion were derived from a stale "
+                    "snapshot; re-run the write"
                 )
             if mode == "overwrite":
                 raise DeltaCommitConflict(

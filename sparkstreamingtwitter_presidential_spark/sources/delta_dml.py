@@ -45,13 +45,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from sparkstreamingtwitter_presidential_spark.sources.delta import (
+    _assign_row_tracking,
     _column_mapping,
     _enforce_row_contracts,
     _generated_exprs,
     _recompute_generated,
     _mapping_field_ids,
+    _refuse_row_tracking,
     _refuse_unenforced_writer_contracts,
     _replay_log,
+    _row_tracking_active,
+    _rt_materialized_names,
     _Snapshot,
     _stage_files,
     commit_actions,
@@ -381,6 +385,47 @@ def _stage_cdc_files(
     return out
 
 
+def _rt_resolved_scan(
+    spark: SparkSession, path: str, snap: _Snapshot, ctx: str
+) -> tuple[DataFrame, tuple[str, str]]:
+    """Row-tracked rewrite scan (r12, PROTOCOL.md §Row Tracking): the
+    DV-applied file scan with the table's two MATERIALIZED physical
+    columns resolved in place — a file-stored value wins, else the
+    add's baseRowId + row position / defaultRowCommitVersion (a tiny
+    broadcast map, one row per live file). Rewrites then carry the
+    resolved columns verbatim into staged files, which is what keeps
+    every surviving row's id stable across CoW DML and OPTIMIZE.
+    Returns (scan, (materialized_id_col, materialized_version_col))."""
+    mat_id, mat_ver = _rt_materialized_names(snap, ctx)
+    scan = _scan_with_file(
+        spark, path, snap, with_pos=True, apply_dvs=True,
+        extra_phys_cols=(mat_id, mat_ver),
+    )
+    base_rows = [
+        (
+            urllib.parse.unquote(p).split("/")[-1],
+            a.get("baseRowId"),
+            a.get("defaultRowCommitVersion"),
+        )
+        for p, a in sorted(snap.files.items())
+    ]
+    id_map = F.broadcast(
+        spark.createDataFrame(
+            base_rows, f"{_FILE_COL} string, __rtbase long, __rtver long"
+        )
+    )
+    scan = (
+        scan.join(id_map, on=_FILE_COL, how="left")
+        .withColumn(
+            mat_id,
+            F.coalesce(F.col(mat_id), F.col("__rtbase") + F.col(_POS_COL)),
+        )
+        .withColumn(mat_ver, F.coalesce(F.col(mat_ver), F.col("__rtver")))
+        .drop("__rtbase", "__rtver", _POS_COL)
+    )
+    return scan, (mat_id, mat_ver)
+
+
 def _affected_files(scan: DataFrame, cond: Column) -> list[str]:
     """Basenames of live files containing >=1 row matching ``cond``.
     Distributed scan + distinct on the file column; the driver holds
@@ -404,7 +449,13 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
     # vectors, so a rewrite can never resurrect deleted rows; rewritten
     # files drop their vectors with the remove, untouched files keep
     # theirs
-    scan = _scan_with_file(spark, path, snap, apply_dvs=True)
+    rt = _row_tracking_active(snap)
+    if rt:
+        # r12: survivors CARRY their resolved row id + commit version
+        # as materialized columns in the rewritten files
+        scan, rt_cols = _rt_resolved_scan(spark, path, snap, "DELETE")
+    else:
+        scan, rt_cols = _scan_with_file(spark, path, snap, apply_dvs=True), ()
     cond = F.expr(predicate)
     affected = _affected_files(scan, cond)
     if not affected:
@@ -422,38 +473,25 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> int:
         deleted_rows = (
             scan.filter(F.col(_FILE_COL).isin(affected))
             .filter(F.coalesce(cond, F.lit(False)))
-            .drop(_FILE_COL)
+            .drop(_FILE_COL, *rt_cols)
             .withColumn("_change_type", F.lit("delete"))
         )
         cdc = _stage_cdc_mapped(deleted_rows, path, snap, mapping)
     actions = _removes(snap, [rels[b] for b in affected], True) + adds + cdc
+    if rt:
+        actions = _assign_row_tracking(snap, actions, snap.version + 1)
     return commit_actions(
         path, snap.version, actions, "DELETE", {"predicate": predicate}
     )
 
 
-# Legacy protocol versions imply fixed feature sets (PROTOCOL.md
-# "Table Features" appendix); an upgrade to the table-features
-# protocol (reader 3 / writer 7) must carry them forward explicitly.
-_LEGACY_READER_FEATURES = {1: [], 2: ["columnMapping"]}
-_LEGACY_WRITER_FEATURES = {
-    1: [],
-    2: ["appendOnly", "invariants"],
-    3: ["appendOnly", "invariants", "checkConstraints"],
-    4: [
-        "appendOnly", "invariants", "checkConstraints",
-        "changeDataFeed", "generatedColumns",
-    ],
-    5: [
-        "appendOnly", "invariants", "checkConstraints",
-        "changeDataFeed", "generatedColumns", "columnMapping",
-    ],
-    6: [
-        "appendOnly", "invariants", "checkConstraints",
-        "changeDataFeed", "generatedColumns", "columnMapping",
-        "identityColumns",
-    ],
-}
+# Legacy protocol version -> implied feature sets: shared constants in
+# delta.py (an upgrade to the table-features protocol must carry them
+# forward explicitly — the spec's rule).
+from sparkstreamingtwitter_presidential_spark.sources.delta import (  # noqa: E402
+    _LEGACY_READER_FEATURES,
+    _LEGACY_WRITER_FEATURES,
+)
 
 
 def _dv_protocol_upgrade(snap: _Snapshot) -> dict[str, Any] | None:
@@ -527,6 +565,7 @@ def delete_delta_dv(
     _refuse_unenforced_writer_contracts(
         snap, "delete_delta_dv", emits_removes=True
     )
+    _refuse_row_tracking(snap, 'DELETE (deletion-vectors)')
     cond = F.expr(predicate)
     scan = _scan_with_file(spark, path, snap, with_pos=True)
     mark = _dv_mark_matched(
@@ -679,6 +718,7 @@ def update_delta_dv(
     _refuse_unenforced_writer_contracts(
         snap, "update_delta_dv", emits_removes=True
     )
+    _refuse_row_tracking(snap, 'UPDATE (deletion-vectors)')
     bad = set(set_exprs) & set(snap.partition_columns)
     if bad:
         raise ValueError(
@@ -779,6 +819,7 @@ def merge_delta_dv(
     _refuse_unenforced_writer_contracts(
         snap, "merge_delta_dv", emits_removes=True
     )
+    _refuse_row_tracking(snap, 'MERGE (deletion-vectors)')
     schema = snap.schema
     assert schema is not None
     tcols = [f.name for f in schema.fields]
@@ -943,7 +984,13 @@ def update_delta(
             "they recompute from their generation expressions when "
             "their source columns change"
         )
-    scan = _scan_with_file(spark, path, snap, apply_dvs=True)
+    rt = _row_tracking_active(snap)
+    if rt:
+        scan, (mat_id, mat_ver) = _rt_resolved_scan(
+            spark, path, snap, "UPDATE"
+        )
+    else:
+        scan = _scan_with_file(spark, path, snap, apply_dvs=True)
     cond = F.expr(predicate) if predicate is not None else F.lit(True)
     affected = _affected_files(scan, cond)
     if not affected:
@@ -960,7 +1007,21 @@ def update_delta(
                 else F.col(f.name)
             )
             for f in schema.fields
-        ]
+        ],
+        # r12 row tracking: every rewritten row keeps its id; HIT rows
+        # null their materialized commit version so the add's
+        # defaultRowCommitVersion (this commit) applies on read, while
+        # copied rows keep their original attribution
+        *(
+            [
+                F.col(mat_id),
+                F.when(hit, F.lit(None).cast("long"))
+                .otherwise(F.col(mat_ver))
+                .alias(mat_ver),
+            ]
+            if rt
+            else []
+        ),
     )
     rewritten = _recompute_generated(snap, rewritten, "UPDATE rewrite")
     _enforce_row_contracts(snap, rewritten, "UPDATE rewrite")
@@ -968,6 +1029,8 @@ def update_delta(
     cdc: list[dict] = []
     if _cdf_enabled(snap):
         matched = scan.filter(F.col(_FILE_COL).isin(affected)).filter(hit)
+        if rt:
+            matched = matched.drop(mat_id, mat_ver)
         pre = matched.drop(_FILE_COL).withColumn(
             "_change_type", F.lit("update_preimage")
         )
@@ -989,6 +1052,8 @@ def update_delta(
         ).withColumn("_change_type", F.lit("update_postimage"))
         cdc = _stage_cdc_mapped(pre.unionByName(post), path, snap, mapping)
     actions = _removes(snap, [rels[b] for b in affected], True) + adds + cdc
+    if rt:
+        actions = _assign_row_tracking(snap, actions, snap.version + 1)
     return commit_actions(
         path,
         snap.version,
@@ -1053,7 +1118,13 @@ def merge_delta(
         )
     source = source.select(*tcols)  # column order for unionByName/insert
 
-    scan = _scan_with_file(spark, path, snap, apply_dvs=True)
+    rt = _row_tracking_active(snap)
+    if rt:
+        scan, (mat_id, mat_ver) = _rt_resolved_scan(
+            spark, path, snap, "MERGE"
+        )
+    else:
+        scan = _scan_with_file(spark, path, snap, apply_dvs=True)
     key_df = source.select(*keys).distinct()
     affected = [
         r[_FILE_COL]
@@ -1079,6 +1150,24 @@ def merge_delta(
             how="left",
         )
         m = F.coalesce(F.col("__matched"), F.lit(False))
+        # r12 row tracking: rewritten rows keep their resolved id (an
+        # upsert changes values, not identity); MATCHED rows null
+        # their materialized commit version (the add's default — this
+        # commit — applies on read), copied rows keep theirs. Inserts
+        # below stage without the columns and mint fresh ids.
+        rt_carry = (
+            [
+                hit_rows[mat_id],
+                F.when(m, F.lit(None).cast("long"))
+                .otherwise(hit_rows[mat_ver])
+                .alias(mat_ver),
+            ]
+            if rt
+            else []
+        )
+        rt_keep = (
+            [hit_rows[mat_id], hit_rows[mat_ver]] if rt else []
+        )
         if when_matched == "update":
             rewritten = joined.select(
                 *[
@@ -1086,7 +1175,8 @@ def merge_delta(
                     .otherwise(hit_rows[c])
                     .alias(c)
                     for c in tcols
-                ]
+                ],
+                *rt_carry,
             )
             if emit_cdf:
                 matched_rows = joined.filter(m)
@@ -1105,7 +1195,9 @@ def merge_delta(
                     ).withColumn("_change_type", F.lit("update_postimage"))
                 )
         elif when_matched == "delete":
-            rewritten = joined.filter(~m).select(*[hit_rows[c] for c in tcols])
+            rewritten = joined.filter(~m).select(
+                *[hit_rows[c] for c in tcols], *rt_keep
+            )
             if emit_cdf:
                 cdc_frames.append(
                     joined.filter(m)
@@ -1113,7 +1205,9 @@ def merge_delta(
                     .withColumn("_change_type", F.lit("delete"))
                 )
         else:  # 'none': matched rows keep their current values
-            rewritten = joined.select(*[hit_rows[c] for c in tcols])
+            rewritten = joined.select(
+                *[hit_rows[c] for c in tcols], *rt_keep
+            )
         actions += _removes(snap, [rels[b] for b in affected], True)
         rewritten = _recompute_generated(snap, rewritten, "MERGE rewrite")
         _enforce_row_contracts(snap, rewritten, "MERGE rewrite")
@@ -1161,6 +1255,10 @@ def merge_delta(
         )
     if not actions:
         return snap.version
+    if rt and any("add" in a for a in actions):
+        # r12 row tracking: fresh id ranges for the staged adds
+        # (rewrites' materialized carries ride inside the files)
+        actions = _assign_row_tracking(snap, actions, snap.version + 1)
     return commit_actions(
         path,
         snap.version,
@@ -1395,7 +1493,23 @@ def optimize_delta(
             for f in schema.fields
             if f.name in snap.partition_columns
         }
-        if any(snap.files[r].get("deletionVector") for r in rels_small):
+        rt = _row_tracking_active(snap)
+        if rt:
+            # r12 row tracking: a layout-only rewrite must keep BOTH
+            # row id and commit version for every copied row — read
+            # through the resolving scan and carry the materialized
+            # columns into the compacted files
+            import copy as _copy
+
+            sub = _copy.copy(snap)
+            sub.files = {r: snap.files[r] for r in rels_small}
+            rt_scan, rt_cols = _rt_resolved_scan(
+                spark, path, sub, "OPTIMIZE"
+            )
+            df = rt_scan.drop(_FILE_COL).select(
+                *[f.name for f in data_fields], *rt_cols
+            )
+        elif any(snap.files[r].get("deletionVector") for r in rels_small):
             # DV-carrying small files compact too (r10): read through
             # the DV-aware scan so the compaction FOLDS their vectors
             # (rows unchanged -> still dataChange:false); the removes
@@ -1445,7 +1559,10 @@ def optimize_delta(
             val = pv.get(phys(col), pv.get(col))
             df = df.withColumn(col, F.lit(val).cast(part_types[col]))
         adds = _stage_table_files(
-            df.select(*[f.name for f in schema.fields]),
+            df.select(
+                *[f.name for f in schema.fields],
+                *(rt_cols if rt else ()),
+            ),
             path,
             snap,
             mapping,
@@ -1456,6 +1573,8 @@ def optimize_delta(
 
     if not actions:
         return snap.version
+    if _row_tracking_active(snap):
+        actions = _assign_row_tracking(snap, actions, snap.version + 1)
     return commit_actions(
         path,
         snap.version,
@@ -1497,6 +1616,7 @@ def rewrite_deletion_vectors(
     _refuse_unenforced_writer_contracts(
         snap, "rewrite_deletion_vectors", emits_removes=True
     )
+    _refuse_row_tracking(snap, 'REORG')
     dv_rels = sorted(
         p for p, a in snap.files.items() if a.get("deletionVector")
     )
@@ -1547,9 +1667,12 @@ def read_delta_rows(
 
     Requires the table to declare the ``rowTracking`` writer feature;
     refuses by name otherwise. Reads apply live deletion vectors (a
-    DV-deleted row's id is never surfaced); WRITES to row-tracked
-    tables refuse by name in _refuse_unenforced_writer_contracts until
-    the maintain path exists (r12, read side first).
+    DV-deleted row's id is never surfaced). The WRITE side is
+    maintained since r12-late: enable_row_tracking backfills and
+    mints the materialized names, appends claim fresh ranges
+    (_assign_row_tracking), CoW DML/OPTIMIZE rewrites carry ids as
+    materialized columns (_rt_resolved_scan); only the DV write
+    family still refuses by name (_refuse_row_tracking).
 
     Scale shape: the id map is one tiny broadcast row per live file
     (log metadata); per-row assignment is ``base + _metadata.row_index``

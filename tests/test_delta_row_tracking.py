@@ -8,9 +8,12 @@ the Delta twin of Iceberg v3 row lineage and r11 verdict item 6):
   ``delta.rowTracking.materialized*ColumnName`` config) win where
   non-null; files missing baseRowId (pre-enablement history) read
   NULL rather than a guessed id.
-* WRITES to row-tracked tables refuse by name — this writer does not
-  maintain baseRowId/rowIdHighWaterMark yet, and an unmaintained
-  commit would corrupt lineage for foreign readers.
+* WRITE SIDE (r12-late): ``enable_row_tracking`` upgrades the
+  protocol, mints materialized column names, and backfills live
+  files; appends claim fresh id ranges from the ``rowIdHighWaterMark``
+  domain metadata; CoW DML/OPTIMIZE rewrites carry ids as
+  materialized columns; the DV write family refuses by name, as does
+  a rewrite on a foreign table lacking the materialized-name config.
 * ``read_delta_rows`` on a non-row-tracked table refuses by name.
 """
 
@@ -165,24 +168,36 @@ def test_materialized_columns_win_over_derivation(spark, tmp_path):
     }
 
 
-def test_writes_to_row_tracked_tables_refuse_by_name(spark, tmp_path):
+def test_foreign_row_tracked_writes_maintain_or_refuse(spark, tmp_path):
+    """r12-late: appends to a FOREIGN row-tracked table MAINTAIN ids
+    (fresh range from the forged high watermark); a CoW rewrite on a
+    table WITHOUT materialized column names refuses by name (it could
+    not preserve ids); DV writes refuse by name."""
     from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
         delete_delta,
+        delete_delta_dv,
     )
 
     t = str(tmp_path / "t")
     write_delta(
         spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1), t
     )
-    _forge_row_tracking(t, [0], [7])
-    with pytest.raises(NotImplementedError, match="rowTracking"):
-        write_delta(
-            spark.createDataFrame([(2, 2.0)], "id long, v double"), t
-        )
-    with pytest.raises(NotImplementedError, match="rowTracking"):
+    _forge_row_tracking(t, [0], [7])  # watermark forged to base+1000
+    write_delta(
+        spark.createDataFrame([(2, 2.0)], "id long, v double").coalesce(1), t
+    )
+    lin = {r.id: r._row_id for r in read_delta_rows(spark, t).collect()}
+    assert lin[1] == 0 and lin[2] == 1001  # fresh id ABOVE the watermark
+    # CoW rewrite without materialized names: named refusal
+    with pytest.raises(NotImplementedError, match="materialized"):
         delete_delta(spark, t, "id = 1")
+    # DV writes refuse by name regardless
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        delete_delta_dv(spark, t, "id = 1")
     # the table is still readable, ids intact
-    assert [r._row_id for r in read_delta_rows(spark, t).collect()] == [0]
+    assert {r._row_id for r in read_delta_rows(spark, t).collect()} == {
+        0, 1001
+    }
 
 
 def test_read_delta_rows_refuses_without_the_feature(spark, tmp_path):
@@ -190,3 +205,86 @@ def test_read_delta_rows_refuses_without_the_feature(spark, tmp_path):
     write_delta(spark.createDataFrame([(1, 1.0)], "id long, v double"), t)
     with pytest.raises(NotImplementedError, match="rowTracking"):
         read_delta_rows(spark, t)
+
+
+def test_enable_and_maintain_row_tracking_end_to_end(spark, tmp_path):
+    """r12-late, the WRITE side: enable_row_tracking backfills live
+    files and mints the materialized column names; appends claim fresh
+    id ranges from the high watermark; UPDATE/MERGE carry the touched
+    row's id with a new commit version (copied file-mates keep both);
+    DELETE survivors and OPTIMIZE carry everything; the watermark
+    survives a checkpoint (no id reuse after log collapse)."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        enable_row_tracking,
+        write_checkpoint,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+        merge_delta,
+        optimize_delta,
+        update_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id long, v double"
+        ).repartition(2),
+        t,
+    )
+    enable_row_tracking(spark, t)
+    assert enable_row_tracking(spark, t) == 1  # idempotent, no commit
+
+    def lineage():
+        return {
+            r.id: (r._row_id, r._row_commit_version)
+            for r in read_delta_rows(spark, t).collect()
+        }
+
+    base = lineage()
+    assert sorted(x[0] for x in base.values()) == list(range(20))
+    assert {x[1] for x in base.values()} == {1}  # the backfill commit
+
+    write_delta(
+        spark.createDataFrame([(100, 1.0), (101, 2.0)], "id long, v double"),
+        t,
+    )
+    l2 = lineage()
+    assert all(l2[i] == base[i] for i in base)
+    assert {l2[100][0], l2[101][0]} == {20, 21} and l2[100][1] == 2
+
+    update_delta(spark, t, {"v": "v + 50"}, "id = 3")
+    l3 = lineage()
+    assert l3[3][0] == base[3][0] and l3[3][1] == 3
+    assert all(l3[i] == l2[i] for i in l3 if i != 3)
+
+    merge_delta(
+        spark, t,
+        spark.createDataFrame([(5, -1.0), (200, 9.0)], "id long, v double"),
+        ["id"],
+    )
+    l4 = lineage()
+    assert l4[5][0] == base[5][0] and l4[5][1] == 4
+    assert l4[200][0] not in {x[0] for x in l3.values()} and l4[200][1] == 4
+    assert all(l4[i] == l3[i] for i in l4 if i not in (5, 200))
+
+    delete_delta(spark, t, "id = 7")
+    l5 = lineage()
+    assert 7 not in l5 and all(l5[i] == l4[i] for i in l5)
+
+    optimize_delta(spark, t, target_file_bytes=1 << 30)
+    assert lineage() == l5
+
+    # watermark survives checkpoint + further appends never reuse ids
+    write_checkpoint(t)
+    write_delta(
+        spark.createDataFrame([(300, 3.0)], "id long, v double"), t
+    )
+    l7 = lineage()
+    ids = [x[0] for x in l7.values()]
+    assert len(ids) == len(set(ids))
+    assert l7[300][0] > max(x[0] for x in l5.values())
+    # plain reads stay clean and values are the post-DML state
+    got = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert got[3] == 53.0 and got[5] == -1.0
+    assert "_row_id" not in read_delta(spark, t).columns
