@@ -438,14 +438,15 @@ def _refuse_unenforced_writer_contracts(
     builtin subset, _refuse_nondeterministic_generation). What remains
     here refuses by NAME: the append-only property when the operation
     emits removes (plain appends are exactly what that property
-    permits). ROW TRACKING is MAINTAINED since r12-late for appends
-    and the CoW DML/OPTIMIZE family (_assign_row_tracking mints fresh
-    baseRowId/defaultRowCommitVersion from the rowIdHighWaterMark
-    domain metadata; rewrites materialize carried ids); the DV write
-    family still refuses on row-tracked tables via
-    _refuse_row_tracking. Content-based, not version-number-based
-    (the protocol's writer versions only imply feature SUPPORT, the
-    metadata says what is in force)."""
+    permits). ROW TRACKING is MAINTAINED since r12-late across every
+    write path — appends/CoW DML/OPTIMIZE via _assign_row_tracking
+    (fresh baseRowId/defaultRowCommitVersion from the
+    rowIdHighWaterMark domain metadata) with rewrites materializing
+    carried ids, DV deletes by carrying the re-added action verbatim,
+    DV update/merge and REORG via the same materialized carry.
+    Content-based, not version-number-based (the protocol's writer
+    versions only imply feature SUPPORT, the metadata says what is in
+    force)."""
     md = snap.metadata_action or {}
     cfg = md.get("configuration") or {}
     if emits_removes and cfg.get("delta.appendOnly") == "true":
@@ -469,21 +470,6 @@ def _row_tracking_active(snap: _Snapshot) -> bool:
         "rowTracking" in feats
         or cfg.get("delta.enableRowTracking") == "true"
     )
-
-
-def _refuse_row_tracking(snap: _Snapshot, ctx: str) -> None:
-    """Named refusal for write paths that do not yet maintain row
-    tracking (the DV write family): an unmaintained commit would
-    corrupt row lineage for foreign readers. Appends and CoW
-    DML/OPTIMIZE maintain ids (_assign_row_tracking) and do not call
-    this."""
-    if _row_tracking_active(snap):
-        raise NotImplementedError(
-            f"{ctx}: table carries the rowTracking writer feature — "
-            "deletion-vector writes do not maintain materialized row "
-            "ids yet; use the copy-on-write paths (delete_delta/"
-            "update_delta/merge_delta), which do"
-        )
 
 
 def _row_id_high_water(snap: _Snapshot) -> int:

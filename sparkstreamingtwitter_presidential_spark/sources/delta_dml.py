@@ -51,7 +51,6 @@ from sparkstreamingtwitter_presidential_spark.sources.delta import (
     _generated_exprs,
     _recompute_generated,
     _mapping_field_ids,
-    _refuse_row_tracking,
     _refuse_unenforced_writer_contracts,
     _replay_log,
     _row_tracking_active,
@@ -386,7 +385,12 @@ def _stage_cdc_files(
 
 
 def _rt_resolved_scan(
-    spark: SparkSession, path: str, snap: _Snapshot, ctx: str
+    spark: SparkSession,
+    path: str,
+    snap: _Snapshot,
+    ctx: str,
+    apply_dvs: bool = True,
+    keep_pos: bool = False,
 ) -> tuple[DataFrame, tuple[str, str]]:
     """Row-tracked rewrite scan (r12, PROTOCOL.md §Row Tracking): the
     DV-applied file scan with the table's two MATERIALIZED physical
@@ -395,10 +399,13 @@ def _rt_resolved_scan(
     broadcast map, one row per live file). Rewrites then carry the
     resolved columns verbatim into staged files, which is what keeps
     every surviving row's id stable across CoW DML and OPTIMIZE.
-    Returns (scan, (materialized_id_col, materialized_version_col))."""
+    Returns (scan, (materialized_id_col, materialized_version_col)).
+    ``apply_dvs=False`` + ``keep_pos=True`` is the DV-writer shape:
+    the raw positional scan their marking machinery needs, ids
+    resolved the same way."""
     mat_id, mat_ver = _rt_materialized_names(snap, ctx)
     scan = _scan_with_file(
-        spark, path, snap, with_pos=True, apply_dvs=True,
+        spark, path, snap, with_pos=True, apply_dvs=apply_dvs,
         extra_phys_cols=(mat_id, mat_ver),
     )
     base_rows = [
@@ -421,7 +428,7 @@ def _rt_resolved_scan(
             F.coalesce(F.col(mat_id), F.col("__rtbase") + F.col(_POS_COL)),
         )
         .withColumn(mat_ver, F.coalesce(F.col(mat_ver), F.col("__rtver")))
-        .drop("__rtbase", "__rtver", _POS_COL)
+        .drop("__rtbase", "__rtver", *([] if keep_pos else [_POS_COL]))
     )
     return scan, (mat_id, mat_ver)
 
@@ -565,7 +572,9 @@ def delete_delta_dv(
     _refuse_unenforced_writer_contracts(
         snap, "delete_delta_dv", emits_removes=True
     )
-    _refuse_row_tracking(snap, 'DELETE (deletion-vectors)')
+    # row-tracked tables work as-is (r12-late): a DV delete never
+    # moves a row — the re-added action carries baseRowId/
+    # defaultRowCommitVersion verbatim, so surviving ids are stable
     cond = F.expr(predicate)
     scan = _scan_with_file(spark, path, snap, with_pos=True)
     mark = _dv_mark_matched(
@@ -718,7 +727,6 @@ def update_delta_dv(
     _refuse_unenforced_writer_contracts(
         snap, "update_delta_dv", emits_removes=True
     )
-    _refuse_row_tracking(snap, 'UPDATE (deletion-vectors)')
     bad = set(set_exprs) & set(snap.partition_columns)
     if bad:
         raise ValueError(
@@ -738,7 +746,17 @@ def update_delta_dv(
             "their source columns change"
         )
     cond = F.expr(predicate) if predicate is not None else F.lit(True)
-    scan = _scan_with_file(spark, path, snap, with_pos=True)
+    rt = _row_tracking_active(snap)
+    if rt:
+        # r12-late: the marking scan resolves row ids in place, so the
+        # re-staged updated rows CARRY identity (materialized _row_id;
+        # the commit version derives from the new add's default)
+        scan, (mat_id, _mat_ver) = _rt_resolved_scan(
+            spark, path, snap, "UPDATE (deletion-vectors)",
+            apply_dvs=False, keep_pos=True,
+        )
+    else:
+        scan = _scan_with_file(spark, path, snap, with_pos=True)
     mark = _dv_mark_matched(
         path, snap, scan, cond, max_updated_rows, "update"
     )
@@ -758,7 +776,8 @@ def update_delta_dv(
                 else F.col(f.name)
             )
             for f in schema.fields
-        ]
+        ],
+        *([F.col(mat_id)] if rt else []),
     )
     updated = _recompute_generated(
         snap, updated, "UPDATE (deletion-vectors)"
@@ -766,13 +785,17 @@ def update_delta_dv(
     _enforce_row_contracts(snap, updated, "UPDATE (deletion-vectors)")
     actions.extend(_stage_table_files(updated, path, snap, mapping))
     if _cdf_enabled(snap):
-        pre = fresh.withColumn("_change_type", F.lit("update_preimage"))
-        post = updated.withColumn(
+        pre = (fresh.drop(mat_id, _mat_ver) if rt else fresh).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = (updated.drop(mat_id) if rt else updated).withColumn(
             "_change_type", F.lit("update_postimage")
         )
         actions.extend(
             _stage_cdc_mapped(pre.unionByName(post), path, snap, mapping)
         )
+    if rt:
+        actions = _assign_row_tracking(snap, actions, snap.version + 1)
     return commit_actions(
         path,
         snap.version,
@@ -819,7 +842,6 @@ def merge_delta_dv(
     _refuse_unenforced_writer_contracts(
         snap, "merge_delta_dv", emits_removes=True
     )
-    _refuse_row_tracking(snap, 'MERGE (deletion-vectors)')
     schema = snap.schema
     assert schema is not None
     tcols = [f.name for f in schema.fields]
@@ -839,7 +861,17 @@ def merge_delta_dv(
         )
     source = source.select(*tcols)
 
-    scan = _scan_with_file(spark, path, snap, with_pos=True)
+    rt = _row_tracking_active(snap)
+    if rt:
+        # r12-late: resolve row ids on the marking scan so re-staged
+        # matched rows CARRY identity (materialized _row_id; commit
+        # version derives from the new add's default)
+        scan, (mat_id, _mat_ver) = _rt_resolved_scan(
+            spark, path, snap, "MERGE (deletion-vectors)",
+            apply_dvs=False, keep_pos=True,
+        )
+    else:
+        scan = _scan_with_file(spark, path, snap, with_pos=True)
     key_df = source.select(*keys).distinct()
     # the LIVE matched rows: raw-scan matches minus rows an existing
     # vector already deleted (handled inside _dv_mark_matched's
@@ -871,9 +903,11 @@ def merge_delta_dv(
             # one updated row PER MATCHED TARGET ROW (duplicate target
             # keys each update — the CoW merge's semantics), hence the
             # inner join on the matched rows' keys, not a semi-join
-            updated = fresh_rows.select(*keys).join(
-                source, on=keys, how="inner"
-            ).select(*tcols)
+            updated = fresh_rows.select(
+                *keys, *([F.col(mat_id)] if rt else [])
+            ).join(source, on=keys, how="inner").select(
+                *tcols, *([F.col(mat_id)] if rt else [])
+            )
             updated = _recompute_generated(
                 snap, updated, "MERGE (deletion-vectors) update"
             )
@@ -885,18 +919,18 @@ def merge_delta_dv(
             )
             if emit_cdf:
                 cdc_frames.append(
-                    fresh_rows.withColumn(
-                        "_change_type", F.lit("update_preimage")
-                    )
+                    (fresh_rows.drop(mat_id, _mat_ver) if rt else fresh_rows)
+                    .withColumn("_change_type", F.lit("update_preimage"))
                 )
                 cdc_frames.append(
-                    updated.withColumn(
+                    (updated.drop(mat_id) if rt else updated).withColumn(
                         "_change_type", F.lit("update_postimage")
                     )
                 )
         elif emit_cdf:
             cdc_frames.append(
-                fresh_rows.withColumn("_change_type", F.lit("delete"))
+                (fresh_rows.drop(mat_id, _mat_ver) if rt else fresh_rows)
+                .withColumn("_change_type", F.lit("delete"))
             )
     if insert_not_matched:
         inserts = source
@@ -937,6 +971,8 @@ def merge_delta_dv(
         )
     if not actions:
         return snap.version
+    if rt and any("add" in a for a in actions):
+        actions = _assign_row_tracking(snap, actions, snap.version + 1)
     return commit_actions(
         path,
         snap.version,
@@ -1616,7 +1652,6 @@ def rewrite_deletion_vectors(
     _refuse_unenforced_writer_contracts(
         snap, "rewrite_deletion_vectors", emits_removes=True
     )
-    _refuse_row_tracking(snap, 'REORG')
     dv_rels = sorted(
         p for p, a in snap.files.items() if a.get("deletionVector")
     )
@@ -1627,7 +1662,15 @@ def rewrite_deletion_vectors(
 
     sub = _copy.copy(snap)
     sub.files = {p: snap.files[p] for p in dv_rels}
-    scan = _scan_with_file(spark, path, sub, with_pos=True)
+    rt = _row_tracking_active(snap)
+    if rt:
+        # r12-late: a layout-only fold keeps BOTH row id and commit
+        # version for every surviving row (materialized carry)
+        scan, _rt_cols = _rt_resolved_scan(
+            spark, path, sub, "REORG", apply_dvs=False, keep_pos=True
+        )
+    else:
+        scan = _scan_with_file(spark, path, sub, with_pos=True)
 
     build = _dv_pairs_by_base(spark, path, snap, dv_rels)
     kept = scan.join(
@@ -1637,6 +1680,8 @@ def rewrite_deletion_vectors(
     for a in adds:
         a["add"]["dataChange"] = False  # layout-only, like OPTIMIZE
     actions = _removes(snap, dv_rels, False) + adds
+    if rt:
+        actions = _assign_row_tracking(snap, actions, snap.version + 1)
     return commit_actions(
         path,
         snap.version,
@@ -1668,11 +1713,11 @@ def read_delta_rows(
     Requires the table to declare the ``rowTracking`` writer feature;
     refuses by name otherwise. Reads apply live deletion vectors (a
     DV-deleted row's id is never surfaced). The WRITE side is
-    maintained since r12-late: enable_row_tracking backfills and
-    mints the materialized names, appends claim fresh ranges
-    (_assign_row_tracking), CoW DML/OPTIMIZE rewrites carry ids as
-    materialized columns (_rt_resolved_scan); only the DV write
-    family still refuses by name (_refuse_row_tracking).
+    maintained since r12-late across EVERY write path:
+    enable_row_tracking backfills and mints the materialized names,
+    appends claim fresh ranges (_assign_row_tracking), CoW and DV
+    DML/OPTIMIZE/REORG rewrites carry ids as materialized columns
+    (_rt_resolved_scan), DV deletes re-add actions verbatim.
 
     Scale shape: the id map is one tiny broadcast row per live file
     (log metadata); per-row assignment is ``base + _metadata.row_index``

@@ -11,9 +11,10 @@ the Delta twin of Iceberg v3 row lineage and r11 verdict item 6):
 * WRITE SIDE (r12-late): ``enable_row_tracking`` upgrades the
   protocol, mints materialized column names, and backfills live
   files; appends claim fresh id ranges from the ``rowIdHighWaterMark``
-  domain metadata; CoW DML/OPTIMIZE rewrites carry ids as
-  materialized columns; the DV write family refuses by name, as does
-  a rewrite on a foreign table lacking the materialized-name config.
+  domain metadata; CoW and DV DML/OPTIMIZE/REORG rewrites carry ids
+  as materialized columns (DV deletes re-add actions verbatim);
+  a rewrite on a foreign table lacking the materialized-name config
+  refuses by name.
 * ``read_delta_rows`` on a non-row-tracked table refuses by name.
 """
 
@@ -170,34 +171,39 @@ def test_materialized_columns_win_over_derivation(spark, tmp_path):
 
 def test_foreign_row_tracked_writes_maintain_or_refuse(spark, tmp_path):
     """r12-late: appends to a FOREIGN row-tracked table MAINTAIN ids
-    (fresh range from the forged high watermark); a CoW rewrite on a
-    table WITHOUT materialized column names refuses by name (it could
-    not preserve ids); DV writes refuse by name."""
+    (fresh range from the forged high watermark); a REWRITE on a table
+    WITHOUT materialized column names refuses by name (it could not
+    preserve ids — both the CoW and the DV-update shapes); a DV DELETE
+    works regardless (the re-added action carries ids verbatim)."""
     from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
         delete_delta,
         delete_delta_dv,
+        update_delta_dv,
     )
 
     t = str(tmp_path / "t")
     write_delta(
-        spark.createDataFrame([(1, 1.0)], "id long, v double").coalesce(1), t
+        spark.createDataFrame(
+            [(1, 1.0), (3, 3.0)], "id long, v double"
+        ).coalesce(1),
+        t,
     )
     _forge_row_tracking(t, [0], [7])  # watermark forged to base+1000
     write_delta(
         spark.createDataFrame([(2, 2.0)], "id long, v double").coalesce(1), t
     )
     lin = {r.id: r._row_id for r in read_delta_rows(spark, t).collect()}
-    assert lin[1] == 0 and lin[2] == 1001  # fresh id ABOVE the watermark
-    # CoW rewrite without materialized names: named refusal
+    assert lin[2] == 1001  # fresh id ABOVE the forged watermark
+    assert {lin[1], lin[3]} == {0, 1}
+    # rewrites without materialized names: named refusals
     with pytest.raises(NotImplementedError, match="materialized"):
         delete_delta(spark, t, "id = 1")
-    # DV writes refuse by name regardless
-    with pytest.raises(NotImplementedError, match="rowTracking"):
-        delete_delta_dv(spark, t, "id = 1")
-    # the table is still readable, ids intact
-    assert {r._row_id for r in read_delta_rows(spark, t).collect()} == {
-        0, 1001
-    }
+    with pytest.raises(NotImplementedError, match="materialized"):
+        update_delta_dv(spark, t, {"v": "v + 1"}, "id = 1")
+    # a DV DELETE never moves a row: works, survivors keep their ids
+    delete_delta_dv(spark, t, "id = 3")
+    lin2 = {r.id: r._row_id for r in read_delta_rows(spark, t).collect()}
+    assert lin2 == {1: lin[1], 2: 1001}
 
 
 def test_read_delta_rows_refuses_without_the_feature(spark, tmp_path):
@@ -288,3 +294,62 @@ def test_enable_and_maintain_row_tracking_end_to_end(spark, tmp_path):
     got = {r.id: r.v for r in read_delta(spark, t).collect()}
     assert got[3] == 53.0 and got[5] == -1.0
     assert "_row_id" not in read_delta(spark, t).columns
+
+
+def test_dv_family_maintains_row_tracking(spark, tmp_path):
+    """r12-late completion: the DV write family maintains ids too — a
+    DV delete leaves survivors' ids untouched (the vector never moves
+    a row), DV update/merge re-stage touched rows CARRYING their id
+    with the new commit's version, and REORG's fold keeps both values
+    for every surviving row."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        enable_row_tracking,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta_dv,
+        merge_delta_dv,
+        rewrite_deletion_vectors,
+        update_delta_dv,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id long, v double"
+        ).repartition(2),
+        t,
+    )
+    enable_row_tracking(spark, t)
+
+    def lineage():
+        return {
+            r.id: (r._row_id, r._row_commit_version)
+            for r in read_delta_rows(spark, t).collect()
+        }
+
+    base = lineage()
+    assert sorted(x[0] for x in base.values()) == list(range(20))
+
+    delete_delta_dv(spark, t, "id = 4")  # v2
+    l2 = lineage()
+    assert 4 not in l2 and all(l2[i] == base[i] for i in l2)
+
+    update_delta_dv(spark, t, {"v": "v + 50"}, "id = 3")  # v3
+    l3 = lineage()
+    assert l3[3][0] == base[3][0] and l3[3][1] == 3
+    assert all(l3[i] == l2[i] for i in l3 if i != 3)
+
+    merge_delta_dv(
+        spark, t,
+        spark.createDataFrame([(5, -1.0), (400, 4.0)], "id long, v double"),
+        ["id"],
+    )  # v4
+    l4 = lineage()
+    assert l4[5][0] == base[5][0] and l4[5][1] == 4
+    assert l4[400][0] not in {x[0] for x in l3.values()} and l4[400][1] == 4
+    assert all(l4[i] == l3[i] for i in l4 if i not in (5, 400))
+
+    rewrite_deletion_vectors(spark, t)  # v5: layout-only fold
+    assert lineage() == l4
+    got = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert got[3] == 53.0 and got[5] == -1.0 and 4 not in got
