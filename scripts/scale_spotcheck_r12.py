@@ -40,11 +40,10 @@ def _spark() -> SparkSession:
 
 
 def main() -> None:
-    import pyarrow.parquet as pq
-
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         _entries_and_deletes_for_snapshot,
         _load_metadata,
+        _PAIRS_DRIVER_MAX,
         _snapshot,
         forge_v3_dv_commit,
         read_iceberg,
@@ -106,7 +105,9 @@ def main() -> None:
             ).collect()[0]
             dv_s = time.perf_counter() - t0
             ok = row[0] == N - assigned
-            path = "driver" if assigned <= 100_000 else "executor"
+            path = (
+                "driver" if assigned <= _PAIRS_DRIVER_MAX else "executor"
+            )
             print(
                 f"{assigned:>12,} {path:<13} {dv_s:6.2f} "
                 f"{dv_s / plain_s:>14.2f} {ok!s:>13}"

@@ -510,7 +510,10 @@ def _rt_materialized_names(snap: _Snapshot, ctx: str) -> tuple[str, str]:
 
 
 def _assign_row_tracking(
-    snap: _Snapshot, actions: list[dict[str, Any]], commit_version: int
+    snap: _Snapshot,
+    actions: list[dict[str, Any]],
+    commit_version: int,
+    backfill: bool = False,
 ) -> list[dict[str, Any]]:
     """Assign fresh ``baseRowId``/``defaultRowCommitVersion`` to every
     add action in ``actions`` that lacks them and append the advanced
@@ -519,7 +522,22 @@ def _assign_row_tracking(
     from the watermark using the add's numRecords stats (every file
     this engine stages carries them; a statless add refuses — guessing
     a range could collide). Files re-added with an existing baseRowId
-    (RESTORE, checkpoint round-trips) pass through untouched."""
+    (RESTORE, checkpoint round-trips) pass through untouched.
+
+    A row-tracked table MISSING the watermark domain metadata refuses
+    by name (r12 review fix): its adds may already carry ids a
+    non-conformant writer assigned, and claiming from -1 would mint
+    COLLIDING ids — silent lineage corruption. ``backfill=True``
+    (enable_row_tracking, which owns the feature transition) is the
+    one caller allowed to start the watermark."""
+    dm_present = _ROW_TRACKING_DOMAIN in snap.domain_metadata
+    if not dm_present and not backfill:
+        raise NotImplementedError(
+            "row-tracked table carries no delta.rowTracking domain "
+            "metadata (rowIdHighWaterMark) — fresh id ranges cannot "
+            "be claimed safely; repair the watermark (or re-enable "
+            "via enable_row_tracking on a feature-less copy)"
+        )
     hw = _row_id_high_water(snap)
     out: list[dict[str, Any]] = []
     for a in actions:
@@ -1460,7 +1478,7 @@ def enable_row_tracking(spark: SparkSession, path: str) -> int:
         add = dict(snap.files[p])
         add["dataChange"] = False
         actions.append({"add": add})
-    actions = _assign_row_tracking(snap, actions, version)
+    actions = _assign_row_tracking(snap, actions, version, backfill=True)
     return commit_actions(
         path, snap.version, actions, "SET TBLPROPERTIES",
         {"properties": json.dumps({"delta.enableRowTracking": "true"})},

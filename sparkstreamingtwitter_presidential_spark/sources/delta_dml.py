@@ -384,29 +384,30 @@ def _stage_cdc_files(
     return out
 
 
-def _rt_resolved_scan(
+def _rt_resolve(
     spark: SparkSession,
     path: str,
     snap: _Snapshot,
-    ctx: str,
+    mat_id: str | None,
+    mat_ver: str | None,
     apply_dvs: bool = True,
     keep_pos: bool = False,
 ) -> tuple[DataFrame, tuple[str, str]]:
-    """Row-tracked rewrite scan (r12, PROTOCOL.md §Row Tracking): the
-    DV-applied file scan with the table's two MATERIALIZED physical
-    columns resolved in place — a file-stored value wins, else the
-    add's baseRowId + row position / defaultRowCommitVersion (a tiny
-    broadcast map, one row per live file). Rewrites then carry the
-    resolved columns verbatim into staged files, which is what keeps
-    every surviving row's id stable across CoW DML and OPTIMIZE.
-    Returns (scan, (materialized_id_col, materialized_version_col)).
-    ``apply_dvs=False`` + ``keep_pos=True`` is the DV-writer shape:
-    the raw positional scan their marking machinery needs, ids
-    resolved the same way."""
-    mat_id, mat_ver = _rt_materialized_names(snap, ctx)
+    """Row-tracking resolution core (r12, PROTOCOL.md §Row Tracking):
+    a file scan with row id / commit version resolved per row — a
+    MATERIALIZED file-stored value wins (when the table configures the
+    physical column name), else the add's baseRowId + row position /
+    defaultRowCommitVersion (a tiny broadcast map, one row per live
+    file; files missing baseRowId resolve NULL). Returns
+    (scan, (id_col, ver_col)) — the resolved columns' names (the
+    materialized names when configured, internal placeholders
+    otherwise). Shared by the rewrite carry (_rt_resolved_scan) and
+    the reader (read_delta_rows) so the two sides can never diverge."""
+    id_col = mat_id or "__rt_id"
+    ver_col = mat_ver or "__rt_ver"
     scan = _scan_with_file(
         spark, path, snap, with_pos=True, apply_dvs=apply_dvs,
-        extra_phys_cols=(mat_id, mat_ver),
+        extra_phys_cols=tuple(c for c in (mat_id, mat_ver) if c),
     )
     base_rows = [
         (
@@ -421,16 +422,42 @@ def _rt_resolved_scan(
             base_rows, f"{_FILE_COL} string, __rtbase long, __rtver long"
         )
     )
+    rid = F.col("__rtbase") + F.col(_POS_COL)
+    rver = F.col("__rtver")
+    if mat_id:
+        rid = F.coalesce(F.col(mat_id), rid)
+    if mat_ver:
+        rver = F.coalesce(F.col(mat_ver), rver)
     scan = (
         scan.join(id_map, on=_FILE_COL, how="left")
-        .withColumn(
-            mat_id,
-            F.coalesce(F.col(mat_id), F.col("__rtbase") + F.col(_POS_COL)),
-        )
-        .withColumn(mat_ver, F.coalesce(F.col(mat_ver), F.col("__rtver")))
+        .withColumn(id_col, rid)
+        .withColumn(ver_col, rver)
         .drop("__rtbase", "__rtver", *([] if keep_pos else [_POS_COL]))
     )
-    return scan, (mat_id, mat_ver)
+    return scan, (id_col, ver_col)
+
+
+def _rt_resolved_scan(
+    spark: SparkSession,
+    path: str,
+    snap: _Snapshot,
+    ctx: str,
+    apply_dvs: bool = True,
+    keep_pos: bool = False,
+) -> tuple[DataFrame, tuple[str, str]]:
+    """Row-tracked REWRITE scan: _rt_resolve under the table's
+    configured materialized column names (required — a rewrite that
+    cannot stamp carried ids refuses by name in _rt_materialized_names)
+    so rewrites carry the resolved columns verbatim into staged files,
+    keeping every surviving row's id stable across CoW/DV DML,
+    OPTIMIZE, and REORG. ``apply_dvs=False`` + ``keep_pos=True`` is
+    the DV-writer shape: the raw positional scan their marking
+    machinery needs, ids resolved the same way."""
+    mat_id, mat_ver = _rt_materialized_names(snap, ctx)
+    return _rt_resolve(
+        spark, path, snap, mat_id, mat_ver,
+        apply_dvs=apply_dvs, keep_pos=keep_pos,
+    )
 
 
 def _affected_files(scan: DataFrame, cond: Column) -> list[str]:
@@ -1730,39 +1757,15 @@ def read_delta_rows(
             "table does not declare the rowTracking writer feature — "
             "row ids are undefined here; use read_delta"
         )
-    mat_id = cfg.get("delta.rowTracking.materializedRowIdColumnName")
-    mat_ver = cfg.get(
-        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    scan, (id_col, ver_col) = _rt_resolve(
+        spark, path, snap,
+        cfg.get("delta.rowTracking.materializedRowIdColumnName"),
+        cfg.get("delta.rowTracking.materializedRowCommitVersionColumnName"),
     )
-    extras = tuple(c for c in (mat_id, mat_ver) if c)
-    scan = _scan_with_file(
-        spark, path, snap, with_pos=True, apply_dvs=True,
-        extra_phys_cols=extras,
-    )
-    base_rows = [
-        (
-            urllib.parse.unquote(p).split("/")[-1],
-            a.get("baseRowId"),
-            a.get("defaultRowCommitVersion"),
-        )
-        for p, a in sorted(snap.files.items())
-    ]
-    id_map = F.broadcast(
-        spark.createDataFrame(
-            base_rows, f"{_FILE_COL} string, __base long, __dver long"
-        )
-    )
-    rid = F.col("__base") + F.col(_POS_COL)
-    rver = F.col("__dver")
-    if mat_id:
-        rid = F.coalesce(F.col(mat_id), rid)
-    if mat_ver:
-        rver = F.coalesce(F.col(mat_ver), rver)
     assert snap.schema is not None
     cols = [f.name for f in snap.schema.fields]
-    return (
-        scan.join(id_map, on=_FILE_COL, how="left")
-        .withColumn("_row_id", rid)
-        .withColumn("_row_commit_version", rver)
-        .select(*cols, "_row_id", "_row_commit_version")
+    return scan.select(
+        *cols,
+        F.col(id_col).alias("_row_id"),
+        F.col(ver_col).alias("_row_commit_version"),
     )

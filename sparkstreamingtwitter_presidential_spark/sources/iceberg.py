@@ -1208,7 +1208,6 @@ def _resolve_lineage(
     spark: SparkSession,
     entries: list[dict],
     frame: DataFrame,
-    updated_cond: Any | None = None,
 ) -> DataFrame:
     """Resolve both lineage columns on a lineage-schema scan frame
     carrying the path/position pseudo-columns, exactly as a v3 reader
@@ -1216,11 +1215,11 @@ def _resolve_lineage(
     first_row_id (resolved at entry resolution — explicit field 142 or
     manifest inheritance) + in-file position, else NULL (lineage-less
     history). ``_last_updated_sequence_number`` = materialized value,
-    else the file's DATA sequence number — except where
-    ``updated_cond`` holds (rows this DML modifies): there it becomes
-    NULL so the re-staged file's OWN data sequence (this commit)
-    derives on read, per spec. The id map is manifest metadata — one
-    tiny broadcast row per live data file, no shuffle."""
+    else the file's DATA sequence number. (DML paths that MODIFY rows
+    null the resolved last-updated at their own select, so the
+    re-staged file's data sequence — this commit — derives on read.)
+    The id map is manifest metadata — one tiny broadcast row per live
+    data file, no shuffle."""
     firsts = [
         (
             _norm_path(e["data_file"]["file_path"]),
@@ -1235,8 +1234,6 @@ def _resolve_lineage(
         )
     )
     lus = F.coalesce(F.col(_LAST_UPDATED_COL), F.col("__fseq"))
-    if updated_cond is not None:
-        lus = F.when(updated_cond, F.lit(None).cast("long")).otherwise(lus)
     return (
         frame.join(id_map, on=_ABS_PATH_COL, how="left")
         .withColumn(
