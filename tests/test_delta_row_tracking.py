@@ -353,3 +353,61 @@ def test_dv_family_maintains_row_tracking(spark, tmp_path):
     assert lineage() == l4
     got = {r.id: r.v for r in read_delta(spark, t).collect()}
     assert got[3] == 53.0 and got[5] == -1.0 and 4 not in got
+
+
+def test_watermark_survives_both_checkpoint_forms_and_log_expiry(
+    spark, tmp_path
+):
+    """The rowIdHighWaterMark domain metadata must round-trip BOTH
+    checkpoint forms (classic parquet and the V2 manifest+sidecars) —
+    after expire_log drops the JSON commits, a lost watermark would
+    make the next append REUSE row ids."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        enable_row_tracking,
+        expire_log,
+        write_checkpoint,
+    )
+
+    for v2 in (False, True):
+        t = str(tmp_path / f"t_v2_{v2}")
+        write_delta(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(10)], "id long, v double"
+            ).coalesce(1),
+            t,
+        )
+        enable_row_tracking(spark, t)
+        cp = write_checkpoint(t, v2=v2)
+        expire_log(t, keep_from=cp)
+        write_delta(
+            spark.createDataFrame([(100, 1.0)], "id long, v double"), t
+        )
+        lin = {
+            r.id: r._row_id for r in read_delta_rows(spark, t).collect()
+        }
+        ids = sorted(lin.values())
+        assert len(ids) == len(set(ids)), f"id reuse (v2={v2})"
+        assert lin[100] >= 10, f"watermark lost through checkpoint v2={v2}"
+
+
+def test_lineage_read_plans_without_shuffle(spark, tmp_path):
+    """Scale pin: read_delta_rows resolves ids with ONE broadcast
+    hash join against the metadata id map — no Exchange other than the
+    broadcast, no window, no global ordering pass (the 100 TB shape)."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        enable_row_tracking,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "id long, v double"
+        ).repartition(2),
+        t,
+    )
+    enable_row_tracking(spark, t)
+    plan = read_delta_rows(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan

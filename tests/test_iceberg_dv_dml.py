@@ -705,3 +705,24 @@ def test_row_lineage_stable_across_manifest_rewrites(spark, tmp_path):
     # plain reads never expose the lineage columns
     cols = read_iceberg(spark, t).columns
     assert "_row_id" not in cols and "_last_updated_sequence_number" not in cols
+
+
+def test_lineage_read_plans_without_shuffle(spark, tmp_path):
+    """Scale pin (the Delta twin's): read_iceberg_lineage resolves ids
+    with ONE broadcast hash join against the manifest id map — no
+    shuffle exchange, no window, no global ordering pass."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        read_iceberg_lineage,
+    )
+
+    t = _table(spark, tmp_path, n=100)
+    plan = (
+        read_iceberg_lineage(spark, t)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
