@@ -4466,7 +4466,13 @@ def upsert_iceberg_mor(
     those values after the delete filter; use CoW merge_iceberg).
     Duplicate source keys refuse (an in-batch order would be
     arbitrary); empty batches commit nothing. Returns the (possibly
-    unchanged) snapshot id."""
+    unchanged) snapshot id.
+
+    v3 ROW LINEAGE semantics (decided, r12): an equality upsert IS a
+    delete + insert per the spec — the re-inserted version of a key is
+    a NEW row and mints a FRESH ``_row_id`` (no identity carry across
+    the equality delete); engines needing carried identity use the DV
+    or CoW merge paths, which preserve it."""
     import shutil
 
     import pyarrow.parquet as pq

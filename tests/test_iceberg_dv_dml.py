@@ -726,3 +726,39 @@ def test_lineage_read_plans_without_shuffle(spark, tmp_path):
     assert "Window" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_row_lineage_stable_across_rewrite_manifests(spark, tmp_path):
+    """Manifest compaction re-serializes every entry as EXISTING into
+    ONE new manifest — the exact shape the r11 advice flagged: without
+    explicit per-file first_row_id the fresh manifest base would shift
+    every derived id. With resolution-time stamping (r12) the ids are
+    byte-stable."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        rewrite_manifests,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        read_iceberg_lineage,
+    )
+
+    t = _table(spark, tmp_path, n=30)
+    for i in range(3):
+        write_iceberg(
+            spark.range(100 + i, 101 + i).selectExpr(
+                "id", "cast(id % 5 as long) as grp",
+                "cast(id * 1.5 as double) as val",
+            ),
+            t,
+            mode="append",
+        )
+    before = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_iceberg_lineage(spark, t).collect()
+    }
+    assert len({x[0] for x in before.values()}) == 33
+    rewrite_manifests(spark, t)
+    after = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_iceberg_lineage(spark, t).collect()
+    }
+    assert after == before
