@@ -411,3 +411,94 @@ def test_lineage_read_plans_without_shuffle(spark, tmp_path):
     assert "Window" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_row_tracking_on_column_mapped_table(spark, tmp_path):
+    """Row tracking composes with name-mode column mapping: the
+    materialized columns are PHYSICAL names riding beside the mapped
+    data columns, so enable + append + CoW update carry ids exactly as
+    on unmapped tables."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        enable_row_tracking,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        update_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(12)], "id long, v double"
+        ).coalesce(1),
+        t,
+        column_mapping="name",
+    )
+    enable_row_tracking(spark, t)
+    base = {
+        r.id: (r._row_id, r._row_commit_version)
+        for r in read_delta_rows(spark, t).collect()
+    }
+    assert sorted(x[0] for x in base.values()) == list(range(12))
+    write_delta(
+        spark.createDataFrame([(50, 5.0)], "id long, v double"), t
+    )
+    update_delta(spark, t, {"v": "v * 10"}, "id = 3")
+    lin = {
+        r.id: (r._row_id, r._row_commit_version)
+        for r in read_delta_rows(spark, t).collect()
+    }
+    assert lin[3][0] == base[3][0] and lin[3][1] == 3
+    assert lin[50][0] == 12 and lin[50][1] == 2
+    assert all(lin[i] == base[i] for i in base if i != 3)
+    got = {r.id: r.v for r in read_delta(spark, t).collect()}
+    assert got[3] == 30.0 and got[50] == 5.0
+
+
+def test_streaming_upsert_sink_maintains_row_tracking(spark, tmp_path):
+    """The exactly-once upsert committer (merge_delta / merge_delta_dv
+    under foreachBatch) maintains row tracking batch over batch:
+    matched keys keep their ids across micro-batches, inserts mint
+    fresh ones, and the txn idempotence marker rides the same commit."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        enable_row_tracking,
+    )
+    from sparkstreamingtwitter_presidential_spark.streaming.delta_upsert import (
+        delta_upsert_committer,
+    )
+
+    for use_dvs in (False, True):
+        t = str(tmp_path / f"t_dv_{use_dvs}")
+        write_delta(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(8)], "id long, v double"
+            ).coalesce(1),
+            t,
+        )
+        enable_row_tracking(spark, t)
+        base = {
+            r.id: r._row_id for r in read_delta_rows(spark, t).collect()
+        }
+        commit = delta_upsert_committer(
+            spark, t, ["id"], app_id=f"rt-{use_dvs}", use_dvs=use_dvs
+        )
+        commit(
+            spark.createDataFrame([(3, 30.0), (90, 9.0)], "id long, v double"),
+            0,
+        )
+        commit(
+            spark.createDataFrame([(90, 91.0)], "id long, v double"), 1
+        )
+        commit(  # redelivery of batch 1: must be a durable no-op
+            spark.createDataFrame([(90, -1.0)], "id long, v double"), 1
+        )
+        lin = {
+            r.id: (r._row_id, r._row_commit_version)
+            for r in read_delta_rows(spark, t).collect()
+        }
+        assert lin[3][0] == base[3], f"matched id shifted (dv={use_dvs})"
+        first_90 = lin[90][0]
+        assert first_90 not in set(base.values())
+        got = {r.id: r.v for r in read_delta(spark, t).collect()}
+        assert got[3] == 30.0 and got[90] == 91.0, f"dv={use_dvs}"
+        ids = [x[0] for x in lin.values()]
+        assert len(ids) == len(set(ids))
