@@ -502,3 +502,37 @@ def test_streaming_upsert_sink_maintains_row_tracking(spark, tmp_path):
         assert got[3] == 30.0 and got[90] == 91.0, f"dv={use_dvs}"
         ids = [x[0] for x in lin.values()]
         assert len(ids) == len(set(ids))
+
+
+def test_restore_keeps_ids_and_never_reuses_the_watermark(spark, tmp_path):
+    """RESTORE re-adds the target version's files verbatim (ids carried
+    in the add actions) and leaves the watermark domain UNTOUCHED — so
+    rows removed by the rollback never get their ids recycled by a
+    later append (the spec's ids-are-never-reused rule)."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        enable_row_tracking,
+        restore_delta,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "id long, v double"
+        ).coalesce(1),
+        t,
+    )
+    enable_row_tracking(spark, t)  # v1
+    base = {r.id: r._row_id for r in read_delta_rows(spark, t).collect()}
+    write_delta(
+        spark.createDataFrame([(100, 1.0)], "id long, v double"), t
+    )  # v2 claims ids >= 6
+    restore_delta(spark, t, 1)  # roll back past the append
+    lin = {r.id: r._row_id for r in read_delta_rows(spark, t).collect()}
+    assert lin == base
+    # a post-restore append must NOT recycle the rolled-back range
+    write_delta(
+        spark.createDataFrame([(200, 2.0)], "id long, v double"), t
+    )
+    lin2 = {r.id: r._row_id for r in read_delta_rows(spark, t).collect()}
+    assert lin2[200] >= 7, f"id recycled: {lin2[200]}"
+    assert len(set(lin2.values())) == len(lin2)
