@@ -1369,6 +1369,15 @@ def set_delta_properties(path: str, props: dict[str, str]) -> int:
     feature's legacy version), a table-features protocol gains
     ``changeDataFeed`` in writerFeatures. Returns the new version.
     Driver-only — no Spark job."""
+    if props.get("delta.enableRowTracking") == "true":
+        # the property alone would leave the table enabled WITHOUT the
+        # protocol feature, materialized names, backfill, or watermark
+        # — an unmaintainable half-state every later write would refuse
+        raise ValueError(
+            "delta.enableRowTracking needs the full enablement commit "
+            "(protocol upgrade + backfill + rowIdHighWaterMark); use "
+            "enable_row_tracking(spark, path)"
+        )
     snap = _replay_log(path, None)
     assert snap.metadata_action is not None
     md = dict(snap.metadata_action)

@@ -536,3 +536,17 @@ def test_restore_keeps_ids_and_never_reuses_the_watermark(spark, tmp_path):
     lin2 = {r.id: r._row_id for r in read_delta_rows(spark, t).collect()}
     assert lin2[200] >= 7, f"id recycled: {lin2[200]}"
     assert len(set(lin2.values())) == len(lin2)
+
+
+def test_set_properties_steers_to_enable_row_tracking(spark, tmp_path):
+    """Setting delta.enableRowTracking through set_delta_properties
+    would leave an unmaintainable half-state (no protocol feature, no
+    backfill, no watermark) — it steers to enable_row_tracking."""
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        set_delta_properties,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, 1.0)], "id long, v double"), t)
+    with pytest.raises(ValueError, match="enable_row_tracking"):
+        set_delta_properties(t, {"delta.enableRowTracking": "true"})
