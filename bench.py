@@ -221,6 +221,11 @@ HEADLINE = [
     # read floor — resolving scan (materialized-vs-derived coalesce) +
     # the relational agg read over the DML'd table (staging warm).
     "lakehouse_delta_row_tracking_agg",
+    # Round-12 late: write-audit-publish (staging warm; timed work is
+    # the metadata invariant walk — ancestry/provenance/log-monotone —
+    # + the five-snapshot main read; publish itself is a one-time
+    # metadata commit inside staging).
+    "lakehouse_iceberg_wap_agg",
 ]
 
 

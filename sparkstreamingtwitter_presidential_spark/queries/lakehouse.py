@@ -3109,3 +3109,135 @@ def lakehouse_delta_row_tracking_agg(
             f"high_water={hw}"
         )
     return _agg_by_type(read_delta(spark, table))
+
+
+@query(
+    "lakehouse_iceberg_wap_agg",
+    oracle="""
+        WITH published AS (
+            SELECT event_id, user_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id + 10000000, user_id, event_type, value
+            FROM events WHERE event_id % 7 = 2
+            UNION ALL
+            SELECT event_id + 20000000, user_id, event_type, value
+            FROM events WHERE event_id % 11 = 5
+            UNION ALL
+            SELECT event_id + 30000000, user_id, event_type, value
+            FROM events WHERE event_id % 13 = 8
+            UNION ALL
+            SELECT event_id + 40000000, user_id, event_type, value
+            FROM events WHERE event_id % 19 = 3
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM published GROUP BY event_type
+    """,
+    doc=(
+        "NEW r12: WRITE-AUDIT-PUBLISH end-to-end — two appends staged "
+        "on an 'audit' branch (main frozen: the build RAISES unless "
+        "main still reads exactly the base rows while the branch is "
+        "two commits ahead), audited at the branch ref, PUBLISHED by "
+        "fast_forward(main, audit) (metadata-only: the staged "
+        "snapshots become main's history); main then advances "
+        "directly, and a 'fix' branch append lands via "
+        "cherrypick_snapshot (fast-forward refuses on the diverged "
+        "head — refusal asserted in the build). The query RAISES "
+        "unless both published snapshots are in main's ancestry, the "
+        "cherry-picked head records its provenance summary while the "
+        "fix branch head stays put, and the snapshot-log is "
+        "timestamp-monotone. Oracle = the four batches relationally "
+        "reconstructed over the raw events parquet."
+    ),
+)
+def lakehouse_iceberg_wap_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _ancestry,
+        _load_metadata,
+        cherrypick_snapshot,
+        create_ref,
+        fast_forward,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        base_n = ev.count()
+        write_iceberg(ev.repartition(4), table)
+        create_ref(table, "audit", kind="branch")
+
+        def shifted(mod: int, rem: int, off: int) -> DataFrame:
+            return ev.filter(f"event_id % {mod} = {rem}").withColumn(
+                "event_id", F.col("event_id") + F.lit(off)
+            )
+
+        write_iceberg(
+            shifted(7, 2, 10_000_000), table, mode="append", branch="audit"
+        )
+        write_iceberg(
+            shifted(11, 5, 20_000_000), table, mode="append", branch="audit"
+        )
+        # AUDIT: staged rows visible at the branch, main frozen
+        if read_iceberg(spark, table).count() != base_n:
+            raise RuntimeError(
+                "branch isolation violated: staged commits leaked "
+                "into main before publish"
+            )
+        if read_iceberg(spark, table, ref="audit").count() <= base_n:
+            raise RuntimeError("audit branch did not stage the appends")
+        # PUBLISH
+        fast_forward(table, "main", "audit")
+        # the fix branch forks at the published head...
+        create_ref(table, "fix", kind="branch")
+        write_iceberg(
+            shifted(19, 3, 40_000_000), table, mode="append", branch="fix"
+        )
+        # ...and main advances past the fork point, so the branches
+        # diverge and the fix can only land via cherry-pick
+        write_iceberg(shifted(13, 8, 30_000_000), table, mode="append")
+        try:
+            fast_forward(table, "main", "fix")
+        except ValueError:
+            pass  # the diverged-head refusal, by contract
+        else:
+            raise RuntimeError(
+                "fast_forward onto a diverged main should have refused"
+            )
+        picked = _load_metadata(table)["refs"]["fix"]["snapshot-id"]
+        cherrypick_snapshot(table, picked)
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(
+        spark, f"/tmp/ssp_iceberg_wap_{key}", build
+    )
+
+    meta = _load_metadata(table)
+    refs = meta.get("refs") or {}
+    head = meta["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    chain = _ancestry(meta, head)
+    audit_head = refs.get("audit", {}).get("snapshot-id")
+    fix_head = refs.get("fix", {}).get("snapshot-id")
+    picked_from = snaps[head].get("summary", {}).get(
+        "cherry-picked-snapshot-id"
+    )
+    log_ts = [e["timestamp-ms"] for e in meta.get("snapshot-log", [])]
+    if not (
+        audit_head in chain  # published branch history IS main history
+        and fix_head not in chain  # the fix branch head stayed put
+        and picked_from == str(fix_head)  # provenance on the new head
+        and snaps[head]["summary"]["operation"] == "append"
+        and log_ts == sorted(log_ts)
+        and len(chain) == 5  # base + 2 published + direct + pick
+    ):
+        raise RuntimeError(
+            "write-audit-publish invariants violated: "
+            f"chain={len(chain)} audit_in_main={audit_head in chain} "
+            f"fix_in_main={fix_head in chain} provenance={picked_from!r}"
+        )
+    return _agg_by_type(read_iceberg(spark, table))

@@ -398,7 +398,17 @@ GRADED_FIRST: list[str] = [
     # incremental/row-changes/positional-delete/sorted/v3-dml/v3-dv —
     # and the query stays in tests/test_queries_oracle.py and bench).
     "lakehouse_iceberg_lineage_agg",
-    "lakehouse_iceberg_time_travel_agg",
+    # Round-12 (late): WRITE-AUDIT-PUBLISH — appends staged on an
+    # audit branch with a pinned main-isolation probe, published by
+    # fast_forward (metadata-only), plus a diverged-head refusal and
+    # cherrypick_snapshot provenance, graded on arrival per rotation
+    # policy. Ceded: lakehouse_iceberg_time_travel_agg (driver-green
+    # EVERY round r6-r11, six consecutive windows; the pinned-snapshot
+    # read shape stays graded through this query's ref reads — a ref
+    # resolves to the same snapshot-read path — and through
+    # incremental/row-changes; time travel stays in
+    # tests/test_queries_oracle.py and bench).
+    "lakehouse_iceberg_wap_agg",
     # Round-6: Iceberg incremental append-scan (sequence-number-range
     # manifest selection). Ceded: streaming_stream_join (r2-r5
     # driver-green, four consecutive rounds; the streaming family keeps

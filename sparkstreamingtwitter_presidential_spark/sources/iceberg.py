@@ -2888,6 +2888,155 @@ def table_refs(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _ancestry(meta: dict, head_id: int) -> list[int]:
+    """Snapshot-id chain from ``head_id`` back toward the root (head
+    first). The walk stops at an expired ancestor (its parent id no
+    longer resolves) — per spec a snapshot's parent pointer may
+    dangle after expire_snapshots, and for ancestry checks a dangling
+    chain simply means 'not an ancestor we can prove'."""
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    chain: list[int] = []
+    cur: int | None = head_id
+    while cur is not None and cur in by_id:
+        chain.append(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    return chain
+
+
+def fast_forward(path: str, branch: str, to: str) -> int:
+    """The `fast_forward` maintenance procedure (Spark SQL
+    `CALL system.fast_forward(table, branch, to)`) — the PUBLISH half
+    of branch-based write-audit-publish: move ``branch`` (commonly
+    `'main'`) to the head of ref ``to``, iff ``branch``'s current head
+    is an ancestor of ``to``'s head (publishing never discards
+    commits; a diverged target refuses and points at
+    cherrypick_snapshot). Metadata-only commit: no data or manifest
+    bytes move — the audited branch snapshots simply BECOME main's
+    history, so publish cost is O(1) in table size.
+
+    Semantics pinned to Iceberg's procedure: advancing a named branch
+    CREATES it when absent; tags refuse (immutable pins); advancing
+    `'main'` appends one snapshot-log entry per newly published
+    snapshot (oldest first, stamped at publish time — the log records
+    when a snapshot BECAME current, which for staged branch commits
+    is now), so timestamp time-travel lands on published state only
+    after the publish instant. A no-op fast-forward (already at the
+    target) returns without committing. Returns the new head id."""
+    meta = _load_metadata(path)
+    refs = dict(meta.get("refs") or {})
+    src = _resolve_ref(meta, to)
+    if branch == "main":
+        cur = meta.get("current-snapshot-id")
+        if cur == -1:
+            cur = None
+    else:
+        r = refs.get(branch)
+        if r is not None and r.get("type") != "branch":
+            raise ValueError(
+                f"ref {branch!r} is a tag — tags are immutable pins; "
+                "only branches fast-forward"
+            )
+        cur = r["snapshot-id"] if r is not None else None
+    if cur == src:
+        return src  # idempotent no-op, no version burned
+    chain = _ancestry(meta, src)
+    if cur is not None and cur not in chain:
+        raise ValueError(
+            f"cannot fast-forward {branch!r} to {to!r}: its head "
+            f"{cur} is not an ancestor of {src} — the branches have "
+            "diverged; replay the commits with cherrypick_snapshot"
+        )
+    new_meta = dict(meta)
+    new_meta.pop("_loaded_version", None)
+    if branch == "main":
+        now_ms = int(time.time() * 1000)
+        published = chain if cur is None else chain[: chain.index(cur)]
+        new_meta["current-snapshot-id"] = src
+        new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now_ms, "snapshot-id": sid}
+            for sid in reversed(published)
+        ]
+    else:
+        refs[branch] = {"snapshot-id": src, "type": "branch"}
+        new_meta["refs"] = refs
+    _claim_metadata_version(path, meta, new_meta)
+    return src
+
+
+def cherrypick_snapshot(path: str, snapshot_id: int) -> int:
+    """The `cherrypick_snapshot` procedure (Spark SQL
+    `CALL system.cherrypick_snapshot(table, snapshot_id)`): re-apply
+    one APPEND snapshot (typically staged on an audit branch) onto the
+    CURRENT main head as a NEW snapshot — the publish path when main
+    has advanced past the branch point and fast_forward refuses.
+
+    Scope matches Iceberg's own restriction: only snapshots whose
+    summary operation is `append` are pickable — a delete/overwrite/
+    replace captures file-level conflicts against its original parent
+    that cannot be re-validated file-for-file here, so those refuse by
+    name (real Iceberg additionally allows WAP dynamic overwrites;
+    this engine stages overwrites via branches + fast_forward
+    instead). A snapshot already in main's ancestry refuses (picking
+    it again would duplicate its rows).
+
+    The commit re-adds exactly the files the picked snapshot ADDED
+    (attribution-filtered from its live entries) and carries main's
+    manifests verbatim, so cost is O(picked files) metadata — data
+    bytes never move. On v3 tables the re-added files mint FRESH row
+    ids from main's `next-row-id` (the branch's assigned ids belong
+    to branch history; main never saw those rows), so explicit
+    branch-side first_row_id stamps are stripped. Returns the new
+    main snapshot id."""
+    meta = _load_metadata(path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(f"unknown snapshot {snapshot_id}")
+    picked = snaps[snapshot_id]
+    op = picked.get("summary", {}).get("operation")
+    if op != "append":
+        raise NotImplementedError(
+            f"cherrypick of a {op!r} snapshot is not supported (only "
+            "appends are safely re-applicable onto a moved head); "
+            "stage non-append work on a branch and publish with "
+            "fast_forward"
+        )
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        cur = None
+    if cur is not None and snapshot_id in _ancestry(meta, cur):
+        raise ValueError(
+            f"snapshot {snapshot_id} is already in main's ancestry; "
+            "cherry-picking it again would duplicate its rows"
+        )
+    entries, dels = _entries_and_deletes_for_snapshot(path, picked)
+    added = []
+    for e in entries:
+        if e["snapshot_id"] != snapshot_id:
+            continue
+        df_dict = dict(e["data_file"])
+        df_dict.pop("first_row_id", None)  # fresh ids mint on main
+        added.append(df_dict)
+    if not added:
+        raise ValueError(
+            f"snapshot {snapshot_id} added no live data files; "
+            "nothing to cherry-pick"
+        )
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+    part_fields = _partition_fields(meta, ice_schema)
+    return _commit_snapshot(
+        path,
+        meta,
+        ice_schema,
+        part_fields,
+        added_files=added,
+        existing_entries=[],
+        deleted_entries=[],
+        carry_prior_manifests=True,
+        operation="append",
+        summary_extra={"cherry-picked-snapshot-id": str(snapshot_id)},
+    )
+
+
 # ---------------------------------------------------------------- writing
 
 
