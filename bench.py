@@ -226,6 +226,11 @@ HEADLINE = [
     # + the five-snapshot main read; publish itself is a one-time
     # metadata commit inside staging).
     "lakehouse_iceberg_wap_agg",
+    # Round-12 late: shallow clone (staging warm; timed work is the
+    # two log replays + provenance checks + the clone read over
+    # absolute-path adds — a regression here means the fork machinery
+    # started copying or re-listing data).
+    "lakehouse_delta_clone_agg",
 ]
 
 

@@ -3241,3 +3241,114 @@ def lakehouse_iceberg_wap_agg(
             f"fix_in_main={fix_head in chain} provenance={picked_from!r}"
         )
     return _agg_by_type(read_iceberg(spark, table))
+
+
+@query(
+    "lakehouse_delta_clone_agg",
+    oracle="""
+        WITH cloned AS (
+            SELECT event_id, user_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id + 10000000, user_id, event_type, value
+            FROM events WHERE event_id % 7 = 2
+            UNION ALL
+            SELECT event_id + 30000000, user_id, event_type, value
+            FROM events WHERE event_id % 13 = 8
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM cloned GROUP BY event_type
+    """,
+    doc=(
+        "NEW r12: SHALLOW CLONE end-to-end — the source stages base + "
+        "one append, clone_delta forks it at that version (zero-copy: "
+        "version-0 adds are url-encoded ABSOLUTE paths into source "
+        "storage), then the tables diverge: a later SOURCE append "
+        "(+20M ids) must stay invisible to the clone while a CLONE "
+        "append (+30M ids) stays invisible to the source. The query "
+        "RAISES unless the clone's commit 0 carries CLONE provenance "
+        "(operation, sourceVersion=1, isShallow) with a FRESH table "
+        "id, every version-0 add resolves into source storage, and "
+        "the two tables' reads diverge by exactly the expected row "
+        "deltas. Oracle = base + first append + clone-side append "
+        "relationally reconstructed over the raw events parquet."
+    ),
+)
+def lakehouse_delta_clone_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import urllib.parse
+
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        clone_delta,
+    )
+
+    def build(spark: SparkSession, root: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        src, dst = os.path.join(root, "src"), os.path.join(root, "dst")
+
+        def shifted(mod: int, rem: int, off: int) -> DataFrame:
+            return ev.filter(f"event_id % {mod} = {rem}").withColumn(
+                "event_id", F.col("event_id") + F.lit(off)
+            )
+
+        write_delta(ev.repartition(4), src)
+        write_delta(shifted(7, 2, 10_000_000), src, mode="append")
+        clone_delta(src, dst)  # forks at source version 1
+        # divergence: source moves on, the clone moves independently
+        write_delta(shifted(11, 5, 20_000_000), src, mode="append")
+        write_delta(shifted(13, 8, 30_000_000), dst, mode="append")
+
+    key = _events_cache_key(spark, sf_dir)
+    root = _staged_iceberg_locked(
+        spark, f"/tmp/ssp_delta_clone_{key}", build
+    )
+    src, dst = os.path.join(root, "src"), os.path.join(root, "dst")
+
+    import json as _json
+
+    def _commit(table: str, v: int) -> list[dict]:
+        with open(
+            os.path.join(table, "_delta_log", f"{v:020d}.json")
+        ) as fh:
+            return [_json.loads(ln) for ln in fh if ln.strip()]
+
+    acts = _commit(dst, 0)
+    ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+    md = next(a["metaData"] for a in acts if "metaData" in a)
+    src_md = next(
+        a["metaData"] for a in _commit(src, 0) if "metaData" in a
+    )
+    src_abs = os.path.abspath(src) + os.sep
+    adds = [a["add"]["path"] for a in acts if "add" in a]
+    src_n = read_delta(spark, src).count()
+    dst_df = read_delta(spark, dst)
+    dst_n = dst_df.count()
+    # one pass over events for all four expected-count legs
+    c = load_table(spark, sf_dir, "events").agg(
+        F.count("*").alias("base_n"),
+        F.sum((F.col("event_id") % 7 == 2).cast("long")).alias("n2"),
+        F.sum((F.col("event_id") % 11 == 5).cast("long")).alias("n3"),
+        F.sum((F.col("event_id") % 13 == 8).cast("long")).alias("n4"),
+    ).collect()[0]
+    base_n, n2, n3, n4 = c.base_n, c.n2, c.n3, c.n4
+    if not (
+        ci["operation"] == "CLONE"
+        and ci["operationParameters"].get("sourceVersion") == "1"
+        and ci["operationParameters"].get("isShallow") == "true"
+        and md["id"] != src_md["id"]  # fresh identity
+        and adds
+        and all(
+            urllib.parse.unquote(p).startswith(src_abs) for p in adds
+        )
+        and src_n == base_n + n2 + n3  # source kept its own append
+        and dst_n == base_n + n2 + n4  # clone: fork + its own append
+    ):
+        raise RuntimeError(
+            "shallow-clone invariants violated: "
+            f"op={ci['operation']!r} src_n={src_n} dst_n={dst_n} "
+            f"base={base_n} fresh_id={md['id'] != src_md['id']}"
+        )
+    return _agg_by_type(dst_df)

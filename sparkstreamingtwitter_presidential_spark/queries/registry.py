@@ -415,7 +415,17 @@ GRADED_FIRST: list[str] = [
     # tumbling windows, exact dedup, the exactly-once upsert, and the
     # update-mode drain graded; stream-stream join stays in
     # tests/test_queries_oracle.py and the streaming pytest suite).
-    "lakehouse_iceberg_incremental_agg",
+    # Round-12 (late): Delta SHALLOW CLONE — zero-copy fork via
+    # absolute-path version-0 adds, with divergence in both directions
+    # and CLONE provenance pinned in-query, graded on arrival per
+    # rotation policy. Ceded: lakehouse_iceberg_incremental_agg
+    # (driver-green EVERY round r6-r11, six consecutive windows; the
+    # commit-range incremental shape stays graded through
+    # lakehouse_iceberg_row_changes — the changelog superset over the
+    # same sequence-range manifest selection — and through the Hudi
+    # incremental twin; the query stays in tests/test_queries_oracle.py
+    # and bench).
+    "lakehouse_delta_clone_agg",
     # Round-6: scan-piggybacked quality metrics (Dataset.observe — the
     # zero-extra-pass ETL profiling shape). Ceded: tpch_q17_small_
     # quantity_revenue (r4+r5 driver-green; TPC-H keeps Q3/Q5/Q8/Q9/

@@ -1620,6 +1620,101 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     )
 
 
+def clone_delta(
+    path: str, dst: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE (`CREATE TABLE dst SHALLOW CLONE src [VERSION AS
+    OF v]`): author a NEW table at ``dst`` whose version-0 commit
+    re-adds the source snapshot's live files by ABSOLUTE path — a
+    zero-copy, metadata-only fork (O(live files) driver work, no data
+    bytes move), the cheap way to branch a 100 TB table for an
+    experiment. The protocol's allowance is add.path being "relative
+    ... or an absolute path" (PROTOCOL.md §Add File and Remove File);
+    this engine writes url-encoded absolute filesystem paths, the
+    local-FS twin of the real writer's absolute URIs (consistent with
+    the repo's single-writer local-FS commit contract).
+
+    What carries: protocol verbatim; metaData with a FRESH table id
+    (two tables must not share identity) and createdTime; every live
+    add with partitionValues/stats/size/row-tracking fields verbatim
+    and `dataChange: true` (the rows are new TO THIS TABLE's readers);
+    deletion vectors — inline ("i") and absolute ("p") verbatim,
+    relative ("u") re-anchored as absolute "p" descriptors into the
+    source's storage (offset/size/cardinality unchanged, so decode and
+    CRC still verify); domainMetadata (notably delta.rowTracking's
+    rowIdHighWaterMark, so appends to the clone mint non-colliding
+    row ids). What does NOT carry: `txn` app ids (a clone is a new
+    sink — replaying a streaming writer against it must not be
+    deduped by the source's markers; the real CLONE drops them too)
+    and tombstones (dead files are not part of the fork).
+
+    After cloning, the tables diverge freely: source commits are
+    invisible to the clone and vice versa. Writes/DML on the clone
+    stage new files under ``dst`` (relative adds mix with the absolute
+    ones); vacuum_delta on the clone never reclaims source files (the
+    table-root guard). The real caveat carries too: VACUUM on the
+    SOURCE can reclaim files the clone still references — the clone
+    then fails loudly at scan time. Returns the clone's version (0).
+    """
+    snap = _replay_log(path, version)
+    if snap.metadata_action is None:
+        raise ValueError(f"source {path} has no metaData action")
+    dst_log = _log_path(dst)
+    if os.path.isdir(dst_log) and any(
+        _version_of(n, ".json") is not None for n in os.listdir(dst_log)
+    ):
+        raise ValueError(f"destination {dst} is already a Delta table")
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dv import (
+        _dv_abs_path,
+    )
+
+    src_abs = os.path.abspath(path)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = []
+    if snap.protocol_action is not None:
+        actions.append({"protocol": snap.protocol_action})
+    actions.append(
+        {
+            "metaData": {
+                **snap.metadata_action,
+                "id": str(uuid.uuid4()),
+                "createdTime": now_ms,
+            }
+        }
+    )
+    for dm in snap.domain_metadata.values():
+        actions.append({"domainMetadata": dm})
+    for p_, a in sorted(snap.files.items()):
+        fs_path = urllib.parse.unquote(p_)
+        if not os.path.isabs(fs_path):
+            fs_path = os.path.join(src_abs, fs_path)
+        add = {
+            **a,
+            "path": urllib.parse.quote(fs_path, safe="/"),
+            "dataChange": True,
+        }
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            add["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": _dv_abs_path(src_abs, dv),
+            }
+        actions.append({"add": add})
+    os.makedirs(dst_log, exist_ok=True)
+    return commit_actions(
+        dst,
+        -1,
+        actions,
+        "CLONE",
+        {
+            "sourceTable": src_abs,
+            "sourceVersion": str(snap.version),
+            "isShallow": "true",
+        },
+    )
+
+
 def delta_changes(
     spark: SparkSession,
     path: str,

@@ -1400,10 +1400,17 @@ def vacuum_delta(
         )
 
     deleted = []
+    table_root = os.path.abspath(path) + os.sep
     for rel, ts in sorted(tombstones.items()):
         if rel in snap.files or ts > cutoff:
             continue
         abs_path = os.path.join(path, urllib.parse.unquote(rel))
+        if not os.path.abspath(abs_path).startswith(table_root):
+            # an absolute path OUTSIDE the table root is a shallow
+            # clone's pointer into its SOURCE table (clone_delta) —
+            # never this table's storage to reclaim. Matches the real
+            # VACUUM's scope: only files under the table directory.
+            continue
         try:
             os.remove(abs_path)
             deleted.append(rel)
