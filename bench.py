@@ -231,6 +231,10 @@ HEADLINE = [
     # absolute-path adds — a regression here means the fork machinery
     # started copying or re-listing data).
     "lakehouse_delta_clone_agg",
+    # Round-12 late: identity columns (staging warm; timed work is the
+    # log replay + the arithmetic-series invariant agg + the relational
+    # agg read — generation itself happens once inside staging).
+    "lakehouse_delta_identity_agg",
 ]
 
 

@@ -3352,3 +3352,109 @@ def lakehouse_delta_clone_agg(
             f"base={base_n} fresh_id={md['id'] != src_md['id']}"
         )
     return _agg_by_type(dst_df)
+
+
+@query(
+    "lakehouse_delta_identity_agg",
+    oracle="""
+        WITH written AS (
+            SELECT event_id, user_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id + 10000000, user_id, event_type, value
+            FROM events WHERE event_id % 7 = 2
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM written GROUP BY event_type
+    """,
+    doc=(
+        "NEW r12: IDENTITY columns end-to-end — the table is created "
+        "with rid GENERATED ALWAYS AS IDENTITY (START 1000 STEP 10; "
+        "PROTOCOL.md writer version 6), the base events write "
+        "GENERATES values shuffle-free (per-partition offsets + a "
+        "map-only assignment — no Exchange), and a second append "
+        "continues from the persisted highWaterMark. The query RAISES "
+        "unless rid is unique with the exact arithmetic-series "
+        "aggregate (count/min/max/sum all determined by start+step "
+        "regardless of assignment order), the declared highWaterMark "
+        "equals the last value, and the protocol carries writer "
+        "version >= 6. Oracle = base + append relationally "
+        "reconstructed (rid itself is engine-assigned, so it is "
+        "pinned by the RAISE, not projected)."
+    ),
+)
+def lakehouse_delta_identity_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+
+    _START, _STEP = 1000, 10
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_delta(
+            ev.repartition(4),
+            table,
+            identity={"rid": {"start": _START, "step": _STEP}},
+        )
+        write_delta(
+            ev.filter("event_id % 7 = 2").withColumn(
+                "event_id", F.col("event_id") + F.lit(10_000_000)
+            ),
+            table,
+            mode="append",
+        )
+
+    table = _dml_staged_delta(spark, sf_dir, "identity", build)
+
+    md = None
+    with open(
+        os.path.join(table, "_delta_log", f"{0:020d}.json")
+    ) as fh:
+        for ln in fh:
+            a = _json.loads(ln)
+            if "protocol" in a:
+                proto = a["protocol"]
+    for n in sorted(
+        os.listdir(os.path.join(table, "_delta_log"))
+    ):
+        if n.endswith(".json"):
+            with open(os.path.join(table, "_delta_log", n)) as fh:
+                for ln in fh:
+                    a = _json.loads(ln)
+                    if "metaData" in a:
+                        md = a["metaData"]
+    fmeta = next(
+        f["metadata"]
+        for f in _json.loads(md["schemaString"])["fields"]
+        if f["name"] == "rid"
+    )
+    df = read_delta(spark, table)
+    s = df.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("rid").alias("n_ids"),
+        F.min("rid").alias("lo"),
+        F.max("rid").alias("hi"),
+        F.sum("rid").alias("total"),
+    ).collect()[0]
+    # the value SET is determined by the arithmetic series even though
+    # per-row assignment order is not: start, start+step, ...
+    exp_hi = _START + _STEP * (s.n - 1)
+    exp_sum = (_START + exp_hi) * s.n // 2
+    if not (
+        s.n == s.n_ids
+        and s.lo == _START
+        and s.hi == exp_hi
+        and s.total == exp_sum
+        and fmeta.get("delta.identity.highWaterMark") == exp_hi
+        and proto.get("minWriterVersion", 0) >= 6
+    ):
+        raise RuntimeError(
+            "identity invariants violated: "
+            f"n={s.n} distinct={s.n_ids} lo={s.lo} hi={s.hi} "
+            f"sum={s.total} hw={fmeta.get('delta.identity.highWaterMark')} "
+            f"writer={proto.get('minWriterVersion')}"
+        )
+    return _agg_by_type(df.drop("rid"))

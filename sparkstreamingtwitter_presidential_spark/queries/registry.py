@@ -276,13 +276,19 @@ GRADED_FIRST: list[str] = [
     # the text family keeps c4/unigram/oov/repetition graded slots).
     # Stays in tests/test_queries_oracle.py.
     "dedup_semantic_keep",
-    # Round-5 late additions #5: global row numbering without the
-    # single-partition sort (range shuffle + metadata-sized count pass +
-    # map-only offsets; plan-pinned Exchange-SinglePartition-free).
-    # Ceded: join_broadcast_dims (r1-r4 driver-green; the broadcast-dim
-    # shape stays graded via TPC-H Q3/Q5/Q7/Q8/Q9's dimension joins and
-    # stays bench-headlined for perf + in tests/test_queries_oracle.py).
-    "scale_global_row_numbers",
+    # Round-12 (late): Delta IDENTITY columns — GENERATED ALWAYS
+    # declaration at creation (writer version 6), shuffle-free value
+    # generation (per-partition offsets + map-only assignment, the
+    # Exchange-free numbering shape), highWaterMark advanced in the
+    # same commit and continued across appends, all pinned by an
+    # in-query arithmetic-series RAISE; graded on arrival per rotation
+    # policy. Ceded: scale_global_row_numbers (driver-green EVERY
+    # round r5-r11, seven consecutive windows; the Exchange-
+    # SinglePartition-free numbering plan is exactly the machinery
+    # this identity query's generation path exercises, stays
+    # plan-pinned in tests/test_scale_patterns.py, and the query stays
+    # in tests/test_queries_oracle.py and bench).
+    "lakehouse_delta_identity_agg",
     # Round-5 late additions #6: exactly-once streaming UPSERT (CDC-
     # shaped foreachBatch MERGE; txn marker atomically in the merge
     # commit). Ceded: streaming_delta_sink_agg (r3+r4 driver-green; its

@@ -615,6 +615,117 @@ def _generated_exprs(schema: StructType | None) -> list[tuple[str, str]]:
     return out
 
 
+def _identity_fields(
+    schema: StructType | None,
+) -> list[tuple[str, dict[str, Any]]]:
+    """(column name, field metadata) for every IDENTITY column the
+    schema declares (`delta.identity.start` / `.step` /
+    `.highWaterMark` / `.allowExplicitInsert` field metadata — Delta
+    PROTOCOL.md §Identity Columns). A field carrying ANY of the keys
+    is identity (the real writer always stamps start+step+allow;
+    highWaterMark appears after the first generation)."""
+    out: list[tuple[str, dict[str, Any]]] = []
+    for f in schema.fields if schema is not None else []:
+        md = f.metadata or {}
+        if any(k.startswith("delta.identity.") for k in md):
+            out.append((f.name, md))
+    return out
+
+
+def _assign_identity_values(
+    df: DataFrame, specs: list[tuple[str, int, int, int | None]]
+) -> tuple[DataFrame, dict[str, int], DataFrame]:
+    """Generate values for identity columns ABSENT from ``df`` —
+    shuffle-free, all columns in one pass: persist the incoming frame
+    (freezing its partitioning), count rows per partition (ONE
+    metadata-sized job — n_partitions rows to the driver), then assign
+    ``base + step * (exclusive_prefix_offset + local_position)``
+    map-only via mapInPandas. No Exchange appears; the plan scales as
+    a plain map over however the frame arrives, the same shape as
+    operators/scale.global_row_numbers minus the range sort (identity
+    values carry NO ordering contract — uniqueness + step arithmetic
+    only, per the protocol: "values ... are not guaranteed to be
+    consecutive").
+
+    ``specs``: (name, start, step, high_water_mark|None). The first
+    generated value is ``hw + step`` (or ``start`` on a virgin
+    column); negative steps count down, and the returned new
+    watermark is the LAST assigned value — the furthest point in step
+    direction, per spec."""
+    from pyspark.sql import types as T
+
+    frozen = df.persist()
+    counts = (
+        frozen.groupBy(F.spark_partition_id().alias("__pid"))
+        .count()
+        .collect()
+    )
+    sizes = {r["__pid"]: r["count"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    n = acc
+    bases = {
+        name: (start if hw is None else hw + step)
+        for name, start, step, hw in specs
+    }
+    steps = {name: step for name, _s, step, _h in specs}
+    new_hw = {
+        name: bases[name] + steps[name] * (n - 1)
+        for name, *_ in specs
+    }
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(name, T.LongType(), False)
+            for name, *_ in specs
+        ]
+    )
+    keep = [f.name for f in df.schema.fields]
+    tagged = frozen.withColumn("__pid", F.spark_partition_id())
+
+    def assign(batches):
+        local = 0
+        off = None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            if off is None:
+                off = offsets[int(b["__pid"].iloc[0])]
+            out = b[keep].copy()
+            k0 = off + local
+            for name in bases:
+                out[name] = [
+                    bases[name] + steps[name] * (k0 + i)
+                    for i in range(len(b))
+                ]
+            local += len(b)
+            yield out
+
+    # third element: the persisted handle — callers unpersist it once
+    # the assigned frame has been materialized (staged to parquet)
+    return tagged.mapInPandas(assign, schema=out_schema), new_hw, frozen
+
+
+def _md_with_identity_watermarks(
+    md: dict[str, Any], hw_updates: dict[str, int]
+) -> dict[str, Any]:
+    """A metaData action body with `delta.identity.highWaterMark`
+    advanced for the named fields (schemaString round-trip; all other
+    metadata preserved)."""
+    schema = StructType.fromJson(json.loads(md["schemaString"]))
+    fields = []
+    for f in schema.fields:
+        if f.name in hw_updates:
+            fmd = dict(f.metadata or {})
+            fmd["delta.identity.highWaterMark"] = hw_updates[f.name]
+            f = StructField(f.name, f.dataType, f.nullable, fmd)
+        fields.append(f)
+    return {**md, "schemaString": StructType(fields).json()}
+
+
 #: session/time-context builtins: Catalyst marks them deterministic
 #: (foldable per query), but a generated value computed at the ORIGINAL
 #: write time would legitimately differ from a re-evaluation now — so
@@ -2322,6 +2433,7 @@ def write_delta(
     merge_schema: bool = False,
     column_mapping: str | None = None,
     configuration: dict[str, str] | None = None,
+    identity: dict[str, dict[str, Any]] | None = None,
 ) -> int:
     """Commit df to a Delta table at ``path``; returns the new version.
 
@@ -2360,6 +2472,23 @@ def write_delta(
     version, and makes every later DML commit stage change-data files
     under ``_change_data/``; see delta_dml). Fixed at creation here —
     use :func:`set_delta_properties` to change an existing table.
+
+    ``identity`` (r12): declare IDENTITY columns on the CREATING write
+    (PROTOCOL.md §Identity Columns; legacy writer version 6) —
+    ``{col: {"start": 1, "step": 1, "allow_explicit_insert": False}}``.
+    A declared column ABSENT from the frame is GENERATED (shuffle-free:
+    one per-partition count job + a map-only assignment —
+    `_assign_identity_values`); present values are accepted only under
+    ``allow_explicit_insert`` (GENERATED BY DEFAULT) and refuse under
+    GENERATED ALWAYS — on this engine's own tables AND on foreign
+    tables declaring the metadata (previously a silent contract
+    violation). Generation advances `delta.identity.highWaterMark` in
+    the SAME commit's metaData; explicitly inserted values do NOT move
+    the watermark (the real writer's `ALTER TABLE ... SYNC IDENTITY`
+    boundary — collisions after explicit inserts are the documented
+    caveat there too). A commit conflict during a generating append
+    aborts instead of retrying (the values were derived from a stale
+    watermark, mirroring the row-tracking rule).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -2415,6 +2544,83 @@ def write_delta(
             )
         partition_by = existing.partition_columns
 
+    # IDENTITY columns (r12): normalize the creation request, or
+    # enforce + generate against an existing table's declared fields
+    id_hw_updates: dict[str, int] = {}
+    id_persist: DataFrame | None = None
+    id_create_md: dict[str, dict[str, Any]] = {}
+    if identity is not None:
+        if existing is not None:
+            raise ValueError(
+                "identity columns are fixed at table creation; the "
+                "table already exists"
+            )
+        if column_mapping is not None:
+            raise NotImplementedError(
+                "identity + column_mapping on one table is not "
+                "supported by this writer (physical-name staging "
+                "would need the identity metadata re-keyed)"
+            )
+        specs: list[tuple[str, int, int, int | None]] = []
+        for col, spec in identity.items():
+            start = int(spec.get("start", 1))
+            step = int(spec.get("step", 1))
+            if step == 0:
+                raise ValueError(f"identity column {col!r}: step must be nonzero")
+            allow = bool(spec.get("allow_explicit_insert", False))
+            id_create_md[col] = {
+                "delta.identity.start": start,
+                "delta.identity.step": step,
+                "delta.identity.allowExplicitInsert": allow,
+            }
+            if col in df.columns:
+                if not allow:
+                    raise ValueError(
+                        f"column {col!r} is GENERATED ALWAYS AS "
+                        "IDENTITY — explicit values are not accepted "
+                        "(declare allow_explicit_insert for GENERATED "
+                        "BY DEFAULT)"
+                    )
+            else:
+                specs.append((col, start, step, None))
+        if specs:
+            df, id_hw_updates, id_persist = _assign_identity_values(
+                df, specs
+            )
+            for col, hw in id_hw_updates.items():
+                id_create_md[col]["delta.identity.highWaterMark"] = hw
+    elif existing is not None:
+        id_fields = _identity_fields(existing.schema)
+        specs = []
+        for nm, fmd in id_fields:
+            if nm in df.columns:
+                if not fmd.get("delta.identity.allowExplicitInsert"):
+                    raise ValueError(
+                        f"column {nm!r} is GENERATED ALWAYS AS "
+                        "IDENTITY — the table's declared contract "
+                        "rejects explicit values; drop the column "
+                        "from the frame to have values generated"
+                    )
+                # GENERATED BY DEFAULT with provided values: accepted,
+                # watermark untouched (SYNC IDENTITY boundary)
+            else:
+                specs.append(
+                    (
+                        nm,
+                        int(fmd.get("delta.identity.start", 1)),
+                        int(fmd.get("delta.identity.step", 1)),
+                        (
+                            int(fmd["delta.identity.highWaterMark"])
+                            if "delta.identity.highWaterMark" in fmd
+                            else None
+                        ),
+                    )
+                )
+        if specs:
+            df, id_hw_updates, id_persist = _assign_identity_values(
+                df, specs
+            )
+
     actions: list[dict[str, Any]] = []
     version = 0 if existing is None else existing.version + 1
     if existing is None:
@@ -2448,9 +2654,36 @@ def write_delta(
                 "minWriterVersion": 5,
             }
         else:
-            schema_string = df.schema.json()
+            if id_create_md:
+                bad = [
+                    f.name
+                    for f in df.schema.fields
+                    if f.name in id_create_md
+                    and not isinstance(f.dataType, LongType)
+                ]
+                if bad:
+                    raise ValueError(
+                        f"identity columns must be LONG (bigint): {bad}"
+                    )
+                fields = [
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        {**(f.metadata or {}), **id_create_md[f.name]}
+                        if f.name in id_create_md
+                        else f.metadata,
+                    )
+                    for f in df.schema.fields
+                ]
+                schema_string = StructType(fields).json()
+                # identityColumns' legacy writer version (PROTOCOL.md
+                # "Table Features" appendix — writer 6)
+                protocol = {"minReaderVersion": 1, "minWriterVersion": 6}
+            else:
+                schema_string = df.schema.json()
+                protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
             config = {}
-            protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
         if configuration:
             config = {**config, **configuration}
             if (
@@ -2544,6 +2777,25 @@ def write_delta(
                 else:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             df = df.select(*[f.name for f in table_schema.fields])
+    if id_hw_updates and existing is not None:
+        # the generated range binds to this commit: advance the
+        # declared highWaterMark in the SAME commit's metaData (merge
+        # into an evolution-emitted action if one is present)
+        for a in actions:
+            if "metaData" in a:
+                a["metaData"] = _md_with_identity_watermarks(
+                    a["metaData"], id_hw_updates
+                )
+                break
+        else:
+            assert existing.metadata_action is not None
+            actions.append(
+                {
+                    "metaData": _md_with_identity_watermarks(
+                        existing.metadata_action, id_hw_updates
+                    )
+                }
+            )
     if mode == "overwrite" and existing is not None:
         now = int(time.time() * 1000)
         actions.extend(
@@ -2603,6 +2855,10 @@ def write_delta(
         )
         stage_partition_by = [mapping[c] for c in partition_by]
     actions.extend(_stage_files(df, path, stage_partition_by))
+    if id_persist is not None:
+        # staging materialized the assigned frame; release the frozen
+        # partitioning deterministically
+        id_persist.unpersist()
     rt_assigned = existing is not None and _row_tracking_active(existing)
     if rt_assigned:
         # row tracking (r12): claim fresh id ranges from the
@@ -2653,6 +2909,12 @@ def write_delta(
                     "the claimed row-id range and "
                     "defaultRowCommitVersion were derived from a stale "
                     "snapshot; re-run the write"
+                )
+            if id_hw_updates:
+                raise DeltaCommitConflict(
+                    "concurrent commit during an identity-generating "
+                    "append: the generated values were derived from a "
+                    "stale highWaterMark; re-run the write"
                 )
             if mode == "overwrite":
                 raise DeltaCommitConflict(
