@@ -1494,8 +1494,51 @@ def set_delta_properties(path: str, props: dict[str, str]) -> int:
     md = dict(snap.metadata_action)
     cfg = dict(md.get("configuration") or {})
     cfg.update(props)
-    md["configuration"] = cfg
     actions: list[dict[str, Any]] = []
+    if props.get("delta.enableInCommitTimestamps") == "true" and not (
+        (snap.metadata_action.get("configuration") or {}).get(
+            "delta.enableInCommitTimestamps"
+        )
+        == "true"
+    ):
+        # ICT enablement (PROTOCOL.md §In-Commit Timestamps): the
+        # protocol gains the inCommitTimestamp writer feature (table-
+        # features form, legacy-implied sets carried), and the
+        # provenance properties record WHERE the reliable clock starts
+        # — readers must not trust ICT semantics for versions before
+        # the enablement version. The enablement timestamp must equal
+        # the enablement commit's own inCommitTimestamp, so compute it
+        # here from the same parent commit_actions will see.
+        pr = dict(
+            snap.protocol_action
+            or {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+        if pr.get("writerFeatures") is None:
+            legacy = _LEGACY_WRITER_FEATURES.get(
+                pr.get("minWriterVersion", 2), []
+            )
+            pr["writerFeatures"] = sorted(set(legacy))
+            pr["minWriterVersion"] = 7
+            if pr.get("minReaderVersion", 1) >= 3:
+                pr.setdefault(
+                    "readerFeatures",
+                    _LEGACY_READER_FEATURES.get(
+                        pr.get("minReaderVersion", 1), []
+                    ),
+                )
+        if "inCommitTimestamp" not in pr["writerFeatures"]:
+            pr["writerFeatures"] = sorted(
+                set(pr["writerFeatures"]) | {"inCommitTimestamp"}
+            )
+        actions.append({"protocol": pr})
+        enable_version = snap.version + 1
+        parent = _parent_commit_ms(path, enable_version)
+        ict = max(int(time.time() * 1000), (parent or 0) + 1)
+        cfg["delta.inCommitTimestampEnablementVersion"] = str(
+            enable_version
+        )
+        cfg["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+    md["configuration"] = cfg
     if cfg.get("delta.enableChangeDataFeed") == "true":
         pr = dict(
             snap.protocol_action
@@ -1517,6 +1560,7 @@ def set_delta_properties(path: str, props: dict[str, str]) -> int:
         actions,
         "SET TBLPROPERTIES",
         {"properties": json.dumps(props)},
+        snapshot=snap,
     )
 
 
@@ -1602,6 +1646,7 @@ def enable_row_tracking(spark: SparkSession, path: str) -> int:
     return commit_actions(
         path, snap.version, actions, "SET TBLPROPERTIES",
         {"properties": json.dumps({"delta.enableRowTracking": "true"})},
+        snapshot=snap,
     )
 
 
@@ -1728,6 +1773,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
         actions,
         "RESTORE",
         {"version": str(version)},
+        snapshot=head,
     )
 
 
@@ -1784,15 +1830,20 @@ def clone_delta(
     actions: list[dict[str, Any]] = []
     if snap.protocol_action is not None:
         actions.append({"protocol": snap.protocol_action})
-    actions.append(
-        {
-            "metaData": {
-                **snap.metadata_action,
-                "id": str(uuid.uuid4()),
-                "createdTime": now_ms,
-            }
-        }
-    )
+    clone_md = {
+        **snap.metadata_action,
+        "id": str(uuid.uuid4()),
+        "createdTime": now_ms,
+    }
+    cfg = dict(clone_md.get("configuration") or {})
+    if _ict_enabled_cfg(cfg):
+        # the clone's reliable clock starts at ITS version 0 — source
+        # enablement provenance would point into a history the clone
+        # does not have (the real CLONE re-bases these too)
+        cfg["delta.inCommitTimestampEnablementVersion"] = "0"
+        cfg["delta.inCommitTimestampEnablementTimestamp"] = str(now_ms)
+        clone_md["configuration"] = cfg
+    actions.append({"metaData": clone_md})
     for dm in snap.domain_metadata.values():
         actions.append({"domainMetadata": dm})
     for p_, a in sorted(snap.files.items()):
@@ -2123,12 +2174,44 @@ class DeltaCommitConflict(RuntimeError):
     already rewrote)."""
 
 
+def _ict_enabled_cfg(cfg: dict[str, Any] | None) -> bool:
+    return (cfg or {}).get("delta.enableInCommitTimestamps") == "true"
+
+
+def _parent_commit_ms(path: str, version: int) -> int | None:
+    """The parent commit's clock reading for ICT monotonization: its
+    commitInfo.inCommitTimestamp when stamped, else its wall-clock
+    commitInfo timestamp, else the json file's mtime (the protocol's
+    fallback chain). None when the parent json is gone (expired log —
+    the child stamps from its own clock; max() keeps monotonicity over
+    whatever is still readable)."""
+    if version <= 0:
+        return None
+    f = os.path.join(_log_path(path), f"{version - 1:020d}.json")
+    if not os.path.isfile(f):
+        return None
+    ms: int | None = None
+    with open(f) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                ci = a["commitInfo"]
+                ms = ci.get("inCommitTimestamp", ci.get("timestamp"))
+    if ms is None:
+        ms = int(os.path.getmtime(f) * 1000)
+    return int(ms)
+
+
 def commit_actions(
     path: str,
     read_version: int,
     actions: list[dict[str, Any]],
     operation: str,
     operation_parameters: dict[str, Any] | None = None,
+    snapshot: _Snapshot | None = None,
 ) -> int:
     """Atomically commit ``actions`` as version ``read_version + 1``.
 
@@ -2137,18 +2220,56 @@ def commit_actions(
     DeltaCommitConflict instead of retrying, because actions derived
     from a stale snapshot (DML removes, optimize compactions) are not
     safe to replay against a moved table. Append-only writers that ARE
-    safe to retry (write_delta) keep their own loop."""
+    safe to retry (write_delta) keep their own loop.
+
+    ``snapshot`` (r12, ICT): the caller's already-replayed snapshot,
+    consulted for `delta.enableInCommitTimestamps` without a second
+    log replay. When the table (or a metaData action IN this commit —
+    the enablement shape) carries the flag, the commit stamps
+    `commitInfo.inCommitTimestamp = max(now, parent's clock + 1)`
+    (PROTOCOL.md §In-Commit Timestamps) and commitInfo moves FIRST in
+    the action list, the spec's requirement for ICT commits. Without
+    ``snapshot`` an ICT check replays the log only when the commit
+    itself carries no metaData."""
     version = read_version + 1
-    actions = list(actions) + [
-        {
-            "commitInfo": {
-                "timestamp": int(time.time() * 1000),
-                "operation": operation,
-                "operationParameters": operation_parameters or {},
-                "engineInfo": "sparkstreamingtwitter-presidential-spark native-delta",
-            }
-        }
-    ]
+    ci = {
+        "timestamp": int(time.time() * 1000),
+        "operation": operation,
+        "operationParameters": operation_parameters or {},
+        "engineInfo": "sparkstreamingtwitter-presidential-spark native-delta",
+    }
+    cfg: dict[str, Any] | None = None
+    has_md = False
+    for a in actions:
+        if "metaData" in a:
+            cfg = a["metaData"].get("configuration")
+            has_md = True
+    if not has_md:
+        if snapshot is not None:
+            cfg = (snapshot.metadata_action or {}).get("configuration")
+        elif read_version >= 0:
+            cfg = (
+                _replay_log(path, None).metadata_action or {}
+            ).get("configuration")
+    if _ict_enabled_cfg(cfg):
+        parent = _parent_commit_ms(path, version)
+        ict = max(ci["timestamp"], (parent or 0) + 1)
+        if (
+            cfg is not None
+            and cfg.get("delta.inCommitTimestampEnablementVersion")
+            == str(version)
+        ):
+            # the ENABLEMENT commit: its stamped clock must equal the
+            # recorded delta.inCommitTimestampEnablementTimestamp
+            # (set_delta_properties computed both from the same parent)
+            ict = max(
+                int(cfg["delta.inCommitTimestampEnablementTimestamp"]),
+                (parent or 0) + 1,
+            )
+        ci["inCommitTimestamp"] = ict
+        actions = [{"commitInfo": ci}] + list(actions)
+    else:
+        actions = list(actions) + [{"commitInfo": ci}]
     payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
     commit_file = os.path.join(_log_path(path), f"{version:020d}.json")
     try:
@@ -2866,19 +2987,34 @@ def write_delta(
         # claimed range and defaultRowCommitVersion bind to THIS
         # version, so a lost race aborts instead of retrying below
         actions = _assign_row_tracking(existing, actions, version)
-    actions.append(
-        {
-            "commitInfo": {
-                "timestamp": int(time.time() * 1000),
-                "operation": "WRITE",
-                "operationParameters": {"mode": mode},
-                "engineInfo": "sparkstreamingtwitter-presidential-spark native-delta",
-            }
-        }
-    )
-
-    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+    write_ci = {
+        "timestamp": int(time.time() * 1000),
+        "operation": "WRITE",
+        "operationParameters": {"mode": mode},
+        "engineInfo": "sparkstreamingtwitter-presidential-spark native-delta",
+    }
+    # ICT (r12): the table's (possibly this-commit-updated) config
+    # decides stamping; the stamp itself binds to the VERSION, so it
+    # is (re)computed inside the retry loop where version can advance
+    ict_cfg: dict[str, Any] | None = None
+    for a in actions:
+        if "metaData" in a:
+            ict_cfg = a["metaData"].get("configuration")
+    if ict_cfg is None and existing is not None:
+        ict_cfg = (existing.metadata_action or {}).get("configuration")
+    ict_on = _ict_enabled_cfg(ict_cfg)
     while True:
+        if ict_on:
+            parent = _parent_commit_ms(path, version)
+            write_ci["inCommitTimestamp"] = max(
+                write_ci["timestamp"], (parent or 0) + 1
+            )
+            all_actions = [{"commitInfo": write_ci}] + actions
+        else:
+            all_actions = actions + [{"commitInfo": write_ci}]
+        payload = "\n".join(
+            json.dumps(a, separators=(",", ":")) for a in all_actions
+        )
         commit_file = os.path.join(log_dir, f"{version:020d}.json")
         try:
             fd = os.open(commit_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
