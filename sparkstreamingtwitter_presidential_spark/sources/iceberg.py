@@ -137,6 +137,15 @@ def _spark_to_iceberg_type(dt: T.DataType, next_id) -> Any:
             "element": _spark_to_iceberg_type(dt.elementType, next_id),
             "element-required": not dt.containsNull,
         }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "key-id": next_id(),
+            "key": _spark_to_iceberg_type(dt.keyType, next_id),
+            "value-id": next_id(),
+            "value": _spark_to_iceberg_type(dt.valueType, next_id),
+            "value-required": not dt.valueContainsNull,
+        }
     if isinstance(dt, T.StructType):
         return {
             "type": "struct",
@@ -152,7 +161,8 @@ def _spark_to_iceberg_type(dt: T.DataType, next_id) -> Any:
         }
     raise NotImplementedError(
         f"iceberg source supports boolean/int/long/float/double/date/"
-        f"timestamp/string/binary/list/struct columns; got {dt.simpleString()}"
+        f"timestamp/string/binary/list/map/struct columns; got "
+        f"{dt.simpleString()}"
     )
 
 
@@ -170,6 +180,12 @@ def _iceberg_to_spark_type(t: Any) -> T.DataType:
         return T.ArrayType(
             _iceberg_to_spark_type(t["element"]),
             containsNull=not t.get("element-required", False),
+        )
+    if isinstance(t, dict) and t.get("type") == "map":
+        return T.MapType(
+            _iceberg_to_spark_type(t["key"]),
+            _iceberg_to_spark_type(t["value"]),
+            valueContainsNull=not t.get("value-required", False),
         )
     if isinstance(t, dict) and t.get("type") == "struct":
         return T.StructType(
@@ -900,16 +916,16 @@ def _refuse_v3_unsupported(meta: dict) -> None:
     """Format-version 3 READS are supported (r10) for the shapes this
     engine can serve exactly: snapshot scans, Puffin deletion vectors,
     and the v2-carried surfaces. Column DEFAULT VALUES are APPLIED
-    since r11: a top-level primitive field's ``initial-default``
-    injects as a typed constant for file groups written before the
-    column existed (_read_entries_projected — the same mechanism as
+    since r11 (primitives; structs r12, lists/maps r12-late): a
+    top-level field's ``initial-default`` injects as a typed constant
+    for file groups written before the column existed (_read_entries_projected — the same mechanism as
     partition-value injection); ``write-default`` is a writer-side
     rule this engine never consults (its own writers always provide
     every column). v3 features that would make a read WRONG if
     ignored refuse by NAME here:
 
-    * ``initial-default`` on a NESTED field or an undecodable /
-      non-primitive default value — refuse rather than misread.
+    * ``initial-default`` on a NESTED field or an undecodable
+      default value — refuse rather than misread.
 
     Row lineage metadata (``next-row-id``, ``first-row-id``) is
     ACCEPTED: it adds provenance columns this engine does not expose,
@@ -922,16 +938,19 @@ def _refuse_v3_unsupported(meta: dict) -> None:
         for f in fields:
             if "initial-default" in f:
                 t = f.get("type")
-                struct_typed = isinstance(t, dict) and t.get("type") == "struct"
-                if not top or not (isinstance(t, str) or struct_typed):
+                complex_typed = isinstance(t, dict) and t.get("type") in (
+                    "struct",
+                    "list",
+                    "map",
+                )
+                if not top or not (isinstance(t, str) or complex_typed):
                     raise NotImplementedError(
                         f"v3 field {f.get('name')!r} declares an "
-                        "initial-default on a nested field or a "
-                        "list/map-typed column; this reader applies "
-                        "top-level primitive and struct defaults only "
-                        "(spec §Default values: list/map defaults are "
-                        "the remaining shape) — refusing rather than "
-                        "reading NULLs where the spec says the default"
+                        "initial-default on a nested field; this "
+                        "reader applies top-level defaults only "
+                        "(primitive, struct, list, map) — refusing "
+                        "rather than reading NULLs where the spec "
+                        "says the default"
                     )
                 # decodability gate up front (refuse at metadata load,
                 # not mid-scan): the read path injects this literal
@@ -962,6 +981,49 @@ def _decode_default(ice_type: Any, v: Any, name: str) -> Any:
     import base64
     import datetime as _dt
 
+    if isinstance(ice_type, dict) and ice_type.get("type") == "list":
+        # spec: a list default serializes as a JSON array of element
+        # single-values; a JSON null element reads as null (legal only
+        # for an optional element, which the cast normalizes)
+        if not isinstance(v, list):
+            raise NotImplementedError(
+                f"v3 list default for field {name!r} is not a JSON "
+                f"array: {v!r}"
+            )
+        return [
+            _decode_default(ice_type["element"], e, f"{name}[{i}]")
+            if e is not None
+            else None
+            for i, e in enumerate(v)
+        ]
+    if isinstance(ice_type, dict) and ice_type.get("type") == "map":
+        # spec: a map default serializes as {"keys": [...],
+        # "values": [...]} with positionally-paired single-values
+        if not (
+            isinstance(v, dict)
+            and set(v) == {"keys", "values"}
+            and isinstance(v["keys"], list)
+            and isinstance(v["values"], list)
+            and len(v["keys"]) == len(v["values"])
+        ):
+            raise NotImplementedError(
+                f"v3 map default for field {name!r} is not the spec's "
+                f"keys/values pair-list object: {v!r}"
+            )
+        return {
+            "keys": [
+                _decode_default(ice_type["key"], k, f"{name}.keys[{i}]")
+                for i, k in enumerate(v["keys"])
+            ],
+            "values": [
+                _decode_default(
+                    ice_type["value"], x, f"{name}.values[{i}]"
+                )
+                if x is not None
+                else None
+                for i, x in enumerate(v["values"])
+            ],
+        }
     if isinstance(ice_type, dict) and ice_type.get("type") == "struct":
         if not isinstance(v, dict):
             raise NotImplementedError(
@@ -1024,6 +1086,47 @@ def _default_literal(ice_type: Any, v: Any, name: str):
     field-by-field (F.struct of per-field literals — nested structs
     recurse), absent/null fields reading as typed NULLs. The caller
     casts to the read-schema type, which normalizes nullability."""
+    if isinstance(ice_type, dict) and ice_type.get("type") == "list":
+        _decode_default(ice_type, v, name)  # shape gate, refuses by name
+        el_t = _iceberg_to_spark_type(ice_type["element"])
+        return F.array(
+            *[
+                (
+                    _default_literal(
+                        ice_type["element"], e, f"{name}[{i}]"
+                    )
+                    if e is not None
+                    else F.lit(None)
+                ).cast(el_t)
+                for i, e in enumerate(v)
+            ]
+        )
+    if isinstance(ice_type, dict) and ice_type.get("type") == "map":
+        _decode_default(ice_type, v, name)  # shape gate, refuses by name
+        k_t = _iceberg_to_spark_type(ice_type["key"])
+        v_t = _iceberg_to_spark_type(ice_type["value"])
+        return F.map_from_arrays(
+            F.array(
+                *[
+                    _default_literal(
+                        ice_type["key"], k, f"{name}.keys[{i}]"
+                    ).cast(k_t)
+                    for i, k in enumerate(v["keys"])
+                ]
+            ),
+            F.array(
+                *[
+                    (
+                        _default_literal(
+                            ice_type["value"], x, f"{name}.values[{i}]"
+                        )
+                        if x is not None
+                        else F.lit(None)
+                    ).cast(v_t)
+                    for i, x in enumerate(v["values"])
+                ]
+            ),
+        )
     if isinstance(ice_type, dict) and ice_type.get("type") == "struct":
         _decode_default(ice_type, v, name)  # shape gate, refuses by name
         cols = []

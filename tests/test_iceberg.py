@@ -196,10 +196,22 @@ def test_refusals_partitioned_and_deletes(spark, tmp_path):
         read_iceberg(spark, t)
 
 
-def test_unsupported_column_type_refused_up_front(spark, tmp_path):
-    df = spark.createDataFrame([({"k": 1},)], "m map<string,long>")
+def test_map_column_roundtrip_and_unsupported_type_refused(spark, tmp_path):
+    # map columns are first-class since r12 late (key-id/value-id
+    # allocated in the schema, both type-bridge directions)
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, {"k": 1, "j": None}), (2, {})], "id long, m map<string,long>"
+    )
+    write_iceberg(df, t)
+    got = {r.id: dict(r.m) for r in read_iceberg(spark, t).collect()}
+    assert got == {1: {"k": 1, "j": None}, 2: {}}
+    # genuinely unsupported types still refuse up front
+    from decimal import Decimal
+
+    bad = spark.createDataFrame([(Decimal("1.00"),)], "d decimal(10,2)")
     with pytest.raises(NotImplementedError, match="supports"):
-        write_iceberg(df, str(tmp_path / "t"))
+        write_iceberg(bad, str(tmp_path / "t2"))
 
 
 def test_lakehouse_fallback_routes_to_native_iceberg(spark, tmp_path):

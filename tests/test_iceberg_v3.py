@@ -400,8 +400,7 @@ def test_v3_struct_initial_default_applies(spark, tmp_path):
     ``initial-default`` decodes from the spec's field-id-keyed JSON
     object and injects as a typed struct constant for pre-add files
     (absent keys read null); files written under the evolved schema
-    read their real values. List/map-typed defaults keep the named
-    refusal."""
+    read their real values."""
     t = str(tmp_path / "t")
     write_iceberg(
         spark.createDataFrame(
@@ -472,23 +471,95 @@ def test_v3_struct_initial_default_applies(spark, tmp_path):
     assert got2[3] == ("real", 1.5, "n")
     assert got2[1] == ("seed", 0.5, None)
 
-    # list/map-typed defaults refuse by name
-    meta = json.load(open(_latest_meta_path(t)))
+
+def test_v3_list_and_map_initial_defaults_apply(spark, tmp_path):
+    """r12 late (closes the r11 verdict item 7 remainder): TOP-LEVEL
+    list- and map-typed ``initial-default``s decode from the spec's
+    single-value serializations (JSON array of element values; the
+    keys/values pair-list object) and inject as typed constants for
+    pre-add files; evolved-schema files read real values; a malformed
+    map default refuses by name."""
+    t = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, s string"
+        ).repartition(1),
+        t,
+        format_version=3,
+    )
+    latest = _latest_meta_path(t)
+    meta = json.load(open(latest))
+    cur_id = meta["current-schema-id"]
+    cur = next(
+        s for s in meta["schemas"] if s.get("schema-id", 0) == cur_id
+    )
+    evolved = json.loads(json.dumps(cur))
+    evolved["schema-id"] = cur_id + 1
+    evolved["fields"] += [
+        {
+            "id": 60,
+            "name": "tags",
+            "required": False,
+            "type": {
+                "type": "list",
+                "element-id": 61,
+                "element": "string",
+                "element-required": False,
+            },
+            "initial-default": ["x", "y"],
+        },
+        {
+            "id": 62,
+            "name": "weights",
+            "required": False,
+            "type": {
+                "type": "map",
+                "key-id": 63,
+                "key": "string",
+                "value-id": 64,
+                "value": "double",
+                "value-required": False,
+            },
+            "initial-default": {"keys": ["a", "b"], "values": [1.5, None]},
+        },
+    ]
+    meta["schemas"].append(evolved)
+    meta["current-schema-id"] = cur_id + 1
+    meta["last-column-id"] = 64
+    json.dump(meta, open(latest, "w"))
+
+    got = {
+        r.id: (list(r.tags), dict(r.weights))
+        for r in read_iceberg(spark, t).collect()
+    }
+    assert got == {
+        1: (["x", "y"], {"a": 1.5, "b": None}),
+        2: (["x", "y"], {"a": 1.5, "b": None}),
+    }
+
+    # evolved-schema files read REAL values
+    write_iceberg(
+        spark.createDataFrame(
+            [(3, "c", ["z"], {"c": 9.0})],
+            "id long, s string, tags array<string>, "
+            "weights map<string,double>",
+        ),
+        t,
+        mode="append",
+    )
+    got2 = {
+        r.id: (None if r.tags is None else list(r.tags))
+        for r in read_iceberg(spark, t).collect()
+    }
+    assert got2[3] == ["z"]
+
+    # malformed map default (not the keys/values pair-list) refuses
+    latest = _latest_meta_path(t)  # the append advanced the version
+    meta = json.load(open(latest))
     for s in meta["schemas"]:
-        s["fields"].append(
-            {
-                "id": 60,
-                "name": "tags",
-                "required": False,
-                "type": {
-                    "type": "list",
-                    "element-id": 61,
-                    "element": "string",
-                    "element-required": False,
-                },
-                "initial-default": ["x"],
-            }
-        )
-    json.dump(meta, open(_latest_meta_path(t), "w"))
-    with pytest.raises(NotImplementedError, match="list/map"):
+        for f in s["fields"]:
+            if f["name"] == "weights" and "initial-default" in f:
+                f["initial-default"] = {"a": 1.5}
+    json.dump(meta, open(latest, "w"))
+    with pytest.raises(NotImplementedError, match="keys/values"):
         read_iceberg(spark, t).collect()
