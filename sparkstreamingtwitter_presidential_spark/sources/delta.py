@@ -672,10 +672,16 @@ def _assign_identity_values(
         for name, start, step, hw in specs
     }
     steps = {name: step for name, _s, step, _h in specs}
-    new_hw = {
-        name: bases[name] + steps[name] * (n - 1)
-        for name, *_ in specs
-    }
+    # an empty frame assigns nothing: no watermark to record (avoids
+    # stamping start - step on a virgin column)
+    new_hw = (
+        {
+            name: bases[name] + steps[name] * (n - 1)
+            for name, *_ in specs
+        }
+        if n > 0
+        else {}
+    )
     out_schema = T.StructType(
         list(df.schema.fields)
         + [

@@ -3111,7 +3111,7 @@ def cherrypick_snapshot(path: str, snapshot_id: int) -> int:
             f"snapshot {snapshot_id} is already in main's ancestry; "
             "cherry-picking it again would duplicate its rows"
         )
-    entries, dels = _entries_and_deletes_for_snapshot(path, picked)
+    entries, _dels = _entries_and_deletes_for_snapshot(path, picked)
     added = []
     for e in entries:
         if e["snapshot_id"] != snapshot_id:
