@@ -1570,6 +1570,137 @@ def set_delta_properties(path: str, props: dict[str, str]) -> int:
     )
 
 
+def _refuse_contract_references(
+    snap: _Snapshot, col: str, ctx: str, skip_own_field: bool = False
+) -> None:
+    """Refuse a column rename/drop while a declared contract's SQL
+    text references the column by name — CHECK constraints
+    (`delta.constraints.*`), generation expressions, and column
+    invariants store raw SQL, so a metadata-only name change would
+    silently break them for every client (the real writer blocks
+    these too). ``skip_own_field`` exempts the named column's OWN
+    field metadata (a dropped column's invariant/generation dies with
+    it)."""
+    pat = _re.compile(rf"\b{_re.escape(col)}\b", _re.IGNORECASE)
+    md = snap.metadata_action or {}
+    for k, v in (md.get("configuration") or {}).items():
+        if k.startswith("delta.constraints.") and pat.search(str(v)):
+            raise ValueError(
+                f"{ctx}: CHECK constraint {k!r} references column "
+                f"{col!r}; drop the constraint first"
+            )
+    for f in snap.schema.fields if snap.schema is not None else []:
+        if skip_own_field and f.name == col:
+            continue
+        fmd = f.metadata or {}
+        gen = fmd.get("delta.generationExpression")
+        if gen and pat.search(gen):
+            raise ValueError(
+                f"{ctx}: generated column {f.name!r}'s expression "
+                f"references {col!r}"
+            )
+        inv = fmd.get("delta.invariants")
+        if inv and pat.search(str(inv)):
+            raise ValueError(
+                f"{ctx}: column invariant on {f.name!r} references "
+                f"{col!r}"
+            )
+
+
+def _require_mapping_for_ddl(snap: _Snapshot, ctx: str) -> None:
+    if _column_mapping(snap) is None:
+        raise NotImplementedError(
+            f"{ctx} requires column mapping — physical names decouple "
+            "data files from logical names, making the change "
+            "metadata-only; an unmapped table would need a full "
+            "rewrite (recreate with write_delta(column_mapping="
+            "'name'))"
+        )
+
+
+def rename_column_delta(path: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN old TO new — metadata-only on a
+    column-mapped table (the physicalName stays put, so NO data file
+    rewrites: the rename is one metaData commit regardless of table
+    size). Non-mapped tables refuse by name (the real writer's rule —
+    without mapping, parquet column names ARE the logical names).
+    Partition columns rename too (metaData.partitionColumns holds
+    logical names; add.partitionValues keys are PHYSICAL and stay
+    valid). Refuses while a CHECK constraint, generation expression,
+    or invariant references the old name (their stored SQL would
+    silently break). Returns the new version."""
+    snap = _replay_log(path, None)
+    _require_mapping_for_ddl(snap, "RENAME COLUMN")
+    assert snap.schema is not None
+    names = [f.name for f in snap.schema.fields]
+    if old not in names:
+        raise ValueError(f"unknown column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    _refuse_contract_references(snap, old, "RENAME COLUMN")
+    fields = [
+        StructField(new, f.dataType, f.nullable, f.metadata)
+        if f.name == old
+        else f
+        for f in snap.schema.fields
+    ]
+    assert snap.metadata_action is not None
+    md = dict(snap.metadata_action)
+    md["schemaString"] = StructType(fields).json()
+    if old in (md.get("partitionColumns") or []):
+        md["partitionColumns"] = [
+            new if c == old else c for c in md["partitionColumns"]
+        ]
+    return commit_actions(
+        path,
+        snap.version,
+        [{"metaData": md}],
+        "RENAME COLUMN",
+        {"oldColumnPath": old, "newColumnPath": new},
+        snapshot=snap,
+    )
+
+
+def drop_column_delta(path: str, col: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only on a column-mapped
+    table: the field leaves the logical schema, data files keep the
+    physical column (unreadable dead bytes until a rewrite), and NO
+    data moves — one metaData commit regardless of table size.
+    Non-mapped tables refuse by name. Partition columns cannot drop
+    (the layout depends on them); the last column cannot drop; a
+    CHECK constraint or ANOTHER column's generation expression
+    referencing the column refuses (the dropped column's own
+    invariant/generation dies with it). Returns the new version."""
+    snap = _replay_log(path, None)
+    _require_mapping_for_ddl(snap, "DROP COLUMN")
+    assert snap.schema is not None
+    names = [f.name for f in snap.schema.fields]
+    if col not in names:
+        raise ValueError(f"unknown column {col!r} (have {names})")
+    if col in snap.partition_columns:
+        raise ValueError(
+            f"cannot DROP partition column {col!r}; the directory "
+            "layout and add.partitionValues depend on it"
+        )
+    if len(names) == 1:
+        raise ValueError("cannot DROP the table's only column")
+    _refuse_contract_references(
+        snap, col, "DROP COLUMN", skip_own_field=True
+    )
+    fields = [f for f in snap.schema.fields if f.name != col]
+    assert snap.metadata_action is not None
+    md = dict(snap.metadata_action)
+    md["schemaString"] = StructType(fields).json()
+    return commit_actions(
+        path,
+        snap.version,
+        [{"metaData": md}],
+        "DROP COLUMNS",
+        {"columns": [col]},
+        snapshot=snap,
+    )
+
+
 # Legacy protocol versions imply fixed feature sets (PROTOCOL.md
 # "Table Features" appendix); converting to the table-features form
 # must list them explicitly or foreign writers would stop honoring
