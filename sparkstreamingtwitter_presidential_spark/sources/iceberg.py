@@ -5279,6 +5279,78 @@ def add_column_iceberg(path: str, name: str, ice_type: str) -> int:
     return _evolve_schema(path, mutate)
 
 
+def drop_column_iceberg(path: str, name: str) -> int:
+    """DROP COLUMN: metadata-only — the field leaves the current
+    schema, its id is never reused (last-column-id only grows), and
+    every data file keeps its physical bytes; field-id projection
+    simply stops requesting the id, so no file is touched at any
+    table size. Completes the add/rename/drop evolution trio.
+
+    Refusals, each by name:
+    * a partition SOURCE field (any spec transform reads it — the
+      layout depends on the column);
+    * a SORT ORDER field (the declared per-file order would dangle;
+      replace the sort order first);
+    * an IDENTIFIER field (schema `identifier-field-ids` — the
+      table's declared row identity);
+    * a field referenced by LIVE equality delete files
+      (`equality_ids` scope rows by the column's values — dropping it
+      would orphan their semantics; rewrite or fold the deletes
+      first; this is the one check that walks the current snapshot's
+      delete manifests, still driver-side metadata);
+    * the only remaining column.
+
+    Re-adding a same-named column later gets a FRESH id, so old files
+    read NULL for it (never the dropped column's bytes) — the spec's
+    id-based safety this engine's projection already implements."""
+    meta = _load_metadata(path)
+    cur = _schema_for(meta, meta.get("current-schema-id", 0))
+    hit = [f for f in cur["fields"] if f["name"] == name]
+    if not hit:
+        raise ValueError(f"column {name!r} not in schema")
+    fid = hit[0]["id"]
+    if len(cur["fields"]) == 1:
+        raise ValueError("cannot DROP the table's only column")
+    for spec in meta.get("partition-specs", []) or [
+        {"fields": meta.get("partition-spec", [])}
+    ]:
+        for pf in spec.get("fields", []):
+            if pf.get("source-id") == fid:
+                raise ValueError(
+                    f"cannot DROP partition source column {name!r} "
+                    f"(spec field {pf.get('name')!r} transforms it)"
+                )
+    for so in meta.get("sort-orders", []):
+        for sf in so.get("fields", []):
+            if sf.get("source-id") == fid:
+                raise ValueError(
+                    f"cannot DROP sort-order column {name!r} (sort "
+                    f"order {so.get('order-id')} declares it); replace "
+                    "the sort order first"
+                )
+    if fid in (cur.get("identifier-field-ids") or []):
+        raise ValueError(
+            f"cannot DROP identifier field {name!r} (schema "
+            "identifier-field-ids — the table's declared row identity)"
+        )
+    if meta.get("current-snapshot-id") not in (None, -1):
+        snap = _snapshot(meta, None)
+        _, dels = _entries_and_deletes_for_snapshot(path, snap)
+        for d in dels:
+            eq_ids = d["data_file"].get("equality_ids") or []
+            if fid in eq_ids:
+                raise ValueError(
+                    f"cannot DROP column {name!r}: live equality "
+                    "delete files key on it (equality_ids); rewrite "
+                    "or fold the deletes first"
+                )
+
+    def mutate(fields: list[dict], new_meta: dict) -> None:
+        fields[:] = [f for f in fields if f["name"] != name]
+
+    return _evolve_schema(path, mutate)
+
+
 def rename_column_iceberg(path: str, old: str, new: str) -> int:
     """RENAME COLUMN: metadata-only — the field keeps its id, so every
     existing data file keeps serving the column through field-id

@@ -2064,3 +2064,104 @@ def test_iceberg_table_changes_range(spark, tmp_path):
     # empty range -> typed empty frame
     empty = iceberg_table_changes(spark, t, s0, to_snapshot=s0)
     assert empty.count() == 0 and "_change_type" in empty.columns
+
+
+# ------------------------------------------- r12 late: DROP COLUMN
+
+
+def test_drop_column_metadata_only_and_fresh_id_on_readd(spark, tmp_path):
+    """DROP COLUMN leaves data bytes in place (field-id projection
+    stops requesting the id); a later same-named ADD mints a FRESH id,
+    so pre-drop files read NULL for it — never the dropped bytes."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        add_column_iceberg,
+        drop_column_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.5), (2, "b", 2.5)]), t)
+    files_before = _live_paths(spark, t)
+    drop_column_iceberg(t, "v")
+    assert _live_paths(spark, t) == files_before  # zero data movement
+    rows = read_iceberg(spark, t).collect()
+    assert sorted((r.asDict() for r in rows), key=lambda d: d["id"]) == [
+        {"id": 1, "s": "a"},
+        {"id": 2, "s": "b"},
+    ]
+    # append without the dropped column
+    write_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, s string"),
+        t,
+        mode="append",
+    )
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [1, 2, 3]
+    # re-add the NAME: fresh id -> old files read NULL, not old bytes
+    add_column_iceberg(t, "v", "double")
+    got = {r.id: r.v for r in read_iceberg(spark, t).collect()}
+    assert got == {1: None, 2: None, 3: None}
+
+
+def test_drop_column_refusals(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        drop_column_iceberg,
+        upsert_iceberg_mor,
+        write_iceberg as _wi,
+    )
+
+    # partition source column
+    t1 = str(tmp_path / "t1")
+    _wi(
+        spark.createDataFrame([(1, "p1")], "id long, s string"),
+        t1,
+        partition_by=["s"],
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        drop_column_iceberg(t1, "s")
+
+    # sort-order column
+    t2 = str(tmp_path / "t2")
+    _wi(
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+        t2,
+        sort_by=["id"],
+    )
+    with pytest.raises(ValueError, match="sort-order"):
+        drop_column_iceberg(t2, "id")
+
+    # live equality-delete key
+    t3 = str(tmp_path / "t3")
+    _wi(spark.createDataFrame([(1, "a")], "id long, s string"), t3)
+    upsert_iceberg_mor(
+        spark,
+        t3,
+        spark.createDataFrame([(1, "A")], "id long, s string"),
+        keys=["id"],
+    )
+    with pytest.raises(ValueError, match="equality"):
+        drop_column_iceberg(t3, "id")
+
+    # identifier field
+    t4 = str(tmp_path / "t4")
+    _wi(spark.createDataFrame([(1, "a")], "id long, s string"), t4)
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    md = sorted(
+        _glob.glob(_os.path.join(t4, "metadata", "v*.metadata.json")),
+        key=lambda p: int(_os.path.basename(p)[1:].split(".")[0]),
+    )[-1]
+    meta = _json.load(open(md))
+    for s in meta["schemas"]:
+        s["identifier-field-ids"] = [1]
+    _json.dump(meta, open(md, "w"))
+    with pytest.raises(ValueError, match="identifier"):
+        drop_column_iceberg(t4, "id")
+
+    # only column / unknown
+    t5 = str(tmp_path / "t5")
+    _wi(spark.createDataFrame([(1,)], "id long"), t5)
+    with pytest.raises(ValueError, match="only column"):
+        drop_column_iceberg(t5, "id")
+    with pytest.raises(ValueError, match="not in schema"):
+        drop_column_iceberg(t5, "nope")
