@@ -1570,6 +1570,93 @@ def set_delta_properties(path: str, props: dict[str, str]) -> int:
     )
 
 
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): VALIDATES the
+    constraint against every EXISTING row first (one distributed
+    filter + limit(1) probe — the real writer's full-scan check; a
+    violating row refuses with a sample, so a table can never hold a
+    constraint its data already breaks), then commits the
+    `delta.constraints.<name>` property, bumping a legacy writer
+    protocol below 3 to 3 (checkConstraints' legacy version) or adding
+    the feature to a table-features protocol. NULL passes, per SQL
+    CHECK semantics. Returns the new version."""
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"constraint name {name!r} must be an identifier")
+    snap = _replay_log(path, None)
+    assert snap.metadata_action is not None
+    cfg = dict(snap.metadata_action.get("configuration") or {})
+    key = f"delta.constraints.{name}"
+    if key in cfg:
+        raise ValueError(f"constraint {name!r} already exists: {cfg[key]!r}")
+    bad = (
+        read_delta(spark, path)
+        .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"cannot ADD CONSTRAINT {name!r}: existing row violates "
+            f"CHECK ({expr}) — e.g. {bad[0].asDict()}"
+        )
+    md = dict(snap.metadata_action)
+    cfg[key] = expr
+    md["configuration"] = cfg
+    actions: list[dict[str, Any]] = []
+    pr = dict(
+        snap.protocol_action or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    if pr.get("writerFeatures") is not None:
+        if "checkConstraints" not in pr["writerFeatures"]:
+            pr["writerFeatures"] = sorted(
+                set(pr["writerFeatures"]) | {"checkConstraints"}
+            )
+            actions.append({"protocol": pr})
+    elif pr.get("minWriterVersion", 2) < 3:
+        pr["minWriterVersion"] = 3
+        actions.append({"protocol": pr})
+    actions.append({"metaData": md})
+    return commit_actions(
+        path,
+        snap.version,
+        actions,
+        "ADD CONSTRAINT",
+        {"name": name, "expr": expr},
+        snapshot=snap,
+    )
+
+
+def drop_check_constraint(path: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: remove the
+    `delta.constraints.<name>` property (metadata-only; the protocol
+    keeps declaring checkConstraints support, matching the real
+    writer). Unknown names raise. Returns the new version."""
+    snap = _replay_log(path, None)
+    assert snap.metadata_action is not None
+    cfg = dict(snap.metadata_action.get("configuration") or {})
+    key = f"delta.constraints.{name}"
+    if key not in cfg:
+        have = sorted(
+            k[len("delta.constraints."):]
+            for k in cfg
+            if k.startswith("delta.constraints.")
+        )
+        raise ValueError(f"unknown constraint {name!r} (have {have})")
+    del cfg[key]
+    md = dict(snap.metadata_action)
+    md["configuration"] = cfg
+    return commit_actions(
+        path,
+        snap.version,
+        [{"metaData": md}],
+        "DROP CONSTRAINT",
+        {"name": name},
+        snapshot=snap,
+    )
+
+
 def _refuse_contract_references(
     snap: _Snapshot, col: str, ctx: str, skip_own_field: bool = False
 ) -> None:

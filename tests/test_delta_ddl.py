@@ -141,3 +141,67 @@ def test_dml_after_rename(spark, tmp_path):
         (r.id, r.amount) for r in read_delta(spark, t).collect()
     )
     assert got == [(1, 20.0)]
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        add_check_constraint,
+        drop_check_constraint,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10.0), (2, -5.0)], "id long, v double"
+        ),
+        t,
+    )
+    # existing data violates -> refuse with a sample, nothing commits
+    with pytest.raises(ValueError, match="existing row violates"):
+        add_check_constraint(spark, t, "v_pos", "v >= 0")
+    from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
+        delete_delta,
+    )
+
+    delete_delta(spark, t, "v < 0")
+    add_check_constraint(spark, t, "v_pos", "v >= 0")
+    # the new contract is ENFORCED on later writes
+    with pytest.raises(ValueError, match="v_pos"):
+        write_delta(
+            spark.createDataFrame([(3, -1.0)], "id long, v double"),
+            t,
+            mode="append",
+        )
+    # NULL passes (SQL CHECK semantics)
+    write_delta(
+        spark.createDataFrame([(4, None)], "id long, v double"),
+        t,
+        mode="append",
+    )
+    # protocol declares the feature for foreign writers
+    import json as _json
+    import os as _os
+
+    pr = None
+    log = _os.path.join(t, "_delta_log")
+    for n in sorted(_os.listdir(log)):
+        if n.endswith(".json"):
+            for ln in open(_os.path.join(log, n)):
+                a = _json.loads(ln)
+                if "protocol" in a:
+                    pr = a["protocol"]
+    assert pr["minWriterVersion"] >= 3
+
+    with pytest.raises(ValueError, match="already exists"):
+        add_check_constraint(spark, t, "v_pos", "v >= 0")
+    drop_check_constraint(t, "v_pos")
+    # dropped: violating appends land again
+    write_delta(
+        spark.createDataFrame([(5, -9.0)], "id long, v double"),
+        t,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="unknown constraint"):
+        drop_check_constraint(t, "v_pos")
+    with pytest.raises(ValueError, match="identifier"):
+        add_check_constraint(spark, t, "bad name", "v >= 0")
