@@ -256,12 +256,15 @@ from datetime import timedelta as _timedelta, timezone as _tz
 _EPOCH_DATE = _date(1970, 1, 1)
 
 
-def _default_spec_fields(meta: dict) -> list[dict]:
-    spec_id = meta.get("default-spec-id", 0)
+def _spec_fields_by_id(meta: dict, spec_id: int) -> list[dict]:
     for spec in meta.get("partition-specs", []):
         if spec.get("spec-id") == spec_id:
             return spec.get("fields", [])
     return []
+
+
+def _default_spec_fields(meta: dict) -> list[dict]:
+    return _spec_fields_by_id(meta, meta.get("default-spec-id", 0))
 
 
 # Transform support (Iceberg spec §Partition Transforms): identity
@@ -302,18 +305,27 @@ def _parse_transform(s: str) -> tuple[str, int | None]:
     return m.group(2), int(m.group(3))
 
 
-def _partition_fields(meta: dict, ice_schema: dict) -> list[dict]:
-    """The default partition spec resolved against ``ice_schema``: one
-    dict per spec field with the partition field name/id, the source
-    column's name/type, and the parsed transform (kind + param) with
-    its stored result type. Identity/year/month/day/hour/bucket[N]/
-    truncate[W] over the supported primitive subset only — anything
-    else refuses by name (never wrong rows). `void` refuses: its
-    always-null tuples carry no information and this reader's null
-    handling assumes real values."""
+def _partition_fields(
+    meta: dict, ice_schema: dict, spec_id: int | None = None
+) -> list[dict]:
+    """A partition spec (the DEFAULT one, or ``spec_id``'s — r12-late,
+    for reading mixed-spec tables after partition evolution) resolved
+    against ``ice_schema``: one dict per spec field with the partition
+    field name/id, the source column's name/type, and the parsed
+    transform (kind + param) with its stored result type.
+    Identity/year/month/day/hour/bucket[N]/truncate[W] over the
+    supported primitive subset only — anything else refuses by name
+    (never wrong rows). `void` refuses: its always-null tuples carry
+    no information and this reader's null handling assumes real
+    values."""
     by_id = {f["id"]: f for f in ice_schema["fields"]}
     out = []
-    for pf in _default_spec_fields(meta):
+    spec_fields = (
+        _default_spec_fields(meta)
+        if spec_id is None
+        else _spec_fields_by_id(meta, spec_id)
+    )
+    for pf in spec_fields:
         kind, param = _parse_transform(pf.get("transform"))
         if kind == "void":
             raise NotImplementedError(
@@ -2116,11 +2128,24 @@ def read_iceberg(
             for f in ice_schema["fields"]
             if isinstance(f["type"], str)
         }
+        # partition pruning keys on each entry's OWN spec (after
+        # partition evolution old files carry old-shaped tuples;
+        # pruning them against the default spec's fields would be
+        # vacuous at best and wrong at worst)
+        _default_spec = meta.get("default-spec-id", 0)
+        _pf_cache: dict[int, list[dict]] = {_default_spec: part_fields}
+
+        def _entry_pf(e: dict) -> list[dict]:
+            sid = e.get("spec_id", _default_spec)
+            if sid not in _pf_cache:
+                _pf_cache[sid] = _partition_fields(meta, ice_schema, sid)
+            return _pf_cache[sid]
+
         entries = [
             e
             for e in entries
             if not _file_excluded_by_partition(
-                e["data_file"], skip_ranges, part_fields
+                e["data_file"], skip_ranges, _entry_pf(e)
             )
             and not _file_excluded_by_bounds(
                 e["data_file"], skip_ranges, prim
@@ -2182,11 +2207,15 @@ def _read_entries_projected(
             spark, files, spark_schema, part_fields, scan_filter=scan_filter
         )
     read_sid = ice_schema.get("schema-id", 0)
+    default_spec_id = meta.get("default-spec-id", 0)
     defaulted = {
         f["id"] for f in ice_schema["fields"] if "initial-default" in f
     }
     known_snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
-    by_sid: dict[int, list[dict]] = {}
+    # group by (writing schema, writing PARTITION SPEC) — after spec
+    # evolution (r12-late) each group injects/reads partition values
+    # under the spec its manifests were written with
+    by_sid: dict[tuple[int, int], list[dict]] = {}
     for e in entries:
         if defaulted and e["snapshot_id"] not in known_snaps:
             # the adding snapshot expired: the writing schema is
@@ -2201,7 +2230,24 @@ def _read_entries_projected(
                 "so the default-vs-NULL decision would be a guess"
             )
         sid = _writing_schema_id(meta, e, read_sid)
-        by_sid.setdefault(sid, []).append(e["data_file"])
+        spec_sid = e.get("spec_id", default_spec_id)
+        by_sid.setdefault((sid, spec_sid), []).append(e["data_file"])
+
+    spec_pf: dict[int, list[dict]] = {default_spec_id: part_fields}
+
+    def _pf_for(spec_sid: int) -> list[dict]:
+        if spec_sid not in spec_pf:
+            spec_pf[spec_sid] = _partition_fields(
+                meta, ice_schema, spec_sid
+            )
+        return spec_pf[spec_sid]
+
+    mixed_specs = any(
+        spec_sid != default_spec_id
+        and _spec_fields_by_id(meta, spec_sid)
+        != _default_spec_fields(meta)
+        for _s, spec_sid in by_sid
+    )
 
     def needs_remap(w_ice: dict) -> bool:
         w_by_id = {f["id"]: f for f in w_ice["fields"]}
@@ -2217,21 +2263,24 @@ def _read_entries_projected(
 
     schemas = {
         sid: (_schema_for(meta, sid) if sid != read_sid else ice_schema)
-        for sid in by_sid
+        for sid, _spec in by_sid
     }
-    if not any(needs_remap(w) for w in schemas.values()):
+    if not mixed_specs and not any(
+        needs_remap(w) for w in schemas.values()
+    ):
         return _read_files(
             spark, files, spark_schema, part_fields, scan_filter=scan_filter
         )
 
     parts = []
-    psrc_ids = {pf["source_id"] for pf in part_fields}
-    for sid, group in sorted(by_sid.items()):
+    for (sid, spec_sid), group in sorted(by_sid.items()):
+        grp_pf = _pf_for(spec_sid)
+        psrc_ids = {pf["source_id"] for pf in grp_pf}
         w_ice = schemas[sid]
         if not needs_remap(w_ice):
             parts.append(
                 _read_files(
-                    spark, group, spark_schema, part_fields,
+                    spark, group, spark_schema, grp_pf,
                     scan_filter=scan_filter,
                 )
             )
@@ -2312,7 +2361,7 @@ def _read_entries_projected(
                     w_by_id.get(pf["source_id"]) or {"type": pf["type"]}
                 )["type"],
             }
-            for pf in part_fields
+            for pf in grp_pf
         ]
         df = _read_files(
             spark, group, T.StructType(scan_fields), w_pf,
@@ -4034,6 +4083,7 @@ def compact_iceberg(
     part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
     entries = _entries_for_snapshot(path, snap)
+    _refuse_spec_evolution(meta, entries, "manifest rewrite")
     # the rewrite scans by name; a renamed column in pre-rename files
     # would be rewritten as NULL — refuse, like DML (_dml_plan)
     _refuse_renamed_files(meta, entries, ice_schema, "compaction")
@@ -4292,6 +4342,7 @@ def _dml_plan(spark: SparkSession, path: str):
     spark_schema = _schema_to_spark(ice_schema)
     entries, dels = _entries_and_deletes_for_snapshot(path, snap)
     _refuse_renamed_files(meta, entries, ice_schema, "copy-on-write DML")
+    _refuse_spec_evolution(meta, entries, "copy-on-write DML")
     scan_filter = (
         _row_delete_filter(spark, meta, entries, dels, ice_schema)
         if dels
@@ -4486,6 +4537,7 @@ def delete_iceberg_positional(
     part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
     entries, _dels = _entries_and_deletes_for_snapshot(path, snap)
+    _refuse_spec_evolution(meta, entries, "delete_iceberg_positional")
     # existing deletes need not be applied before matching: a pair
     # re-recorded for an already-deleted row is idempotent under the
     # read-side anti-join
@@ -4618,6 +4670,7 @@ def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
     part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
     entries, dels = _entries_and_deletes_for_snapshot(path, snap)
+    _refuse_spec_evolution(meta, entries, "rewrite_position_deletes")
     if not dels:
         return snap["snapshot-id"]
     _refuse_renamed_files(
@@ -5279,6 +5332,127 @@ def add_column_iceberg(path: str, name: str, ice_type: str) -> int:
     return _evolve_schema(path, mutate)
 
 
+def update_partition_spec(path: str, partition_by: list[str]) -> int:
+    """ALTER TABLE ... partition evolution (spec §Partition Evolution):
+    install a NEW default partition spec — metadata-only, so a 100 TB
+    table repartitions WITHOUT rewriting a byte. Existing files keep
+    their original spec (manifests record partition-spec-id); new
+    writes stage under the new layout; snapshot reads handle the mix
+    per manifest spec (each group injects/prunes under its OWN spec —
+    _read_entries_projected), and REWRITE paths (CoW DML, compaction,
+    MOR deletes) conservatively refuse on mixed-spec live sets by name
+    (re-serializing an old tuple under the new spec would corrupt it).
+
+    ``partition_by`` takes the same entries as write_iceberg — plain
+    columns (identity) or ``day(ts)``/``bucket(16, id)``/
+    ``truncate(4, s)`` — and ``[]`` un-partitions (new files land
+    flat). Per the spec's evolution rules, a field equivalent to one
+    in ANY earlier spec (same source column + transform) REUSES its
+    partition field id and name; genuinely new fields mint fresh ids
+    above last-partition-id. Installing a spec identical to the
+    current default is a no-op (no version burned). Returns the new
+    spec id (or the current one on no-op)."""
+    meta = _load_metadata(path)
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+    specs = list(meta.get("partition-specs", []))
+    existing_by_key: dict[tuple[int, str], dict] = {}
+    for sp in specs:
+        for pf in sp.get("fields", []):
+            existing_by_key.setdefault(
+                (pf["source-id"], pf["transform"]), pf
+            )
+    last_pid = meta.get(
+        "last-partition-id",
+        max(
+            [999]
+            + [
+                pf["field-id"]
+                for sp in specs
+                for pf in sp.get("fields", [])
+            ]
+        ),
+    )
+    new_fields: list[dict] = []
+    for entry in partition_by:
+        col, transform, _param = _parse_partition_by(entry)
+        kind, _ = _parse_transform(transform)
+        src = next(
+            (f for f in ice_schema["fields"] if f["name"] == col), None
+        )
+        if src is None:
+            raise ValueError(f"partition column {col!r} not in schema")
+        allowed = _TRANSFORM_SOURCES[kind]
+        if not isinstance(src["type"], str) or src["type"] not in allowed:
+            raise NotImplementedError(
+                f"partition column {col!r} of transform {transform!r} "
+                f"must be a top-level {'/'.join(allowed)} column"
+            )
+        prior = existing_by_key.get((src["id"], transform))
+        if prior is not None:
+            new_fields.append(dict(prior))  # spec rule: reuse id+name
+            continue
+        suffix = {
+            "identity": "",
+            "bucket": "_bucket",
+            "truncate": "_trunc",
+        }.get(kind, f"_{kind}")
+        last_pid += 1
+        new_fields.append(
+            {
+                "source-id": src["id"],
+                "field-id": last_pid,
+                "name": f"{col}{suffix}",
+                "transform": transform,
+            }
+        )
+    cur_default = _default_spec_fields(meta)
+    if new_fields == cur_default:
+        return meta.get("default-spec-id", 0)  # no-op
+    # an existing spec with the exact field list is re-defaulted
+    # instead of duplicated
+    for sp in specs:
+        if sp.get("fields", []) == new_fields:
+            new_sid = sp["spec-id"]
+            break
+    else:
+        new_sid = max((sp["spec-id"] for sp in specs), default=-1) + 1
+        specs = specs + [{"spec-id": new_sid, "fields": new_fields}]
+    new_meta = dict(meta)
+    new_meta.pop("_loaded_version", None)
+    new_meta["partition-specs"] = specs
+    new_meta["default-spec-id"] = new_sid
+    new_meta["last-partition-id"] = last_pid
+    _claim_metadata_version(path, meta, new_meta)
+    return new_sid
+
+
+def _refuse_spec_evolution(
+    meta: dict, entries: list[dict], ctx: str
+) -> None:
+    """Rewrite paths re-serialize carried partition RECORDS under the
+    table's default spec; entries written under a DIFFERENT spec
+    (partition evolution) would corrupt silently. Snapshot READS
+    handle mixed specs per group (r12-late); every rewrite path calls
+    this and refuses by name until per-spec staging exists."""
+    default_sid = meta.get("default-spec-id", 0)
+    fields = {
+        sp.get("spec-id", 0): sp.get("fields", [])
+        for sp in meta.get("partition-specs", [])
+    }
+    for e in entries:
+        sid = e.get("spec_id", default_sid)
+        if sid != default_sid and fields.get(sid) != fields.get(
+            default_sid
+        ):
+            raise NotImplementedError(
+                f"{ctx}: live files were written under partition spec "
+                f"{sid} != default {default_sid} (partition "
+                "evolution); this rewrite would re-serialize their "
+                "partition records under the wrong spec — snapshot "
+                "reads handle the mix, rewrites refuse"
+            )
+
+
 def drop_column_iceberg(path: str, name: str) -> int:
     """DROP COLUMN: metadata-only — the field leaves the current
     schema, its id is never reused (last-column-id only grows), and
@@ -5405,6 +5579,7 @@ def rewrite_manifests(spark: SparkSession, path: str) -> int:
     ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
     part_fields = _partition_fields(meta, ice_schema)
     entries = _entries_for_snapshot(path, snap)
+    _refuse_spec_evolution(meta, entries, "manifest rewrite")
     return _commit_snapshot(
         path,
         meta,

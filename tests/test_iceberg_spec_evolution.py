@@ -1,0 +1,157 @@
+"""Partition spec evolution (r12 late — spec §Partition Evolution):
+`update_partition_spec` installs a new default spec metadata-only;
+old files keep their spec, new writes stage the new layout, snapshot
+reads handle the mix per manifest spec, pruning keys on each entry's
+own spec, rewrites refuse by name, and global-equality MOR upserts
+stay correct across the mix (sequence-scoped, spec-agnostic)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+    read_iceberg,
+    update_partition_spec,
+    write_iceberg,
+)
+
+SCHEMA = "id long, s string, v double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _meta(t):
+    import glob
+    import json
+    import os
+
+    vs = sorted(
+        glob.glob(os.path.join(t, "metadata", "v*.metadata.json")),
+        key=lambda p: int(os.path.basename(p)[1:].split(".")[0]),
+    )
+    return json.load(open(vs[-1]))
+
+
+def test_unpartitioned_to_identity_and_back(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "p1", 1.0), (2, "p2", 2.0)]), t)
+    sid1 = update_partition_spec(t, ["s"])
+    assert sid1 == 1
+    write_iceberg(
+        _df(spark, [(3, "p1", 3.0), (4, "p3", 4.0)]), t, mode="append"
+    )
+    # mixed read: old flat files + new hive-partitioned files, with
+    # identity values injected only for the NEW group
+    got = sorted(
+        (r.id, r.s, r.v) for r in read_iceberg(spark, t).collect()
+    )
+    assert got == [
+        (1, "p1", 1.0), (2, "p2", 2.0), (3, "p1", 3.0), (4, "p3", 4.0),
+    ]
+    meta = _meta(t)
+    assert meta["default-spec-id"] == 1
+    assert len(meta["partition-specs"]) == 2
+    # un-partition again: THIRD spec (empty), new files flat
+    sid2 = update_partition_spec(t, [])
+    write_iceberg(_df(spark, [(5, "p9", 5.0)]), t, mode="append")
+    got = sorted(r.id for r in read_iceberg(spark, t).collect())
+    assert got == [1, 2, 3, 4, 5]
+    # re-partitioning on s REUSES the original spec + field id
+    sid3 = update_partition_spec(t, ["s"])
+    assert sid3 == sid1
+    meta = _meta(t)
+    fids = [
+        pf["field-id"]
+        for sp in meta["partition-specs"]
+        for pf in sp["fields"]
+    ]
+    assert fids == [1000]  # one field ever minted, reused
+
+
+def test_pruning_keys_on_each_entrys_spec(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t)
+    update_partition_spec(t, ["s"])
+    write_iceberg(_df(spark, [(3, "a", 3.0), (4, "c", 4.0)]), t,
+                  mode="append")
+    got = sorted(
+        r.id
+        for r in read_iceberg(spark, t, skip_ranges={"s": ("a", "a")})
+        .filter("s = 'a'")
+        .collect()
+    )
+    # old flat files are conservatively KEPT (no tuples to prune on),
+    # new files prune exactly; the filter makes the result exact
+    assert got == [1, 3]
+
+
+def test_transform_evolution_and_noop(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "abcd", 1.0)]), t)
+    sid = update_partition_spec(t, ["truncate(2, s)"])
+    write_iceberg(_df(spark, [(2, "abzz", 2.0)]), t, mode="append")
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [1, 2]
+    meta = _meta(t)
+    spec = next(
+        sp for sp in meta["partition-specs"] if sp["spec-id"] == sid
+    )
+    assert spec["fields"][0]["transform"] == "truncate[2]"
+    # installing the SAME spec again is a no-op: no version burned
+    import glob
+    import os
+
+    n_before = len(glob.glob(os.path.join(t, "metadata", "v*.metadata.json")))
+    assert update_partition_spec(t, ["truncate(2, s)"]) == sid
+    assert len(
+        glob.glob(os.path.join(t, "metadata", "v*.metadata.json"))
+    ) == n_before
+
+    with pytest.raises(ValueError, match="not in schema"):
+        update_partition_spec(t, ["nope"])
+
+
+def test_rewrites_refuse_on_mixed_specs(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        compact_iceberg,
+        delete_iceberg,
+        rewrite_manifests,
+        update_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    update_partition_spec(t, ["s"])
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    for op in (
+        lambda: delete_iceberg(spark, t, "id = 1"),
+        lambda: update_iceberg(spark, t, {"v": "v + 1"}),
+        lambda: compact_iceberg(spark, t),
+        lambda: rewrite_manifests(spark, t),
+    ):
+        with pytest.raises(NotImplementedError, match="partition"):
+            op()
+    # reads stay fine
+    assert read_iceberg(spark, t).count() == 2
+
+
+def test_mor_upsert_supersedes_across_specs(spark, tmp_path):
+    """The equality-upsert path writes GLOBAL (sequence-scoped)
+    delete files, which apply to data files of EVERY spec — so a CDC
+    upsert keeps superseding rows written before a repartition."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        upsert_iceberg_mor,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t)
+    update_partition_spec(t, ["s"])
+    upsert_iceberg_mor(
+        spark,
+        t,
+        _df(spark, [(1, "a", 100.0), (9, "z", 9.0)]),
+        keys=["id"],
+    )
+    got = {r.id: r.v for r in read_iceberg(spark, t).collect()}
+    assert got == {1: 100.0, 2: 2.0, 9: 9.0}
