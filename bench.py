@@ -235,6 +235,11 @@ HEADLINE = [
     # log replay + the arithmetic-series invariant agg + the relational
     # agg read — generation itself happens once inside staging).
     "lakehouse_delta_identity_agg",
+    # Round-12 late: partition spec evolution (staging warm; timed
+    # work is the metadata invariant walk + the pruned-read exactness
+    # probe + the mixed-spec read and agg — a regression here means
+    # mixed-spec grouping started widening plans or re-listing).
+    "lakehouse_iceberg_spec_evolution_agg",
 ]
 
 

@@ -3458,3 +3458,118 @@ def lakehouse_delta_identity_agg(
             f"writer={proto.get('minWriterVersion')}"
         )
     return _agg_by_type(df.drop("rid"))
+
+
+@query(
+    "lakehouse_iceberg_spec_evolution_agg",
+    oracle="""
+        WITH evolved AS (
+            SELECT event_id, user_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id + 10000000, user_id, event_type, value
+            FROM events WHERE event_id % 7 = 2
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM evolved GROUP BY event_type
+    """,
+    doc=(
+        "NEW r12: PARTITION SPEC EVOLUTION end-to-end — the base "
+        "events write lands UNPARTITIONED, update_partition_spec "
+        "installs identity-on-event_type metadata-only (zero data "
+        "movement — the build RAISES if the live file set changes), "
+        "and a second append stages hive-partitioned under the new "
+        "spec. The query RAISES unless the metadata carries BOTH "
+        "specs with the new default, live manifests span both spec "
+        "ids (the mixed-read proof), a partition-pruned read "
+        "(skip_ranges on event_type) returns exactly the filter's "
+        "rows over the mixed file set, and a CoW DML refuses by name "
+        "on the mixed live set. Oracle = base + shifted append "
+        "relationally reconstructed."
+    ),
+)
+def lakehouse_iceberg_spec_evolution_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        _load_metadata,
+        delete_iceberg,
+        read_container,
+        read_iceberg,
+        update_partition_spec,
+        write_iceberg,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_iceberg(ev.repartition(4), table)
+        before = sorted(read_iceberg(spark, table).inputFiles())
+        update_partition_spec(table, ["event_type"])
+        if sorted(read_iceberg(spark, table).inputFiles()) != before:
+            raise RuntimeError(
+                "spec evolution moved data (must be metadata-only)"
+            )
+        write_iceberg(
+            ev.filter("event_id % 7 = 2").withColumn(
+                "event_id", F.col("event_id") + F.lit(10_000_000)
+            ),
+            table,
+            mode="append",
+        )
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(
+        spark, f"/tmp/ssp_iceberg_specevo_{key}", build
+    )
+
+    meta = _load_metadata(table)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, manifests = read_container(snap["manifest-list"])
+    spec_ids = {m.get("partition_spec_id", 0) for m in manifests}
+    df = read_iceberg(spark, table)
+    # one pass gives the pruning probe's expected count AND the probe
+    # key (deterministic min type) — no separate first()/count() scans
+    counts = {
+        r.event_type: r.n
+        for r in df.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    a_type = min(counts)
+    exact_n = counts[a_type]
+    pruned_n = (
+        read_iceberg(
+            spark, table, skip_ranges={"event_type": (a_type, a_type)}
+        )
+        .filter(F.col("event_type") == a_type)
+        .count()
+    )
+    try:
+        delete_iceberg(spark, table, "event_id = -1")
+    except NotImplementedError as exc:
+        if "partition" not in str(exc):
+            raise
+        dml_refused = True
+    else:
+        dml_refused = False
+    if not (
+        meta["default-spec-id"] == 1
+        and len(meta["partition-specs"]) == 2
+        and spec_ids == {0, 1}  # live manifests span BOTH specs
+        and pruned_n == exact_n
+        and dml_refused
+    ):
+        raise RuntimeError(
+            "spec-evolution invariants violated: "
+            f"default={meta['default-spec-id']} "
+            f"n_specs={len(meta['partition-specs'])} live_specs="
+            f"{sorted(spec_ids)} pruned={pruned_n} exact={exact_n} "
+            f"dml_refused={dml_refused}"
+        )
+    return _agg_by_type(df)

@@ -270,12 +270,17 @@ GRADED_FIRST: list[str] = [
     # rounds; the IO family keeps csv/partitioned-parquet/shard-export/
     # pipetext/synthdocs graded; stays in tests/test_queries_oracle.py).
     "streaming_hudi_sink_agg",
-    # Round-5 late additions #4: SemDeDup-shaped semantic dedup (the
-    # composition of the embedding edge set, connected components, and
-    # survivor selection). Ceded: text_pii_scrub (r3+r4 driver-green;
-    # the text family keeps c4/unigram/oov/repetition graded slots).
-    # Stays in tests/test_queries_oracle.py.
-    "dedup_semantic_keep",
+    # Round-12 (late): Iceberg PARTITION SPEC EVOLUTION — a
+    # metadata-only repartition with a zero-data-movement pin in the
+    # build, mixed-spec live manifests, per-spec pruning exactness,
+    # and the mixed-set rewrite refusal all RAISE-pinned in-query;
+    # graded on arrival per rotation policy. Ceded: dedup_semantic_keep
+    # (driver-green EVERY round r5-r11, seven consecutive windows;
+    # dedup keeps ngram-jaccard / duplicate-span / exact-collated
+    # graded plus the decontam overlap shape, and the SemDeDup
+    # composition stays bench-headlined (its 4.6-6.4 s column) and in
+    # tests/test_queries_oracle.py).
+    "lakehouse_iceberg_spec_evolution_agg",
     # Round-12 (late): Delta IDENTITY columns — GENERATED ALWAYS
     # declaration at creation (writer version 6), shuffle-free value
     # generation (per-partition offsets + map-only assignment, the
