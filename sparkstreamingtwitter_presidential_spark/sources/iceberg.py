@@ -2796,15 +2796,41 @@ def read_iceberg_incremental(
                         if e.get("snapshot_id") is not None
                         else m["added_snapshot_id"]
                     ),
+                    "spec_id": m.get("partition_spec_id", 0),
                     "data_file": df,
                 }
             )
     # incremental scans project by name; refuse pre-rename files
     # rather than reading NULLs for a renamed column
     _refuse_renamed_files(meta, files, ice_schema, "incremental scan")
-    return _read_files(
-        spark, [f["data_file"] for f in files], spark_schema, part_fields
-    )
+    # a range crossing a partition-spec evolution scans per spec
+    # generation (identity injection keys on each file's OWN spec —
+    # the snapshot-read rule, r12-late), unioned back together
+    default_spec = meta.get("default-spec-id", 0)
+    by_spec: dict[int, list[dict]] = {}
+    for f in files:
+        by_spec.setdefault(f.get("spec_id", default_spec), []).append(
+            f["data_file"]
+        )
+    if set(by_spec) <= {default_spec}:
+        return _read_files(
+            spark, by_spec.get(default_spec, []), spark_schema, part_fields
+        )
+    from functools import reduce
+
+    parts = [
+        _read_files(
+            spark,
+            grp,
+            spark_schema,
+            part_fields
+            if sid == default_spec
+            else _partition_fields(meta, ice_schema, sid),
+        )
+        for sid, grp in sorted(by_spec.items())
+    ]
+    empty = spark.createDataFrame([], spark_schema)
+    return reduce(DataFrame.unionByName, [empty] + parts)
 
 
 def table_snapshots(spark: SparkSession, path: str) -> DataFrame:
@@ -5611,6 +5637,10 @@ def table_partitions(spark: SparkSession, path: str) -> DataFrame:
     )
     part_fields = _partition_fields(meta, ice_schema)
     entries, _dels = _entries_and_deletes_for_snapshot(path, snap)
+    # the frame's columns ARE the default spec's fields; entries from
+    # an evolved-away spec have no honest row shape here (their tuples
+    # would lump into a null-keyed row) — refuse rather than misreport
+    _refuse_spec_evolution(meta, entries, "table_partitions")
     agg: dict[tuple, list[int]] = {}
     for e in entries:
         part = e["data_file"].get("partition") or {}

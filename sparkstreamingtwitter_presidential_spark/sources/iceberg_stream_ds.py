@@ -293,10 +293,26 @@ class IcebergStreamReader(DataSourceStreamReader):
                             "snapshot read)"
                         )
             planned.append(s)
-        part_fields = _partition_fields(meta, cur_schema)
-        identity = [
-            pf for pf in part_fields if pf["transform"] == "identity"
-        ]
+        # identity injection keys on each MANIFEST's own spec (r12
+        # late — after partition evolution, pre-evolution appends
+        # carry old-shaped tuples; injecting under the default spec
+        # would read NULL partition values for them)
+        default_spec = meta.get("default-spec-id", 0)
+        pf_cache = {
+            default_spec: _partition_fields(meta, cur_schema)
+        }
+
+        def _identity_for(m_sid: int) -> list[dict]:
+            if m_sid not in pf_cache:
+                pf_cache[m_sid] = _partition_fields(
+                    meta, cur_schema, m_sid
+                )
+            return [
+                pf
+                for pf in pf_cache[m_sid]
+                if pf["transform"] == "identity"
+            ]
+
         out = []
         # per-snapshot planning (r10; previously one plan off the
         # range's LATEST manifest list): each append snapshot's own
@@ -336,7 +352,9 @@ class IcebergStreamReader(DataSourceStreamReader):
                         pf["source_name"]: _avro_partition_to_python(
                             pf["result_type"], part.get(pf["name"])
                         )
-                        for pf in identity
+                        for pf in _identity_for(
+                            m.get("partition_spec_id", 0)
+                        )
                     }
                     out.append(
                         _IceFilePartition(

@@ -155,3 +155,76 @@ def test_mor_upsert_supersedes_across_specs(spark, tmp_path):
     )
     got = {r.id: r.v for r in read_iceberg(spark, t).collect()}
     assert got == {1: 100.0, 2: 2.0, 9: 9.0}
+
+
+def test_incremental_scan_across_evolution_boundary(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        read_iceberg_incremental,
+        table_snapshots,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    update_partition_spec(t, ["s"])
+    write_iceberg(_df(spark, [(3, "a", 3.0)]), t, mode="append")
+    sids = [
+        r.snapshot_id
+        for r in table_snapshots(spark, t)
+        .orderBy("sequence_number")
+        .collect()
+    ]
+    got = sorted(
+        (r.id, r.s, r.v)
+        for r in read_iceberg_incremental(
+            spark, t, from_snapshot=sids[0], to_snapshot=sids[-1]
+        ).collect()
+    )
+    # the range crosses the evolution: flat file (old spec) + hive
+    # file (new spec, identity injected) both read correct values
+    assert got == [(2, "b", 2.0), (3, "a", 3.0)]
+
+
+def test_stream_source_across_evolution_boundary(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_stream_ds import (
+        register_iceberg_stream,
+    )
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    update_partition_spec(t, ["s"])
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    sink: list = []
+    q = (
+        spark.readStream.format("iceberg_native")
+        .load(t)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: sink.extend(tuple(r) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    # pre-evolution commit reads s from DATA (old flat spec), post-
+    # evolution commit INJECTS s from the new spec's tuples — both
+    # exact, neither null
+    assert sorted(sink) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_table_partitions_refuses_on_mixed_specs(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        table_partitions,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    update_partition_spec(t, ["s"])
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
+    with pytest.raises(NotImplementedError, match="partition"):
+        table_partitions(spark, t)
