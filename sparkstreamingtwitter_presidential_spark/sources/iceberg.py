@@ -4109,7 +4109,17 @@ def compact_iceberg(
     part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
     entries = _entries_for_snapshot(path, snap)
-    _refuse_spec_evolution(meta, entries, "manifest rewrite")
+    # PARTITION EVOLUTION (r12 late): manifests are spec-homogeneous,
+    # so a mixed-spec table compacts WITHIN the default spec — files
+    # written under evolved-away specs ride their original manifests
+    # verbatim into the new manifest list (their partition records are
+    # never re-serialized, which is what made a blanket rewrite
+    # unsafe). The usual post-evolution flow — evolve, keep appending,
+    # compact the new layout's stragglers — works; old-spec files
+    # compact only after a CoW rewrite moves them to the current spec.
+    entries, carried_manifests = _split_foreign_spec_manifests(
+        path, meta, snap, entries
+    )
     # the rewrite scans by name; a renamed column in pre-rename files
     # would be rewritten as NULL — refuse, like DML (_dml_plan)
     _refuse_renamed_files(meta, entries, ice_schema, "compaction")
@@ -4179,6 +4189,7 @@ def compact_iceberg(
         deleted_entries=rewritten,
         carry_prior_manifests=False,
         operation="replace",
+        extra_carried_manifests=carried_manifests,
     )
 
 
@@ -5452,6 +5463,42 @@ def update_partition_spec(path: str, partition_by: list[str]) -> int:
     return new_sid
 
 
+def _split_foreign_spec_manifests(
+    path: str, meta: dict, snap: dict, entries: list[dict]
+) -> tuple[list[dict], list[dict]]:
+    """Partition a snapshot's live state for a default-spec-scoped
+    manifest rewrite (compaction, rewrite_manifests): returns
+    (entries written under the DEFAULT spec — safe to re-serialize,
+    DATA-manifest-list records of every other spec — carried verbatim
+    via _commit_snapshot's extra_carried_manifests, their partition
+    records untouched). Works because manifests are spec-HOMOGENEOUS
+    (partition-spec-id is a manifest-level field). A non-default spec
+    id whose FIELD LIST equals the default's (renumbered identical
+    spec) counts as default — re-serialization is byte-compatible."""
+    default_sid = meta.get("default-spec-id", 0)
+    fields = {
+        sp.get("spec-id", 0): sp.get("fields", [])
+        for sp in meta.get("partition-specs", [])
+    }
+
+    def _is_default(sid: int) -> bool:
+        return sid == default_sid or fields.get(sid) == fields.get(
+            default_sid
+        )
+
+    own = [e for e in entries if _is_default(e.get("spec_id", default_sid))]
+    if len(own) == len(entries):
+        return entries, []
+    _, _, manifests = read_container(snap["manifest-list"])
+    carried = [
+        m
+        for m in manifests
+        if m["content"] == 0
+        and not _is_default(m.get("partition_spec_id", 0))
+    ]
+    return own, carried
+
+
 def _refuse_spec_evolution(
     meta: dict, entries: list[dict], ctx: str
 ) -> None:
@@ -5605,7 +5652,16 @@ def rewrite_manifests(spark: SparkSession, path: str) -> int:
     ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
     part_fields = _partition_fields(meta, ice_schema)
     entries = _entries_for_snapshot(path, snap)
-    _refuse_spec_evolution(meta, entries, "manifest rewrite")
+    # mixed-spec tables collapse the DEFAULT spec's manifests and
+    # carry evolved-away specs' manifests verbatim (spec-homogeneous
+    # manifests make this exact — see _split_foreign_spec_manifests)
+    entries, carried_manifests = _split_foreign_spec_manifests(
+        path, meta, snap, entries
+    )
+    if not entries and len(carried_manifests) == len(
+        [m for m in manifests if m["content"] == 0]
+    ):
+        return snap["snapshot-id"]  # nothing collapsible
     return _commit_snapshot(
         path,
         meta,
@@ -5616,6 +5672,7 @@ def rewrite_manifests(spark: SparkSession, path: str) -> int:
         deleted_entries=[],
         carry_prior_manifests=False,
         operation="replace",
+        extra_carried_manifests=carried_manifests,
     )
 
 

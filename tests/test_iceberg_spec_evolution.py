@@ -112,11 +112,9 @@ def test_transform_evolution_and_noop(spark, tmp_path):
         update_partition_spec(t, ["nope"])
 
 
-def test_rewrites_refuse_on_mixed_specs(spark, tmp_path):
+def test_cow_dml_refuses_on_mixed_specs(spark, tmp_path):
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
-        compact_iceberg,
         delete_iceberg,
-        rewrite_manifests,
         update_iceberg,
     )
 
@@ -127,13 +125,50 @@ def test_rewrites_refuse_on_mixed_specs(spark, tmp_path):
     for op in (
         lambda: delete_iceberg(spark, t, "id = 1"),
         lambda: update_iceberg(spark, t, {"v": "v + 1"}),
-        lambda: compact_iceberg(spark, t),
-        lambda: rewrite_manifests(spark, t),
     ):
         with pytest.raises(NotImplementedError, match="partition"):
             op()
     # reads stay fine
     assert read_iceberg(spark, t).count() == 2
+
+
+def test_compaction_scoped_to_default_spec(spark, tmp_path):
+    """Mixed-spec compaction (r12 late, lifting the blanket refusal):
+    manifests are spec-homogeneous, so the default spec's small files
+    bin-pack while evolved-away specs' manifests carry VERBATIM —
+    their files never move and their partition records are never
+    re-serialized."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        compact_iceberg,
+        rewrite_manifests,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]).repartition(1), t)
+    old_files = set(read_iceberg(spark, t).inputFiles())
+    update_partition_spec(t, ["s"])
+    # several small files in ONE partition of the new spec
+    for i in range(3):
+        write_iceberg(
+            _df(spark, [(10 + i, "p", float(i))]).repartition(1),
+            t,
+            mode="append",
+        )
+    n_before = len(read_iceberg(spark, t).inputFiles())
+    compact_iceberg(spark, t)
+    files_after = set(read_iceberg(spark, t).inputFiles())
+    # the old-spec file is untouched; the new spec's three smalls fold
+    assert old_files <= files_after
+    assert len(files_after) < n_before
+    got = sorted((r.id, r.s, r.v) for r in read_iceberg(spark, t).collect())
+    assert got == [
+        (1, "a", 1.0), (10, "p", 0.0), (11, "p", 1.0), (12, "p", 2.0),
+    ]
+    # manifest collapse keeps the carried spec's manifests verbatim too
+    rewrite_manifests(spark, t)
+    got2 = sorted((r.id, r.s, r.v) for r in read_iceberg(spark, t).collect())
+    assert got2 == got
+    assert old_files <= set(read_iceberg(spark, t).inputFiles())
 
 
 def test_mor_upsert_supersedes_across_specs(spark, tmp_path):
