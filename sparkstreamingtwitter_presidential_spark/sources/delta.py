@@ -2270,6 +2270,51 @@ _HISTORY_DDL = (
 )
 
 
+def describe_detail(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE DETAIL as a one-row frame — the table-inspection
+    surface the real client exposes: format, table id, location,
+    createdTime / lastModified (epoch ms), partition columns, live
+    numFiles / sizeInBytes (log-derived — no file stats are listed),
+    table properties as canonical JSON, the protocol's min
+    reader/writer versions, and the table-features lists when the
+    protocol declares them. Driver-side: one log replay, no Spark
+    job beyond building the single-row frame."""
+    snap = _replay_log(path, None)
+    md = snap.metadata_action or {}
+    pr = snap.protocol_action or {}
+    last_modified = 0
+    log_dir = _log_path(path)
+    for n in os.listdir(log_dir):
+        if _version_of(n, ".json") is not None:
+            last_modified = max(
+                last_modified,
+                int(os.path.getmtime(os.path.join(log_dir, n)) * 1000),
+            )
+    row = (
+        "delta",
+        md.get("id"),
+        os.path.abspath(path),
+        int(md["createdTime"]) if md.get("createdTime") else None,
+        last_modified,
+        list(snap.partition_columns),
+        len(snap.files),
+        sum(int(a.get("size", 0)) for a in snap.files.values()),
+        json.dumps(md.get("configuration") or {}, sort_keys=True),
+        int(pr.get("minReaderVersion", 1)),
+        int(pr.get("minWriterVersion", 1)),
+        sorted(pr.get("readerFeatures") or []),
+        sorted(pr.get("writerFeatures") or []),
+    )
+    return spark.createDataFrame(
+        [row],
+        "format string, id string, location string, created_at long, "
+        "last_modified long, partition_columns array<string>, "
+        "num_files long, size_in_bytes long, properties string, "
+        "min_reader_version int, min_writer_version int, "
+        "reader_features array<string>, writer_features array<string>",
+    )
+
+
 def describe_history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY as a queryable frame: one row per RETAINED
     JSON commit — version, commit timestamp, operation +

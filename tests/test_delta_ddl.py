@@ -205,3 +205,32 @@ def test_add_constraint_validates_existing_rows(spark, tmp_path):
         drop_check_constraint(t, "v_pos")
     with pytest.raises(ValueError, match="identifier"):
         add_check_constraint(spark, t, "bad name", "v >= 0")
+
+
+def test_describe_detail_frame(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.delta import (
+        describe_detail,
+        enable_row_tracking,
+    )
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "p1", 1.0), (2, "p2", 2.0)], "id long, s string, v double"
+        ),
+        t,
+        partition_by=["s"],
+        configuration={"delta.appendOnly": "false"},
+    )
+    d = describe_detail(spark, t).collect()[0]
+    assert d.format == "delta" and d.id
+    assert d.partition_columns == ["s"]
+    assert d.num_files >= 2 and d.size_in_bytes > 0
+    assert '"delta.appendOnly": "false"' in d.properties
+    assert d.min_reader_version >= 1 and d.min_writer_version >= 2
+    # the frame tracks protocol upgrades
+    enable_row_tracking(spark, t)
+    d2 = describe_detail(spark, t).collect()[0]
+    assert "rowTracking" in d2.writer_features
+    assert d2.min_writer_version == 7
+    assert d2.num_files == d.num_files  # backfill re-adds, not grows
