@@ -3051,6 +3051,56 @@ def drop_ref(path: str, name: str) -> None:
     _claim_metadata_version(path, meta, new_meta)
 
 
+def table_detail(spark: SparkSession, path: str) -> DataFrame:
+    """The one-row inspection frame (Delta's describe_detail twin,
+    completing the .snapshots/.files/.history/.manifests/.partitions/
+    .refs family): format + format-version, table uuid, location,
+    last-updated, the default spec's partition fields (DDL-ish
+    strings like ``s`` / ``day(ts)`` / ``bucket[16](id)``), live
+    numFiles/sizeInBytes from the current snapshot summary-free
+    manifest walk, properties as canonical JSON, current snapshot id,
+    and the default sort order id. Driver-side metadata only."""
+    meta = _load_metadata(path)
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    spec_strs = []
+    for pf in _default_spec_fields(meta):
+        src = by_id.get(pf["source-id"], f"#{pf['source-id']}")
+        tr = pf["transform"]
+        spec_strs.append(src if tr == "identity" else f"{tr}({src})")
+    n_files = size = 0
+    cur = meta.get("current-snapshot-id")
+    if cur not in (None, -1):
+        snap = _snapshot(meta, None)
+        entries, _dels = _entries_and_deletes_for_snapshot(path, snap)
+        n_files = len(entries)
+        size = sum(
+            int(e["data_file"].get("file_size_in_bytes", 0))
+            for e in entries
+        )
+    row = (
+        "iceberg",
+        int(meta.get("format-version", 1)),
+        meta.get("table-uuid"),
+        meta.get("location", os.path.abspath(path)),
+        int(meta.get("last-updated-ms", 0)),
+        spec_strs,
+        n_files,
+        size,
+        json.dumps(meta.get("properties") or {}, sort_keys=True),
+        cur if cur not in (None, -1) else None,
+        int(meta.get("default-sort-order-id", 0)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "format string, format_version int, table_uuid string, "
+        "location string, last_updated long, "
+        "partition_spec array<string>, num_files long, "
+        "size_in_bytes long, properties string, "
+        "current_snapshot_id long, default_sort_order_id int",
+    )
+
+
 def table_refs(spark: SparkSession, path: str) -> DataFrame:
     """The .refs metadata-table shape: one row per named ref (plus the
     implicit main branch) — driver-side metadata only."""

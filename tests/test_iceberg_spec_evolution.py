@@ -263,3 +263,27 @@ def test_table_partitions_refuses_on_mixed_specs(spark, tmp_path):
     write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
     with pytest.raises(NotImplementedError, match="partition"):
         table_partitions(spark, t)
+
+
+def test_table_detail_frame(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        table_detail,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+        t,
+        partition_by=["s"],
+        format_version=3,
+    )
+    d = table_detail(spark, t).collect()[0]
+    assert d.format == "iceberg" and d.format_version == 3
+    assert d.table_uuid and d.current_snapshot_id is not None
+    assert d.partition_spec == ["s"]
+    assert d.num_files >= 2 and d.size_in_bytes > 0
+    # evolution shows the NEW default spec immediately
+    update_partition_spec(t, ["truncate(2, s)"])
+    d2 = table_detail(spark, t).collect()[0]
+    assert d2.partition_spec == ["truncate[2](s)"]
+    assert d2.num_files == d.num_files  # metadata-only
