@@ -693,6 +693,8 @@ def _assign_identity_values(
     tagged = frozen.withColumn("__pid", F.spark_partition_id())
 
     def assign(batches):
+        import numpy as np
+
         local = 0
         off = None
         for b in batches:
@@ -702,11 +704,9 @@ def _assign_identity_values(
                 off = offsets[int(b["__pid"].iloc[0])]
             out = b[keep].copy()
             k0 = off + local
+            positions = np.arange(k0, k0 + len(b), dtype=np.int64)
             for name in bases:
-                out[name] = [
-                    bases[name] + steps[name] * (k0 + i)
-                    for i in range(len(b))
-                ]
+                out[name] = bases[name] + steps[name] * positions
             local += len(b)
             yield out
 
