@@ -251,6 +251,37 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def format_output(
+    timings: dict[str, float], errors: dict[str, str], sf: float
+) -> dict:
+    """The one-line bench artifact, key order deliberate (r12 verdict
+    item 4): the driver archives only the LAST 2000 chars of stdout, so
+    the bulky per-query map goes FIRST and the headline scalars go LAST
+    — the truncated tail then always contains metric/value/sf/clean
+    (and the error summary), instead of losing them to the 89-entry
+    queries dict. json.dumps preserves dict insertion order."""
+    out: dict = {"queries": timings}
+    if errors:
+        out["errors"] = errors
+    out.update(
+        {
+            "error_count": len(errors),
+            "sf": sf,
+            "unit": "sec",
+            # self-evident run status (r5 verdict item 6): JVM/py4j
+            # teardown can spray benign stack fragments onto stderr
+            # AFTER the timings; "clean" makes the artifact unambiguous
+            # — true means every headline query completed and anything
+            # below/around the JSON line is teardown noise, not a
+            # mid-run crash.
+            "clean": not errors,
+            "metric": "headline_total_sec",
+            "value": round(sum(timings.values()), 3),
+        }
+    )
+    return out
+
+
 def main() -> None:
     spark = get_spark("sparkstreamingtwitter-bench")
     registry = load_all()
@@ -275,21 +306,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - must survive any query
             errors[name] = f"{type(e).__name__}: {e}"[:500]
 
-    out = {
-        "metric": "headline_total_sec",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": _sf_from_dir(SF_DIR),
-        # self-evident run status (r5 verdict item 6): JVM/py4j teardown
-        # can spray benign stack fragments onto stderr AFTER the
-        # timings; "clean" makes the artifact unambiguous — true means
-        # every headline query completed and anything below/around the
-        # JSON line is teardown noise, not a mid-run crash.
-        "clean": not errors,
-    }
-    if errors:
-        out["errors"] = errors
+    out = format_output(timings, errors, _sf_from_dir(SF_DIR))
     # stop the session BEFORE printing so teardown noise lands above
     # the JSON line, keeping it the artifact's last word
     try:

@@ -45,3 +45,28 @@ def test_headline_has_no_duplicates():
     names = _headline()
     dupes = sorted({n for n in names if names.count(n) > 1})
     assert not dupes, f"duplicate HEADLINE entries: {dupes}"
+
+
+def test_headline_scalars_survive_driver_tail_truncation():
+    """r12 verdict item 4: the driver archives only the LAST 2000 chars
+    of bench stdout. The artifact's headline scalars (metric / value /
+    sf / clean / error_count) must therefore be the FINAL keys of the
+    JSON line, after the per-query map, so truncation can never eat
+    them — even at 200 headline queries."""
+    import json
+
+    spec = importlib.util.spec_from_file_location("bench", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    timings = {f"query_{i:03d}_with_a_long_name": 1.234 for i in range(200)}
+    errors = {"query_err": "RuntimeError: boom"}
+    line = json.dumps(mod.format_output(timings, errors, 0.1))
+    tail = line[-2000:]
+    for key in ('"metric"', '"value"', '"sf"', '"clean"', '"error_count"'):
+        assert key in tail, f"{key} lost to tail truncation"
+    assert tail.rstrip().endswith("}")
+    # and the artifact still parses as-is when NOT truncated
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_total_sec"
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    assert parsed["clean"] is False and parsed["error_count"] == 1
