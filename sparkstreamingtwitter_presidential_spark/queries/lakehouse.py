@@ -3463,28 +3463,64 @@ def lakehouse_delta_identity_agg(
 @query(
     "lakehouse_iceberg_spec_evolution_agg",
     oracle="""
-        WITH evolved AS (
+        WITH ev AS (
             SELECT event_id, user_id, event_type, value FROM events
+        ),
+        evolved AS (
+            SELECT * FROM ev
             UNION ALL
             SELECT event_id + 10000000, user_id, event_type, value
-            FROM events WHERE event_id % 7 = 2
+            FROM ev WHERE event_id % 7 = 2
+        ),
+        after_delete AS (
+            SELECT * FROM evolved
+            WHERE NOT (event_id % 11 = 3 AND (event_id < 500 OR
+                       (event_id >= 10000000 AND event_id < 10000500)))
+        ),
+        after_update AS (
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 5 = 0 AND event_id < 500
+                        THEN value * 2 ELSE value END AS value
+            FROM after_delete
+        ),
+        src AS (
+            SELECT event_id, user_id, event_type, 777.0 AS value
+            FROM ev WHERE event_id % 13 = 1 AND event_id < 300
+            UNION ALL
+            SELECT event_id + 20000000, user_id, event_type, value
+            FROM ev WHERE event_id % 17 = 2 AND event_id < 200
+        ),
+        final AS (
+            SELECT * FROM after_update
+            WHERE event_id NOT IN (SELECT event_id FROM src)
+            UNION ALL
+            SELECT * FROM src
         )
         SELECT event_type, COUNT(*) AS n,
                FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
-        FROM evolved GROUP BY event_type
+        FROM final GROUP BY event_type
     """,
     doc=(
-        "NEW r12: PARTITION SPEC EVOLUTION end-to-end — the base "
-        "events write lands UNPARTITIONED, update_partition_spec "
-        "installs identity-on-event_type metadata-only (zero data "
-        "movement — the build RAISES if the live file set changes), "
-        "and a second append stages hive-partitioned under the new "
-        "spec. The query RAISES unless the metadata carries BOTH "
-        "specs with the new default, live manifests span both spec "
-        "ids (the mixed-read proof), a partition-pruned read "
-        "(skip_ranges on event_type) returns exactly the filter's "
-        "rows over the mixed file set, and a CoW DML refuses by name "
-        "on the mixed live set. Oracle = base + shifted append "
+        "r12, EXTENDED r13 (verdict item 2): PARTITION SPEC EVOLUTION "
+        "end-to-end INCLUDING cross-generation CoW DML — the base "
+        "events write lands UNPARTITIONED (range-clustered on "
+        "event_id so DML predicates localize to files), "
+        "update_partition_spec installs identity-on-event_type "
+        "metadata-only (zero data movement — the build RAISES if the "
+        "live file set changes), a second append stages "
+        "hive-partitioned under the new spec, then DELETE hits rows "
+        "in BOTH generations, UPDATE rewrites old-spec rows, and "
+        "MERGE upserts into the new generation plus inserts — each "
+        "rewriting affected files under the DEFAULT spec while "
+        "carried old-spec entries serialize into per-spec manifests "
+        "(_commit_snapshot's r13 spec-homogeneous split). The query "
+        "RAISES unless the metadata carries BOTH specs with the new "
+        "default, live manifests STILL span both spec ids after all "
+        "three DML commits (untouched old-spec files carried "
+        "exactly), the op sequence is append/append/delete/overwrite/"
+        "overwrite, and a partition-pruned read (skip_ranges on "
+        "event_type) returns exactly the filter's rows over the "
+        "mixed file set. Oracle = the full evolve+DML sequence "
         "relationally reconstructed."
     ),
 )
@@ -3494,8 +3530,10 @@ def lakehouse_iceberg_spec_evolution_agg(
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         _load_metadata,
         delete_iceberg,
+        merge_iceberg,
         read_container,
         read_iceberg,
+        update_iceberg,
         update_partition_spec,
         write_iceberg,
     )
@@ -3504,7 +3542,7 @@ def lakehouse_iceberg_spec_evolution_agg(
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         )
-        write_iceberg(ev.repartition(4), table)
+        write_iceberg(ev.repartitionByRange(4, "event_id"), table)
         before = sorted(read_iceberg(spark, table).inputFiles())
         update_partition_spec(table, ["event_type"])
         if sorted(read_iceberg(spark, table).inputFiles()) != before:
@@ -3518,10 +3556,38 @@ def lakehouse_iceberg_spec_evolution_agg(
             table,
             mode="append",
         )
+        # cross-generation DML (r13): DELETE touches an old-spec file
+        # AND new-spec partitions; UPDATE rewrites old-spec rows only;
+        # MERGE upserts keys living in new-spec files and inserts
+        # fresh rows — all through the mixed-spec union scan
+        delete_iceberg(
+            spark,
+            table,
+            "event_id % 11 = 3 AND (event_id < 500 OR "
+            "(event_id >= 10000000 AND event_id < 10000500))",
+        )
+        update_iceberg(
+            spark,
+            table,
+            {"value": "value * 2"},
+            "event_id % 5 = 0 AND event_id < 500",
+        )
+        src = (
+            ev.filter("event_id % 13 = 1 AND event_id < 300")
+            .withColumn("value", F.lit(777.0))
+            .unionByName(
+                ev.filter("event_id % 17 = 2 AND event_id < 200")
+                .withColumn(
+                    "event_id",
+                    F.col("event_id") + F.lit(20_000_000),
+                )
+            )
+        )
+        merge_iceberg(spark, table, src, keys=["event_id"])
 
     key = _events_cache_key(spark, sf_dir)
     table = _staged_iceberg_locked(
-        spark, f"/tmp/ssp_iceberg_specevo_{key}", build
+        spark, f"/tmp/ssp_iceberg_specevo2_{key}", build
     )
 
     meta = _load_metadata(table)
@@ -3531,7 +3597,15 @@ def lakehouse_iceberg_spec_evolution_agg(
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
     _, _, manifests = read_container(snap["manifest-list"])
-    spec_ids = {m.get("partition_spec_id", 0) for m in manifests}
+    spec_ids = {
+        m.get("partition_spec_id", 0)
+        for m in manifests
+        if m["content"] == 0
+    }
+    ops = [
+        s["summary"]["operation"]
+        for s in sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    ]
     df = read_iceberg(spark, table)
     # one pass gives the pruning probe's expected count AND the probe
     # key (deterministic min type) — no separate first()/count() scans
@@ -3550,26 +3624,18 @@ def lakehouse_iceberg_spec_evolution_agg(
         .filter(F.col("event_type") == a_type)
         .count()
     )
-    try:
-        delete_iceberg(spark, table, "event_id = -1")
-    except NotImplementedError as exc:
-        if "partition" not in str(exc):
-            raise
-        dml_refused = True
-    else:
-        dml_refused = False
     if not (
         meta["default-spec-id"] == 1
         and len(meta["partition-specs"]) == 2
-        and spec_ids == {0, 1}  # live manifests span BOTH specs
+        and spec_ids == {0, 1}  # both generations still live post-DML
+        and ops == ["append", "append", "delete", "overwrite", "overwrite"]
         and pruned_n == exact_n
-        and dml_refused
     ):
         raise RuntimeError(
             "spec-evolution invariants violated: "
             f"default={meta['default-spec-id']} "
             f"n_specs={len(meta['partition-specs'])} live_specs="
-            f"{sorted(spec_ids)} pruned={pruned_n} exact={exact_n} "
-            f"dml_refused={dml_refused}"
+            f"{sorted(spec_ids)} ops={ops} "
+            f"pruned={pruned_n} exact={exact_n}"
         )
     return _agg_by_type(df)

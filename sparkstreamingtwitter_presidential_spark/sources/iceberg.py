@@ -3606,41 +3606,7 @@ def _commit_snapshot(
         )
         prior_manifests = [m for m in parent_ms if m["content"] == 0]
 
-    entries = [
-        {
-            "status": _STATUS_ADDED,
-            "snapshot_id": snapshot_id,
-            "sequence_number": seq,
-            "file_sequence_number": seq,
-            "data_file": f,
-        }
-        for f in added_files
-    ]
-    entries += [
-        {
-            "status": _STATUS_EXISTING,
-            "snapshot_id": e["snapshot_id"],
-            "sequence_number": e["sequence_number"],
-            "file_sequence_number": e["file_sequence_number"],
-            "data_file": e["data_file"],
-        }
-        for e in existing_entries
-    ]
-    entries += [
-        {
-            "status": _STATUS_DELETED,
-            "snapshot_id": snapshot_id,
-            "sequence_number": e["sequence_number"],
-            "file_sequence_number": e["file_sequence_number"],
-            "data_file": e["data_file"],
-        }
-        for e in deleted_entries
-    ]
-
     added_rows = sum(f["record_count"] for f in added_files)
-    existing_rows = sum(
-        e["data_file"]["record_count"] for e in existing_entries
-    )
     # v3 row lineage: this commit's assignable id range starts at the
     # table's next-row-id and covers only the rows that will INHERIT
     # ids from the new manifest — ADDED files (written with null
@@ -3655,21 +3621,83 @@ def _commit_snapshot(
         for e in existing_entries
         if e["data_file"].get("first_row_id") is None
     )
+    # MIXED-SPEC commits (r13): manifests are homogeneous per spec —
+    # each carries ONE partition record schema, named by its
+    # partition-spec-id. ADDED files always land under the DEFAULT
+    # spec (rewrites re-stage there); EXISTING/DELETED entries written
+    # under an OLD spec serialize into a manifest OF that spec, so
+    # their partition records round-trip exactly (the corruption the
+    # r12 _refuse_spec_evolution guard existed to prevent). The v3
+    # lineage base runs cumulatively across the manifests in write
+    # order, so in-manifest inheritance stays exact for pre-lineage
+    # id-less entries wherever they land.
+    default_sid = meta.get("default-spec-id", 0)
+    ex_by_sid = _group_entries_by_spec(meta, existing_entries)
+    del_by_sid = _group_entries_by_spec(meta, deleted_entries)
+    sids = [default_sid] + sorted(
+        (set(ex_by_sid) | set(del_by_sid)) - {default_sid}
+    )
     new_manifests: list[dict] = []
-    if entries or not (carry_data_manifests or carry_prior_manifests):
-        manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
+    running_row_id = first_row_id
+    for sid in sids:
+        g_added = added_files if sid == default_sid else []
+        g_ex = ex_by_sid.get(sid, [])
+        g_del = del_by_sid.get(sid, [])
+        g_entries = [
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": f,
+            }
+            for f in g_added
+        ]
+        g_entries += [
+            {
+                "status": _STATUS_EXISTING,
+                "snapshot_id": e["snapshot_id"],
+                "sequence_number": e["sequence_number"],
+                "file_sequence_number": e["file_sequence_number"],
+                "data_file": e["data_file"],
+            }
+            for e in g_ex
+        ]
+        g_entries += [
+            {
+                "status": _STATUS_DELETED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": e["sequence_number"],
+                "file_sequence_number": e["file_sequence_number"],
+                "data_file": e["data_file"],
+            }
+            for e in g_del
+        ]
+        if not g_entries and (
+            sid != default_sid
+            or carry_data_manifests
+            or carry_prior_manifests
+            or len(sids) > 1
+        ):
+            continue  # empty old-spec group / carried-manifest commit
+        g_pf = (
+            part_fields
+            if sid == default_sid
+            else _partition_fields(meta, ice_schema, sid)
+        )
+        manifest_path = os.path.join(
+            md, f"{uuid.uuid4().hex}-m{len(new_manifests)}.avro"
+        )
         manifest_len = write_container(
             manifest_path,
-            _manifest_entry_schema(part_fields),
-            entries,
+            _manifest_entry_schema(g_pf),
+            g_entries,
             meta={
                 "schema": json.dumps(ice_schema).encode(),
                 "partition-spec": json.dumps(
-                    _default_spec_fields(meta)
+                    _spec_fields_by_id(meta, sid)
                 ).encode(),
-                "partition-spec-id": str(
-                    meta.get("default-spec-id", 0)
-                ).encode(),
+                "partition-spec-id": str(sid).encode(),
                 "format-version": fv_bytes,
                 "content": b"data",
             },
@@ -3678,26 +3706,38 @@ def _commit_snapshot(
             {
                 "manifest_path": manifest_path,
                 "manifest_length": manifest_len,
-                "partition_spec_id": meta.get("default-spec-id", 0),
+                "partition_spec_id": sid,
                 "content": 0,
                 "sequence_number": seq,
                 "min_sequence_number": min(
                     [seq]
-                    + [e["sequence_number"] for e in existing_entries]
-                    + [e["sequence_number"] for e in deleted_entries]
+                    + [e["sequence_number"] for e in g_ex]
+                    + [e["sequence_number"] for e in g_del]
                 ),
                 "added_snapshot_id": snapshot_id,
-                "added_files_count": len(added_files),
-                "existing_files_count": len(existing_entries),
-                "deleted_files_count": len(deleted_entries),
-                "added_rows_count": added_rows,
-                "existing_rows_count": existing_rows,
-                "deleted_rows_count": sum(
-                    e["data_file"]["record_count"] for e in deleted_entries
+                "added_files_count": len(g_added),
+                "existing_files_count": len(g_ex),
+                "deleted_files_count": len(g_del),
+                "added_rows_count": sum(
+                    f["record_count"] for f in g_added
                 ),
-                "first_row_id": first_row_id,
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in g_ex
+                ),
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"] for e in g_del
+                ),
+                "first_row_id": running_row_id,
             }
         )
+        if fv >= 3 and running_row_id is not None:
+            running_row_id += sum(
+                f["record_count"] for f in g_added
+            ) + sum(
+                e["data_file"]["record_count"]
+                for e in g_ex
+                if e["data_file"].get("first_row_id") is None
+            )
     delete_manifests: list[dict] = []
     ex_dels = existing_delete_entries or []
     rm_dels = deleted_delete_entries or []
@@ -4406,6 +4446,76 @@ def _entries_by_base(entries: list[dict]) -> dict[str, dict]:
     return out
 
 
+def _group_entries_by_spec(
+    meta: dict, entries: list[dict]
+) -> dict[int, list[dict]]:
+    """Group resolved entries by their EFFECTIVE writing spec: the
+    manifest's spec id, collapsed to the default when the two specs'
+    field lists are identical (a spec id can change without the layout
+    changing — e.g. evolve A->B->A registers a new id for the same
+    fields; those entries read and re-serialize exactly under the
+    default, so they need no branch of their own)."""
+    default_sid = meta.get("default-spec-id", 0)
+    default_fields = _default_spec_fields(meta)
+    out: dict[int, list[dict]] = {}
+    for e in entries:
+        sid = e.get("spec_id", default_sid)
+        if sid != default_sid and _spec_fields_by_id(
+            meta, sid
+        ) == default_fields:
+            sid = default_sid
+        out.setdefault(sid, []).append(e)
+    return out
+
+
+def _scan_entries_mixed_spec(
+    spark: SparkSession,
+    meta: dict,
+    ice_schema: dict,
+    entries: list[dict],
+    scan_schema: T.StructType,
+    part_fields: list[dict],
+    with_file: bool = False,
+    scan_filter: Any | None = None,
+    with_path_pos: bool = False,
+) -> DataFrame:
+    """`_read_files` generalized to a spec-evolved live set: one
+    branch per spec GENERATION (identity injection keyed on each
+    group's own writing spec — the snapshot-read rule), unioned back
+    under the one table schema. Single-spec tables pass straight
+    through to the one-scan path; plan width is bounded by the number
+    of spec generations, never by file count."""
+    by_spec = _group_entries_by_spec(meta, entries)
+    default_sid = meta.get("default-spec-id", 0)
+    if set(by_spec) <= {default_sid}:
+        return _read_files(
+            spark,
+            [e["data_file"] for e in entries],
+            scan_schema,
+            part_fields,
+            with_file=with_file,
+            scan_filter=scan_filter,
+            with_path_pos=with_path_pos,
+        )
+    from functools import reduce
+
+    parts = [
+        _read_files(
+            spark,
+            [e["data_file"] for e in grp],
+            scan_schema,
+            part_fields
+            if sid == default_sid
+            else _partition_fields(meta, ice_schema, sid),
+            with_file=with_file,
+            scan_filter=scan_filter,
+            with_path_pos=with_path_pos,
+        )
+        for sid, grp in sorted(by_spec.items())
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
 def _dml_plan(spark: SparkSession, path: str):
     """DML plans under the CURRENT schema (like a current read): after
     add_column, old files scan NULL for the new field and rewrites
@@ -4429,7 +4539,6 @@ def _dml_plan(spark: SparkSession, path: str):
     spark_schema = _schema_to_spark(ice_schema)
     entries, dels = _entries_and_deletes_for_snapshot(path, snap)
     _refuse_renamed_files(meta, entries, ice_schema, "copy-on-write DML")
-    _refuse_spec_evolution(meta, entries, "copy-on-write DML")
     scan_filter = (
         _row_delete_filter(spark, meta, entries, dels, ice_schema)
         if dels
@@ -4440,10 +4549,22 @@ def _dml_plan(spark: SparkSession, path: str):
     # row's _row_id/_last_updated_sequence_number (spec §Row Lineage —
     # a CoW rewrite must not change surviving rows' identity; r12)
     fv3 = meta.get("format-version", 1) >= 3
-    scan = _read_files(
+    scan_schema = _lineage_scan_schema(spark_schema) if fv3 else spark_schema
+    # MIXED-SPEC tables (r13 — lifts the r12 _refuse_spec_evolution
+    # guard for CoW DML): after partition evolution the live set spans
+    # spec generations; the DML scan applies the snapshot-read rule —
+    # identity injection keys on each file's OWN writing spec, one
+    # branch per spec GENERATION (not per file), unioned back under
+    # the one table schema. Rewritten rows re-stage under the DEFAULT
+    # spec (the real engines' row-level-operation contract), and
+    # _commit_snapshot serializes carried old-spec entries into
+    # per-spec manifests, so partition records never cross specs.
+    scan = _scan_entries_mixed_spec(
         spark,
-        [e["data_file"] for e in entries],
-        _lineage_scan_schema(spark_schema) if fv3 else spark_schema,
+        meta,
+        ice_schema,
+        entries,
+        scan_schema,
         part_fields,
         with_file=True,
         scan_filter=scan_filter,
@@ -5552,11 +5673,14 @@ def _split_foreign_spec_manifests(
 def _refuse_spec_evolution(
     meta: dict, entries: list[dict], ctx: str
 ) -> None:
-    """Rewrite paths re-serialize carried partition RECORDS under the
-    table's default spec; entries written under a DIFFERENT spec
-    (partition evolution) would corrupt silently. Snapshot READS
-    handle mixed specs per group (r12-late); every rewrite path calls
-    this and refuses by name until per-spec staging exists."""
+    """Refuse-by-name guard for the rewrite paths that still
+    serialize partition RECORDS under a single spec: position-delete
+    writes (delete_iceberg_positional / rewrite_position_deletes key
+    delete files to the referenced files' tuples under ONE spec).
+    Snapshot reads, CoW DML, DV DML, and table_partitions all handle
+    mixed specs per group (r12-late/r13 — _scan_entries_mixed_spec +
+    _commit_snapshot's per-spec manifests); only the positional-delete
+    family still calls this."""
     default_sid = meta.get("default-spec-id", 0)
     fields = {
         sp.get("spec-id", 0): sp.get("fields", [])
@@ -5727,8 +5851,8 @@ def rewrite_manifests(spark: SparkSession, path: str) -> int:
 
 
 def table_partitions(spark: SparkSession, path: str) -> DataFrame:
-    """The .partitions metadata table shape: one row per identity-
-    partition tuple of the CURRENT snapshot with live file/row counts
+    """The .partitions metadata table shape: one row per (spec,
+    partition tuple) of the CURRENT snapshot with live file/row counts
     — answered entirely from the manifests (driver-side metadata, no
     data scan), like the real client's partitions table. Partition
     values come back as their source types (dates decoded from epoch
@@ -5736,49 +5860,87 @@ def table_partitions(spark: SparkSession, path: str) -> DataFrame:
     (no partition columns). MOR tables work (r11): the counts are
     PHYSICAL file-level stats exactly as the real partitions table
     reports them — row-level deletes do not subtract (they are delete
-    files, not edits to data-file record counts)."""
+    files, not edits to data-file record counts).
+
+    MIXED-SPEC tables work (r13, lifting the r12 refusal) the way the
+    real partitions table does: the row shape is the UNION of every
+    live spec's surfaced fields (a spec's own fields hold values, the
+    rest read null) plus a ``spec_id`` column attributing each row to
+    its writing spec — old-generation tuples keep their own row
+    identity instead of lumping into a null-keyed default-spec row.
+    Two specs surfacing the same field name with different stored
+    types refuse by name (no honest unified column exists)."""
     meta = _load_metadata(path)
     snap = _snapshot(meta, None)
     ice_schema = _schema_for(
         meta, snap.get("schema-id", meta.get("current-schema-id", 0))
     )
-    part_fields = _partition_fields(meta, ice_schema)
     entries, _dels = _entries_and_deletes_for_snapshot(path, snap)
-    # the frame's columns ARE the default spec's fields; entries from
-    # an evolved-away spec have no honest row shape here (their tuples
-    # would lump into a null-keyed row) — refuse rather than misreport
-    _refuse_spec_evolution(meta, entries, "table_partitions")
+    by_spec = _group_entries_by_spec(meta, entries)
+    default_sid = meta.get("default-spec-id", 0)
+    sids = sorted(set(by_spec) | {default_sid})
+    pf_by_sid = {
+        sid: _partition_fields(meta, ice_schema, sid) for sid in sids
+    }
+
+    def _surfaced(pf: dict) -> str:
+        # identity fields surface under the SOURCE column name/type;
+        # transform fields under the spec field name with the
+        # transform's stored result type (day ordinals, bucket ids,
+        # truncated values)
+        return (
+            pf["source_name"]
+            if pf["transform"] == "identity"
+            else pf["name"]
+        )
+
+    cols: list[tuple[str, str]] = []  # (surfaced name, result_type)
+    col_types: dict[str, str] = {}
+    for sid in [default_sid] + [s for s in sids if s != default_sid]:
+        for pf in pf_by_sid[sid]:
+            nm = _surfaced(pf)
+            if nm in col_types:
+                if col_types[nm] != pf["result_type"]:
+                    raise NotImplementedError(
+                        f"partition field {nm!r} stores type "
+                        f"{pf['result_type']!r} under spec {sid} but "
+                        f"{col_types[nm]!r} under another live spec; "
+                        "no honest unified column exists"
+                    )
+                continue
+            col_types[nm] = pf["result_type"]
+            cols.append((nm, pf["result_type"]))
+
     agg: dict[tuple, list[int]] = {}
-    for e in entries:
-        part = e["data_file"].get("partition") or {}
-        key = tuple(part.get(pf["name"]) for pf in part_fields)
-        cur = agg.setdefault(key, [0, 0, 0])
-        cur[0] += 1
-        cur[1] += e["data_file"]["record_count"]
-        cur[2] += e["data_file"]["file_size_in_bytes"]
+    for sid in sids:
+        own = {_surfaced(pf): pf["name"] for pf in pf_by_sid[sid]}
+        for e in by_spec.get(sid, []):
+            part = e["data_file"].get("partition") or {}
+            key = (sid,) + tuple(
+                part.get(own[nm]) if nm in own else None
+                for nm, _t in cols
+            )
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += e["data_file"]["record_count"]
+            cur[2] += e["data_file"]["file_size_in_bytes"]
     rows = [
         tuple(
-            _avro_partition_to_python(pf["result_type"], v)
-            for pf, v in zip(part_fields, key)
+            None
+            if v is None
+            else _avro_partition_to_python(t, v)
+            for (_nm, t), v in zip(cols, key[1:])
         )
-        + (n_files, n_rows, n_bytes)
+        + (key[0], n_files, n_rows, n_bytes)
         for key, (n_files, n_rows, n_bytes) in sorted(
             agg.items(), key=lambda kv: tuple(map(str, kv[0]))
         )
     ]
-    # identity fields surface under the SOURCE column name/type;
-    # transform fields under the spec field name with the transform's
-    # stored result type (day ordinals, bucket ids, truncated values)
     fields = [
-        T.StructField(
-            pf["source_name"]
-            if pf["transform"] == "identity"
-            else pf["name"],
-            _iceberg_to_spark_type(pf["result_type"]),
-            True,
-        )
-        for pf in part_fields
+        T.StructField(nm, _iceberg_to_spark_type(t), True)
+        for nm, t in cols
     ] + [
+        T.StructField("spec_id", T.LongType(), False),
         T.StructField("n_files", T.LongType(), False),
         T.StructField("n_rows", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), False),

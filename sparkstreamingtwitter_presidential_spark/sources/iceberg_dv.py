@@ -65,10 +65,10 @@ from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
     _norm_path,
     _partition_fields,
     _POS_COL,
-    _read_files,
     _refuse_renamed_files,
     _resolve_lineage,
     _row_delete_filter,
+    _scan_entries_mixed_spec,
     _schema_for,
     _schema_to_spark,
     _snapshot,
@@ -126,13 +126,17 @@ def _plan(spark: SparkSession, path: str, op: str):
     # a prior DML carry materialized _row_id/_last_updated... columns,
     # plain appends read them as null) with both columns RESOLVED, so
     # DML re-stages carry row identity and read_iceberg_lineage just
-    # projects
+    # projects. Mixed-spec live sets branch per spec generation (r13 —
+    # identity injection under each file's own writing spec), so DV
+    # DML and lineage reads stay exact after partition evolution.
     scan = _resolve_lineage(
         spark,
         entries,
-        _read_files(
+        _scan_entries_mixed_spec(
             spark,
-            [e["data_file"] for e in entries],
+            meta,
+            ice_schema,
+            entries,
             _lineage_scan_schema(spark_schema),
             part_fields,
             scan_filter=scan_filter,

@@ -112,24 +112,100 @@ def test_transform_evolution_and_noop(spark, tmp_path):
         update_partition_spec(t, ["nope"])
 
 
-def test_cow_dml_refuses_on_mixed_specs(spark, tmp_path):
+def test_cow_dml_across_mixed_specs(spark, tmp_path):
+    """r13 (r12 verdict item 2): CoW DELETE/UPDATE/MERGE work on a
+    spec-evolved table. The DML scan branches per spec GENERATION
+    (identity injection under each file's own writing spec), rewrites
+    re-stage under the DEFAULT spec, and the commit serializes carried
+    old-spec entries into per-spec manifests — partition records never
+    cross specs."""
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         delete_iceberg,
+        merge_iceberg,
         update_iceberg,
     )
 
     t = str(tmp_path / "t")
-    write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).repartition(1), t
+    )
     update_partition_spec(t, ["s"])
-    write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
-    for op in (
-        lambda: delete_iceberg(spark, t, "id = 1"),
-        lambda: update_iceberg(spark, t, {"v": "v + 1"}),
-    ):
-        with pytest.raises(NotImplementedError, match="partition"):
-            op()
-    # reads stay fine
-    assert read_iceberg(spark, t).count() == 2
+    write_iceberg(
+        _df(spark, [(3, "a", 3.0), (4, "c", 4.0)]).repartition(1),
+        t,
+        mode="append",
+    )
+    # DELETE hits one row in EACH generation
+    delete_iceberg(spark, t, "id in (2, 4)")
+    got = sorted((r.id, r.s, r.v) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "a", 1.0), (3, "a", 3.0)]
+    # UPDATE crosses generations too (id=1 pre-evolution, id=3 post)
+    update_iceberg(spark, t, {"v": "v * 10"}, "s = 'a'")
+    got = sorted((r.id, r.v) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, 10.0), (3, 30.0)]
+    # MERGE: upsert over a key that lives in an old-spec file + insert
+    src = _df(spark, [(1, "a", 99.0), (5, "d", 5.0)])
+    merge_iceberg(spark, t, src, keys=["id"])
+    got = sorted((r.id, r.s, r.v) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "a", 99.0), (3, "a", 30.0), (5, "d", 5.0)]
+
+
+def test_mixed_spec_dml_manifests_are_spec_homogeneous(spark, tmp_path):
+    """The commit-side invariant behind the r13 lift: after DML on a
+    mixed-spec table, every data manifest's partition-spec-id matches
+    the spec its entries' partition records serialize under — carried
+    old-spec entries land in an old-spec manifest, never re-keyed
+    under the default."""
+    import json
+
+    from sparkstreamingtwitter_presidential_spark.sources.avro import (
+        read_container,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        update_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).repartition(1), t
+    )
+    update_partition_spec(t, ["s"])
+    write_iceberg(
+        _df(spark, [(3, "a", 3.0), (4, "c", 4.0)]).repartition(1),
+        t,
+        mode="append",
+    )
+    # touch only the NEW-spec file: old-spec entries carry as EXISTING
+    update_iceberg(spark, t, {"v": "v + 0.5"}, "id = 3")
+    meta = _meta(t)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, manifests = read_container(snap["manifest-list"])
+    data_manifests = [m for m in manifests if m["content"] == 0]
+    specs_seen = set()
+    for m in data_manifests:
+        _hdr, mmeta, entries = read_container(m["manifest_path"])
+        declared = int(mmeta["partition-spec-id"].decode())
+        assert declared == m["partition_spec_id"]
+        declared_fields = json.loads(mmeta["partition-spec"].decode())
+        spec_fields = next(
+            sp["fields"]
+            for sp in meta["partition-specs"]
+            if sp["spec-id"] == declared
+        )
+        assert declared_fields == spec_fields
+        names = {pf["name"] for pf in spec_fields}
+        for e in entries:
+            part = e["data_file"].get("partition") or {}
+            assert set(part) == names, (declared, part)
+        specs_seen.add(declared)
+    # both generations present: the old flat spec AND the new identity
+    assert specs_seen == {0, 1}
+    got = sorted((r.id, r.v) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.5), (4, 4.0)]
 
 
 def test_compaction_scoped_to_default_spec(spark, tmp_path):
@@ -252,7 +328,10 @@ def test_stream_source_across_evolution_boundary(spark, tmp_path):
     assert sorted(sink) == [(1, "a", 1.0), (2, "b", 2.0)]
 
 
-def test_table_partitions_refuses_on_mixed_specs(spark, tmp_path):
+def test_table_partitions_minimal_mixed_table(spark, tmp_path):
+    """r13: the former blanket mixed-spec refusal is gone — the
+    smallest evolved table (one flat file, one partitioned file)
+    reports one row per (spec, tuple)."""
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         table_partitions,
     )
@@ -261,8 +340,11 @@ def test_table_partitions_refuses_on_mixed_specs(spark, tmp_path):
     write_iceberg(_df(spark, [(1, "a", 1.0)]), t)
     update_partition_spec(t, ["s"])
     write_iceberg(_df(spark, [(2, "b", 2.0)]), t, mode="append")
-    with pytest.raises(NotImplementedError, match="partition"):
-        table_partitions(spark, t)
+    rows = {
+        (r.spec_id, r.s): r.n_rows
+        for r in table_partitions(spark, t).collect()
+    }
+    assert rows == {(0, None): 1, (1, "b"): 1}
 
 
 def test_table_detail_frame(spark, tmp_path):
@@ -287,3 +369,115 @@ def test_table_detail_frame(spark, tmp_path):
     d2 = table_detail(spark, t).collect()[0]
     assert d2.partition_spec == ["truncate[2](s)"]
     assert d2.num_files == d.num_files  # metadata-only
+
+
+def test_mixed_spec_dml_preserves_v3_row_lineage(spark, tmp_path):
+    """r13: on a v3 table, cross-generation CoW DML keeps every
+    surviving row's _row_id — rewritten rows materialize their ids,
+    carried old-spec EXISTING entries keep their explicit first_row_id
+    in the per-spec manifest, and the per-manifest lineage bases run
+    cumulatively so nothing double-assigns."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        update_iceberg,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        read_iceberg_lineage,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).repartition(1),
+        t,
+        format_version=3,
+    )
+    update_partition_spec(t, ["s"])
+    write_iceberg(
+        _df(spark, [(3, "a", 3.0), (4, "c", 4.0)]).repartition(1),
+        t,
+        mode="append",
+    )
+    base = {
+        r.id: r._row_id for r in read_iceberg_lineage(spark, t).collect()
+    }
+    assert sorted(base) == [1, 2, 3, 4]
+    assert len(set(base.values())) == 4  # all assigned, all distinct
+    # UPDATE hits one row per generation; every id survives with the
+    # same _row_id (CoW must not change surviving rows' identity)
+    update_iceberg(spark, t, {"v": "v + 100"}, "id in (1, 3)")
+    after = {
+        r.id: r._row_id for r in read_iceberg_lineage(spark, t).collect()
+    }
+    assert after == base
+    got = sorted((r.id, r.v) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, 101.0), (2, 2.0), (3, 103.0), (4, 4.0)]
+
+
+def test_dv_dml_across_mixed_specs(spark, tmp_path):
+    """r13: the DV-DML planning scan (iceberg_dv._plan) branches per
+    spec generation too — a deletion-vector DELETE on a spec-evolved
+    v3 table marks rows in BOTH generations without rewriting files,
+    and old-generation identity values are never nulled by the scan
+    (the latent mis-injection the shared _scan_entries_mixed_spec
+    closes)."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        delete_iceberg_dv,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).repartition(1),
+        t,
+        format_version=3,
+    )
+    update_partition_spec(t, ["s"])
+    write_iceberg(
+        _df(spark, [(3, "a", 3.0), (4, "c", 4.0)]).repartition(1),
+        t,
+        mode="append",
+    )
+    files_before = set(read_iceberg(spark, t).inputFiles())
+    # the predicate needs correct s-values from BOTH generations: id=2
+    # lives in an old flat file (s physically present), id=4 in a
+    # new-spec file (s injected from the tuple)
+    delete_iceberg_dv(spark, t, "s in ('b', 'c')")
+    got = sorted((r.id, r.s, r.v) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "a", 1.0), (3, "a", 3.0)]
+    # MOR: no data file was rewritten — the partially-deleted old flat
+    # file stays (vectored), and the one-row s=c file is 100%-deleted
+    # so it legitimately DROPS from the manifests (spec: no all-rows
+    # DV; the file leaves instead)
+    files_after = set(read_iceberg(spark, t).inputFiles())
+    assert files_after < files_before
+    assert len(files_after) == len(files_before) - 1
+
+
+def test_table_partitions_mixed_specs(spark, tmp_path):
+    """r13: table_partitions lifts the r12 refusal — mixed-spec tables
+    report one row per (spec, tuple) with a spec_id column, a unified
+    field shape (other specs' fields read null), and exact per-spec
+    file/row counts."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        table_partitions,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).repartition(1), t
+    )
+    update_partition_spec(t, ["s"])
+    write_iceberg(
+        _df(spark, [(3, "a", 3.0), (4, "c", 4.0)]).repartition(1),
+        t,
+        mode="append",
+    )
+    rows = {
+        (r.spec_id, r.s): (r.n_files, r.n_rows)
+        for r in table_partitions(spark, t).collect()
+    }
+    # old-spec files have NO tuple (s null), attributed to spec 0;
+    # new-spec files report per-value rows under spec 1
+    assert rows == {
+        (0, None): (1, 2),
+        (1, "a"): (1, 1),
+        (1, "c"): (1, 1),
+    }
