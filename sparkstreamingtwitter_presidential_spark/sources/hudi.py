@@ -12,7 +12,9 @@ Hudi's on-disk contract is files:
   .hoodie/<instant>.inflight           timeline: in progress
   .hoodie/<instant>.commit             timeline: COMPLETED (JSON with
                                        per-partition write stats)
-  <fileId>_<writeToken>_<instant>.parquet   base files (CoW slices)
+  .hoodie/<instant>.deltacommit        timeline: COMPLETED MOR write
+  <fileId>_<writeToken>_<instant>.parquet   base files (slices)
+  .<fileId>_<baseInstant>.log.<v>_<token>   MOR delta log files
 
 The three core Hudi ideas this module implements faithfully:
 
@@ -49,29 +51,30 @@ upserts whose row moves across ANY partition field route as
 delete-old + insert-new), snapshot read (with or without
 meta columns), time travel by completed instant, incremental pull
 (commit-time range), rollback of the latest commit, and clean
-(retire superseded slices, keep_last guard). Refusals (clear
-NotImplementedError/ValueError rather than wrong rows):
-MERGE_ON_READ tables and `.log` delta files,
-non-string partition columns (string paths keep dir-name order ==
-value order, the exact-pruning contract), partition values needing
-hive escaping, null partition values, foreign tables without the
-record-key property, bootstrap/clustering/metadata-table features.
+(retire superseded slices — and, on MOR, their attached log files —
+keep_last guard). Refusals (clear NotImplementedError/ValueError
+rather than wrong rows): non-string partition columns (string paths
+keep dir-name order == value order, the exact-pruning contract),
+partition values needing hive escaping, null partition values,
+foreign tables without the record-key property,
+bootstrap/clustering/metadata-table features.
 
-**MERGE_ON_READ is a PERMANENT documented boundary, not debt**
-(decided r9, per the r8 verdict's ask to settle it): MOR's read path
-requires merging HoodieLogFormat delta blocks — a block-framed
-container of Avro-serialized record batches with its own magic,
-rollback blocks, and compaction scheduling semantics — whose payoff
-is WRITE amortization for high-frequency upsert streams. This
-engine's analytics contract covers that need three other ways, all
-driver-graded: Hudi CoW upserts (single-job bulk committer, cost ∝
-matched groups), Iceberg v2 MOR (position + equality deletes — the
-same read-side merge idea on a format with a simpler public delete
-representation), and the exactly-once streaming sinks for all three
-formats. A MOR table therefore refuses BY NAME at two layers (table
-type property, and any `.log` file seen during a scan — defense in
-depth for mislabeled tables) rather than risking a wrong-rows merge
-of a format this module does not parse.
+**MERGE_ON_READ** (r13, lifting the r9 boundary per the r12 verdict's
+item 6): MOR tables are fully supported through
+`sources/hudi_mor.py` — log-file upserts/deletes on the deltacommit
+timeline (HoodieLogFormat blocks implemented natively in
+`sources/hudi_log.py` over this repo's spec-derived Avro encoder),
+a per-slice shuffle-free merge-on-read snapshot scan (log-free
+slices stay on the vectorized parquet path), compaction, time
+travel, incremental pull, rollback, and clean. `read_hudi` /
+`upsert_hudi` / `write_hudi(table_type=...)` dispatch on
+hoodie.table.type. Remaining MOR refusals, each by name with a
+steer: row-level change derivation (use the incremental pull or
+compact first), the hudi_native streaming source (compact first),
+and timeline archival (compact first — the merge reader orders log
+blocks by active commit attribution). A `.log` file seen during a
+COPY_ON_WRITE scan still refuses — defense in depth for mislabeled
+tables.
 
 Reference scope note: the reference persists micro-batches as plain
 text (Collector.scala:84-96); the lakehouse connectors are the
@@ -126,34 +129,71 @@ def _load_props(path: str) -> dict[str, str]:
                 continue
             k, _, v = line.partition("=")
             out[k] = v
-    if out.get("hoodie.table.type", "COPY_ON_WRITE") != "COPY_ON_WRITE":
+    ttype = out.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
         raise NotImplementedError(
-            "MERGE_ON_READ Hudi tables (delta log files) are not "
-            "supported by this native reader (CoW only)"
+            f"unknown hoodie.table.type {ttype!r} "
+            "(supported: COPY_ON_WRITE, MERGE_ON_READ)"
         )
     return out
 
 
+def _is_mor(props: dict[str, str]) -> bool:
+    return props.get("hoodie.table.type", "COPY_ON_WRITE") == "MERGE_ON_READ"
+
+
 def _completed_commits(path: str) -> list[str]:
-    """Sorted instants with a COMPLETED .commit file (the only state
-    readers trust; requested/inflight are invisible)."""
+    """Sorted instants with a COMPLETED .commit or .deltacommit file
+    (the only states readers trust; requested/inflight are invisible).
+    MOR writes complete as deltacommits, compaction and CoW writes as
+    commits — readers treat both as durable."""
     hd = _hoodie(path)
-    return sorted(
-        n[: -len(".commit")]
-        for n in os.listdir(hd)
-        if n.endswith(".commit") and not n.endswith(".commit.requested")
+    out = []
+    for n in os.listdir(hd):
+        for suf in (".commit", ".deltacommit"):
+            if n.endswith(suf) and not n.endswith(f"{suf}.requested"):
+                out.append(n[: -len(suf)])
+    return sorted(out)
+
+
+def _commit_meta(path: str, instant: str) -> dict:
+    """Completed commit metadata for ``instant`` — .commit first (CoW
+    writes, compaction), then .deltacommit (MOR writes)."""
+    hd = _hoodie(path)
+    for suf in (".commit", ".deltacommit"):
+        f = os.path.join(hd, f"{instant}{suf}")
+        if os.path.isfile(f):
+            with open(f, encoding="utf-8") as fh:
+                return json.load(fh)
+    raise FileNotFoundError(
+        f"no completed commit metadata for instant {instant!r} in {path}"
     )
 
 
-def _scan_dir(path: str, partition: str) -> list[tuple[str, str, str, str]]:
+def _scan_dir(
+    path: str, partition: str, logs: list | None = None
+) -> list[tuple[str, str, str, str]]:
     d = os.path.join(path, partition) if partition else path
     out = []
     for n in sorted(os.listdir(d)):
         if n.endswith(".log") or ".log." in n:
-            raise NotImplementedError(
-                "MERGE_ON_READ log files present; this native reader "
-                "is CoW-only"
-            )
+            from sparkstreamingtwitter_presidential_spark.sources.hudi_log import parse_log_name
+
+            parsed = parse_log_name(n)
+            if parsed is None:
+                raise NotImplementedError(
+                    f"unrecognized log file name {n!r} (expected "
+                    ".<fileId>_<baseInstant>.log.<version>_<writeToken>)"
+                )
+            if logs is None:
+                raise NotImplementedError(
+                    "MERGE_ON_READ log files present in a COPY_ON_WRITE "
+                    "scan; read through read_hudi (which dispatches on "
+                    "hoodie.table.type) instead"
+                )
+            fid, base_inst, ver, _token = parsed
+            logs.append((partition, fid, base_inst, ver, os.path.join(d, n)))
+            continue
         if not n.endswith(".parquet"):
             continue
         stem = n[: -len(".parquet")]
@@ -168,14 +208,20 @@ def _scan_dir(path: str, partition: str) -> list[tuple[str, str, str, str]]:
     return out
 
 
-def _base_files(path: str) -> list[tuple[str, str, str, str]]:
+def _base_files(
+    path: str, logs: list | None = None
+) -> list[tuple[str, str, str, str]]:
     """(partition_path, file_id, instant, full_path) for every base
     parquet — the table root ("" partition) plus hive-style
     ``col=val`` partition dirs, nested to ANY depth (multi-field
     partition paths, r9). Hudi file name contract:
     <fileId>_<writeToken>_<instant>.parquet. Directories that are not
-    col=val segments refuse by name (never guessed layouts)."""
-    out = _scan_dir(path, "")
+    col=val segments refuse by name (never guessed layouts). When
+    ``logs`` is a list, MOR log files collect into it as
+    (partition, file_id, base_instant, version, full_path); when None
+    (CoW scans), any log file refuses by name — defense in depth for
+    mislabeled tables."""
+    out = _scan_dir(path, "", logs=logs)
 
     def _walk(rel: str) -> None:
         d = os.path.join(path, rel)
@@ -189,7 +235,7 @@ def _base_files(path: str) -> list[tuple[str, str, str, str]]:
                     "(expected hive-style col=val partition dirs)"
                 )
             sub_rel = os.path.join(rel, n) if rel else n
-            out.extend(_scan_dir(path, sub_rel))
+            out.extend(_scan_dir(path, sub_rel, logs=logs))
             _walk(sub_rel)
 
     _walk("")
@@ -207,17 +253,13 @@ def _committed_rel_paths(
     file list never does. None when any commit lacks stats (foreign
     tables with sparse commit metadata fall back to listing, the
     spec's bootstrap path — documented trust boundary)."""
-    hd = _hoodie(path)
     out: set[str] = set()
     for c in commits:
         if extra_metas is not None and c in extra_metas:
             meta = extra_metas[c]
         else:
             try:
-                with open(
-                    os.path.join(hd, f"{c}.commit"), encoding="utf-8"
-                ) as fh:
-                    meta = json.load(fh)
+                meta = _commit_meta(path, c)
             except (OSError, ValueError):
                 return None
         stats = meta.get("partitionToWriteStats")
@@ -236,6 +278,7 @@ def _latest_slices(
     path: str,
     as_of: str | None = None,
     extra_metas: dict[str, dict] | None = None,
+    logs: list | None = None,
 ) -> list[tuple[str, str, str, str]]:
     """Per (partition, file group), the newest slice whose instant is
     a COMPLETED commit (≤ ``as_of`` when time traveling) AND which
@@ -249,7 +292,7 @@ def _latest_slices(
         commits = {c for c in commits if c <= as_of}
     recorded = _committed_rel_paths(path, commits, extra_metas)
     best: dict[tuple[str, str], tuple[str, str]] = {}
-    for part, file_id, instant, full in _base_files(path):
+    for part, file_id, instant, full in _base_files(path, logs=logs):
         if instant not in commits:
             continue
         rel = os.path.join(part, os.path.basename(full)) if part else (
@@ -300,13 +343,19 @@ def _new_instant(path: str) -> str:
     return inst
 
 
-def _complete_instant(path: str, instant: str, commit_meta: dict) -> None:
+def _complete_instant(
+    path: str, instant: str, commit_meta: dict, action: str = "commit"
+) -> None:
     """requested -> inflight -> COMPLETED; completion is the O_EXCL
-    create of the .commit file (put-if-absent)."""
+    create of the .commit / .deltacommit file (put-if-absent). MOR
+    writes complete as ``action='deltacommit'`` (the real timeline's
+    action name); compaction and CoW writes as plain commits."""
+    if action not in ("commit", "deltacommit"):
+        raise ValueError(f"unknown timeline action {action!r}")
     hd = _hoodie(path)
-    open(os.path.join(hd, f"{instant}.commit.requested"), "w").close()
+    open(os.path.join(hd, f"{instant}.{action}.requested"), "w").close()
     open(os.path.join(hd, f"{instant}.inflight"), "w").close()
-    target = os.path.join(hd, f"{instant}.commit")
+    target = os.path.join(hd, f"{instant}.{action}")
     try:
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -487,6 +536,7 @@ def write_hudi(
     n_file_groups: int = 1,
     partition_by: str | None = None,
     extra_metadata: dict[str, str] | None = None,
+    table_type: str | None = None,
 ) -> str:
     """INSERT commit: create the table on first write (hoodie.properties
     + timeline), land ``df`` as ``n_file_groups`` NEW file groups, and
@@ -505,6 +555,11 @@ def write_hudi(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if record_key not in df.columns:
         raise ValueError(f"record_key {record_key!r} not in {df.columns}")
+    if table_type not in (None, "COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(
+            f"table_type must be COPY_ON_WRITE|MERGE_ON_READ, "
+            f"got {table_type!r}"
+        )
     pcols = _partition_cols(partition_by)
     missing_p = [c for c in pcols if c not in df.columns]
     if missing_p:
@@ -517,7 +572,7 @@ def write_hudi(
             fh.write(
                 "hoodie.table.name="
                 + os.path.basename(path.rstrip("/"))
-                + "\nhoodie.table.type=COPY_ON_WRITE"
+                + f"\nhoodie.table.type={table_type or 'COPY_ON_WRITE'}"
                 + "\nhoodie.table.version=6"
                 + "\nhoodie.timeline.layout.version=1"
                 + f"\nhoodie.table.recordkey.fields={record_key}\n"
@@ -532,6 +587,13 @@ def write_hudi(
             )
     else:
         props = _load_props(path)
+        have_type = props.get("hoodie.table.type", "COPY_ON_WRITE")
+        if table_type is not None and table_type != have_type:
+            raise ValueError(
+                f"table_type {table_type!r} != table's {have_type!r}; "
+                "the table type is fixed at creation"
+            )
+        table_type = have_type
         want = props.get("hoodie.table.recordkey.fields")
         if want and want != record_key:
             raise ValueError(
@@ -550,7 +612,9 @@ def write_hudi(
 
     replaced: dict[str, list[str]] = {}
     if mode == "overwrite" and exists:
-        for part, fid, _i, _f in _latest_slices(path):
+        for part, fid, _i, _f in _latest_slices(
+            path, logs=[] if table_type == "MERGE_ON_READ" else None
+        ):
             replaced.setdefault(part, []).append(fid)
 
     if pcols:
@@ -610,7 +674,14 @@ def write_hudi(
         commit_meta["partitionToReplaceFileIds"] = replaced
     if extra_metadata:
         commit_meta["extraMetadata"] = dict(extra_metadata)
-    _complete_instant(path, instant, commit_meta)
+    # MOR writes land on the deltacommit timeline (the real writer's
+    # action for MOR inserts/upserts); CoW stays on plain commits
+    _complete_instant(
+        path,
+        instant,
+        commit_meta,
+        action="deltacommit" if table_type == "MERGE_ON_READ" else "commit",
+    )
     return instant
 
 
@@ -635,8 +706,20 @@ def read_hudi(
     still apply their own row filter. Meta columns are dropped unless
     ``keep_meta`` (the real reader's default surfaces them; dropping
     is this engine's analytics-friendly default — flip the flag for
-    parity with hudi-spark output)."""
-    _load_props(path)
+    parity with hudi-spark output). MERGE_ON_READ tables dispatch to
+    the merge-on-read scan (sources/hudi_mor.py) — log-free slices
+    stay on this vectorized path, dirty slices merge per-slice."""
+    props = _load_props(path)
+    if _is_mor(props):
+        from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import read_hudi_mor
+
+        return read_hudi_mor(
+            spark,
+            path,
+            as_of=as_of,
+            keep_meta=keep_meta,
+            partition_filter=partition_filter,
+        )
     commits = _completed_commits(path)
     if as_of is not None and as_of not in commits:
         if as_of in _archived_instants(path):
@@ -749,10 +832,7 @@ def _replace_map(
             meta = extra_metas[c]
         else:
             try:
-                with open(
-                    os.path.join(hd, f"{c}.commit"), encoding="utf-8"
-                ) as fh:
-                    meta = json.load(fh)
+                meta = _commit_meta(path, c)
             except (OSError, ValueError):
                 continue
         for part, fids in (meta.get("partitionToReplaceFileIds") or {}).items():
@@ -782,8 +862,17 @@ def read_hudi_incremental(
     twice in range delivers once, with its final value. Cost tracks
     the touched groups' latest slices, never the table. Refuses
     overwrite commits inside the range, like the Delta/Iceberg twins
-    refuse non-append commits (replaced data must not double-count)."""
-    _load_props(path)
+    refuse non-append commits (replaced data must not double-count).
+
+    MERGE_ON_READ: same semantics through the merged view — the
+    touched groups (from the range commits' stats, log files and base
+    files alike) are read via the per-slice merge AS OF the range end,
+    then commit-time filtered; log records carry their deltacommit's
+    instant, copied/compacted rows keep their original stamps, so the
+    filter stays exact across compactions in range."""
+    props = _load_props(path)
+    if _is_mor(props):
+        return _read_mor_incremental(spark, path, from_instant, to_instant)
     commits = _completed_commits(path)
     hi = to_instant if to_instant is not None else (commits[-1] if commits else "")
     archived = _archived_instants(path)
@@ -801,8 +890,7 @@ def read_hudi_incremental(
     hd = _hoodie(path)
     touched: set[tuple[str, str]] = set()
     for c in sel:
-        with open(os.path.join(hd, f"{c}.commit"), encoding="utf-8") as fh:
-            meta = json.load(fh)
+        meta = _commit_meta(path, c)
         if meta.get("operationType") == "INSERT_OVERWRITE_TABLE":
             raise ValueError(
                 f"commit {c} in the incremental range is an overwrite — "
@@ -833,6 +921,49 @@ def read_hudi_incremental(
     )
 
 
+def _read_mor_incremental(
+    spark: SparkSession,
+    path: str,
+    from_instant: str,
+    to_instant: str | None,
+) -> DataFrame:
+    """MOR incremental pull: merged view of the touched groups as of
+    the range end, commit-time filtered (see read_hudi_incremental)."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import read_hudi_mor
+
+    commits = _completed_commits(path)
+    hi = (
+        to_instant
+        if to_instant is not None
+        else (commits[-1] if commits else "")
+    )
+    sel = [c for c in commits if from_instant < c <= hi]
+    if not sel:
+        return read_hudi(spark, path).limit(0)
+    touched: set[tuple[str, str]] = set()
+    for c in sel:
+        meta = _commit_meta(path, c)
+        if meta.get("operationType") == "INSERT_OVERWRITE_TABLE":
+            raise ValueError(
+                f"commit {c} in the incremental range is an overwrite — "
+                "an incremental pull would misread replaced data; read "
+                "full snapshots across it instead"
+            )
+        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                fid = st.get("fileId") or os.path.basename(
+                    st["path"]
+                ).split("_")[0]
+                touched.add((part, fid))
+    merged = read_hudi_mor(
+        spark, path, as_of=hi, keep_meta=True, groups=touched
+    )
+    return merged.filter(
+        (F.col("_hoodie_commit_time") > from_instant)
+        & (F.col("_hoodie_commit_time") <= hi)
+    ).drop(*META_COLS)
+
+
 def hudi_row_changes(
     spark: SparkSession,
     path: str,
@@ -860,8 +991,18 @@ def hudi_row_changes(
     commit metadata in (extra_metas), so pre-images stay exact on
     archived tables. INSERT_OVERWRITE_TABLE refuses (the pre-image is
     the whole previous table, not a per-group diff). Cost ∝ the
-    commit's touched groups' slices, never the table."""
-    _load_props(path)
+    commit's touched groups' slices, never the table.
+
+    MERGE_ON_READ refuses by name: a deltacommit's pre-image is the
+    slice's merged state BEFORE its log blocks — deriving it means
+    replaying every slice twice per commit; use the incremental pull
+    (post-images) or compact_hudi first and diff plain commits."""
+    if _is_mor(_load_props(path)):
+        raise NotImplementedError(
+            "row-level change derivation on MERGE_ON_READ tables is "
+            "not supported; use read_hudi_incremental (post-images) "
+            "or compact_hudi first"
+        )
     commits = _completed_commits(path)
     if instant not in commits:
         if instant in _archived_instants(path):
@@ -874,9 +1015,7 @@ def hudi_row_changes(
             f"instant {instant!r} is not a completed commit "
             f"(have {commits})"
         )
-    hd = _hoodie(path)
-    with open(os.path.join(hd, f"{instant}.commit"), encoding="utf-8") as fh:
-        meta = json.load(fh)
+    meta = _commit_meta(path, instant)
     if meta.get("operationType") == "INSERT_OVERWRITE_TABLE":
         raise ValueError(
             f"instant {instant!r} is an overwrite — its pre-image is "
@@ -971,7 +1110,12 @@ def hudi_table_changes(
     overwrite refusal) apply commit-by-commit; a key changed twice in
     range emits one pre/post pair PER commit, chronologically —
     unlike the incremental pull, which collapses to final state."""
-    _load_props(path)
+    if _is_mor(_load_props(path)):
+        raise NotImplementedError(
+            "row-level change derivation on MERGE_ON_READ tables is "
+            "not supported; use read_hudi_incremental (post-images) "
+            "or compact_hudi first"
+        )
     commits = _completed_commits(path)
     hi = (
         to_instant
@@ -1015,10 +1159,7 @@ def hudi_timeline(
         items = sorted(items + list(arch.items()), key=lambda kv: kv[0])
     for c, meta in items:
         if meta is None:
-            with open(
-                os.path.join(hd, f"{c}.commit"), encoding="utf-8"
-            ) as fh:
-                meta = json.load(fh)
+            meta = _commit_meta(path, c)
         stats = [
             st
             for sts in (meta.get("partitionToWriteStats") or {}).values()
@@ -1071,8 +1212,19 @@ def upsert_hudi(
     (the global-index update-partition-path semantic) — never
     rewritten in place under the stale dir, which would silently break
     read_hudi's exact partition pruning. Duplicate source keys are
-    ambiguous — refused, same as the MERGE twins."""
+    ambiguous — refused, same as the MERGE twins. MERGE_ON_READ tables
+    dispatch to the log-appending upsert (sources/hudi_mor.py)."""
     props = _load_props(path)
+    if _is_mor(props):
+        from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import upsert_hudi_mor
+
+        return upsert_hudi_mor(
+            spark,
+            path,
+            source,
+            record_key=record_key,
+            extra_metadata=extra_metadata,
+        )
     key = record_key or props.get("hoodie.table.recordkey.fields")
     if not key:
         raise NotImplementedError(
@@ -1241,8 +1393,7 @@ def last_committed_batch(path: str, app_id: str) -> int | None:
     best: int | None = None
     for c in commits:
         try:
-            with open(os.path.join(hd, f"{c}.commit"), encoding="utf-8") as fh:
-                meta = json.load(fh)
+            meta = _commit_meta(path, c)
         except (OSError, ValueError):
             continue
         extra = meta.get("extraMetadata") or {}
@@ -1260,10 +1411,13 @@ def last_committed_batch(path: str, app_id: str) -> int | None:
 
 
 def rollback_hudi(path: str, instant: str) -> list[str]:
-    """Roll back the LATEST completed commit: delete its slices and
-    timeline files — readers never selected uncompleted slices, so
-    this is metadata-local. Only the latest commit may roll back (the
-    real constraint: later commits' slices may shadow this one)."""
+    """Roll back the LATEST completed commit: delete the files its own
+    metadata recorded (base parquet AND, on MOR, the deltacommit's log
+    files — each deltacommit writes NEW log files, never appends, which
+    is what makes this exact) plus its timeline files — readers never
+    selected uncompleted slices, so this is metadata-local. Only the
+    latest commit may roll back (the real constraint: later commits'
+    slices may shadow this one)."""
     commits = _completed_commits(path)
     if not commits or commits[-1] != instant:
         raise ValueError(
@@ -1271,12 +1425,40 @@ def rollback_hudi(path: str, instant: str) -> list[str]:
             f"(latest {commits[-1] if commits else None!r}, got {instant!r})"
         )
     removed = []
-    for _part, _fid, inst, full in _base_files(path):
-        if inst == instant:
-            os.remove(full)
-            removed.append(os.path.basename(full))
+    try:
+        meta = _commit_meta(path, instant)
+    except (OSError, ValueError):
+        meta = {}
+    recorded = [
+        st.get("path")
+        for sts in (meta.get("partitionToWriteStats") or {}).values()
+        for st in sts
+        if st.get("path")
+    ]
+    if recorded:
+        for rel in recorded:
+            full = os.path.join(path, rel)
+            if os.path.isfile(full):
+                os.remove(full)
+                removed.append(os.path.basename(full))
+    else:
+        # sparse foreign metadata: fall back to the name-scan (base
+        # files carry their instant in the file name)
+        mor = _is_mor(_load_props(path))
+        for _part, _fid, inst, full in _base_files(
+            path, logs=[] if mor else None
+        ):
+            if inst == instant:
+                os.remove(full)
+                removed.append(os.path.basename(full))
     hd = _hoodie(path)
-    for suffix in (".commit", ".inflight", ".commit.requested"):
+    for suffix in (
+        ".commit",
+        ".commit.requested",
+        ".deltacommit",
+        ".deltacommit.requested",
+        ".inflight",
+    ):
         try:
             os.remove(os.path.join(hd, f"{instant}{suffix}"))
         except OSError:
@@ -1287,20 +1469,33 @@ def rollback_hudi(path: str, instant: str) -> list[str]:
 def clean_hudi(path: str, keep_last: int = 1) -> list[str]:
     """Retire superseded slices (KEEP_LATEST_COMMITS-shaped): per file
     group, keep the slices referenced by the newest ``keep_last``
-    completed commits; older superseded slices delete. Time travel to
-    cleaned instants stops resolving (their files are gone) — the real
+    completed commits; older superseded slices delete — on MOR, a
+    deleted base slice takes its attached log files with it (they
+    delta a base that no longer exists). Time travel to cleaned
+    instants stops resolving (their files are gone) — the real
     cleaner's documented trade. Returns deleted file names."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    mor = _is_mor(_load_props(path))
     commits = _completed_commits(path)
     protected = set(commits[-keep_last:])
-    live = {full for _p, _f, _i, full in _latest_slices(path)}
+    logs: list | None = [] if mor else None
+    live = {full for _p, _f, _i, full in _latest_slices(path, logs=logs)}
     deleted = []
-    for _part, _fid, inst, full in _base_files(path):
+    gone: set[tuple[str, str, str]] = set()
+    for part, fid, inst, full in _base_files(
+        path, logs=[] if mor else None
+    ):
         if full in live or inst in protected:
             continue
         os.remove(full)
+        gone.add((part, fid, inst))
         deleted.append(os.path.basename(full))
+    if mor and logs:
+        for lpart, lfid, lbase, _ver, lfull in logs:
+            if (lpart, lfid, lbase) in gone and os.path.isfile(lfull):
+                os.remove(lfull)
+                deleted.append(os.path.basename(lfull))
     return deleted
 
 
@@ -1377,6 +1572,14 @@ def archive_hudi_timeline(path: str, keep_last: int = 10) -> list[str]:
     commits. Returns the archived instants."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    if _is_mor(_load_props(path)):
+        raise NotImplementedError(
+            "archiving a MERGE_ON_READ timeline is not supported: the "
+            "merge reader orders log blocks by ACTIVE commit "
+            "attribution, so archiving would strand uncompacted deltas "
+            "— compact_hudi (and clean) first, or keep the timeline "
+            "active"
+        )
     commits = _completed_commits(path)
     candidates = commits[:-keep_last]
     if not candidates:
@@ -1389,8 +1592,7 @@ def archive_hudi_timeline(path: str, keep_last: int = 10) -> list[str]:
     metas: dict[str, dict] = {}
     for c in commits:
         try:
-            with open(os.path.join(hd, f"{c}.commit"), encoding="utf-8") as fh:
-                metas[c] = json.load(fh)
+            metas[c] = _commit_meta(path, c)
         except (OSError, ValueError):
             metas[c] = {}
         app = (metas[c].get("extraMetadata") or {}).get("streaming-app-id")

@@ -235,7 +235,19 @@ class HudiNativeDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("hudi_native: .load(path) is required")
-        _load_props(path)  # validates the table (incl. MOR refusal)
+        from sparkstreamingtwitter_presidential_spark.sources.hudi import _is_mor
+
+        if _is_mor(_load_props(path)):
+            # the incremental planner reads commit-stats parquet paths;
+            # a deltacommit's stats are LOG files — merging them per
+            # micro-batch is not implemented. Compaction makes the
+            # table CoW-shaped again for this source.
+            raise NotImplementedError(
+                "hudi_native streaming source supports COPY_ON_WRITE "
+                "tables only; MERGE_ON_READ deltacommits record log "
+                "files — compact_hudi and stream from the compacted "
+                "commits, or read merged snapshots"
+            )
         slices = _latest_slices(path)
         if not slices:
             raise ValueError(

@@ -1,7 +1,8 @@
 """Native Hudi CoW (sources/hudi.py): timeline + file-slice layout
 roundtrip, record-key upserts (file-group targeting), time travel,
 incremental pull, rollback, clean, and the honest refusal boundary
-(MOR tables/log files, missing record key, bad file names)."""
+(mislabeled log files, missing record key, bad file names; MOR has
+its own suite in test_hudi_mor.py since r13)."""
 
 from __future__ import annotations
 
@@ -170,19 +171,26 @@ def test_refusals(spark, tmp_path):
     # record-key mismatch on later writes
     with pytest.raises(ValueError, match="record_key"):
         write_hudi(_df(spark, [(2, "b", 2.0)]), t, record_key="s")
-    # MOR table type refuses
+    # an UNKNOWN table type refuses (CoW and MOR both dispatch since r13)
     props = os.path.join(t, ".hoodie", "hoodie.properties")
     body = open(props).read()
-    open(props, "w").write(body.replace("COPY_ON_WRITE", "MERGE_ON_READ"))
-    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+    open(props, "w").write(body.replace("COPY_ON_WRITE", "SOME_NEW_TYPE"))
+    with pytest.raises(NotImplementedError, match="SOME_NEW_TYPE"):
         read_hudi(spark, t)
     open(props, "w").write(body)
-    # a stray .log file (MOR remnant) refuses
+    # a non-spec-shaped .log name refuses on any scan
     log = os.path.join(t, "stray.log")
     open(log, "w").close()
-    with pytest.raises(NotImplementedError, match="log files"):
+    with pytest.raises(NotImplementedError, match="log file name"):
         read_hudi(spark, t)
     os.remove(log)
+    # a spec-shaped log file inside a COPY_ON_WRITE table still refuses
+    # (defense in depth for mislabeled tables)
+    log2 = os.path.join(t, ".abc123_20260101000000000.log.1_0-0-0")
+    open(log2, "w").close()
+    with pytest.raises(NotImplementedError, match="COPY_ON_WRITE scan"):
+        read_hudi(spark, t)
+    os.remove(log2)
     # inflight (never completed) commits are invisible
     hd = os.path.join(t, ".hoodie")
     open(os.path.join(hd, "99999999999999999.inflight"), "w").close()

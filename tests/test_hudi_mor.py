@@ -1,0 +1,417 @@
+"""Native Hudi MERGE_ON_READ (sources/hudi_mor.py + hudi_log.py):
+HoodieLogFormat block roundtrip, log-file upserts/deletes on the
+deltacommit timeline, the per-slice merge read (hybrid plan: log-free
+slices stay vectorized), compaction, time travel, incremental pull
+across compaction, rollback/clean of deltacommits, partitioned MOR
+(move = delete-block + insert), and the refusal boundary (row changes,
+streaming source, archival, ambiguous upserts)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreamingtwitter_presidential_spark.sources import hudi_log as hl
+from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+    clean_hudi,
+    hudi_row_changes,
+    hudi_timeline,
+    read_hudi,
+    read_hudi_incremental,
+    rollback_hudi,
+    upsert_hudi,
+    write_hudi,
+)
+from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+    _mor_slices,
+    compact_hudi,
+    upsert_hudi_mor,
+)
+
+SCHEMA = "id long, s string, v double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _vals(df):
+    return sorted(tuple(r) for r in df.select("id", "s", "v").collect())
+
+
+def _mor(spark, tmp_path, n_groups=2):
+    t = str(tmp_path / "mor")
+    base = _df(
+        spark,
+        [(i, f"s{i}", float(i)) for i in range(20)],
+    )
+    write_hudi(
+        base, t, record_key="id", n_file_groups=n_groups,
+        table_type="MERGE_ON_READ",
+    )
+    return t, base
+
+
+# ------------------------------------------------------------ log format
+
+
+def test_log_block_roundtrip():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "string"},
+            {"name": "v", "type": ["null", "long"]},
+        ],
+    }
+    rows = [{"k": "a", "v": 1}, {"k": "b", "v": None}]
+    data = hl.encode_block(
+        hl.AVRO_DATA_BLOCK,
+        {hl.INSTANT_TIME: "123", hl.SCHEMA: __import__("json").dumps(schema)},
+        hl.encode_data_block_content(rows, schema),
+    )
+    dele = hl.encode_block(
+        hl.DELETE_BLOCK,
+        {hl.INSTANT_TIME: "124"},
+        hl.encode_delete_block_content([("a", ""), ("z", "p=1")]),
+    )
+    cmd = hl.encode_block(
+        hl.COMMAND_BLOCK,
+        {
+            hl.INSTANT_TIME: "125",
+            hl.TARGET_INSTANT_TIME: "124",
+            hl.COMMAND_BLOCK_TYPE: "0",
+        },
+        b"",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, hl.log_file_name("fid", "100", 1))
+        hl.write_log_file(p, [data, dele, cmd])
+        blocks = hl.read_log_file(p)
+    assert [b["type"] for b in blocks] == [
+        hl.AVRO_DATA_BLOCK,
+        hl.DELETE_BLOCK,
+        hl.COMMAND_BLOCK,
+    ]
+    got_schema = hl.block_schema(blocks[0]["header"])
+    assert hl.decode_data_block(blocks[0]["content"], got_schema) == rows
+    assert hl.decode_delete_block(blocks[1]["content"]) == [
+        ("a", ""),
+        ("z", "p=1"),
+    ]
+    assert blocks[2]["header"][hl.TARGET_INSTANT_TIME] == "124"
+
+
+def test_log_name_parse_roundtrip():
+    name = hl.log_file_name("abc12", "20260101000000000", 3, "1-0-2")
+    assert name == ".abc12_20260101000000000.log.3_1-0-2"
+    assert hl.parse_log_name(name) == ("abc12", "20260101000000000", 3, "1-0-2")
+    assert hl.parse_log_name("stray.log") is None
+    assert hl.parse_log_name(".x_y.log.nonnum_t") is None
+
+
+def test_log_corrupt_magic_refuses(tmp_path):
+    p = str(tmp_path / ".f_1.log.1_0-0-0")
+    with open(p, "wb") as fh:
+        fh.write(b"#NOPE#" + b"\x00" * 30)
+    with pytest.raises(ValueError, match="magic"):
+        hl.read_log_file(p)
+
+
+# ------------------------------------------------------------ write/read
+
+
+def test_mor_upsert_delete_merge(spark, tmp_path):
+    t, base = _mor(spark, tmp_path)
+    ups = _df(spark, [(3, "u3", 33.0), (7, "u7", 77.0), (50, "new", 5.0)])
+    dels = spark.createDataFrame([(4,), (9,)], "id long")
+    upsert_hudi_mor(spark, t, ups, deletes=dels)
+    slices = _mor_slices(t)
+    assert sum(len(s[4]) for s in slices) >= 1, "no log files written"
+    # updates landed as logs, NOT base rewrites: every slice WITH logs
+    # keeps its base at the original insert instant (only the id=50
+    # insert created a new base group, which is log-free)
+    insert_instant = hudi_timeline(spark, t).collect()[0].instant
+    assert all(s[2] == insert_instant for s in slices if s[4])
+    assert sum(1 for s in slices if s[2] != insert_instant) == 1
+    got = _vals(read_hudi(spark, t))
+    want = sorted(
+        [(i, f"s{i}", float(i)) for i in range(20) if i not in (3, 7, 4, 9)]
+        + [(3, "u3", 33.0), (7, "u7", 77.0), (50, "new", 5.0)]
+    )
+    assert got == want
+    ops = [r.operation for r in hudi_timeline(spark, t).collect()]
+    assert ops == ["INSERT", "UPSERT"]
+    # dispatched generic upsert also routes to log files
+    upsert_hudi(spark, t, _df(spark, [(1, "x", 0.0)]))
+    assert read_hudi(spark, t).filter("id = 1").collect()[0].s == "x"
+
+
+def test_mor_last_write_wins_across_deltacommits(spark, tmp_path):
+    t, _ = _mor(spark, tmp_path)
+    upsert_hudi_mor(spark, t, _df(spark, [(5, "first", 1.0)]))
+    upsert_hudi_mor(spark, t, _df(spark, [(5, "second", 2.0)]))
+    dels = spark.createDataFrame([(6,)], "id long")
+    upsert_hudi_mor(spark, t, deletes=dels)
+    # delete then re-insert the same key: comes back as an insert
+    upsert_hudi_mor(spark, t, _df(spark, [(6, "back", 9.0)]))
+    snap = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert snap[5] == ("second", 2.0)
+    assert snap[6] == ("back", 9.0)
+
+
+def test_mor_time_travel_and_incremental(spark, tmp_path):
+    t, base = _mor(spark, tmp_path)
+    i1 = hudi_timeline(spark, t).collect()[0].instant
+    ups = _df(spark, [(3, "u3", 33.0), (50, "new", 5.0)])
+    upsert_hudi_mor(spark, t, ups, deletes=spark.createDataFrame([(4,)], "id long"))
+    assert _vals(read_hudi(spark, t, as_of=i1)) == _vals(base)
+    inc = read_hudi_incremental(spark, t, from_instant=i1)
+    assert _vals(inc) == _vals(ups)
+    # invalid as_of refuses
+    with pytest.raises(ValueError, match="not a completed commit"):
+        read_hudi(spark, t, as_of="00000000000000000")
+
+
+def test_mor_merge_plan_is_hybrid(spark, tmp_path):
+    """Only DIRTY slices pay the merge; log-free slices stay on the
+    vectorized parquet scan (union of the two legs)."""
+    t, _ = _mor(spark, tmp_path, n_groups=4)
+    # touch exactly one key -> one dirty slice, three clean
+    upsert_hudi_mor(spark, t, _df(spark, [(0, "u", 0.5)]))
+    slices = _mor_slices(t)
+    dirty = [s for s in slices if s[4]]
+    assert len(dirty) == 1 and len(slices) == 4
+    plan = read_hudi(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan  # the merge leg
+    assert "Union" in plan  # plus the vectorized leg
+    # after compaction the merge leg disappears entirely
+    compact_hudi(spark, t)
+    plan2 = read_hudi(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan2
+
+
+def test_mor_compaction_preserves_data_and_stamps(spark, tmp_path):
+    t, base = _mor(spark, tmp_path)
+    i1 = hudi_timeline(spark, t).collect()[0].instant
+    ups = _df(spark, [(3, "u3", 33.0)])
+    upsert_hudi_mor(spark, t, ups)
+    before = _vals(read_hudi(spark, t))
+    ci = compact_hudi(spark, t)
+    assert ci is not None
+    assert all(not s[4] for s in _mor_slices(t)), "logs survived compaction"
+    assert _vals(read_hudi(spark, t)) == before
+    # compaction keeps original commit stamps: incremental stays exact
+    assert _vals(read_hudi_incremental(spark, t, from_instant=i1)) == _vals(ups)
+    # compacting a clean table is a no-op
+    assert compact_hudi(spark, t) is None
+    ops = [r.operation for r in hudi_timeline(spark, t).collect()]
+    assert ops == ["INSERT", "UPSERT", "COMPACT"]
+
+
+def test_mor_rollback_deltacommit(spark, tmp_path):
+    t, base = _mor(spark, tmp_path)
+    before = _vals(read_hudi(spark, t))
+    i2 = upsert_hudi_mor(
+        spark,
+        t,
+        _df(spark, [(3, "u3", 33.0), (50, "new", 5.0)]),
+        deletes=spark.createDataFrame([(4,)], "id long"),
+    )
+    removed = rollback_hudi(t, i2)
+    assert removed, "rollback removed nothing"
+    assert any(".log." in n for n in removed), "log files not rolled back"
+    assert _vals(read_hudi(spark, t)) == before
+    assert sum(len(s[4]) for s in _mor_slices(t)) == 0
+
+
+def test_mor_clean_removes_superseded_logs(spark, tmp_path):
+    t, _ = _mor(spark, tmp_path)
+    upsert_hudi_mor(spark, t, _df(spark, [(3, "u3", 33.0)]))
+    compact_hudi(spark, t)
+    upsert_hudi_mor(spark, t, _df(spark, [(5, "u5", 55.0)]))
+    compact_hudi(spark, t)
+    before = _vals(read_hudi(spark, t))
+    deleted = clean_hudi(t, keep_last=1)
+    # old bases AND the log files delta-ing them are gone
+    assert any(n.endswith(".parquet") for n in deleted)
+    assert any(".log." in n for n in deleted)
+    assert _vals(read_hudi(spark, t)) == before
+    walked = [
+        n
+        for _d, _s, files in os.walk(t)
+        for n in files
+        if ".log." in n
+    ]
+    assert not walked, f"stale logs remain: {walked}"
+
+
+def test_mor_partitioned_move_and_pruning(spark, tmp_path):
+    t = str(tmp_path / "morp")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(10)],
+        "id long, p string, v double",
+    )
+    write_hudi(
+        df, t, record_key="id", partition_by="p",
+        table_type="MERGE_ON_READ",
+    )
+    # in-place update + a partition MOVE (id=2 a->b) + a delete
+    ups = spark.createDataFrame(
+        [(4, "a", 44.0), (2, "b", 22.0)], "id long, p string, v double"
+    )
+    upsert_hudi_mor(
+        spark, t, ups, deletes=spark.createDataFrame([(5,)], "id long")
+    )
+    got = sorted(tuple(r) for r in read_hudi(spark, t).collect())
+    want = sorted(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(10) if i not in (4, 2, 5)]
+        + [(4, "a", 44.0), (2, "b", 22.0)]
+    )
+    assert got == want
+    # dir-level pruning on the merged read
+    only_a = read_hudi(spark, t, partition_filter={"p": ("a", "a")})
+    assert sorted(r.id for r in only_a.collect()) == [0, 4, 6, 8]
+    # moved row physically lives under p=b now
+    b_files = os.listdir(os.path.join(t, "p=b"))
+    assert any(".log." in n or n.endswith(".parquet") for n in b_files)
+
+
+def test_mor_rollback_command_block_honored(spark, tmp_path):
+    """A rollback command block makes the reader skip the targeted
+    instant's blocks — the spec's in-file rollback channel (this
+    writer rolls back by deleting files, but the reader honors
+    foreign-style command blocks too)."""
+    t, _ = _mor(spark, tmp_path, n_groups=1)
+    i2 = upsert_hudi_mor(spark, t, _df(spark, [(3, "u3", 33.0)]))
+    part, fid, binst, _bf, slogs = [s for s in _mor_slices(t) if s[4]][0]
+    # append a command block file rolling back i2, attributed to a
+    # fabricated later deltacommit
+    import json as _json
+
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        _complete_instant,
+        _new_instant,
+    )
+
+    i3 = _new_instant(t)
+    name = hl.log_file_name(fid, binst, 2)
+    hl.write_log_file(
+        os.path.join(t, name),
+        [
+            hl.encode_block(
+                hl.COMMAND_BLOCK,
+                {
+                    hl.INSTANT_TIME: i3,
+                    hl.TARGET_INSTANT_TIME: i2,
+                    hl.COMMAND_BLOCK_TYPE: "0",
+                },
+                b"",
+            )
+        ],
+    )
+    _complete_instant(
+        t,
+        i3,
+        {
+            "operationType": "UPSERT",
+            "partitionToWriteStats": {
+                "": [{"path": name, "fileId": fid, "logVersion": 2,
+                      "baseInstantTime": binst, "fileSizeInBytes": 1}]
+            },
+        },
+        action="deltacommit",
+    )
+    snap = {r.id: r.s for r in read_hudi(spark, t).collect()}
+    assert snap[3] == "s3", "rolled-back block still applied"
+
+
+def test_mor_uncommitted_log_invisible(spark, tmp_path):
+    t, base = _mor(spark, tmp_path, n_groups=1)
+    part, fid, binst, _bf, _slogs = _mor_slices(t)[0]
+    # a log file with NO completed deltacommit attributing it
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "_hoodie_record_key", "type": "string"}],
+    }
+    name = hl.log_file_name(fid, binst, 9)
+    hl.write_log_file(
+        os.path.join(t, name),
+        [
+            hl.encode_block(
+                hl.AVRO_DATA_BLOCK,
+                {
+                    hl.INSTANT_TIME: "99999999999999999",
+                    hl.SCHEMA: __import__("json").dumps(schema),
+                },
+                hl.encode_data_block_content(
+                    [{"_hoodie_record_key": "1"}], schema
+                ),
+            )
+        ],
+    )
+    assert _vals(read_hudi(spark, t)) == _vals(base)
+
+
+# -------------------------------------------------------------- refusals
+
+
+def test_mor_refusals(spark, tmp_path):
+    t, _ = _mor(spark, tmp_path)
+    i2 = upsert_hudi_mor(spark, t, _df(spark, [(3, "u", 3.0)]))
+    # row-level change derivation refuses with a steer
+    with pytest.raises(NotImplementedError, match="incremental"):
+        hudi_row_changes(spark, t, i2, keys=["id"])
+    # archival refuses (would strand log attribution)
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import archive_hudi_timeline
+
+    with pytest.raises(NotImplementedError, match="compact"):
+        archive_hudi_timeline(t, keep_last=1)
+    # streaming source refuses by name
+    from sparkstreamingtwitter_presidential_spark.sources.hudi_stream_ds import (
+        HudiNativeDataSource,
+    )
+
+    ds = HudiNativeDataSource(options={"path": t})
+    with pytest.raises(NotImplementedError, match="COPY_ON_WRITE"):
+        ds.schema()
+    # ambiguous: a key in both source and deletes
+    with pytest.raises(ValueError, match="BOTH"):
+        upsert_hudi_mor(
+            spark,
+            t,
+            _df(spark, [(7, "x", 1.0)]),
+            deletes=spark.createDataFrame([(7,)], "id long"),
+        )
+    # duplicate source keys
+    with pytest.raises(ValueError, match="duplicate"):
+        upsert_hudi_mor(
+            spark, t, _df(spark, [(8, "x", 1.0), (8, "y", 2.0)])
+        )
+    # upsert_hudi_mor on a CoW table refuses
+    tc = str(tmp_path / "cow")
+    write_hudi(_df(spark, [(1, "a", 1.0)]), tc, record_key="id")
+    with pytest.raises(ValueError, match="not a MERGE_ON_READ"):
+        upsert_hudi_mor(spark, tc, _df(spark, [(1, "b", 2.0)]))
+    # table_type flip on an existing table refuses
+    with pytest.raises(ValueError, match="fixed at creation"):
+        write_hudi(
+            _df(spark, [(2, "b", 2.0)]), tc, record_key="id",
+            table_type="MERGE_ON_READ",
+        )
+
+
+def test_mor_overwrite_replaces_groups_and_logs(spark, tmp_path):
+    t, _ = _mor(spark, tmp_path)
+    upsert_hudi_mor(spark, t, _df(spark, [(3, "u", 3.0)]))
+    newbase = _df(spark, [(100, "fresh", 1.0)])
+    write_hudi(
+        newbase, t, record_key="id", mode="overwrite",
+        table_type="MERGE_ON_READ",
+    )
+    assert _vals(read_hudi(spark, t)) == _vals(newbase)
