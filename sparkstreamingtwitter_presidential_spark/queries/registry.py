@@ -172,12 +172,16 @@ GRADED_FIRST: list[str] = [
     # incremental path, similarity keeps LSH; bruteforce stays
     # bench-headlined for perf and both stay in
     # tests/test_queries_oracle.py).
-    # Round-7: native Hudi CoW snapshot read (the third lakehouse
-    # format's write->timeline->slice-read fidelity proof). Ceded:
-    # io_orc_roundtrip_docs (r5+r6 driver-green; interchange keeps
-    # csv/avro/shard-export/partitioned-parquet graded and ORC stays
-    # in tests/test_queries_oracle.py).
-    "lakehouse_hudi_events_agg",
+    # Round-13: native Hudi MERGE_ON_READ snapshot (HoodieLogFormat
+    # log-file upsert + delete blocks, per-slice merge read with
+    # base-rewrite-free RAISE — lifting the r9 CoW-only boundary, r12
+    # verdict item 6). Ceded: lakehouse_hudi_events_agg (r7-r12
+    # driver-green, SIX consecutive windows; the plain Hudi
+    # snapshot-read shape stays graded through this query's merged
+    # read — every clean slice takes the identical latest-slice
+    # parquet path — and through the partitioned read; the query
+    # stays in tests/test_queries_oracle.py and bench).
+    "lakehouse_hudi_mor_agg",
     # Round-11: declared SORT ORDERS with clustered staging (spec
     # §Sort Orders as a table property — range-exchange + in-partition
     # sort on every write, appends inherit; RAISE pins the declared
@@ -236,13 +240,15 @@ GRADED_FIRST: list[str] = [
     # stay differential-tested by tests/test_queries_oracle.py.
     "decontam_eval_overlap",
     "dedup_duplicate_span_stats",
-    # Round-7: Hudi record-key UPSERT (file-group-targeted rewrite,
-    # relational reconstruction oracle + timeline op-sequence RAISE) —
-    # the third member of the CoW-merge family. Ceded:
-    # sim_random_projection (r5+r6 driver-green; the map-only
-    # projection stays pytest-oracled and similarity keeps
-    # hybrid-RRF graded + three bench-headlined entries).
-    "lakehouse_hudi_upsert_agg",
+    # Round-13: Hudi MOR COMPACTION lifecycle (logs fold into new
+    # bases under a COMPACT commit, second upsert deltas the compacted
+    # bases; timeline + base-instant RAISEs). Ceded:
+    # lakehouse_hudi_upsert_agg (r7-r12 driver-green, SIX consecutive
+    # windows; the record-key upsert machinery stays graded through
+    # the MOR queries — their staging runs the same bulk committer for
+    # inserts and the same key-routing join — and the CoW rewrite
+    # shape stays in tests/test_queries_oracle.py and bench).
+    "lakehouse_hudi_compaction_agg",
     # Round-5 late additions #2: strided context-window chunking and the
     # deterministic train/val/test split. Ceded: chunk_documents_tokens
     # (r3+r4 driver-green; strided is the strict superset — stride ==
@@ -251,13 +257,15 @@ GRADED_FIRST: list[str] = [
     # disjunctive-pushdown shape also lives in Q6/Q17's graded
     # predicates). Both stay in tests/test_queries_oracle.py.
     "chunk_documents_strided",
-    # Round-8: Hudi incremental pull (changed-rows-only oracle — the
-    # commit-time-preservation proof of the CoW rewrite; the Delta/
-    # Iceberg incremental twins' third member). Ceded:
-    # split_documents_train_val_test (r5+r6+r7 driver-green, three
-    # rounds; the pipeline family keeps curate_pack/chunk/shuffle/
-    # pack-stats graded; stays in tests/test_queries_oracle.py).
-    "lakehouse_hudi_incremental_agg",
+    # Round-13: Hudi MOR incremental pull (post-images of a log-
+    # writing deltacommit via touched-group merge + commit-time
+    # filter). Ceded: lakehouse_hudi_incremental_agg (r8-r12
+    # driver-green, FIVE consecutive windows; the commit-time-
+    # preservation shape is the strict subset of this MOR twin — log
+    # records carry their deltacommit's stamp and copied rows keep
+    # originals — and the CoW variant stays in
+    # tests/test_queries_oracle.py and bench).
+    "lakehouse_hudi_mor_incremental_agg",
     # Round-5 late additions #3: native Avro interchange (public-spec
     # container files; the spark-avro jar is absent, same policy as the
     # native Delta connector). Ceded: lakehouse_delta_events_agg (r3+r4
