@@ -3231,11 +3231,29 @@ def cherrypick_snapshot(path: str, snapshot_id: int) -> int:
     cur = meta.get("current-snapshot-id")
     if cur in (None, -1):
         cur = None
-    if cur is not None and snapshot_id in _ancestry(meta, cur):
-        raise ValueError(
-            f"snapshot {snapshot_id} is already in main's ancestry; "
-            "cherry-picking it again would duplicate its rows"
-        )
+    if cur is not None:
+        chain = _ancestry(meta, cur)
+        if snapshot_id in chain:
+            raise ValueError(
+                f"snapshot {snapshot_id} is already in main's ancestry; "
+                "cherry-picking it again would duplicate its rows"
+            )
+        # a prior cherry-pick leaves the ORIGINAL id out of main's
+        # chain (the pick is a NEW snapshot) — provenance is the only
+        # duplicate witness, the same dedup real Iceberg does via
+        # wap.id / source-snapshot-id summary properties
+        for sid in chain:
+            prov = (
+                snaps.get(sid, {})
+                .get("summary", {})
+                .get("cherry-picked-snapshot-id")
+            )
+            if prov == str(snapshot_id):
+                raise ValueError(
+                    f"snapshot {snapshot_id} was already published onto "
+                    f"main by cherry-pick {sid}; picking it again would "
+                    "duplicate its rows"
+                )
     entries, _dels = _entries_and_deletes_for_snapshot(path, picked)
     added = []
     for e in entries:

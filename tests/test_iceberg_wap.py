@@ -146,9 +146,16 @@ def test_cherrypick_append_onto_moved_main(spark, tmp_path):
     assert snap["summary"]["cherry-picked-snapshot-id"] == str(picked)
     assert snap["summary"]["operation"] == "append"
 
-    # picking it again would duplicate rows -> refuse
+    # picking it again would duplicate rows -> refuse. BOTH witnesses:
+    # the new head is literally in main's ancestry...
     with pytest.raises(ValueError, match="already in main's ancestry"):
         cherrypick_snapshot(t, new_head)
+    # ...while the ORIGINAL picked id is NOT (the pick is a new
+    # snapshot), so only its recorded provenance proves the duplicate
+    # (r13: pre-fix this re-pick silently doubled the rows)
+    with pytest.raises(ValueError, match="already published"):
+        cherrypick_snapshot(t, picked)
+    assert _ids(spark, t) == [1, 5, 9]
     with pytest.raises(ValueError, match="unknown snapshot"):
         cherrypick_snapshot(t, 12345)
 
