@@ -660,3 +660,164 @@ def read_iceberg_lineage(spark: SparkSession, path: str) -> DataFrame:
         if c not in (_PATH_COL, _POS_COL, _ROW_ID, _LAST_UPDATED)
     ]
     return scan.select(*cols, _ROW_ID, _LAST_UPDATED)
+
+
+# ------------------------------------------------------- DV maintenance
+
+
+def rewrite_deletion_vectors(path: str) -> dict | None:
+    """The `rewrite_position_delete_files` maintenance procedure for
+    Puffin deletion vectors (iceberg.apache.org/docs §maintenance —
+    "rewrite position delete files", v3 shape): fold the table's live
+    vectors, scattered across one small Puffin file PER DML COMMIT,
+    into ONE compact Puffin file, and drop the dead bytes superseded
+    unions left behind — without touching any data file (REORG/compact
+    is the heavy alternative).
+
+    Pure byte-level fold: each live blob is copied VERBATIM by its
+    manifest-carried offset/length (no roaring decode — cost is O(live
+    DV bytes), metadata-side), the new delete manifest preserves every
+    entry's referenced_data_file/partition/record_count, and the data
+    manifests carry verbatim. Old Puffin files stay on disk for time
+    travel until `expire_snapshots` + `remove_orphan_files` collect
+    them — the same lifecycle as data-file rewrites.
+
+    Returns {"puffin_files_before", "vectors", "bytes_live",
+    "bytes_reclaimable"} or None when the DV state is already compact
+    (zero or one Puffin file with no dead bytes). Refuses non-PUFFIN
+    delete content by name (parquet position-delete files have their
+    own rewrite path in real engines; this engine's v2 tables apply
+    them at read time and compact via REORG)."""
+    meta = _load_metadata(path)
+    _require_v3(meta, "rewrite_deletion_vectors")
+    snap = _snapshot(meta, None)
+    if snap is None:
+        return None
+    _entries, dels = _entries_and_deletes_for_snapshot(path, snap)
+    dvs = []
+    for e in dels:
+        ff = e["data_file"].get("file_format", "").upper()
+        if ff != "PUFFIN":
+            raise NotImplementedError(
+                f"rewrite_deletion_vectors over {ff!r} delete files is "
+                "not supported (Puffin deletion vectors only); v2 "
+                "position-delete parquet compacts via compact_iceberg"
+            )
+        dvs.append(e)
+    if not dvs:
+        return None
+    by_ref: dict[str, dict] = {}
+    for e in dvs:
+        ref = e["data_file"]["referenced_data_file"]
+        if ref in by_ref:
+            raise ValueError(
+                f"two live deletion vectors reference {ref!r} — the "
+                "one-DV-per-data-file invariant is broken; refusing to "
+                "fold corrupt delete state"
+            )
+        by_ref[ref] = e
+    old_files = sorted(
+        {_norm_path(e["data_file"]["file_path"]) for e in dvs}
+    )
+    bytes_live = sum(
+        int(e["data_file"]["content_size_in_bytes"]) for e in dvs
+    )
+    bytes_on_disk = sum(os.path.getsize(p) for p in old_files)
+    if len(old_files) == 1:
+        # one file is compact iff EVERY blob in its footer is live —
+        # exact, not a byte-overhead heuristic (footers dwarf tiny
+        # vectors); committing a no-op would churn metadata for nothing
+        from sparkstreamingtwitter_presidential_spark.sources.puffin import (
+            read_puffin_footer,
+        )
+
+        live_spans = {
+            (
+                int(e["data_file"]["content_offset"]),
+                int(e["data_file"]["content_size_in_bytes"]),
+            )
+            for e in dvs
+        }
+        footer = read_puffin_footer(old_files[0])
+        all_spans = {
+            (int(b["offset"]), int(b["length"]))
+            for b in footer.get("blobs", [])
+        }
+        if all_spans == live_spans:
+            return None
+
+    puffin_path = os.path.join(
+        path, _DATA_DIR, f"dv-rewrite-{uuid.uuid4().hex}.puffin"
+    )
+    os.makedirs(os.path.dirname(puffin_path), exist_ok=True)
+    ordered = sorted(by_ref)
+    blob_metas = write_puffin(
+        puffin_path,
+        [
+            {
+                "type": "deletion-vector-v1",
+                # verbatim byte copy — offsets/lengths come from the
+                # manifest entry, no decode round-trip
+                "payload": read_blob(
+                    _norm_path(by_ref[r]["data_file"]["file_path"]),
+                    by_ref[r]["data_file"]["content_offset"],
+                    by_ref[r]["data_file"]["content_size_in_bytes"],
+                ),
+                "sequence-number": by_ref[r]["sequence_number"],
+                "properties": {
+                    "referenced-data-file": r,
+                    "cardinality": str(
+                        by_ref[r]["data_file"]["record_count"]
+                    ),
+                },
+            }
+            for r in ordered
+        ],
+    )
+    psize = os.path.getsize(puffin_path)
+    added_dv_files = []
+    for r, m in zip(ordered, blob_metas):
+        old = by_ref[r]["data_file"]
+        added_dv_files.append(
+            {
+                "content": 1,
+                "file_path": puffin_path,
+                "file_format": "PUFFIN",
+                "partition": dict(old.get("partition") or {}),
+                "record_count": old["record_count"],
+                "file_size_in_bytes": psize,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": None,
+                "referenced_data_file": r,
+                "content_offset": m["offset"],
+                "content_size_in_bytes": m["length"],
+            }
+        )
+    ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
+    part_fields = _partition_fields(meta, ice_schema)
+    _commit_snapshot(
+        path,
+        meta,
+        ice_schema,
+        part_fields,
+        added_files=[],
+        existing_entries=[],
+        deleted_entries=[],
+        carry_prior_manifests=False,
+        operation="replace",
+        summary_extra={
+            "rewritten-delete-files": str(len(dvs)),
+            "added-delete-files": str(len(added_dv_files)),
+        },
+        added_delete_files=added_dv_files,
+        carry_data_manifests=True,
+        existing_delete_entries=[],
+        deleted_delete_entries=list(dvs),
+    )
+    return {
+        "puffin_files_before": len(old_files),
+        "vectors": len(dvs),
+        "bytes_live": bytes_live,
+        "bytes_reclaimable": bytes_on_disk - bytes_live,
+    }

@@ -762,3 +762,80 @@ def test_row_lineage_stable_across_rewrite_manifests(spark, tmp_path):
         for r in read_iceberg_lineage(spark, t).collect()
     }
     assert after == before
+
+
+def test_rewrite_deletion_vectors_folds_puffin_files(spark, tmp_path):
+    """r13 maintenance: three DML commits leave three Puffin files
+    (one superseded union's dead bytes among them); the rewrite folds
+    every live vector into ONE file by verbatim byte copy, reads stay
+    identical, lineage stays identical, and a second rewrite is a
+    no-op."""
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        read_iceberg_lineage,
+        rewrite_deletion_vectors,
+    )
+
+    t = _table(spark, tmp_path, n=100, files=4)
+    delete_iceberg_dv(spark, t, "id % 10 = 0")
+    delete_iceberg_dv(spark, t, "id % 10 = 1")  # supersedes some unions
+    update_iceberg_dv(spark, t, {"val": "val + 1000"}, "id % 10 = 2")
+    before = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    lin_before = sorted(
+        (r.id, r._row_id) for r in read_iceberg_lineage(spark, t).collect()
+    )
+    _d, dels = _live_state(t)
+    files_before = {e["data_file"]["file_path"] for e in dels}
+    assert len(files_before) >= 2, "staging produced one puffin file"
+
+    stats = rewrite_deletion_vectors(t)
+    assert stats is not None
+    assert stats["puffin_files_before"] == len(files_before)
+    assert stats["vectors"] == len(dels)
+
+    after = sorted(tuple(r) for r in read_iceberg(spark, t).collect())
+    assert after == before
+    lin_after = sorted(
+        (r.id, r._row_id) for r in read_iceberg_lineage(spark, t).collect()
+    )
+    assert lin_after == lin_before
+    _d2, dels2 = _live_state(t)
+    files_after = {e["data_file"]["file_path"] for e in dels2}
+    assert len(files_after) == 1
+    assert files_after.isdisjoint(files_before)
+    assert len(dels2) == len(dels)
+    # vectors preserved per referenced file (byte-identical payloads)
+    from sparkstreamingtwitter_presidential_spark.sources.puffin import read_blob
+
+    def blobs(entries):
+        out = {}
+        for e in entries:
+            d = e["data_file"]
+            out[d["referenced_data_file"]] = read_blob(
+                d["file_path"].replace("file://", ""),
+                d["content_offset"],
+                d["content_size_in_bytes"],
+            )
+        return out
+
+    assert blobs(dels2) == blobs(dels)
+    # idempotent: already compact -> None, no new snapshot
+    v_before = _load_metadata(t)["current-snapshot-id"]
+    assert rewrite_deletion_vectors(t) is None
+    assert _load_metadata(t)["current-snapshot-id"] == v_before
+    # time travel to the pre-rewrite snapshot still reads old files
+    meta = _load_metadata(t)
+    prev = meta["snapshots"][-2]["snapshot-id"]
+    tt = read_iceberg(spark, t, snapshot_id=prev)
+    assert sorted(tuple(r) for r in tt.collect()) == before
+
+
+def test_rewrite_deletion_vectors_noop_without_dvs(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
+        rewrite_deletion_vectors,
+    )
+
+    t = _table(spark, tmp_path, n=10)
+    assert rewrite_deletion_vectors(t) is None
+    # a single DML commit -> one puffin file, no dead bytes -> no-op
+    delete_iceberg_dv(spark, t, "id = 1")
+    assert rewrite_deletion_vectors(t) is None
