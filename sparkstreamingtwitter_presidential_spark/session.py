@@ -32,6 +32,18 @@ def get_spark(app_name: str = "sparkstreamingtwitter_presidential_spark",
     skipped if one is already set by spark-submit).
     """
     cpus = str(cpus or DEFAULT_CPUS)
+    # make google.protobuf importable BEFORE the JVM launches: the
+    # transformWithState driver-side Python worker is spawned with the
+    # JVM's env, so the vendored runtime's PYTHONPATH export must
+    # precede session creation (no-op when protobuf is installed or a
+    # JVM already runs — the late-session case refuses by name in
+    # streaming/stateful2._require_state_v2)
+    try:
+        from sparkstreamingtwitter_presidential_spark.vendor import ensure_protobuf
+
+        ensure_protobuf()
+    except ImportError:
+        pass
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)

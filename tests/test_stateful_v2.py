@@ -1,11 +1,12 @@
 """transformWithStateInPandas operators (r12 late — the Spark 4
-state-v2 API). The state protocol needs google.protobuf, which this
-container lacks — so here the entry points must refuse UP FRONT by
-name (a mid-stream crash is the failure mode being prevented), and the
-full behavioral suite runs wherever protobuf exists: TTL dedup keeps
-exactly the first event per key and re-admits after expiry; the
-running-totals twin must match the applyInPandasWithState original
-and the batch rule."""
+state-v2 API; behavioral since r13 via the vendored minimal protobuf
+runtime in vendor/protobuf_mini). The suite is the differential test
+OF that runtime: every request here round-trips through the JVM state
+server's REAL protobuf parser. TTL dedup keeps exactly the first
+event per key and re-admits after expiry; the running-totals twin
+must match the applyInPandasWithState original and the batch rule.
+The up-front-refusal test only runs where protobuf is genuinely
+unavailable (neither installed nor vendored)."""
 
 from __future__ import annotations
 
@@ -33,6 +34,33 @@ SF_DIR = "/root/testdata/sf0.001"
 EMIT_EVERY = 10
 
 _has_v2 = state_v2_available()
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@pytest.fixture(autouse=True)
+def _rocksdb_provider(spark):
+    """transformWithState needs per-variable column families — RocksDB
+    provider only (the builders refuse by name otherwise). Scoped to
+    this module; restored afterwards so the rest of the streaming
+    suite keeps the default provider."""
+    if not _has_v2:
+        yield
+        return
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, _ROCKSDB)
+    yield
+    if old:
+        spark.conf.set(key, old)
+    else:
+        spark.conf.unset(key)
 
 
 @pytest.mark.skipif(
@@ -126,31 +154,63 @@ def test_dedup_ttl_readmits_after_expiry(spark, tmp_path):
     third immediate drain emits nothing new (state live again)."""
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
-    name = f"mem_{uuid.uuid4().hex[:8]}"
+    sink = str(tmp_path / "sink")
     schema = "k long, ts long"
 
-    def drain(rows):
+    def drain(rows, want):
+        """TTL queries run in ProcessingTime time mode, where the
+        engine keeps scheduling batches forever (TTL eviction needs
+        the clock) — there is no self-terminating drain. Start, poll
+        until the new input is consumed, settle one extra tick, stop,
+        and compare the sink to ``want``."""
         spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
         q = (
             dedup_stream_ttl(
                 spark.readStream.schema(schema).parquet(src),
                 ["k"],
                 order_col="ts",
-                ttl_ms=1500,
+                ttl_ms=8000,
             )
             .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
+            .format("parquet")  # memory sink can't restart a checkpoint
+            .option("path", sink)
             .option("checkpointLocation", ckpt)
             .start()
         )
+
+        def read_sink():
+            try:
+                return sorted(
+                    (r.k, r.ts)
+                    for r in spark.read.parquet(sink).collect()
+                )
+            except Exception:
+                return []  # sink dir not created yet
+
         try:
-            q.processAllAvailable()
+            # progress entries are emitted AFTER a batch fully commits
+            # (sink + state + commit log), so once the new input shows
+            # up in recentProgress the sink is consistent — and the
+            # query stops BETWEEN batches, never leaving an uncommitted
+            # replay for the next drain
+            deadline = time.time() + 120
+            consumed = 0
+            while time.time() < deadline and consumed < len(rows):
+                consumed = sum(
+                    int(p["numInputRows"]) for p in q.recentProgress
+                )
+                time.sleep(0.2)
+            assert consumed >= len(rows), "input never consumed"
+            got = read_sink()
         finally:
             q.stop()
-        return sorted((r.k, r.ts) for r in spark.table(name).collect())
+        assert got == want, (got, want)
+        return got
 
-    assert drain([(1, 10), (1, 11)]) == [(1, 10)]
-    time.sleep(2.5)  # TTL lapses between runs (processing-time clock)
-    assert drain([(1, 20)]) == [(1, 10), (1, 20)]  # re-admitted
-    assert drain([(1, 30)]) == [(1, 10), (1, 20)]  # still live: dropped
+    # TTL must outlive a query STARTUP (~4s of RocksDB + python-worker
+    # init) so the third drain's batch still sees live state; the
+    # sleep between the first two drains must exceed it
+    drain([(1, 10), (1, 11)], [(1, 10)])
+    time.sleep(10)  # TTL lapses between runs (processing-time clock)
+    drain([(1, 20)], [(1, 10), (1, 20)])  # re-admitted
+    drain([(1, 30)], [(1, 10), (1, 20)])  # still live: dropped
