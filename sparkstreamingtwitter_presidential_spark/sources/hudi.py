@@ -68,10 +68,11 @@ a per-slice shuffle-free merge-on-read snapshot scan (log-free
 slices stay on the vectorized parquet path), compaction, time
 travel, incremental pull, rollback, and clean. `read_hudi` /
 `upsert_hudi` / `write_hudi(table_type=...)` dispatch on
-hoodie.table.type. Remaining MOR refusals, each by name with a
-steer: row-level change derivation (use the incremental pull or
-compact first), the hudi_native streaming source (compact first),
-and timeline archival (compact first — the merge reader orders log
+hoodie.table.type. The hudi_native
+streaming source streams MOR too (r13-late: per-trigger touched-group
+merge). Remaining MOR refusals, each by name with a steer: row-level
+change derivation (use the incremental pull or compact first) and
+timeline archival (compact first — the merge reader orders log
 blocks by active commit attribution). A `.log` file seen during a
 COPY_ON_WRITE scan still refuses — defense in depth for mislabeled
 tables.

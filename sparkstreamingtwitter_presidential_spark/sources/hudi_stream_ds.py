@@ -1,7 +1,10 @@
 """Native Hudi STREAMING SOURCE (Spark 4 Python DataSource API):
 ``spark.readStream.format("hudi_native").load(path)`` tails a Hudi
-CoW table's commit timeline — the real hudi-spark incremental
-streaming read's contract, no jars.
+table's commit timeline — the real hudi-spark incremental streaming
+read's contract, no jars. CoW AND MERGE_ON_READ (r13): a MOR
+micro-batch merges each touched slice's log records over its base
+(the incremental pull's touched-group semantics, per trigger), so
+log-writing deltacommits stream their post-images exactly.
 
 Offsets are COMMIT INSTANTS ({"instant": "yyyyMMddHHmmssSSS"} — the
 timeline's monotone clock; "" = before everything). A micro-batch
@@ -18,9 +21,9 @@ values — downstream keys on the record key; the same contract as
 ``read_hudi_incremental`` and the real incremental query). What
 cannot stream: INSERT_OVERWRITE_TABLE (replaced data, fails by name),
 ranges reaching into the ARCHIVED timeline (commit metadata gone,
-fails by name), and DELETES-BY-ABSENCE (a Hudi delete writes slices
-without the keys; no retraction row exists to deliver — documented,
-same as the real incremental read without CDC enabled).
+fails by name), and DELETES (CoW deletes-by-absence and MOR delete
+blocks both lack a retraction row to deliver — documented, same as
+the real incremental read without CDC enabled).
 
 Scale/shape: planning is a driver-side timeline walk (cost ∝ the
 range's commit metadata + one slice listing); reads yield ARROW
@@ -46,8 +49,9 @@ from pyspark.sql.types import StructType
 from sparkstreamingtwitter_presidential_spark.sources.hudi import (
     META_COLS,
     _archived_instants,
+    _commit_meta,
     _completed_commits,
-    _hoodie,
+    _is_mor,
     _latest_slices,
     _load_props,
     _replace_map,
@@ -62,13 +66,24 @@ _COMMIT_TIME_COL = "_hoodie_commit_time"
 
 class _SlicePartition(InputPartition):
     """One latest-slice file with the batch's (lo, hi] instant range
-    and the output column names (meta columns excluded)."""
+    and the output column names (meta columns excluded). On MOR,
+    ``logs`` carries the slice's ordered [(log_path, instant)] delta
+    files — read() merges them over the base (r13; the same
+    semantics as the MOR incremental pull, per trigger)."""
 
-    def __init__(self, path: str, lo: str, hi: str, out_cols: list):
+    def __init__(
+        self,
+        path: str,
+        lo: str,
+        hi: str,
+        out_cols: list,
+        logs: list | None = None,
+    ):
         self.path = path
         self.lo = lo
         self.hi = hi
         self.out_cols = out_cols
+        self.logs = logs or []
 
 
 def _instant_of(offset: dict) -> str:
@@ -105,11 +120,7 @@ class HudiStreamReader(DataSourceStreamReader):
     def _commit_bytes(self, c: str) -> int:
         if c not in self._commit_bytes_cache:
             total = 0
-            with open(
-                os.path.join(_hoodie(self.path), f"{c}.commit"),
-                encoding="utf-8",
-            ) as fh:
-                meta = json.load(fh)
+            meta = _commit_meta(self.path, c)
             for sts in (meta.get("partitionToWriteStats") or {}).values():
                 for st in sts:
                     if "fileSizeInBytes" in st:
@@ -164,13 +175,9 @@ class HudiStreamReader(DataSourceStreamReader):
         sel = [c for c in commits if lo < c <= hi]
         if not sel:
             return []
-        hd = _hoodie(self.path)
         touched: set[tuple[str, str]] = set()
         for c in sel:
-            with open(
-                os.path.join(hd, f"{c}.commit"), encoding="utf-8"
-            ) as fh:
-                meta = json.load(fh)
+            meta = _commit_meta(self.path, c)
             if meta.get("operationType") == "INSERT_OVERWRITE_TABLE":
                 raise ValueError(
                     f"commit {c} in the stream's range is an overwrite "
@@ -185,6 +192,25 @@ class HudiStreamReader(DataSourceStreamReader):
                         st["path"]
                     ).split("_")[0]
                     touched.add((part, fid))
+        if _is_mor(_load_props(self.path)):
+            # MOR (r13): per touched slice, base + ordered logs as of
+            # hi; read() merges per slice (the incremental pull's
+            # touched-group semantics, one micro-batch at a time)
+            from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import _mor_slices
+
+            return [
+                _SlicePartition(
+                    bfull,
+                    lo,
+                    hi,
+                    self.out_cols,
+                    logs=[(lf, li) for li, _v, lf in slogs],
+                )
+                for part, fid, _bi, bfull, slogs in _mor_slices(
+                    self.path, as_of=hi
+                )
+                if (part, fid) in touched
+            ]
         rmap = _replace_map(self.path, [c for c in commits if c <= hi])
         return [
             _SlicePartition(full, lo, hi, self.out_cols)
@@ -196,10 +222,70 @@ class HudiStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _SlicePartition) -> Iterator:
+        import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        key_col = "_hoodie_record_key"
         cols = list(partition.out_cols) + [_COMMIT_TIME_COL]
+        if partition.logs:
+            # MOR merge-then-filter: the batch delivers the slice's
+            # MERGED state restricted to commit times in (lo, hi] —
+            # base rows superseded by any log record drop (they are
+            # not the latest state), surviving log records carry their
+            # own deltacommit's stamp
+            from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+                _merge_events,
+            )
+
+            events = _merge_events(
+                [(lp, li) for lp, li in partition.logs]
+            )
+            read_cols = cols + [key_col]
+            pf = pq.ParquetFile(partition.path)
+            keys = (
+                pa.array(list(events), type=pa.string())
+                if events
+                else None
+            )
+            for batch in pf.iter_batches(columns=read_cols):
+                tb = pa.Table.from_batches([batch])
+                if keys is not None:
+                    tb = tb.filter(
+                        pc.invert(pc.is_in(tb.column(key_col), value_set=keys))
+                    )
+                ct = tb.column(_COMMIT_TIME_COL)
+                tb = tb.filter(
+                    pc.and_(
+                        pc.greater(ct, partition.lo),
+                        pc.less_equal(ct, partition.hi),
+                    )
+                )
+                if tb.num_rows:
+                    for out in tb.select(partition.out_cols).to_batches():
+                        yield out
+            survivors = [
+                r
+                for r in events.values()
+                if r is not None
+                and partition.lo < r[_COMMIT_TIME_COL] <= partition.hi
+            ]
+            if survivors:
+                # pin the base file's arrow types — from_pylist would
+                # re-infer (None-only columns become null type)
+                base_schema = pf.schema_arrow
+                out_schema = pa.schema(
+                    [base_schema.field(c) for c in partition.out_cols]
+                )
+                out_tbl = pa.Table.from_pylist(
+                    [
+                        {c: r.get(c) for c in partition.out_cols}
+                        for r in survivors
+                    ],
+                    schema=out_schema,
+                )
+                yield from out_tbl.to_batches()
+            return
         pf = pq.ParquetFile(partition.path)
         for batch in pf.iter_batches(columns=cols):
             ct = batch.column(batch.schema.names.index(_COMMIT_TIME_COL))
@@ -235,20 +321,10 @@ class HudiNativeDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("hudi_native: .load(path) is required")
-        from sparkstreamingtwitter_presidential_spark.sources.hudi import _is_mor
-
-        if _is_mor(_load_props(path)):
-            # the incremental planner reads commit-stats parquet paths;
-            # a deltacommit's stats are LOG files — merging them per
-            # micro-batch is not implemented. Compaction makes the
-            # table CoW-shaped again for this source.
-            raise NotImplementedError(
-                "hudi_native streaming source supports COPY_ON_WRITE "
-                "tables only; MERGE_ON_READ deltacommits record log "
-                "files — compact_hudi and stream from the compacted "
-                "commits, or read merged snapshots"
-            )
-        slices = _latest_slices(path)
+        props = _load_props(path)
+        slices = _latest_slices(
+            path, logs=[] if _is_mor(props) else None
+        )
         if not slices:
             raise ValueError(
                 f"Hudi table {path} has no completed commits"

@@ -4,7 +4,8 @@ deltacommit timeline, the per-slice merge read (hybrid plan: log-free
 slices stay vectorized), compaction, time travel, incremental pull
 across compaction, rollback/clean of deltacommits, partitioned MOR
 (move = delete-block + insert), and the refusal boundary (row changes,
-streaming source, archival, ambiguous upserts)."""
+archival, ambiguous upserts; the streaming source streams MOR —
+see test_hudi_stream_source.py)."""
 
 from __future__ import annotations
 
@@ -372,14 +373,8 @@ def test_mor_refusals(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="compact"):
         archive_hudi_timeline(t, keep_last=1)
-    # streaming source refuses by name
-    from sparkstreamingtwitter_presidential_spark.sources.hudi_stream_ds import (
-        HudiNativeDataSource,
-    )
-
-    ds = HudiNativeDataSource(options={"path": t})
-    with pytest.raises(NotImplementedError, match="COPY_ON_WRITE"):
-        ds.schema()
+    # (the streaming source supports MOR since r13-late —
+    # test_hudi_stream_source.py::test_hudi_stream_mor_log_upserts...)
     # ambiguous: a key in both source and deletes
     with pytest.raises(ValueError, match="BOTH"):
         upsert_hudi_mor(

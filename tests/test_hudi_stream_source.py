@@ -170,3 +170,61 @@ def test_hudi_stream_caps_backlog_by_bytes(spark, tmp_path):
     )
     assert sorted(r[0] for r in sink) == [0, 1, 2, 3]
     assert [c for c in counts if c] == [1, 1, 1, 1]
+
+
+def test_hudi_stream_mor_log_upserts_across_restart(spark, tmp_path):
+    """r13: MOR tables stream — a log-writing deltacommit's batch
+    delivers exactly its post-images (merged per slice: updated rows
+    carry new values, untouched base rows fall out via the commit-time
+    filter, delete blocks deliver nothing), and a restart on the same
+    checkpoint replays nothing."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+        compact_hudi,
+        upsert_hudi_mor,
+    )
+
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    write_hudi(
+        _df(spark, [(i, f"s{i}", float(i)) for i in range(10)]),
+        t,
+        record_key="id",
+        n_file_groups=2,
+        table_type="MERGE_ON_READ",
+    )
+    sink: list = []
+    batches: list = []
+    _run(spark, t, ckpt, sink, batches=batches, maxCommitsPerTrigger=1)
+    assert sorted(r[0] for r in sink) == list(range(10))
+
+    # log-writing upsert: update 2 keys, delete 1, insert 1 new key
+    upsert_hudi_mor(
+        spark,
+        t,
+        _df(spark, [(3, "u3", 33.0), (7, "u7", 77.0), (50, "new", 5.0)]),
+        deletes=spark.createDataFrame([(4,)], "id long"),
+    )
+    sink.clear()
+    _run(spark, t, ckpt, sink, maxCommitsPerTrigger=1)
+    assert sorted(sink) == [
+        (3, "u3", 33.0),
+        (7, "u7", 77.0),
+        (50, "new", 5.0),
+    ]
+
+    # a second deltacommit superseding one of the logs: latest wins
+    upsert_hudi_mor(spark, t, _df(spark, [(3, "u3b", 34.0)]))
+    sink.clear()
+    _run(spark, t, ckpt, sink, maxCommitsPerTrigger=1)
+    assert sorted(sink) == [(3, "u3b", 34.0)]
+
+    # compaction in range delivers NOTHING (rows keep original stamps)
+    assert compact_hudi(spark, t) is not None
+    sink.clear()
+    _run(spark, t, ckpt, sink, maxCommitsPerTrigger=1)
+    assert sink == []
+
+    # restart idempotence: nothing re-delivers
+    sink.clear()
+    _run(spark, t, ckpt, sink)
+    assert sink == []
