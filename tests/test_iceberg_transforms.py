@@ -260,8 +260,13 @@ def test_append_spec_match_and_partitions_table(spark, tmp_path, docs_df):
     with pytest.raises(ValueError, match="does not match"):
         write_iceberg(docs_df, t, mode="append", partition_by=["month(ts)"])
     parts = table_partitions(spark, t)
-    assert parts.columns == ["ts_day", "n_files", "n_rows", "n_bytes"]
+    # spec_id rides along since the r12-late spec-evolution support
+    # (one row per (spec, tuple)); a single-spec table reads all-0
+    assert parts.columns == [
+        "ts_day", "spec_id", "n_files", "n_rows", "n_bytes",
+    ]
     assert parts.count() == 5
+    assert {r.spec_id for r in parts.collect()} == {0}
     assert sum(r.n_rows for r in parts.collect()) == 200
 
 
