@@ -69,11 +69,11 @@ slices stay on the vectorized parquet path), compaction, time
 travel, incremental pull, rollback, and clean. `read_hudi` /
 `upsert_hudi` / `write_hudi(table_type=...)` dispatch on
 hoodie.table.type. The hudi_native
-streaming source streams MOR too (r13-late: per-trigger touched-group
-merge). Remaining MOR refusals, each by name with a steer: row-level
-change derivation (use the incremental pull or compact first) and
-timeline archival (compact first — the merge reader orders log
-blocks by active commit attribution). A `.log` file seen during a
+streaming source streams MOR too, and row-level changes derive
+through merged-view diffs (r13-late: delete blocks emit exact
+'delete' rows, compaction commits emit nothing). The one remaining
+MOR refusal, by name with a steer: timeline archival (compact first —
+the merge reader orders log blocks by active commit attribution). A `.log` file seen during a
 COPY_ON_WRITE scan still refuses — defense in depth for mislabeled
 tables.
 
@@ -994,16 +994,20 @@ def hudi_row_changes(
     the whole previous table, not a per-group diff). Cost ∝ the
     commit's touched groups' slices, never the table.
 
-    MERGE_ON_READ refuses by name: a deltacommit's pre-image is the
-    slice's merged state BEFORE its log blocks — deriving it means
-    replaying every slice twice per commit; use the incremental pull
-    (post-images) or compact_hudi first and diff plain commits."""
+    MERGE_ON_READ (r13-late, closing the trilogy): the same keyed
+    diff over MERGED views — old side = touched groups merged as of
+    the previous commit, new side = merged as of ``instant`` — so log
+    updates emit pre/post pairs, DELETE BLOCKS emit exact 'delete'
+    rows (richer than CoW deletes-by-absence: the keys are explicit),
+    copy-overs stay silent, and a COMPACTION commit emits NOTHING
+    (both merged views are identical by construction). Cost ∝ the
+    commit's touched slices, merged twice."""
     if _is_mor(_load_props(path)):
-        raise NotImplementedError(
-            "row-level change derivation on MERGE_ON_READ tables is "
-            "not supported; use read_hudi_incremental (post-images) "
-            "or compact_hudi first"
+        from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+            hudi_row_changes_mor,
         )
+
+        return hudi_row_changes_mor(spark, path, instant, keys=keys)
     commits = _completed_commits(path)
     if instant not in commits:
         if instant in _archived_instants(path):
@@ -1110,13 +1114,10 @@ def hudi_table_changes(
     semantics (pre/post pairs, deletes-by-absence, copy-over silence,
     overwrite refusal) apply commit-by-commit; a key changed twice in
     range emits one pre/post pair PER commit, chronologically —
-    unlike the incremental pull, which collapses to final state."""
-    if _is_mor(_load_props(path)):
-        raise NotImplementedError(
-            "row-level change derivation on MERGE_ON_READ tables is "
-            "not supported; use read_hudi_incremental (post-images) "
-            "or compact_hudi first"
-        )
+    unlike the incremental pull, which collapses to final state.
+    MOR deltacommits derive per-commit through the merged-view diff
+    (hudi_row_changes_mor); compaction commits in range emit nothing."""
+    _load_props(path)
     commits = _completed_commits(path)
     hi = (
         to_instant

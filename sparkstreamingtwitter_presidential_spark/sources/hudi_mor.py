@@ -710,3 +710,98 @@ def compact_hudi(spark: SparkSession, path: str) -> str | None:
         action="commit",
     )
     return instant
+
+
+# ------------------------------------------------------------ row changes
+
+
+def hudi_row_changes_mor(
+    spark: SparkSession,
+    path: str,
+    instant: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change feed for ONE commit on a MOR table — the
+    merged-view form of `hudi.hudi_row_changes` (see its docstring for
+    the shared semantics): old side = the commit's touched groups
+    MERGED as of the previous commit, new side = merged as of
+    ``instant``; the keyed full-outer diff derives insert / delete /
+    update_preimage / update_postimage, copy-overs stay silent. Log
+    updates therefore emit exact pre/post pairs, delete blocks emit
+    exact 'delete' rows (the keys are explicit — richer than CoW
+    deletes-by-absence), and a COMPACTION commit emits nothing (both
+    merged views are identical). Cost ∝ touched slices, merged twice —
+    never the table."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        _archived_instants,
+    )
+
+    commits = _completed_commits(path)
+    if instant not in commits:
+        if instant in _archived_instants(path):
+            raise ValueError(
+                f"instant {instant!r} was ARCHIVED off the active "
+                "timeline; its commit metadata is permanently gone"
+            )
+        raise ValueError(
+            f"instant {instant!r} is not a completed commit "
+            f"(have {commits})"
+        )
+    meta = _commit_meta(path, instant)
+    if meta.get("operationType") == "INSERT_OVERWRITE_TABLE":
+        raise ValueError(
+            f"instant {instant!r} is an overwrite — its pre-image is "
+            "the whole previous table, not a per-group diff; compare "
+            "snapshots instead"
+        )
+    touched: set[tuple[str, str]] = set()
+    for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+        for st in stats:
+            fid = st.get("fileId") or os.path.basename(
+                st["path"]
+            ).split("_")[0]
+            touched.add((part, fid))
+    new = read_hudi_mor(spark, path, as_of=instant, groups=touched)
+    cols = new.columns
+    inst_col = F.lit(instant).alias("_commit_instant")
+    prev_commits = [c for c in commits if c < instant]
+    prev = prev_commits[-1] if prev_commits else None
+    old = None
+    if prev is not None:
+        prior = {
+            (p, f) for p, f, _bi, _bf, _lg in _mor_slices(path, as_of=prev)
+        }
+        live_touched = touched & prior
+        if live_touched:
+            old = read_hudi_mor(
+                spark, path, as_of=prev, groups=live_touched
+            )
+    if old is None:
+        return new.select(
+            *cols, F.lit("insert").alias("_change_type"), inst_col
+        )
+    if keys is None:
+        raise ValueError(
+            f"instant {instant!r} changed existing file groups — "
+            "deriving row changes needs a primary key; pass keys=[...]"
+        )
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"change keys not in table schema: {missing}")
+    for side, name in ((old, "removed"), (new, "added")):
+        dup = (
+            side.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"keys {keys} are not unique among the {name} rows "
+                f"(e.g. { {k: dup[0][k] for k in keys} }) — row-level "
+                "changes need a primary key"
+            )
+    from sparkstreamingtwitter_presidential_spark.sources.changefeed import (
+        keyed_change_rows,
+    )
+
+    return keyed_change_rows(
+        old, new, keys, cols, "_commit_instant", F.lit(instant)
+    )

@@ -3,9 +3,10 @@ HoodieLogFormat block roundtrip, log-file upserts/deletes on the
 deltacommit timeline, the per-slice merge read (hybrid plan: log-free
 slices stay vectorized), compaction, time travel, incremental pull
 across compaction, rollback/clean of deltacommits, partitioned MOR
-(move = delete-block + insert), and the refusal boundary (row changes,
-archival, ambiguous upserts; the streaming source streams MOR —
-see test_hudi_stream_source.py)."""
+(move = delete-block + insert), row-level changes via
+merged-view diffs, and the refusal boundary (archival, ambiguous
+upserts; the streaming source streams MOR — see
+test_hudi_stream_source.py)."""
 
 from __future__ import annotations
 
@@ -365,9 +366,9 @@ def test_mor_uncommitted_log_invisible(spark, tmp_path):
 def test_mor_refusals(spark, tmp_path):
     t, _ = _mor(spark, tmp_path)
     i2 = upsert_hudi_mor(spark, t, _df(spark, [(3, "u", 3.0)]))
-    # row-level change derivation refuses with a steer
-    with pytest.raises(NotImplementedError, match="incremental"):
-        hudi_row_changes(spark, t, i2, keys=["id"])
+    # row changes need a key when existing groups changed
+    with pytest.raises(ValueError, match="primary key"):
+        hudi_row_changes(spark, t, i2)
     # archival refuses (would strand log attribution)
     from sparkstreamingtwitter_presidential_spark.sources.hudi import archive_hudi_timeline
 
@@ -410,3 +411,40 @@ def test_mor_overwrite_replaces_groups_and_logs(spark, tmp_path):
         table_type="MERGE_ON_READ",
     )
     assert _vals(read_hudi(spark, t)) == _vals(newbase)
+
+
+def test_mor_row_changes_trilogy(spark, tmp_path):
+    """r13-late: per-commit row changes on MOR via merged-view diffs —
+    log updates emit pre/post pairs, delete blocks emit exact 'delete'
+    rows (explicit keys, unlike CoW deletes-by-absence), new-key
+    inserts emit 'insert', copy-overs stay silent, and a compaction
+    commit emits NOTHING."""
+    t, _ = _mor(spark, tmp_path)
+    i2 = upsert_hudi_mor(
+        spark,
+        t,
+        _df(spark, [(3, "u3", 33.0), (50, "new", 5.0)]),
+        deletes=spark.createDataFrame([(4,)], "id long"),
+    )
+    ch = {
+        (r.id, r._change_type): (r.s, r.v)
+        for r in hudi_row_changes(spark, t, i2, keys=["id"]).collect()
+    }
+    assert ch == {
+        (3, "update_preimage"): ("s3", 3.0),
+        (3, "update_postimage"): ("u3", 33.0),
+        (4, "delete"): ("s4", 4.0),
+        (50, "insert"): ("new", 5.0),
+    }
+    # compaction emits nothing; the range TVF composes per commit
+    ci = compact_hudi(spark, t)
+    assert hudi_row_changes(spark, t, ci, keys=["id"]).count() == 0
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import hudi_table_changes
+
+    i0 = hudi_timeline(spark, t).collect()[0].instant
+    rng = hudi_table_changes(spark, t, from_instant=i0, keys=["id"])
+    assert rng.count() == 4  # the i2 quartet; compaction silent
+    # the initial insert commit needs no keys
+    first = hudi_row_changes(spark, t, i0)
+    assert first.count() == 20
+    assert {r._change_type for r in first.collect()} == {"insert"}
