@@ -204,7 +204,8 @@ def test_dedup_ttl_readmits_after_expiry(spark, tmp_path):
             got = read_sink()
         finally:
             q.stop()
-        assert got == want, (got, want)
+        if want is not None:
+            assert got == want, (got, want)
         return got
 
     # TTL must outlive a query STARTUP (~4s of RocksDB + python-worker
@@ -212,5 +213,29 @@ def test_dedup_ttl_readmits_after_expiry(spark, tmp_path):
     # sleep between the first two drains must exceed it
     drain([(1, 10), (1, 11)], [(1, 10)])
     time.sleep(10)  # TTL lapses between runs (processing-time clock)
+    t_before_write = time.time()  # state for (1, 20) is written after this
     drain([(1, 20)], [(1, 10), (1, 20)])  # re-admitted
-    drain([(1, 30)], [(1, 10), (1, 20)])  # still live: dropped
+    t_after_commit = time.time()  # ... and committed before this
+
+    # Third drain: normally the key is still live (dropped), but a
+    # query restart is unbounded on a loaded machine — if the restart
+    # alone outlives the 8 s TTL, re-admission is the CORRECT answer
+    # under the TTL contract, not a failure. Decide from measured
+    # wall-clock which outcomes the contract allows.
+    ttl_s = 8.0
+    t_start3 = time.time()
+    got = drain([(1, 30)], None)
+    t_end3 = time.time()
+    suppressed = [(1, 10), (1, 20)]
+    readmitted = [(1, 10), (1, 20), (1, 30)]
+    if t_end3 - t_before_write < ttl_s:
+        # the whole third drain finished inside the TTL window, so the
+        # state cannot have expired at any evaluation point: dropped
+        assert got == suppressed, got
+    elif t_start3 - t_after_commit > ttl_s:
+        # the TTL had lapsed before the third drain even started:
+        # expiry is mandatory and the key must re-admit
+        assert got == readmitted, got
+    else:
+        # expiry straddles the third batch: either outcome honors TTL
+        assert got in (suppressed, readmitted), got
