@@ -742,6 +742,23 @@ def read_hudi(
         if inst > rmap.get((part, fid), "")
     ]
     if as_of is not None:
+        # clean guard: every group the ≤ as_of commits say is live
+        # must still have a surviving slice — otherwise clean_hudi
+        # removed the group's old bases and this snapshot would be
+        # silently PARTIAL (fewer rows, no error). HEAD reads never
+        # hit this: clean always keeps each group's newest slice.
+        expected = _expected_live_groups(path, use, rmap)
+        if expected is not None:
+            have = {(p, f) for p, f, _i, _full in slices}
+            gone = sorted(expected - have)
+            if gone:
+                raise ValueError(
+                    f"as_of {as_of!r} snapshot of {path} is incomplete: "
+                    f"file groups {gone} have no surviving slice at or "
+                    "before that instant — removed by clean_hudi, so "
+                    "that snapshot is no longer time-travelable (the "
+                    "documented clean trade)"
+                )
         # archival guard: recompute the selection WITH the archived
         # commits' metadata folded in; any difference means the as-of
         # snapshot depends on archived state (e.g. a file group whose
@@ -843,6 +860,74 @@ def _replace_map(
     return out
 
 
+def _expected_live_groups(
+    path: str,
+    commits: list[str],
+    rmap: dict[tuple[str, str], str],
+    extra_metas: dict[str, dict] | None = None,
+) -> set[tuple[str, str]] | None:
+    """(partition, file group) pairs the given commits' metadata says
+    must have a surviving slice — the as-of completeness oracle. A
+    group is expected-live iff some commit in the set wrote to it
+    AFTER the last commit that replaced it. ``None`` when any commit
+    lacks write stats (sparse foreign metadata: same trust boundary
+    as _committed_rel_paths — no oracle, no check). Used to refuse
+    as-of snapshots that clean_hudi made PARTIAL: per-group
+    latest-slice selection would silently drop a group whose ≤ as_of
+    slices were all cleaned, returning fewer rows than the snapshot
+    had (no-silent-wrong-rows)."""
+    last_write: dict[tuple[str, str], str] = {}
+    for c in commits:
+        if extra_metas is not None and c in extra_metas:
+            meta = extra_metas[c]
+        else:
+            try:
+                meta = _commit_meta(path, c)
+            except (OSError, ValueError):
+                return None
+        stats = meta.get("partitionToWriteStats")
+        if stats is None:
+            return None
+        for part, sts in stats.items():
+            for st in sts:
+                if not st.get("path"):
+                    return None
+                g = (part, _fid_from_stat(st))
+                if c > last_write.get(g, ""):
+                    last_write[g] = c
+    return {
+        g for g, w in last_write.items() if w > rmap.get(g, "")
+    }
+
+
+def _fid_from_stat(st: dict) -> str:
+    """File group id of a write-stat entry, falling back to parsing
+    the stat's path when a foreign writer omitted ``fileId``. MOR log
+    names (``.fid_base.log.v_tok``) carry a leading dot the naive
+    ``split('_')[0]`` would keep (yielding ``.fid`` — a phantom group
+    that silently drops the real group's rows from incremental pulls);
+    route those through the spec log-name parser, and refuse by name
+    when a log-shaped path does not parse (no-silent-wrong-rows)."""
+    fid = st.get("fileId")
+    if fid:
+        return fid
+    name = os.path.basename(st["path"])
+    if ".log." in name:
+        from sparkstreamingtwitter_presidential_spark.sources import (
+            hudi_log as _hl,
+        )
+
+        parsed = _hl.parse_log_name(name)
+        if parsed is None:
+            raise NotImplementedError(
+                f"write-stat entry {st['path']!r} lacks fileId and its "
+                "log-file name is not spec-shaped; refusing to guess "
+                "the file group"
+            )
+        return parsed[0]
+    return name.split("_")[0]
+
+
 def read_hudi_incremental(
     spark: SparkSession,
     path: str,
@@ -900,10 +985,7 @@ def read_hudi_incremental(
             )
         for part, stats in (meta.get("partitionToWriteStats") or {}).items():
             for st in stats:
-                fid = st.get("fileId") or os.path.basename(
-                    st["path"]
-                ).split("_")[0]
-                touched.add((part, fid))
+                touched.add((part, _fid_from_stat(st)))
     rmap = _replace_map(path, [c for c in commits if c <= hi])
     files = [
         full
@@ -952,10 +1034,7 @@ def _read_mor_incremental(
             )
         for part, stats in (meta.get("partitionToWriteStats") or {}).items():
             for st in stats:
-                fid = st.get("fileId") or os.path.basename(
-                    st["path"]
-                ).split("_")[0]
-                touched.add((part, fid))
+                touched.add((part, _fid_from_stat(st)))
     merged = read_hudi_mor(
         spark, path, as_of=hi, keep_meta=True, groups=touched
     )
@@ -1031,10 +1110,7 @@ def hudi_row_changes(
     new_files: list[str] = []
     for part, stats in (meta.get("partitionToWriteStats") or {}).items():
         for st in stats:
-            fid = st.get("fileId") or os.path.basename(
-                st["path"]
-            ).split("_")[0]
-            touched.add((part, fid))
+            touched.add((part, _fid_from_stat(st)))
             full = os.path.join(path, st["path"])
             if os.path.isfile(full):
                 new_files.append(full)

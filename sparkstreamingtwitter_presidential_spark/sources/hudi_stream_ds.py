@@ -51,6 +51,7 @@ from sparkstreamingtwitter_presidential_spark.sources.hudi import (
     _archived_instants,
     _commit_meta,
     _completed_commits,
+    _fid_from_stat,
     _is_mor,
     _latest_slices,
     _load_props,
@@ -188,10 +189,7 @@ class HudiStreamReader(DataSourceStreamReader):
                 meta.get("partitionToWriteStats") or {}
             ).items():
                 for st in stats:
-                    fid = st.get("fileId") or os.path.basename(
-                        st["path"]
-                    ).split("_")[0]
-                    touched.add((part, fid))
+                    touched.add((part, _fid_from_stat(st)))
         if _is_mor(_load_props(self.path)):
             # MOR (r13): per touched slice, base + ordered logs as of
             # hi; read() merges per slice (the incremental pull's

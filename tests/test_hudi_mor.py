@@ -252,6 +252,43 @@ def test_mor_clean_removes_superseded_logs(spark, tmp_path):
     assert not walked, f"stale logs remain: {walked}"
 
 
+def test_mor_merged_read_plans_no_schema_probe_job(spark, tmp_path):
+    """The merged read derives its output schema from one driver-side
+    parquet footer read — a spark.read schema probe would cost a whole
+    extra Spark job per dirty read (r13 verdict item 7)."""
+    t, _ = _mor(spark, tmp_path)
+    upsert_hudi_mor(spark, t, _df(spark, [(3, "u3", 33.0)]))
+    sc = spark.sparkContext
+    tag = "mor-read-jobcount"
+    sc.setJobGroup(tag, "merged read job bound")
+    try:
+        df = read_hudi(spark, t)  # plan construction only
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup(tag))
+    # plan-time cost is the clean-leg scan's schema inference alone;
+    # the spark.read probe in _merged_frame made this 2
+    assert jobs <= 1, f"merged-read planning ran {jobs} jobs"
+    assert len(df.collect()) == 20
+
+
+def test_mor_time_travel_to_cleaned_instant_refuses(spark, tmp_path):
+    """as_of pointing at an instant whose file slices were all removed
+    by clean_hudi must refuse by name (the documented clean trade) —
+    not recurse forever on the same empty as-of view."""
+    t, _ = _mor(spark, tmp_path)
+    i1 = hudi_timeline(spark, t).collect()[0].instant
+    upsert_hudi_mor(spark, t, _df(spark, [(3, "u3", 33.0)]))
+    compact_hudi(spark, t)
+    upsert_hudi_mor(spark, t, _df(spark, [(5, "u5", 55.0)]))
+    compact_hudi(spark, t)
+    clean_hudi(t, keep_last=1)
+    with pytest.raises(ValueError, match="clean"):
+        read_hudi(spark, t, as_of=i1)
+    # the latest snapshot still reads fine
+    assert len(_vals(read_hudi(spark, t))) == 20
+
+
 def test_mor_partitioned_move_and_pruning(spark, tmp_path):
     t = str(tmp_path / "morp")
     df = spark.createDataFrame(
