@@ -11,8 +11,13 @@ append log files (cheap, no base rewrite) and complete as
 ``deltacommit`` timeline actions; the snapshot reader merges each
 slice's log records over its base by record key, last-write-wins in
 commit order (OverwriteWithLatestAvroPayload — the Hudi default
-payload; precombine/ordering-value payloads are out of scope and
-documented); COMPACTION folds a slice's logs into a new base file under
+payload); when the table declares ``hoodie.table.precombine.field``
+the merge keys on that ORDERING VALUE instead (greater wins, ties to
+the later commit, null ordering falls back to commit order —
+DefaultHoodieRecordPayload semantics; delete blocks refuse on
+ordering-keyed tables since they carry no ordering value, and the
+streaming source refuses them at planning); COMPACTION folds a slice's
+logs into a new base file under
 a plain ``commit``, after which the slice reads log-free again.
 
 Scale design (the 100 TB story):
@@ -207,13 +212,24 @@ def _next_log_versions(
 # ---------------------------------------------------------------- reading
 
 
-def _merge_events(logs: list[tuple[str, str]]) -> dict[str, Any]:
+def _merge_events(
+    logs: list[tuple[str, str]], precombine: str | None = None
+) -> dict[str, Any]:
     """Replay a slice's log blocks in commit order. Returns
     record_key -> final row dict, or None for a delete tombstone.
     Honors
     rollback command blocks (blocks of a targeted instant are skipped)
     and re-verifies each block's INSTANT_TIME against the planner's
-    attribution."""
+    attribution.
+
+    ``precombine`` = hoodie.table.precombine.field when the table
+    declares one: merge keys on the ORDERING VALUE instead of commit
+    order (DefaultHoodieRecordPayload semantics — the greater ordering
+    value wins, ties resolve to the later commit; a null ordering value
+    on either side falls back to commit order, matching the payload's
+    null handling). Delete blocks refuse on ordering-keyed tables: this
+    container's delete blocks carry record keys only, so an ordering-
+    correct delete-vs-update decision is undecidable from the log."""
     parsed = []  # (claimed_instant, file_path, blocks)
     rolled: set[str] = set()
     for lpath, claimed in logs:
@@ -243,8 +259,27 @@ def _merge_events(logs: list[tuple[str, str]]) -> dict[str, Any]:
             if b["type"] == hl.AVRO_DATA_BLOCK:
                 schema = hl.block_schema(b["header"])
                 for row in hl.decode_data_block(b["content"], schema):
-                    events[row["_hoodie_record_key"]] = row
+                    k = row["_hoodie_record_key"]
+                    if precombine is not None:
+                        cur = events.get(k)
+                        if (
+                            cur is not None
+                            and cur.get(precombine) is not None
+                            and row.get(precombine) is not None
+                            and row[precombine] < cur[precombine]
+                        ):
+                            continue  # lower ordering value loses
+                    events[k] = row
             elif b["type"] == hl.DELETE_BLOCK:
+                if precombine is not None:
+                    raise NotImplementedError(
+                        f"delete block in {lpath} on an ordering-keyed "
+                        "table (hoodie.table.precombine.field="
+                        f"{precombine!r}): delete blocks carry record "
+                        "keys only, so the delete-vs-update ordering "
+                        "decision is undecidable from the log — compact "
+                        "the table before reading"
+                    )
                 for key, _part in hl.decode_delete_block(b["content"]):
                     events[key] = None  # tombstone (None survives
                     # pickling across the executor's module re-import;
@@ -300,7 +335,16 @@ def read_hudi_mor(
     if clean:
         frames.append(spark.read.parquet(*[s[3] for s in clean]))
     if dirty:
-        frames.append(_merged_frame(spark, dirty))
+        frames.append(
+            _merged_frame(
+                spark,
+                dirty,
+                precombine=_load_props(path).get(
+                    "hoodie.table.precombine.field"
+                )
+                or None,
+            )
+        )
     df = frames[0]
     for f in frames[1:]:
         df = df.unionByName(f)
@@ -344,10 +388,15 @@ def _partition_keep(partition_filter):
     return keep
 
 
-def _merged_frame(spark: SparkSession, dirty: list) -> DataFrame:
+def _merged_frame(
+    spark: SparkSession, dirty: list, precombine: str | None = None
+) -> DataFrame:
     """One merge task per dirty slice via mapInArrow: the plan frame
     carries (base_path, [(log_path, instant)]) rows; output batches are
-    the base minus superseded keys plus the surviving log records."""
+    the base minus superseded keys plus the surviving log records.
+    ``precombine`` switches the merge to ordering-value semantics: a
+    log record also has to beat the BASE row's ordering value to
+    supersede it (see _merge_events)."""
     import pyarrow as pa
     import pyarrow.parquet as _pq
 
@@ -376,8 +425,37 @@ def _merged_frame(spark: SparkSession, dirty: list) -> DataFrame:
             for row in batch.to_pylist():
                 tbl = pq.read_table(row["base"])
                 events = _merge_events(
-                    [(lg["path"], lg["instant"]) for lg in row["logs"]]
+                    [(lg["path"], lg["instant"]) for lg in row["logs"]],
+                    precombine=precombine,
                 )
+                if events and precombine is not None:
+                    # ordering semantics: a log record only supersedes
+                    # the base row when its ordering value beats the
+                    # base's (null on either side -> commit order, i.e.
+                    # the log wins). Cost ∝ overlapping keys.
+                    sub = tbl.select(
+                        ["_hoodie_record_key", precombine]
+                    ).filter(
+                        pc.is_in(
+                            tbl.column("_hoodie_record_key"),
+                            value_set=pa.array(
+                                list(events), type=pa.string()
+                            ),
+                        )
+                    )
+                    for k, bv in zip(
+                        sub.column(0).to_pylist(),
+                        sub.column(1).to_pylist(),
+                    ):
+                        ev = events[k]
+                        evv = ev.get(precombine) if ev else None
+                        if (
+                            ev is not None
+                            and evv is not None
+                            and bv is not None
+                            and evv < bv
+                        ):
+                            del events[k]  # base row wins, keep it
                 if events:
                     keys = pa.array(list(events), type=pa.string())
                     mask = pc.invert(
@@ -412,8 +490,11 @@ def upsert_hudi_mor(
     deletes: DataFrame | None = None,
     record_key: str | None = None,
     extra_metadata: dict[str, str] | None = None,
-) -> str:
-    """MOR UPSERT/DELETE deltacommit. Matched source keys become avro
+) -> str | None:
+    """MOR UPSERT/DELETE deltacommit — returns the new deltacommit
+    instant, or None when every change routed to nothing (e.g. deletes
+    of keys already absent) and no commit was written.
+    Matched source keys become avro
     data-block records in ONE new log file per touched slice; source
     keys absent from the table insert as new base file groups (one per
     partition, the CoW insert path); ``deletes`` (a frame carrying the
@@ -437,6 +518,14 @@ def upsert_hudi_mor(
         )
     if source is None and deletes is None:
         raise ValueError("upsert_hudi_mor needs source rows or deletes")
+    if deletes is not None and props.get("hoodie.table.precombine.field"):
+        raise NotImplementedError(
+            "MOR deletes on an ordering-keyed table (hoodie.table."
+            "precombine.field is set): delete blocks carry record keys "
+            "only, so the reader could not make the ordering-correct "
+            "delete-vs-update decision — delete via delete_hudi after "
+            "compaction, or drop the precombine property"
+        )
     snap = read_hudi_mor(spark, path, keep_meta=True)
     tcols = [c for c in snap.columns if c not in META_COLS]
     if source is not None:
@@ -690,7 +779,12 @@ def upsert_hudi_mor(
             }
         )
     if not stats:
-        return _completed_commits(path)[-1]
+        # nothing routed anywhere (e.g. deletes of keys already
+        # absent): no deltacommit was written — return None so callers
+        # can tell a no-op from a commit marker (the burned instant is
+        # never completed, which is harmless: instants only need to be
+        # unique and increasing)
+        return None
     meta: dict[str, Any] = {
         "operationType": "UPSERT",
         "partitionToWriteStats": stats,

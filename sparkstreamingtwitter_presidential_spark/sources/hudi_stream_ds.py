@@ -196,6 +196,14 @@ class HudiStreamReader(DataSourceStreamReader):
             # touched-group semantics, one micro-batch at a time)
             from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import _mor_slices
 
+            if _load_props(self.path).get("hoodie.table.precombine.field"):
+                raise NotImplementedError(
+                    "streaming an ordering-keyed MOR table "
+                    "(hoodie.table.precombine.field is set): this "
+                    "source's per-batch merge is commit-ordered and "
+                    "would mis-merge ordering-keyed logs — compact the "
+                    "table and stream the CoW slices, or read snapshots"
+                )
             return [
                 _SlicePartition(
                     bfull,

@@ -252,6 +252,68 @@ def test_mor_clean_removes_superseded_logs(spark, tmp_path):
     assert not walked, f"stale logs remain: {walked}"
 
 
+def test_mor_noop_upsert_returns_none(spark, tmp_path):
+    """Deletes of keys already absent write no deltacommit; the caller
+    must be able to tell that from a real commit marker."""
+    t, _ = _mor(spark, tmp_path)
+    n_before = len(hudi_timeline(spark, t).collect())
+    out = upsert_hudi_mor(
+        spark, t, deletes=spark.createDataFrame([(999,)], "id long")
+    )
+    assert out is None
+    assert len(hudi_timeline(spark, t).collect()) == n_before
+
+
+def _set_precombine(t, field="v"):
+    p = os.path.join(t, ".hoodie", "hoodie.properties")
+    with open(p, "a", encoding="utf-8") as fh:
+        fh.write(f"hoodie.table.precombine.field={field}\n")
+
+
+def test_mor_precombine_ordering_merge(spark, tmp_path):
+    """hoodie.table.precombine.field switches the merge to ordering-
+    value semantics (DefaultHoodieRecordPayload): the greater ordering
+    value wins regardless of commit order — across log records AND
+    log-vs-base; ties resolve to the later commit."""
+    t, _ = _mor(spark, tmp_path)
+    _set_precombine(t)  # ordering on column v
+    # base row (3, "s3", 3.0); a log record with LOWER ordering loses
+    upsert_hudi_mor(spark, t, _df(spark, [(3, "low", 1.0)]))
+    # two log records for key 5: higher ordering FIRST, then lower
+    upsert_hudi_mor(spark, t, _df(spark, [(5, "hi5", 50.0)]))
+    upsert_hudi_mor(spark, t, _df(spark, [(5, "lo5", 20.0)]))
+    # equal ordering for key 7: later commit wins
+    upsert_hudi_mor(spark, t, _df(spark, [(7, "a7", 70.0)]))
+    upsert_hudi_mor(spark, t, _df(spark, [(7, "b7", 70.0)]))
+    snap = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert snap[3] == ("s3", 3.0), "base must beat a lower-ordering log"
+    assert snap[5] == ("hi5", 50.0), "earlier commit, higher ordering"
+    assert snap[7] == ("b7", 70.0), "ordering tie goes to later commit"
+    # compaction folds with the same semantics
+    compact_hudi(spark, t)
+    snap2 = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert snap2 == snap
+
+
+def test_mor_precombine_delete_refusals(spark, tmp_path):
+    """Delete blocks carry record keys only — on an ordering-keyed
+    table the delete-vs-update decision is undecidable, so both the
+    writer and the reader refuse by name."""
+    t, _ = _mor(spark, tmp_path)
+    # a delete written BEFORE the property existed...
+    upsert_hudi_mor(
+        spark, t, deletes=spark.createDataFrame([(4,)], "id long")
+    )
+    _set_precombine(t)
+    with pytest.raises(NotImplementedError, match="precombine"):
+        upsert_hudi_mor(
+            spark, t, deletes=spark.createDataFrame([(6,)], "id long")
+        )
+    # ...refuses at merge time too (executor-side, surfaces wrapped)
+    with pytest.raises(Exception, match="ordering-keyed"):
+        read_hudi(spark, t).collect()
+
+
 def test_mor_merged_read_plans_no_schema_probe_job(spark, tmp_path):
     """The merged read derives its output schema from one driver-side
     parquet footer read — a spark.read schema probe would cost a whole
