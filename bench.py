@@ -251,6 +251,13 @@ HEADLINE = [
     "lakehouse_hudi_mor_agg",
     "lakehouse_hudi_mor_incremental_agg",
     "lakehouse_hudi_compaction_agg",
+    # Round-14: transformWithStateInPandas running totals (staging
+    # warm; timed work is the state-v2 query drain — RocksDB store
+    # init, protobuf state protocol round-trips per key group, Arrow
+    # batch transfer — the arbitrary-stateful-streaming v2 floor; a
+    # regression here means state lookups left the vectorized path or
+    # the drain stopped being one pass).
+    "streaming_state_v2_running_totals",
 ]
 
 

@@ -3788,10 +3788,13 @@ def lakehouse_delta_identity_agg(
             WHERE event_id NOT IN (SELECT event_id FROM src)
             UNION ALL
             SELECT * FROM src
+        ),
+        after_posdel AS (
+            SELECT * FROM final WHERE NOT (event_id % 19 = 4)
         )
         SELECT event_type, COUNT(*) AS n,
                FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
-        FROM final GROUP BY event_type
+        FROM after_posdel GROUP BY event_type
     """,
     doc=(
         "r12, EXTENDED r13 (verdict item 2): PARTITION SPEC EVOLUTION "
@@ -3810,11 +3813,20 @@ def lakehouse_delta_identity_agg(
         "RAISES unless the metadata carries BOTH specs with the new "
         "default, live manifests STILL span both spec ids after all "
         "three DML commits (untouched old-spec files carried "
-        "exactly), the op sequence is append/append/delete/overwrite/"
-        "overwrite, and a partition-pruned read (skip_ranges on "
+        "exactly), and a partition-pruned read (skip_ranges on "
         "event_type) returns exactly the filter's rows over the "
-        "mixed file set. Oracle = the full evolve+DML sequence "
-        "relationally reconstructed."
+        "mixed file set. EXTENDED r14 (verdict item 2, the LAST "
+        "_refuse_spec_evolution caller lifted): a POSITION DELETE "
+        "then hits live rows in BOTH spec generations — matched "
+        "pairs route to partition tuples under each file's OWN "
+        "writing spec and commit as SPEC-HOMOGENEOUS delete "
+        "manifests (the query RAISES unless that snapshot's delete "
+        "manifests span exactly spec ids {0,1}) — and "
+        "rewrite_position_deletes folds them back (RAISES unless "
+        "the final snapshot carries zero delete manifests and the "
+        "op sequence is append/append/delete/overwrite/overwrite/"
+        "delete/replace). Oracle = the full evolve+DML+posdelete "
+        "sequence relationally reconstructed."
     ),
 )
 def lakehouse_iceberg_spec_evolution_agg(
@@ -3823,9 +3835,11 @@ def lakehouse_iceberg_spec_evolution_agg(
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         _load_metadata,
         delete_iceberg,
+        delete_iceberg_positional,
         merge_iceberg,
         read_container,
         read_iceberg,
+        rewrite_position_deletes,
         update_iceberg,
         update_partition_spec,
         write_iceberg,
@@ -3877,28 +3891,51 @@ def lakehouse_iceberg_spec_evolution_agg(
             )
         )
         merge_iceberg(spark, table, src, keys=["event_id"])
+        # r14: MOR position delete across BOTH spec generations, then
+        # fold the deletes back into data files (survivors re-stage
+        # under the default spec)
+        delete_iceberg_positional(spark, table, "event_id % 19 = 4")
+        rewrite_position_deletes(spark, table)
 
     key = _events_cache_key(spark, sf_dir)
     table = _staged_iceberg_locked(
-        spark, f"/tmp/ssp_iceberg_specevo2_{key}", build
+        spark, f"/tmp/ssp_iceberg_specevo3_{key}", build
     )
 
     meta = _load_metadata(table)
+    snaps_sorted = sorted(
+        meta["snapshots"], key=lambda s: s["sequence-number"]
+    )
+    # both generations live after the three CoW DML commits (probe at
+    # the MERGE snapshot — the later fold rewrites affected old-spec
+    # files under the default spec, as the rewrite contract requires)
+    _, _, merge_manifests = read_container(
+        snaps_sorted[4]["manifest-list"]
+    )
+    spec_ids = {
+        m.get("partition_spec_id", 0)
+        for m in merge_manifests
+        if m["content"] == 0
+    }
+    # r14: the positional-delete snapshot's DELETE manifests are
+    # spec-homogeneous and span both generations...
+    _, _, pos_manifests = read_container(
+        snaps_sorted[5]["manifest-list"]
+    )
+    del_spec_ids = {
+        m.get("partition_spec_id", 0)
+        for m in pos_manifests
+        if m["content"] == 1
+    }
+    # ...and the fold removed every delete manifest
     snap = next(
         s
         for s in meta["snapshots"]
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
     _, _, manifests = read_container(snap["manifest-list"])
-    spec_ids = {
-        m.get("partition_spec_id", 0)
-        for m in manifests
-        if m["content"] == 0
-    }
-    ops = [
-        s["summary"]["operation"]
-        for s in sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
-    ]
+    live_deletes = [m for m in manifests if m["content"] == 1]
+    ops = [s["summary"]["operation"] for s in snaps_sorted]
     df = read_iceberg(spark, table)
     # one pass gives the pruning probe's expected count AND the probe
     # key (deterministic min type) — no separate first()/count() scans
@@ -3921,14 +3958,21 @@ def lakehouse_iceberg_spec_evolution_agg(
         meta["default-spec-id"] == 1
         and len(meta["partition-specs"]) == 2
         and spec_ids == {0, 1}  # both generations still live post-DML
-        and ops == ["append", "append", "delete", "overwrite", "overwrite"]
+        and del_spec_ids == {0, 1}  # per-spec delete manifests (r14)
+        and not live_deletes  # folded back by the rewrite
+        and ops
+        == [
+            "append", "append", "delete", "overwrite", "overwrite",
+            "delete", "replace",
+        ]
         and pruned_n == exact_n
     ):
         raise RuntimeError(
             "spec-evolution invariants violated: "
             f"default={meta['default-spec-id']} "
             f"n_specs={len(meta['partition-specs'])} live_specs="
-            f"{sorted(spec_ids)} ops={ops} "
+            f"{sorted(spec_ids)} delete_specs={sorted(del_spec_ids)} "
+            f"live_deletes={len(live_deletes)} ops={ops} "
             f"pruned={pruned_n} exact={exact_n}"
         )
     return _agg_by_type(df)

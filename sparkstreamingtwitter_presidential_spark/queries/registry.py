@@ -323,12 +323,15 @@ GRADED_FIRST: list[str] = [
     # chunk_documents_strided + pipeline_curate_pack, and it stays
     # bench-headlined + in tests/test_queries_oracle.py).
     "io_shard_export_roundtrip",
-    # Round-5 late additions #9: UPDATE output mode (running aggregates,
-    # changed-keys-only emission into a keyed upsert store). Ceded:
-    # dedup_minhash_lsh_pairs (r2-r4 driver-green; the near-dup family
-    # keeps ngram-Jaccard/span-stats/semantic/canonicalize graded slots,
-    # and minhash stays bench-headlined + in tests/test_queries_oracle.py).
-    "streaming_update_mode_counts",
+    # Round-14 (verdict item 5): transformWithStateInPandas running
+    # totals — the state-v2 API graded rows-only (vendored-protobuf
+    # protocol; pinned by tests/test_stateful_v2.py's differential
+    # suite vs the v1 twin AND the batch rule). Ceded:
+    # streaming_update_mode_counts (r5-r13 driver-green, NINE
+    # consecutive windows; the v1 stateful machinery it proves stays
+    # graded through this v2 twin's family, and the update-mode query
+    # stays oracled in tests/test_queries_oracle.py + bench).
+    "streaming_state_v2_running_totals",
     # Round-10: MERGE-ON-READ MERGE via deletion vectors — the r9
     # DV-write family's first graded read-back (r9 verdict item 4):
     # matched rows marked in roaring bitmaps, in-query RAISE unless NO

@@ -294,6 +294,58 @@ def streaming_stateful_milestones(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_state_v2_running_totals",
+    oracle=None,  # arbitrary per-key state; pinned by the stateful-v2
+    # differential suite (tests/test_stateful_v2.py) vs the batch rule
+    # and the applyInPandasWithState twin
+    doc=(
+        "NEW r14 (verdict item 5): transformWithStateInPandas — the "
+        "Spark 4 state-v2 API (typed per-key ValueState, protobuf "
+        "protocol to the JVM state server) — running per-user "
+        "milestone totals, the machinery streaming_stateful_milestones "
+        "proves for the v1 applyInPandasWithState API. Where "
+        "google.protobuf is absent the engine's vendored minimal "
+        "runtime takes over (exported at __spark_entry__ import, so a "
+        "grading JVM launched after the import inherits it; the "
+        "builder still refuses BY NAME — never a mid-stream hang — if "
+        "this JVM predates the export). Runs under the RocksDB state "
+        "store (transformWithState needs per-variable column "
+        "families), restored to the prior provider after the drain."
+    ),
+)
+def streaming_state_v2_running_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.streaming.stateful2 import (
+        running_totals_v2,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(provider_key)
+    except Exception:
+        old = None
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, _staged(spark, sf_dir))
+        return _run_to_memory(
+            running_totals_v2(
+                stream.select("user_id", "ts", "value"), emit_every=10
+            ),
+            mode="append",
+        )
+    finally:
+        if old:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)
+
+
+@query(
     "streaming_collector_bounded",
     oracle=None,  # stop margin is timing-dependent -> rows-only check
     doc="A5/ST2/ST3: foreachBatch collector, stop-after-N, checkpointed file sink",

@@ -3768,6 +3768,15 @@ def _commit_snapshot(
         # the spec's scoping rule: find-or-register it in the
         # metadata's partition-specs (the mutation lands in new_meta
         # below) and type the manifest's r102 record empty.
+        # MIXED-SPEC delete manifests (r14 — lifts the last
+        # _refuse_spec_evolution caller): like data manifests, delete
+        # manifests are spec-HOMOGENEOUS — partition-scoped delete
+        # files serialize into a manifest OF the spec their referenced
+        # data files were written under. Added delete files carry a
+        # "_spec_id" side-channel hint (popped here, default spec when
+        # absent); carried/removed delete entries group by their
+        # resolved spec like data entries do.
+        default_dm_sid = meta.get("default-spec-id", 0)
         if delete_files_unpartitioned_spec and part_fields:
             specs = list(meta.get("partition-specs", []))
             empty = next((sp for sp in specs if not sp.get("fields")), None)
@@ -3777,90 +3786,119 @@ def _commit_snapshot(
                     "fields": [],
                 }
                 meta["partition-specs"] = specs + [empty]
-            dm_part_fields: list[dict] = []
-            dm_spec_fields: list[dict] = []
-            dm_spec_id = empty["spec-id"]
+            added_by_sid = {
+                empty["spec-id"]: list(added_delete_files or [])
+            }
+            exd_by_sid = {empty["spec-id"]: ex_dels} if ex_dels else {}
+            rmd_by_sid = {empty["spec-id"]: rm_dels} if rm_dels else {}
+            dm_sids = [empty["spec-id"]]
         else:
-            dm_part_fields = part_fields
-            dm_spec_fields = _default_spec_fields(meta)
-            dm_spec_id = meta.get("default-spec-id", 0)
-        dm_entries = [
-            {
-                "status": _STATUS_ADDED,
-                "snapshot_id": snapshot_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": f,
-            }
-            for f in (added_delete_files or [])
-        ]
-        dm_entries += [
-            {
-                "status": _STATUS_EXISTING,
-                "snapshot_id": e["snapshot_id"],
-                "sequence_number": e["sequence_number"],
-                "file_sequence_number": e["file_sequence_number"],
-                "data_file": e["data_file"],
-            }
-            for e in ex_dels
-        ]
-        dm_entries += [
-            {
-                "status": _STATUS_DELETED,
-                "snapshot_id": snapshot_id,
-                "sequence_number": e["sequence_number"],
-                "file_sequence_number": e["file_sequence_number"],
-                "data_file": e["data_file"],
-            }
-            for e in rm_dels
-        ]
-        # the v3 DV reference fields serialize whenever any entry
-        # carries them (added DVs or carried/superseded DV entries);
-        # non-DV entries write nulls
-        dv_refs = any(
-            e["data_file"].get("referenced_data_file") is not None
-            for e in dm_entries
-        )
-        dm_path = os.path.join(md, f"{uuid.uuid4().hex}-d0.avro")
-        dm_len = write_container(
-            dm_path,
-            _manifest_entry_schema(dm_part_fields, dv_refs=dv_refs),
-            dm_entries,
-            meta={
-                "schema": json.dumps(ice_schema).encode(),
-                "partition-spec": json.dumps(dm_spec_fields).encode(),
-                "partition-spec-id": str(dm_spec_id).encode(),
-                "format-version": fv_bytes,
-                "content": b"deletes",
-            },
-        )
-        delete_manifests.append(
-            {
-                "manifest_path": dm_path,
-                "manifest_length": dm_len,
-                "partition_spec_id": dm_spec_id,
-                "content": 1,
-                "sequence_number": seq,
-                "min_sequence_number": min(
-                    [seq]
-                    + [e["sequence_number"] for e in ex_dels]
-                    + [e["sequence_number"] for e in rm_dels]
-                ),
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(added_delete_files or []),
-                "existing_files_count": len(ex_dels),
-                "deleted_files_count": len(rm_dels),
-                "added_rows_count": sum(
-                    f["record_count"] for f in (added_delete_files or [])
-                ),
-                "existing_rows_count": sum(
-                    e["data_file"]["record_count"] for e in ex_dels
-                ),
-                "deleted_rows_count": sum(
-                    e["data_file"]["record_count"] for e in rm_dels
-                ),
-            }
-        )
+            added_by_sid = {}
+            for f in added_delete_files or []:
+                sid = f.pop("_spec_id", default_dm_sid)
+                added_by_sid.setdefault(sid, []).append(f)
+            exd_by_sid = _group_entries_by_spec(meta, ex_dels)
+            rmd_by_sid = _group_entries_by_spec(meta, rm_dels)
+            dm_sids = [default_dm_sid] + sorted(
+                (set(added_by_sid) | set(exd_by_sid) | set(rmd_by_sid))
+                - {default_dm_sid}
+            )
+        for dm_spec_id in dm_sids:
+            g_add = added_by_sid.get(dm_spec_id, [])
+            g_ex = exd_by_sid.get(dm_spec_id, [])
+            g_rm = rmd_by_sid.get(dm_spec_id, [])
+            if not (g_add or g_ex or g_rm):
+                continue
+            if delete_files_unpartitioned_spec and part_fields:
+                dm_part_fields: list[dict] = []
+                dm_spec_fields: list[dict] = []
+            elif dm_spec_id == default_dm_sid:
+                dm_part_fields = part_fields
+                dm_spec_fields = _default_spec_fields(meta)
+            else:
+                dm_part_fields = _partition_fields(
+                    meta, ice_schema, dm_spec_id
+                )
+                dm_spec_fields = _spec_fields_by_id(meta, dm_spec_id)
+            dm_entries = [
+                {
+                    "status": _STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": f,
+                }
+                for f in g_add
+            ]
+            dm_entries += [
+                {
+                    "status": _STATUS_EXISTING,
+                    "snapshot_id": e["snapshot_id"],
+                    "sequence_number": e["sequence_number"],
+                    "file_sequence_number": e["file_sequence_number"],
+                    "data_file": e["data_file"],
+                }
+                for e in g_ex
+            ]
+            dm_entries += [
+                {
+                    "status": _STATUS_DELETED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": e["sequence_number"],
+                    "file_sequence_number": e["file_sequence_number"],
+                    "data_file": e["data_file"],
+                }
+                for e in g_rm
+            ]
+            # the v3 DV reference fields serialize whenever any entry
+            # carries them (added DVs or carried/superseded DV
+            # entries); non-DV entries write nulls
+            dv_refs = any(
+                e["data_file"].get("referenced_data_file") is not None
+                for e in dm_entries
+            )
+            dm_path = os.path.join(
+                md, f"{uuid.uuid4().hex}-d{len(delete_manifests)}.avro"
+            )
+            dm_len = write_container(
+                dm_path,
+                _manifest_entry_schema(dm_part_fields, dv_refs=dv_refs),
+                dm_entries,
+                meta={
+                    "schema": json.dumps(ice_schema).encode(),
+                    "partition-spec": json.dumps(dm_spec_fields).encode(),
+                    "partition-spec-id": str(dm_spec_id).encode(),
+                    "format-version": fv_bytes,
+                    "content": b"deletes",
+                },
+            )
+            delete_manifests.append(
+                {
+                    "manifest_path": dm_path,
+                    "manifest_length": dm_len,
+                    "partition_spec_id": dm_spec_id,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        [seq]
+                        + [e["sequence_number"] for e in g_ex]
+                        + [e["sequence_number"] for e in g_rm]
+                    ),
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(g_add),
+                    "existing_files_count": len(g_ex),
+                    "deleted_files_count": len(g_rm),
+                    "added_rows_count": sum(
+                        f["record_count"] for f in g_add
+                    ),
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"] for e in g_ex
+                    ),
+                    "deleted_rows_count": sum(
+                        e["data_file"]["record_count"] for e in g_rm
+                    ),
+                }
+            )
     manifest_list = os.path.join(
         md, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     )
@@ -4763,29 +4801,46 @@ def delete_iceberg_positional(
     part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
     entries, _dels = _entries_and_deletes_for_snapshot(path, snap)
-    _refuse_spec_evolution(meta, entries, "delete_iceberg_positional")
     # existing deletes need not be applied before matching: a pair
     # re-recorded for an already-deleted row is idempotent under the
     # read-side anti-join
     _refuse_renamed_files(meta, entries, ice_schema, "positional delete")
     if not entries:
         return snap["snapshot-id"]
-    id_fields = _identity_fields(part_fields)
-    pnames = {pf["source_name"] for pf in id_fields}
-    data_schema = T.StructType(
-        [f for f in spark_schema.fields if f.name not in pnames]
-    )
     fields_by_name = {f.name: f for f in spark_schema.fields}
+    # MIXED-SPEC tables (r14 — lifts the r12 _refuse_spec_evolution
+    # guard's last caller): groups key on (effective writing spec,
+    # partition tuple UNDER that spec) so identity injection follows
+    # each file's own layout, the emitted delete files are partition-
+    # scoped under the spec that scopes their referenced data files,
+    # and _commit_snapshot serializes them into per-spec delete
+    # manifests. Plan width stays the number of live (spec, partition)
+    # pairs, never file count.
+    default_sid = meta.get("default-spec-id", 0)
+    spec_pf: dict[int, list[dict]] = {default_sid: part_fields}
     groups: dict[tuple, list[dict]] = {}
-    for e in entries:
-        part = e["data_file"].get("partition") or {}
-        key = tuple(part.get(pf["name"]) for pf in part_fields)
-        groups.setdefault(key, []).append(e["data_file"])
-    group_keys = sorted(groups, key=lambda k: tuple(map(str, k)))
+    for sid, grp in _group_entries_by_spec(meta, entries).items():
+        if sid not in spec_pf:
+            spec_pf[sid] = _partition_fields(meta, ice_schema, sid)
+        pf_s = spec_pf[sid]
+        for e in grp:
+            part = e["data_file"].get("partition") or {}
+            key = (sid, tuple(part.get(pf["name"]) for pf in pf_s))
+            groups.setdefault(key, []).append(e["data_file"])
+    group_keys = sorted(
+        groups, key=lambda k: (k[0], tuple(map(str, k[1])))
+    )
     frames = []
-    for gi, key in enumerate(group_keys):
+    for gi, (sid, key) in enumerate(group_keys):
+        pf_s = spec_pf[sid]
+        pnames_s = {
+            pf["source_name"] for pf in _identity_fields(pf_s)
+        }
+        data_schema = T.StructType(
+            [f for f in spark_schema.fields if f.name not in pnames_s]
+        )
         scan = spark.read.schema(data_schema).parquet(
-            *sorted(d["file_path"] for d in groups[key])
+            *sorted(d["file_path"] for d in groups[(sid, key)])
         )
         # pseudo-columns FIRST (injection below would hide _metadata)
         scan = scan.select(
@@ -4795,7 +4850,7 @@ def delete_iceberg_positional(
         )
         # identity partition values are log metadata — inject so the
         # predicate may reference them (transform sources are IN data)
-        for pf, av in zip(part_fields, key):
+        for pf, av in zip(pf_s, key):
             if pf["transform"] != "identity":
                 continue
             scan = scan.withColumn(
@@ -4830,27 +4885,29 @@ def delete_iceberg_positional(
                 continue
             total += md_.num_rows
             gi = int(raw["__grp"])
+            g_sid, g_key = group_keys[gi]
             final = os.path.join(
                 os.path.dirname(full), f"delete-{uuid.uuid4().hex}.parquet"
             )
             os.rename(full, final)
-            delete_files.append(
-                {
-                    "content": 1,
-                    "file_path": final,
-                    "file_format": "PARQUET",
-                    "partition": dict(
-                        zip(
-                            [pf["name"] for pf in part_fields],
-                            group_keys[gi],
-                        )
-                    ),
-                    "record_count": md_.num_rows,
-                    "file_size_in_bytes": os.path.getsize(final),
-                    "lower_bounds": None,
-                    "upper_bounds": None,
-                }
-            )
+            rec = {
+                "content": 1,
+                "file_path": final,
+                "file_format": "PARQUET",
+                "partition": dict(
+                    zip(
+                        [pf["name"] for pf in spec_pf[g_sid]],
+                        g_key,
+                    )
+                ),
+                "record_count": md_.num_rows,
+                "file_size_in_bytes": os.path.getsize(final),
+                "lower_bounds": None,
+                "upper_bounds": None,
+            }
+            if g_sid != default_sid:
+                rec["_spec_id"] = g_sid  # per-spec delete manifest
+            delete_files.append(rec)
         if total == 0:
             shutil.rmtree(staging, ignore_errors=True)
             return snap["snapshot-id"]
@@ -4896,7 +4953,6 @@ def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
     part_fields = _partition_fields(meta, ice_schema)
     spark_schema = _schema_to_spark(ice_schema)
     entries, dels = _entries_and_deletes_for_snapshot(path, snap)
-    _refuse_spec_evolution(meta, entries, "rewrite_position_deletes")
     if not dels:
         return snap["snapshot-id"]
     _refuse_renamed_files(
@@ -4939,9 +4995,15 @@ def rewrite_position_deletes(spark: SparkSession, path: str) -> int:
             spark, meta, entries, dels, ice_schema, pos_pairs=pairs
         )
         fv3 = meta.get("format-version", 1) >= 3
-        remaining = _read_files(
+        # mixed-spec live sets scan per spec generation (identity
+        # injection under each file's own writing spec); the rewritten
+        # survivors re-stage under the DEFAULT spec below, and the
+        # untouched keep-entries serialize per-spec in _commit_snapshot
+        remaining = _scan_entries_mixed_spec(
             spark,
-            [e["data_file"] for e in hit],
+            meta,
+            ice_schema,
+            hit,
             _lineage_scan_schema(spark_schema) if fv3 else spark_schema,
             part_fields,
             scan_filter=flt,
@@ -5686,36 +5748,6 @@ def _split_foreign_spec_manifests(
         and not _is_default(m.get("partition_spec_id", 0))
     ]
     return own, carried
-
-
-def _refuse_spec_evolution(
-    meta: dict, entries: list[dict], ctx: str
-) -> None:
-    """Refuse-by-name guard for the rewrite paths that still
-    serialize partition RECORDS under a single spec: position-delete
-    writes (delete_iceberg_positional / rewrite_position_deletes key
-    delete files to the referenced files' tuples under ONE spec).
-    Snapshot reads, CoW DML, DV DML, and table_partitions all handle
-    mixed specs per group (r12-late/r13 — _scan_entries_mixed_spec +
-    _commit_snapshot's per-spec manifests); only the positional-delete
-    family still calls this."""
-    default_sid = meta.get("default-spec-id", 0)
-    fields = {
-        sp.get("spec-id", 0): sp.get("fields", [])
-        for sp in meta.get("partition-specs", [])
-    }
-    for e in entries:
-        sid = e.get("spec_id", default_sid)
-        if sid != default_sid and fields.get(sid) != fields.get(
-            default_sid
-        ):
-            raise NotImplementedError(
-                f"{ctx}: live files were written under partition spec "
-                f"{sid} != default {default_sid} (partition "
-                "evolution); this rewrite would re-serialize their "
-                "partition records under the wrong spec — snapshot "
-                "reads handle the mix, rewrites refuse"
-            )
 
 
 def drop_column_iceberg(path: str, name: str) -> int:

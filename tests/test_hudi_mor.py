@@ -547,3 +547,45 @@ def test_mor_row_changes_trilogy(spark, tmp_path):
     first = hudi_row_changes(spark, t, i0)
     assert first.count() == 20
     assert {r._change_type for r in first.collect()} == {"insert"}
+
+
+def test_mor_reads_archived_timeline(spark, tmp_path):
+    """r14 (verdict item 6): a foreign MOR table whose old commits
+    were ARCHIVED reads correctly — the planner folds the archived
+    commits' metadata (public layout: JSON lines with full commit
+    meta) into log-block attribution. Sparse archived metadata still
+    refuses by name."""
+    import glob
+    import json as _json
+
+    t, _ = _mor(spark, tmp_path)
+    upsert_hudi_mor(spark, t, _df(spark, [(3, "u3", 33.0)]))
+    want = _vals(read_hudi(spark, t))
+    assert (3, "u3", 33.0) in want
+
+    # forge: move the INSERT commit off the active timeline
+    hd = os.path.join(t, ".hoodie")
+    insert_instant = hudi_timeline(spark, t).collect()[0].instant
+    done = [
+        p
+        for p in glob.glob(os.path.join(hd, f"{insert_instant}.*commit"))
+        if not p.endswith(".requested")
+    ]
+    with open(done[0]) as fh:
+        meta = _json.load(fh)
+    ad = os.path.join(hd, "archived")
+    os.makedirs(ad)
+    with open(os.path.join(ad, "commits_0.archive"), "w") as fh:
+        fh.write(
+            _json.dumps({"instant": insert_instant, "metadata": meta})
+            + "\n"
+        )
+    for p in glob.glob(os.path.join(hd, f"{insert_instant}.*")):
+        os.remove(p)
+    assert _vals(read_hudi(spark, t)) == want
+
+    # sparse archive (no metadata): refuse, never silently drop
+    with open(os.path.join(ad, "commits_0.archive"), "w") as fh:
+        fh.write(_json.dumps({"instant": insert_instant}) + "\n")
+    with pytest.raises(NotImplementedError, match="partitionToWriteStats"):
+        read_hudi(spark, t).collect()

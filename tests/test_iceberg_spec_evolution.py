@@ -481,3 +481,73 @@ def test_table_partitions_mixed_specs(spark, tmp_path):
         (1, "a"): (1, 1),
         (1, "c"): (1, 1),
     }
+
+
+def test_positional_delete_across_mixed_specs(spark, tmp_path):
+    """r14: the last _refuse_spec_evolution caller is lifted —
+    position deletes on a spec-evolved v2 table route matched pairs to
+    partition tuples UNDER EACH FILE'S OWN WRITING SPEC, serialize
+    into spec-homogeneous DELETE manifests, and
+    rewrite_position_deletes folds them back re-staging survivors
+    under the default spec."""
+    from sparkstreamingtwitter_presidential_spark.sources.avro import (
+        read_container,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        delete_iceberg_positional,
+        rewrite_position_deletes,
+    )
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).repartition(1), t
+    )  # spec 0: flat
+    update_partition_spec(t, ["s"])
+    write_iceberg(
+        _df(spark, [(3, "a", 3.0), (4, "c", 4.0)]).repartition(1),
+        t,
+        mode="append",
+    )  # spec 1: identity(s)
+    # one matched row in EACH spec generation
+    delete_iceberg_positional(spark, t, "id in (1, 4)")
+    assert sorted(r.id for r in read_iceberg(spark, t).collect()) == [2, 3]
+
+    meta = _meta(t)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, manifests = read_container(snap["manifest-list"])
+    dmans = [m for m in manifests if m["content"] == 1]
+    specs_seen = set()
+    for m in dmans:
+        _h, mmeta, entries = read_container(m["manifest_path"])
+        declared = int(mmeta["partition-spec-id"].decode())
+        assert declared == m["partition_spec_id"]
+        names = {
+            pf["name"]
+            for pf in next(
+                sp["fields"]
+                for sp in meta["partition-specs"]
+                if sp["spec-id"] == declared
+            )
+        }
+        for e in entries:
+            part = e["data_file"].get("partition") or {}
+            assert set(part) == names, (declared, part)
+        specs_seen.add(declared)
+    assert specs_seen == {0, 1}, specs_seen
+
+    # fold: survivors re-stage under the default spec, deletes gone
+    rewrite_position_deletes(spark, t)
+    meta = _meta(t)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, manifests = read_container(snap["manifest-list"])
+    assert not [m for m in manifests if m["content"] == 1]
+    got = sorted((r.id, r.s, r.v) for r in read_iceberg(spark, t).collect())
+    assert got == [(2, "b", 2.0), (3, "a", 3.0)]
