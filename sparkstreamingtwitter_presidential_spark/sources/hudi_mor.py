@@ -49,7 +49,10 @@ deltacommit deletes exactly the files its metadata recorded.
 Trust boundary: MOR planning requires every completed commit to carry
 ``partitionToWriteStats`` (the log-path→instant attribution the reader
 orders blocks by); foreign MOR tables with sparse metadata refuse by
-name. Block headers' INSTANT_TIME is re-verified executor-side against
+name. ARCHIVED timelines read (r14): the archive's public layout
+carries full commit metadata, which the planner folds into
+attribution — archives without it refuse the same way. Block headers'
+INSTANT_TIME is re-verified executor-side against
 the planner's attribution — defense in depth against mislabeled files.
 
 Reference scope note: the reference persists micro-batches as plain

@@ -4785,7 +4785,6 @@ def delete_iceberg_positional(
     predicate is TRUE are deleted. A no-match predicate commits
     nothing. Returns the (possibly unchanged) snapshot id."""
     import shutil
-    from functools import reduce
 
     import pyarrow.parquet as pq
 
@@ -4807,7 +4806,6 @@ def delete_iceberg_positional(
     _refuse_renamed_files(meta, entries, ice_schema, "positional delete")
     if not entries:
         return snap["snapshot-id"]
-    fields_by_name = {f.name: f for f in spark_schema.fields}
     # MIXED-SPEC tables (r14 — lifts the r12 _refuse_spec_evolution
     # guard's last caller): groups key on (effective writing spec,
     # partition tuple UNDER that spec) so identity injection follows
@@ -4830,43 +4828,40 @@ def delete_iceberg_positional(
     group_keys = sorted(
         groups, key=lambda k: (k[0], tuple(map(str, k[1])))
     )
-    frames = []
-    for gi, (sid, key) in enumerate(group_keys):
-        pf_s = spec_pf[sid]
-        pnames_s = {
-            pf["source_name"] for pf in _identity_fields(pf_s)
-        }
-        data_schema = T.StructType(
-            [f for f in spark_schema.fields if f.name not in pnames_s]
+    # ONE adaptive scan does the matching (r14): _scan_entries_mixed_
+    # spec branches per SPEC GENERATION — inside each, the shared
+    # reader injects identity values by typed-literal union up to 32
+    # tuples and by path parsing above (plan width independent of
+    # partition count) — so a 1,000-partition point delete plans a
+    # handful of scan nodes, not one branch per tuple (the pre-r14
+    # shape, measured minutes of Catalyst time at 400 tuples). Matched
+    # pairs then route to their delete-file group by a BROADCAST map
+    # on file path, which is driver-known log metadata.
+    scan = _scan_entries_mixed_spec(
+        spark,
+        meta,
+        ice_schema,
+        entries,
+        spark_schema,
+        part_fields,
+        with_path_pos=True,
+    )
+    grp_map = spark.createDataFrame(
+        [
+            (_norm_path(d["file_path"]), gi)
+            for gi, key in enumerate(group_keys)
+            for d in groups[key]
+        ],
+        "file_path string, __grp int",
+    )
+    matched = (
+        scan.filter(F.expr(predicate))
+        .select(
+            F.col(_ABS_PATH_COL).alias("file_path"),
+            F.col(_POS_COL).alias("pos"),
         )
-        scan = spark.read.schema(data_schema).parquet(
-            *sorted(d["file_path"] for d in groups[(sid, key)])
-        )
-        # pseudo-columns FIRST (injection below would hide _metadata)
-        scan = scan.select(
-            "*",
-            _norm_path_col(F.col("_metadata.file_path")).alias("__dv_path"),
-            F.col("_metadata.row_index").cast("long").alias("__dv_pos"),
-        )
-        # identity partition values are log metadata — inject so the
-        # predicate may reference them (transform sources are IN data)
-        for pf, av in zip(pf_s, key):
-            if pf["transform"] != "identity":
-                continue
-            scan = scan.withColumn(
-                pf["source_name"],
-                F.lit(_avro_partition_to_python(pf["type"], av)).cast(
-                    fields_by_name[pf["source_name"]].dataType
-                ),
-            )
-        frames.append(
-            scan.filter(F.expr(predicate)).select(
-                F.col("__dv_path").alias("file_path"),
-                F.col("__dv_pos").alias("pos"),
-                F.lit(gi).alias("__grp"),
-            )
-        )
-    matched = reduce(DataFrame.unionByName, frames)
+        .join(F.broadcast(grp_map), "file_path")
+    )
     staging = os.path.join(path, _DATA_DIR, uuid.uuid4().hex)
     (
         matched.repartition("__grp")
