@@ -74,6 +74,7 @@ from sparkstreamingtwitter_presidential_spark.sources.avro import (
 )
 from sparkstreamingtwitter_presidential_spark.sources.hudi import (
     META_COLS,
+    _archived_commit_metas,
     _commit_meta,
     _complete_instant,
     _completed_commits,
@@ -143,10 +144,6 @@ def _mor_slices(
     sorted in merge order. A log file participates iff it delta-s the
     SELECTED base instant, its writing instant is a completed
     (delta)commit ≤ as_of, and the commit's own metadata recorded it."""
-    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
-        _archived_commit_metas,
-    )
-
     # ARCHIVED timelines (r14 — lifts the r13 refusal): the archive's
     # public layout carries each archived commit's full metadata, so
     # the planner folds it in and orders log blocks off the COMPLETE
@@ -886,22 +883,17 @@ def hudi_row_changes_mor(
     deletes-by-absence), and a COMPACTION commit emits nothing (both
     merged views are identical). Cost ∝ touched slices, merged twice —
     never the table."""
-    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
-        _archived_instants,
-    )
-
-    commits = _completed_commits(path)
+    # archived instants work too (r14): the archive's public layout
+    # carries the commit's full metadata, and the merged as-of views
+    # already plan off the complete timeline
+    arch = _archived_commit_metas(path)
+    commits = sorted(set(_completed_commits(path)) | set(arch))
     if instant not in commits:
-        if instant in _archived_instants(path):
-            raise ValueError(
-                f"instant {instant!r} was ARCHIVED off the active "
-                "timeline; its commit metadata is permanently gone"
-            )
         raise ValueError(
             f"instant {instant!r} is not a completed commit "
             f"(have {commits})"
         )
-    meta = _commit_meta(path, instant)
+    meta = arch[instant] if instant in arch else _commit_meta(path, instant)
     if meta.get("operationType") == "INSERT_OVERWRITE_TABLE":
         raise ValueError(
             f"instant {instant!r} is an overwrite — its pre-image is "

@@ -583,6 +583,11 @@ def test_mor_reads_archived_timeline(spark, tmp_path):
     for p in glob.glob(os.path.join(hd, f"{insert_instant}.*")):
         os.remove(p)
     assert _vals(read_hudi(spark, t)) == want
+    # time travel TO the archived instant works (files still live)
+    assert len(_vals(read_hudi(spark, t, as_of=insert_instant))) == 20
+    # ...and so does the row-level change feed of the archived commit
+    ch = hudi_row_changes(spark, t, insert_instant)
+    assert ch.filter("_change_type = 'insert'").count() == 20
 
     # sparse archive (no metadata): refuse, never silently drop
     with open(os.path.join(ad, "commits_0.archive"), "w") as fh:
