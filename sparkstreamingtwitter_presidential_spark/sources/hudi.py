@@ -722,23 +722,28 @@ def read_hudi(
             partition_filter=partition_filter,
         )
     commits = _completed_commits(path)
+    # ARCHIVED commits participate in as-of selection (r14): the
+    # archive's public layout carries each commit's full metadata, so
+    # time travel below the archival boundary reconstructs exactly
+    # when the slices survive (it refuses via the clean guard when
+    # they don't). HEAD reads never pay the O(archived) walk —
+    # archival's own floor guarantees live slices' commits stay active.
+    arch: dict[str, dict] = {}
+    if as_of is not None:
+        arch = _archived_commit_metas(path)
+        commits = sorted(set(commits) | set(arch))
     if as_of is not None and as_of not in commits:
-        if as_of in _archived_instants(path):
-            raise ValueError(
-                f"as_of instant {as_of!r} was ARCHIVED off the active "
-                "timeline (archive_hudi_timeline); time travel to "
-                "archived instants is permanently gone — the documented "
-                "retention trade"
-            )
         raise ValueError(
             f"as_of instant {as_of!r} is not a completed commit "
             f"(have {commits})"
         )
     use = [c for c in commits if as_of is None or c <= as_of]
-    rmap = _replace_map(path, use)
+    rmap = _replace_map(path, use, extra_metas=arch or None)
     slices = [
         (part, fid, inst, full)
-        for part, fid, inst, full in _latest_slices(path, as_of=as_of)
+        for part, fid, inst, full in _latest_slices(
+            path, as_of=as_of, extra_metas=arch or None
+        )
         if inst > rmap.get((part, fid), "")
     ]
     if as_of is not None:
@@ -747,7 +752,9 @@ def read_hudi(
         # removed the group's old bases and this snapshot would be
         # silently PARTIAL (fewer rows, no error). HEAD reads never
         # hit this: clean always keeps each group's newest slice.
-        expected = _expected_live_groups(path, use, rmap)
+        expected = _expected_live_groups(
+            path, use, rmap, extra_metas=arch or None
+        )
         if expected is not None:
             have = {(p, f) for p, f, _i, _full in slices}
             gone = sorted(expected - have)
@@ -758,31 +765,6 @@ def read_hudi(
                     "before that instant — removed by clean_hudi, so "
                     "that snapshot is no longer time-travelable (the "
                     "documented clean trade)"
-                )
-        # archival guard: recompute the selection WITH the archived
-        # commits' metadata folded in; any difference means the as-of
-        # snapshot depends on archived state (e.g. a file group whose
-        # latest-at-as_of slice was written by an archived commit,
-        # which the active-only selection would silently DROP) —
-        # refuse by name rather than returning wrong rows. HEAD reads
-        # never pay this: the walk is O(archived) only under as_of on
-        # an archived table.
-        arch = _archived_commit_metas(path)
-        if arch:
-            full_rmap = _replace_map(
-                path, sorted(set(use) | set(arch)), extra_metas=arch
-            )
-            full_slices = [
-                t
-                for t in _latest_slices(path, as_of=as_of, extra_metas=arch)
-                if t[2] > full_rmap.get((t[0], t[1]), "")
-            ]
-            if sorted(full_slices) != sorted(slices):
-                raise ValueError(
-                    f"as_of {as_of!r} snapshot depends on ARCHIVED "
-                    "commits (archive_hudi_timeline); time travel below "
-                    "the archival boundary is permanently gone — the "
-                    "documented retention trade"
                 )
     if partition_filter is not None:
         if isinstance(partition_filter, dict):
@@ -1088,18 +1070,17 @@ def hudi_row_changes(
 
         return hudi_row_changes_mor(spark, path, instant, keys=keys)
     commits = _completed_commits(path)
-    if instant not in commits:
-        if instant in _archived_instants(path):
-            raise ValueError(
-                f"instant {instant!r} was ARCHIVED off the active "
-                "timeline; its commit metadata (the touched-group "
-                "list) is permanently gone"
-            )
+    # archived instants resolve from the archive's metadata (r14 —
+    # the touched-group list is right there, not "permanently gone")
+    arch = _archived_commit_metas(path)
+    if instant not in commits and instant not in arch:
         raise ValueError(
             f"instant {instant!r} is not a completed commit "
             f"(have {commits})"
         )
-    meta = _commit_meta(path, instant)
+    meta = (
+        _commit_meta(path, instant) if instant in commits else arch[instant]
+    )
     if meta.get("operationType") == "INSERT_OVERWRITE_TABLE":
         raise ValueError(
             f"instant {instant!r} is an overwrite — its pre-image is "
@@ -1114,27 +1095,24 @@ def hudi_row_changes(
             full = os.path.join(path, st["path"])
             if os.path.isfile(full):
                 new_files.append(full)
-    prev_commits = [c for c in commits if c < instant]
+    # the previous instant over the FULL timeline (active ∪ archived):
+    # for an archived target the active-only walk would pick a LATER
+    # commit (or the old max(arch) fallback, which could postdate it)
+    all_commits = sorted(set(commits) | set(arch))
+    prev_commits = [c for c in all_commits if c < instant]
     prev_instant = prev_commits[-1] if prev_commits else None
-    arch = _archived_commit_metas(path)
     old_files: list[str] = []
-    if prev_instant is not None or arch:
-        as_of = prev_instant if prev_instant is not None else (
-            max(arch) if arch else None
-        )
-        if as_of is not None:
-            all_prior = sorted(
-                set(c for c in commits if c <= as_of) | set(arch)
+    if prev_instant is not None:
+        all_prior = [c for c in all_commits if c <= prev_instant]
+        rmap_prev = _replace_map(path, all_prior, extra_metas=arch or None)
+        old_files = [
+            full
+            for part, fid, inst, full in _latest_slices(
+                path, as_of=prev_instant, extra_metas=arch or None
             )
-            rmap_prev = _replace_map(path, all_prior, extra_metas=arch)
-            old_files = [
-                full
-                for part, fid, inst, full in _latest_slices(
-                    path, as_of=as_of, extra_metas=arch
-                )
-                if (part, fid) in touched
-                and inst > rmap_prev.get((part, fid), "")
-            ]
+            if (part, fid) in touched
+            and inst > rmap_prev.get((part, fid), "")
+        ]
 
     def _read(files: list[str]) -> DataFrame:
         if not files:
@@ -1644,10 +1622,12 @@ def archive_hudi_timeline(path: str, keep_last: int = 10) -> list[str]:
       (the hudi_sink idempotence contract: markers must survive
       archival).
 
-    After archival: time travel to an archived instant refuses BY NAME
-    ("archived"), and incremental pulls whose range reaches into the
-    archived prefix refuse rather than silently skipping archived
-    commits. Returns the archived instants."""
+    After archival: as-of reads fold the archive's commit metadata
+    back in (r14), so time travel at or below the boundary
+    reconstructs exactly while the slices survive and refuses via the
+    clean guard once they don't; incremental pulls whose range reaches
+    into the archived prefix still refuse rather than silently
+    skipping archived commits. Returns the archived instants."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     if _is_mor(_load_props(path)):

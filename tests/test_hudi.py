@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from sparkstreamingtwitter_presidential_spark.sources.hudi import (
     HudiCommitConflict,
     clean_hudi,
+    hudi_row_changes,
     hudi_timeline,
     read_hudi,
     read_hudi_incremental,
@@ -618,8 +619,11 @@ def test_archive_timeline_bounds_active_and_guards_reads(spark, tmp_path):
     # active timeline shrank; snapshot read still exact
     assert [r.instant for r in hudi_timeline(spark, t).collect()] == [i3]
     assert read_hudi(spark, t).collect()[0].s == "v3"
-    # time travel to an archived instant refuses BY NAME
-    with pytest.raises(ValueError, match="ARCHIVED"):
+    # time travel to the archived instant: its slices were CLEANED, so
+    # the completeness guard refuses by name (r14 — archived commits
+    # with surviving slices reconstruct instead; see the
+    # depends-on-archived test below)
+    with pytest.raises(ValueError, match="clean"):
         read_hudi(spark, t, as_of=i1)
     # incremental pulls reaching into the archived prefix refuse
     with pytest.raises(ValueError, match="ARCHIVED"):
@@ -686,11 +690,12 @@ def test_archive_protects_newest_streaming_marker(spark, tmp_path):
 def test_archival_guards_as_of_reads_that_depend_on_archived_commits(
     spark, tmp_path
 ):
-    """Time travel to a still-ACTIVE instant must not silently drop a
-    file group whose as-of-latest slice was written by an ARCHIVED
-    commit (review finding): the read recomputes the selection with
-    the archived metadata folded in and refuses by name on any
-    difference; unaffected as-of reads still work."""
+    """Time travel to an instant whose snapshot depends on an ARCHIVED
+    commit reconstructs EXACTLY (r14 — the archive carries the
+    commit's full metadata, folded into selection; pre-r14 this
+    refused): a file group whose as-of-latest slice was written by an
+    archived commit reads its surviving slice, never silently drops.
+    Once clean removes those slices, the completeness guard refuses."""
     from sparkstreamingtwitter_presidential_spark.sources.hudi import (
         archive_hudi_timeline,
     )
@@ -701,15 +706,30 @@ def test_archival_guards_as_of_reads_that_depend_on_archived_commits(
     i3 = upsert_hudi(spark, t, _df(spark, [(1, "A3", 3.0)]))
     archived = archive_hudi_timeline(t, keep_last=2)
     assert archived == [i1]  # i1's slice is superseded -> archivable
-    # as_of i2's snapshot NEEDS i1 (group 1's latest slice then):
-    # refuse, never silently return only row 2
-    with pytest.raises(ValueError, match="ARCHIVED"):
-        read_hudi(spark, t, as_of=i2)
-    # as_of i3 and HEAD are provably independent of the archive
+    # as_of i2's snapshot NEEDS i1 (group 1's latest slice then) —
+    # reconstructed from the archive + the surviving slice
+    got = sorted(
+        (r.id, r.s) for r in read_hudi(spark, t, as_of=i2).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+    # time travel TO the archived instant works too
+    assert [
+        (r.id, r.s) for r in read_hudi(spark, t, as_of=i1).collect()
+    ] == [(1, "a")]
+    # as_of i3 and HEAD are independent of the archive
     assert sorted(r.id for r in read_hudi(spark, t, as_of=i3).collect()) == [
         1,
         2,
     ]
+    # row-level changes of the ARCHIVED commit resolve from the
+    # archive's metadata (a pure insert: one 'insert' row)
+    ch = hudi_row_changes(spark, t, i1)
+    assert [(r.id, r._change_type) for r in ch.collect()] == [(1, "insert")]
+    # clean retires i1's superseded slice -> the archived snapshots
+    # are now incomplete and refuse via the clean guard
+    clean_hudi(t, keep_last=1)
+    with pytest.raises(ValueError, match="clean"):
+        read_hudi(spark, t, as_of=i2)
     got = {r.id: r.s for r in read_hudi(spark, t).collect()}
     assert got == {1: "A3", 2: "b"}
 
