@@ -52,15 +52,26 @@ def test_graded_window_is_full_and_oracled():
     """The driver grades exactly the FIRST 50 registry entries; every
     slot must be spent on an oracled query (a rows-only entry in the
     window wastes a correctness check), all GRADED_FIRST names must
-    exist, and the head of the registry must be GRADED_FIRST verbatim."""
+    exist, and the head of the registry must be GRADED_FIRST verbatim.
+
+    Named exceptions only: the r13 verdict (item 5) explicitly asked
+    for a rows-only graded entry exercising transformWithState — the
+    driver's weaker rows-only check is the POINT there (prove the
+    state-v2 protocol runs in the driver's foreign session; values are
+    pinned by the pytest differential suite)."""
     import __spark_entry__ as e
     from sparkstreamingtwitter_presidential_spark.queries.registry import GRADED_FIRST
 
+    ROWS_ONLY_GRADED_OK = {"streaming_state_v2_running_totals"}
     qs, os_ = e.queries(), e.oracle_sql()
     names = list(qs)
     assert len(GRADED_FIRST) == 50
     assert names[:50] == GRADED_FIRST
-    missing_oracle = [n for n in names[:50] if n not in os_]
+    missing_oracle = [
+        n
+        for n in names[:50]
+        if n not in os_ and n not in ROWS_ONLY_GRADED_OK
+    ]
     assert not missing_oracle, f"rows-only queries in graded window: {missing_oracle}"
 
 
