@@ -942,36 +942,51 @@ def read_hudi_incremental(
     if _is_mor(props):
         return _read_mor_incremental(spark, path, from_instant, to_instant)
     commits = _completed_commits(path)
-    hi = to_instant if to_instant is not None else (commits[-1] if commits else "")
-    archived = _archived_instants(path)
-    if archived and from_instant < archived[-1]:
-        raise ValueError(
-            f"incremental range ({from_instant!r}, {hi!r}] reaches into "
-            f"the ARCHIVED timeline (archived through {archived[-1]!r}); "
-            "the pull would silently miss archived commits — start from "
-            "an instant at or after the archival boundary, or read a "
-            "full snapshot"
-        )
-    sel = [c for c in commits if from_instant < c <= hi]
+    # ranges reaching into the ARCHIVED prefix pull correctly (r14):
+    # the archive carries each commit's full metadata, so archived
+    # range commits contribute their touched groups like active ones.
+    # Sparse archived metadata refuses by name — the pre-r14 blanket
+    # refusal's actual hazard was silently MISSING those groups.
+    arch = _archived_commit_metas(path) if (
+        _archived_instants(path)
+        and from_instant < _archived_instants(path)[-1]
+    ) else {}
+    all_commits = sorted(set(commits) | set(arch))
+    hi = (
+        to_instant
+        if to_instant is not None
+        else (all_commits[-1] if all_commits else "")
+    )
+    sel = [c for c in all_commits if from_instant < c <= hi]
     if not sel:
         return read_hudi(spark, path).limit(0)
-    hd = _hoodie(path)
     touched: set[tuple[str, str]] = set()
     for c in sel:
-        meta = _commit_meta(path, c)
+        meta = arch[c] if c in arch else _commit_meta(path, c)
         if meta.get("operationType") == "INSERT_OVERWRITE_TABLE":
             raise ValueError(
                 f"commit {c} in the incremental range is an overwrite — "
                 "an incremental pull would misread replaced data; read "
                 "full snapshots across it instead"
             )
+        if c in arch and meta.get("partitionToWriteStats") is None:
+            raise NotImplementedError(
+                f"archived commit {c} in the incremental range lacks "
+                "partitionToWriteStats; the pull cannot attribute its "
+                "touched groups — start at or after the archival "
+                "boundary, or read a full snapshot"
+            )
         for part, stats in (meta.get("partitionToWriteStats") or {}).items():
             for st in stats:
                 touched.add((part, _fid_from_stat(st)))
-    rmap = _replace_map(path, [c for c in commits if c <= hi])
+    rmap = _replace_map(
+        path, [c for c in all_commits if c <= hi], extra_metas=arch or None
+    )
     files = [
         full
-        for part, fid, inst, full in _latest_slices(path, as_of=hi)
+        for part, fid, inst, full in _latest_slices(
+            path, as_of=hi, extra_metas=arch or None
+        )
         if (part, fid) in touched and inst > rmap.get((part, fid), "")
     ]
     if not files:
@@ -996,7 +1011,12 @@ def _read_mor_incremental(
     the range end, commit-time filtered (see read_hudi_incremental)."""
     from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import read_hudi_mor
 
-    commits = _completed_commits(path)
+    # the FULL timeline (r14): _mor_slices reads archived tables now,
+    # so the range walk must too — an active-only walk would silently
+    # SKIP archived range commits' touched groups (wrong rows). The
+    # MOR planner already refuses sparse metadata by name.
+    arch = _archived_commit_metas(path)
+    commits = sorted(set(_completed_commits(path)) | set(arch))
     hi = (
         to_instant
         if to_instant is not None
@@ -1007,12 +1027,19 @@ def _read_mor_incremental(
         return read_hudi(spark, path).limit(0)
     touched: set[tuple[str, str]] = set()
     for c in sel:
-        meta = _commit_meta(path, c)
+        meta = arch[c] if c in arch else _commit_meta(path, c)
         if meta.get("operationType") == "INSERT_OVERWRITE_TABLE":
             raise ValueError(
                 f"commit {c} in the incremental range is an overwrite — "
                 "an incremental pull would misread replaced data; read "
                 "full snapshots across it instead"
+            )
+        if c in arch and meta.get("partitionToWriteStats") is None:
+            raise NotImplementedError(
+                f"archived commit {c} in the incremental range lacks "
+                "partitionToWriteStats; the pull cannot attribute its "
+                "touched groups — start at or after the archival "
+                "boundary, or read a full snapshot"
             )
         for part, stats in (meta.get("partitionToWriteStats") or {}).items():
             for st in stats:
@@ -1622,12 +1649,13 @@ def archive_hudi_timeline(path: str, keep_last: int = 10) -> list[str]:
       (the hudi_sink idempotence contract: markers must survive
       archival).
 
-    After archival: as-of reads fold the archive's commit metadata
-    back in (r14), so time travel at or below the boundary
-    reconstructs exactly while the slices survive and refuses via the
-    clean guard once they don't; incremental pulls whose range reaches
-    into the archived prefix still refuse rather than silently
-    skipping archived commits. Returns the archived instants."""
+    After archival: as-of reads AND incremental pulls fold the
+    archive's commit metadata back in (r14), so time travel at or
+    below the boundary reconstructs exactly while the slices survive
+    (refusing via the clean guard once they don't) and ranges reaching
+    into the archived prefix pull with full touched-group attribution
+    (sparse archived metadata refuses by name). The streaming source
+    keeps its restart boundary. Returns the archived instants."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     if _is_mor(_load_props(path)):

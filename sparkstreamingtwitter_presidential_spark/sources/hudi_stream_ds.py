@@ -169,8 +169,10 @@ class HudiStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"stream range ({lo!r}, {hi!r}] reaches into the "
                 f"ARCHIVED timeline of {self.path} (archived through "
-                f"{archived[-1]!r}) — commit metadata is gone; restart "
-                "from a snapshot read + startingInstant past it"
+                f"{archived[-1]!r}) — this source does not re-deliver "
+                "below the archival boundary (batch incremental pulls "
+                "do, since r14); restart from a snapshot read + "
+                "startingInstant past it"
             )
         commits = _completed_commits(self.path)
         sel = [c for c in commits if lo < c <= hi]

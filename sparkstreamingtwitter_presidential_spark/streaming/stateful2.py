@@ -31,9 +31,12 @@ mid-stream crash): a JVM that launched before the vendored path export
 via session.get_spark), and a non-RocksDB state store provider
 (transformWithState needs per-variable column families). The
 applyInPandasWithState twin (streaming/stateful.py) has no protobuf
-dependency and stays the dependency-free fallback; the driver
-contract's graded queries use only that twin (the grading session is
-not created through get_spark).
+dependency and stays the dependency-free fallback. Since r14 the
+driver contract grades this module too (`streaming_state_v2_running_
+totals`): `__spark_entry__` exports the vendored path at IMPORT time,
+so a foreign grading JVM launched after that import spawns
+state-server workers that can import protobuf — the pre-export-JVM
+refusal below only fires when the session predates the import.
 
 ProcessingTime note: a TTL query runs batches CONTINUOUSLY (the TTL
 clock needs ticks), so bounded drains must poll-and-stop;

@@ -625,9 +625,11 @@ def test_archive_timeline_bounds_active_and_guards_reads(spark, tmp_path):
     # depends-on-archived test below)
     with pytest.raises(ValueError, match="clean"):
         read_hudi(spark, t, as_of=i1)
-    # incremental pulls reaching into the archived prefix refuse
-    with pytest.raises(ValueError, match="ARCHIVED"):
-        read_hudi_incremental(spark, t, from_instant=i1)
+    # incremental pulls reaching into the archived prefix work (r14):
+    # the archive supplies the touched-group attribution, and the
+    # changed key's LATEST state delivers once
+    inc_arch = read_hudi_incremental(spark, t, from_instant=i1)
+    assert [(r.id, r.s) for r in inc_arch.collect()] == [(1, "v3")]
     # ...but ranges wholly in the active timeline still work
     i4 = upsert_hudi(spark, t, _df(spark, [(1, "v4", 4.0)]))
     inc = read_hudi_incremental(spark, t, from_instant=i3, to_instant=i4)

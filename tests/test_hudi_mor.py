@@ -588,6 +588,11 @@ def test_mor_reads_archived_timeline(spark, tmp_path):
     # ...and so does the row-level change feed of the archived commit
     ch = hudi_row_changes(spark, t, insert_instant)
     assert ch.filter("_change_type = 'insert'").count() == 20
+    # incremental pulls across the archived prefix attribute touched
+    # groups from the archive (an active-only walk would silently
+    # skip the archived commit's groups)
+    inc = read_hudi_incremental(spark, t, from_instant="0")
+    assert _vals(inc) == want
 
     # sparse archive (no metadata): refuse, never silently drop
     with open(os.path.join(ad, "commits_0.archive"), "w") as fh:
