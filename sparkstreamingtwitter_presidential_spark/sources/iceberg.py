@@ -3794,8 +3794,15 @@ def _commit_snapshot(
             dm_sids = [empty["spec-id"]]
         else:
             added_by_sid = {}
+            dm_default_fields = _default_spec_fields(meta)
             for f in added_delete_files or []:
                 sid = f.pop("_spec_id", default_dm_sid)
+                # collapse renumbered-identical specs to the default,
+                # like _group_entries_by_spec (byte-compatible records)
+                if sid != default_dm_sid and _spec_fields_by_id(
+                    meta, sid
+                ) == dm_default_fields:
+                    sid = default_dm_sid
                 added_by_sid.setdefault(sid, []).append(f)
             exd_by_sid = _group_entries_by_spec(meta, ex_dels)
             rmd_by_sid = _group_entries_by_spec(meta, rm_dels)

@@ -277,24 +277,32 @@ def _commit_dv(
             ],
         )
         psize = os.path.getsize(puffin_path)
+        default_sid = meta.get("default-spec-id", 0)
         for p, m in zip(ordered, blob_metas):
-            ref = by_norm[p]["data_file"]
-            added_dv_files.append(
-                {
-                    "content": 1,
-                    "file_path": puffin_path,
-                    "file_format": "PUFFIN",
-                    "partition": dict(ref.get("partition") or {}),
-                    "record_count": len(unions[p]),
-                    "file_size_in_bytes": psize,
-                    "lower_bounds": None,
-                    "upper_bounds": None,
-                    "equality_ids": None,
-                    "referenced_data_file": ref["file_path"],
-                    "content_offset": m["offset"],
-                    "content_size_in_bytes": m["length"],
-                }
-            )
+            ent = by_norm[p]
+            ref = ent["data_file"]
+            rec = {
+                "content": 1,
+                "file_path": puffin_path,
+                "file_format": "PUFFIN",
+                "partition": dict(ref.get("partition") or {}),
+                "record_count": len(unions[p]),
+                "file_size_in_bytes": psize,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": None,
+                "referenced_data_file": ref["file_path"],
+                "content_offset": m["offset"],
+                "content_size_in_bytes": m["length"],
+            }
+            # the DV entry's partition record copies the REFERENCED
+            # file's tuple, so it must serialize under that file's
+            # writing spec — _commit_snapshot's per-spec delete
+            # manifests (r14) key off this side-channel
+            sid = ent.get("spec_id", default_sid)
+            if sid != default_sid:
+                rec["_spec_id"] = sid
+            added_dv_files.append(rec)
 
     # resolve prior delete manifests: rebuild the ones carrying a
     # superseded vector, carry the rest verbatim
@@ -776,24 +784,31 @@ def rewrite_deletion_vectors(path: str) -> dict | None:
     )
     psize = os.path.getsize(puffin_path)
     added_dv_files = []
+    default_sid = meta.get("default-spec-id", 0)
     for r, m in zip(ordered, blob_metas):
-        old = by_ref[r]["data_file"]
-        added_dv_files.append(
-            {
-                "content": 1,
-                "file_path": puffin_path,
-                "file_format": "PUFFIN",
-                "partition": dict(old.get("partition") or {}),
-                "record_count": old["record_count"],
-                "file_size_in_bytes": psize,
-                "lower_bounds": None,
-                "upper_bounds": None,
-                "equality_ids": None,
-                "referenced_data_file": r,
-                "content_offset": m["offset"],
-                "content_size_in_bytes": m["length"],
-            }
-        )
+        old_ent = by_ref[r]
+        old = old_ent["data_file"]
+        rec = {
+            "content": 1,
+            "file_path": puffin_path,
+            "file_format": "PUFFIN",
+            "partition": dict(old.get("partition") or {}),
+            "record_count": old["record_count"],
+            "file_size_in_bytes": psize,
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": None,
+            "referenced_data_file": r,
+            "content_offset": m["offset"],
+            "content_size_in_bytes": m["length"],
+        }
+        # preserve each folded vector's spec attribution (r14 — see
+        # the DML site): the compacted entry re-serializes under the
+        # same spec its superseded original was typed by
+        sid = old_ent.get("spec_id", default_sid)
+        if sid != default_sid:
+            rec["_spec_id"] = sid
+        added_dv_files.append(rec)
     ice_schema = _schema_for(meta, meta.get("current-schema-id", 0))
     part_fields = _partition_fields(meta, ice_schema)
     _commit_snapshot(

@@ -449,6 +449,28 @@ def test_dv_dml_across_mixed_specs(spark, tmp_path):
     files_after = set(read_iceberg(spark, t).inputFiles())
     assert files_after < files_before
     assert len(files_after) == len(files_before) - 1
+    # r14: the surviving DV references the OLD flat file, so its
+    # delete manifest is typed by spec 0 (the referenced file's
+    # writing spec) with an EMPTY partition record — not re-keyed
+    # under the identity(s) default
+    from sparkstreamingtwitter_presidential_spark.sources.avro import (
+        read_container,
+    )
+
+    meta = _meta(t)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, _, manifests = read_container(snap["manifest-list"])
+    dmans = [m for m in manifests if m["content"] == 1]
+    assert [m["partition_spec_id"] for m in dmans] == [0]
+    _h, mmeta, entries = read_container(dmans[0]["manifest_path"])
+    assert int(mmeta["partition-spec-id"].decode()) == 0
+    assert all(
+        not (e["data_file"].get("partition") or {}) for e in entries
+    )
 
 
 def test_table_partitions_mixed_specs(spark, tmp_path):
