@@ -898,6 +898,36 @@ GRADED_HISTORY: dict[int, list[str]] = {
         "events_variant_extract", "dedup_exact_case_insensitive",
         "lakehouse_iceberg_v3_dv_agg",
     ],
+    14: [
+        "flagship_event_type_counts",
+        "lakehouse_iceberg_transform_partitioned_agg",
+        "tpch_q5_local_supplier_volume", "dedup_ngram_jaccard_pairs",
+        "streaming_tumbling_windows", "pipeline_curate_pack",
+        "text_repetition_signals", "lakehouse_iceberg_partitioned_agg",
+        "lakehouse_iceberg_merge_agg", "sketch_rollup_exact_agg",
+        "lakehouse_delta_delete_update_agg", "tpch_q15_top_supplier",
+        "lakehouse_delta_dv_agg", "streaming_iceberg_sink_agg",
+        "lakehouse_iceberg_v3_dml_agg", "streaming_delta_cdf_agg",
+        "shuffle_documents_sharded", "lakehouse_hudi_mor_agg",
+        "lakehouse_iceberg_sorted_agg",
+        "lakehouse_iceberg_positional_delete_agg",
+        "salted_join_order_segment", "text_unigram_logprob",
+        "lakehouse_delta_mapped_dml_agg", "lakehouse_hudi_partitioned_agg",
+        "decontam_eval_overlap", "dedup_duplicate_span_stats",
+        "lakehouse_hudi_compaction_agg", "chunk_documents_strided",
+        "lakehouse_hudi_mor_incremental_agg", "streaming_hudi_sink_agg",
+        "lakehouse_iceberg_spec_evolution_agg",
+        "lakehouse_delta_identity_agg", "streaming_delta_upsert_agg",
+        "search_hybrid_rrf", "io_shard_export_roundtrip",
+        "streaming_state_v2_running_totals",
+        "lakehouse_delta_mor_merge_agg", "lakehouse_iceberg_row_changes",
+        "lakehouse_delta_restore_agg", "streaming_delta_source_agg",
+        "lakehouse_delta_row_tracking_agg", "lakehouse_delta_reorg_agg",
+        "lakehouse_iceberg_lineage_agg", "lakehouse_iceberg_wap_agg",
+        "lakehouse_delta_clone_agg", "quality_observed_metrics",
+        "pack_length_bucket_stats", "events_variant_extract",
+        "dedup_exact_case_insensitive", "lakehouse_iceberg_v3_dv_agg",
+    ],
 }
 
 
