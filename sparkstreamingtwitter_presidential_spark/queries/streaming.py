@@ -295,9 +295,30 @@ def streaming_stateful_milestones(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "streaming_state_v2_running_totals",
-    oracle=None,  # arbitrary per-key state; pinned by the stateful-v2
-    # differential suite (tests/test_stateful_v2.py) vs the batch rule
-    # and the applyInPandasWithState twin
+    # The milestone rule IS SQL-expressible (r14 verdict item 1): a
+    # per-user running count/sum in ts order, emitting every 10th event.
+    # Determinism holds because (user_id, ts) is unique in the events
+    # fixture (no tie can straddle a milestone boundary) and the replay
+    # source stages files in ts ranges, so the cross-batch seeded cumsum
+    # equals the global ts-ordered prefix sum. floor(x*100+0.5)/100 is
+    # the cross-engine rounding rule (DESIGN.md).
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts
+                   ) AS milestone,
+                   sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running
+            FROM events
+        )
+        SELECT user_id, milestone,
+               floor(running * 100 + 0.5) / 100 AS total_value
+        FROM seq
+        WHERE milestone % 10 = 0
+    """,
     doc=(
         "NEW r14 (verdict item 5): transformWithStateInPandas — the "
         "Spark 4 state-v2 API (typed per-key ValueState, protobuf "

@@ -54,24 +54,17 @@ def test_graded_window_is_full_and_oracled():
     window wastes a correctness check), all GRADED_FIRST names must
     exist, and the head of the registry must be GRADED_FIRST verbatim.
 
-    Named exceptions only: the r13 verdict (item 5) explicitly asked
-    for a rows-only graded entry exercising transformWithState — the
-    driver's weaker rows-only check is the POINT there (prove the
-    state-v2 protocol runs in the driver's foreign session; values are
-    pinned by the pytest differential suite)."""
+    No exceptions: the r14 verdict (item 1) oracled the last rows-only
+    window entry (streaming_state_v2_running_totals), so the window is
+    100% hash-checked again."""
     import __spark_entry__ as e
     from sparkstreamingtwitter_presidential_spark.queries.registry import GRADED_FIRST
 
-    ROWS_ONLY_GRADED_OK = {"streaming_state_v2_running_totals"}
     qs, os_ = e.queries(), e.oracle_sql()
     names = list(qs)
     assert len(GRADED_FIRST) == 50
     assert names[:50] == GRADED_FIRST
-    missing_oracle = [
-        n
-        for n in names[:50]
-        if n not in os_ and n not in ROWS_ONLY_GRADED_OK
-    ]
+    missing_oracle = [n for n in names[:50] if n not in os_]
     assert not missing_oracle, f"rows-only queries in graded window: {missing_oracle}"
 
 
