@@ -328,17 +328,11 @@ def _new_instant(path: str) -> str:
     ]
     top = max(existing, default="")
     # the archived prefix also bounds new instants (a rollback after
-    # archival can empty the ACTIVE timeline); archives are contiguous
-    # oldest-first, so the newest archive file's last line is the max —
-    # O(1) archive reads per write, not O(history)
-    ad = os.path.join(hd, _ARCHIVE_DIR)
-    if os.path.isdir(ad):
-        files = sorted(n for n in os.listdir(ad) if n.endswith(".archive"))
-        if files:
-            with open(os.path.join(ad, files[-1]), encoding="utf-8") as fh:
-                lines = [ln for ln in fh.read().splitlines() if ln.strip()]
-            if lines:
-                top = max(top, json.loads(lines[-1])["instant"])
+    # archival can empty the ACTIVE timeline); _archive_boundary is the
+    # O(1) newest-archived-instant read, not an O(history) parse
+    boundary = _archive_boundary(path)
+    if boundary is not None:
+        top = max(top, boundary)
     if inst <= top:
         inst = str(int(top) + 1).zfill(len(inst))
     return inst
@@ -726,12 +720,25 @@ def read_hudi(
     # archive's public layout carries each commit's full metadata, so
     # time travel below the archival boundary reconstructs exactly
     # when the slices survive (it refuses via the clean guard when
-    # they don't). HEAD reads never pay the O(archived) walk —
-    # archival's own floor guarantees live slices' commits stay active.
+    # they don't). HEAD reads fold the archive ON DEMAND (r15): the
+    # engine's own archiver floors live slices' commits to the active
+    # timeline, but a FOREIGN archive may hold the commit that wrote a
+    # group's latest live slice — dropping it via `instant not in
+    # commits` would silently return fewer rows. The demand probe is
+    # one listing: fold iff some on-disk base file's instant fails
+    # active attribution (archive-free tables pay one isdir).
     arch: dict[str, dict] = {}
     if as_of is not None:
         arch = _archived_commit_metas(path)
         commits = sorted(set(commits) | set(arch))
+    elif _has_archive(path):
+        active = set(commits)
+        if any(
+            inst not in active
+            for _p, _f, inst, _full in _base_files(path)
+        ):
+            arch = _archived_commit_metas(path)
+            commits = sorted(active | set(arch))
     if as_of is not None and as_of not in commits:
         raise ValueError(
             f"as_of instant {as_of!r} is not a completed commit "
@@ -947,10 +954,14 @@ def read_hudi_incremental(
     # range commits contribute their touched groups like active ones.
     # Sparse archived metadata refuses by name — the pre-r14 blanket
     # refusal's actual hazard was silently MISSING those groups.
-    arch = _archived_commit_metas(path) if (
-        _archived_instants(path)
-        and from_instant < _archived_instants(path)[-1]
-    ) else {}
+    # The range check reads only the O(1) boundary (r15); the full
+    # parse happens once, cached, and only when the range reaches it.
+    boundary = _archive_boundary(path)
+    arch = (
+        _archived_commit_metas(path)
+        if boundary is not None and from_instant < boundary
+        else {}
+    )
     all_commits = sorted(set(commits) | set(arch))
     hi = (
         to_instant
@@ -1014,8 +1025,15 @@ def _read_mor_incremental(
     # the FULL timeline (r14): _mor_slices reads archived tables now,
     # so the range walk must too — an active-only walk would silently
     # SKIP archived range commits' touched groups (wrong rows). The
-    # MOR planner already refuses sparse metadata by name.
-    arch = _archived_commit_metas(path)
+    # MOR planner already refuses sparse metadata by name. Demand
+    # gate (r15): archived commits are the timeline's oldest prefix,
+    # so the range touches them iff from_instant < the O(1) boundary.
+    boundary = _archive_boundary(path)
+    arch = (
+        _archived_commit_metas(path)
+        if boundary is not None and from_instant < boundary
+        else {}
+    )
     commits = sorted(set(_completed_commits(path)) | set(arch))
     hi = (
         to_instant
@@ -1098,8 +1116,20 @@ def hudi_row_changes(
         return hudi_row_changes_mor(spark, path, instant, keys=keys)
     commits = _completed_commits(path)
     # archived instants resolve from the archive's metadata (r14 —
-    # the touched-group list is right there, not "permanently gone")
-    arch = _archived_commit_metas(path)
+    # the touched-group list is right there, not "permanently gone").
+    # Demand gate (r15): the parse is needed only when the target
+    # instant itself is archived, or when some on-disk base file fails
+    # active attribution (then the OLD side's pre-image slices were
+    # written by archived commits and extra_metas must carry them).
+    arch: dict[str, dict] = {}
+    if _has_archive(path) and (
+        instant not in commits
+        or any(
+            inst not in set(commits)
+            for _p, _f, inst, _full in _base_files(path)
+        )
+    ):
+        arch = _archived_commit_metas(path)
     if instant not in commits and instant not in arch:
         raise ValueError(
             f"instant {instant!r} is not a completed commit "
@@ -1301,13 +1331,18 @@ def upsert_hudi(
     if _is_mor(props):
         from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import upsert_hudi_mor
 
-        return upsert_hudi_mor(
+        inst = upsert_hudi_mor(
             spark,
             path,
             source,
             record_key=record_key,
             extra_metadata=extra_metadata,
         )
+        # the delegate returns None only on a deletes-only no-op, a
+        # path unreachable without a deletes= argument — keep the
+        # '-> str' contract honest rather than widening it
+        assert inst is not None, "source-only MOR upsert must commit"
+        return inst
     key = record_key or props.get("hoodie.table.recordkey.fields")
     if not key:
         raise NotImplementedError(
@@ -1584,45 +1619,93 @@ def clean_hudi(path: str, keep_last: int = 1) -> list[str]:
 
 _ARCHIVE_DIR = "archived"
 
+# (archive-dir abspath) -> (file signature, parsed metas). Parsing the
+# archive is the one O(total history) driver-side step on a long-lived
+# table (a real table archives 10^5-10^6 commits); the signature — one
+# listdir + one stat per .archive file — revalidates per call, so a
+# concurrent archiver invalidates naturally while repeated reads in one
+# session parse the JSON exactly once (r14 verdict items 2-3). Cached
+# dicts are shared across callers: treat them as IMMUTABLE.
+_ARCHIVE_CACHE: dict[str, tuple[tuple, dict[str, dict]]] = {}
+
+
+def _archive_signature(ad: str) -> tuple | None:
+    """(name, mtime_ns, size) per .archive file, or None when the dir
+    doesn't exist. One listdir + one stat per file — the cheap cache
+    validity probe, never a content read."""
+    try:
+        names = sorted(n for n in os.listdir(ad) if n.endswith(".archive"))
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    sig = []
+    for n in names:
+        st = os.stat(os.path.join(ad, n))
+        sig.append((n, st.st_mtime_ns, st.st_size))
+    return tuple(sig)
+
+
+def _has_archive(path: str) -> bool:
+    """Whether an archived timeline exists — the zero-cost gate every
+    demand-driven fold checks first (native never-archived tables pay
+    one isdir, nothing else)."""
+    return bool(_archive_signature(os.path.join(_hoodie(path), _ARCHIVE_DIR)))
+
+
+def _archive_boundary(path: str) -> str | None:
+    """The newest archived instant, in O(1) archive reads: archives are
+    written contiguously oldest-first (archive_hudi_timeline; the real
+    table's layout shares the invariant), so the newest .archive file's
+    last line carries the max. Range/boundary checks use this instead
+    of parsing the whole archive."""
+    ad = os.path.join(_hoodie(path), _ARCHIVE_DIR)
+    sig = _archive_signature(ad)
+    if not sig:
+        return None
+    cached = _ARCHIVE_CACHE.get(os.path.abspath(ad))
+    if cached and cached[0] == sig:
+        metas = cached[1]
+        return max(metas) if metas else None
+    with open(os.path.join(ad, sig[-1][0]), encoding="utf-8") as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    if not lines:
+        return None
+    return json.loads(lines[-1])["instant"]
+
 
 def _archived_commit_metas(path: str) -> dict[str, dict]:
     """instant -> commit metadata for every archived commit (read from
     .hoodie/archived/*.archive). Used by as-of reads to PROVE an
     archived commit cannot influence the requested snapshot — see
-    read_hudi's archival guard."""
+    read_hudi's archival guard. Cached per archive-file signature
+    (one parse per session unless the archive grows); callers must not
+    mutate the returned dict."""
     ad = os.path.join(_hoodie(path), _ARCHIVE_DIR)
-    if not os.path.isdir(ad):
+    sig = _archive_signature(ad)
+    if not sig:
         return {}
+    key = os.path.abspath(ad)
+    cached = _ARCHIVE_CACHE.get(key)
+    if cached and cached[0] == sig:
+        return cached[1]
     out: dict[str, dict] = {}
-    for n in sorted(os.listdir(ad)):
-        if not n.endswith(".archive"):
-            continue
+    for n, _mt, _sz in sig:
         with open(os.path.join(ad, n), encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
                 if line:
                     rec = json.loads(line)
                     out[rec["instant"]] = rec.get("metadata") or {}
+    _ARCHIVE_CACHE[key] = (sig, out)
     return out
 
 
 def _archived_instants(path: str) -> list[str]:
     """Sorted instants moved off the active timeline by
     archive_hudi_timeline (read from .hoodie/archived/*.archive, one
-    JSON line per archived instant)."""
-    ad = os.path.join(_hoodie(path), _ARCHIVE_DIR)
-    if not os.path.isdir(ad):
-        return []
-    out = []
-    for n in sorted(os.listdir(ad)):
-        if not n.endswith(".archive"):
-            continue
-        with open(os.path.join(ad, n), encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if line:
-                    out.append(json.loads(line)["instant"])
-    return sorted(out)
+    JSON line per archived instant). Shares _archived_commit_metas's
+    signature cache — callers needing only the BOUNDARY should use
+    _archive_boundary (O(1) reads, no full parse)."""
+    return sorted(_archived_commit_metas(path))
 
 
 def archive_hudi_timeline(path: str, keep_last: int = 10) -> list[str]:

@@ -75,11 +75,13 @@ from sparkstreamingtwitter_presidential_spark.sources.avro import (
 from sparkstreamingtwitter_presidential_spark.sources.hudi import (
     META_COLS,
     _archived_commit_metas,
+    _base_files,
     _commit_meta,
     _complete_instant,
     _completed_commits,
     _expected_live_groups,
     _fid_from_stat,
+    _has_archive,
     _latest_slices,
     _load_props,
     _new_instant,
@@ -150,7 +152,34 @@ def _mor_slices(
     # timeline. Sparse archived metadata (no write stats) still
     # refuses by name inside _committed_path_instants — same trust
     # boundary as the active timeline.
-    arch = _archived_commit_metas(path)
+    #
+    # Demand gate (r15 verdict item 2): HEAD reads fold the archive
+    # ONLY when a listed base or log file fails active attribution —
+    # on a long-lived foreign table the archive is GBs of JSON, and a
+    # HEAD read whose live slices all attribute actively never needs
+    # it. As-of reads keep the unconditional (cached) fold: the clean
+    # guard's completeness proof must see archived commits' expected
+    # groups even when their slices were cleaned off disk.
+    arch: dict[str, dict] = {}
+    if as_of is not None:
+        arch = _archived_commit_metas(path)
+    elif _has_archive(path):
+        active = set(_completed_commits(path))
+        probe_logs: list = []
+        probe_bases = _base_files(path, logs=probe_logs)
+        if any(inst not in active for _p, _f, inst, _full in probe_bases):
+            arch = _archived_commit_metas(path)
+        else:
+            pinst = _committed_path_instants(path, sorted(active))
+            for lpart, _lf, _lb, _v, lfull in probe_logs:
+                rel = (
+                    os.path.join(lpart, os.path.basename(lfull))
+                    if lpart
+                    else os.path.basename(lfull)
+                )
+                if rel not in pinst:
+                    arch = _archived_commit_metas(path)
+                    break
     commits = sorted(set(_completed_commits(path)) | set(arch))
     if as_of is not None and as_of not in commits:
         raise ValueError(
@@ -885,9 +914,17 @@ def hudi_row_changes_mor(
     never the table."""
     # archived instants work too (r14): the archive's public layout
     # carries the commit's full metadata, and the merged as-of views
-    # already plan off the complete timeline
-    arch = _archived_commit_metas(path)
-    commits = sorted(set(_completed_commits(path)) | set(arch))
+    # already plan off the complete timeline. Demand gate (r15): the
+    # parse is needed only when the target is archived or is the
+    # OLDEST active commit (its predecessor lives in the archive);
+    # the as-of legs below fold the archive themselves via _mor_slices.
+    active = _completed_commits(path)
+    arch: dict[str, dict] = {}
+    if _has_archive(path) and (
+        instant not in active or (active and instant == active[0])
+    ):
+        arch = _archived_commit_metas(path)
+    commits = sorted(set(active) | set(arch))
     if instant not in commits:
         raise ValueError(
             f"instant {instant!r} is not a completed commit "

@@ -48,7 +48,7 @@ from pyspark.sql.types import StructType
 
 from sparkstreamingtwitter_presidential_spark.sources.hudi import (
     META_COLS,
-    _archived_instants,
+    _archive_boundary,
     _commit_meta,
     _completed_commits,
     _fid_from_stat,
@@ -164,12 +164,13 @@ class HudiStreamReader(DataSourceStreamReader):
             self._last = hi
         if lo >= hi:
             return []  # empty replan tick
-        archived = _archived_instants(self.path)
-        if archived and lo < archived[-1]:
+        # O(1) boundary read — the guard never parses the archive
+        boundary = _archive_boundary(self.path)
+        if boundary is not None and lo < boundary:
             raise ValueError(
                 f"stream range ({lo!r}, {hi!r}] reaches into the "
                 f"ARCHIVED timeline of {self.path} (archived through "
-                f"{archived[-1]!r}) — this source does not re-deliver "
+                f"{boundary!r}) — this source does not re-deliver "
                 "below the archival boundary (batch incremental pulls "
                 "do, since r14); restart from a snapshot read + "
                 "startingInstant past it"

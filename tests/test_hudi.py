@@ -1034,3 +1034,110 @@ def test_hudi_table_changes_range(spark, tmp_path):
         (10.0, "update_preimage"), (11.0, "update_postimage"),
     ]
     assert hudi_table_changes(spark, t, "99999999999999999").count() == 0
+
+
+def test_foreign_archived_cow_head_read_folds_archive(spark, tmp_path):
+    """A FOREIGN archive can hold the commit that wrote a group's
+    latest LIVE slice (our own archiver floors live slices to the
+    active timeline; real Hudi archives regardless of liveness). The
+    HEAD read must fold the archive in — without it, _latest_slices
+    drops the base via `instant not in commits` and the read silently
+    returns fewer rows (r15, the round-14 advice's medium finding)."""
+    import glob
+
+    t = str(tmp_path / "t")
+    i1 = write_hudi(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+        t, record_key="id", n_file_groups=2,
+    )
+    upsert_hudi(spark, t, _df(spark, [(1, "a2", 1.5)]))
+    want = sorted((r.id, r.s) for r in read_hudi(spark, t).collect())
+    assert want == [(1, "a2"), (2, "b")]
+    # forge: move i1 — which wrote row 2's still-live slice — into an
+    # archive, exactly what a foreign archiver may do
+    hd = os.path.join(t, ".hoodie")
+    with open(os.path.join(hd, f"{i1}.commit")) as fh:
+        meta = json.load(fh)
+    ad = os.path.join(hd, "archived")
+    os.makedirs(ad)
+    with open(os.path.join(ad, "commits_0.archive"), "w") as fh:
+        fh.write(json.dumps({"instant": i1, "metadata": meta}) + "\n")
+    for p in glob.glob(os.path.join(hd, f"{i1}.*")):
+        os.remove(p)
+    got = sorted((r.id, r.s) for r in read_hudi(spark, t).collect())
+    assert got == want  # pre-fix: [(1, 'a2')] — row 2 silently gone
+
+
+def test_archive_parse_is_demand_driven_and_cached(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (verdict items 2-3): reads whose plan never needs archived
+    metadata must not parse the archive (a long-lived foreign table's
+    archive is GBs of JSON), and when a parse IS needed it happens
+    once per archive signature, cached for the session."""
+    from sparkstreamingtwitter_presidential_spark.sources import hudi as H
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        archive_hudi_timeline,
+    )
+
+    t = str(tmp_path / "t")
+    write_hudi(_df(spark, [(1, "a", 1.0)]), t, record_key="id")
+    upsert_hudi(spark, t, _df(spark, [(1, "v2", 2.0)]))
+    i3 = upsert_hudi(spark, t, _df(spark, [(1, "v3", 3.0)]))
+    clean_hudi(t, keep_last=1)
+    archived = archive_hudi_timeline(t, keep_last=1)
+    assert archived
+
+    # 1. demand gate: HEAD reads, actively-bounded incremental pulls,
+    # and new writes never parse the archive (the boundary check reads
+    # only the newest file's last line)
+    def _boom(path):
+        raise AssertionError("archive parsed on a demand-free path")
+
+    monkeypatch.setattr(H, "_archived_commit_metas", _boom)
+    assert read_hudi(spark, t).collect()[0].s == "v3"
+    i4 = upsert_hudi(spark, t, _df(spark, [(1, "v4", 4.0)]))
+    inc = read_hudi_incremental(spark, t, from_instant=max(archived))
+    assert [(r.id, r.s) for r in inc.collect()] == [(1, "v4")]
+    # row changes of an active instant with clean attribution: no parse
+    assert hudi_row_changes(spark, t, i4, keys=["id"]).count() == 2
+    monkeypatch.undo()
+
+    # 2. ...while a range reaching BELOW the boundary still folds
+    inc_arch = read_hudi_incremental(spark, t, from_instant=archived[0])
+    assert [(r.id, r.s) for r in inc_arch.collect()] == [(1, "v4")]
+
+    # 3. caching: the second parse of an unchanged archive is a cache
+    # hit (zero json.loads calls), and growing the archive invalidates
+    class _CountingJson:
+        def __init__(self, real):
+            self._real, self.loads_calls = real, 0
+
+        def loads(self, s):
+            self.loads_calls += 1
+            return self._real.loads(s)
+
+        def __getattr__(self, a):
+            return getattr(self._real, a)
+
+    H._ARCHIVE_CACHE.clear()
+    wrapper = _CountingJson(json)
+    monkeypatch.setattr(H, "json", wrapper)
+    first = H._archived_commit_metas(t)
+    n_parse = wrapper.loads_calls
+    assert n_parse >= len(archived)
+    again = H._archived_commit_metas(t)
+    assert again is first and wrapper.loads_calls == n_parse
+    # instants derive from the same cache — still zero new parses
+    assert H._archived_instants(t) == sorted(first)
+    assert wrapper.loads_calls == n_parse
+    # growing the archive (new signature) re-parses exactly once
+    ad = os.path.join(t, ".hoodie", "archived")
+    with open(os.path.join(ad, "commits_1.archive"), "w") as fh:
+        fh.write(
+            json.dumps({"instant": "00000000000000000", "metadata": {}})
+            + "\n"
+        )
+    grown = H._archived_commit_metas(t)
+    assert "00000000000000000" in grown
+    assert wrapper.loads_calls > n_parse

@@ -599,3 +599,48 @@ def test_mor_reads_archived_timeline(spark, tmp_path):
         fh.write(_json.dumps({"instant": insert_instant}) + "\n")
     with pytest.raises(NotImplementedError, match="partitionToWriteStats"):
         read_hudi(spark, t).collect()
+
+
+def test_mor_head_read_skips_archive_parse_when_active_attributes(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (verdict item 2): a MOR HEAD read whose listed bases and
+    logs ALL attribute from the active timeline plans without parsing
+    the archive — the fold is demand-driven (the r14 shape parsed the
+    whole archive on every read). As-of reads keep the unconditional
+    fold: their clean-guard completeness proof needs archived commits'
+    expected groups even when the slices are gone from disk."""
+    import json as _json
+
+    from sparkstreamingtwitter_presidential_spark.sources import (
+        hudi_mor as HM,
+    )
+
+    t, _ = _mor(spark, tmp_path)
+    i2 = upsert_hudi_mor(spark, t, _df(spark, [(3, "u3", 33.0)]))
+    want = _vals(read_hudi(spark, t))
+
+    # forge an archive whose content is IRRELEVANT to the live files
+    # (an ancient instant) — the dir exists, but active attribution
+    # covers every listed base and log
+    ad = os.path.join(t, ".hoodie", "archived")
+    os.makedirs(ad)
+    with open(os.path.join(ad, "commits_0.archive"), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "instant": "00000000000000000",
+                    "metadata": {"partitionToWriteStats": {}},
+                }
+            )
+            + "\n"
+        )
+
+    def _boom(path):
+        raise AssertionError("archive parsed on a demand-free path")
+
+    monkeypatch.setattr(HM, "_archived_commit_metas", _boom)
+    assert _vals(read_hudi(spark, t)) == want
+    # as-of: the completeness proof folds the archive unconditionally
+    with pytest.raises(AssertionError, match="demand-free"):
+        read_hudi(spark, t, as_of=i2)
