@@ -37,10 +37,18 @@ Content encodings:
   the SCHEMA header as JSON — the spec's contract (readers decode with
   the header schema, enabling per-block schema evolution).
 * **delete block**: [format version(4)=3][length(4)][avro binary of
-  {"deletes": array<{recordKey, partitionPath}>}]. (Real Hudi v3
-  serializes HoodieDeleteRecordList via Avro the same way; ordering
-  values are out of scope — this engine's merge order is commit-time,
-  the OverwriteWithLatestAvroPayload default.)
+  {"deletes": array<{recordKey, partitionPath[, orderingVal]}>}].
+  (Real Hudi v3 serializes HoodieDeleteRecordList via Avro the same
+  way, with each HoodieDeleteRecord carrying an ordering value.)
+  Ordering-keyed tables (hoodie.table.precombine.field) write delete
+  records WITH orderingVal, and — because Avro binary is not
+  self-describing — the block carries its record-list schema in the
+  SCHEMA header, exactly the contract avro data blocks already use;
+  readers decode with the header schema when present and fall back to
+  the legacy two-field schema otherwise, so pre-ordering files stay
+  readable. The orderingVal avro type is the table's own precombine
+  column type (taken from the data-block schema), which keeps delete
+  and data records comparable by construction.
 * **command block**: empty content; COMMAND_BLOCK_TYPE header "0"
   (ROLLBACK) plus TARGET_INSTANT_TIME names the rolled-back instant.
   Readers skip every block whose INSTANT_TIME a later rollback block
@@ -87,26 +95,41 @@ TARGET_INSTANT_TIME = 1
 SCHEMA = 2
 COMMAND_BLOCK_TYPE = 3
 
-_DELETE_SCHEMA = {
-    "type": "record",
-    "name": "HoodieDeleteRecordList",
-    "fields": [
-        {
-            "name": "deletes",
-            "type": {
-                "type": "array",
-                "items": {
-                    "type": "record",
-                    "name": "HoodieDeleteRecord",
-                    "fields": [
-                        {"name": "recordKey", "type": "string"},
-                        {"name": "partitionPath", "type": "string"},
-                    ],
+def delete_block_schema(ordering_type=None) -> dict:
+    """The delete block's HoodieDeleteRecordList avro schema. With
+    ``ordering_type`` (an avro type, e.g. ``["null", "double"]`` —
+    the table's precombine column type) each HoodieDeleteRecord also
+    carries ``orderingVal``; such blocks MUST ship this schema in
+    their SCHEMA header so readers can tell the layouts apart (avro
+    binary is not self-describing)."""
+    fields = [
+        {"name": "recordKey", "type": "string"},
+        {"name": "partitionPath", "type": "string"},
+    ]
+    if ordering_type is not None:
+        if not isinstance(ordering_type, list):
+            ordering_type = ["null", ordering_type]
+        fields.append({"name": "orderingVal", "type": ordering_type})
+    return {
+        "type": "record",
+        "name": "HoodieDeleteRecordList",
+        "fields": [
+            {
+                "name": "deletes",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "HoodieDeleteRecord",
+                        "fields": fields,
+                    },
                 },
-            },
-        }
-    ],
-}
+            }
+        ],
+    }
+
+
+_DELETE_SCHEMA = delete_block_schema()
 
 
 def log_file_name(
@@ -152,15 +175,26 @@ def encode_data_block_content(rows, avro_schema: dict) -> bytes:
     return bytes(buf)
 
 
-def encode_delete_block_content(keys: list[tuple[str, str]]) -> bytes:
-    """keys = [(record_key, partition_path), ...]."""
+def encode_delete_block_content(
+    keys: list[tuple], schema: dict | None = None
+) -> bytes:
+    """keys = [(record_key, partition_path), ...] under the legacy
+    two-field schema (``schema=None``), or
+    [(record_key, partition_path, ordering_val), ...] with an
+    ordering-carrying ``schema`` from delete_block_schema(...) —
+    which the writer must ALSO put in the block's SCHEMA header."""
+    sch = schema or _DELETE_SCHEMA
+    ordered = len(keys) > 0 and len(keys[0]) == 3
     rec = bytearray()
     _write_value(
         rec,
-        _DELETE_SCHEMA,
+        sch,
         {
             "deletes": [
-                {"recordKey": k, "partitionPath": p} for k, p in keys
+                {"recordKey": k[0], "partitionPath": k[1], "orderingVal": k[2]}
+                if ordered
+                else {"recordKey": k[0], "partitionPath": k[1]}
+                for k in keys
             ]
         },
     )
@@ -275,14 +309,23 @@ def decode_data_block(content: bytes, avro_schema: dict) -> list[dict]:
     return rows
 
 
-def decode_delete_block(content: bytes) -> list[tuple[str, str]]:
+def decode_delete_block(
+    content: bytes, schema: dict | None = None
+) -> list[tuple[str, str, object]]:
+    """(record_key, partition_path, ordering_val) triples.
+    ``schema`` is the block's SCHEMA header when present (ordering-
+    carrying blocks); legacy blocks decode with the two-field schema
+    and yield ordering_val=None."""
     ver, rlen = struct.unpack_from(">ii", content, 0)
     if ver != CONTENT_FORMAT_VERSION:
         raise NotImplementedError(
             f"delete block content version {ver} (supported: 3)"
         )
-    rec = _Reader(content[8 : 8 + rlen]).value(_DELETE_SCHEMA)
-    return [(d["recordKey"], d["partitionPath"]) for d in rec["deletes"]]
+    rec = _Reader(content[8 : 8 + rlen]).value(schema or _DELETE_SCHEMA)
+    return [
+        (d["recordKey"], d["partitionPath"], d.get("orderingVal"))
+        for d in rec["deletes"]
+    ]
 
 
 def block_schema(header: dict[int, str]) -> dict:

@@ -14,9 +14,12 @@ commit order (OverwriteWithLatestAvroPayload — the Hudi default
 payload); when the table declares ``hoodie.table.precombine.field``
 the merge keys on that ORDERING VALUE instead (greater wins, ties to
 the later commit, null ordering falls back to commit order —
-DefaultHoodieRecordPayload semantics; delete blocks refuse on
-ordering-keyed tables since they carry no ordering value, and the
-streaming source refuses them at planning); COMPACTION folds a slice's
+DefaultHoodieRecordPayload semantics; delete blocks on ordering-keyed
+tables carry each delete's orderingVal — r15, public log-format
+capability — so a stale delete loses to a newer row and a fresh one
+tombstones it; legacy/foreign ordering-less delete blocks on such
+tables still refuse by name, and the streaming source refuses
+ordering-keyed tables at planning); COMPACTION folds a slice's
 logs into a new base file under
 a plain ``commit``, after which the slice reads log-free again.
 
@@ -267,9 +270,16 @@ def _merge_events(
     order (DefaultHoodieRecordPayload semantics — the greater ordering
     value wins, ties resolve to the later commit; a null ordering value
     on either side falls back to commit order, matching the payload's
-    null handling). Delete blocks refuse on ordering-keyed tables: this
-    container's delete blocks carry record keys only, so an ordering-
-    correct delete-vs-update decision is undecidable from the log."""
+    null handling). Delete blocks on ordering-keyed tables participate
+    when they carry ordering values (r15 — the block ships its
+    record-list schema in the SCHEMA header, see hudi_log): a delete
+    competes exactly like a data record, so a stale delete loses to a
+    higher-ordering row and a fresh delete tombstones it. Ordering-
+    keyed tombstones are ``{"__hoodie_delete__": True, <precombine>:
+    ordering_val}`` dicts (so the shared ordering comparisons read the
+    same field), plain ``None`` otherwise. A delete block WITHOUT
+    ordering values on an ordering-keyed table still refuses by name —
+    the delete-vs-update decision is undecidable from the log."""
     parsed = []  # (claimed_instant, file_path, blocks)
     rolled: set[str] = set()
     for lpath, claimed in logs:
@@ -311,19 +321,41 @@ def _merge_events(
                             continue  # lower ordering value loses
                     events[k] = row
             elif b["type"] == hl.DELETE_BLOCK:
-                if precombine is not None:
+                raw_schema = b["header"].get(hl.SCHEMA)
+                dschema = (
+                    __import__("json").loads(raw_schema)
+                    if raw_schema
+                    else None
+                )
+                if precombine is not None and dschema is None:
                     raise NotImplementedError(
                         f"delete block in {lpath} on an ordering-keyed "
                         "table (hoodie.table.precombine.field="
-                        f"{precombine!r}): delete blocks carry record "
-                        "keys only, so the delete-vs-update ordering "
-                        "decision is undecidable from the log — compact "
-                        "the table before reading"
+                        f"{precombine!r}) carries record keys only, so "
+                        "the delete-vs-update ordering decision is "
+                        "undecidable from the log — compact the table "
+                        "before reading, or rewrite the deletes with "
+                        "ordering values"
                     )
-                for key, _part in hl.decode_delete_block(b["content"]):
-                    events[key] = None  # tombstone (None survives
-                    # pickling across the executor's module re-import;
-                    # an object() sentinel would not compare by identity)
+                for key, _part, ov in hl.decode_delete_block(
+                    b["content"], schema=dschema
+                ):
+                    if precombine is None:
+                        # plain tombstone (None survives pickling
+                        # across the executor's module re-import; an
+                        # object() sentinel would not compare by
+                        # identity)
+                        events[key] = None
+                        continue
+                    cur = events.get(key)
+                    if (
+                        cur is not None
+                        and cur.get(precombine) is not None
+                        and ov is not None
+                        and ov < cur[precombine]
+                    ):
+                        continue  # stale delete loses
+                    events[key] = {"__hoodie_delete__": True, precombine: ov}
     return events
 
 
@@ -469,10 +501,12 @@ def _merged_frame(
                     precombine=precombine,
                 )
                 if events and precombine is not None:
-                    # ordering semantics: a log record only supersedes
-                    # the base row when its ordering value beats the
-                    # base's (null on either side -> commit order, i.e.
-                    # the log wins). Cost ∝ overlapping keys.
+                    # ordering semantics: a log record — data OR
+                    # ordering-valued delete tombstone — only
+                    # supersedes the base row when its ordering value
+                    # beats the base's (null on either side -> commit
+                    # order, i.e. the log wins). Cost ∝ overlapping
+                    # keys.
                     sub = tbl.select(
                         ["_hoodie_record_key", precombine]
                     ).filter(
@@ -508,8 +542,13 @@ def _merged_frame(
                 else:
                     kept = tbl
                 yield from kept.to_batches()
+                # materialize surviving LOG records; tombstones (plain
+                # None, or ordering-keyed {"__hoodie_delete__": ...}
+                # dicts) only mask base rows, they emit nothing
                 survivors = [
-                    r for r in events.values() if r is not None
+                    r
+                    for r in events.values()
+                    if r is not None and "__hoodie_delete__" not in r
                 ]
                 if survivors:
                     out = pa.Table.from_pylist(
@@ -538,7 +577,10 @@ def upsert_hudi_mor(
     data-block records in ONE new log file per touched slice; source
     keys absent from the table insert as new base file groups (one per
     partition, the CoW insert path); ``deletes`` (a frame carrying the
-    record-key column) become delete blocks — keys already absent are
+    record-key column — plus the precombine column on ordering-keyed
+    tables, whose value rides each delete record as its orderingVal so
+    the merge can make the ordering-correct delete-vs-update call;
+    r15) become delete blocks — keys already absent are
     ignored, Hudi's own delete semantics. A matched row whose partition
     value moved routes as delete-block-in-old-slice + insert-into-new-
     partition (the global-index update-partition-path semantic, same as
@@ -558,13 +600,19 @@ def upsert_hudi_mor(
         )
     if source is None and deletes is None:
         raise ValueError("upsert_hudi_mor needs source rows or deletes")
-    if deletes is not None and props.get("hoodie.table.precombine.field"):
+    precombine = props.get("hoodie.table.precombine.field") or None
+    if (
+        deletes is not None
+        and precombine is not None
+        and precombine not in deletes.columns
+    ):
         raise NotImplementedError(
             "MOR deletes on an ordering-keyed table (hoodie.table."
-            "precombine.field is set): delete blocks carry record keys "
-            "only, so the reader could not make the ordering-correct "
-            "delete-vs-update decision — delete via delete_hudi after "
-            "compaction, or drop the precombine property"
+            f"precombine.field={precombine!r}) need each delete's "
+            f"ordering value: include the {precombine!r} column in the "
+            "deletes frame — it rides the delete block as orderingVal "
+            "so the merge can make the ordering-correct "
+            "delete-vs-update decision"
         )
     snap = read_hudi_mor(spark, path, keep_meta=True)
     tcols = [c for c in snap.columns if c not in META_COLS]
@@ -590,7 +638,21 @@ def upsert_hudi_mor(
             raise ValueError(
                 f"record_key {key!r} not in deletes {deletes.columns}"
             )
-        deletes = deletes.select(F.col(key).cast("string").alias("__dk")).distinct()
+        if precombine is not None:
+            # one delete record per key; duplicate keys keep the MAX
+            # ordering value (the only one that could win the merge)
+            deletes = (
+                deletes.select(
+                    F.col(key).cast("string").alias("__dk"),
+                    F.col(precombine).alias("__ov"),
+                )
+                .groupBy("__dk")
+                .agg(F.max("__ov").alias("__ov"))
+            )
+        else:
+            deletes = deletes.select(
+                F.col(key).cast("string").alias("__dk")
+            ).distinct()
         if source is not None:
             both = (
                 source.select(F.col(key).cast("string").alias("__dk"))
@@ -619,6 +681,8 @@ def upsert_hudi_mor(
         F.col("_hoodie_record_key").alias("__k"),
         F.col("_hoodie_partition_path").alias("__part"),
         _fid_from_name_expr("_hoodie_file_name").alias("__fid"),
+        # existing row's ordering value — the stale-move gate below
+        *([F.col(precombine).alias("__pv")] if precombine else []),
     )
 
     # ---- route updates / moves / inserts
@@ -638,8 +702,27 @@ def upsert_hudi_mor(
             src_part = _part_path_expr(pcols)
             moved = matched.filter(src_part != F.col("__part"))
             stay = matched.filter(src_part == F.col("__part"))
-            # moved rows: delete in the old slice, insert in the new dir
-            del_rows = moved.select("__sk", "__part", "__fid")
+            if precombine is not None:
+                # DefaultHoodieRecordPayload: a STALE moved row (its
+                # ordering value strictly below the existing row's)
+                # loses entirely — neither the old-slice delete nor
+                # the new-partition insert lands. In-place (stay)
+                # updates need no gate: the merge itself resolves
+                # their ordering against the log/base.
+                moved = moved.filter(
+                    F.col(precombine).isNull()
+                    | F.col("__pv").isNull()
+                    | (F.col(precombine) >= F.col("__pv"))
+                )
+            # moved rows: delete in the old slice, insert in the new
+            # dir; on ordering-keyed tables the delete carries the
+            # source row's ordering value (it just won the gate above)
+            del_rows = moved.select(
+                "__sk",
+                "__part",
+                "__fid",
+                *([F.col(precombine).alias("__ov")] if precombine else []),
+            )
             ins_rows = ins_new.unionByName(moved.select(*tcols))
             upd_rows = stay
         else:
@@ -648,7 +731,12 @@ def upsert_hudi_mor(
     if deletes is not None:
         dr = deletes.join(
             keyed, F.col("__dk") == F.col("__k"), "inner"
-        ).select(F.col("__dk").alias("__sk"), "__part", "__fid")
+        ).select(
+            F.col("__dk").alias("__sk"),
+            "__part",
+            "__fid",
+            *(["__ov"] if precombine else []),
+        )
         del_rows = dr if del_rows is None else del_rows.unionByName(dr)
 
     # ---- one log file per touched slice
@@ -662,6 +750,19 @@ def upsert_hudi_mor(
     avro_schema["fields"].insert(
         4, {"name": "_hoodie_file_name", "type": "string"}
     )
+    # ordering-keyed tables: delete records carry orderingVal, typed
+    # EXACTLY like the table's own precombine column (taken from the
+    # data-block schema) so delete and data records compare by
+    # construction; the schema rides each delete block's SCHEMA header
+    del_schema = None
+    if precombine is not None:
+        del_schema = hl.delete_block_schema(
+            next(
+                f["type"]
+                for f in avro_schema["fields"]
+                if f["name"] == precombine
+            )
+        )
     stats_schema = (
         "part string, fid string, rel string, ver int, "
         "n_data long, n_del long, size long"
@@ -678,12 +779,22 @@ def upsert_hudi_mor(
         )
         changes = u
     if del_rows is not None:
+        # delete rows ride the change frame with every table column
+        # null — EXCEPT the precombine column, which carries the
+        # delete's ordering value into the log writer
         d = del_rows.select(
             F.lit(True).alias("__is_del"),
             "__sk",
             "__part",
             "__fid",
-            *[F.lit(None).cast(snap.schema[c].dataType).alias(c) for c in tcols],
+            *[
+                (
+                    F.col("__ov").cast(snap.schema[c].dataType)
+                    if c == precombine
+                    else F.lit(None).cast(snap.schema[c].dataType)
+                ).alias(c)
+                for c in tcols
+            ],
         )
         changes = d if changes is None else changes.unionByName(d)
     if changes is not None:
@@ -737,15 +848,43 @@ def upsert_hudi_mor(
             dels = pdf[pdf["__is_del"]]
             n_del = len(dels)
             if n_del:
-                blocks.append(
-                    hl.encode_block(
-                        hl.DELETE_BLOCK,
-                        {hl.INSTANT_TIME: inst},
-                        hl.encode_delete_block_content(
-                            [(k, part) for k in dels["__sk"].tolist()]
-                        ),
+                if del_schema is not None:
+                    ovs = [
+                        None
+                        if v is None or (isinstance(v, float) and v != v)
+                        else v
+                        for v in dels[precombine].tolist()
+                    ]
+                    blocks.append(
+                        hl.encode_block(
+                            hl.DELETE_BLOCK,
+                            {
+                                hl.INSTANT_TIME: inst,
+                                hl.SCHEMA: __import__("json").dumps(
+                                    del_schema
+                                ),
+                            },
+                            hl.encode_delete_block_content(
+                                [
+                                    (k, part, ov)
+                                    for k, ov in zip(
+                                        dels["__sk"].tolist(), ovs
+                                    )
+                                ],
+                                schema=del_schema,
+                            ),
+                        )
                     )
-                )
+                else:
+                    blocks.append(
+                        hl.encode_block(
+                            hl.DELETE_BLOCK,
+                            {hl.INSTANT_TIME: inst},
+                            hl.encode_delete_block_content(
+                                [(k, part) for k in dels["__sk"].tolist()]
+                            ),
+                        )
+                    )
             dest_dir = os.path.join(table_root, part) if part else table_root
             size = hl.write_log_file(os.path.join(dest_dir, name), blocks)
             rel = os.path.join(part, name) if part else name

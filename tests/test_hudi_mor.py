@@ -102,10 +102,35 @@ def test_log_block_roundtrip():
     got_schema = hl.block_schema(blocks[0]["header"])
     assert hl.decode_data_block(blocks[0]["content"], got_schema) == rows
     assert hl.decode_delete_block(blocks[1]["content"]) == [
-        ("a", ""),
-        ("z", "p=1"),
+        ("a", "", None),
+        ("z", "p=1", None),
     ]
     assert blocks[2]["header"][hl.TARGET_INSTANT_TIME] == "124"
+
+
+def test_delete_block_ordering_roundtrip(tmp_path):
+    """Ordering-carrying delete blocks ship their record-list schema
+    in the SCHEMA header; readers decode triples with it, and legacy
+    blocks (no header) still decode as ordering-less pairs."""
+    import json
+
+    sch = hl.delete_block_schema(["null", "double"])
+    dele = hl.encode_block(
+        hl.DELETE_BLOCK,
+        {hl.INSTANT_TIME: "124", hl.SCHEMA: json.dumps(sch)},
+        hl.encode_delete_block_content(
+            [("a", "", 3.5), ("z", "p=1", None)], schema=sch
+        ),
+    )
+    p = str(tmp_path / hl.log_file_name("fid", "100", 1))
+    hl.write_log_file(p, [dele])
+    (blk,) = hl.read_log_file(p)
+    got_schema = json.loads(blk["header"][hl.SCHEMA])
+    assert got_schema == sch
+    assert hl.decode_delete_block(blk["content"], schema=got_schema) == [
+        ("a", "", 3.5),
+        ("z", "p=1", None),
+    ]
 
 
 def test_log_name_parse_roundtrip():
@@ -312,6 +337,100 @@ def test_mor_precombine_delete_refusals(spark, tmp_path):
     # ...refuses at merge time too (executor-side, surfaces wrapped)
     with pytest.raises(Exception, match="ordering-keyed"):
         read_hudi(spark, t).collect()
+
+
+def _odels(spark, rows):
+    return spark.createDataFrame(rows, "id long, v double")
+
+
+def test_mor_precombine_ordering_deletes(spark, tmp_path):
+    """Ordering-valued delete blocks (r15 — lifts the r14 refusal): a
+    delete competes exactly like a data record, so a STALE delete
+    loses to a higher-ordering base/log row and a FRESH delete
+    tombstones it."""
+    t, _ = _mor(spark, tmp_path)
+    _set_precombine(t)  # ordering on column v; base rows have v=i
+    # stale delete on 3 (ov 1.0 < base 3.0) loses; fresh delete on 5
+    # (ov 99.0 > 5.0) wins
+    upsert_hudi_mor(spark, t, deletes=_odels(spark, [(3, 1.0), (5, 99.0)]))
+    snap = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert snap[3] == ("s3", 3.0), "stale delete must lose to the base row"
+    assert 5 not in snap, "fresh delete must tombstone the base row"
+    # delete-vs-LOG: key 7 upserted to ov 70; a stale delete (ov 10)
+    # in a later deltacommit loses to that log record
+    upsert_hudi_mor(spark, t, _df(spark, [(7, "hi7", 70.0)]))
+    upsert_hudi_mor(spark, t, deletes=_odels(spark, [(7, 10.0)]))
+    snap = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert snap[7] == ("hi7", 70.0), "stale delete must lose to a log record"
+    # deleted key re-inserts as a NEW record (non-global-index routing,
+    # same as the commit-ordered twin in
+    # test_mor_last_write_wins_across_deltacommits)
+    upsert_hudi_mor(spark, t, _df(spark, [(5, "back", 1.0)]))
+    snap = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert snap[5] == ("back", 1.0)
+    # null ordering value on the delete falls back to commit order
+    # (the delete wins), matching the payload's null handling
+    upsert_hudi_mor(spark, t, deletes=_odels(spark, [(8, None)]))
+    snap = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert 8 not in snap
+    # compaction folds with the same semantics
+    before = _vals(read_hudi(spark, t))
+    compact_hudi(spark, t)
+    assert _vals(read_hudi(spark, t)) == before
+    assert all(not s[4] for s in _mor_slices(t))
+
+
+def test_mor_precombine_duplicate_delete_keys_keep_max(spark, tmp_path):
+    """Duplicate keys in the deletes frame collapse to ONE delete
+    record carrying the MAX ordering value (the only one that could
+    win the merge)."""
+    t, _ = _mor(spark, tmp_path)
+    _set_precombine(t)
+    upsert_hudi_mor(
+        spark, t, deletes=_odels(spark, [(6, 1.0), (6, 66.0), (6, 2.0)])
+    )
+    snap = {r.id for r in read_hudi(spark, t).collect()}
+    assert 6 not in snap, "max ordering value (66 > base 6) must win"
+    # and the log really carries ONE record for the key
+    (slogs,) = [s[4] for s in _mor_slices(t) if s[4]]
+    blocks = hl.read_log_file(slogs[0][2])
+    import json as _json
+
+    dels = [
+        hl.decode_delete_block(
+            b["content"], schema=_json.loads(b["header"][hl.SCHEMA])
+        )
+        for b in blocks
+        if b["type"] == hl.DELETE_BLOCK
+    ]
+    assert dels == [[("6", "", 66.0)]]
+
+
+def test_mor_precombine_stale_partition_move_drops(spark, tmp_path):
+    """On an ordering-keyed partitioned table a STALE moved row (its
+    ordering value below the existing row's) loses ENTIRELY — neither
+    the old-slice delete nor the new-partition insert lands — while a
+    fresh move deletes-and-reinserts as usual."""
+    t = str(tmp_path / "morp")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i) + 10) for i in range(10)],
+        "id long, p string, v double",
+    )
+    write_hudi(
+        df, t, record_key="id", partition_by="p",
+        table_type="MERGE_ON_READ",
+    )
+    _set_precombine(t)
+    # id=2 (p=a, v=12): stale move to b (v 1.0 < 12) must vanish;
+    # id=4 (p=a, v=14): fresh move to b (v 99.0) must land
+    ups = spark.createDataFrame(
+        [(2, "b", 1.0), (4, "b", 99.0)], "id long, p string, v double"
+    )
+    upsert_hudi_mor(spark, t, ups)
+    got = {r.id: (r.p, r.v) for r in read_hudi(spark, t).collect()}
+    assert got[2] == ("a", 12.0), "stale moved row must lose entirely"
+    assert got[4] == ("b", 99.0), "fresh moved row must land in p=b"
+    assert len(got) == 10, "no duplicated keys across partitions"
 
 
 def test_mor_merged_read_plans_no_schema_probe_job(spark, tmp_path):
