@@ -1730,7 +1730,19 @@ def archive_hudi_timeline(path: str, keep_last: int = 10) -> list[str]:
       replaced data — clean first);
     * it is the newest marker-bearing commit of a streaming app
       (the hudi_sink idempotence contract: markers must survive
-      archival).
+      archival);
+    * (MERGE_ON_READ, r15 — lifts the blanket MOR refusal) it wrote
+      log files NOT all superseded: every log must delta a slice some
+      COMPLETED later commit re-based (compaction wrote the group a
+      newer base) or replaced, so the log can never again be selected
+      by a HEAD read. The witness commit may itself stay active or be
+      archived — attribution folds from either side (r14). On native
+      tables an unfolded log's base slice is still live, so the live
+      floor stops the prefix first; the stranded-log floor is the
+      defense for degenerate/foreign timelines (e.g. sparse write
+      stats, where supersession is unprovable), and when such a
+      commit HEADS the candidate list the call refuses by name
+      (compact first) instead of silently archiving nothing.
 
     After archival: as-of reads AND incremental pulls fold the
     archive's commit metadata back in (r14), so time travel at or
@@ -1741,21 +1753,17 @@ def archive_hudi_timeline(path: str, keep_last: int = 10) -> list[str]:
     keeps its restart boundary. Returns the archived instants."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-    if _is_mor(_load_props(path)):
-        raise NotImplementedError(
-            "archiving a MERGE_ON_READ timeline is not supported: the "
-            "merge reader orders log blocks by ACTIVE commit "
-            "attribution, so archiving would strand uncompacted deltas "
-            "— compact_hudi (and clean) first, or keep the timeline "
-            "active"
-        )
+    mor = _is_mor(_load_props(path))
     commits = _completed_commits(path)
     candidates = commits[:-keep_last]
     if not candidates:
         return []
     hd = _hoodie(path)
-    live_instants = {inst for _p, _f, inst, _ in _latest_slices(path)}
-    on_disk = _base_files(path)
+    scratch: list = [] if mor else None
+    live_instants = {
+        inst for _p, _f, inst, _ in _latest_slices(path, logs=scratch)
+    }
+    on_disk = _base_files(path, logs=scratch)
     # newest marker-bearing commit per streaming app is protected
     newest_marker: dict[str, str] = {}
     metas: dict[str, dict] = {}
@@ -1773,6 +1781,49 @@ def archive_hudi_timeline(path: str, keep_last: int = 10) -> list[str]:
     for part, fid, inst, _full in on_disk:
         disk_by_group.setdefault((part, fid), []).append(inst)
 
+    # MOR: which commits wrote each group a BASE file (compaction,
+    # insert, overwrite) — the supersession oracle for the log floor.
+    # Pure timeline metadata, no extra disk I/O: metas is already
+    # loaded for every active commit.
+    base_writes: dict[tuple[str, str], list[str]] = {}
+    rmap: dict[tuple[str, str], str] = {}
+    if mor:
+        for k, meta in metas.items():
+            for part, sts in (meta.get("partitionToWriteStats") or {}).items():
+                for st in sts:
+                    p = os.path.basename(st.get("path") or "")
+                    if p and ".log." not in p:
+                        base_writes.setdefault(
+                            (part, _fid_from_stat(st)), []
+                        ).append(k)
+        rmap = _replace_map(path, commits)
+
+    def _stranded_log(c: str) -> bool:
+        """True when archiving deltacommit ``c`` would strand a log:
+        some log it wrote deltas a slice no completed commit has
+        re-based (compaction) or replaced — or its metadata is too
+        sparse to prove otherwise. A log attached to base instant b
+        was necessarily written BEFORE any commit that re-based the
+        group (new logs attach to the newest base; single-writer
+        contract), so any base write k > b folded it."""
+        stats_c = metas[c].get("partitionToWriteStats")
+        if stats_c is None:
+            return True  # sparse metadata: supersession unprovable
+        for part, sts in stats_c.items():
+            for st in sts:
+                name = os.path.basename(st.get("path") or "")
+                if not name or ".log." not in name:
+                    continue  # base files ride the existing floors
+                g = (part, _fid_from_stat(st))
+                binst = st.get("baseInstantTime") or ""
+                compacted = any(
+                    binst < k for k in base_writes.get(g, [])
+                )
+                replaced = rmap.get(g, "") > binst
+                if not (compacted or replaced):
+                    return True
+        return False
+
     to_archive: list[str] = []
     for c in candidates:  # oldest first; stop at the first keeper
         if c in live_instants or c in protected_markers:
@@ -1786,6 +1837,16 @@ def archive_hudi_timeline(path: str, keep_last: int = 10) -> list[str]:
         )
         if masked:
             break
+        if mor and _stranded_log(c):
+            if not to_archive:
+                raise NotImplementedError(
+                    f"cannot archive MERGE_ON_READ instant {c} of "
+                    f"{path}: it wrote log files no completed "
+                    "compaction has superseded (or its metadata is "
+                    "too sparse to prove it) — compact_hudi (and "
+                    "clean) first"
+                )
+            break
         to_archive.append(c)
     if not to_archive:
         return []
@@ -1798,14 +1859,25 @@ def archive_hudi_timeline(path: str, keep_last: int = 10) -> list[str]:
     target = os.path.join(ad, f"commits_{seq:06d}.archive")
     with open(target, "w", encoding="utf-8") as fh:
         for c in to_archive:
+            action = (
+                "deltacommit"
+                if os.path.isfile(os.path.join(hd, f"{c}.deltacommit"))
+                else "commit"
+            )
             fh.write(
                 json.dumps(
-                    {"instant": c, "action": "commit", "metadata": metas[c]}
+                    {"instant": c, "action": action, "metadata": metas[c]}
                 )
                 + "\n"
             )
     for c in to_archive:
-        for suffix in (".commit", ".inflight", ".commit.requested"):
+        for suffix in (
+            ".commit",
+            ".deltacommit",
+            ".inflight",
+            ".commit.requested",
+            ".deltacommit.requested",
+        ):
             try:
                 os.remove(os.path.join(hd, f"{c}{suffix}"))
             except OSError:

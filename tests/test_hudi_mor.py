@@ -587,11 +587,12 @@ def test_mor_refusals(spark, tmp_path):
     # row changes need a key when existing groups changed
     with pytest.raises(ValueError, match="primary key"):
         hudi_row_changes(spark, t, i2)
-    # archival refuses (would strand log attribution)
+    # archival is compaction-aware since r15: here the insert commit
+    # still carries live slices, so nothing archives (the uncompacted-
+    # logs refusal itself is pinned by test_mor_timeline_archival)
     from sparkstreamingtwitter_presidential_spark.sources.hudi import archive_hudi_timeline
 
-    with pytest.raises(NotImplementedError, match="compact"):
-        archive_hudi_timeline(t, keep_last=1)
+    assert archive_hudi_timeline(t, keep_last=1) == []
     # (the streaming source supports MOR since r13-late —
     # test_hudi_stream_source.py::test_hudi_stream_mor_log_upserts...)
     # ambiguous: a key in both source and deletes
@@ -763,3 +764,122 @@ def test_mor_head_read_skips_archive_parse_when_active_attributes(
     # as-of: the completeness proof folds the archive unconditionally
     with pytest.raises(AssertionError, match="demand-free"):
         read_hudi(spark, t, as_of=i2)
+
+
+def test_mor_timeline_archival(spark, tmp_path):
+    """Compaction-aware MOR archival (r15 — lifts the blanket
+    refusal): deltacommits whose every log a completed compaction
+    superseded move off the active timeline, and snapshot / as-of /
+    incremental reads stay green on both sides of the boundary; an
+    UNCOMPACTED trailing deltacommit stays put (its base slice is
+    live, so the live floor protects it — the named refusal is pinned
+    by test_mor_archival_unprovable_supersession_refuses)."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        _archived_instants,
+        _completed_commits,
+        archive_hudi_timeline,
+    )
+
+    t, _ = _mor(spark, tmp_path, n_groups=1)
+    i1 = hudi_timeline(spark, t).collect()[0].instant
+    i2 = upsert_hudi_mor(spark, t, _df(spark, [(3, "u3", 33.0)]))
+    i3 = compact_hudi(spark, t)
+    i4 = upsert_hudi_mor(spark, t, _df(spark, [(5, "u5", 55.0)]))
+    i5 = compact_hudi(spark, t)
+    i6 = upsert_hudi_mor(spark, t, _df(spark, [(7, "u7", 77.0)]))
+    # candidates = [i1..i4]: i1 (insert, superseded base), i2 (logs
+    # folded by i3), i3 (superseded base), i4 (logs folded by i5 —
+    # the witness staying active is fine, attribution folds from
+    # either side) all archive; i5 carries the live base and i6 is
+    # inside keep_last
+    archived = archive_hudi_timeline(t, keep_last=2)
+    assert archived == [i1, i2, i3, i4]
+    assert _archived_instants(t) == [i1, i2, i3, i4]
+    assert _completed_commits(t) == [i5, i6]
+    # the archived instants' action survives in the archive lines
+    import json as _json
+
+    ad = os.path.join(t, ".hoodie", "archived")
+    (af,) = sorted(os.listdir(ad))
+    actions = [
+        (_json.loads(ln)["instant"], _json.loads(ln)["action"])
+        for ln in open(os.path.join(ad, af))
+        if ln.strip()
+    ]
+    # MOR writes (including the initial insert) complete as
+    # deltacommits; compaction completes as a plain commit
+    assert actions == [
+        (i1, "deltacommit"),
+        (i2, "deltacommit"),
+        (i3, "commit"),
+        (i4, "deltacommit"),
+    ]
+    # HEAD snapshot stays exact
+    snap = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert snap[3] == ("u3", 33.0) and snap[5] == ("u5", 55.0)
+    assert snap[7] == ("u7", 77.0) and len(snap) == 20
+    # as-of BELOW the boundary reconstructs off the archive fold
+    below = {r.id: (r.s, r.v) for r in read_hudi(spark, t, as_of=i2).collect()}
+    assert below[3] == ("u3", 33.0) and below[5] == ("s5", 5.0)
+    # as-of ABOVE the boundary
+    above = {r.id: (r.s, r.v) for r in read_hudi(spark, t, as_of=i5).collect()}
+    assert above[5] == ("u5", 55.0) and above[7] == ("s7", 7.0)
+    # incremental pull whose range starts in the archived prefix
+    inc = _vals(read_hudi_incremental(spark, t, from_instant=i1))
+    assert inc == [(3, "u3", 33.0), (5, "u5", 55.0), (7, "u7", 77.0)]
+    # writes keep working and instants keep increasing
+    i7 = upsert_hudi_mor(spark, t, _df(spark, [(9, "u9", 99.0)]))
+    assert i7 > i6
+    # a second archival: i5 still carries the live base, so the live
+    # floor stops the prefix — the uncompacted i6/i7 logs stay safe
+    assert archive_hudi_timeline(t, keep_last=1) == []
+
+
+def test_mor_archival_unprovable_supersession_refuses(spark, tmp_path):
+    """When a deltacommit with unprovable log supersession (here:
+    foreign-style SPARSE write stats) heads the candidate list, the
+    archival refuses by name instead of silently archiving nothing —
+    the r15 remnant of the old blanket MOR refusal."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        archive_hudi_timeline,
+    )
+
+    t, _ = _mor(spark, tmp_path, n_groups=1)
+    i1 = hudi_timeline(spark, t).collect()[0].instant
+    i2 = upsert_hudi_mor(spark, t, _df(spark, [(3, "u3", 33.0)]))
+    compact_hudi(spark, t)
+    assert archive_hudi_timeline(t, keep_last=2) == [i1]
+    # forge sparse foreign metadata on the remaining deltacommit
+    with open(os.path.join(t, ".hoodie", f"{i2}.deltacommit"), "w") as fh:
+        fh.write("{}")
+    with pytest.raises(NotImplementedError, match="compact"):
+        archive_hudi_timeline(t, keep_last=1)
+
+
+def test_mor_archival_after_clean_keeps_head_cheap(spark, tmp_path):
+    """clean + archive is the steady-state pair: once clean removed
+    the superseded slices, a HEAD read's active attribution covers
+    every listed file and the archive is never parsed (the r15
+    demand gate)."""
+    import sparkstreamingtwitter_presidential_spark.sources.hudi_mor as HM
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        archive_hudi_timeline,
+    )
+
+    t, _ = _mor(spark, tmp_path, n_groups=1)
+    upsert_hudi_mor(spark, t, _df(spark, [(3, "u3", 33.0)]))
+    compact_hudi(spark, t)
+    clean_hudi(t, keep_last=1)
+    archived = archive_hudi_timeline(t, keep_last=1)
+    assert len(archived) == 2  # insert + deltacommit; compaction kept
+    want = _vals(read_hudi(spark, t))
+
+    def _boom(path):
+        raise AssertionError("archive parsed on a demand-free path")
+
+    real = HM._archived_commit_metas
+    try:
+        HM._archived_commit_metas = _boom
+        assert _vals(read_hudi(spark, t)) == want
+    finally:
+        HM._archived_commit_metas = real
