@@ -417,6 +417,19 @@ def read_hudi_mor(
                 or None,
             )
         )
+    if len(frames) == 2 and frames[0].schema != frames[1].schema:
+        # the merged leg derives its schema from a parquet footer via
+        # arrow (no Spark job — r13), which can map types differently
+        # from spark.read.parquet on FOREIGN files (e.g. INT96 /
+        # nanosecond timestamps, unsigned ints). The clean leg's
+        # Spark-native schema wins: cast the merged leg to it so the
+        # union never fails or silently changes dtypes (r15 advice).
+        frames[1] = frames[1].select(
+            *[
+                F.col(fld.name).cast(fld.dataType).alias(fld.name)
+                for fld in frames[0].schema.fields
+            ]
+        )
     df = frames[0]
     for f in frames[1:]:
         df = df.unionByName(f)
@@ -472,14 +485,17 @@ def _merged_frame(
     import pyarrow as pa
     import pyarrow.parquet as _pq
 
-    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
 
     # schema from ONE driver-side parquet footer read — a
     # spark.read.parquet(...).schema probe here cost a whole Spark job
     # per merged read (r13 verdict item 7); the merge output batches
-    # are pyarrow reads of these same files, so the arrow schema IS
-    # the output schema by construction
+    # are pyarrow reads of these same files, CAST executor-side to the
+    # arrow shape Spark accepts (r15: a parquet footer can read as
+    # e.g. timestamp[ns], which mapInArrow ingestion rejects —
+    # UNSUPPORTED_ARROWTYPE — even on self-written tables)
     spark_schema = from_arrow_schema(_pq.read_schema(dirty[0][3]))
+    target_arrow = to_arrow_schema(spark_schema)
     plan_rows = [
         (bfull, [(lfull, inst) for inst, _v, lfull in slogs])
         for _p, _fid, _bi, bfull, slogs in dirty
@@ -496,6 +512,8 @@ def _merged_frame(
         for batch in batches:
             for row in batch.to_pylist():
                 tbl = pq.read_table(row["base"])
+                if tbl.schema != target_arrow:
+                    tbl = tbl.cast(target_arrow)
                 events = _merge_events(
                     [(lg["path"], lg["instant"]) for lg in row["logs"]],
                     precombine=precombine,

@@ -883,3 +883,63 @@ def test_mor_archival_after_clean_keeps_head_cheap(spark, tmp_path):
         assert _vals(read_hudi(spark, t)) == want
     finally:
         HM._archived_commit_metas = real
+
+
+def test_mor_dirty_clean_union_timestamp_schema(spark, tmp_path):
+    """ADVICE r15: the merged leg derives its schema from a parquet
+    footer via arrow, which can disagree with spark.read.parquet on
+    foreign files — the union must follow the CLEAN leg's Spark-native
+    dtypes. Pin the dirty+clean union on a timestamp column (delete-
+    only log keeps the avro codec out of it; log data records refuse
+    timestamps by name)."""
+    import datetime
+
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        _complete_instant,
+        _new_instant,
+    )
+
+    t = str(tmp_path / "mort")
+    rows = [(i, datetime.datetime(2026, 1, 1, i), float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    write_hudi(
+        df, t, record_key="id", n_file_groups=2,
+        table_type="MERGE_ON_READ",
+    )
+    part, fid, binst, bfull, _ = _mor_slices(t)[0]
+    victim = spark.read.parquet(bfull).select("_hoodie_record_key").head()[0]
+    inst = _new_instant(t)
+    name = hl.log_file_name(fid, binst, 1)
+    hl.write_log_file(
+        os.path.join(t, name),
+        [
+            hl.encode_block(
+                hl.DELETE_BLOCK,
+                {hl.INSTANT_TIME: inst},
+                hl.encode_delete_block_content([(victim, part)]),
+            )
+        ],
+    )
+    _complete_instant(
+        t,
+        inst,
+        {
+            "operationType": "UPSERT",
+            "partitionToWriteStats": {
+                part: [{"path": name, "fileId": fid, "logVersion": 1,
+                        "baseInstantTime": binst, "fileSizeInBytes": 1}]
+            },
+        },
+        action="deltacommit",
+    )
+    got = read_hudi(spark, t)
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "bigint", "timestamp", "double",
+    ]
+    vals = {r.id: r.ts for r in got.collect()}
+    assert len(vals) == 7 and int(victim) not in vals
+    assert vals == {
+        i: datetime.datetime(2026, 1, 1, i)
+        for i in range(8)
+        if i != int(victim)
+    }
