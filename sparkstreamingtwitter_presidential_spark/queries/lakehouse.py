@@ -36,6 +36,48 @@ def _events_cache_key(spark: SparkSession, sf_dir: str) -> str:
     return hashlib.md5(f"{sf_dir}|{schema}".encode()).hexdigest()[:12]
 
 
+def _sweep_superseded_staging(table: str) -> None:
+    """Version-aware cleanup of this staging family's SUPERSEDED keys
+    (r15 verdict item 7). A staged dir is named ``<stem><version>_<key>``
+    (key = the 12-hex cache hash); bumping the version in code (e.g.
+    ``ssp_iceberg_specevo2_*`` → ``ssp_iceberg_specevo3_*``) used to
+    orphan every older-version dir in /tmp until reboot. Called only
+    after a successful COLD build (never on the warm path, so timed
+    reads are untouched): removes sibling dirs of the same family with
+    a LOWER version — plus their ``.staging-*`` / ``.stale``
+    leftovers — while keeping same-version dirs under other keys
+    (live caches for other sf_dirs/schemas) and NEWER versions (an
+    old checkout must never delete a newer build's cache)."""
+    import re
+
+    root = os.path.dirname(table) or "/tmp"
+    base = os.path.basename(table)
+    m = re.match(r"^(?P<stem>ssp_.*?)(?P<ver>\d*)_(?P<key>[0-9a-f]{12})$", base)
+    if m is None:
+        return
+    stem, cur = m.group("stem"), int(m.group("ver") or 0)
+    pat = re.compile(
+        rf"^{re.escape(stem)}(?P<ver>\d*)_[0-9a-f]{{12}}"
+        r"(?:\.staging-.*|\.stale)?$"
+    )
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return
+    for n in names:
+        mm = pat.match(n)
+        if mm is None or int(mm.group("ver") or 0) >= cur:
+            continue
+        full = os.path.join(root, n)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+
+
 def _staged_events_delta(spark: SparkSession, sf_dir: str) -> str:
     key = _events_cache_key(spark, sf_dir)
     table = f"/tmp/ssp_delta_events_{key}"
@@ -47,6 +89,7 @@ def _staged_events_delta(spark: SparkSession, sf_dir: str) -> str:
             os.rename(staging, table)
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)  # lost the race
+        _sweep_superseded_staging(table)
     return table
 
 
@@ -86,6 +129,7 @@ def _streamed_events_delta(spark: SparkSession, sf_dir: str) -> str:
         except OSError:
             pass  # lost the race; winner's table is equivalent
         shutil.rmtree(scratch, ignore_errors=True)
+        _sweep_superseded_staging(table)
     return table
 
 
@@ -129,6 +173,7 @@ def _dml_staged_delta(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
             os.rename(staging, table)
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)  # lost the race
+        _sweep_superseded_staging(table)
     return table
 
 
@@ -607,6 +652,7 @@ def _upserted_events_delta(spark: SparkSession, sf_dir: str) -> str:
         except OSError:
             pass  # lost the race; winner's table is equivalent
         shutil.rmtree(scratch, ignore_errors=True)
+        _sweep_superseded_staging(table)
     return table
 
 
@@ -1802,6 +1848,7 @@ def _staged_iceberg_locked(spark: SparkSession, table: str, build) -> str:
         try:
             build(spark, table)
             open(ready, "w").close()
+            _sweep_superseded_staging(table)
         except BaseException:
             # leave no half-built table behind a dead lock: clear the
             # claim so the next caller rebuilds from scratch
