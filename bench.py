@@ -251,6 +251,13 @@ HEADLINE = [
     "lakehouse_hudi_mor_agg",
     "lakehouse_hudi_mor_incremental_agg",
     "lakehouse_hudi_compaction_agg",
+    # Round-15: ordering-keyed MOR merge with ordering-valued delete
+    # blocks (staging warm; timed work is the snapshot read whose
+    # dirty slices resolve log-vs-base/log-vs-log/delete orderings in
+    # the per-slice Arrow merge — a regression here means the ordering
+    # comparisons left the per-overlapping-key path or clean slices
+    # left the vectorized leg).
+    "lakehouse_hudi_mor_ordering_agg",
     # Round-14: transformWithStateInPandas running totals (staging
     # warm; timed work is the state-v2 query drain — RocksDB store
     # init, protobuf state protocol round-trips per key group, Arrow

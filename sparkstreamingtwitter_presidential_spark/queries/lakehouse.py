@@ -2756,6 +2756,151 @@ def lakehouse_hudi_mor_incremental_agg(
 
 
 @query(
+    "lakehouse_hudi_mor_ordering_agg",
+    oracle="""
+        WITH final AS (
+            SELECT CASE WHEN event_id % 10 = 3 THEN 'fresh'
+                        ELSE event_type END AS event_type,
+                   CASE WHEN event_id % 10 = 3 THEN value + 1000
+                        ELSE value END AS value
+            FROM events
+            WHERE event_id % 10 != 7
+        )
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM final GROUP BY event_type
+    """,
+    doc=(
+        "NEW r15: ORDERING-KEYED Hudi MOR (hoodie.table.precombine."
+        "field=value, declared at creation) with ordering-valued "
+        "DELETE blocks — the r14 refusal lifted this round. Staging: "
+        "fresh updates (value+1000) then STALE updates (value-1000, "
+        "must lose despite the later commit) for event_id %% 10 = 3; "
+        "one deletes frame carrying the ordering value per key: fresh "
+        "deletes (ov=value+500) tombstone %% 10 = 7, stale deletes "
+        "lose to the BASE row (%% 10 = 1, ov=value-500) and to a LOG "
+        "record (%% 10 = 3, ov=original value < the fresh update's). "
+        "The snapshot merge must resolve all five orderings "
+        "(log-vs-base, log-vs-log, delete-vs-base both ways, "
+        "delete-vs-log) to equal the oracle's CASE reconstruction. "
+        "RAISES unless the table is ordering-keyed, updates landed as "
+        "logs on the original bases, and the delete blocks carry "
+        "their record-list schema (orderingVal) in the SCHEMA header"
+    ),
+)
+def lakehouse_hudi_mor_ordering_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources import hudi_log as hl
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        _load_props,
+        read_hudi,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+        _mor_slices,
+    )
+
+    table = _stage_hudi_mor_ordering(spark, sf_dir)
+    if _load_props(table).get("hoodie.table.precombine.field") != "value":
+        raise RuntimeError(
+            "staging is not ordering-keyed on 'value' — the merge "
+            "under test would be commit-ordered"
+        )
+    slices = _mor_slices(table)
+    dirty = [s for s in slices if s[4]]
+    if not dirty:
+        raise RuntimeError("MOR staging produced no log files")
+    insert_instant = min(s[2] for s in slices)
+    if any(s[2] != insert_instant for s in dirty):
+        raise RuntimeError(
+            "a matched group's base was rewritten — ordering merges "
+            "must happen at read time over logs"
+        )
+    # the delete blocks must announce their ordering-carrying schema
+    import json as _json
+
+    ordered_deletes = 0
+    for _p, _f, _bi, _bf, slogs in dirty:
+        for _inst, _ver, lfull in slogs:
+            for b in hl.read_log_file(lfull):
+                if b["type"] != hl.DELETE_BLOCK:
+                    continue
+                raw = b["header"].get(hl.SCHEMA)
+                if not raw:
+                    raise RuntimeError(
+                        "delete block without a SCHEMA header on an "
+                        "ordering-keyed table"
+                    )
+                sch = _json.dumps(_json.loads(raw))
+                if "orderingVal" not in sch:
+                    raise RuntimeError(
+                        "delete block schema carries no orderingVal"
+                    )
+                ordered_deletes += 1
+    if not ordered_deletes:
+        raise RuntimeError("staging wrote no ordering-valued delete blocks")
+    return _agg_by_type(read_hudi(spark, table))
+
+
+def _stage_hudi_mor_ordering(spark: SparkSession, sf_dir: str) -> str:
+    """INSERT (precombine declared) + fresh/stale UPSERTs + one
+    ordering-valued DELETES deltacommit over events."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import write_hudi
+    from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+        upsert_hudi_mor,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_hudi(
+            ev,
+            table,
+            record_key="event_id",
+            n_file_groups=4,
+            table_type="MERGE_ON_READ",
+            precombine="value",
+        )
+        upd = ev.filter("event_id % 10 = 3")
+        # fresh first, stale second: the LATER commit must lose on
+        # ordering, the exact inversion commit-order merging gets wrong
+        upsert_hudi_mor(
+            spark,
+            table,
+            upd.withColumn("value", F.col("value") + 1000).withColumn(
+                "event_type", F.lit("fresh")
+            ),
+        )
+        upsert_hudi_mor(
+            spark,
+            table,
+            upd.withColumn("value", F.col("value") - 1000).withColumn(
+                "event_type", F.lit("stale")
+            ),
+        )
+        dels = (
+            ev.filter("event_id % 10 = 7")
+            .withColumn("value", F.col("value") + 500)  # beats base
+            .unionByName(
+                ev.filter("event_id % 10 = 1").withColumn(
+                    "value", F.col("value") - 500  # loses to base
+                )
+            )
+            .unionByName(
+                ev.filter("event_id % 10 = 3")  # loses to the fresh log
+            )
+            .select("event_id", "value")
+        )
+        upsert_hudi_mor(spark, table, deletes=dels)
+
+    key = _events_cache_key(spark, sf_dir)
+    return _staged_iceberg_locked(
+        spark, f"/tmp/ssp_hudi_morord_{key}", build
+    )
+
+
+@query(
     "lakehouse_hudi_compaction_agg",
     oracle="""
         WITH merged AS (

@@ -272,12 +272,20 @@ GRADED_FIRST: list[str] = [
     # driver-green; the lakehouse family holds 8 richer graded slots —
     # DML x3, pipeline, skipping, evolution, zorder, changes — that all
     # exercise the same read path). Stays in tests/test_queries_oracle.py.
-    # Round-8 swap: exactly-once HUDI streaming sink (commit-metadata
-    # batch markers; the family's third format — r7 verdict item 5).
-    # Ceded: io_avro_roundtrip_docs (r5+r6+r7 driver-green, three
-    # rounds; the IO family keeps csv/partitioned-parquet/shard-export/
-    # pipetext/synthdocs graded; stays in tests/test_queries_oracle.py).
-    "streaming_hudi_sink_agg",
+    # Round-15: ORDERING-KEYED Hudi MOR with ordering-valued DELETE
+    # blocks (hoodie.table.precombine.field declared at creation;
+    # delete records carry orderingVal with their record-list schema
+    # in the SCHEMA header — the r14 refusal lifted this round): the
+    # graded read resolves log-vs-base, log-vs-log, delete-vs-base
+    # both ways, and delete-vs-log orderings, RAISE-pinned; graded on
+    # arrival per rotation policy. Ceded: streaming_hudi_sink_agg
+    # (r8-r14 driver-green, SEVEN consecutive windows; the exactly-
+    # once marker machinery stays graded through
+    # streaming_iceberg_sink_agg + streaming_delta_upsert_agg — the
+    # same foreachBatch/commit-marker recipe — and the Hudi marker
+    # path stays pinned by last_committed_batch tests, the archival
+    # marker floor, and tests/test_queries_oracle.py + bench).
+    "lakehouse_hudi_mor_ordering_agg",
     # Round-12 (late): Iceberg PARTITION SPEC EVOLUTION — a
     # metadata-only repartition with a zero-data-movement pin in the
     # build, mixed-spec live manifests, per-spec pruning exactness,

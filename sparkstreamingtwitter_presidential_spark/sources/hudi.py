@@ -532,11 +532,15 @@ def write_hudi(
     partition_by: str | None = None,
     extra_metadata: dict[str, str] | None = None,
     table_type: str | None = None,
+    precombine: str | None = None,
 ) -> str:
     """INSERT commit: create the table on first write (hoodie.properties
     + timeline), land ``df`` as ``n_file_groups`` NEW file groups, and
     complete the instant. ``record_key`` names the unique-key column
-    (Hudi's mandatory record key; upserts join on it). Returns the
+    (Hudi's mandatory record key; upserts join on it). ``precombine``
+    declares ``hoodie.table.precombine.field`` at creation: merges key
+    on that ORDERING VALUE (DefaultHoodieRecordPayload) instead of
+    commit order — see hudi_mor. Returns the
     commit instant.
 
     ``mode='overwrite'`` is the INSERT_OVERWRITE_TABLE shape: prior
@@ -550,6 +554,8 @@ def write_hudi(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if record_key not in df.columns:
         raise ValueError(f"record_key {record_key!r} not in {df.columns}")
+    if precombine is not None and precombine not in df.columns:
+        raise ValueError(f"precombine {precombine!r} not in {df.columns}")
     if table_type not in (None, "COPY_ON_WRITE", "MERGE_ON_READ"):
         raise ValueError(
             f"table_type must be COPY_ON_WRITE|MERGE_ON_READ, "
@@ -572,6 +578,11 @@ def write_hudi(
                 + "\nhoodie.timeline.layout.version=1"
                 + f"\nhoodie.table.recordkey.fields={record_key}\n"
                 + (
+                    f"hoodie.table.precombine.field={precombine}\n"
+                    if precombine
+                    else ""
+                )
+                + (
                     "hoodie.table.partition.fields="
                     + ",".join(pcols)
                     + "\n"
@@ -593,6 +604,12 @@ def write_hudi(
         if want and want != record_key:
             raise ValueError(
                 f"record_key {record_key!r} != table's {want!r}"
+            )
+        have_pre = props.get("hoodie.table.precombine.field") or None
+        if precombine is not None and precombine != have_pre:
+            raise ValueError(
+                f"precombine {precombine!r} != table's {have_pre!r}; "
+                "the precombine field is fixed at table creation"
             )
         have_part = _partition_cols(
             props.get("hoodie.table.partition.fields") or None

@@ -69,10 +69,6 @@ ROWS_ONLY_COVERAGE: dict[str, list[tuple[str, str]]] = {
     "streaming_stateful_milestones": [
         ("test_stateful.py", "test_milestones_match_batch_rule"),
     ],
-    "streaming_state_v2_running_totals": [
-        ("test_stateful_v2.py", "test_running_totals_v2_matches_v1_and_batch"),
-        ("test_stateful_v2.py", "test_refuses_up_front_without_protobuf"),
-    ],
     "streaming_collector_bounded": [
         ("test_streaming.py", "test_bounded_collector_stop_after_n"),
     ],
