@@ -18,8 +18,8 @@ DefaultHoodieRecordPayload semantics; delete blocks on ordering-keyed
 tables carry each delete's orderingVal — r15, public log-format
 capability — so a stale delete loses to a newer row and a fresh one
 tombstones it; legacy/foreign ordering-less delete blocks on such
-tables still refuse by name, and the streaming source refuses
-ordering-keyed tables at planning); COMPACTION folds a slice's
+tables still refuse by name; the streaming source merges under the
+same ordering semantics per micro-batch); COMPACTION folds a slice's
 logs into a new base file under
 a plain ``commit``, after which the slice reads log-free again.
 

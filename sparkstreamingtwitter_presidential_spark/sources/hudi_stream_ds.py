@@ -18,11 +18,19 @@ Semantics are a CHANGE/UPSERT FEED, not append-only: Hudi's commit-
 time meta column gives every row an exact change stamp, so UPSERT
 commits stream correctly (updated records re-deliver with their new
 values — downstream keys on the record key; the same contract as
-``read_hudi_incremental`` and the real incremental query). What
+``read_hudi_incremental`` and the real incremental query).
+ORDERING-KEYED tables stream too (r15 — lifts the r14 planning
+refusal): the per-batch merge runs under
+``hoodie.table.precombine.field`` semantics, so a STALE write in the
+range delivers NOTHING (the merged state did not change — correct
+change-feed semantics, not an omission) and a winning record delivers
+with its own deltacommit's stamp; the base-vs-log ordering resolution
+mirrors the batch reader's. What
 cannot stream: INSERT_OVERWRITE_TABLE (replaced data, fails by name),
 ranges reaching into the ARCHIVED timeline (commit metadata gone,
 fails by name), and DELETES (CoW deletes-by-absence and MOR delete
-blocks both lack a retraction row to deliver — documented, same as
+blocks — ordering-valued or not — both lack a retraction row to
+deliver — documented, same as
 the real incremental read without CDC enabled).
 
 Scale/shape: planning is a driver-side timeline walk (cost ∝ the
@@ -79,12 +87,14 @@ class _SlicePartition(InputPartition):
         hi: str,
         out_cols: list,
         logs: list | None = None,
+        precombine: str | None = None,
     ):
         self.path = path
         self.lo = lo
         self.hi = hi
         self.out_cols = out_cols
         self.logs = logs or []
+        self.precombine = precombine
 
 
 def _instant_of(offset: dict) -> str:
@@ -199,14 +209,12 @@ class HudiStreamReader(DataSourceStreamReader):
             # touched-group semantics, one micro-batch at a time)
             from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import _mor_slices
 
-            if _load_props(self.path).get("hoodie.table.precombine.field"):
-                raise NotImplementedError(
-                    "streaming an ordering-keyed MOR table "
-                    "(hoodie.table.precombine.field is set): this "
-                    "source's per-batch merge is commit-ordered and "
-                    "would mis-merge ordering-keyed logs — compact the "
-                    "table and stream the CoW slices, or read snapshots"
-                )
+            # ordering-keyed tables merge under precombine semantics
+            # per batch (r15 — lifts the r14 planning refusal)
+            precombine = (
+                _load_props(self.path).get("hoodie.table.precombine.field")
+                or None
+            )
             return [
                 _SlicePartition(
                     bfull,
@@ -214,6 +222,7 @@ class HudiStreamReader(DataSourceStreamReader):
                     hi,
                     self.out_cols,
                     logs=[(lf, li) for li, _v, lf in slogs],
+                    precombine=precombine,
                 )
                 for part, fid, _bi, bfull, slogs in _mor_slices(
                     self.path, as_of=hi
@@ -247,11 +256,38 @@ class HudiStreamReader(DataSourceStreamReader):
                 _merge_events,
             )
 
+            pre = partition.precombine
             events = _merge_events(
-                [(lp, li) for lp, li in partition.logs]
+                [(lp, li) for lp, li in partition.logs], precombine=pre
             )
-            read_cols = cols + [key_col]
             pf = pq.ParquetFile(partition.path)
+            if events and pre is not None:
+                # base-vs-log ordering resolution (the batch reader's
+                # _merged_frame rule): a log event — data or tombstone
+                # — only supersedes the base row when its ordering
+                # value beats the base's; a losing event drops here so
+                # the base row stays deliverable. Cost ∝ overlapping
+                # keys (one two-column read).
+                sub = pq.read_table(partition.path, columns=[key_col, pre])
+                sub = sub.filter(
+                    pc.is_in(
+                        sub.column(key_col),
+                        value_set=pa.array(list(events), type=pa.string()),
+                    )
+                )
+                for k, bv in zip(
+                    sub.column(0).to_pylist(), sub.column(1).to_pylist()
+                ):
+                    ev = events.get(k)
+                    evv = ev.get(pre) if ev else None
+                    if (
+                        ev is not None
+                        and evv is not None
+                        and bv is not None
+                        and evv < bv
+                    ):
+                        del events[k]  # base row wins, keep it
+            read_cols = cols + [key_col]
             keys = (
                 pa.array(list(events), type=pa.string())
                 if events
@@ -277,6 +313,7 @@ class HudiStreamReader(DataSourceStreamReader):
                 r
                 for r in events.values()
                 if r is not None
+                and "__hoodie_delete__" not in r  # ordering tombstones
                 and partition.lo < r[_COMMIT_TIME_COL] <= partition.hi
             ]
             if survivors:

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+    read_hudi,
     upsert_hudi,
     write_hudi,
 )
@@ -225,6 +226,71 @@ def test_hudi_stream_mor_log_upserts_across_restart(spark, tmp_path):
     assert sink == []
 
     # restart idempotence: nothing re-delivers
+    sink.clear()
+    _run(spark, t, ckpt, sink)
+    assert sink == []
+
+
+def test_hudi_stream_ordering_keyed_mor(spark, tmp_path):
+    """r15: ordering-keyed MOR tables stream (lifts the r14 planning
+    refusal) — the per-batch merge runs under precombine semantics:
+    a STALE write in the range delivers NOTHING (merged state
+    unchanged — change-feed semantics), a winning record delivers
+    with its own stamp, ordering-valued deletes deliver nothing
+    (documented no-retraction contract), and a stale delete leaves
+    the base row out of the feed (unchanged)."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+        upsert_hudi_mor,
+    )
+
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    write_hudi(
+        _df(spark, [(i, f"s{i}", float(i) + 10) for i in range(8)]),
+        t,
+        record_key="id",
+        n_file_groups=2,
+        table_type="MERGE_ON_READ",
+        precombine="v",
+    )
+    sink: list = []
+    _run(spark, t, ckpt, sink, maxCommitsPerTrigger=1)
+    assert sorted(r[0] for r in sink) == list(range(8))
+
+    # fresh update wins and delivers; the range also covers nothing else
+    upsert_hudi_mor(spark, t, _df(spark, [(3, "hi3", 99.0)]))
+    sink.clear()
+    _run(spark, t, ckpt, sink, maxCommitsPerTrigger=1)
+    assert sorted(sink) == [(3, "hi3", 99.0)]
+
+    # STALE update (ordering below the winning log record AND below
+    # another key's base) delivers NOTHING for either key
+    upsert_hudi_mor(
+        spark, t, _df(spark, [(3, "lo3", 1.0), (5, "lo5", 1.0)])
+    )
+    sink.clear()
+    _run(spark, t, ckpt, sink, maxCommitsPerTrigger=1)
+    assert sink == []
+
+    # ordering-valued deletes: a fresh delete tombstones (delivers
+    # nothing - no retraction rows), a stale delete changes nothing
+    upsert_hudi_mor(
+        spark,
+        t,
+        deletes=spark.createDataFrame(
+            [(6, 999.0), (7, 0.5)], "id long, v double"
+        ),
+    )
+    sink.clear()
+    _run(spark, t, ckpt, sink, maxCommitsPerTrigger=1)
+    assert sink == []
+    # ...and the batch reader agrees with the stream's final state
+    snap = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert snap[3] == ("hi3", 99.0)
+    assert snap[5] == ("s5", 15.0), "stale update must not land"
+    assert 6 not in snap and snap[7] == ("s7", 17.0)
+
+    # restart idempotence
     sink.clear()
     _run(spark, t, ckpt, sink)
     assert sink == []
