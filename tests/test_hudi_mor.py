@@ -943,3 +943,44 @@ def test_mor_dirty_clean_union_timestamp_schema(spark, tmp_path):
         for i in range(8)
         if i != int(victim)
     }
+
+
+def test_mor_ordering_row_changes_and_incremental(spark, tmp_path):
+    """Ordering semantics propagate to the derived read surfaces: a
+    commit whose writes all LOSE the merge produces an EMPTY change
+    feed and contributes nothing to an incremental pull (post-image
+    semantics — the state did not change), while winning writes and
+    ordering-valued deletes emit exact rows."""
+    t, _ = _mor(spark, tmp_path, n_groups=1)
+    _set_precombine(t)  # ordering on column v; base rows have v=i
+    i2 = upsert_hudi_mor(spark, t, _df(spark, [(3, "hi3", 99.0)]))
+    # stale write: loses to i2's log record AND to key 5's base row
+    i3 = upsert_hudi_mor(
+        spark, t, _df(spark, [(3, "lo3", 1.0), (5, "lo5", 1.0)])
+    )
+    # ordering deletes: fresh tombstones key 6, stale leaves key 7
+    i4 = upsert_hudi_mor(
+        spark, t, deletes=_odels(spark, [(6, 999.0), (7, 0.5)])
+    )
+    i1 = hudi_timeline(spark, t).collect()[0].instant
+    assert [i1 < i2 < i3 < i4]
+    # row changes: i2 emits the exact update pair
+    ch2 = {
+        (r.id, r._change_type): (r.s, r.v)
+        for r in hudi_row_changes(spark, t, i2, keys=["id"]).collect()
+    }
+    assert ch2 == {
+        (3, "update_preimage"): ("s3", 3.0),
+        (3, "update_postimage"): ("hi3", 99.0),
+    }
+    # i3 (all writes lost) emits NOTHING
+    assert hudi_row_changes(spark, t, i3, keys=["id"]).count() == 0
+    # i4: fresh delete emits its exact row; the stale delete is silent
+    ch4 = {
+        (r.id, r._change_type): (r.s, r.v)
+        for r in hudi_row_changes(spark, t, i4, keys=["id"]).collect()
+    }
+    assert ch4 == {(6, "delete"): ("s6", 6.0)}
+    # incremental pull across the whole range: only the winning write
+    inc = _vals(read_hudi_incremental(spark, t, from_instant=i1))
+    assert inc == [(3, "hi3", 99.0)]
