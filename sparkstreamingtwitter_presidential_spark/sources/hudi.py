@@ -52,12 +52,18 @@ delete-old + insert-new), snapshot read (with or without
 meta columns), time travel by completed instant, incremental pull
 (commit-time range), rollback of the latest commit, and clean
 (retire superseded slices — and, on MOR, their attached log files —
-keep_last guard). Refusals (clear NotImplementedError/ValueError
+keep_last guard). CLUSTERING is supported since r15
+(``cluster_hudi``: per-partition small-group rewrite into one
+optionally-sorted group under a replace-style CLUSTER commit; rows
+keep their stamps so every change-feed surface is silent, and
+``clean_hudi`` retires the replaced groups once they age out —
+replaced groups no longer leak past clean). Refusals (clear
+NotImplementedError/ValueError
 rather than wrong rows): non-string partition columns (string paths
 keep dir-name order == value order, the exact-pruning contract),
 partition values needing hive escaping, null partition values,
 foreign tables without the record-key property,
-bootstrap/clustering/metadata-table features.
+bootstrap/metadata-table features.
 
 **MERGE_ON_READ** (r13, lifting the r9 boundary per the r12 verdict's
 item 6): MOR tables are fully supported through
@@ -409,7 +415,11 @@ def _check_partition_type(df: DataFrame, col: str) -> None:
 
 
 def _write_slices_bulk(
-    df: DataFrame, path: str, record_key: str, instant: str
+    df: DataFrame,
+    path: str,
+    record_key: str,
+    instant: str,
+    sort_by: list[str] | None = None,
 ) -> list[str]:
     """Bulk committer: stage EVERY slice of a commit in ONE Spark job,
     then publish with a driver-side O(groups) rename pass.
@@ -452,9 +462,16 @@ def _write_slices_bulk(
     )
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     try:
+        shaped = out.repartition(F.col("__pdir"), F.col("__fid"))
+        if sort_by:
+            # in-file sort order (clustering's layout contract): each
+            # task holds exactly one slice after the repartition, so a
+            # partition-local sort IS the file's row order
+            shaped = shaped.sortWithinPartitions(
+                "__pdir", "__fid", *sort_by
+            )
         (
-            out.repartition(F.col("__pdir"), F.col("__fid"))
-            .write.partitionBy("__pdir", "__fid")
+            shaped.write.partitionBy("__pdir", "__fid")
             .mode("overwrite")
             .parquet(staging)
         )
@@ -1161,6 +1178,23 @@ def hudi_row_changes(
             "the whole previous table, not a per-group diff; compare "
             "snapshots instead"
         )
+    if meta.get("operationType") == "CLUSTER":
+        # clustering is LAYOUT-ONLY (replace commit; rows keep their
+        # original stamps and values) — the change feed is empty by
+        # definition. Without this guard the keyed diff would see the
+        # commit's NEW file groups with no prior slices and emit every
+        # row as a phantom 'insert'.
+        files = [
+            os.path.join(path, st["path"])
+            for stats in (meta.get("partitionToWriteStats") or {}).values()
+            for st in stats
+        ]
+        base = spark.read.parquet(*files).drop(*META_COLS)
+        return base.select(
+            *base.columns,
+            F.lit("insert").alias("_change_type"),
+            F.lit(instant).alias("_commit_instant"),
+        ).limit(0)
     touched: set[tuple[str, str]] = set()
     new_files: list[str] = []
     for part, stats in (meta.get("partitionToWriteStats") or {}).items():
@@ -1606,16 +1640,27 @@ def clean_hudi(path: str, keep_last: int = 1) -> list[str]:
     group, keep the slices referenced by the newest ``keep_last``
     completed commits; older superseded slices delete — on MOR, a
     deleted base slice takes its attached log files with it (they
-    delta a base that no longer exists). Time travel to cleaned
+    delta a base that no longer exists). REPLACED groups retire too
+    (r15): a group masked by a later replace/cluster commit has no
+    live slice, so its files delete once their instants age out of the
+    ``keep_last`` window — without this, every overwrite leaked its
+    replaced files forever. Time travel to cleaned
     instants stops resolving (their files are gone) — the real
-    cleaner's documented trade. Returns deleted file names."""
+    cleaner's documented trade (the as-of completeness guard refuses
+    by name instead of returning partial rows). Returns deleted file
+    names."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     mor = _is_mor(_load_props(path))
     commits = _completed_commits(path)
     protected = set(commits[-keep_last:])
     logs: list | None = [] if mor else None
-    live = {full for _p, _f, _i, full in _latest_slices(path, logs=logs)}
+    rmap = _replace_map(path, commits)
+    live = {
+        full
+        for p, f, i, full in _latest_slices(path, logs=logs)
+        if i > rmap.get((p, f), "")
+    }
     deleted = []
     gone: set[tuple[str, str, str]] = set()
     for part, fid, inst, full in _base_files(
@@ -1632,6 +1677,129 @@ def clean_hudi(path: str, keep_last: int = 1) -> list[str]:
                 os.remove(lfull)
                 deleted.append(os.path.basename(lfull))
     return deleted
+
+
+def cluster_hudi(
+    spark: SparkSession,
+    path: str,
+    sort_by: list[str] | str | None = None,
+    min_groups: int = 2,
+) -> str | None:
+    """CLUSTERING (r15 — lifts part of the decided table-services
+    boundary): per partition with at least ``min_groups`` live file
+    groups, rewrite those groups into ONE new group — optionally
+    SORTED by ``sort_by`` inside the file (the layout knob real Hudi's
+    clustering turns: small-file compaction + locality for downstream
+    range pruning) — under a replace-style commit (operationType
+    CLUSTER + partitionToReplaceFileIds, the engine's overwrite
+    modeling of the real timeline's ``replacecommit``). Rows keep
+    their ORIGINAL commit time/seqno, so:
+
+    * incremental pulls and the streaming source deliver NOTHING for a
+      cluster commit (state unchanged — same contract as compaction);
+    * ``hudi_row_changes`` emits an EMPTY feed for it (guarded — the
+      keyed diff would otherwise see brand-new groups and emit
+      phantom inserts);
+    * time travel BELOW the cluster instant keeps selecting the old
+      groups (the replace map is as-of-aware) until ``clean_hudi``
+      retires them (which it does since r15 — replaced groups age out
+      of the keep_last window).
+
+    MOR tables cluster only when fully compacted: clustering rewrites
+    BASE files, and folding logs here would silently duplicate
+    compaction — dirty slices refuse by name with that steer. Returns
+    the cluster instant, or None when no partition crosses
+    ``min_groups``. Cost: one distributed job ∝ bytes in the
+    clustered partitions, never the table."""
+    if min_groups < 2:
+        raise ValueError(f"min_groups must be >= 2, got {min_groups}")
+    props = _load_props(path)
+    key = props.get("hoodie.table.recordkey.fields")
+    if not key:
+        raise NotImplementedError(
+            "clustering needs hoodie.table.recordkey.fields"
+        )
+    mor = _is_mor(props)
+    if mor:
+        from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+            _mor_slices,
+        )
+
+        dirty = [s for s in _mor_slices(path) if s[4]]
+        if dirty:
+            raise NotImplementedError(
+                f"clustering a MERGE_ON_READ table with {len(dirty)} "
+                "uncompacted slice(s): clustering rewrites BASE files "
+                "and would silently duplicate compaction's merge — "
+                "compact_hudi first"
+            )
+    if isinstance(sort_by, str):
+        sort_by = [sort_by]
+    commits = _completed_commits(path)
+    rmap = _replace_map(path, commits)
+    live = [
+        (p, f, i, full)
+        for p, f, i, full in _latest_slices(
+            path, logs=[] if mor else None
+        )
+        if i > rmap.get((p, f), "")
+    ]
+    per_part: dict[str, list[tuple[str, str]]] = {}
+    for p, f, _i, full in live:
+        per_part.setdefault(p, []).append((f, full))
+    todo = {p: v for p, v in per_part.items() if len(v) >= min_groups}
+    if not todo:
+        return None
+    instant = _new_instant(path)
+    files = [full for groups in todo.values() for _f, full in groups]
+    src = spark.read.parquet(*files)
+    if sort_by:
+        missing = [c for c in sort_by if c not in src.columns]
+        if missing:
+            raise ValueError(f"sort_by columns not in table: {missing}")
+    staged = (
+        src.withColumn("__part", F.col("_hoodie_partition_path"))
+        .withColumn(
+            "__fid",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{instant}#cluster#"),
+                        F.col("_hoodie_partition_path"),
+                    )
+                ),
+                1,
+                12,
+            ),
+        )
+        .withColumn("__ct", F.col("_hoodie_commit_time"))
+        .withColumn("__sq", F.col("_hoodie_commit_seqno"))
+        .drop(*META_COLS)
+    )
+    rels = _write_slices_bulk(staged, path, key, instant, sort_by=sort_by)
+    stats: dict[str, list[dict]] = {}
+    for rel in rels:
+        part, base = os.path.split(rel)
+        stats.setdefault(part, []).append(
+            {
+                "path": rel,
+                "fileId": base.split("_")[0],
+                "fileSizeInBytes": os.path.getsize(os.path.join(path, rel)),
+            }
+        )
+    _complete_instant(
+        path,
+        instant,
+        {
+            "operationType": "CLUSTER",
+            "partitionToWriteStats": stats,
+            "partitionToReplaceFileIds": {
+                p: [f for f, _full in groups] for p, groups in todo.items()
+            },
+        },
+        action="commit",
+    )
+    return instant
 
 
 _ARCHIVE_DIR = "archived"

@@ -1094,6 +1094,21 @@ def hudi_row_changes_mor(
             "the whole previous table, not a per-group diff; compare "
             "snapshots instead"
         )
+    if meta.get("operationType") == "CLUSTER":
+        # layout-only replace commit (see hudi.hudi_row_changes): the
+        # change feed is empty by definition; clustered files are
+        # plain parquet bases
+        files = [
+            os.path.join(path, st["path"])
+            for stats in (meta.get("partitionToWriteStats") or {}).values()
+            for st in stats
+        ]
+        base = spark.read.parquet(*files).drop(*META_COLS)
+        return base.select(
+            *base.columns,
+            F.lit("insert").alias("_change_type"),
+            F.lit(instant).alias("_commit_instant"),
+        ).limit(0)
     touched: set[tuple[str, str]] = set()
     for part, stats in (meta.get("partitionToWriteStats") or {}).items():
         for st in stats:

@@ -1141,3 +1141,119 @@ def test_archive_parse_is_demand_driven_and_cached(
     grown = H._archived_commit_metas(t)
     assert "00000000000000000" in grown
     assert wrapper.loads_calls > n_parse
+
+
+def test_clean_removes_replaced_groups(spark, tmp_path):
+    """r15: clean retires REPLACED groups once their instants age out
+    of keep_last — before this, every overwrite leaked its replaced
+    files on disk forever. Time travel to the replaced state then
+    refuses by name (the documented clean trade), never partial rows."""
+    t = str(tmp_path / "t")
+    i1 = write_hudi(
+        _df(spark, [(i, f"s{i}", float(i)) for i in range(8)]),
+        t, record_key="id", n_file_groups=2,
+    )
+    newbase = _df(spark, [(100, "fresh", 1.0)])
+    write_hudi(newbase, t, record_key="id", mode="overwrite")
+    # replaced files still on disk (time travel works pre-clean)
+    assert sorted(r.id for r in read_hudi(spark, t, as_of=i1).collect()) == list(range(8))
+    deleted = clean_hudi(t, keep_last=1)
+    walked = [
+        n
+        for _d, _s, files in os.walk(t)
+        for n in files
+        if n.endswith(".parquet") and f"_{i1}." in n
+    ]
+    assert not walked, f"replaced slices leaked past clean: {walked}"
+    assert len(deleted) == 2  # both replaced groups' bases
+    assert sorted(tuple(r) for r in read_hudi(spark, t).collect()) == [
+        (100, "fresh", 1.0)
+    ]
+    with pytest.raises(ValueError, match="clean|no file slices|time-travel"):
+        read_hudi(spark, t, as_of=i1).collect()
+
+
+def test_cluster_hudi_small_file_compaction(spark, tmp_path):
+    """r15: CLUSTERING — partitions with >= min_groups live groups
+    rewrite into ONE sorted group under a replace-style CLUSTER
+    commit; rows keep their original stamps, so incremental pulls and
+    row changes see NOTHING, time travel below the instant selects the
+    old layout, and clean retires the replaced groups."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        cluster_hudi,
+        hudi_row_changes,
+        hudi_timeline,
+        read_hudi_incremental,
+    )
+
+    t = str(tmp_path / "t")
+    i1 = write_hudi(
+        _df(spark, [(i, f"s{i}", float(i)) for i in range(12)]),
+        t, record_key="id", n_file_groups=4,
+    )
+    before = sorted(tuple(r) for r in read_hudi(spark, t).collect())
+    ci = cluster_hudi(spark, t, sort_by=["id"])
+    assert ci is not None and ci > i1
+    # data identical, one live group, file physically sorted by id
+    assert sorted(tuple(r) for r in read_hudi(spark, t).collect()) == before
+    live = read_hudi(spark, t).inputFiles()
+    assert len(live) == 1
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(live[0].replace("file://", "")).column("id").to_pylist()
+    assert ids == sorted(ids), "clustered file must be sorted by sort_by"
+    # original stamps preserved -> the feed surfaces are silent
+    assert read_hudi_incremental(spark, t, from_instant=i1).count() == 0
+    assert hudi_row_changes(spark, t, ci, keys=["id"]).count() == 0
+    ops = [r.operation for r in hudi_timeline(spark, t).collect()]
+    assert ops == ["INSERT", "CLUSTER"]
+    # time travel below the cluster instant selects the OLD layout
+    assert len(read_hudi(spark, t, as_of=i1).inputFiles()) == 4
+    # clean retires the replaced groups; reads stay exact
+    deleted = clean_hudi(t, keep_last=1)
+    assert len([n for n in deleted if n.endswith(".parquet")]) == 4
+    assert sorted(tuple(r) for r in read_hudi(spark, t).collect()) == before
+    # a single-group table has nothing to cluster
+    assert cluster_hudi(spark, t) is None
+
+
+def test_cluster_hudi_partitioned_and_mor(spark, tmp_path):
+    """Partitioned clustering folds each partition independently; MOR
+    tables cluster only when fully compacted (dirty slices refuse by
+    name), and the compacted cluster reads exactly."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        cluster_hudi,
+    )
+    from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+        compact_hudi,
+        upsert_hudi_mor,
+    )
+
+    t = str(tmp_path / "tp")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(12)],
+        "id long, p string, v double",
+    )
+    write_hudi(df, t, record_key="id", n_file_groups=3, partition_by="p")
+    before = sorted(tuple(r) for r in read_hudi(spark, t).collect())
+    ci = cluster_hudi(spark, t, sort_by="v")
+    assert ci is not None
+    assert sorted(tuple(r) for r in read_hudi(spark, t).collect()) == before
+    files = read_hudi(spark, t).inputFiles()
+    assert len(files) == 2, "one clustered group per partition"
+
+    # MOR: dirty slices refuse with the compact steer
+    tm = str(tmp_path / "tm")
+    write_hudi(
+        _df(spark, [(i, f"s{i}", float(i)) for i in range(8)]),
+        tm, record_key="id", n_file_groups=3,
+        table_type="MERGE_ON_READ",
+    )
+    upsert_hudi_mor(spark, tm, _df(spark, [(3, "u3", 33.0)]))
+    with pytest.raises(NotImplementedError, match="compact"):
+        cluster_hudi(spark, tm)
+    compact_hudi(spark, tm)
+    want = sorted(tuple(r) for r in read_hudi(spark, tm).collect())
+    assert cluster_hudi(spark, tm) is not None
+    assert sorted(tuple(r) for r in read_hudi(spark, tm).collect()) == want
+    assert len(read_hudi(spark, tm).inputFiles()) == 1

@@ -243,6 +243,7 @@ def test_hudi_stream_ordering_keyed_mor(spark, tmp_path):
         upsert_hudi_mor,
     )
 
+    register_hudi_stream(spark)
     t = str(tmp_path / "t")
     ckpt = str(tmp_path / "ckpt")
     write_hudi(
@@ -294,3 +295,32 @@ def test_hudi_stream_ordering_keyed_mor(spark, tmp_path):
     sink.clear()
     _run(spark, t, ckpt, sink)
     assert sink == []
+
+
+def test_hudi_stream_cluster_in_range_delivers_nothing(spark, tmp_path):
+    """r15: a CLUSTER commit in the stream's range delivers NOTHING
+    (layout-only, rows keep their stamps — same contract as
+    compaction), and the stream keeps working across it."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        cluster_hudi,
+    )
+
+    register_hudi_stream(spark)
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    write_hudi(
+        _df(spark, [(i, f"s{i}", float(i)) for i in range(6)]),
+        t, record_key="id", n_file_groups=3,
+    )
+    sink: list = []
+    _run(spark, t, ckpt, sink)
+    assert sorted(r[0] for r in sink) == list(range(6))
+    assert cluster_hudi(spark, t, sort_by=["id"]) is not None
+    sink.clear()
+    _run(spark, t, ckpt, sink)
+    assert sink == []
+    # post-cluster upserts still stream their post-images
+    upsert_hudi(spark, t, _df(spark, [(2, "u2", 22.0)]))
+    sink.clear()
+    _run(spark, t, ckpt, sink)
+    assert sink == [(2, "u2", 22.0)]
