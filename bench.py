@@ -258,6 +258,12 @@ HEADLINE = [
     # comparisons left the per-overlapping-key path or clean slices
     # left the vectorized leg).
     "lakehouse_hudi_mor_ordering_agg",
+    # Round-15 late: clustering (staging warm; timed work is the
+    # single-clustered-file vectorized read plus the in-query layout
+    # RAISE pass — one metadata walk, one single-column sortedness
+    # scan, one empty incremental plan; a regression here means the
+    # clustered read stopped being one clean vectorized file scan).
+    "lakehouse_hudi_cluster_agg",
     # Round-14: transformWithStateInPandas running totals (staging
     # warm; timed work is the state-v2 query drain — RocksDB store
     # init, protobuf state protocol round-trips per key group, Arrow

@@ -2901,6 +2901,105 @@ def _stage_hudi_mor_ordering(spark: SparkSession, sf_dir: str) -> str:
 
 
 @query(
+    "lakehouse_hudi_cluster_agg",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "NEW r15-late: Hudi CLUSTERING as a graded surface — events "
+        "staged as 6 small file groups, clustered into ONE group "
+        "SORTED by event_id under a replace-style CLUSTER commit, then "
+        "clean retires the replaced groups (the r15 leak fix: replaced "
+        "files used to survive clean forever). The read must equal the "
+        "plain events aggregate (clustering is layout-only). RAISES "
+        "unless the timeline is INSERT/CLUSTER, exactly one live file "
+        "remains with the six originals physically deleted, the file "
+        "is globally SORTED on event_id (verified from the data — the "
+        "locality contract downstream range pruning relies on), and "
+        "the incremental pull across the cluster commit is EMPTY "
+        "(rows kept their original stamps)"
+    ),
+)
+def lakehouse_hudi_cluster_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        hudi_timeline,
+        read_hudi,
+        read_hudi_incremental,
+    )
+
+    table = _stage_hudi_cluster(spark, sf_dir)
+    tl = hudi_timeline(spark, table).collect()
+    ops = [r.operation for r in tl]
+    if ops != ["INSERT", "CLUSTER"]:
+        raise RuntimeError(
+            f"cluster staging expected INSERT/CLUSTER timeline, got {ops}"
+        )
+    ev = read_hudi(spark, table)
+    files = ev.inputFiles()
+    if len(files) != 1:
+        raise RuntimeError(
+            f"clustering left {len(files)} live files, expected 1"
+        )
+    n_parquet = sum(
+        1 for n in os.listdir(table) if n.endswith(".parquet")
+    )
+    if n_parquet != 1:
+        raise RuntimeError(
+            f"{n_parquet} parquet files on disk after clean — the "
+            "replaced groups must be physically retired (r15 leak fix)"
+        )
+    import pyarrow.parquet as _pq
+
+    ids = (
+        _pq.read_table(
+            files[0].replace("file://", ""), columns=["event_id"]
+        )
+        .column("event_id")
+        .to_pylist()
+    )
+    if any(a > b for a, b in zip(ids, ids[1:])):
+        raise RuntimeError(
+            "clustered file is not sorted on event_id — the layout "
+            "contract clustering exists for"
+        )
+    inc = read_hudi_incremental(
+        spark, table, from_instant=tl[0].instant
+    )
+    if inc.count() != 0:
+        raise RuntimeError(
+            "cluster commit leaked rows into the incremental pull — "
+            "rows must keep their original commit stamps"
+        )
+    return _agg_by_type(ev)
+
+
+def _stage_hudi_cluster(spark: SparkSession, sf_dir: str) -> str:
+    """INSERT (6 small groups) + sorted CLUSTER + clean — the r15
+    table-services staging."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        clean_hudi,
+        cluster_hudi,
+        write_hudi,
+    )
+
+    def build(spark: SparkSession, table: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_hudi(ev, table, record_key="event_id", n_file_groups=6)
+        assert cluster_hudi(spark, table, sort_by=["event_id"]) is not None
+        clean_hudi(table, keep_last=1)
+
+    key = _events_cache_key(spark, sf_dir)
+    return _staged_iceberg_locked(
+        spark, f"/tmp/ssp_hudi_cluster_{key}", build
+    )
+
+
+@query(
     "lakehouse_hudi_compaction_agg",
     oracle="""
         WITH merged AS (

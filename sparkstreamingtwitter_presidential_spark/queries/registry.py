@@ -222,13 +222,19 @@ GRADED_FIRST: list[str] = [
     # physical-named stats, and zorder stays in
     # tests/test_queries_oracle.py + bench).
     "lakehouse_delta_mapped_dml_agg",
-    # Round-8: partition-pruned native Hudi read (in-query RAISE
-    # unless dir-level pruning removed files — the Delta/Iceberg
-    # partitioned twins' third member; r7 verdict item 3). Ceded:
-    # text_oov_rate (r5+r6+r7 driver-green, three rounds; the text
-    # family keeps c4/unigram/repetition graded; stays in
-    # tests/test_queries_oracle.py).
-    "lakehouse_hudi_partitioned_agg",
+    # Round-15 (late): Hudi CLUSTERING + the replaced-group clean leak
+    # fix as a graded surface — 6 small groups fold into ONE
+    # event_id-SORTED group under a replace-style CLUSTER commit, then
+    # clean physically retires the replaced bases; RAISEs pin the
+    # INSERT/CLUSTER timeline, the single live+on-disk file, the
+    # global sort (the locality contract), and the EMPTY incremental
+    # pull across the cluster commit (original stamps). Graded on
+    # arrival per rotation policy. Ceded: lakehouse_hudi_partitioned_agg
+    # (r8-r14 driver-green, SEVEN consecutive windows; the dir-pruning
+    # RAISE shape stays graded via the Delta/Iceberg partitioned twins,
+    # partitioned-MOR pruning stays pytest-pinned, and the query stays
+    # in tests/test_queries_oracle.py and bench).
+    "lakehouse_hudi_cluster_agg",
     # Round-5 late additions: corpus hygiene (benchmark decontamination,
     # Lee-et-al exact duplicated-span stats, signed random projection).
     # Ceded: tpch_q1_pricing_summary (r1-r4 driver-green; the simplest
