@@ -1375,7 +1375,13 @@ def upsert_hudi(
     is routed as delete-from-old-group + insert-into-new-partition
     (the global-index update-partition-path semantic) — never
     rewritten in place under the stale dir, which would silently break
-    read_hudi's exact partition pruning. Duplicate source keys are
+    read_hudi's exact partition pruning. ORDERING-KEYED tables (r15,
+    hoodie.table.precombine.field) apply DefaultHoodieRecordPayload at
+    write time: a matched source row whose ordering value is strictly
+    below the existing row's (both non-null) LOSES — copied over
+    unchanged with its original stamps (incremental pulls and row
+    changes stay silent for it), and a stale partition move stays put.
+    Duplicate source keys are
     ambiguous — refused, same as the MERGE twins. MERGE_ON_READ tables
     dispatch to the log-appending upsert (sources/hudi_mor.py)."""
     props = _load_props(path)
@@ -1471,9 +1477,28 @@ def upsert_hudi(
     )
     m = F.coalesce(F.col("__matched"), F.lit(False))
     e = F.coalesce(F.col("__existing"), F.lit(False))
+    pre = props.get("hoodie.table.precombine.field") or None
+    if pre is not None:
+        # ordering-keyed CoW (r15): DefaultHoodieRecordPayload applies
+        # at WRITE time — a matched source row loses to the existing
+        # row ONLY when both ordering values are non-null and the
+        # source's is strictly lower (ties and nulls → the later write
+        # wins); a losing row is copied over UNCHANGED with its
+        # original stamps, so incremental pulls and row changes stay
+        # silent for it. Without this gate, declaring precombine on a
+        # CoW table would silently let stale upserts win.
+        src_ov = F.col(f"__src_{pre}")
+        ex_ov = F.col(pre)
+        w = m & ~(
+            e & src_ov.isNotNull() & ex_ov.isNotNull() & (src_ov < ex_ov)
+        )
+    else:
+        w = m
     if pcols:
         src_part = _part_path_expr(pcols, name=lambda c: f"__src_{c}")
-        moved = m & e & (src_part != F.col("__part"))
+        # a STALE moved row loses entirely: it stays in its old
+        # partition unchanged (w gates the move like the MOR twin)
+        moved = w & e & (src_part != F.col("__part"))
     else:
         src_part = F.lit("")
         moved = F.lit(False)
@@ -1487,11 +1512,11 @@ def upsert_hudi(
     out = joined.select(
         F.when(stay, F.col("__part")).otherwise(src_part).alias("__part"),
         F.when(stay, F.col("__fid")).otherwise(ins_fid).alias("__fid"),
-        F.when(m, F.lit(instant))
+        F.when(w, F.lit(instant))
         .otherwise(F.col("_hoodie_commit_time"))
         .alias("__ct"),
         F.when(
-            m,
+            w,
             F.concat_ws(
                 "_",
                 F.lit(instant),
@@ -1501,7 +1526,7 @@ def upsert_hudi(
         .otherwise(F.col("_hoodie_commit_seqno"))
         .alias("__sq"),
         *[
-            F.when(m, F.col(f"__src_{c}"))
+            F.when(w, F.col(f"__src_{c}"))
             .otherwise(F.col(c))
             .alias(c)
             for c in tcols

@@ -1257,3 +1257,66 @@ def test_cluster_hudi_partitioned_and_mor(spark, tmp_path):
     assert cluster_hudi(spark, tm) is not None
     assert sorted(tuple(r) for r in read_hudi(spark, tm).collect()) == want
     assert len(read_hudi(spark, tm).inputFiles()) == 1
+
+
+def test_cow_precombine_ordering_upsert(spark, tmp_path):
+    """r15: ordering-keyed CoW upserts — DefaultHoodieRecordPayload at
+    write time: a stale source row loses (copied over unchanged, no
+    new stamp — the change surfaces stay silent), a fresh one wins,
+    ties go to the later write, and a stale partition move stays put."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        hudi_row_changes,
+        read_hudi_incremental,
+    )
+
+    t = str(tmp_path / "t")
+    i1 = write_hudi(
+        _df(spark, [(i, f"s{i}", float(i) + 10) for i in range(8)]),
+        t, record_key="id", n_file_groups=2, precombine="v",
+    )
+    # fresh wins
+    upsert_hudi(spark, t, _df(spark, [(3, "hi3", 99.0)]))
+    # stale loses (vs the fresh log... vs the winning row AND a base row)
+    i3 = upsert_hudi(
+        spark, t, _df(spark, [(3, "lo3", 1.0), (5, "lo5", 1.0)])
+    )
+    # tie goes to the later write
+    upsert_hudi(spark, t, _df(spark, [(6, "tie6", 16.0)]))
+    snap = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert snap[3] == ("hi3", 99.0), "stale upsert must lose"
+    assert snap[5] == ("s5", 15.0), "stale upsert must lose to the base"
+    assert snap[6] == ("tie6", 16.0), "ordering tie goes to the later write"
+    # the losing commit is silent on every change surface
+    assert hudi_row_changes(spark, t, i3, keys=["id"]).count() == 0
+    inc = sorted(
+        tuple(r)
+        for r in read_hudi_incremental(spark, t, from_instant=i1)
+        .select("id", "s", "v")
+        .collect()
+    )
+    assert inc == [(3, "hi3", 99.0), (6, "tie6", 16.0)]
+    # a mixed commit applies per-row: one row wins, one loses
+    upsert_hudi(spark, t, _df(spark, [(0, "w0", 50.0), (1, "l1", 0.5)]))
+    snap = {r.id: (r.s, r.v) for r in read_hudi(spark, t).collect()}
+    assert snap[0] == ("w0", 50.0) and snap[1] == ("s1", 11.0)
+
+
+def test_cow_precombine_stale_partition_move_stays(spark, tmp_path):
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        write_hudi as _wh,
+    )
+
+    t = str(tmp_path / "tp")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i) + 10) for i in range(8)],
+        "id long, p string, v double",
+    )
+    _wh(df, t, record_key="id", partition_by="p", precombine="v")
+    ups = spark.createDataFrame(
+        [(2, "b", 1.0), (4, "b", 99.0)], "id long, p string, v double"
+    )
+    upsert_hudi(spark, t, ups)
+    got = {r.id: (r.p, r.v) for r in read_hudi(spark, t).collect()}
+    assert got[2] == ("a", 12.0), "stale moved row must stay put"
+    assert got[4] == ("b", 99.0), "fresh moved row must land in p=b"
+    assert len(got) == 8, "no duplicated keys across partitions"
