@@ -2951,16 +2951,21 @@ def lakehouse_hudi_cluster_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{n_parquet} parquet files on disk after clean — the "
             "replaced groups must be physically retired (r15 leak fix)"
         )
+    import pyarrow.compute as _pc
     import pyarrow.parquet as _pq
 
-    ids = (
+    col = (
         _pq.read_table(
             files[0].replace("file://", ""), columns=["event_id"]
         )
         .column("event_id")
-        .to_pylist()
+        .combine_chunks()
     )
-    if any(a > b for a, b in zip(ids, ids[1:])):
+    # vectorized monotonicity check (no Python-list materialization —
+    # the probe stays a single C-kernel pass at any event count)
+    if len(col) > 1 and not _pc.all(
+        _pc.greater_equal(col.slice(1), col.slice(0, len(col) - 1))
+    ).as_py():
         raise RuntimeError(
             "clustered file is not sorted on event_id — the layout "
             "contract clustering exists for"
