@@ -1203,6 +1203,15 @@ def hudi_row_changes(
             full = os.path.join(path, st["path"])
             if os.path.isfile(full):
                 new_files.append(full)
+    # EMPTIED groups (r15): a DELETE/UPSERT that removed or moved a
+    # group's every row records it only in partitionToReplaceFileIds —
+    # no write stat. The old side must still include those groups, or
+    # their rows' 'delete' changes silently vanish from the feed.
+    # (Overwrite/CLUSTER replaces never reach here — both are handled
+    # above.)
+    for part, fids in (meta.get("partitionToReplaceFileIds") or {}).items():
+        for f in fids:
+            touched.add((part, f))
     # the previous instant over the FULL timeline (active ∪ archived):
     # for an archived target the active-only walk would pick a LATER
     # commit (or the old max(arch) fallback, which could postdate it)
@@ -1224,8 +1233,11 @@ def hudi_row_changes(
 
     def _read(files: list[str]) -> DataFrame:
         if not files:
-            # schema from the new side (a commit always writes files)
-            return spark.read.parquet(*new_files).drop(*META_COLS).limit(0)
+            # schema from whichever side HAS files (an all-emptied
+            # DELETE commit writes none — r15 — and its old side is
+            # never empty since the emptied groups existed before)
+            src = new_files or old_files
+            return spark.read.parquet(*src).drop(*META_COLS).limit(0)
         return spark.read.parquet(*files).drop(*META_COLS)
 
     new = _read(new_files)
@@ -1557,6 +1569,126 @@ def upsert_hudi(
             emptied.setdefault(r["__part"], []).append(r["__fid"])
     commit_meta: dict[str, Any] = {
         "operationType": "UPSERT",
+        "partitionToWriteStats": stats,
+    }
+    if emptied:
+        commit_meta["partitionToReplaceFileIds"] = {
+            p: sorted(v) for p, v in sorted(emptied.items())
+        }
+    if extra_metadata:
+        commit_meta["extraMetadata"] = dict(extra_metadata)
+    _complete_instant(path, instant, commit_meta)
+    return instant
+
+
+def delete_hudi(
+    spark: SparkSession,
+    path: str,
+    deletes: DataFrame,
+    record_key: str | None = None,
+    extra_metadata: dict[str, str] | None = None,
+) -> str | None:
+    """DELETE commit (r15 — the missing write operation: MOR had
+    ``upsert_hudi_mor(deletes=)`` and ``hudi_row_changes`` already
+    derives deletes-by-absence, but CoW had no way to PRODUCE one).
+    ``deletes`` carries the record-key column; keys already absent are
+    ignored (Hudi's delete semantics) and an all-absent call is a
+    no-op returning None.
+
+    CoW: each matched file group rewrites WITHOUT the deleted rows —
+    surviving rows copy over with their ORIGINAL stamps, so
+    incremental pulls and the streaming source stay silent (post-image
+    feeds cannot express deletes — the documented contract) while
+    ``hudi_row_changes`` derives exact 'delete' rows from the absence.
+    A group whose every row died is recorded in
+    partitionToReplaceFileIds (the emptied-group contract
+    ``upsert_hudi`` already uses), so its stale slice stops being
+    selected and ``clean_hudi`` retires it. Explicit deletes are HARD
+    deletes: they apply regardless of any
+    ``hoodie.table.precombine.field`` (the user's intent is explicit
+    and materializes at write time — real Hudi's
+    EmptyHoodieRecordPayload shape); MOR delete blocks differ because
+    their decision replays at READ time, which is why that path
+    requires the ordering column.
+
+    MERGE_ON_READ dispatches to the log-appending delete
+    (``upsert_hudi_mor(deletes=)``) — on ordering-keyed MOR tables the
+    deletes frame must carry the precombine column, per the r15 delete
+    blocks. Cost ∝ matched groups in bytes, one routing join + one
+    bulk write job."""
+    props = _load_props(path)
+    if _is_mor(props):
+        from sparkstreamingtwitter_presidential_spark.sources.hudi_mor import (
+            upsert_hudi_mor,
+        )
+
+        return upsert_hudi_mor(
+            spark,
+            path,
+            deletes=deletes,
+            record_key=record_key,
+            extra_metadata=extra_metadata,
+        )
+    key = record_key or props.get("hoodie.table.recordkey.fields")
+    if not key:
+        raise NotImplementedError(
+            "foreign Hudi table without hoodie.table.recordkey.fields; "
+            "pass record_key= explicitly"
+        )
+    if key not in deletes.columns:
+        raise ValueError(
+            f"record_key {key!r} not in deletes {deletes.columns}"
+        )
+    dk = deletes.select(
+        F.col(key).cast("string").alias("__dk")
+    ).distinct()
+    snap = read_hudi(spark, path, keep_meta=True)
+    tcols = [c for c in snap.columns if c not in META_COLS]
+    file_col = F.element_at(F.split("_hoodie_file_name", "_"), 1)
+    keyed = snap.withColumn("__fid", file_col).withColumn(
+        "__part", F.col("_hoodie_partition_path")
+    )
+    matches = (
+        keyed.join(
+            dk, keyed["_hoodie_record_key"] == F.col("__dk"), "leftsemi"
+        )
+        .select("__part", "__fid")
+        .distinct()
+        .collect()
+    )
+    if not matches:
+        return None  # nothing to delete: no commit (mirror MOR no-op)
+    matched_fids = sorted({r["__fid"] for r in matches})
+    instant = _new_instant(path)
+    survivors = keyed.filter(F.col("__fid").isin(matched_fids)).join(
+        dk, keyed["_hoodie_record_key"] == F.col("__dk"), "left_anti"
+    )
+    out = survivors.select(
+        "__part",
+        "__fid",
+        F.col("_hoodie_commit_time").alias("__ct"),
+        F.col("_hoodie_commit_seqno").alias("__sq"),
+        *tcols,
+    )
+    names = _write_slices_bulk(out, path, key, instant)
+    stats: dict[str, list[dict]] = {}
+    written: set[tuple[str, str]] = set()
+    for n in names:
+        part, base = os.path.split(n)
+        stats.setdefault(part, []).append(
+            {
+                "path": n,
+                "fileId": base.split("_")[0],
+                "fileSizeInBytes": os.path.getsize(os.path.join(path, n)),
+            }
+        )
+        written.add((part, base.split("_")[0]))
+    emptied: dict[str, list[str]] = {}
+    for r in matches:
+        if (r["__part"], r["__fid"]) not in written:
+            emptied.setdefault(r["__part"], []).append(r["__fid"])
+    commit_meta: dict[str, Any] = {
+        "operationType": "DELETE",
         "partitionToWriteStats": stats,
     }
     if emptied:

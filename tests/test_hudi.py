@@ -1320,3 +1320,90 @@ def test_cow_precombine_stale_partition_move_stays(spark, tmp_path):
     assert got[2] == ("a", 12.0), "stale moved row must stay put"
     assert got[4] == ("b", 99.0), "fresh moved row must land in p=b"
     assert len(got) == 8, "no duplicated keys across partitions"
+
+
+def test_delete_hudi_cow(spark, tmp_path):
+    """r15: explicit CoW DELETE — matched groups rewrite without the
+    deleted rows (survivors keep their stamps, so incremental pulls
+    stay silent), hudi_row_changes derives exact 'delete' rows from
+    the absence, absent keys no-op, and MOR dispatch appends delete
+    blocks."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        delete_hudi,
+        hudi_row_changes,
+        hudi_timeline,
+        read_hudi_incremental,
+    )
+
+    t = str(tmp_path / "t")
+    i1 = write_hudi(
+        _df(spark, [(i, f"s{i}", float(i)) for i in range(8)]),
+        t, record_key="id", n_file_groups=2,
+    )
+    d = delete_hudi(spark, t, spark.createDataFrame([(3,), (5,)], "id long"))
+    assert d is not None
+    assert sorted(r.id for r in read_hudi(spark, t).collect()) == [
+        0, 1, 2, 4, 6, 7,
+    ]
+    ops = [r.operation for r in hudi_timeline(spark, t).collect()]
+    assert ops == ["INSERT", "DELETE"]
+    # survivors copied with ORIGINAL stamps: the pull sees nothing
+    assert read_hudi_incremental(spark, t, from_instant=i1).count() == 0
+    ch = {
+        (r.id, r._change_type): r.s
+        for r in hudi_row_changes(spark, t, d, keys=["id"]).collect()
+    }
+    assert ch == {(3, "delete"): "s3", (5, "delete"): "s5"}
+    # keys already absent: no commit at all
+    n = len(hudi_timeline(spark, t).collect())
+    assert delete_hudi(spark, t, spark.createDataFrame([(99,)], "id long")) is None
+    assert len(hudi_timeline(spark, t).collect()) == n
+    # MOR dispatch
+    tm = str(tmp_path / "tm")
+    write_hudi(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), tm,
+        record_key="id", table_type="MERGE_ON_READ",
+    )
+    assert delete_hudi(spark, tm, spark.createDataFrame([(1,)], "id long"))
+    assert [r.id for r in read_hudi(spark, tm).collect()] == [2]
+
+
+def test_delete_hudi_empties_group(spark, tmp_path):
+    """Deleting a group's every row records the group in
+    partitionToReplaceFileIds (no write stat), the change feed still
+    emits its 'delete' rows (the r15 emptied-group fix in
+    hudi_row_changes), and clean retires the dead base."""
+    from sparkstreamingtwitter_presidential_spark.sources.hudi import (
+        delete_hudi,
+        hudi_row_changes,
+    )
+
+    t = str(tmp_path / "t")
+    write_hudi(
+        _df(spark, [(i, f"s{i}", float(i)) for i in range(8)]),
+        t, record_key="id", n_file_groups=2,
+    )
+    snap = read_hudi(spark, t, keep_meta=True)
+    by_fid = {}
+    for r in snap.collect():
+        by_fid.setdefault(r._hoodie_file_name.split("_")[0], []).append(r.id)
+    victim_fid, victim_ids = sorted(by_fid.items())[0]
+    d = delete_hudi(
+        spark, t,
+        spark.createDataFrame([(i,) for i in victim_ids], "id long"),
+    )
+    meta = json.load(
+        open(os.path.join(t, ".hoodie", f"{d}.commit"))
+    )
+    assert meta["partitionToReplaceFileIds"] == {"": [victim_fid]}
+    assert meta["partitionToWriteStats"] == {}
+    survivors = sorted(r.id for r in read_hudi(spark, t).collect())
+    assert survivors == sorted(set(range(8)) - set(victim_ids))
+    ch = {
+        (r.id, r._change_type)
+        for r in hudi_row_changes(spark, t, d, keys=["id"]).collect()
+    }
+    assert ch == {(i, "delete") for i in victim_ids}
+    deleted = clean_hudi(t, keep_last=1)
+    assert len(deleted) == 1, "the emptied group's base must retire"
+    assert sorted(r.id for r in read_hudi(spark, t).collect()) == survivors
