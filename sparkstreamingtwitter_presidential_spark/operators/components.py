@@ -44,12 +44,57 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     approximation. With pointer jumping, max_iter=25 covers diameters
     up to ~2^25.
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-        .distinct()
+    # Both edge directions from ONE evaluation of ``pairs``: the old
+    # two-branch union re-ran the (potentially expensive) pair plan —
+    # e.g. the blocked cosine self-join feeding semantic dedup — once
+    # per branch inside the same materialization (r15 measurement:
+    # half the edge-build cost at sf0.1). explode fans each pair into
+    # its two directions in a single pass; the resulting edge SET is
+    # identical.
+    both = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("u"), F.col("id_a").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .persist()
     )
+    n_directed = both.count()  # materialize once; also sizes the loop
+
+    # Scale-adaptive loop parallelism (guide §2: derive partitioning
+    # from input size, not from a constant tuned for one deployment).
+    # The iteration frames are proportional to the NEAR-DUP EDGE SET,
+    # which is orders of magnitude smaller than the corpus; running
+    # every round at the session's corpus-sized shuffle width spends
+    # more time scheduling empty tasks than propagating labels
+    # (measured 2.4x the loop cost at sf0.1). ~4M directed edges
+    # (~64 MB of (u,v) longs) per reduce partition, capped at the
+    # session's configured width so a genuinely huge graph keeps full
+    # parallelism.
+    spark = pairs.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    loop_parts = max(1, min(int(old_parts), n_directed // 4_000_000 + 1))
+    spark.conf.set(conf_key, str(loop_parts))
+    try:
+        return _cc_loop(both, max_iter)
+    finally:
+        spark.conf.set(conf_key, old_parts)
+        both.unpersist()
+
+
+def _cc_loop(both: DataFrame, max_iter: int) -> DataFrame:
+    """Pointer-jumping core of connected_components, run under the
+    loop-scoped shuffle width its caller established."""
+    edges = both.distinct().persist()
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()

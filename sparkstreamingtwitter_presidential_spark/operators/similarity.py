@@ -66,7 +66,14 @@ HYPERPLANES: list[list[float]] = [
 
 
 def _dot_with_constants(vec: Column, plane: list[float]) -> Column:
-    arr = F.array(*[F.lit(x) for x in plane])
+    # One array<double> literal, NOT F.array(*[F.lit(x) ...]): the
+    # per-element form costs |plane| py4j round-trips and |plane|
+    # Catalyst nodes PER CALL SITE — with 16 centroids x 64 dims that
+    # was ~1k round-trips per probe_cells() and a plan Catalyst spends
+    # seconds analyzing (r15 measurement: ivf_search/ivf_assign plan
+    # BUILD alone ~2.7 s warm). A single Literal carries the same
+    # values; zip_with evaluates identically element-by-element.
+    arr = F.lit([float(x) for x in plane])
     return F.aggregate(
         F.zip_with(vec, arr, lambda v, p: v.cast("double") * p),
         F.lit(0.0),
@@ -180,6 +187,15 @@ def ivf_index(
         )
         .withColumn("features", array_to_vector(F.col("nv")))
     )
+    # Persist the features frame across the fit's iterations AND the
+    # subsequent transform: MLlib's internal instance cache does not
+    # cover re-evaluating this plan (parquet scan + norm/normalize HOFs
+    # + array_to_vector), and measured fit time drops ~2.4x with the
+    # explicit persist (r15; partitioning unchanged, so the fit's
+    # aggregation order and the centroids are bit-identical). Blocks
+    # are released by the ContextCleaner once the returned frame's
+    # lineage is collected — same lifecycle as ivf_search's persist.
+    base = base.persist()
     km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
     model = km.fit(base)
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
@@ -195,17 +211,29 @@ def probe_cells(
     ids. Ranking uses argmin ||q - c||^2 == argmax (q.c - |c|^2/2) with
     |q| constant, so only one dot product per centroid is evaluated —
     and only on the tiny query side; the corpus is never rescored."""
-    scored = [
-        F.struct(
+    # One literal per centroid plus one literal bias vector, folded by a
+    # single transform-with-index — NOT one hand-built struct tree per
+    # centroid (16x the Catalyst nodes and py4j calls for identical
+    # values; see _dot_with_constants). Scores and the struct sort
+    # order are bit-identical to the unrolled form: same zip_with
+    # arithmetic per centroid, same (s desc, cell desc) struct compare.
+    cents = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    biases = F.lit([0.5 * sum(x * x for x in c) for c in centroids])
+    scored = F.transform(
+        cents,
+        lambda c, j: F.struct(
             (
-                _dot_with_constants(nv, c)
-                - F.lit(0.5 * sum(x * x for x in c))
+                F.aggregate(
+                    F.zip_with(nv, c, lambda v, p: v.cast("double") * p),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                - F.element_at(biases, j + 1)
             ).alias("s"),
-            F.lit(j).alias("cell"),
-        )
-        for j, c in enumerate(centroids)
-    ]
-    top = F.slice(F.sort_array(F.array(*scored), asc=False), 1, n_probe)
+            j.cast("int").alias("cell"),
+        ),
+    )
+    top = F.slice(F.sort_array(scored, asc=False), 1, n_probe)
     return F.transform(top, lambda p: p.getField("cell"))
 
 

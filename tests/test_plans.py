@@ -189,8 +189,12 @@ def test_ivf_production_path_is_single_treatment(spark):
     a = plan_audit(df)
     assert "MapInPandas" not in a.text, "exact brute-force twin leaked in"
     # corpus is read once into the persisted assignment table; both the
-    # query side and the candidate join consume the cache
-    assert a.text.count("InMemoryTableScan") == 2
+    # query side and the candidate join consume the cache. Since r15
+    # the KMeans feature frame is ALSO persisted (fit-time win), and it
+    # feeds the assignment table, so each of the two assignment-cache
+    # consumers prints a nested scan of the feature cache: 2 consumers
+    # x (assignment cache + nested feature cache) = 4.
+    assert a.text.count("InMemoryTableScan") == 4
     assert "CartesianProduct" not in a.text
 
 
