@@ -1112,17 +1112,13 @@ def streaming_delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_delta_stream(spark)
     scratch = tempfile.mkdtemp(prefix="ssp_delta_cdf_drain_")
     out = os.path.join(scratch, "out")
-    batch_marks: list[tuple[int, int, frozenset]] = []
-
     def sink(df: DataFrame, bid: int) -> None:
-        df.write.mode("append").parquet(out)
-        marks = df.groupBy("_commit_version").agg(
-            F.collect_set("_change_type").alias("types")
-        ).collect()
-        for r in marks:
-            batch_marks.append(
-                (bid, int(r["_commit_version"]), frozenset(r["types"]))
-            )
+        # Stamp the micro-batch id INTO the sink rows instead of running
+        # a separate per-batch mark-collect job (r15: one chronology
+        # aggregation over the finished sink replaces three per-batch
+        # driver collects; the chronology evidence is identical because
+        # (_bid, _commit_version, _change_type) survives in the files).
+        df.withColumn("_bid", F.lit(bid)).write.mode("append").parquet(out)
 
     q = (
         spark.readStream.format("delta_native")
@@ -1140,6 +1136,13 @@ def streaming_delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(30)
+    sink_rows = spark.read.parquet(out)
+    batch_marks = [
+        (int(r["_bid"]), int(r["_commit_version"]), frozenset(r["types"]))
+        for r in sink_rows.groupBy("_bid", "_commit_version")
+        .agg(F.collect_set("_change_type").alias("types"))
+        .collect()
+    ]
     versions = [v for _bid, v, _t in sorted(batch_marks)]
     if versions != [0, 1, 2]:
         raise RuntimeError(
