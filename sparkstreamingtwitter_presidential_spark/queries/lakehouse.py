@@ -1199,7 +1199,7 @@ def streaming_delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lakehouse_delta_restore_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstreamingtwitter_presidential_spark.sources.delta import (
-        describe_history,
+        history_infos,
         restore_delta,
     )
 
@@ -1215,8 +1215,7 @@ def lakehouse_delta_restore_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         restore_delta(spark, table, 0)
 
     table = _dml_staged_delta(spark, sf_dir, "restore", build)
-    hist = describe_history(spark, table).orderBy("version").collect()
-    ops = [r.operation for r in hist]
+    ops = [c["operation"] for c in history_infos(table)]
     if ops != ["WRITE", "WRITE", "RESTORE"]:
         raise RuntimeError(
             f"unexpected history {ops}: want append, overwrite, RESTORE "
@@ -1544,16 +1543,11 @@ def lakehouse_iceberg_time_travel_agg(
 ) -> DataFrame:
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         read_iceberg,
-        table_snapshots,
+        snapshot_infos,
     )
 
     table = _staged_events_iceberg(spark, sf_dir)
-    first = (
-        table_snapshots(spark, table)
-        .orderBy("sequence_number")
-        .first()
-        .snapshot_id
-    )
+    first = snapshot_infos(table)[0]["snapshot_id"]
     ev = read_iceberg(spark, table, snapshot_id=first)
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -1582,16 +1576,11 @@ def lakehouse_iceberg_incremental_agg(
 ) -> DataFrame:
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         read_iceberg_incremental,
-        table_snapshots,
+        snapshot_infos,
     )
 
     table = _staged_events_iceberg(spark, sf_dir)
-    first = (
-        table_snapshots(spark, table)
-        .orderBy("sequence_number")
-        .first()
-        .snapshot_id
-    )
+    first = snapshot_infos(table)[0]["snapshot_id"]
     ev = read_iceberg_incremental(spark, table, from_snapshot=first)
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -1999,7 +1988,7 @@ def _staged_iceberg_dml(spark: SparkSession, sf_dir: str) -> str:
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         delete_iceberg,
         merge_iceberg,
-        table_snapshots,
+        snapshot_infos,
         update_iceberg,
         write_iceberg,
     )
@@ -2025,12 +2014,7 @@ def _staged_iceberg_dml(spark: SparkSession, sf_dir: str) -> str:
 
     key = _events_cache_key(spark, sf_dir)
     table = _staged_iceberg_locked(spark, f"/tmp/ssp_iceberg_dml_{key}", build)
-    ops = [
-        r.operation
-        for r in table_snapshots(spark, table)
-        .orderBy("sequence_number")
-        .collect()
-    ]
+    ops = [s["operation"] for s in snapshot_infos(table)]
     if ops != ["append", "delete", "overwrite", "overwrite"]:
         raise RuntimeError(
             f"iceberg DML staging committed {ops}, expected "
@@ -2115,14 +2099,12 @@ def lakehouse_iceberg_row_changes(
 ) -> DataFrame:
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         iceberg_row_changes,
-        table_snapshots,
+        snapshot_infos,
     )
 
     table = _staged_iceberg_dml(spark, sf_dir)
-    snaps = (
-        table_snapshots(spark, table).orderBy("sequence_number").collect()
-    )
-    update_sid = snaps[2].snapshot_id  # append/delete/UPDATE/merge
+    snaps = snapshot_infos(table)
+    update_sid = snaps[2]["snapshot_id"]  # append/delete/UPDATE/merge
     ch = iceberg_row_changes(spark, table, update_sid, keys=["event_id"])
     return ch.select(
         "event_id",
@@ -2232,7 +2214,7 @@ def lakehouse_iceberg_positional_delete_agg(
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         delete_iceberg_positional,
         read_iceberg,
-        table_snapshots,
+        snapshot_infos,
         write_iceberg,
     )
 
@@ -2252,12 +2234,7 @@ def lakehouse_iceberg_positional_delete_agg(
     table = _staged_iceberg_locked(
         spark, f"/tmp/ssp_iceberg_posdel2_{key}", build
     )
-    ops = [
-        r.operation
-        for r in table_snapshots(spark, table)
-        .orderBy("sequence_number")
-        .collect()
-    ]
+    ops = [s["operation"] for s in snapshot_infos(table)]
     if ops != ["append", "append", "delete"]:
         raise RuntimeError(
             f"positional-delete staging committed {ops}, expected "
@@ -2420,8 +2397,8 @@ def lakehouse_hudi_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lakehouse_hudi_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstreamingtwitter_presidential_spark.sources.hudi import (
-        hudi_timeline,
         read_hudi,
+        timeline_infos,
         upsert_hudi,
         write_hudi,
     )
@@ -2441,7 +2418,7 @@ def lakehouse_hudi_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = _events_cache_key(spark, sf_dir)
     table = _staged_iceberg_locked(spark, f"/tmp/ssp_hudi_dml_{key}", build)
-    ops = [r.operation for r in hudi_timeline(spark, table).collect()]
+    ops = [c["operation"] for c in timeline_infos(table)]
     if ops != ["INSERT", "UPSERT"]:
         raise RuntimeError(
             f"hudi staging committed {ops}, expected INSERT then UPSERT "
@@ -2479,8 +2456,8 @@ def lakehouse_hudi_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lakehouse_hudi_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstreamingtwitter_presidential_spark.sources.hudi import (
-        hudi_timeline,
         read_hudi_incremental,
+        timeline_infos,
         upsert_hudi,
         write_hudi,
     )
@@ -2501,7 +2478,7 @@ def lakehouse_hudi_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFram
     key = _events_cache_key(spark, sf_dir)
     # shares the INSERT+UPSERT staging with lakehouse_hudi_upsert_agg
     table = _staged_iceberg_locked(spark, f"/tmp/ssp_hudi_dml_{key}", build)
-    instants = [r.instant for r in hudi_timeline(spark, table).collect()]
+    instants = [c["instant"] for c in timeline_infos(table)]
     if len(instants) != 2:
         raise RuntimeError(
             f"hudi DML staging has {len(instants)} commits, expected "
@@ -2744,12 +2721,12 @@ def lakehouse_hudi_mor_incremental_agg(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from sparkstreamingtwitter_presidential_spark.sources.hudi import (
-        hudi_timeline,
         read_hudi_incremental,
+        timeline_infos,
     )
 
     table = _stage_hudi_mor(spark, sf_dir)
-    instants = [r.instant for r in hudi_timeline(spark, table).collect()]
+    instants = [c["instant"] for c in timeline_infos(table)]
     if len(instants) != 2:
         raise RuntimeError(
             f"MOR staging has {len(instants)} commits, expected 2"
@@ -2928,14 +2905,14 @@ def _stage_hudi_mor_ordering(spark: SparkSession, sf_dir: str) -> str:
 )
 def lakehouse_hudi_cluster_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkstreamingtwitter_presidential_spark.sources.hudi import (
-        hudi_timeline,
         read_hudi,
         read_hudi_incremental,
+        timeline_infos,
     )
 
     table = _stage_hudi_cluster(spark, sf_dir)
-    tl = hudi_timeline(spark, table).collect()
-    ops = [r.operation for r in tl]
+    tl = timeline_infos(table)
+    ops = [c["operation"] for c in tl]
     if ops != ["INSERT", "CLUSTER"]:
         raise RuntimeError(
             f"cluster staging expected INSERT/CLUSTER timeline, got {ops}"
@@ -2974,7 +2951,7 @@ def lakehouse_hudi_cluster_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contract clustering exists for"
         )
     inc = read_hudi_incremental(
-        spark, table, from_instant=tl[0].instant
+        spark, table, from_instant=tl[0]["instant"]
     )
     if inc.count() != 0:
         raise RuntimeError(
@@ -3325,7 +3302,7 @@ def lakehouse_delta_reorg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkstreamingtwitter_presidential_spark.sources.delta import (
         _replay_log,
-        describe_history,
+        history_infos,
     )
     from sparkstreamingtwitter_presidential_spark.sources.delta_dml import (
         delete_delta_dv,
@@ -3341,8 +3318,7 @@ def lakehouse_delta_reorg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         rewrite_deletion_vectors(spark, table)
 
     table = _dml_staged_delta(spark, sf_dir, "reorg", build)
-    hist = describe_history(spark, table).orderBy("version").collect()
-    ops = [r.operation for r in hist]
+    ops = [c["operation"] for c in history_infos(table)]
     if ops != ["WRITE", "DELETE", "REORG"]:
         raise RuntimeError(
             f"unexpected history {ops}: want WRITE/DELETE/REORG — an "
@@ -3478,7 +3454,6 @@ def lakehouse_iceberg_lineage_agg(
 ) -> DataFrame:
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
         _load_metadata,
-        read_iceberg,
         write_iceberg,
     )
     from sparkstreamingtwitter_presidential_spark.sources.iceberg_dv import (
@@ -3528,7 +3503,12 @@ def lakehouse_iceberg_lineage_agg(
     seq_append, seq_update, seq_merge = (
         s["sequence-number"] for s in snaps
     )
-    lin = read_iceberg_lineage(spark, table)
+    # persisted: the lineage-invariant validation aggregate below
+    # materializes this scan, and the returned aggregate reuses it —
+    # one table read per call instead of two (r15; the lineage read's
+    # visible rows ARE the snapshot read's, plus the two metadata
+    # columns, so aggregating over it is the same query).
+    lin = read_iceberg_lineage(spark, table).persist()
     ins = F.col("event_id") >= _INSERT_BASE
     expected_lus = (
         F.when(ins | (F.col("event_id") % 9 == 4), F.lit(seq_merge))
@@ -3567,7 +3547,7 @@ def lakehouse_iceberg_lineage_agg(
             f"{s.bad_carry} fresh_violations={s.bad_fresh} "
             f"last_updated_violations={s.bad_lus}"
         )
-    return _agg_by_type(read_iceberg(spark, table))
+    return _agg_by_type(lin)
 
 
 @query(

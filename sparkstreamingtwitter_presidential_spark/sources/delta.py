@@ -2392,6 +2392,35 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, _HISTORY_DDL)
 
 
+def history_infos(path: str) -> list[dict]:
+    """Driver-side commit chronology — (version, operation) per
+    RETAINED JSON commit, version-ordered. For callers that only
+    validate the operation sequence: the log is driver-resident, so
+    there is no Spark job and no per-action fold here (those belong to
+    :func:`describe_history`, the queryable frame). An r15
+    optimization: query paths used to pay a createDataFrame→collect
+    round trip per staging validation."""
+    log_dir = _log_path(path)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {path}")
+    out = []
+    for n in sorted(os.listdir(log_dir)):
+        v = _version_of(n, ".json")
+        if v is None:
+            continue
+        op = None
+        with open(os.path.join(log_dir, n)) as f:
+            for line in f:
+                if '"commitInfo"' not in line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    op = action["commitInfo"].get("operation")
+                    break
+        out.append({"version": v, "operation": op})
+    return out
+
+
 def expire_log(path: str, keep_from: int) -> list[int]:
     """Delete per-commit JSON files with version < ``keep_from`` and
     return the deleted versions — the engine's log-retention primitive

@@ -1315,6 +1315,24 @@ def hudi_table_changes(
     return reduce(DataFrame.unionByName, frames)
 
 
+def timeline_infos(path: str) -> list[dict]:
+    """Driver-side ACTIVE-timeline chronology — instant and operation
+    per completed commit, instant-ordered. For callers that only pick
+    or validate commits: the timeline is driver-resident metadata, so
+    there is no Spark job and no per-commit write-stats fold here
+    (those belong to :func:`hudi_timeline`, the queryable frame). An
+    r15 optimization: query paths used to pay a createDataFrame→collect
+    round trip per staging validation."""
+    _load_props(path)
+    return [
+        {
+            "instant": c,
+            "operation": _commit_meta(path, c).get("operationType"),
+        }
+        for c in _completed_commits(path)
+    ]
+
+
 def hudi_timeline(
     spark: SparkSession, path: str, include_archived: bool = False
 ) -> DataFrame:

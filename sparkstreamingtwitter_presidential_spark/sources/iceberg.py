@@ -2612,18 +2612,28 @@ def iceberg_row_changes(
     missing = [k for k in keys if k not in cols]
     if missing:
         raise ValueError(f"change keys not in table schema: {missing}")
-    old = _read(removed + both_affected_par, par_entries, par_dels)
-    new = _read(added + both_affected_cur, cur_entries, cur_dels)
-    for side, name in ((old, "removed"), (new, "added")):
-        dup = (
-            side.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+    # Both sides persist: the key-uniqueness validation job below
+    # materializes them, and the full-outer diff that follows reuses
+    # the cached rows — each side's touched files are read ONCE per
+    # derivation instead of twice (r15, guide §1.2: don't recompute
+    # what the same operation needs again).
+    old = _read(removed + both_affected_par, par_entries, par_dels).persist()
+    new = _read(added + both_affected_cur, cur_entries, cur_dels).persist()
+    dup = (
+        old.select(F.lit("removed").alias("__side"), *keys)
+        .unionByName(new.select(F.lit("added").alias("__side"), *keys))
+        .groupBy("__side", *keys)
+        .count()
+        .filter("count > 1")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"keys {keys} are not unique among the {dup[0]['__side']} "
+            f"rows (e.g. { {k: dup[0][k] for k in keys} }) — row-level "
+            "changes need a primary key"
         )
-        if dup:
-            raise ValueError(
-                f"keys {keys} are not unique among the {name} rows "
-                f"(e.g. { {k: dup[0][k] for k in keys} }) — row-level "
-                "changes need a primary key"
-            )
     from sparkstreamingtwitter_presidential_spark.sources.changefeed import (
         keyed_change_rows,
     )
@@ -2831,6 +2841,30 @@ def read_iceberg_incremental(
     ]
     empty = spark.createDataFrame([], spark_schema)
     return reduce(DataFrame.unionByName, [empty] + parts)
+
+
+def snapshot_infos(path: str) -> list[dict]:
+    """Driver-side snapshot chronology, sequence-ordered — id, parent,
+    sequence number, timestamp, operation. For callers that only pick
+    or validate snapshots: table metadata is already driver-resident,
+    so there is no Spark job and no manifest-list read here (those
+    belong to :func:`table_snapshots`, the queryable frame with file
+    stats). An r15 optimization: query paths used to pay a
+    createDataFrame→collect round trip per staging validation."""
+    meta = _load_metadata(path)
+    return sorted(
+        (
+            {
+                "snapshot_id": s["snapshot-id"],
+                "parent_id": s.get("parent-snapshot-id"),
+                "sequence_number": s.get("sequence-number", 0),
+                "timestamp_ms": s["timestamp-ms"],
+                "operation": (s.get("summary") or {}).get("operation"),
+            }
+            for s in meta.get("snapshots", [])
+        ),
+        key=lambda r: r["sequence_number"],
+    )
 
 
 def table_snapshots(spark: SparkSession, path: str) -> DataFrame:
