@@ -201,9 +201,13 @@ class _RunningTotals(StatefulProcessor):
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        count, value_sum = (
-            self._acc.get() if self._acc.exists() else (0, 0.0)
-        )
+        # One protocol round trip, not two: get() already answers the
+        # existence question (None when the variable is unset), so the
+        # exists() probe doubled the per-key state-server traffic —
+        # the dominant cost of this operator at high key cardinality
+        # (guide §4: the boundary crossings ARE the price; r15).
+        prev = self._acc.get()
+        count, value_sum = prev if prev is not None else (0, 0.0)
         batch = pd.concat(list(rows), ignore_index=True)
         if len(batch) == 0:
             return
