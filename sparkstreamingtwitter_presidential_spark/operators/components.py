@@ -81,13 +81,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # parallelism.
     spark = pairs.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
+    aqe_key = "spark.sql.adaptive.enabled"
     old_parts = spark.conf.get(conf_key)
+    old_aqe = spark.conf.get(aqe_key)
     loop_parts = max(1, min(int(old_parts), n_directed // 4_000_000 + 1))
     spark.conf.set(conf_key, str(loop_parts))
+    if loop_parts == 1:
+        # Single-partition loop shuffles leave AQE nothing to coalesce
+        # or skew-split — it only re-plans each round's two joins stage
+        # by stage, pure per-round driver latency over O(log d) rounds
+        # (measured ~1 s/call at sf0.1). A graph big enough for
+        # loop_parts > 1 keeps AQE: its skew-join handling is exactly
+        # what a hot-label neighbor join needs (guide §2.5).
+        spark.conf.set(aqe_key, "false")
     try:
         return _cc_loop(both, max_iter)
     finally:
         spark.conf.set(conf_key, old_parts)
+        spark.conf.set(aqe_key, old_aqe)
         both.unpersist()
 
 

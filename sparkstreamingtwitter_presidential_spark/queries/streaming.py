@@ -112,7 +112,15 @@ def _run_to_memory(stream_agg: DataFrame, mode: str = "complete") -> DataFrame:
     doc="ST5 NEW: watermarked 1h tumbling windows, streaming == batch recompute",
 )
 def streaming_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = read_events_stream(spark, _staged(spark, sf_dir))
+    # two micro-batches (4 staged files, 2 per trigger): one real
+    # cross-batch window-state handoff in the graded run — the same
+    # coverage-vs-cost point the state-v2 entry documents; per-batch
+    # state commits are the drain's dominant cost and the result is
+    # slicing-invariant (the full-drain == batch-recompute oracle).
+    # The pytest twin (test_streaming_tumbling_equals_batch) still
+    # drains at one file per trigger, keeping the deeper slicing
+    # covered.
+    stream = read_events_stream(spark, _staged(spark, sf_dir), files_per_trigger=2)
     return _run_to_memory(tumbling_aggregate(stream))
 
 
@@ -137,7 +145,9 @@ def streaming_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ST5 NEW: 1h windows sliding 30m; oracle unnests both epoch-aligned starts",
 )
 def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = read_events_stream(spark, _staged(spark, sf_dir))
+    # two micro-batches — same slicing-invariant coverage trade as
+    # streaming_tumbling_windows above
+    stream = read_events_stream(spark, _staged(spark, sf_dir), files_per_trigger=2)
     return _run_to_memory(sliding_aggregate(stream))
 
 
@@ -174,8 +184,9 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermark=None: complete-mode session output must keep all state
     # (watermark+complete evicts finalized sessions — see session_aggregate
     # docstring). The bounded-state watermarked path is exercised in
-    # tests/test_streaming.py with append mode.
-    stream = read_events_stream(spark, _staged(spark, sf_dir))
+    # tests/test_streaming.py with append mode. Two micro-batches —
+    # same slicing-invariant coverage trade as streaming_tumbling_windows.
+    stream = read_events_stream(spark, _staged(spark, sf_dir), files_per_trigger=2)
     return _run_to_memory(session_aggregate(stream, watermark=None), mode="complete")
 
 
