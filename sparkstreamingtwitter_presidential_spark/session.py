@@ -53,6 +53,18 @@ def get_spark(app_name: str = "sparkstreamingtwitter_presidential_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Join strategy (guide §3.1/§9): let the planner pick shuffled
+        # hash join when its size conditions hold instead of always
+        # sorting both sides for sort-merge, and let AQE rewrite an
+        # SMJ to SHJ at runtime when every post-shuffle partition fits
+        # a 64 MB local map (runtime statistics, so the choice stays
+        # safe at any scale; skew-split still applies first). Measured
+        # ~2x on the big-big join queries (tpch_q3/q5) at sf0.1.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -288,12 +288,15 @@ def test_random_projection_map_only(spark):
 def test_hybrid_rrf_fusion_is_broadcast_sized(spark):
     """Hybrid RRF: the corpus appears only inside the two legs (posting
     cache + similarity scan) and joins there only via broadcast. The
-    ONE sort-merge join is the fusion full-outer (Spark cannot
+    ONE non-broadcast join is the fusion full-outer (Spark cannot
     broadcast full outer), and its inputs are the two <= k_each-row leg
-    outputs — a k-row sort, not a corpus sort. The final top-k is a
-    TakeOrderedAndProject, not a global sort."""
+    outputs — k rows, never the corpus. Since the session prefers
+    shuffled hash joins (r15) it plans as SHJ; the invariant is that
+    there is exactly one such join, whatever its physical flavor. The
+    final top-k is a TakeOrderedAndProject, not a global sort."""
     a = _audit(spark, "search_hybrid_rrf")
-    assert a.n_sortmerge_joins == 1  # fusion only, on k-row inputs
+    # fusion only, on k-row inputs
+    assert a.n_sortmerge_joins + a.n_shuffled_hash_joins == 1
     assert a.n_broadcast_joins == 1  # bm25 df(term) hash join
     # both corpus-side constant attachments are broadcast nested-loop
     # crosses of 1-row/k-row frames (bm25 corpus stats, cosine queries)
