@@ -1896,17 +1896,17 @@ def lakehouse_iceberg_partitioned_agg(
     table = _staged_iceberg_locked(
         spark, f"/tmp/ssp_iceberg_part_{key}", build
     )
-    # the target partition comes from the MANIFESTS (.partitions
-    # metadata frame) — zero data scans; every event_type present in
-    # the source is present as a partition, so min(partition value)
+    # the target partition comes from the MANIFESTS (driver-side
+    # partition_infos — zero data scans, zero Spark jobs; r15: the
+    # .partitions frame + collect paid a createDataFrame round trip
+    # for metadata the driver already held); every event_type present
+    # in the source is present as a partition, so min(partition value)
     # == the oracle's min(event_type)
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
-        table_partitions,
+        partition_infos,
     )
 
-    mt = min(
-        r.event_type for r in table_partitions(spark, table).collect()
-    )
+    mt = min(p["event_type"] for p in partition_infos(table))
     pruned = read_iceberg(spark, table, skip_ranges={"event_type": (mt, mt)})
     n_all = len(read_iceberg(spark, table).inputFiles())
     n_kept = len(pruned.inputFiles())
@@ -1946,8 +1946,8 @@ def lakehouse_iceberg_transform_partitioned_agg(
     from datetime import date as _d, datetime as _dtt, timedelta as _td
 
     from sparkstreamingtwitter_presidential_spark.sources.iceberg import (
+        partition_infos,
         read_iceberg,
-        table_partitions,
         write_iceberg,
     )
 
@@ -1964,9 +1964,9 @@ def lakehouse_iceberg_transform_partitioned_agg(
     table = _staged_iceberg_locked(
         spark, f"/tmp/ssp_iceberg_txpart_{key}", build
     )
-    # the earliest day comes from the MANIFESTS (epoch-day ordinals in
-    # the .partitions metadata frame) — zero data scans
-    min_day = min(r.ts_day for r in table_partitions(spark, table).collect())
+    # the earliest day comes from the MANIFESTS (epoch-day ordinals,
+    # driver-side partition_infos — zero data scans, zero Spark jobs)
+    min_day = min(p["ts_day"] for p in partition_infos(table))
     day = _d(1970, 1, 1) + _td(days=int(min_day))
     lo = _dtt(day.year, day.month, day.day)
     hi = lo + _td(days=1) - _td(microseconds=1)

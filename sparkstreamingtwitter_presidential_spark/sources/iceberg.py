@@ -5936,11 +5936,12 @@ def rewrite_manifests(spark: SparkSession, path: str) -> int:
     )
 
 
-def table_partitions(spark: SparkSession, path: str) -> DataFrame:
-    """The .partitions metadata table shape: one row per (spec,
-    partition tuple) of the CURRENT snapshot with live file/row counts
-    — answered entirely from the manifests (driver-side metadata, no
-    data scan), like the real client's partitions table. Partition
+def _partition_rows(path: str) -> tuple[list[tuple], list]:
+    """The .partitions metadata table CONTENT, driver-side: (rows,
+    StructFields) — one row per (spec, partition tuple) of the CURRENT
+    snapshot with live file/row counts, answered entirely from the
+    manifests (driver-side metadata, no data scan), like the real
+    client's partitions table. Partition
     values come back as their source types (dates decoded from epoch
     days). Unpartitioned tables return a single all-table totals row
     (no partition columns). MOR tables work (r11): the counts are
@@ -6031,6 +6032,27 @@ def table_partitions(spark: SparkSession, path: str) -> DataFrame:
         T.StructField("n_rows", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), False),
     ]
+    return rows, fields
+
+
+def partition_infos(path: str) -> list[dict]:
+    """Driver-side twin of :func:`table_partitions`: the same one-row-
+    per-(spec, partition tuple) content as plain dicts keyed by the
+    surfaced column names (+ spec_id/n_files/n_rows/n_bytes). For
+    callers that only pick or validate partition values (the pruning
+    probes): the rows are computed from driver-resident manifests
+    either way, so there is no reason to round-trip them through a
+    createDataFrame -> collect Spark job (r15, guide §5 — same policy
+    as snapshot_infos/timeline_infos/history_infos)."""
+    rows, fields = _partition_rows(path)
+    names = [f.name for f in fields]
+    return [dict(zip(names, r)) for r in rows]
+
+
+def table_partitions(spark: SparkSession, path: str) -> DataFrame:
+    """Queryable-frame wrapper over :func:`_partition_rows` — the
+    .partitions metadata table shape (see the docstring there)."""
+    rows, fields = _partition_rows(path)
     return spark.createDataFrame(rows, T.StructType(fields))
 
 
