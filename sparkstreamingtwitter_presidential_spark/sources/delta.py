@@ -1389,14 +1389,29 @@ def delta_row_changes(
         old = spark.createDataFrame([], schema)
     new = _read_actions(adds)
 
-    for side, name in ((old, "removed"), (new, "added")):
-        dup = side.groupBy(*keys).count().filter("count > 1").limit(1).collect()
-        if dup:
-            raise ValueError(
-                f"keys {keys} are not unique among the {name} rows (e.g. "
-                f"{ {k: dup[0][k] for k in keys} }) — row-level changes "
-                "need a primary key"
-            )
+    # Both sides persist: the key-uniqueness validation job below
+    # materializes them, and the keyed diff that follows reuses the
+    # cached rows — each side's touched files are read ONCE per
+    # derivation instead of twice, and the two per-side dup-check
+    # jobs fuse into one (r15, guide §1.2 — same treatment as
+    # iceberg_row_changes).
+    old = old.persist()
+    new = new.persist()
+    dup = (
+        old.select(F.lit("removed").alias("__side"), *keys)
+        .unionByName(new.select(F.lit("added").alias("__side"), *keys))
+        .groupBy("__side", *keys)
+        .count()
+        .filter("count > 1")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"keys {keys} are not unique among the {dup[0]['__side']} "
+            f"rows (e.g. { {k: dup[0][k] for k in keys} }) — row-level "
+            "changes need a primary key"
+        )
 
     from sparkstreamingtwitter_presidential_spark.sources.changefeed import (
         keyed_change_rows,
