@@ -39,7 +39,16 @@ def keyed_change_rows(
         payload = F.lit(True)
     o = old.select(*keys, payload.alias("__o"))
     n = new.select(*keys, payload.alias("__n"))
-    j = o.join(n, on=keys, how="full_outer")
+    # shuffle_hash hint: a full outer can never broadcast, and both
+    # sides here are stats-free frames (persisted reads of a commit's
+    # touched files), so the static planner would fall back to
+    # sort-merge — two full sorts the hash join skips. A commit's
+    # touched-file rows partition evenly by primary key, and per-task
+    # build maps stay bounded by the post-shuffle partition size
+    # (AQE skew split still applies first), so the hint is the right
+    # call at any scale for THIS shape (guide §3.1: pick the strategy
+    # deliberately when you know what the optimizer cannot; r15).
+    j = o.join(n.hint("shuffle_hash"), on=keys, how="full_outer")
     has_old = F.col("__o").isNotNull()
     has_new = F.col("__n").isNotNull()
     differs = (
