@@ -4216,14 +4216,15 @@ def lakehouse_iceberg_spec_evolution_agg(
     live_deletes = [m for m in manifests if m["content"] == 1]
     ops = [s["summary"]["operation"] for s in snaps_sorted]
     df = read_iceberg(spark, table)
-    # one pass gives the pruning probe's expected count AND the probe
-    # key (deterministic min type) — no separate first()/count() scans
-    counts = {
-        r.event_type: r.n
-        for r in df.groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    # ONE mixed-spec scan serves the pruning probe's expected count,
+    # the probe key (deterministic min type), AND the returned
+    # aggregate (r15: the count-only validation pass and the returned
+    # _agg_by_type each re-scanned the table; the full aggregate costs
+    # the same scan, so collect it once and return the rows with their
+    # exact schema — the streaming drains' established pattern)
+    agg = _agg_by_type(df)
+    agg_rows = agg.collect()
+    counts = {r.event_type: r.n for r in agg_rows}
     a_type = min(counts)
     exact_n = counts[a_type]
     pruned_n = (
@@ -4254,4 +4255,4 @@ def lakehouse_iceberg_spec_evolution_agg(
             f"live_deletes={len(live_deletes)} ops={ops} "
             f"pruned={pruned_n} exact={exact_n}"
         )
-    return _agg_by_type(df)
+    return spark.createDataFrame(agg_rows, agg.schema)
