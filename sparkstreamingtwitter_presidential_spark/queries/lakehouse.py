@@ -3390,7 +3390,9 @@ def lakehouse_iceberg_row_lineage(
     table = _staged_iceberg_locked(
         spark, f"/tmp/ssp_iceberg_v3lineage_{key}", build
     )
-    rows = read_iceberg_lineage(spark, table)
+    # persisted: the uniqueness/density stats below materialize the
+    # scan and the returned aggregate reuses it (r15, one read per call)
+    rows = read_iceberg_lineage(spark, table).persist()
     stats = rows.agg(
         F.count("*").alias("n"),
         F.count_distinct("_row_id").alias("n_ids"),
@@ -3633,8 +3635,13 @@ def lakehouse_delta_row_tracking_agg(
         )
     # the backfill (v1) claimed exactly the original row count: every
     # pre-existing row's CARRIED id stays inside that dense range,
-    # every insert mints beyond it — checked via the aggregate pins
-    lin = read_delta_rows(spark, table)
+    # every insert mints beyond it — checked via the aggregate pins.
+    # persisted: the validation aggregate below materializes this scan
+    # and the returned aggregate reuses it — one table read per call
+    # instead of two (r15; the row-tracking read's visible rows ARE
+    # the snapshot read's, plus the two metadata columns, same
+    # precedent as lakehouse_iceberg_lineage_agg).
+    lin = read_delta_rows(spark, table).persist()
     ins = F.col("event_id") >= _INSERT_BASE
     expected_ver = (
         F.when(ins | (F.col("event_id") % 9 == 4), F.lit(3))
@@ -3668,7 +3675,7 @@ def lakehouse_delta_row_tracking_agg(
             f"n_orig={s.n_orig} min_ins={s.min_ins} bad_ver={s.bad_ver} "
             f"high_water={hw}"
         )
-    return _agg_by_type(read_delta(spark, table))
+    return _agg_by_type(lin)
 
 
 @query(
@@ -3897,7 +3904,12 @@ def lakehouse_delta_clone_agg(
     adds = [a["add"]["path"] for a in acts if "add" in a]
     src_n = read_delta(spark, src).count()
     dst_df = read_delta(spark, dst)
-    dst_n = dst_df.count()
+    # the clone-side row count falls out of the returned aggregate —
+    # one scan of the clone serves both the invariant and the result
+    # (r15; src still needs its own count, it is a different table)
+    dst_agg = _agg_by_type(dst_df)
+    dst_rows = dst_agg.collect()
+    dst_n = sum(r.n for r in dst_rows)
     # one pass over events for all four expected-count legs
     c = load_table(spark, sf_dir, "events").agg(
         F.count("*").alias("base_n"),
@@ -3923,7 +3935,7 @@ def lakehouse_delta_clone_agg(
             f"op={ci['operation']!r} src_n={src_n} dst_n={dst_n} "
             f"base={base_n} fresh_id={md['id'] != src_md['id']}"
         )
-    return _agg_by_type(dst_df)
+    return spark.createDataFrame(dst_rows, dst_agg.schema)
 
 
 @query(
@@ -4003,7 +4015,9 @@ def lakehouse_delta_identity_agg(
         for f in _json.loads(md["schemaString"])["fields"]
         if f["name"] == "rid"
     )
-    df = read_delta(spark, table)
+    # persisted: the identity-series validation materializes the scan
+    # and the returned aggregate reuses it (r15, one read per call)
+    df = read_delta(spark, table).persist()
     s = df.agg(
         F.count("*").alias("n"),
         F.count_distinct("rid").alias("n_ids"),
