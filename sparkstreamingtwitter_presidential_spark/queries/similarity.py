@@ -136,6 +136,11 @@ def ivf_topk_query(
     out = (
         ivf.join(exact, ["query_id", "vec_id"], "left")
         .withColumn("in_exact_topk", F.coalesce("in_exact_topk", F.lit(False)))
+        # k rows per query — persisting lets the recall gate below
+        # materialize the whole IVF + exact-twin pipeline ONCE and the
+        # returned frame ride the cache instead of re-running both
+        # scans (r15, one derivation per call)
+        .persist()
     )
     # The verification aggregate is a deliberate driver-side scalar (this
     # is a QUALITY-GATED query; the exact twin costs one extra corpus
