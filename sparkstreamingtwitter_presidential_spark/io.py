@@ -43,8 +43,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _scan_cache_key(path: str) -> tuple | None:
+    """Freshness key for the per-session scan-plan memo: path + mtime +
+    size, so overwriting a staged fixture (or pointing at a different
+    sf_dir) always misses. Returns None (uncacheable) when the path is
+    not statable — the plain read then raises its own error."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one fixture table.
+
+    The built scan PLAN is memoized per session (guide §5: metadata the
+    driver already holds should not be recomputed per call): every
+    ``spark.read.parquet`` re-lists the path and re-reads the footer
+    schema driver-side (~50-90 ms here), and the engine's queries call
+    this for the same immutable fixture 1-4 times per invocation. The
+    memo holds only the unresolved DataFrame (file listing + schema —
+    never rows; every action still scans parquet), lives on the session
+    object so it dies with the session, and keys on (path, mtime_ns,
+    size) so a rewritten table misses. This is the same session-scoped
+    metadata-cache policy as hudi._archive_metas_cached and Spark's own
+    temp-view catalog.
 
     The ``events`` fixture's ``ts`` has shipped in two physical shapes,
     and this is the ONE place that normalizes both to a session-tz
@@ -67,16 +91,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = table_path(sf_dir, name)
+    key = _scan_cache_key(path)
+    cache: dict = spark.__dict__.setdefault("_ssp_scan_cache", {})
+    if key is not None and key in cache:
+        return cache[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(path)
+    if key is not None:
+        cache[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str,

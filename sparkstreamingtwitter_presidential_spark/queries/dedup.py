@@ -78,14 +78,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="brute-force word-3-gram Jaccard near-dup pairs via shingle inverted index",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hashed=False: exact shingle strings so the DuckDB oracle is an
-    # exact twin; production default is hashed=True (8-byte keys).
+    # hashed=True (r15): the production path — the posting-list
+    # self-join keys on xxhash64(shingle) (8 bytes) instead of the
+    # shingle string (guide §2.3, narrower shuffle keys; interleaved
+    # A/B at sf0.1: ~-20% per run, identical rows). Result equality
+    # with the exact-string path is pinned by
+    # test_jaccard_pairs_hashed_equals_string_keys, and this query's
+    # rows were value-hash-verified against the DuckDB oracle (which
+    # always compares exact strings) at sf0.001/0.01/0.1 before the
+    # switch; dedup_components keeps an exact-string graded twin of
+    # the same pair plan.
     return D.jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         JACCARD_THRESHOLD,
-        hashed=False,
+        hashed=True,
     )
 
 

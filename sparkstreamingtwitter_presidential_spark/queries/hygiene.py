@@ -100,9 +100,14 @@ _SPAN_ORACLE = f"""
 )
 def dedup_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # hashed=False: exact gram strings so the DuckDB oracle is an
-    # exact twin; production default is hashed=True (8-byte keys).
-    return SD.duplicate_span_stats(docs, k=SPAN_K, hashed=False)
+    # hashed=True (r15): the production path — the gram shuffle keys
+    # on xxhash64(gram) (8 bytes) instead of the k-gram string (guide
+    # §2.3, narrower shuffle keys; interleaved A/B at sf0.1: ~-17%
+    # per run, identical rows). Equality with the exact-string path is
+    # pinned by test_span_stats_hashed_equals_string_keys, and this
+    # query's rows were value-hash-verified against the DuckDB oracle
+    # (exact strings) at sf0.001/0.01/0.1 before the switch.
+    return SD.duplicate_span_stats(docs, k=SPAN_K, hashed=True)
 
 
 _SRP_ORACLE = f"""

@@ -353,15 +353,30 @@ def streaming_state_v2_running_totals(
     )
 
     provider_key = "spark.sql.streaming.stateStore.providerClass"
+    # RocksDB row-count tracking makes every state put pay a prior get
+    # so numRowsTotal stays exact — pure metrics, and this workload is
+    # put-per-key-per-batch, so the tracking get doubles the RocksDB
+    # write-path lookups (the documented Spark perf knob; interleaved
+    # A/B at sf0.1: track=false never lost across 4 alternating pairs,
+    # medians ~21 s -> ~13.5 s under matched contention). Scoped to
+    # this drain and restored, like the provider pin below.
+    track_key = (
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    )
     try:
         old = spark.conf.get(provider_key)
     except Exception:
         old = None
+    try:
+        old_track = spark.conf.get(track_key)
+    except Exception:
+        old_track = None
     spark.conf.set(
         provider_key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    spark.conf.set(track_key, "false")
     try:
         # two micro-batches: one real cross-batch state handoff in the
         # graded run (the differential suite covers deeper slicings)
@@ -381,6 +396,10 @@ def streaming_state_v2_running_totals(
             spark.conf.set(provider_key, old)
         else:
             spark.conf.unset(provider_key)
+        if old_track:
+            spark.conf.set(track_key, old_track)
+        else:
+            spark.conf.unset(track_key)
 
 
 @query(
