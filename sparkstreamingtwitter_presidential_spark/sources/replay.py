@@ -98,8 +98,22 @@ def read_events_stream(
     """Unbounded events DataFrame replaying a staged directory, one batch
     per ``files_per_trigger`` files (ST1's micro-batch pacing; the 10 s
     wall-clock trigger of the reference maps to ``trigger(processingTime)``
-    at the sink, orthogonal to the source)."""
-    schema = spark.read.parquet(staged_dir).schema
+    at the sink, orthogonal to the source).
+
+    The schema probe (a batch read of the staged dir) is memoized per
+    session under the same (path, mtime_ns, size) freshness key as
+    io.load_table's scan-plan memo (r15): staged replay dirs are
+    write-once, every drain re-reads the footer otherwise, and a
+    re-staged dir changes its mtime and misses."""
+    from sparkstreamingtwitter_presidential_spark.io import _scan_cache_key
+
+    key = _scan_cache_key(staged_dir)
+    cache: dict = spark.__dict__.setdefault("_ssp_stream_schema_cache", {})
+    schema = cache.get(key) if key is not None else None
+    if schema is None:
+        schema = spark.read.parquet(staged_dir).schema
+        if key is not None:
+            cache[key] = schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)
