@@ -313,6 +313,21 @@ def format_output(
     return out
 
 
+def write_sidecar(out: dict, path: str | None = None) -> None:
+    """Truncation-proof sidecar (r16, VERDICT r15 item 8): BENCH_r14's
+    round-over-round comparison was lost to a truncated stdout capture.
+    The printed one-line contract is unchanged; the same JSON is ALSO
+    written to bench_last.json next to this script so a tail cut can
+    never null the comparison again. Best-effort: a read-only checkout
+    must not fail the bench."""
+    try:
+        with open(path or os.path.join(REPO_ROOT, "bench_last.json"), "w") as f:
+            json.dump(out, f)
+            f.write("\n")
+    except OSError:
+        pass
+
+
 def main() -> None:
     spark = get_spark("sparkstreamingtwitter-bench")
     registry = load_all()
@@ -344,6 +359,7 @@ def main() -> None:
         spark.stop()
     except Exception:  # noqa: BLE001 - teardown must not eat the result
         pass
+    write_sidecar(out)
     print(json.dumps(out))
     sys.stdout.flush()
 

@@ -43,16 +43,46 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _scan_cache_key(path: str) -> tuple | None:
-    """Freshness key for the per-session scan-plan memo: path + mtime +
-    size, so overwriting a staged fixture (or pointing at a different
-    sf_dir) always misses. Returns None (uncacheable) when the path is
-    not statable — the plain read then raises its own error."""
+def scan_cache_key(path: str) -> tuple | None:
+    """Freshness key for the per-session scan-plan memo.
+
+    For a plain file: (path, mtime_ns, size). For a *directory* table the
+    directory's own stat is not enough — its mtime changes on entry
+    create/delete/rename but NOT on an in-place overwrite of an existing
+    part file — so the key additionally folds in the entry count and the
+    newest child mtime (one extra listdir; children are stat'd non-
+    recursively, which covers parquet dirs whose data files are direct
+    children — every fixture layout here). Any rewrite, append, or
+    in-place part-file overwrite therefore misses. Returns None
+    (uncacheable) when the path is not statable — the plain read then
+    raises its own error.
+    """
     try:
         st = os.stat(path)
     except OSError:
         return None
-    return (path, st.st_mtime_ns, st.st_size)
+    key: tuple = (path, st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        try:
+            with os.scandir(path) as it:
+                n = 0
+                newest = 0
+                for entry in it:
+                    n += 1
+                    try:
+                        m = entry.stat().st_mtime_ns
+                    except OSError:
+                        return None
+                    if m > newest:
+                        newest = m
+            key = key + (n, newest)
+        except OSError:
+            return None
+    return key
+
+
+# Backwards-compatible alias for the original private name.
+_scan_cache_key = scan_cache_key
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -66,7 +96,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     memo holds only the unresolved DataFrame (file listing + schema —
     never rows; every action still scans parquet), lives on the session
     object so it dies with the session, and keys on (path, mtime_ns,
-    size) so a rewritten table misses. This is the same session-scoped
+    size) — plus entry count and newest child mtime for directory
+    tables — so a rewritten table misses. This is the same session-scoped
     metadata-cache policy as hudi._archive_metas_cached and Spark's own
     temp-view catalog.
 
@@ -92,7 +123,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = table_path(sf_dir, name)
-    key = _scan_cache_key(path)
+    key = scan_cache_key(path)
     cache: dict = spark.__dict__.setdefault("_ssp_scan_cache", {})
     if key is not None and key in cache:
         return cache[key]

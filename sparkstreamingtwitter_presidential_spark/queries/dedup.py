@@ -88,6 +88,18 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # always compares exact strings) at sf0.001/0.01/0.1 before the
     # switch; dedup_components keeps an exact-string graded twin of
     # the same pair plan.
+    #
+    # Collision bound (r16): hashed keys are probabilistically, not
+    # mathematically, equal to exact strings — an xxhash64 collision
+    # between two distinct shingles merges their posting lists and can
+    # only OVER-report similarity (the safe direction for dedup). By
+    # the birthday bound, P(any collision) ~= d^2 / 2^65 for d distinct
+    # shingles: negligible through d ~ 10^8 (~3e-4), and equality is
+    # verified on this data at sf0.001/0.01/0.1. At ~10^10 distinct
+    # shingles (100 TB class) at least one collision becomes likely
+    # (~0.93); a deployment grading at that scale should re-verify
+    # hashed parity or fall back to hashed=False, which this same
+    # operator still implements.
     return D.jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         "doc_id",

@@ -107,6 +107,14 @@ def dedup_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned by test_span_stats_hashed_equals_string_keys, and this
     # query's rows were value-hash-verified against the DuckDB oracle
     # (exact strings) at sf0.001/0.01/0.1 before the switch.
+    #
+    # Collision bound (r16): an xxhash64 collision between two distinct
+    # k-grams merges their position lists and can only OVER-count
+    # duplicated spans (the conservative direction). Birthday bound:
+    # P(any collision) ~= d^2 / 2^65 over d distinct grams — negligible
+    # through d ~ 10^8, likely by d ~ 10^10 (100 TB class); re-verify
+    # hashed parity (or use hashed=False, still implemented) before
+    # trusting exact equality at that scale.
     return SD.duplicate_span_stats(docs, k=SPAN_K, hashed=True)
 
 

@@ -133,8 +133,16 @@ def ivf_topk_query(
     exact = S.brute_force_topk(emb, QUERY_IDS, TOP_K).select(
         "query_id", "vec_id", F.lit(True).alias("in_exact_topk")
     )
+    # broadcast (r16): the exact twin is bounded at TOP_K * |QUERY_IDS|
+    # rows (50) by its own row_number filter, but it hangs off a
+    # window-over-shuffle subtree with no stats, so the static planner
+    # put the only remaining SortMergeJoin in the engine here (guide
+    # §3.1: hint when you KNOW a side is small; the r15 verdict's last
+    # SMJ-sweep item). Broadcasting the gate side removes both
+    # exchanges and sorts from the recall join; row content unchanged
+    # (same keys, same left-outer semantics).
     out = (
-        ivf.join(exact, ["query_id", "vec_id"], "left")
+        ivf.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
         .withColumn("in_exact_topk", F.coalesce("in_exact_topk", F.lit(False)))
         # k rows per query — persisting lets the recall gate below
         # materialize the whole IVF + exact-twin pipeline ONCE and the

@@ -392,11 +392,13 @@ def streaming_state_v2_running_totals(
             mode="append",
         )
     finally:
-        if old:
+        # `is not None`, not truthiness: a pre-existing empty-string conf
+        # value must be restored verbatim, not unset.
+        if old is not None:
             spark.conf.set(provider_key, old)
         else:
             spark.conf.unset(provider_key)
-        if old_track:
+        if old_track is not None:
             spark.conf.set(track_key, old_track)
         else:
             spark.conf.unset(track_key)

@@ -58,8 +58,12 @@ def get_spark(app_name: str = "sparkstreamingtwitter_presidential_spark",
         # sorting both sides for sort-merge, and let AQE rewrite an
         # SMJ to SHJ at runtime when every post-shuffle partition fits
         # a 64 MB local map (runtime statistics, so the choice stays
-        # safe at any scale; skew-split still applies first). Measured
-        # ~2x on the big-big join queries (tpch_q3/q5) at sf0.1.
+        # safe at any scale; skew-split still applies first). At sf0.1
+        # this is a scale default, not a measured local win: the TPC-H
+        # joins are already broadcast under the 64 MB threshold, and the
+        # only static plan it flips is search_hybrid_rrf (SMJ->SHJ, see
+        # OPTIMIZATION_r15.md c553691); its value is on real table stats
+        # at production scale where big-big SMJs appear.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from sparkstreamingtwitter_presidential_spark.io import load_table
+from sparkstreamingtwitter_presidential_spark.io import load_table, scan_cache_key
 
 
 def schema_keyed_dir(prefix: str, sf_dir: str, schema: StructType) -> str:
@@ -101,13 +101,12 @@ def read_events_stream(
     at the sink, orthogonal to the source).
 
     The schema probe (a batch read of the staged dir) is memoized per
-    session under the same (path, mtime_ns, size) freshness key as
-    io.load_table's scan-plan memo (r15): staged replay dirs are
-    write-once, every drain re-reads the footer otherwise, and a
-    re-staged dir changes its mtime and misses."""
-    from sparkstreamingtwitter_presidential_spark.io import _scan_cache_key
-
-    key = _scan_cache_key(staged_dir)
+    session under the same freshness key as io.load_table's scan-plan
+    memo (r15; io.scan_cache_key — path/mtime/size plus, for
+    directories, entry count and newest child mtime): staged replay dirs
+    are write-once, every drain re-reads the footer otherwise, and a
+    re-staged dir changes the key and misses."""
+    key = scan_cache_key(staged_dir)
     cache: dict = spark.__dict__.setdefault("_ssp_stream_schema_cache", {})
     schema = cache.get(key) if key is not None else None
     if schema is None:

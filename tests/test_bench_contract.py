@@ -70,3 +70,22 @@ def test_headline_scalars_survive_driver_tail_truncation():
     assert parsed["metric"] == "headline_total_sec"
     assert parsed["value"] == round(sum(timings.values()), 3)
     assert parsed["clean"] is False and parsed["error_count"] == 1
+
+
+def test_bench_sidecar_mirrors_stdout_artifact(tmp_path):
+    """r16 (VERDICT r15 item 8): the same JSON the bench prints is also
+    written to bench_last.json so a truncated stdout capture can never
+    null the next round's comparison. The sidecar must parse to the
+    exact artifact dict, and an unwritable path must not raise (a
+    read-only checkout must not fail the bench)."""
+    import json
+
+    spec = importlib.util.spec_from_file_location("bench", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.format_output({"q": 1.5}, {}, 0.1)
+    target = tmp_path / "bench_last.json"
+    mod.write_sidecar(out, str(target))
+    assert json.loads(target.read_text()) == out
+    # best-effort on unwritable paths: no exception
+    mod.write_sidecar(out, str(tmp_path / "no_such_dir" / "x.json"))

