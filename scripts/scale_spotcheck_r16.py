@@ -57,7 +57,7 @@ N_FAMILIES, N_COPIES, N_WORDS, VOCAB = 60_000, 5, 120, 50_000
 #: span_stats' coverage explode is ~6x heavier per doc than the pair
 #: join (k tokens per dup-gram occurrence, two count_distincts), so it
 #: runs on the first SPAN_FAMILIES families of the same fixture.
-SPAN_FAMILIES = 6_000
+SPAN_FAMILIES = 14_000
 #: 30x the sf0.1 embeddings table: 1,200 blocks x 50 vectors, 64 dims.
 N_BLOCKS, BLOCK_SZ, DIM = 1_200, 50, 64
 #: 8M-key changelog diff (old vs new with 10% deletes, ~14% updates,

@@ -61,6 +61,10 @@ def test_ivf_probe_broadcasts_query_side(spark):
     a = _audit(spark, "sim_ivf_topk")
     assert a.n_broadcast_joins >= 1
     assert "CartesianProduct" not in a.text
+    # r16: the recall-gate join against the bounded exact twin
+    # (TOP_K x |QUERY_IDS| rows) is broadcast-hinted — the engine's
+    # last static SortMergeJoin is gone
+    assert a.n_sortmerge_joins == 0
 
 
 def test_q8_seven_table_join_stays_broadcast_single_exchange(spark):
